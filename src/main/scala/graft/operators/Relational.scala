@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2.3, §2.6–§2.8): scans with
+  * pushdown, wide aggregations, broadcast joins, semi/anti joins,
+  * window functions, top-k, union-merge, rollup.
+  *
+  * Scale notes (100 TB design stance):
+  *  - Dimension tables (nation/region/customer/supplier at TPC-H scale
+  *    ratios) are broadcast — no shuffle of the fact table for those
+  *    joins.
+  *  - Aggregations are expressed as `groupBy().agg()` so Spark plans
+  *    partial (map-side) aggregation before the exchange.
+  *  - Filters are plain column predicates on the scan so they reach
+  *    parquet as PushedFilters; projections are explicit so ReadSchema
+  *    stays narrow.
+  *  - Top-k uses `orderBy().limit(k)` which Spark executes as
+  *    TakeOrderedAndProject: per-partition heaps, no global sort.
+  */
+object Relational {
+
+  /** Money rounding used on float aggregates so Spark and the DuckDB
+    * oracle hash-match despite summation-order differences. 2 decimal
+    * digits is far coarser than double accumulation error at these
+    * scales.
+    */
+  private def money(c: Column): Column = round(c, 2)
+
+  /** q01: TPC-H Q1-style pricing summary — wide aggregate, map-side
+    * partial agg, tiny result. Ref semantics: SURVEY §2.6 A1/A3/A4.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_base_price"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** q02: TPC-H Q6-style selective scan+agg — every predicate is
+    * parquet-pushable (shipdate range, discount range, quantity bound).
+    */
+  def revenueFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.09) &&
+          col("l_quantity") < 30
+      )
+      .agg(
+        money(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** q03: fact ⋈ dims revenue per nation. customer+orders join on the
+    * shuffle; nation is broadcast (25 rows — never shuffle the fact
+    * side for it).
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  /** q04: top-k with deterministic tie-break → TakeOrderedAndProject
+    * (per-partition heap + single merge, no global sort).
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** q05: window rank — top-3 orders per customer. One shuffle on
+    * custkey; deterministic via (totalprice desc, orderkey) ordering.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+  }
+
+  /** q06: distinct aggregation — exact distinct counts per group
+    * (SURVEY §2.6 A2 analogue, exact form for the oracle; at 100 TB
+    * the approx_count_distinct variant in Profile.scala is the one to
+    * reach for).
+    */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** q07: ordered union-merge (SURVEY §2.8 J1): two branch reads
+    * unioned by name with a branch rank carried as an explicit sort
+    * key — the reference's "merge files in input order" made
+    * shuffle-free (union is a no-shuffle operator).
+    */
+  def unionMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o
+      .filter(col("o_orderstatus") === "F")
+      .withColumn("branch_rank", lit(1))
+    val b = o
+      .filter(col("o_orderstatus") === "O")
+      .withColumn("branch_rank", lit(2))
+    a.unionByName(b)
+      .select(
+        col("branch_rank"),
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice")
+      )
+  }
+
+  /** q08: semi/anti join — customers with and without orders.
+    * left_semi/left_anti never materialize the probe payload; Spark
+    * broadcasts the aggregated key set when small.
+    */
+  def customerOrderPresence(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select(col("o_custkey"))
+    val withO = c
+      .join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(lit("with_orders").as("bucket"), col("c_custkey"))
+    val without = c
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(lit("no_orders").as("bucket"), col("c_custkey"))
+    withO.unionByName(without)
+  }
+
+  /** q09: conditional aggregation (manual pivot) — one pass over
+    * orders, no shuffle beyond the single groupBy.
+    */
+  def orderStatusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"),
+        money(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0.0))).as("value_f")
+      )
+
+  /** q10: rollup — hierarchical aggregate (region→nation) in one
+    * pass; Spark expands grouping sets before the exchange so it is
+    * still a single shuffle.
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(money(sum(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("n"))
+  }
+
+  /** q11: month bucketing (SURVEY §2.4 F2 analytical path —
+    * date_trunc over the parsed timestamp).
+    */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"), money(sum(col("o_totalprice"))).as("sum_price"))
+
+  /** q12: group share percentage (SURVEY §2.4 F10) — per-group count
+    * as a fraction of the total via a windowed sum over an empty
+    * partition spec. Fine here (single-partition window over an
+    * already tiny aggregate), and at scale the input to the window is
+    * |groups|, not |rows|.
+    */
+  def mktsegmentShare(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn(
+        "pct",
+        round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 1)
+      )
+  }
+}
