@@ -30,7 +30,14 @@ object SparkEntry {
     "q09_status_pivot" -> (Relational.orderStatusPivot _),
     "q10_rollup_revenue" -> (Relational.rollupRevenue _),
     "q11_orders_by_month" -> (Relational.ordersByMonth _),
-    "q12_mktsegment_share" -> (Relational.mktsegmentShare _)
+    "q12_mktsegment_share" -> (Relational.mktsegmentShare _),
+    "q13_clean_text" -> (TextAnalysis.cleanDocs _),
+    "q14_token_stats" -> (TextAnalysis.tokenStats _),
+    "q15_quality_score" -> (TextAnalysis.qualityScores _),
+    "q16_lang_id" -> (TextAnalysis.languageId _),
+    "q17_fingerprint" -> (TextAnalysis.fingerprints _),
+    "q18_task_fanout" -> (TextAnalysis.taskFanout _),
+    "q19_lang_stats" -> (TextAnalysis.langStats _)
   )
 
   /** DuckDB-dialect oracle for each query (same column aliases). */
@@ -117,6 +124,118 @@ object SparkEntry {
     "q12_mktsegment_share" ->
       """SELECT c_mktsegment, n, round(n * 100.0 / sum(n) OVER (), 1) AS pct
          FROM (SELECT c_mktsegment, count(*) AS n
-               FROM customer GROUP BY c_mktsegment) t"""
+               FROM customer GROUP BY c_mktsegment) t""",
+    "q13_clean_text" ->
+      """SELECT doc_id, clean,
+         CASE WHEN length(clean) > 120 THEN substr(clean, 1, 120) || '...'
+              ELSE clean END AS clean_120
+         FROM (SELECT doc_id,
+                 trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean
+               FROM documents) t""",
+    "q14_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_raw,
+         round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                    / len(toks) END, 4) AS avg_token_len
+         FROM (SELECT doc_id, text,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents) t""",
+    "q15_quality_score" ->
+      """SELECT doc_id,
+         round(stop_raw, 6) AS stop_ratio,
+         CAST(n_punct AS BIGINT) AS n_punct,
+         round(0.5 * least(n_toks / 200.0, 1.0)
+             + 0.4 * least(stop_raw * 5.0, 1.0)
+             + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS quality
+         FROM (SELECT doc_id,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE len(list_filter(toks, w -> w IN
+                        ('the','a','an','and','or','of','to','in','is','it')
+                        ))::DOUBLE / len(toks) END AS stop_raw,
+                 len(toks)::DOUBLE AS n_toks,
+                 length(text) - length(translate(text, '.,!?;:', '')) AS n_punct,
+                 CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
+                           / length(text) END AS punct_frac
+               FROM (SELECT doc_id, text,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                     FROM documents) a) b""",
+    "q16_lang_id" ->
+      """SELECT doc_id, labeled_lang,
+         CASE WHEN best <= 0 THEN 'und'
+              WHEN s_en = best THEN 'en'
+              WHEN s_de = best THEN 'de'
+              WHEN s_fr = best THEN 'fr'
+              WHEN s_es = best THEN 'es'
+              WHEN s_zh = best THEN 'zh'
+              ELSE 'und' END AS predicted_lang
+         FROM (SELECT doc_id, labeled_lang, s_en, s_de, s_fr, s_es, s_zh,
+                 greatest(s_en, s_de, s_fr, s_es, s_zh) AS best
+               FROM (SELECT doc_id, lang AS labeled_lang,
+                 len(list_filter(toks, w -> w IN ('the','and','of','to','is'))) AS s_en,
+                 len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS s_de,
+                 len(list_filter(toks, w -> w IN ('le','la','et','les','est'))) AS s_fr,
+                 len(list_filter(toks, w -> w IN ('el','la','y','los','es'))) AS s_es,
+                 len(list_filter(toks, w -> w IN ('的','是','了','在','我'))) AS s_zh
+                 FROM (SELECT doc_id, lang,
+                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                       FROM documents) a) b) c""",
+    "q17_fingerprint" ->
+      """SELECT doc_id, fp_hex,
+         ('0x' || substr(fp_hex, 1, 15))::BIGINT AS fp_long
+         FROM (SELECT doc_id,
+                 md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_hex
+               FROM documents) t""",
+    "q18_task_fanout" ->
+      """WITH base AS (
+           SELECT doc_id, text, lang, n_chars,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents)
+         SELECT doc_id, 'token_stats' AS task_type,
+           'Count the tokens in this document.' AS instruction,
+           CAST(CAST(len(toks) AS BIGINT) AS VARCHAR) AS output
+         FROM base
+         UNION ALL
+         SELECT doc_id, 'summarize' AS task_type,
+           'Summarize this document in one line.' AS instruction,
+           CASE WHEN length(clean) > 80 THEN substr(clean, 1, 80) || '...'
+                ELSE clean END AS output
+         FROM base WHERE n_chars > 250
+         UNION ALL
+         SELECT doc_id, 'lang_verify' AS task_type,
+           'Verify this document is in language: ' || lang AS instruction,
+           lang AS output
+         FROM base WHERE lang <> 'en'""",
+    "q19_lang_stats" ->
+      """WITH per_doc AS (
+           SELECT lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks,
+             round(0.5 * least(n_toks / 200.0, 1.0)
+                 + 0.4 * least(CASE WHEN n_toks = 0 THEN 0.0
+                     ELSE len(list_filter(
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END,
+                       w -> w IN ('the','a','an','and','or','of','to','in','is','it')
+                       ))::DOUBLE / n_toks END * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END * 10.0, 1.0)), 6) AS quality
+           FROM documents),
+         per_lang AS (
+           SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             round(avg(quality), 6) AS avg_quality
+           FROM per_doc GROUP BY lang)
+         SELECT lang, n_docs, n_tokens, avg_quality,
+           round(n_docs * 100.0 / sum(n_docs) OVER (), 1) AS pct
+         FROM per_lang"""
   )
 }

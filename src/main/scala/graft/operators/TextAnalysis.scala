@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the reference's cleaning
+  * semantics (SURVEY §2.4 F1) plus the pretraining-pipeline text ops
+  * (language ID, quality scoring, token stats, fingerprinting) the
+  * builder prompt calls for.
+  *
+  * All expressions are built-in Catalyst (higher-order array functions,
+  * no UDFs) so they run inside whole-stage codegen; every query is a
+  * single narrow scan → map → (optional tiny agg), i.e. embarrassingly
+  * parallel at 100 TB with zero shuffles except where grouped.
+  */
+object TextAnalysis {
+
+  /** q13: clean_text parity — whitespace collapse + trim + the
+    * truncate-to-120+"..." contract (utils.py:84-105).
+    */
+  def cleanDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        cleanText(col("text")).as("clean"),
+        cleanText(col("text"), 120).as("clean_120")
+      )
+
+  /** q14: token statistics — counts and mean token length. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        round(avgTokenLength(col("text")), 4).as("avg_token_len")
+      )
+
+  /** q15: quality scoring — stopword/punctuation/length signals. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        punctCount(col("text")).cast("long").as("n_punct"),
+        qualityScore(col("text")).as("quality")
+      )
+
+  /** q16: heuristic language ID vs the labeled lang column. */
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        langId(col("text")).as("predicted_lang")
+      )
+
+  /** q17: document fingerprints — md5 hex + 60-bit long prefix (the
+    * exact-dedup / shard-routing key at scale).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        fingerprintHex(col("text")).as("fp_hex"),
+        fingerprintLong(col("text")).as("fp_long")
+      )
+
+  /** q18: fan-out generator (SURVEY §2.5) re-expressed over documents —
+    * 1 doc → 1..3 task rows via conditionally-built array + explode,
+    * exactly the reference's transform_issue shape: guarded struct
+    * construction, null-compaction, ordered emission.
+    */
+  def taskFanout(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nTokens = tokenCount(col("text")).cast("long")
+    val taskType = struct(
+      lit("token_stats").as("task_type"),
+      lit("Count the tokens in this document.").as("instruction"),
+      nTokens.cast("string").as("output")
+    )
+    val summarize = when(
+      col("n_chars") > 250,
+      struct(
+        lit("summarize").as("task_type"),
+        lit("Summarize this document in one line.").as("instruction"),
+        cleanText(col("text"), 80).as("output")
+      )
+    )
+    val langVerify = when(
+      col("lang") =!= "en",
+      struct(
+        lit("lang_verify").as("task_type"),
+        concat(lit("Verify this document is in language: "), col("lang"))
+          .as("instruction"),
+        col("lang").as("output")
+      )
+    )
+    d.select(
+      col("doc_id"),
+      explode(
+        filter(array(taskType, summarize, langVerify), t => t.isNotNull)
+      ).as("task")
+    ).select(
+      col("doc_id"),
+      col("task.task_type").as("task_type"),
+      col("task.instruction").as("instruction"),
+      col("task.output").as("output")
+    )
+  }
+
+  /** q19: corpus statistics by language (SURVEY §2.6 A1 + F10) —
+    * distribution with share-of-total, the per-project stats analogue.
+    */
+  def langStats(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables
+      .documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+        round(avg(qualityScore(col("text"))), 6).as("avg_quality")
+      )
+    perLang.withColumn(
+      "pct",
+      round(col("n_docs") * 100.0 / sum(col("n_docs")).over(Window.partitionBy()), 1)
+    )
+  }
+}
