@@ -37,8 +37,35 @@ object SparkEntry {
     "q16_lang_id" -> (TextAnalysis.languageId _),
     "q17_fingerprint" -> (TextAnalysis.fingerprints _),
     "q18_task_fanout" -> (TextAnalysis.taskFanout _),
-    "q19_lang_stats" -> (TextAnalysis.langStats _)
+    "q19_lang_stats" -> (TextAnalysis.langStats _),
+    "q20_dedup_exact" -> (Dedup.exactDedup _),
+    "q21_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
+    "q22_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "q23_simhash" -> (Dedup.simhashDocs _),
+    "q24_cosine_topk" -> (Similarity.cosineTopK _),
+    "q25_ivf_topk" -> (Similarity.ivfTopK _),
+    "q26_embedding_neardup" -> (Similarity.embeddingNearDupPairs _)
   )
+
+  /** DuckDB cosine with double left-to-right accumulation — matches
+    * Spark's zip_with+aggregate bit-for-bit.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))" +
+      s" / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))" +
+      s" * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
+
+  /** Shared oracle CTE: distinct 3-gram shingle sets for doc_id<500. */
+  private val shinglesCte: String =
+    """d AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(len(toks) - 2),
+            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+        FROM (SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+              FROM documents WHERE doc_id < 500) t
+        WHERE len(toks) >= 3)"""
 
   /** DuckDB-dialect oracle for each query (same column aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -236,6 +263,104 @@ object SparkEntry {
            FROM per_doc GROUP BY lang)
          SELECT lang, n_docs, n_tokens, avg_quality,
            round(n_docs * 100.0 / sum(n_docs) OVER (), 1) AS pct
-         FROM per_lang"""
+         FROM per_lang""",
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id,
+         count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q21_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
+         FROM p
+         WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.05""",
+    "q22_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         m AS (SELECT doc_id, sh,
+                 list_transform(range(8), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT))) AS mh
+               FROM d WHERE len(sh) > 0),
+         bd AS (SELECT doc_id, sh, mh, t.j,
+                  mh[t.j*2+1] || '_' || mh[t.j*2+2] AS bval
+                FROM m, range(4) t(j)),
+         p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.mh AS mh_a, b.mh AS mh_b, a.sh AS sh_a, b.sh AS sh_b
+               FROM bd a JOIN bd b
+                 ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+           round(len(list_filter(list_zip(mh_a, mh_b),
+             z -> z[1] = z[2]))::DOUBLE / 8, 6) AS est_jaccard,
+           round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+             (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
+             AS jaccard
+         FROM p""",
+    "q23_simhash" -> {
+      val votes = (0 until 16)
+        .map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val bits = (0 until 16)
+        .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS w
+               FROM (SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                     FROM documents) x),
+         hh AS (SELECT doc_id,
+                  ('0x' || substr(md5('0:' || w), 1, 15))::BIGINT AS h
+                FROM t),
+         v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id)
+         SELECT doc_id, $bits AS simhash FROM v"""
+    },
+    "q24_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q_id, vec_id,
+                 ${cosSql("q_vec", "embedding")} AS sim
+               FROM embeddings, q)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, rk
+         FROM (SELECT q_id, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
+               FROM s) t
+         WHERE rk <= 10""",
+    "q25_ivf_topk" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS c_vec
+                FROM embeddings WHERE vec_id < 8),
+         sims AS (SELECT e.vec_id, e.embedding, c.cid,
+                    ${cosSql("c_vec", "embedding")} AS csim
+                  FROM embeddings e, c),
+         asg AS (SELECT vec_id, embedding, cid
+                 FROM (SELECT vec_id, embedding, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cid ASC) AS rk
+                       FROM sims) t WHERE rk = 1),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec, cid
+               FROM asg WHERE vec_id < 3),
+         cand AS (SELECT q.q_id, a.vec_id,
+                    ${cosSql("q_vec", "a.embedding")} AS sim
+                  FROM asg a JOIN q ON a.cid = q.cid)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, rk
+         FROM (SELECT q_id, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
+               FROM cand) t
+         WHERE rk <= 5""",
+    "q26_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 300),
+         s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 ${cosSql("a.embedding", "b.embedding")} AS sim
+               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(sim, 6) AS sim
+         FROM s WHERE sim > 0.4"""
   )
 }

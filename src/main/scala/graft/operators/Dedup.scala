@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-groupBy), n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+  *
+  * Scale design: every variant is a shuffle-on-key plan, never a naive
+  * all-pairs comparison.
+  *  - Exact dedup shuffles on the md5 fingerprint — uniform keys, no
+  *    skew, one exchange.
+  *  - Jaccard/MinHash candidate generation inverts the problem into
+  *    (shingle|band → doc list) joins, so cost is proportional to
+  *    actually-colliding pairs, not |docs|². At 100 TB the band join is
+  *    the standard LSH dedup topology (one shuffle on band key, AQE
+  *    skew-split handles hot buckets).
+  *  - SimHash reduces each doc to one 16-bit int; near-dup buckets are
+  *    then a groupBy on that int.
+  */
+object Dedup {
+
+  /** q20: exact dedup — md5-keyed survivor selection (min doc_id) with
+    * copy counts. The canonical "hash-groupBy" dedup.
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(
+        min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies")
+      )
+
+  /** Distinct word-3-gram shingle sets per doc (docs with <3 tokens
+    * are excluded — they have no shingles). Bounded to doc_id<500 so
+    * the pair-join stays calibration-stable across scale factors.
+    */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** q21: n-gram Jaccard near-dup pairs via shingle inversion: explode
+    * shingles → self-join on shingle → per-pair intersection count →
+    * |A∪B| = |A|+|B|−|A∩B|. Only pairs sharing ≥1 shingle are ever
+    * materialized.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(spark, dir)
+    val e = d.select(
+      col("doc_id"),
+      size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s")
+    )
+    val a = e.select(
+      col("doc_id").as("doc_a"),
+      col("n_sh").as("n_a"),
+      col("s")
+    )
+    val b = e.select(
+      col("doc_id").as("doc_b"),
+      col("n_sh").as("n_b"),
+      col("s")
+    )
+    a.join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        count(lit(1)).as("inter"),
+        first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b")
+      )
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private val NumHashes = 8
+  private val NumBands = 4 // 2 rows per band
+
+  /** 60-bit seeded hash of a string via md5 — portable across engines
+    * (same construction in the DuckDB oracle).
+    */
+  private def seededHash(seed: Int, s: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** MinHash signature: per seed, the min seeded-hash over the
+    * shingle set.
+    */
+  def minhashSignature(sh: Column): Column =
+    array((0 until NumHashes).map { i =>
+      array_min(transform(sh, s => seededHash(i, s)))
+    }: _*)
+
+  /** q22: MinHash+LSH near-dup candidates: signature → band keys →
+    * self-join on (band index, band value) → distinct candidate pairs
+    * with estimated (signature agreement) and exact (shingle-set)
+    * Jaccard. The band join is the only pairwise step — this is the
+    * shape that scales to 100 TB (pairs ∝ collisions, not n²).
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(spark, dir)
+      .withColumn("mh", minhashSignature(col("sh")))
+    val banded = d.select(
+      col("doc_id"),
+      col("mh"),
+      col("sh"),
+      explode(
+        transform(
+          sequence(lit(0), lit(NumBands - 1)),
+          j =>
+            struct(
+              j.as("band"),
+              concat_ws(
+                "_",
+                element_at(col("mh"), j * 2 + 1),
+                element_at(col("mh"), j * 2 + 2)
+              ).as("bval")
+            )
+        )
+      ).as("bk")
+    )
+    val l = banded.select(
+      col("doc_id").as("doc_a"),
+      col("mh").as("mh_a"),
+      col("sh").as("sh_a"),
+      col("bk")
+    )
+    val r = banded.select(
+      col("doc_id").as("doc_b"),
+      col("mh").as("mh_b"),
+      col("sh").as("sh_b"),
+      col("bk")
+    )
+    l.join(r, Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(
+          size(
+            filter(
+              zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y),
+              m => m
+            )
+          ).cast("double") / NumHashes,
+          6
+        ).as("est_jaccard"),
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) -
+              size(array_intersect(col("sh_a"), col("sh_b")))),
+          6
+        ).as("jaccard")
+      )
+      .distinct()
+  }
+
+  private val SimHashBits = 16
+
+  /** q23: 16-bit SimHash per document — per-bit majority vote over
+    * seeded token hashes (token multiplicity counts). Docs with no
+    * tokens are excluded.
+    */
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", seededHash(0, col("w")))
+    val votes = (0 until SimHashBits).map { b =>
+      sum(
+        when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)
+      ).as(s"v$b")
+    }
+    val agged = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val simhash = (0 until SimHashBits)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    agged.select(col("doc_id"), simhash.as("simhash"))
+  }
+}

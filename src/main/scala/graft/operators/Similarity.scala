@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, an IVF-style
+  * cluster-pruned variant as the scale path, and embedding-cosine
+  * near-dup pairs.
+  *
+  * All vector math is built-in higher-order array functions
+  * (`zip_with` + `aggregate`), computed in double left-to-right — the
+  * same accumulation the DuckDB oracle uses, so results are
+  * bit-comparable.
+  *
+  * Scale design: the query set / centroid set is always the broadcast
+  * side; the big embedding table is scanned once, never shuffled.
+  * IVF assignment costs |N|·K cosines; probe cost is |cluster|·|Q| —
+  * the standard pruning topology for billion-vector corpora.
+  */
+object Similarity {
+
+  private def sq(x: Column): Column = x * x
+
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + sq(v.cast("double"))))
+
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** q24: brute-force cosine top-10 per query vector (queries =
+    * vec_id<5, broadcast). Exact ANN baseline: one scan of the corpus,
+    * per-partition top-k heaps via the rank-filter window.
+    */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = e
+      .join(broadcast(q))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim")
+      )
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        col("rk"))
+  }
+
+  /** Cluster assignment: nearest of the K centroid vectors (vec_id<k,
+    * a deterministic stand-in for trained k-means centroids).
+    */
+  def ivfAssign(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
+    val w = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    e.join(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        col("cid"),
+        cosine(col("c_vec"), col("embedding")).as("csim")
+      )
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** q25: IVF-pruned ANN — top-5 per query (queries = vec_id<3)
+    * searching only the query's own cluster (nprobe=1). The pruned
+    * counterpart of [[cosineTopK]]: probe cost |cluster| instead of
+    * |corpus|.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssign(spark, dir, 8)
+    val q = assigned
+      .filter(col("vec_id") < 3)
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"),
+        col("cid")
+      )
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(q), Seq("cid"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim")
+      )
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        col("rk"))
+  }
+
+  /** q26: embedding-cosine near-dup pairs (sim > 0.4 among
+    * vec_id<300). The exact-verify stage of an embedding dedup; at
+    * scale the candidate set would come from LSH/IVF buckets rather
+    * than the bounded all-pairs here.
+    */
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(spark, dir)
+      .filter(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        cosine(col("ea"), col("eb")).as("sim")
+      )
+      .filter(col("sim") > 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+  }
+}
