@@ -44,7 +44,12 @@ object SparkEntry {
     "q23_simhash" -> (Dedup.simhashDocs _),
     "q24_cosine_topk" -> (Similarity.cosineTopK _),
     "q25_ivf_topk" -> (Similarity.ivfTopK _),
-    "q26_embedding_neardup" -> (Similarity.embeddingNearDupPairs _)
+    "q26_embedding_neardup" -> (Similarity.embeddingNearDupPairs _),
+    "q27_tumbling_window" -> (Events.tumblingCounts _),
+    "q28_sliding_window" -> (Events.slidingCounts _),
+    "q29_sessionize" -> (Events.sessionize _),
+    "q30_asof_join" -> (Events.purchaseAfterError _),
+    "q31_multimodal_meta" -> (Events.multimodalMeta _)
   )
 
   /** DuckDB cosine with double left-to-right accumulation — matches
@@ -361,6 +366,64 @@ object SparkEntry {
                  ${cosSql("a.embedding", "b.embedding")} AS sim
                FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT vec_a, vec_b, round(sim, 6) AS sim
-         FROM s WHERE sim > 0.4"""
+         FROM s WHERE sim > 0.4""",
+    "q27_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q28_sliding_window" ->
+      """SELECT CAST(wstart AS TIMESTAMP) AS window_start, event_type,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM (SELECT unnest([
+                 time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '30 minutes']) AS wstart,
+               event_type, value FROM events) t
+         GROUP BY 1, 2""",
+    "q29_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                value FROM events),
+         l AS (SELECT e.*, lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM e),
+         f AS (SELECT l.*, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new FROM l),
+         s AS (SELECT f.*, CAST(sum(is_new) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_seq FROM f)
+         SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY 1, 2""",
+    "q30_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                event_type, value FROM events),
+         w AS (SELECT e.*,
+                 last_value(CASE WHEN event_type = 'error' THEN ts END
+                   IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_error_ts,
+                 last_value(CASE WHEN event_type = 'error' THEN value END
+                   IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_error_value
+               FROM e)
+         SELECT event_id, user_id, ts, value, prior_error_ts,
+           prior_error_value
+         FROM w WHERE event_type = 'purchase'""",
+    "q31_multimodal_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS content_id,
+         CAST(('0x' || substr(sha256(text), 1, 4))::BIGINT % 1920
+           AS INTEGER) AS fake_width,
+         CAST(('0x' || substr(sha256(text), 5, 4))::BIGINT % 1080
+           AS INTEGER) AS fake_height
+         FROM documents"""
   )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table (SURVEY §2.9): the
+  * batch forms of the streaming workloads — tumbling/sliding windows,
+  * gap-based sessionization, and a backward as-of join. The streaming
+  * twins live in graft.streaming and share these semantics.
+  *
+  * Scale design: every operator is one shuffle on (user_id) or
+  * (window bucket) — event-time bucketing is computed before the
+  * exchange so partial aggregation applies; the as-of join is the
+  * union-then-window merge (no per-row probes, no broadcast of the big
+  * side), the standard distributed as-of topology.
+  */
+object Events {
+
+  /** q27: tumbling 1-hour windows per event type. */
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value")
+      )
+
+  /** q28: sliding windows (1h length, 30m slide) — each event lands in
+    * exactly 2 buckets; bucket starts are epoch-aligned, matching
+    * Spark's `window()` alignment.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(
+        window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"),
+        col("value")
+      )
+      .groupBy(col("w.start").as("window_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value")
+      )
+
+  /** q29: gap-based sessionization (30-minute inactivity gap) per
+    * user: lag → new-session flag → running sum as session id → one
+    * row per session. Single shuffle on user_id; both window passes
+    * reuse the same partitioning.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val newSession = when(
+      col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000,
+      1L
+    ).otherwise(0L)
+    Tables
+      .events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", newSession)
+      .withColumn(
+        "session_seq",
+        sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value")
+      )
+  }
+
+  /** q30: backward as-of join — for every purchase, the most recent
+    * strictly-prior error of the same user, via a single event-time
+    * window over the unioned stream (`last(_, ignoreNulls)` with a
+    * ROWS … 1 PRECEDING frame). One shuffle on user_id; no pairwise
+    * probe — this is the 100 TB-safe as-of formulation.
+    */
+  def purchaseAfterError(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables
+      .events(spark, dir)
+      .withColumn(
+        "prior_error_ts",
+        last(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
+          .over(byUser)
+      )
+      .withColumn(
+        "prior_error_value",
+        last(
+          when(col("event_type") === "error", col("value")),
+          ignoreNulls = true
+        ).over(byUser)
+      )
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("value"),
+        col("prior_error_ts"),
+        col("prior_error_value")
+      )
+  }
+
+  /** q31: multimodal-column plumbing — treat text as an opaque binary
+    * payload with typed metadata derived deterministically (byte
+    * length, sha256 content id, fake decoded dimensions standing in
+    * for a real image decoder; see graft.operators.Multimodal for the
+    * partition-level decode stub).
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    val sha = sha2(payload, 256)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        length(payload).cast("long").as("n_bytes"),
+        sha.as("content_id"),
+        (conv(substring(sha, 1, 4), 16, 10).cast("long") % 1920)
+          .cast("int")
+          .as("fake_width"),
+        (conv(substring(sha, 5, 4), 16, 10).cast("long") % 1080)
+          .cast("int")
+          .as("fake_height")
+      )
+  }
+}

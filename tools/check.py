@@ -20,7 +20,11 @@ def norm_cell(v):
     return v
 
 def key(row):
-    return tuple(str(c) for c in row)
+    def s(c):
+        if c is None or str(c) in ('NaT', 'nan', 'None'):
+            return '\x00NULL'
+        return str(c)
+    return tuple(s(c) for c in row)
 
 def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     if sorted(spark_cols) != sorted(duck_cols):
@@ -33,8 +37,16 @@ def compare(name, spark_rows, spark_cols, duck_rows, duck_cols):
     s = sorted(spark_rows, key=key)
     d = sorted(duck_rows, key=key)
     max_drift = 0.0
+    def isnull(v):
+        if v is None:
+            return True
+        if isinstance(v, float) and math.isnan(v):
+            return True
+        return str(v) == 'NaT'
     for i, (a, b) in enumerate(zip(s, d)):
         for ca, cb, cn in zip(a, b, spark_cols):
+            if isnull(ca) and isnull(cb):
+                continue
             if isinstance(ca, float) and isinstance(cb, float):
                 if math.isnan(ca) and math.isnan(cb):
                     continue
