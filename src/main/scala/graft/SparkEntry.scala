@@ -49,7 +49,19 @@ object SparkEntry {
     "q28_sliding_window" -> (Events.slidingCounts _),
     "q29_sessionize" -> (Events.sessionize _),
     "q30_asof_join" -> (Events.purchaseAfterError _),
-    "q31_multimodal_meta" -> (Events.multimodalMeta _)
+    "q31_multimodal_meta" -> (Events.multimodalMeta _),
+    // Jira reference-parity pipeline over checked-in fixtures (raw
+    // nested JSON → flatten → fan-out → stats). Not expressible as
+    // DuckDB SQL over the sf tables → rows-only driver check; full
+    // parity is enforced by JiraParitySpec against goldens produced by
+    // executing the reference.
+    "qj01_jira_flatten" -> ((s: SparkSession, _: String) =>
+      jira.JiraPipeline.flattenedIssues(s, jira.JiraPipeline.fixtureProjects)),
+    "qj02_jira_examples" -> ((s: SparkSession, _: String) =>
+      jira.JiraPipeline.orderedCorpus(s, jira.JiraPipeline.fixtureProjects)),
+    "qj03_jira_stats" -> ((s: SparkSession, _: String) =>
+      jira.JiraStats.perProject(
+        jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects)))
   )
 
   /** DuckDB cosine with double left-to-right accumulation — matches

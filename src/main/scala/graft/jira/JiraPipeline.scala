@@ -1,0 +1,64 @@
+package graft.jira
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end Jira pipeline (main.py:17-137 semantics; SURVEY §3 EP1):
+  * raw JSON → flatten → fan-out → ordered corpus + statistics.
+  *
+  * The total corpus order (SURVEY §2.10) is explicit: project rank
+  * (config order) → created ASC → issue_key → within-issue task rank.
+  * The sort keys ride along the plan; an ordered single-file write is
+  * `orderedCorpus(...).coalesce(1)` at the sink, while the unordered
+  * corpus keeps full parallelism for analytical consumers.
+  */
+object JiraPipeline {
+
+  val FixtureDir = "/root/repo/src/test/resources/jira"
+
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(JiraSchemas.rawIssueSchema).json(path)
+
+  /** Flattened issues for a list of (project, rawJsonPath), tagged
+    * with project_rank to preserve config order.
+    */
+  def flattenedIssues(
+      spark: SparkSession,
+      projects: Seq[(String, String)]
+  ): DataFrame =
+    projects.zipWithIndex
+      .map { case ((proj, path), rank) =>
+        JiraFlatten
+          .flatten(readRaw(spark, path), proj)
+          .withColumn("project_rank", lit(rank))
+      }
+      .reduce(_.unionByName(_))
+
+  /** Training-example corpus with ordering keys. */
+  def corpus(spark: SparkSession, projects: Seq[(String, String)]): DataFrame =
+    projects.zipWithIndex
+      .map { case ((proj, path), rank) =>
+        JiraGenerators
+          .generate(JiraFlatten.flatten(readRaw(spark, path), proj))
+          .withColumn("project_rank", lit(rank))
+      }
+      .reduce(_.unionByName(_))
+
+  /** Corpus in the reference's total emission order. */
+  def orderedCorpus(
+      spark: SparkSession,
+      projects: Seq[(String, String)]
+  ): DataFrame =
+    corpus(spark, projects).orderBy(
+      col("project_rank"),
+      col("created"),
+      col("issue_key"),
+      col("task_rank")
+    )
+
+  /** Default fixture pipeline (two projects, config order). */
+  def fixtureProjects: Seq[(String, String)] = Seq(
+    "TEST" -> s"$FixtureDir/raw_issues_TEST.jsonl",
+    "TEST2" -> s"$FixtureDir/raw_issues_TEST2.jsonl"
+  )
+}
