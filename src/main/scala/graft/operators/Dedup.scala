@@ -44,6 +44,9 @@ object Dedup {
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      // both near-dup queries self-join this set; caching stops Spark
+      // recomputing tokenize+shingle on each join branch
+      .cache()
 
   /** q21: n-gram Jaccard near-dup pairs via shingle inversion: explode
     * shingles → self-join on shingle → per-pair intersection count →

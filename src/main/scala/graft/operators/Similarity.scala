@@ -22,20 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def sq(x: Column): Column = x * x
-
-  def dotProduct(a: Column, b: Column): Column =
+  /** Interpreted HOF formulation — kept as the executable spec; the
+    * codegen'd [[graft.functions.VectorMath.vecCosine]] (a custom
+    * Catalyst expression with the same left-to-right double
+    * accumulation) is what the queries use. VectorMathSpec proves the
+    * two bit-identical.
+    */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
       (acc, v) => acc + v
     )
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + sq(v.cast("double"))))
-
   def cosine(a: Column, b: Column): Column =
-    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+    graft.functions.VectorMath.vecCosine(a, b)
 
   /** q24: brute-force cosine top-10 per query vector (queries =
     * vec_id<5, broadcast). Exact ANN baseline: one scan of the corpus,
@@ -84,6 +85,9 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
+      // ivfTopK probes this as both query side and candidate side;
+      // cache so assignment (N·K cosines) runs once
+      .cache()
   }
 
   /** q25: IVF-pruned ANN — top-5 per query (queries = vec_id<3)
