@@ -61,7 +61,18 @@ object SparkEntry {
       jira.JiraPipeline.orderedCorpus(s, jira.JiraPipeline.fixtureProjects)),
     "qj03_jira_stats" -> ((s: SparkSession, _: String) =>
       jira.JiraStats.perProject(
-        jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects)))
+        jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects))),
+    // DSv2 `jira` source (paginated stub-backed REST scan) → flatten:
+    // the connector path of the same pipeline.
+    "qj04_jira_source" -> ((s: SparkSession, _: String) =>
+      jira.JiraFlatten.flatten(
+        s.read
+          .format("jira")
+          .option("stubDir", s"${jira.JiraPipeline.FixtureDir}/stub_TEST")
+          .option("project", "TEST")
+          .option("pageSize", 3)
+          .load(),
+        "TEST"))
   )
 
   /** DuckDB cosine with double left-to-right accumulation — matches

@@ -1,0 +1,260 @@
+package graft.sources.jira
+
+import java.util
+
+import graft.jira.JiraSchemas
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.graftbridge.JsonBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.collection.JavaConverters._
+
+/** DataSource V2 `jira` format (SURVEY §2.1 S1-S4, §2.9): the
+  * reference's paginated, checkpointed REST scan re-expressed as a
+  * Spark connector.
+  *
+  *  - Parallel scan: one InputPartition per page range — the serial
+  *    page loop (scraper.py:288-323) becomes N concurrent readers.
+  *  - Column pruning is PUSHED TO THE SERVER: the pruned `fields.*`
+  *    subfields become the REST `fields=` parameter, exactly the
+  *    manual projection the reference hardcodes (config.py:68-85).
+  *  - Retry/backoff per request (min(2^n, 60)s, 5 attempts) inside
+  *    the reader (scraper.py:96-145, utils.py:144-156).
+  *  - Incremental mode: a MicroBatchStream whose offset is the issue
+  *    cursor — the reference's checkpoint file (issues_processed,
+  *    scraper.py:81-87) maps to Spark's offset log under
+  *    checkpointLocation.
+  *
+  * Usage (stub-backed, zero-egress):
+  * {{{
+  *   spark.read.format("jira")
+  *     .option("stubDir", dir).option("project", "TEST")
+  *     .option("pageSize", 3).load()
+  * }}}
+  */
+class JiraTableProvider
+    extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "jira"
+
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JiraSchemas.rawIssueSchema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table =
+    new JiraTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object JiraSourceOptions {
+  def transport(options: CaseInsensitiveStringMap): JiraTransport = {
+    val stubDir = options.get("stubDir")
+    require(
+      stubDir != null,
+      "jira source: 'stubDir' option is required (live HTTPS transport " +
+        "is not constructible in this offline environment)"
+    )
+    val base = new FileStubTransport(stubDir)
+    val failures = options.getInt("simulateFailures", 0)
+    if (failures > 0) new FlakyTransport(base, failures) else base
+  }
+
+  def pageSize(options: CaseInsensitiveStringMap): Int =
+    options.getInt("pageSize", 50)
+
+  def sleepScale(options: CaseInsensitiveStringMap): Double =
+    options.getDouble("retrySleepScale", 1.0)
+
+  /** Probe the total issue count (reference probes with a
+    * maxResults=0 request — scraper.py:275-276).
+    */
+  def probeTotal(t: JiraTransport, sleepScale: Double): Int = {
+    val probeSchema = StructType(Seq(StructField("total", IntegerType)))
+    val body = JiraRetry.withRetry(sleepScale = sleepScale)(
+      t.fetch(0, 1, Nil)
+    )
+    JsonBridge.parseJson(probeSchema, body).head.getInt(0)
+  }
+}
+
+class JiraTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table
+    with SupportsRead {
+
+  override def name(): String =
+    s"jira(${Option(options.get("project")).getOrElse("?")})"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(
+      caseInsensitiveOptions: CaseInsensitiveStringMap
+  ): ScanBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ caseInsensitiveOptions.asScala).asJava
+    )
+    new JiraScanBuilder(tableSchema, merged)
+  }
+}
+
+class JiraScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new JiraScan(required, options)
+}
+
+case class JiraInputPartition(startAt: Int, pageSize: Int)
+    extends InputPartition
+
+class JiraScan(required: StructType, options: CaseInsensitiveStringMap)
+    extends Scan
+    with Batch {
+
+  private val pageSize = JiraSourceOptions.pageSize(options)
+  private val sleepScale = JiraSourceOptions.sleepScale(options)
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val t = JiraSourceOptions.transport(options)
+    val total = JiraSourceOptions.probeTotal(t, sleepScale)
+    (0 until total by pageSize)
+      .map(JiraInputPartition(_, pageSize): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JiraReaderFactory(required, options.asCaseSensitiveMap().asScala.toMap)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new JiraMicroBatchStream(required, options)
+}
+
+/** Offset = issue cursor, the Spark analogue of the reference's
+  * checkpoint `issues_processed` counter.
+  */
+case class JiraOffset(issueIndex: Int) extends Offset {
+  override def json(): String = s"""{"issueIndex":$issueIndex}"""
+}
+
+class JiraMicroBatchStream(
+    required: StructType,
+    options: CaseInsensitiveStringMap
+) extends MicroBatchStream {
+
+  private val pageSize = JiraSourceOptions.pageSize(options)
+  private val sleepScale = JiraSourceOptions.sleepScale(options)
+  private lazy val transport = JiraSourceOptions.transport(options)
+
+  override def latestOffset(): Offset =
+    JiraOffset(JiraSourceOptions.probeTotal(transport, sleepScale))
+
+  override def initialOffset(): Offset = JiraOffset(0)
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\"issueIndex\"\\s*:\\s*(\\d+)".r
+    JiraOffset(
+      m.findFirstMatchIn(json)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"bad offset: $json"))
+    )
+  }
+
+  override def planInputPartitions(
+      start: Offset,
+      end: Offset
+  ): Array[InputPartition] = {
+    val s = start.asInstanceOf[JiraOffset].issueIndex
+    val e = end.asInstanceOf[JiraOffset].issueIndex
+    (s until e by pageSize)
+      .map(JiraInputPartition(_, pageSize): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JiraReaderFactory(required, options.asCaseSensitiveMap().asScala.toMap)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+class JiraReaderFactory(required: StructType, options: Map[String, String])
+    extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition
+  ): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[JiraInputPartition]
+    val cism = new CaseInsensitiveStringMap(options.asJava)
+    new JiraPartitionReader(
+      p,
+      required,
+      JiraSourceOptions.transport(cism),
+      JiraSourceOptions.sleepScale(cism)
+    )
+  }
+}
+
+class JiraPartitionReader(
+    partition: JiraInputPartition,
+    required: StructType,
+    transport: JiraTransport,
+    sleepScale: Double
+) extends PartitionReader[InternalRow] {
+
+  /** The server-side projection: pruned fields.* subfield names — the
+    * REST `fields=` param (pushdown of column pruning to the source).
+    */
+  private val restFields: Seq[String] =
+    required.fields
+      .find(_.name == "fields")
+      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSeq)
+      .getOrElse(Nil)
+
+  private lazy val rows: Iterator[InternalRow] = {
+    val body = JiraRetry.withRetry(sleepScale = sleepScale)(
+      transport.fetch(partition.startAt, partition.pageSize, restFields)
+    )
+    val responseSchema = StructType(
+      Seq(StructField("issues", ArrayType(required)))
+    )
+    JsonBridge.parseJson(responseSchema, body).iterator.flatMap { row =>
+      if (row.isNullAt(0)) Iterator.empty
+      else {
+        val arr = row.getArray(0)
+        (0 until arr.numElements()).iterator
+          .map(i => arr.getStruct(i, required.length).copy())
+      }
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true }
+    else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+}

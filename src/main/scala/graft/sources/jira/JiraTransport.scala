@@ -1,0 +1,83 @@
+package graft.sources.jira
+
+import java.nio.file.{Files, Paths}
+
+/** Transport abstraction for the Jira REST source: one method, the
+  * paginated search call (scraper.py:147-169 — JQL
+  * `project = {P} ORDER BY created ASC`, startAt/maxResults paging,
+  * projected `fields` list).
+  *
+  * Implementations:
+  *  - [[FileStubTransport]] — reads page files from a directory
+  *    (zero-egress dev/test path; SURVEY §7.5 risk 4). Page file
+  *    protocol: `search_{startAt}.json` holding the REST response
+  *    body `{"startAt":N,"maxResults":M,"total":T,"issues":[...]}`.
+  *  - A live HTTPS transport would implement the same method with
+  *    connection reuse per executor (scraper.py:44-66 pooling) — not
+  *    constructible in this offline environment, by design.
+  */
+trait JiraTransport extends Serializable {
+
+  /** Fetch one page of the project's issues. `fields` is the
+    * server-side projection (column pruning pushed to the source —
+    * config.py:68-85).
+    */
+  def fetch(startAt: Int, maxResults: Int, fields: Seq[String]): String
+}
+
+/** Retryable transport failure (HTTP 429/5xx analogue). */
+class JiraTransientError(msg: String) extends RuntimeException(msg)
+
+final class FileStubTransport(dir: String) extends JiraTransport {
+  override def fetch(
+      startAt: Int,
+      maxResults: Int,
+      fields: Seq[String]
+  ): String = {
+    val p = Paths.get(dir, s"search_$startAt.json")
+    if (!Files.exists(p))
+      throw new JiraTransientError(s"stub page missing: $p")
+    new String(Files.readAllBytes(p), "UTF-8")
+  }
+}
+
+/** Wraps a transport with the reference's failure mode for tests:
+  * the first `failures` calls throw a retryable error
+  * (test_scrapper.py:103-113's 429 path).
+  */
+final class FlakyTransport(inner: JiraTransport, failures: Int)
+    extends JiraTransport {
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def fetch(
+      startAt: Int,
+      maxResults: Int,
+      fields: Seq[String]
+  ): String =
+    if (counter.getAndIncrement() < failures)
+      throw new JiraTransientError("simulated 429")
+    else inner.fetch(startAt, maxResults, fields)
+}
+
+object JiraRetry {
+
+  /** Reference retry policy (utils.py:144-156, config.py:34-35):
+    * up to 5 attempts, exponential backoff min(2^retry, 60)s — the
+    * sleep is scaled down by `sleepScale` so tests don't wait.
+    */
+  def withRetry[T](maxRetries: Int = 5, sleepScale: Double = 1.0)(
+      f: => T
+  ): T = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: JiraTransientError =>
+          attempt += 1
+          if (attempt >= maxRetries) throw e
+          val backoffSec = math.min(math.pow(2.0, attempt), 60.0)
+          Thread.sleep((backoffSec * 1000 * sleepScale).toLong)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -130,10 +130,22 @@ def stub_modules():
     r.limits = retry
     r.sleep_and_retry = lambda fn: fn
 
+def write_stub_pages(dirname, issues, page_size):
+    """REST /search response pages for the DSv2 stub transport."""
+    d = f"{OUT}/{dirname}"
+    os.makedirs(d, exist_ok=True)
+    for start in range(0, len(issues), page_size):
+        body = {"startAt": start, "maxResults": page_size,
+                "total": len(issues),
+                "issues": issues[start:start + page_size]}
+        with open(f"{d}/search_{start}.json", "w") as fh:
+            json.dump(body, fh)
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     write_jsonl(f"{OUT}/raw_issues_TEST.jsonl", test_issues)
     write_jsonl(f"{OUT}/raw_issues_TEST2.jsonl", test2_issues)
+    write_stub_pages("stub_TEST", test_issues, 3)
 
     stub_modules()
     sys.path.insert(0, "/root/reference")
