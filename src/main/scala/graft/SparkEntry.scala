@@ -50,6 +50,21 @@ object SparkEntry {
     "q29_sessionize" -> (Events.sessionize _),
     "q30_asof_join" -> (Events.purchaseAfterError _),
     "q31_multimodal_meta" -> (Events.multimodalMeta _),
+    // Structured Streaming twin of q27: same aggregation through the
+    // file streaming source + memory sink, hash-matched against the
+    // same DuckDB oracle — streaming and batch must agree.
+    "q32_stream_tumbling" -> ((s: SparkSession, dir: String) => {
+      val q = streaming.EventStreams
+        .windowedCounts(streaming.EventStreams.readEvents(s, dir))
+        .writeStream
+        .format("memory")
+        .queryName("q32_stream_tumbling_out")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("q32_stream_tumbling_out")
+    }),
     // Jira reference-parity pipeline over checked-in fixtures (raw
     // nested JSON → flatten → fan-out → stats). Not expressible as
     // DuckDB SQL over the sf tables → rows-only driver check; full
@@ -439,6 +454,11 @@ object SparkEntry {
          SELECT event_id, user_id, ts, value, prior_error_ts,
            prior_error_value
          FROM w WHERE event_type = 'purchase'""",
+    "q32_stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
     "q31_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

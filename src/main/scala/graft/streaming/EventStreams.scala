@@ -1,0 +1,151 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of the batch event operators
+  * (SURVEY §2.9): the reference's offset-based incremental pull loop
+  * generalized to real streams — windowed aggregation under a
+  * watermark, stateful gap sessionization via flatMapGroupsWithState,
+  * and keyed latest-record dedup (the "issue updated after scrape"
+  * late-data extension).
+  *
+  * All operators run on an unbounded stream with bounded state:
+  * watermarks bound window state; session state is one small struct
+  * per active user; dedup state is one (key → updated) entry per key
+  * inside the watermark horizon.
+  */
+object EventStreams {
+
+  /** Streaming read of the events table (file source — stands in for
+    * any append-only stream; ts arrives as raw nanos, converted like
+    * Tables.events).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read
+      .option("mergeSchema", "false")
+      .parquet(s"$dir/events.parquet")
+      .schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir) // file streaming source requires a directory
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts under a 10-minute watermark —
+    * the streaming twin of Events.tumblingCounts.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value")
+      )
+
+  case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+  case class SessionState(
+      start: Timestamp,
+      end: Timestamp,
+      n: Long,
+      sum: Double
+  )
+
+  case class SessionOut(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      sum_value: Double
+  )
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Stateful gap sessionization (30-minute inactivity) with
+    * flatMapGroupsWithState: closed sessions are emitted as soon as a
+    * later event proves the gap; the trailing open session per user
+    * stays in state until event-time timeout. State per user is one
+    * SessionState — O(active users), not O(events).
+    */
+  def sessionize(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      )(sessionFn)
+  }
+
+  private[streaming] def sessionFn(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[SessionState]
+  ): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator(
+        SessionOut(userId, s.start, s.end, s.n, s.sum)
+      )
+    }
+    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    val closed = Seq.newBuilder[SessionOut]
+    var cur = state.getOption
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.ts.getTime - s.end.getTime <= SessionGapMs =>
+          cur = Some(s.copy(end = e.ts, n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) =>
+          closed += SessionOut(userId, s.start, s.end, s.n, s.sum)
+          cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.ts, e.ts, 1, e.value))
+      }
+    }
+    cur.foreach { s =>
+      state.update(s)
+      state.setTimeoutTimestamp(s.end.getTime + SessionGapMs)
+    }
+    closed.result().iterator
+  }
+
+  /** Keyed latest-record dedup: for a stream of (key, updated,
+    * payload) keep only the newest record per key — the late-update
+    * extension the reference never handles (SURVEY §2.9 "late data").
+    * Emits the current winner on every change (update mode).
+    */
+  def latestByKey(records: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"))
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[(String, Timestamp)],
+         state: GroupState[Timestamp]) => {
+          val maxNew = rows.map(_._2).maxBy(_.getTime)
+          val winner = state.getOption match {
+            case Some(old) if old.getTime >= maxNew.getTime => old
+            case _ => state.update(maxNew); maxNew
+          }
+          (key, winner)
+        }
+      )
+      .toDF("k", "latest_ts")
+  }
+}
