@@ -77,6 +77,11 @@ object SparkEntry {
     "qj03_jira_stats" -> ((s: SparkSession, _: String) =>
       jira.JiraStats.perProject(
         jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects))),
+    // Partition-level multimodal decode (stubbed codec, real
+    // mapPartitions plumbing) — deterministic but not SQL-expressible
+    // → rows-only check; determinism is covered by its spec.
+    "q33_multimodal_decode" -> ((s: SparkSession, dir: String) =>
+      Multimodal.decodedDocuments(s, dir)),
     // DSv2 `jira` source (paginated stub-backed REST scan) → flatten:
     // the connector path of the same pipeline.
     "qj04_jira_source" -> ((s: SparkSession, _: String) =>

@@ -1,0 +1,70 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY §2.2 K1-K6): JSONL corpus writers with the
+  * reference's ordering contract, the union-merge, and tiny-result
+  * JSON dumps.
+  *
+  * Scale stance: the parallel writer is the default (one file per
+  * partition, cluster-wide throughput). The single-file ordered writer
+  * exists only for byte-comparable corpus export — it is explicitly
+  * the non-scalable path and says so in its name.
+  */
+object Sinks {
+
+  /** K2/K3 — parallel JSONL write, sorted within partitions after a
+    * range repartition on the sort keys: globally ordered across the
+    * file sequence (file N's keys ≤ file N+1's), each file internally
+    * sorted — the scalable form of the reference's ordered corpus.
+    */
+  def writeJsonlOrdered(
+      df: DataFrame,
+      path: String,
+      sortKeys: Seq[String],
+      numFiles: Option[Int] = None
+  ): Unit = {
+    val ranged = numFiles match {
+      // explicit file count pins the range shuffle (AQE coalesces an
+      // unpinned one on small data)
+      case Some(n) => df.repartitionByRange(n, sortKeys.map(col): _*)
+      case None => df.repartitionByRange(sortKeys.map(col): _*)
+    }
+    ranged
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .json(path)
+  }
+
+  /** K2 single-file variant — exact total order in one file, for
+    * byte-comparable export of small corpora (drives everything
+    * through one task; do not use at scale).
+    */
+  def writeJsonlSingleFile(
+      df: DataFrame,
+      path: String,
+      sortKeys: Seq[String]
+  ): Unit =
+    df.coalesce(1)
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .json(path)
+
+  /** K3 — ordered union-merge of per-branch frames (utils.py:159-182):
+    * missing inputs are skipped by the caller's frame list; branch
+    * order is preserved via an explicit rank column.
+    */
+  def unionMerge(branches: Seq[DataFrame]): DataFrame =
+    branches.zipWithIndex
+      .map { case (df, i) => df.withColumn("branch_rank", lit(i)) }
+      .reduce(_.unionByName(_))
+
+  /** K4 — stats dump: tiny aggregate results written as a single JSON
+    * file (driver-side size by construction).
+    */
+  def writeStatsJson(stats: DataFrame, path: String): Unit =
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+  * payloads with typed metadata, decoded/feature-extracted per
+  * partition.
+  *
+  * The decode itself is a clearly-marked STUB (no image/audio codecs
+  * in this environment): `FakeDecoder` derives deterministic
+  * dimensions/features from the payload bytes. Everything around it —
+  * schema, batch shape, partition-level iteration, metadata struct —
+  * is the real plumbing a production decoder (JNI codec, ONNX encoder)
+  * would slot into: `mapPartitions` gives one decoder instance per
+  * partition (the Scala analogue of `mapInPandas` batching), so
+  * expensive decoder init amortizes across the partition's rows.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+  case class DecodedMedia(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      feature: Array[Float]
+  )
+
+  /** STUB decoder — stands in for a real image decode + feature
+    * extraction. Deterministic in the payload bytes so tests are
+    * stable; one instance per partition, mirroring real decoder
+    * lifecycle.
+    */
+  final class FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      var h = 1125899906842597L // FNV-ish rolling hash over the bytes
+      payload.foreach(b => h = h * 31 + (b & 0xff))
+      val width = 320 + math.floorMod(h, 1600).toInt
+      val height = 240 + math.floorMod(h >> 16, 840).toInt
+      val feature = Array.tabulate(8) { i =>
+        math.floorMod(h >> (i * 7), 1000).toFloat / 1000f
+      }
+      (width, height, 3, feature)
+    }
+  }
+
+  /** Partition-level decode: binary column → typed metadata + feature
+    * vector. The per-partition decoder instance is the load-bearing
+    * shape — swap FakeDecoder for a real codec and nothing else
+    * changes.
+    */
+  def decodeAll(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new FakeDecoder // one per partition, amortized init
+      rows.map { r =>
+        val (w, h, c, f) = decoder.decode(r.payload)
+        DecodedMedia(r.doc_id, r.payload.length.toLong, w, h, c, f)
+      }
+    }
+  }
+
+  /** documents.text as a stand-in binary payload column (the driver
+    * tables carry no real media; the binary cast exercises the same
+    * byte-level path).
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** End-to-end: documents → binary payload → partition-decoded
+    * metadata + 8-dim feature.
+    */
+  def decodedDocuments(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(mediaFromDocuments(spark, dir)).toDF()
+}
