@@ -117,6 +117,9 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val d = docShingles(spark, dir)
       .withColumn("mh", minhashSignature(col("sh")))
+      // signature (8 seeded md5s per shingle) feeds both sides of the
+      // band self-join — materialize once
+      .cache()
     val banded = d.select(
       col("doc_id"),
       col("mh"),

@@ -159,14 +159,58 @@ case class JiraOffset(issueIndex: Int) extends Offset {
 class JiraMicroBatchStream(
     required: StructType,
     options: CaseInsensitiveStringMap
-) extends MicroBatchStream {
+) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   private val pageSize = JiraSourceOptions.pageSize(options)
   private val sleepScale = JiraSourceOptions.sleepScale(options)
   private lazy val transport = JiraSourceOptions.transport(options)
 
+  /** Rate control (reference: 50 req/min + politeness sleep,
+    * config.py:38-39): cap pages per micro-batch — the
+    * maxOffsetsPerTrigger analogue, via SupportsAdmissionControl.
+    * 0 = unbounded.
+    */
+  private val maxPagesPerTrigger = options.getInt("maxPagesPerTrigger", 0)
+
+  /** Target frozen at Trigger.AvailableNow start; batches keep firing
+    * under the per-trigger cap until the cursor reaches it.
+    */
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  private def probe(): Int =
+    availableNowTarget.getOrElse(
+      JiraSourceOptions.probeTotal(transport, sleepScale)
+    )
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(JiraSourceOptions.probeTotal(transport, sleepScale))
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPagesPerTrigger > 0)
+      ReadLimit.maxRows(maxPagesPerTrigger.toLong * pageSize)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[JiraOffset].issueIndex
+    val total = probe()
+    val capped = limit match {
+      case m: ReadMaxRows => math.min(total.toLong, s + m.maxRows()).toInt
+      case _ => total
+    }
+    JiraOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset = JiraOffset(probe())
+
   override def latestOffset(): Offset =
-    JiraOffset(JiraSourceOptions.probeTotal(transport, sleepScale))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)"
+    )
 
   override def initialOffset(): Offset = JiraOffset(0)
 

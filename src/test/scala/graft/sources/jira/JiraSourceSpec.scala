@@ -76,11 +76,14 @@ class JiraSourceSpec extends AnyFunSuite {
   }
 
   test("micro-batch stream delivers the full corpus via offset pages") {
+    // maxPagesPerTrigger=1 forces one page per micro-batch (the rate
+    // control of SURVEY §2.9); AvailableNow still drains everything
     val stream = spark.readStream
       .format("jira")
       .option("stubDir", stubDir)
       .option("project", "TEST")
       .option("pageSize", 3)
+      .option("maxPagesPerTrigger", 1)
       .option("retrySleepScale", 0.001)
       .load()
     val q = stream
