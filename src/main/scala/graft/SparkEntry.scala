@@ -77,6 +77,10 @@ object SparkEntry {
     "qj03_jira_stats" -> ((s: SparkSession, _: String) =>
       jira.JiraStats.perProject(
         jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects))),
+    "q34_profile" -> (Profile.lineitemProfile _),
+    // HLL sketch cardinalities — no SQL oracle (engine-specific
+    // sketches); error bound asserted in ProfileSpec.
+    "q35_approx_distinct" -> (Profile.cardinalitySketch _),
     // Partition-level multimodal decode (stubbed codec, real
     // mapPartitions plumbing) — deterministic but not SQL-expressible
     // → rows-only check; determinism is covered by its spec.
@@ -464,6 +468,37 @@ object SparkEntry {
          event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q34_profile" ->
+      """WITH a AS (
+           SELECT count(*) AS n_rows,
+             CAST(min(l_quantity) AS VARCHAR) AS qty_min,
+             CAST(max(l_quantity) AS VARCHAR) AS qty_max,
+             count(DISTINCT l_quantity) AS qty_distinct,
+             CAST(count(*) FILTER (l_quantity IS NULL) AS BIGINT) AS qty_nulls,
+             CAST(min(l_extendedprice) AS VARCHAR) AS price_min,
+             CAST(max(l_extendedprice) AS VARCHAR) AS price_max,
+             count(DISTINCT l_extendedprice) AS price_distinct,
+             CAST(count(*) FILTER (l_extendedprice IS NULL) AS BIGINT) AS price_nulls,
+             CAST(min(l_returnflag) AS VARCHAR) AS flag_min,
+             CAST(max(l_returnflag) AS VARCHAR) AS flag_max,
+             count(DISTINCT l_returnflag) AS flag_distinct,
+             CAST(count(*) FILTER (l_returnflag IS NULL) AS BIGINT) AS flag_nulls,
+             CAST(min(l_orderkey) AS VARCHAR) AS okey_min,
+             CAST(max(l_orderkey) AS VARCHAR) AS okey_max,
+             count(DISTINCT l_orderkey) AS okey_distinct,
+             CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS okey_nulls
+           FROM lineitem)
+         SELECT 'l_quantity' AS column_name, n_rows, qty_min AS min_value,
+           qty_max AS max_value, qty_distinct AS n_distinct, qty_nulls AS n_null FROM a
+         UNION ALL
+         SELECT 'l_extendedprice', n_rows, price_min, price_max,
+           price_distinct, price_nulls FROM a
+         UNION ALL
+         SELECT 'l_returnflag', n_rows, flag_min, flag_max,
+           flag_distinct, flag_nulls FROM a
+         UNION ALL
+         SELECT 'l_orderkey', n_rows, okey_min, okey_max,
+           okey_distinct, okey_nulls FROM a""",
     "q31_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -72,19 +72,25 @@ object Similarity {
     val cents = e
       .filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
-    val w = Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
+    // argmax as one hash aggregation (max over (csim, -cid) struct ≡
+    // rank-1 of ORDER BY csim DESC, cid ASC) — no window sort, one
+    // shuffle, partial-aggregated map-side
     e.join(broadcast(cents))
       .select(
         col("vec_id"),
         col("embedding"),
-        col("cid"),
-        cosine(col("c_vec"), col("embedding")).as("csim")
+        struct(
+          cosine(col("c_vec"), col("embedding")).as("csim"),
+          (-col("cid")).as("neg_cid"),
+          col("cid").as("cid")
+        ).as("scored")
       )
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .groupBy(col("vec_id"))
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max(col("scored")).as("best")
+      )
+      .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
       // ivfTopK probes this as both query side and candidate side;
       // cache so assignment (N·K cosines) runs once
       .cache()
