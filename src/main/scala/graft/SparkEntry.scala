@@ -78,6 +78,22 @@ object SparkEntry {
       jira.JiraStats.perProject(
         jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects))),
     "q34_profile" -> (Profile.lineitemProfile _),
+    // Salted join (skew mitigation): result-identical to the plain
+    // join by construction, so the oracle is the unsalted SQL.
+    "q36_salted_join" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Skew
+        .saltedJoin(li, o, Seq("l_orderkey"), 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
     // HLL sketch cardinalities — no SQL oracle (engine-specific
     // sketches); error bound asserted in ProfileSpec.
     "q35_approx_distinct" -> (Profile.cardinalitySketch _),
@@ -468,6 +484,11 @@ object SparkEntry {
          event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q36_salted_join" ->
+      """SELECT o_orderpriority,
+         round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     "q34_profile" ->
       """WITH a AS (
            SELECT count(*) AS n_rows,
