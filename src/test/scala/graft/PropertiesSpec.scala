@@ -16,9 +16,12 @@ class PropertiesSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  // clean_text reference semantics, pure form (utils.py:84-105)
+  // clean_text reference semantics, pure form (utils.py:84-105).
+  // (?U) makes \s the Unicode whitespace class — Python's str.split()
+  // splits on NBSP/ideographic space etc., which Java's ASCII \s does
+  // not (SURVEY §7.5 risk 1); this twin must match the column form.
   private def cleanText(s: String, maxLen: Option[Int] = None): String = {
-    val collapsed = s.split("\\s+").filter(_.nonEmpty).mkString(" ")
+    val collapsed = s.split("(?U)\\s+").filter(_.nonEmpty).mkString(" ")
     maxLen match {
       case Some(l) if collapsed.length > l => collapsed.take(l) + "..."
       case _ => collapsed
