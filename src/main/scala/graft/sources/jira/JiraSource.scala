@@ -110,21 +110,57 @@ class JiraTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
 class JiraScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = schema
+  private var keyEqualities: Seq[String] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new JiraScan(required, options)
+  /** Predicate pushdown (SURVEY §2.1 S2, §4.1): `key = X` / `key IN`
+    * become single-issue endpoint lookups instead of a full paginated
+    * scan. Everything else stays a post-scan filter in Spark.
+    */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]
+  ): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val (pushed, rest) = filters.partition {
+      case EqualTo("key", _: String) => true
+      case In("key", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    keyEqualities = pushed.flatMap {
+      case EqualTo("key", v: String) => Seq(v)
+      case In("key", vs) => vs.toSeq.map(_.asInstanceOf[String])
+      case _ => Nil
+    }.toSeq
+    rest
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    if (keyEqualities.isEmpty) Array.empty
+    else Array(org.apache.spark.sql.sources.In("key", keyEqualities.toArray))
+
+  override def build(): Scan =
+    new JiraScan(required, options, keyEqualities)
 }
 
-case class JiraInputPartition(startAt: Int, pageSize: Int)
-    extends InputPartition
+sealed trait JiraPartition extends InputPartition
 
-class JiraScan(required: StructType, options: CaseInsensitiveStringMap)
-    extends Scan
+case class JiraInputPartition(startAt: Int, pageSize: Int)
+    extends JiraPartition
+
+/** Point-lookup partition: pushed `key = X` equalities. */
+case class JiraLookupPartition(keys: Seq[String]) extends JiraPartition
+
+class JiraScan(
+    required: StructType,
+    options: CaseInsensitiveStringMap,
+    keyLookups: Seq[String] = Nil
+) extends Scan
     with Batch {
 
   private val pageSize = JiraSourceOptions.pageSize(options)
@@ -134,13 +170,16 @@ class JiraScan(required: StructType, options: CaseInsensitiveStringMap)
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val t = JiraSourceOptions.transport(options)
-    val total = JiraSourceOptions.probeTotal(t, sleepScale)
-    (0 until total by pageSize)
-      .map(JiraInputPartition(_, pageSize): InputPartition)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    if (keyLookups.nonEmpty)
+      Array(JiraLookupPartition(keyLookups))
+    else {
+      val t = JiraSourceOptions.transport(options)
+      val total = JiraSourceOptions.probeTotal(t, sleepScale)
+      (0 until total by pageSize)
+        .map(JiraInputPartition(_, pageSize): InputPartition)
+        .toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JiraReaderFactory(required, options.asCaseSensitiveMap().asScala.toMap)
@@ -248,14 +287,15 @@ class JiraReaderFactory(required: StructType, options: Map[String, String])
   override def createReader(
       partition: InputPartition
   ): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[JiraInputPartition]
     val cism = new CaseInsensitiveStringMap(options.asJava)
-    new JiraPartitionReader(
-      p,
-      required,
-      JiraSourceOptions.transport(cism),
-      JiraSourceOptions.sleepScale(cism)
-    )
+    val transport = JiraSourceOptions.transport(cism)
+    val scale = JiraSourceOptions.sleepScale(cism)
+    partition match {
+      case p: JiraInputPartition =>
+        new JiraPartitionReader(p, required, transport, scale)
+      case p: JiraLookupPartition =>
+        new JiraLookupReader(p, required, transport, scale)
+    }
   }
 }
 
@@ -291,6 +331,44 @@ class JiraPartitionReader(
       }
     }
   }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true }
+    else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+}
+
+/** Point-lookup reader: pushed `key` equalities become single-issue
+  * endpoint calls (GET /issue/{key} — scraper.py:171-188); unknown
+  * keys (404) yield no row.
+  */
+class JiraLookupReader(
+    partition: JiraLookupPartition,
+    required: StructType,
+    transport: JiraTransport,
+    sleepScale: Double
+) extends PartitionReader[InternalRow] {
+
+  private val restFields: Seq[String] =
+    required.fields
+      .find(_.name == "fields")
+      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSeq)
+      .getOrElse(Nil)
+
+  private lazy val rows: Iterator[InternalRow] =
+    partition.keys.iterator.flatMap { key =>
+      JiraRetry
+        .withRetry(sleepScale = sleepScale)(
+          transport.fetchIssue(key, restFields)
+        )
+        .iterator
+        .flatMap(body => JsonBridge.parseJson(required, body))
+    }
 
   private var current: InternalRow = _
 

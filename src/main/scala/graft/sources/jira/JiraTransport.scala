@@ -23,6 +23,12 @@ trait JiraTransport extends Serializable {
     * config.py:68-85).
     */
   def fetch(startAt: Int, maxResults: Int, fields: Seq[String]): String
+
+  /** Single-issue point read (`GET /issue/{key}` —
+    * scraper.py:171-188). Returns the issue JSON, or None for an
+    * unknown key (HTTP 404 analogue).
+    */
+  def fetchIssue(key: String, fields: Seq[String]): Option[String]
 }
 
 /** Retryable transport failure (HTTP 429/5xx analogue). */
@@ -38,6 +44,12 @@ final class FileStubTransport(dir: String) extends JiraTransport {
     if (!Files.exists(p))
       throw new JiraTransientError(s"stub page missing: $p")
     new String(Files.readAllBytes(p), "UTF-8")
+  }
+
+  override def fetchIssue(key: String, fields: Seq[String]): Option[String] = {
+    val p = Paths.get(dir, s"issue_$key.json")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8"))
+    else None
   }
 }
 
@@ -56,6 +68,9 @@ final class FlakyTransport(inner: JiraTransport, failures: Int)
     if (counter.getAndIncrement() < failures)
       throw new JiraTransientError("simulated 429")
     else inner.fetch(startAt, maxResults, fields)
+
+  override def fetchIssue(key: String, fields: Seq[String]): Option[String] =
+    inner.fetchIssue(key, fields)
 }
 
 object JiraRetry {

@@ -62,6 +62,23 @@ class JiraSourceSpec extends AnyFunSuite {
     assert(df.count() == 8L)
   }
 
+  test("key equality pushes down to the single-issue endpoint") {
+    val df = jiraRead.load().filter(col("key") === "TEST-3")
+    // pushed filter → one lookup partition, not a paginated scan
+    assert(df.rdd.getNumPartitions == 1)
+    val rows = df.select(col("key"), col("fields.status.name")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("TEST-3"))
+    assert(rows.head.getString(1) == "Resolved")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || !plan.contains("Filter("),
+      "key filter should be pushed")
+    // IN-list pushes too; unknown keys behave as 404 → no row
+    val in = jiraRead.load()
+      .filter(col("key").isin("TEST-1", "TEST-4", "NOPE-9"))
+      .select(col("key")).collect().map(_.getString(0)).sorted
+    assert(in.toSeq == Seq("TEST-1", "TEST-4"))
+  }
+
   test("transient failures are retried with backoff") {
     val df = jiraRead.option("simulateFailures", 2).load()
     assert(df.count() == 8L) // 2 simulated 429s absorbed by retry

@@ -146,6 +146,10 @@ def main():
     write_jsonl(f"{OUT}/raw_issues_TEST.jsonl", test_issues)
     write_jsonl(f"{OUT}/raw_issues_TEST2.jsonl", test2_issues)
     write_stub_pages("stub_TEST", test_issues, 3)
+    # single-issue endpoint files (GET /issue/{key} analogue)
+    for iss in test_issues:
+        with open(f"{OUT}/stub_TEST/issue_{iss['key']}.json", "w") as fh:
+            json.dump(iss, fh)
 
     stub_modules()
     sys.path.insert(0, "/root/reference")
