@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the 100 TB plan properties (PERF.md): filter
+  * pushdown, column pruning, top-k without global sort, broadcast of
+  * dimension sides. Plans are inspected pre-execution (AQE hides
+  * codegen/stage structure post-execution, but pushdown/pruning/
+  * TakeOrdered are visible in the initial physical plan).
+  */
+class PlanPropertiesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry
+      .queries(q)(spark, dir)
+      .queryExecution
+      .explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+      )
+
+  test("q01: shipdate predicate reaches the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(p.contains("partial_sum"), "map-side partial aggregation")
+  }
+
+  test("q02: all three predicates pushed; schema pruned to 4 columns") {
+    val p = plan("q02_revenue_filter")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate"))
+  }
+
+  test("q03: dimension join is broadcast") {
+    assert(plan("q03_revenue_by_nation").contains("BroadcastHashJoin"))
+  }
+
+  test("q04: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q04_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q24: query side broadcast; corpus never shuffled") {
+    val p = plan("q24_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("vec_dot"), "codegen VectorDot in the plan")
+  }
+
+  test("q13-q17 text queries are shuffle-free map stages") {
+    for (q <- Seq("q13_clean_text", "q14_token_stats", "q15_quality_score",
+        "q16_lang_id", "q17_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle")
+    }
+  }
+
+  test("every oracle query has matching column names in its SQL") {
+    // alias discipline: each oracle's SQL must mention every output
+    // column name of the Spark result (driver sorts columns by name)
+    for ((name, fn) <- SparkEntry.queries if SparkEntry.oracleSql.contains(name)) {
+      val cols = fn(spark, dir).columns
+      val sql = SparkEntry.oracleSql(name).toLowerCase
+      val missing = cols.filterNot(c => sql.contains(c.toLowerCase))
+      assert(missing.isEmpty, s"$name: oracle SQL missing columns ${missing.mkString(",")}")
+    }
+  }
+}
