@@ -78,6 +78,15 @@ object SparkEntry {
       jira.JiraStats.perProject(
         jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects))),
     "q34_profile" -> (Profile.lineitemProfile _),
+    "q37_simhash_pairs" -> (Dedup.simhashPairs _),
+    // K5 filtered-subset export: deterministic filter + order + limit
+    // over the fan-out (example_usage.py:208-213 semantics).
+    "q38_filtered_subset" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis
+        .taskFanout(s, dir)
+        .filter(org.apache.spark.sql.functions.col("task_type") === "summarize")
+        .orderBy("doc_id")
+        .limit(100)),
     // Salted join (skew mitigation): result-identical to the plain
     // join by construction, so the oracle is the unsalted SQL.
     "q36_salted_join" -> ((s: SparkSession, dir: String) => {
@@ -230,6 +239,8 @@ object SparkEntry {
     "q14_token_stats" ->
       """SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text),
+           '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
          CAST(length(text) AS BIGINT) AS n_chars_raw,
          round(CASE WHEN len(toks) = 0 THEN 0.0
                ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
@@ -388,6 +399,72 @@ object SparkEntry {
          v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id)
          SELECT doc_id, $bits AS simhash FROM v"""
     },
+    "q37_simhash_pairs" -> {
+      val votes = (0 until 16)
+        .map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val bits = (0 until 16)
+        .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS w
+               FROM (SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                     FROM documents WHERE doc_id < 500) x),
+         hh AS (SELECT doc_id,
+                  ('0x' || substr(md5('0:' || w), 1, 15))::BIGINT AS h
+                FROM t),
+         v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+         sh AS (SELECT doc_id, $bits AS simhash FROM v)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    },
+    "q38_filtered_subset" ->
+      """SELECT doc_id, 'summarize' AS task_type,
+         'Summarize this document in one line.' AS instruction,
+         CASE WHEN length(clean) > 80 THEN substr(clean, 1, 80) || '...'
+              ELSE clean END AS output
+         FROM (SELECT doc_id, n_chars,
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
+               FROM documents) t
+         WHERE n_chars > 250
+         ORDER BY doc_id LIMIT 100""",
+    "q37_simhash_pairs" -> {
+      val votes = (0 until 16)
+        .map(b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val bits = (0 until 16)
+        .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(toks) AS w
+               FROM (SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                     FROM documents WHERE doc_id < 500) x),
+         hh AS (SELECT doc_id,
+                  ('0x' || substr(md5('0:' || w), 1, 15))::BIGINT AS h
+                FROM t),
+         v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+         sh AS (SELECT doc_id, $bits AS simhash FROM v)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    },
+    "q38_filtered_subset" ->
+      """SELECT doc_id, 'summarize' AS task_type,
+         'Summarize this document in one line.' AS instruction,
+         CASE WHEN length(clean) > 80 THEN substr(clean, 1, 80) || '...'
+              ELSE clean END AS output
+         FROM (SELECT doc_id, n_chars,
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
+               FROM documents) t
+         WHERE n_chars > 250
+         ORDER BY doc_id LIMIT 100""",
     "q24_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                 FROM embeddings WHERE vec_id < 5),

@@ -197,4 +197,22 @@ object Dedup {
       .reduce(_ + _)
     agged.select(col("doc_id"), simhash.as("simhash"))
   }
+
+  /** q37: SimHash near-dup pairs — Hamming distance ≤ 3 between
+    * 16-bit signatures (doc_id<500). The all-pairs form here is the
+    * exact-verify stage; at scale candidates come from bucketing the
+    * signature bands, same topology as MinHash LSH.
+    */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashDocs(spark, dir).filter(col("doc_id") < 500).cache()
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .withColumn(
+        "hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int")
+      )
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -37,6 +37,11 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         tokenCount(col("text")).cast("long").as("n_tokens"),
+        // BPE-ish subword count: alnum runs + individual punctuation,
+        // the cheap proxy for tokenizer-cost estimation
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long")
+          .as("n_tokens_bpe"),
         length(col("text")).cast("long").as("n_chars_raw"),
         round(avgTokenLength(col("text")), 4).as("avg_token_len")
       )
