@@ -118,6 +118,12 @@ object TextFunctions {
   def fingerprintLong(c: Column): Column =
     conv(substring(fingerprintHex(c), 1, 15), 16, 10).cast("long")
 
+  /** Filename sanitization (utils.py:215-228, SURVEY §2.4 F6):
+    * replace the filesystem-reserved characters with underscores.
+    */
+  def filenameSafe(c: Column): Column =
+    translate(c, "<>:\"/\\|?*", "_________")
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input.
     * Docs with fewer than n tokens yield an empty set.
     */

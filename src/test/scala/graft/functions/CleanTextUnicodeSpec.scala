@@ -55,6 +55,16 @@ class CleanTextUnicodeSpec extends AnyFunSuite {
     }
   }
 
+  test("filenameSafe replaces all reserved characters") {
+    import spark.implicits._
+    val got = Seq("""a<b>c:d"e/f\g|h?i*j.json""")
+      .toDF("v")
+      .select(TextFunctions.filenameSafe(col("v")))
+      .collect()(0)
+      .getString(0)
+    assert(got == "a_b_c_d_e_f_g_h_i_j.json")
+  }
+
   test("specific Unicode whitespace cases") {
     import spark.implicits._
     val cases = Seq(
