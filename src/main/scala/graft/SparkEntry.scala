@@ -79,6 +79,9 @@ object SparkEntry {
         jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects))),
     "q34_profile" -> (Profile.lineitemProfile _),
     "q37_simhash_pairs" -> (Dedup.simhashPairs _),
+    // the composed pipeline: clean -> quality gate -> exact dedup ->
+    // fan-out -> corpus stats, as one lazy DAG
+    "q39_pipeline_e2e" -> (PipelineE2E.corpusPipeline _),
     // K5 filtered-subset export: deterministic filter + order + limit
     // over the fan-out (example_usage.py:208-213 semantics).
     "q38_filtered_subset" -> ((s: SparkSession, dir: String) =>
@@ -399,6 +402,40 @@ object SparkEntry {
          v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id)
          SELECT doc_id, $bits AS simhash FROM v"""
     },
+    "q39_pipeline_e2e" ->
+      """WITH per_doc AS (
+           SELECT doc_id, text, lang, n_chars,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean
+           FROM documents),
+         scored AS (
+           SELECT doc_id, text, lang, n_chars, toks, clean,
+             round(0.5 * least(len(toks)::DOUBLE / 200.0, 1.0)
+               + 0.4 * least(CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE len(list_filter(toks, w -> w IN
+                     ('the','a','an','and','or','of','to','in','is','it')
+                     ))::DOUBLE / len(toks) END * 5.0, 1.0)
+               + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
+                        / length(text) END * 10.0, 1.0)), 6) AS quality
+           FROM per_doc),
+         gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+         survivors AS (
+           SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+         deduped AS (
+           SELECT g.* FROM gated g
+           WHERE EXISTS (SELECT 1 FROM survivors s WHERE s.doc_id = g.doc_id)),
+         tasks AS (
+           SELECT doc_id, quality, 'token_stats' AS task_type FROM deduped
+           UNION ALL
+           SELECT doc_id, quality, 'summarize' FROM deduped WHERE n_chars > 250
+           UNION ALL
+           SELECT doc_id, quality, 'lang_verify' FROM deduped WHERE lang <> 'en')
+         SELECT task_type, count(*) AS n_examples,
+           count(DISTINCT doc_id) AS n_docs,
+           round(avg(quality), 6) AS avg_quality
+         FROM tasks GROUP BY task_type""",
     "q37_simhash_pairs" -> {
       val votes = (0 until 16)
         .map(b =>
