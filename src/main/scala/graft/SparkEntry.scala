@@ -82,6 +82,9 @@ object SparkEntry {
     // the composed pipeline: clean -> quality gate -> exact dedup ->
     // fan-out -> corpus stats, as one lazy DAG
     "q39_pipeline_e2e" -> (PipelineE2E.corpusPipeline _),
+    // bucketed interval join: events -> their sessions; counts must
+    // reproduce the sessionizer's own n_events
+    "q40_range_join" -> (RangeJoin.eventsInSessions _),
     // K5 filtered-subset export: deterministic filter + order + limit
     // over the fan-out (example_usage.py:208-213 semantics).
     "q38_filtered_subset" -> ((s: SparkSession, dir: String) =>
@@ -436,6 +439,27 @@ object SparkEntry {
            count(DISTINCT doc_id) AS n_docs,
            round(avg(quality), 6) AS avg_quality
          FROM tasks GROUP BY task_type""",
+    "q40_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                value FROM events),
+         l AS (SELECT e.*, lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM e),
+         f AS (SELECT l.*, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new FROM l),
+         sq AS (SELECT f.*, CAST(sum(is_new) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_seq FROM f),
+         sessions AS (SELECT user_id, session_seq,
+             min(ts) AS session_start, max(ts) AS session_end
+           FROM sq GROUP BY 1, 2)
+         SELECT s.user_id, s.session_seq, count(*) AS n_in_range
+         FROM sessions s
+         JOIN e ON e.user_id = s.user_id
+           AND e.ts >= s.session_start AND e.ts <= s.session_end
+         GROUP BY 1, 2""",
     "q37_simhash_pairs" -> {
       val votes = (0 until 16)
         .map(b =>
