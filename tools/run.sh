@@ -14,4 +14,5 @@ done
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
   -cp "$CLASSES:/opt/spark/jars/*" "$@"
