@@ -85,6 +85,8 @@ object SparkEntry {
     // bucketed interval join: events -> their sessions; counts must
     // reproduce the sessionizer's own n_events
     "q40_range_join" -> (RangeJoin.eventsInSessions _),
+    // interval join as analytics: errors-in-the-last-hour per purchase
+    "q41_interval_counts" -> (RangeJoin.purchasesWithRecentErrors _),
     // K5 filtered-subset export: deterministic filter + order + limit
     // over the fan-out (example_usage.py:208-213 semantics).
     "q38_filtered_subset" -> ((s: SparkSession, dir: String) =>
@@ -460,6 +462,20 @@ object SparkEntry {
          JOIN e ON e.user_id = s.user_id
            AND e.ts >= s.session_start AND e.ts <= s.session_end
          GROUP BY 1, 2""",
+    "q41_interval_counts" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                event_type FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, ts FROM e
+               WHERE event_type = 'purchase'),
+         er AS (SELECT user_id, ts AS err_ts FROM e
+                WHERE event_type = 'error'),
+         c AS (SELECT p.purchase_id, count(*) AS n
+               FROM p JOIN er ON p.user_id = er.user_id
+                 AND er.err_ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+               GROUP BY 1)
+         SELECT p.purchase_id, p.user_id, p.ts,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_recent_errors
+         FROM p LEFT JOIN c USING (purchase_id)""",
     "q37_simhash_pairs" -> {
       val votes = (0 until 16)
         .map(b =>

@@ -43,6 +43,47 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** q41: per purchase, the count of errors by the same user in the
+    * preceding hour — the batch twin of the stream-stream join in
+    * graft.streaming (each purchase is the interval [ts-1h, ts],
+    * errors are the points). Purchases with no recent error keep a
+    * zero count via the left join back onto the purchase set.
+    */
+  def purchasesWithRecentErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts"),
+        col("ts") - expr("INTERVAL 1 HOUR") as "lo"
+      )
+    val errors = ev
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"))
+    val counts = pointInInterval(
+      errors,
+      purchases.select(col("user_id"), col("purchase_id"), col("lo"),
+        col("ts").as("hi")),
+      key = "user_id",
+      pointTs = "err_ts",
+      lo = "lo",
+      hi = "hi",
+      bucketSeconds = 3600
+    )
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_recent_errors"))
+    purchases
+      .join(counts, Seq("purchase_id"), "left")
+      .select(
+        col("purchase_id"),
+        col("user_id"),
+        col("ts"),
+        coalesce(col("n_recent_errors"), lit(0L)).as("n_recent_errors")
+      )
+  }
+
   /** q40: events range-joined into their own sessions (intervals from
     * the sessionization operator) — per-session event counts, which
     * must reproduce the session sizes sessionize computed directly.

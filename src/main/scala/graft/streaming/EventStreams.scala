@@ -123,6 +123,36 @@ object EventStreams {
     closed.result().iterator
   }
 
+  /** Stream-stream interval join: purchases ⋈ errors of the same user
+    * within the preceding hour. Watermarks on both sides bound the
+    * join state (Spark evicts buffered rows once the event-time range
+    * condition can no longer match).
+    */
+  def purchaseErrorJoin(events: DataFrame): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts")
+      )
+      .withWatermark("p_ts", "10 minutes")
+    val errors = events
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 hours")
+    purchases
+      .join(
+        errors,
+        expr(
+          """p_user = e_user AND
+             e_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"""
+        )
+      )
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("e_ts"))
+  }
+
   /** Keyed latest-record dedup: for a stream of (key, updated,
     * payload) keep only the newest record per key — the late-update
     * extension the reference never handles (SURVEY §2.9 "late data").

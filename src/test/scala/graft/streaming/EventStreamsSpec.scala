@@ -87,6 +87,31 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(emitted.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    runToMemory(
+      EventStreams.purchaseErrorJoin(EventStreams.readEvents(spark, dir)),
+      "pe_join",
+      "append"
+    )
+    val streamPairs = spark
+      .table("pe_join")
+      .select("purchase_id", "e_ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .toSet
+    // batch twin: count per purchase must equal the stream's pair count
+    val batchCounts = graft.operators.RangeJoin
+      .purchasesWithRecentErrors(spark, dir)
+      .filter(col("n_recent_errors") > 0)
+      .collect()
+      .map(r => r.getAs[Long]("purchase_id") -> r.getAs[Long]("n_recent_errors"))
+      .toMap
+    val streamCounts =
+      streamPairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(streamCounts == batchCounts)
+    assert(streamPairs.nonEmpty)
+  }
+
   test("keyed latest-record dedup keeps max updated per key") {
     runToMemory(
       EventStreams.latestByKey(
