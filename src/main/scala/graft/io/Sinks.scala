@@ -67,4 +67,18 @@ object Sinks {
     */
   def writeStatsJson(stats: DataFrame, path: String): Unit =
     stats.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** K1 — raw JSON *array* writer (scraper.py:339-356 parity form):
+    * one file holding a JSON array of row objects. Collects on the
+    * driver — correct only for bounded exports (the reference's
+    * per-project raw dumps); the engine-native parallel form is the
+    * JSONL writer above.
+    */
+  def writeRawJsonArray(df: DataFrame, file: String): Unit = {
+    val rows = df.toJSON.collect()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(file),
+      rows.mkString("[\n", ",\n", "\n]").getBytes("UTF-8")
+    )
+  }
 }
