@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions entry point: registers the engine's custom
+  * Catalyst expressions on every session created with
+  *
+  * {{{
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  *
+  * This is the cluster-deployment path (no per-session registration
+  * calls): `vec_dot` (codegen'd float-vector dot product) and
+  * `jira_tasks` (the LATERAL VIEW fan-out generator) become available
+  * in plain SQL everywhere.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (
+        FunctionIdentifier("vec_dot"),
+        info("vec_dot", "vec_dot(a, b) - dot product of float arrays"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "vec_dot(arrayA, arrayB)")
+          functions.VectorDot(exprs(0), exprs(1))
+        }
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("jira_tasks"),
+        info("jira_tasks", "jira_tasks(issueStruct) - training-task fan-out"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, "jira_tasks(issueStruct)")
+          jira.JiraTasksGenerator(exprs.head)
+        }
+      )
+    )
+  }
+}
