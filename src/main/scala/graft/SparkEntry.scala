@@ -87,6 +87,8 @@ object SparkEntry {
     "q40_range_join" -> (RangeJoin.eventsInSessions _),
     // interval join as analytics: errors-in-the-last-hour per purchase
     "q41_interval_counts" -> (RangeJoin.purchasesWithRecentErrors _),
+    "q42_distribution_stats" -> (Profile.distributionStats _),
+    "q43_cube" -> (Relational.cubeQuantities _),
     // K5 filtered-subset export: deterministic filter + order + limit
     // over the fan-out (example_usage.py:208-213 semantics).
     "q38_filtered_subset" -> ((s: SparkSession, dir: String) =>
@@ -476,6 +478,18 @@ object SparkEntry {
          SELECT p.purchase_id, p.user_id, p.ts,
            CAST(COALESCE(c.n, 0) AS BIGINT) AS n_recent_errors
          FROM p LEFT JOIN c USING (purchase_id)""",
+    "q42_distribution_stats" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.25), 6) AS qty_p25,
+         round(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+         round(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+         round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+         round(corr(l_extendedprice, l_discount), 6) AS price_disc_corr
+         FROM lineitem GROUP BY l_returnflag""",
+    "q43_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q37_simhash_pairs" -> {
       val votes = (0 until 16)
         .map(b =>

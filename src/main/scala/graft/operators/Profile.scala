@@ -64,6 +64,24 @@ object Profile {
       )
   }
 
+  /** q42: distribution statistics per group — exact interpolated
+    * percentiles, sample stddev, and price/discount correlation. One
+    * scan; percentile is the only sort-based aggregate in the engine
+    * (per-group sort, partial-merged).
+    */
+  def distributionStats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_p75"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6)
+          .as("price_disc_corr")
+      )
+
   /** q35: sketch-based cardinality profile — approx_count_distinct
     * (HyperLogLog++) at three precisions vs the exact count. The scale
     * path for corpus cardinality at 100 TB, where exact distinct is a

@@ -191,6 +191,16 @@ object Relational {
       .agg(money(sum(col("c_acctbal"))).as("sum_bal"), count(lit(1)).as("n"))
   }
 
+  /** q43: cube — all grouping-set combinations of (returnflag,
+    * linestatus) in one pass (Expand before the single exchange, like
+    * rollup).
+    */
+  def cubeQuantities(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(money(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+
   /** q11: month bucketing (SURVEY §2.4 F2 analytical path —
     * date_trunc over the parsed timestamp).
     */
