@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorMath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale validation for the unbounded operator paths: the oracle
+  * queries bound their inputs (doc_id<500) so results stay
+  * deterministic across SFs; this main runs the SAME topologies
+  * un-capped on replicated corpora to show they hold at 100-1000×.
+  *
+  * Run: tools/run.sh graft.ScaleBench [docMult] [vecMult]
+  * (defaults 200× docs ≈ 100k, 200× vectors ≈ 100k).
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val docMult = args.headOption.map(_.toInt).getOrElse(200)
+    val vecMult = args.drop(1).headOption.map(_.toInt).getOrElse(200)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+
+    // --- MinHash LSH dedup at ~100k docs -----------------------------
+    // replicate with a per-replica suffix token so replicas are
+    // near-dups of their source (high Jaccard) but not exact
+    val docs = Tables
+      .documents(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(docMult - 1))))
+      .select(
+        (col("doc_id") + col("rep") * 500).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep") % 7).as("text")
+      )
+      .repartition(cpus.toInt)
+      .cache()
+    val nDocs = docs.count()
+
+    val sh = docs
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn(
+        "mh",
+        array((0 until 8).map { i =>
+          array_min(transform(col("sh"),
+            s => conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
+              .cast("long")))
+        }: _*)
+      )
+    val banded = sh.select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(3)),
+          j => struct(
+            j.as("band"),
+            concat_ws("_", element_at(col("mh"), j * 2 + 1),
+              element_at(col("mh"), j * 2 + 2)).as("bval"))
+        )
+      ).as("bk")
+    )
+    val t0 = System.nanoTime()
+    val nCandidates = banded
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .agg(sum(col("bucket_size") * (col("bucket_size") - 1) / 2).cast("long"))
+      .collect()(0)
+      .getLong(0)
+    val lshSec = (System.nanoTime() - t0) / 1e9
+
+    // --- ANN at ~100k vectors ---------------------------------------
+    val vecs = Tables
+      .embeddings(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(vecMult - 1))))
+      .select(
+        (col("vec_id") + col("rep") * 500).as("vec_id"),
+        col("embedding")
+      )
+      .repartition(cpus.toInt)
+      .cache()
+    val nVecs = vecs.count()
+    val q = vecs
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val t1 = System.nanoTime()
+    val topk = vecs
+      .join(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        VectorMath.vecCosine(col("q_vec"), col("embedding")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .count()
+    val annSec = (System.nanoTime() - t1) / 1e9
+
+    println(
+      s"""{"metric":"scale_validation","docs":$nDocs,""" +
+        s""""lsh_candidate_pairs":$nCandidates,"lsh_sec":$lshSec,""" +
+        s""""docs_per_sec":${(nDocs / lshSec).round},""" +
+        s""""vectors":$nVecs,"ann_topk_rows":$topk,"ann_sec":$annSec,""" +
+        s""""cosines_per_sec":${(nVecs * 5 / annSec).round}}"""
+    )
+    spark.stop()
+  }
+}
