@@ -44,13 +44,11 @@ object ScaleBench {
     val sh = docs
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      // fast-hash strategy: xxhash64 signatures (the md5 variant the
+      // oracle mirrors is ~10× slower; same LSH topology)
       .withColumn(
         "mh",
-        array((0 until 8).map { i =>
-          array_min(transform(col("sh"),
-            s => conv(substring(md5(concat(lit(s"$i:"), s)), 1, 15), 16, 10)
-              .cast("long")))
-        }: _*)
+        graft.operators.Dedup.minhashSignature(col("sh"), portable = false)
       )
     val banded = sh.select(
       col("doc_id"),

@@ -100,13 +100,23 @@ object Dedup {
     conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
       .cast("long")
 
-  /** MinHash signature: per seed, the min seeded-hash over the
-    * shingle set.
+  /** Seeded xxhash64 — the fast production hash (codegen'd, ~10× md5);
+    * not portable to the DuckDB oracle, so the gated queries keep md5.
     */
-  def minhashSignature(sh: Column): Column =
+  private def seededHashFast(seed: Int, s: Column): Column =
+    xxhash64(lit(seed), s)
+
+  /** MinHash signature: per seed, the min seeded-hash over the
+    * shingle set. `portable = true` uses the md5-based hash the
+    * oracle mirrors; `false` uses codegen'd xxhash64 for scale runs.
+    */
+  def minhashSignature(sh: Column, portable: Boolean = true): Column = {
+    val h: (Int, Column) => Column =
+      if (portable) seededHash else seededHashFast
     array((0 until NumHashes).map { i =>
-      array_min(transform(sh, s => seededHash(i, s)))
+      array_min(transform(sh, s => h(i, s)))
     }: _*)
+  }
 
   /** q22: MinHash+LSH near-dup candidates: signature → band keys →
     * self-join on (band index, band value) → distinct candidate pairs
