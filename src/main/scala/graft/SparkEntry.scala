@@ -303,8 +303,12 @@ object SparkEntry {
                        FROM documents) a) b) c""",
     "q17_fingerprint" ->
       """SELECT doc_id, fp_hex,
-         ('0x' || substr(fp_hex, 1, 15))::BIGINT AS fp_long
-         FROM (SELECT doc_id,
+         ('0x' || substr(fp_hex, 1, 15))::BIGINT AS fp_long,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(length(clean)),
+             i -> ord(substr(clean, (i+1)::INT, 1))::BIGINT)),
+           (a, c) -> (a * 31 + c) % 1000000007) AS fp_rolling
+         FROM (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean,
                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_hex
                FROM documents) t""",
     "q18_task_fanout" ->

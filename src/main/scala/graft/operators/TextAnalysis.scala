@@ -76,7 +76,9 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         fingerprintHex(col("text")).as("fp_hex"),
-        fingerprintLong(col("text")).as("fp_long")
+        fingerprintLong(col("text")).as("fp_long"),
+        graft.functions.RollingHash.rollingHash(cleanText(col("text")))
+          .as("fp_rolling")
       )
 
   /** q18: fan-out generator (SURVEY §2.5) re-expressed over documents —
