@@ -45,13 +45,21 @@ object Sinks {
   def writeJsonlSingleFile(
       df: DataFrame,
       path: String,
-      sortKeys: Seq[String]
-  ): Unit =
-    df.coalesce(1)
+      sortKeys: Seq[String],
+      projectTo: Seq[String] = Nil
+  ): Unit = {
+    val sorted = df
+      .coalesce(1)
       .sortWithinPartitions(sortKeys.map(col): _*)
-      .write
+    // a projection after the sort keeps per-partition order (no
+    // exchange), so ordering keys can be dropped from the output shape
+    val out =
+      if (projectTo.isEmpty) sorted
+      else sorted.select(projectTo.map(col): _*)
+    out.write
       .mode(SaveMode.Overwrite)
       .json(path)
+  }
 
   /** K3 — ordered union-merge of per-branch frames (utils.py:159-182):
     * missing inputs are skipped by the caller's frame list; branch
