@@ -89,6 +89,7 @@ object SparkEntry {
     "q41_interval_counts" -> (RangeJoin.purchasesWithRecentErrors _),
     "q42_distribution_stats" -> (Profile.distributionStats _),
     "q43_cube" -> (Relational.cubeQuantities _),
+    "q44_fuzzy_pairs" -> (Dedup.fuzzyNamePairs _),
     // K5 filtered-subset export: deterministic filter + order + limit
     // over the fan-out (example_usage.py:208-213 semantics).
     "q38_filtered_subset" -> ((s: SparkSession, dir: String) =>
@@ -494,6 +495,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q44_fuzzy_pairs" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+         CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+         FROM part a JOIN part b
+           ON a.p_partkey < b.p_partkey
+         WHERE a.p_partkey < 200 AND b.p_partkey < 200
+           AND levenshtein(a.p_name, b.p_name) <= 5""",
     "q37_simhash_pairs" -> {
       val votes = (0 until 16)
         .map(b =>

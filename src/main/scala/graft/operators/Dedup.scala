@@ -208,6 +208,26 @@ object Dedup {
     agged.select(col("doc_id"), simhash.as("simhash"))
   }
 
+  /** q44: edit-distance fuzzy matching — near-identical part names by
+    * Levenshtein distance (≤ 5) on a bounded key range. The
+    * all-pairs form is the verify stage; at scale candidates come
+    * from a q-gram/LSH blocking join first (same inversion topology
+    * as the shingle queries).
+    */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables
+      .part(spark, dir)
+      .filter(col("p_partkey") < 200)
+      .select(col("p_partkey"), col("p_name"))
+      .cache()
+    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(broadcast(b), col("key_a") < col("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 5)
+      .select(col("key_a"), col("key_b"), col("dist"))
+  }
+
   /** q37: SimHash near-dup pairs — Hamming distance ≤ 3 between
     * 16-bit signatures (doc_id<500). The all-pairs form here is the
     * exact-verify stage; at scale candidates come from bucketing the
