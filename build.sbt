@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps sbt output for the one-line bench/verify JSON;
+// sbt's default logger prefixes forked-process stdout with "[info] ",
+// which breaks that parse. StdoutOutput passes the child's stdout
+// through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,6 +17,24 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.pricingSummary(spark, "/root/testdata/sf0.001")
 
+  /** The driver's compare loads results into pandas and sorts by every
+    * column; array/map/struct cells are unhashable there and abort the
+    * check. Serialize complex columns to their canonical JSON form so
+    * rows stay fully content-addressed but scalar. Binary becomes hex.
+    */
+  private def driverSafe(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hex, lower, to_json}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType, StructType}
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          to_json(col(f.name)).as(f.name)
+        case BinaryType => lower(hex(col(f.name))).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (Relational.pricingSummary _),
@@ -71,12 +89,14 @@ object SparkEntry {
     // parity is enforced by JiraParitySpec against goldens produced by
     // executing the reference.
     "qj01_jira_flatten" -> ((s: SparkSession, _: String) =>
-      jira.JiraPipeline.flattenedIssues(s, jira.JiraPipeline.fixtureProjects)),
+      driverSafe(
+        jira.JiraPipeline.flattenedIssues(s, jira.JiraPipeline.fixtureProjects))),
     "qj02_jira_examples" -> ((s: SparkSession, _: String) =>
-      jira.JiraPipeline.orderedCorpus(s, jira.JiraPipeline.fixtureProjects)),
+      driverSafe(
+        jira.JiraPipeline.orderedCorpus(s, jira.JiraPipeline.fixtureProjects))),
     "qj03_jira_stats" -> ((s: SparkSession, _: String) =>
-      jira.JiraStats.perProject(
-        jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects))),
+      driverSafe(jira.JiraStats.perProject(
+        jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects)))),
     "q34_profile" -> (Profile.lineitemProfile _),
     "q37_simhash_pairs" -> (Dedup.simhashPairs _),
     // the composed pipeline: clean -> quality gate -> exact dedup ->
@@ -118,21 +138,28 @@ object SparkEntry {
     // sketches); error bound asserted in ProfileSpec.
     "q35_approx_distinct" -> (Profile.cardinalitySketch _),
     // Partition-level multimodal decode (stubbed codec, real
-    // mapPartitions plumbing) — deterministic but not SQL-expressible
-    // → rows-only check; determinism is covered by its spec.
-    "q33_multimodal_decode" -> ((s: SparkSession, dir: String) =>
-      Multimodal.decodedDocuments(s, dir)),
+    // mapPartitions plumbing). The 8-dim feature vector is flattened
+    // to f0..f7 doubles so the stub decode is fully oracle-checkable
+    // (the DuckDB side reimplements the rolling hash mod 2^64).
+    "q33_multimodal_decode" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, element_at}
+      val d = Multimodal.decodedDocuments(s, dir)
+      d.select(
+        (Seq("doc_id", "n_bytes", "width", "height", "channels").map(col) ++
+          (0 until 8).map(i =>
+            element_at(col("feature"), i + 1).cast("double").as(s"f$i"))): _*)
+    }),
     // DSv2 `jira` source (paginated stub-backed REST scan) → flatten:
     // the connector path of the same pipeline.
     "qj04_jira_source" -> ((s: SparkSession, _: String) =>
-      jira.JiraFlatten.flatten(
+      driverSafe(jira.JiraFlatten.flatten(
         s.read
           .format("jira")
           .option("stubDir", s"${jira.JiraPipeline.FixtureDir}/stub_TEST")
           .option("project", "TEST")
           .option("pageSize", 3)
           .load(),
-        "TEST"))
+        "TEST")))
   )
 
   /** DuckDB cosine with double left-to-right accumulation — matches
@@ -700,6 +727,50 @@ object SparkEntry {
          UNION ALL
          SELECT 'l_orderkey', n_rows, okey_min, okey_max,
            okey_distinct, okey_nulls FROM a""",
+    // FakeDecoder reimplemented in SQL: rolling hash h = h*31 + byte
+    // over the UTF-8 payload with 64-bit signed wraparound (HUGEINT
+    // arithmetic mod 2^64, then recentred to signed), floorMod-derived
+    // dimensions, and float32 division for the feature values —
+    // bit-exact against the Scala stub.
+    "q33_multimodal_decode" -> {
+      val two64 = "18446744073709551616::HUGEINT"
+      // floor division of the signed hash by 2^k (arithmetic shift)
+      def shr(k: Int): String = {
+        val d = s"${1L << k}::HUGEINT"
+        if (k == 0) "sv" else s"((sv - (((sv % $d) + $d) % $d)) // $d)"
+      }
+      def fmod(e: String, m: Long): String =
+        s"((($e % $m::HUGEINT) + $m::HUGEINT) % $m::HUGEINT)"
+      val feats = (0 until 8)
+        .map(i =>
+          s"(CAST(${fmod(shr(i * 7), 1000L)} AS BIGINT)::FLOAT" +
+            s" / 1000::FLOAT)::DOUBLE AS f$i")
+        .mkString(", ")
+      s"""WITH b AS (
+           SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             hex(encode(text)) AS hx
+           FROM documents),
+         h AS (
+           SELECT doc_id, n_bytes,
+             list_reduce(
+               list_prepend(1125899906842597::HUGEINT,
+                 list_transform(range(n_bytes),
+                   i -> ('0x' || substr(hx, (i*2+1)::INT, 2))::BIGINT::HUGEINT)),
+               (a, c) -> (a * 31 + c) % $two64) AS u
+           FROM b),
+         s AS (
+           SELECT doc_id, n_bytes,
+             CASE WHEN u >= 9223372036854775808::HUGEINT
+                  THEN u - $two64 ELSE u END AS sv
+           FROM h)
+         SELECT doc_id, n_bytes,
+           320 + CAST(${fmod("sv", 1600L)} AS INTEGER) AS width,
+           240 + CAST(${fmod(shr(16), 840L)} AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           $feats
+         FROM s"""
+    },
     "q31_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
