@@ -149,6 +149,72 @@ object SparkEntry {
           (0 until 8).map(i =>
             element_at(col("feature"), i + 1).cast("double").as(s"f$i"))): _*)
     }),
+    // Streaming keyed latest-record dedup (mapGroupsWithState): the
+    // late-update handling the reference lacks. Update-mode sink may
+    // emit a key several times across batches; the terminal group-by
+    // max is the deterministic "current winner" view, hash-matched
+    // against a plain batch aggregate.
+    "q45_stream_latest_dedup" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, max}
+      val q = streaming.EventStreams
+        .latestByKey(streaming.EventStreams.readEvents(s, dir), "user_id", "ts")
+        .writeStream
+        .format("memory")
+        .queryName("q45_stream_latest_dedup_out")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("q45_stream_latest_dedup_out")
+        .groupBy(col("k"))
+        .agg(max(col("latest_ts")).as("latest_ts"))
+    }),
+    // Stream-stream interval join (purchases ⋈ errors within the
+    // preceding hour, watermark-bounded state). Inner-join emission is
+    // complete per batch, so the pair set hash-matches the batch twin.
+    "q46_stream_interval_join" -> ((s: SparkSession, dir: String) => {
+      val q = streaming.EventStreams
+        .purchaseErrorJoin(streaming.EventStreams.readEvents(s, dir))
+        .writeStream
+        .format("memory")
+        .queryName("q46_stream_interval_join_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("q46_stream_interval_join_out")
+    }),
+    // Stateful streaming sessionization (flatMapGroupsWithState,
+    // event-time timeout). Over a single AvailableNow data batch the
+    // emitted set is deterministic: sessions closed by a later event,
+    // plus trailing sessions whose 30-min timeout fired once the
+    // no-data batch advanced the watermark to max(ts) - 10 min. The
+    // oracle replays exactly that predicate over the batch
+    // sessionization (watermark/timeout are millisecond-precision).
+    "q47_stream_sessionize" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, round}
+      val q = streaming.EventStreams
+        .sessionize(streaming.EventStreams.readEvents(s, dir))
+        .toDF()
+        .writeStream
+        .format("memory")
+        .queryName("q47_stream_sessionize_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("q47_stream_sessionize_out")
+        .select(
+          col("user_id"),
+          col("session_start"),
+          col("session_end"),
+          col("n_events"),
+          round(col("sum_value"), 2).as("sum_value")
+        )
+    }),
+    // Multimodal frame sampling: payload-size-derived frame count,
+    // every strideth index at 24fps — pure sequence+explode.
+    "q48_frame_sample" -> (Multimodal.frameSample _),
     // DSv2 `jira` source (paginated stub-backed REST scan) → flatten:
     // the connector path of the same pipeline.
     "qj04_jira_source" -> ((s: SparkSession, _: String) =>
@@ -691,6 +757,60 @@ object SparkEntry {
          event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q45_stream_latest_dedup" ->
+      """SELECT CAST(user_id AS VARCHAR) AS k,
+         max(CAST(ts AS TIMESTAMP)) AS latest_ts
+         FROM events GROUP BY 1""",
+    "q46_stream_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                event_type FROM events)
+         SELECT p.event_id AS purchase_id, p.user_id,
+           p.ts AS p_ts, er.ts AS e_ts
+         FROM e p JOIN e er
+           ON p.event_type = 'purchase' AND er.event_type = 'error'
+           AND p.user_id = er.user_id
+           AND er.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts""",
+    // Batch sessionization restricted to what the stream emits: a
+    // session closed by a later event of the same user, or a trailing
+    // session whose event-time timeout (end + 30 min, ms precision)
+    // fell strictly below the final watermark (max ts - 10 min, ms).
+    "q47_stream_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                value FROM events),
+         l AS (SELECT e.*, lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM e),
+         f AS (SELECT l.*, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new FROM l),
+         sq AS (SELECT f.*, CAST(sum(is_new) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_seq FROM f),
+         sess AS (SELECT user_id, session_seq,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+           FROM sq GROUP BY 1, 2),
+         mx AS (SELECT max(ts) AS m FROM e),
+         marked AS (SELECT sess.*,
+             session_seq = max(session_seq) OVER (PARTITION BY user_id)
+               AS is_final
+           FROM sess)
+         SELECT user_id, session_start, session_end, n_events, sum_value
+         FROM marked, mx
+         WHERE NOT is_final
+            OR epoch_ms(session_end) + 1800000 < epoch_ms(m) - 600000""",
+    "q48_frame_sample" ->
+      """SELECT doc_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+         CAST((frame_idx * 1000) // 24 AS BIGINT) AS ts_ms
+         FROM (
+           SELECT doc_id, n_frames,
+             unnest(range(0, n_frames, greatest(1, n_frames // 8)))
+               AS frame_idx
+           FROM (SELECT doc_id,
+                   CAST(octet_length(encode(text)) % 240 + 1 AS INTEGER)
+                     AS n_frames
+                 FROM documents) a) b""",
     "q36_salted_join" ->
       """SELECT o_orderpriority,
          round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows

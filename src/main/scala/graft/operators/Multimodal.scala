@@ -81,4 +81,33 @@ object Multimodal {
     */
   def decodedDocuments(spark: SparkSession, dir: String): DataFrame =
     decodeAll(mediaFromDocuments(spark, dir)).toDF()
+
+  /** Frame sampling over a (stub) video payload: derive a
+    * deterministic frame count from the payload size, then emit every
+    * strideth frame index with its 24fps millisecond timestamp. The
+    * sampling itself is pure Catalyst (`sequence` + `explode`) — the
+    * per-frame decode these indices would feed stays behind the same
+    * partition-level stub as [[decodeAll]]. One narrow map + generate,
+    * no shuffle: at 100 TB this parallelizes per input split.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(spark, dir).toDF()
+    val withFrames = media
+      .select(
+        col("doc_id"),
+        (length(col("payload")) % 240 + lit(1)).cast("int").as("n_frames")
+      )
+      .withColumn(
+        "stride",
+        greatest(lit(1), (col("n_frames") / 8).cast("int"))
+      )
+    withFrames
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("stride")))
+          .as("frame_idx")
+      )
+      .withColumn("ts_ms", (col("frame_idx").cast("bigint") * 1000L / 24L).cast("bigint"))
+  }
 }

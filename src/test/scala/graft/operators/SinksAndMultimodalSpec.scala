@@ -104,4 +104,26 @@ class SinksAndMultimodalSpec extends AnyFunSuite {
       .collect()(0)
     assert(again == r)
   }
+
+  test("frame sampling: stride covers [0, n_frames) at 24fps timestamps") {
+    val frames = Multimodal.frameSample(spark, dir)
+    val forDoc = frames
+      .filter(col("doc_id") === 7)
+      .orderBy(col("frame_idx"))
+      .collect()
+    assert(forDoc.nonEmpty)
+    val n = forDoc.head.getAs[Int]("n_frames")
+    val idxs = forDoc.map(_.getAs[Int]("frame_idx")).toSeq
+    val stride = math.max(1, n / 8)
+    assert(idxs == (0 until n by stride))
+    // every frame index maps to floor(idx * 1000 / 24) ms
+    forDoc.foreach { r =>
+      assert(r.getAs[Long]("ts_ms") ==
+        r.getAs[Int]("frame_idx").toLong * 1000 / 24)
+    }
+    // a doc always yields at least one frame; worst case is
+    // n_frames=15 (stride still 1) → 15 samples
+    val counts = frames.groupBy("doc_id").count().collect()
+    assert(counts.forall(c => c.getLong(1) >= 1 && c.getLong(1) <= 15))
+  }
 }
