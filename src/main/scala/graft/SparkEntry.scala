@@ -71,18 +71,12 @@ object SparkEntry {
     // Structured Streaming twin of q27: same aggregation through the
     // file streaming source + memory sink, hash-matched against the
     // same DuckDB oracle — streaming and batch must agree.
-    "q32_stream_tumbling" -> ((s: SparkSession, dir: String) => {
-      val q = streaming.EventStreams
-        .windowedCounts(streaming.EventStreams.readEvents(s, dir))
-        .writeStream
-        .format("memory")
-        .queryName("q32_stream_tumbling_out")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(180000)
-      s.table("q32_stream_tumbling_out")
-    }),
+    "q32_stream_tumbling" -> ((s: SparkSession, dir: String) =>
+      streaming.EventStreams.runAvailableNow(
+        streaming.EventStreams
+          .windowedCounts(streaming.EventStreams.readEvents(s, dir)),
+        "q32_stream_tumbling_out",
+        "complete")),
     // Jira reference-parity pipeline over checked-in fixtures (raw
     // nested JSON → flatten → fan-out → stats). Not expressible as
     // DuckDB SQL over the sf tables → rows-only driver check; full
@@ -156,34 +150,24 @@ object SparkEntry {
     // against a plain batch aggregate.
     "q45_stream_latest_dedup" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, max}
-      val q = streaming.EventStreams
-        .latestByKey(streaming.EventStreams.readEvents(s, dir), "user_id", "ts")
-        .writeStream
-        .format("memory")
-        .queryName("q45_stream_latest_dedup_out")
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(180000)
-      s.table("q45_stream_latest_dedup_out")
+      streaming.EventStreams
+        .runAvailableNow(
+          streaming.EventStreams
+            .latestByKey(streaming.EventStreams.readEvents(s, dir), "user_id", "ts"),
+          "q45_stream_latest_dedup_out",
+          "update")
         .groupBy(col("k"))
         .agg(max(col("latest_ts")).as("latest_ts"))
     }),
     // Stream-stream interval join (purchases ⋈ errors within the
     // preceding hour, watermark-bounded state). Inner-join emission is
     // complete per batch, so the pair set hash-matches the batch twin.
-    "q46_stream_interval_join" -> ((s: SparkSession, dir: String) => {
-      val q = streaming.EventStreams
-        .purchaseErrorJoin(streaming.EventStreams.readEvents(s, dir))
-        .writeStream
-        .format("memory")
-        .queryName("q46_stream_interval_join_out")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(180000)
-      s.table("q46_stream_interval_join_out")
-    }),
+    "q46_stream_interval_join" -> ((s: SparkSession, dir: String) =>
+      streaming.EventStreams.runAvailableNow(
+        streaming.EventStreams
+          .purchaseErrorJoin(streaming.EventStreams.readEvents(s, dir)),
+        "q46_stream_interval_join_out",
+        "append")),
     // Stateful streaming sessionization (flatMapGroupsWithState,
     // event-time timeout). Over a single AvailableNow data batch the
     // emitted set is deterministic: sessions closed by a later event,
@@ -193,17 +177,13 @@ object SparkEntry {
     // sessionization (watermark/timeout are millisecond-precision).
     "q47_stream_sessionize" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, round}
-      val q = streaming.EventStreams
-        .sessionize(streaming.EventStreams.readEvents(s, dir))
-        .toDF()
-        .writeStream
-        .format("memory")
-        .queryName("q47_stream_sessionize_out")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(180000)
-      s.table("q47_stream_sessionize_out")
+      streaming.EventStreams
+        .runAvailableNow(
+          streaming.EventStreams
+            .sessionize(streaming.EventStreams.readEvents(s, dir))
+            .toDF(),
+          "q47_stream_sessionize_out",
+          "append")
         .select(
           col("user_id"),
           col("session_start"),
@@ -215,6 +195,11 @@ object SparkEntry {
     // Multimodal frame sampling: payload-size-derived frame count,
     // every strideth index at 24fps — pure sequence+explode.
     "q48_frame_sample" -> (Multimodal.frameSample _),
+    // Content-hash 80/10/10 split: shuffle-free, reproducible across
+    // engines and cluster layouts (unlike randomSplit).
+    "q49_train_test_split" -> (Sampling.trainTestSplit _),
+    // Curriculum deciles over the quality score (exact ntile).
+    "q50_quality_deciles" -> (Sampling.qualityDeciles _),
     // DSv2 `jira` source (paginated stub-backed REST scan) → flatten:
     // the connector path of the same pipeline.
     "qj04_jira_source" -> ((s: SparkSession, _: String) =>
@@ -757,6 +742,35 @@ object SparkEntry {
          event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q49_train_test_split" ->
+      """SELECT doc_id,
+         CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+           AS INTEGER) AS bucket,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+              THEN 'valid' ELSE 'test' END AS split
+         FROM documents""",
+    "q50_quality_deciles" ->
+      """WITH per_doc AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks,
+             round(0.5 * least(n_toks / 200.0, 1.0)
+                 + 0.4 * least(CASE WHEN n_toks = 0 THEN 0.0
+                     ELSE len(list_filter(
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END,
+                       w -> w IN ('the','a','an','and','or','of','to','in','is','it')
+                       ))::DOUBLE / n_toks END * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END * 10.0, 1.0)), 6) AS quality
+           FROM documents)
+         SELECT doc_id, quality,
+           CAST(ntile(10) OVER (ORDER BY quality DESC, doc_id)
+             AS INTEGER) AS decile
+         FROM per_doc""",
     "q45_stream_latest_dedup" ->
       """SELECT CAST(user_id AS VARCHAR) AS k,
          max(CAST(ts AS TIMESTAMP)) AS latest_ts

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for a training-data pipeline: stable
+  * train/valid/test splits and curriculum binning.
+  *
+  * Both are shuffle-light by design. The split is a pure per-row hash
+  * (no shuffle at all — at 100 TB it is a map over the scan, and the
+  * same document lands in the same split on every run, on any cluster
+  * layout, because the bucket is content-keyed rather than
+  * partition-keyed like `randomSplit`). The decile binning is one
+  * global sort — the only way to get exact quantile membership — and
+  * at scale would swap to `approxQuantile` boundaries + a broadcast
+  * range lookup, trading exactness for a sort-free plan.
+  */
+object Sampling {
+
+  /** Deterministic 60-bit bucket in [0, 100) from the key's md5 —
+    * infrastructure-independent, so splits are reproducible across
+    * engines (the DuckDB oracle computes the identical bucket).
+    */
+  private def hashBucket(key: org.apache.spark.sql.Column) =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+
+  /** q49: 80/10/10 train/valid/test split of the documents table,
+    * keyed on doc_id's md5.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        hashBucket(col("doc_id")).cast("int").as("bucket")
+      )
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test")
+      )
+
+  /** q50: curriculum deciles — ntile(10) over quality descending
+    * (doc_id tiebreak makes membership total-ordered and exact).
+    */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
+    TextAnalysis
+      .qualityScores(spark, dir)
+      .select(col("doc_id"), col("quality"))
+      .withColumn("decile", ntile(10).over(w))
+  }
+}

@@ -19,6 +19,42 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
+  /** Drain a streaming DataFrame to a named in-memory table with
+    * Trigger.AvailableNow and return that table.
+    *
+    * Stateful operators allocate one state store per shuffle
+    * partition (a stream-stream join allocates four); with tiny
+    * per-key state the store setup/commit dominates runtime, so the
+    * number of state partitions is sized to the load rather than
+    * inherited from the batch shuffle width. It is a start-time
+    * choice pinned into the checkpoint — production deployments with
+    * wide state raise `SPARK_GRAFT_STREAM_PARTITIONS`; the batch
+    * setting is restored once the stream drains.
+    */
+  def runAvailableNow(
+      df: DataFrame,
+      name: String,
+      mode: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val statePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
+    val batchShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", batchShuffle)
+    }
+    spark.table(name)
+  }
+
   /** Streaming read of the events table (file source — stands in for
     * any append-only stream; ts arrives as raw nanos, converted like
     * Tables.events).
