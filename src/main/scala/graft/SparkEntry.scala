@@ -200,6 +200,13 @@ object SparkEntry {
     "q49_train_test_split" -> (Sampling.trainTestSplit _),
     // Curriculum deciles over the quality score (exact ntile).
     "q50_quality_deciles" -> (Sampling.qualityDeciles _),
+    // Corpus vocabulary: top-1000 tokens by frequency.
+    "q51_vocab" -> (TextAnalysis.vocabulary _),
+    // Sentence chunking with 1-based index per document.
+    "q52_sentences" -> (TextAnalysis.sentences _),
+    // Greedy sequence packing into 2048-token context windows.
+    "q53_pack_windows" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.packWindows(s, dir)),
     // DSv2 `jira` source (paginated stub-backed REST scan) → flatten:
     // the connector path of the same pipeline.
     "qj04_jira_source" -> ((s: SparkSession, _: String) =>
@@ -742,6 +749,38 @@ object SparkEntry {
          event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "q51_vocab" ->
+      """WITH t AS (
+           SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+           FROM documents),
+         c AS (SELECT token, count(*) AS n FROM t GROUP BY 1)
+         SELECT token, n,
+           CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS INTEGER)
+             AS rank
+         FROM c ORDER BY n DESC, token ASC LIMIT 1000""",
+    "q52_sentences" ->
+      """SELECT doc_id, CAST(s.i AS INTEGER) AS sent_idx, s.v AS sentence
+         FROM (SELECT doc_id,
+                 unnest(list_transform(range(len(l)),
+                   i -> {'i': i + 1, 'v': l[i + 1]})) AS s
+               FROM (SELECT doc_id,
+                       regexp_split_to_array(trim(text), '[.!?]+\s+') AS l
+                     FROM documents) d) u""",
+    "q53_pack_windows" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT d.*, CAST(sum(n_tokens) OVER
+                 (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens FROM d)
+         SELECT doc_id, lang, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 2048 AS window_id
+         FROM c""",
     "q49_train_test_split" ->
       """SELECT doc_id,
          CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100

@@ -141,4 +141,67 @@ object TextAnalysis {
       round(col("n_docs") * 100.0 / sum(col("n_docs")).over(Window.partitionBy()), 1)
     )
   }
+
+  /** q51: corpus vocabulary — top-1000 tokens by frequency (BPE/
+    * tokenizer-seeding pass). One explode + hash aggregate, then a
+    * top-k (`TakeOrderedAndProject`, no global sort materialization):
+    * the plan a 100 TB corpus wants — partial counts map-side, k rows
+    * to the driver.
+    */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(1000)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+      )
+
+  /** q52: sentence chunking — split on terminal punctuation + space,
+    * one row per sentence with its 1-based index. The chunking pass
+    * that precedes context-window assembly; narrow (no shuffle).
+    */
+  def sentences(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        posexplode(split(trim(col("text")), "[.!?]+\\s+"))
+          .as(Seq("idx", "sentence"))
+      )
+      .select(
+        col("doc_id"),
+        (col("idx") + 1).as("sent_idx"),
+        col("sentence")
+      )
+
+  /** q53: sequence packing — assign docs to fixed token-budget
+    * context windows, greedy by doc_id within language. The window id
+    * is floor(start_offset / budget) over the per-lang running token
+    * count: deterministic, one shuffle on lang, and each window's
+    * docs are contiguous — the layout a packed-pretraining writer
+    * needs.
+    */
+  def packWindows(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val byLang = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tokens")
+      )
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(byLang))
+      .withColumn(
+        "window_id",
+        ((col("cum_tokens") - col("n_tokens")) / budget).cast("long")
+      )
+  }
 }
