@@ -65,6 +65,33 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("round-2 narrow ops are shuffle-free map stages") {
+    for (q <- Seq("q48_frame_sample", "q49_train_test_split",
+        "q52_sentences")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle")
+    }
+  }
+
+  test("q51: vocabulary top-k avoids a global sort") {
+    val p = plan("q51_vocab")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q53: packing shuffles once, on lang, with no range partitioning") {
+    val p = plan("q53_pack_windows")
+    assert(p.contains("hashpartitioning(lang"))
+    assert(!p.contains("rangepartitioning"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "single shuffle reused by the window")
+  }
+
+  test("q33: decode scan prunes to doc_id + text") {
+    val p = plan("q33_multimodal_decode")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
