@@ -207,6 +207,25 @@ object SparkEntry {
     // Greedy sequence packing into 2048-token context windows.
     "q53_pack_windows" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.packWindows(s, dir)),
+    // The reference flatten itself, hash-matched end-to-end: the
+    // oracle re-derives every scalar flatten column in DuckDB SQL
+    // directly from the same raw fixture JSONL (read_json with the
+    // explicit schema), including clean_text collapse, truncation
+    // caps, null-object row drop, user coalesce, and the
+    // empty-after-clean comment filter behind comment_count.
+    "q54_jira_flatten_sql" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.col
+      jira.JiraFlatten
+        .flatten(
+          jira.JiraPipeline.readRaw(
+            s, s"${jira.JiraPipeline.FixtureDir}/raw_issues_TEST.jsonl"),
+          "TEST")
+        .select(
+          Seq("issue_key", "issue_id", "project", "url", "title",
+            "description", "status", "priority", "issue_type", "reporter",
+            "assignee", "created", "updated", "resolved", "comment_count")
+            .map(col): _*)
+    }),
     // DSv2 `jira` source (paginated stub-backed REST scan) → flatten:
     // the connector path of the same pipeline.
     "qj04_jira_source" -> ((s: SparkSession, _: String) =>
@@ -749,6 +768,72 @@ object SparkEntry {
          event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // clean_text = trim ∘ collapse-\s+ (the F1 semantics); reused for
+    // title/description/comment bodies below.
+    "q54_jira_flatten_sql" -> {
+      def clean(e: String): String =
+        s"trim(regexp_replace(COALESCE($e, ''), '\\s+', ' ', 'g'))"
+      val desc = clean("fields.description")
+      s"""WITH raw AS (
+           SELECT * FROM read_json(
+             '/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl',
+             format='newline_delimited', columns={
+               'key': 'VARCHAR', 'id': 'VARCHAR',
+               'fields': 'STRUCT(
+                  summary VARCHAR, description VARCHAR,
+                  status STRUCT(name VARCHAR),
+                  priority STRUCT(name VARCHAR),
+                  issuetype STRUCT(name VARCHAR),
+                  reporter STRUCT(displayName VARCHAR, name VARCHAR),
+                  assignee STRUCT(displayName VARCHAR, name VARCHAR),
+                  created VARCHAR, updated VARCHAR,
+                  resolutiondate VARCHAR,
+                  labels VARCHAR[],
+                  components STRUCT(name VARCHAR)[],
+                  versions STRUCT(name VARCHAR)[],
+                  fixVersions STRUCT(name VARCHAR)[],
+                  comment STRUCT(comments STRUCT(
+                    author STRUCT(displayName VARCHAR, name VARCHAR),
+                    created VARCHAR, body VARCHAR)[])
+               )'})),
+         f AS (
+           SELECT key, id, fields FROM raw
+           WHERE fields.status IS NOT NULL
+             AND fields.priority IS NOT NULL
+             AND fields.issuetype IS NOT NULL),
+         c AS (
+           SELECT key, id, fields,
+             list_filter(
+               list_transform(fields.comment.comments,
+                 x -> ${clean("x.body")}),
+               b -> length(b) > 0) AS clean_bodies
+           FROM f)
+         SELECT
+           COALESCE(key, '') AS issue_key,
+           COALESCE(id, '') AS issue_id,
+           'TEST' AS project,
+           'https://issues.apache.org/jira/browse/' || COALESCE(key, '')
+             AS url,
+           ${clean("fields.summary")} AS title,
+           CASE WHEN length($desc) > 20000
+                THEN substr($desc, 1, 20000) || '...'
+                ELSE $desc END AS description,
+           COALESCE(fields.status.name, 'Unknown') AS status,
+           COALESCE(fields.priority.name, 'Unknown') AS priority,
+           COALESCE(fields.issuetype.name, 'Unknown') AS issue_type,
+           CASE WHEN fields.reporter IS NULL THEN 'Unknown'
+                ELSE COALESCE(fields.reporter.displayName,
+                       fields.reporter.name, 'Unknown') END AS reporter,
+           CASE WHEN fields.assignee IS NULL THEN 'Unknown'
+                ELSE COALESCE(fields.assignee.displayName,
+                       fields.assignee.name, 'Unknown') END AS assignee,
+           COALESCE(fields.created, '') AS created,
+           COALESCE(fields.updated, '') AS updated,
+           COALESCE(fields.resolutiondate, '') AS resolved,
+           CAST(COALESCE(len(clean_bodies), 0) AS INTEGER)
+             AS comment_count
+         FROM c"""
+    },
     "q51_vocab" ->
       """WITH t AS (
            SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
