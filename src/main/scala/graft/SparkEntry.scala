@@ -207,6 +207,20 @@ object SparkEntry {
     // Greedy sequence packing into 2048-token context windows.
     "q53_pack_windows" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.packWindows(s, dir)),
+    // The reference transform_issue fan-out, hash-matched against a
+    // full SQL replay of G1-G5 over the same raw fixture (metadata
+    // struct excluded — scalar columns only).
+    "q55_jira_fanout_sql" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.col
+      jira.JiraGenerators
+        .generate(jira.JiraFlatten.flatten(
+          jira.JiraPipeline.readRaw(
+            s, s"${jira.JiraPipeline.FixtureDir}/raw_issues_TEST.jsonl"),
+          "TEST"))
+        .select(
+          Seq("issue_key", "created", "task_rank", "task_type",
+            "instruction", "input", "output").map(col): _*)
+    }),
     // The reference flatten itself, hash-matched end-to-end: the
     // oracle re-derives every scalar flatten column in DuckDB SQL
     // directly from the same raw fixture JSONL (read_json with the
@@ -768,6 +782,113 @@ object SparkEntry {
          event_type, count(*) AS n_events,
          round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    // The five G1-G5 generators (the reference's transform_issue)
+    // replayed in DuckDB SQL from the raw fixture: guards, slices,
+    // templating, comment joins, and the per-issue emission order —
+    // proven equal to the executed-reference golden, and here
+    // hash-matched against the Catalyst column form.
+    "q55_jira_fanout_sql" ->
+      """WITH raw AS (
+           SELECT * FROM read_json(
+             '/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl',
+             format='newline_delimited', columns={
+               'key': 'VARCHAR', 'id': 'VARCHAR',
+               'fields': 'STRUCT(summary VARCHAR, description VARCHAR,
+                  status STRUCT(name VARCHAR),
+                  priority STRUCT(name VARCHAR),
+                  issuetype STRUCT(name VARCHAR),
+                  reporter STRUCT(displayName VARCHAR, name VARCHAR),
+                  assignee STRUCT(displayName VARCHAR, name VARCHAR),
+                  created VARCHAR, updated VARCHAR,
+                  resolutiondate VARCHAR,
+                  labels VARCHAR[], components STRUCT(name VARCHAR)[],
+                  versions STRUCT(name VARCHAR)[],
+                  fixVersions STRUCT(name VARCHAR)[],
+                  comment STRUCT(comments STRUCT(
+                    author STRUCT(displayName VARCHAR, name VARCHAR),
+                    created VARCHAR, body VARCHAR)[]))'})),
+         fl AS (
+           SELECT
+             COALESCE(key, '') AS issue_key,
+             COALESCE(fields.created, '') AS created,
+             trim(regexp_replace(COALESCE(fields.summary, ''), '\s+', ' ', 'g')) AS title,
+             CASE WHEN length(trim(regexp_replace(COALESCE(fields.description, ''), '\s+', ' ', 'g'))) > 20000
+                  THEN substr(trim(regexp_replace(COALESCE(fields.description, ''), '\s+', ' ', 'g')), 1, 20000) || '...'
+                  ELSE trim(regexp_replace(COALESCE(fields.description, ''), '\s+', ' ', 'g')) END AS d,
+             COALESCE(fields.status.name, 'Unknown') AS status,
+             COALESCE(fields.priority.name, 'Unknown') AS priority,
+             COALESCE(fields.issuetype.name, 'Unknown') AS issue_type,
+             CASE WHEN fields.assignee IS NULL THEN 'Unknown'
+                  ELSE COALESCE(fields.assignee.displayName,
+                         fields.assignee.name, 'Unknown') END AS assignee,
+             COALESCE(list_filter(
+               list_transform(fields.comment.comments,
+                 x -> trim(regexp_replace(COALESCE(x.body, ''), '\s+', ' ', 'g'))),
+               b -> length(b) > 0), []::VARCHAR[]) AS cb
+           FROM raw
+           WHERE fields.status IS NOT NULL AND fields.priority IS NOT NULL
+             AND fields.issuetype IS NOT NULL),
+         ex AS (
+           SELECT issue_key, created,
+             list_filter([
+               CASE WHEN d <> '' OR len(cb) > 0 THEN {
+                 't': 'summarization',
+                 'ins': 'Summarize the following software issue and its discussion:',
+                 'inp': array_to_string(list_filter([
+                     CASE WHEN d <> '' THEN 'Description: ' || d END,
+                     CASE WHEN len(cb) >= 1 THEN 'Comment 1: ' || cb[1] END,
+                     CASE WHEN len(cb) >= 2 THEN 'Comment 2: ' || cb[2] END,
+                     CASE WHEN len(cb) >= 3 THEN 'Comment 3: ' || cb[3] END
+                   ], p -> p IS NOT NULL), chr(10) || chr(10)),
+                 'out': title || ' (Status: ' || status || ', Priority: ' || priority || ')'} END,
+               CASE WHEN title <> '' AND priority <> '' THEN {
+                 't': 'classification',
+                 'ins': 'Classify the priority of this software issue (Blocker, Critical, Major, Minor, Trivial):',
+                 'inp': 'Title: ' || title || chr(10) ||
+                        CASE WHEN d <> '' THEN 'Description: ' || substr(d, 1, 500) ELSE '' END,
+                 'out': priority} END,
+               CASE WHEN title <> '' AND status <> '' THEN {
+                 't': 'status_prediction',
+                 'ins': 'Predict the current status of this software issue:',
+                 'inp': 'Issue: ' || title || chr(10) || 'Type: ' || issue_type || chr(10) ||
+                        'Priority: ' || priority || chr(10) ||
+                        CASE WHEN d <> '' THEN 'Description: ' || substr(d, 1, 500) ELSE '' END,
+                 'out': status} END,
+               {'t': 'question_answering',
+                'ins': 'Answer the following question about this software issue:',
+                'inp': 'Issue Key: ' || issue_key || chr(10) || 'Title: ' || title ||
+                       chr(10) || 'Description: ' || d || chr(10) || chr(10) ||
+                       'Question: What is this issue about?',
+                'out': title},
+               {'t': 'question_answering',
+                'ins': 'Answer the following question about this software issue:',
+                'inp': 'Issue Key: ' || issue_key || chr(10) || 'Title: ' || title ||
+                       chr(10) || chr(10) || 'Question: What is the current status of this issue?',
+                'out': status},
+               CASE WHEN assignee <> '' AND assignee <> 'Unknown' THEN {
+                 't': 'question_answering',
+                 'ins': 'Answer the following question about this software issue:',
+                 'inp': 'Issue Key: ' || issue_key || chr(10) || 'Title: ' || title ||
+                        chr(10) || chr(10) || 'Question: Who is assigned to this issue?',
+                 'out': assignee} END,
+               CASE WHEN len(cb) > 0 AND status IN ('Resolved', 'Closed') THEN {
+                 't': 'issue_resolution',
+                 'ins': 'Based on the issue discussion, explain how this issue was resolved:',
+                 'inp': 'Issue: ' || title || chr(10) ||
+                        CASE WHEN d <> '' THEN 'Description: ' || substr(d, 1, 500) || chr(10) ELSE '' END ||
+                        chr(10) || 'How was this issue resolved?',
+                 'out': substr(array_to_string(
+                          CASE WHEN len(cb) >= 2 THEN [cb[len(cb)-1], cb[len(cb)]] ELSE cb END,
+                          chr(10)), 1, 500)} END
+             ], e -> e IS NOT NULL) AS exs
+           FROM fl)
+         SELECT issue_key, created, CAST(s.i AS INTEGER) AS task_rank,
+           s.e.t AS task_type, s.e.ins AS instruction,
+           s.e.inp AS input, s.e.out AS output
+         FROM (SELECT issue_key, created,
+                 unnest(list_transform(range(len(exs)),
+                   i -> {'i': i, 'e': exs[i+1]})) AS s
+               FROM ex) u""",
     // clean_text = trim ∘ collapse-\s+ (the F1 semantics); reused for
     // title/description/comment bodies below.
     "q54_jira_flatten_sql" -> {
