@@ -207,6 +207,18 @@ object SparkEntry {
     // Greedy sequence packing into 2048-token context windows.
     "q53_pack_windows" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.packWindows(s, dir)),
+    // Per-project task-type distribution as exploded rows — the
+    // scalar (oracle-checkable) form of the qj03 stats maps.
+    "q56_jira_stats_sql" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      jira.JiraPipeline
+        .corpus(s, jira.JiraPipeline.fixtureProjects)
+        .groupBy(col("metadata.project").as("project"), col("task_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // Aspect-fit thumbnail dims over the stub decode (longest edge →
+    // 256, floor math).
+    "q57_resize_dims" -> (Multimodal.resizeDims _),
     // The reference transform_issue fan-out, hash-matched against a
     // full SQL replay of G1-G5 over the same raw fixture (metadata
     // struct excluded — scalar columns only).
@@ -260,6 +272,47 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))" +
       s" / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))" +
       s" * sqrt(list_sum(list_transform($b, x -> x::DOUBLE * x::DOUBLE))))"
+
+  /** FakeDecoder's rolling hash in DuckDB: h = h*31 + byte over the
+    * UTF-8 payload with 64-bit signed wraparound (HUGEINT mod 2^64
+    * recentred to signed), then floorMod-derived width/height.
+    * Shared by the q33 decode and q57 resize oracles.
+    */
+  private val two64 = "18446744073709551616::HUGEINT"
+
+  /** Floor division of the signed hash by 2^k (arithmetic shift). */
+  private def shr(k: Int): String = {
+    val d = s"${1L << k}::HUGEINT"
+    if (k == 0) "sv" else s"((sv - (((sv % $d) + $d) % $d)) // $d)"
+  }
+
+  private def fmod(e: String, m: Long): String =
+    s"((($e % $m::HUGEINT) + $m::HUGEINT) % $m::HUGEINT)"
+
+  private def decodeCtes: String =
+    s"""WITH b AS (
+         SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           hex(encode(text)) AS hx
+         FROM documents),
+       h AS (
+         SELECT doc_id, n_bytes,
+           list_reduce(
+             list_prepend(1125899906842597::HUGEINT,
+               list_transform(range(n_bytes),
+                 i -> ('0x' || substr(hx, (i*2+1)::INT, 2))::BIGINT::HUGEINT)),
+             (a, c) -> (a * 31 + c) % $two64) AS u
+         FROM b),
+       s AS (
+         SELECT doc_id, n_bytes,
+           CASE WHEN u >= 9223372036854775808::HUGEINT
+                THEN u - $two64 ELSE u END AS sv
+         FROM h),
+       dims AS (
+         SELECT doc_id, n_bytes, sv,
+           320 + CAST(${fmod("sv", 1600L)} AS INTEGER) AS width,
+           240 + CAST(${fmod(shr(16), 840L)} AS INTEGER) AS height
+         FROM s)"""
 
   /** Shared oracle CTE: distinct 3-gram shingle sets for doc_id<500. */
   private val shinglesCte: String =
@@ -1106,50 +1159,80 @@ object SparkEntry {
          UNION ALL
          SELECT 'l_orderkey', n_rows, okey_min, okey_max,
            okey_distinct, okey_nulls FROM a""",
-    // FakeDecoder reimplemented in SQL: rolling hash h = h*31 + byte
-    // over the UTF-8 payload with 64-bit signed wraparound (HUGEINT
-    // arithmetic mod 2^64, then recentred to signed), floorMod-derived
-    // dimensions, and float32 division for the feature values —
-    // bit-exact against the Scala stub.
+    // FakeDecoder reimplemented in SQL (see decodeCtes), with float32
+    // division for the feature values — bit-exact vs the Scala stub.
     "q33_multimodal_decode" -> {
-      val two64 = "18446744073709551616::HUGEINT"
-      // floor division of the signed hash by 2^k (arithmetic shift)
-      def shr(k: Int): String = {
-        val d = s"${1L << k}::HUGEINT"
-        if (k == 0) "sv" else s"((sv - (((sv % $d) + $d) % $d)) // $d)"
-      }
-      def fmod(e: String, m: Long): String =
-        s"((($e % $m::HUGEINT) + $m::HUGEINT) % $m::HUGEINT)"
       val feats = (0 until 8)
         .map(i =>
           s"(CAST(${fmod(shr(i * 7), 1000L)} AS BIGINT)::FLOAT" +
             s" / 1000::FLOAT)::DOUBLE AS f$i")
         .mkString(", ")
-      s"""WITH b AS (
-           SELECT doc_id,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             hex(encode(text)) AS hx
-           FROM documents),
-         h AS (
-           SELECT doc_id, n_bytes,
-             list_reduce(
-               list_prepend(1125899906842597::HUGEINT,
-                 list_transform(range(n_bytes),
-                   i -> ('0x' || substr(hx, (i*2+1)::INT, 2))::BIGINT::HUGEINT)),
-               (a, c) -> (a * 31 + c) % $two64) AS u
-           FROM b),
-         s AS (
-           SELECT doc_id, n_bytes,
-             CASE WHEN u >= 9223372036854775808::HUGEINT
-                  THEN u - $two64 ELSE u END AS sv
-           FROM h)
-         SELECT doc_id, n_bytes,
-           320 + CAST(${fmod("sv", 1600L)} AS INTEGER) AS width,
-           240 + CAST(${fmod(shr(16), 840L)} AS INTEGER) AS height,
+      s"""$decodeCtes
+         SELECT doc_id, n_bytes, width, height,
            CAST(3 AS INTEGER) AS channels,
            $feats
-         FROM s"""
+         FROM dims"""
     },
+    "q57_resize_dims" ->
+      s"""$decodeCtes
+         SELECT doc_id, width, height,
+           CAST((width * 256) // greatest(width, height) AS INTEGER)
+             AS out_w,
+           CAST((height * 256) // greatest(width, height) AS INTEGER)
+             AS out_h
+         FROM dims""",
+    "q56_jira_stats_sql" ->
+      """WITH raw AS (
+           SELECT *, regexp_extract(filename, 'raw_issues_(\w+)\.jsonl', 1)
+             AS project
+           FROM read_json(
+             ['/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl',
+              '/root/repo/src/test/resources/jira/raw_issues_TEST2.jsonl'],
+             format='newline_delimited', filename=true, columns={
+               'key': 'VARCHAR', 'id': 'VARCHAR',
+               'fields': 'STRUCT(summary VARCHAR, description VARCHAR,
+                  status STRUCT(name VARCHAR),
+                  priority STRUCT(name VARCHAR),
+                  issuetype STRUCT(name VARCHAR),
+                  reporter STRUCT(displayName VARCHAR, name VARCHAR),
+                  assignee STRUCT(displayName VARCHAR, name VARCHAR),
+                  created VARCHAR, updated VARCHAR,
+                  resolutiondate VARCHAR,
+                  labels VARCHAR[], components STRUCT(name VARCHAR)[],
+                  versions STRUCT(name VARCHAR)[],
+                  fixVersions STRUCT(name VARCHAR)[],
+                  comment STRUCT(comments STRUCT(
+                    author STRUCT(displayName VARCHAR, name VARCHAR),
+                    created VARCHAR, body VARCHAR)[]))'})),
+         fl AS (
+           SELECT project,
+             trim(regexp_replace(COALESCE(fields.summary, ''), '\s+', ' ', 'g')) AS title,
+             trim(regexp_replace(COALESCE(fields.description, ''), '\s+', ' ', 'g')) AS d,
+             COALESCE(fields.status.name, 'Unknown') AS status,
+             COALESCE(fields.priority.name, 'Unknown') AS priority,
+             CASE WHEN fields.assignee IS NULL THEN 'Unknown'
+                  ELSE COALESCE(fields.assignee.displayName,
+                         fields.assignee.name, 'Unknown') END AS assignee,
+             COALESCE(list_filter(
+               list_transform(fields.comment.comments,
+                 x -> trim(regexp_replace(COALESCE(x.body, ''), '\s+', ' ', 'g'))),
+               b -> length(b) > 0), []::VARCHAR[]) AS cb
+           FROM raw
+           WHERE fields.status IS NOT NULL AND fields.priority IS NOT NULL
+             AND fields.issuetype IS NOT NULL),
+         t AS (
+           SELECT project, unnest(list_filter([
+               CASE WHEN d <> '' OR len(cb) > 0 THEN 'summarization' END,
+               CASE WHEN title <> '' AND priority <> '' THEN 'classification' END,
+               CASE WHEN title <> '' AND status <> '' THEN 'status_prediction' END,
+               'question_answering', 'question_answering',
+               CASE WHEN assignee <> '' AND assignee <> 'Unknown'
+                    THEN 'question_answering' END,
+               CASE WHEN len(cb) > 0 AND status IN ('Resolved', 'Closed')
+                    THEN 'issue_resolution' END
+             ], x -> x IS NOT NULL)) AS task_type
+           FROM fl)
+         SELECT project, task_type, count(*) AS n FROM t GROUP BY 1, 2""",
     "q31_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -82,6 +82,23 @@ object Multimodal {
   def decodedDocuments(spark: SparkSession, dir: String): DataFrame =
     decodeAll(mediaFromDocuments(spark, dir)).toDF()
 
+  /** Aspect-fit thumbnail dimensions for the decoded (stub) images:
+    * longest edge scaled to 256, integer math (floor), aspect ratio
+    * preserved. The arithmetic that would parameterize a real resize
+    * kernel; narrow map over the decode, no shuffle.
+    */
+  def resizeDims(spark: SparkSession, dir: String): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    decodedDocuments(spark, dir)
+      .select(
+        col("doc_id"),
+        col("width"),
+        col("height"),
+        (col("width") * 256 / longest).cast("int").as("out_w"),
+        (col("height") * 256 / longest).cast("int").as("out_h")
+      )
+  }
+
   /** Frame sampling over a (stub) video payload: derive a
     * deterministic frame count from the payload size, then emit every
     * strideth frame index with its 24fps millisecond timestamp. The
