@@ -13,9 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
   *
   * This is the cluster-deployment path (no per-session registration
-  * calls): `vec_dot` (codegen'd float-vector dot product) and
-  * `jira_tasks` (the LATERAL VIEW fan-out generator) become available
-  * in plain SQL everywhere.
+  * calls): `vec_dot` (codegen'd float-vector dot product),
+  * `vec_cosine` (cosine similarity composed from it, same
+  * left-to-right double accumulation the oracles mirror),
+  * `rolling_hash` (codegen'd document fingerprint), and `jira_tasks`
+  * (the LATERAL VIEW fan-out generator) become available in plain SQL
+  * everywhere.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -30,6 +33,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, "vec_dot(arrayA, arrayB)")
           functions.VectorDot(exprs(0), exprs(1))
+        }
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("vec_cosine"),
+        info("vec_cosine", "vec_cosine(a, b) - cosine similarity of float arrays"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "vec_cosine(arrayA, arrayB)")
+          import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+          val (a, b) = (exprs(0), exprs(1))
+          Divide(
+            functions.VectorDot(a, b),
+            Multiply(
+              Sqrt(functions.VectorDot(a, a)),
+              Sqrt(functions.VectorDot(b, b))
+            )
+          )
+        }
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("rolling_hash"),
+        info("rolling_hash", "rolling_hash(s) - 64-bit rolling document fingerprint"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, "rolling_hash(str)")
+          functions.RollingHash(exprs.head)
         }
       )
     )

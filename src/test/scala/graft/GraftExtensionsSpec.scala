@@ -10,6 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("withExtensions(GraftExtensions) exposes vec_dot and jira_tasks") {
+    // extensions are applied only at session creation — drop any
+    // session a previous suite left active so getOrCreate builds a
+    // fresh one with the full injected-function set
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession
       .builder()
       .master("local[2]")
@@ -25,6 +30,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
         .getDouble(0)
       assert(d == 6.0)
+      val cos = spark
+        .sql(
+          """SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+                               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c"""
+        )
+        .collect()(0)
+        .getDouble(0)
+      assert(cos == 1.0)
+      val rh = spark
+        .sql("SELECT rolling_hash('abc') AS h")
+        .collect()(0)
+        .getLong(0)
+      // ((0*31+97)*31+98)*31+99 mod 1e9+7
+      assert(rh == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
       val flat = jira.JiraFlatten.flatten(
         jira.JiraPipeline.readRaw(
           spark,
