@@ -207,6 +207,22 @@ object SparkEntry {
     // Greedy sequence packing into 2048-token context windows.
     "q53_pack_windows" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.packWindows(s, dir)),
+    // KMV distinct-count sketch (custom typed Aggregator) — exactly
+    // replayable in SQL, unlike HLL: estimate per return flag over
+    // 60-bit md5 order-key hashes, alongside the true distinct count.
+    "q58_kmv_distinct" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions._
+      val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      Tables
+        .lineitem(s, dir)
+        .select(col("l_returnflag"), h.as("h"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.KmvSketch.kmvDistinct(col("h")).as("kmv_estimate"),
+          countDistinct(col("h")).as("n_exact")
+        )
+    }),
     // Per-project task-type distribution as exploded rows — the
     // scalar (oracle-checkable) form of the qj03 stats maps.
     "q56_jira_stats_sql" -> ((s: SparkSession, _: String) => {
@@ -1173,6 +1189,24 @@ object SparkEntry {
            $feats
          FROM dims"""
     },
+    "q58_kmv_distinct" ->
+      """WITH h AS (
+           SELECT DISTINCT l_returnflag,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+               AS h
+           FROM lineitem),
+         r AS (
+           SELECT l_returnflag, h,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk,
+             count(*) OVER (PARTITION BY l_returnflag) AS nd
+           FROM h)
+         SELECT l_returnflag,
+           CASE WHEN any_value(nd) < 256 THEN any_value(nd)::DOUBLE
+                ELSE 255::DOUBLE * 1152921504606846976::DOUBLE
+                     / max(CASE WHEN rk = 256 THEN h END)::DOUBLE END
+             AS kmv_estimate,
+           CAST(any_value(nd) AS BIGINT) AS n_exact
+         FROM r GROUP BY l_returnflag""",
     "q57_resize_dims" ->
       s"""$decodeCtes
          SELECT doc_id, width, height,

@@ -34,4 +34,32 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(d - exact) / exact < 0.10)
     assert(math.abs(p1 - exact) / exact < 0.05)
   }
+
+  test("KMV sketch: exact below k, inside ~2/sqrt(k) above, merge-stable") {
+    import graft.functions.KmvSketch
+    // below k the sketch is exact
+    val small = (1L to 100L).foldLeft(KmvSketch.zero)(KmvSketch.reduce)
+    assert(KmvSketch.finish(small) == 100.0)
+    // duplicates don't inflate
+    val dup = (1L to 100L).foldLeft(small)(KmvSketch.reduce)
+    assert(KmvSketch.finish(dup) == 100.0)
+    // above k: estimate within ~2/sqrt(k) relative error for a
+    // deterministic well-spread hash stream
+    val n = 50000
+    val hashes = (1 to n).map { i =>
+      var h = i.toLong * 0x9e3779b97f4a7c15L
+      h ^= (h >>> 32); (h & ((1L << 60) - 1))
+    }
+    val full = hashes.foldLeft(KmvSketch.zero)(KmvSketch.reduce)
+    val est = KmvSketch.finish(full)
+    assert(math.abs(est - n) / n < 2.0 / math.sqrt(KmvSketch.K.toDouble))
+    // merge of a split stream equals the sequential sketch
+    val (l, r2) = hashes.splitAt(n / 3)
+    val merged = KmvSketch.merge(
+      l.foldLeft(KmvSketch.zero)(KmvSketch.reduce),
+      r2.foldLeft(KmvSketch.zero)(KmvSketch.reduce)
+    )
+    assert(KmvSketch.finish(merged) == est)
+    assert(merged.toSeq == full.toSeq)
+  }
 }
