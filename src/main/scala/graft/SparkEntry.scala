@@ -207,6 +207,11 @@ object SparkEntry {
     // Greedy sequence packing into 2048-token context windows.
     "q53_pack_windows" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.packWindows(s, dir)),
+    // PII scrubbing: email/phone redaction with per-doc counts.
+    "q59_redact_pii" -> (TextAnalysis.redactPii _),
+    // Gopher-style repetition filters: duplicate token/bigram
+    // fractions and the keep/drop flag.
+    "q60_repetition" -> (TextAnalysis.repetitionStats _),
     // KMV distinct-count sketch (custom typed Aggregator) — exactly
     // replayable in SQL, unlike HLL: estimate per return flag over
     // 60-bit md5 order-key hashes, alongside the true distinct count.
@@ -1189,6 +1194,43 @@ object SparkEntry {
            $feats
          FROM dims"""
     },
+    "q59_redact_pii" ->
+      """SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+             '<EMAIL>', 'g'),
+           '\b\d{3}[- .]\d{3}[- .]\d{4}\b', '<PHONE>', 'g') AS redacted,
+         CAST(len(regexp_extract_all(text,
+           '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text,
+           '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS BIGINT) AS n_phones
+         FROM documents""",
+    "q60_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, toks,
+             list_transform(range(len(toks) - 1),
+               i -> toks[i+1] || ' ' || toks[i+2]) AS bg
+           FROM t),
+         fr AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                   END, 6) AS dup_token_frac,
+             round(CASE WHEN len(bg) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+                   END, 6) AS dup_bigram_frac
+           FROM b)
+         SELECT fr.*,
+           dup_token_frac <= 0.7 AND dup_bigram_frac <= 0.5 AS keep
+         FROM fr""",
     "q58_kmv_distinct" ->
       """WITH h AS (
            SELECT DISTINCT l_returnflag,

@@ -179,6 +179,66 @@ object TextAnalysis {
         col("sentence")
       )
 
+  /** q59: PII scrubbing — redact email addresses and phone-shaped
+    * numbers (RE2-compatible patterns so the SQL oracle matches),
+    * with per-doc redaction counts. Narrow map, no shuffle.
+    */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b"
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), emailRe, "<EMAIL>"),
+          phoneRe,
+          "<PHONE>"
+        ).as("redacted"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long")
+          .as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0)))
+          .cast("long")
+          .as("n_phones")
+      )
+  }
+
+  /** q60: repetition-based quality flags (the Gopher-style filters a
+    * pretraining pipeline applies): duplicate-token and duplicate-
+    * bigram fractions per document, and the resulting keep/drop flag.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val bigrams = filter(
+      transform(t, (w, i) =>
+        when(i < size(t) - 1,
+          concat(w, lit(" "), element_at(t, i + 2)))),
+      b => b.isNotNull
+    )
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        round(
+          when(size(t) === 0, 0.0).otherwise(
+            lit(1.0) - size(array_distinct(t)).cast("double") / size(t)),
+          6
+        ).as("dup_token_frac"),
+        round(
+          when(size(bigrams) === 0, 0.0).otherwise(
+            lit(1.0) -
+              size(array_distinct(bigrams)).cast("double") / size(bigrams)),
+          6
+        ).as("dup_bigram_frac")
+      )
+      .withColumn(
+        "keep",
+        col("dup_token_frac") <= 0.7 && col("dup_bigram_frac") <= 0.5
+      )
+  }
+
   /** q53: sequence packing — assign docs to fixed token-budget
     * context windows, greedy by doc_id within language. The window id
     * is floor(start_offset / budget) over the per-lang running token
