@@ -207,6 +207,10 @@ object SparkEntry {
     // Greedy sequence packing into 2048-token context windows.
     "q53_pack_windows" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.packWindows(s, dir)),
+    // Full outer join reconciliation (nulls survive on both sides).
+    "q61_full_outer" -> (Relational.fullOuterReconciliation _),
+    // The pivot API with explicit values (no distinct pre-query).
+    "q62_pivot_api" -> (Relational.statusPivotApi _),
     // PII scrubbing: email/phone redaction with per-doc counts.
     "q59_redact_pii" -> (TextAnalysis.redactPii _),
     // Gopher-style repetition filters: duplicate token/bigram
@@ -1194,6 +1198,23 @@ object SparkEntry {
            $feats
          FROM dims"""
     },
+    "q61_full_outer" ->
+      """SELECT COALESCE(c_mktsegment, 'NO_CUSTOMER') AS segment,
+         count(o_custkey) AS n_orders,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_customers_without_orders,
+         round(sum(COALESCE(o_totalprice, 0.0)), 2) AS sum_price
+         FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1""",
+    "q62_pivot_api" ->
+      """SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+           AS price_f,
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+           AS price_o,
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+           AS price_p
+         FROM orders GROUP BY o_orderpriority""",
     "q59_redact_pii" ->
       """SELECT doc_id,
          regexp_replace(

@@ -227,4 +227,40 @@ object Relational {
         round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 1)
       )
   }
+
+  /** q61: full outer join — per-segment reconciliation of customers
+    * with/without orders and orders with/without a known customer
+    * (nulls on either side survive). One shuffle pair; AQE picks the
+    * physical join.
+    */
+  def fullOuterReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables
+      .customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables
+      .orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_mktsegment"), lit("NO_CUSTOMER")).as("segment"))
+      .agg(
+        count(col("o_custkey")).as("n_orders"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0))
+          .cast("long")
+          .as("n_customers_without_orders"),
+        money(sum(coalesce(col("o_totalprice"), lit(0.0)))).as("sum_price")
+      )
+  }
+
+  /** q62: the relational pivot API (`groupBy.pivot.agg`) — the
+    * declarative twin of the manual conditional aggregation in q09.
+    * Pivot values are listed explicitly so the plan skips the
+    * distinct-values pre-query (one pass at scale).
+    */
+  def statusPivotApi(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(money(sum(col("o_totalprice"))))
+      .withColumnsRenamed(Map("F" -> "price_f", "O" -> "price_o", "P" -> "price_p"))
 }
