@@ -67,7 +67,7 @@ class PlanPropertiesSpec extends AnyFunSuite {
 
   test("round-2 narrow ops are shuffle-free map stages") {
     for (q <- Seq("q48_frame_sample", "q49_train_test_split",
-        "q52_sentences")) {
+        "q52_sentences", "q59_redact_pii", "q60_repetition")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q should not shuffle")
     }
@@ -85,6 +85,15 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"))
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
       "single shuffle reused by the window")
+  }
+
+  test("q62: pivot is hash aggregation with bounded shuffles") {
+    // explicit pivot values avoid the eager distinct-values job at
+    // plan time; the plan itself must stay a pure hash-agg pipeline
+    // (two-phase: per-(priority,status) then pivot) with no sort agg
+    val p = plan("q62_pivot_api")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2)
+    assert(!p.contains("SortAggregate") && !p.contains("rangepartitioning"))
   }
 
   test("q33: decode scan prunes to doc_id + text") {
