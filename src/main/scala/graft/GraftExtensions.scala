@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("vec_cosine", "vec_cosine(a, b) - cosine similarity of float arrays"),
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, "vec_cosine(arrayA, arrayB)")
+          // must be a resolved Catalyst tree (bridging the Column-DSL
+          // form of VectorMath.vecCosine leaves UnresolvedFunction
+          // nodes the registry path never resolves); this tree is the
+          // expression-level mirror of vecCosine, kept in sync by the
+          // extensions spec asserting both paths agree
           import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
           val (a, b) = (exprs(0), exprs(1))
           Divide(
@@ -57,7 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(
       (
         FunctionIdentifier("rolling_hash"),
-        info("rolling_hash", "rolling_hash(s) - 64-bit rolling document fingerprint"),
+        info("rolling_hash", "rolling_hash(s) - polynomial rolling fingerprint mod 1e9+7"),
         (exprs: Seq[Expression]) => {
           require(exprs.length == 1, "rolling_hash(str)")
           functions.RollingHash(exprs.head)

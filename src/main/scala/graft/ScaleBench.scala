@@ -102,33 +102,31 @@ object ScaleBench {
     // window shuffle), and the KMV sketch (bounded state) on the
     // replicated corpus
     val t2 = System.nanoTime()
-    val vocabRows = docs
+    val distinctTokens = docs
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token").asc)
-      .limit(1000)
       .count()
     val vocabSec = (System.nanoTime() - t2) / 1e9
 
     val t3 = System.nanoTime()
     val byKey = Window
-      .partitionBy(col("doc_id") % 64)
+      .partitionBy(col("pack_key"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nWindows = docs
-      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("nt"))
+      .select(col("doc_id"), (col("doc_id") % 64).as("pack_key"),
+        tokenCount(col("text")).cast("long").as("nt"))
       .withColumn("cum", sum(col("nt")).over(byKey))
-      .select(((col("cum") - col("nt")) / 2048).cast("long").as("window_id"))
-      .distinct()
+      .select(col("pack_key"),
+        ((col("cum") - col("nt")) / 2048).cast("long").as("window_id"))
+      .distinct() // (pack_key, window_id): window ids restart per key
       .count()
     val packSec = (System.nanoTime() - t3) / 1e9
 
     val t4 = System.nanoTime()
     val kmvEst = docs
-      .select(
-        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-          .cast("long").as("h"))
+      .select(graft.functions.TextFunctions.hash60(col("doc_id")).as("h"))
       .agg(graft.functions.KmvSketch.kmvDistinct(col("h")))
       .collect()(0)
       .getDouble(0)
@@ -141,7 +139,7 @@ object ScaleBench {
         s""""docs_per_sec":${(nDocs / lshSec).round},""" +
         s""""vectors":$nVecs,"ann_topk_rows":$topk,"ann_sec":$annSec,""" +
         s""""cosines_per_sec":${(nVecs * 5 / annSec).round},""" +
-        s""""vocab_rows":$vocabRows,"vocab_sec":$vocabSec,""" +
+        s""""distinct_tokens":$distinctTokens,"vocab_sec":$vocabSec,""" +
         s""""pack_windows":$nWindows,"pack_sec":$packSec,""" +
         s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec}"""
     )

@@ -221,8 +221,7 @@ object SparkEntry {
     // 60-bit md5 order-key hashes, alongside the true distinct count.
     "q58_kmv_distinct" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
-      val h = conv(substring(md5(col("l_orderkey").cast("string")), 1, 15), 16, 10)
-        .cast("long")
+      val h = graft.functions.TextFunctions.hash60(col("l_orderkey"))
       Tables
         .lineitem(s, dir)
         .select(col("l_returnflag"), h.as("h"))
@@ -900,8 +899,11 @@ object SparkEntry {
                   ELSE COALESCE(fields.assignee.displayName,
                          fields.assignee.name, 'Unknown') END AS assignee,
              COALESCE(list_filter(
-               list_transform(fields.comment.comments,
-                 x -> trim(regexp_replace(COALESCE(x.body, ''), '\s+', ' ', 'g'))),
+               list_transform(
+                 list_transform(fields.comment.comments,
+                   x -> trim(regexp_replace(COALESCE(x.body, ''), '\s+', ' ', 'g'))),
+                 b -> CASE WHEN length(b) > 10000
+                      THEN substr(b, 1, 10000) || '...' ELSE b END),
                b -> length(b) > 0), []::VARCHAR[]) AS cb
            FROM raw
            WHERE fields.status IS NOT NULL AND fields.priority IS NOT NULL

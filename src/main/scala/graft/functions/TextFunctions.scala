@@ -118,6 +118,14 @@ object TextFunctions {
   def fingerprintLong(c: Column): Column =
     conv(substring(fingerprintHex(c), 1, 15), 16, 10).cast("long")
 
+  /** 60-bit md5-prefix hash of an arbitrary key — the one hash
+    * convention shared by the train/test split (q49), the KMV sketch
+    * (q58), and the fingerprint family (q17): DuckDB mirrors it as
+    * `('0x' || substr(md5(x::VARCHAR), 1, 15))::BIGINT`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /** Filename sanitization (utils.py:215-228, SURVEY §2.4 F6):
     * replace the filesystem-reserved characters with underscores.
     */

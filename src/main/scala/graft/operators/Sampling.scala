@@ -24,8 +24,7 @@ object Sampling {
     * engines (the DuckDB oracle computes the identical bucket).
     */
   private def hashBucket(key: org.apache.spark.sql.Column) =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
-      .cast("long") % 100
+    graft.functions.TextFunctions.hash60(key) % 100
 
   /** q49: 80/10/10 train/valid/test split of the documents table,
     * keyed on doc_id's md5.

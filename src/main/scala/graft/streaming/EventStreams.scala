@@ -48,7 +48,12 @@ object EventStreams {
         .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      // a partially-drained table must never masquerade as the result
+      if (!q.awaitTermination(180000)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"stream $name did not drain within 180s")
+      }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", batchShuffle)
     }

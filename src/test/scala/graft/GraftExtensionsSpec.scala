@@ -38,6 +38,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
         .getDouble(0)
       assert(cos == 1.0)
+      // the SQL function must stay bit-identical to the Column path
+      // (GraftExtensions mirrors VectorMath.vecCosine expression-level)
+      val sqlCos = spark
+        .sql(
+          """SELECT vec_cosine(array(CAST(0.3 AS FLOAT), CAST(-1.7 AS FLOAT), CAST(2.9 AS FLOAT)),
+                               array(CAST(1.1 AS FLOAT), CAST(0.2 AS FLOAT), CAST(-0.4 AS FLOAT))) AS c"""
+        )
+        .collect()(0)
+        .getDouble(0)
+      import org.apache.spark.sql.functions.{array, lit}
+      val colCos = spark
+        .range(1)
+        .select(
+          graft.functions.VectorMath
+            .vecCosine(
+              array(lit(0.3f), lit(-1.7f), lit(2.9f)),
+              array(lit(1.1f), lit(0.2f), lit(-0.4f))
+            )
+            .as("c")
+        )
+        .collect()(0)
+        .getDouble(0)
+      assert(sqlCos == colCos)
       val rh = spark
         .sql("SELECT rolling_hash('abc') AS h")
         .collect()(0)
