@@ -209,6 +209,8 @@ object SparkEntry {
       TextAnalysis.packWindows(s, dir)),
     // Full outer join reconciliation (nulls survive on both sides).
     "q61_full_outer" -> (Relational.fullOuterReconciliation _),
+    // Set operations: INTERSECT / EXCEPT over yearly active customers.
+    "q63_set_ops" -> (Relational.customerSetOps _),
     // The pivot API with explicit values (no distinct pre-query).
     "q62_pivot_api" -> (Relational.statusPivotApi _),
     // PII scrubbing: email/phone redaction with per-doc counts.
@@ -1200,6 +1202,18 @@ object SparkEntry {
            $feats
          FROM dims"""
     },
+    "q63_set_ops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+         y96 AS (SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+         SELECT 'both_years' AS bucket, o_custkey
+         FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96) a
+         UNION ALL
+         SELECT 'only_1995' AS bucket, o_custkey
+         FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96) b""",
     "q61_full_outer" ->
       """SELECT COALESCE(c_mktsegment, 'NO_CUSTOMER') AS segment,
          count(o_custkey) AS n_orders,

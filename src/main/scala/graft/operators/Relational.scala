@@ -251,6 +251,26 @@ object Relational {
       )
   }
 
+  /** q63: set operations — customers active in both 1995 and 1996
+    * (INTERSECT) and only in 1995 (EXCEPT), tagged and unioned. Both
+    * are distinct-based set semantics (Spark `intersect`/`except` ≡
+    * SQL INTERSECT/EXCEPT), each one shuffle on the key.
+    */
+  def customerSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def activeIn(year: Int) =
+      o.filter(col("o_orderdate") >= s"$year-01-01" &&
+          col("o_orderdate") < s"${year + 1}-01-01")
+        .select(col("o_custkey"))
+    val y95 = activeIn(1995)
+    val y96 = activeIn(1996)
+    y95.intersect(y96)
+      .select(lit("both_years").as("bucket"), col("o_custkey"))
+      .unionByName(
+        y95.except(y96)
+          .select(lit("only_1995").as("bucket"), col("o_custkey")))
+  }
+
   /** q62: the relational pivot API (`groupBy.pivot.agg`) — the
     * declarative twin of the manual conditional aggregation in q09.
     * Pivot values are listed explicitly so the plan skips the
