@@ -732,39 +732,6 @@ object SparkEntry {
                FROM documents) t
          WHERE n_chars > 250
          ORDER BY doc_id LIMIT 100""",
-    "q37_simhash_pairs" -> {
-      val votes = (0 until 16)
-        .map(b =>
-          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
-        .mkString(", ")
-      val bits = (0 until 16)
-        .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, unnest(toks) AS w
-               FROM (SELECT doc_id,
-                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                            ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-                     FROM documents WHERE doc_id < 500) x),
-         hh AS (SELECT doc_id,
-                  ('0x' || substr(md5('0:' || w), 1, 15))::BIGINT AS h
-                FROM t),
-         v AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
-         sh AS (SELECT doc_id, $bits AS simhash FROM v)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
-    },
-    "q38_filtered_subset" ->
-      """SELECT doc_id, 'summarize' AS task_type,
-         'Summarize this document in one line.' AS instruction,
-         CASE WHEN length(clean) > 80 THEN substr(clean, 1, 80) || '...'
-              ELSE clean END AS output
-         FROM (SELECT doc_id, n_chars,
-                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
-               FROM documents) t
-         WHERE n_chars > 250
-         ORDER BY doc_id LIMIT 100""",
     "q24_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
                 FROM embeddings WHERE vec_id < 5),
