@@ -112,6 +112,46 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamPairs.nonEmpty)
   }
 
+  test("stateful dedup is correct across micro-batch boundaries") {
+    // split the events into two files and force one file per trigger:
+    // state must carry the per-key winner across batches
+    val tmp = java.nio.file.Files.createTempDirectory("multi_batch_").toString
+    val ev = graft.Tables.events(spark, dir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$tmp/part_a")
+    ev.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$tmp/part_b")
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", true)
+      .parquet(tmp)
+    val q = EventStreams
+      .latestByKey(stream, "user_id", "ts")
+      .writeStream
+      .format("memory")
+      .queryName("latest_mb")
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000))
+    assert(q.recentProgress.length >= 2, "expected multiple micro-batches")
+    val got = spark
+      .table("latest_mb")
+      .groupBy("k")
+      .agg(max("latest_ts").as("latest_ts"))
+      .collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1))
+      .toMap
+    val batch = ev
+      .groupBy(col("user_id").cast("string").as("k"))
+      .agg(max("ts").as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1))
+      .toMap
+    assert(got == batch)
+  }
+
   test("keyed latest-record dedup keeps max updated per key") {
     runToMemory(
       EventStreams.latestByKey(
