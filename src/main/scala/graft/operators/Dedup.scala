@@ -90,7 +90,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  private val NumHashes = 8
+  val NumHashes = 8
   private val NumBands = 4 // 2 rows per band
 
   /** 60-bit seeded hash of a string via md5 — portable across engines
@@ -108,15 +108,24 @@ object Dedup {
 
   /** MinHash signature: per seed, the min seeded-hash over the
     * shingle set. `portable = true` uses the md5-based hash the
-    * oracle mirrors; `false` uses codegen'd xxhash64 for scale runs.
+    * oracle mirrors; `false` uses the single-pass codegen'd
+    * [[graft.functions.MinHashSig]] (xxhash64 semantics — the HOF
+    * formulation it replaces ran NumHashes interpreted passes).
     */
-  def minhashSignature(sh: Column, portable: Boolean = true): Column = {
-    val h: (Int, Column) => Column =
-      if (portable) seededHash else seededHashFast
+  def minhashSignature(sh: Column, portable: Boolean = true): Column =
+    if (portable)
+      array((0 until NumHashes).map { i =>
+        array_min(transform(sh, s => seededHash(i, s)))
+      }: _*)
+    else graft.functions.MinHashSig.minhashSig(sh, NumHashes)
+
+  /** The interpreted xxhash64 HOF formulation — kept as the executable
+    * spec that MinHashSigSpec diffs the codegen expression against.
+    */
+  def minhashSignatureHof(sh: Column): Column =
     array((0 until NumHashes).map { i =>
-      array_min(transform(sh, s => h(i, s)))
+      array_min(transform(sh, s => seededHashFast(i, s)))
     }: _*)
-  }
 
   /** q22: MinHash+LSH near-dup candidates: signature → band keys →
     * self-join on (band index, band value) → distinct candidate pairs
