@@ -61,6 +61,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("minhash_sig"),
+        info("minhash_sig",
+          "minhash_sig(shingles, k) - single-pass k-minima MinHash signature"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "minhash_sig(arrayOfString, numHashes)")
+          require(exprs(1).foldable, "numHashes must be a literal")
+          functions.MinHashSig(
+            exprs(0),
+            exprs(1).eval().asInstanceOf[Number].intValue()
+          )
+        }
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("rolling_hash"),
         info("rolling_hash", "rolling_hash(s) - polynomial rolling fingerprint mod 1e9+7"),
         (exprs: Seq[Expression]) => {

@@ -61,6 +61,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
         .getDouble(0)
       assert(sqlCos == colCos)
+      val mh = spark
+        .sql("SELECT minhash_sig(array('a b c', 'b c d'), 4) AS sig")
+        .collect()(0)
+        .getAs[collection.Seq[Long]]("sig")
+      assert(mh.length == 4)
       val rh = spark
         .sql("SELECT rolling_hash('abc') AS h")
         .collect()(0)
