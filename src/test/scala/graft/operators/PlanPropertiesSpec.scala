@@ -101,6 +101,41 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // at cluster scale a selective dim filter should become a bloom
+    // probe on the fact scan (Spark's InjectRuntimeFilter); verify the
+    // engine's plans are eligible when broadcast doesn't apply
+    val dir01 = "/root/testdata/sf0.01"
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      // production default requires a >=10GB fact scan — the test
+      // tables are tiny, so the size gate is lowered to prove the
+      // plans are structurally eligible
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.col
+      val li = graft.Tables.lineitem(spark, dir01)
+      val o = graft.Tables
+        .orders(spark, dir01)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .count()
+      val p = j.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(p.contains("bloom") || p.contains("might_contain"),
+        "expected an injected runtime bloom filter on the fact scan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
