@@ -76,6 +76,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("minhash_text"),
+        info("minhash_text",
+          "minhash_text(text, n, k) - fused tokenize/shingle/MinHash signature"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3, "minhash_text(text, shingleN, numHashes)")
+          require(exprs(1).foldable && exprs(2).foldable,
+            "shingleN and numHashes must be literals")
+          functions.MinHashText(
+            exprs(0),
+            exprs(1).eval().asInstanceOf[Number].intValue(),
+            exprs(2).eval().asInstanceOf[Number].intValue()
+          )
+        }
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("rolling_hash"),
         info("rolling_hash", "rolling_hash(s) - polynomial rolling fingerprint mod 1e9+7"),
         (exprs: Seq[Expression]) => {

@@ -41,15 +41,14 @@ object ScaleBench {
       .cache()
     val nDocs = docs.count()
 
+    // fused tokenize→shingle→sign (single codegen pass; the md5
+    // variant the oracle mirrors is ~10× slower, same LSH topology)
     val sh = docs
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      // fast-hash strategy: xxhash64 signatures (the md5 variant the
-      // oracle mirrors is ~10× slower; same LSH topology)
-      .withColumn(
-        "mh",
-        graft.operators.Dedup.minhashSignature(col("sh"), portable = false)
+      .select(
+        col("doc_id"),
+        graft.functions.MinHashText.minhashText(col("text"), 3, 8).as("mh")
       )
+      .filter(col("mh").isNotNull)
     val banded = sh.select(
       col("doc_id"),
       explode(

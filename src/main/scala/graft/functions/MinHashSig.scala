@@ -71,6 +71,9 @@ object MinHashSig {
   private def seeds(k: Int): Array[Long] =
     seedCache.computeIfAbsent(k, k2 => Array.tabulate(k2)(i => XXH64.hashInt(i, 42L)))
 
+  /** Shared with [[MinHashText]] — one seed-head convention. */
+  private[functions] def seedsFor(k: Int): Array[Long] = seeds(k)
+
   /** One pass over the shingles, all k minima at once. Called from
     * generated code — must stay a simple static-shaped method.
     */

@@ -66,6 +66,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
         .getAs[collection.Seq[Long]]("sig")
       assert(mh.length == 4)
+      val mt = spark
+        .sql("SELECT minhash_text('a b c d', 3, 4) AS sig")
+        .collect()(0)
+        .getAs[collection.Seq[Long]]("sig")
+      assert(mt == mh, "fused text signature == array signature of its shingles")
       val rh = spark
         .sql("SELECT rolling_hash('abc') AS h")
         .collect()(0)
