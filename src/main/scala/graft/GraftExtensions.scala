@@ -93,6 +93,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("simhash_text"),
+        info("simhash_text",
+          "simhash_text(text, bits) - in-row SimHash signature, no shuffle"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "simhash_text(text, bits)")
+          require(exprs(1).foldable, "bits must be a literal")
+          functions.SimHashText(
+            exprs(0),
+            exprs(1).eval().asInstanceOf[Number].intValue()
+          )
+        }
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("rolling_hash"),
         info("rolling_hash", "rolling_hash(s) - polynomial rolling fingerprint mod 1e9+7"),
         (exprs: Seq[Expression]) => {

@@ -123,6 +123,16 @@ object ScaleBench {
       .count()
     val packSec = (System.nanoTime() - t3) / 1e9
 
+    // in-row simhash: the whole pass is a narrow map (the explode+
+    // groupBy formulation shuffles |tokens| rows)
+    val tSim = System.nanoTime()
+    val nSimhashes = docs
+      .select(graft.functions.SimHashText.simhashText(col("text"), 64)
+        .as("sh"))
+      .filter(col("sh").isNotNull)
+      .count()
+    val simSec = (System.nanoTime() - tSim) / 1e9
+
     val t4 = System.nanoTime()
     val kmvEst = docs
       .select(graft.functions.TextFunctions.hash60(col("doc_id")).as("h"))
@@ -140,6 +150,7 @@ object ScaleBench {
         s""""cosines_per_sec":${(nVecs * 5 / annSec).round},""" +
         s""""distinct_tokens":$distinctTokens,"vocab_sec":$vocabSec,""" +
         s""""pack_windows":$nWindows,"pack_sec":$packSec,""" +
+        s""""simhashes":$nSimhashes,"simhash_sec":$simSec,""" +
         s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec}"""
     )
     spark.stop()
