@@ -25,6 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, name)
 
+  /** A foldable, non-null integer literal argument — NULL is foldable
+    * too, so a bare eval().intValue() would NPE out of the builder.
+    */
+  private def intLit(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    val v = e.eval()
+    require(v != null, s"$what must be a non-null integer literal")
+    v.asInstanceOf[Number].intValue()
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
       (
@@ -66,11 +76,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_sig(shingles, k) - single-pass k-minima MinHash signature"),
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, "minhash_sig(arrayOfString, numHashes)")
-          require(exprs(1).foldable, "numHashes must be a literal")
-          functions.MinHashSig(
-            exprs(0),
-            exprs(1).eval().asInstanceOf[Number].intValue()
-          )
+          functions.MinHashSig(exprs(0), intLit(exprs(1), "numHashes"))
         }
       )
     )
@@ -81,12 +87,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "minhash_text(text, n, k) - fused tokenize/shingle/MinHash signature"),
         (exprs: Seq[Expression]) => {
           require(exprs.length == 3, "minhash_text(text, shingleN, numHashes)")
-          require(exprs(1).foldable && exprs(2).foldable,
-            "shingleN and numHashes must be literals")
           functions.MinHashText(
             exprs(0),
-            exprs(1).eval().asInstanceOf[Number].intValue(),
-            exprs(2).eval().asInstanceOf[Number].intValue()
+            intLit(exprs(1), "shingleN"),
+            intLit(exprs(2), "numHashes")
           )
         }
       )
@@ -98,11 +102,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "simhash_text(text, bits) - in-row SimHash signature, no shuffle"),
         (exprs: Seq[Expression]) => {
           require(exprs.length == 2, "simhash_text(text, bits)")
-          require(exprs(1).foldable, "bits must be a literal")
-          functions.SimHashText(
-            exprs(0),
-            exprs(1).eval().asInstanceOf[Number].intValue()
-          )
+          functions.SimHashText(exprs(0), intLit(exprs(1), "bits"))
         }
       )
     )

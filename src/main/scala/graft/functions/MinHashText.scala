@@ -29,6 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MinHashText(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {
 
+  require(n >= 1, "shingle size n must be >= 1")
+  require(numHashes >= 1 && numHashes <= 1024, "numHashes in [1, 1024]")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullable: Boolean = true
@@ -74,17 +77,12 @@ case class MinHashText(child: Expression, n: Int, numHashes: Int)
 
 object MinHashText {
 
-  private val ws = java.util.regex.Pattern.compile("(?U)\\s+")
-
   /** Null when fewer than n tokens (no shingles). Called from
     * generated code.
     */
   def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
-    // space-only trim, matching Spark's trim(col)
-    val trimmed = text.trim().toString
-    if (trimmed.isEmpty) return null
-    val toks = ws.split(trimmed)
-    if (toks.length < n) return null
+    val toks = FusedTokenizer.tokens(text)
+    if (toks == null || toks.length < n) return null
     val heads = MinHashSig.seedsFor(k)
     val mins = Array.fill(k)(Long.MaxValue)
     val sb = new java.lang.StringBuilder

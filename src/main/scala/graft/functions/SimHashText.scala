@@ -73,23 +73,16 @@ case class SimHashText(child: Expression, bits: Int)
 
 object SimHashText {
 
-  private val ws = java.util.regex.Pattern.compile("(?U)\\s+")
-
   /** Boxed so generated code can branch on null (no tokens). */
   def compute(text: UTF8String, bits: Int): java.lang.Long = {
-    val trimmed = text.trim().toString
-    if (trimmed.isEmpty) return null
-    val toks = ws.split(trimmed)
+    val toks = FusedTokenizer.tokens(text)
+    if (toks == null) return null
     val votes = new Array[Int](bits)
-    var any = false
     var i = 0
     while (i < toks.length) {
       val s = UTF8String.fromString(toks(i))
-      // only genuinely empty docs are excluded (split of a non-blank
-      // string yields at least one non-empty token)
       val h = XXH64.hashUnsafeBytes(
         s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
-      any = true
       var b = 0
       while (b < bits) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -97,7 +90,6 @@ object SimHashText {
       }
       i += 1
     }
-    if (!any) return null
     var sig = 0L
     var b = 0
     while (b < bits) {

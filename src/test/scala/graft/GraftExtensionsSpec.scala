@@ -71,6 +71,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
         .getAs[collection.Seq[Long]]("sig")
       assert(mt == mh, "fused text signature == array signature of its shingles")
+      val sh = spark
+        .sql("SELECT simhash_text('hello world', 16) AS s")
+        .collect()(0)
+        .getLong(0)
+      assert(sh >= 0L && sh < (1L << 16))
       val rh = spark
         .sql("SELECT rolling_hash('abc') AS h")
         .collect()(0)

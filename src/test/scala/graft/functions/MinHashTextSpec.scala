@@ -21,9 +21,29 @@ class MinHashTextSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
-  test("fused == shingles∘MinHashSig on the corpus; null iff no shingles") {
-    val rows = Tables
+  /** Corpus docs plus the whitespace shapes the corpus lacks —
+    * trailing/leading non-space whitespace exercises Spark split's
+    * keep-trailing-empties semantics (limit -1), where Java's one-arg
+    * split silently diverges.
+    */
+  private def docsWithEdgeCases = {
+    import spark.implicits._
+    Tables
       .documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .unionByName(
+        Seq(
+          10001L -> "a b c\n",
+          10002L -> "a b\t",
+          10003L -> "\t\n",
+          10004L -> "  x y z  ",
+          10005L -> "one\ttwo\nthree four five",
+          10006L -> "trailing spaces   "
+        ).toDF("doc_id", "text"))
+  }
+
+  test("fused == shingles∘MinHashSig on the corpus; null iff no shingles") {
+    val rows = docsWithEdgeCases
       .select(
         col("doc_id"),
         MinHashText.minhashText(col("text"), 3, Dedup.NumHashes).as("fused"),

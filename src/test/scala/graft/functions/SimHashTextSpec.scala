@@ -19,9 +19,23 @@ class SimHashTextSpec extends AnyFunSuite {
 
   val dir = "/root/testdata/sf0.001"
 
-  private def explodedSimhash(bits: Int): DataFrame = {
-    val toks = Tables
+  private def docsWithEdgeCases = {
+    import spark.implicits._
+    Tables
       .documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .unionByName(
+        Seq(
+          10001L -> "hello world\n",
+          10002L -> "a b\t",
+          10003L -> "\t\n",
+          10004L -> "  x y  ",
+          10005L -> "one\ttwo\nthree"
+        ).toDF("doc_id", "text"))
+  }
+
+  private def explodedSimhash(bits: Int): DataFrame = {
+    val toks = docsWithEdgeCases
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("w"))
       .withColumn("h", xxhash64(col("w")))
@@ -38,8 +52,7 @@ class SimHashTextSpec extends AnyFunSuite {
 
   test("fused in-row simhash == explode+groupBy votes (16 and 64 bits)") {
     for (bits <- Seq(16, 64)) {
-      val fused = Tables
-        .documents(spark, dir)
+      val fused = docsWithEdgeCases
         .select(col("doc_id"),
           SimHashText.simhashText(col("text"), bits).as("simhash"))
         .filter(col("simhash").isNotNull)
