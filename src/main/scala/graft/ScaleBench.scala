@@ -123,6 +123,19 @@ object ScaleBench {
       .count()
     val packSec = (System.nanoTime() - t3) / 1e9
 
+    // quality scoring: column form re-tokenizes per metric (three
+    // interpreted HOF passes); the fused counts are one traversal
+    val tQc = System.nanoTime()
+    docs.select(qualityScore(col("text"))).agg(sum(lit(1))).collect()
+    val qualityColSec = (System.nanoTime() - tQc) / 1e9
+    val tQf = System.nanoTime()
+    docs
+      .select(graft.functions.TextStats.qualityFromStats(
+        graft.functions.TextStats.textStats(col("text"))))
+      .agg(sum(lit(1)))
+      .collect()
+    val qualityFusedSec = (System.nanoTime() - tQf) / 1e9
+
     // in-row simhash: the whole pass is a narrow map (the explode+
     // groupBy formulation shuffles |tokens| rows)
     val tSim = System.nanoTime()
@@ -151,6 +164,7 @@ object ScaleBench {
         s""""distinct_tokens":$distinctTokens,"vocab_sec":$vocabSec,""" +
         s""""pack_windows":$nWindows,"pack_sec":$packSec,""" +
         s""""simhashes":$nSimhashes,"simhash_sec":$simSec,""" +
+        s""""quality_col_sec":$qualityColSec,"quality_fused_sec":$qualityFusedSec,""" +
         s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec}"""
     )
     spark.stop()
