@@ -155,6 +155,35 @@ object ScaleBench {
     val kmvSec = (System.nanoTime() - t4) / 1e9
     val kmvErr = math.abs(kmvEst - nDocs) / nDocs
 
+    // --- composed ingest pipeline -----------------------------------
+    // the full 100 TB ingestion path in one DAG over every fused
+    // expression: quality gate → MinHash + SimHash signatures →
+    // content-hash split → exact dedup (md5 survivor) → window count.
+    // One narrow map over the scan + one shuffle (the dedup groupBy).
+    val tP = System.nanoTime()
+    val signals = docs
+      .withColumn("st", graft.functions.TextStats.textStats(col("text")))
+      .withColumn("quality",
+        graft.functions.TextStats.qualityFromStats(col("st")))
+      .filter(col("quality") >= 0.3)
+      .withColumn("mh",
+        graft.functions.MinHashText.minhashText(col("text"), 3, 8))
+      .filter(col("mh").isNotNull)
+      .withColumn("simhash",
+        graft.functions.SimHashText.simhashText(col("text"), 64))
+      .withColumn("split",
+        graft.functions.TextFunctions.hash60(col("doc_id")) % 100)
+      .withColumn("text_md5", md5(col("text")))
+    val survivors = signals
+      .groupBy(col("text_md5"))
+      .agg(
+        min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies"),
+        first(col("split")).as("split")
+      )
+      .count()
+    val pipeSec = (System.nanoTime() - tP) / 1e9
+
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
         s""""lsh_candidate_pairs":$nCandidates,"lsh_sec":$lshSec,""" +
@@ -165,6 +194,8 @@ object ScaleBench {
         s""""pack_windows":$nWindows,"pack_sec":$packSec,""" +
         s""""simhashes":$nSimhashes,"simhash_sec":$simSec,""" +
         s""""quality_col_sec":$qualityColSec,"quality_fused_sec":$qualityFusedSec,""" +
+        s""""pipeline_survivors":$survivors,"pipeline_sec":$pipeSec,""" +
+        s""""pipeline_docs_per_sec":${(nDocs / pipeSec).round},""" +
         s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec}"""
     )
     spark.stop()
