@@ -211,6 +211,24 @@ object SparkEntry {
     "q61_full_outer" -> (Relational.fullOuterReconciliation _),
     // Set operations: INTERSECT / EXCEPT over yearly active customers.
     "q63_set_ops" -> (Relational.customerSetOps _),
+    // The FUSED single-pass text stats (JVM tokenizer) under the
+    // DuckDB gate: counts + the quality recomposed from them must
+    // hash-match the SQL replay of the column semantics.
+    "q64_fused_text_stats" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      import graft.functions.TextStats
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), TextStats.textStats(col("text")).as("st"))
+        .select(
+          col("doc_id"),
+          col("st.n_tokens").as("n_tokens"),
+          col("st.n_stop").as("n_stop"),
+          col("st.n_punct").as("n_punct"),
+          col("st.n_chars").as("n_chars"),
+          TextStats.qualityFromStats(col("st")).as("quality")
+        )
+    }),
     // The pivot API with explicit values (no distinct pre-query).
     "q62_pivot_api" -> (Relational.statusPivotApi _),
     // PII scrubbing: email/phone redaction with per-doc counts.
@@ -1169,6 +1187,27 @@ object SparkEntry {
            $feats
          FROM dims"""
     },
+    "q64_fused_text_stats" ->
+      """SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, w -> w IN
+           ('the','a','an','and','or','of','to','in','is','it')))
+           AS BIGINT) AS n_stop,
+         CAST(length(text) - length(translate(text, '.,!?;:', ''))
+           AS BIGINT) AS n_punct,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         round(0.5 * least(len(toks) / 200.0, 1.0)
+             + 0.4 * least(CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE len(list_filter(toks, w -> w IN
+                   ('the','a','an','and','or','of','to','in','is','it')
+                   ))::DOUBLE / len(toks) END * 5.0, 1.0)
+             + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
+                      / length(text) END * 10.0, 1.0)), 6) AS quality
+         FROM (SELECT doc_id, text,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents) t""",
     "q63_set_ops" ->
       """WITH y95 AS (SELECT o_custkey FROM orders
            WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
