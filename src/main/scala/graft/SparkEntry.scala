@@ -211,6 +211,19 @@ object SparkEntry {
     "q61_full_outer" -> (Relational.fullOuterReconciliation _),
     // Set operations: INTERSECT / EXCEPT over yearly active customers.
     "q63_set_ops" -> (Relational.customerSetOps _),
+    // Fused language-ID marker counts + Catalyst argmax, gated.
+    "q65_fused_lang_id" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      import graft.functions.LangCounts
+      Tables
+        .documents(s, dir)
+        .select(col("doc_id"), LangCounts.langCounts(col("text")).as("lc"))
+        .select(
+          (col("doc_id") +:
+            Seq("en", "de", "fr", "es", "zh")
+              .map(l => col(s"lc.s_$l").as(s"s_$l"))) :+
+            LangCounts.langFromCounts(col("lc")).as("predicted_lang"): _*)
+    }),
     // The FUSED single-pass text stats (JVM tokenizer) under the
     // DuckDB gate: counts + the quality recomposed from them must
     // hash-match the SQL replay of the column semantics.
@@ -1187,6 +1200,27 @@ object SparkEntry {
            $feats
          FROM dims"""
     },
+    "q65_fused_lang_id" ->
+      """SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+         CASE WHEN best <= 0 THEN 'und'
+              WHEN s_en = best THEN 'en'
+              WHEN s_de = best THEN 'de'
+              WHEN s_fr = best THEN 'fr'
+              WHEN s_es = best THEN 'es'
+              WHEN s_zh = best THEN 'zh'
+              ELSE 'und' END AS predicted_lang
+         FROM (SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+                 greatest(s_en, s_de, s_fr, s_es, s_zh) AS best
+               FROM (SELECT doc_id,
+                 CAST(len(list_filter(toks, w -> w IN ('the','and','of','to','is'))) AS BIGINT) AS s_en,
+                 CAST(len(list_filter(toks, w -> w IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+                 CAST(len(list_filter(toks, w -> w IN ('le','la','et','les','est'))) AS BIGINT) AS s_fr,
+                 CAST(len(list_filter(toks, w -> w IN ('el','la','y','los','es'))) AS BIGINT) AS s_es,
+                 CAST(len(list_filter(toks, w -> w IN ('的','是','了','在','我'))) AS BIGINT) AS s_zh
+                 FROM (SELECT doc_id,
+                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                       FROM documents) a) b) c""",
     "q64_fused_text_stats" ->
       """SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
