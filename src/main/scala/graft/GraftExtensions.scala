@@ -108,6 +108,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("text_stats"),
+        info("text_stats",
+          "text_stats(s) - single-pass token/stopword/punct/char counts"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, "text_stats(str)")
+          functions.TextStats(exprs.head)
+        }
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("lang_counts"),
+        info("lang_counts",
+          "lang_counts(s) - per-language marker-word hit counts"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, "lang_counts(str)")
+          functions.LangCounts(exprs.head)
+        }
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("repetition_counts"),
+        info("repetition_counts",
+          "repetition_counts(s) - token/bigram totals and distincts"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, "repetition_counts(str)")
+          functions.RepetitionCounts(exprs.head)
+        }
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("rolling_hash"),
         info("rolling_hash", "rolling_hash(s) - polynomial rolling fingerprint mod 1e9+7"),
         (exprs: Seq[Expression]) => {

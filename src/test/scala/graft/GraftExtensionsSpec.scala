@@ -76,6 +76,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .collect()(0)
         .getLong(0)
       assert(sh >= 0L && sh < (1L << 16))
+      val ts = spark
+        .sql("SELECT text_stats('the quick fox.').n_tokens AS n," +
+          " text_stats('the quick fox.').n_stop AS st," +
+          " lang_counts('the of la').s_en AS en," +
+          " repetition_counts('a b a b').n_distinct_bigrams AS db")
+        .collect()(0)
+      assert(ts.getLong(0) == 3 && ts.getLong(1) == 1)
+      assert(ts.getLong(2) == 2)
+      assert(ts.getLong(3) == 2)
       val rh = spark
         .sql("SELECT rolling_hash('abc') AS h")
         .collect()(0)
