@@ -1,13 +1,33 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, one warmup pass + one measured pass per query
   * (steady-state — first execution is dominated by whole-stage-codegen
   * compilation and JIT, not by the plan), and prints one JSON line.
+  *
+  * Two hard-won constraints shape the output:
+  *   - the harness that invokes this keeps only the LAST 2000 chars of
+  *     combined output and needs the JSON line fully inside that tail,
+  *     so the line uses short query keys (`q01`, `qj03`), 3-decimal
+  *     times, and is printed AFTER `spark.stop()` (which can emit
+  *     trailing WARNs) with logging forced off. Full-name per-query
+  *     detail goes to BENCH_DETAIL.json instead.
+  *   - `df.count()` lets Catalyst prune every column a query computes
+  *     (a projection-only query times a bare scan); forcing the
+  *     physical plan's own RDD materializes every output column
+  *     without adding driver-side collection cost.
   */
 object Bench {
+
+  /** Execute df end-to-end with all output columns materialized.
+    * `queryExecution.toRdd` runs the exact physical plan (AQE
+    * included) and produces UnsafeRows with every output attribute
+    * written — nothing above it for ColumnPruning to exploit.
+    */
+  def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,16 +42,30 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => return -1.0 }
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup: codegen + JIT + file-index
       name -> once()
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String = f"$v%.3f"
+    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
+    // Full-name detail (for humans / PERF.md) — file, not stdout.
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_runs":1}""")
+    val detailJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","warmup_runs":1}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detailJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // Compact line: short unique keys (prefix up to the first '_').
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_runs":1}""")
+    System.out.flush()
   }
 }

@@ -26,7 +26,10 @@ object QueryTimer {
     if (doExplain) fn(spark, sfDir).explain("formatted")
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      val rows = fn(spark, sfDir).count()
+      // Bench.force materializes every output column — a bare count()
+      // lets ColumnPruning strip all expressive work from
+      // projection-only queries and time nothing but the scan.
+      val rows = Bench.force(fn(spark, sfDir))
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s  ($rows rows)")
     }
     spark.stop()

@@ -124,17 +124,27 @@ object ScaleBench {
     val packSec = (System.nanoTime() - t3) / 1e9
 
     // quality scoring: column form re-tokenizes per metric (three
-    // interpreted HOF passes); the fused counts are one traversal
+    // interpreted HOF passes); the fused counts are one traversal.
+    // Aggregate over the computed score itself — summing a literal
+    // lets ColumnPruning remove the scoring expression entirely and
+    // the timing degenerates to an empty aggregate over the cache.
     val tQc = System.nanoTime()
-    docs.select(qualityScore(col("text"))).agg(sum(lit(1))).collect()
+    val qColSum = docs
+      .select(qualityScore(col("text")).as("q"))
+      .agg(sum(col("q")))
+      .collect()(0)
+      .getDouble(0)
     val qualityColSec = (System.nanoTime() - tQc) / 1e9
     val tQf = System.nanoTime()
-    docs
+    val qFusedSum = docs
       .select(graft.functions.TextStats.qualityFromStats(
-        graft.functions.TextStats.textStats(col("text"))))
-      .agg(sum(lit(1)))
-      .collect()
+        graft.functions.TextStats.textStats(col("text"))).as("q"))
+      .agg(sum(col("q")))
+      .collect()(0)
+      .getDouble(0)
     val qualityFusedSec = (System.nanoTime() - tQf) / 1e9
+    require(math.abs(qColSum - qFusedSum) < 1e-6,
+      s"fused quality diverged: $qColSum vs $qFusedSum")
 
     // in-row simhash: the whole pass is a narrow map (the explode+
     // groupBy formulation shuffles |tokens| rows)
@@ -174,14 +184,31 @@ object ScaleBench {
       .withColumn("split",
         graft.functions.TextFunctions.hash60(col("doc_id")) % 100)
       .withColumn("text_md5", md5(col("text")))
-    val survivors = signals
+    // The final agg reads every produced signal (simhash via
+    // bit_count, the MinHash signature via its first element, the
+    // split bucket, the survivor ids) so ColumnPruning cannot drop any
+    // stage of the pipeline from the measured plan; a bare count()
+    // over the groupBy needs only the grouping key and silently
+    // removes the signature/simhash work.
+    val pipeRow = signals
       .groupBy(col("text_md5"))
       .agg(
         min(col("doc_id")).as("survivor_id"),
         count(lit(1)).as("n_copies"),
-        first(col("split")).as("split")
+        first(col("split")).as("split"),
+        sum(bit_count(col("simhash"))).as("sim_bits"),
+        sum(element_at(col("mh"), 1)).as("mh_head")
       )
-      .count()
+      .agg(
+        count(lit(1)).as("survivors"),
+        sum(col("survivor_id")),
+        sum(col("n_copies")),
+        sum(col("split")),
+        sum(col("sim_bits")),
+        sum(col("mh_head"))
+      )
+      .collect()(0)
+    val survivors = pipeRow.getLong(0)
     val pipeSec = (System.nanoTime() - tP) / 1e9
 
     println(

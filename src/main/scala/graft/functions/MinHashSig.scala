@@ -21,11 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * MinHashSigSpec proves the two bit-identical; ScaleBench measures
   * the win on the 100k-doc corpus.
   *
-  * Null shingles are skipped (matching transform+array_min, where
-  * xxhash64 of a null element yields its seed and array_min ignores
-  * nulls only if none — the shingle producer never emits nulls, and
-  * the spec pins the no-null contract). Empty array → empty-signature
-  * guard upstream (`size(sh) > 0` filters precede signatures).
+  * A null shingle folds the seed head itself into the minimum —
+  * exactly what the HOF form computes, since Spark's xxhash64 skips
+  * null inputs and returns its seed unchanged (`heads(j)`). The
+  * engine's shingle producers never emit nulls, but the SQL-exposed
+  * `minhash_sig(array('a', NULL), k)` is reachable by users and must
+  * not NPE. Empty array → empty-signature guard upstream
+  * (`size(sh) > 0` filters precede signatures).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -83,13 +85,22 @@ object MinHashSig {
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      var j = 0
-      while (j < k) {
-        val h = XXH64.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), heads(j))
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      if (arr.isNullAt(i)) {
+        // xxhash64(seed_i, NULL) = heads(i) in the HOF formulation
+        var j = 0
+        while (j < k) {
+          if (heads(j) < mins(j)) mins(j) = heads(j)
+          j += 1
+        }
+      } else {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes(), heads(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }

@@ -45,6 +45,24 @@ class MinHashSigSpec extends AnyFunSuite {
     }
   }
 
+  test("null shingle folds the seed head, matching the HOF form") {
+    // minhash_sig is SQL-exposed, so array('a', NULL) is reachable by
+    // users even though the engine's shingle producers never emit
+    // nulls; it must match the HOF xxhash64 null behavior, not NPE.
+    val withNull = array(lit("a b c"), lit(null: String), lit("b c d"))
+    val row = spark
+      .range(1)
+      .select(
+        MinHashSig.minhashSig(withNull, Dedup.NumHashes).as("fast"),
+        Dedup.minhashSignatureHof(withNull).as("hof")
+      )
+      .collect()(0)
+    assert(
+      row.getAs[collection.Seq[Long]]("fast") ==
+        row.getAs[collection.Seq[Long]]("hof")
+    )
+  }
+
   test("signature length is NumHashes and entries are min-stable") {
     val one = spark
       .range(1)
