@@ -197,7 +197,9 @@ object ScaleBench {
         count(lit(1)).as("n_copies"),
         first(col("split")).as("split"),
         sum(bit_count(col("simhash"))).as("sim_bits"),
-        sum(element_at(col("mh"), 1)).as("mh_head")
+        // bit_count keeps the forcing sum ≤64/row — summing raw
+        // 64-bit hash values overflows LongType under ANSI
+        sum(bit_count(element_at(col("mh"), 1))).as("mh_head")
       )
       .agg(
         count(lit(1)).as("survivors"),
