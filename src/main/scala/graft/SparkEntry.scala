@@ -255,13 +255,22 @@ object SparkEntry {
     "q58_kmv_distinct" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions._
       val h = graft.functions.TextFunctions.hash60(col("l_orderkey"))
+      // KMV is duplicate-insensitive, so dedup (flag, h) once
+      // (map-side partial dedup before the one shuffle) and aggregate
+      // the sketch together with count(1) — which IS the exact
+      // distinct count after the dedup. Mixing the sketch with
+      // countDistinct instead plans the distinct rewrite and carries
+      // the KMV buffer as per-(flag,hash)-group state through the
+      // shuffle (measured 2.1 s at sf0.1; this form ≈ 0.7 s, one scan
+      // and one md5 pass).
       Tables
         .lineitem(s, dir)
         .select(col("l_returnflag"), h.as("h"))
+        .distinct()
         .groupBy(col("l_returnflag"))
         .agg(
           graft.functions.KmvSketch.kmvDistinct(col("h")).as("kmv_estimate"),
-          countDistinct(col("h")).as("n_exact")
+          count(lit(1)).as("n_exact")
         )
     }),
     // Per-project task-type distribution as exploded rows — the

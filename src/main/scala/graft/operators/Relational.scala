@@ -113,16 +113,34 @@ object Relational {
     * (SURVEY §2.6 A2 analogue, exact form for the oracle; at 100 TB
     * the approx_count_distinct variant in Profile.scala is the one to
     * reach for).
+    *
+    * Two distinct aggregates over *different* columns in one agg plan
+    * the Expand rewrite — every row replicated once per distinct
+    * expression before the shuffle. One branch per distinct column
+    * (each a plain two-stage aggregate, partial map-side dedup)
+    * joined on the 3-row group key avoids the row multiplication at
+    * any scale; the join sides broadcast trivially.
     */
-  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .lineitem(spark, dir)
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val orders = li
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_rows")
       )
+    val parts = li
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+    orders
+      .join(parts, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("n_orders"),
+        col("n_parts"),
+        col("n_rows")
+      )
+  }
 
   /** q07: ordered union-merge (SURVEY §2.8 J1): two branch reads
     * unioned by name with a branch rank carried as an explicit sort
