@@ -224,6 +224,26 @@ object SparkEntry {
               .map(l => col(s"lc.s_$l").as(s"s_$l"))) :+
             LangCounts.langFromCounts(col("lc")).as("predicted_lang"): _*)
     }),
+    // BPE-ish (GPT-2 pre-tokenizer) token counting next to the
+    // whitespace count — the context-budget estimate.
+    "q66_bpe_tokens" -> (TextAnalysis.bpeTokenStats _),
+    // Per-user lag/lead/moving-average event deltas — five window
+    // functions over ONE partitioning+ordering (single shuffle).
+    "q67_lag_lead" -> (Events.lagLeadDeltas _),
+    // Irregular GROUPING SETS with grouping_id through the SQL
+    // surface (rollup/cube cover only lattice prefixes).
+    "q68_grouping_sets" -> (Relational.groupingSets _),
+    // Per-label embedding centroids: posexplode → per-dim avg →
+    // re-assembled vector; shuffle carries label×dim rows, not
+    // vectors.
+    "q69_label_centroids" -> (Similarity.labelCentroids _),
+    // Sign-LSH bucketed near-dup pairs: candidates only within equal
+    // 8-bit hyperplane-sign buckets, then exact cosine verify — the
+    // collision-linear scale path for q26's bounded all-pairs.
+    "q70_lsh_neardup" -> (Similarity.lshNearDupPairs _),
+    // Stratified per-language down-sampling via the content-keyed
+    // hash — the corpus-mixing knob, deterministic at any scale.
+    "q71_stratified_sample" -> (Sampling.stratifiedSample _),
     // The FUSED single-pass text stats (JVM tokenizer) under the
     // DuckDB gate: counts + the quality recomposed from them must
     // hash-match the SQL replay of the column semantics.
@@ -1209,6 +1229,83 @@ object SparkEntry {
            $feats
          FROM dims"""
     },
+    "q66_bpe_tokens" ->
+      """SELECT doc_id, n_bpe_tokens,
+         CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         round(CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE n_bpe_tokens::DOUBLE / len(toks) END, 6)
+           AS bpe_per_ws
+         FROM (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                   AS BIGINT) AS n_bpe_tokens,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+               FROM documents) a""",
+    "q67_lag_lead" ->
+      """SELECT event_id, user_id,
+         round(lag(value, 1) OVER w, 6) AS prev_value,
+         round(lead(value, 1) OVER w, 6) AS next_value,
+         round((epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) / 1000000.0, 6)
+           AS secs_since_prev,
+         CAST(row_number() OVER w AS INTEGER) AS event_rank,
+         round(avg(value) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "q68_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER)
+           AS gid,
+         round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           (l_returnflag), ())""",
+    "q69_label_centroids" ->
+      """SELECT label, CAST(s.i AS INTEGER) AS dim,
+         round(avg(s.v::DOUBLE), 6) AS centroid_val,
+         count(*) AS n_vecs
+         FROM (SELECT label,
+                 unnest(list_transform(range(len(embedding)),
+                   i -> {'i': i, 'v': embedding[i + 1]})) AS s
+               FROM embeddings) u
+         GROUP BY 1, 2""",
+    "q70_lsh_neardup" -> {
+      val pairCos = cosSql("e1.embedding", "e2.embedding")
+      s"""WITH pl AS (SELECT list(embedding ORDER BY vec_id) AS planes
+                FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
+         v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+         bands AS (SELECT v.vec_id, s.b AS band,
+                 array_to_string(list_transform(
+                   [pl.planes[s.b * 2 + 1], pl.planes[s.b * 2 + 2]], p ->
+                   CASE WHEN list_sum(list_transform(
+                          list_zip(p, v.embedding),
+                          z -> z[1]::DOUBLE * z[2]::DOUBLE)) >= 0
+                        THEN '1' ELSE '0' END), '') AS code
+               FROM v, pl, (SELECT unnest(range(4)) AS b) s),
+         p AS (SELECT b1.vec_id AS vec_a, b2.vec_id AS vec_b,
+                 count(*) AS n_shared_bands
+               FROM bands b1 JOIN bands b2
+                 ON b1.band = b2.band AND b1.code = b2.code
+                 AND b1.vec_id < b2.vec_id
+               GROUP BY 1, 2),
+         s AS (SELECT p.vec_a, p.vec_b, p.n_shared_bands, $pairCos AS sim
+               FROM p JOIN v e1 ON p.vec_a = e1.vec_id
+                      JOIN v e2 ON p.vec_b = e2.vec_id)
+         SELECT vec_a, vec_b, n_shared_bands, round(sim, 6) AS sim
+         FROM s WHERE sim > 0.4"""
+    },
+    "q71_stratified_sample" ->
+      """SELECT doc_id, lang, bucket, keep_permille,
+         bucket < keep_permille AS sampled
+         FROM (SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000 AS INTEGER) AS bucket,
+                 CAST(CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 500
+                   WHEN 'fr' THEN 500 WHEN 'es' THEN 250 WHEN 'zh' THEN 250
+                   ELSE 1000 END AS INTEGER) AS keep_permille
+               FROM documents) a""",
     "q65_fused_lang_id" ->
       """SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
          CASE WHEN best <= 0 THEN 'und'

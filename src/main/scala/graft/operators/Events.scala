@@ -140,4 +140,40 @@ object Events {
           .as("fake_height")
       )
   }
+
+  /** q67: per-user event deltas — lag/lead neighbors, seconds since
+    * the previous event, running event count, and a 3-row moving
+    * average of `value`. All five window functions share ONE
+    * partitioning+ordering (user_id, ts, event_id), so the whole
+    * query is a single shuffle followed by one per-partition sort —
+    * the plan shape that survives any scale-up (state is one pass,
+    * no buffering beyond the 3-row frame).
+    */
+  def lagLeadDeltas(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val movingFrame = byUser.rowsBetween(-2, Window.currentRow)
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(byUser))
+      .withColumn("next_value", lead(col("value"), 1).over(byUser))
+      .withColumn(
+        "secs_since_prev",
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+          .cast("double") / 1e6
+      )
+      .withColumn("event_rank", row_number().over(byUser))
+      .withColumn("moving_avg3", round(avg(col("value")).over(movingFrame), 6))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(col("prev_value"), 6).as("prev_value"),
+        round(col("next_value"), 6).as("next_value"),
+        round(col("secs_since_prev"), 6).as("secs_since_prev"),
+        col("event_rank"),
+        col("moving_avg3")
+      )
+  }
 }

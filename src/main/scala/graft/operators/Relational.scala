@@ -219,6 +219,27 @@ object Relational {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(money(sum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** q68: explicit GROUPING SETS through the SQL surface — the
+    * irregular set {(flag, status), (flag), ()} that rollup/cube
+    * can't express when the sets aren't a lattice prefix, plus
+    * `grouping()` null-vs-subtotal disambiguation. Same single-pass
+    * Expand + one exchange physical shape as rollup (q10) and cube
+    * (q43).
+    */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) * 2 +
+        |    CAST(grouping(l_linestatus) AS INT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(1) AS n
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin
+    )
+  }
+
   /** q11: month bucketing (SURVEY §2.4 F2 analytical path —
     * date_trunc over the parsed timestamp).
     */

@@ -43,6 +43,36 @@ object Sampling {
           .otherwise("test")
       )
 
+  /** q71: stratified down-sampling — per-language keep rates (the
+    * data-mixing knob of a pretraining corpus: up/down-weight
+    * languages or sources to a target distribution). Same
+    * content-keyed hash as the split, so the sample is deterministic,
+    * engine-independent, and composable with q49 (a doc's sample
+    * membership never depends on partitioning). Pure map over the
+    * scan: no shuffle at any scale.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    // permille keep-rates per stratum; unlisted languages keep all
+    val rates = map(
+      lit("en"), lit(1000),
+      lit("de"), lit(500),
+      lit("fr"), lit(500),
+      lit("es"), lit(250),
+      lit("zh"), lit(250)
+    )
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (graft.functions.TextFunctions.hash60(col("doc_id")) % 1000)
+          .cast("int")
+          .as("bucket"),
+        coalesce(element_at(rates, col("lang")), lit(1000)).as("keep_permille")
+      )
+      .withColumn("sampled", col("bucket") < col("keep_permille"))
+  }
+
   /** q50: curriculum deciles — ntile(10) over quality descending
     * (doc_id tiebreak makes membership total-ordered and exact).
     */

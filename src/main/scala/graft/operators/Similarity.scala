@@ -146,4 +146,119 @@ object Similarity {
       .filter(col("sim") > 0.4)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** q69: per-label embedding centroids — element-wise mean over the
+    * vector column, the building block for k-means/IVF training and
+    * class prototypes. Distributed shape: posexplode → per-(label,
+    * dim) partial-aggregated avg (map-side combine, shuffle carries
+    * one row per label×dim, NOT per vector). The gated query keeps
+    * the flat (label, dim, value) form; [[labelCentroidVectors]]
+    * re-assembles the vectors for API consumers.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        round(avg(col("x").cast("double")), 6).as("centroid_val"),
+        count(lit(1)).as("n_vecs")
+      )
+
+  /** The vector form of [[labelCentroids]]: one `array<double>`
+    * centroid per label, assembled ordered-by-dim with a tiny
+    * per-label sort (|dims| elements), no collect.
+    */
+  def labelCentroidVectors(spark: SparkSession, dir: String): DataFrame =
+    labelCentroids(spark, dir)
+      .groupBy(col("label"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid_val")))),
+          s => s.getField("centroid_val")
+        ).as("centroid"),
+        max(col("n_vecs")).as("n_vecs")
+      )
+
+  /** Banded sign-LSH codes: 4 bands × 2 hyperplanes. Per band the
+    * code is the concatenated dot-product sign bits; a pair is a
+    * candidate if it matches in ANY band (the OR-amplification that
+    * makes LSH recall tunable: per-plane agreement p gives per-band
+    * p^b and overall 1-(1-p^b)^B — a single wide code has p^8 ≈ no
+    * recall at moderate similarity). The coding pass is in-row (zero
+    * shuffle); the planes ride along as one broadcast row.
+    * Hyperplanes here are eight corpus vectors chosen
+    * deterministically (vec_id 100-107) so the DuckDB oracle can
+    * replay them; production would draw random Gaussian planes.
+    */
+  def lshBandCodes(spark: SparkSession, dir: String, bound: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val planes = e
+      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("vec_id").as("v"),
+            col("embedding").as("emb")))),
+          s => s.getField("emb")
+        ).as("planes")
+      )
+    e.filter(col("vec_id") < bound)
+      .crossJoin(broadcast(planes))
+      .select(
+        col("vec_id"),
+        col("embedding"),
+        explode(
+          transform(
+            sequence(lit(0), lit(3)),
+            b => struct(
+              b.as("band"),
+              array_join(
+                transform(
+                  slice(col("planes"), b * 2 + 1, lit(2)),
+                  p => when(dotProductHof(p, col("embedding")) >= 0, "1")
+                    .otherwise("0")
+                ),
+                ""
+              ).as("code")
+            )
+          )
+        ).as("bk")
+      )
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.code").as("code"))
+  }
+
+  /** q70: LSH-banded near-dup pairs — the scale path for q26's
+    * all-pairs verify: candidates are generated only within equal
+    * (band, code) buckets (collision-linear, never n²), deduped
+    * across bands, then exact-verified with the same cosine
+    * threshold. Output adds how many bands recalled each pair.
+    */
+  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = lshBandCodes(spark, dir, 300)
+    val a = b.select(col("vec_id").as("vec_a"), col("band"), col("code"))
+    val c = b.select(col("vec_id").as("vec_b"), col("band"), col("code"))
+    val pairs = a
+      .join(c, Seq("band", "code"))
+      .filter(col("vec_a") < col("vec_b"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val e = Tables
+      .embeddings(spark, dir)
+      .filter(col("vec_id") < 300)
+    pairs
+      .join(broadcast(e.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"))), Seq("vec_a"))
+      .join(broadcast(e.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"))), Seq("vec_b"))
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        col("n_shared_bands"),
+        cosine(col("ea"), col("eb")).as("sim")
+      )
+      .filter(col("sim") > 0.4)
+      .select(col("vec_a"), col("vec_b"), col("n_shared_bands"),
+        round(col("sim"), 6).as("sim"))
+  }
 }

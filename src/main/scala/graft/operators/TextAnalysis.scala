@@ -296,4 +296,40 @@ object TextAnalysis {
         ((col("cum_tokens") - col("n_tokens")) / budget).cast("long")
       )
   }
+
+  /** GPT-2-style pre-tokenization pattern: contraction suffixes,
+    * optional-space letter runs, digit runs, punctuation runs,
+    * whitespace runs. Deliberately restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+    * lookarounds, no backreferences.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** q66: BPE-ish token counting — the subword-oriented estimate a
+    * training pipeline uses for context budgeting (whitespace tokens
+    * undercount code/punctuation-heavy text). Counts the GPT-2
+    * pre-tokenizer segments per document next to the whitespace count
+    * and their ratio. Pure map stage: no shuffle, regex evaluated
+    * once per row.
+    */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long")
+          .as("n_bpe_tokens"),
+        tokenCount(col("text")).cast("long").as("n_ws_tokens")
+      )
+      .withColumn(
+        "bpe_per_ws",
+        round(
+          when(col("n_ws_tokens") === 0, 0.0)
+            .otherwise(
+              col("n_bpe_tokens").cast("double") / col("n_ws_tokens")),
+          6
+        )
+      )
 }
