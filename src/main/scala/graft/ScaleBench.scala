@@ -96,6 +96,70 @@ object ScaleBench {
       .count()
     val annSec = (System.nanoTime() - t1) / 1e9
 
+    // --- banded sign-LSH ANN at ~100k vectors -----------------------
+    // Code width must grow with corpus size: the oracle-gated q70
+    // uses 4 bands × 2 bits (4 buckets/band — fine at 500 vectors,
+    // ~1.2B candidate pairs at 100k). Here 4 bands × 12 bits from 48
+    // deterministic corpus-vector planes keep buckets collision-
+    // bounded. Candidate count via bucket sizes (sum sz·(sz-1)/2),
+    // the same inverted-index accounting as the MinHash LSH above;
+    // the coding pass itself is shuffle-free (one broadcast row).
+    val planes48 = Tables
+      .embeddings(spark, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 148)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("vec_id").as("v"),
+            col("embedding").as("emb")))),
+          s => s.getField("emb")
+        ).as("planes")
+      )
+    val tAnnLsh = System.nanoTime()
+    val lshAnnCands = vecs
+      .crossJoin(broadcast(planes48))
+      .select(
+        explode(
+          transform(
+            sequence(lit(0), lit(3)),
+            b => struct(
+              b.as("band"),
+              array_join(
+                transform(
+                  slice(col("planes"), b * 12 + 1, lit(12)),
+                  p => when(VectorMath.vecDot(p, col("embedding")) >= 0, "1")
+                    .otherwise("0")
+                ),
+                ""
+              ).as("code")
+            )
+          )
+        ).as("bk")
+      )
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(sum(col("sz") * (col("sz") - 1) / 2).cast("long"))
+      .collect()(0)
+      .getLong(0)
+    val lshAnnSec = (System.nanoTime() - tAnnLsh) / 1e9
+
+    // --- per-label centroids at ~100k vectors -----------------------
+    // posexplode → per-(label, dim) partial avg: the shuffle carries
+    // 640 aggregated rows, never the vectors.
+    val tCent = System.nanoTime()
+    val centRow = vecs
+      .join(
+        broadcast(Tables.embeddings(spark, dir)
+          .select(col("vec_id").as("src_id"), col("label"))),
+        (col("vec_id") % 500) === col("src_id")
+      )
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .agg(count(lit(1)).as("cells"), sum(col("m")).as("checksum"))
+      .collect()(0)
+    val centCells = centRow.getLong(0)
+    val centSec = (System.nanoTime() - tCent) / 1e9
+
     // --- corpus assembly at ~100k docs ------------------------------
     // vocabulary (explode + agg + top-k), sequence packing (single
     // window shuffle), and the KMV sketch (bounded state) on the
@@ -219,6 +283,8 @@ object ScaleBench {
         s""""docs_per_sec":${(nDocs / lshSec).round},""" +
         s""""vectors":$nVecs,"ann_topk_rows":$topk,"ann_sec":$annSec,""" +
         s""""cosines_per_sec":${(nVecs * 5 / annSec).round},""" +
+        s""""lsh_ann_candidates":$lshAnnCands,"lsh_ann_sec":$lshAnnSec,""" +
+        s""""centroid_cells":$centCells,"centroid_sec":$centSec,""" +
         s""""distinct_tokens":$distinctTokens,"vocab_sec":$vocabSec,""" +
         s""""pack_windows":$nWindows,"pack_sec":$packSec,""" +
         s""""simhashes":$nSimhashes,"simhash_sec":$simSec,""" +

@@ -152,6 +152,32 @@ class Round3OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q67 plan: five window functions share one shuffle + one sort") {
+    val plan = Events
+      .lagLeadDeltas(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one shuffle:\n$plan")
+    assert(windows == 1,
+      s"all window functions must fuse into one Window op:\n$plan")
+  }
+
+  test("q69 plan: one shuffle; vectors never cross the exchange whole") {
+    val plan = Similarity
+      .labelCentroids(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"per-(label,dim) partial agg then one exchange:\n$plan")
+    assert(plan.contains("partial_avg") || plan.contains("partial_average")
+      || plan.toLowerCase.contains("partial"),
+      s"map-side partial aggregation expected:\n$plan")
+  }
+
   test("q71 stratified sample: rates applied per stratum, map-only plan") {
     val df = Sampling.stratifiedSample(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
