@@ -38,3 +38,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:+UseCodeCacheFlushing",
 )
+
+// The harness parses the bench JSON from the last 2000 chars of
+// output; dropping the trailing "[success] Total time: ..." line
+// keeps the whole tail for the JSON.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
