@@ -124,6 +124,13 @@ object TextFunctions {
     * `('0x' || substr(md5(x::VARCHAR), 1, 15))::BIGINT`.
     */
   def hash60(c: Column): Column =
+    Md5Prefix60.md5Prefix60(c.cast("string"))
+
+  /** The composed-builtin form hash60 shipped with (one digest, a
+    * 32-char hex materialization, a base-16 parse) — kept as the
+    * differential twin for [[Md5Prefix60]].
+    */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** Filename sanitization (utils.py:215-228, SURVEY §2.4 F6):
