@@ -244,6 +244,9 @@ object SparkEntry {
     // Stratified per-language down-sampling via the content-keyed
     // hash — the corpus-mixing knob, deterministic at any scale.
     "q71_stratified_sample" -> (Sampling.stratifiedSample _),
+    // Near-dup cluster resolution: connected components (pointer-
+    // doubling label propagation) over the q21 Jaccard pairs.
+    "q72_dedup_clusters" -> (Dedup.dedupClusters _),
     // The FUSED single-pass text stats (JVM tokenizer) under the
     // DuckDB gate: counts + the quality recomposed from them must
     // hash-match the SQL replay of the column semantics.
@@ -1296,6 +1299,34 @@ object SparkEntry {
          SELECT vec_a, vec_b, n_shared_bands, round(sim, 6) AS sim
          FROM s WHERE sim > 0.4"""
     },
+    // Transitive closure over the q21 pair graph (small at oracle SF);
+    // the engine side runs the O(log d) pointer-doubling algorithm —
+    // same fixpoint, different mechanics.
+    "q72_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         ed AS (SELECT doc_a, doc_b FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.05),
+         nodes AS (SELECT doc_id FROM d WHERE len(sh) > 0),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM ed
+                 UNION SELECT doc_b, doc_a FROM ed),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM nodes
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lab AS (SELECT a AS doc_id, min(b) AS cluster_id
+                 FROM reach GROUP BY a),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM lab GROUP BY 1)
+         SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           CAST(l.doc_id = l.cluster_id AS INTEGER) AS survivor
+         FROM lab l JOIN sz s USING (cluster_id)""",
     "q71_stratified_sample" ->
       """SELECT doc_id, lang, bucket, keep_permille,
          bucket < keep_permille AS sampled

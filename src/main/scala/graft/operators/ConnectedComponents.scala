@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the cluster-resolution step a
+  * dedup pipeline needs after candidate-pair generation (the reference
+  * stops at exact-hash dedup, transformer.py:286-297; near-dup pairs
+  * from LSH/Jaccard/SimHash only become *removable duplicates* once
+  * transitively grouped).
+  *
+  * Algorithm: min-label propagation with pointer doubling. Each round
+  * runs two relational steps —
+  *   1. neighbor-min: label(u) ← min(label(u), min label over Γ(u))
+  *      (one join edges⋈labels + one groupBy — both shuffle on node id)
+  *   2. pointer doubling: label(u) ← label(label(u))
+  *      (one self-join of the label table)
+  * Doubling halves the distance to the component minimum each round,
+  * so convergence is O(log diameter) rounds instead of the O(diameter)
+  * of plain propagation — the difference between 20 and 10⁶ shuffles
+  * on a pathological chain. Dedup graphs are near-cliques (tiny
+  * diameter), but the bound is what makes the operator safe at 100 TB.
+  *
+  * Scale mechanics: every step is a key-shuffle (never all-pairs);
+  * `localCheckpoint` truncates the lineage each round so the plan does
+  * not grow with iterations (on a cluster use `checkpoint` to HDFS for
+  * fault tolerance instead); convergence is detected by the label-sum
+  * aggregate — labels only ever decrease, so an unchanged sum means a
+  * fixpoint, at the cost of one scalar aggregate per round instead of
+  * a join-and-compare.
+  */
+object ConnectedComponents {
+
+  /** @param nodes one `id` (long) column, distinct
+    * @param edges  `src`/`dst` (long) columns, undirected; self-loops
+    *               and duplicates are tolerated
+    * @return (id, label) — label is the minimum node id reachable
+    */
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // symmetrize once; reused by every round's join
+    val und = edges
+      .select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels =
+      nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var converged = false
+    var round = 0
+
+    while (!converged && round < maxIter) {
+      val nbrMin = und
+        .join(labels, und("v") === labels("id"))
+        .groupBy(und("u").as("nid"))
+        .agg(min(col("label")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(
+          labels("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label")
+        )
+      val ptr = stepped
+        .select(col("id").as("pid"), col("label").as("plabel"))
+      val doubled = stepped
+        .join(ptr, stepped("label") === ptr("pid"), "left")
+        .select(
+          stepped("id"),
+          coalesce(col("plabel"), col("label")).as("label")
+        )
+        .localCheckpoint(true)
+
+      val s = doubled.agg(sum(col("label"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = doubled
+      round += 1
+    }
+    require(
+      converged,
+      s"connected components did not converge in $maxIter rounds"
+    )
+    labels
+  }
+}

@@ -194,6 +194,34 @@ object Dedup {
       .distinct()
   }
 
+  /** q72: near-dup cluster resolution — the step after pair
+    * generation. Edges are the q21 Jaccard pairs (≥ 0.05); nodes are
+    * every shingled doc (singletons keep themselves). Transitive
+    * closure via [[ConnectedComponents]] (O(log diameter) rounds of
+    * key-shuffles), then one aggregate for cluster sizes. cluster_id
+    * is the min reachable doc_id; the survivor per cluster is the
+    * cluster_id holder — the deterministic keep-one policy a dedup
+    * pipeline applies before training.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(spark, dir)
+    val nodes = docs.select(col("doc_id").as("id"))
+    val edges = ngramJaccardPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = ConnectedComponents.run(nodes, edges)
+    val sizes = labels
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select(
+        col("id").as("doc_id"),
+        col("label").as("cluster_id"),
+        col("cluster_size"),
+        (col("id") === col("label")).cast("int").as("survivor")
+      )
+  }
+
   private val SimHashBits = 16
 
   /** q23: 16-bit SimHash per document — per-bit majority vote over
