@@ -247,6 +247,13 @@ object SparkEntry {
     // Near-dup cluster resolution: connected components (pointer-
     // doubling label propagation) over the q21 Jaccard pairs.
     "q72_dedup_clusters" -> (Dedup.dedupClusters _),
+    // Benchmark decontamination: training docs sharing a 5-gram with
+    // the broadcast eval-split shingle set.
+    "q73_decontaminate" -> (Dedup.decontaminate _),
+    // TF-IDF top-3 terms per doc — keyword extraction over the corpus.
+    "q74_tfidf_terms" -> (TextAnalysis.tfidfTopTerms _),
+    // Content-keyed shard + reproducible within-shard shuffle order.
+    "q75_shard_assign" -> (Sampling.shardAssignment(_, _)),
     // The FUSED single-pass text stats (JVM tokenizer) under the
     // DuckDB gate: counts + the quality recomposed from them must
     // hash-match the SQL replay of the column semantics.
@@ -1327,6 +1334,53 @@ object SparkEntry {
          SELECT l.doc_id, l.cluster_id, s.cluster_size,
            CAST(l.doc_id = l.cluster_id AS INTEGER) AS survivor
          FROM lab l JOIN sz s USING (cluster_id)""",
+    "q73_decontaminate" ->
+      """WITH dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 4),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5])) AS sh
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 5),
+         ev AS (SELECT unnest(sh) AS s, doc_id AS eval_id FROM dd
+                WHERE doc_id % 50 = 0),
+         tr AS (SELECT doc_id, unnest(sh) AS s FROM dd
+                WHERE doc_id % 50 <> 0)
+         SELECT tr.doc_id,
+           count(DISTINCT tr.s) AS n_shared_shingles,
+           count(DISTINCT ev.eval_id) AS n_eval_docs
+         FROM tr JOIN ev ON tr.s = ev.s
+         GROUP BY 1""",
+    "q74_tfidf_terms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, term, tf, df,
+                  round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+                    AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n),
+         rk AS (SELECT doc_id, term, tf, df, tfidf,
+                  CAST(row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+                FROM sc)
+         SELECT doc_id, term, tf, df, tfidf, rank FROM rk WHERE rank <= 3""",
+    "q75_shard_assign" ->
+      """SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY h % 8 ORDER BY h ASC, doc_id ASC) AS INTEGER)
+             AS position
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+               FROM documents) a""",
     "q71_stratified_sample" ->
       """SELECT doc_id, lang, bucket, keep_permille,
          bucket < keep_permille AS sampled

@@ -222,6 +222,35 @@ object Dedup {
       )
   }
 
+  /** q73: benchmark decontamination — flag training docs that share
+    * any distinct 5-gram with the eval split (doc_id % 50 == 0; stands
+    * in for a held-out benchmark suite). The eval shingle set is tiny
+    * relative to the training corpus (MBs vs 100 TB), so it is
+    * broadcast — the scan over training shingles never shuffles; only
+    * the per-doc overlap counts aggregate. Output: contaminated doc →
+    * (#shared shingles, #eval docs hit).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // per-doc shingle sets are distinct, so (s, eval_id) needs no dedup
+    val evalSh = docs
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(col("sh")).as("s"), col("doc_id").as("eval_id"))
+    val trainSh = docs
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    trainSh
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("s")).as("n_shared_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs")
+      )
+  }
+
   private val SimHashBits = 16
 
   /** q23: 16-bit SimHash per document — per-bit majority vote over

@@ -73,6 +73,35 @@ object Sampling {
       .withColumn("sampled", col("bucket") < col("keep_permille"))
   }
 
+  /** q75: deterministic shard assignment — the global-shuffle-and-
+    * shard a training-data writer runs last: shard = hash60(doc_id)
+    * mod N (content-keyed, so shard membership survives recompute and
+    * reshape), position = rank within the shard by (hash, doc_id) —
+    * i.e., a reproducible within-shard random order, the "shuffled
+    * dataset" contract SGD training expects. One shuffle on shard +
+    * one within-partition sort; at 100 TB this is
+    * `repartitionByRange`/`sortWithinPartitions` feeding the writer,
+    * never a global sort.
+    */
+  def shardAssignment(
+      spark: SparkSession,
+      dir: String,
+      numShards: Int = 8
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.TextFunctions.hash60(col("doc_id")).as("h")
+      )
+      .withColumn("shard", (col("h") % numShards).cast("int"))
+      .withColumn("position", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("position"))
+  }
+
   /** q50: curriculum deciles — ntile(10) over quality descending
     * (doc_id tiebreak makes membership total-ordered and exact).
     */

@@ -161,6 +161,52 @@ object TextAnalysis {
         row_number().over(Window.orderBy(col("n").desc, col("token").asc))
       )
 
+  /** q74: TF-IDF top terms per document — the keyword-extraction /
+    * quality-signal pass. tf is a (doc, term) hash aggregate; df a
+    * term aggregate over it (both partial map-side); idf the smoothed
+    * ln((N+1)/(df+1))+1. The doc count joins in as a broadcast single
+    * row, the df table shuffles on term (vocabulary-sized, not
+    * corpus-sized), and the final top-3 is one window over doc_id —
+    * ordering on the ROUNDED score so ranking is reproducible across
+    * engines. At 100 TB every stage is a key-shuffle of counts;
+    * nothing is ever collected.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn(
+        "tfidf",
+        round(
+          col("tf") *
+            (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
+              lit(1.0)),
+          6
+        )
+      )
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(
+        col("doc_id"),
+        col("term"),
+        col("tf"),
+        col("df"),
+        col("tfidf"),
+        col("rank")
+      )
+  }
+
   /** q52: sentence chunking — split on terminal punctuation + space,
     * one row per sentence with its 1-based index. The chunking pass
     * that precedes context-window assembly; narrow (no shuffle).
