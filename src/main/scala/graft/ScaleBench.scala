@@ -229,6 +229,35 @@ object ScaleBench {
     val kmvSec = (System.nanoTime() - t4) / 1e9
     val kmvErr = math.abs(kmvEst - nDocs) / nDocs
 
+    // --- connected components at 1M nodes ---------------------------
+    // the dedup cluster-resolution step on a synthetic graph shaped
+    // like a real near-dup corpus (200k cliques of 5) PLUS a
+    // 4096-node chain — the worst-diameter shape plain label
+    // propagation would need 4096 rounds for. Pointer doubling must
+    // close it in O(log d) rounds; every round is three key-shuffles
+    // of the (id, label) table, never more state than one row per
+    // node.
+    val ccN = 1000000L
+    val chainN = 4096L
+    val ccNodes = spark.range(ccN + chainN).select(col("id"))
+    val cliqueEdges = spark
+      .range(ccN)
+      .filter(col("id") % 5 =!= 0)
+      .select(col("id").as("src"), (col("id") - (col("id") % 5)).as("dst"))
+    val chainEdges = spark
+      .range(ccN, ccN + chainN - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val tCc = System.nanoTime()
+    val (ccLabels, ccRounds) = graft.operators.ConnectedComponents
+      .runWithStats(ccNodes, cliqueEdges.unionByName(chainEdges))
+    val ccComponents =
+      ccLabels.select(col("label")).distinct().count()
+    val ccSec = (System.nanoTime() - tCc) / 1e9
+    require(
+      ccComponents == ccN / 5 + 1,
+      s"expected ${ccN / 5 + 1} components, got $ccComponents"
+    )
+
     // --- composed ingest pipeline -----------------------------------
     // the full 100 TB ingestion path in one DAG over every fused
     // expression: quality gate → MinHash + SimHash signatures →
@@ -289,6 +318,8 @@ object ScaleBench {
         s""""pack_windows":$nWindows,"pack_sec":$packSec,""" +
         s""""simhashes":$nSimhashes,"simhash_sec":$simSec,""" +
         s""""quality_col_sec":$qualityColSec,"quality_fused_sec":$qualityFusedSec,""" +
+        s""""cc_nodes":${ccN + chainN},"cc_components":$ccComponents,""" +
+        s""""cc_rounds":$ccRounds,"cc_sec":$ccSec,""" +
         s""""pipeline_survivors":$survivors,"pipeline_sec":$pipeSec,""" +
         s""""pipeline_docs_per_sec":${(nDocs / pipeSec).round},""" +
         s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec}"""

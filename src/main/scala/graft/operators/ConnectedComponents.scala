@@ -36,7 +36,17 @@ object ConnectedComponents {
     *               and duplicates are tolerated
     * @return (id, label) — label is the minimum node id reachable
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runWithStats(nodes, edges, maxIter)._1
+
+  /** As [[run]], also returning the number of propagation rounds —
+    * the scale-validation metric (should stay O(log diameter)).
+    */
+  def runWithStats(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 50
+  ): (DataFrame, Int) = {
     // symmetrize once; reused by every round's join
     val und = edges
       .select(col("src").as("u"), col("dst").as("v"))
@@ -82,6 +92,6 @@ object ConnectedComponents {
       converged,
       s"connected components did not converge in $maxIter rounds"
     )
-    labels
+    (labels, round)
   }
 }
