@@ -140,9 +140,18 @@ object TextFunctions {
     translate(c, "<>:\"/\\|?*", "_________")
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input.
-    * Docs with fewer than n tokens yield an empty set.
+    * Docs with fewer than n tokens yield an empty set. Fused codegen
+    * expression ([[Shingles]]) — one tokenizer pass per row.
     */
-  def shingles(c: Column, n: Int): Column = {
+  def shingles(c: Column, n: Int): Column =
+    Shingles.shingles(c, n)
+
+  /** The composed HOF form shingles shipped with — the lambda body
+    * re-evaluates the `tokens()` subtree per element (n
+    * re-tokenizations per shingle position when interpreted). Kept as
+    * the differential twin for [[Shingles]].
+    */
+  def shinglesHof(c: Column, n: Int): Column = {
     val t = tokens(c)
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(
