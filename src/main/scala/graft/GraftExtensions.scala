@@ -141,6 +141,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("shingles"),
+        info("shingles",
+          "shingles(text, n) - distinct word n-grams, fused tokenizer"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "shingles(text, n)")
+          functions.Shingles(exprs(0), intLit(exprs(1), "n"))
+        }
+      )
+    )
+    e.injectFunction(
+      (
+        FunctionIdentifier("hash60"),
+        info("hash60",
+          "hash60(s) - 60-bit md5-prefix content hash (split/shard key)"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1, "hash60(str)")
+          functions.Md5Prefix60(exprs.head)
+        }
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("rolling_hash"),
         info("rolling_hash", "rolling_hash(s) - polynomial rolling fingerprint mod 1e9+7"),
         (exprs: Seq[Expression]) => {

@@ -85,6 +85,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(ts.getLong(0) == 3 && ts.getLong(1) == 1)
       assert(ts.getLong(2) == 2)
       assert(ts.getLong(3) == 2)
+      val shingled = spark
+        .sql("SELECT shingles('a b c d', 3) AS sh")
+        .collect()(0)
+        .getAs[collection.Seq[String]]("sh")
+      assert(shingled == Seq("a b c", "b c d"))
+      val h60 = spark
+        .sql("SELECT hash60('x') AS h")
+        .collect()(0)
+        .getLong(0)
+      // first 15 hex chars of md5('x') = 9dd4e461268c8034
+      assert(h60 == java.lang.Long.parseUnsignedLong("9dd4e461268c803", 16))
       val rh = spark
         .sql("SELECT rolling_hash('abc') AS h")
         .collect()(0)

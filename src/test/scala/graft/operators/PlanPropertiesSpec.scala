@@ -136,6 +136,28 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q73: eval shingle set is broadcast; train side never shuffles pre-join") {
+    val p = plan("q73_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("shingles"), "fused Shingles expression in the plan")
+  }
+
+  test("q74: doc count is a broadcast single row; top-3 is one window") {
+    val p = plan("q74_tfidf_terms")
+    assert(p.contains("BroadcastNestedLoopJoin"), "n_docs joins as broadcast")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"))
+  }
+
+  test("q75: one shuffle (shard), no global sort") {
+    val p = plan("q75_shard_assign")
+    assert(!p.contains("rangepartitioning"), "no global sort")
+    assert(p.contains("hashpartitioning(shard"))
+    assert(
+      """\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "exactly one hash exchange (the shard window)"
+    )
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
