@@ -136,6 +136,12 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("q36: salted join is a shuffled hash join, never broadcast/merge") {
+    val p = plan("q36_salted_join")
+    assert(p.contains("ShuffledHashJoin"))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
   test("q73: eval shingle set is broadcast; train side never shuffles pre-join") {
     val p = plan("q73_decontaminate")
     assert(p.contains("BroadcastHashJoin"))
