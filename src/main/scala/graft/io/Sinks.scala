@@ -76,6 +76,27 @@ object Sinks {
   def writeStatsJson(stats: DataFrame, path: String): Unit =
     stats.coalesce(1).write.mode(SaveMode.Overwrite).json(path)
 
+  /** Hive-style partitioned parquet layout — the lake layout for the
+    * 100 TB corpus: one directory per partition value, so reads with a
+    * partition predicate list only matching directories
+    * (`PartitionFilters` in the scan — zero data files of other
+    * partitions are even opened) and incremental jobs replace single
+    * partitions atomically via dynamic overwrite without touching the
+    * rest. PartitionedLayoutSpec pins both properties.
+    */
+  def writePartitionedParquet(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      dynamicOverwrite: Boolean = false
+  ): Unit = {
+    val w = df.write
+      .partitionBy(partitionCols: _*)
+      .mode(SaveMode.Overwrite)
+    (if (dynamicOverwrite) w.option("partitionOverwriteMode", "dynamic")
+     else w).parquet(path)
+  }
+
   /** K1 — raw JSON *array* writer (scraper.py:339-356 parity form):
     * one file holding a JSON array of row objects. Collects on the
     * driver — correct only for bounded exports (the reference's
