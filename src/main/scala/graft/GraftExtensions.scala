@@ -36,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // strength reduction: composed md5-prefix hash → fused expression
+    e.injectOptimizerRule(_ => graft.plans.Md5PrefixRewrite)
     e.injectFunction(
       (
         FunctionIdentifier("vec_dot"),
