@@ -87,13 +87,17 @@ object ScaleBench {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
     val t1 = System.nanoTime()
-    val topk = vecs
+    val exactTop = vecs
       .join(broadcast(q))
       .select(col("q_id"), col("vec_id"),
         VectorMath.vecCosine(col("q_vec"), col("embedding")).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
-      .count()
+      .select(col("q_id"), col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val topk = exactTop.size.toLong
     val annSec = (System.nanoTime() - t1) / 1e9
 
     // --- banded sign-LSH ANN at ~100k vectors -----------------------
@@ -115,9 +119,11 @@ object ScaleBench {
         ).as("planes")
       )
     val tAnnLsh = System.nanoTime()
-    val lshAnnCands = vecs
+    val codes = vecs
       .crossJoin(broadcast(planes48))
       .select(
+        col("vec_id"),
+        col("embedding"),
         explode(
           transform(
             sequence(lit(0), lit(3)),
@@ -135,12 +141,42 @@ object ScaleBench {
           )
         ).as("bk")
       )
-      .groupBy(col("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.code").as("code"))
+      .cache()
+    val lshAnnCands = codes
+      .groupBy(col("band"), col("code"))
       .agg(count(lit(1)).as("sz"))
       .agg(sum(col("sz") * (col("sz") - 1) / 2).cast("long"))
       .collect()(0)
       .getLong(0)
     val lshAnnSec = (System.nanoTime() - tAnnLsh) / 1e9
+
+    // recall@10 of the banded index against the exact top-10: rank
+    // only bucket-mates of each query (the index's candidate set) by
+    // exact cosine. Identical work to a production two-stage ANN —
+    // inverted-index probe then verify — and the recall number is
+    // what justifies the 4-band OR-amplification choice.
+    val tRec = System.nanoTime()
+    val qc = codes
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("band"), col("code"))
+    val lshTop = codes
+      .join(qc, Seq("band", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(first(col("q_vec")).as("q_vec"), first(col("embedding")).as("emb"))
+      .select(col("q_id"), col("vec_id"),
+        VectorMath.vecCosine(col("q_vec"), col("emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val annRecall = exactTop.intersect(lshTop).size.toDouble / exactTop.size
+    val annRecallSec = (System.nanoTime() - tRec) / 1e9
+    codes.unpersist()
 
     // --- per-label centroids at ~100k vectors -----------------------
     // posexplode → per-(label, dim) partial avg: the shuffle carries
@@ -313,6 +349,7 @@ object ScaleBench {
         s""""vectors":$nVecs,"ann_topk_rows":$topk,"ann_sec":$annSec,""" +
         s""""cosines_per_sec":${(nVecs * 5 / annSec).round},""" +
         s""""lsh_ann_candidates":$lshAnnCands,"lsh_ann_sec":$lshAnnSec,""" +
+        s""""ann_recall_at_10":$annRecall,"ann_recall_sec":$annRecallSec,""" +
         s""""centroid_cells":$centCells,"centroid_sec":$centSec,""" +
         s""""distinct_tokens":$distinctTokens,"vocab_sec":$vocabSec,""" +
         s""""pack_windows":$nWindows,"pack_sec":$packSec,""" +
