@@ -61,17 +61,16 @@ object ConnectedComponents {
     var round = 0
 
     while (!converged && round < maxIter) {
-      val nbrMin = und
+      // neighbor-min with self folded in as a union branch: one join +
+      // one aggregate (a labels-side left join to merge the neighbor
+      // minimum back costs a third shuffle per round for nothing —
+      // the union rides the same hash exchange as the aggregate)
+      val stepped = und
         .join(labels, und("v") === labels("id"))
-        .groupBy(und("u").as("nid"))
-        .agg(min(col("label")).as("nbr_min"))
-      val stepped = labels
-        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-        .select(
-          labels("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label")
-        )
+        .select(col("u").as("id"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
       val ptr = stepped
         .select(col("id").as("pid"), col("label").as("plabel"))
       val doubled = stepped
