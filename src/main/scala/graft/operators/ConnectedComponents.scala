@@ -73,13 +73,16 @@ object ConnectedComponents {
         .agg(min(col("label")).as("label"))
       val ptr = stepped
         .select(col("id").as("pid"), col("label").as("plabel"))
+      // lazy checkpoint: the convergence aggregate below is the
+      // action that materializes it, so each round runs ONE job, not
+      // an eager-checkpoint job plus the aggregate
       val doubled = stepped
         .join(ptr, stepped("label") === ptr("pid"), "left")
         .select(
           stepped("id"),
           coalesce(col("plabel"), col("label")).as("label")
         )
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       val s = doubled.agg(sum(col("label"))).head().getLong(0)
       converged = s == prevSum
