@@ -59,4 +59,26 @@ class ShinglesSpec extends AnyFunSuite {
   test("fused == HOF, order included, n=3")(diff(3))
   test("fused == HOF, order included, n=5")(diff(5))
   test("fused == HOF, order included, n=1")(diff(1))
+
+  test("fused == HOF on 500 seeded random whitespace-heavy strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val alphabet =
+      Vector("a", "bb", "héllo", "中", "x", " ", "  ", "\t", "\n", " ",
+        " ", ".", "!?")
+    val docs = Seq
+      .fill(500)(
+        (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      )
+      .toDF("text")
+    Seq(2, 4).foreach { n =>
+      val rows = docs
+        .select(
+          TextFunctions.shingles(col("text"), n).as("fast"),
+          TextFunctions.shinglesHof(col("text"), n).as("hof")
+        )
+        .collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    }
+  }
 }
