@@ -154,6 +154,21 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"))
   }
 
+  test("per-key top-k windows get the rank-limit pushdown") {
+    // Spark's WindowGroupLimit keeps k rows per key in each partial,
+    // so rank<=k never sorts or carries a whole partition — the
+    // property that makes window top-k viable at 100 TB. Visible only
+    // in the executed plan (it is a physical rewrite).
+    Seq("q05_window_rank", "q74_tfidf_terms").foreach { q =>
+      val p = SparkEntry
+        .queries(q)(spark, dir)
+        .queryExecution
+        .executedPlan
+        .toString
+      assert(p.contains("WindowGroupLimit"), s"$q lost the rank-limit pushdown")
+    }
+  }
+
   test("q75: one shuffle (shard), no global sort") {
     val p = plan("q75_shard_assign")
     assert(!p.contains("rangepartitioning"), "no global sort")
