@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions.udaf
 
 /** KMV (k-minimum-values) distinct-count sketch as a custom typed
   * aggregate — the `Aggregator` tier of the Catalyst surface.
+  * Literature: Bar-Yossef et al., "Counting distinct elements in a
+  * data stream" (RANDOM 2002); the (k−1)/h_k unbiased form follows
+  * Beyer et al., "On synopses for distinct-value estimation under
+  * multiset operations" (SIGMOD 2007).
   *
   * Unlike Spark's built-in HLL++ (`approx_count_distinct`), the KMV
   * estimator is simple enough to replay exactly in the DuckDB oracle:

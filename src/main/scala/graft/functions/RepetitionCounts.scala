@@ -13,6 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * distinct-token count, bigram count, distinct-bigram count — one
   * tokenization pass with two hash sets, versus the column form's
   * tokenize + bigram-build + two `array_distinct` HOF passes.
+  * Literature: the duplicate-n-gram-fraction quality filters of Rae
+  * et al., "Scaling Language Models: Methods, Analysis & Insights
+  * from Training Gopher" (2021), §A.1.1.
   *
   * Integer counts only; the duplicate fractions, rounding, and the
   * keep/drop thresholds stay in Catalyst

@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * on a pathological chain. Dedup graphs are near-cliques (tiny
   * diameter), but the bound is what makes the operator safe at 100 TB.
   *
+  * Literature: pointer doubling is the Shiloach–Vishkin (1982) PRAM
+  * shortcut; the relational min-label formulation and its MapReduce
+  * round-complexity analysis follow Kiveris et al., "Connected
+  * Components in MapReduce and Beyond" (SoCC 2014).
+  *
   * Scale mechanics: every step is a key-shuffle (never all-pairs);
   * `localCheckpoint` truncates the lineage each round so the plan does
   * not grow with iterations (on a cluster use `checkpoint` to HDFS for

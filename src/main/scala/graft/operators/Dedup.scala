@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for the training-data pipeline: exact
   * (hash-groupBy), n-gram Jaccard near-dup, MinHash+LSH, SimHash.
   *
+  * Literature: MinHash resemblance — Broder, "On the resemblance and
+  * containment of documents" (SEQUENCES 1997); banded LSH
+  * amplification — Leskovec/Rajaraman/Ullman, Mining of Massive
+  * Datasets ch. 3; SimHash — Charikar, "Similarity estimation
+  * techniques from rounding algorithms" (STOC 2002); eval-overlap
+  * decontamination — the n-gram collision procedure of Brown et al.,
+  * "Language Models are Few-Shot Learners" (NeurIPS 2020, app. C).
+  *
   * Scale design: every variant is a shuffle-on-key plan, never a naive
   * all-pairs comparison.
   *  - Exact dedup shuffles on the md5 fingerprint — uniform keys, no
