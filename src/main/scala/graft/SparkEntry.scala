@@ -254,6 +254,9 @@ object SparkEntry {
     "q74_tfidf_terms" -> (TextAnalysis.tfidfTopTerms _),
     // Content-keyed shard + reproducible within-shard shuffle order.
     "q75_shard_assign" -> (Sampling.shardAssignment(_, _)),
+    // Runtime bloom filter: sketch the build side's keys, prune the
+    // probe side in its scan stage, exact semi join removes the fpp.
+    "q76_bloom_semi_join" -> (RuntimeFilters.bloomSemiRevenue _),
     // The FUSED single-pass text stats (JVM tokenizer) under the
     // DuckDB gate: counts + the quality recomposed from them must
     // hash-match the SQL replay of the column semantics.
@@ -1373,6 +1376,14 @@ object SparkEntry {
                     ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
                 FROM sc)
          SELECT doc_id, term, tf, df, tfidf, rank FROM rk WHERE rank <= 3""",
+    "q76_bloom_semi_join" ->
+      """SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+         GROUP BY l_returnflag""",
     "q75_shard_assign" ->
       """SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
            CAST(row_number() OVER (
