@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * (no shuffle at all — at 100 TB it is a map over the scan, and the
   * same document lands in the same split on every run, on any cluster
   * layout, because the bucket is content-keyed rather than
-  * partition-keyed like `randomSplit`). The decile binning is one
-  * global sort — the only way to get exact quantile membership — and
-  * at scale would swap to `approxQuantile` boundaries + a broadcast
-  * range lookup, trading exactness for a sort-free plan.
+  * partition-keyed like `randomSplit`). The decile binning is a
+  * distributed total order (range shuffle + per-partition offsets,
+  * [[Ranking]]) — exact quantile membership without a
+  * single-partition stage; an approximate variant would swap in
+  * `approxQuantile` boundaries + a broadcast range lookup for a
+  * sort-free plan.
   */
 object Sampling {
 
@@ -102,14 +104,26 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("position"))
   }
 
-  /** q50: curriculum deciles — ntile(10) over quality descending
-    * (doc_id tiebreak makes membership total-ordered and exact).
+  /** q50: curriculum deciles — exact ntile(10) over quality
+    * descending (doc_id tiebreak makes membership total-ordered and
+    * exact), computed by the distributed two-pass ranking
+    * ([[Ranking.withGlobalRank]]: range shuffle + zipWithIndex) rather
+    * than an empty-partition window, which would serialize the whole
+    * corpus through one partition.
     */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("quality").desc, col("doc_id").asc)
-    TextAnalysis
+    val scored = TextAnalysis
       .qualityScores(spark, dir)
       .select(col("doc_id"), col("quality"))
-      .withColumn("decile", ntile(10).over(w))
+    val total = scored.count()
+    Ranking
+      .withGlobalRank(
+        scored,
+        Seq(col("quality").desc, col("doc_id").asc),
+        "rk",
+        spark.sessionState.conf.numShufflePartitions
+      )
+      .withColumn("decile", Ranking.ntileFromRank(col("rk"), lit(total), 10))
+      .select(col("doc_id"), col("quality"), col("decile"))
   }
 }

@@ -156,9 +156,15 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(1000)
+      // ranking the k survivors: input is bounded to 1000 rows by the
+      // limit, so a one-partition window is safe — the constant
+      // partition key states that explicitly (an empty window spec
+      // would mean "serialize EVERYTHING", which WindowExec rightly
+      // warns about)
       .withColumn(
         "rank",
-        row_number().over(Window.orderBy(col("n").desc, col("token").asc))
+        row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("n").desc, col("token").asc))
       )
 
   /** q74: TF-IDF top terms per document — the keyword-extraction /
