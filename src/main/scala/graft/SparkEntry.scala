@@ -257,6 +257,33 @@ object SparkEntry {
     // Runtime bloom filter: sketch the build side's keys, prune the
     // probe side in its scan stage, exact semi join removes the fpp.
     "q76_bloom_semi_join" -> (RuntimeFilters.bloomSemiRevenue _),
+    // Stream-static enrichment: streaming events ⋈ broadcast customer
+    // dim (stateless join — no state store), then a running aggregate.
+    "q77_stream_static_join" -> ((s: SparkSession, dir: String) =>
+      streaming.EventStreams.runAvailableNow(
+        streaming.EventStreams.segmentActivity(
+          streaming.EventStreams.readEvents(s, dir),
+          Tables.customer(s, dir)),
+        "q77_stream_static_join_out",
+        "complete")),
+    // Canonical doc per near-dup cluster: quality-argmax survivor
+    // selection over the q72 labels (keep-best, not keep-min-id).
+    "q78_canonical_docs" -> (Dedup.canonicalDocs _),
+    // RANGE-framed rolling window: per-user trailing-hour activity
+    // keyed on epoch micros (value-based frame, not row-count).
+    "q79_rolling_hour" -> (Events.rollingHourly _),
+    // Exact per-language token-count quartiles (PERCENTILE_CONT
+    // semantics) — the sequence-length profile.
+    "q80_lang_percentiles" -> (TextAnalysis.langTokenPercentiles _),
+    // Fixed-width quality histogram on the rounded score — binning is
+    // integer arithmetic, engine-reproducible.
+    "q81_quality_histogram" -> (TextAnalysis.qualityHistogram _),
+    // Inverted-index posting lists for mid-df tokens (df ∈ [3,50]),
+    // lists serialized sorted for the dtype-strict driver compare.
+    "q82_posting_lists" -> (TextAnalysis.postingLists _),
+    // Ordered funnel view→click→purchase: per-stage conditional min
+    // joined back — three shuffles of filtered slices.
+    "q83_funnel" -> (Events.funnel _),
     // The FUSED single-pass text stats (JVM tokenizer) under the
     // DuckDB gate: counts + the quality recomposed from them must
     // hash-match the SQL replay of the column semantics.
@@ -1596,6 +1623,145 @@ object SparkEntry {
            AS INTEGER) AS fake_width,
          CAST(('0x' || substr(sha256(text), 5, 4))::BIGINT % 1080
            AS INTEGER) AS fake_height
-         FROM documents"""
+         FROM documents""",
+    // q77: the streaming result equals the batch join+aggregate.
+    "q77_stream_static_join" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+         round(sum(value), 2) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
+    // q78: q72's transitive closure + q15's quality formula; the
+    // survivor is the per-cluster (quality desc, doc_id asc) argmax.
+    "q78_canonical_docs" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         ed AS (SELECT doc_a, doc_b FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.05),
+         nodes AS (SELECT doc_id FROM d WHERE len(sh) > 0),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM ed
+                 UNION SELECT doc_b, doc_a FROM ed),
+         reach(a, b) AS (
+           SELECT doc_id, doc_id FROM nodes
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lab AS (SELECT a AS doc_id, min(b) AS cluster_id
+                 FROM reach GROUP BY a),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size
+                FROM lab GROUP BY 1),
+         qq AS (SELECT doc_id,
+                  round(0.5 * least(n_toks / 200.0, 1.0)
+                      + 0.4 * least(stop_raw * 5.0, 1.0)
+                      + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
+                FROM (SELECT doc_id,
+                        CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE len(list_filter(toks, w -> w IN
+                               ('the','a','an','and','or','of','to','in','is','it')
+                               ))::DOUBLE / len(toks) END AS stop_raw,
+                        len(toks)::DOUBLE AS n_toks,
+                        CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE (length(text)
+                                   - length(translate(text, '.,!?;:', '')))::DOUBLE
+                                  / length(text) END AS punct_frac
+                      FROM (SELECT doc_id, text,
+                              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                                   ELSE regexp_split_to_array(trim(text), '\\s+')
+                              END AS toks
+                            FROM documents) a) b)
+         SELECT cluster_id, cluster_size, doc_id AS keep_doc,
+           q AS keep_quality
+         FROM (SELECT l.cluster_id, s.cluster_size, l.doc_id, qq.q,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                   ORDER BY qq.q DESC, l.doc_id ASC) AS rn
+               FROM lab l
+               JOIN sz s USING (cluster_id)
+               JOIN qq USING (doc_id)) t
+         WHERE rn = 1""",
+    // q79: identical RANGE frame on epoch micros.
+    "q79_rolling_hour" ->
+      """SELECT event_id, user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h,
+         round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS sum_1h
+         FROM events""",
+    // q80: quantile_cont = PERCENTILE_CONT = Spark's percentile.
+    "q80_lang_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+         round(quantile_cont(n, 0.25), 6) AS p25,
+         round(quantile_cont(n, 0.5), 6) AS p50,
+         round(quantile_cont(n, 0.75), 6) AS p75,
+         max(n) AS max_tokens
+         FROM (SELECT lang,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS BIGINT) AS n
+               FROM documents) d
+         GROUP BY lang""",
+    // q81: bucket arithmetic on the 6-rounded quality score.
+    "q81_quality_histogram" ->
+      """WITH qq AS (SELECT
+                  round(0.5 * least(n_toks / 200.0, 1.0)
+                      + 0.4 * least(stop_raw * 5.0, 1.0)
+                      + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
+                FROM (SELECT
+                        CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE len(list_filter(toks, w -> w IN
+                               ('the','a','an','and','or','of','to','in','is','it')
+                               ))::DOUBLE / len(toks) END AS stop_raw,
+                        len(toks)::DOUBLE AS n_toks,
+                        CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE (length(text)
+                                   - length(translate(text, '.,!?;:', '')))::DOUBLE
+                                  / length(text) END AS punct_frac
+                      FROM (SELECT doc_id, text,
+                              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                                   ELSE regexp_split_to_array(trim(text), '\s+')
+                              END AS toks
+                            FROM documents) a) b)
+         SELECT bucket, count(*) AS n_docs,
+           round(bucket / 20.0, 2) AS bucket_lo,
+           round((bucket + 1) / 20.0, 2) AS bucket_hi
+         FROM (SELECT least(greatest(CAST(floor(q * 20) AS INTEGER), 0), 19)
+                 AS bucket FROM qq) x
+         GROUP BY bucket""",
+    // q82: postings serialized sorted-joined on both sides.
+    "q82_posting_lists" ->
+      """SELECT token, count(*) AS df,
+         array_to_string(list_sort(list(doc_id)), ',') AS postings
+         FROM (SELECT DISTINCT doc_id, token
+               FROM (SELECT doc_id, unnest(toks) AS token
+                     FROM (SELECT doc_id,
+                             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                                  ELSE regexp_split_to_array(trim(text), '\s+')
+                             END AS toks
+                           FROM documents) t) x) u
+         GROUP BY token
+         HAVING count(*) BETWEEN 3
+           AND floor(0.8 * (SELECT count(*) FROM documents))""",
+    // q83: per-stage conditional mins, strictly ordered.
+    "q83_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS click_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.view_ts
+               GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+               GROUP BY 1)
+         SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CAST(1 + CAST(c.click_ts IS NOT NULL AS INTEGER)
+                  + CAST(p.purchase_ts IS NOT NULL AS INTEGER) AS INTEGER)
+             AS stage_reached
+         FROM v
+         LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id"""
   )
 }

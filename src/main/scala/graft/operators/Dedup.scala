@@ -230,6 +230,40 @@ object Dedup {
       )
   }
 
+  /** q78: canonical-document selection — the keep-one policy applied
+    * AFTER cluster resolution, choosing the best representative by
+    * content quality instead of the arbitrary min-id: per near-dup
+    * cluster, keep the doc with the highest quality score (rounded to
+    * 6 places so the comparison is reproducible across engines;
+    * doc_id-asc tiebreak). One `max(struct(...))` aggregate over the
+    * q72 labels ⋈ q15 scores — partial aggregation applies, the
+    * shuffle carries one candidate struct per (partition, cluster),
+    * never the documents. This is the last dedup stage a training
+    * corpus runs: clusters → one survivor each.
+    */
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val quality = TextAnalysis
+      .qualityScores(spark, dir)
+      .select(col("doc_id"), round(col("quality"), 6).as("q"))
+    labels
+      .join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(col("cluster_size")).as("cluster_size"),
+        // lexicographic struct max: quality desc, then doc_id asc
+        // (negated id turns the asc tiebreak into a max)
+        max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best")
+      )
+      .select(
+        col("cluster_id"),
+        col("cluster_size"),
+        (-col("best.nid")).as("keep_doc"),
+        col("best.q").as("keep_quality")
+      )
+  }
+
   /** q73: benchmark decontamination — flag training docs that share
     * any distinct 5-gram with the eval split (doc_id % 50 == 0; stands
     * in for a held-out benchmark suite). The eval shingle set is tiny

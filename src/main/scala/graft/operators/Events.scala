@@ -176,4 +176,74 @@ object Events {
         col("moving_avg3")
       )
   }
+
+  /** q79: per-user trailing 1-hour activity — a RANGE-framed window
+    * (value-based frame over event-time, not a row count): for every
+    * event, how many events and how much value the same user produced
+    * in the preceding hour including this one. The frame key is epoch
+    * MICROseconds, so the boundary is exact at the source's native
+    * precision (casting to seconds would widen the frame for
+    * sub-second neighbors). One shuffle on user_id, one ordered pass
+    * per partition with an O(frame) sliding accumulator — the rolling
+    * feature-extraction shape (user velocity / fraud features) that
+    * holds at any scale because frames never cross users.
+    */
+  def rollingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value")
+      )
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+  }
+
+  /** q83: ordered funnel (view → click → purchase): per user, the
+    * earliest view, the earliest click strictly after that view, and
+    * the earliest purchase strictly after that click. Stage k is one
+    * conditional min-aggregate over the stage-k event type joined back
+    * on user_id — three key-shuffles of pre-filtered slices (each
+    * scan reads only its event type via pushed filters), never a
+    * per-user sort of the full history. The standard funnel topology:
+    * state per user is three timestamps regardless of event volume.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    def stageMin(eventType: String, out: String) =
+      events
+        .filter(col("event_type") === eventType)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(out))
+    val v = stageMin("view", "view_ts")
+    val c = events
+      .filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("view_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("click_ts"))
+    val p = events
+      .filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("purchase_ts"))
+    v.join(c.select(col("user_id"), col("click_ts")), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(
+        col("user_id"),
+        col("view_ts"),
+        col("click_ts"),
+        col("purchase_ts"),
+        (lit(1) + col("click_ts").isNotNull.cast("int")
+          + col("purchase_ts").isNotNull.cast("int")).as("stage_reached")
+      )
+  }
 }

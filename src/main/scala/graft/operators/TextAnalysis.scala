@@ -384,4 +384,83 @@ object TextAnalysis {
           6
         )
       )
+
+  /** q80: per-language token-count percentiles — exact
+    * linear-interpolated quartiles (`percentile`, the SQL-standard
+    * PERCENTILE_CONT semantics DuckDB's quantile_cont mirrors) of the
+    * document length distribution, the sequence-length profile that
+    * sizes context budgets and packing. Exact percentile buffers one
+    * count-map per (partition, group) — right for a grouped profile
+    * with bounded group count; a 100 TB ungrouped profile would swap
+    * in `approx_percentile` (t-digest, mergeable constant-size
+    * sketch) at the cost of exactness.
+    */
+  def langTokenPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n, array(0.25D, 0.5D, 0.75D))").as("pct"),
+        max(col("n")).as("max_tokens")
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        round(element_at(col("pct"), 1), 6).as("p25"),
+        round(element_at(col("pct"), 2), 6).as("p50"),
+        round(element_at(col("pct"), 3), 6).as("p75"),
+        col("max_tokens")
+      )
+
+  /** q81: corpus quality histogram — fixed-width binning of the
+    * quality score into 20 buckets over [0, 1]. The bucket index is
+    * integer arithmetic on the ROUNDED score, so bin membership is
+    * engine-reproducible (no float-edge flapping); out-of-range
+    * scores clamp into the edge bins. groupBy on a computed key:
+    * partial counts map-side, 20 rows shuffle. The shape-inspection
+    * pass run before choosing curriculum/filter thresholds.
+    */
+  def qualityHistogram(spark: SparkSession, dir: String): DataFrame =
+    qualityScores(spark, dir)
+      .select(
+        least(
+          greatest(floor(round(col("quality"), 6) * 20).cast("int"), lit(0)),
+          lit(19)
+        ).as("bucket")
+      )
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("bucket_lo", round(col("bucket") / 20.0, 2))
+      .withColumn("bucket_hi", round((col("bucket") + 1) / 20.0, 2))
+
+  /** q82: inverted index posting lists — for each retained token
+    * (document frequency in [3, 80% of corpus]: drop hapax noise and
+    * near-ubiquitous stopwords — the band is proportional so the
+    * operator is SF-stable), the sorted doc_id list, serialized to a
+    * string (the driver compare rejects array cells). explode →
+    * distinct (token, doc) → one aggregate; posting lists ship as
+    * sorted arrays, never through a driver collect. The corpus size
+    * joins in as a broadcast single row. The df band is what bounds
+    * posting-cell width at corpus scale; a real web-scale index
+    * would additionally shard postings by (token, doc_id bucket).
+    */
+  def postingLists(spark: SparkSession, dir: String): DataFrame = {
+    val total = Tables
+      .documents(spark, dir)
+      .agg(count(lit(1)).as("n_total"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(sort_array(collect_list(col("doc_id"))), ",").as("postings")
+      )
+      .join(broadcast(total))
+      .filter(col("df").between(lit(3), floor(col("n_total") * 0.8)))
+      .select(col("token"), col("df"), col("postings"))
+  }
 }

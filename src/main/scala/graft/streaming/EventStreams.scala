@@ -194,6 +194,29 @@ object EventStreams {
         col("p_ts"), col("e_ts"))
   }
 
+  /** Stream-static enrichment join + windowless aggregation: the
+    * streaming events join a STATIC broadcast dimension (customer →
+    * market segment) — the classic enrich-then-aggregate topology.
+    * The static side is planned as a broadcast hash join under every
+    * micro-batch, so the join is stateless (no state store at all);
+    * the only stateful operator is the running aggregate. At scale
+    * the dimension is the small side by construction; a large,
+    * slowly-changing dimension would become a second stream with a
+    * temporal (as-of) join instead.
+    */
+  def segmentActivity(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(
+        broadcast(customers.select(
+          col("c_custkey").as("user_id"), col("c_mktsegment"))),
+        Seq("user_id")
+      )
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value")
+      )
+
   /** Keyed latest-record dedup: for a stream of (key, updated,
     * payload) keep only the newest record per key — the late-update
     * extension the reference never handles (SURVEY §2.9 "late data").

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 operators: rolling RANGE windows, funnels, canonical-doc
+  * selection, percentiles, histogram, posting lists.
+  */
+class Round4OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("rollingHourly counts its own row and nothing outside the hour") {
+    val out = Events.rollingHourly(spark, dir)
+    assert(out.filter(col("n_1h") < 1).count() == 0)
+    // cross-check one user against a self-join reimplementation
+    import spark.implicits._
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .filter(col("user_id") === 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val expected = ev.map { case (id, us, _) =>
+      id -> ev.count { case (_, us2, _) => us2 >= us - 3600000000L && us2 <= us }
+    }.toMap
+    val got = out
+      .filter(col("user_id") === 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(got == expected.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("funnel stages are ordered and monotone") {
+    val out = Events.funnel(spark, dir).collect()
+    out.foreach { r =>
+      val view = r.getTimestamp(1)
+      val click = Option(r.getTimestamp(2))
+      val purchase = Option(r.getTimestamp(3))
+      val stage = r.getInt(4)
+      assert(view != null)
+      click.foreach(c => assert(c.after(view)))
+      purchase.foreach { p =>
+        assert(click.isDefined); assert(p.after(click.get))
+      }
+      assert(stage == 1 + click.size + purchase.size)
+    }
+  }
+
+  test("canonicalDocs keeps exactly one doc per cluster, the best one") {
+    val clusters = Dedup.dedupClusters(spark, dir)
+    val canon = Dedup.canonicalDocs(spark, dir)
+    assert(canon.count() == clusters.select("cluster_id").distinct().count())
+    // every keep_doc belongs to its cluster and has the max quality
+    val quality = TextAnalysis
+      .qualityScores(spark, dir)
+      .select(col("doc_id"), round(col("quality"), 6).as("q"))
+    val joined = clusters
+      .join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("expect_doc"))
+    val bad = canon
+      .join(joined, "cluster_id")
+      .filter(col("keep_doc") =!= col("expect_doc"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("langTokenPercentiles quartiles are ordered and bounded by max") {
+    Sampling // touch to keep import-order linters quiet
+    val out = TextAnalysis.langTokenPercentiles(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p25 <= p50 && p50 <= p75)
+      assert(p75 <= r.getLong(5).toDouble)
+    }
+  }
+
+  test("qualityHistogram buckets partition the corpus") {
+    val out = TextAnalysis.qualityHistogram(spark, dir)
+    val total = out.agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(total == Tables.documents(spark, dir).count())
+    assert(out.filter(col("bucket") < 0 || col("bucket") > 19).count() == 0)
+  }
+
+  test("postingLists df equals the posting length and lists are sorted") {
+    val out = TextAnalysis.postingLists(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val ids = r.getString(2).split(",").map(_.toLong)
+      assert(ids.length == r.getLong(1))
+      assert(ids.sameElements(ids.sorted))
+    }
+  }
+
+  test("stream-static segmentActivity matches the batch join+aggregate") {
+    SparkSession.clearActiveSession()
+    val events = graft.streaming.EventStreams.readEvents(spark, dir)
+    val streamed = graft.streaming.EventStreams
+      .runAvailableNow(
+        graft.streaming.EventStreams
+          .segmentActivity(events, Tables.customer(spark, dir)),
+        "r4_stream_static",
+        "complete")
+      .collect()
+      .map(_.toString)
+      .sorted
+    val batch = Tables
+      .events(spark, dir)
+      .join(
+        Tables.customer(spark, dir)
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment")),
+        "user_id")
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .collect()
+      .map(_.toString)
+      .sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
