@@ -41,11 +41,26 @@ object EventStreams {
       sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "4")
     val batchShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // These are throwaway drain-once checkpoints (offset/commit logs +
+    // state deltas, fsync'd per micro-batch) — putting them on tmpfs
+    // keeps the state-store lifecycle off the disk, where concurrent
+    // I/O load (an oracle dump, another job's shuffle spill) otherwise
+    // multiplies the per-batch commit latency. A production stream
+    // points checkpointLocation at durable shared storage instead —
+    // that is the resume contract, which a drain-and-discard run
+    // doesn't need.
+    val ckptRoot = sys.env.getOrElse(
+      "SPARK_GRAFT_STREAM_CKPT_ROOT",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
+      else sys.props("java.io.tmpdir") + "/graft-ckpt")
+    val ckpt = new java.io.File(
+      s"$ckptRoot/$name-${java.util.UUID.randomUUID()}")
     try {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       // a partially-drained table must never masquerade as the result
@@ -56,8 +71,14 @@ object EventStreams {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", batchShuffle)
+      deleteRecursively(ckpt)
     }
     spark.table(name)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
   }
 
   /** Streaming read of the events table (file source — stands in for

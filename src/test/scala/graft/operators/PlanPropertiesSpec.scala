@@ -179,6 +179,42 @@ class PlanPropertiesSpec extends AnyFunSuite {
     )
   }
 
+  test("q79: one shuffle on user_id; frame is a RangeFrame") {
+    val p = plan("q79_rolling_hour")
+    assert(p.contains("hashpartitioning(user_id"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "rolling window reuses a single user_id shuffle")
+    assert(p.contains("RangeFrame"), "value-based frame, not a row frame")
+  }
+
+  test("q83: every funnel stage pushes its event_type filter to the scan") {
+    val p = plan("q83_funnel")
+    for (stage <- Seq("view", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$stage)"),
+        s"$stage stage should scan only its slice")
+  }
+
+  test("q82: corpus total is a broadcast single row; postings agg on token") {
+    val p = plan("q82_posting_lists")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the count joins as a broadcast row, never a shuffle")
+    assert(p.contains("hashpartitioning(token"))
+  }
+
+  test("q80: grouped percentiles are one exchange with partial aggregation") {
+    val p = plan("q80_lang_percentiles")
+    assert(p.contains("partial_percentile"), "map-side partial percentile")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1)
+  }
+
+  test("q50: deciles plan has no window and no single-partition stage") {
+    // the distributed ranking materializes through an RDD boundary;
+    // everything visible in the final plan must stay partition-parallel
+    val p = plan("q50_quality_deciles")
+    assert(!p.contains("Window"), "no window operator anywhere")
+    assert(!p.contains("SinglePartition"), "no single-partition exchange")
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
