@@ -342,6 +342,35 @@ object ScaleBench {
     val survivors = pipeRow.getLong(0)
     val pipeSec = (System.nanoTime() - tP) / 1e9
 
+    // --- distributed global ranking at 5M rows ----------------------
+    // the q50 topology un-capped: exact ntile over a total order with
+    // heavy ties (1000 distinct values over 5M rows), via range
+    // shuffle + zipWithIndex — no single-partition stage anywhere.
+    // Validated structurally: ntile(10) bucket sizes must be exactly
+    // N/10 (N divisible here), and the global rank must span [1, N].
+    val rankN = 5000000L
+    val tRank = System.nanoTime()
+    val rankIn = spark
+      .range(rankN)
+      .select(col("id"),
+        (col("id") * 2654435761L % 1000).cast("double").as("score"))
+    val ranked = graft.operators.Ranking
+      .withGlobalRank(rankIn.toDF(),
+        Seq(col("score").desc, col("id").asc), "rk", cpus.toInt)
+      .withColumn("decile",
+        graft.operators.Ranking.ntileFromRank(col("rk"), lit(rankN), 10))
+    val deciles = ranked
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("rk")).as("lo"), max(col("rk")).as("hi"))
+      .collect()
+    val rankSec = (System.nanoTime() - tRank) / 1e9
+    require(deciles.length == 10 &&
+      deciles.forall(_.getLong(1) == rankN / 10),
+      s"ntile bucket sizes broken: ${deciles.mkString(";")}")
+    require(deciles.map(_.getLong(2)).min == 1L &&
+      deciles.map(_.getLong(3)).max == rankN,
+      "global rank does not span [1, N]")
+
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
         s""""lsh_candidate_pairs":$nCandidates,"lsh_sec":$lshSec,""" +
@@ -359,7 +388,8 @@ object ScaleBench {
         s""""cc_rounds":$ccRounds,"cc_sec":$ccSec,""" +
         s""""pipeline_survivors":$survivors,"pipeline_sec":$pipeSec,""" +
         s""""pipeline_docs_per_sec":${(nDocs / pipeSec).round},""" +
-        s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec}"""
+        s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec,""" +
+        s""""rank_rows":$rankN,"rank_sec":$rankSec}"""
     )
     spark.stop()
   }
