@@ -284,6 +284,12 @@ object SparkEntry {
     // Ordered funnel view→click→purchase: per-stage conditional min
     // joined back — three shuffles of filtered slices.
     "q83_funnel" -> (Events.funnel _),
+    // Corpus bigram LM: top-3 next tokens per token with conditional
+    // probability; rank and probability share one w1 partitioning.
+    "q84_bigram_lm" -> (TextAnalysis.bigramLm _),
+    // Fixed-size 200-char document chunking — shuffle-free in-row
+    // sequence+substring; the context-window splitter.
+    "q85_doc_chunks" -> (TextAnalysis.docChunks(_, _)),
     // The FUSED single-pass text stats (JVM tokenizer) under the
     // DuckDB gate: counts + the quality recomposed from them must
     // hash-match the SQL replay of the column semantics.
@@ -1744,6 +1750,33 @@ object SparkEntry {
          GROUP BY token
          HAVING count(*) BETWEEN 3
            AND floor(0.8 * (SELECT count(*) FROM documents))""",
+    // q84: bigram counts from the shifted-array zip; probability as
+    // an explicit double division (DuckDB integer '/' semantics
+    // differ across versions).
+    "q84_bigram_lm" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks FROM documents),
+         b AS (SELECT unnest(list_transform(range(len(toks) - 1),
+                 i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS s
+               FROM t WHERE len(toks) >= 2),
+         c AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n
+               FROM b GROUP BY 1, 2)
+         SELECT w1, w2, n, p, CAST(rank AS INTEGER) AS rank FROM (
+           SELECT w1, w2, n,
+             round(n::DOUBLE / sum(n) OVER (PARTITION BY w1), 6) AS p,
+             row_number() OVER (PARTITION BY w1
+               ORDER BY n DESC, w2 ASC) AS rank
+           FROM c) x
+         WHERE rank <= 3""",
+    // q85: identical 1-based substr chunking.
+    "q85_doc_chunks" ->
+      """SELECT doc_id, CAST(i + 1 AS INTEGER) AS chunk_idx,
+         substr(text, CAST(i * 200 + 1 AS INTEGER), 200) AS chunk
+         FROM (SELECT doc_id, text,
+                 unnest(range((length(text) - 1) // 200 + 1)) AS i
+               FROM documents WHERE length(text) > 0) t""",
     // q83: per-stage conditional mins, strictly ordered.
     "q83_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events

@@ -435,6 +435,71 @@ object TextAnalysis {
       .withColumn("bucket_lo", round(col("bucket") / 20.0, 2))
       .withColumn("bucket_hi", round((col("bucket") + 1) / 20.0, 2))
 
+  /** q84: corpus bigram language model — for every token, the top-3
+    * next tokens by conditional probability (count ratio within the
+    * w1 group; w2-asc tiebreak). Bigrams come from one in-row
+    * `zip_with` of the token array against its own shift (no
+    * per-position re-tokenization — the array is computed once per
+    * row), then a (w1, w2) hash aggregate; the probability and the
+    * rank share ONE w1 partitioning, and the rank≤3 filter gets the
+    * WindowGroupLimit pushdown, so no group ever materializes beyond
+    * its top-k in the final stage. The n-gram statistics pass of
+    * tokenizer/LM corpus prep: shuffle volume is the distinct bigram
+    * table, never the corpus.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val bi = Tables
+      .documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("b")
+      )
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val byW1 = Window.partitionBy(col("w1"))
+    val rankW = byW1.orderBy(col("n").desc, col("w2").asc)
+    bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(byW1), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 3)
+  }
+
+  /** q85: fixed-size document chunking — shard each document into
+    * 200-character segments with a 1-based index (the context-window
+    * splitting pass run before tokenization when documents exceed
+    * the model's sequence budget). Pure in-row `sequence` + explode +
+    * `substring`: shuffle-free at any scale, and chunk boundaries
+    * are content-deterministic (chunk k of a doc is identical on any
+    * cluster layout). Last chunk is short, never padded — padding is
+    * the packer's job (q53), not the splitter's.
+    */
+  def docChunks(spark: SparkSession, dir: String, width: Int = 200): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") > 0)
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), ((col("len") - 1) / width).cast("int")))
+          .as("chunk_idx0"),
+        col("text")
+      )
+      .select(
+        col("doc_id"),
+        (col("chunk_idx0") + 1).cast("int").as("chunk_idx"),
+        // functions.substring takes literal positions only; the
+        // SQL form accepts a column start
+        expr(s"substring(text, chunk_idx0 * $width + 1, $width)").as("chunk")
+      )
+
   /** q82: inverted index posting lists — for each retained token
     * (document frequency in [3, 80% of corpus]: drop hapax noise and
     * near-ubiquitous stopwords — the band is proportional so the

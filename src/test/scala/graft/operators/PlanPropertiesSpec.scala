@@ -215,6 +215,22 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), "no single-partition exchange")
   }
 
+  test("q84: rank<=3 gets the WindowGroupLimit pushdown; one w1 shuffle after the agg") {
+    val executed = SparkEntry
+      .queries("q84_bigram_lm")(spark, dir)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(executed.contains("WindowGroupLimit"),
+      "per-token top-k must not materialize whole groups")
+    val p = plan("q84_bigram_lm")
+    assert(p.contains("hashpartitioning(w1"))
+  }
+
+  test("q85: chunking is a shuffle-free map stage") {
+    assert(!plan("q85_doc_chunks").contains("Exchange"))
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)

@@ -108,6 +108,61 @@ class Round4OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramLm probabilities sum to 1 per w1 over the full rank set") {
+    // rebuild without the top-3 filter: per-token next-token
+    // probabilities must be a distribution
+    import spark.implicits._
+    val t = col("t")
+    val bi = Tables
+      .documents(spark, dir)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val sums = bi
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("w1")
+      .agg(sum(col("n")).as("tot"))
+      .collect()
+    assert(sums.nonEmpty)
+    // and the operator's ranked output never exceeds 3 rows per w1
+    val over3 = TextAnalysis
+      .bigramLm(spark, dir)
+      .groupBy("w1")
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") > 3)
+      .count()
+    assert(over3 == 0)
+  }
+
+  test("docChunks reassemble to the original text") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val glued = TextAnalysis
+      .docChunks(spark, dir)
+      .groupBy("doc_id")
+      .agg(concat_ws("",
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk"))))
+          .getField("chunk")).as("glued"))
+    val diff = docs
+      .join(glued, Seq("doc_id"), "left")
+      .filter(length(col("text")) > 0 && (col("glued").isNull ||
+        col("glued") =!= col("text")))
+      .count()
+    assert(diff == 0)
+    // every chunk except a doc's last is exactly 200 chars
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val badLen = TextAnalysis
+      .docChunks(spark, dir)
+      .withColumn("maxIdx", max(col("chunk_idx")).over(w))
+      .filter(col("chunk_idx") < col("maxIdx") && length(col("chunk")) =!= 200)
+      .count()
+    assert(badLen == 0)
+  }
+
   test("stream-static segmentActivity matches the batch join+aggregate") {
     SparkSession.clearActiveSession()
     val events = graft.streaming.EventStreams.readEvents(spark, dir)
