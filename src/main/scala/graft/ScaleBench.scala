@@ -342,6 +342,23 @@ object ScaleBench {
     val survivors = pipeRow.getLong(0)
     val pipeSec = (System.nanoTime() - tP) / 1e9
 
+    // --- PageRank at 1M nodes ---------------------------------------
+    // power iteration over the symmetrized clique graph (1.6M directed
+    // edges): 4 rounds × (join + aggregate) with per-round lineage
+    // truncation — the same two-key-shuffle round as CC, so the cost
+    // scales with edge count, not iterations × plan depth.
+    val prEdges = cliqueEdges
+      .unionByName(cliqueEdges.select(col("dst").as("src"), col("src").as("dst")))
+    val tPr = System.nanoTime()
+    val prMass = graft.operators.PageRank
+      .run(prEdges, iterations = 4)
+      .agg(sum(col("rank")), count(lit(1)))
+      .collect()(0)
+    val prSec = (System.nanoTime() - tPr) / 1e9
+    val prNodes = prMass.getLong(1)
+    require(math.abs(prMass.getDouble(0) - 1.0) < 1e-6,
+      s"pagerank mass not conserved: ${prMass.getDouble(0)}")
+
     // --- distributed global ranking at 5M rows ----------------------
     // the q50 topology un-capped: exact ntile over a total order with
     // heavy ties (1000 distinct values over 5M rows), via range
@@ -389,7 +406,8 @@ object ScaleBench {
         s""""pipeline_survivors":$survivors,"pipeline_sec":$pipeSec,""" +
         s""""pipeline_docs_per_sec":${(nDocs / pipeSec).round},""" +
         s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec,""" +
-        s""""rank_rows":$rankN,"rank_sec":$rankSec}"""
+        s""""rank_rows":$rankN,"rank_sec":$rankSec,""" +
+        s""""pagerank_nodes":$prNodes,"pagerank_sec":$prSec}"""
     )
     spark.stop()
   }

@@ -287,6 +287,10 @@ object SparkEntry {
     // Corpus bigram LM: top-3 next tokens per token with conditional
     // probability; rank and probability share one w1 partitioning.
     "q84_bigram_lm" -> (TextAnalysis.bigramLm _),
+    // PageRank over the symmetrized near-dup graph: 8 power-iteration
+    // rounds, each one join + one aggregate (two key-shuffles),
+    // lineage-truncated per round.
+    "q86_pagerank" -> (PageRank.nearDupPageRank _),
     // Fixed-size 200-char document chunking — shuffle-free in-row
     // sequence+substring; the context-window splitter.
     "q85_doc_chunks" -> (TextAnalysis.docChunks(_, _)),
@@ -1777,6 +1781,40 @@ object SparkEntry {
          FROM (SELECT doc_id, text,
                  unnest(range((length(text) - 1) // 200 + 1)) AS i
                FROM documents WHERE length(text) > 0) t""",
+    // q86: the identical power iteration as chained CTEs (standard
+    // SQL forbids aggregation in a recursive member, so the fixed
+    // iteration count unrolls — pr1..pr8 each one join+group-by).
+    // Teleport is written (1.0 - 0.85)/n, matching the engine's
+    // floating-point evaluation order bit-for-bit.
+    "q86_pagerank" -> {
+      val prCtes = (1 to 8)
+        .map(i => s"""pr$i AS (
+           SELECT s.b AS node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * sum(p.r / dg.d) AS r
+           FROM sym s
+           JOIN pr${i - 1} p ON s.a = p.node
+           JOIN deg dg ON s.a = dg.a
+           GROUP BY s.b)""")
+        .mkString(",\n         ")
+      s"""WITH $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         ed AS (SELECT doc_a, doc_b FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.05),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM ed
+                 UNION ALL SELECT doc_b, doc_a FROM ed),
+         deg AS (SELECT a, count(*) AS d FROM sym GROUP BY a),
+         nn AS (SELECT count(*) AS n FROM deg),
+         pr0 AS (SELECT a AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+         $prCtes
+         SELECT node AS doc_id, round(r, 6) AS rank FROM pr8"""
+    },
     // q83: per-stage conditional mins, strictly ordered.
     "q83_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events

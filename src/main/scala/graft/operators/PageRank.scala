@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank — link analysis over an edge list, the
+  * importance signal a corpus pipeline derives from its document
+  * graph (citation/hyperlink/near-dup structure) for sampling weights
+  * and quality priors.
+  *
+  * Power iteration in relational form: each round is one join
+  * (ranks ⋈ out-edges on src) and one aggregate (contributions by
+  * dst) — two key-shuffles, never a matrix. The edge table carries
+  * its out-degree from a single precomputed pass and is checkpointed
+  * once; ranks are lineage-truncated per round (`localCheckpoint`,
+  * lazy — the round's single action materializes it), so the plan
+  * stays O(1) deep across iterations exactly like
+  * [[ConnectedComponents]]. On a symmetric graph every node has
+  * out-edges, so no dangling-mass correction is needed; the general
+  * directed form adds the standard dangling redistribution term.
+  *
+  * Literature: Page et al., "The PageRank Citation Ranking" (1999);
+  * the join+aggregate round is the standard Pregel/GraphX
+  * formulation re-expressed as two relational shuffles.
+  */
+object PageRank {
+
+  /** @param edges directed `src`/`dst` (long) edges; every node must
+    *              appear as a source (guaranteed for symmetrized
+    *              graphs) — nodes absent from `src` would leak rank
+    * @return (id, rank) after `iterations` rounds from the uniform
+    *         start, damping `d`: r ← (1−d)/N + d·Σ r(u)/deg(u)
+    */
+  def run(
+      edges: DataFrame,
+      iterations: Int,
+      damping: Double = 0.85
+  ): DataFrame = {
+    val out = edges
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("out_deg"))
+    val withDeg = edges
+      .join(out, "src")
+      .select(col("src"), col("dst"), col("out_deg"))
+      .localCheckpoint(true)
+    val n = out.count()
+    val teleport = (1.0 - damping) / n
+    var ranks = out
+      .select(col("src").as("id"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      ranks = withDeg
+        .join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("out_deg")).as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(teleport) + lit(damping) * sum(col("contrib"))).as("rank"))
+        .select(col("dst").as("id"), col("rank"))
+        .localCheckpoint(false)
+      ranks.count(): Unit // the round's one materializing action
+    }
+    ranks
+  }
+
+  /** q86: PageRank over the symmetrized near-dup graph (q21 Jaccard
+    * pairs) — rank concentrates in densely-duplicated document
+    * families, a duplication-pressure signal per doc. 8 rounds,
+    * d = 0.85, output rounded to 6 places (the oracle replays the
+    * identical iteration as chained SQL CTEs).
+    */
+  def nearDupPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(spark, dir)
+    val sym = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    run(sym, iterations = 8)
+      .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+  }
+}
