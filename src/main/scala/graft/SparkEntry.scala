@@ -291,6 +291,33 @@ object SparkEntry {
     // rounds, each one join + one aggregate (two key-shuffles),
     // lineage-truncated per round.
     "q86_pagerank" -> (PageRank.nearDupPageRank _),
+    // Native session_window aggregate — the idiomatic twin of q29's
+    // manual lag/flag/running-sum sessionization.
+    "q87_session_window" -> (Events.sessionWindowAgg _),
+    // Streaming stateful funnel (mapGroupsWithState): per-user
+    // 3-timestamp state folded in event-time order; terminal argmax
+    // over update-mode emissions, hash-matched against the batch
+    // funnel's oracle.
+    "q88_stream_funnel" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, max, struct}
+      streaming.EventStreams
+        .runAvailableNow(
+          streaming.EventStreams
+            .funnelStream(streaming.EventStreams.readEvents(s, dir))
+            .toDF(),
+          "q88_stream_funnel_out",
+          "update")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("stage_reached"), col("view_ts"),
+          col("click_ts"), col("purchase_ts"))).as("st"))
+        .select(
+          col("user_id"),
+          col("st.view_ts").as("view_ts"),
+          col("st.click_ts").as("click_ts"),
+          col("st.purchase_ts").as("purchase_ts"),
+          col("st.stage_reached").as("stage_reached")
+        )
+    }),
     // Fixed-size 200-char document chunking — shuffle-free in-row
     // sequence+substring; the context-window splitter.
     "q85_doc_chunks" -> (TextAnalysis.docChunks(_, _)),
@@ -1815,6 +1842,47 @@ object SparkEntry {
          $prCtes
          SELECT node AS doc_id, round(r, 6) AS rank FROM pr8"""
     },
+    // q87: q29's session derivation with the exclusive end bound;
+    // the corpus has no exactly-equal boundary gaps (spec-pinned), so
+    // the > / >= edge cannot bite.
+    "q87_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events),
+         l AS (SELECT e.*, lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts) AS prev_ts
+               FROM e),
+         f AS (SELECT l.*, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new FROM l),
+         s AS (SELECT f.*, CAST(sum(is_new) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_seq FROM f)
+         SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end_excl,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_seq""",
+    // q88: the streaming funnel's terminal state equals the batch
+    // funnel — same oracle as q83.
+    "q88_stream_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS click_ts
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.view_ts
+               GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+               GROUP BY 1)
+         SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+           CAST(1 + CAST(c.click_ts IS NOT NULL AS INTEGER)
+                  + CAST(p.purchase_ts IS NOT NULL AS INTEGER) AS INTEGER)
+             AS stage_reached
+         FROM v
+         LEFT JOIN c ON v.user_id = c.user_id
+         LEFT JOIN p ON v.user_id = p.user_id""",
     // q83: per-stage conditional mins, strictly ordered.
     "q83_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events

@@ -206,6 +206,38 @@ object Events {
       .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
   }
 
+  /** q87: gap sessionization via Spark's NATIVE `session_window`
+    * aggregate — the idiomatic form of q29's manual lag/flag/running-
+    * sum construction. One shuffle on (user_id); Spark merges
+    * overlapping per-event windows [ts, ts+gap) inside the aggregate,
+    * so state per open session is one struct, and the window end is
+    * the exclusive bound last_ts + gap (q29 reports the inclusive
+    * last-event end — both emitted here, derived from the same
+    * window). Exactly-equal boundary gaps are the one semantic edge:
+    * `session_window` starts a new session at diff == gap while the
+    * manual form continues; the corpus has microsecond timestamps, so
+    * the case is structurally absent (asserted against q29 in the
+    * spec).
+    */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(
+        col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value")
+      )
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end_excl"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** q83: ordered funnel (view → click → purchase): per user, the
     * earliest view, the earliest click strictly after that view, and
     * the earliest purchase strictly after that click. Stage k is one

@@ -215,6 +215,77 @@ object EventStreams {
         col("p_ts"), col("e_ts"))
   }
 
+  case class FunnelState(
+      view: Option[Timestamp],
+      click: Option[Timestamp],
+      purchase: Option[Timestamp]
+  )
+
+  case class FunnelOut(
+      user_id: Long,
+      view_ts: Timestamp,
+      click_ts: Option[Timestamp],
+      purchase_ts: Option[Timestamp],
+      stage_reached: Int
+  )
+
+  /** Streaming ordered-funnel detection (view → click → purchase) via
+    * mapGroupsWithState: per-user state is three optional timestamps
+    * — O(users), independent of event volume. Each batch folds its
+    * events in event-time order into the earliest-qualifying-stage
+    * state (identical recurrence to the batch funnel); update-mode
+    * emission re-emits a user's current stage on every change, so the
+    * terminal deterministic view is the per-user max-stage row (the
+    * same argmax wrapper q45 uses for its update-mode stream).
+    */
+  def funnelStream(events: DataFrame): Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[(Long, Timestamp, String)],
+         state: GroupState[FunnelState]) => {
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, tpe) =>
+            s = stepFunnel(s, ts, tpe)
+          }
+          state.update(s)
+          FunnelOut(
+            userId,
+            s.view.orNull,
+            s.click,
+            s.purchase,
+            1 + s.click.size + s.purchase.size
+          )
+        }
+      )
+      .filter(_.view_ts != null)
+  }
+
+  /** One funnel transition: earliest view; earliest click strictly
+    * after the view; earliest purchase strictly after the click.
+    */
+  private[streaming] def stepFunnel(
+      s: FunnelState,
+      ts: Timestamp,
+      tpe: String
+  ): FunnelState = tpe match {
+    case "view" if s.view.isEmpty => s.copy(view = Some(ts))
+    case "click"
+        if s.click.isEmpty &&
+          s.view.exists(v => ts.getTime > v.getTime) =>
+      s.copy(click = Some(ts))
+    case "purchase"
+        if s.purchase.isEmpty &&
+          s.click.exists(c => ts.getTime > c.getTime) =>
+      s.copy(purchase = Some(ts))
+    case _ => s
+  }
+
   /** Stream-static enrichment join + windowless aggregation: the
     * streaming events join a STATIC broadcast dimension (customer →
     * market segment) — the classic enrich-then-aggregate topology.

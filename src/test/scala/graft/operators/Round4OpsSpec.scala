@@ -163,6 +163,68 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(badLen == 0)
   }
 
+  test("native session_window sessions equal the manual q29 sessionization") {
+    // same gap, same corpus: (user, start, n, sum) sets must agree;
+    // the native end is the manual end + the 30-minute gap
+    val manual = Events
+      .sessionize(spark, dir)
+      .select(col("user_id"), col("session_start"),
+        col("session_end") + expr("INTERVAL 30 MINUTES"),
+        col("n_events"), col("sum_value"))
+      .collect()
+      .map(_.toString)
+      .sorted
+    val native = Events
+      .sessionWindowAgg(spark, dir)
+      .select(col("user_id"), col("session_start"),
+        col("session_end_excl"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(_.toString)
+      .sorted
+    assert(native.toSeq == manual.toSeq)
+  }
+
+  test("corpus has no exactly-equal session boundary gaps") {
+    // the one semantic edge between session_window (diff == gap starts
+    // a new session) and the manual form (continues): assert it is
+    // structurally absent so the q87 oracle reuse stays valid
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val exact = Tables
+      .events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us") === 1800000000L)
+      .count()
+    assert(exact == 0)
+  }
+
+  test("streaming funnel terminal state equals the batch funnel") {
+    SparkSession.clearActiveSession()
+    val streamed = graft.streaming.EventStreams
+      .runAvailableNow(
+        graft.streaming.EventStreams
+          .funnelStream(
+            graft.streaming.EventStreams.readEvents(spark, dir))
+          .toDF(),
+        "r4_stream_funnel",
+        "update")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("stage_reached"), col("view_ts"),
+        col("click_ts"), col("purchase_ts"))).as("st"))
+      .select(col("user_id"), col("st.view_ts"), col("st.click_ts"),
+        col("st.purchase_ts"), col("st.stage_reached"))
+      .collect()
+      .map(_.toString)
+      .sorted
+    val batch = Events
+      .funnel(spark, dir)
+      .collect()
+      .map(_.toString)
+      .sorted
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("stream-static segmentActivity matches the batch join+aggregate") {
     SparkSession.clearActiveSession()
     val events = graft.streaming.EventStreams.readEvents(spark, dir)
