@@ -31,6 +31,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // 1-minute load sampled BEFORE any bench work, so it reflects
+    // pre-existing machine activity, not this JVM's own 32 threads —
+    // the round-3 driver bench measured 2.9× a clean run purely from
+    // external load, and this field makes such a run self-diagnosing.
+    val loadAtStart =
+      try java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,11 +59,12 @@ object Bench {
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = fmt(results.map(_._2).filter(_ >= 0).sum)
+    val load = fmt(loadAtStart)
     // Full-name detail (for humans / PERF.md) — file, not stdout.
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","warmup_runs":1}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","warmup_runs":1,"loadavg_1m":$load}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes("UTF-8"))
@@ -66,7 +75,7 @@ object Bench {
     }.mkString("{", ",", "}")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_runs":1}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_runs":1,"loadavg_1m":$load}""")
     System.out.flush()
   }
 }
