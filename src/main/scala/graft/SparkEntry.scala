@@ -294,6 +294,12 @@ object SparkEntry {
     // Native session_window aggregate — the idiomatic twin of q29's
     // manual lag/flag/running-sum sessionization.
     "q87_session_window" -> (Events.sessionWindowAgg _),
+    // Value-bucketed deciles: broadcast percentile boundaries + 9
+    // comparisons per row — the sort-free approx-quantile scale path.
+    "q89_decile_bounds" -> (Sampling.decileByBoundaries _),
+    // CDC MERGE apply: latest change per key via one struct-max agg,
+    // joined into the base snapshot (delete/upsert/passthrough).
+    "q90_cdc_apply" -> (Relational.cdcApply _),
     // Streaming stateful funnel (mapGroupsWithState): per-user
     // 3-timestamp state folded in event-time order; terminal argmax
     // over update-mode emissions, hash-matched against the batch
@@ -1883,6 +1889,59 @@ object SparkEntry {
          FROM v
          LEFT JOIN c ON v.user_id = c.user_id
          LEFT JOIN p ON v.user_id = p.user_id""",
+    // q89: identical rounded boundaries + rounded-score comparison.
+    "q89_decile_bounds" ->
+      """WITH qq AS (SELECT doc_id,
+                  round(0.5 * least(n_toks / 200.0, 1.0)
+                      + 0.4 * least(stop_raw * 5.0, 1.0)
+                      + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
+                FROM (SELECT doc_id,
+                        CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE len(list_filter(toks, w -> w IN
+                               ('the','a','an','and','or','of','to','in','is','it')
+                               ))::DOUBLE / len(toks) END AS stop_raw,
+                        len(toks)::DOUBLE AS n_toks,
+                        CASE WHEN length(text) = 0 THEN 0.0
+                             ELSE (length(text)
+                                   - length(translate(text, '.,!?;:', '')))::DOUBLE
+                                  / length(text) END AS punct_frac
+                      FROM (SELECT doc_id, text,
+                              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                                   ELSE regexp_split_to_array(trim(text), '\s+')
+                              END AS toks
+                            FROM documents) a) b),
+         bounds AS (SELECT [round(quantile_cont(q, 0.1), 6),
+                            round(quantile_cont(q, 0.2), 6),
+                            round(quantile_cont(q, 0.3), 6),
+                            round(quantile_cont(q, 0.4), 6),
+                            round(quantile_cont(q, 0.5), 6),
+                            round(quantile_cont(q, 0.6), 6),
+                            round(quantile_cont(q, 0.7), 6),
+                            round(quantile_cont(q, 0.8), 6),
+                            round(quantile_cont(q, 0.9), 6)] AS bs FROM qq)
+         SELECT doc_id, q AS quality,
+           CAST(1 + len(list_filter((SELECT bs FROM bounds), b -> q >= b))
+             AS INTEGER) AS vbucket
+         FROM qq""",
+    // q90: latest change wins (date, key total order); P deletes.
+    "q90_cdc_apply" ->
+      """WITH last AS (
+           SELECT o_custkey, op, o_totalprice FROM (
+             SELECT o_custkey,
+               CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+               o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             FROM orders) t
+           WHERE rn = 1)
+         SELECT c_custkey,
+           round(CASE WHEN l.op = 'U' THEN l.o_totalprice
+                      ELSE c_acctbal END, 2) AS balance,
+           CASE WHEN l.op IS NULL THEN 'unchanged'
+                ELSE 'updated' END AS status
+         FROM customer c
+         LEFT JOIN last l ON c.c_custkey = l.o_custkey
+         WHERE l.op IS NULL OR l.op <> 'D'""",
     // q83: per-stage conditional mins, strictly ordered.
     "q83_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events

@@ -322,4 +322,48 @@ object Relational {
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(money(sum(col("o_totalprice"))))
       .withColumnsRenamed(Map("F" -> "price_f", "O" -> "price_o", "P" -> "price_p"))
+
+  /** q90: CDC MERGE/upsert apply — fold a keyed change log into a
+    * base snapshot: the latest change per key (by the total order
+    * (o_orderdate, o_orderkey)) wins; a terminal Delete removes the
+    * row, a terminal Upsert replaces the balance, keys without
+    * changes pass through. The change log here is derived
+    * deterministically from orders (status P ⇒ delete, else upsert
+    * of o_totalprice). Topology: the per-key argmax is ONE
+    * lexicographic struct-max aggregate (partial map-side — the
+    * shuffle carries one candidate per (partition, key), never the
+    * log), then a single join against the base. This is the
+    * snapshot-maintenance kernel of a lakehouse MERGE INTO at any
+    * scale; at 100 TB the join is the only fact-sized exchange and
+    * AQE picks its physical form.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        struct(
+          col("o_orderdate"),
+          col("o_orderkey"),
+          when(col("o_orderstatus") === "P", "D").otherwise("U").as("op"),
+          col("o_totalprice")
+        ).as("ch")
+      )
+      .groupBy(col("o_custkey"))
+      .agg(max(col("ch")).as("last"))
+      .select(col("o_custkey"), col("last.op").as("op"),
+        col("last.o_totalprice").as("new_val"))
+    Tables
+      .customer(spark, dir)
+      .join(changes, col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("c_custkey"),
+        round(
+          when(col("op") === "U", col("new_val")).otherwise(col("c_acctbal")),
+          2
+        ).as("balance"),
+        when(col("op").isNull, "unchanged").otherwise("updated").as("status")
+      )
+  }
 }

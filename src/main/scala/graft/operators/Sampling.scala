@@ -104,6 +104,38 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("position"))
   }
 
+  /** q89: value-bucketed deciles via broadcast boundaries — the
+    * sort-free alternative to q50's exact count-balanced ntile: one
+    * tiny aggregate computes the nine decile boundaries of the
+    * quality score (exact `percentile` here so the oracle can replay
+    * it; `approx_percentile` at 100 TB — same topology, mergeable
+    * sketch instead of a count map), broadcast as a single row, and
+    * bucket membership is nine comparisons per row in the scan. Two
+    * passes over the data, zero shuffles of it. Boundaries and scores
+    * compare ROUNDED (6 places) so membership is engine-exact.
+    */
+  def decileByBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis
+      .qualityScores(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    val bounds = scored.agg(
+      transform(
+        expr(
+          "percentile(quality, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"),
+        b => round(b, 6)
+      ).as("bs")
+    )
+    scored
+      .join(broadcast(bounds))
+      .select(
+        col("doc_id"),
+        col("quality"),
+        (lit(1) + size(filter(col("bs"), b => col("quality") >= b)))
+          .cast("int")
+          .as("vbucket")
+      )
+  }
+
   /** q50: curriculum deciles — exact ntile(10) over quality
     * descending (doc_id tiebreak makes membership total-ordered and
     * exact), computed by the distributed two-pass ranking

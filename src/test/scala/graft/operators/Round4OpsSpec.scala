@@ -225,6 +225,47 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("decileByBoundaries buckets are ordered with quality and span 1..10") {
+    val out = Sampling.decileByBoundaries(spark, dir)
+    assert(out.filter(col("vbucket") < 1 || col("vbucket") > 10).count() == 0)
+    // monotone: sorting by quality must sort by bucket
+    val rows = out
+      .orderBy(col("quality"))
+      .collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    assert(rows.sliding(2).forall {
+      case Array((_, b1), (_, b2)) => b1 <= b2
+      case _ => true
+    })
+    // value-bucketing ≈ count-bucketing here: each bucket nonempty
+    assert(out.select("vbucket").distinct().count() == 10)
+  }
+
+  test("cdcApply deletes P-terminal keys, updates U-terminal, passes the rest") {
+    val base = Tables.customer(spark, dir).count()
+    val out = Relational.cdcApply(spark, dir).cache()
+    val byStatus = out
+      .groupBy("status")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    // every surviving row is unchanged or updated; deleted keys gone
+    assert(byStatus.keySet.subsetOf(Set("unchanged", "updated")))
+    assert(out.count() < base, "some customers must have P-terminal deletes")
+    // unchanged rows keep the base balance exactly
+    val baseBal = Tables
+      .customer(spark, dir)
+      .select(col("c_custkey").as("k"), round(col("c_acctbal"), 2).as("b"))
+    val drift = out
+      .filter(col("status") === "unchanged")
+      .join(baseBal, col("c_custkey") === col("k"))
+      .filter(col("balance") =!= col("b"))
+      .count()
+    assert(drift == 0)
+    out.unpersist(): Unit
+  }
+
   test("stream-static segmentActivity matches the batch join+aggregate") {
     SparkSession.clearActiveSession()
     val events = graft.streaming.EventStreams.readEvents(spark, dir)
