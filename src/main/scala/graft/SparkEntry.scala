@@ -300,6 +300,32 @@ object SparkEntry {
     // CDC MERGE apply: latest change per key via one struct-max agg,
     // joined into the base snapshot (delete/upsert/passthrough).
     "q90_cdc_apply" -> (Relational.cdcApply _),
+    // Per-doc cross-entropy under the corpus bigram LM (add-one
+    // smoothing) — model-based quality scoring next to q15's
+    // heuristic one.
+    "q91_bigram_xent" -> (TextAnalysis.bigramXent _),
+    // Count-min sketch heavy hitters: exact top-20 terms with their
+    // fixed-memory CMS estimates side by side (md5-seeded rows —
+    // exactly SQL-replayable, unlike built-in count_min_sketch).
+    "q92_cms_topk" -> (Sketches.cmsTopTerms(_, _)),
+    // Distributed k-means over embeddings: broadcast-centroid assign,
+    // one partial-agg shuffle per update round, per-round lineage
+    // truncation; the oracle replays both Lloyd rounds as CTEs.
+    "q93_kmeans" -> (Clustering.kmeansAssign(_, _)),
+    // int8 scalar quantization of embeddings + reconstruction-error
+    // audit (per-dim global min/max broadcast back over the scan).
+    "q94_int8_quant" -> (Similarity.int8QuantError _),
+    // Cohort retention matrix: first-activity cohorts × days-since.
+    "q95_cohort_retention" -> (Events.cohortRetention _),
+    // Substring-level dedup: 8-token span families shared by >= 2
+    // docs, grouped on the portable span hash.
+    "q96_dup_spans" -> (Dedup.duplicatedSpans(_, _)),
+    // Weighted sampling without replacement (A-Res): content-keyed
+    // u^(1/w) priorities, top-k via per-partition heaps.
+    "q97_weighted_sample" -> (Sampling.weightedSample(_, _)),
+    // Z-order layout: Morton-bucketed orders with per-bucket bounding
+    // rectangles — two-dimensional data-skipping stats.
+    "q98_zorder" -> (Layout.zorderBuckets _),
     // Streaming stateful funnel (mapGroupsWithState): per-user
     // 3-timestamp state folded in event-time order; terminal argmax
     // over update-mode emissions, hash-matched against the batch
@@ -1942,6 +1968,173 @@ object SparkEntry {
          FROM customer c
          LEFT JOIN last l ON c.c_custkey = l.o_custkey
          WHERE l.op IS NULL OR l.op <> 'D'""",
+    // q91: identical add-one-smoothed LM — per-doc bigram counts,
+    // corpus LM + context totals from the same counts, |V| as one
+    // cross-joined scalar; ln in nats, mean rounded to 6.
+    "q91_bigram_xent" ->
+      """WITH t AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\s+')
+                  END AS toks FROM documents),
+         db AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, count(*) AS c
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(toks) - 1),
+                          i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS s
+                      FROM t WHERE len(toks) >= 2) x
+                GROUP BY 1, 2, 3),
+         lm AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS n
+                FROM db GROUP BY 1, 2),
+         ctx AS (SELECT w1, CAST(sum(n) AS BIGINT) AS ctx_n
+                 FROM lm GROUP BY 1),
+         voc AS (SELECT count(DISTINCT w) AS v
+                 FROM (SELECT unnest(toks) AS w FROM t) u)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(sum(c * -ln((n + 1)::DOUBLE / (ctx_n + v)::DOUBLE))
+             / sum(c), 6) AS xent
+         FROM db
+         JOIN lm USING (w1, w2)
+         JOIN ctx USING (w1)
+         CROSS JOIN voc
+         GROUP BY doc_id""",
+    // q92: identical md5-seeded row hashes; cell sums are commutative
+    // so the sketch is partitioning-independent on both engines.
+    "q92_cms_topk" ->
+      """WITH tok AS (SELECT unnest(toks) AS w FROM
+           (SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+')
+                   END AS toks FROM documents) t),
+         ex AS (SELECT w, count(*) AS n FROM tok GROUP BY 1),
+         cells AS (SELECT rr.r AS r,
+                     ('0x' || substr(md5(rr.r || ':' || e.w), 1, 15))::BIGINT
+                       % 64 AS b,
+                     CAST(sum(e.n) AS BIGINT) AS cell_n
+                   FROM ex e CROSS JOIN range(4) rr(r)
+                   GROUP BY 1, 2),
+         top AS (SELECT w, n FROM ex ORDER BY n DESC, w ASC LIMIT 20)
+         SELECT t.w AS term, any_value(t.n) AS exact_n,
+           min(c.cell_n) AS cms_n
+         FROM top t
+         CROSS JOIN range(4) rr(r)
+         JOIN cells c ON c.r = rr.r
+           AND c.b = ('0x' || substr(md5(rr.r || ':' || t.w), 1, 15))::BIGINT
+             % 64
+         GROUP BY t.w""",
+    // q93: both Lloyd rounds unrolled as CTEs — same deterministic
+    // init (k lowest vec_ids), same left-to-right double distance
+    // fold, same (dist, cluster) tie-break, same rounded-mean update.
+    "q93_kmeans" -> {
+      def assignCte(name: String, cents: String): String =
+        s"""$name AS (SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cluster) AS rn
+           FROM (SELECT e.vec_id, c.cluster,
+                   list_sum(list_transform(list_zip(e.emb, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+                 FROM e CROSS JOIN $cents c) x)"""
+      def updateCte(name: String, assigned: String): String =
+        s"""$name AS (SELECT cluster, list(v ORDER BY dim) AS c_vec FROM (
+             SELECT a.cluster, s.dim AS dim, round(avg(s.x), 6) AS v
+             FROM (SELECT vec_id,
+                     unnest(list_transform(range(len(emb)),
+                       i -> {'dim': i, 'x': emb[i+1]})) AS s FROM e) cells
+             JOIN (SELECT vec_id, cluster FROM $assigned WHERE rn = 1) a
+               USING (vec_id)
+             GROUP BY 1, 2) m GROUP BY cluster)"""
+      s"""WITH e AS (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS cluster, emb AS c_vec
+                  FROM (SELECT vec_id, emb FROM e
+                        ORDER BY vec_id LIMIT 8) s),
+         ${assignCte("a1", "init")},
+         ${updateCte("cl1", "a1")},
+         ${assignCte("a2", "cl1")},
+         ${updateCte("cl2", "a2")},
+         ${assignCte("a3", "cl2")}
+         SELECT vec_id, cluster, round(dist, 6) AS dist
+         FROM a3 WHERE rn = 1"""
+    },
+    // q94: identical double widening, nearest-integer coding, and
+    // dequantization arithmetic; error stats rounded to 6.
+    "q94_int8_quant" ->
+      """WITH cells AS (SELECT vec_id, s.dim AS dim, s.x AS x
+           FROM (SELECT vec_id,
+                   unnest(list_transform(range(len(embedding)),
+                     i -> {'dim': i, 'x': embedding[i+1]})) AS s
+                 FROM embeddings) t),
+         stats AS (SELECT dim, min(x)::DOUBLE AS mn, max(x)::DOUBLE AS mx
+                   FROM cells GROUP BY dim),
+         q AS (SELECT vec_id, x::DOUBLE AS xd, mn, mx,
+                 CASE WHEN mx > mn THEN
+                   CAST(round((x::DOUBLE - mn) / (mx - mn) * 255.0)
+                     AS INTEGER)
+                 ELSE 0 END AS code
+               FROM cells JOIN stats USING (dim)),
+         e AS (SELECT vec_id,
+                 xd - (mn + code::DOUBLE / 255.0 * (mx - mn)) AS err
+               FROM q)
+         SELECT vec_id, round(sqrt(avg(err * err)), 6) AS rmse,
+           round(max(abs(err)), 6) AS max_abs_err
+         FROM e GROUP BY vec_id""",
+    // q95: day-granularity cohorts; date arithmetic is exact ints.
+    "q95_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+         SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
+           CAST(ev.day - f.cohort_day AS INTEGER) AS days_since,
+           count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN f USING (user_id)
+         GROUP BY 1, 2""",
+    // q96: identical 8-token distinct spans and md5-prefix span key.
+    "q96_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+           list_distinct(list_transform(range(len(toks) - 7),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' '
+               || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' '
+               || toks[i+7] || ' ' || toks[i+8])) AS sh
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+')
+                   END AS toks FROM documents) t
+           WHERE len(toks) >= 8),
+         sp AS (SELECT doc_id, unnest(sh) AS span FROM d)
+         SELECT ('0x' || substr(md5(span), 1, 15))::BIGINT AS span_key,
+           count(*) AS n_docs, min(doc_id) AS first_doc
+         FROM sp GROUP BY 1 HAVING count(*) >= 2""",
+    // q97: identical content-keyed uniform and A-Res priority; the
+    // top-50 set is compared, not its order.
+    "q97_weighted_sample" ->
+      """SELECT doc_id, n_chars, round(r, 6) AS priority FROM (
+           SELECT doc_id, n_chars,
+             pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               + 1)::DOUBLE / 1152921504606846976.0, 1.0 / n_chars) AS r
+           FROM documents WHERE n_chars > 0) t
+         ORDER BY r DESC, doc_id ASC LIMIT 50""",
+    // q98: identical normalization + unrolled 8-bit interleave.
+    "q98_zorder" -> {
+      val interleave = (0 until 8)
+        .map(i =>
+          s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH o AS (SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS day
+           FROM orders),
+         s AS (SELECT min(o_custkey) AS ck_mn, max(o_custkey) AS ck_mx,
+                 min(day) AS d_mn, max(day) AS d_mx FROM o),
+         n AS (SELECT o_custkey, day,
+                 CAST(floor((o_custkey - ck_mn)::DOUBLE
+                   / (ck_mx - ck_mn + 1)::DOUBLE * 256) AS BIGINT) AS zx,
+                 CAST(floor((day - d_mn)::DOUBLE
+                   / (d_mx - d_mn + 1)::DOUBLE * 256) AS BIGINT) AS zy
+               FROM o CROSS JOIN s),
+         z AS (SELECT o_custkey, day, $interleave AS z FROM n)
+         SELECT z >> 12 AS zbucket, count(*) AS n_orders,
+           min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+           min(day) AS day_min, max(day) AS day_max
+         FROM z GROUP BY 1"""
+    },
     // q83: per-stage conditional mins, strictly ordered.
     "q83_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed k-means (Lloyd's algorithm) over the embeddings table —
+  * the clustering step of semantic dedup / corpus bucketing in a
+  * training-data pipeline (group near-identical meaning, pick per-
+  * cluster representatives, or stratify a corpus mix by topic).
+  *
+  * Scale design (the only k-means topology that works at 100 TB):
+  *   - the corpus of vectors is never collected and never shuffled for
+  *     the assignment step: centroids (k·dims values — tiny) are
+  *     broadcast and each partition computes its argmin locally
+  *     (`BroadcastNestedLoopJoin` over a k-row build side);
+  *   - the update step is one partial-aggregated key-shuffle of
+  *     (cluster, dim, x) cells — map-side combine reduces it to
+  *     k·dims rows per partition before the exchange;
+  *   - per-round lineage is truncated with an eager `localCheckpoint`
+  *     of the k-row centroid frame (checkpoint-to-durable-storage on a
+  *     real cluster), so the plan does not grow with iterations.
+  *
+  * Determinism contract (what the DuckDB oracle replays):
+  *   - init = the k lowest-`vec_id` vectors, cluster ids 0..k-1 in
+  *     that order;
+  *   - distance = Σ_dims (x−c)², accumulated left-to-right in doubles
+  *     (`aggregate` over `zip_with` ≡ DuckDB `list_sum` over
+  *     `list_transform`, bit-identical);
+  *   - argmin ties break on the lower cluster id;
+  *   - updated centroid coordinates are rounded to 6 decimals each
+  *     round, which absorbs summation-order drift of the distributed
+  *     mean (the q69 centroid pattern).
+  *
+  * Reference tie-in: the reference has no vector ops at all — this is
+  * part of the §7.8 LLM-pipeline extension surface (BASELINE.json's
+  * "similarity search" bullet), built Spark-first.
+  */
+object Clustering {
+
+  /** Squared L2 distance between a float-vector column and a
+    * double-vector column, folded left-to-right in doubles.
+    */
+  private def sqDist(vec: Column, cvec: Column): Column =
+    aggregate(
+      zip_with(vec, cvec, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** One assignment pass: every vector → (cluster, dist) of its
+    * nearest centroid. `centroids` must have (cluster: int/long,
+    * c_vec: array<double>) and be small enough to broadcast (it is
+    * k rows by construction).
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors
+      .crossJoin(broadcast(centroids))
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        sqDist(col("embedding"), col("c_vec")).as("dist")
+      )
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("best.cluster").as("cluster"),
+        col("best.dist").as("dist")
+      )
+
+  /** One update pass: dim-wise mean per cluster, rounded to 6 places;
+    * the vectors are posexploded to (cluster, dim, x) cells so the
+    * shuffle carries partially-aggregated sums, never raw vectors.
+    * Reassembles one ordered array<double> row per cluster.
+    */
+  def update(vectors: DataFrame, assigned: DataFrame): DataFrame =
+    vectors
+      .join(assigned.select(col("vec_id"), col("cluster")), "vec_id")
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("v"))
+      .groupBy(col("cluster"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("v")))),
+          s => s.getField("v")
+        ).as("c_vec")
+      )
+
+  /** Full Lloyd run: `iters` (assign → update) rounds from the
+    * deterministic init, then a final assignment against the last
+    * centroids. Returns (vec_id, cluster, dist) with dist rounded.
+    */
+  def kmeansAssign(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      iters: Int = 2
+  ): DataFrame = {
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val init = e
+      .orderBy(col("vec_id"))
+      .limit(k)
+      .withColumn("cluster", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(
+        col("cluster"),
+        transform(col("embedding"), x => x.cast("double")).as("c_vec")
+      )
+    var centroids = init.localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val a = assign(e, centroids)
+      centroids = update(e, a).localCheckpoint(true)
+    }
+    assign(e, centroids)
+      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+  }
+}

@@ -353,4 +353,32 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** q96: substring-level duplication — fixed-width (8-token) span
+    * families shared by ≥2 documents. Whole-doc dedup (q20-q23)
+    * misses boilerplate injected *inside* otherwise-distinct pages
+    * (headers, license blocks, templated paragraphs); this is the
+    * bounded-width approximation of suffix-array substring dedup
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022) that actually distributes: spans are local to
+    * each document, so the only shuffle is the partially-aggregated
+    * groupBy on the span key.
+    *
+    * Spans are distinct-per-document ([[graft.functions.Shingles]] —
+    * one fused codegen traversal), so `n_docs` counts documents, and
+    * the key is the portable md5-prefix hash60 of the span text (what
+    * a 100 TB run groups on — 8 bytes, not the span string; the
+    * DuckDB oracle mirrors it exactly).
+    */
+  def duplicatedSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), n))
+          .as("span")
+      )
+      .groupBy(graft.functions.TextFunctions.hash60(col("span")).as("span_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
 }

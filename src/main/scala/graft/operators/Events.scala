@@ -278,4 +278,31 @@ object Events {
           + col("purchase_ts").isNotNull.cast("int")).as("stage_reached")
       )
   }
+
+  /** q95: cohort retention — users grouped by first-activity day, then
+    * the distinct-user count per (cohort, days-since-cohort) cell: the
+    * classic engagement-decay matrix.
+    *
+    * Scale: first-activity is one partially-aggregated min per user;
+    * the matrix is a second aggregate keyed on ~(days × days) cells.
+    * The join back to events is on user_id — at 100 TB both sides
+    * shuffle on the same key once (or the cohort side broadcasts when
+    * the user dimension allows).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(
+        // ISO string, not DateType: date-typed cells round-trip as
+        // different host types on the two engines' result paths.
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("days_since")
+      )
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -158,4 +158,32 @@ object Sampling {
       .withColumn("decile", Ranking.ntileFromRank(col("rk"), lit(total), 10))
       .select(col("doc_id"), col("quality"), col("decile"))
   }
+
+  /** q97: weighted sampling without replacement, k=50, weight =
+    * document length — Efraimidis-Spirakis A-Res (IPL 97(5), 2006):
+    * per row draw u from the content-keyed hash (so the "randomness"
+    * is reproducible on any cluster layout, like the q49 split) and
+    * rank by priority u^(1/w); the top-k by priority IS a weighted
+    * sample without replacement.
+    *
+    * Scale: one narrow map over the scan + `TakeOrderedAndProject`
+    * (per-partition heaps of k, merged on the driver) — no global
+    * sort, no shuffle of the corpus, which is the entire point vs
+    * the rejection-sampling loop a single-node engine would run.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val u = (graft.functions.TextFunctions.hash60(col("doc_id")) + 1L)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    Tables
+      .documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        pow(u, lit(1.0) / col("n_chars")).as("r")
+      )
+      .orderBy(col("r").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_chars"), round(col("r"), 6).as("priority"))
+  }
 }

@@ -261,4 +261,46 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("n_shared_bands"),
         round(col("sim"), 6).as("sim"))
   }
+
+  /** q94: int8 scalar quantization of the embedding column with its
+    * reconstruction-error audit — the 4×-memory-compression step a
+    * billion-vector ANN index applies before anything else (float32 →
+    * uint8 codes against per-dimension global min/max).
+    *
+    * code = round((x − mn_d) / (mx_d − mn_d) · 255); dequant back and
+    * report per-vector RMSE + max abs error. min/max over floats are
+    * order-independent (exact at any partitioning); the error
+    * aggregates are rounded to 6.
+    *
+    * Scale: the per-dim stats are one partially-aggregated shuffle of
+    * dims·partitions cells → a dims-row frame broadcast back; the
+    * corpus is scanned, never shuffled, for the coding pass itself.
+    */
+  def int8QuantError(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    val stats = cells
+      .groupBy(col("dim"))
+      .agg(
+        min(col("x")).cast("double").as("mn"),
+        max(col("x")).cast("double").as("mx")
+      )
+    val xd = col("x").cast("double")
+    val code = when(
+      col("mx") > col("mn"),
+      round((xd - col("mn")) / (col("mx") - col("mn")) * 255.0, 0).cast("int")
+    ).otherwise(lit(0))
+    val dq = col("mn") + col("code").cast("double") / 255.0 * (col("mx") - col("mn"))
+    val err = xd - dq
+    cells
+      .join(broadcast(stats), "dim")
+      .withColumn("code", code)
+      .withColumn("err", err)
+      .groupBy(col("vec_id"))
+      .agg(
+        round(sqrt(avg(col("err") * col("err"))), 6).as("rmse"),
+        round(max(abs(col("err"))), 6).as("max_abs_err")
+      )
+  }
 }

@@ -528,4 +528,58 @@ object TextAnalysis {
       .filter(col("df").between(lit(3), floor(col("n_total") * 0.8)))
       .select(col("token"), col("df"), col("postings"))
   }
+
+  /** q91: per-document cross-entropy under the corpus bigram LM with
+    * add-one smoothing — the model-based quality score next to the
+    * heuristic one (q15): documents whose bigrams surprise the corpus
+    * LM (high xent, in nats) are outliers/noise; near-duplicates of
+    * common boilerplate score low.
+    *
+    * P(w2|w1) = (n(w1,w2) + 1) / (n(w1·) + |V|), xent(doc) = mean of
+    * −ln P over the doc's bigram instances, rounded to 6 (absorbs
+    * summation-order drift of the distributed mean).
+    *
+    * Scale: the doc-bigram frame is aggregated per (doc, bigram)
+    * before the LM join, so the join key-shuffle carries counts, not
+    * instances; the LM itself is an aggregate of the same corpus
+    * (self-sized — broadcast when the vocabulary allows, key-shuffle
+    * otherwise, chosen by AQE); |V| joins in as one broadcast row.
+    */
+  def bigramXent(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val toksDf = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val docBi = toksDf
+      .filter(size(t) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("b")
+      )
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val lm = docBi.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("n"))
+    val ctx = lm.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
+    val vocab = toksDf
+      .select(explode(t).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val p = (col("n") + lit(1L)).cast("double") /
+      (col("ctx_n") + col("v")).cast("double")
+    docBi
+      .join(lm, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        round(sum(col("c") * -log(p)) / sum(col("c")), 6).as("xent")
+      )
+  }
 }
