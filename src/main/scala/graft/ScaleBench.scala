@@ -388,6 +388,83 @@ object ScaleBench {
       deciles.map(_.getLong(3)).max == rankN,
       "global rank does not span [1, N]")
 
+    // --- k-means at ~100k vectors ------------------------------------
+    // the q93 topology un-capped: per round one broadcast of k·dims
+    // centroid values + one partially-aggregated (cluster, dim) cell
+    // shuffle; assignment distance is the codegen'd vec_sq_dist. The
+    // corpus is never shuffled.
+    val tKm = System.nanoTime()
+    val kmInit = vecs
+      .orderBy(col("vec_id"))
+      .limit(8)
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1)
+      .select(col("cluster"),
+        transform(col("embedding"), x => x.cast("double")).as("c_vec"))
+    var kmCents = kmInit.localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      val a = graft.operators.Clustering.assign(vecs, kmCents)
+      kmCents = graft.operators.Clustering.update(vecs, a)
+        .localCheckpoint(true)
+    }
+    val kmRow = graft.operators.Clustering
+      .assign(vecs, kmCents)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("cluster")).as("k"),
+        sum(col("dist")).as("objective"))
+      .collect()(0)
+    val kmSec = (System.nanoTime() - tKm) / 1e9
+    require(kmRow.getLong(0) == nVecs,
+      s"kmeans lost vectors: ${kmRow.getLong(0)} of $nVecs")
+    val kmK = kmRow.getLong(1)
+
+    // --- count-min sketch over the ~100k-doc token stream ------------
+    // fixed d×w state regardless of corpus size; estimates must
+    // dominate exact counts (collisions only add).
+    val tCms = System.nanoTime()
+    val exactTerms = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+    val cmsCells = graft.operators.Sketches.cmsCells(exactTerms, 4, 1024)
+      .cache()
+    val cmsCellCount = cmsCells.count()
+    val topTerms = exactTerms.orderBy(col("n").desc, col("w").asc).limit(20)
+    val cmsViolations = topTerms
+      .select(col("w"), col("n"),
+        explode(array((0 until 4).map { i =>
+          struct(lit(i).as("r"),
+            pmod(graft.functions.TextFunctions
+              .hash60(concat_ws(":", lit(i), col("w"))), lit(1024)).as("b"))
+        }: _*)).as("rb"))
+      .join(broadcast(cmsCells),
+        col("rb.r") === cmsCells("r") && col("rb.b") === cmsCells("b"))
+      .groupBy(col("w"))
+      .agg(any_value(col("n")).as("exact_n"), min(col("cell_n")).as("cms_n"))
+      .filter(col("cms_n") < col("exact_n"))
+      .count()
+    val cmsSec = (System.nanoTime() - tCms) / 1e9
+    cmsCells.unpersist()
+    require(cmsViolations == 0L, s"$cmsViolations CMS under-estimates")
+
+    // --- duplicated spans at ~100k docs ------------------------------
+    // the q96 topology with the fast (xxhash64) span key instead of
+    // the oracle-portable md5 prefix: shuffle carries one partially-
+    // aggregated row per span family. The 200× replication makes
+    // every non-tail span a family of ~200 — the adversarial shape.
+    val tSpan = System.nanoTime()
+    val spanRow = docs
+      .select(col("doc_id"),
+        explode(shingles(col("text"), 8)).as("span"))
+      .groupBy(xxhash64(col("span")).as("span_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .agg(count(lit(1)).as("families"), sum(col("n_docs")).as("members"))
+      .collect()(0)
+    val spanSec = (System.nanoTime() - tSpan) / 1e9
+    val spanFamilies = spanRow.getLong(0)
+    require(spanFamilies > 0, "no duplicated span families found")
+
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
         s""""lsh_candidate_pairs":$nCandidates,"lsh_sec":$lshSec,""" +
@@ -407,7 +484,10 @@ object ScaleBench {
         s""""pipeline_docs_per_sec":${(nDocs / pipeSec).round},""" +
         s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec,""" +
         s""""rank_rows":$rankN,"rank_sec":$rankSec,""" +
-        s""""pagerank_nodes":$prNodes,"pagerank_sec":$prSec}"""
+        s""""pagerank_nodes":$prNodes,"pagerank_sec":$prSec,""" +
+        s""""kmeans_k":$kmK,"kmeans_sec":$kmSec,""" +
+        s""""cms_cells":$cmsCellCount,"cms_sec":$cmsSec,""" +
+        s""""span_families":$spanFamilies,"span_sec":$spanSec}"""
     )
     spark.stop()
   }

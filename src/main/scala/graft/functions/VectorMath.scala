@@ -82,8 +82,86 @@ case class VectorDot(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Codegen'd squared L2 distance between a float-array column (the
+  * corpus) and a double-array column (centroids / query points):
+  * Σ (x_i − c_i)², accumulated left-to-right in doubles — exactly the
+  * `aggregate(zip_with(...))` higher-order semantics (and the DuckDB
+  * `list_sum(list_transform(list_zip(...)))` oracle), but compiled to
+  * a primitive loop instead of per-element interpretation. The k-means
+  * assignment scan (k distance evaluations per row per round) is the
+  * hot path this exists for.
+  */
+case class VectorSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_sq_dist requires (array<float>, array<double>) inputs, got " +
+            s"${left.dataType.simpleString}, ${right.dataType.simpleString}"
+        )
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext,
+      ev: ExprCode
+  ): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ((double) $a.getFloat($i)) - $b.getDouble($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_sq_dist"
+}
+
 /** Column-level API for the vector expressions. */
 object VectorMath {
+
+  def vecSqDist(x: Column, c: Column): Column =
+    ColumnBridge.column(
+      VectorSqDist(ColumnBridge.expression(x), ColumnBridge.expression(c))
+    )
 
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(

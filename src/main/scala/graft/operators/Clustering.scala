@@ -41,9 +41,18 @@ import graft.Tables
 object Clustering {
 
   /** Squared L2 distance between a float-vector column and a
-    * double-vector column, folded left-to-right in doubles.
+    * double-vector column, folded left-to-right in doubles — the
+    * codegen'd [[graft.functions.VectorSqDist]]; [[sqDistHof]] is the
+    * interpreted higher-order twin it is differential-tested against.
     */
   private def sqDist(vec: Column, cvec: Column): Column =
+    graft.functions.VectorMath.vecSqDist(vec, cvec)
+
+  /** The `aggregate(zip_with(...))` executable spec of [[sqDist]] —
+    * identical accumulation order, interpreted per element (~10×
+    * slower in the assignment scan).
+    */
+  def sqDistHof(vec: Column, cvec: Column): Column =
     aggregate(
       zip_with(vec, cvec, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
       lit(0.0),

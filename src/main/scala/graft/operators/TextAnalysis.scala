@@ -565,7 +565,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
-    val lm = docBi.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("n"))
+      // the doc-bigram frame feeds three plan branches (LM, context
+      // totals, the scoring join) — materialize it once; Spark does
+      // not dedupe common subtrees across a DAG
+      .cache()
+    val lm = docBi
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c")).as("n"))
+      .cache()
     val ctx = lm.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
     val vocab = toksDf
       .select(explode(t).as("w"))

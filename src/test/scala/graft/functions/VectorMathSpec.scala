@@ -59,4 +59,26 @@ class VectorMathSpec extends AnyFunSuite {
     ).eval(null)
     assert(v == 11.0)
   }
+
+  test("vec_sq_dist is bit-identical to the higher-order fold") {
+    val df = graft.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .limit(200)
+    val withC = df.crossJoin(
+      df.select(
+        org.apache.spark.sql.functions
+          .transform(col("embedding"), x => x.cast("double"))
+          .as("c_vec")
+      ).limit(5)
+    )
+    val diff = withC
+      .select(
+        VectorMath.vecSqDist(col("embedding"), col("c_vec")).as("cg"),
+        graft.operators.Clustering.sqDistHof(col("embedding"), col("c_vec"))
+          .as("hof")
+      )
+      .filter(col("cg") =!= col("hof"))
+      .count()
+    assert(diff == 0L)
+  }
 }
