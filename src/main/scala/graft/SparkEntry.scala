@@ -326,6 +326,29 @@ object SparkEntry {
     // Z-order layout: Morton-bucketed orders with per-bucket bounding
     // rectangles — two-dimensional data-skipping stats.
     "q98_zorder" -> (Layout.zorderBuckets _),
+    // PMI collocations: top token pairs by pointwise mutual
+    // information (selection on the rounded score — engine-exact).
+    "q99_pmi" -> (TextAnalysis.pmiCollocations(_, _)),
+    // Per-doc token Shannon entropy from one (doc, token) aggregate.
+    "q100_entropy" -> (TextAnalysis.tokenEntropy _),
+    // Streaming exact dedup: dropDuplicatesWithinWatermark (bounded
+    // state) + running distinct-user counts; drained availableNow it
+    // must equal the batch COUNT(DISTINCT).
+    "q101_stream_dedup" -> ((s: SparkSession, dir: String) =>
+      streaming.EventStreams.runAvailableNow(
+        streaming.EventStreams.dedupWithinWatermark(
+          streaming.EventStreams.readEvents(s, dir)),
+        "q101_stream_dedup_out",
+        "complete")),
+    // Incremental batch-vs-corpus dedup: exact md5 semi join +
+    // 3-gram containment near screen → exact_dup/near_dup/new.
+    "q102_incremental_dedup" -> (Dedup.incrementalDedup _),
+    // Histogram-quantile audit: fixed-20-bin approximate median vs
+    // the exact interpolated median, per language.
+    "q103_histogram_median" -> (TextAnalysis.histogramMedian(_, _)),
+    // Training-mix reweighting: per-language token share → sampling
+    // weight toward a fixed target mix.
+    "q104_mix_reweight" -> (Sampling.mixReweight _),
     // Streaming stateful funnel (mapGroupsWithState): per-user
     // 3-timestamp state folded in event-time order; terminal argmax
     // over update-mode emissions, hash-matched against the batch
@@ -2135,6 +2158,143 @@ object SparkEntry {
            min(day) AS day_min, max(day) AS day_max
          FROM z GROUP BY 1"""
     },
+    // q99: identical bigram counts, marginals, and ln arithmetic;
+    // top-k selected on the rounded score so membership is exact.
+    "q99_pmi" ->
+      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks FROM documents),
+         b AS (SELECT unnest(list_transform(range(len(toks) - 1),
+                 i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS s
+               FROM t WHERE len(toks) >= 2),
+         bi AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n
+                FROM b GROUP BY 1, 2),
+         l AS (SELECT w1, CAST(sum(n) AS BIGINT) AS n_left
+               FROM bi GROUP BY 1),
+         r AS (SELECT w2, CAST(sum(n) AS BIGINT) AS n_right
+               FROM bi GROUP BY 1),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS t_bi FROM bi)
+         SELECT w1, w2, n, pmi FROM (
+           SELECT bi.w1 AS w1, bi.w2 AS w2, bi.n AS n,
+             round(ln((bi.n::DOUBLE * t_bi::DOUBLE)
+               / (n_left::DOUBLE * n_right::DOUBLE)), 6) AS pmi
+           FROM bi
+           JOIN l USING (w1)
+           JOIN r USING (w2)
+           CROSS JOIN tt
+           WHERE bi.n >= 5) x
+         ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20""",
+    // q100: the algebraic entropy form — ln(n) − Σ c·ln c / n.
+    "q100_entropy" ->
+      """WITH tf AS (SELECT doc_id, w, count(*) AS c FROM
+           (SELECT doc_id, unnest(toks) AS w FROM
+             (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+                     THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+')
+                END AS toks FROM documents) t) x
+           GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(ln(sum(c)::DOUBLE)
+             - sum(c::DOUBLE * ln(c::DOUBLE)) / sum(c)::DOUBLE, 6)
+             AS entropy
+         FROM tf GROUP BY doc_id""",
+    // q101: the drained dedup stream equals batch COUNT(DISTINCT).
+    "q101_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1""",
+    // q102: identical md5 screen and 3-gram containment threshold.
+    "q102_incremental_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+                         WHERE doc_id < 250),
+         batch AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id >= 250),
+         ex AS (SELECT DISTINCT b.doc_id FROM batch b
+                JOIN (SELECT DISTINCT md5(text) AS h FROM corpus) c
+                  ON md5(b.text) = c.h),
+         bsh AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM (
+           SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               AS sh
+           FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+                   THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS toks FROM batch) t
+           WHERE len(toks) >= 3) d),
+         csh AS (SELECT DISTINCT unnest(sh) AS s FROM (
+           SELECT list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+               AS sh
+           FROM (SELECT CASE WHEN length(trim(text)) = 0
+                   THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+')
+                 END AS toks FROM corpus) t
+           WHERE len(toks) >= 3) d2),
+         near AS (SELECT doc_id FROM (
+           SELECT b.doc_id, count(*) AS hits,
+             any_value(b.n_sh) AS n_sh
+           FROM bsh b JOIN csh USING (s) GROUP BY 1) h
+           WHERE hits::DOUBLE / n_sh >= 0.5)
+         SELECT b.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN near.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status
+         FROM batch b
+         LEFT JOIN ex ON b.doc_id = ex.doc_id
+         LEFT JOIN near ON b.doc_id = near.doc_id""",
+    // q103: identical binning arithmetic and cumulative median-bin
+    // pick; the exact side is interpolated quantile_cont.
+    "q103_histogram_median" ->
+      """WITH d AS (SELECT lang, CAST(len(toks) AS BIGINT) AS x FROM
+           (SELECT lang, CASE WHEN length(trim(text)) = 0
+                   THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+')
+              END AS toks FROM documents) t),
+         s AS (SELECT min(x) AS mn, max(x) AS mx FROM d),
+         b AS (SELECT lang, x,
+                 CAST(floor((x - mn)::DOUBLE / (mx - mn + 1)::DOUBLE * 20)
+                   AS BIGINT) AS bin, mn, mx
+               FROM d CROSS JOIN s),
+         h AS (SELECT lang, bin, count(*) AS cnt, any_value(mn) AS mn,
+                 any_value(mx) AS mx
+               FROM b GROUP BY 1, 2),
+         cu AS (SELECT lang, bin, mn, mx,
+                  sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                  sum(cnt) OVER (PARTITION BY lang) AS n
+                FROM h),
+         ap AS (SELECT lang, CAST(any_value(n) AS BIGINT) AS n_docs,
+                  round(any_value(mn) + (min(bin) + 0.5)
+                    * ((any_value(mx) - any_value(mn) + 1)::DOUBLE / 20), 6)
+                    AS approx_median
+                FROM cu WHERE cum * 2 >= n GROUP BY lang),
+         exq AS (SELECT lang, round(quantile_cont(x, 0.5), 6)
+                   AS exact_median FROM d GROUP BY lang)
+         SELECT ap.lang AS lang, n_docs, exact_median, approx_median,
+           round(abs(approx_median - exact_median), 6) AS abs_err
+         FROM ap JOIN exq ON ap.lang = exq.lang""",
+    // q104: identical share/weight arithmetic; targets as doubles.
+    "q104_mix_reweight" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM
+           (SELECT lang, CASE WHEN length(trim(text)) = 0
+                   THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+')
+              END AS toks FROM documents) t
+           GROUP BY 1),
+         tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM pl),
+         m AS (SELECT 'en' AS lang, 0.5::DOUBLE AS target
+               UNION ALL SELECT 'de', 0.2::DOUBLE
+               UNION ALL SELECT 'fr', 0.15::DOUBLE
+               UNION ALL SELECT 'es', 0.1::DOUBLE
+               UNION ALL SELECT 'zh', 0.05::DOUBLE)
+         SELECT pl.lang AS lang, n_docs, n_tokens,
+           round(n_tokens::DOUBLE / t_tokens, 6) AS share,
+           m.target AS target,
+           round(m.target / (n_tokens::DOUBLE / t_tokens), 6) AS weight,
+           round(n_tokens * (m.target / (n_tokens::DOUBLE / t_tokens)), 2)
+             AS expected_tokens
+         FROM pl JOIN m ON pl.lang = m.lang CROSS JOIN tt""",
     // q83: per-stage conditional mins, strictly ordered.
     "q83_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events

@@ -370,6 +370,58 @@ object Dedup {
     * a 100 TB run groups on — 8 bytes, not the span string; the
     * DuckDB oracle mirrors it exactly).
     */
+  /** q102: incremental dedup — classify an incoming batch against the
+    * existing corpus: `exact_dup` (byte-identical text already in the
+    * corpus), `near_dup` (≥50% of the doc's 3-gram shingles appear in
+    * the corpus — containment, the asymmetric Jaccard), else `new`.
+    * This is the admission filter every continuously-ingesting corpus
+    * runs per increment — against the CORPUS, not within the batch
+    * (that's q20-q23).
+    *
+    * Scale: the exact screen is a semi join on the md5 key; the
+    * near screen joins the batch's shingles against the corpus's
+    * distinct-shingle set (inverted-index topology, collision-linear
+    * like q21 — and the corpus side can be a pre-built, incrementally
+    * maintained table instead of a re-derivation). Batch here =
+    * doc_id ≥ 250, corpus = doc_id < 250.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    val exact = batch
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(
+        corpus.select(md5(col("text")).as("h")).distinct(),
+        Seq("h"),
+        "left_semi"
+      )
+      .select(col("doc_id"), lit(true).as("is_exact"))
+    val sh = graft.functions.TextFunctions.shingles(col("text"), 3)
+    val batchSh = batch
+      .select(col("doc_id"), size(sh).as("n_sh"), explode(sh).as("s"))
+    val corpusSh = corpus.select(explode(sh).as("s")).distinct()
+    val near = batchSh
+      .join(corpusSh, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("hits"), any_value(col("n_sh")).as("n_sh"))
+      .filter(col("hits").cast("double") / col("n_sh") >= 0.5)
+      .select(col("doc_id"), lit(true).as("is_near"))
+    batch
+      .select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("is_exact"), "exact_dup")
+          .when(col("is_near"), "near_dup")
+          .otherwise("new")
+          .as("status")
+      )
+  }
+
   def duplicatedSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
     Tables
       .documents(spark, dir)

@@ -171,6 +171,52 @@ object Sampling {
     * sort, no shuffle of the corpus, which is the entire point vs
     * the rejection-sampling loop a single-node engine would run.
     */
+  /** q104: training-mix reweighting — given a target language mix,
+    * compute each language's current token share and the sampling
+    * weight (target / current) that reaches the target, plus the
+    * expected post-sampling token count. The corpus-mixing math a
+    * data recipe applies before shard assembly; weights > 1 mean the
+    * language must be up-sampled (repeated epochs), < 1 down-sampled.
+    *
+    * One aggregate over the scan + one broadcast total — the
+    * arithmetic is per-group, so the whole op is two tiny shuffles at
+    * any corpus size.
+    */
+  def mixReweight(spark: SparkSession, dir: String): DataFrame = {
+    val target = typedLit(
+      Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+    )
+    val perLang = Tables
+      .documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("n_tokens")
+      )
+    val total = perLang.agg(sum(col("n_tokens")).as("t_tokens"))
+    perLang
+      .crossJoin(broadcast(total))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("t_tokens"), 6)
+          .as("share"),
+        element_at(target, col("lang")).as("target"),
+        round(
+          element_at(target, col("lang")) /
+            (col("n_tokens").cast("double") / col("t_tokens")),
+          6
+        ).as("weight"),
+        round(
+          col("n_tokens") * (element_at(target, col("lang")) /
+            (col("n_tokens").cast("double") / col("t_tokens"))),
+          2
+        ).as("expected_tokens")
+      )
+  }
+
   def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val u = (graft.functions.TextFunctions.hash60(col("doc_id")) + 1L)
       .cast("double") / lit(1152921504606846976.0) // 2^60

@@ -529,6 +529,151 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** q99: PMI collocations — the top-k adjacent token pairs by
+    * pointwise mutual information, PMI(x,y) = ln(n_xy·T / (n_x·· n_·y))
+    * over bigram slots: the collocation/multi-word-expression detector
+    * a tokenizer-training pass runs over the corpus.
+    *
+    * All inputs derive from one bigram-count aggregate (cached — it
+    * feeds the pair, left-marginal, and right-marginal branches);
+    * marginals are two further tiny aggregates; T broadcasts as one
+    * row. Selection orders by the ROUNDED pmi (then the pair) so
+    * top-k membership is engine-exact even where ln() differs in the
+    * last ulp.
+    */
+  def pmiCollocations(
+      spark: SparkSession,
+      dir: String,
+      minCount: Int = 5,
+      k: Int = 20
+  ): DataFrame = {
+    val t = col("t")
+    val bi = Tables
+      .documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("b")
+      )
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val left = bi.groupBy(col("w1")).agg(sum(col("n")).as("n_left"))
+    val right = bi.groupBy(col("w2")).agg(sum(col("n")).as("n_right"))
+    val total = bi.agg(sum(col("n")).as("t_bi"))
+    val pmi = log(
+      (col("n").cast("double") * col("t_bi").cast("double")) /
+        (col("n_left").cast("double") * col("n_right").cast("double"))
+    )
+    bi.filter(col("n") >= minCount)
+      .join(left, "w1")
+      .join(right, "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
+  /** q100: per-document token Shannon entropy (nats) — the
+    * distributional quality signal: word-soup spam has near-maximal
+    * entropy, templated/repetitive text near-zero.
+    *
+    * H = ln(n) − Σ c·ln(c) / n, computed from ONE (doc, token)
+    * aggregate: the algebraic form needs only sum(c) and
+    * sum(c·ln c), so the per-doc pass is a second partial-agg
+    * shuffle, never a re-scan.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        round(
+          log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            sum(col("c")).cast("double"),
+          6
+        ).as("entropy")
+      )
+
+  /** q103: histogram-quantile audit — the approximate per-group
+    * median from a fixed-width 20-bin histogram next to the exact
+    * interpolated median. The histogram is the only quantile topology
+    * with O(bins) state at 100 TB (one pass + a bins-row cumulative);
+    * the exact percentile sorts every group's values. The audit
+    * quantifies what the approximation costs on this corpus.
+    */
+  def histogramMedian(
+      spark: SparkSession,
+      dir: String,
+      bins: Int = 20
+  ): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("lang"), tokenCount(col("text")).cast("long").as("x"))
+    val stats = docs.agg(
+      min(col("x")).as("mn"),
+      max(col("x")).as("mx")
+    )
+    val width = (col("mx") - col("mn") + 1).cast("double") / bins
+    val binned = docs
+      .crossJoin(broadcast(stats))
+      .select(
+        col("lang"),
+        col("x"),
+        floor((col("x") - col("mn")).cast("double") /
+          (col("mx") - col("mn") + 1).cast("double") * bins).as("bin"),
+        col("mn"),
+        col("mx")
+      )
+    val hist = binned
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("cnt"), first(col("mn")).as("mn"),
+        first(col("mx")).as("mx"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("bin"))
+    val totals = Window.partitionBy(col("lang"))
+    val approx = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(totals))
+      .filter(col("cum") * 2 >= col("n"))
+      .groupBy(col("lang"))
+      .agg(
+        min(col("bin")).as("median_bin"),
+        first(col("mn")).as("mn"),
+        first(col("mx")).as("mx"),
+        first(col("n")).as("n_docs")
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        round(col("mn") + (col("median_bin") + 0.5) * width, 6)
+          .as("approx_median")
+      )
+    val exact = docs
+      .groupBy(col("lang"))
+      .agg(round(expr("percentile(x, 0.5D)"), 6).as("exact_median"))
+    approx
+      .join(exact, "lang")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("exact_median"),
+        col("approx_median"),
+        round(abs(col("approx_median") - col("exact_median")), 6)
+          .as("abs_err")
+      )
+  }
+
   /** q91: per-document cross-entropy under the corpus bigram LM with
     * add-one smoothing — the model-based quality score next to the
     * heuristic one (q15): documents whose bigrams surprise the corpus

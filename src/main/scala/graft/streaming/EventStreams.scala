@@ -309,6 +309,23 @@ object EventStreams {
         round(sum(col("value")), 2).as("sum_value")
       )
 
+  /** q101: streaming exact dedup with bounded state — the built-in
+    * `dropDuplicatesWithinWatermark` (state evicted once the
+    * watermark passes a key's last-seen event time) feeding a running
+    * per-type distinct-user count. This is the idiomatic bounded-state
+    * twin of [[latestByKey]]'s hand-rolled `mapGroupsWithState`: at
+    * 100 TB/day the duplicate horizon (the watermark delay) is what
+    * keeps the state store finite. The delay here exceeds the test
+    * data's 30-day span, so the drain equals an exact batch
+    * COUNT(DISTINCT user_id) — which is the oracle.
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "40 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Keyed latest-record dedup: for a stream of (key, updated,
     * payload) keep only the newest record per key — the late-update
     * extension the reference never handles (SURVEY §2.9 "late data").

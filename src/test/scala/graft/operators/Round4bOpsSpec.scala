@@ -220,6 +220,87 @@ class Round4bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pmi is symmetric-marginal consistent and capped at ln(T/min)") {
+    val out = TextAnalysis.pmiCollocations(spark, dir).collect()
+    assert(out.length == 20)
+    // PMI(x,y) <= ln(T / max(n_x, n_y)) <= ln(T / n_xy); with
+    // n_xy >= 5 and T fixed the bound is ln(T/5)
+    val totalBigrams = Tables
+      .documents(spark, dir)
+      .select(TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .agg(sum(size(col("t")) - 1))
+      .collect()(0)
+      .getLong(0)
+    val bound = math.log(totalBigrams / 5.0) + 1e-9
+    out.foreach(r => assert(r.getDouble(3) <= bound))
+  }
+
+  test("entropy is within [0, ln(n)] and 0 for single-token docs") {
+    val out = TextAnalysis.tokenEntropy(spark, dir).collect()
+    out.foreach { r =>
+      val n = r.getLong(1)
+      val h = r.getDouble(2)
+      // h is rounded to 6 places, so allow half a rounding step
+      assert(h >= -5e-7 && h <= math.log(n.toDouble) + 5e-7)
+      if (n == 1) assert(math.abs(h) < 5e-7)
+    }
+  }
+
+  test("incremental dedup statuses partition the batch and are sane") {
+    val out = Dedup.incrementalDedup(spark, dir).collect()
+    val batchSize = Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") >= 250)
+      .count()
+    assert(out.length == batchSize)
+    val statuses = out.map(_.getString(1)).toSet
+    assert(statuses.subsetOf(Set("exact_dup", "near_dup", "new")))
+    // every exact_dup really has a byte-identical corpus text
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val corpusTexts = docs.filter(_._1 < 250).map(_._2).toSet
+    val byId = docs.toMap
+    out.filter(_.getString(1) == "exact_dup").foreach { r =>
+      assert(corpusTexts.contains(byId(r.getLong(0))))
+    }
+  }
+
+  test("histogram median approximates the exact median within a bin") {
+    val out = TextAnalysis.histogramMedian(spark, dir).collect()
+    val Array(mn, mx) = Tables
+      .documents(spark, dir)
+      .select(
+        min(TextFunctions.tokenCount(col("text"))),
+        max(TextFunctions.tokenCount(col("text")))
+      )
+      .collect()(0)
+      .toSeq
+      .map(_.toString.toLong)
+      .toArray
+    val binWidth = (mx - mn + 1).toDouble / 20
+    out.foreach { r =>
+      assert(r.getDouble(4) <= binWidth + 1e-9,
+        s"${r.getString(0)}: err ${r.getDouble(4)} > bin $binWidth")
+    }
+  }
+
+  test("mix reweight conserves the token budget in expectation") {
+    val out = Sampling.mixReweight(spark, dir).collect()
+    assert(out.length == 5)
+    val totalTokens = out.map(_.getLong(2)).sum
+    val expected = out.map(_.getDouble(6)).sum
+    // Σ expected = Σ total · target_l = total (targets sum to 1)
+    assert(math.abs(expected - totalTokens) / totalTokens < 1e-6)
+    out.foreach { r =>
+      assert(math.abs(
+        r.getDouble(5) * r.getDouble(3) - r.getDouble(4)) < 1e-5)
+    }
+  }
+
   test("kmeans assignment broadcasts centroids; corpus is not shuffled") {
     val e = Tables
       .embeddings(spark, dir)
