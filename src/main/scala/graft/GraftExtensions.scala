@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // strength reduction: composed md5-prefix hash → fused expression
     e.injectOptimizerRule(_ => graft.plans.Md5PrefixRewrite)
+    // whole-operator extension: the native backward as-of join
+    // (logical AsOfJoin → AsOfJoinExec sorted merge)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction(
       (
         FunctionIdentifier("vec_dot"),

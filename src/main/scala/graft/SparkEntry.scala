@@ -349,6 +349,10 @@ object SparkEntry {
     // Training-mix reweighting: per-language token share → sampling
     // weight toward a fixed target mix.
     "q104_mix_reweight" -> (Sampling.mixReweight _),
+    // Native as-of join: custom LogicalPlan + SparkStrategy +
+    // sorted-merge SparkPlan (injected planner strategy) — same
+    // semantics and oracle as q30's window-merge form.
+    "q105_asof_native" -> (Events.purchaseAfterErrorNative _),
     // Streaming stateful funnel (mapGroupsWithState): per-user
     // 3-timestamp state folded in event-time order; terminal argmax
     // over update-mode emissions, hash-matched against the batch
@@ -998,6 +1002,25 @@ object SparkEntry {
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM s GROUP BY 1, 2""",
     "q30_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                event_type, value FROM events),
+         w AS (SELECT e.*,
+                 last_value(CASE WHEN event_type = 'error' THEN ts END
+                   IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_error_ts,
+                 last_value(CASE WHEN event_type = 'error' THEN value END
+                   IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prior_error_value
+               FROM e)
+         SELECT event_id, user_id, ts, value, prior_error_ts,
+           prior_error_value
+         FROM w WHERE event_type = 'purchase'""",
+    // q105: the native as-of join must reproduce q30's oracle exactly.
+    "q105_asof_native" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
                 event_type, value FROM events),
          w AS (SELECT e.*,

@@ -279,6 +279,50 @@ object Events {
       )
   }
 
+  /** q105: the native as-of join ([[graft.plans.AsOfJoin]] — custom
+    * LogicalPlan/Strategy/SparkPlan) computing exactly q30's
+    * semantics: each purchase joined to the last strictly-prior error
+    * of the same user in (ts, event_id) order. The window-merge form
+    * ([[purchaseAfterError]]) is the executable spec; both are gated
+    * on the same DuckDB oracle.
+    *
+    * Scale: co-partition + sort both sides once, then an O(1)-state
+    * forward merge per partition — the window form instead carries
+    * EVERY event (all types) through one window frame; here only the
+    * two filtered streams shuffle.
+    */
+  def purchaseAfterErrorNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val errors = ev
+      .filter(col("event_type") === "error")
+      .select(
+        col("user_id").as("err_user"),
+        col("ts").as("prior_error_ts"),
+        col("event_id").as("err_event_id"),
+        col("value").as("prior_error_value")
+      )
+    graft.plans.AsOf
+      .join(
+        purchases,
+        errors,
+        leftKeys = Seq("user_id"),
+        rightKeys = Seq("err_user"),
+        leftOrder = Seq("ts", "event_id"),
+        rightOrder = Seq("prior_error_ts", "err_event_id")
+      )
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("ts"),
+        col("value"),
+        col("prior_error_ts"),
+        col("prior_error_value")
+      )
+  }
+
   /** q95: cohort retention — users grouped by first-activity day, then
     * the distinct-user count per (cohort, days-since-cohort) cell: the
     * classic engagement-decay matrix.

@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending,
+  Attribute,
+  Expression,
+  GenericInternalRow,
+  JoinedRow,
+  RowOrdering,
+  SortOrder,
+  UnsafeProjection
+}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution,
+  Distribution
+}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** Native backward as-of join — the canonical "operator Spark lacks"
+  * (pandas `merge_asof`, kdb `aj`, QuestDB/Flink ASOF JOIN): for each
+  * left row, attach the LAST right row of the same key whose order
+  * tuple is strictly below the left row's.
+  *
+  * Built as the full custom-operator stack the builder prompt's
+  * preference (c) names: a resolved [[AsOfJoin]] LogicalPlan, an
+  * [[AsOfJoinStrategy]] planning it, and an [[AsOfJoinExec]] physical
+  * node, injected via `SparkSessionExtensions.injectPlannerStrategy`
+  * ([[graft.GraftExtensions]]).
+  *
+  * Scale design: requiredChildDistribution co-partitions both sides
+  * on the key (EnsureRequirements inserts the hash exchanges) and
+  * requiredChildOrdering sorts each partition by (key, order) — the
+  * merge itself is then one streaming forward pass per partition with
+  * O(1) state (the last-seen right row), strictly cheaper than the
+  * union-then-window composition (q30) which carries every event
+  * through one window frame. Neither side is ever broadcast; skew
+  * handling is the key-salting of q36 if a key dominates.
+  *
+  * The window-merge twin ([[graft.operators.Events.purchaseAfterError]])
+  * is kept as the executable spec — the differential test pins both
+  * bit-identical, and the q105 gate replays the same DuckDB oracle as
+  * q30.
+  *
+  * AQE note: CoalesceShufflePartitions places both children's shuffle
+  * stages in one coalesce group (binary node → unioned groups), so
+  * runtime-coalesced sides stay aligned; a hypothetical mismatch
+  * fails fast in `zipPartitions` (unequal partition counts) rather
+  * than mis-joining, and the oracle gate re-proves alignment every
+  * run.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression],
+    rightOrder: Seq[Expression]
+) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan,
+      newRight: LogicalPlan
+  ): AsOfJoin = copy(left = newLeft, right = newRight)
+}
+
+/** Plans the logical [[AsOfJoin]] into [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lo, ro) =>
+      AsOfJoinExec(lk, rk, lo, ro, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sorted-merge backward as-of join: both children co-partitioned on
+  * the key and sorted by (key, order); one forward pass per partition
+  * keeps only the last right row seen — O(1) state, no buffering of
+  * either side.
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftOrder: Seq[Expression],
+    rightOrder: Seq[Expression],
+    left: SparkPlan,
+    right: SparkPlan
+) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      (leftKeys ++ leftOrder).map(SortOrder(_, Ascending)),
+      (rightKeys ++ rightOrder).map(SortOrder(_, Ascending))
+    )
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeyOrderExprs = leftKeys ++ leftOrder
+    val rKeyOrderExprs = rightKeys ++ rightOrder
+    val keyTypes = leftKeys.map(_.dataType)
+    val fullTypes = lKeyOrderExprs.map(_.dataType)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lFullProj = UnsafeProjection.create(lKeyOrderExprs, leftOut)
+      val rFullProj = UnsafeProjection.create(rKeyOrderExprs, rightOut)
+      val lKeyProj = UnsafeProjection.create(leftKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rightOut)
+      val fullOrdering = RowOrdering.createNaturalAscendingOrdering(fullTypes)
+      val keyOrdering = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val rBuf = rIter.buffered
+
+      new Iterator[InternalRow] {
+        // O(1) merge state: the last right row consumed + its key
+        private var lastMatch: InternalRow = _
+        private var lastMatchKey: InternalRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val lRow = lIter.next()
+          val lFull = lFullProj(lRow)
+          // consume right rows strictly below the left (key, order)
+          // tuple; rows of earlier keys are consumed too — the key
+          // equality check below discards them
+          while (rBuf.hasNext &&
+            fullOrdering.compare(rFullProj(rBuf.head), lFull) < 0) {
+            val r = rBuf.next()
+            lastMatch = r.copy()
+            lastMatchKey = rKeyProj(lastMatch).copy()
+          }
+          val lKey = lKeyProj(lRow)
+          val matched =
+            lastMatch != null && keyOrdering.compare(lastMatchKey, lKey) == 0
+          joined(lRow, if (matched) lastMatch else nullRight)
+          resultProj(joined)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan,
+      newRight: SparkPlan
+  ): AsOfJoinExec = copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API for the native as-of join. */
+object AsOf {
+
+  /** The strategy reaches the planner either via GraftExtensions
+    * (cluster deployment: `spark.sql.extensions`) or, for sessions
+    * built without it, via the session-mutable experimental hook —
+    * idempotent, so calling on an extensions-enabled session is a
+    * no-op duplicate candidate at worst.
+    */
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.exists(_ eq AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Backward as-of join `left` with `right` on equal `keys`, order
+    * tuple `order` (column names present on both sides; the right
+    * side's non-key columns should be pre-aliased to avoid name
+    * clashes in the result). Every left row appears exactly once;
+    * right columns are null when no prior right row exists.
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftOrder: Seq[String],
+      rightOrder: Seq[String]
+  ): DataFrame = {
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(right)
+    def resolve(plan: LogicalPlan, cols: Seq[String]): Seq[Expression] =
+      cols.map { name =>
+        plan.output
+          .find(_.name == name)
+          .getOrElse(
+            throw new IllegalArgumentException(
+              s"column $name not found in ${plan.output.map(_.name)}"
+            )
+          )
+      }
+    require(
+      left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "as-of join requires disjoint column names; alias the right side"
+    )
+    ensureStrategy(left.sparkSession)
+    PlanBridge.ofRows(
+      left.sparkSession,
+      AsOfJoin(
+        lPlan,
+        rPlan,
+        resolve(lPlan, leftKeys),
+        resolve(rPlan, rightKeys),
+        resolve(lPlan, leftOrder),
+        resolve(rPlan, rightOrder)
+      )
+    )
+  }
+}

@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.operators.Events
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native as-of join (AsOfJoin logical node → AsOfJoinExec via
+  * the injected planner strategy) against its window-merge executable
+  * spec, plus plan-shape and edge-semantics pins.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.GraftExtensions)
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("native as-of join is row-identical to the window-merge form") {
+    val native = Events
+      .purchaseAfterErrorNative(spark, dir)
+      .collect()
+      .map(_.toSeq.map(String.valueOf))
+      .sortBy(_.mkString("|"))
+    val windowed = Events
+      .purchaseAfterError(spark, dir)
+      .collect()
+      .map(_.toSeq.map(String.valueOf))
+      .sortBy(_.mkString("|"))
+    assert(native.length == windowed.length && native.nonEmpty)
+    assert(native.toSeq == windowed.toSeq)
+  }
+
+  test("plan: AsOfJoinExec with co-partitioned, sorted children") {
+    val df = Events.purchaseAfterErrorNative(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin ["), "AsOfJoinExec node planned")
+    assert(p.contains("hashpartitioning(user_id"))
+    assert(p.contains("hashpartitioning(err_user"))
+    assert(p.contains("Sort ["))
+  }
+
+  test("left rows with no prior right row get nulls, never drop") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 5.0), (1L, 1L, 6.0), (2L, 3L, 7.0))
+      .toDF("k", "t", "v")
+    val right = Seq((1L, 2L, 0.5), (1L, 9L, 0.7), (3L, 1L, 0.9))
+      .toDF("rk", "rt", "rv")
+    val out = AsOf
+      .join(left, right, Seq("k"), Seq("rk"), Seq("t"), Seq("rt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toSet
+    // k=1,t=10 → last prior rt=9; k=1,t=1 → none; k=2 → key absent
+    assert(out == Set((1L, 10L, 9L), (1L, 1L, -1L), (2L, 3L, -1L)))
+  }
+
+  test("ties in the order tuple are strict (no self-time match)") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, 1L)).toDF("k", "t", "id")
+    val right = Seq((1L, 5L, 0L), (1L, 5L, 2L)).toDF("rk", "rt", "rid")
+    val out = AsOf
+      .join(left, right, Seq("k"), Seq("rk"), Seq("t", "id"), Seq("rt", "rid"))
+      .collect()
+    // only (rt=5, rid=0) is strictly below (t=5, id=1)
+    assert(out.length == 1 && out(0).getLong(5) == 0L)
+  }
+}
