@@ -353,6 +353,28 @@ object SparkEntry {
     // sorted-merge SparkPlan (injected planner strategy) — same
     // semantics and oracle as q30's window-merge form.
     "q105_asof_native" -> (Events.purchaseAfterErrorNative _),
+    // Multi-probe IVF: each query searches its 2 nearest clusters —
+    // recovers Voronoi-boundary neighbors probe-1 misses.
+    "q106_ivf_probe2" -> (Similarity.ivfTopKProbe(_, _)),
+    // Streaming → day-partitioned parquet lake via the file sink's
+    // manifest commit (exactly-once), then read back and aggregated;
+    // the oracle is the same aggregate straight off the events table.
+    "q107_stream_lake" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, count, date_format, lit,
+        round, sum}
+      val base = new java.io.File(
+        sys.props("java.io.tmpdir"),
+        s"graft-lake-${java.util.UUID.randomUUID()}")
+      io.Sinks.streamEventsToLake(
+        streaming.EventStreams.readEvents(s, dir),
+        s"$base/lake",
+        s"$base/ckpt")
+      s.read
+        .parquet(s"$base/lake")
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
     // Streaming stateful funnel (mapGroupsWithState): per-user
     // 3-timestamp state folded in event-time order; terminal argmax
     // over update-mode emissions, hash-matched against the batch
@@ -962,6 +984,38 @@ object SparkEntry {
                    ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
                FROM cand) t
          WHERE rk <= 5""",
+    // q106: probe-2 IVF — same centroid set and assignment as q25,
+    // queries additionally search their runner-up cluster.
+    "q106_ivf_probe2" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS c_vec
+                FROM embeddings WHERE vec_id < 8),
+         sims AS (SELECT e.vec_id, e.embedding, c.cid,
+                    ${cosSql("c_vec", "embedding")} AS csim
+                  FROM embeddings e, c),
+         asg AS (SELECT vec_id, embedding, cid
+                 FROM (SELECT vec_id, embedding, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cid ASC) AS rk
+                       FROM sims) t WHERE rk = 1),
+         qp AS (SELECT vec_id AS q_id, embedding AS q_vec, cid
+                FROM (SELECT vec_id, embedding, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY csim DESC, cid ASC) AS crk
+                      FROM sims WHERE vec_id < 3) t WHERE crk <= 2),
+         cand AS (SELECT qp.q_id, a.vec_id,
+                    ${cosSql("q_vec", "a.embedding")} AS sim
+                  FROM asg a JOIN qp ON a.cid = qp.cid)
+         SELECT q_id, vec_id, round(sim, 6) AS sim, rk
+         FROM (SELECT q_id, vec_id, sim,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rk
+               FROM cand) t
+         WHERE rk <= 5""",
+    // q107: the lake round-trip must equal the straight aggregate.
+    "q107_stream_lake" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1""",
     "q26_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
                 WHERE vec_id < 300),

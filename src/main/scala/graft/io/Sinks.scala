@@ -97,6 +97,33 @@ object Sinks {
      else w).parquet(path)
   }
 
+  /** q107 — streaming → partitioned parquet lake through Spark's
+    * built-in file sink: the manifest (`_spark_metadata`) commits
+    * files atomically per micro-batch, so a crashed/replayed batch
+    * never double-counts — exactly-once END TO END when paired with
+    * the checkpointed source offsets. Restarting the drained stream
+    * on the same checkpoint writes nothing new (pinned by spec).
+    * This is the continuous-ingest twin of
+    * [[writePartitionedParquet]] — the path a 100 TB/day corpus
+    * actually lands through, day-partitioned for downstream pruning.
+    */
+  def streamEventsToLake(
+      events: DataFrame,
+      outPath: String,
+      checkpoint: String
+  ): Unit = {
+    val q = events
+      .withColumn("day", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("day")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** K1 — raw JSON *array* writer (scraper.py:339-356 parity form):
     * one file holding a JSON array of row objects. Collects on the
     * driver — correct only for bounded exports (the reference's

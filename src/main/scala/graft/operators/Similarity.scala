@@ -126,6 +126,56 @@ object Similarity {
         col("rk"))
   }
 
+  /** q106: multi-probe IVF — each query searches its `nprobe` nearest
+    * clusters instead of one. Probe-1 (q25) misses neighbors that
+    * fall just across a Voronoi boundary from the query; probing the
+    * runner-up cluster recovers most of them for 2× the probe cost —
+    * still |2 clusters|·|Q| vs the brute-force |corpus|·|Q|. The
+    * candidate set is a strict superset of q25's, so recall can only
+    * improve (pinned by spec).
+    */
+  def ivfTopKProbe(
+      spark: SparkSession,
+      dir: String,
+      nprobe: Int = 2
+  ): DataFrame = {
+    val assigned = ivfAssign(spark, dir, 8)
+    val e = Tables.embeddings(spark, dir)
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
+    val wq = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = e
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .join(broadcast(cents))
+      .select(
+        col("q_id"),
+        col("q_vec"),
+        col("cid"),
+        cosine(col("c_vec"), col("q_vec")).as("csim")
+      )
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cid"))
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("cid"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim")
+      )
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"), round(col("sim"), 6).as("sim"),
+        col("rk"))
+  }
+
   /** q26: embedding-cosine near-dup pairs (sim > 0.4 among
     * vec_id<300). The exact-verify stage of an embedding dedup; at
     * scale the candidate set would come from LSH/IVF buckets rather

@@ -301,6 +301,47 @@ class Round4bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("probe-2 IVF recall dominates probe-1 against the exact top-5") {
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(
+      Similarity
+        .cosineTopK(spark, dir)
+        .filter(col("q_id") < 3)
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"))
+    )
+    val p1 = resultSet(
+      Similarity.ivfTopK(spark, dir).select(col("q_id"), col("vec_id")))
+    val p2 = resultSet(
+      Similarity.ivfTopKProbe(spark, dir).select(col("q_id"), col("vec_id")))
+    val r1 = exact.intersect(p1).size.toDouble / exact.size
+    val r2 = exact.intersect(p2).size.toDouble / exact.size
+    assert(r2 >= r1, s"probe-2 recall $r2 < probe-1 recall $r1")
+    assert(p2.nonEmpty && exact.nonEmpty)
+  }
+
+  test("streaming lake sink is exactly-once across a restart") {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-lake-spec-${java.util.UUID.randomUUID()}")
+    val out = s"$base/lake"
+    val ckpt = s"$base/ckpt"
+    def drain(): Unit = graft.io.Sinks.streamEventsToLake(
+      graft.streaming.EventStreams.readEvents(spark, dir), out, ckpt)
+    drain()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == Tables.events(spark, dir).count())
+    // restart on the same checkpoint: offsets are committed, the
+    // manifest is sealed — nothing may be appended or double-counted
+    drain()
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 == n1)
+    // day partitioning visible to pruning
+    val days = spark.read.parquet(out).select(col("day")).distinct().count()
+    assert(days >= 2)
+  }
+
   test("kmeans assignment broadcasts centroids; corpus is not shuffled") {
     val e = Tables
       .embeddings(spark, dir)
