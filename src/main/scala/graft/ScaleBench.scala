@@ -465,6 +465,35 @@ object ScaleBench {
     val spanFamilies = spanRow.getLong(0)
     require(spanFamilies > 0, "no duplicated span families found")
 
+    // --- native as-of join at 10M × 1M --------------------------------
+    // the q105 custom operator un-capped: 100k keys, 10M left rows,
+    // 1M right rows — two key-hash exchanges + sorts (inserted by
+    // EnsureRequirements), then an O(1)-state merge per partition.
+    // Every left row must appear exactly once.
+    val asofLeftN = 10000000L
+    val asofRightN = 1000000L
+    val lDf = spark
+      .range(asofLeftN)
+      .select((col("id") % 100000).as("k"), (col("id") * 7 % 1000000).as("t"),
+        col("id").as("lid"))
+    val rDf = spark
+      .range(asofRightN)
+      .select((col("id") % 100000).as("rk"),
+        (col("id") * 13 % 1000000).as("rt"), col("id").as("rid"))
+    val tAsof = System.nanoTime()
+    val asofRow = graft.plans.AsOf
+      .join(lDf, rDf, Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("rt").isNotNull, 1L).otherwise(0L)).as("matched")
+      )
+      .collect()(0)
+    val asofSec = (System.nanoTime() - tAsof) / 1e9
+    require(asofRow.getLong(0) == asofLeftN,
+      s"as-of join lost/duplicated rows: ${asofRow.getLong(0)}")
+    val asofMatched = asofRow.getLong(1)
+    require(asofMatched > 0, "as-of join matched nothing")
+
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
         s""""lsh_candidate_pairs":$nCandidates,"lsh_sec":$lshSec,""" +
@@ -487,7 +516,9 @@ object ScaleBench {
         s""""pagerank_nodes":$prNodes,"pagerank_sec":$prSec,""" +
         s""""kmeans_k":$kmK,"kmeans_sec":$kmSec,""" +
         s""""cms_cells":$cmsCellCount,"cms_sec":$cmsSec,""" +
-        s""""span_families":$spanFamilies,"span_sec":$spanSec}"""
+        s""""span_families":$spanFamilies,"span_sec":$spanSec,""" +
+        s""""asof_rows":$asofLeftN,"asof_matched":$asofMatched,""" +
+        s""""asof_sec":$asofSec}"""
     )
     spark.stop()
   }
