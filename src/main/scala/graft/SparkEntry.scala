@@ -356,6 +356,12 @@ object SparkEntry {
     // Multi-probe IVF: each query searches its 2 nearest clusters —
     // recovers Voronoi-boundary neighbors probe-1 misses.
     "q106_ivf_probe2" -> (Similarity.ivfTopKProbe(_, _)),
+    // Stratified weighted sampling: A-Res priorities ranked within
+    // each language — per-stratum quotas × length weighting.
+    "q108_stratified_weighted" -> (Sampling.stratifiedWeightedSample(_, _)),
+    // The one-row corpus summary card (counts, language
+    // concentration, dup rate, mean quality).
+    "q109_corpus_card" -> (TextAnalysis.corpusCard _),
     // Streaming → day-partitioned parquet lake via the file sink's
     // manifest commit (exactly-once), then read back and aggregated;
     // the oracle is the same aggregate straight off the events table.
@@ -2372,6 +2378,52 @@ object SparkEntry {
            round(n_tokens * (m.target / (n_tokens::DOUBLE / t_tokens)), 2)
              AS expected_tokens
          FROM pl JOIN m ON pl.lang = m.lang CROSS JOIN tt""",
+    // q108: identical A-Res priority, ranked per language.
+    "q108_stratified_weighted" ->
+      """SELECT doc_id, lang, n_chars, round(r, 6) AS priority,
+           CAST(rk AS INTEGER) AS rk
+         FROM (SELECT doc_id, lang, n_chars, r,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY r DESC, doc_id ASC) AS rk
+               FROM (SELECT doc_id, lang, n_chars,
+                       pow((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                         ::BIGINT + 1)::DOUBLE / 1152921504606846976.0,
+                         1.0 / n_chars) AS r
+                     FROM documents WHERE n_chars > 0) t) x
+         WHERE rk <= 20""",
+    // q109: the summary card from the same quality formula as q15/q89.
+    "q109_corpus_card" ->
+      """WITH per_doc AS (
+           SELECT doc_id, lang, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks
+           FROM documents),
+         scored AS (SELECT doc_id, lang, text, len(toks) AS nt,
+             round(0.5 * least(len(toks) / 200.0, 1.0)
+                 + 0.4 * least(CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_filter(toks, w -> w IN
+                       ('the','a','an','and','or','of','to','in','is','it')
+                       ))::DOUBLE / len(toks) END * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE (length(text)
+                           - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END * 10.0, 1.0)), 6) AS q
+           FROM per_doc),
+         base AS (SELECT count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS n_tokens,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT md5(text)) AS n_unique,
+             round(avg(q), 6) AS mean_quality
+           FROM scored),
+         top AS (SELECT lang AS top_lang, count(*) AS tn
+                 FROM per_doc GROUP BY 1
+                 ORDER BY tn DESC, top_lang ASC LIMIT 1)
+         SELECT n_docs, n_tokens, n_langs, top_lang,
+           round(tn::DOUBLE / n_docs, 6) AS top_lang_share,
+           round(1.0 - n_unique::DOUBLE / n_docs, 6) AS exact_dup_rate,
+           mean_quality
+         FROM base CROSS JOIN top""",
     // q83: per-stage conditional mins, strictly ordered.
     "q83_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events

@@ -217,6 +217,37 @@ object Sampling {
       )
   }
 
+  /** q108: stratified weighted sampling — the q97 A-Res priority
+    * ranked WITHIN each language, top-20 per stratum: the actual
+    * corpus-mixing sampler (per-language quotas × length-weighted
+    * selection) in one window pass. Same content-keyed determinism;
+    * one shuffle on lang.
+    */
+  def stratifiedWeightedSample(
+      spark: SparkSession,
+      dir: String,
+      kPerLang: Int = 20
+  ): DataFrame = {
+    val u = (graft.functions.TextFunctions.hash60(col("doc_id")) + 1L)
+      .cast("double") / lit(1152921504606846976.0)
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("r").desc, col("doc_id").asc)
+    Tables
+      .documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_chars"),
+        pow(u, lit(1.0) / col("n_chars")).as("r")
+      )
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= kPerLang)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("r"), 6).as("priority"), col("rk"))
+  }
+
   def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val u = (graft.functions.TextFunctions.hash60(col("doc_id")) + 1L)
       .cast("double") / lit(1152921504606846976.0) // 2^60

@@ -529,6 +529,43 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** q109: the corpus summary card — the one-row dataset report every
+    * corpus release ships with (counts, language concentration,
+    * exact-duplication rate, quality distribution), composed from
+    * tiny independent aggregates over one scan each. At 100 TB each
+    * input is a partially-aggregated scalar; the final row is a
+    * cross join of scalars.
+    */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(md5(col("text"))).as("n_unique_texts"),
+      round(avg(qualityScore(col("text"))), 6).as("mean_quality")
+    )
+    val topLang = docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang").asc)
+      .limit(1)
+      .select(col("lang").as("top_lang"), col("n").as("top_lang_docs"))
+    base
+      .crossJoin(broadcast(topLang))
+      .select(
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_langs"),
+        col("top_lang"),
+        round(col("top_lang_docs").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"),
+        round(lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 6)
+          .as("exact_dup_rate"),
+        col("mean_quality")
+      )
+  }
+
   /** q99: PMI collocations — the top-k adjacent token pairs by
     * pointwise mutual information, PMI(x,y) = ln(n_xy·T / (n_x·· n_·y))
     * over bigram slots: the collocation/multi-word-expression detector

@@ -184,6 +184,12 @@ object AsOf {
     * side's non-key columns should be pre-aliased to avoid name
     * clashes in the result). Every left row appears exactly once;
     * right columns are null when no prior right row exists.
+    *
+    * Null keys GROUP together (the window form's `partitionBy`
+    * semantics — a null-key left row can match a null-key right row),
+    * unlike an equi-join where null never equals null; pinned by
+    * spec. Pre-filter null keys on either side for equi-join-style
+    * behavior.
     */
   def join(
       left: DataFrame,

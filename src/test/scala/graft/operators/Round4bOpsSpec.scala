@@ -342,6 +342,35 @@ class Round4bOpsSpec extends AnyFunSuite {
     assert(days >= 2)
   }
 
+  test("stratified weighted sample: exactly k per language, priorities valid") {
+    val out = Sampling.stratifiedWeightedSample(spark, dir).collect()
+    val perLang = out.groupBy(_.getString(1)).map { case (l, rows) =>
+      l -> rows.length
+    }
+    val langSizes = Tables
+      .documents(spark, dir)
+      .filter(col("n_chars") > 0)
+      .groupBy(col("lang"))
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    perLang.foreach { case (l, n) =>
+      assert(n == math.min(20L, langSizes(l)), s"$l: $n")
+    }
+    out.foreach(r => assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1))
+  }
+
+  test("corpus card is internally consistent") {
+    val r = TextAnalysis.corpusCard(spark, dir).collect()(0)
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(r.getLong(0) == nDocs)
+    assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1) // top_lang_share
+    assert(r.getDouble(5) >= 0 && r.getDouble(5) < 1) // exact_dup_rate
+    assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1) // mean_quality
+    assert(r.getLong(2) >= 1 && r.getLong(2) <= 5) // n_langs
+  }
+
   test("kmeans assignment broadcasts centroids; corpus is not shuffled") {
     val e = Tables
       .embeddings(spark, dir)

@@ -63,6 +63,23 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Set((1L, 10L, 9L), (1L, 1L, -1L), (2L, 3L, -1L)))
   }
 
+  test("null keys group together (window-partition semantics, not equi-join)") {
+    import spark.implicits._
+    val left = Seq((Some(1L), 10L), (None, 10L))
+      .toDF("k", "t")
+    val right = Seq((Option.empty[Long], 5L, 42L)).toDF("rk", "rt", "rv")
+    val out = AsOf
+      .join(left, right, Seq("k"), Seq("rk"), Seq("t"), Seq("rt"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toSet
+    // the null-key left row matches the null-key right row — same
+    // grouping the window form's partitionBy(user_id) applies; the
+    // k=1 row has no match
+    assert(out == Set((-1L, 42L), (1L, -1L)))
+  }
+
   test("ties in the order tuple are strict (no self-time match)") {
     import spark.implicits._
     val left = Seq((1L, 5L, 1L)).toDF("k", "t", "id")
