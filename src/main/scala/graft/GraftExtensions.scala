@@ -76,6 +76,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     e.injectFunction(
       (
+        FunctionIdentifier("vec_sq_dist"),
+        info("vec_sq_dist",
+          "vec_sq_dist(x, c) - squared L2 distance, float x double arrays"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2, "vec_sq_dist(floatArray, doubleArray)")
+          functions.VectorSqDist(exprs(0), exprs(1))
+        }
+      )
+    )
+    e.injectFunction(
+      (
         FunctionIdentifier("minhash_sig"),
         info("minhash_sig",
           "minhash_sig(shingles, k) - single-pass k-minima MinHash signature"),

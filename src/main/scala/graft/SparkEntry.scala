@@ -362,6 +362,13 @@ object SparkEntry {
     // The one-row corpus summary card (counts, language
     // concentration, dup rate, mean quality).
     "q109_corpus_card" -> (TextAnalysis.corpusCard _),
+    // Decorrelation family (TPC-H Q13/Q15/Q20/Q22 shapes): outer-join
+    // aggregation, scalar subqueries, nested IN → semi join,
+    // NOT EXISTS → anti join.
+    "q110_cust_order_dist" -> (Subqueries.customerOrderDistribution _),
+    "q111_top_rev_supplier" -> (Subqueries.topRevenueSupplier _),
+    "q112_above_avg_suppliers" -> (Subqueries.aboveAverageSuppliers _),
+    "q113_idle_rich_customers" -> (Subqueries.idleRichCustomers _),
     // Streaming → day-partitioned parquet lake via the file sink's
     // manifest commit (exactly-once), then read back and aggregated;
     // the oracle is the same aggregate straight off the events table.
@@ -2424,6 +2431,41 @@ object SparkEntry {
            round(1.0 - n_unique::DOUBLE / n_docs, 6) AS exact_dup_rate,
            mean_quality
          FROM base CROSS JOIN top""",
+    // q110-q113: near-verbatim replays of the same subquery SQL.
+    "q110_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+               FROM customer c LEFT OUTER JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+               GROUP BY c.c_custkey) t
+         GROUP BY c_count""",
+    "q111_top_rev_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, r.total_rev
+         FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+         WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""",
+    "q112_above_avg_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+           HAVING sum(l_quantity) > (
+             SELECT avg(qty) FROM (
+               SELECT sum(l_quantity) AS qty
+               FROM lineitem GROUP BY l_suppkey) q))""",
+    "q113_idle_rich_customers" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+         FROM customer c
+         WHERE c.c_acctbal > (
+             SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c.c_mktsegment""",
     // q83: per-stage conditional mins, strictly ordered.
     "q83_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Correlated/nested-subquery workloads through the `spark.sql`
+  * surface — the decorrelation coverage: Catalyst must rewrite
+  * IN/EXISTS subqueries to semi/anti joins (RewritePredicateSubquery)
+  * and plan scalar subqueries as broadcast one-row joins, or these
+  * shapes are quadratic at 100 TB. Plan shapes pinned in
+  * PlanPropertiesSpec; every query's oracle is near-verbatim the same
+  * SQL in DuckDB.
+  */
+object Subqueries {
+
+  private def views(spark: SparkSession, dir: String): Unit =
+    Seq("customer", "orders", "lineitem", "supplier", "part", "nation")
+      .foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+
+  /** q110 (TPC-H Q13 shape): customer distribution by order count —
+    * LEFT OUTER join with an ON-clause filter, then an aggregate of
+    * an aggregate. The outer join preserves zero-order customers
+    * (c_count = 0 bucket), which an inner join silently drops.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+               FROM customer c LEFT OUTER JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+               GROUP BY c.c_custkey) t
+         GROUP BY c_count"""
+    )
+  }
+
+  /** q111 (TPC-H Q15 shape): top-revenue suppliers — a scalar
+    * subquery (global max over the revenue aggregate) filtering the
+    * join of supplier × revenue. Catalyst plans the scalar subquery
+    * once and broadcasts the one-row result into the filter.
+    */
+  def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH rev AS (
+           SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+           FROM lineitem GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, r.total_rev
+         FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+         WHERE r.total_rev = (SELECT max(total_rev) FROM rev)"""
+    )
+  }
+
+  /** q112 (TPC-H Q20 shape): suppliers whose shipped quantity exceeds
+    * the per-supplier average — a nested aggregate subquery inside an
+    * IN predicate. RewritePredicateSubquery turns the IN into a left
+    * semi join; the inner scalar average is one broadcast row.
+    */
+  def aboveAverageSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+           HAVING sum(l_quantity) > (
+             SELECT avg(qty) FROM (
+               SELECT sum(l_quantity) AS qty
+               FROM lineitem GROUP BY l_suppkey) q))"""
+    )
+  }
+
+  /** q113 (TPC-H Q22 shape): well-funded customers with no urgent
+    * order — a scalar subquery (positive-balance average) AND a
+    * NOT EXISTS anti join with a correlated extra predicate,
+    * aggregated per market segment.
+    */
+  def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT c.c_mktsegment AS segment, count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+         FROM customer c
+         WHERE c.c_acctbal > (
+             SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '1-URGENT')
+         GROUP BY c.c_mktsegment"""
+    )
+  }
+}

@@ -231,6 +231,17 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!plan("q85_doc_chunks").contains("Exchange"))
   }
 
+  test("q112/q113: subqueries decorrelate to semi/anti joins") {
+    val p112 = plan("q112_above_avg_suppliers")
+    assert(p112.contains("LeftSemi"), "IN subquery → left semi join")
+    assert(p112.contains("Subquery"), "scalar average hosted as subquery")
+    val p113 = plan("q113_idle_rich_customers")
+    assert(p113.contains("LeftAnti"), "NOT EXISTS → left anti join")
+    // the scalar-subquery threshold is pushed into the parquet scan
+    assert(p113.contains("GreaterThan(c_acctbal,ScalarSubquery"),
+      "scalar subquery pushed to the scan as a runtime filter")
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
