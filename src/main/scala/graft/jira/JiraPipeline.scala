@@ -19,6 +19,32 @@ object JiraPipeline {
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(JiraSchemas.rawIssueSchema).json(path)
 
+  /** Ingest robustness for corpus-scale JSON: PERMISSIVE parse with a
+    * quarantine column — a malformed line becomes one quarantine row
+    * instead of failing a 100 TB job (at scale a bad-records rate is
+    * an SLO, not an exception). Returns (parsed, quarantined); the
+    * frame is cached because Spark forbids filtering the internal
+    * corrupt-record column on the un-materialized scan
+    * (SPARK-21610 semantics).
+    */
+  def readRawWithQuarantine(
+      spark: SparkSession,
+      path: String
+  ): (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val raw = spark.read
+      .schema(JiraSchemas.rawIssueSchema
+        .add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .cache()
+    (
+      raw.filter(col(corruptCol).isNull).drop(corruptCol),
+      raw.filter(col(corruptCol).isNotNull).select(col(corruptCol))
+    )
+  }
+
   /** Flattened issues for a list of (project, rawJsonPath), tagged
     * with project_rank to preserve config order.
     */
