@@ -63,6 +63,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == Set((1L, 10L, 9L), (1L, 1L, -1L), (2L, 3L, -1L)))
   }
 
+  test("property: native join matches a reference merge on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val left = Seq.fill(30 + rnd.nextInt(60))(
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong, rnd.nextLong())
+      ).zipWithIndex.map { case ((k, t, v), i) => (k, t, i.toLong, v) }
+      val right = Seq.fill(rnd.nextInt(60))(
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(40).toLong)
+      ).zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val lDf = left.toDF("k", "t", "lid", "v")
+        .repartition(3 + rnd.nextInt(3))
+      val rDf = right.toDF("rk", "rt", "rid")
+        .repartition(2 + rnd.nextInt(4))
+      val got = AsOf
+        .join(lDf, rDf, Seq("k"), Seq("rk"), Seq("t", "lid"), Seq("rt", "rid"))
+        .collect()
+        .map(r => (r.getLong(2),
+          if (r.isNullAt(6)) None else Some(r.getLong(6))))
+        .toMap
+      // reference: per left row, max (rt, rid) strictly below (t, lid)
+      val expected = left.map { case (k, t, lid, _) =>
+        lid -> right
+          .filter { case (rk, rt, rid) =>
+            rk == k && (rt < t || (rt == t && rid < lid))
+          }
+          .sortBy { case (_, rt, rid) => (rt, rid) }
+          .lastOption
+          .map(_._3)
+      }.toMap
+      assert(got == expected, s"trial $trial diverged")
+    }
+  }
+
   test("null keys group together (window-partition semantics, not equi-join)") {
     import spark.implicits._
     val left = Seq((Some(1L), 10L), (None, 10L))
