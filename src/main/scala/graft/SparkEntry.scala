@@ -366,6 +366,11 @@ object SparkEntry {
     // aggregation, scalar subqueries, nested IN → semi join,
     // NOT EXISTS → anti join.
     "q110_cust_order_dist" -> (Subqueries.customerOrderDistribution _),
+    // BPE merge-candidate table: corpus-weighted character-pair
+    // counts over the distinct-word frequency table.
+    "q114_bpe_pairs" -> (TextAnalysis.bpePairStats(_, _)),
+    // Filter-funnel yield: per-stage surviving doc counts.
+    "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     "q111_top_rev_supplier" -> (Subqueries.topRevenueSupplier _),
     "q112_above_avg_suppliers" -> (Subqueries.aboveAverageSuppliers _),
     "q113_idle_rich_customers" -> (Subqueries.idleRichCustomers _),
@@ -2431,6 +2436,82 @@ object SparkEntry {
            round(1.0 - n_unique::DOUBLE / n_docs, 6) AS exact_dup_rate,
            mean_quality
          FROM base CROSS JOIN top""",
+    // q114: pair counting over the distinct-word frequency table.
+    "q114_bpe_pairs" ->
+      """WITH w AS (SELECT w, count(*) AS wf FROM
+           (SELECT unnest(toks) AS w FROM
+             (SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+')
+                END AS toks FROM documents) t) x
+           GROUP BY 1),
+         p AS (SELECT substr(w, CAST(i + 1 AS INTEGER), 2) AS pair, wf
+               FROM (SELECT w, wf, unnest(range(length(w) - 1)) AS i
+                     FROM w WHERE length(w) >= 2) t)
+         SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM p
+         GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 30""",
+    // q115: identical per-stage predicates (quality from q89's
+    // formula, repetition from q60's, PII regexes from q59's,
+    // survivor via min-per-md5), aggregated then unpivoted.
+    "q115_filter_funnel" ->
+      """WITH d AS (SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks
+           FROM documents),
+         f AS (SELECT doc_id, text, toks,
+             len(toks) AS nt,
+             round(0.5 * least(len(toks) / 200.0, 1.0)
+                 + 0.4 * least(CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_filter(toks, w -> w IN
+                       ('the','a','an','and','or','of','to','in','is','it')
+                       ))::DOUBLE / len(toks) END * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE (length(text)
+                           - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END * 10.0, 1.0)), 6) AS q,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                   END, 6) AS dtf,
+             round(CASE WHEN len(toks) <= 1 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(
+                       list_transform(range(len(toks) - 1),
+                         i -> toks[i+1] || ' ' || toks[i+2])))::DOUBLE
+                     / (len(toks) - 1)
+                   END, 6) AS dbf,
+             len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+               + len(regexp_extract_all(text,
+                   '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS pii,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS survivor
+           FROM d),
+         s AS (SELECT
+             (nt >= 10) AS s1,
+             (nt >= 10 AND q >= 0.3) AS s2,
+             (nt >= 10 AND q >= 0.3 AND dtf <= 0.7 AND dbf <= 0.5) AS s3,
+             (nt >= 10 AND q >= 0.3 AND dtf <= 0.7 AND dbf <= 0.5
+              AND pii = 0) AS s4,
+             (nt >= 10 AND q >= 0.3 AND dtf <= 0.7 AND dbf <= 0.5
+              AND pii = 0 AND survivor = doc_id) AS s5
+           FROM f),
+         a AS (SELECT count(*) AS n0,
+             CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
+           FROM s)
+         SELECT '0_all' AS stage, n0 AS n_docs,
+           round(n0::DOUBLE / n0 * 100.0, 2) AS pct FROM a
+         UNION ALL SELECT '1_minlen', n1,
+           round(n1::DOUBLE / n0 * 100.0, 2) FROM a
+         UNION ALL SELECT '2_quality', n2,
+           round(n2::DOUBLE / n0 * 100.0, 2) FROM a
+         UNION ALL SELECT '3_repetition', n3,
+           round(n3::DOUBLE / n0 * 100.0, 2) FROM a
+         UNION ALL SELECT '4_pii_free', n4,
+           round(n4::DOUBLE / n0 * 100.0, 2) FROM a
+         UNION ALL SELECT '5_unique', n5,
+           round(n5::DOUBLE / n0 * 100.0, 2) FROM a""",
     // q110-q113: near-verbatim replays of the same subquery SQL.
     "q110_cust_order_dist" ->
       """SELECT c_count, count(*) AS custdist

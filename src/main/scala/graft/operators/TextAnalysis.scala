@@ -529,6 +529,81 @@ object TextAnalysis {
       .select(col("token"), col("df"), col("postings"))
   }
 
+  /** q114: BPE pair statistics — corpus-weighted adjacent character-
+    * pair counts, i.e. the first merge-candidate table of byte-pair-
+    * encoding tokenizer training. Pair counting runs over the
+    * DISTINCT-word frequency table (vocabulary-sized), not the raw
+    * token stream — the standard trick that makes BPE training
+    * feasible at corpus scale: a 100 TB corpus has billions of token
+    * instances but only millions of distinct words.
+    */
+  def bpePairStats(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val words = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wf"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(
+        col("w"),
+        col("wf"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i")
+      )
+      .select(expr("substring(w, i, 2)").as("pair"), col("wf"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wf")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /** q115: the filter-funnel yield report — how many documents
+    * survive each successive cleaning stage (min-length → quality →
+    * repetition → PII-free → exact-dup survivor), as one scan
+    * computing per-stage booleans and one tiny aggregate. The
+    * operational metric a pipeline owner watches: a stage whose yield
+    * suddenly drops is a filter bug or a corpus shift.
+    */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b"
+    val byHash = Window.partitionBy(md5(col("text")))
+    val scored = Tables
+      .documents(spark, dir)
+      .withColumn("rc",
+        graft.functions.RepetitionCounts.repetitionCounts(col("text")))
+      .withColumn("fr",
+        graft.functions.RepetitionCounts.repetitionFromCounts(col("rc")))
+      .withColumn("s1", tokenCount(col("text")) >= 10)
+      .withColumn("s2", col("s1") && qualityScore(col("text")) >= 0.3)
+      .withColumn("s3", col("s2") &&
+        col("fr.dup_token_frac") <= 0.7 && col("fr.dup_bigram_frac") <= 0.5)
+      .withColumn("s4", col("s3") &&
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))) === 0)
+      .withColumn("s5", col("s4") &&
+        min(col("doc_id")).over(byHash) === col("doc_id"))
+    val agg = scored.agg(
+      count(lit(1)).as("n0"),
+      sum(col("s1").cast("long")).as("n1"),
+      sum(col("s2").cast("long")).as("n2"),
+      sum(col("s3").cast("long")).as("n3"),
+      sum(col("s4").cast("long")).as("n4"),
+      sum(col("s5").cast("long")).as("n5")
+    )
+    val stages = Seq(
+      "0_all" -> "n0", "1_minlen" -> "n1", "2_quality" -> "n2",
+      "3_repetition" -> "n3", "4_pii_free" -> "n4", "5_unique" -> "n5")
+    agg
+      .select(
+        explode(array(stages.map { case (name, c) =>
+          struct(lit(name).as("stage"), col(c).as("n_docs"),
+            round(col(c).cast("double") / col("n0") * 100.0, 2).as("pct"))
+        }: _*)).as("s")
+      )
+      .select(col("s.stage"), col("s.n_docs"), col("s.pct"))
+  }
+
   /** q109: the corpus summary card — the one-row dataset report every
     * corpus release ships with (counts, language concentration,
     * exact-duplication rate, quality distribution), composed from

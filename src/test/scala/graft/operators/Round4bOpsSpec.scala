@@ -371,6 +371,28 @@ class Round4bOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) >= 1 && r.getLong(2) <= 5) // n_langs
   }
 
+  test("filter funnel is monotone non-increasing from the full corpus") {
+    val rows = TextAnalysis
+      .filterFunnel(spark, dir)
+      .orderBy(col("stage"))
+      .collect()
+    assert(rows.length == 6)
+    assert(rows(0).getLong(1) == Tables.documents(spark, dir).count())
+    assert(rows(0).getDouble(2) == 100.0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) <= a.getLong(1),
+        s"${b.getString(0)} > ${a.getString(0)}")
+    }
+  }
+
+  test("bpe pairs: counts dominated by total character mass") {
+    val out = TextAnalysis.bpePairStats(spark, dir).collect()
+    assert(out.length == 30)
+    out.foreach(r => assert(r.getString(0).length == 2 && r.getLong(1) > 0))
+    // sorted descending by construction
+    assert(out.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
+
   test("kmeans assignment broadcasts centroids; corpus is not shuffled") {
     val e = Tables
       .embeddings(spark, dir)
