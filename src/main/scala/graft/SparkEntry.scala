@@ -371,6 +371,9 @@ object SparkEntry {
     "q114_bpe_pairs" -> (TextAnalysis.bpePairStats(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
+    // Pooled frame embeddings: stride-sampled frames → stub per-frame
+    // features → mean-pool per doc, in (doc, dim, value) cells.
+    "q116_frame_embedding" -> (Multimodal.frameEmbeddings(_, _)),
     "q111_top_rev_supplier" -> (Subqueries.topRevenueSupplier _),
     "q112_above_avg_suppliers" -> (Subqueries.aboveAverageSuppliers _),
     "q113_idle_rich_customers" -> (Subqueries.idleRichCustomers _),
@@ -2436,6 +2439,30 @@ object SparkEntry {
            round(1.0 - n_unique::DOUBLE / n_docs, 6) AS exact_dup_rate,
            mean_quality
          FROM base CROSS JOIN top""",
+    // q116: same frame derivation as q48, same rolling hash as q17,
+    // feature arithmetic in plain BIGINT, mean rounded to 6.
+    "q116_frame_embedding" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(length(text)),
+                 i -> ord(substr(text, (i+1)::INT, 1))::BIGINT)),
+               (a, c) -> (a * 31 + c) % 1000000007) AS h,
+             CAST(octet_length(encode(text)) % 240 + 1 AS INTEGER)
+               AS n_frames
+           FROM documents),
+         frames AS (
+           SELECT doc_id, h, n_frames,
+             unnest(range(0, n_frames, greatest(1, n_frames // 8))) AS f
+           FROM base),
+         cells AS (
+           SELECT doc_id, n_frames, k.k AS dim,
+             ((h + f * 2654435761 + k.k * 40503) % 1000)::DOUBLE
+               / 1000.0 AS v
+           FROM frames CROSS JOIN range(4) k(k))
+         SELECT doc_id, any_value(n_frames) AS n_frames,
+           CAST(dim AS INTEGER) AS dim, round(avg(v), 6) AS pooled
+         FROM cells GROUP BY doc_id, dim""",
     // q114: pair counting over the distinct-word frequency table.
     "q114_bpe_pairs" ->
       """WITH w AS (SELECT w, count(*) AS wf FROM

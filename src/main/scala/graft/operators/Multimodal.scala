@@ -127,4 +127,54 @@ object Multimodal {
       )
       .withColumn("ts_ms", (col("frame_idx").cast("bigint") * 1000L / 24L).cast("bigint"))
   }
+
+  /** q116: pooled frame embeddings — the video-representation shape:
+    * stride-sample frames (q48's derivation), extract a per-frame
+    * feature vector (deterministic stub keyed on the content rolling
+    * hash + frame index — the seam where a real frame encoder slots
+    * in), mean-pool per document. Output is (doc, dim, pooled) cells,
+    * the q69 centroid layout, directly joinable into the similarity
+    * stack. One narrow scan → explode(frames × dims) → one
+    * partial-agg shuffle; nothing per-document ever collects.
+    */
+  def frameEmbeddings(
+      spark: SparkSession,
+      dir: String,
+      dims: Int = 4
+  ): DataFrame = {
+    val base = graft.Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.RollingHash.rollingHash(col("text")).as("h"),
+        (length(col("text").cast("binary")) % 240 + 1).cast("int")
+          .as("n_frames")
+      )
+      .withColumn("stride", greatest(lit(1), (col("n_frames") / 8).cast("int")))
+    base
+      .select(
+        col("doc_id"),
+        col("h"),
+        col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("stride"))).as("f")
+      )
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        explode(array((0 until dims).map { k =>
+          struct(
+            lit(k).as("dim"),
+            (((col("h") + col("f").cast("long") * 2654435761L +
+              lit(k.toLong * 40503L)) % 1000L).cast("double") / 1000.0)
+              .as("v")
+          )
+        }: _*)).as("kv")
+      )
+      .groupBy(col("doc_id"), col("kv.dim").as("dim"))
+      .agg(
+        any_value(col("n_frames")).as("n_frames"),
+        round(avg(col("kv.v")), 6).as("pooled")
+      )
+      .select(col("doc_id"), col("n_frames"), col("dim"), col("pooled"))
+  }
 }
