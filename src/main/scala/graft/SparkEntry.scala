@@ -377,6 +377,10 @@ object SparkEntry {
     "q111_top_rev_supplier" -> (Subqueries.topRevenueSupplier _),
     "q112_above_avg_suppliers" -> (Subqueries.aboveAverageSuppliers _),
     "q113_idle_rich_customers" -> (Subqueries.idleRichCustomers _),
+    "q117_urgent_only" -> (Subqueries.urgentOnlyCustomers _),
+    "q118_cheapest_supplier" -> (Subqueries.cheapestSupplierPerPart _),
+    // The six ranking-window functions sharing one window frame.
+    "q119_window_family" -> (Relational.windowFamily _),
     // Streaming → day-partitioned parquet lake via the file sink's
     // manifest commit (exactly-once), then read back and aggregated;
     // the oracle is the same aggregate straight off the events table.
@@ -2539,6 +2543,40 @@ object SparkEntry {
            round(n4::DOUBLE / n0 * 100.0, 2) FROM a
          UNION ALL SELECT '5_unique', n5,
            round(n5::DOUBLE / n0 * 100.0, 2) FROM a""",
+    // q117/q118: the same correlated shapes replayed near-verbatim.
+    "q117_urgent_only" ->
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_customers
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderpriority = '5-LOW')
+         GROUP BY c.c_mktsegment""",
+    "q118_cheapest_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+           FROM lineitem GROUP BY 1, 2)
+         SELECT p.p_partkey, s.s_name, round(ps.min_price, 2) AS best_price
+         FROM part p
+         JOIN ps ON p.p_partkey = ps.l_partkey
+         JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+         WHERE p.p_partkey < 100
+           AND ps.min_price = (SELECT min(x.min_price) FROM ps x
+                               WHERE x.l_partkey = p.p_partkey)""",
+    // q119: identical window; ranks cast to Spark's INTEGER outputs.
+    "q119_window_family" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           first_value(o_orderkey) OVER w AS top_order
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC)""",
     // q110-q113: near-verbatim replays of the same subquery SQL.
     "q110_cust_order_dist" ->
       """SELECT c_count, count(*) AS custdist

@@ -366,4 +366,30 @@ object Relational {
         when(col("op").isNull, "unchanged").otherwise("updated").as("status")
       )
   }
+
+  /** q119: the full ranking-window family in one pass — rank,
+    * dense_rank, percent_rank, cume_dist, ntile and first_value over
+    * one (customer, price) window: one key-shuffle serves all six
+    * functions (they share the WindowExec frame). percent_rank and
+    * cume_dist are exact rationals of ranks, engine-portable without
+    * rounding tricks; rounded to 6 anyway for house style.
+    */
+  def windowFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables
+      .orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        ntile(4).over(w).as("quartile"),
+        first_value(col("o_orderkey")).over(w).as("top_order")
+      )
+  }
 }

@@ -72,6 +72,47 @@ object Subqueries {
     )
   }
 
+  /** q117 (TPC-H Q21 shape): customers with an urgent order but never
+    * a low-priority one — EXISTS and NOT EXISTS correlated on the
+    * same table, decorrelated into one semi and one anti join.
+    */
+  def urgentOnlyCustomers(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """SELECT c.c_mktsegment AS segment, count(*) AS n_customers
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderpriority = '5-LOW')
+         GROUP BY c.c_mktsegment"""
+    )
+  }
+
+  /** q118 (TPC-H Q2 shape): cheapest supplier per part — a correlated
+    * scalar MIN per outer row, decorrelated by Catalyst into an
+    * aggregate joined back on the correlation key. min() (exact on
+    * doubles, order-independent) keeps the equality engine-portable
+    * where avg() would not be.
+    */
+  def cheapestSupplierPerPart(spark: SparkSession, dir: String): DataFrame = {
+    views(spark, dir)
+    spark.sql(
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+           FROM lineitem GROUP BY 1, 2)
+         SELECT p.p_partkey, s.s_name, round(ps.min_price, 2) AS best_price
+         FROM part p
+         JOIN ps ON p.p_partkey = ps.l_partkey
+         JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+         WHERE p.p_partkey < 100
+           AND ps.min_price = (SELECT min(x.min_price) FROM ps x
+                               WHERE x.l_partkey = p.p_partkey)"""
+    )
+  }
+
   /** q113 (TPC-H Q22 shape): well-funded customers with no urgent
     * order — a scalar subquery (positive-balance average) AND a
     * NOT EXISTS anti join with a correlated extra predicate,
