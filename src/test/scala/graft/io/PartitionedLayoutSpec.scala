@@ -93,4 +93,46 @@ class PartitionedLayoutSpec extends AnyFunSuite {
     )
     assert(back2.count() == totalCount)
   }
+
+  test("dynamic partition pruning fires on a dim-filtered join") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_dpp_")
+      .toString + "/docs"
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), col("lang"))
+    Sinks.writePartitionedParquet(docs, out, Seq("lang"))
+
+    import spark.implicits._
+    // dim carries the partition key; the filter is on a NON-key dim
+    // column, so static pruning can't see it — only DPP (a runtime
+    // subquery on the broadcast side) can skip fact partitions. Two
+    // traps pinned here: the dim must be a real (file-backed)
+    // relation — a local Seq constant-folds the filter away — and the
+    // predicate must be an explicit comparison: a bare boolean
+    // attribute fails PartitionPruning's isLikelySelective check and
+    // silently disables DPP.
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_dpp_dim_")
+      .toString + "/dim"
+    Seq(("en", "keep"), ("de", "drop"), ("fr", "drop"),
+      ("es", "drop"), ("zh", "drop"))
+      .toDF("lang", "tag")
+      .write
+      .parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = spark.read.parquet(out)
+    val joined = fact
+      .join(dim.filter(col("tag") === "keep"), Seq("lang"))
+      .agg(count(lit(1)))
+    val n = joined.collect()(0).getLong(0)
+    assert(n == docs.filter(col("lang") === "en").count())
+    val scanStr = joined.queryExecution.executedPlan
+      .collectLeaves()
+      .map(_.toString)
+      .find(_.contains("docs"))
+      .getOrElse("")
+    assert(scanStr.contains("dynamicpruning"),
+      s"expected a dynamic-pruning partition filter in: $scanStr")
+  }
 }
