@@ -21,6 +21,16 @@ object PipelineE2E {
       .documents(spark, dir)
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("quality") >= QualityThreshold)
+      // production observability: named metrics collected DURING the
+      // run (CollectMetrics — no extra pass, no effect on results);
+      // at 100 TB this is how yield/quality drift is monitored
+      // per-job without a second aggregation query. Read back via
+      // df.queryExecution.observedMetrics after an action.
+      .observe(
+        "gate_metrics",
+        count(lit(1)).as("docs_passed_gate"),
+        round(avg(col("quality")), 6).as("mean_gate_quality")
+      )
 
     // exact dedup: survivor per text hash (min doc_id wins)
     val survivors = docs

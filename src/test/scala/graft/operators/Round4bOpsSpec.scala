@@ -393,6 +393,20 @@ class Round4bOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSeq == out.map(_.getLong(1)).sortBy(-_).toSeq)
   }
 
+  test("pipeline observe() metrics report the gate yield in-flight") {
+    val df = PipelineE2E.corpusPipeline(spark, dir)
+    df.collect()
+    val metrics = df.queryExecution.observedMetrics("gate_metrics")
+    val expected = graft.Tables
+      .documents(spark, dir)
+      .filter(graft.functions.TextFunctions.qualityScore(col("text"))
+        >= PipelineE2E.QualityThreshold)
+      .count()
+    assert(metrics.getLong(0) == expected)
+    val meanQ = metrics.getDouble(1)
+    assert(meanQ >= PipelineE2E.QualityThreshold && meanQ <= 1.0)
+  }
+
   test("kmeans assignment broadcasts centroids; corpus is not shuffled") {
     val e = Tables
       .embeddings(spark, dir)
