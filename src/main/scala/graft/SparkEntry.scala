@@ -381,6 +381,36 @@ object SparkEntry {
     "q118_cheapest_supplier" -> (Subqueries.cheapestSupplierPerPart _),
     // The six ranking-window functions sharing one window frame.
     "q119_window_family" -> (Relational.windowFamily _),
+    // Schema-on-read: JSON props parsed once into a VARIANT, typed
+    // variant_get extraction, aggregated per event type.
+    "q120_variant_props" -> (Events.variantProps _),
+    // transformWithState (typed ValueState, RocksDB-backed): running
+    // per-user count+max drained availableNow; terminal emissions
+    // must equal the batch GROUP BY.
+    "q121_transform_state" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{col, max, struct}
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        streaming.EventStreams
+          .runAvailableNow(
+            streaming.EventStreams.userActivity(
+              streaming.EventStreams.readEvents(s, dir)),
+            "q121_transform_state_out",
+            "update")
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("max_value"))).as("st"))
+          .select(col("user_id"), col("st.n_events").as("n_events"),
+            col("st.max_value").as("max_value"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
     // Streaming → day-partitioned parquet lake via the file sink's
     // manifest commit (exactly-once), then read back and aggregated;
     // the oracle is the same aggregate straight off the events table.
@@ -2543,6 +2573,19 @@ object SparkEntry {
            round(n4::DOUBLE / n0 * 100.0, 2) FROM a
          UNION ALL SELECT '5_unique', n5,
            round(n5::DOUBLE / n0 * 100.0, 2) FROM a""",
+    // q120: the same typed extraction through DuckDB's JSON path.
+    "q120_variant_props" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(sum(json_extract(props, '$.k')::INTEGER) AS BIGINT)
+             AS sum_k,
+           round(avg(json_extract(props, '$.k')::INTEGER), 6) AS avg_k,
+           min(json_extract(props, '$.k')::INTEGER) AS min_k,
+           max(json_extract(props, '$.k')::INTEGER) AS max_k
+         FROM events GROUP BY 1""",
+    // q121: terminal transformWithState emissions ≡ batch GROUP BY.
+    "q121_transform_state" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value
+         FROM events GROUP BY 1""",
     // q117/q118: the same correlated shapes replayed near-verbatim.
     "q117_urgent_only" ->
       """SELECT c.c_mktsegment AS segment, count(*) AS n_customers

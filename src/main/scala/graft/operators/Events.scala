@@ -323,6 +323,29 @@ object Events {
       )
   }
 
+  /** q120: semi-structured props through the VARIANT type (Spark 4's
+    * schema-on-read path): `parse_json` once into a binary variant,
+    * then typed `variant_get` extraction — no fixed schema declared,
+    * no per-field JSON re-parse (the variant is a parsed binary —
+    * repeated field reads don't re-tokenize the string, which is the
+    * 100 TB difference vs get_json_object per field).
+    */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k")
+      )
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k")
+      )
+
   /** q95: cohort retention — users grouped by first-activity day, then
     * the distinct-user count per (cohort, days-since-cohort) cell: the
     * classic engagement-decay matrix.

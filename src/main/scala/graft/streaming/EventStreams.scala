@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming twins of the batch event operators
@@ -325,6 +326,62 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
+
+  /** q121's per-user state machine on the transformWithState API
+    * (Spark 4's arbitrary-state successor to mapGroupsWithState):
+    * typed ValueState handles, explicit TTL surface, RocksDB-backed —
+    * the API a long-running 100 TB/day stateful job should target,
+    * since RocksDB state spills off-heap and snapshots incrementally
+    * where the HDFS-backed store holds state in executor memory.
+    */
+  private[streaming] class UserActivityProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var nState: ValueState[Long] = _
+    @transient private var maxState: ValueState[Double] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nState = getHandle
+        .getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      maxState = getHandle
+        .getValueState[Double]("mx", Encoders.scalaDouble, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues
+    ): Iterator[(Long, Long, Double)] = {
+      var n = if (nState.exists()) nState.get() else 0L
+      var mx = if (maxState.exists()) maxState.get() else Double.MinValue
+      rows.foreach { case (_, v) =>
+        n += 1
+        mx = math.max(mx, v)
+      }
+      nState.update(n)
+      maxState.update(mx)
+      Iterator.single((key, n, mx))
+    }
+  }
+
+  /** q121: running per-user activity (count + max value) through
+    * transformWithState, drained availableNow; the terminal emission
+    * per user must equal the batch GROUP BY. Update-mode emissions —
+    * the terminal state is the max (n is monotone per key).
+    */
+  def userActivity(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new UserActivityProcessor,
+        TimeMode.None(),
+        OutputMode.Update()
+      )
+      .toDF("user_id", "n_events", "max_value")
+  }
 
   /** Keyed latest-record dedup: for a stream of (key, updated,
     * payload) keep only the newest record per key — the late-update
