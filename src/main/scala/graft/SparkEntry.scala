@@ -381,6 +381,9 @@ object SparkEntry {
     "q118_cheapest_supplier" -> (Subqueries.cheapestSupplierPerPart _),
     // The six ranking-window functions sharing one window frame.
     "q119_window_family" -> (Relational.windowFamily _),
+    // Unpivot (melt): the q62 pivot reshaped back to long form — an
+    // in-row Expand, no shuffle beyond the pivot's own.
+    "q122_unpivot" -> (Relational.statusUnpivot _),
     // Schema-on-read: JSON props parsed once into a VARIANT, typed
     // variant_get extraction, aggregated per event type.
     "q120_variant_props" -> (Events.variantProps _),
@@ -2582,6 +2585,13 @@ object SparkEntry {
            min(json_extract(props, '$.k')::INTEGER) AS min_k,
            max(json_extract(props, '$.k')::INTEGER) AS max_k
          FROM events GROUP BY 1""",
+    // q122: the unpivoted long form is just the direct aggregate
+    // (unpivot drops null cells, so absent combos vanish on both
+    // sides identically).
+    "q122_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           round(sum(o_totalprice), 2) AS price
+         FROM orders GROUP BY 1, 2""",
     // q121: terminal transformWithState emissions ≡ batch GROUP BY.
     "q121_transform_state" ->
       """SELECT user_id, count(*) AS n_events, max(value) AS max_value

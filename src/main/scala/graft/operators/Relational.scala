@@ -367,6 +367,27 @@ object Relational {
       )
   }
 
+  /** q122: unpivot (melt) — the inverse reshape of q62's pivot: the
+    * wide per-status price columns back to (priority, status, price)
+    * rows. Wide→long is a pure in-row Expand (each input row emits
+    * one row per value column, no shuffle); the round trip
+    * pivot→unpivot is the reshaping pair a feature store needs in
+    * both directions.
+    */
+  def statusUnpivot(spark: SparkSession, dir: String): DataFrame =
+    statusPivotApi(spark, dir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("price_f"), col("price_o"), col("price_p")),
+        "status_col",
+        "price"
+      )
+      .select(
+        col("o_orderpriority"),
+        upper(substring(col("status_col"), 7, 1)).as("o_orderstatus"),
+        col("price")
+      )
+
   /** q119: the full ranking-window family in one pass — rank,
     * dense_rank, percent_rank, cume_dist, ntile and first_value over
     * one (customer, price) window: one key-shuffle serves all six
