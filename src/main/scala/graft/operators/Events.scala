@@ -238,6 +238,38 @@ object Events {
         col("sum_value")
       )
 
+  /** q123: session_window with a DYNAMIC gap — purchases hold a
+    * session open 30 minutes, everything else 10: the
+    * engagement-weighted sessionization a conversion pipeline uses.
+    * With variable gaps the session end is the running MAX of member
+    * ends (a longer-gap early event can cover a later short-gap one),
+    * which is exactly what the native operator maintains — the naive
+    * lag-based boundary (q29/q87's fixed-gap replay) is wrong here,
+    * and the oracle replays the running-max-end merge instead.
+    */
+  def dynamicSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(spark, dir)
+      .groupBy(
+        col("user_id"),
+        session_window(
+          col("ts"),
+          when(col("event_type") === "purchase", "30 minutes")
+            .otherwise("10 minutes")
+        ).as("w")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value")
+      )
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end_excl"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** q83: ordered funnel (view → click → purchase): per user, the
     * earliest view, the earliest click strictly after that view, and
     * the earliest purchase strictly after that click. Stage k is one
