@@ -387,6 +387,15 @@ object SparkEntry {
     // Dynamic-gap session window: per-event gap (purchase 30m / else
     // 10m); the oracle replays the running-max-end merge.
     "q123_dynamic_session" -> (Events.dynamicSessionWindow _),
+    // The streaming twin of q123 (native session_window + dynamic
+    // gap under a watermark), drained availableNow — identical
+    // session set, same oracle.
+    "q124_stream_dynamic_session" -> ((s: SparkSession, dir: String) =>
+      streaming.EventStreams.runAvailableNow(
+        streaming.EventStreams.dynamicSessions(
+          streaming.EventStreams.readEvents(s, dir)),
+        "q124_stream_dynamic_session_out",
+        "complete")),
     // Schema-on-read: JSON props parsed once into a VARIANT, typed
     // variant_get extraction, aggregated per event type.
     "q120_variant_props" -> (Events.variantProps _),
@@ -2591,6 +2600,29 @@ object SparkEntry {
     // q123: variable-gap session merge — an event joins the session
     // while its ts is under the running MAX of prior member ends;
     // the session's exclusive end is the max member end.
+    "q124_stream_dynamic_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+                CAST(ts AS TIMESTAMP)
+                  + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 10 MINUTE END AS end_ts
+              FROM events),
+         m AS (SELECT e.*, max(end_ts) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS run_end
+               FROM e),
+         f AS (SELECT m.*, CASE WHEN run_end IS NULL OR ts >= run_end
+                 THEN 1 ELSE 0 END AS is_new FROM m),
+         s AS (SELECT f.*, CAST(sum(is_new) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_seq FROM f)
+         SELECT user_id,
+           min(ts) AS session_start,
+           max(end_ts) AS session_end_excl,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM s GROUP BY user_id, session_seq""",
     "q123_dynamic_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
                 CAST(ts AS TIMESTAMP)

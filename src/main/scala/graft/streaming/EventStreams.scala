@@ -327,6 +327,34 @@ object EventStreams {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
 
+  /** q124: the native streaming session_window with a DYNAMIC
+    * per-event gap (purchase 30m / else 10m) — the streaming twin of
+    * the batch q123; drained availableNow in complete mode, the
+    * session set must be identical.
+    */
+  def dynamicSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        col("user_id"),
+        session_window(
+          col("ts"),
+          when(col("event_type") === "purchase", "30 minutes")
+            .otherwise("10 minutes")
+        ).as("w")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value")
+      )
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end_excl"),
+        col("n_events"),
+        col("sum_value")
+      )
+
   /** q121's per-user state machine on the transformWithState API
     * (Spark 4's arbitrary-state successor to mapGroupsWithState):
     * typed ValueState handles, explicit TTL surface, RocksDB-backed —
