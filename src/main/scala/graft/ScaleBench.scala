@@ -494,6 +494,30 @@ object ScaleBench {
     val asofMatched = asofRow.getLong(1)
     require(asofMatched > 0, "as-of join matched nothing")
 
+    // --- sessionization at 10M events ---------------------------------
+    // the q87/q123 native session_window topology un-capped: one
+    // key-shuffle of 10M (user, ts) rows over 200k users. Per-user
+    // deltas (~26 min) sit just under the 30-min gap, so every user's
+    // 50 events merge into ONE chained session — the worst-case merge
+    // depth (each event extends the open session), 200k sessions out.
+    val sessN = 10000000L
+    val sessEvents = spark
+      .range(sessN)
+      .select(
+        (col("id") % 200000).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          (col("id") * 7919L % 2592000000000L)).as("ts"),
+        lit(1.0).as("value")
+      )
+    val tSess = System.nanoTime()
+    val nSessions = sessEvents
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .count()
+    val sessSec = (System.nanoTime() - tSess) / 1e9
+    require(nSessions > 0 && nSessions <= sessN,
+      s"implausible session count $nSessions")
+
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
         s""""lsh_candidate_pairs":$nCandidates,"lsh_sec":$lshSec,""" +
@@ -518,7 +542,9 @@ object ScaleBench {
         s""""cms_cells":$cmsCellCount,"cms_sec":$cmsSec,""" +
         s""""span_families":$spanFamilies,"span_sec":$spanSec,""" +
         s""""asof_rows":$asofLeftN,"asof_matched":$asofMatched,""" +
-        s""""asof_sec":$asofSec}"""
+        s""""asof_sec":$asofSec,""" +
+        s""""session_events":$sessN,"sessions":$nSessions,""" +
+        s""""session_sec":$sessSec}"""
     )
     spark.stop()
   }
