@@ -64,6 +64,31 @@ object Multimodal {
     }
   }
 
+  /** The BATCHED decode shape — rows grouped into fixed-size batches
+    * inside each partition (the `mapInPandas`/Arrow batch contract a
+    * vectorized codec wants: GPU decoders and inference runtimes take
+    * a batch, not a row). `grouped` is lazy over the partition
+    * iterator, so peak memory is one batch, not one partition;
+    * differential spec pins output identical to the row-wise form.
+    */
+  def decodeAllBatched(
+      media: Dataset[MediaRecord],
+      batchSize: Int = 64
+  ): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new FakeDecoder
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real vectorized codec consumes the whole batch at once;
+        // the stub decodes per element inside the batch boundary
+        batch.map { r =>
+          val (w, h, c, f) = decoder.decode(r.payload)
+          DecodedMedia(r.doc_id, r.payload.length.toLong, w, h, c, f)
+        }
+      }
+    }
+  }
+
   /** documents.text as a stand-in binary payload column (the driver
     * tables carry no real media; the binary cast exercises the same
     * byte-level path).

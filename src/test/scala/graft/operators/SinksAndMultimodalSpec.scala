@@ -126,4 +126,18 @@ class SinksAndMultimodalSpec extends AnyFunSuite {
     val counts = frames.groupBy("doc_id").count().collect()
     assert(counts.forall(c => c.getLong(1) >= 1 && c.getLong(1) <= 15))
   }
+
+  test("batched decode is output-identical to the row-wise form") {
+    val media = Multimodal.mediaFromDocuments(spark, dir)
+    def keyed(ds: org.apache.spark.sql.Dataset[Multimodal.DecodedMedia]) =
+      ds.collect()
+        .map(d => d.doc_id ->
+          (d.n_bytes, d.width, d.height, d.channels, d.feature.toSeq))
+        .toMap
+    val rowWise = keyed(Multimodal.decodeAll(media))
+    // batch size 7 forces ragged final batches in every partition
+    val batched = keyed(Multimodal.decodeAllBatched(media, batchSize = 7))
+    assert(batched == rowWise)
+    assert(rowWise.nonEmpty)
+  }
 }
