@@ -103,7 +103,8 @@ object SparkEntry {
     "q41_interval_counts" -> (RangeJoin.purchasesWithRecentErrors _),
     "q42_distribution_stats" -> (Profile.distributionStats _),
     "q43_cube" -> (Relational.cubeQuantities _),
-    "q44_fuzzy_pairs" -> (Dedup.fuzzyNamePairs _),
+    "q44_fuzzy_pairs" -> ((s: SparkSession, dir: String) =>
+      Dedup.fuzzyNamePairs(s, dir)),
     // K5 filtered-subset export: deterministic filter + order + limit
     // over the fan-out (example_usage.py:208-213 semantics).
     "q38_filtered_subset" -> ((s: SparkSession, dir: String) =>
@@ -582,6 +583,40 @@ object SparkEntry {
   /** DuckDB cosine with double left-to-right accumulation — matches
     * Spark's zip_with+aggregate bit-for-bit.
     */
+  /** DuckDB replay of the reference's absent-key vs explicit-null
+    * drop rule (scraper.py:217,316-318): an issue drops iff any
+    * crash-field KEY is present with a JSON null value, or `fields`
+    * itself is an explicit null. DuckDB's typed read_json — exactly
+    * like Spark's parser — maps absent and null to the same NULL, so
+    * the probe reads the raw lines untyped (read_csv with a 1-byte
+    * \x01 delimiter no JSON line contains) and inspects json_keys.
+    * Mirrors [[graft.jira.JiraPipeline.readRaw]]'s probe columns.
+    */
+  private def jiraProbeCte(files: Seq[String]): String = {
+    val crash = Seq("status", "priority", "issuetype", "comment",
+      "components", "versions", "fixVersions")
+    val fileList = files.map("'" + _ + "'").mkString("[", ", ", "]")
+    val perField = crash.map { f =>
+      s"(COALESCE(list_contains(json_keys(line, '$$.fields'), '$f'), false)" +
+        s" AND json_extract(line, '$$.fields.$f') IS NULL)"
+    }
+    val fieldsNull =
+      "(COALESCE(list_contains(json_keys(line), 'fields'), false)" +
+        " AND json_extract(line, '$.fields') IS NULL)"
+    s"""probe AS (
+         SELECT json_extract_string(line, '$$.key') AS probe_key,
+           (${(perField :+ fieldsNull).mkString("\n            OR ")}) AS drop_row
+         FROM read_csv($fileList,
+           columns={'line': 'VARCHAR'}, header=false,
+           delim=E'\\x01', quote=''))"""
+  }
+
+  /** The flatten-stage row filter as a correlated lookup into
+    * [[jiraProbeCte]] (issue keys are unique across fixture files).
+    */
+  private val jiraKeepSql: String =
+    "NOT COALESCE((SELECT drop_row FROM probe WHERE probe_key = raw.key), false)"
+
   private def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))" +
       s" / (sqrt(list_sum(list_transform($a, x -> x::DOUBLE * x::DOUBLE)))" +
@@ -980,13 +1015,15 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    // Plain all-pairs SQL: the engine's prefix-blocked plan is
+    // LOSSLESS for edit distance ≤ 2 (count-filter bound, see
+    // Dedup.fuzzyNamePairs), so the naive oracle is the same set.
     "q44_fuzzy_pairs" ->
       """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
          CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
          FROM part a JOIN part b
            ON a.p_partkey < b.p_partkey
-         WHERE a.p_partkey < 200 AND b.p_partkey < 200
-           AND levenshtein(a.p_name, b.p_name) <= 5""",
+         WHERE levenshtein(a.p_name, b.p_name) <= 2""",
     "q37_simhash_pairs" -> {
       val votes = (0 until 16)
         .map(b =>
@@ -999,7 +1036,7 @@ object SparkEntry {
                FROM (SELECT doc_id,
                        CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                             ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-                     FROM documents WHERE doc_id < 500) x),
+                     FROM documents) x),
          hh AS (SELECT doc_id,
                   ('0x' || substr(md5('0:' || w), 1, 15))::BIGINT AS h
                 FROM t),
@@ -1086,14 +1123,34 @@ object SparkEntry {
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
          count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM events GROUP BY 1""",
-    "q26_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-                WHERE vec_id < 300),
-         s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 ${cosSql("a.embedding", "b.embedding")} AS sim
-               FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    // Exact replay of the engine's banded sign-LSH candidate
+    // generation (4 bands × 4 planes, hyperplanes = vectors 100-115)
+    // + cosine verify — the gate checks the REAL scale plan, so LSH
+    // recall is part of the pinned semantics, not a silent loss.
+    "q26_embedding_neardup" -> {
+      val pairCos = cosSql("e1.embedding", "e2.embedding")
+      s"""WITH pl AS (SELECT list(embedding ORDER BY vec_id) AS planes
+                FROM embeddings WHERE vec_id BETWEEN 100 AND 115),
+         v AS (SELECT vec_id, embedding FROM embeddings),
+         bands AS (SELECT v.vec_id, s.b AS band,
+                 array_to_string(list_transform(
+                   [pl.planes[s.b * 4 + 1], pl.planes[s.b * 4 + 2],
+                    pl.planes[s.b * 4 + 3], pl.planes[s.b * 4 + 4]], p ->
+                   CASE WHEN list_sum(list_transform(
+                          list_zip(p, v.embedding),
+                          z -> z[1]::DOUBLE * z[2]::DOUBLE)) >= 0
+                        THEN '1' ELSE '0' END), '') AS code
+               FROM v, pl, (SELECT unnest(range(4)) AS b) s),
+         p AS (SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
+               FROM bands b1 JOIN bands b2
+                 ON b1.band = b2.band AND b1.code = b2.code
+                 AND b1.vec_id < b2.vec_id),
+         s AS (SELECT p.vec_a, p.vec_b, $pairCos AS sim
+               FROM p JOIN v e1 ON p.vec_a = e1.vec_id
+                      JOIN v e2 ON p.vec_b = e2.vec_id)
          SELECT vec_a, vec_b, round(sim, 6) AS sim
-         FROM s WHERE sim > 0.4""",
+         FROM s WHERE sim > 0.4"""
+    },
     "q27_tumbling_window" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
          event_type, count(*) AS n_events,
@@ -1173,7 +1230,7 @@ object SparkEntry {
     // proven equal to the executed-reference golden, and here
     // hash-matched against the Catalyst column form.
     "q55_jira_fanout_sql" ->
-      """WITH raw AS (
+      ("""WITH raw AS (
            SELECT * FROM read_json(
              '/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl',
              format='newline_delimited', columns={
@@ -1192,6 +1249,9 @@ object SparkEntry {
                   comment STRUCT(comments STRUCT(
                     author STRUCT(displayName VARCHAR, name VARCHAR),
                     created VARCHAR, body VARCHAR)[]))'})),
+         """ + jiraProbeCte(Seq(
+             "/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl")) +
+      """,
          fl AS (
            SELECT
              COALESCE(key, '') AS issue_key,
@@ -1214,8 +1274,7 @@ object SparkEntry {
                       THEN substr(b, 1, 10000) || '...' ELSE b END),
                b -> length(b) > 0), []::VARCHAR[]) AS cb
            FROM raw
-           WHERE fields.status IS NOT NULL AND fields.priority IS NOT NULL
-             AND fields.issuetype IS NOT NULL),
+           WHERE """ + jiraKeepSql + """),
          ex AS (
            SELECT issue_key, created,
              list_filter([
@@ -1276,7 +1335,7 @@ object SparkEntry {
          FROM (SELECT issue_key, created,
                  unnest(list_transform(range(len(exs)),
                    i -> {'i': i, 'e': exs[i+1]})) AS s
-               FROM ex) u""",
+               FROM ex) u"""),
     // clean_text = trim ∘ collapse-\s+ (the F1 semantics); reused for
     // title/description/comment bodies below.
     "q54_jira_flatten_sql" -> {
@@ -1305,11 +1364,11 @@ object SparkEntry {
                     author STRUCT(displayName VARCHAR, name VARCHAR),
                     created VARCHAR, body VARCHAR)[])
                )'})),
+         ${jiraProbeCte(Seq(
+             "/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl"))},
          f AS (
            SELECT key, id, fields FROM raw
-           WHERE fields.status IS NOT NULL
-             AND fields.priority IS NOT NULL
-             AND fields.issuetype IS NOT NULL),
+           WHERE $jiraKeepSql),
          c AS (
            SELECT key, id, fields,
              list_filter(
@@ -1803,7 +1862,7 @@ object SparkEntry {
              AS out_h
          FROM dims""",
     "q56_jira_stats_sql" ->
-      """WITH raw AS (
+      ("""WITH raw AS (
            SELECT *, regexp_extract(filename, 'raw_issues_(\w+)\.jsonl', 1)
              AS project
            FROM read_json(
@@ -1825,6 +1884,10 @@ object SparkEntry {
                   comment STRUCT(comments STRUCT(
                     author STRUCT(displayName VARCHAR, name VARCHAR),
                     created VARCHAR, body VARCHAR)[]))'})),
+         """ + jiraProbeCte(Seq(
+             "/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl",
+             "/root/repo/src/test/resources/jira/raw_issues_TEST2.jsonl")) +
+      """,
          fl AS (
            SELECT project,
              trim(regexp_replace(COALESCE(fields.summary, ''), '\s+', ' ', 'g')) AS title,
@@ -1839,8 +1902,7 @@ object SparkEntry {
                  x -> trim(regexp_replace(COALESCE(x.body, ''), '\s+', ' ', 'g'))),
                b -> length(b) > 0), []::VARCHAR[]) AS cb
            FROM raw
-           WHERE fields.status IS NOT NULL AND fields.priority IS NOT NULL
-             AND fields.issuetype IS NOT NULL),
+           WHERE """ + jiraKeepSql + """),
          t AS (
            SELECT project, unnest(list_filter([
                CASE WHEN d <> '' OR len(cb) > 0 THEN 'summarization' END,
@@ -1853,7 +1915,7 @@ object SparkEntry {
                     THEN 'issue_resolution' END
              ], x -> x IS NOT NULL)) AS task_type
            FROM fl)
-         SELECT project, task_type, count(*) AS n FROM t GROUP BY 1, 2""",
+         SELECT project, task_type, count(*) AS n FROM t GROUP BY 1, 2"""),
     "q31_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

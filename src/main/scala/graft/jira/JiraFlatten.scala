@@ -12,12 +12,22 @@ import org.apache.spark.sql.functions._
   * shuffle.
   *
   * Replicated reference quirks:
-  *  - P5: issues whose `status`/`priority`/`issuetype` object is JSON
+  *  - P5: issues whose `status`/`priority`/`issuetype`/`comment`/
+  *    `components`/`versions`/`fixVersions` value is EXPLICIT JSON
   *    null are dropped entirely (the reference's per-issue try/except
-  *    swallows the AttributeError). With a fixed schema a *missing*
-  *    object is indistinguishable from a null one, so both drop here;
-  *    the "Unknown" default still applies to an empty object `{}` or a
-  *    null `name` inside a present object.
+  *    swallows the AttributeError/TypeError the null raises —
+  *    scraper.py:217,316-318), while an ABSENT key is kept and
+  *    defaulted (`fields.get("status", {})` → `{}` → "Unknown").
+  *    Spark's JSON parser maps both cases to null, so [[JiraPipeline
+  *    .readRaw]] rides two `json_object_keys` presence probes along
+  *    the scan ([[ProbeFieldsKeys]]/[[ProbeTopKeys]]); when the probe
+  *    columns are present, only explicit nulls drop. Raw frames
+  *    without probes (schema-only readers) fall back to dropping all
+  *    three null core objects — the pre-probe behavior. The "Unknown"
+  *    default still applies to an empty object `{}` or a null `name`
+  *    inside a present object; explicit-null `labels` passes through
+  *    as null (the reference emits `"labels": null` — no method call
+  *    touches it, so no crash).
   *  - P4: comments whose cleaned body is empty are dropped before
   *    comment_count is taken.
   *  - description capped at 20,000 chars (+"..."), comment bodies at
@@ -28,6 +38,21 @@ object JiraFlatten {
   val JiraBaseUrl = "https://issues.apache.org/jira"
   val MaxDescriptionLength = 20000
   val MaxCommentLength = 10000
+
+  /** Probe columns [[JiraPipeline.readRaw]] attaches: the key sets of
+    * the issue object and its `fields` object, read from the raw line
+    * so absent-key and explicit-null are distinguishable after
+    * parsing.
+    */
+  val ProbeFieldsKeys = "_fields_keys"
+  val ProbeTopKeys = "_top_keys"
+
+  /** Fields whose EXPLICIT JSON null crashes the reference's
+    * per-issue extract (AttributeError on `.get`, TypeError on
+    * iteration) and therefore drops the issue.
+    */
+  private val CrashNullFields = Seq("status", "priority", "issuetype",
+    "comment", "components", "versions", "fixVersions")
 
   private def userName(u: Column): Column =
     when(u.isNull, lit("Unknown"))
@@ -42,6 +67,29 @@ object JiraFlatten {
 
   def flatten(raw: DataFrame, project: String): DataFrame = {
     val f = col("fields")
+    val hasProbes = raw.columns.contains(ProbeFieldsKeys)
+    // present-in-JSON AND parsed-to-null ⇒ the value was an explicit
+    // JSON null (a type-mismatched scalar also parses to null and also
+    // crashes the reference — same verdict either way)
+    def explicitNull(field: String): Column =
+      coalesce(array_contains(col(ProbeFieldsKeys), field), lit(false)) &&
+        f.getField(field).isNull
+    val dropRow =
+      if (hasProbes)
+        CrashNullFields.map(explicitNull).reduce(_ || _) ||
+          (coalesce(array_contains(col(ProbeTopKeys), "fields"),
+            lit(false)) && f.isNull)
+      else
+        f.getField("status").isNull || f.getField("priority").isNull ||
+          f.getField("issuetype").isNull
+    val labelsCol = {
+      val defaulted =
+        coalesce(f.getField("labels"), array().cast("array<string>"))
+      if (hasProbes)
+        when(explicitNull("labels"), lit(null).cast("array<string>"))
+          .otherwise(defaulted)
+      else defaulted
+    }
     val cleanedComments = filter(
       transform(
         coalesce(
@@ -58,11 +106,7 @@ object JiraFlatten {
       c => length(c.getField("body")) > 0
     )
     raw
-      .filter(
-        f.getField("status").isNotNull &&
-          f.getField("priority").isNotNull &&
-          f.getField("issuetype").isNotNull
-      )
+      .filter(!dropRow)
       .select(
         coalesce(col("key"), lit("")).as("issue_key"),
         coalesce(col("id"), lit("")).as("issue_id"),
@@ -83,8 +127,7 @@ object JiraFlatten {
         coalesce(f.getField("created"), lit("")).as("created"),
         coalesce(f.getField("updated"), lit("")).as("updated"),
         coalesce(f.getField("resolutiondate"), lit("")).as("resolved"),
-        coalesce(f.getField("labels"), array().cast("array<string>"))
-          .as("labels"),
+        labelsCol.as("labels"),
         names(f.getField("components")).as("components"),
         names(f.getField("versions")).as("versions"),
         names(f.getField("fixVersions")).as("fix_versions"),

@@ -16,8 +16,28 @@ object JiraPipeline {
 
   val FixtureDir = "/root/repo/src/test/resources/jira"
 
+  /** Schema'd parse of the raw issue lines, plus two presence probes
+    * read from the raw text ([[JiraFlatten.ProbeFieldsKeys]]/
+    * [[JiraFlatten.ProbeTopKeys]]): Spark's JSON parser maps an
+    * absent key and an explicit JSON null both to null, but the
+    * reference treats them oppositely (absent → default, null →
+    * crash-drop; scraper.py:217,316-318), so the key sets ride along
+    * the same scan — one text read, no second pass over the file, no
+    * shuffle. The probes cost two extra in-row JSON traversals of the
+    * line; a fused single-parse expression is possible if the flatten
+    * stage ever dominates a profile (it is ~0 next to the generators).
+    */
   def readRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(JiraSchemas.rawIssueSchema).json(path)
+    spark.read
+      .text(path)
+      .select(
+        from_json(col("value"), JiraSchemas.rawIssueSchema).as("j"),
+        json_object_keys(get_json_object(col("value"), "$.fields"))
+          .as(JiraFlatten.ProbeFieldsKeys),
+        json_object_keys(col("value")).as(JiraFlatten.ProbeTopKeys)
+      )
+      .select(col("j.*"), col(JiraFlatten.ProbeFieldsKeys),
+        col(JiraFlatten.ProbeTopKeys))
 
   /** Ingest robustness for corpus-scale JSON: PERMISSIVE parse with a
     * quarantine column — a malformed line becomes one quarantine row

@@ -64,6 +64,17 @@ object JiraSchemas {
       )
     )
   )
+
+  /** Raw issue schema plus the absent-vs-null presence probes
+    * ([[JiraFlatten.ProbeFieldsKeys]]/[[JiraFlatten.ProbeTopKeys]]).
+    * The DSv2 source serves this shape so the connector path carries
+    * the same drop semantics as the file path (scraper.py:217,
+    * 316-318); both probe columns prune away like any other column
+    * when unreferenced.
+    */
+  val rawIssueSchemaWithProbes: StructType = rawIssueSchema
+    .add(StructField(JiraFlatten.ProbeFieldsKeys, ArrayType(StringType)))
+    .add(StructField(JiraFlatten.ProbeTopKeys, ArrayType(StringType)))
 }
 
 /** Flattened issue record — the reference's "table row"

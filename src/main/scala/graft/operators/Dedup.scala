@@ -316,42 +316,136 @@ object Dedup {
     agged.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  /** q44: edit-distance fuzzy matching — near-identical part names by
-    * Levenshtein distance (≤ 5) on a bounded key range. The
-    * all-pairs form is the verify stage; at scale candidates come
-    * from a q-gram/LSH blocking join first (same inversion topology
-    * as the shingle queries).
+  /** q44: edit-distance fuzzy matching over part names, uncapped and
+    * scale-safe by construction (string-similarity-join literature:
+    * count/prefix filtering — Gravano et al., "Approximate String
+    * Joins in a Database (Almost) for Free", VLDB 2001):
+    *
+    *  1. dedup to the DISTINCT-NAME vocabulary first — names repeat
+    *     heavily, and every downstream cost is |vocab|-shaped, not
+    *     |parts|-shaped;
+    *  2. positional-bigram PREFIX BLOCKING over the vocabulary:
+    *     tokens are (gram, occurrence#) so an equi-join implements
+    *     multiset intersection; under a global rarity order two names
+    *     within edit distance k must share one of each other's
+    *     (k·q+1) rarest tokens (each edit disturbs ≤ q grams, so
+    *     multiset overlap ≥ max(|Ga|,|Gb|) − k·q ≥ 1 — holds for all
+    *     part names: min length 7 ⇒ ≥ 6 grams ≥ k·q+2 at k=2,q=2).
+    *     The prefix join is therefore LOSSLESS for the radius, which
+    *     is why the oracle can stay plain all-pairs SQL;
+    *  3. verify candidates with `levenshtein` (the only inexact-y
+    *     step is exact — blocking only pruned);
+    *  4. expand name pairs back to part-key pairs with broadcast hash
+    *     equi-joins on the name (beyond broadcast size this becomes a
+    *     shuffle join on the name key; AQE splits hot names).
     */
-  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables
+  def fuzzyNamePairs(
+      spark: SparkSession,
+      dir: String,
+      maxDist: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = 2
+    val prefixLen = maxDist * q + 1
+    val parts = Tables
       .part(spark, dir)
-      .filter(col("p_partkey") < 200)
       .select(col("p_partkey"), col("p_name"))
-      .cache()
-    val a = p.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(broadcast(b), col("key_a") < col("key_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 5)
-      .select(col("key_a"), col("key_b"), col("dist"))
+    val vocab = parts
+      .select(col("p_name").as("name"))
+      .filter(length(col("name")) >= 2)
+      .distinct()
+    // positional bigram tokens: (g, occ) — occ numbers repeats of the
+    // same gram within a name, making the equi-join count multiset
+    // intersection (min of the two occurrence counts)
+    val grams = vocab
+      .select(
+        col("name"),
+        posexplode(
+          expr("transform(sequence(1, length(name) - 1)," +
+            " i -> substring(name, i, 2))")
+        ).as(Seq("pos", "g"))
+      )
+      .withColumn(
+        "occ",
+        row_number().over(
+          Window.partitionBy(col("name"), col("g")).orderBy(col("pos")))
+      )
+    val tokenDf = grams.groupBy(col("g"), col("occ"))
+      .agg(count(lit(1)).as("df"))
+    // per-name prefix: the (k·q+1) rarest tokens under the global
+    // total order (df, g, occ) — the tiny per-name window sorts
+    // ≤ |name| rows
+    val prefix = grams
+      .join(tokenDf, Seq("g", "occ"))
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("name"))
+          .orderBy(col("df"), col("g"), col("occ")))
+      )
+      .filter(col("rk") <= prefixLen)
+      .select(col("name"), col("g"), col("occ"))
+    val xa = prefix.select(col("name").as("name_a"), col("g"), col("occ"))
+    val xb = prefix.select(col("name").as("name_b"), col("g"), col("occ"))
+    val candNames = xa
+      .join(xb, Seq("g", "occ"))
+      .filter(col("name_a") <= col("name_b"))
+      .select(col("name_a"), col("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
+        .cast("int"))
+      .filter(col("dist") <= maxDist)
+    val pa = parts
+      .select(col("p_partkey").as("ka"), col("p_name").as("name_a"))
+    val pb = parts
+      .select(col("p_partkey").as("kb"), col("p_name").as("name_b"))
+    pa.join(broadcast(candNames), Seq("name_a"))
+      .join(broadcast(pb), Seq("name_b"))
+      // name_a < name_b pairs appear once (sides fixed by name);
+      // same-name pairs appear in both orders → keep ka < kb
+      .filter(col("name_a") < col("name_b") || col("ka") < col("kb"))
+      .select(
+        least(col("ka"), col("kb")).as("key_a"),
+        greatest(col("ka"), col("kb")).as("key_b"),
+        col("dist")
+      )
   }
 
   /** q37: SimHash near-dup pairs — Hamming distance ≤ 3 between
-    * 16-bit signatures (doc_id<500). The all-pairs form here is the
-    * exact-verify stage; at scale candidates come from bucketing the
-    * signature bands, same topology as MinHash LSH.
+    * 16-bit signatures, uncapped. Candidates come from a 4×4-bit
+    * signature-band bucket join: 3 differing bits can touch at most 3
+    * of the 4 disjoint bands (pigeonhole), so every Hamming≤3 pair
+    * still agrees exactly on ≥ 1 band — the banded candidate set is
+    * EXACT for this radius, not approximate, and the oracle stays
+    * plain all-pairs SQL. Cost ∝ in-bucket collisions (AQE skew-split
+    * handles hot signature bands), never |docs|².
     */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashDocs(spark, dir).filter(col("doc_id") < 500).cache()
-    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+    // both sides of the band self-join read the signatures; caching
+    // stops Spark recomputing the token-vote aggregation per branch
+    val sh = simhashDocs(spark, dir).cache()
+    val banded = sh.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * 4).bitwiseAND(15).as("bval"))
+      }: _*)).as("bk")
+    ).select(col("doc_id"), col("simhash"),
+      col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val a = banded.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sh_a"), col("band"), col("bval"))
+    val b = banded.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sh_b"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
       .withColumn(
         "hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int")
       )
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** q96: substring-level duplication — fixed-width (8-token) span

@@ -176,18 +176,37 @@ object Similarity {
         col("rk"))
   }
 
-  /** q26: embedding-cosine near-dup pairs (sim > 0.4 among
-    * vec_id<300). The exact-verify stage of an embedding dedup; at
-    * scale the candidate set would come from LSH/IVF buckets rather
-    * than the bounded all-pairs here.
+  /** q26: embedding-cosine near-dup pairs (sim > 0.4), uncapped:
+    * candidates come from banded sign-LSH (4 bands × 4 hyperplanes →
+    * 16 codes per band) and are exact-verified with the cosine
+    * threshold — in-bucket collision cost, never |corpus|². Recall
+    * follows the LSH OR-amplification curve: moderate at the 0.4
+    * audit threshold, ≥95% in the ≥0.9 regime an embedding dedup
+    * actually targets (per-plane agreement p = 1 − θ/π ⇒ pair recall
+    * 1 − (1 − p⁴)⁴); the DuckDB oracle replays the banded generation
+    * exactly, so the gate checks the real plan. The vector fetch for
+    * verification is an equi-join on vec_id (AQE broadcasts the
+    * small side at bench scale; at corpus scale it's a key shuffle).
     */
   def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables
-      .embeddings(spark, dir)
-      .filter(col("vec_id") < 300)
-    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+    // both sides of the band self-join read the codes; cache so the
+    // sign-coding pass (16 dot products per vector) runs once
+    val b = lshBandCodes(spark, dir, None, planesPerBand = 4)
+      .select(col("vec_id"), col("band"), col("code"))
+      .cache()
+    val ca = b.select(col("vec_id").as("vec_a"), col("band"), col("code"))
+    val cb = b.select(col("vec_id").as("vec_b"), col("band"), col("code"))
+    val pairs = ca
+      .join(cb, Seq("band", "code"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+    val e = Tables.embeddings(spark, dir)
+    pairs
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("vec_b"))
       .select(
         col("vec_a"),
         col("vec_b"),
@@ -241,10 +260,25 @@ object Similarity {
     * deterministically (vec_id 100-107) so the DuckDB oracle can
     * replay them; production would draw random Gaussian planes.
     */
-  def lshBandCodes(spark: SparkSession, dir: String, bound: Int): DataFrame = {
+  def lshBandCodes(spark: SparkSession, dir: String, bound: Int): DataFrame =
+    lshBandCodes(spark, dir, Some(bound), planesPerBand = 2)
+
+  /** Generalized band coding: `numBands` bands × `planesPerBand` sign
+    * bits, hyperplanes = corpus vectors 100..(100+bands·planes−1).
+    * More planes per band → smaller buckets (collision cost ↓) at the
+    * cost of per-band recall — the standard LSH tuning knob.
+    */
+  def lshBandCodes(
+      spark: SparkSession,
+      dir: String,
+      bound: Option[Int],
+      planesPerBand: Int,
+      numBands: Int = 4
+  ): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    val nPlanes = planesPerBand * numBands
     val planes = e
-      .filter(col("vec_id") >= 100 && col("vec_id") < 108)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + nPlanes)
       .agg(
         transform(
           array_sort(collect_list(struct(col("vec_id").as("v"),
@@ -252,19 +286,20 @@ object Similarity {
           s => s.getField("emb")
         ).as("planes")
       )
-    e.filter(col("vec_id") < bound)
+    e.filter(bound.map(lim => col("vec_id") < lim).getOrElse(lit(true)))
       .crossJoin(broadcast(planes))
       .select(
         col("vec_id"),
         col("embedding"),
         explode(
           transform(
-            sequence(lit(0), lit(3)),
+            sequence(lit(0), lit(numBands - 1)),
             b => struct(
               b.as("band"),
               array_join(
                 transform(
-                  slice(col("planes"), b * 2 + 1, lit(2)),
+                  slice(col("planes"), b * planesPerBand + 1,
+                    lit(planesPerBand)),
                   p => when(dotProductHof(p, col("embedding")) >= 0, "1")
                     .otherwise("0")
                 ),

@@ -45,7 +45,7 @@ class JiraTableProvider
 
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    JiraSchemas.rawIssueSchema
+    JiraSchemas.rawIssueSchemaWithProbes
 
   override def getTable(
       schema: StructType,
@@ -299,36 +299,130 @@ class JiraReaderFactory(required: StructType, options: Map[String, String])
   }
 }
 
-class JiraPartitionReader(
-    partition: JiraInputPartition,
-    required: StructType,
-    transport: JiraTransport,
-    sleepScale: Double
-) extends PartitionReader[InternalRow] {
+/** Absent-vs-null presence probes for the connector path: the key
+  * sets of each issue object and its `fields` object, read with a
+  * plain Jackson tree walk of the same response body the row parser
+  * consumed (array order is preserved on both sides, so zip aligns).
+  * Mirrors the `json_object_keys` probes of
+  * [[graft.jira.JiraPipeline.readRaw]].
+  */
+object JiraJsonProbe {
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+  private val mapper = new ObjectMapper()
+
+  /** (fieldsKeys, topKeys) — null array ≡ the object is absent/null/
+    * non-object, matching json_object_keys semantics.
+    */
+  def issueProbe(node: JsonNode): (Array[String], Array[String]) = {
+    val top =
+      if (node != null && node.isObject) node.fieldNames().asScala.toArray
+      else null
+    val f = if (node != null) node.get("fields") else null
+    val fk =
+      if (f != null && f.isObject) f.fieldNames().asScala.toArray
+      else null
+    (fk, top)
+  }
+
+  /** Per-issue probes of a /search response, in `issues[]` order. */
+  def searchProbes(body: String): Vector[(Array[String], Array[String])] = {
+    val issues = mapper.readTree(body).get("issues")
+    if (issues == null || !issues.isArray) Vector.empty
+    else issues.elements().asScala.map(issueProbe).toVector
+  }
+
+  def singleProbe(body: String): (Array[String], Array[String]) =
+    issueProbe(mapper.readTree(body))
+}
+
+/** Shared reader plumbing: splits the pruned schema into parseable
+  * columns vs probe columns, and reassembles output rows in the
+  * pruned order (probes computed, everything else passed through).
+  */
+trait JiraProbeAssembly {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def required: StructType
+
+  private val probeNames =
+    Set(graft.jira.JiraFlatten.ProbeFieldsKeys,
+      graft.jira.JiraFlatten.ProbeTopKeys)
+
+  /** Columns the JSON row parser materializes (probes excluded). */
+  final val parseSchema: StructType =
+    StructType(required.fields.filterNot(f => probeNames(f.name)))
+
+  final val wantsProbes: Boolean =
+    required.fields.exists(f => probeNames(f.name))
 
   /** The server-side projection: pruned fields.* subfield names — the
     * REST `fields=` param (pushdown of column pruning to the source).
     */
-  private val restFields: Seq[String] =
-    required.fields
+  final val restFields: Seq[String] =
+    parseSchema.fields
       .find(_.name == "fields")
       .map(_.dataType.asInstanceOf[StructType].fieldNames.toSeq)
       .getOrElse(Nil)
+
+  private def keysArray(keys: Array[String]): AnyRef =
+    if (keys == null) null
+    else new GenericArrayData(keys.map(UTF8String.fromString(_): AnyRef))
+
+  final def assemble(
+      row: InternalRow,
+      probe: (Array[String], Array[String])
+  ): InternalRow = {
+    var pi = 0
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      vals(i) =
+        if (f.name == graft.jira.JiraFlatten.ProbeFieldsKeys)
+          keysArray(probe._1)
+        else if (f.name == graft.jira.JiraFlatten.ProbeTopKeys)
+          keysArray(probe._2)
+        else {
+          val v = row.get(pi, parseSchema.fields(pi).dataType)
+          pi += 1
+          v
+        }
+      i += 1
+    }
+    new GenericInternalRow(vals)
+  }
+}
+
+class JiraPartitionReader(
+    partition: JiraInputPartition,
+    val required: StructType,
+    transport: JiraTransport,
+    sleepScale: Double
+) extends PartitionReader[InternalRow]
+    with JiraProbeAssembly {
 
   private lazy val rows: Iterator[InternalRow] = {
     val body = JiraRetry.withRetry(sleepScale = sleepScale)(
       transport.fetch(partition.startAt, partition.pageSize, restFields)
     )
     val responseSchema = StructType(
-      Seq(StructField("issues", ArrayType(required)))
+      Seq(StructField("issues", ArrayType(parseSchema)))
     )
-    JsonBridge.parseJson(responseSchema, body).iterator.flatMap { row =>
-      if (row.isNullAt(0)) Iterator.empty
-      else {
-        val arr = row.getArray(0)
-        (0 until arr.numElements()).iterator
-          .map(i => arr.getStruct(i, required.length).copy())
-      }
+    val parsed = JsonBridge.parseJson(responseSchema, body).iterator.flatMap {
+      row =>
+        if (row.isNullAt(0)) Iterator.empty
+        else {
+          val arr = row.getArray(0)
+          (0 until arr.numElements()).iterator
+            .map(i => arr.getStruct(i, parseSchema.length).copy())
+        }
+    }
+    if (!wantsProbes) parsed
+    else parsed.zip(JiraJsonProbe.searchProbes(body).iterator).map {
+      case (row, probe) => assemble(row, probe)
     }
   }
 
@@ -349,16 +443,11 @@ class JiraPartitionReader(
   */
 class JiraLookupReader(
     partition: JiraLookupPartition,
-    required: StructType,
+    val required: StructType,
     transport: JiraTransport,
     sleepScale: Double
-) extends PartitionReader[InternalRow] {
-
-  private val restFields: Seq[String] =
-    required.fields
-      .find(_.name == "fields")
-      .map(_.dataType.asInstanceOf[StructType].fieldNames.toSeq)
-      .getOrElse(Nil)
+) extends PartitionReader[InternalRow]
+    with JiraProbeAssembly {
 
   private lazy val rows: Iterator[InternalRow] =
     partition.keys.iterator.flatMap { key =>
@@ -367,7 +456,14 @@ class JiraLookupReader(
           transport.fetchIssue(key, restFields)
         )
         .iterator
-        .flatMap(body => JsonBridge.parseJson(required, body))
+        .flatMap { body =>
+          val parsed = JsonBridge.parseJson(parseSchema, body)
+          if (!wantsProbes) parsed
+          else {
+            val probe = JiraJsonProbe.singleProbe(body)
+            parsed.map(assemble(_, probe))
+          }
+        }
     }
 
   private var current: InternalRow = _

@@ -117,7 +117,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         )
         .collect()(0)
         .getLong(0)
-      assert(n == 39L)
+      assert(n == 45L)
     } finally {
       // the shared-JVM session for other suites is rebuilt on demand
       spark.stop()

@@ -120,6 +120,19 @@ class JiraParitySpec extends AnyFunSuite {
     assert(t6.title == "hello world") // whitespace collapse
   }
 
+  test("absent key is kept with default; explicit null drops (P5)") {
+    val ours = flattenOurs("TEST")
+    // TEST-9's `status` KEY is entirely absent: the reference keeps it
+    // with "Unknown" (fields.get("status", {}) — scraper.py:217);
+    // TEST-5's explicit null crashes the extract and drops.
+    val t9 = ours.find(_.issue_key == "TEST-9").get
+    assert(t9.status == "Unknown")
+    assert(t9.priority == "Minor")
+    // TEST-10's `comment` is explicit JSON null → AttributeError in
+    // the reference → dropped (scraper.py:316-318).
+    assert(!ours.exists(_.issue_key == "TEST-10"))
+  }
+
   // --- generator parity (transformer.py:214-274) ---
 
   test("generated examples match reference goldens, in order") {
@@ -190,15 +203,15 @@ class JiraParitySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r)
       .toMap
     val t = stats("TEST")
-    assert(t.getAs[Long]("total_examples") == 39L)
+    assert(t.getAs[Long]("total_examples") == 45L)
     assert(
       t.getAs[collection.Map[String, Long]]("task_type_distribution").toMap ==
-        Map("summarization" -> 6L, "classification" -> 6L,
-          "status_prediction" -> 6L, "question_answering" -> 19L,
+        Map("summarization" -> 7L, "classification" -> 7L,
+          "status_prediction" -> 7L, "question_answering" -> 22L,
           "issue_resolution" -> 2L)
     )
     assert(t.getAs[collection.Seq[String]]("statuses").toSeq ==
-      Seq("Closed", "In Progress", "Open", "Resolved"))
+      Seq("Closed", "In Progress", "Open", "Resolved", "Unknown"))
     val t2 = stats("TEST2")
     assert(t2.getAs[Long]("total_examples") == 13L)
     assert(t2.getAs[collection.Seq[String]]("priorities").toSeq == Seq("Blocker", "Minor"))
@@ -209,11 +222,11 @@ class JiraParitySpec extends AnyFunSuite {
     val per = JiraStats.perProject(
       JiraPipeline.corpus(spark, JiraPipeline.fixtureProjects)
     )
-    val counts = Seq(("TEST", 7L), ("TEST2", 2L))
+    val counts = Seq(("TEST", 8L), ("TEST2", 2L))
       .toDF("project", "raw_issues_count")
     val c = JiraStats.combined(per, counts).collect()(0)
-    assert(c.getAs[Long]("total_examples") == 52L)
-    assert(c.getAs[Long]("total_issues") == 9L)
+    assert(c.getAs[Long]("total_examples") == 58L)
+    assert(c.getAs[Long]("total_issues") == 10L)
     assert(c.getAs[Long]("projects_processed") == 2L)
     assert(c.getAs[collection.Seq[String]]("projects").toSeq == Seq("TEST", "TEST2"))
   }

@@ -50,6 +50,6 @@ class JiraTasksGeneratorSpec extends AnyFunSuite {
       .toSeq
       .sortBy(e => (e.metadata.issue_key, e.task_type, e.input))
     assert(viaSql == viaColumns)
-    assert(viaSql.size == 39)
+    assert(viaSql.size == 45)
   }
 }

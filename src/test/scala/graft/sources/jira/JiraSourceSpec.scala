@@ -32,10 +32,10 @@ class JiraSourceSpec extends AnyFunSuite {
 
   test("batch read returns all issues across page partitions") {
     val df = jiraRead.load()
-    assert(df.count() == 8L)
-    assert(df.rdd.getNumPartitions == 3) // ceil(8/3) pages
+    assert(df.count() == 10L)
+    assert(df.rdd.getNumPartitions == 4) // ceil(10/3) pages
     val keys = df.select(col("key")).collect().map(_.getString(0)).sorted
-    assert(keys.head == "TEST-1" && keys.length == 8)
+    assert(keys.head == "TEST-1" && keys.length == 10)
   }
 
   test("source read ≡ file read: flatten parity through the connector") {
@@ -59,7 +59,7 @@ class JiraSourceSpec extends AnyFunSuite {
     val schema = scan.schema.catalogString
     assert(schema.contains("key") && schema.contains("summary"))
     assert(!schema.contains("comment"))
-    assert(df.count() == 8L)
+    assert(df.count() == 10L)
   }
 
   test("key equality pushes down to the single-issue endpoint") {
@@ -81,7 +81,7 @@ class JiraSourceSpec extends AnyFunSuite {
 
   test("transient failures are retried with backoff") {
     val df = jiraRead.option("simulateFailures", 2).load()
-    assert(df.count() == 8L) // 2 simulated 429s absorbed by retry
+    assert(df.count() == 10L) // 2 simulated 429s absorbed by retry
   }
 
   test("retry gives up after max attempts") {
@@ -112,7 +112,7 @@ class JiraSourceSpec extends AnyFunSuite {
       .start()
     q.awaitTermination(30000)
     val got = spark.table("jira_stream").collect()
-    assert(got.length == 8)
-    assert(got.map(_.getString(0)).distinct.length == 8)
+    assert(got.length == 10)
+    assert(got.map(_.getString(0)).distinct.length == 10)
   }
 }

@@ -82,6 +82,25 @@ test_issues = [
           "Open", "Major", "Bug", None, u("Sam"), TS(8), TS(9), None),
 ]
 
+# TEST-9: the `status` KEY is entirely absent — the reference keeps the
+# issue with status "Unknown" (fields.get("status", {}) at
+# scraper.py:217), unlike TEST-5's explicit JSON null which crashes the
+# per-issue extract and drops the row (scraper.py:316-318).
+_t9 = issue("TEST-9", "1009", "Absent status key",
+            "Status key missing entirely.", "IGNORED", "Minor", "Task",
+            u("Rep Nine"), u("Nia"), TS(9), TS(10), None)
+del _t9["fields"]["status"]
+test_issues.append(_t9)
+
+# TEST-10: `comment` is explicit JSON null — comment_data.get(...)
+# raises AttributeError in the reference, so the issue is dropped
+# (same crash-drop family as TEST-5, different field).
+_t10 = issue("TEST-10", "1010", "Null comment object",
+             "Comment key is JSON null.", "Open", "Major", "Bug",
+             u("Rep Ten"), None, TS(10), TS(11), None)
+_t10["fields"]["comment"] = None
+test_issues.append(_t10)
+
 test2_issues = [
     issue("T2-1", "2001", "Second project issue", "Some description.",
           "Open", "Minor", "Bug", u("Rep"), u("Tia"), TS(10), TS(11), None),
