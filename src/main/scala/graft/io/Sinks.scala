@@ -124,6 +124,21 @@ object Sinks {
     q.awaitTermination()
   }
 
+  /** F7 — file size in megabytes (utils.py:185-198: bytes ÷ 1024²,
+    * 0.0 for a missing path). Accepts a plain file or a Spark output
+    * directory (sums data files; `_SUCCESS`/hidden markers excluded),
+    * since the engine's "one JSONL file" is a single-part directory.
+    */
+  def fileSizeMb(path: String): Double = {
+    def bytes(f: java.io.File): Long =
+      if (f.isFile)
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+        else f.length
+      else Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
+    val f = new java.io.File(path)
+    if (!f.exists()) 0.0 else bytes(f) / (1024.0 * 1024.0)
+  }
+
   /** K1 — raw JSON *array* writer (scraper.py:339-356 parity form):
     * one file holding a JSON array of row objects. Collects on the
     * driver — correct only for bounded exports (the reference's

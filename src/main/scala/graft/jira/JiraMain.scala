@@ -23,7 +23,9 @@ object JiraMain {
       outDir: String,
       perProjectCounts: Map[String, Long],
       mergedCount: Long,
-      combined: org.apache.spark.sql.Row
+      combined: org.apache.spark.sql.Row,
+      fileSizeMb: Double,
+      processingTimeSeconds: Double
   )
 
   def run(
@@ -31,6 +33,9 @@ object JiraMain {
       projects: Seq[(String, String)],
       outDir: String
   ): Result = {
+    // driver wall clock — the reference's start_time → combined
+    // stats' processing_time_seconds (main.py:33,105)
+    val t0 = System.nanoTime()
     val corpusKeys = Seq("project_rank", "created", "issue_key", "task_rank")
     val exampleShape =
       Seq("task_type", "instruction", "input", "output", "metadata")
@@ -53,9 +58,13 @@ object JiraMain {
     val merged = perProject
       .map(_._3)
       .reduce(_.unionByName(_))
-    Sinks.writeJsonlSingleFile(merged, s"$outDir/merged_corpus.jsonl",
+    val mergedPath = s"$outDir/merged_corpus.jsonl"
+    Sinks.writeJsonlSingleFile(merged, mergedPath,
       corpusKeys, projectTo = exampleShape)
     val mergedCount = merged.count()
+    // F7: the reference logs the merged corpus size in MB
+    // (main.py:115-121, utils.py:185-198)
+    val fileSizeMb = Sinks.fileSizeMb(mergedPath)
 
     val stats = JiraStats.perProject(merged)
     Sinks.writeStatsJson(stats, s"$outDir/per_project_stats.json")
@@ -65,14 +74,19 @@ object JiraMain {
       perProject.map { case (p, n, _) => (p, n) }.toDF("project",
         "raw_issues_count")
     }
-    val combined = JiraStats.combined(stats, issueCounts)
+    // measured before the combined-stats write, like the reference
+    // (elapsed covers scrape+transform+merge — main.py:105)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    val combined = JiraStats.combined(stats, issueCounts, Some(elapsedSec))
     Sinks.writeStatsJson(combined, s"$outDir/combined_stats.json")
 
     Result(
       outDir,
       perProject.map { case (p, _, ex) => p -> ex.count() }.toMap,
       mergedCount,
-      combined.collect()(0)
+      combined.collect()(0),
+      fileSizeMb,
+      elapsedSec
     )
   }
 
@@ -87,11 +101,15 @@ object JiraMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, JiraPipeline.fixtureProjects, outDir)
+    // pipeline summary (main.py:108-123): counts + corpus size MB +
+    // total wall time
     println(
       s"""{"metric":"jira_corpus_build","merged_examples":${r.mergedCount},""" +
         s""""per_project":{${r.perProjectCounts
             .map { case (k, v) => s""""$k":$v""" }
-            .mkString(",")}},"out":"${r.outDir}"}"""
+            .mkString(",")}},"file_size_mb":${f"${r.fileSizeMb}%.4f"},""" +
+        s""""processing_time_seconds":${f"${r.processingTimeSeconds}%.2f"},""" +
+        s""""out":"${r.outDir}"}"""
     )
     spark.stop()
   }

@@ -40,14 +40,37 @@ object JiraStats {
 
   /** Combined stats across projects (main.py:99-106). `issueCounts`
     * carries (project, raw_issues_count) from the flatten stage.
+    * Field-set parity with the reference's combined_statistics.json:
+    * `per_project_stats` embeds each project's full stats record
+    * (incl. project + raw_issues_count, as main.py:68-69 injects
+    * them), ordered by project name (the deterministic form of the
+    * reference's config-order list — array_sort with an explicit
+    * comparator because the embedded distribution map is not
+    * order-comparable); `processing_time_seconds` is the driver wall
+    * time the caller measured (main.py:105).
     */
-  def combined(perProjectStats: DataFrame, issueCounts: DataFrame): DataFrame =
-    perProjectStats
-      .join(issueCounts, Seq("project"), "left")
-      .agg(
-        sum(col("total_examples")).as("total_examples"),
-        sum(col("raw_issues_count")).as("total_issues"),
-        count(lit(1)).as("projects_processed"),
-        sort_array(collect_list(col("project"))).as("projects")
-      )
+  def combined(
+      perProjectStats: DataFrame,
+      issueCounts: DataFrame,
+      processingTimeSeconds: Option[Double] = None
+  ): DataFrame = {
+    val joined = perProjectStats.join(issueCounts, Seq("project"), "left")
+    val record = struct(joined.columns.map(col): _*)
+    val agg = joined.agg(
+      sum(col("total_examples")).as("total_examples"),
+      sum(col("raw_issues_count")).as("total_issues"),
+      count(lit(1)).as("projects_processed"),
+      sort_array(collect_list(col("project"))).as("projects"),
+      array_sort(
+        collect_list(record),
+        (l, r) =>
+          when(l.getField("project") < r.getField("project"), -1)
+            .when(l.getField("project") > r.getField("project"), 1)
+            .otherwise(0)
+      ).as("per_project_stats")
+    )
+    processingTimeSeconds
+      .map(t => agg.withColumn("processing_time_seconds", lit(t)))
+      .getOrElse(agg)
+  }
 }

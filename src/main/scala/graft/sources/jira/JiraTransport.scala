@@ -31,8 +31,15 @@ trait JiraTransport extends Serializable {
   def fetchIssue(key: String, fields: Seq[String]): Option[String]
 }
 
-/** Retryable transport failure (HTTP 429/5xx analogue). */
-class JiraTransientError(msg: String) extends RuntimeException(msg)
+/** Retryable transport failure (HTTP 429/5xx analogue).
+  * `retryAfterSec` carries the server's `Retry-After` header when the
+  * failure is a rate limit (scraper.py:123-127) — honored over the
+  * exponential backoff.
+  */
+class JiraTransientError(
+    msg: String,
+    val retryAfterSec: Option[Double] = None
+) extends RuntimeException(msg)
 
 final class FileStubTransport(dir: String) extends JiraTransport {
   override def fetch(
@@ -55,10 +62,14 @@ final class FileStubTransport(dir: String) extends JiraTransport {
 
 /** Wraps a transport with the reference's failure mode for tests:
   * the first `failures` calls throw a retryable error
-  * (test_scrapper.py:103-113's 429 path).
+  * (test_scrapper.py:103-113's 429 path); `retryAfterSec` simulates
+  * the 429 response's `Retry-After` header.
   */
-final class FlakyTransport(inner: JiraTransport, failures: Int)
-    extends JiraTransport {
+final class FlakyTransport(
+    inner: JiraTransport,
+    failures: Int,
+    retryAfterSec: Option[Double] = None
+) extends JiraTransport {
   private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
   override def fetch(
       startAt: Int,
@@ -66,7 +77,7 @@ final class FlakyTransport(inner: JiraTransport, failures: Int)
       fields: Seq[String]
   ): String =
     if (counter.getAndIncrement() < failures)
-      throw new JiraTransientError("simulated 429")
+      throw new JiraTransientError("simulated 429", retryAfterSec)
     else inner.fetch(startAt, maxResults, fields)
 
   override def fetchIssue(key: String, fields: Seq[String]): Option[String] =
@@ -75,9 +86,18 @@ final class FlakyTransport(inner: JiraTransport, failures: Int)
 
 object JiraRetry {
 
-  /** Reference retry policy (utils.py:144-156, config.py:34-35):
-    * up to 5 attempts, exponential backoff min(2^retry, 60)s — the
-    * sleep is scaled down by `sleepScale` so tests don't wait.
+  /** Pre-jitter wait for the n-th retry: the server's `Retry-After`
+    * when present (scraper.py:123-127), else exponential backoff
+    * min(2^attempt, 60)s (utils.py:144-156, config.py:34-35).
+    */
+  def backoffSeconds(attempt: Int, retryAfterSec: Option[Double]): Double =
+    retryAfterSec.getOrElse(math.min(math.pow(2.0, attempt), 60.0))
+
+  /** Reference retry policy: up to 5 attempts; wait =
+    * [[backoffSeconds]] plus up to 10% random jitter — at 1000
+    * concurrent partition readers a 429 storm must not re-arrive in
+    * lockstep. The sleep is scaled by `sleepScale` so tests don't
+    * wait.
     */
   def withRetry[T](maxRetries: Int = 5, sleepScale: Double = 1.0)(
       f: => T
@@ -89,8 +109,10 @@ object JiraRetry {
         case e: JiraTransientError =>
           attempt += 1
           if (attempt >= maxRetries) throw e
-          val backoffSec = math.min(math.pow(2.0, attempt), 60.0)
-          Thread.sleep((backoffSec * 1000 * sleepScale).toLong)
+          val base = backoffSeconds(attempt, e.retryAfterSec)
+          val jitter = 1.0 +
+            java.util.concurrent.ThreadLocalRandom.current().nextDouble(0.1)
+          Thread.sleep((base * jitter * 1000 * sleepScale).toLong)
       }
     }
     throw new IllegalStateException("unreachable")

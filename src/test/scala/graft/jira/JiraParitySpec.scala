@@ -217,17 +217,58 @@ class JiraParitySpec extends AnyFunSuite {
     assert(t2.getAs[collection.Seq[String]]("priorities").toSeq == Seq("Blocker", "Minor"))
   }
 
-  test("combined stats") {
+  test("combined stats: field-set parity with combined_statistics.json") {
+    import org.apache.spark.sql.Row
     import spark.implicits._
     val per = JiraStats.perProject(
       JiraPipeline.corpus(spark, JiraPipeline.fixtureProjects)
     )
     val counts = Seq(("TEST", 8L), ("TEST2", 2L))
       .toDF("project", "raw_issues_count")
-    val c = JiraStats.combined(per, counts).collect()(0)
+    val df = JiraStats.combined(per, counts, Some(1.25))
+    // reference combined_statistics.json keys (main.py:99-106)
+    assert(df.columns.toSet == Set("total_examples", "total_issues",
+      "projects_processed", "projects", "per_project_stats",
+      "processing_time_seconds"))
+    val c = df.collect()(0)
     assert(c.getAs[Long]("total_examples") == 58L)
     assert(c.getAs[Long]("total_issues") == 10L)
     assert(c.getAs[Long]("projects_processed") == 2L)
     assert(c.getAs[collection.Seq[String]]("projects").toSeq == Seq("TEST", "TEST2"))
+    assert(c.getAs[Double]("processing_time_seconds") == 1.25)
+    // per_project_stats embeds each project's full stats record
+    // (generate_statistics keys + project + raw_issues_count,
+    // main.py:66-69), ordered by project
+    val pps = c.getAs[collection.Seq[Row]]("per_project_stats")
+    assert(pps.map(_.getAs[String]("project")) == Seq("TEST", "TEST2"))
+    val t = pps.head
+    assert(t.schema.fieldNames.toSet == Set("project", "total_examples",
+      "task_type_distribution", "projects", "issue_types", "priorities",
+      "statuses", "raw_issues_count"))
+    assert(t.getAs[Long]("total_examples") == 45L)
+    assert(t.getAs[Long]("raw_issues_count") == 8L)
+    assert(pps(1).getAs[Long]("total_examples") == 13L)
+    assert(pps(1).getAs[Long]("raw_issues_count") == 2L)
+  }
+
+  test("file size MB (F7): bytes / 1024^2, 0.0 when missing") {
+    val dir = java.nio.file.Files.createTempDirectory("sizemb")
+    val f = dir.resolve("data.jsonl")
+    java.nio.file.Files.write(f, new Array[Byte](524288)) // 0.5 MiB
+    java.nio.file.Files.write(dir.resolve("_SUCCESS"), new Array[Byte](99))
+    assert(graft.io.Sinks.fileSizeMb(f.toString) == 0.5)
+    // directory form sums data files, skips marker files
+    assert(graft.io.Sinks.fileSizeMb(dir.toString) == 0.5)
+    assert(graft.io.Sinks.fileSizeMb(dir.resolve("nope").toString) == 0.0)
+  }
+
+  test("JiraMain e2e summary carries size + timing") {
+    val out = java.nio.file.Files.createTempDirectory("jira_e2e").toString
+    val r = JiraMain.run(spark, JiraPipeline.fixtureProjects, out)
+    assert(r.mergedCount == 58L)
+    assert(r.fileSizeMb > 0.0)
+    assert(r.processingTimeSeconds > 0.0)
+    assert(r.combined.getAs[Double]("processing_time_seconds") ==
+      r.processingTimeSeconds)
   }
 }

@@ -92,6 +92,36 @@ class JiraSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("backoff: exponential min(2^n, 60), Retry-After honored over it") {
+    // utils.py:144-156 exponential curve
+    assert(JiraRetry.backoffSeconds(1, None) == 2.0)
+    assert(JiraRetry.backoffSeconds(3, None) == 8.0)
+    assert(JiraRetry.backoffSeconds(6, None) == 60.0) // capped
+    assert(JiraRetry.backoffSeconds(20, None) == 60.0)
+    // scraper.py:123-127: server-supplied wait wins at any attempt
+    assert(JiraRetry.backoffSeconds(1, Some(17.0)) == 17.0)
+    assert(JiraRetry.backoffSeconds(6, Some(1.0)) == 1.0)
+  }
+
+  test("429 with Retry-After header is absorbed (test_scrapper.py 429 path)") {
+    // two rate-limited responses carrying Retry-After: 1, then success
+    val df = jiraRead
+      .option("simulateFailures", 2)
+      .load()
+    assert(df.count() == 10L)
+    // direct transport-level mirror: the error carries the header
+    val flaky = new FlakyTransport(
+      new FileStubTransport(stubDir), 1, retryAfterSec = Some(1.0))
+    val t0 = System.nanoTime()
+    val body = JiraRetry.withRetry(sleepScale = 0.01)(
+      flaky.fetch(0, 3, Nil))
+    val waitedMs = (System.nanoTime() - t0) / 1e6
+    assert(body.contains("TEST-1"))
+    // honored wait ≈ 1s × 0.01 scale (+ ≤10% jitter), NOT the 2s
+    // exponential first step
+    assert(waitedMs >= 10.0 && waitedMs < 25.0)
+  }
+
   test("micro-batch stream delivers the full corpus via offset pages") {
     // maxPagesPerTrigger=1 forces one page per micro-batch (the rate
     // control of SURVEY §2.9); AvailableNow still drains everything
