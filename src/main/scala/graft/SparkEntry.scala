@@ -78,19 +78,57 @@ object SparkEntry {
         "q32_stream_tumbling_out",
         "complete")),
     // Jira reference-parity pipeline over checked-in fixtures (raw
-    // nested JSON → flatten → fan-out → stats). Not expressible as
-    // DuckDB SQL over the sf tables → rows-only driver check; full
-    // parity is enforced by JiraParitySpec against goldens produced by
-    // executing the reference.
-    "qj01_jira_flatten" -> ((s: SparkSession, _: String) =>
-      driverSafe(
-        jira.JiraPipeline.flattenedIssues(s, jira.JiraPipeline.fixtureProjects))),
-    "qj02_jira_examples" -> ((s: SparkSession, _: String) =>
-      driverSafe(
-        jira.JiraPipeline.orderedCorpus(s, jira.JiraPipeline.fixtureProjects))),
-    "qj03_jira_stats" -> ((s: SparkSession, _: String) =>
-      driverSafe(jira.JiraStats.perProject(
-        jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects)))),
+    // nested JSON → flatten → fan-out → stats), both projects,
+    // projected to oracle-comparable scalar shapes (array columns as
+    // ','-joined strings, the distribution map as a sorted k:v csv).
+    // Full nested-shape parity is additionally enforced by
+    // JiraParitySpec against goldens produced by EXECUTING the
+    // reference; qj02's DuckDB oracle reads those goldens directly,
+    // so the driver gate compares engine output to actual reference
+    // output.
+    "qj01_jira_flatten" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      jira.JiraPipeline
+        .flattenedIssues(s, jira.JiraPipeline.fixtureProjects)
+        .select(
+          col("issue_key"), col("issue_id"), col("project"),
+          col("project_rank"), col("url"), col("title"),
+          col("description"), col("status"), col("priority"),
+          col("issue_type"), col("reporter"), col("assignee"),
+          col("created"), col("updated"), col("resolved"),
+          array_join(col("labels"), ",").as("labels_csv"),
+          array_join(col("components"), ",").as("components_csv"),
+          array_join(col("versions"), ",").as("versions_csv"),
+          array_join(col("fix_versions"), ",").as("fix_versions_csv"),
+          col("comment_count"))
+    }),
+    "qj02_jira_examples" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.col
+      jira.JiraPipeline
+        .orderedCorpus(s, jira.JiraPipeline.fixtureProjects)
+        .select(
+          col("project_rank"), col("metadata.project").as("project"),
+          col("issue_key"), col("created"), col("task_type"),
+          col("instruction"), col("input"), col("output"))
+    }),
+    "qj03_jira_stats" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      jira.JiraStats
+        .perProject(
+          jira.JiraPipeline.corpus(s, jira.JiraPipeline.fixtureProjects))
+        .select(
+          col("project"),
+          col("total_examples"),
+          array_join(
+            transform(
+              array_sort(map_entries(col("task_type_distribution"))),
+              e => concat_ws(":", e.getField("key"), e.getField("value"))),
+            ",").as("task_type_distribution_csv"),
+          array_join(col("projects"), ",").as("projects_csv"),
+          array_join(col("issue_types"), ",").as("issue_types_csv"),
+          array_join(col("priorities"), ",").as("priorities_csv"),
+          array_join(col("statuses"), ",").as("statuses_csv"))
+    }),
     "q34_profile" -> (Profile.lineitemProfile _),
     "q37_simhash_pairs" -> (Dedup.simhashPairs _),
     // the composed pipeline: clean -> quality gate -> exact dedup ->
@@ -1916,6 +1954,182 @@ object SparkEntry {
              ], x -> x IS NOT NULL)) AS task_type
            FROM fl)
          SELECT project, task_type, count(*) AS n FROM t GROUP BY 1, 2"""),
+    // qj01: full flatten replay over BOTH fixture projects (q54's
+    // pattern + project/rank from the filename + array columns as
+    // ','-joined strings).
+    "qj01_jira_flatten" -> {
+      def clean(e: String): String =
+        s"trim(regexp_replace(COALESCE($e, ''), '\\s+', ' ', 'g'))"
+      val desc = clean("fields.description")
+      s"""WITH raw AS (
+           SELECT *, regexp_extract(filename, 'raw_issues_(\\w+)\\.jsonl', 1)
+             AS project
+           FROM read_json(
+             ['/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl',
+              '/root/repo/src/test/resources/jira/raw_issues_TEST2.jsonl'],
+             format='newline_delimited', filename=true, columns={
+               'key': 'VARCHAR', 'id': 'VARCHAR',
+               'fields': 'STRUCT(
+                  summary VARCHAR, description VARCHAR,
+                  status STRUCT(name VARCHAR),
+                  priority STRUCT(name VARCHAR),
+                  issuetype STRUCT(name VARCHAR),
+                  reporter STRUCT(displayName VARCHAR, name VARCHAR),
+                  assignee STRUCT(displayName VARCHAR, name VARCHAR),
+                  created VARCHAR, updated VARCHAR,
+                  resolutiondate VARCHAR,
+                  labels VARCHAR[],
+                  components STRUCT(name VARCHAR)[],
+                  versions STRUCT(name VARCHAR)[],
+                  fixVersions STRUCT(name VARCHAR)[],
+                  comment STRUCT(comments STRUCT(
+                    author STRUCT(displayName VARCHAR, name VARCHAR),
+                    created VARCHAR, body VARCHAR)[])
+               )'})),
+         ${jiraProbeCte(Seq(
+             "/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl",
+             "/root/repo/src/test/resources/jira/raw_issues_TEST2.jsonl"))},
+         f AS (
+           SELECT * FROM raw
+           WHERE $jiraKeepSql),
+         c AS (
+           SELECT *,
+             list_filter(
+               list_transform(fields.comment.comments,
+                 x -> ${clean("x.body")}),
+               b -> length(b) > 0) AS clean_bodies
+           FROM f)
+         SELECT
+           COALESCE(key, '') AS issue_key,
+           COALESCE(id, '') AS issue_id,
+           project,
+           CAST(CASE project WHEN 'TEST' THEN 0 ELSE 1 END AS INTEGER)
+             AS project_rank,
+           'https://issues.apache.org/jira/browse/' || COALESCE(key, '')
+             AS url,
+           ${clean("fields.summary")} AS title,
+           CASE WHEN length($desc) > 20000
+                THEN substr($desc, 1, 20000) || '...'
+                ELSE $desc END AS description,
+           COALESCE(fields.status.name, 'Unknown') AS status,
+           COALESCE(fields.priority.name, 'Unknown') AS priority,
+           COALESCE(fields.issuetype.name, 'Unknown') AS issue_type,
+           CASE WHEN fields.reporter IS NULL THEN 'Unknown'
+                ELSE COALESCE(fields.reporter.displayName,
+                       fields.reporter.name, 'Unknown') END AS reporter,
+           CASE WHEN fields.assignee IS NULL THEN 'Unknown'
+                ELSE COALESCE(fields.assignee.displayName,
+                       fields.assignee.name, 'Unknown') END AS assignee,
+           COALESCE(fields.created, '') AS created,
+           COALESCE(fields.updated, '') AS updated,
+           COALESCE(fields.resolutiondate, '') AS resolved,
+           COALESCE(array_to_string(fields.labels, ','), '') AS labels_csv,
+           COALESCE(array_to_string(list_transform(fields.components,
+             x -> COALESCE(x.name, '')), ','), '') AS components_csv,
+           COALESCE(array_to_string(list_transform(fields.versions,
+             x -> COALESCE(x.name, '')), ','), '') AS versions_csv,
+           COALESCE(array_to_string(list_transform(fields.fixVersions,
+             x -> COALESCE(x.name, '')), ','), '') AS fix_versions_csv,
+           CAST(COALESCE(len(clean_bodies), 0) AS INTEGER)
+             AS comment_count
+         FROM c"""
+    },
+    // qj02: the oracle reads the REFERENCE'S OWN EXECUTED OUTPUT
+    // (golden_examples_*.jsonl, produced by tools/make_jira_fixtures
+    // .py running /root/reference) — the driver gate compares the
+    // engine corpus to actual reference behavior, not to a SQL
+    // re-derivation.
+    "qj02_jira_examples" ->
+      """SELECT
+         CAST(CASE WHEN filename LIKE '%TEST2%' THEN 1 ELSE 0 END
+           AS INTEGER) AS project_rank,
+         metadata.project AS project,
+         metadata.issue_key AS issue_key,
+         metadata.created AS created,
+         task_type, instruction, "input", "output"
+         FROM read_json(
+           ['/root/repo/src/test/resources/jira/golden_examples_TEST.jsonl',
+            '/root/repo/src/test/resources/jira/golden_examples_TEST2.jsonl'],
+           format='newline_delimited', filename=true, columns={
+             'task_type': 'VARCHAR', 'instruction': 'VARCHAR',
+             'input': 'VARCHAR', 'output': 'VARCHAR',
+             'metadata': 'STRUCT(issue_key VARCHAR, project VARCHAR,
+               created VARCHAR)'})""",
+    // qj03: per-project stats replay over both projects — q56's
+    // fanout CTEs aggregated to the reference's stats record shape
+    // (maps/sets as sorted csv scalars).
+    "qj03_jira_stats" ->
+      ("""WITH raw AS (
+           SELECT *, regexp_extract(filename, 'raw_issues_(\w+)\.jsonl', 1)
+             AS project
+           FROM read_json(
+             ['/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl',
+              '/root/repo/src/test/resources/jira/raw_issues_TEST2.jsonl'],
+             format='newline_delimited', filename=true, columns={
+               'key': 'VARCHAR', 'id': 'VARCHAR',
+               'fields': 'STRUCT(summary VARCHAR, description VARCHAR,
+                  status STRUCT(name VARCHAR),
+                  priority STRUCT(name VARCHAR),
+                  issuetype STRUCT(name VARCHAR),
+                  reporter STRUCT(displayName VARCHAR, name VARCHAR),
+                  assignee STRUCT(displayName VARCHAR, name VARCHAR),
+                  created VARCHAR, updated VARCHAR,
+                  resolutiondate VARCHAR,
+                  labels VARCHAR[], components STRUCT(name VARCHAR)[],
+                  versions STRUCT(name VARCHAR)[],
+                  fixVersions STRUCT(name VARCHAR)[],
+                  comment STRUCT(comments STRUCT(
+                    author STRUCT(displayName VARCHAR, name VARCHAR),
+                    created VARCHAR, body VARCHAR)[]))'})),
+         """ + jiraProbeCte(Seq(
+             "/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl",
+             "/root/repo/src/test/resources/jira/raw_issues_TEST2.jsonl")) +
+      """,
+         fl AS (
+           SELECT project,
+             trim(regexp_replace(COALESCE(fields.summary, ''), '\s+', ' ', 'g')) AS title,
+             trim(regexp_replace(COALESCE(fields.description, ''), '\s+', ' ', 'g')) AS d,
+             COALESCE(fields.status.name, 'Unknown') AS status,
+             COALESCE(fields.priority.name, 'Unknown') AS priority,
+             COALESCE(fields.issuetype.name, 'Unknown') AS issue_type,
+             CASE WHEN fields.assignee IS NULL THEN 'Unknown'
+                  ELSE COALESCE(fields.assignee.displayName,
+                         fields.assignee.name, 'Unknown') END AS assignee,
+             COALESCE(list_filter(
+               list_transform(fields.comment.comments,
+                 x -> trim(regexp_replace(COALESCE(x.body, ''), '\s+', ' ', 'g'))),
+               b -> length(b) > 0), []::VARCHAR[]) AS cb
+           FROM raw
+           WHERE """ + jiraKeepSql + """),
+         t AS (
+           SELECT project, unnest(list_filter([
+               CASE WHEN d <> '' OR len(cb) > 0 THEN 'summarization' END,
+               CASE WHEN title <> '' AND priority <> '' THEN 'classification' END,
+               CASE WHEN title <> '' AND status <> '' THEN 'status_prediction' END,
+               'question_answering', 'question_answering',
+               CASE WHEN assignee <> '' AND assignee <> 'Unknown'
+                    THEN 'question_answering' END,
+               CASE WHEN len(cb) > 0 AND status IN ('Resolved', 'Closed')
+                    THEN 'issue_resolution' END
+             ], x -> x IS NOT NULL)) AS task_type
+           FROM fl),
+         tt AS (SELECT project, task_type, count(*) AS n
+                FROM t GROUP BY 1, 2),
+         dist AS (SELECT project, CAST(sum(n) AS BIGINT) AS total_examples,
+                    string_agg(task_type || ':' || n, ','
+                      ORDER BY task_type) AS task_type_distribution_csv
+                  FROM tt GROUP BY 1),
+         sets AS (SELECT project, project AS projects_csv,
+                    array_to_string(list_sort(list(DISTINCT issue_type)), ',')
+                      AS issue_types_csv,
+                    array_to_string(list_sort(list(DISTINCT priority)), ',')
+                      AS priorities_csv,
+                    array_to_string(list_sort(list(DISTINCT status)), ',')
+                      AS statuses_csv
+                  FROM fl GROUP BY 1)
+         SELECT dist.project, total_examples, task_type_distribution_csv,
+           projects_csv, issue_types_csv, priorities_csv, statuses_csv
+         FROM dist JOIN sets USING (project)"""),
     "q31_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
