@@ -55,7 +55,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warmup: codegen + JIT + file-index
-      name -> once()
+      // best-of-2 measured runs: a transient load spike on a shared
+      // machine contends one run, not both — r3/r4 both reported
+      // 10×+ phantom regressions from a single contended pass
+      val a = once()
+      val b = once()
+      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
     }
     def fmt(v: Double): String = f"$v%.3f"
     val total = fmt(results.map(_._2).filter(_ >= 0).sum)
@@ -64,7 +69,7 @@ object Bench {
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","warmup_runs":1,"loadavg_1m":$load}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","warmup_runs":1,"measured_runs":2,"agg":"min","loadavg_1m":$load}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detailJson + "\n").getBytes("UTF-8"))
@@ -75,7 +80,7 @@ object Bench {
     }.mkString("{", ",", "}")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_runs":1,"loadavg_1m":$load}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_runs":1,"measured_runs":2,"agg":"min","loadavg_1m":$load}""")
     System.out.flush()
   }
 }

@@ -471,9 +471,17 @@ object SparkEntry {
     "q107_stream_lake" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, count, date_format, lit,
         round, sum}
+      // deterministic per-sf path, wiped before each run: repeated
+      // driver/bench invocations reuse one tree instead of leaking a
+      // fresh UUID-named lake+checkpoint per call
       val base = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft-lake-${java.util.UUID.randomUUID()}")
+        s"graft-lake-${math.abs(dir.hashCode.toLong)}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(base)
       io.Sinks.streamEventsToLake(
         streaming.EventStreams.readEvents(s, dir),
         s"$base/lake",

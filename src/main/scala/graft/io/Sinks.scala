@@ -143,9 +143,22 @@ object Sinks {
     * one file holding a JSON array of row objects. Collects on the
     * driver — correct only for bounded exports (the reference's
     * per-project raw dumps); the engine-native parallel form is the
-    * JSONL writer above.
+    * JSONL writer above. `maxRows` guards the collect: pointing this
+    * at a corpus fails fast (cheap limit+count probe) instead of
+    * OOMing the driver.
     */
-  def writeRawJsonArray(df: DataFrame, file: String): Unit = {
+  def writeRawJsonArray(
+      df: DataFrame,
+      file: String,
+      maxRows: Int = 100000
+  ): Unit = {
+    val probe = df.limit(maxRows + 1).count()
+    require(
+      probe <= maxRows,
+      s"writeRawJsonArray is a driver-side bounded export: input exceeds " +
+        s"maxRows=$maxRows rows — use writeJsonlOrdered for corpus-scale " +
+        "output"
+    )
     val rows = df.toJSON.collect()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(file),

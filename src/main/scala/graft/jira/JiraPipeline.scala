@@ -42,15 +42,17 @@ object JiraPipeline {
   /** Ingest robustness for corpus-scale JSON: PERMISSIVE parse with a
     * quarantine column — a malformed line becomes one quarantine row
     * instead of failing a 100 TB job (at scale a bad-records rate is
-    * an SLO, not an exception). Returns (parsed, quarantined); the
-    * frame is cached because Spark forbids filtering the internal
-    * corrupt-record column on the un-materialized scan
-    * (SPARK-21610 semantics).
+    * an SLO, not an exception). Returns (parsed, quarantined,
+    * release): the backing frame is cached because Spark forbids
+    * filtering the internal corrupt-record column on the
+    * un-materialized scan (SPARK-21610 semantics) — call `release()`
+    * after materializing both splits so the cache doesn't pin
+    * executor memory for the session lifetime.
     */
   def readRawWithQuarantine(
       spark: SparkSession,
       path: String
-  ): (DataFrame, DataFrame) = {
+  ): (DataFrame, DataFrame, () => Unit) = {
     val corruptCol = "_corrupt_record"
     val raw = spark.read
       .schema(JiraSchemas.rawIssueSchema
@@ -61,7 +63,8 @@ object JiraPipeline {
       .cache()
     (
       raw.filter(col(corruptCol).isNull).drop(corruptCol),
-      raw.filter(col(corruptCol).isNotNull).select(col(corruptCol))
+      raw.filter(col(corruptCol).isNotNull).select(col(corruptCol)),
+      () => { raw.unpersist(); () }
     )
   }
 

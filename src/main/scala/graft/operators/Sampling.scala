@@ -161,10 +161,12 @@ object Sampling {
 
   /** q97: weighted sampling without replacement, k=50, weight =
     * document length — Efraimidis-Spirakis A-Res (IPL 97(5), 2006):
-    * per row draw u from the content-keyed hash (so the "randomness"
-    * is reproducible on any cluster layout, like the q49 split) and
-    * rank by priority u^(1/w); the top-k by priority IS a weighted
-    * sample without replacement.
+    * per row draw u from an ID-KEYED deterministic hash (doc_id, not
+    * content — reproducible on any cluster layout, but unlike the
+    * q49 content-hash split NOT stable under re-assigned ids; hash
+    * the text instead if id stability isn't guaranteed) and rank by
+    * priority u^(1/w); the top-k by priority IS a weighted sample
+    * without replacement.
     *
     * Scale: one narrow map over the scan + `TakeOrderedAndProject`
     * (per-partition heaps of k, merged on the driver) — no global

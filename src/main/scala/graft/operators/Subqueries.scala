@@ -14,9 +14,23 @@ import graft.Tables
   */
 object Subqueries {
 
-  private def views(spark: SparkSession, dir: String): Unit =
+  private val tables =
     Seq("customer", "orders", "lineitem", "supplier", "part", "nation")
-      .foreach(t => Tables.table(spark, dir, t).createOrReplaceTempView(t))
+
+  /** Registers dir-scoped temp views and rewrites the query's bare
+    * table tokens to them, so two callers on different data dirs in
+    * one session can't clobber each other's generic view names (the
+    * SQL strings stay near-verbatim the DuckDB oracle's). Same-dir
+    * re-registration is idempotent. Word-bounded replace is safe:
+    * '_' is a word char, so column names like p_partkey don't match.
+    */
+  private def sql(spark: SparkSession, dir: String, q: String): DataFrame = {
+    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    tables.foreach(t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(s"${t}_$tag"))
+    spark.sql(
+      tables.foldLeft(q)((s, t) => s.replaceAll(s"\\b$t\\b", s"${t}_$tag")))
+  }
 
   /** q110 (TPC-H Q13 shape): customer distribution by order count —
     * LEFT OUTER join with an ON-clause filter, then an aggregate of
@@ -24,8 +38,7 @@ object Subqueries {
     * (c_count = 0 bucket), which an inner join silently drops.
     */
   def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(
+    sql(spark, dir,
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
                FROM customer c LEFT OUTER JOIN orders o
@@ -42,8 +55,7 @@ object Subqueries {
     * once and broadcasts the one-row result into the filter.
     */
   def topRevenueSupplier(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(
+    sql(spark, dir,
       """WITH rev AS (
            SELECT l_suppkey,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
@@ -60,8 +72,7 @@ object Subqueries {
     * semi join; the inner scalar average is one broadcast row.
     */
   def aboveAverageSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(
+    sql(spark, dir,
       """SELECT s_suppkey, s_name FROM supplier
          WHERE s_suppkey IN (
            SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
@@ -77,8 +88,7 @@ object Subqueries {
     * same table, decorrelated into one semi and one anti join.
     */
   def urgentOnlyCustomers(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(
+    sql(spark, dir,
       """SELECT c.c_mktsegment AS segment, count(*) AS n_customers
          FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o
@@ -98,8 +108,7 @@ object Subqueries {
     * where avg() would not be.
     */
   def cheapestSupplierPerPart(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(
+    sql(spark, dir,
       """WITH ps AS (
            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
            FROM lineitem GROUP BY 1, 2)
@@ -119,8 +128,7 @@ object Subqueries {
     * aggregated per market segment.
     */
   def idleRichCustomers(spark: SparkSession, dir: String): DataFrame = {
-    views(spark, dir)
-    spark.sql(
+    sql(spark, dir,
       """SELECT c.c_mktsegment AS segment, count(*) AS numcust,
            round(sum(c.c_acctbal), 2) AS totacctbal
          FROM customer c

@@ -190,6 +190,13 @@ object AsOf {
     * unlike an equi-join where null never equals null; pinned by
     * spec. Pre-filter null keys on either side for equi-join-style
     * behavior.
+    *
+    * REQUIREMENT: `(rightKeys, rightOrder)` must be a TOTAL order on
+    * the right side — if duplicate (key, order) right rows exist,
+    * "last prior row" is whichever duplicate happens to sort last
+    * physically, i.e. run-dependent. Include a unique tie-breaking
+    * column (e.g. an event id) in `rightOrder` to make matches
+    * deterministic; q105 does exactly that.
     */
   def join(
       left: DataFrame,

@@ -26,9 +26,16 @@ trait JiraTransport extends Serializable {
 
   /** Single-issue point read (`GET /issue/{key}` —
     * scraper.py:171-188). Returns the issue JSON, or None for an
-    * unknown key (HTTP 404 analogue).
+    * unknown key (HTTP 404 analogue). `expand` is the REST `expand=`
+    * parameter the reference sends (`renderedFields`, scraper.py:176)
+    * — a request shape for a live transport; the file stub has
+    * nothing to expand and ignores it.
     */
-  def fetchIssue(key: String, fields: Seq[String]): Option[String]
+  def fetchIssue(
+      key: String,
+      fields: Seq[String],
+      expand: Seq[String] = Seq("renderedFields")
+  ): Option[String]
 }
 
 /** Retryable transport failure (HTTP 429/5xx analogue).
@@ -53,7 +60,11 @@ final class FileStubTransport(dir: String) extends JiraTransport {
     new String(Files.readAllBytes(p), "UTF-8")
   }
 
-  override def fetchIssue(key: String, fields: Seq[String]): Option[String] = {
+  override def fetchIssue(
+      key: String,
+      fields: Seq[String],
+      expand: Seq[String]
+  ): Option[String] = {
     val p = Paths.get(dir, s"issue_$key.json")
     if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8"))
     else None
@@ -80,8 +91,12 @@ final class FlakyTransport(
       throw new JiraTransientError("simulated 429", retryAfterSec)
     else inner.fetch(startAt, maxResults, fields)
 
-  override def fetchIssue(key: String, fields: Seq[String]): Option[String] =
-    inner.fetchIssue(key, fields)
+  override def fetchIssue(
+      key: String,
+      fields: Seq[String],
+      expand: Seq[String]
+  ): Option[String] =
+    inner.fetchIssue(key, fields, expand)
 }
 
 object JiraRetry {

@@ -67,4 +67,18 @@ class FormatsSpec extends AnyFunSuite {
     assert(back.orderBy("n_nationkey").collect().toSeq ==
       src.collect().toSeq)
   }
+
+  test("raw JSON array writer fails fast past its row cap") {
+    import spark.implicits._
+    val big = (1 to 50).toDF("n")
+    val f = java.nio.file.Files
+      .createTempDirectory("k1cap").resolve("out.json").toString
+    val e = intercept[IllegalArgumentException] {
+      Sinks.writeRawJsonArray(big, f, maxRows = 10)
+    }
+    assert(e.getMessage.contains("maxRows"))
+    // at the cap is fine
+    Sinks.writeRawJsonArray(big, f, maxRows = 50)
+    assert(new java.io.File(f).exists())
+  }
 }

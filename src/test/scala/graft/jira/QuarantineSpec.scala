@@ -30,7 +30,7 @@ class QuarantineSpec extends AnyFunSuite {
       f.toPath,
       s"$good1\n$bad\n$good2\n".getBytes("UTF-8")
     )
-    val (parsed, quarantined) =
+    val (parsed, quarantined, release) =
       JiraPipeline.readRawWithQuarantine(spark, f.getAbsolutePath)
     assert(parsed.count() == 2)
     assert(
@@ -44,5 +44,8 @@ class QuarantineSpec extends AnyFunSuite {
     // downstream flatten consumes the clean frame untouched
     val flat = JiraFlatten.flatten(parsed, "TEST")
     assert(flat.count() == 2)
+    // releasing drops the backing cache so it stops pinning memory
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 }
