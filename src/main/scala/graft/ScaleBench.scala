@@ -6,10 +6,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Scale validation for the unbounded operator paths: the oracle
-  * queries bound their inputs (doc_id<500) so results stay
-  * deterministic across SFs; this main runs the SAME topologies
-  * un-capped on replicated corpora to show they hold at 100-1000×.
+/** Scale validation for the unbounded operator paths: the gated
+  * queries run uncapped since round 5; this main runs the SAME
+  * topologies on replicated corpora to show they hold at 100-1000×
+  * the bench scale.
   *
   * Run: tools/run.sh graft.ScaleBench [docMult] [vecMult]
   * (defaults 200× docs ≈ 100k, 200× vectors ≈ 100k).

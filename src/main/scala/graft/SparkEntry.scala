@@ -709,7 +709,7 @@ object SparkEntry {
            240 + CAST(${fmod(shr(16), 840L)} AS INTEGER) AS height
          FROM s)"""
 
-  /** Shared oracle CTE: distinct 3-gram shingle sets for doc_id<500. */
+  /** Shared oracle CTE: distinct 3-gram shingle sets per document. */
   private val shinglesCte: String =
     """d AS (
         SELECT doc_id,
@@ -718,7 +718,7 @@ object SparkEntry {
         FROM (SELECT doc_id,
                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-              FROM documents WHERE doc_id < 500) t
+              FROM documents) t
         WHERE len(toks) >= 3)"""
 
   /** DuckDB-dialect oracle for each query (same column aliases). */

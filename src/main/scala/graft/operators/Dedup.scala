@@ -43,13 +43,14 @@ object Dedup {
       )
 
   /** Distinct word-3-gram shingle sets per doc (docs with <3 tokens
-    * are excluded — they have no shingles). Bounded to doc_id<500 so
-    * the pair-join stays calibration-stable across scale factors.
+    * are excluded — they have no shingles). Uncapped: the shingle
+    * inversion join is collision-linear (1.27M joined rows over 5k
+    * docs at sf0.1), so no input bound is needed for the pair
+    * queries to scale.
     */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
-      .filter(col("doc_id") < 500)
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       // both near-dup queries self-join this set; caching stops Spark
