@@ -408,6 +408,23 @@ object SparkEntry {
     // BPE merge-candidate table: corpus-weighted character-pair
     // counts over the distinct-word frequency table.
     "q114_bpe_pairs" -> (TextAnalysis.bpePairStats(_, _)),
+    // Distributed BPE tokenizer TRAINING: one corpus pass for the
+    // word vocab, then 8 merge rounds over the vocab (pair-count
+    // shuffle + TakeOrdered(1) argmax + literal-replace merge per
+    // round — the PageRank-style iterative pattern). Oracle unrolls
+    // the identical 8 rounds as chained DuckDB CTEs.
+    "q125_bpe_train" -> ((s: SparkSession, dir: String) =>
+      operators.BpeTrain.train(s, dir, rounds = 8)),
+    // The shipped artifact of the trainer: final per-word
+    // segmentation after all learned merges.
+    "q126_bpe_segment" -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      operators.BpeTrain
+        .segmentation(s, dir, rounds = 8)
+        .select(col("w"), col("freq"),
+          array_join(col("pieces"), ",").as("pieces_csv"),
+          col("n_pieces"))
+    }),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -662,6 +679,48 @@ object SparkEntry {
     */
   private val jiraKeepSql: String =
     "NOT COALESCE((SELECT drop_row FROM probe WHERE probe_key = raw.key), false)"
+
+  /** Unrolled replay of the BPE merge loop (q125/q126): s0 = per-word
+    * character symbols joined by chr(31); each round r computes the
+    * adjacent-pair counts (list_zip of the shifted symbol lists),
+    * takes the (count DESC, left, right) argmax, and literal-replaces
+    * the winning pair — exactly [[graft.operators.BpeTrain]]'s round,
+    * one CTE triple (p_r, b_r, s_r) per round.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val sep = "chr(31)"
+    val sb = new StringBuilder
+    sb.append(s"""WITH w0 AS (
+         SELECT w, count(*) AS freq
+         FROM (SELECT unnest(CASE WHEN length(trim(text)) = 0
+                 THEN []::VARCHAR[]
+                 ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+               FROM documents) t
+         WHERE length(w) > 0 AND NOT contains(w, $sep)
+         GROUP BY w),
+       s0 AS (SELECT w, freq,
+         array_to_string(list_transform(range(length(w)),
+           i -> substr(w, i + 1, 1)), $sep) AS syms
+         FROM w0)""")
+    // AS MATERIALIZED is load-bearing: without it DuckDB inlines the
+    // chained CTEs into the scalar subqueries and re-evaluates the
+    // whole prefix per reference — exponential in rounds
+    for (r <- 1 to rounds) {
+      val prev = s"s${r - 1}"
+      sb.append(s""",
+       p$r AS MATERIALIZED (SELECT z[1] AS lft, z[2] AS rgt, freq
+         FROM (SELECT freq,
+                 unnest(list_zip(li[1:len(li) - 1], li[2:len(li)])) AS z
+               FROM (SELECT freq, string_split(syms, $sep) AS li
+                     FROM $prev) x) y),
+       b$r AS MATERIALIZED (SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS cnt
+         FROM p$r GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 1),
+       s$r AS MATERIALIZED (SELECT w, freq, replace(syms,
+           (SELECT lft || $sep || rgt FROM b$r),
+           (SELECT lft || rgt FROM b$r)) AS syms FROM $prev)""")
+    }
+    sb.toString
+  }
 
   private def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1]::DOUBLE * p[2]::DOUBLE))" +
@@ -2138,6 +2197,16 @@ object SparkEntry {
          SELECT dist.project, total_examples, task_type_distribution_csv,
            projects_csv, issue_types_csv, priorities_csv, statuses_csv
          FROM dist JOIN sets USING (project)"""),
+    "q125_bpe_train" -> (bpeCtes(8) + "\n" +
+      (1 to 8).map(r =>
+        s"""SELECT CAST($r AS INTEGER) AS merge_rank, lft AS "left",
+            rgt AS "right", cnt AS pair_count FROM b$r""")
+        .mkString("\nUNION ALL\n")),
+    "q126_bpe_segment" -> (bpeCtes(8) + """
+       SELECT w, freq,
+         array_to_string(string_split(syms, chr(31)), ',') AS pieces_csv,
+         CAST(len(string_split(syms, chr(31))) AS INTEGER) AS n_pieces
+       FROM s8"""),
     "q31_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al., "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016):
+  * the merge-loop that learns a tokenizer from a corpus — the
+  * counterpart of the q66 pre-tokenizer, which only APPLIES one.
+  *
+  * Scale shape (the reason this distributes): the corpus is read
+  * ONCE to build the (word, freq) vocabulary — Heaps' law makes the
+  * vocab orders of magnitude smaller than a 100 TB corpus — and
+  * every merge round then runs on the vocabulary alone: one
+  * partially-aggregated pair-count shuffle + a TakeOrdered(1) argmax
+  * + a map-side merge. k rounds = k small shuffles, never a second
+  * corpus pass. The per-round driver argmax (one row) is the same
+  * legitimate iterative pattern as PageRank's convergence count.
+  *
+  * Merge semantics: symbols start as characters; each round picks
+  * the adjacent pair with the highest freq-weighted count (ties:
+  * lexicographic left, then right) and fuses every left-to-right
+  * non-overlapping occurrence — implemented as a single string
+  * `replace` over the separator-joined symbol string, which IS the
+  * greedy non-overlapping scan (e.g. pair (a,a) on "a·a·a" → "aa·a").
+  * The DuckDB oracle replays the identical rounds unrolled.
+  */
+object BpeTrain {
+
+  /** Symbol separator: the unit-separator control char, which cannot
+    * appear in whitespace-split tokens of sane text (words containing
+    * it are dropped defensively on both engine and oracle sides).
+    */
+  val Sep = "\u001F"
+
+  /** Learned merge table: (merge_rank, left, right, pair_count),
+    * one row per round, rank 1 = first merge.
+    */
+  def train(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+    import spark.implicits._
+    val words = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+    var seq = words
+      .select(
+        col("freq"),
+        array_join(split(col("w"), ""), Sep).as("syms")
+      )
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var continue = true
+    while (r <= rounds && continue) {
+      val best = seq
+        .select(col("freq"), split(col("syms"), Sep).as("a"))
+        .select(
+          col("freq"),
+          explode(
+            arrays_zip(
+              slice(col("a"), lit(1), size(col("a")) - 1).as("l"),
+              slice(col("a"), lit(2), size(col("a")) - 1).as("r")
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) continue = false
+      else {
+        val (l, rt, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rt, c))
+        // map-side merge of the chosen pair — literal replace, NOT
+        // regexp (symbols can contain regex metachars); localCheckpoint
+        // keeps the per-round lineage O(1) like PageRank's rounds
+        seq = seq
+          .withColumn("syms",
+            replace(col("syms"), lit(l + Sep + rt), lit(l + rt)))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges
+      .result()
+      .toDF("merge_rank", "left", "right", "pair_count")
+  }
+
+  /** The trained segmentation: each vocab word's final symbol list
+    * after applying all learned merges (what a tokenizer ships).
+    */
+  def segmentation(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int = 8
+  ): DataFrame = {
+    val merged = train(spark, dir, rounds).collect()
+    val words = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+    val syms = merged.foldLeft(
+      array_join(split(col("w"), ""), Sep)
+    ) { (acc, m) =>
+      val (l, r) = (m.getString(1), m.getString(2))
+      replace(acc, lit(l + Sep + r), lit(l + r))
+    }
+    words.select(
+      col("w"),
+      col("freq"),
+      split(syms, Sep).as("pieces"),
+      size(split(syms, Sep)).as("n_pieces")
+    )
+  }
+}
