@@ -256,6 +256,44 @@ object ScaleBench {
       .count()
     val simSec = (System.nanoTime() - tSim) / 1e9
 
+    // --- banded simhash candidate generation (the uncapped q37
+    // topology) at ~100k docs: 4×16-bit bands over the 64-bit
+    // signature; candidate volume counted per-bucket analytically
+    // (sum of C(b,2)) — the join's output size without materializing
+    // it, since replicated corpora are pathologically near-dup-dense
+    val tSimBand = System.nanoTime()
+    val simBandCands = docs
+      .select(graft.functions.SimHashText.simhashText(col("text"), 64)
+        .as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * 16).bitwiseAND(0xffffL).as("bval"))
+      }: _*)).as("bk"))
+      .groupBy(col("bk"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long"))
+      .collect()(0)
+      .getLong(0)
+    val simBandSec = (System.nanoTime() - tSimBand) / 1e9
+
+    // --- BPE merge loop over the ~100k-doc corpus: the corpus pass
+    // builds the vocab once; each round is a vocab-sized shuffle
+    val tBpe = System.nanoTime()
+    val bpeMerges = graft.operators.BpeTrain
+      .trainFromWords(
+        docs
+          .select(explode(
+            graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("freq")),
+        rounds = 4)
+      .collect()
+    val bpeSec = (System.nanoTime() - tBpe) / 1e9
+    require(bpeMerges.length == 4 && bpeMerges.forall(_.getLong(3) > 0),
+      "BPE merge loop must learn 4 positive-count merges")
+
     val t4 = System.nanoTime()
     val kmvEst = docs
       .select(graft.functions.TextFunctions.hash60(col("doc_id")).as("h"))
@@ -530,6 +568,9 @@ object ScaleBench {
         s""""distinct_tokens":$distinctTokens,"vocab_sec":$vocabSec,""" +
         s""""pack_windows":$nWindows,"pack_sec":$packSec,""" +
         s""""simhashes":$nSimhashes,"simhash_sec":$simSec,""" +
+        s""""simhash_band_candidates":$simBandCands,""" +
+        s""""simhash_band_sec":$simBandSec,""" +
+        s""""bpe_rounds":${bpeMerges.length},"bpe_sec":$bpeSec,""" +
         s""""quality_col_sec":$qualityColSec,"quality_fused_sec":$qualityFusedSec,""" +
         s""""cc_nodes":${ccN + chainN},"cc_components":$ccComponents,""" +
         s""""cc_rounds":$ccRounds,"cc_sec":$ccSec,""" +

@@ -38,14 +38,21 @@ object BpeTrain {
   /** Learned merge table: (merge_rank, left, right, pair_count),
     * one row per round, rank 1 = first merge.
     */
-  def train(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame = {
+  def train(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
+    trainFromWords(
+      Tables
+        .documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0 && !col("w").contains(Sep))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq")),
+      rounds
+    )
+
+  /** The merge loop over a prepared (w, freq) vocabulary frame. */
+  def trainFromWords(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
-    val words = Tables
-      .documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("freq"))
     var seq = words
       .select(
         col("freq"),

@@ -36,10 +36,16 @@ object PageRank {
       iterations: Int,
       damping: Double = 0.85
   ): DataFrame = {
-    val out = edges
+    // materialize the edge list once: out-degree, N, initial ranks
+    // and the per-round join all derive from it, and upstream edge
+    // generation (e.g. q86's shingle self-join) is the expensive part
+    // — without this it would re-execute for each derivation
+    val e = edges.localCheckpoint(true)
+    val out = e
       .groupBy(col("src"))
       .agg(count(lit(1)).as("out_deg"))
-    val withDeg = edges
+      .localCheckpoint(true)
+    val withDeg = e
       .join(out, "src")
       .select(col("src"), col("dst"), col("out_deg"))
       .localCheckpoint(true)
