@@ -425,6 +425,10 @@ object SparkEntry {
           array_join(col("pieces"), ",").as("pieces_csv"),
           col("n_pieces"))
     }),
+    // Interpolated trigram-LM perplexity filter (CCNet-style): LM
+    // count tables from one corpus pass, docs scored by joining
+    // distinct-trigram counts against them.
+    "q127_trigram_ppl" -> (TextAnalysis.trigramPerplexity(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -2207,6 +2211,53 @@ object SparkEntry {
          array_to_string(string_split(syms, chr(31)), ',') AS pieces_csv,
          CAST(len(string_split(syms, chr(31))) AS INTEGER) AS n_pieces
        FROM s8"""),
+    // q127: same LM count tables and interpolation weights as the
+    // engine; every component is positive (scored corpus = training
+    // corpus) so the ln never sees zero.
+    "q127_trigram_ppl" ->
+      """WITH t AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\s+')
+                  END AS toks FROM documents),
+         dt AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3,
+                  count(*) AS c
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(toks) - 2),
+                          i -> {'w1': toks[i+1], 'w2': toks[i+2],
+                                'w3': toks[i+3]})) AS s
+                      FROM t WHERE len(toks) >= 3) x
+                GROUP BY 1, 2, 3, 4),
+         tri AS (SELECT w1, w2, w3, CAST(sum(c) AS BIGINT) AS n3
+                 FROM dt GROUP BY 1, 2, 3),
+         trictx AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS n2ctx
+                    FROM tri GROUP BY 1, 2),
+         bi AS (SELECT s.w2 AS w2, s.w3 AS w3, count(*) AS nb
+                FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+                        i -> {'w2': toks[i+1], 'w3': toks[i+2]})) AS s
+                      FROM t WHERE len(toks) >= 2) x
+                GROUP BY 1, 2),
+         bictx AS (SELECT w2, CAST(sum(nb) AS BIGINT) AS nbctx
+                   FROM bi GROUP BY 1),
+         uni AS (SELECT w3, count(*) AS n1 FROM
+                   (SELECT unnest(toks) AS w3 FROM t) u GROUP BY 1),
+         tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS tot FROM uni),
+         sc AS MATERIALIZED (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                  sum(c * -ln(0.6 * n3 / n2ctx + 0.3 * nb / nbctx
+                      + 0.1 * n1 / tot)) / sum(c) AS x
+                FROM dt
+                JOIN tri USING (w1, w2, w3)
+                JOIN trictx USING (w1, w2)
+                JOIN bi USING (w2, w3)
+                JOIN bictx USING (w2)
+                JOIN uni USING (w3)
+                CROSS JOIN tot
+                GROUP BY doc_id),
+         m AS (SELECT avg(exp(x)) AS mean_ppl FROM sc)
+         SELECT doc_id, n_trigrams, round(x, 6) AS xent,
+           round(exp(x), 6) AS ppl,
+           CAST(exp(x) <= mean_ppl AS INTEGER) AS keep
+         FROM sc CROSS JOIN m""",
     "q31_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

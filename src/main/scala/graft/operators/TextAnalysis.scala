@@ -846,4 +846,119 @@ object TextAnalysis {
         round(sum(col("c") * -log(p)) / sum(col("c")), 6).as("xent")
       )
   }
+
+  /** q127: interpolated trigram-LM perplexity per document — the
+    * CCNet-style quality gate (Wenzek et al., LREC 2020: documents
+    * are kept/bucketed by perplexity under an n-gram LM). The LM is
+    * trained on the corpus itself in one aggregation pass (trigram /
+    * bigram / unigram count tables), then each document is scored by
+    * joining its distinct-trigram counts against the count tables:
+    *
+    *   p(w3|w1,w2) = 0.6·c3/c2ctx + 0.3·cb/cbctx + 0.1·c1/T
+    *
+    * (fixed interpolation weights; every component is positive
+    * because the scored corpus is the training corpus, so no
+    * discounting is needed). Output: per-doc trigram count,
+    * cross-entropy (nats), perplexity, and the keep flag at the
+    * corpus-relative cut (ppl ≤ corpus mean ppl — CCNet buckets by
+    * corpus-level quantiles, so the gate must be relative: absolute
+    * perplexity scales with corpus size under a self-trained LM).
+    *
+    * Scale: the doc-trigram frame is pre-aggregated per (doc,
+    * trigram) before any join, so join shuffles carry counts, not
+    * token instances; the three LM tables are vocabulary-sized
+    * aggregates shuffled on their n-gram keys (broadcast when small,
+    * chosen by AQE); the corpus total T joins in as one broadcast
+    * row. One corpus pass to count, one join pass to score — the
+    * standard distributed n-gram-LM filter topology.
+    */
+  def trigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
+    val toksDf = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val nTri = size(t) - 2
+    val docTri = toksDf
+      .filter(size(t) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            zip_with(
+              slice(t, lit(1), nTri),
+              slice(t, lit(2), nTri),
+              (a, b) => struct(a.as("w1"), b.as("w2"))
+            ),
+            slice(t, lit(3), nTri),
+            (ab, c3) =>
+              struct(
+                ab.getField("w1").as("w1"),
+                ab.getField("w2").as("w2"),
+                c3.as("w3")
+              )
+          )
+        ).as("g")
+      )
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+      // feeds the trigram LM aggregate and the scoring join —
+      // materialize once (Spark does not dedupe DAG subtrees)
+      .cache()
+    val tri = docTri
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("c")).as("n3"))
+      .cache()
+    val triCtx = tri
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n3")).as("n2ctx"))
+    val bi = toksDf
+      .filter(size(t) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("w2"), b.as("w3"))
+          )
+        ).as("b")
+      )
+      .select(col("b.w2"), col("b.w3"))
+      .groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("nb"))
+      .cache()
+    val biCtx = bi.groupBy(col("w2")).agg(sum(col("nb")).as("nbctx"))
+    val uni = toksDf
+      .select(explode(t).as("w3"))
+      .groupBy(col("w3"))
+      .agg(count(lit(1)).as("n1"))
+    val tot = uni.agg(sum(col("n1")).cast("double").as("tot"))
+    val p = lit(0.6) * col("n3") / col("n2ctx") +
+      lit(0.3) * col("nb") / col("nbctx") +
+      lit(0.1) * col("n1") / col("tot")
+    val scored = docTri
+      .join(tri, Seq("w1", "w2", "w3"))
+      .join(triCtx, Seq("w1", "w2"))
+      .join(bi, Seq("w2", "w3"))
+      .join(biCtx, Seq("w2"))
+      .join(uni, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_trigrams"),
+        (sum(col("c") * -log(p)) / sum(col("c"))).as("x")
+      )
+      // feeds the corpus-mean aggregate and the final projection
+      .cache()
+    val meanPpl = scored.agg(avg(exp(col("x"))).as("mean_ppl"))
+    scored
+      .crossJoin(broadcast(meanPpl))
+      .select(
+        col("doc_id"),
+        col("n_trigrams"),
+        round(col("x"), 6).as("xent"),
+        round(exp(col("x")), 6).as("ppl"),
+        (exp(col("x")) <= col("mean_ppl")).cast("int").as("keep")
+      )
+  }
 }
