@@ -429,6 +429,10 @@ object SparkEntry {
     // count tables from one corpus pass, docs scored by joining
     // distinct-trigram counts against them.
     "q127_trigram_ppl" -> (TextAnalysis.trigramPerplexity(_, _)),
+    // Product quantization + ADC top-k: per-subspace codebooks
+    // (deterministic init + 1 Lloyd round), 4-byte codes, broadcast
+    // per-query lookup tables, exact-distance audit column.
+    "q128_pq_adc" -> (Similarity.pqAdcTopK(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -2258,6 +2262,82 @@ object SparkEntry {
            round(exp(x), 6) AS ppl,
            CAST(exp(x) <= mean_ppl AS INTEGER) AS keep
          FROM sc CROSS JOIN m""",
+    // q128: the four per-subspace codebooks replayed exactly like
+    // q93 (same init, same one Lloyd round, same (dist, cluster)
+    // tie-break, same rounded-mean update), then encode → LUT join →
+    // left-to-right 4-term ADC sum. Heavy CTEs are MATERIALIZED —
+    // DuckDB would otherwise re-inline each subspace chain per use.
+    "q128_pq_adc" -> {
+      val m = 4; val subDim = 16; val k = 16
+      val nQ = 5; val topK = 10
+      def assignCte(name: String, sub: String, cents: String): String =
+        s"""$name AS MATERIALIZED (SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cluster) AS rn
+           FROM (SELECT t.vec_id, c.cluster,
+                   list_sum(list_transform(list_zip(t.emb, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+                 FROM $sub t CROSS JOIN $cents c) x)"""
+      def updateCte(name: String, sub: String, assigned: String): String =
+        s"""$name AS MATERIALIZED (
+             SELECT cluster, list(v ORDER BY dim) AS c_vec FROM (
+             SELECT a.cluster, s.dim AS dim, round(avg(s.x), 6) AS v
+             FROM (SELECT vec_id,
+                     unnest(list_transform(range(len(emb)),
+                       i -> {'dim': i, 'x': emb[i+1]})) AS s FROM $sub) cells
+             JOIN (SELECT vec_id, cluster FROM $assigned WHERE rn = 1) a
+               USING (vec_id)
+             GROUP BY 1, 2) mm GROUP BY cluster)"""
+      val subCtes = (0 until m).map { b =>
+        s"""s$b AS MATERIALIZED (SELECT vec_id,
+              list_slice(emb, ${b * subDim + 1}, ${(b + 1) * subDim})
+                AS emb FROM e),
+           i$b AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                     AS INTEGER) AS cluster, emb AS c_vec
+                   FROM (SELECT vec_id, emb FROM s$b
+                         ORDER BY vec_id LIMIT $k) x),
+           ${assignCte(s"a$b", s"s$b", s"i$b")},
+           ${updateCte(s"u$b", s"s$b", s"a$b")},
+           ${assignCte(s"f$b", s"s$b", s"u$b")},
+           l$b AS (SELECT q.vec_id AS query_id, c.cluster AS c$b,
+                     list_sum(list_transform(list_zip(q.emb, c.c_vec),
+                       p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d$b
+                   FROM s$b q CROSS JOIN u$b c
+                   WHERE q.vec_id < $nQ)"""
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         $subCtes,
+         codes AS MATERIALIZED (
+           SELECT f0.vec_id, f0.cluster AS c0, f1.cluster AS c1,
+             f2.cluster AS c2, f3.cluster AS c3
+           FROM (SELECT vec_id, cluster FROM f0 WHERE rn = 1) f0
+           JOIN (SELECT vec_id, cluster FROM f1 WHERE rn = 1) f1
+             USING (vec_id)
+           JOIN (SELECT vec_id, cluster FROM f2 WHERE rn = 1) f2
+             USING (vec_id)
+           JOIN (SELECT vec_id, cluster FROM f3 WHERE rn = 1) f3
+             USING (vec_id)),
+         adc AS (SELECT l0.query_id, v.vec_id,
+             round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 6) AS adc
+           FROM codes v
+           JOIN l0 ON v.c0 = l0.c0
+           JOIN l1 ON l1.query_id = l0.query_id AND v.c1 = l1.c1
+           JOIN l2 ON l2.query_id = l0.query_id AND v.c2 = l2.c2
+           JOIN l3 ON l3.query_id = l0.query_id AND v.c3 = l3.c3),
+         ex AS (SELECT q.vec_id AS query_id, v.vec_id,
+             round(list_sum(list_transform(list_zip(v.emb, q.emb),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS exact_dist
+           FROM e v CROSS JOIN e q WHERE q.vec_id < $nQ)
+         SELECT query_id, vec_id, CAST(rank AS INTEGER) AS rank,
+           adc, exact_dist
+         FROM (SELECT a.query_id, a.vec_id, a.adc, ex.exact_dist,
+                 row_number() OVER (PARTITION BY a.query_id
+                   ORDER BY a.adc, a.vec_id) AS rank
+               FROM adc a JOIN ex USING (query_id, vec_id)) r
+         WHERE rank <= $topK"""
+    },
     "q31_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -388,4 +388,111 @@ object Similarity {
         round(max(abs(col("err"))), 6).as("max_abs_err")
       )
   }
+
+  /** q128: product quantization with asymmetric-distance (ADC) top-k
+    * — the IVF-PQ coding layer of a billion-vector ANN index (Jégou
+    * et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011). The 64-dim vectors are split into `m`=4 16-dim
+    * subspaces; each subspace trains its own k=16 codebook
+    * (deterministic init = the k lowest vec_ids' subvectors, one
+    * Lloyd round via [[Clustering.assign]]/[[Clustering.update]] —
+    * the same contract the q93 oracle replays); every vector is
+    * encoded to 4 code columns (4 bytes replacing 256 float bytes).
+    *
+    * Query scoring is pure ADC: per query a (subspace, code) →
+    * squared-distance lookup table of m·k rows is computed against
+    * the codebooks and broadcast; candidate distance = the sum of 4
+    * table lookups — no full-vector math at query time. The exact
+    * squared distance joins in as the recall audit column.
+    *
+    * Scale: the corpus is scanned for encoding and never shuffled on
+    * vector payloads afterwards (codes travel, vectors don't); LUTs
+    * are broadcast; the rank ≤ k filter over the per-query window is
+    * rewritten by Spark's WindowGroupLimit to per-partition top-k
+    * before the exchange, so no query partition ever materializes
+    * the full corpus sorted.
+    */
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val m = 4; val subDim = 16; val k = 16
+    val nQueries = 5; val topK = 10
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+    val perSub = (0 until m).map { b =>
+      val sub = e.select(
+        col("vec_id"),
+        slice(col("embedding"), b * subDim + 1, subDim).as("embedding")
+      )
+      val init = sub
+        .orderBy(col("vec_id"))
+        .limit(k)
+        .withColumn(
+          "cluster",
+          row_number().over(Window.orderBy(col("vec_id"))) - 1
+        )
+        .select(
+          col("cluster"),
+          transform(col("embedding"), x => x.cast("double")).as("c_vec")
+        )
+        .localCheckpoint(true)
+      val cent = Clustering
+        .update(sub, Clustering.assign(sub, init))
+        .localCheckpoint(true)
+      val codes = Clustering
+        .assign(sub, cent)
+        .select(col("vec_id"), col("cluster").as(s"c$b"))
+      val lut = sub
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cent))
+        .select(
+          col("query_id"),
+          col("cluster").as(s"c$b"),
+          graft.functions.VectorMath
+            .vecSqDist(col("qe"), col("c_vec"))
+            .as(s"d$b")
+        )
+      (codes, lut)
+    }
+    val packed = perSub
+      .map(_._1)
+      .reduce((a, b) => a.join(b, "vec_id"))
+    var adc = packed.join(broadcast(perSub.head._2), Seq("c0"))
+    for (b <- 1 until m)
+      adc = adc.join(broadcast(perSub(b)._2), Seq("query_id", s"c$b"))
+    val adcScore = (1 until m)
+      .map(b => col(s"d$b"))
+      .foldLeft(col("d0"))(_ + _)
+    val qs = e
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qe")
+      )
+    val exact = e
+      .crossJoin(broadcast(qs))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        graft.functions.VectorMath
+          .vecSqDist(col("embedding"), col("qe"))
+          .as("exact_dist")
+      )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    adc
+      .select(col("query_id"), col("vec_id"), round(adcScore, 6).as("adc"))
+      .join(exact, Seq("query_id", "vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("rank"),
+        col("adc"),
+        round(col("exact_dist"), 6).as("exact_dist")
+      )
+  }
 }
