@@ -433,6 +433,10 @@ object SparkEntry {
     // (deterministic init + 1 Lloyd round), 4-byte codes, broadcast
     // per-query lookup tables, exact-distance audit column.
     "q128_pq_adc" -> (Similarity.pqAdcTopK(_, _)),
+    // Trained multinomial naive-Bayes lang classifier: one counting
+    // pass to train, sparse log-posterior scoring join, per-doc
+    // argmax + margin + self-audit vs the stored label.
+    "q129_nb_langid" -> (TextAnalysis.nbLangId(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -2262,6 +2266,52 @@ object SparkEntry {
            round(exp(x), 6) AS ppl,
            CAST(exp(x) <= mean_ppl AS INTEGER) AS keep
          FROM sc CROSS JOIN m""",
+    // q129: identical sparse-NB identity — unseen (token, lang)
+    // pairs contribute ln(1) = 0, so only the observed count table
+    // joins in; argmax/margin replayed through the same (score desc,
+    // lang asc) window.
+    "q129_nb_langid" ->
+      """WITH t AS (SELECT doc_id, lang,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\s+')
+                  END AS toks FROM documents),
+         tok AS MATERIALIZED (
+           SELECT doc_id, lang, unnest(toks) AS w FROM t),
+         dt AS MATERIALIZED (
+           SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         tl AS MATERIALIZED (
+           SELECT lang AS l, w, count(*) AS ctl FROM tok GROUP BY 1, 2),
+         ls AS (SELECT l, CAST(sum(ctl) AS BIGINT) AS cl
+                FROM tl GROUP BY 1),
+         pr AS (SELECT lang AS l, count(DISTINCT doc_id) AS n_docs
+                FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM pr),
+         v AS (SELECT count(DISTINCT w) AS v FROM tl),
+         lc AS (SELECT ls.l, ln(pr.n_docs / tot.tot) AS ln_prior,
+                  ln(ls.cl + v.v) AS ln_denom
+                FROM ls JOIN pr USING (l) CROSS JOIN tot CROSS JOIN v),
+         ss AS MATERIALIZED (
+           SELECT dt.doc_id, tl.l, sum(dt.c * ln(tl.ctl + 1)) AS s1
+           FROM dt JOIN tl USING (w) GROUP BY 1, 2),
+         dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_doc
+                FROM dt GROUP BY 1),
+         sc AS MATERIALIZED (
+           SELECT d.doc_id, d.lang, lc.l,
+             lc.ln_prior - dn.n_doc * lc.ln_denom
+               + coalesce(ss.s1, 0.0) AS score
+           FROM (SELECT doc_id, lang FROM t) d
+           JOIN dn USING (doc_id)
+           CROSS JOIN lc
+           LEFT JOIN ss ON ss.doc_id = d.doc_id AND ss.l = lc.l),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, l ASC) AS rn FROM sc)
+         SELECT doc_id, any_value(lang) AS lang,
+           max(CASE WHEN rn = 1 THEN l END) AS pred_lang,
+           round(max(CASE WHEN rn = 1 THEN score END)
+             - max(CASE WHEN rn = 2 THEN score END), 6) AS margin,
+           CAST(max(CASE WHEN rn = 1 THEN l END) = any_value(lang)
+             AS INTEGER) AS correct
+         FROM rk WHERE rn <= 2 GROUP BY doc_id""",
     // q128: the four per-subspace codebooks replayed exactly like
     // q93 (same init, same one Lloyd round, same (dist, cluster)
     // tie-break, same rounded-mean update), then encode → LUT join →

@@ -961,4 +961,104 @@ object TextAnalysis {
         (exp(col("x")) <= col("mean_ppl")).cast("int").as("keep")
       )
   }
+
+  /** q129: multinomial naive-Bayes language classifier, trained and
+    * evaluated distributed — the trained-classifier counterpart of
+    * the q16 n-gram heuristic (the "quality/domain classifier filter"
+    * stage of a corpus pipeline, with lang as the label). Training is
+    * one aggregation pass (token-per-lang counts, lang totals,
+    * doc-count priors, |V|); scoring uses the sparse log-posterior
+    * identity with add-1 smoothing:
+    *
+    *   score(d,l) = ln P(l) − N_d·ln(c_l + V) + Σ_t c_t·ln(c_{t,l}+1)
+    *
+    * Unseen (token, lang) pairs contribute c_t·ln(1) = 0, so the Σ
+    * term needs only the OBSERVED count table — an inner join on
+    * token carrying pre-aggregated counts, never a dense vocab×lang
+    * cross. Output: per-doc argmax lang, the margin to the runner-up,
+    * and the correctness flag against the stored label (the model
+    * audits itself on its training corpus).
+    *
+    * Scale: count tables are vocabulary-sized aggregates; the scoring
+    * join shuffles (doc, token, count) rows once; the doc×lang score
+    * frame has |langs| rows per doc; the argmax window partitions on
+    * doc_id (bounded |langs|-row partitions). The standard sparse NB
+    * topology at any corpus size.
+    */
+  def nbLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+    val toks = docs
+      .select(col("doc_id"), col("lang"), explode(col("t")).as("w"))
+      .cache()
+    val docTok = toks
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tl = toks
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("ctl"))
+      .cache()
+    val langStats = tl
+      .groupBy(col("lang"))
+      .agg(sum(col("ctl")).as("cl"))
+    val priors = toks
+      .select(col("doc_id"), col("lang"))
+      .distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totDocs = priors.agg(sum(col("n_docs")).cast("double").as("tot"))
+    val vocab = tl.select(col("w")).distinct().agg(count(lit(1)).as("v"))
+    // per-lang constants: ln prior − (per-token) ln(c_l + V), one
+    // broadcastable |langs|-row frame
+    val langConst = langStats
+      .join(priors, "lang")
+      .crossJoin(broadcast(totDocs))
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("lang").as("l"),
+        log(col("n_docs") / col("tot")).as("ln_prior"),
+        log(col("cl") + col("v")).as("ln_denom")
+      )
+    val sparseSum = docTok
+      .join(tl.select(col("lang").as("l"), col("w"), col("ctl")), "w")
+      .groupBy(col("doc_id"), col("l"))
+      .agg(sum(col("c") * log(col("ctl") + 1)).as("s1"))
+    val docN = docTok.groupBy(col("doc_id")).agg(sum(col("c")).as("n_doc"))
+    val scores = docs
+      .select(col("doc_id"), col("lang"))
+      .join(docN, "doc_id")
+      .crossJoin(broadcast(langConst))
+      .join(sparseSum, Seq("doc_id", "l"), "left")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("l"),
+        (col("ln_prior") - col("n_doc") * col("ln_denom") +
+          coalesce(col("s1"), lit(0.0))).as("score")
+      )
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("l").asc)
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("doc_id"))
+      .agg(
+        first(col("lang")).as("lang"),
+        max(when(col("rn") === 1, col("l"))).as("pred_lang"),
+        round(
+          max(when(col("rn") === 1, col("score"))) -
+            max(when(col("rn") === 2, col("score"))),
+          6
+        ).as("margin")
+      )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("pred_lang"),
+        col("margin"),
+        (col("pred_lang") === col("lang")).cast("int").as("correct")
+      )
+  }
 }
