@@ -294,6 +294,39 @@ object ScaleBench {
     require(bpeMerges.length == 4 && bpeMerges.forall(_.getLong(3) > 0),
       "BPE merge loop must learn 4 positive-count merges")
 
+    // --- PQ train→encode→ADC at ~100k vectors: codebook training
+    // (Lloyd over broadcast centroids) and the encode pass both scan
+    // the corpus without shuffling vector payloads; ADC is 4
+    // broadcast-LUT lookups per candidate
+    val tPq = System.nanoTime()
+    val pqTop = graft.operators.Similarity.pqAdcTopKFrom(vecs).collect()
+    val pqSec = (System.nanoTime() - tPq) / 1e9
+    require(pqTop.length == 50, s"PQ top-k rows: ${pqTop.length}")
+    require(
+      pqTop.filter(r => r.getLong(0) == r.getLong(1)).forall(_.getInt(2) == 1),
+      "PQ self-match must rank first at 100k vectors")
+
+    // --- NB classifier train→score at ~100k docs: one counting pass
+    // over the token stream, vocabulary-sized count tables, sparse
+    // scoring join carrying pre-aggregated counts
+    val nbDocs = Tables
+      .documents(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(docMult - 1))))
+      .select(
+        (col("doc_id") + col("rep") * 500).as("doc_id"),
+        col("lang"),
+        concat(col("text"), lit(" rep"), col("rep") % 7).as("text")
+      )
+      .repartition(cpus.toInt)
+    val tNb = System.nanoTime()
+    val nbScored = graft.operators.TextAnalysis.nbLangIdFrom(nbDocs)
+    val nbAgg = nbScored
+      .agg(count(lit(1)).as("n"), sum(col("correct")).as("ok"))
+      .collect()(0)
+    val nbSec = (System.nanoTime() - tNb) / 1e9
+    require(nbAgg.getLong(0) == nDocs,
+      s"NB must score every doc: ${nbAgg.getLong(0)} of $nDocs")
+
     val t4 = System.nanoTime()
     val kmvEst = docs
       .select(graft.functions.TextFunctions.hash60(col("doc_id")).as("h"))
@@ -571,6 +604,9 @@ object ScaleBench {
         s""""simhash_band_candidates":$simBandCands,""" +
         s""""simhash_band_sec":$simBandSec,""" +
         s""""bpe_rounds":${bpeMerges.length},"bpe_sec":$bpeSec,""" +
+        s""""pq_topk_rows":${pqTop.length},"pq_sec":$pqSec,""" +
+        s""""nb_docs":${nbAgg.getLong(0)},""" +
+        s""""nb_correct":${nbAgg.getLong(1)},"nb_sec":$nbSec,""" +
         s""""quality_col_sec":$qualityColSec,"quality_fused_sec":$qualityFusedSec,""" +
         s""""cc_nodes":${ccN + chainN},"cc_components":$ccComponents,""" +
         s""""cc_rounds":$ccRounds,"cc_sec":$ccSec,""" +

@@ -412,13 +412,19 @@ object Similarity {
     * before the exchange, so no query partition ever materializes
     * the full corpus sorted.
     */
-  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+  def pqAdcTopK(spark: SparkSession, dir: String): DataFrame =
+    pqAdcTopKFrom(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    )
+
+  /** The PQ train→encode→ADC pipeline over a prepared
+    * (vec_id, embedding) frame (ScaleBench runs it on a replicated
+    * 100k-vector corpus).
+    */
+  def pqAdcTopKFrom(vectors: DataFrame): DataFrame = {
     val m = 4; val subDim = 16; val k = 16
     val nQueries = 5; val topK = 10
-    val e = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .cache()
+    val e = vectors.cache()
     val perSub = (0 until m).map { b =>
       val sub = e.select(
         col("vec_id"),

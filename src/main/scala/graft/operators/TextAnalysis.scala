@@ -985,9 +985,19 @@ object TextAnalysis {
     * doc_id (bounded |langs|-row partitions). The standard sparse NB
     * topology at any corpus size.
     */
-  def nbLangId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables
-      .documents(spark, dir)
+  def nbLangId(spark: SparkSession, dir: String): DataFrame =
+    nbLangIdFrom(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+    )
+
+  /** The NB train→score pipeline over a prepared (doc_id, lang,
+    * text) frame (ScaleBench runs it on a replicated 100k-doc
+    * corpus).
+    */
+  def nbLangIdFrom(labeled: DataFrame): DataFrame = {
+    val docs = labeled
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
     val toks = docs
       .select(col("doc_id"), col("lang"), explode(col("t")).as("w"))
