@@ -437,6 +437,9 @@ object SparkEntry {
     // pass to train, sparse log-posterior scoring join, per-doc
     // argmax + margin + self-audit vs the stored label.
     "q129_nb_langid" -> (TextAnalysis.nbLangId(_, _)),
+    // Composed corpus-assembly manifest: dedup survivors ∩ ppl-kept
+    // docs → deterministic hash shards with per-shard positions.
+    "q130_training_manifest" -> (Sampling.trainingManifest(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -791,6 +794,105 @@ object SparkEntry {
                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
               FROM documents) t
         WHERE len(toks) >= 3)"""
+
+  /** The q127 interpolated trigram-LM chain through the per-doc
+    * score CTE `sc` (cross-entropy `x`) and the corpus-mean CTE `m`
+    * — shared by the q127 oracle and the composed q130 manifest
+    * oracle.
+    */
+  private val trigramLmCtes: String =
+    """t AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\s+')
+                  END AS toks FROM documents),
+         dt AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3,
+                  count(*) AS c
+                FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(toks) - 2),
+                          i -> {'w1': toks[i+1], 'w2': toks[i+2],
+                                'w3': toks[i+3]})) AS s
+                      FROM t WHERE len(toks) >= 3) x
+                GROUP BY 1, 2, 3, 4),
+         tri AS (SELECT w1, w2, w3, CAST(sum(c) AS BIGINT) AS n3
+                 FROM dt GROUP BY 1, 2, 3),
+         trictx AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS n2ctx
+                    FROM tri GROUP BY 1, 2),
+         bi AS (SELECT s.w2 AS w2, s.w3 AS w3, count(*) AS nb
+                FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+                        i -> {'w2': toks[i+1], 'w3': toks[i+2]})) AS s
+                      FROM t WHERE len(toks) >= 2) x
+                GROUP BY 1, 2),
+         bictx AS (SELECT w2, CAST(sum(nb) AS BIGINT) AS nbctx
+                   FROM bi GROUP BY 1),
+         uni AS (SELECT w3, count(*) AS n1 FROM
+                   (SELECT unnest(toks) AS w3 FROM t) u GROUP BY 1),
+         tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS tot FROM uni),
+         sc AS MATERIALIZED (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+                  sum(c * -ln(0.6 * n3 / n2ctx + 0.3 * nb / nbctx
+                      + 0.1 * n1 / tot)) / sum(c) AS x
+                FROM dt
+                JOIN tri USING (w1, w2, w3)
+                JOIN trictx USING (w1, w2)
+                JOIN bi USING (w2, w3)
+                JOIN bictx USING (w2)
+                JOIN uni USING (w3)
+                CROSS JOIN tot
+                GROUP BY doc_id),
+         m AS (SELECT avg(exp(x)) AS mean_ppl FROM sc)"""
+
+  /** The q78 canonical-dedup chain (shingle pairs → recursive
+    * transitive closure → per-cluster quality argmax) through a
+    * ranked `surv` CTE — shared by the q78 oracle and the composed
+    * q130 manifest oracle.
+    */
+  private val canonicalChainCtes: String =
+    s"""$shinglesCte,
+       e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+              WHERE len(sh) > 0),
+       pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                count(*) AS inter,
+                any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+              FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       ed AS (SELECT doc_a, doc_b FROM pr
+              WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.05),
+       nodes AS (SELECT doc_id FROM d WHERE len(sh) > 0),
+       sym AS (SELECT doc_a AS a, doc_b AS b FROM ed
+               UNION SELECT doc_b, doc_a FROM ed),
+       reach(a, b) AS (
+         SELECT doc_id, doc_id FROM nodes
+         UNION
+         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+       lab AS (SELECT a AS doc_id, min(b) AS cluster_id
+               FROM reach GROUP BY a),
+       sz AS (SELECT cluster_id, count(*) AS cluster_size
+              FROM lab GROUP BY 1),
+       qq AS (SELECT doc_id,
+                round(0.5 * least(n_toks / 200.0, 1.0)
+                    + 0.4 * least(stop_raw * 5.0, 1.0)
+                    + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
+              FROM (SELECT doc_id,
+                      CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE len(list_filter(toks, w -> w IN
+                             ('the','a','an','and','or','of','to','in','is','it')
+                             ))::DOUBLE / len(toks) END AS stop_raw,
+                      len(toks)::DOUBLE AS n_toks,
+                      CASE WHEN length(text) = 0 THEN 0.0
+                           ELSE (length(text)
+                                 - length(translate(text, '.,!?;:', '')))::DOUBLE
+                                / length(text) END AS punct_frac
+                    FROM (SELECT doc_id, text,
+                            CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                                 ELSE regexp_split_to_array(trim(text), '\\s+')
+                            END AS toks
+                          FROM documents) a) b),
+       surv AS (SELECT lab.cluster_id, sz.cluster_size, lab.doc_id, qq.q,
+                  row_number() OVER (PARTITION BY lab.cluster_id
+                    ORDER BY qq.q DESC, lab.doc_id ASC) AS rn
+                FROM lab
+                JOIN sz USING (cluster_id)
+                JOIN qq USING (doc_id))"""
 
   /** DuckDB-dialect oracle for each query (same column aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -2223,49 +2325,29 @@ object SparkEntry {
     // engine; every component is positive (scored corpus = training
     // corpus) so the ln never sees zero.
     "q127_trigram_ppl" ->
-      """WITH t AS (SELECT doc_id,
-                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                       ELSE regexp_split_to_array(trim(text), '\s+')
-                  END AS toks FROM documents),
-         dt AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3,
-                  count(*) AS c
-                FROM (SELECT doc_id,
-                        unnest(list_transform(range(len(toks) - 2),
-                          i -> {'w1': toks[i+1], 'w2': toks[i+2],
-                                'w3': toks[i+3]})) AS s
-                      FROM t WHERE len(toks) >= 3) x
-                GROUP BY 1, 2, 3, 4),
-         tri AS (SELECT w1, w2, w3, CAST(sum(c) AS BIGINT) AS n3
-                 FROM dt GROUP BY 1, 2, 3),
-         trictx AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS n2ctx
-                    FROM tri GROUP BY 1, 2),
-         bi AS (SELECT s.w2 AS w2, s.w3 AS w3, count(*) AS nb
-                FROM (SELECT unnest(list_transform(range(len(toks) - 1),
-                        i -> {'w2': toks[i+1], 'w3': toks[i+2]})) AS s
-                      FROM t WHERE len(toks) >= 2) x
-                GROUP BY 1, 2),
-         bictx AS (SELECT w2, CAST(sum(nb) AS BIGINT) AS nbctx
-                   FROM bi GROUP BY 1),
-         uni AS (SELECT w3, count(*) AS n1 FROM
-                   (SELECT unnest(toks) AS w3 FROM t) u GROUP BY 1),
-         tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS tot FROM uni),
-         sc AS MATERIALIZED (
-                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
-                  sum(c * -ln(0.6 * n3 / n2ctx + 0.3 * nb / nbctx
-                      + 0.1 * n1 / tot)) / sum(c) AS x
-                FROM dt
-                JOIN tri USING (w1, w2, w3)
-                JOIN trictx USING (w1, w2)
-                JOIN bi USING (w2, w3)
-                JOIN bictx USING (w2)
-                JOIN uni USING (w3)
-                CROSS JOIN tot
-                GROUP BY doc_id),
-         m AS (SELECT avg(exp(x)) AS mean_ppl FROM sc)
+      s"""WITH $trigramLmCtes
          SELECT doc_id, n_trigrams, round(x, 6) AS xent,
            round(exp(x), 6) AS ppl,
            CAST(exp(x) <= mean_ppl AS INTEGER) AS keep
          FROM sc CROSS JOIN m""",
+    // q130: the composed corpus-assembly manifest — q78's canonical
+    // survivors ∩ q127's perplexity-kept docs, sharded by the q75
+    // doc_id hash; both chains reused verbatim.
+    "q130_training_manifest" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         $trigramLmCtes,
+         keepd AS (SELECT doc_id, round(exp(x), 6) AS ppl
+                   FROM sc CROSS JOIN m WHERE exp(x) <= mean_ppl),
+         man AS (SELECT s.doc_id, k.ppl,
+                   ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+                     AS h
+                 FROM (SELECT doc_id FROM surv WHERE rn = 1) s
+                 JOIN keepd k USING (doc_id))
+         SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8
+             ORDER BY h ASC, doc_id ASC) AS INTEGER) AS position,
+           ppl
+         FROM man""",
     // q129: identical sparse-NB identity — unseen (token, lang)
     // pairs contribute ln(1) = 0, so only the observed count table
     // joins in; argmax/margin replayed through the same (score desc,
@@ -2406,55 +2488,10 @@ object SparkEntry {
     // q78: q72's transitive closure + q15's quality formula; the
     // survivor is the per-cluster (quality desc, doc_id asc) argmax.
     "q78_canonical_docs" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
-                WHERE len(sh) > 0),
-         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  count(*) AS inter,
-                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
-                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2),
-         ed AS (SELECT doc_a, doc_b FROM pr
-                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.05),
-         nodes AS (SELECT doc_id FROM d WHERE len(sh) > 0),
-         sym AS (SELECT doc_a AS a, doc_b AS b FROM ed
-                 UNION SELECT doc_b, doc_a FROM ed),
-         reach(a, b) AS (
-           SELECT doc_id, doc_id FROM nodes
-           UNION
-           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
-         lab AS (SELECT a AS doc_id, min(b) AS cluster_id
-                 FROM reach GROUP BY a),
-         sz AS (SELECT cluster_id, count(*) AS cluster_size
-                FROM lab GROUP BY 1),
-         qq AS (SELECT doc_id,
-                  round(0.5 * least(n_toks / 200.0, 1.0)
-                      + 0.4 * least(stop_raw * 5.0, 1.0)
-                      + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
-                FROM (SELECT doc_id,
-                        CASE WHEN len(toks) = 0 THEN 0.0
-                             ELSE len(list_filter(toks, w -> w IN
-                               ('the','a','an','and','or','of','to','in','is','it')
-                               ))::DOUBLE / len(toks) END AS stop_raw,
-                        len(toks)::DOUBLE AS n_toks,
-                        CASE WHEN length(text) = 0 THEN 0.0
-                             ELSE (length(text)
-                                   - length(translate(text, '.,!?;:', '')))::DOUBLE
-                                  / length(text) END AS punct_frac
-                      FROM (SELECT doc_id, text,
-                              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                                   ELSE regexp_split_to_array(trim(text), '\\s+')
-                              END AS toks
-                            FROM documents) a) b)
+      s"""WITH RECURSIVE $canonicalChainCtes
          SELECT cluster_id, cluster_size, doc_id AS keep_doc,
            q AS keep_quality
-         FROM (SELECT l.cluster_id, s.cluster_size, l.doc_id, qq.q,
-                 row_number() OVER (PARTITION BY l.cluster_id
-                   ORDER BY qq.q DESC, l.doc_id ASC) AS rn
-               FROM lab l
-               JOIN sz s USING (cluster_id)
-               JOIN qq USING (doc_id)) t
-         WHERE rn = 1""",
+         FROM surv WHERE rn = 1""",
     // q79: identical RANGE frame on epoch micros.
     "q79_rolling_hour" ->
       """SELECT event_id, user_id,

@@ -104,6 +104,48 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("position"))
   }
 
+  /** q130: the composed training-data manifest — the final corpus
+    * assembly a training run ships: near-dup canonical survivors
+    * ([[Dedup.canonicalDocs]], q78) intersected with the perplexity
+    * gate's kept set ([[TextAnalysis.trigramPerplexity]], q127),
+    * then assigned to the q75 deterministic hash shards with a
+    * per-shard position. One query = the whole curation DAG: pair
+    * generation → transitive closure → survivor argmax → LM scoring
+    * → relative gate → shard layout.
+    *
+    * Scale: each stage keeps its own audited topology (banded pair
+    * joins, O(log d) CC rounds, count-carrying LM joins); the final
+    * intersection is a key-shuffle join on doc_id and the shard
+    * window partitions on the shard hash — nothing here adds a new
+    * all-pairs or single-partition step.
+    */
+  def trainingManifest(
+      spark: SparkSession,
+      dir: String,
+      numShards: Int = 8
+  ): DataFrame = {
+    val surv = Dedup
+      .canonicalDocs(spark, dir)
+      .select(col("keep_doc").as("doc_id"))
+    val kept = TextAnalysis
+      .trigramPerplexity(spark, dir)
+      .filter(col("keep") === 1)
+      .select(col("doc_id"), col("ppl"))
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    surv
+      .join(kept, "doc_id")
+      .select(
+        col("doc_id"),
+        col("ppl"),
+        graft.functions.TextFunctions.hash60(col("doc_id")).as("h")
+      )
+      .withColumn("shard", (col("h") % numShards).cast("int"))
+      .withColumn("position", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("position"), col("ppl"))
+  }
+
   /** q89: value-bucketed deciles via broadcast boundaries — the
     * sort-free alternative to q50's exact count-balanced ntile: one
     * tiny aggregate computes the nine decile boundaries of the
