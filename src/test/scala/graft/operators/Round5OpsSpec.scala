@@ -115,6 +115,35 @@ class Round5OpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("q130: manifest = survivors ∩ kept, positions contiguous per shard") {
+    val man = Sampling.trainingManifest(spark, dir).cache()
+    val surv = Dedup
+      .canonicalDocs(spark, dir)
+      .select(col("keep_doc").as("doc_id"))
+    val kept = TextAnalysis
+      .trigramPerplexity(spark, dir)
+      .filter(col("keep") === 1)
+      .select(col("doc_id"))
+    val expected = surv.join(kept, "doc_id")
+    assert(man.count() == expected.count())
+    assert(man.join(expected, "doc_id").count() == man.count())
+    // every shard's positions are exactly 1..n, no gaps or dups
+    val bad = man
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("position")).as("mn"),
+        max(col("position")).as("mx"),
+        countDistinct(col("position")).as("nd")
+      )
+      .filter(
+        col("mn") =!= 1 || col("mx") =!= col("n") || col("nd") =!= col("n")
+      )
+      .count()
+    assert(bad == 0L)
+    man.unpersist()
+  }
+
   test("q129: scoring a doc of one lang's exclusive tokens predicts that lang") {
     // toy corpus where vocabulary determines the label exactly: NB
     // must recover it with a wide margin
