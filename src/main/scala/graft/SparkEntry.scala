@@ -440,6 +440,9 @@ object SparkEntry {
     // Composed corpus-assembly manifest: dedup survivors ∩ ppl-kept
     // docs → deterministic hash shards with per-shard positions.
     "q130_training_manifest" -> (Sampling.trainingManifest(_, _)),
+    // DSIR importance weights: hashed-ngram target/source likelihood
+    // ratios from a fixed 1024-bucket table (always broadcast).
+    "q131_dsir_weights" -> (Sampling.dsirWeights(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -2394,6 +2397,42 @@ object SparkEntry {
            CAST(max(CASE WHEN rn = 1 THEN l END) = any_value(lang)
              AS INTEGER) AS correct
          FROM rk WHERE rn <= 2 GROUP BY doc_id""",
+    // q131: identical hashed-feature multinomials; hash60 replayed
+    // as the md5 15-hex-char prefix (the q75 shard construction).
+    "q131_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\s+')
+                  END AS toks FROM documents),
+         g AS (SELECT doc_id, lang, unnest(toks) AS g FROM t
+               UNION ALL
+               SELECT doc_id, lang,
+                 unnest(list_transform(range(len(toks) - 1),
+                   i -> toks[i+1] || ' ' || toks[i+2])) AS g
+               FROM t WHERE len(toks) >= 2),
+         f AS MATERIALIZED (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+           FROM g),
+         db AS (SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2),
+         sc AS (SELECT b, count(*) AS cs FROM f GROUP BY 1),
+         tc AS (SELECT b, count(*) AS ct FROM f WHERE lang = 'en'
+                GROUP BY 1),
+         tot AS (SELECT count(*)::DOUBLE AS ns,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                     AS nt
+                 FROM f),
+         r AS (SELECT sc.b,
+                 ln((coalesce(tc.ct, 0) + 1) / (tot.nt + 1024))
+                   - ln((sc.cs + 1) / (tot.ns + 1024)) AS lr
+               FROM sc LEFT JOIN tc USING (b) CROSS JOIN tot),
+         w AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                 sum(c * lr) AS lw
+               FROM db JOIN r USING (b) GROUP BY 1)
+         SELECT doc_id, n_ngrams, round(lw, 6) AS logw,
+           round(lw / n_ngrams, 6) AS logw_per_ngram,
+           CAST(lw > 0 AS INTEGER) AS keep
+         FROM w""",
     // q128: the four per-subspace codebooks replayed exactly like
     // q93 (same init, same one Lloyd round, same (dist, cluster)
     // tie-break, same rounded-mean update), then encode → LUT join →

@@ -146,6 +146,99 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("position"), col("ppl"))
   }
 
+  /** q131: DSIR-style importance weighting (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document by how target-like its
+    * hashed n-gram profile is. Features are unigrams + bigrams
+    * hashed into a FIXED 1024-bucket space; target (here: the 'en'
+    * slice) and source (the whole corpus) each get an add-1-smoothed
+    * bag-of-ngrams multinomial over the buckets, and
+    *
+    *   logw(d) = Σ_b c_d(b) · ln(p_tgt(b) / p_src(b))
+    *
+    * with keep = logw > 0 (more target-like than source-average; the
+    * paper resamples by these weights — the deterministic gate keeps
+    * the oracle exact).
+    *
+    * Scale: the hashed feature space makes the ratio table O(buckets)
+    * — 1024 rows regardless of corpus size, ALWAYS broadcast — unlike
+    * the vocabulary-sized NB tables of q129; the per-doc score is one
+    * broadcast join over pre-aggregated (doc, bucket) counts. This is
+    * why DSIR runs on trillions of tokens: the model state is fixed
+    * and tiny, and the corpus is touched by exactly two counting
+    * passes (one building the multinomials, one scoring).
+    */
+  def dsirWeights(
+      spark: SparkSession,
+      dir: String,
+      buckets: Int = 1024,
+      targetLang: String = "en"
+  ): DataFrame = {
+    val t = col("t")
+    val base = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t")
+      )
+    val uni = base.select(col("doc_id"), col("lang"), explode(t).as("g"))
+    val big = base
+      .filter(size(t) >= 2)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => concat(a, lit(" "), b)
+          )
+        ).as("g")
+      )
+    // feeds doc-bucket counts, both multinomials, and the totals —
+    // materialize the tokenize+hash pass once
+    val feats = uni
+      .unionByName(big)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        (graft.functions.TextFunctions.hash60(col("g")) % buckets).as("b")
+      )
+      .cache()
+    val db = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+    val srcCnt = feats.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tgtCnt = feats
+      .filter(col("lang") === targetLang)
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("ct"))
+    val totals = feats.agg(
+      count(lit(1)).cast("double").as("ns"),
+      sum((col("lang") === targetLang).cast("long")).cast("double").as("nt")
+    )
+    val ratio = srcCnt
+      .join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + 1) / (col("nt") + buckets)) -
+          log((col("cs") + 1) / (col("ns") + buckets))).as("lr")
+      )
+    db.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_ngrams"),
+        sum(col("c") * col("lr")).as("lw")
+      )
+      .select(
+        col("doc_id"),
+        col("n_ngrams"),
+        round(col("lw"), 6).as("logw"),
+        round(col("lw") / col("n_ngrams"), 6).as("logw_per_ngram"),
+        (col("lw") > 0).cast("int").as("keep")
+      )
+  }
+
   /** q89: value-bucketed deciles via broadcast boundaries — the
     * sort-free alternative to q50's exact count-balanced ntile: one
     * tiny aggregate computes the nine decile boundaries of the

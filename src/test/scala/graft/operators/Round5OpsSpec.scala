@@ -144,6 +144,30 @@ class Round5OpsSpec extends AnyFunSuite {
     man.unpersist()
   }
 
+  test("q131: importance weights actually enrich the target language") {
+    val r = Sampling.dsirWeights(spark, dir).cache()
+    val labeled = r.join(
+      graft.Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), col("lang")),
+      "doc_id"
+    )
+    def enRate(keep: Int): Double = labeled
+      .filter(col("keep") === keep)
+      .agg(avg((col("lang") === "en").cast("double")))
+      .head
+      .getDouble(0)
+    // the kept set must be substantially more target-like than the
+    // dropped set — the whole point of importance resampling
+    assert(enRate(1) > enRate(0) + 0.2,
+      s"kept en-rate ${enRate(1)} not above dropped ${enRate(0)}")
+    // keep flag consistent with the weight's sign
+    assert(
+      r.filter((col("logw") > 0).cast("int") =!= col("keep")).count() == 0L
+    )
+    r.unpersist()
+  }
+
   test("q129: scoring a doc of one lang's exclusive tokens predicts that lang") {
     // toy corpus where vocabulary determines the label exactly: NB
     // must recover it with a wide margin
