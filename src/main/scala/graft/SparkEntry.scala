@@ -443,6 +443,9 @@ object SparkEntry {
     // DSIR importance weights: hashed-ngram target/source likelihood
     // ratios from a fixed 1024-bucket table (always broadcast).
     "q131_dsir_weights" -> (Sampling.dsirWeights(_, _)),
+    // Temperature-scaled multilingual mix: p^0.3 weights → integer
+    // ppm hash thresholds → shuffle-free selection; per-lang summary.
+    "q132_temperature_mix" -> (Sampling.temperatureMix(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -2433,6 +2436,31 @@ object SparkEntry {
            round(lw / n_ngrams, 6) AS logw_per_ngram,
            CAST(lw > 0 AS INTEGER) AS keep
          FROM w""",
+    // q132: same p^alpha weights, same ppm integerization, same md5
+    // hash gate — the integer threshold keeps boundary rows exact
+    // across engines.
+    "q132_temperature_mix" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM pl),
+         qr AS (SELECT lang, n_docs, tot,
+                  pow(n_docs / tot, 0.3) AS qr
+                FROM pl CROSS JOIN tot),
+         qs AS (SELECT sum(qr) AS qs FROM qr),
+         r AS (SELECT lang, n_docs,
+                 round(n_docs / tot, 6) AS p,
+                 round(qr / qs, 6) AS q,
+                 CAST(floor(least(1.0,
+                   0.5 * tot * (qr / qs) / n_docs) * 1e6) AS BIGINT)
+                   AS rate_ppm
+               FROM qr CROSS JOIN qs)
+         SELECT r.lang, r.n_docs, r.p, r.q, r.rate_ppm,
+           CAST(sum(CASE WHEN
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000 < r.rate_ppm
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents d JOIN r USING (lang)
+         GROUP BY 1, 2, 3, 4, 5""",
     // q128: the four per-subspace codebooks replayed exactly like
     // q93 (same init, same one Lloyd round, same (dist, cluster)
     // tie-break, same rounded-mean update), then encode → LUT join →

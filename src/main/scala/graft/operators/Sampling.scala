@@ -239,6 +239,74 @@ object Sampling {
       )
   }
 
+  /** q132: temperature-scaled multilingual mix sampling (the mT5 /
+    * UNIMAX corpus-mix shaper, Xue et al. 2021: sampling weights
+    * q_l ∝ p_l^α with α = 0.3 flatten the language distribution so
+    * low-resource languages are upsampled relative to their share).
+    * Per language: p_l = doc share, q_l = normalized p_l^α, sampling
+    * rate = min(1, budget·q_l / p_l share), realized as an integer
+    * parts-per-million threshold on the deterministic doc_id hash —
+    * so selection is a shuffle-free per-row predicate against a
+    * broadcast |langs|-row rate table (the q49 split construction),
+    * not a per-language rank/sort. Output is the per-language
+    * summary: share, weight, ppm threshold, and realized kept count.
+    *
+    * Scale: two tiny aggregates over (lang) plus one corpus scan
+    * with a broadcast join; nothing sorts or shuffles the corpus.
+    * The ppm integerization makes the gate exact cross-engine
+    * (float rates would flip boundary rows between engines).
+    */
+  def temperatureMix(
+      spark: SparkSession,
+      dir: String,
+      alpha: Double = 0.3,
+      budgetFrac: Double = 0.5
+  ): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = perLang.agg(sum(col("n_docs")).cast("double").as("tot"))
+    val qraw = perLang
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("tot"),
+        pow(col("n_docs") / col("tot"), alpha).as("qr")
+      )
+    val qsum = qraw.agg(sum(col("qr")).as("qs"))
+    val rates = qraw
+      .crossJoin(broadcast(qsum))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        round(col("n_docs") / col("tot"), 6).as("p"),
+        round(col("qr") / col("qs"), 6).as("q"),
+        floor(
+          least(
+            lit(1.0),
+            lit(budgetFrac) * col("tot") * (col("qr") / col("qs")) /
+              col("n_docs")
+          ) * 1e6
+        ).cast("long").as("rate_ppm")
+      )
+    docs
+      .join(broadcast(rates), "lang")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("p"),
+        col("q"),
+        col("rate_ppm"),
+        (graft.functions.TextFunctions.hash60(col("doc_id")) % 1000000 <
+          col("rate_ppm")).cast("long").as("kept")
+      )
+      .groupBy(col("lang"), col("n_docs"), col("p"), col("q"),
+        col("rate_ppm"))
+      .agg(sum(col("kept")).as("n_kept"))
+  }
+
   /** q89: value-bucketed deciles via broadcast boundaries — the
     * sort-free alternative to q50's exact count-balanced ntile: one
     * tiny aggregate computes the nine decile boundaries of the
