@@ -242,6 +242,31 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "scalar subquery pushed to the scan as a runtime filter")
   }
 
+  test("round-5 filters: broadcast model tables, no corpus range sort") {
+    // q131: the 1024-bucket ratio table joins in broadcast; nothing
+    // range-partitions (sorts) the corpus
+    val p131 = plan("q131_dsir_weights")
+    assert(p131.contains("BroadcastHashJoin"), "ratio table broadcast")
+    assert(!p131.contains("Exchange rangepartitioning"), "no corpus sort")
+    // q132: selection is a broadcast |langs|-row rate join + one
+    // aggregate — same constraints
+    val p132 = plan("q132_temperature_mix")
+    assert(p132.contains("BroadcastHashJoin"), "rate table broadcast")
+    assert(!p132.contains("Exchange rangepartitioning"), "no corpus sort")
+    // q127: LM scoring joins carry pre-aggregated counts with
+    // map-side partial aggregation; never a cartesian corpus product
+    val p127 = plan("q127_trigram_ppl")
+    assert(p127.contains("partial_sum"), "map-side partial aggregation")
+    assert(!p127.contains("CartesianProduct"), "no unbroadcast cross")
+  }
+
+  test("q128/q129: rank-limit pushdown on the per-group top-k windows") {
+    // the rank <= k filters must rewrite to WindowGroupLimit so no
+    // group ever materializes fully sorted
+    assert(plan("q128_pq_adc").contains("WindowGroupLimit"))
+    assert(plan("q129_nb_langid").contains("WindowGroupLimit"))
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
