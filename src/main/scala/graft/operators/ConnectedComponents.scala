@@ -52,10 +52,15 @@ object ConnectedComponents {
       edges: DataFrame,
       maxIter: Int = 50
   ): (DataFrame, Int) = {
-    // symmetrize once; reused by every round's join
-    val und = edges
+    // materialize the edge list once BEFORE symmetrizing: the union
+    // references it twice, and an expensive upstream generator (the
+    // shingle pair join feeding q72/q78) would otherwise execute in
+    // both branches (exchange reuse shares only the shuffle below
+    // the generator's final aggregate, not the aggregate itself)
+    val e = edges.localCheckpoint(true)
+    val und = e
       .select(col("src").as("u"), col("dst").as("v"))
-      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
       .localCheckpoint(true)
 
