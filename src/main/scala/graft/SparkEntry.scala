@@ -704,9 +704,14 @@ object SparkEntry {
   /** Unrolled replay of the BPE merge loop (q125/q126): s0 = per-word
     * character symbols joined by chr(31); each round r computes the
     * adjacent-pair counts (list_zip of the shifted symbol lists),
-    * takes the (count DESC, left, right) argmax, and literal-replaces
-    * the winning pair — exactly [[graft.operators.BpeTrain]]'s round,
-    * one CTE triple (p_r, b_r, s_r) per round.
+    * takes the (count DESC, left, right) argmax, and applies the
+    * winning pair with the same boundary-anchored greedy fold as
+    * [[graft.operators.BpeTrain.applyMerge]] (list_reduce over the
+    * split symbols: fuse only when the accumulator's LAST WHOLE
+    * symbol is the pair's left — a substring replace would also fuse
+    * across symbol boundaries), one CTE triple (p_r, b_r, s_r) per
+    * round. The LEFT JOIN ON true guard keeps s_r = s_{r-1} if a
+    * round ever has no pairs left.
     */
   private def bpeCtes(rounds: Int): String = {
     val sep = "chr(31)"
@@ -736,9 +741,15 @@ object SparkEntry {
                      FROM $prev) x) y),
        b$r AS MATERIALIZED (SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS cnt
          FROM p$r GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 1),
-       s$r AS MATERIALIZED (SELECT w, freq, replace(syms,
-           (SELECT lft || $sep || rgt FROM b$r),
-           (SELECT lft || rgt FROM b$r)) AS syms FROM $prev)""")
+       s$r AS MATERIALIZED (SELECT w, freq,
+           CASE WHEN b.lft IS NULL THEN syms ELSE
+             list_reduce(string_split(syms, $sep), (acc, x) ->
+               CASE WHEN x = b.rgt AND (acc = b.lft
+                      OR ends_with(acc, $sep || b.lft))
+                    THEN acc || x
+                    ELSE acc || $sep || x END)
+           END AS syms
+         FROM $prev LEFT JOIN b$r b ON true)""")
     }
     sb.toString
   }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE tokenizer TRAINING (Sennrich et al., "Neural
@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   * Merge semantics: symbols start as characters; each round picks
   * the adjacent pair with the highest freq-weighted count (ties:
   * lexicographic left, then right) and fuses every left-to-right
-  * non-overlapping occurrence — implemented as a single string
-  * `replace` over the separator-joined symbol string, which IS the
-  * greedy non-overlapping scan (e.g. pair (a,a) on "a·a·a" → "aa·a").
-  * The DuckDB oracle replays the identical rounds unrolled.
+  * non-overlapping occurrence of ADJACENT WHOLE SYMBOLS — a greedy
+  * boundary-anchored fold over the symbol sequence (e.g. pair (a,a)
+  * on [a,a,a] → [aa,a]), exactly Sennrich's reference merge. A plain
+  * substring replace over the joined string is NOT equivalent: it
+  * also fuses where the left element is only a suffix of a longer
+  * symbol (pair (h,e) on [th,e] would corrupt to [the]) — see
+  * [[applyMerge]]. The DuckDB oracle replays the identical rounds
+  * unrolled with the same boundary-anchored fold.
   */
 object BpeTrain {
 
@@ -34,6 +38,30 @@ object BpeTrain {
     * it are dropped defensively on both engine and oracle sides).
     */
   val Sep = "\u001F"
+
+  /** One merge round applied to a Sep-joined symbol string: the
+    * greedy left-to-right fold that fuses adjacent WHOLE symbols
+    * (l, r) -> l+r. Boundary anchoring falls out of the fold shape --
+    * the accumulator's last symbol equals `l` iff the accumulator IS
+    * `l` or ends with Sep+`l` (symbols never contain Sep), so a
+    * symbol merely SUFFIXED by `l` can't match. Greedy non-overlap
+    * falls out too: the fused symbol l+r can never equal `l` again
+    * (r is non-empty), so a just-fused symbol never re-fuses within
+    * the round. One interpreted fold per word per round, over the
+    * vocabulary only -- never the corpus.
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(
+      split(syms, Sep),
+      lit("").cast("string"),
+      (acc, x) =>
+        when(acc === lit(""), x)
+          .when(
+            x === lit(r) && (acc === lit(l) || acc.endsWith(lit(Sep + l))),
+            concat(acc, x)
+          )
+          .otherwise(concat(acc, lit(Sep), x))
+    )
 
   /** Learned merge table: (merge_rank, left, right, pair_count),
     * one row per round, rank 1 = first merge.
@@ -84,12 +112,11 @@ object BpeTrain {
         val (l, rt, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, l, rt, c))
-        // map-side merge of the chosen pair — literal replace, NOT
-        // regexp (symbols can contain regex metachars); localCheckpoint
-        // keeps the per-round lineage O(1) like PageRank's rounds
+        // map-side merge of the chosen pair — the boundary-anchored
+        // greedy fold (see applyMerge); localCheckpoint keeps the
+        // per-round lineage O(1) like PageRank's rounds
         seq = seq
-          .withColumn("syms",
-            replace(col("syms"), lit(l + Sep + rt), lit(l + rt)))
+          .withColumn("syms", applyMerge(col("syms"), l, rt))
           .localCheckpoint()
         r += 1
       }
@@ -117,8 +144,7 @@ object BpeTrain {
     val syms = merged.foldLeft(
       array_join(split(col("w"), ""), Sep)
     ) { (acc, m) =>
-      val (l, r) = (m.getString(1), m.getString(2))
-      replace(acc, lit(l + Sep + r), lit(l + r))
+      applyMerge(acc, m.getString(1), m.getString(2))
     }
     words.select(
       col("w"),

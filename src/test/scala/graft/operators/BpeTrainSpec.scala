@@ -60,4 +60,34 @@ class BpeTrainSpec extends AnyFunSuite {
       .getAs[collection.Seq[String]]("pieces")
     assert(pieces.toSeq == Seq("aa", "a"))
   }
+
+  test("merges anchor at symbol boundaries (pair (h,e) must not fuse [th, e])") {
+    // Engineered vocab: "th"×10 forces round 1 = (t,h); round 2 ties
+    // (h,e)=5 vs (x,h)=5 → lexicographic → (h,e). After round 1 the
+    // word "the" is [th, e]: a substring replace of "h·e" would
+    // corrupt it to [the]; the boundary-anchored fold must leave it
+    // alone (no bare "h" symbol exists there) while "xhe" = [x,h,e]
+    // correctly fuses to [x, he].
+    val toy = java.nio.file.Files.createTempDirectory("bpebound").toString
+    import spark.implicits._
+    val docs =
+      Seq.fill(10)("th") ++ Seq.fill(3)("the") ++ Seq.fill(5)("xhe")
+    docs.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite")
+      .parquet(s"$toy/documents.parquet")
+    val m = BpeTrain.train(spark, toy, rounds = 2).collect()
+    assert(m.length == 2)
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(3)) ==
+      ("t", "h", 13L))
+    assert((m(1).getString(1), m(1).getString(2), m(1).getLong(3)) ==
+      ("h", "e", 5L))
+    val seg = BpeTrain.segmentation(spark, toy, rounds = 2).collect()
+    def pieces(w: String): Seq[String] = seg.find(_.getString(0) == w).get
+      .getAs[collection.Seq[String]]("pieces").toSeq
+    assert(pieces("the") == Seq("th", "e")) // the buggy replace gave [the]
+    assert(pieces("xhe") == Seq("x", "he"))
+    assert(pieces("th") == Seq("th"))
+  }
 }
