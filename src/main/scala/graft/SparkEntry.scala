@@ -1845,14 +1845,17 @@ object SparkEntry {
                    i -> {'i': i, 'v': embedding[i + 1]})) AS s
                FROM embeddings) u
          GROUP BY 1, 2""",
+    // Same uncapped 4-band × 4-plane coding as q26; the cross-band
+    // candidate dedup keeps its count as n_shared_bands.
     "q70_lsh_neardup" -> {
       val pairCos = cosSql("e1.embedding", "e2.embedding")
       s"""WITH pl AS (SELECT list(embedding ORDER BY vec_id) AS planes
-                FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
-         v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+                FROM embeddings WHERE vec_id BETWEEN 100 AND 115),
+         v AS (SELECT vec_id, embedding FROM embeddings),
          bands AS (SELECT v.vec_id, s.b AS band,
                  array_to_string(list_transform(
-                   [pl.planes[s.b * 2 + 1], pl.planes[s.b * 2 + 2]], p ->
+                   [pl.planes[s.b * 4 + 1], pl.planes[s.b * 4 + 2],
+                    pl.planes[s.b * 4 + 3], pl.planes[s.b * 4 + 4]], p ->
                    CASE WHEN list_sum(list_transform(
                           list_zip(p, v.embedding),
                           z -> z[1]::DOUBLE * z[2]::DOUBLE)) >= 0

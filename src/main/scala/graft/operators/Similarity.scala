@@ -249,24 +249,20 @@ object Similarity {
         max(col("n_vecs")).as("n_vecs")
       )
 
-  /** Banded sign-LSH codes: 4 bands × 2 hyperplanes. Per band the
-    * code is the concatenated dot-product sign bits; a pair is a
-    * candidate if it matches in ANY band (the OR-amplification that
-    * makes LSH recall tunable: per-plane agreement p gives per-band
-    * p^b and overall 1-(1-p^b)^B — a single wide code has p^8 ≈ no
-    * recall at moderate similarity). The coding pass is in-row (zero
-    * shuffle); the planes ride along as one broadcast row.
-    * Hyperplanes here are eight corpus vectors chosen
-    * deterministically (vec_id 100-107) so the DuckDB oracle can
-    * replay them; production would draw random Gaussian planes.
-    */
-  def lshBandCodes(spark: SparkSession, dir: String, bound: Int): DataFrame =
-    lshBandCodes(spark, dir, Some(bound), planesPerBand = 2)
-
-  /** Generalized band coding: `numBands` bands × `planesPerBand` sign
-    * bits, hyperplanes = corpus vectors 100..(100+bands·planes−1).
-    * More planes per band → smaller buckets (collision cost ↓) at the
-    * cost of per-band recall — the standard LSH tuning knob.
+  /** Banded sign-LSH codes: `numBands` bands × `planesPerBand` sign
+    * bits per band. Per band the code is the concatenated dot-product
+    * sign bits; a pair is a candidate if it matches in ANY band (the
+    * OR-amplification that makes LSH recall tunable: per-plane
+    * agreement p gives per-band p^b and overall 1-(1-p^b)^B — a
+    * single wide code has p^16 ≈ no recall at moderate similarity).
+    * More planes per band → smaller buckets (collision cost ↓) at
+    * the cost of per-band recall — the standard LSH tuning knob.
+    * The coding pass is in-row (zero shuffle); the planes ride along
+    * as one broadcast row. Hyperplanes are corpus vectors
+    * 100..(100+bands·planes−1), chosen deterministically so the
+    * DuckDB oracle can replay them; production would draw random
+    * Gaussian planes. `bound` subsets the coded vectors for
+    * workload-style probes; the gated queries pass None (uncapped).
     */
   def lshBandCodes(
       spark: SparkSession,
@@ -313,14 +309,20 @@ object Similarity {
         col("bk.band").as("band"), col("bk.code").as("code"))
   }
 
-  /** q70: LSH-banded near-dup pairs — the scale path for q26's
-    * all-pairs verify: candidates are generated only within equal
-    * (band, code) buckets (collision-linear, never n²), deduped
-    * across bands, then exact-verified with the same cosine
-    * threshold. Output adds how many bands recalled each pair.
+  /** q70: LSH-banded near-dup pairs with per-pair band-recall counts
+    * — q26's banded generation (the same uncapped 4-band × 4-plane
+    * coder) plus how many bands recalled each candidate, the recall
+    * diagnostic an LSH tuning pass reads. Candidates are generated
+    * only within equal (band, code) buckets (collision-linear, never
+    * n²), the cross-band dedup doubles as the n_shared_bands count,
+    * then exact cosine verification applies the same threshold. The
+    * vector fetch is an equi-join on vec_id (AQE broadcasts the
+    * small side at bench scale; at corpus scale it's a key shuffle).
     */
   def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = lshBandCodes(spark, dir, 300)
+    val b = lshBandCodes(spark, dir, None, planesPerBand = 4)
+      .select(col("vec_id"), col("band"), col("code"))
+      .cache()
     val a = b.select(col("vec_id").as("vec_a"), col("band"), col("code"))
     val c = b.select(col("vec_id").as("vec_b"), col("band"), col("code"))
     val pairs = a
@@ -328,14 +330,12 @@ object Similarity {
       .filter(col("vec_a") < col("vec_b"))
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    val e = Tables
-      .embeddings(spark, dir)
-      .filter(col("vec_id") < 300)
+    val e = Tables.embeddings(spark, dir)
     pairs
-      .join(broadcast(e.select(col("vec_id").as("vec_a"),
-        col("embedding").as("ea"))), Seq("vec_a"))
-      .join(broadcast(e.select(col("vec_id").as("vec_b"),
-        col("embedding").as("eb"))), Seq("vec_b"))
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
+        Seq("vec_b"))
       .select(
         col("vec_a"),
         col("vec_b"),

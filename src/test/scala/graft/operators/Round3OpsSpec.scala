@@ -30,12 +30,11 @@ class Round3OpsSpec extends AnyFunSuite {
       .toMap
     assert(lsh.nonEmpty, "banded LSH must recall some pairs")
     lsh.values.foreach { case (b, _) => assert(b >= 1 && b <= 4) }
-    // exact all-pairs ground truth at the same bound/threshold
-    // (computed directly — q26 is itself banded since round 5, so it
-    // is no longer an exact superset of other band configurations)
-    val e = Tables
-      .embeddings(spark, dir)
-      .filter(col("vec_id") < 300)
+    // exact all-pairs ground truth at the same threshold (computed
+    // directly — q26 is itself banded since round 5, so it is no
+    // longer an exact superset; q70 shares its uncapped 4×4 coder
+    // since round 6)
+    val e = Tables.embeddings(spark, dir)
     val all = e
       .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       .join(
@@ -59,7 +58,7 @@ class Round3OpsSpec extends AnyFunSuite {
 
   test("LSH band coding pass is shuffle-free (broadcast planes only)") {
     val plan = Similarity
-      .lshBandCodes(spark, dir, 300)
+      .lshBandCodes(spark, dir, None, planesPerBand = 4)
       .queryExecution
       .executedPlan
       .toString
