@@ -62,8 +62,16 @@ object Dedup {
     * |A∪B| = |A|+|B|−|A∩B|. Only pairs sharing ≥1 shingle are ever
     * materialized.
     */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docShingles(spark, dir)
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsFrom(docShingles(spark, dir))
+
+  /** The pair generation over a prepared (doc_id, sh) shingle frame —
+    * the seam a composed curation DAG (q130) uses to feed one
+    * materialized shingle pass into every downstream stage instead of
+    * re-deriving it per consumer. The caller owns materialization of
+    * `d` (it feeds both sides of the self-join).
+    */
+  def ngramJaccardPairsFrom(d: DataFrame): DataFrame = {
     val e = d.select(
       col("doc_id"),
       size(col("sh")).as("n_sh"),
@@ -212,10 +220,17 @@ object Dedup {
     * cluster_id holder — the deterministic keep-one policy a dedup
     * pipeline applies before training.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(spark, dir)
-    val nodes = docs.select(col("doc_id").as("id"))
-    val edges = ngramJaccardPairs(spark, dir)
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersFrom(docShingles(spark, dir))
+
+  /** Cluster resolution over a prepared (doc_id, sh) shingle frame:
+    * pair generation → pointer-doubling connected components →
+    * cluster sizes. The q130 seam — pairs and nodes both read the
+    * caller-materialized shingle pass.
+    */
+  def dedupClustersFrom(shingleDocs: DataFrame): DataFrame = {
+    val nodes = shingleDocs.select(col("doc_id").as("id"))
+    val edges = ngramJaccardPairsFrom(shingleDocs)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = ConnectedComponents.run(nodes, edges)
     val sizes = labels
@@ -242,11 +257,23 @@ object Dedup {
     * never the documents. This is the last dedup stage a training
     * corpus runs: clusters → one survivor each.
     */
-  def canonicalDocs(spark: SparkSession, dir: String): DataFrame = {
-    val labels = dedupClusters(spark, dir)
+  def canonicalDocs(spark: SparkSession, dir: String): DataFrame =
+    canonicalDocsFrom(
+      dedupClusters(spark, dir),
+      TextAnalysis.qualityScores(spark, dir)
+    )
+
+  /** The survivor argmax over prepared cluster labels and quality
+    * scores — the q130 seam (both inputs derive from frames the
+    * composed DAG materialized once).
+    */
+  def canonicalDocsFrom(
+      clusterLabels: DataFrame,
+      qualityScores: DataFrame
+  ): DataFrame = {
+    val labels = clusterLabels
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    val quality = TextAnalysis
-      .qualityScores(spark, dir)
+    val quality = qualityScores
       .select(col("doc_id"), round(col("quality"), 6).as("q"))
     labels
       .join(quality, "doc_id")

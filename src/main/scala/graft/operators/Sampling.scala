@@ -117,20 +117,55 @@ object Sampling {
     * joins, O(log d) CC rounds, count-carrying LM joins); the final
     * intersection is a key-shuffle join on doc_id and the shard
     * window partitions on the shard hash — nothing here adds a new
-    * all-pairs or single-partition step.
+    * all-pairs or single-partition step. The corpus is scanned and
+    * tokenized ONCE: one cached (doc_id, text, tokens, shingles)
+    * pass feeds the shingle chain, the quality argmax, and the LM
+    * chain through the prepared-frame seams
+    * ([[Dedup.dedupClustersFrom]]/[[Dedup.canonicalDocsFrom]]/
+    * [[TextAnalysis.trigramPerplexityFrom]]) — a curation DAG that
+    * re-derived its dedup closure per consumer would pay the
+    * dominant cost at 100 TB. (At that scale the shared pass
+    * persists to disk/parquet rather than memory — same topology.)
     */
   def trainingManifest(
       spark: SparkSession,
       dir: String,
       numShards: Int = 8
   ): DataFrame = {
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        tokens(col("text")).as("t"),
+        shingles(col("text"), 3).as("sh")
+      )
+      .cache()
+    val shingleDocs = docs
+      .select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
     val surv = Dedup
-      .canonicalDocs(spark, dir)
+      .canonicalDocsFrom(
+        Dedup.dedupClustersFrom(shingleDocs),
+        TextAnalysis.qualityScoresFrom(docs)
+      )
       .select(col("keep_doc").as("doc_id"))
     val kept = TextAnalysis
-      .trigramPerplexity(spark, dir)
+      .trigramPerplexityFrom(docs.select(col("doc_id"), col("t")))
       .filter(col("keep") === 1)
       .select(col("doc_id"), col("ppl"))
+    trainingManifestFrom(surv, kept, numShards)
+  }
+
+  /** The manifest tail over prepared survivor and perplexity-kept
+    * frames: intersect on doc_id, hash-shard, per-shard position.
+    */
+  def trainingManifestFrom(
+      surv: DataFrame,
+      kept: DataFrame,
+      numShards: Int = 8
+  ): DataFrame = {
     val w = Window
       .partitionBy(col("shard"))
       .orderBy(col("h").asc, col("doc_id").asc)

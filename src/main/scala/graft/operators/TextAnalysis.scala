@@ -48,8 +48,14 @@ object TextAnalysis {
 
   /** q15: quality scoring — stopword/punctuation/length signals. */
   def qualityScores(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
+    qualityScoresFrom(Tables.documents(spark, dir))
+
+  /** Quality scoring over a prepared (doc_id, text, ...) frame — the
+    * q130 seam: the composed DAG scores the one materialized corpus
+    * pass instead of re-scanning the source.
+    */
+  def qualityScoresFrom(docs: DataFrame): DataFrame =
+    docs
       .select(
         col("doc_id"),
         round(stopwordRatio(col("text")), 6).as("stop_ratio"),
@@ -872,11 +878,22 @@ object TextAnalysis {
     * row. One corpus pass to count, one join pass to score — the
     * standard distributed n-gram-LM filter topology.
     */
-  def trigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+  def trigramPerplexity(spark: SparkSession, dir: String): DataFrame =
+    trigramPerplexityFrom(
+      Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        // the LM chain reads this three times (trigram, bigram,
+        // unigram passes) — tokenize once, not thrice
+        .cache()
+    )
+
+  /** The interpolated-LM perplexity chain over a prepared (doc_id, t)
+    * token frame — the q130 seam. The caller owns materialization:
+    * the chain derives trigram, bigram, and unigram counts from it.
+    */
+  def trigramPerplexityFrom(toksDf: DataFrame): DataFrame = {
     val t = col("t")
-    val toksDf = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("t"))
     val nTri = size(t) - 2
     val docTri = toksDf
       .filter(size(t) >= 3)
