@@ -35,6 +35,12 @@ object SparkEntry {
     }.toIndexedSeq: _*)
   }
 
+  /** q107 lake dirs already scheduled for JVM-exit deletion (one
+    * shutdown hook per path, not per invocation).
+    */
+  private val lakeCleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (Relational.pricingSummary _),
@@ -509,17 +515,24 @@ object SparkEntry {
     "q107_stream_lake" -> ((s: SparkSession, dir: String) => {
       import org.apache.spark.sql.functions.{col, count, date_format, lit,
         round, sum}
-      // deterministic per-sf path, wiped before each run: repeated
-      // driver/bench invocations reuse one tree instead of leaking a
-      // fresh UUID-named lake+checkpoint per call
+      // per-(process, sf) path, wiped before each run and deleted on
+      // JVM exit: repeated invocations WITHIN a JVM reuse one tree
+      // (no per-call leak), while the PID component keeps two
+      // concurrent processes (e.g. Bench overlapping Verify on the
+      // same sfDir) from wiping each other's live lake + streaming
+      // checkpoint mid-run
       val base = new java.io.File(
         sys.props("java.io.tmpdir"),
-        s"graft-lake-${math.abs(dir.hashCode.toLong)}")
+        s"graft-lake-${ProcessHandle.current().pid()}-" +
+          s"${math.abs(dir.hashCode.toLong)}")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(); ()
       }
       rm(base)
+      if (lakeCleanupRegistered.add(base.getAbsolutePath)) {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => rm(base)))
+      }
       io.Sinks.streamEventsToLake(
         streaming.EventStreams.readEvents(s, dir),
         s"$base/lake",

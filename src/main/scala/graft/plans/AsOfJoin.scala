@@ -131,9 +131,11 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
 
       new Iterator[InternalRow] {
-        // O(1) merge state: the last right row consumed + its key
+        // O(1) merge state: the last right row consumed + its key and
+        // full (key, order) tuple (the duplicate-tuple guard)
         private var lastMatch: InternalRow = _
         private var lastMatchKey: InternalRow = _
+        private var lastFull: InternalRow = _
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -146,6 +148,23 @@ case class AsOfJoinExec(
           while (rBuf.hasNext &&
             fullOrdering.compare(rFullProj(rBuf.head), lFull) < 0) {
             val r = rBuf.next()
+            val rFull = rFullProj(r).copy()
+            // (rightKeys, rightOrder) must totally order the right
+            // side: with duplicates, "last prior row" would be
+            // whichever duplicate happened to arrive last — a
+            // run-dependent result. Fail loudly instead. Sorted
+            // input makes duplicates adjacent, so one O(1) compare
+            // against the previous consumed tuple is a complete
+            // check over every output-affecting row.
+            if (lastFull != null &&
+              fullOrdering.compare(rFull, lastFull) == 0) {
+              throw new org.apache.spark.SparkException(
+                "as_of join: duplicate right-side (key, order) tuple " +
+                  s"$rFull — matches would be nondeterministic. Add a " +
+                  "unique tie-breaking column (e.g. an event id) to " +
+                  "the right-side order columns.")
+            }
+            lastFull = rFull
             lastMatch = r.copy()
             lastMatchKey = rKeyProj(lastMatch).copy()
           }
@@ -192,11 +211,13 @@ object AsOf {
     * behavior.
     *
     * REQUIREMENT: `(rightKeys, rightOrder)` must be a TOTAL order on
-    * the right side — if duplicate (key, order) right rows exist,
-    * "last prior row" is whichever duplicate happens to sort last
-    * physically, i.e. run-dependent. Include a unique tie-breaking
-    * column (e.g. an event id) in `rightOrder` to make matches
-    * deterministic; q105 does exactly that.
+    * the right side — if duplicate (key, order) right rows existed,
+    * "last prior row" would be whichever duplicate happened to sort
+    * last physically, i.e. run-dependent. ENFORCED at execution:
+    * a duplicate right-side tuple that could affect the output
+    * raises a SparkException naming the offending tuple. Include a
+    * unique tie-breaking column (e.g. an event id) in `rightOrder`;
+    * q105 does exactly that.
     */
   def join(
       left: DataFrame,

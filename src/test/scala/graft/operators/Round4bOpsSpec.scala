@@ -340,6 +340,11 @@ class Round4bOpsSpec extends AnyFunSuite {
     // day partitioning visible to pruning
     val days = spark.read.parquet(out).select(col("day")).distinct().count()
     assert(days >= 2)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(base)
   }
 
   test("stratified weighted sample: exactly k per language, priorities valid") {

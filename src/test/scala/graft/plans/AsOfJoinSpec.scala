@@ -125,4 +125,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     // only (rt=5, rid=0) is strictly below (t=5, id=1)
     assert(out.length == 1 && out(0).getLong(5) == 0L)
   }
+
+  test("duplicate right-side (key, order) tuples raise a clear error") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // two right rows with identical (key, order) but different
+    // payloads: "last prior row" would be run-dependent
+    val right = Seq((1L, 5L, 100L), (1L, 5L, 200L)).toDF("rk", "rt", "rv")
+    val ex = intercept[Exception] {
+      AsOf.join(left, right, Seq("k"), Seq("rk"), Seq("t"), Seq("rt"))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("duplicate right-side")),
+      s"expected the duplicate-tuple error, got: $ex")
+    // the same payloads become deterministic once a unique
+    // tie-breaker joins the right-side order tuple
+    val out = AsOf
+      .join(left, right, Seq("k"), Seq("rk"), Seq("t", "t"),
+        Seq("rt", "rv"))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(4) == 200L)
+  }
 }
