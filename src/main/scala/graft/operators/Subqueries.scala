@@ -17,19 +17,33 @@ object Subqueries {
   private val tables =
     Seq("customer", "orders", "lineitem", "supplier", "part", "nation")
 
-  /** Registers dir-scoped temp views and rewrites the query's bare
-    * table tokens to them, so two callers on different data dirs in
-    * one session can't clobber each other's generic view names (the
-    * SQL strings stay near-verbatim the DuckDB oracle's). Same-dir
-    * re-registration is idempotent. Word-bounded replace is safe:
-    * '_' is a word char, so column names like p_partkey don't match.
+  /** Registers dir-scoped temp views and builds the query against
+    * them: table references are written as `{table}` placeholders in
+    * the SQL templates and substituted with the tagged view names —
+    * never a bare-token rewrite, so a table name inside a string
+    * literal or matching a column alias can't be touched. The tag is
+    * a hex digest of the table's ABSOLUTE path (collision-safe where
+    * a 32-bit hashCode is not), so two callers on different data
+    * dirs in one session can't clobber each other's views; same-dir
+    * re-registration is idempotent.
     */
+  private def viewTag(dir: String): String = {
+    val abs =
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+    java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(abs.getBytes("UTF-8"))
+      .take(8)
+      .map(b => f"$b%02x")
+      .mkString
+  }
+
   private def sql(spark: SparkSession, dir: String, q: String): DataFrame = {
-    val tag = java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val tag = viewTag(dir)
     tables.foreach(t =>
       Tables.table(spark, dir, t).createOrReplaceTempView(s"${t}_$tag"))
     spark.sql(
-      tables.foldLeft(q)((s, t) => s.replaceAll(s"\\b$t\\b", s"${t}_$tag")))
+      tables.foldLeft(q)((s, t) => s.replace(s"{$t}", s"${t}_$tag")))
   }
 
   /** q110 (TPC-H Q13 shape): customer distribution by order count —
@@ -41,7 +55,7 @@ object Subqueries {
     sql(spark, dir,
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
-               FROM customer c LEFT OUTER JOIN orders o
+               FROM {customer} c LEFT OUTER JOIN {orders} o
                  ON c.c_custkey = o.o_custkey
                  AND o.o_orderpriority <> '1-URGENT'
                GROUP BY c.c_custkey) t
@@ -59,9 +73,9 @@ object Subqueries {
       """WITH rev AS (
            SELECT l_suppkey,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
-           FROM lineitem GROUP BY l_suppkey)
+           FROM {lineitem} GROUP BY l_suppkey)
          SELECT s.s_suppkey, s.s_name, r.total_rev
-         FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+         FROM {supplier} s JOIN rev r ON s.s_suppkey = r.l_suppkey
          WHERE r.total_rev = (SELECT max(total_rev) FROM rev)"""
     )
   }
@@ -73,13 +87,13 @@ object Subqueries {
     */
   def aboveAverageSuppliers(spark: SparkSession, dir: String): DataFrame = {
     sql(spark, dir,
-      """SELECT s_suppkey, s_name FROM supplier
+      """SELECT s_suppkey, s_name FROM {supplier}
          WHERE s_suppkey IN (
-           SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+           SELECT l_suppkey FROM {lineitem} GROUP BY l_suppkey
            HAVING sum(l_quantity) > (
              SELECT avg(qty) FROM (
                SELECT sum(l_quantity) AS qty
-               FROM lineitem GROUP BY l_suppkey) q))"""
+               FROM {lineitem} GROUP BY l_suppkey) q))"""
     )
   }
 
@@ -90,11 +104,11 @@ object Subqueries {
   def urgentOnlyCustomers(spark: SparkSession, dir: String): DataFrame = {
     sql(spark, dir,
       """SELECT c.c_mktsegment AS segment, count(*) AS n_customers
-         FROM customer c
-         WHERE EXISTS (SELECT 1 FROM orders o
+         FROM {customer} c
+         WHERE EXISTS (SELECT 1 FROM {orders} o
                        WHERE o.o_custkey = c.c_custkey
                          AND o.o_orderpriority = '1-URGENT')
-           AND NOT EXISTS (SELECT 1 FROM orders o2
+           AND NOT EXISTS (SELECT 1 FROM {orders} o2
                            WHERE o2.o_custkey = c.c_custkey
                              AND o2.o_orderpriority = '5-LOW')
          GROUP BY c.c_mktsegment"""
@@ -111,11 +125,11 @@ object Subqueries {
     sql(spark, dir,
       """WITH ps AS (
            SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
-           FROM lineitem GROUP BY 1, 2)
+           FROM {lineitem} GROUP BY 1, 2)
          SELECT p.p_partkey, s.s_name, round(ps.min_price, 2) AS best_price
-         FROM part p
+         FROM {part} p
          JOIN ps ON p.p_partkey = ps.l_partkey
-         JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+         JOIN {supplier} s ON s.s_suppkey = ps.l_suppkey
          WHERE p.p_partkey < 100
            AND ps.min_price = (SELECT min(x.min_price) FROM ps x
                                WHERE x.l_partkey = p.p_partkey)"""
@@ -131,11 +145,11 @@ object Subqueries {
     sql(spark, dir,
       """SELECT c.c_mktsegment AS segment, count(*) AS numcust,
            round(sum(c.c_acctbal), 2) AS totacctbal
-         FROM customer c
+         FROM {customer} c
          WHERE c.c_acctbal > (
-             SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+             SELECT avg(c_acctbal) FROM {customer} WHERE c_acctbal > 0.0)
            AND NOT EXISTS (
-             SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey
                AND o.o_orderpriority = '1-URGENT')
          GROUP BY c.c_mktsegment"""
     )
