@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * Both are shuffle-light by design. The split is a pure per-row hash
   * (no shuffle at all — at 100 TB it is a map over the scan, and the
   * same document lands in the same split on every run, on any cluster
-  * layout, because the bucket is content-keyed rather than
-  * partition-keyed like `randomSplit`). The decile binning is a
+  * layout, because the bucket is keyed on a deterministic hash of
+  * the doc_id rather than partition-keyed like `randomSplit`; hash
+  * the text instead where id stability across recomputes isn't
+  * guaranteed). The decile binning is a
   * distributed total order (range shuffle + per-partition offsets,
   * [[Ranking]]) — exact quantile membership without a
   * single-partition stage; an approximate variant would swap in
@@ -48,7 +50,7 @@ object Sampling {
   /** q71: stratified down-sampling — per-language keep rates (the
     * data-mixing knob of a pretraining corpus: up/down-weight
     * languages or sources to a target distribution). Same
-    * content-keyed hash as the split, so the sample is deterministic,
+    * id-keyed hash as the split, so the sample is deterministic,
     * engine-independent, and composable with q49 (a doc's sample
     * membership never depends on partitioning). Pure map over the
     * scan: no shuffle at any scale.
@@ -77,8 +79,9 @@ object Sampling {
 
   /** q75: deterministic shard assignment — the global-shuffle-and-
     * shard a training-data writer runs last: shard = hash60(doc_id)
-    * mod N (content-keyed, so shard membership survives recompute and
-    * reshape), position = rank within the shard by (hash, doc_id) —
+    * mod N (id-keyed, so shard membership survives recompute and
+    * reshape as long as ids do), position = rank within the shard by
+    * (hash, doc_id) —
     * i.e., a reproducible within-shard random order, the "shuffled
     * dataset" contract SGD training expects. One shuffle on shard +
     * one within-partition sort; at 100 TB this is
@@ -460,8 +463,8 @@ object Sampling {
   /** q108: stratified weighted sampling — the q97 A-Res priority
     * ranked WITHIN each language, top-20 per stratum: the actual
     * corpus-mixing sampler (per-language quotas × length-weighted
-    * selection) in one window pass. Same content-keyed determinism;
-    * one shuffle on lang.
+    * selection) in one window pass. Same id-keyed determinism as
+    * q97; one shuffle on lang.
     */
   def stratifiedWeightedSample(
       spark: SparkSession,

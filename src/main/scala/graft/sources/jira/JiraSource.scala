@@ -325,15 +325,21 @@ object JiraJsonProbe {
     (fk, top)
   }
 
-  /** Per-issue probes of a /search response, in `issues[]` order. */
-  def searchProbes(body: String): Vector[(Array[String], Array[String])] = {
-    val issues = mapper.readTree(body).get("issues")
-    if (issues == null || !issues.isArray) Vector.empty
-    else issues.elements().asScala.map(issueProbe).toVector
-  }
+  /** Per-issue probes of a /search response, in `issues[]` order.
+    * A malformed body degrades to no probes (the row parser handles
+    * malformed input on its own terms — the probe pass must never be
+    * the thing that fails the read).
+    */
+  def searchProbes(body: String): Vector[(Array[String], Array[String])] =
+    try {
+      val issues = mapper.readTree(body).get("issues")
+      if (issues == null || !issues.isArray) Vector.empty
+      else issues.elements().asScala.map(issueProbe).toVector
+    } catch { case _: Exception => Vector.empty }
 
   def singleProbe(body: String): (Array[String], Array[String]) =
-    issueProbe(mapper.readTree(body))
+    try issueProbe(mapper.readTree(body))
+    catch { case _: Exception => (null, null) }
 }
 
 /** Shared reader plumbing: splits the pruned schema into parseable
@@ -411,18 +417,23 @@ class JiraPartitionReader(
     val responseSchema = StructType(
       Seq(StructField("issues", ArrayType(parseSchema)))
     )
-    val parsed = JsonBridge.parseJson(responseSchema, body).iterator.flatMap {
-      row =>
-        if (row.isNullAt(0)) Iterator.empty
-        else {
-          val arr = row.getArray(0)
-          (0 until arr.numElements()).iterator
-            .map(i => arr.getStruct(i, parseSchema.length).copy())
+    // probes are keyed by the issue's index in issues[] — carried
+    // through the schema'd parse below, NOT positionally zipped
+    // across two parsers, so a row the schema'd parser nulls still
+    // meets ITS OWN probe; out-of-range / failed-parse indexes get
+    // the no-probe default
+    lazy val probes = JiraJsonProbe.searchProbes(body)
+    def probeAt(i: Int): (Array[String], Array[String]) =
+      if (i < probes.length) probes(i) else (null, null)
+    JsonBridge.parseJson(responseSchema, body).iterator.flatMap { row =>
+      if (row.isNullAt(0)) Iterator.empty
+      else {
+        val arr = row.getArray(0)
+        (0 until arr.numElements()).iterator.map { i =>
+          val r = arr.getStruct(i, parseSchema.length).copy()
+          if (wantsProbes) assemble(r, probeAt(i)) else r
         }
-    }
-    if (!wantsProbes) parsed
-    else parsed.zip(JiraJsonProbe.searchProbes(body).iterator).map {
-      case (row, probe) => assemble(row, probe)
+      }
     }
   }
 

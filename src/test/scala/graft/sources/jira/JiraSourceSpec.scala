@@ -30,6 +30,24 @@ class JiraSourceSpec extends AnyFunSuite {
       .option("pageSize", 3)
       .option("retrySleepScale", 0.001)
 
+  test("probe pass degrades gracefully and keys by issues[] index") {
+    // malformed body: the probe pass must yield no probes, never throw
+    // (the row parser owns malformed-input behavior)
+    assert(JiraJsonProbe.searchProbes("{not json").isEmpty)
+    assert(JiraJsonProbe.singleProbe("{not json") == (null, null))
+    // probes are per issues[] element, in order — including elements
+    // a schema'd parser might null (non-object entries)
+    val body =
+      """{"issues":[{"key":"A","fields":{"summary":"x"}},42,
+         {"key":"B","fields":{"status":{"name":"Open"}}}]}"""
+    val p = JiraJsonProbe.searchProbes(body)
+    assert(p.length == 3)
+    assert(p(0)._1.toSeq == Seq("summary") &&
+      p(0)._2.toSeq == Seq("key", "fields"))
+    assert(p(1)._1 == null && p(1)._2 == null) // non-object element
+    assert(p(2)._1.toSeq == Seq("status"))
+  }
+
   test("batch read returns all issues across page partitions") {
     val df = jiraRead.load()
     assert(df.count() == 10L)
