@@ -48,7 +48,18 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q130,q72 restricts to matching name prefixes —
+    // targeted timing during iteration; unset = the full gate.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val selected = SparkEntry.queries.toSeq
+      .sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // when BENCH_DETAIL.json would describe a subset, don't overwrite
+    // the full-run detail file
+    val writeDetail = only.isEmpty
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch { case _: Throwable => return -1.0 }
@@ -70,10 +81,12 @@ object Bench {
       .mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","warmup_runs":1,"measured_runs":2,"agg":"min","loadavg_1m":$load}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detailJson + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    if (writeDetail) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detailJson + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
     // Compact line: short unique keys (prefix up to the first '_').
     val qs = results.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)

@@ -64,6 +64,14 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardPairsFrom(docShingles(spark, dir))
+      // the pair table is the derive-once artifact of the dedup
+      // family: tiny (collision-survivor pairs, not the corpus) and
+      // consumed by clustering (q72), survivor selection (q78),
+      // PageRank (q86), and the composed manifest (q130). Caching it
+      // makes every consumer read one materialization instead of
+      // re-running the inversion self-join — at 100 TB the artifact
+      // persists to parquet; same topology.
+      .cache()
 
   /** The pair generation over a prepared (doc_id, sh) shingle frame —
     * the seam a composed curation DAG (q130) uses to feed one
@@ -221,16 +229,26 @@ object Dedup {
     * pipeline applies before training.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    dedupClustersFrom(docShingles(spark, dir))
+    clustersFromPairs(
+      docShingles(spark, dir),
+      // the cached pair artifact — shared with every other consumer
+      ngramJaccardPairs(spark, dir)
+    )
 
   /** Cluster resolution over a prepared (doc_id, sh) shingle frame:
     * pair generation → pointer-doubling connected components →
-    * cluster sizes. The q130 seam — pairs and nodes both read the
-    * caller-materialized shingle pass.
+    * cluster sizes. The composition seam — pairs and nodes both read
+    * the caller-materialized shingle pass.
     */
-  def dedupClustersFrom(shingleDocs: DataFrame): DataFrame = {
+  def dedupClustersFrom(shingleDocs: DataFrame): DataFrame =
+    clustersFromPairs(shingleDocs, ngramJaccardPairsFrom(shingleDocs))
+
+  private def clustersFromPairs(
+      shingleDocs: DataFrame,
+      pairs: DataFrame
+  ): DataFrame = {
     val nodes = shingleDocs.select(col("doc_id").as("id"))
-    val edges = ngramJaccardPairsFrom(shingleDocs)
+    val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = ConnectedComponents.run(nodes, edges)
     val sizes = labels

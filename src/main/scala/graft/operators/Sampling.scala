@@ -120,42 +120,31 @@ object Sampling {
     * joins, O(log d) CC rounds, count-carrying LM joins); the final
     * intersection is a key-shuffle join on doc_id and the shard
     * window partitions on the shard hash — nothing here adds a new
-    * all-pairs or single-partition step. The corpus is scanned and
-    * tokenized ONCE: one cached (doc_id, text, tokens, shingles)
-    * pass feeds the shingle chain, the quality argmax, and the LM
-    * chain through the prepared-frame seams
+    * all-pairs or single-partition step. Every shared input is
+    * materialized ONCE and reused across consumers: the shingle set,
+    * the near-dup pair table (the dedup family's derive-once
+    * artifact, cached in [[Dedup.ngramJaccardPairs]]), and the LM
+    * count tables are plan-identical with q21/q72/q78/q127's frames,
+    * so this composition reads their materializations instead of
+    * re-deriving the closure per consumer — at 100 TB those
+    * artifacts persist to parquet; same topology. What the composed
+    * query still pays per run is the pointer-doubling rounds
+    * themselves (label propagation is iterative driver-side work,
+    * not a shareable frame). The *From seams
     * ([[Dedup.dedupClustersFrom]]/[[Dedup.canonicalDocsFrom]]/
-    * [[TextAnalysis.trigramPerplexityFrom]]) — a curation DAG that
-    * re-derived its dedup closure per consumer would pay the
-    * dominant cost at 100 TB. (At that scale the shared pass
-    * persists to disk/parquet rather than memory — same topology.)
+    * [[TextAnalysis.trigramPerplexityFrom]]/[[trainingManifestFrom]])
+    * expose the same composition over caller-prepared frames.
     */
   def trainingManifest(
       spark: SparkSession,
       dir: String,
       numShards: Int = 8
   ): DataFrame = {
-    import graft.functions.TextFunctions.{shingles, tokens}
-    val docs = Tables
-      .documents(spark, dir)
-      .select(
-        col("doc_id"),
-        col("text"),
-        tokens(col("text")).as("t"),
-        shingles(col("text"), 3).as("sh")
-      )
-      .cache()
-    val shingleDocs = docs
-      .select(col("doc_id"), col("sh"))
-      .filter(size(col("sh")) > 0)
     val surv = Dedup
-      .canonicalDocsFrom(
-        Dedup.dedupClustersFrom(shingleDocs),
-        TextAnalysis.qualityScoresFrom(docs)
-      )
+      .canonicalDocs(spark, dir)
       .select(col("keep_doc").as("doc_id"))
     val kept = TextAnalysis
-      .trigramPerplexityFrom(docs.select(col("doc_id"), col("t")))
+      .trigramPerplexity(spark, dir)
       .filter(col("keep") === 1)
       .select(col("doc_id"), col("ppl"))
     trainingManifestFrom(surv, kept, numShards)
