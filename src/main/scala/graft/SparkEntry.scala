@@ -452,6 +452,13 @@ object SparkEntry {
     // Temperature-scaled multilingual mix: p^0.3 weights → integer
     // ppm hash thresholds → shuffle-free selection; per-lang summary.
     "q132_temperature_mix" -> (Sampling.temperatureMix(_, _)),
+    // BM25 top-k retrieval: eval-slice queries (doc_id % 250) scored
+    // against the corpus term index via posting joins — the
+    // retrieval-based decontamination / retrievability-audit op.
+    "q133_bm25_topk" -> (TextAnalysis.bm25TopK(_, _)),
+    // The q125-trained tokenizer applied corpus-wide through a
+    // vocab join carrying per-word piece counts.
+    "q134_bpe_corpus_apply" -> (BpeTrain.corpusApply(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -2488,6 +2495,58 @@ object SparkEntry {
              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM documents d JOIN r USING (lang)
          GROUP BY 1, 2, 3, 4, 5""",
+    // q133: same Lucene-variant idf, same k1/b, rank over the
+    // ROUNDED score with the doc_id tiebreak so rank membership is
+    // engine-exact.
+    "q133_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+               THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+           FROM documents),
+         tf AS MATERIALIZED (
+           SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  avg(dl) AS avg_dl FROM dl),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT DISTINCT doc_id AS q_id, term FROM toks
+               WHERE doc_id % 250 = 0),
+         sc AS (SELECT q.q_id, tf.doc_id,
+                  sum(ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avg_dl)))
+                    AS s
+                FROM q JOIN tf ON q.term = tf.term
+                  AND tf.doc_id <> q.q_id
+                JOIN dft ON dft.term = q.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN st
+                GROUP BY 1, 2),
+         rk AS (SELECT q_id, doc_id, round(s, 6) AS score,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+                FROM sc)
+         SELECT q_id, doc_id, CAST(rank AS INTEGER) AS rank, score
+         FROM rk WHERE rank <= 10""",
+    // q134: the q125/q126 merge replay's final segmentation (s8)
+    // joined back to the corpus word stream — per-doc word/subword/
+    // compression stats under the trained tokenizer.
+    "q134_bpe_corpus_apply" -> (bpeCtes(8) + """,
+       vocab AS (SELECT w,
+           len(string_split(syms, chr(31))) AS n_pieces
+         FROM s8),
+       cw AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+             THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+           FROM documents)
+       SELECT cw.doc_id,
+         count(*) AS n_words,
+         CAST(sum(vocab.n_pieces) AS BIGINT) AS n_subwords,
+         round(sum(length(cw.w))::DOUBLE / sum(vocab.n_pieces), 6)
+           AS chars_per_subword
+       FROM cw JOIN vocab USING (w)
+       GROUP BY 1"""),
     // q128: the four per-subspace codebooks replayed exactly like
     // q93 (same init, same one Lloyd round, same (dist, cluster)
     // tie-break, same rounded-mean update), then encode → LUT join →

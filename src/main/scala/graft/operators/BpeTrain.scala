@@ -126,6 +126,48 @@ object BpeTrain {
       .toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** q134: the trained tokenizer applied to the WHOLE corpus — the
+    * pass a data pipeline runs after q125 training to budget
+    * sequence lengths: per document, whitespace word count, subword
+    * count under the learned merges, and the chars-per-subword
+    * compression the tokenizer achieves.
+    *
+    * Scale shape: merges are applied to the VOCABULARY (Heaps-law
+    * small), never to the token stream — the corpus pass is then one
+    * (doc_id, word) → vocab equi-join carrying only the per-word
+    * piece count (AQE broadcasts the vocab side at bench scale; at
+    * web scale it's a key shuffle against a vocab table orders of
+    * magnitude smaller than the corpus). Docs whose every token was
+    * dropped by the vocab guards (empty, separator-bearing) simply
+    * have no rows to aggregate — consistent on both engines.
+    */
+  def corpusApply(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int = 8
+  ): DataFrame = {
+    val vocab = segmentation(spark, dir, rounds)
+      .select(col("w"), col("n_pieces"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
+      .join(vocab, "w")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_subwords"),
+        sum(length(col("w"))).as("n_chars")
+      )
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_subwords"),
+        round(col("n_chars").cast("double") / col("n_subwords"), 6)
+          .as("chars_per_subword")
+      )
+  }
+
   /** The trained segmentation: each vocab word's final symbol list
     * after applying all learned merges (what a tokenizer ships).
     */

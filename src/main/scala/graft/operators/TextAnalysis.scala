@@ -219,6 +219,79 @@ object TextAnalysis {
       )
   }
 
+  /** q133: BM25 top-k retrieval (Robertson-Spärck Jones probabilistic
+    * ranking; the Lucene +1-inside-the-log idf variant, so idf is
+    * always positive) — the retrieval operator a curation pipeline
+    * runs for retrieval-based decontamination ("which training docs
+    * would this eval query retrieve?") and quality-by-retrievability
+    * audits. Query set = every doc with doc_id % 250 == 0 (the q73
+    * eval-slice convention); each query's DISTINCT tokens score
+    * against the corpus term index:
+    *
+    *   score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avg))
+    *   idf(t)     = ln((N − df + 0.5)/(df + 0.5) + 1),  k1=1.2, b=0.75
+    *
+    * Scale: term frequencies, doc lengths, and document frequencies
+    * are one partially-aggregated shuffle each (the same frames an
+    * inverted index ships); the query set is corpus/250 rows of
+    * (q_id, term) — broadcast; candidates are only (query, doc)
+    * pairs SHARING a term (posting-join, never |Q|×|corpus|); the
+    * corpus-wide stats ride along as one broadcast row. The rank ≤ k
+    * window is rewritten by WindowGroupLimit to per-partition top-k
+    * before the exchange. Ranking compares ROUNDED scores (6 places,
+    * doc_id tiebreak) so rank membership is engine-exact.
+    */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // the term-frequency index is the retrieval artifact: it feeds
+    // document frequencies, doc lengths, and the scoring join —
+    // materialize the tokenize+count pass once (at web scale this is
+    // the persisted inverted index, not an in-memory cache)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dlen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avg_dl")
+    )
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val queries = docs
+      .filter(col("doc_id") % 250 === 0)
+      .select(
+        col("doc_id").as("q_id"),
+        explode(array_distinct(tokens(col("text")))).as("term")
+      )
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+        lit(1.0)
+    )
+    val tfNorm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl")))
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    broadcast(queries)
+      .join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dft, Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(idf * tfNorm).as("s"))
+      .select(
+        col("q_id"),
+        col("doc_id"),
+        round(col("s"), 6).as("score")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("score"))
+  }
+
   /** q52: sentence chunking — split on terminal punctuation + space,
     * one row per sentence with its 1-based index. The chunking pass
     * that precedes context-window assembly; narrow (no shuffle).

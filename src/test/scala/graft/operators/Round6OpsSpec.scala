@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the round-6 operators: BM25 retrieval and
+  * the trained-BPE corpus application.
+  */
+class Round6OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q133 BM25: ranks contiguous per query, scores positive, no self-hit") {
+    val out = TextAnalysis.bm25TopK(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Double]("score") > 0.0, "Lucene idf keeps scores positive")
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("doc_id"), "self excluded")
+    }
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to rows.length), s"query $q ranks not contiguous")
+      assert(rows.length <= 10)
+      // ranks follow the rounded score (desc) with doc_id tiebreak
+      val sorted = rows.sortBy(r =>
+        (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        s"query $q rank order drifted from (score desc, doc_id)")
+    }
+  }
+
+  test("q133 BM25 ranking on an engineered corpus: rarer overlap wins") {
+    val toy = java.nio.file.Files.createTempDirectory("bm25toy").toString
+    import spark.implicits._
+    // query doc 0 mentions "zebra" (rare) and "the" (common).
+    // doc 251 shares the rare term, docs 252+ only the common one →
+    // 251 must rank first. ids chosen so only doc 0 is a query
+    // (doc_id % 250 == 0 and 250 itself would be a query).
+    val docs = Seq(
+      (0L, "zebra the"),
+      (251L, "zebra runs"),
+      (252L, "the cat"),
+      (253L, "the dog"),
+      (254L, "the bird")
+    )
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$toy/documents.parquet")
+    val out = TextAnalysis.bm25TopK(spark, toy).collect()
+      .filter(_.getAs[Long]("q_id") == 0L)
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out.head.getAs[Long]("doc_id") == 251L,
+      s"rare-term doc must rank first, got ${out.toSeq}")
+    assert(out.length == 4)
+  }
+
+  test("q134 corpus apply: subword counts bounded by words and chars") {
+    val out = BpeTrain.corpusApply(spark, dir).cache()
+    val n = Tables
+      .documents(spark, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .count()
+    assert(out.count() == n, "every tokenizable doc appears")
+    val bad = out.filter(
+      col("n_subwords") < col("n_words") ||
+        col("chars_per_subword") < 1.0 - 1e-9
+    )
+    assert(bad.count() == 0,
+      "each word is >= 1 piece and each piece is >= 1 char")
+    // the trained merges actually compress somewhere: total subwords
+    // < total chars (equality would mean zero effective merges)
+    val agg = out
+      .agg(sum(col("n_subwords")).as("s"),
+        sum((col("chars_per_subword") * col("n_subwords")))
+          .as("c"))
+      .collect()(0)
+    assert(agg.getLong(0) < math.round(agg.getDouble(1)))
+  }
+
+  test("q134 agrees with the per-word segmentation it derives from") {
+    val seg = BpeTrain.segmentation(spark, dir)
+      .select(col("w"), col("n_pieces"))
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+    val expected = docs.map { r =>
+      val ws = r.getString(1).trim match {
+        case "" => Array.empty[String]
+        case t => t.split("(?U)\\s+")
+      }
+      r.getLong(0) -> ws.filter(w => w.nonEmpty && seg.contains(w))
+        .map(seg(_).toLong).sum
+    }.filter(_._2 > 0).toMap
+    val got = BpeTrain.corpusApply(spark, dir)
+      .select(col("doc_id"), col("n_subwords"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == expected)
+  }
+}
