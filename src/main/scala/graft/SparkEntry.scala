@@ -459,6 +459,12 @@ object SparkEntry {
     // The q125-trained tokenizer applied corpus-wide through a
     // vocab join carrying per-word piece counts.
     "q134_bpe_corpus_apply" -> (BpeTrain.corpusApply(_, _)),
+    // SemDeDup: q93 k-means clusters → within-cluster cosine vs
+    // lower-id mates → lowest-id representative survives.
+    "q135_semantic_dedup" -> (Dedup.semanticDedup(_, _)),
+    // CCNet-style segment dedup: disjoint 10-token segments, corpus-
+    // wide keep-first on the segment hash, per-doc retention stats.
+    "q136_segment_dedup" -> (Dedup.segmentDedup(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -930,6 +936,44 @@ object SparkEntry {
                 FROM lab
                 JOIN sz USING (cluster_id)
                 JOIN qq USING (doc_id))"""
+
+  /** The q93 Lloyd chain as a reusable WITH prefix: `e` (double-cast
+    * vectors), deterministic `init` (k=8 lowest vec_ids), two unrolled
+    * assign→update rounds, and the final assignment `a3` — filter
+    * `rn = 1` to read the converged (vec_id, cluster). Shared by the
+    * q93 gate and the q135 SemDeDup composition.
+    */
+  private val kmeansCtes: String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cluster) AS rn
+           FROM (SELECT e.vec_id, c.cluster,
+                   list_sum(list_transform(list_zip(e.emb, c.c_vec),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+                 FROM e CROSS JOIN $cents c) x)"""
+    def updateCte(name: String, assigned: String): String =
+      s"""$name AS (SELECT cluster, list(v ORDER BY dim) AS c_vec FROM (
+             SELECT a.cluster, s.dim AS dim, round(avg(s.x), 6) AS v
+             FROM (SELECT vec_id,
+                     unnest(list_transform(range(len(emb)),
+                       i -> {'dim': i, 'x': emb[i+1]})) AS s FROM e) cells
+             JOIN (SELECT vec_id, cluster FROM $assigned WHERE rn = 1) a
+               USING (vec_id)
+             GROUP BY 1, 2) m GROUP BY cluster)"""
+    s"""e AS MATERIALIZED (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS cluster, emb AS c_vec
+                  FROM (SELECT vec_id, emb FROM e
+                        ORDER BY vec_id LIMIT 8) s),
+         ${assignCte("a1", "init")},
+         ${updateCte("cl1", "a1")},
+         ${assignCte("a2", "cl1")},
+         ${updateCte("cl2", "a2")},
+         ${assignCte("a3", "cl2")}"""
+  }
 
   /** DuckDB-dialect oracle for each query (same column aliases). */
   def oracleSql: Map[String, String] = Map(
@@ -2916,39 +2960,52 @@ object SparkEntry {
     // q93: both Lloyd rounds unrolled as CTEs — same deterministic
     // init (k lowest vec_ids), same left-to-right double distance
     // fold, same (dist, cluster) tie-break, same rounded-mean update.
-    "q93_kmeans" -> {
-      def assignCte(name: String, cents: String): String =
-        s"""$name AS (SELECT vec_id, cluster, dist,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY dist, cluster) AS rn
-           FROM (SELECT e.vec_id, c.cluster,
-                   list_sum(list_transform(list_zip(e.emb, c.c_vec),
-                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
-                 FROM e CROSS JOIN $cents c) x)"""
-      def updateCte(name: String, assigned: String): String =
-        s"""$name AS (SELECT cluster, list(v ORDER BY dim) AS c_vec FROM (
-             SELECT a.cluster, s.dim AS dim, round(avg(s.x), 6) AS v
-             FROM (SELECT vec_id,
-                     unnest(list_transform(range(len(emb)),
-                       i -> {'dim': i, 'x': emb[i+1]})) AS s FROM e) cells
-             JOIN (SELECT vec_id, cluster FROM $assigned WHERE rn = 1) a
-               USING (vec_id)
-             GROUP BY 1, 2) m GROUP BY cluster)"""
-      s"""WITH e AS (SELECT vec_id,
-             list_transform(embedding, x -> x::DOUBLE) AS emb
-           FROM embeddings),
-         init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
-                    AS INTEGER) AS cluster, emb AS c_vec
-                  FROM (SELECT vec_id, emb FROM e
-                        ORDER BY vec_id LIMIT 8) s),
-         ${assignCte("a1", "init")},
-         ${updateCte("cl1", "a1")},
-         ${assignCte("a2", "cl1")},
-         ${updateCte("cl2", "a2")},
-         ${assignCte("a3", "cl2")}
+    "q93_kmeans" ->
+      s"""WITH $kmeansCtes
          SELECT vec_id, cluster, round(dist, 6) AS dist
-         FROM a3 WHERE rn = 1"""
+         FROM a3 WHERE rn = 1""",
+    // q135: q93's converged assignment + within-cluster pairwise
+    // cosine against lower-id cluster-mates — same left-to-right
+    // double folds, same 0.35 threshold, NULL max_sim → kept.
+    "q135_semantic_dedup" -> {
+      val pairCos = cosSql("lo.emb", "hi.emb")
+      s"""WITH $kmeansCtes,
+         asg AS MATERIALIZED (SELECT vec_id, cluster FROM a3
+                              WHERE rn = 1),
+         m AS MATERIALIZED (SELECT a.vec_id, a.cluster, e.emb
+                            FROM asg a JOIN e USING (vec_id)),
+         p AS (SELECT hi.vec_id, $pairCos AS sim
+               FROM m hi JOIN m lo
+                 ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id),
+         s AS (SELECT vec_id, max(sim) AS ms FROM p GROUP BY 1)
+         SELECT m.vec_id, m.cluster, round(s.ms, 6) AS max_sim_lower,
+           coalesce(s.ms < 0.35, true) AS kept
+         FROM m LEFT JOIN s ON m.vec_id = s.vec_id"""
     },
+    // q136: identical non-overlapping 10-token segmentation, md5-
+    // prefix hash60 segment key, keep-first = min (doc_id, seg_idx).
+    "q136_segment_dedup" ->
+      """WITH d AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents WHERE length(trim(text)) > 0),
+         x AS (SELECT doc_id, toks,
+                 unnest(range(CAST(ceil(len(toks) / 10.0) AS INT)))
+                   AS seg_idx
+               FROM d),
+         segs AS (SELECT doc_id, seg_idx,
+                 ('0x' || substr(md5(array_to_string(
+                    list_slice(toks, seg_idx * 10 + 1, seg_idx * 10 + 10),
+                    ' ')), 1, 15))::BIGINT AS seg_key
+               FROM x),
+         f AS (SELECT doc_id, seg_idx,
+                 row_number() OVER (PARTITION BY seg_key
+                   ORDER BY doc_id, seg_idx) AS rn
+               FROM segs)
+         SELECT doc_id, count(*) AS n_segs,
+           CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+           round(count(*) FILTER (rn = 1)::DOUBLE / count(*), 6)
+             AS frac_kept
+         FROM f GROUP BY doc_id""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

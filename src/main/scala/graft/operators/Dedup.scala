@@ -585,4 +585,136 @@ object Dedup {
       .groupBy(graft.functions.TextFunctions.hash60(col("span")).as("span_key"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
+
+  /** q135: SemDeDup-style semantic dedup (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv 2023): k-means-cluster the embedding
+    * space ([[Clustering.kmeansAssign]] — the exact q93 chain), then
+    * WITHIN each cluster mark every vector that has a lower-id
+    * cluster-mate with cosine ≥ tau as a semantic duplicate; the
+    * survivors are the lowest-id representative of each semantic
+    * neighborhood. Output is the full per-vector verdict table:
+    * (vec_id, cluster, max_sim_lower, kept).
+    *
+    * Scale design: the candidate join is CLUSTER-keyed, never global
+    * — SemDeDup's whole point is that k is sized to the corpus
+    * (fixed expected cluster size, e.g. 50k clusters for 5B docs) so
+    * the within-cluster pair cost stays linear in N while the
+    * clustering itself is the broadcast-assign / cell-shuffle-update
+    * Lloyd topology of q93. The clustered frame feeds both sides of
+    * the self-join and is localCheckpointed once (the derive-once
+    * rule), so the Lloyd rounds run exactly once, not twice.
+    *
+    * Reference tie-in: no vector ops in the reference — §7.8
+    * LLM-pipeline extension surface, built Spark-first.
+    */
+  def semanticDedup(
+      spark: SparkSession,
+      dir: String,
+      tau: Double = 0.35
+  ): DataFrame = {
+    val clustered = Clustering
+      .kmeansAssign(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+      .join(
+        Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        "vec_id"
+      )
+      .localCheckpoint(true)
+    val lower = clustered.select(
+      col("vec_id").as("lo_id"),
+      col("cluster"),
+      col("embedding").as("e_lo")
+    )
+    val simToLower = clustered
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .join(lower, Seq("cluster"))
+      .filter(col("lo_id") < col("vec_id"))
+      .select(
+        col("vec_id"),
+        Similarity.cosine(col("e_lo"), col("embedding")).as("sim")
+      )
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("ms"))
+    clustered
+      .select(col("vec_id"), col("cluster"))
+      .join(simToLower, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        round(col("ms"), 6).as("max_sim_lower"),
+        coalesce(col("ms") < tau, lit(true)).as("kept")
+      )
+  }
+
+  /** q136: CCNet-style duplicated-segment removal (Wenzek et al.,
+    * "CCNet: Extracting high quality monolingual datasets from web
+    * crawl data", LREC 2020 — its paragraph-hash dedup; the unit here
+    * is fixed non-overlapping 10-token segments because the corpus
+    * text is single-line). Every segment instance keeps iff it is the
+    * corpus-wide FIRST occurrence (min (doc_id, seg_idx)) of its
+    * segment hash — boilerplate (headers, templated chrome) survives
+    * once and is stripped everywhere else. Output is per-doc
+    * retention: (doc_id, n_segs, n_kept, frac_kept).
+    *
+    * Unlike q96 (overlapping 8-token span FAMILIES, a detector), this
+    * is the remover: a partition of each doc into disjoint segments
+    * plus a global keep-first policy.
+    *
+    * Scale: segments derive doc-locally; the only shuffles are the
+    * partially-aggregated first-occurrence groupBy on the 60-bit
+    * segment key and the per-doc stat agg — the topology CCNet runs
+    * over Common Crawl shards.
+    */
+  def segmentDedup(
+      spark: SparkSession,
+      dir: String,
+      segTokens: Int = 10
+  ): DataFrame = {
+    val toks = tokens(col("text"))
+    val segs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(
+              lit(0),
+              floor((size(col("toks")) - 1) / segTokens).cast("int")
+            ),
+            i =>
+              array_join(
+                slice(col("toks"), i * segTokens + 1, lit(segTokens)),
+                " "
+              )
+          )
+        ).as(Seq("seg_idx", "seg"))
+      )
+      .select(
+        col("doc_id"),
+        col("seg_idx"),
+        graft.functions.TextFunctions.hash60(col("seg")).as("seg_key")
+      )
+    val first = segs
+      .groupBy(col("seg_key"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f"))
+    segs
+      .join(first, "seg_key")
+      .select(
+        col("doc_id"),
+        (col("f.doc_id") === col("doc_id") &&
+          col("f.seg_idx") === col("seg_idx")).as("is_first")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept")
+      )
+      .withColumn(
+        "frac_kept",
+        round(col("n_kept").cast("double") / col("n_segs"), 6)
+      )
+  }
 }

@@ -110,4 +110,102 @@ class Round6OpsSpec extends AnyFunSuite {
       .toMap
     assert(got == expected)
   }
+
+  test("q135 SemDeDup agrees with a brute-force within-cluster check") {
+    val out = Dedup.semanticDedup(spark, dir).collect()
+    val embs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == embs.size,
+      "one verdict row per vector")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = out.groupBy(_.getAs[Int]("cluster"))
+    byCluster.values.foreach { rows =>
+      val ids = rows.map(_.getAs[Long]("vec_id")).sorted
+      rows.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        val lowers = ids.filter(_ < id)
+        val expected =
+          if (lowers.isEmpty) None
+          else Some(BigDecimal(lowers.map(l => cos(embs(l), embs(id))).max)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        val got = Option(r.getAs[java.lang.Double]("max_sim_lower"))
+          .map(_.toDouble)
+        expected match {
+          case None => assert(got.isEmpty, s"vec $id: lone lowest id")
+          case Some(e) =>
+            assert(got.isDefined && math.abs(got.get - e) < 2e-6,
+              s"vec $id: max_sim_lower ${got} vs brute $e")
+        }
+        val kept = r.getAs[Boolean]("kept")
+        expected match {
+          case None => assert(kept, s"vec $id: no lower mate must keep")
+          case Some(e) if e < 0.35 - 1e-5 =>
+            assert(kept, s"vec $id: sim $e below tau must keep")
+          case Some(e) if e > 0.35 + 1e-5 =>
+            assert(!kept, s"vec $id: sim $e above tau must drop")
+          case _ => // within float noise of the threshold: no claim
+        }
+      }
+      // the lowest id of every cluster always survives
+      val lowest = rows.minBy(_.getAs[Long]("vec_id"))
+      assert(lowest.getAs[Boolean]("kept"), "cluster representative kept")
+    }
+  }
+
+  test("q136 segment dedup on an engineered corpus keeps first occurrences") {
+    val toy = java.nio.file.Files.createTempDirectory("segtoy").toString
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // 11 tokens → segs [ten, "tail0"]; both first occurrences
+      (0L, s"$ten tail0"),
+      // repeats doc 0's first segment exactly, unique second segment
+      (1L, s"$ten unique tail one two three four five six seven eight9"),
+      // entirely unique single short segment
+      (2L, "lone doc"),
+      // duplicates doc 2's full (sub-10-token) segment
+      (3L, "lone doc")
+    )
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$toy/documents.parquet")
+    val out = Dedup.segmentDedup(spark, toy).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segs"), r.getAs[Long]("n_kept"))))
+      .toMap
+    assert(out(0L) == ((2L, 2L)), "doc 0 owns both of its segments")
+    assert(out(1L) == ((2L, 1L)), "doc 1's copied head segment dropped")
+    assert(out(2L) == ((1L, 1L)), "doc 2 owns its segment")
+    assert(out(3L) == ((1L, 0L)), "doc 3's copy of doc 2 dropped")
+  }
+
+  test("q136 corpus invariant: kept instances = distinct segments") {
+    val out = Dedup.segmentDedup(spark, dir)
+    val totalKept = out.agg(sum(col("n_kept"))).collect()(0).getLong(0)
+    // independent distinct-segment count over the same segmentation
+    val distinctSegs = Tables.documents(spark, dir)
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(posexplode(transform(
+        sequence(lit(0), floor((size(col("toks")) - 1) / 10).cast("int")),
+        i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " ")
+      )).as(Seq("i", "seg")))
+      .select(col("seg")).distinct().count()
+    assert(totalKept == distinctSegs,
+      s"kept $totalKept != distinct $distinctSegs")
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segs"))
+    }
+  }
 }
