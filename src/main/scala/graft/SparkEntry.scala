@@ -465,6 +465,9 @@ object SparkEntry {
     // CCNet-style segment dedup: disjoint 10-token segments, corpus-
     // wide keep-first on the segment hash, per-doc retention stats.
     "q136_segment_dedup" -> (Dedup.segmentDedup(_, _)),
+    // Bloom-screen decontamination: eval shingles → 2^16-bit bitmap
+    // (k=2), broadcast word-lookup screen + exact-membership audit.
+    "q137_bloom_decontaminate" -> (Dedup.bloomDecontaminate(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -2982,6 +2985,54 @@ object SparkEntry {
            coalesce(s.ms < 0.35, true) AS kept
          FROM m LEFT JOIN s ON m.vec_id = s.vec_id"""
     },
+    // q137: identical 2-hash Bloom fold (2^20 bits as 32-bit words in
+    // BIGINT cells — shifts stay ≤31, signed-safe in both engines)
+    // and the same exact-membership audit join.
+    "q137_bloom_decontaminate" ->
+      """WITH dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 4),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5])) AS sh
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 5),
+         ev AS MATERIALIZED (SELECT DISTINCT unnest(sh) AS s FROM dd
+                             WHERE doc_id % 50 = 0),
+         pos AS (SELECT ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT
+                   % 1048576 AS p FROM ev
+                 UNION ALL
+                 SELECT ('0x' || substr(md5('1:' || s), 1, 15))::BIGINT
+                   % 1048576 FROM ev),
+         bm AS MATERIALIZED (SELECT p // 32 AS word,
+                 bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+               FROM pos GROUP BY 1),
+         t2 AS (SELECT doc_id, s,
+                  ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT
+                    % 1048576 AS p0,
+                  ('0x' || substr(md5('1:' || s), 1, 15))::BIGINT
+                    % 1048576 AS p1
+                FROM (SELECT doc_id, unnest(sh) AS s FROM dd
+                      WHERE doc_id % 50 <> 0) tr),
+         t3 AS (SELECT t2.doc_id,
+                  (coalesce(b0.bits, 0) &
+                    (1::BIGINT << CAST(p0 % 32 AS INT))) <> 0
+                  AND (coalesce(b1.bits, 0) &
+                    (1::BIGINT << CAST(p1 % 32 AS INT))) <> 0 AS bloom_hit,
+                  ev.s IS NOT NULL AS is_member
+                FROM t2
+                LEFT JOIN bm b0 ON b0.word = t2.p0 // 32
+                LEFT JOIN bm b1 ON b1.word = t2.p1 // 32
+                LEFT JOIN ev ON ev.s = t2.s)
+         SELECT doc_id, count(*) AS n_shingles,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_hits
+         FROM t3 GROUP BY 1
+         HAVING sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0""",
     // q136: identical non-overlapping 10-token segmentation, md5-
     // prefix hash60 segment key, keep-first = min (doc_id, seg_idx).
     "q136_segment_dedup" ->

@@ -647,6 +647,98 @@ object Dedup {
       )
   }
 
+  /** q137: Bloom-filter decontamination — the FIXED-MEMORY screen
+    * variant of q73's exact eval-overlap join (Bloom, "Space/time
+    * trade-offs in hash coding with allowable errors", CACM 1970;
+    * the eval-contamination procedure of Brown et al. 2020 app. C).
+    * The eval split's distinct 5-gram shingles are folded into a
+    * 2^16-bit Bloom bitmap (k = 2 md5-seeded hashes, stored as ≤2048
+    * 32-bit words in BIGINT cells — shifts stay in the signed-safe
+    * 0..31 range on both engines); every training shingle is screened
+    * against the broadcast bitmap, and an exact-membership audit
+    * column measures the screen's false positives (`n_bloom_hits ≥
+    * n_exact_hits` always). Output per flagged training doc:
+    * (doc_id, n_shingles, n_bloom_hits, n_exact_hits).
+    *
+    * Scale: q73 broadcasts the full eval SHINGLE SET — fine for MB
+    * eval suites, not for a multi-GB one; the Bloom bitmap is ≤128 KiB
+    * REGARDLESS of eval size (m is a parameter of the screen, sized
+    * once to the eval suite's bits-per-element budget), so the screen side never grows. The
+    * topology is two broadcast word-lookups + the per-doc agg; the
+    * exact-audit join is the gate's recall/FP measurement, dropped in
+    * a production screen-only pass.
+    */
+  def bloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val mBits = 1048576L
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalSh = docs
+      .filter(col("doc_id") % 50 === 0)
+      .select(explode(col("sh")).as("s"))
+      .distinct()
+    val bitmap = evalSh
+      .select(
+        explode(
+          array(
+            seededHash(0, col("s")) % mBits,
+            seededHash(1, col("s")) % mBits
+          )
+        ).as("p")
+      )
+      .select(
+        shiftright(col("p"), 5).as("word"),
+        col("p").mod(32).cast("int").as("b")
+      )
+      .select(col("word"), expr("shiftleft(CAST(1 AS BIGINT), b)").as("m"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(m)").as("bits"))
+    val tr = docs
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("p0", seededHash(0, col("s")) % mBits)
+      .withColumn("p1", seededHash(1, col("s")) % mBits)
+      .select(
+        col("doc_id"),
+        col("s"),
+        shiftright(col("p0"), 5).as("w0"),
+        col("p0").mod(32).cast("int").as("b0"),
+        shiftright(col("p1"), 5).as("w1"),
+        col("p1").mod(32).cast("int").as("b1")
+      )
+    tr
+      .join(
+        broadcast(bitmap.select(col("word").as("w0"), col("bits").as("bits0"))),
+        Seq("w0"),
+        "left"
+      )
+      .join(
+        broadcast(bitmap.select(col("word").as("w1"), col("bits").as("bits1"))),
+        Seq("w1"),
+        "left"
+      )
+      .join(
+        broadcast(evalSh.withColumn("is_member", lit(true))),
+        Seq("s"),
+        "left"
+      )
+      .withColumn(
+        "bloom_hit",
+        coalesce(col("bits0"), lit(0L))
+          .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), b0)")) =!= 0 &&
+          coalesce(col("bits1"), lit(0L))
+            .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), b1)")) =!= 0
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_exact_hits")
+      )
+      .filter(col("n_bloom_hits") > 0)
+  }
+
   /** q136: CCNet-style duplicated-segment removal (Wenzek et al.,
     * "CCNet: Extracting high quality monolingual datasets from web
     * crawl data", LREC 2020 — its paragraph-hash dedup; the unit here

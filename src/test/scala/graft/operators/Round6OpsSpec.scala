@@ -190,6 +190,32 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 0L)), "doc 3's copy of doc 2 dropped")
   }
 
+  test("q137 Bloom screen: no false negatives vs q73, audited FPs only") {
+    val bloom = Dedup.bloomDecontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bloom_hits"), r.getAs[Long]("n_exact_hits"))))
+      .toMap
+    val exact = Dedup.decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_shared_shingles"))
+      .toMap
+    // a Bloom filter never misses a true member: every exactly-
+    // contaminated doc must be flagged, with at least that many hits
+    exact.foreach { case (id, nShared) =>
+      assert(bloom.contains(id), s"doc $id contaminated but not flagged")
+      assert(bloom(id)._1 >= nShared, s"doc $id bloom < exact")
+      assert(bloom(id)._2 == nShared,
+        s"doc $id audit column disagrees with q73")
+    }
+    // and the audit column never exceeds the screen
+    bloom.values.foreach { case (nb, ne) => assert(nb >= ne) }
+    // flagged docs missing from q73 are measurable false positives
+    val fps = bloom.keySet -- exact.keySet
+    fps.foreach { id =>
+      assert(bloom(id)._2 == 0L, s"FP doc $id claims exact hits")
+    }
+  }
+
   test("q136 corpus invariant: kept instances = distinct segments") {
     val out = Dedup.segmentDedup(spark, dir)
     val totalKept = out.agg(sum(col("n_kept"))).collect()(0).getLong(0)
