@@ -465,9 +465,15 @@ object SparkEntry {
     // CCNet-style segment dedup: disjoint 10-token segments, corpus-
     // wide keep-first on the segment hash, per-doc retention stats.
     "q136_segment_dedup" -> (Dedup.segmentDedup(_, _)),
-    // Bloom-screen decontamination: eval shingles → 2^16-bit bitmap
+    // Bloom-screen decontamination: eval shingles → 2^20-bit bitmap
     // (k=2), broadcast word-lookup screen + exact-membership audit.
     "q137_bloom_decontaminate" -> (Dedup.bloomDecontaminate(_, _)),
+    // T5 span corruption: hash-masked positions → sentinel-collapsed
+    // input + sentinel-prefixed target, one doc_id-keyed window pass.
+    "q138_span_corruption" -> (ExampleGen.spanCorruption(_, _)),
+    // Hard-negative mining: anchors × corpus scan, different-label
+    // filter, per-anchor top-3 by cosine.
+    "q139_hard_negatives" -> (Similarity.hardNegatives(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -2984,6 +2990,68 @@ object SparkEntry {
          SELECT m.vec_id, m.cluster, round(s.ms, 6) AS max_sim_lower,
            coalesce(s.ms < 0.35, true) AS kept
          FROM m LEFT JOIN s ON m.vec_id = s.vec_id"""
+    },
+    // q138: identical per-position hash mask, run-collapse via the
+    // same lag/sum window, string_agg ORDER BY pos reassembly (empty
+    // target coalesced to '' to match Spark's concat_ws).
+    "q138_span_corruption" ->
+      """WITH tk AS (SELECT doc_id, toks FROM (
+             SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             FROM documents) t WHERE len(toks) >= 1),
+         p AS (SELECT doc_id, CAST(s.i AS INTEGER) AS pos,
+                 toks[s.i + 1] AS tok,
+                 ('0x' || substr(md5(doc_id::VARCHAR || ':' || s.i),
+                   1, 15))::BIGINT % 1000 < 150 AS m
+               FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                     FROM tk) s(doc_id, toks, i)),
+         r AS (SELECT p.*,
+                 m AND NOT coalesce(lag(m) OVER
+                   (PARTITION BY doc_id ORDER BY pos), false)
+                   AS span_start
+               FROM p),
+         sp AS (SELECT r.*,
+                 CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) - 1 AS span_id
+               FROM r),
+         pc AS (SELECT doc_id, pos, m, span_start,
+                 CASE WHEN NOT m THEN tok
+                      WHEN span_start THEN
+                        '<extra_id_' || span_id || '>'
+                 END AS in_piece,
+                 CASE WHEN span_start THEN
+                        '<extra_id_' || span_id || '>' || ' ' || tok
+                      WHEN m THEN tok
+                 END AS tgt_piece
+               FROM sp)
+         SELECT doc_id, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(sum(CASE WHEN span_start THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_spans,
+           coalesce(string_agg(in_piece, ' ' ORDER BY pos), '')
+             AS input_text,
+           coalesce(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+             AS target_text
+         FROM pc GROUP BY doc_id""",
+    // q139: same anchor slice, different-label filter, cosine rank
+    // with the vec_id tiebreak on the unrounded double.
+    "q139_hard_negatives" -> {
+      val pairCos = cosSql("a.embedding", "e.embedding")
+      s"""WITH a AS (SELECT vec_id AS anchor_id, label, embedding
+               FROM embeddings WHERE vec_id % 100 = 0),
+         s AS (SELECT a.anchor_id, e.vec_id, $pairCos AS sim
+               FROM embeddings e JOIN a
+                 ON e.vec_id <> a.anchor_id AND e.label <> a.label),
+         r AS (SELECT anchor_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM s)
+         SELECT anchor_id, vec_id AS neg_id, round(sim, 6) AS sim,
+           CAST(rk AS INTEGER) AS rank
+         FROM r WHERE rk <= 3"""
     },
     // q137: identical 2-hash Bloom fold (2^20 bits as 32-bit words in
     // BIGINT cells — shifts stay ≤31, signed-safe in both engines)

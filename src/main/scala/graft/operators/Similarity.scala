@@ -501,4 +501,57 @@ object Similarity {
         round(col("exact_dist"), 6).as("exact_dist")
       )
   }
+
+  /** q139: hard-negative mining for contrastive embedding training
+    * (the hard-negative selection of Karpukhin et al., "Dense Passage
+    * Retrieval for Open-Domain Question Answering", EMNLP 2020 §3.2):
+    * for each anchor vector (vec_id % 100 == 0), the top-3 most-
+    * cosine-similar vectors carrying a DIFFERENT label — close in
+    * embedding space, known-different in class, the negatives that
+    * actually move a contrastive loss.
+    *
+    * Exact by construction: broadcast anchors × one corpus scan
+    * (BroadcastNestedLoopJoin over the tiny anchor frame), per-anchor
+    * rank via the top-k window (WindowGroupLimit partial heaps). At
+    * 100 TB the scan side swaps to the IVF / PQ candidate generators
+    * (`ivfTopKProbe` / `pqAdcTopKFrom` seams) with this same
+    * label-filter + rank tail.
+    */
+  def hardNegatives(
+      spark: SparkSession,
+      dir: String,
+      topK: Int = 3
+  ): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val anchors = e
+      .filter(col("vec_id") % 100 === 0)
+      .select(
+        col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"),
+        col("embedding").as("a_vec")
+      )
+    val scored = e
+      .join(
+        broadcast(anchors),
+        col("vec_id") =!= col("anchor_id") &&
+          col("label") =!= col("anchor_label")
+      )
+      .select(
+        col("anchor_id"),
+        col("vec_id"),
+        cosine(col("a_vec"), col("embedding")).as("sim")
+      )
+    val w = Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(
+        col("anchor_id"),
+        col("vec_id").as("neg_id"),
+        round(col("sim"), 6).as("sim"),
+        col("rank")
+      )
+  }
 }

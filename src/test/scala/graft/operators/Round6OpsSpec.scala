@@ -216,6 +216,74 @@ class Round6OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q138 span corruption round-trips: sentinel expansion = original") {
+    val out = ExampleGen.spanCorruption(spark, dir).collect()
+    val originals = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("(?U)\\s+").toSeq)
+      .toMap
+    assert(out.nonEmpty)
+    val sentinel = "<extra_id_(\\d+)>".r
+    var masked = 0L; var total = 0L
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val input = r.getAs[String]("input_text").split(" ").toSeq
+      val target = r.getAs[String]("target_text")
+      val nSpans = r.getAs[Long]("n_spans")
+      masked += r.getAs[Long]("n_masked"); total += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("n_spans") <= r.getAs[Long]("n_masked"))
+      // parse target into span_id -> tokens
+      val spanToks = scala.collection.mutable.Map[Int, Vector[String]]()
+      var cur = -1
+      if (target.nonEmpty) target.split(" ").foreach {
+        case sentinel(k) => cur = k.toInt; spanToks(cur) = Vector()
+        case t => spanToks(cur) = spanToks(cur) :+ t
+      }
+      assert(spanToks.keySet == (0 until nSpans.toInt).toSet,
+        s"doc $id: target sentinels not 0..${nSpans - 1}")
+      val rebuilt = input.flatMap {
+        case sentinel(k) => spanToks(k.toInt)
+        case t => Seq(t)
+      }
+      assert(rebuilt == originals(id), s"doc $id does not round-trip")
+    }
+    val rate = masked.toDouble / total
+    assert(rate > 0.12 && rate < 0.18, s"corpus mask rate $rate far from 15%")
+  }
+
+  test("q139 hard negatives match a brute-force label-filtered top-3") {
+    val embs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.hardNegatives(spark, dir).collect()
+      .groupBy(_.getAs[Long]("anchor_id"))
+    embs.filter(_._1 % 100 == 0).foreach { case (aid, albl, avec) =>
+      val expected = embs
+        .filter { case (id, lbl, _) => id != aid && lbl != albl }
+        .map { case (id, _, v) => (id, cos(avec, v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(3)
+      val rows = got(aid).sortBy(_.getAs[Int]("rank"))
+      assert(rows.map(_.getAs[Long]("neg_id")).toSeq ==
+        expected.map(_._1).toSeq, s"anchor $aid negatives differ")
+      rows.zip(expected).foreach { case (r, (_, s)) =>
+        assert(math.abs(r.getAs[Double]("sim") - s) < 2e-6)
+      }
+    }
+  }
+
   test("q136 corpus invariant: kept instances = distinct segments") {
     val out = Dedup.segmentDedup(spark, dir)
     val totalKept = out.agg(sum(col("n_kept"))).collect()(0).getLong(0)
