@@ -474,6 +474,11 @@ object SparkEntry {
     // Hard-negative mining: anchors × corpus scan, different-label
     // filter, per-anchor top-3 by cosine.
     "q139_hard_negatives" -> (Similarity.hardNegatives(_, _)),
+    // Winnowing: per-doc window-min fingerprint selection, pair
+    // overlap on the winnowed sets.
+    "q140_winnow_fingerprints" -> ((s, d) => Dedup.winnowFingerprints(s, d)),
+    // JL ±1 random projection 64→16 with a pair distortion audit.
+    "q141_jl_projection" -> ((s, d) => Similarity.jlProjectDistortion(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3125,6 +3130,66 @@ object SparkEntry {
            round(count(*) FILTER (rn = 1)::DOUBLE / count(*), 6)
              AS frac_kept
          FROM f GROUP BY doc_id""",
+    // q140: identical positional 3-gram hash60, w=4 window minima
+    // over valid starts, distinct per-doc fingerprints, pair overlap.
+    "q140_winnow_fingerprints" ->
+      """WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         g AS (SELECT doc_id, len(toks) - 2 AS ng,
+                 unnest(list_transform(range(len(toks) - 2),
+                   i -> {'pos': i,
+                         'h': ('0x' || substr(md5(toks[i+1] || ' ' ||
+                            toks[i+2] || ' ' || toks[i+3]), 1, 15))::BIGINT}))
+                   AS s
+               FROM t WHERE len(toks) >= 3),
+         wm AS (SELECT doc_id, ng, s.pos AS pos,
+                  min(s.h) OVER (PARTITION BY doc_id ORDER BY s.pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+                FROM g),
+         fp AS MATERIALIZED (SELECT DISTINCT doc_id, mh FROM wm
+               WHERE pos <= greatest(ng - 4, 0)),
+         c AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY 1),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS n_shared
+                FROM fp a JOIN fp b
+                  ON a.mh = b.mh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) /
+             (ca.n_fp + cb.n_fp - n_shared), 6) AS overlap
+         FROM pr
+         JOIN c ca ON pr.doc_a = ca.doc_id
+         JOIN c cb ON pr.doc_b = cb.doc_id
+         WHERE n_shared >= 2""",
+    // q141: identical md5-seeded ±1 sign matrix, left-to-right
+    // projection fold / 4.0, and squared-distance folds on the pair
+    // slice (b-vector first in every zip, matching the Spark side).
+    "q141_jl_projection" ->
+      """WITH r AS (SELECT list_transform(range(16), j ->
+             list_transform(range(64), i ->
+               CASE WHEN ('0x' || substr(md5('jl:' || i || ':' || j),
+                   1, 15))::BIGINT % 2 = 0
+                 THEN 1.0 ELSE -1.0 END)) AS rmat),
+         p AS MATERIALIZED (SELECT vec_id, embedding,
+                 list_transform(r.rmat, row ->
+                   list_sum(list_transform(list_zip(embedding, row),
+                     q -> q[1]::DOUBLE * q[2])) / 4.0) AS y
+               FROM embeddings, r
+               WHERE vec_id % 25 = 0),
+         a AS (SELECT * FROM p WHERE vec_id % 100 = 0),
+         pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_sum(list_transform(
+                    list_zip(b.embedding, a.embedding),
+                    q -> (q[1]::DOUBLE - q[2]::DOUBLE) *
+                         (q[1]::DOUBLE - q[2]::DOUBLE))) AS d2o,
+                  list_sum(list_transform(list_zip(b.y, a.y),
+                    q -> (q[1] - q[2]) * (q[1] - q[2]))) AS d2p
+                FROM p b JOIN a ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, round(d2o, 6) AS d2_orig,
+           round(d2p, 6) AS d2_proj, round(d2p / d2o, 6) AS distortion
+         FROM pr WHERE d2o > 0""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -809,4 +809,83 @@ object Dedup {
         round(col("n_kept").cast("double") / col("n_segs"), 6)
       )
   }
+
+  /** q140: winnowing fingerprint overlap (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: local algorithms for document fingerprinting",
+    * SIGMOD 2003 — the MOSS selection rule). Positional 3-gram hashes
+    * are compressed by sliding a w=4 window over each doc and keeping
+    * every window's MINIMUM hash; the distinct selected hashes are
+    * the doc's fingerprints. The winnowing guarantee: any run of
+    * ≥ w+k−1 = 7 shared tokens produces a shared fingerprint, at an
+    * expected 2/(w+1) ≈ 40% of the full shingle-set density — the
+    * guaranteed-detection COMPRESSION that q21's full-set Jaccard
+    * lacks. Output: doc pairs sharing ≥ 2 fingerprints with the
+    * fingerprint-set overlap fraction |A∩B| / |A∪B|.
+    *
+    * Scale: fingerprints derive doc-locally (one per-doc window
+    * shuffle); the pair join runs on the WINNOWED sets, so the
+    * collision-linear LSH-style cost is paid on ~40% of the keys —
+    * the reason MOSS indexes fingerprints, not shingles. The per-doc
+    * count join keys on doc_id (no broadcast: it scales with the
+    * corpus).
+    */
+  def winnowFingerprints(
+      spark: SparkSession,
+      dir: String,
+      w: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        (size(col("toks")) - 2).as("n_grams"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("toks")) - 3),
+            i => array_join(slice(col("toks"), i + 1, lit(3)), " ")
+          )
+        ).as(Seq("pos", "gram"))
+      )
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("pos"),
+        hash60(col("gram")).as("h")
+      )
+    val win = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fp = grams
+      .withColumn("mh", min(col("h")).over(win))
+      // window STARTS: docs shorter than w grams winnow their single
+      // truncated window at pos 0
+      .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"), col("mh"))
+      .distinct()
+    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    fp.as("a")
+      .join(
+        fp.as("b"),
+        col("a.mh") === col("b.mh") && col("a.doc_id") < col("b.doc_id")
+      )
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(nfp.select(col("doc_id").as("doc_a"), col("n_fp").as("nfa")), Seq("doc_a"))
+      .join(nfp.select(col("doc_id").as("doc_b"), col("n_fp").as("nfb")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_shared"),
+        round(
+          col("n_shared").cast("double") /
+            (col("nfa") + col("nfb") - col("n_shared")),
+          6
+        ).as("overlap")
+      )
+  }
 }

@@ -554,4 +554,87 @@ object Similarity {
         col("rank")
       )
   }
+
+  /** q141: Johnson-Lindenstrauss random projection with a distortion
+    * audit (Johnson & Lindenstrauss 1984; the database-friendly ±1
+    * construction of Achlioptas, "Database-friendly random
+    * projections", PODS 2001): 64-dim embeddings project to 16 dims
+    * through the deterministic md5-seeded sign matrix R
+    * (y = Rx / √16, R_ij ∈ {±1} from hash60("jl:i:j") mod 2), then
+    * the JL guarantee is measured on an anchor pair slice as the
+    * squared-distance distortion d²_proj / d²_orig.
+    *
+    * Scale: R derives from the hash — no trained state, no
+    * driver-side matrix, nothing shipped but the expression; the
+    * projection is a per-row fold (embarrassingly parallel, ZERO
+    * shuffles), and downstream ANN / semantic-dedup stages then pay
+    * their pair joins on 4× fewer dims. The audit join broadcasts
+    * the 1% anchor slice against the 4% probe slice — never
+    * corpus × corpus.
+    */
+  def jlProjectDistortion(
+      spark: SparkSession,
+      dir: String,
+      outDim: Int = 16,
+      inDim: Int = 64
+  ): DataFrame = {
+    val rmat = transform(
+      sequence(lit(0), lit(outDim - 1)),
+      j =>
+        transform(
+          sequence(lit(0), lit(inDim - 1)),
+          i =>
+            when(
+              graft.functions.TextFunctions.hash60(
+                concat(
+                  lit("jl:"),
+                  i.cast("string"),
+                  lit(":"),
+                  j.cast("string")
+                )
+              ) % 2 === 0,
+              lit(1.0)
+            ).otherwise(lit(-1.0))
+        )
+    )
+    val scale = lit(math.sqrt(outDim.toDouble))
+    def project(slice: DataFrame, suffix: String): DataFrame =
+      slice.select(
+        col("vec_id").as(s"vec_$suffix"),
+        col("embedding").as(s"e$suffix"),
+        transform(
+          rmat,
+          row =>
+            aggregate(
+              zip_with(col("embedding"), row, (x, s) => x.cast("double") * s),
+              lit(0.0),
+              (acc, v) => acc + v
+            ) / scale
+        ).as(s"y$suffix")
+      )
+    val e = Tables.embeddings(spark, dir)
+    val pa = project(e.filter(col("vec_id") % 100 === 0), "a")
+    val pb = project(e.filter(col("vec_id") % 25 === 0), "b")
+    pb.join(broadcast(pa), col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        graft.functions.VectorMath
+          .vecSqDist(col("eb"), col("ea").cast("array<double>"))
+          .as("d2o"),
+        aggregate(
+          zip_with(col("yb"), col("ya"), (x, y) => (x - y) * (x - y)),
+          lit(0.0),
+          (acc, v) => acc + v
+        ).as("d2p")
+      )
+      .filter(col("d2o") > 0)
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        round(col("d2o"), 6).as("d2_orig"),
+        round(col("d2p"), 6).as("d2_proj"),
+        round(col("d2p") / col("d2o"), 6).as("distortion")
+      )
+  }
 }

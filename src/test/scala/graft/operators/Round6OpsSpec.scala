@@ -302,4 +302,94 @@ class Round6OpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_segs"))
     }
   }
+
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("q140 winnowing matches a brute-force reference on the corpus") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byDoc = docs.flatMap { case (id, text) =>
+      val toks =
+        if (text.trim.isEmpty) Array.empty[String]
+        else text.trim.split("(?U)\\s+")
+      if (toks.length < 3) None
+      else {
+        val hs = (0 to toks.length - 3)
+          .map(i => h60(toks.slice(i, i + 3).mkString(" ")))
+        val fps = (0 to math.max(hs.length - 4, 0))
+          .map(p => hs.slice(p, p + 4).min).toSet
+        Some(id -> fps)
+      }
+    }.toMap
+    val expected = (for {
+      (a, sa) <- byDoc; (b, sb) <- byDoc if a < b
+      shared = (sa & sb).size if shared >= 2
+    } yield (a, b) ->
+      ((shared.toLong, shared.toDouble / (sa.size + sb.size - shared)))).toMap
+    val got = Dedup.winnowFingerprints(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Double]("overlap")))).toMap
+    assert(got.nonEmpty)
+    assert(got.keySet == expected.keySet, "pair sets differ")
+    expected.foreach { case (k, (ns, ov)) =>
+      assert(got(k)._1 == ns, s"pair $k shared count differs")
+      assert(math.abs(got(k)._2 - ov) < 1e-6, s"pair $k overlap differs")
+    }
+  }
+
+  test("q140 winnowing guarantee: a long shared run yields shared fingerprints") {
+    val toy = "/tmp/graft_winnow_toy"
+    val run = (1 to 30).map(i => s"shared$i").mkString(" ")
+    import spark.implicits._
+    Seq(
+      (0L, s"alpha beta gamma $run delta epsilon"),
+      (1L, s"one two three four five $run six seven"),
+      (2L, "totally unrelated words with no overlap at all here")
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$toy/documents.parquet")
+    val pairs = Dedup.winnowFingerprints(spark, toy).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // 30 shared tokens = 28 shared grams; every w-window fully inside
+    // the run selects identically in both docs -> well over the >=2 bar
+    assert(pairs.contains((0L, 1L)), "shared-run pair not detected")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "unrelated doc flagged")
+  }
+
+  test("q141 JL projection matches a brute-force replay; distortion near 1") {
+    val sign = Array.tabulate(16, 64)((j, i) =>
+      if (h60(s"jl:$i:$j") % 2 == 0) 1.0 else -1.0)
+    val embs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .toMap
+    def proj(v: Array[Float]): Array[Double] =
+      Array.tabulate(16)(j =>
+        (0 until 64).foldLeft(0.0)((acc, i) =>
+          acc + v(i).toDouble * sign(j)(i)) / 4.0)
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) =>
+        acc + (p._1 - p._2) * (p._1 - p._2))
+    val got = Similarity.jlProjectDistortion(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val a = r.getAs[Long]("vec_a"); val b = r.getAs[Long]("vec_b")
+      assert(a % 100 == 0 && b % 25 == 0 && a < b)
+      val ya = proj(embs(a)); val yb = proj(embs(b))
+      val d2o = embs(b).zip(embs(a)).foldLeft(0.0)((acc, p) =>
+        acc + (p._1.toDouble - p._2.toDouble) * (p._1.toDouble - p._2.toDouble))
+      assert(math.abs(r.getAs[Double]("d2_orig") - d2o) < 1e-5)
+      assert(math.abs(r.getAs[Double]("d2_proj") - d2(yb, ya)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("distortion") - d2(yb, ya) / d2o) < 1e-5)
+    }
+    // JL with 16 output dims: per-pair distortion std ~ sqrt(2/16);
+    // the corpus mean must sit near 1
+    val mean = got.map(_.getAs[Double]("distortion")).sum / got.length
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean far from 1")
+  }
 }
