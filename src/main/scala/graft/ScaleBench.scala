@@ -536,6 +536,85 @@ object ScaleBench {
     val spanFamilies = spanRow.getLong(0)
     require(spanFamilies > 0, "no duplicated span families found")
 
+    // --- winnowing fingerprints at ~100k docs ------------------------
+    // the q140 topology with the fast (xxhash64) gram key instead of
+    // the oracle-portable md5 prefix; candidate pairs counted per
+    // fingerprint bucket (sum n·(n−1)/2) without materializing them —
+    // the 200× replication makes every source doc a ~200-replica
+    // near-dup family, the adversarial bucket shape.
+    val tWin = System.nanoTime()
+    val winGrams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        (size(col("toks")) - 2).as("ng"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("toks")) - 3),
+            i => array_join(slice(col("toks"), i + 1, lit(3)), " ")
+          )
+        ).as(Seq("pos", "gram"))
+      )
+      .select(col("doc_id"), col("ng"), col("pos"),
+        xxhash64(col("gram")).as("h"))
+    val winW = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    val winRow = winGrams
+      .withColumn("mh", min(col("h")).over(winW))
+      .filter(col("pos") <= greatest(col("ng") - 4, lit(0)))
+      .select(col("doc_id"), col("mh"))
+      .distinct()
+      .groupBy(col("mh"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("fps"),
+        sum(col("n") * (col("n") - 1) / 2).cast("long").as("cand")
+      )
+      .collect()(0)
+    val winSec = (System.nanoTime() - tWin) / 1e9
+    val winFps = winRow.getLong(0)
+    val winCands = winRow.getLong(1)
+    require(winFps > 0 && winCands > 0, "winnowing selected nothing")
+
+    // --- JL projection at ~100k vectors ------------------------------
+    // the q141 projection fold over every vector: zero shuffles, one
+    // codegen pass; the count+checksum agg forces materialization.
+    val tJl = System.nanoTime()
+    val jlRmat = transform(
+      sequence(lit(0), lit(15)),
+      j =>
+        transform(
+          sequence(lit(0), lit(63)),
+          i =>
+            when(
+              xxhash64(concat(lit("jl:"), i.cast("string"), lit(":"),
+                j.cast("string"))).bitwiseAND(lit(1L)) === 0,
+              lit(1.0)
+            ).otherwise(lit(-1.0))
+        )
+    )
+    val jlRow = vecs
+      .crossJoin(broadcast(spark.range(1).select(jlRmat.as("rmat"))))
+      .select(
+        transform(
+          col("rmat"),
+          row =>
+            aggregate(
+              zip_with(col("embedding"), row, (x, s) => x.cast("double") * s),
+              lit(0.0),
+              (acc, v) => acc + v
+            ) / 4.0
+        ).as("y")
+      )
+      .agg(count(lit(1)).as("n"), sum(abs(element_at(col("y"), 1))).as("chk"))
+      .collect()(0)
+    val jlSec = (System.nanoTime() - tJl) / 1e9
+    require(jlRow.getLong(0) == nVecs, "JL projection lost rows")
+    require(jlRow.getDouble(1) > 0, "JL projection degenerate")
+
     // --- native as-of join at 10M × 1M --------------------------------
     // the q105 custom operator un-capped: 100k keys, 10M left rows,
     // 1M right rows — two key-hash exchanges + sorts (inserted by
@@ -618,6 +697,10 @@ object ScaleBench {
         s""""kmeans_k":$kmK,"kmeans_sec":$kmSec,""" +
         s""""cms_cells":$cmsCellCount,"cms_sec":$cmsSec,""" +
         s""""span_families":$spanFamilies,"span_sec":$spanSec,""" +
+        s""""winnow_fps":$winFps,"winnow_candidates":$winCands,""" +
+        s""""winnow_sec":$winSec,"winnow_docs_per_sec":${(nDocs / winSec).round},""" +
+        s""""jl_vectors":${jlRow.getLong(0)},"jl_sec":$jlSec,""" +
+        s""""jl_vecs_per_sec":${(nVecs / jlSec).round},""" +
         s""""asof_rows":$asofLeftN,"asof_matched":$asofMatched,""" +
         s""""asof_sec":$asofSec,""" +
         s""""session_events":$sessN,"sessions":$nSessions,""" +

@@ -565,9 +565,10 @@ object Similarity {
     * squared-distance distortion d²_proj / d²_orig.
     *
     * Scale: R derives from the hash — no trained state, no
-    * driver-side matrix, nothing shipped but the expression; the
-    * projection is a per-row fold (embarrassingly parallel, ZERO
-    * shuffles), and downstream ANN / semantic-dedup stages then pay
+    * driver-side matrix; it is evaluated ONCE on a broadcast one-row
+    * frame (1,024 md5 calls total, not per corpus row) and the
+    * projection is then a per-row fold (embarrassingly parallel,
+    * ZERO shuffles), so downstream ANN / semantic-dedup stages pay
     * their pair joins on 4× fewer dims. The audit join broadcasts
     * the 1% anchor slice against the 4% probe slice — never
     * corpus × corpus.
@@ -598,20 +599,25 @@ object Similarity {
         )
     )
     val scale = lit(math.sqrt(outDim.toDouble))
+    // evaluate the sign matrix once on a one-row frame; the broadcast
+    // cross join ships the 16×64 literal, not 1,024 hashes per row
+    val rframe = spark.range(1).select(rmat.as("rmat"))
     def project(slice: DataFrame, suffix: String): DataFrame =
-      slice.select(
-        col("vec_id").as(s"vec_$suffix"),
-        col("embedding").as(s"e$suffix"),
-        transform(
-          rmat,
-          row =>
-            aggregate(
-              zip_with(col("embedding"), row, (x, s) => x.cast("double") * s),
-              lit(0.0),
-              (acc, v) => acc + v
-            ) / scale
-        ).as(s"y$suffix")
-      )
+      slice
+        .crossJoin(broadcast(rframe))
+        .select(
+          col("vec_id").as(s"vec_$suffix"),
+          col("embedding").as(s"e$suffix"),
+          transform(
+            col("rmat"),
+            row =>
+              aggregate(
+                zip_with(col("embedding"), row, (x, s) => x.cast("double") * s),
+                lit(0.0),
+                (acc, v) => acc + v
+              ) / scale
+          ).as(s"y$suffix")
+        )
     val e = Tables.embeddings(spark, dir)
     val pa = project(e.filter(col("vec_id") % 100 === 0), "a")
     val pb = project(e.filter(col("vec_id") % 25 === 0), "b")
