@@ -267,6 +267,42 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(plan("q129_nb_langid").contains("WindowGroupLimit"))
   }
 
+  test("round-6 additions keep their scale plan shapes") {
+    // q137: the Bloom bitmap words and the eval membership set join
+    // in broadcast; the training side never cartesian-products
+    val p137 = plan("q137_bloom_decontaminate")
+    assert(p137.contains("BroadcastHashJoin"), "bitmap lookups broadcast")
+    assert(!p137.contains("CartesianProduct"), "no unbroadcast cross")
+    // q138: the sentinel window and the per-doc agg share ONE doc_id
+    // exchange — adding a second would double the corpus shuffle
+    val p138 = plan("q138_span_corruption")
+    // formatted mode lists the partitioning on the Exchange's
+    // Arguments line, so count the argument spellings
+    val nEx138 = "Arguments: hashpartitioning\\(".r
+      .findAllIn(p138).length
+    assert(nEx138 == 1, s"q138 expected 1 hash exchange, saw $nEx138")
+    // q139: anchors broadcast (never corpus x corpus shuffled) and
+    // the per-anchor top-3 gets the rank-limit pushdown
+    val p139 = plan("q139_hard_negatives")
+    assert(p139.contains("BroadcastNestedLoopJoin"), "anchor slice broadcast")
+    assert(p139.contains("WindowGroupLimit"), "top-k rank pushdown")
+    // q140: fingerprint selection is a per-doc window; the pair join
+    // is an equi-join on the fingerprint hash, never a cross product
+    val p140 = plan("q140_winnow_fingerprints")
+    assert(!p140.contains("CartesianProduct") &&
+      !p140.contains("BroadcastNestedLoopJoin"),
+      "winnowed pair join must be an equi-join")
+    assert(!p140.contains("Arguments: rangepartitioning("), "no global sort")
+    // q141: the projection itself shuffles NOTHING — the only
+    // exchanges in the whole plan are broadcasts (sign matrix, anchor
+    // slice)
+    val p141 = plan("q141_jl_projection")
+    assert(!p141.contains("Arguments: hashpartitioning(") &&
+      !p141.contains("Arguments: rangepartitioning("),
+      "JL projection must be shuffle-free")
+    assert(p141.contains("BroadcastNestedLoopJoin"), "anchor pair broadcast")
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
