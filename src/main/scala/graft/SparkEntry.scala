@@ -479,6 +479,14 @@ object SparkEntry {
     "q140_winnow_fingerprints" -> ((s, d) => Dedup.winnowFingerprints(s, d)),
     // JL ±1 random projection 64→16 with a pair distortion audit.
     "q141_jl_projection" -> ((s, d) => Similarity.jlProjectDistortion(s, d)),
+    // Gopher rule battery: per-rule stats + conjunctive keep.
+    "q142_gopher_rules" -> (TextAnalysis.gopherRules(_, _)),
+    // Asymmetric shingle containment |A∩B|/|A| (sub-doc duplication).
+    "q143_shingle_containment" -> ((s, d) => Dedup.shingleContainment(s, d)),
+    // FineWeb-style per-source cap; only oversized sources are ranked.
+    "q144_source_cap" -> ((s, d) => Sampling.sourceCap(s, d)),
+    // Distance-to-label-centroid z-score outlier audit.
+    "q145_embedding_outliers" -> (Similarity.embeddingOutliers(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3190,6 +3198,86 @@ object SparkEntry {
          SELECT vec_a, vec_b, round(d2o, 6) AS d2_orig,
            round(d2p, 6) AS d2_proj, round(d2p / d2o, 6) AS distortion
          FROM pr WHERE d2o > 0""",
+    // q142: identical tokenization, rule thresholds, and rounding; the
+    // keep conjunction reads the ROUNDED fractions on both sides.
+    "q142_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                    / len(toks) END, 6) AS mean_word_len,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(list_filter(toks,
+                      w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                    / len(toks) END, 6) AS alpha_frac,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE ((length(text) - length(replace(text, '#', ''))) +
+                     (length(text) - length(replace(text, '...', ''))) / 3)
+                    / len(toks) END, 6) AS symbol_frac,
+             CAST(len(list_intersect(list_distinct(toks),
+               ['the','a','an','and','or','of','to','in','is','it']))
+               AS BIGINT) AS n_stopwords
+           FROM t)
+         SELECT s.*,
+           n_words BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_frac <= 0.1
+             AND alpha_frac >= 0.8
+             AND n_stopwords >= 2 AS keep
+         FROM s""",
+    // q143: the same shingle inversion as q21; containment divides by
+    // the SOURCE side's set size; thresholds compare unrounded.
+    "q143_shingle_containment" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter, any_value(a.n_sh) AS n_src
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           round(inter::DOUBLE / n_src, 6) AS containment,
+           inter::DOUBLE / n_src >= 0.8 AS contained
+         FROM p WHERE inter::DOUBLE / n_src >= 0.5""",
+    // q144: identical md5(doc_id) rank order and cap; small sources
+    // keep everything without ranking in the engine — same result.
+    "q144_source_cap" ->
+      """WITH c AS (SELECT source, count(*) AS n_src FROM documents
+                    GROUP BY 1),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+               FROM documents)
+         SELECT r.doc_id, r.source, CAST(c.n_src AS BIGINT) AS n_src,
+           (c.n_src <= 16 OR r.rk <= 16) AS kept
+         FROM r JOIN c USING (source)""",
+    // q145: centroids rounded to 6 (the q69 contract) before the
+    // distance; mean/stddev_pop over UNROUNDED distances; the outlier
+    // flag reads the unrounded z on both sides.
+    "q145_embedding_outliers" ->
+      """WITH cells AS (SELECT vec_id, label,
+             unnest(list_transform(range(len(embedding)),
+               i -> {'dim': i, 'x': embedding[i+1]})) AS s
+           FROM embeddings),
+         cent AS MATERIALIZED (SELECT label, s.dim AS dim,
+                 round(avg(s.x::DOUBLE), 6) AS cv
+               FROM cells GROUP BY 1, 2),
+         d AS MATERIALIZED (SELECT c.vec_id, c.label,
+                 sqrt(sum((c.s.x::DOUBLE - cent.cv)
+                          * (c.s.x::DOUBLE - cent.cv))) AS dist
+               FROM cells c
+               JOIN cent ON cent.label = c.label AND cent.dim = c.s.dim
+               GROUP BY 1, 2),
+         st AS (SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sigma
+                FROM d GROUP BY 1)
+         SELECT d.vec_id, d.label, round(d.dist, 6) AS dist,
+           round((d.dist - st.mu) / st.sigma, 6) AS z,
+           (d.dist - st.mu) / st.sigma > 2.0 AS outlier
+         FROM d JOIN st USING (label)""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

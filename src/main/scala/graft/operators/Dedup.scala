@@ -888,4 +888,73 @@ object Dedup {
         ).as("overlap")
       )
   }
+
+  /** q143: asymmetric shingle containment C(A,B) = |A∩B| / |A| — the
+    * sub-document duplication detector Jaccard misses. A short doc
+    * fully embedded in a long one has low Jaccard (the union is
+    * dominated by the long doc) but containment ≈ 1 from the short
+    * side; curation pipelines use it to drop quote-within-article and
+    * boilerplate-wrapper duplicates.
+    *
+    * Same scale topology as q21: one shingle-inversion self-join over
+    * the shared shingle frame (collision-linear — only pairs that
+    * share ≥1 shingle ever materialize), then each unordered pair is
+    * mirrored into its two directed rows in-row (no second join).
+    */
+  def shingleContainment(
+      spark: SparkSession,
+      dir: String,
+      minContainment: Double = 0.5
+  ): DataFrame = {
+    val d = docShingles(spark, dir)
+    val e = d.select(
+      col("doc_id"),
+      size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s")
+    )
+    val a = e.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
+    val b = e.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
+    val pairs = a
+      .join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        count(lit(1)).as("inter"),
+        first(col("n_a")).as("n_a"),
+        first(col("n_b")).as("n_b")
+      )
+    pairs
+      .select(
+        explode(
+          array(
+            struct(
+              col("doc_a").as("src"),
+              col("doc_b").as("dst"),
+              col("inter"),
+              col("n_a").as("n_src")
+            ),
+            struct(
+              col("doc_b").as("src"),
+              col("doc_a").as("dst"),
+              col("inter"),
+              col("n_b").as("n_src")
+            )
+          )
+        ).as("r")
+      )
+      .select(
+        col("r.src").as("doc_a"),
+        col("r.dst").as("doc_b"),
+        col("r.inter").as("inter"),
+        (col("r.inter").cast("double") / col("r.n_src")).as("c_raw")
+      )
+      .filter(col("c_raw") >= minContainment)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("inter"),
+        round(col("c_raw"), 6).as("containment"),
+        (col("c_raw") >= 0.8).as("contained")
+      )
+  }
 }

@@ -495,4 +495,51 @@ object Sampling {
       .limit(k)
       .select(col("doc_id"), col("n_chars"), round(col("r"), 6).as("priority"))
   }
+
+  /** q144: per-source document cap — FineWeb-style domain balancing:
+    * rank each source's documents by a deterministic content-free
+    * hash (md5 of doc_id, so the kept subset is a uniform draw that
+    * reproduces on any cluster layout) and keep the first `cap`.
+    * Heavily-crawled domains stop dominating the corpus; small
+    * sources pass through untouched.
+    *
+    * Scale: one hash-partitioned window on `source`. Per-source
+    * state is a running counter, so memory is O(1) per partition;
+    * the skew risk of a mega-domain is bounded by first filtering
+    * with a per-source count — only sources OVER the cap go through
+    * the rank window, the rest skip it entirely (kept = true by
+    * count alone). At 100 TB that routes the bulk of the corpus
+    * around the sort.
+    */
+  def sourceCap(
+      spark: SparkSession,
+      dir: String,
+      cap: Int = 16
+  ): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+    val small = docs
+      .join(broadcast(counts.filter(col("n_src") <= cap)), Seq("source"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_src"),
+        lit(true).as("kept")
+      )
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val capped = docs
+      .join(broadcast(counts.filter(col("n_src") > cap)), Seq("source"))
+      .withColumn("rk", row_number().over(w))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_src"),
+        (col("rk") <= cap).as("kept")
+      )
+    small.unionByName(capped)
+  }
 }

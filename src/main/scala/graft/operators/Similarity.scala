@@ -643,4 +643,54 @@ object Similarity {
         round(col("d2p") / col("d2o"), 6).as("distortion")
       )
   }
+
+  /** q145: embedding outlier detection — distance-to-centroid z-score
+    * per label. Mislabeled or corrupted vectors sit far from their
+    * class centroid; flagging z > 2 is the standard cheap audit before
+    * a training run. Distances use the [[labelCentroidVectors]]
+    * centroids (rounded to 6 — the q69 contract, so the oracle can
+    * replay them bit-for-bit).
+    *
+    * Scale: the centroid table is |labels| rows → broadcast join; the
+    * per-label mean/stddev is a second tiny aggregate → broadcast
+    * join. The corpus-sized frame is touched by two narrow passes and
+    * one shuffle (the centroid groupBy) — no windows over the data.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = labelCentroidVectors(spark, dir)
+      .select(col("label"), col("centroid"))
+    val dists = Tables
+      .embeddings(spark, dir)
+      .join(broadcast(cents), Seq("label"))
+      .select(
+        col("vec_id"),
+        col("label"),
+        sqrt(
+          aggregate(
+            zip_with(
+              col("embedding"),
+              col("centroid"),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)
+            ),
+            lit(0.0),
+            (acc, v) => acc + v
+          )
+        ).as("dist")
+      )
+    val stats = dists
+      .groupBy(col("label"))
+      .agg(
+        avg(col("dist")).as("mu"),
+        stddev_pop(col("dist")).as("sigma")
+      )
+    dists
+      .join(broadcast(stats), Seq("label"))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(col("dist"), 6).as("dist"),
+        round((col("dist") - col("mu")) / col("sigma"), 6).as("z"),
+        ((col("dist") - col("mu")) / col("sigma") > 2.0).as("outlier")
+      )
+  }
 }

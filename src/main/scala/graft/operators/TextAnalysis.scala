@@ -1161,4 +1161,62 @@ object TextAnalysis {
         (col("pred_lang") === col("lang")).cast("int").as("correct")
       )
   }
+
+  /** q142: the Gopher quality-rule battery (Rae et al. 2021, table A1)
+    * — per-document word-count bounds, mean word length, symbol-to-word
+    * ratio (`#` and `...`), alphabetic-word fraction, and distinct-
+    * stopword presence, each surfaced as its own flag plus the
+    * conjunctive keep. Thresholds are Gopher's; the stopword list is
+    * the engine's [[graft.functions.TextFunctions.stopwordsEn]] so the
+    * rule is live on this corpus.
+    *
+    * Every column is a built-in higher-order expression over one
+    * tokenization — a single narrow scan→map, zero shuffles, fully
+    * inside whole-stage codegen; at 100 TB this is the cheapest class
+    * of curation pass (embarrassingly parallel, no state).
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val stops = array(stopwordsEn.map(lit): _*)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        size(t).cast("long").as("n_words"),
+        round(
+          when(size(t) === 0, 0.0).otherwise(
+            aggregate(t, lit(0L), (acc, w) => acc + length(w))
+              .cast("double") / size(t)),
+          6
+        ).as("mean_word_len"),
+        round(
+          when(size(t) === 0, 0.0).otherwise(
+            size(filter(t, w => w.rlike("[A-Za-z]"))).cast("double") /
+              size(t)),
+          6
+        ).as("alpha_frac"),
+        round(
+          when(size(t) === 0, 0.0).otherwise(
+            ((length(col("text")) -
+              length(regexp_replace(col("text"), "#", ""))) +
+              (length(col("text")) -
+                length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+              .cast("double") / size(t)),
+          6
+        ).as("symbol_frac"),
+        size(array_intersect(array_distinct(t), stops))
+          .cast("long")
+          .as("n_stopwords")
+      )
+      .withColumn(
+        "keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_frac") <= 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stopwords") >= 2
+      )
+      .drop("text")
+  }
 }
