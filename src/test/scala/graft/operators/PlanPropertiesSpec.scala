@@ -301,6 +301,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
       !p141.contains("Arguments: rangepartitioning("),
       "JL projection must be shuffle-free")
     assert(p141.contains("BroadcastNestedLoopJoin"), "anchor pair broadcast")
+    // q142: the rule battery is ONE narrow codegen'd pass — any
+    // exchange at all means a regression
+    val p142 = plan("q142_gopher_rules")
+    assert(!p142.contains("Exchange"), "gopher rules must be shuffle-free")
+    assert(p142.contains("codegen id"), "rule battery keeps a codegen stage")
+    // q143: containment pairs come from the shingle equi-join (never
+    // a cross product); the direction mirror is in-row (no extra join)
+    val p143 = plan("q143_shingle_containment")
+    assert(!p143.contains("CartesianProduct") &&
+      !p143.contains("BroadcastNestedLoopJoin"),
+      "containment pair join must be an equi-join")
+    // q144: only oversized sources may enter the rank window; both
+    // count joins ride broadcast
+    val p144 = plan("q144_source_cap")
+    assert(p144.contains("BroadcastHashJoin"), "count joins broadcast")
+    assert(!p144.contains("Arguments: rangepartitioning("), "no global sort")
+    // q145: centroid and stats frames are |labels| rows → broadcast;
+    // the corpus never self-joins
+    val p145 = plan("q145_embedding_outliers")
+    assert(p145.contains("BroadcastHashJoin"), "centroid+stats broadcast")
+    assert(!p145.contains("CartesianProduct"), "no unbroadcast cross")
   }
 
   test("every oracle query has matching column names in its SQL") {
