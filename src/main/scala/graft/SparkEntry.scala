@@ -487,6 +487,14 @@ object SparkEntry {
     "q144_source_cap" -> ((s, d) => Sampling.sourceCap(s, d)),
     // Distance-to-label-centroid z-score outlier audit.
     "q145_embedding_outliers" -> (Similarity.embeddingOutliers(_, _)),
+    // Trained-BPE fertility (subwords/word) per language.
+    "q146_lang_fertility" -> ((s, d) => BpeTrain.langFertility(s, d)),
+    // Corpus-level distinct-n diversity for n = 1..3.
+    "q147_corpus_diversity" -> (TextAnalysis.corpusDiversity(_, _)),
+    // Zipf rank-frequency least-squares fit over the top vocab.
+    "q148_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
+    // Interpolated Kneser-Ney bigram LM table (D = 0.75).
+    "q149_kn_bigram" -> (TextAnalysis.knBigram(_, _)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3278,6 +3286,97 @@ object SparkEntry {
            round((d.dist - st.mu) / st.sigma, 6) AS z,
            (d.dist - st.mu) / st.sigma > 2.0 AS outlier
          FROM d JOIN st USING (label)""",
+    // q146: the q134 segmentation chain grouped by lang instead of
+    // doc; identical join and rounding.
+    "q146_lang_fertility" -> (bpeCtes(8) + """,
+       vocab AS (SELECT w,
+           len(string_split(syms, chr(31))) AS n_pieces
+         FROM s8),
+       cw AS (SELECT lang, unnest(CASE WHEN length(trim(text)) = 0
+             THEN []::VARCHAR[]
+             ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+           FROM documents)
+       SELECT cw.lang,
+         count(*) AS n_words,
+         CAST(sum(vocab.n_pieces) AS BIGINT) AS n_subwords,
+         round(sum(vocab.n_pieces)::DOUBLE / count(*), 6) AS fertility,
+         round(sum(length(cw.w))::DOUBLE / sum(vocab.n_pieces), 6)
+           AS chars_per_subword
+       FROM cw JOIN vocab USING (w)
+       GROUP BY 1"""),
+    // q147: same n-gram construction per n; counts are exact ints,
+    // only the ratio is rounded.
+    "q147_corpus_diversity" ->
+      """WITH t AS (SELECT
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         g1 AS (SELECT unnest(toks) AS g FROM t),
+         g2 AS (SELECT unnest(list_transform(range(len(toks) - 1),
+                  i -> toks[i+1] || ' ' || toks[i+2])) AS g
+                FROM t WHERE len(toks) >= 2),
+         g3 AS (SELECT unnest(list_transform(range(len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
+                  AS g
+                FROM t WHERE len(toks) >= 3)
+         SELECT 1 AS n, count(*) AS n_grams,
+           count(DISTINCT g) AS n_distinct,
+           round(count(DISTINCT g)::DOUBLE / count(*), 6) AS distinct_ratio
+         FROM g1
+         UNION ALL
+         SELECT 2, count(*), count(DISTINCT g),
+           round(count(DISTINCT g)::DOUBLE / count(*), 6) FROM g2
+         UNION ALL
+         SELECT 3, count(*), count(DISTINCT g),
+           round(count(DISTINCT g)::DOUBLE / count(*), 6) FROM g3""",
+    // q148: identical top-k vocab, rank order, and the SAME
+    // closed-form sum formula (no engine regr_* implementation).
+    "q148_zipf_fit" ->
+      """WITH t AS (SELECT
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         f AS (SELECT w, count(*) AS freq
+               FROM (SELECT unnest(toks) AS w FROM t) u
+               GROUP BY w ORDER BY freq DESC, w LIMIT 1000),
+         r AS (SELECT freq,
+                 row_number() OVER (ORDER BY freq DESC, w) AS rk
+               FROM f),
+         p AS (SELECT ln(rk::DOUBLE) AS x, ln(freq::DOUBLE) AS y FROM r),
+         s AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+               FROM p)
+         SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+             / n, 6) AS intercept,
+           round(pow(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         FROM s""",
+    // q149: the same within-doc adjacent-pair bigrams; continuation
+    // and context counts all derive from the one bigram-type table.
+    "q149_kn_bigram" ->
+      """WITH t AS (SELECT
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         bi AS MATERIALIZED (SELECT s.w1 AS w1, s.w2 AS w2,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+                       i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS s
+                     FROM t WHERE len(toks) >= 2) x
+               GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(c) AS c_w1, count(*) AS n1r
+                 FROM bi GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS n1l FROM bi GROUP BY 1),
+         ty AS (SELECT count(*) AS n_types FROM bi)
+         SELECT bi.w1, bi.w2, bi.c,
+           round(greatest(bi.c - 0.75, 0.0) / ctx.c_w1 +
+             0.75 * ctx.n1r / ctx.c_w1 *
+             (cont.n1l::DOUBLE / ty.n_types), 6) AS p_kn,
+           round(cont.n1l::DOUBLE / ty.n_types, 6) AS p_cont
+         FROM bi JOIN ctx USING (w1) JOIN cont USING (w2)
+         CROSS JOIN ty""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

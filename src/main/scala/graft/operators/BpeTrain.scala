@@ -195,4 +195,44 @@ object BpeTrain {
       size(split(syms, Sep)).as("n_pieces")
     )
   }
+
+  /** q146: tokenizer fertility per language — subwords-per-word and
+    * chars-per-subword of the trained BPE, grouped by `lang`. The
+    * standard multilingual-tokenizer equity audit: a language with
+    * fertility far above the corpus mean is being over-segmented
+    * (its tokens buy fewer characters), which inflates its training
+    * cost and truncation rate.
+    *
+    * The segmentation table is O(|vocab|) and broadcast; the corpus
+    * pays one explode + one hash agg on `lang` — the same topology
+    * as q134's per-doc apply.
+    */
+  def langFertility(
+      spark: SparkSession,
+      dir: String,
+      rounds: Int = 8
+  ): DataFrame = {
+    val vocab = segmentation(spark, dir, rounds)
+      .select(col("w"), col("n_pieces"))
+    Tables
+      .documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
+      .join(broadcast(vocab), "w")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_subwords"),
+        sum(length(col("w"))).as("n_chars")
+      )
+      .select(
+        col("lang"),
+        col("n_words"),
+        col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_subwords"), 6)
+          .as("chars_per_subword")
+      )
+  }
 }

@@ -1219,4 +1219,162 @@ object TextAnalysis {
       )
       .drop("text")
   }
+
+  /** q147: corpus-level distinct-n diversity — for n ∈ {1,2,3}, total
+    * n-gram occurrences, distinct n-gram types, and the distinct
+    * ratio (generation-diversity's distinct-n, computed over the
+    * corpus rather than per document — per-doc duplication is q60's
+    * job). A collapsing distinct-2/3 ratio across snapshots is the
+    * canonical symptom of template/boilerplate flooding.
+    *
+    * Three explode→aggregate passes (one per n), each a hash
+    * count-distinct — partial-aggregated map-side, no sorts; the
+    * result is three rows at any corpus size.
+    */
+  def corpusDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    def gramsOfN(n: Int): DataFrame =
+      Tables
+        .documents(spark, dir)
+        .select(
+          explode(
+            when(
+              size(t) >= n,
+              transform(
+                sequence(lit(0), size(t) - n),
+                i => array_join(slice(t, i + 1, lit(n)), " ")
+              )
+            ).otherwise(array().cast("array<string>"))
+          ).as("g")
+        )
+        .agg(
+          count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct")
+        )
+        .select(
+          lit(n).as("n"),
+          col("n_grams"),
+          col("n_distinct"),
+          round(col("n_distinct").cast("double") / col("n_grams"), 6)
+            .as("distinct_ratio")
+        )
+    gramsOfN(1).unionByName(gramsOfN(2)).unionByName(gramsOfN(3))
+  }
+
+  /** q148: Zipf rank-frequency fit — least-squares slope of
+    * ln(freq) against ln(rank) over the top-1000 vocabulary terms
+    * (rank ties broken by term). Natural-language corpora fit slope
+    * ≈ −1 with high r²; synthetic or template-heavy corpora bend the
+    * curve, making the fit a one-row corpus-health probe.
+    *
+    * The top-k vocab is `TakeOrdered` (per-partition heaps, no
+    * global sort) and the rank window runs over that provably
+    * bounded frame; the regression is the closed-form sum formula —
+    * one tiny aggregate, mirrored term-for-term in the oracle
+    * (no engine-specific regr_* implementation drift).
+    */
+  def zipfFit(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    val freqs = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(topK)
+    val pts = freqs
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.orderBy(col("freq").desc, col("w").asc))
+      )
+      .select(
+        log(col("rk").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y")
+      )
+    pts
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy")
+      )
+      .select(
+        col("n").cast("long").as("n_terms"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")),
+          6
+        ).as("slope"),
+        round(
+          (col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n"),
+          6
+        ).as("intercept"),
+        round(
+          pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))),
+          6
+        ).as("r2")
+      )
+  }
+
+  /** q149: interpolated Kneser-Ney bigram probabilities (D = 0.75)
+    * over the corpus's observed bigrams:
+    * P(w2|w1) = (c(w1,w2) − D)⁺/c(w1·) + D·N₁₊(w1·)/c(w1·) · Pcont(w2),
+    * Pcont(w2) = N₁₊(·w2) / |bigram types|. The continuation counts
+    * are what distinguish KN from the q127 count-interpolation: a
+    * word seen often but only after one context ("Francisco") gets a
+    * small continuation probability despite its high unigram count.
+    *
+    * All four count tables derive from ONE bigram aggregate; the
+    * type total is a broadcast single row. Output is one row per
+    * observed bigram type — the LM table a generator ships.
+    */
+  def knBigram(spark: SparkSession, dir: String): DataFrame = {
+    val D = 0.75
+    val t = col("t")
+    val bi = Tables
+      .documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(t) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("b")
+      )
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val ctx = bi
+      .groupBy(col("w1"))
+      .agg(
+        sum(col("c")).as("c_w1"),
+        count(lit(1)).as("n1r")
+      )
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1l"))
+    val types = bi.agg(count(lit(1)).as("n_types"))
+    bi.join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("c"),
+        round(
+          greatest(col("c") - D, lit(0.0)) / col("c_w1") +
+            lit(D) * col("n1r") / col("c_w1") *
+            (col("n1l").cast("double") / col("n_types")),
+          6
+        ).as("p_kn"),
+        round(col("n1l").cast("double") / col("n_types"), 6).as("p_cont")
+      )
+  }
 }
