@@ -495,6 +495,12 @@ object SparkEntry {
     "q148_zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(s, d)),
     // Interpolated Kneser-Ney bigram LM table (D = 0.75).
     "q149_kn_bigram" -> (TextAnalysis.knBigram(_, _)),
+    // UniMax epoch-capped language budget allocation (integer math).
+    "q150_unimax_mix" -> ((s, d) => Sampling.unimaxAllocation(s, d)),
+    // Reciprocal-rank fusion of BM25 and TF-IDF-cosine retrieval.
+    "q151_hybrid_rrf" -> ((s, d) => TextAnalysis.hybridRrf(s, d)),
+    // orders⋈lineitem off a bucketed lake: exchange-free SMJ.
+    "q152_bucketed_join" -> ((s, d) => io.Bucketing.bucketedRevenueByPriority(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3377,6 +3383,128 @@ object SparkEntry {
            round(cont.n1l::DOUBLE / ty.n_types, 6) AS p_cont
          FROM bi JOIN ctx USING (w1) JOIN cont USING (w2)
          CROSS JOIN ty""",
+    // q150: the same closed-form UniMax — capped set = prefix-AND of
+    // the all-integer headroom test in (chars ASC, lang) order; the
+    // equal share is floor'd so every column is engine-exact.
+    "q150_unimax_mix" ->
+      """WITH pl AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(floor(0.5 * sum(n_chars)) AS BIGINT)
+                   AS budget,
+                 CAST(count(*) AS BIGINT) AS n_langs FROM pl),
+         f AS (SELECT lang, n_chars, budget, n_langs,
+                 CAST(row_number() OVER
+                   (ORDER BY n_chars, lang) AS BIGINT) AS i,
+                 CAST(coalesce(sum(2 * n_chars) OVER
+                   (ORDER BY n_chars, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS prefix
+               FROM pl CROSS JOIN tot),
+         g AS (SELECT *, CASE WHEN 2 * n_chars * (n_langs - i + 1) <
+                 budget - prefix THEN 1 ELSE 0 END AS flag FROM f),
+         h AS (SELECT *, min(flag) OVER
+                 (ORDER BY n_chars, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                 AS capped FROM g),
+         cs AS (SELECT CAST(coalesce(sum(CASE WHEN capped
+                   THEN 2 * n_chars ELSE 0 END), 0) AS BIGINT) AS capsum,
+                 CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k
+               FROM h)
+         SELECT lang, n_chars, capped,
+           CASE WHEN capped THEN 2 * n_chars
+                ELSE CAST(floor((budget - capsum)::DOUBLE /
+                       (n_langs - k)) AS BIGINT) END AS alloc_chars,
+           round((CASE WHEN capped THEN 2 * n_chars
+                ELSE CAST(floor((budget - capsum)::DOUBLE /
+                       (n_langs - k)) AS BIGINT) END)::DOUBLE / n_chars,
+             6) AS epochs
+         FROM h CROSS JOIN cs""",
+    // q151: both rankers rank ROUNDED scores with the doc_id
+    // tiebreak (the q133 convention), and the fused score is a sum
+    // of exact IEEE reciprocals of integer ranks — engine-exact.
+    "q151_hybrid_rrf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+               THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+           FROM documents),
+         tf AS MATERIALIZED (
+           SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  avg(dl) AS avg_dl FROM dl),
+         dft AS MATERIALIZED (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT DISTINCT doc_id AS q_id, term FROM toks
+               WHERE doc_id % 250 = 0),
+         bmsc AS (SELECT q.q_id, tf.doc_id,
+                  round(sum(
+                    ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avg_dl))),
+                    6) AS score
+                FROM q JOIN tf ON q.term = tf.term
+                  AND tf.doc_id <> q.q_id
+                JOIN dft ON dft.term = q.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN st
+                GROUP BY 1, 2),
+         bm AS (SELECT q_id, doc_id,
+                  CAST(bm25_rank AS INTEGER) AS bm25_rank
+                FROM (SELECT q_id, doc_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, doc_id ASC) AS bm25_rank
+                      FROM bmsc) t
+                WHERE bm25_rank <= 20),
+         w AS MATERIALIZED (
+           SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((st.n_docs + 1) / (dft.df + 1)) + 1) AS w
+           FROM tf JOIN dft USING (term) CROSS JOIN st),
+         nrm AS MATERIALIZED (
+           SELECT doc_id, round(sqrt(sum(w * w)), 6) AS nrm
+           FROM w GROUP BY 1),
+         qw AS (SELECT w.doc_id AS q_id, w.term, w.w AS qwt,
+                  n.nrm AS q_nrm
+                FROM w JOIN nrm n USING (doc_id)
+                WHERE w.doc_id % 250 = 0),
+         cossc AS (SELECT qw.q_id, w.doc_id, qw.q_nrm,
+                  round(sum(qw.qwt * w.w), 6) AS dot
+                FROM qw JOIN w ON qw.term = w.term
+                  AND w.doc_id <> qw.q_id
+                GROUP BY 1, 2, 3),
+         coss AS (SELECT q_id, cossc.doc_id,
+                  round(dot / (q_nrm * nrm.nrm), 6) AS score
+                FROM cossc JOIN nrm ON nrm.doc_id = cossc.doc_id),
+         cosr AS (SELECT q_id, doc_id,
+                  CAST(cos_rank AS INTEGER) AS cos_rank
+                FROM (SELECT q_id, doc_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, doc_id ASC) AS cos_rank
+                      FROM coss) t
+                WHERE cos_rank <= 20),
+         fused AS (SELECT coalesce(bm.q_id, cosr.q_id) AS q_id,
+                  coalesce(bm.doc_id, cosr.doc_id) AS doc_id,
+                  bm.bm25_rank, cosr.cos_rank,
+                  round(coalesce(1.0::DOUBLE / (60 + bm.bm25_rank), 0)
+                    + coalesce(1.0::DOUBLE / (60 + cosr.cos_rank), 0),
+                    6) AS rrf
+                FROM bm FULL JOIN cosr
+                  ON bm.q_id = cosr.q_id AND bm.doc_id = cosr.doc_id)
+         SELECT q_id, doc_id, CAST(rank AS INTEGER) AS rank, rrf,
+           bm25_rank, cos_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, doc_id ASC) AS rank
+               FROM fused) t
+         WHERE rank <= 10""",
+    // q152: the layout is the operator — the oracle is the plain
+    // join+aggregate the bucketed lake answers without a shuffle.
+    "q152_bucketed_join" ->
+      """SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

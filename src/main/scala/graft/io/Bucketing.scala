@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Bucketed-table layout (SURVEY §4 / builder prompt: "bucketing for
   * co-located joins"). Writing both sides of a recurring join
@@ -39,4 +40,62 @@ object Bucketing {
       key: String
   ): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Tables already laid out for this (pid, sfDir) — writing the
+    * bucketed lake is a one-time cost per process, like a real
+    * warehouse's ETL step; repeated queries (the Bench loop) read it.
+    */
+  private val laidOut = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q152: the recurring orders⋈lineitem join off a BUCKETED lake —
+    * the layout decision that matters most at 100 TB: both fact
+    * tables are written `bucketBy(8, "okey").sortBy("okey")`, so the
+    * sort-merge join is planned with NO shuffle exchange and (single
+    * file per bucket) no sort — the dominant cost of every downstream
+    * join/agg on the order key becomes a per-bucket streaming merge.
+    * The only exchange left in the whole plan is the final tiny
+    * per-priority aggregate (pinned in PlanPropertiesSpec).
+    *
+    * The lake lives under a per-(process, sf) temp path with a
+    * shutdown-hook cleanup (the q107 convention); the write happens
+    * once per process and is idempotent across invocations.
+    */
+  def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
+    val h = math.abs(dir.hashCode.toLong)
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-buckets-${ProcessHandle.current().pid()}-$h")
+    val (ot, lt) = (s"graft_orders_b$h", s"graft_lineitem_b$h")
+    if (laidOut.add(base.getAbsolutePath)) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(base)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(base)))
+      // repartition(8, okey) uses the same hash spec as the bucket
+      // layout, so every bucket lands in exactly ONE file — which is
+      // what lets the scan report itself sorted and drop the SMJ's
+      // per-side Sort as well as the Exchange
+      writeBucketed(
+        spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+          .repartition(8, col("okey")),
+        ot, s"$base/orders", "okey", 8)
+      writeBucketed(
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("okey"),
+            col("l_extendedprice"), col("l_discount"))
+          .repartition(8, col("okey")),
+        lt, s"$base/lineitem", "okey", 8)
+    }
+    spark.table(lt)
+      .hint("merge")
+      .join(spark.table(ot), "okey")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
 }

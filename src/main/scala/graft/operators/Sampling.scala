@@ -334,6 +334,91 @@ object Sampling {
       .agg(sum(col("kept")).as("n_kept"))
   }
 
+  /** q150: UniMax language-budget allocation (the epoch-capped
+    * fair mixing rule: give every language up to `epochCap` epochs of
+    * its data, then split whatever budget remains EQUALLY among the
+    * languages that still have headroom — the budget-allocation
+    * complement of q132's temperature sampling).
+    *
+    * The sequential "process languages smallest-first, cap or share"
+    * loop has a closed form once you notice the capped set is a
+    * prefix of the ascending-size order: if language i gets the equal
+    * share (uncapped), every larger language also gets the SAME share
+    * (the remaining budget shrinks by exactly one share per step). So:
+    *   - order languages by (chars ASC, lang) and prefix-sum
+    *     `epochCap·chars`;
+    *   - a language is capped while
+    *     epochCap·chars_i·(L−i+1) < B − epochCap·prefix_{i−1}
+    *     (all integer arithmetic — no float boundary can flip a
+    *     language between engines), taken as a prefix-AND so the
+    *     test is only consulted while every smaller language capped;
+    *   - uncapped languages each get
+    *     floor((B − epochCap·Σ_capped chars·epochCap) / (L−k)).
+    *
+    * Scale: one tiny per-language aggregate (5 rows here; a few
+    * hundred at worst in any real corpus), then windows over that
+    * tiny frame — the corpus itself is scanned once and never
+    * shuffled. The single-partition windows are over the provably
+    * bounded language frame, never the data.
+    */
+  def unimaxAllocation(
+      spark: SparkSession,
+      dir: String,
+      epochCap: Int = 2,
+      budgetFrac: Double = 0.5
+  ): DataFrame = {
+    val perLang = Tables
+      .documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("n_chars"))
+    val tot = perLang.agg(
+      floor(lit(budgetFrac) * sum(col("n_chars"))).cast("long").as("budget"),
+      count(lit(1)).as("n_langs")
+    )
+    val ord = Window.orderBy(col("n_chars").asc, col("lang").asc)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = perLang
+      .crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(ord))
+      .withColumn(
+        "prefix",
+        coalesce(sum(lit(epochCap.toLong) * col("n_chars")).over(prev), lit(0L))
+      )
+      .withColumn(
+        "flag",
+        (lit(epochCap.toLong) * col("n_chars") *
+          (col("n_langs") - col("i") + 1) <
+          col("budget") - col("prefix")).cast("int")
+      )
+      .withColumn("capped", min(col("flag")).over(upto) === 1)
+    val capStats = flagged
+      .agg(
+        sum(when(col("capped"), lit(epochCap.toLong) * col("n_chars"))
+          .otherwise(lit(0L))).as("capsum"),
+        sum(col("capped").cast("long")).as("k")
+      )
+    flagged
+      .crossJoin(broadcast(capStats))
+      .select(
+        col("lang"),
+        col("n_chars"),
+        col("capped"),
+        when(col("capped"), lit(epochCap.toLong) * col("n_chars"))
+          .otherwise(
+            floor(
+              (col("budget") - col("capsum")) /
+                (col("n_langs") - col("k"))
+            ).cast("long")
+          )
+          .as("alloc_chars")
+      )
+      .withColumn(
+        "epochs",
+        round(col("alloc_chars").cast("double") / col("n_chars"), 6)
+      )
+  }
+
   /** q89: value-bucketed deciles via broadcast boundaries — the
     * sort-free alternative to q50's exact count-balanced ntile: one
     * tiny aggregate computes the nine decile boundaries of the

@@ -292,6 +292,130 @@ object TextAnalysis {
       .select(col("q_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** q151: reciprocal-rank-fusion hybrid retrieval — the standard way
+    * a curation pipeline combines two retrievers with incomparable
+    * score scales (here BM25 and TF-IDF cosine; in production, BM25
+    * and a dense ANN index): fuse by RANK, not score,
+    *   rrf(d) = Σ_rankers 1 / (C + rank_r(d)),  C = 60,
+    * over each ranker's top `kRank`, keep the fused top `k`. Used for
+    * retrieval-based decontamination and "what would this eval query
+    * pull from the training set" audits where either ranker alone has
+    * known blind spots.
+    *
+    * Scale: ONE tokenize+count pass feeds both rankers (the cached
+    * term-frequency index — the same artifact q133 ships); each
+    * ranker is a posting join against the broadcast query set, never
+    * |Q|×|corpus|; the fused list is a full-outer join of two
+    * (|Q|·kRank)-row frames — trivially small. Determinism: both
+    * rankers rank ROUNDED (6-place) scores with a doc_id tiebreak,
+    * and the fused score is a sum of exact IEEE reciprocals of
+    * integer ranks, so fusion is engine-exact by construction.
+    */
+  def hybridRrf(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      kRank: Int = 20,
+      rrfC: Int = 60
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dlen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avg_dl")
+    )
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    // ranker 1: BM25 (the exact q133 scoring chain)
+    val idfBm = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+        lit(1.0)
+    )
+    val tfNorm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl")))
+    val wRank = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val queryTerms = tf
+      .filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("q_id"), col("term"), col("tf").as("qtf"))
+    val bm = broadcast(queryTerms.select(col("q_id"), col("term")))
+      .join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dft, Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(idfBm * tfNorm), 6).as("score"))
+      .withColumn("bm25_rank", row_number().over(wRank))
+      .filter(col("bm25_rank") <= kRank)
+      .select(col("q_id"), col("doc_id"), col("bm25_rank"))
+
+    // ranker 2: TF-IDF cosine (smoothed idf, full-vector norms)
+    val idfCos = log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
+      lit(1.0)
+    val weighted = tf
+      .join(dft, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), (col("tf") * idfCos).as("w"))
+      .cache()
+    val norms = weighted
+      .groupBy(col("doc_id"))
+      .agg(round(sqrt(sum(col("w") * col("w"))), 6).as("nrm"))
+    val qw = weighted
+      .filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("q_id"), col("term"), col("w").as("qwt"))
+      .join(
+        norms.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")),
+        Seq("q_id")
+      )
+    val cos = broadcast(qw)
+      .join(weighted, Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"), col("q_nrm"))
+      .agg(round(sum(col("qwt") * col("w")), 6).as("dot"))
+      .join(norms, Seq("doc_id"))
+      .select(
+        col("q_id"),
+        col("doc_id"),
+        round(col("dot") / (col("q_nrm") * col("nrm")), 6).as("score")
+      )
+      .withColumn("cos_rank", row_number().over(wRank))
+      .filter(col("cos_rank") <= kRank)
+      .select(col("q_id"), col("doc_id"), col("cos_rank"))
+
+    // fuse by rank; a doc missing from one list contributes 0 there
+    val wFuse = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    bm
+      .join(cos, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (lit(rrfC) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfC) + col("cos_rank")), lit(0.0)),
+          6
+        )
+      )
+      .withColumn("rank", row_number().over(wFuse))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("doc_id"),
+        col("rank"),
+        col("rrf"),
+        col("bm25_rank"),
+        col("cos_rank")
+      )
+  }
+
   /** q52: sentence chunking — split on terminal punctuation + space,
     * one row per sentence with its 1-based index. The chunking pass
     * that precedes context-window assembly; narrow (no shuffle).

@@ -324,6 +324,30 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!p145.contains("CartesianProduct"), "no unbroadcast cross")
   }
 
+  test("round-7 additions keep their scale plan shapes") {
+    // q150: the corpus is aggregated once; every window runs over the
+    // tiny per-language frame (singlepartition is fine THERE), and
+    // the budget/capsum scalars ride broadcast
+    val p150 = plan("q150_unimax_mix")
+    assert(p150.contains("BroadcastNestedLoopJoin"),
+      "budget scalars broadcast")
+    assert(!p150.contains("Arguments: rangepartitioning("),
+      "no corpus-wide global sort")
+    // q151: both rankers are posting joins against the BROADCAST
+    // query set — a cartesian |Q|x|corpus| pairing is the regression
+    val p151 = plan("q151_hybrid_rrf")
+    assert(!p151.contains("CartesianProduct"), "no unbroadcast cross")
+    assert(p151.contains("BroadcastHashJoin"), "query set broadcast")
+    // q152: the bucketed lake answers the join with NO exchange —
+    // the only hash exchange in the plan is the final tiny aggregate
+    val p152 = plan("q152_bucketed_join")
+    assert(p152.contains("SortMergeJoin"), "bucketed join is SMJ")
+    assert(p152.contains("Bucketed: true"), "scan reads bucket layout")
+    val nEx152 = "Arguments: hashpartitioning\\(".r
+      .findAllIn(p152).length
+    assert(nEx152 == 1, s"q152 expected 1 hash exchange, saw $nEx152")
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
