@@ -21,17 +21,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-    * to read as a timestamp. Read it as raw nanos (legacy flag) and
-    * convert to microsecond TimestampType explicitly — the same µs
-    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP.
+  /** `events.ts` is parquet TIMESTAMP(MICROS) with
+    * `isAdjustedToUTC=false`, which Spark reads as TIMESTAMP_NTZ.
+    * Cast to session-zone TimestampType (the session runs UTC, so the
+    * wall-clock is preserved) so downstream window/interval/unix-time
+    * arithmetic and the DuckDB oracle — which reads the same column as
+    * a naive TIMESTAMP — agree. The cast sits above the scan and does
+    * not block column pruning or pushdown of non-ts predicates.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame =
     table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-  }
+      .withColumn("ts", org.apache.spark.sql.functions.col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")

@@ -83,11 +83,10 @@ object EventStreams {
   }
 
   /** Streaming read of the events table (file source — stands in for
-    * any append-only stream; ts arrives as raw nanos, converted like
-    * Tables.events).
+    * any append-only stream; ts arrives as TIMESTAMP_NTZ micros,
+    * cast to session-zone TimestampType like Tables.events).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read
       .option("mergeSchema", "false")
       .parquet(s"$dir/events.parquet")
@@ -96,7 +95,7 @@ object EventStreams {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir) // file streaming source requires a directory
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
 
   /** Tumbling 1-hour windowed counts under a 10-minute watermark —
