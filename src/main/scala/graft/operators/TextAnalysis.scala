@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -331,7 +331,32 @@ object TextAnalysis {
     )
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    // ranker 1: BM25 (the exact q133 scoring chain)
+    // Both rankers score the SAME candidate set (pairs sharing ≥1
+    // term), so one enriched posting index — (doc, term) with tf, df,
+    // dl, corpus stats, and the cosine weight — feeds one broadcast
+    // candidate join that aggregates BOTH scores per (q_id, doc_id).
+    // This halves the heavy term joins vs running the rankers apart;
+    // the per-ranker formulas and rounding are byte-identical.
+    val idfCos = log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
+      lit(1.0)
+    val enriched = tf
+      .join(dft, Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", col("tf") * idfCos)
+      .cache()
+    val norms = enriched
+      .groupBy(col("doc_id"))
+      .agg(round(sqrt(sum(col("w") * col("w"))), 6).as("nrm"))
+    val qside = enriched
+      .filter(col("doc_id") % 250 === 0)
+      .select(col("doc_id").as("q_id"), col("term"), col("w").as("qwt"))
+      .join(
+        norms.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")),
+        Seq("q_id")
+      )
+
+    // ranker 1 formula: BM25 (the exact q133 scoring chain)
     val idfBm = log(
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
         lit(1.0)
@@ -339,56 +364,32 @@ object TextAnalysis {
     val tfNorm = col("tf") * lit(2.2) /
       (col("tf") + lit(1.2) *
         (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl")))
-    val wRank = Window
-      .partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    val queryTerms = tf
-      .filter(col("doc_id") % 250 === 0)
-      .select(col("doc_id").as("q_id"), col("term"), col("tf").as("qtf"))
-    val bm = broadcast(queryTerms.select(col("q_id"), col("term")))
-      .join(tf, Seq("term"))
-      .filter(col("doc_id") =!= col("q_id"))
-      .join(dft, Seq("term"))
-      .join(dlen, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(round(sum(idfBm * tfNorm), 6).as("score"))
-      .withColumn("bm25_rank", row_number().over(wRank))
-      .filter(col("bm25_rank") <= kRank)
-      .select(col("q_id"), col("doc_id"), col("bm25_rank"))
 
-    // ranker 2: TF-IDF cosine (smoothed idf, full-vector norms)
-    val idfCos = log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
-      lit(1.0)
-    val weighted = tf
-      .join(dft, Seq("term"))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"), (col("tf") * idfCos).as("w"))
-      .cache()
-    val norms = weighted
-      .groupBy(col("doc_id"))
-      .agg(round(sqrt(sum(col("w") * col("w"))), 6).as("nrm"))
-    val qw = weighted
-      .filter(col("doc_id") % 250 === 0)
-      .select(col("doc_id").as("q_id"), col("term"), col("w").as("qwt"))
-      .join(
-        norms.select(col("doc_id").as("q_id"), col("nrm").as("q_nrm")),
-        Seq("q_id")
-      )
-    val cos = broadcast(qw)
-      .join(weighted, Seq("term"))
+    val scored = broadcast(qside)
+      .join(enriched, Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("doc_id"), col("q_nrm"))
-      .agg(round(sum(col("qwt") * col("w")), 6).as("dot"))
-      .join(norms, Seq("doc_id"))
-      .select(
-        col("q_id"),
-        col("doc_id"),
-        round(col("dot") / (col("q_nrm") * col("nrm")), 6).as("score")
+      .agg(
+        round(sum(idfBm * tfNorm), 6).as("bm_score"),
+        round(sum(col("qwt") * col("w")), 6).as("dot")
       )
-      .withColumn("cos_rank", row_number().over(wRank))
-      .filter(col("cos_rank") <= kRank)
-      .select(col("q_id"), col("doc_id"), col("cos_rank"))
+      .join(norms, Seq("doc_id"))
+      .cache()
+
+    def topRanks(scoreCol: Column, rankName: String): DataFrame = {
+      val w = Window
+        .partitionBy(col("q_id"))
+        .orderBy(scoreCol.desc, col("doc_id").asc)
+      scored
+        .withColumn(rankName, row_number().over(w))
+        .filter(col(rankName) <= kRank)
+        .select(col("q_id"), col("doc_id"), col(rankName))
+    }
+    val bm = topRanks(col("bm_score"), "bm25_rank")
+    val cos = topRanks(
+      round(col("dot") / (col("q_nrm") * col("nrm")), 6),
+      "cos_rank"
+    )
 
     // fuse by rank; a doc missing from one list contributes 0 there
     val wFuse = Window
@@ -1351,22 +1352,26 @@ object TextAnalysis {
     * job). A collapsing distinct-2/3 ratio across snapshots is the
     * canonical symptom of template/boilerplate flooding.
     *
-    * Three explode→aggregate passes (one per n), each a hash
-    * count-distinct — partial-aggregated map-side, no sorts; the
-    * result is three rows at any corpus size.
+    * The corpus is scanned and TOKENIZED once into a cached token
+    * frame (the regex tokenize is the expensive shared work); each n
+    * then runs its own slim explode→count-distinct over the cached
+    * arrays — partial-aggregated map-side, no sorts; three rows at
+    * any corpus size.
     */
   def corpusDiversity(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens(col("text"))
+    val toks = Tables
+      .documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .cache()
     def gramsOfN(n: Int): DataFrame =
-      Tables
-        .documents(spark, dir)
+      toks
         .select(
           explode(
             when(
-              size(t) >= n,
+              size(col("t")) >= n,
               transform(
-                sequence(lit(0), size(t) - n),
-                i => array_join(slice(t, i + 1, lit(n)), " ")
+                sequence(lit(0), size(col("t")) - n),
+                i => array_join(slice(col("t"), i + 1, lit(n)), " ")
               )
             ).otherwise(array().cast("array<string>"))
           ).as("g")
