@@ -425,48 +425,107 @@ object Similarity {
     val m = 4; val subDim = 16; val k = 16
     val nQueries = 5; val topK = 10
     val e = vectors.cache()
-    val perSub = (0 until m).map { b =>
-      val sub = e.select(
+    // All m subspaces in ONE frame keyed by subspace id `b` — one
+    // corpus pass emits every (b, vec_id, subvector) cell, and the
+    // Lloyd round / encode / LUT stages below each run ONCE over the
+    // keyed frame instead of m sequential per-subspace job chains
+    // (the per-subspace math is unchanged: every aggregate and argmin
+    // below carries `b` in its grouping key).
+    val subs = e
+      .select(
         col("vec_id"),
-        slice(col("embedding"), b * subDim + 1, subDim).as("embedding")
+        explode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            b =>
+              struct(
+                b.as("b"),
+                slice(col("embedding"), b * subDim + 1, lit(subDim)).as("sub")
+              )
+          )
+        ).as("s")
       )
-      val init = sub
-        .orderBy(col("vec_id"))
-        .limit(k)
-        .withColumn(
-          "cluster",
-          row_number().over(Window.orderBy(col("vec_id"))) - 1
-        )
+      .select(col("s.b").as("b"), col("vec_id"), col("s.sub").as("sub"))
+      .cache()
+    def sqd(x: Column, c: Column): Column =
+      graft.functions.VectorMath.vecSqDist(x, c)
+    // deterministic init: cluster c of subspace b = the subvector of
+    // the (c+1)-th lowest vec_id (identical to the per-subspace
+    // orderBy/limit/row_number init)
+    val init = subs
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("b")).orderBy(col("vec_id")))
+      )
+      .filter(col("rn") <= k)
+      .select(
+        col("b"),
+        (col("rn") - 1).as("cluster"),
+        transform(col("sub"), x => x.cast("double")).as("c_vec")
+      )
+    def assign(cent: DataFrame): DataFrame =
+      subs
+        .join(broadcast(cent), Seq("b"))
         .select(
+          col("b"),
+          col("vec_id"),
           col("cluster"),
-          transform(col("embedding"), x => x.cast("double")).as("c_vec")
+          sqd(col("sub"), col("c_vec")).as("dist")
         )
-        .localCheckpoint(true)
-      val cent = Clustering
-        .update(sub, Clustering.assign(sub, init))
-        .localCheckpoint(true)
-      val codes = Clustering
-        .assign(sub, cent)
-        .select(col("vec_id"), col("cluster").as(s"c$b"))
-      val lut = sub
-        .filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        .crossJoin(broadcast(cent))
+        .groupBy(col("b"), col("vec_id"))
+        .agg(min(struct(col("dist"), col("cluster"))).as("best"))
         .select(
-          col("query_id"),
-          col("cluster").as(s"c$b"),
-          graft.functions.VectorMath
-            .vecSqDist(col("qe"), col("c_vec"))
-            .as(s"d$b")
+          col("b"),
+          col("vec_id"),
+          col("best.cluster").as("cluster")
         )
-      (codes, lut)
-    }
-    val packed = perSub
-      .map(_._1)
-      .reduce((a, b) => a.join(b, "vec_id"))
-    var adc = packed.join(broadcast(perSub.head._2), Seq("c0"))
+    // one Lloyd round: dim-wise mean per (b, cluster), exploded to
+    // cells so the shuffle carries partial sums, never raw vectors
+    val cent = subs
+      .join(assign(init), Seq("b", "vec_id"))
+      .select(
+        col("b"),
+        col("cluster"),
+        posexplode(col("sub")).as(Seq("dim", "x"))
+      )
+      .groupBy(col("b"), col("cluster"), col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("v"))
+      .groupBy(col("b"), col("cluster"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("v")))),
+          s => s.getField("v")
+        ).as("c_vec")
+      )
+      .localCheckpoint(true)
+    // encode: final assignment, pivoted to one code column per
+    // subspace in a single aggregation (no m-way self-join)
+    val codeCols = (0 until m).map(b =>
+      max(when(col("b") === b, col("cluster"))).as(s"c$b"))
+    val packed = assign(cent)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+    val lutAll = subs
+      .filter(col("vec_id") < nQueries)
+      .join(broadcast(cent), Seq("b"))
+      .select(
+        col("b"),
+        col("vec_id").as("query_id"),
+        col("cluster"),
+        sqd(col("sub"), col("c_vec")).as("d")
+      )
+      .cache()
+    def lut(b: Int): DataFrame = lutAll
+      .filter(col("b") === b)
+      .select(
+        col("query_id"),
+        col("cluster").as(s"c$b"),
+        col("d").as(s"d$b")
+      )
+    var adc = packed.join(broadcast(lut(0)), Seq("c0"))
     for (b <- 1 until m)
-      adc = adc.join(broadcast(perSub(b)._2), Seq("query_id", s"c$b"))
+      adc = adc.join(broadcast(lut(b)), Seq("query_id", s"c$b"))
     val adcScore = (1 until m)
       .map(b => col(s"d$b"))
       .foldLeft(col("d0"))(_ + _)
