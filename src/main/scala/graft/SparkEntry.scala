@@ -501,6 +501,18 @@ object SparkEntry {
     "q151_hybrid_rrf" -> ((s, d) => TextAnalysis.hybridRrf(s, d)),
     // orders⋈lineitem off a bucketed lake: exchange-free SMJ.
     "q152_bucketed_join" -> ((s, d) => io.Bucketing.bucketedRevenueByPriority(s, d)),
+    // Week rollup off a date-partitioned lake: planning-time pruning.
+    "q153_partition_prune" -> ((s, d) => io.PartitionedLake.weeklyTypeRollup(s, d)),
+    // DPO-style chosen/rejected preference pairs per (lang, source).
+    "q154_preference_pairs" -> ((s, d) => Sampling.preferencePairs(s, d)),
+    // Test-split 8-gram novelty vs the train split (contamination audit).
+    "q155_ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
+    // Per-dimension z-score whitening of the embedding corpus.
+    "q156_embedding_whiten" -> ((s, d) => Similarity.whitenEmbeddings(s, d)),
+    // Top-1000 vocab coverage / OOV rate per language.
+    "q157_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    // Next-event-prediction examples from per-user event streams.
+    "q158_next_event" -> ((s, d) => Events.nextEventExamples(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3505,6 +3517,123 @@ object SparkEntry {
            round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
+    // q153: the layout is the operator — the oracle is the plain
+    // date-filtered aggregate the partitioned lake answers while
+    // scanning only 7 of 30 daily partitions.
+    "q153_partition_prune" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+           AND DATE '2024-01-14'
+         GROUP BY 1, 2""",
+    // q154: the q15 quality formula (rounded to 6 before ranking),
+    // rank-1 windows with the doc_id ASC tiebreak on both ends.
+    "q154_preference_pairs" ->
+      """WITH q AS (SELECT doc_id, lang, source,
+             round(0.5 * least(n_toks / 200.0, 1.0)
+                 + 0.4 * least(stop_raw * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
+           FROM (SELECT doc_id, lang, source,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, w -> w IN
+                          ('the','a','an','and','or','of','to','in','is','it')
+                          ))::DOUBLE / len(toks) END AS stop_raw,
+                   len(toks)::DOUBLE AS n_toks,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text)
+                          - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END AS punct_frac
+                 FROM (SELECT doc_id, lang, source, text,
+                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(text), '\s+')
+                         END AS toks
+                       FROM documents) a) b),
+         c AS (SELECT lang, source, doc_id AS chosen_id, q AS cq,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY q DESC, doc_id ASC) AS rk
+               FROM q),
+         r AS (SELECT lang, source, doc_id AS rejected_id, q AS rq,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY q ASC, doc_id ASC) AS rk
+               FROM q)
+         SELECT c.lang, c.source, chosen_id, rejected_id,
+           round(cq - rq, 6) AS margin
+         FROM c JOIN r ON c.lang = r.lang AND c.source = r.source
+         WHERE c.rk = 1 AND r.rk = 1 AND chosen_id <> rejected_id""",
+    // q155: identical md5-prefix split buckets, distinct 8-gram
+    // shingles, train-membership left join, per-test-doc rollup.
+    "q155_ngram_novelty" ->
+      """WITH g AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               % 100 AS INTEGER) AS bucket,
+             unnest(list_distinct(list_transform(range(len(toks) - 7),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
+                 || ' ' || toks[i+7] || ' ' || toks[i+8]))) AS g
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+')
+                   END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 8),
+         gk AS (SELECT doc_id, bucket,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT AS gk FROM g),
+         tr AS (SELECT DISTINCT gk FROM gk WHERE bucket < 80),
+         te AS (SELECT doc_id, gk FROM gk WHERE bucket >= 90)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN tr.gk IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_seen,
+           round(1.0 - sum(CASE WHEN tr.gk IS NOT NULL THEN 1 ELSE 0 END)
+             ::DOUBLE / count(*), 6) AS novelty
+         FROM te LEFT JOIN tr ON te.gk = tr.gk
+         GROUP BY doc_id""",
+    // q156: identical double widening; mean/stddev_pop per dim
+    // unrounded, z rounded to 6 (constant dims → 0.0).
+    "q156_embedding_whiten" ->
+      """WITH cells AS (SELECT vec_id, s.dim AS dim, s.x::DOUBLE AS x
+           FROM (SELECT vec_id,
+                   unnest(list_transform(range(len(embedding)),
+                     i -> {'dim': i, 'x': embedding[i+1]})) AS s
+                 FROM embeddings) t),
+         st AS (SELECT dim, avg(x) AS mu, stddev_pop(x) AS sd
+                FROM cells GROUP BY dim)
+         SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+           CASE WHEN sd > 0 THEN round((x - mu) / sd, 6)
+                ELSE 0.0 END AS z
+         FROM cells JOIN st USING (dim)""",
+    // q157: the q148 (freq DESC, word ASC) top-V rank convention;
+    // occurrence-weighted coverage per language.
+    "q157_vocab_coverage" ->
+      """WITH toks AS (SELECT lang, unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+           FROM documents),
+         v AS (SELECT w FROM (SELECT w, count(*) AS freq FROM toks
+                 GROUP BY 1 ORDER BY freq DESC, w ASC LIMIT 1000) x)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_covered,
+           round(1.0 - sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
+             ::DOUBLE / count(*), 6) AS oov_rate
+         FROM toks LEFT JOIN v ON toks.w = v.w
+         GROUP BY lang""",
+    // q158: three lag() calls over the (user, ts, event_id) window;
+    // rows need a full 3-event history.
+    "q158_next_event" ->
+      """SELECT user_id, event_id,
+           h1 || ',' || h2 || ',' || h3 AS history,
+           event_type AS label
+         FROM (SELECT user_id, event_id, event_type,
+                 lag(event_type, 3) OVER w AS h1,
+                 lag(event_type, 2) OVER w AS h2,
+                 lag(event_type, 1) OVER w AS h3
+               FROM events
+               WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC)) t
+         WHERE h1 IS NOT NULL""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -1,0 +1,83 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Date-partitioned lake layout (SURVEY §4: partition pruning is one
+  * of the optimizations Catalyst gives for free — IF the data is laid
+  * out to expose it). Writing a fact table `partitionBy(date)` turns
+  * every date-ranged query from a full scan into a directory listing:
+  * at 100 TB / 3 years of events, a one-week dashboard query reads
+  * ~0.6% of the files, and the pruning happens at PLANNING time
+  * (`PartitionFilters` on the scan node), before a single byte is
+  * read.
+  */
+object PartitionedLake {
+
+  /** Lakes already laid out by this process — writing is a one-time
+    * ETL cost (the q152 bucketed-lake convention); repeated queries
+    * (the Bench loop) read the layout.
+    */
+  private val laidOut =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write the events table date-partitioned under a per-(process,
+    * sf) temp path with shutdown-hook cleanup; idempotent per
+    * process.
+    */
+  def eventsByDay(spark: SparkSession, dir: String): String = {
+    val h = math.abs(dir.hashCode.toLong)
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-datelake-${ProcessHandle.current().pid()}-$h")
+    if (laidOut.add(base.getAbsolutePath)) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(base)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(base)))
+      graft.Tables
+        .events(spark, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        // one file per (date) partition dir: the write-side shuffle
+        // groups rows by their target partition so the writer never
+        // holds 30 open files per task
+        .repartition(col("event_date"))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("event_date")
+        .parquet(base.getAbsolutePath)
+    }
+    base.getAbsolutePath
+  }
+
+  /** q153: a one-week rollup off the DATE-PARTITIONED lake — the
+    * layout decision that complements q152's bucketing: the
+    * `event_date BETWEEN` predicate binds to the partition column,
+    * so Catalyst prunes 23 of the 30 daily partitions at planning
+    * time (`PartitionFilters` on the scan, pinned in the spec) and
+    * the scan touches only the week's files. The aggregate itself is
+    * an ordinary partial-aggregated groupBy.
+    */
+  def weeklyTypeRollup(spark: SparkSession, dir: String): DataFrame = {
+    val lake = eventsByDay(spark, dir)
+    spark.read
+      .parquet(lake)
+      .filter(
+        col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+      // normalize the inferred partition-column type (environment-
+      // dependent: date or timestamp) to a midnight timestamp — the
+      // q11 date-column convention. The cast sits ABOVE the pruning
+      // filter, so the planning-time pruning is untouched.
+      .withColumn("event_date",
+        col("event_date")
+          .cast(org.apache.spark.sql.types.DateType)
+          .cast(org.apache.spark.sql.types.TimestampType))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value")
+      )
+  }
+}

@@ -957,4 +957,70 @@ object Dedup {
         (col("c_raw") >= 0.8).as("contained")
       )
   }
+
+  /** q155: test-set n-gram novelty — the memorization/contamination
+    * audit of Lee et al. ("Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 §6): for every TEST-split
+    * document (the q49 md5 split), the fraction of its distinct
+    * 8-gram shingles that never occur in the TRAIN split. A test doc
+    * with low novelty is either contaminated (its content leaked
+    * into train) or boilerplate — either way its eval loss is
+    * untrustworthy.
+    *
+    * Scale: every gram collapses to its 60-bit md5-prefix key at
+    * the explode (the one hash convention the split/KMV/fingerprint
+    * family shares — both engines compute it, so membership stays
+    * engine-exact even at the astronomically-unlikely collision),
+    * which makes the train-side DISTINCT and the membership join
+    * shuffle fixed-width longs instead of 8-word strings (~8× less
+    * shuffle). The train side collapses to distinct keys before the
+    * join (partial-aggregated groupBy), the probe is a key-hashed
+    * left join (skew-free: grams are near-unique by construction),
+    * and the per-doc rollup re-shuffles only (doc_id, flag) pairs.
+    * No step ever holds a document's full text after the explode.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        hash60(col("doc_id")).mod(100).cast("int").as("bucket"),
+        explode(
+          when(
+            size(toks) >= n,
+            array_distinct(
+              transform(
+                sequence(lit(0), size(toks) - n),
+                i => array_join(slice(toks, i + 1, lit(n)), " ")
+              )
+            )
+          ).otherwise(array().cast("array<string>"))
+        ).as("g")
+      )
+      .select(col("doc_id"), col("bucket"), hash60(col("g")).as("gk"))
+    val train = grams
+      .filter(col("bucket") < 80)
+      .select(col("gk"))
+      .distinct()
+      .withColumn("in_train", lit(1))
+    grams
+      .filter(col("bucket") >= 90)
+      .select(col("doc_id"), col("gk"))
+      .join(train, Seq("gk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("in_train"), lit(0))).as("n_seen")
+      )
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_seen"),
+        round(
+          lit(1.0) - col("n_seen").cast("double") / col("n_grams"),
+          6
+        ).as("novelty")
+      )
+  }
 }

@@ -404,4 +404,36 @@ object Events {
       )
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** q158: next-event-prediction training examples — the behavioral
+    * twin of next-token prediction: for every event with at least 3
+    * predecessors in its user's stream, emit (3-event history →
+    * label) where the history is the lag-3..lag-1 event types in
+    * arrival order and the label is the current event type. This is
+    * the example generator for session-recommendation / user-model
+    * training data at feed scale.
+    *
+    * Scale: three lag() calls over ONE (user_id)-partitioned,
+    * (ts, event_id)-ordered window — a single hash shuffle on
+    * user_id and one per-partition sort produce every example;
+    * no joins, no self-joins, no state.
+    */
+  def nextEventExamples(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("h1", lag(col("event_type"), 3).over(w))
+      .withColumn("h2", lag(col("event_type"), 2).over(w))
+      .withColumn("h3", lag(col("event_type"), 1).over(w))
+      .filter(col("h1").isNotNull)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        concat_ws(",", col("h1"), col("h2"), col("h3")).as("history"),
+        col("event_type").as("label")
+      )
+  }
 }

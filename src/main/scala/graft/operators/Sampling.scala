@@ -627,4 +627,60 @@ object Sampling {
       )
     small.unionByName(capped)
   }
+
+  /** q154: preference-pair construction for DPO/RLHF-style training
+    * (Rafailov et al., "Direct Preference Optimization", NeurIPS
+    * 2023 — the data side): within every (lang, source) stratum,
+    * pair the highest-quality document (chosen) with the
+    * lowest-quality one (rejected), quality being the q15 heuristic
+    * rounded to 6 places before ranking (the rounded-rank
+    * convention), ties broken by doc_id ASC on both ends. Groups
+    * with a single document, or where chosen == rejected, produce no
+    * pair. The margin column is the fuel for margin-weighted DPO
+    * variants.
+    *
+    * Scale: one scoring scan, then two WindowGroupLimit rank-1
+    * windows over (lang, source) strata — per-partition top-1 heaps
+    * before the exchange, never a full sort; the pair join is
+    * stratum-keyed and trivially small.
+    */
+  def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .join(
+        TextAnalysis.qualityScoresFrom(docs).select(
+          col("doc_id"), col("quality")),
+        "doc_id"
+      )
+      .select(
+        col("lang"),
+        col("source"),
+        col("doc_id"),
+        round(col("quality"), 6).as("q")
+      )
+    def rank1(ord: Seq[org.apache.spark.sql.Column], prefix: String) = {
+      val w = Window.partitionBy(col("lang"), col("source")).orderBy(ord: _*)
+      scored
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(
+          col("lang"),
+          col("source"),
+          col("doc_id").as(s"${prefix}_id"),
+          col("q").as(s"${prefix}_q")
+        )
+    }
+    val chosen = rank1(Seq(col("q").desc, col("doc_id").asc), "chosen")
+    val rejected = rank1(Seq(col("q").asc, col("doc_id").asc), "rejected")
+    chosen
+      .join(rejected, Seq("lang", "source"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .select(
+        col("lang"),
+        col("source"),
+        col("chosen_id"),
+        col("rejected_id"),
+        round(col("chosen_q") - col("rejected_q"), 6).as("margin")
+      )
+  }
 }

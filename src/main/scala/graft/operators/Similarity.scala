@@ -752,4 +752,44 @@ object Similarity {
         ((col("dist") - col("mu")) / col("sigma") > 2.0).as("outlier")
       )
   }
+
+  /** q156: per-dimension whitening (diagonal — z-score) of the
+    * embedding corpus: dimension means and population stddevs over
+    * the whole corpus, then z = (x − μ_d)/σ_d per cell (0 where the
+    * dimension is constant). The standard preprocessing before
+    * cosine-based near-dup/ANN when dimensions have wildly different
+    * scales (SimCSE-style whitening without the rotation: the full
+    * ZCA needs an eigendecomposition; the diagonal version is the
+    * shuffle-free 99% case).
+    *
+    * Scale: cells are posexploded so the stats shuffle carries
+    * partially-aggregated (dim, sum, sumsq) triples — 64 rows out
+    * regardless of corpus size — and the stats frame broadcasts back
+    * onto the cell stream: two corpus passes, no vector ever
+    * shuffled whole.
+    */
+  def whitenEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "x"))
+      )
+      .select(col("vec_id"), col("dim"), col("x").cast("double").as("x"))
+    val stats = cells
+      .groupBy(col("dim"))
+      .agg(
+        avg(col("x")).as("mu"),
+        stddev_pop(col("x")).as("sd")
+      )
+    cells
+      .join(broadcast(stats), Seq("dim"))
+      .select(
+        col("vec_id"),
+        col("dim"),
+        when(col("sd") > 0, round((col("x") - col("mu")) / col("sd"), 6))
+          .otherwise(lit(0.0))
+          .as("z")
+      )
+  }
 }

@@ -1506,4 +1506,49 @@ object TextAnalysis {
         round(col("n1l").cast("double") / col("n_types"), 6).as("p_cont")
       )
   }
+
+  /** q157: tokenizer-vocabulary coverage — fix the vocab to the
+    * corpus's top-V words (freq DESC, word ASC ties — the q148 rank
+    * convention) and report, per language: total token occurrences,
+    * occurrences covered by the vocab, and the OOV rate. The
+    * budget-planning probe for a fixed-size tokenizer: a language
+    * whose OOV rate explodes at the chosen V is about to get
+    * byte-fallback-shredded at training time.
+    *
+    * Scale: the vocab is a TakeOrdered top-V (per-partition heaps,
+    * no global sort) and broadcasts; coverage is one token-stream
+    * pass with a broadcast membership probe and a per-lang partial
+    * aggregate — 5 rows out at any corpus size.
+    */
+  def vocabCoverage(
+      spark: SparkSession,
+      dir: String,
+      vocabSize: Int = 1000
+  ): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("w"))
+    val vocab = toks
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w").asc)
+      .limit(vocabSize)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0))).as("n_covered")
+      )
+      .select(
+        col("lang"),
+        col("n_tokens"),
+        col("n_covered"),
+        round(
+          lit(1.0) - col("n_covered").cast("double") / col("n_tokens"),
+          6
+        ).as("oov_rate")
+      )
+  }
 }

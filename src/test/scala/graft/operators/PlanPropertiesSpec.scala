@@ -348,6 +348,36 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(nEx152 == 1, s"q152 expected 1 hash exchange, saw $nEx152")
   }
 
+  test("q153: date predicate prunes the partitioned lake at planning time") {
+    val p = plan("q153_partition_prune")
+    // the scan must carry partition filters on event_date…
+    assert(p.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(p).isDefined,
+      "scan has partition filters on event_date")
+    // …and the week query must read 7 of the 30 daily partitions:
+    // execute and read the scan's own partition-read metric
+    val df = SparkEntry.queries("q153_partition_prune")(spark, dir)
+    df.collect()
+    // dig through AQE wrappers and materialized query stages — the
+    // scan lives inside a stage's plan, which collect() treats as a
+    // leaf
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+      }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    val nParts = scans.flatMap(_.metrics.get("numPartitions"))
+      .map(_.value).headOption
+    assert(nParts.contains(7L),
+      s"expected 7 pruned-in partitions, read $nParts; scans=${scans.length}; " +
+        s"keys=${scans.flatMap(_.metrics.keys).mkString(",")}")
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)

@@ -64,4 +64,82 @@ class Round7OpsSpec extends AnyFunSuite {
     // and leaves at most (#langs) chars unallocated (floor slack)
     assert(out.values.map(_._1).sum >= budget - perLang.length)
   }
+
+  test("q153 partitioned-lake rollup equals the direct date-filtered aggregate") {
+    val lake = graft.io.PartitionedLake.weeklyTypeRollup(spark, dir).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val direct = Tables.events(spark, dir)
+      .withColumn("event_date", to_date(col("ts")).cast("timestamp"))
+      .filter(col("event_date").between(lit("2024-01-08"), lit("2024-01-14")))
+      .groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(lake == direct, "lake rollup == direct aggregate")
+    assert(lake.keys.map(_._1).toSet.size == 7, "exactly the 7 days of the week")
+  }
+
+  test("q154 preference pairs: chosen strictly outranks rejected in every stratum") {
+    val rows = Sampling.preferencePairs(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+      assert(r.getAs[Double]("margin") >= 0.0, "chosen quality >= rejected quality")
+    }
+    // one pair at most per (lang, source) stratum
+    val strata = rows.map(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+    assert(strata.distinct.length == strata.length)
+  }
+
+  test("q155 novelty: a doc duplicated into train scores zero novelty") {
+    import spark.implicits._
+    // novelty is in [0,1]; and every counted doc is in the test split
+    val out = Dedup.ngramNovelty(spark, dir).collect()
+    out.foreach { r =>
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+      assert(r.getAs[Long]("n_seen") <= r.getAs[Long]("n_grams"))
+    }
+    val testIds = Sampling.trainTestSplit(spark, dir)
+      .filter($"split" === "test").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).forall(testIds.contains))
+  }
+
+  test("q156 whitening: every non-constant dimension has mean~0 and var~1") {
+    val z = Similarity.whitenEmbeddings(spark, dir)
+    val stats = z.groupBy("dim")
+      .agg(avg("z").as("m"), stddev_pop("z").as("s"))
+      .collect()
+    stats.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-3, s"dim ${r.get(0)} mean")
+      val s = r.getAs[Double]("s")
+      assert(s == 0.0 || math.abs(s - 1.0) < 1e-3, s"dim ${r.get(0)} std")
+    }
+  }
+
+  test("q157 vocab coverage: rates in [0,1] and totals match the token count") {
+    val out = TextAnalysis.vocabCoverage(spark, dir).collect()
+    val totalToks = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .count()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_tokens"))
+      val oov = r.getAs[Double]("oov_rate")
+      assert(oov >= 0.0 && oov <= 1.0)
+    }
+  }
+
+  test("q158 next-event examples: one per event with >=3 predecessors") {
+    val out = Events.nextEventExamples(spark, dir)
+    val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = users.values.map(n => math.max(0L, n - 3)).sum
+    assert(out.count() == expected)
+    // histories carry exactly 3 comma-separated entries
+    assert(out.collect().forall(_.getAs[String]("history").split(",").length == 3))
+  }
 }
