@@ -513,6 +513,12 @@ object SparkEntry {
     "q157_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     // Next-event-prediction examples from per-user event streams.
     "q158_next_event" -> ((s, d) => Events.nextEventExamples(s, d)),
+    // PPJoin prefix-filtered EXACT Jaccard>=0.5 self-join.
+    "q159_prefix_filter_join" -> ((s, d) => Dedup.prefixFilterJoin(s, d)),
+    // Corpus-specific stopword discovery (top-30 by document freq).
+    "q160_stopword_discovery" -> ((s, d) => TextAnalysis.stopwordDiscovery(s, d)),
+    // CCNet head/middle/tail perplexity thirds per language.
+    "q161_ppl_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3634,6 +3640,50 @@ object SparkEntry {
                WINDOW w AS (PARTITION BY user_id
                  ORDER BY ts ASC, event_id ASC)) t
          WHERE h1 IS NOT NULL""",
+    // q159: the oracle is the NAIVE shared-shingle inversion with
+    // exact Jaccard >= 0.5 — prefix filtering must lose nothing.
+    "q159_prefix_filter_join" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+         SELECT doc_a, doc_b,
+           round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+         FROM p
+         WHERE inter::DOUBLE / (na + nb - inter) >= 0.5""",
+    // q160: per-doc distinct terms, df count, (df DESC, term ASC)
+    // top-30 with the same rank order.
+    "q160_stopword_discovery" ->
+      """WITH dfreq AS (SELECT term, count(*) AS df FROM
+           (SELECT DISTINCT doc_id, unnest(
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+            FROM documents) t
+           GROUP BY 1),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
+         SELECT term, CAST(df AS BIGINT) AS df,
+           round(ln(n_docs / df), 6) AS idf,
+           CAST(row_number() OVER (ORDER BY df DESC, term ASC)
+             AS INTEGER) AS rank
+         FROM dfreq CROSS JOIN n
+         ORDER BY df DESC, term ASC LIMIT 30""",
+    // q161: q127's LM chain through the rounded ppl, ntile(3) per
+    // language with the doc_id tiebreak.
+    "q161_ppl_buckets" ->
+      s"""WITH $trigramLmCtes,
+         pp AS (SELECT sc.doc_id, round(exp(x), 6) AS ppl, lang
+                FROM sc JOIN documents USING (doc_id)),
+         b AS (SELECT doc_id, lang, ppl,
+                 ntile(3) OVER (PARTITION BY lang
+                   ORDER BY ppl ASC, doc_id ASC) AS t3
+               FROM pp)
+         SELECT doc_id, lang, ppl,
+           CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket
+         FROM b""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -1023,4 +1023,73 @@ object Dedup {
         ).as("novelty")
       )
   }
+
+  /** q159: EXACT set-similarity self-join with prefix filtering
+    * (PPJoin's candidate-pruning principle — Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW 2008 §3):
+    * the deterministic alternative to MinHash-LSH (q22) when the
+    * pipeline needs *provably no missed pairs* at Jaccard ≥ t.
+    * Shingles get a global rare-first total order (document
+    * frequency ASC, shingle ASC); each document exposes only its
+    * first |S| − ⌈t·|S|⌉ + 1 ordered shingles as join keys — any
+    * pair with J ≥ t MUST share a prefix element under a common
+    * total order, so pruning is lossless, while frequent shingles
+    * (the quadratic blowup in q21's full inversion) fall out of the
+    * candidate generation entirely.
+    *
+    * Scale: the df rank table is a partial-aggregated groupBy joined
+    * back onto the exploded stream (a shingle-keyed window count was
+    * measured SLOWER: near-unique keys make millions of one-row
+    * window partitions); the per-doc ordering is ONE doc_id-keyed
+    * window (rank and set size
+    * share the shuffle+sort — no per-doc array is materialized); the
+    * candidate join carries only prefix rows (~(1−t) of the shingle
+    * volume); verification joins the two full shingle sets back by
+    * doc key. The verify step is collision-linear in TRUE near-dup
+    * pairs, not in shared-shingle pairs.
+    */
+  def prefixFilterJoin(
+      spark: SparkSession,
+      dir: String,
+      t: Double = 0.5
+  ): DataFrame = {
+    val d = docShingles(spark, dir)
+    val dfreq = d
+      .select(explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+    // rank each (doc, shingle) in the global rare-first order with
+    // ONE doc-keyed window (rank and |S| share the shuffle+sort) —
+    // no per-doc array is ever materialized
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    val ex = d
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(dfreq, Seq("s"))
+      .withColumn(
+        "rn",
+        row_number().over(wDoc.orderBy(col("df").asc, col("s").asc)))
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .filter(col("rn") <= col("n") - ceil(lit(t) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = ex
+      .select(col("doc_id").as("doc_a"), col("s"))
+      .join(ex.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val full = d.select(col("doc_id"), col("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val j = inter.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - inter)
+    cand
+      .join(
+        full.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(
+        full.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .filter(j >= t)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+  }
 }

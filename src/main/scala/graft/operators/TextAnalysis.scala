@@ -1551,4 +1551,74 @@ object TextAnalysis {
         ).as("oov_rate")
       )
   }
+
+  /** q160: corpus-specific stopword discovery — the top-k terms by
+    * DOCUMENT frequency (highest-df = lowest-IDF), the list a
+    * retrieval or keyword-extraction layer should treat as
+    * corpus-noise instead of assuming English function words (a
+    * code corpus's stopwords are `the return if`, not `the of and`).
+    * Emits rank, df, and the ln(N/df) idf so downstream thresholds
+    * can cut by value rather than rank.
+    *
+    * Scale: per-doc distinct terms (array_distinct inside the map
+    * side), one partial-aggregated df count, TakeOrdered top-k —
+    * never a global sort.
+    */
+  def stopwordDiscovery(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 30
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val dfTab = docs
+      .select(explode(array_distinct(tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+    dfTab
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("term"),
+        col("df"),
+        round(log(col("n_docs").cast("double") / col("df")), 6).as("idf"),
+        row_number()
+          .over(Window.orderBy(col("df").desc, col("term").asc))
+          .as("rank")
+      )
+  }
+
+  /** q161: CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020 §4.3): per language, split documents into
+    * head/middle/tail thirds by trigram-LM perplexity (q127's chain,
+    * ROUNDED before ranking, doc_id tiebreak). CCNet trains on head,
+    * samples middle, drops tail — the bucket label IS the curation
+    * decision.
+    *
+    * Scale: the LM chain is q127's (count-carrying joins, broadcast
+    * count tables); the bucketing adds one ntile window per language
+    * partition over (doc, ppl) pairs — rows, not text.
+    */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ppl = trigramPerplexity(spark, dir)
+      .select(col("doc_id"), col("ppl"))
+    val lang = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("ppl").asc, col("doc_id").asc)
+    ppl
+      .join(lang, "doc_id")
+      .withColumn("t3", ntile(3).over(w))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("ppl"),
+        when(col("t3") === 1, "head")
+          .when(col("t3") === 2, "middle")
+          .otherwise("tail")
+          .as("bucket")
+      )
+  }
 }

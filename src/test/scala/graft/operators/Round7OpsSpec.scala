@@ -133,6 +133,54 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 prefix filtering loses no pair vs the naive exact join") {
+    import spark.implicits._
+    val pruned = Dedup.prefixFilterJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // naive: every pair sharing >=1 shingle, exact Jaccard >= 0.5
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val e = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val naive = e.select($"doc_id".as("doc_a"), $"s")
+      .join(e.select($"doc_id".as("doc_b"), $"s"), Seq("s"))
+      .filter($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct()
+      .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          (size($"sh_a") + size($"sh_b") -
+            size(array_intersect($"sh_a", $"sh_b")))).as("j"))
+      .filter($"j" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (math.rint(r.getDouble(2) * 1e6) / 1e6)).toMap
+    assert(pruned == naive, "prefix-filtered result == naive exact result")
+  }
+
+  test("q160 stopwords are ranked by document frequency") {
+    val out = TextAnalysis.stopwordDiscovery(spark, dir).collect()
+    assert(out.length == 30)
+    val byRank = out.sortBy(_.getAs[Int]("rank"))
+    val dfs = byRank.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b }, "df non-increasing")
+    assert(byRank.map(_.getAs[Double]("idf")).zip(dfs).forall {
+      case (idf, df) => idf >= 0.0 || df > 0 }, "idf well-formed")
+  }
+
+  test("q161 buckets are ppl-ordered thirds within each language") {
+    val rows = TextAnalysis.perplexityBuckets(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length)
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang thirds balanced")
+      def ppls(b: String) = rs.filter(_.getAs[String]("bucket") == b)
+        .map(_.getAs[Double]("ppl"))
+      if (ppls("head").nonEmpty && ppls("tail").nonEmpty)
+        assert(ppls("head").max <= ppls("tail").min + 1e-9,
+          s"$lang head <= tail in perplexity")
+    }
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
