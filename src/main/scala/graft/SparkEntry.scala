@@ -519,6 +519,12 @@ object SparkEntry {
     "q160_stopword_discovery" -> ((s, d) => TextAnalysis.stopwordDiscovery(s, d)),
     // CCNet head/middle/tail perplexity thirds per language.
     "q161_ppl_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(s, d)),
+    // 1/cluster-size sampling weights, normalized per language.
+    "q162_dup_weights" -> ((s, d) => Sampling.dupWeightedSampling(s, d)),
+    // Per-type rollup off the compacted small-file lake.
+    "q163_compaction" -> ((s, d) => io.Compaction.compactedRollup(s, d)),
+    // Best-B-tokens snapshot via the distributed global cumsum.
+    "q164_token_budget" -> ((s, d) => Sampling.tokenBudgetSnapshot(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3684,6 +3690,54 @@ object SparkEntry {
            CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                    ELSE 'tail' END AS bucket
          FROM b""",
+    // q162: the q72 closure through (doc, cluster_size); the window
+    // sum normalizes unrounded 1/size weights per language.
+    "q162_dup_weights" ->
+      s"""WITH RECURSIVE $canonicalChainCtes
+         SELECT l.doc_id, d2.lang,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           round(1.0 / s.cluster_size, 6) AS weight,
+           round((1.0 / s.cluster_size) /
+             sum(1.0 / s.cluster_size) OVER (PARTITION BY d2.lang), 6)
+             AS w_norm
+         FROM lab l JOIN sz s USING (cluster_id)
+         JOIN documents d2 USING (doc_id)""",
+    // q163: the layout is the operator — the oracle is the plain
+    // aggregate; compaction must not touch a row.
+    "q163_compaction" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1""",
+    // q164: the naive single-window cumsum — the engine's two-level
+    // range-partitioned form must be integer-identical to it.
+    "q164_token_budget" ->
+      """WITH qq AS (SELECT doc_id,
+             round(0.5 * least(n_toks / 200.0, 1.0)
+                 + 0.4 * least(stop_raw * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q,
+             CAST(n_toks AS BIGINT) AS n_tokens
+           FROM (SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, w -> w IN
+                          ('the','a','an','and','or','of','to','in','is','it')
+                          ))::DOUBLE / len(toks) END AS stop_raw,
+                   len(toks) AS n_toks,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text)
+                          - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END AS punct_frac
+                 FROM (SELECT doc_id, text,
+                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(text), '\s+')
+                         END AS toks
+                       FROM documents) a) b),
+         c AS (SELECT doc_id, q, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+               FROM qq)
+         SELECT doc_id, q, n_tokens, cum_tokens
+         FROM c WHERE cum_tokens - n_tokens < 100000""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -628,6 +628,101 @@ object Sampling {
     small.unionByName(capped)
   }
 
+  /** q162: duplication-aware sampling weights — the count-based
+    * down-weighting a pretraining sampler applies instead of (or on
+    * top of) hard dedup: every document in a near-dup cluster of
+    * size k samples with weight 1/k, so a 40-way boilerplate clone
+    * carries the same total probability mass as a unique document.
+    * Weights are additionally normalized per language (w_norm sums
+    * to 1 within each lang), which is the form a per-language
+    * sampler consumes.
+    *
+    * Scale: cluster sizes come from the q72 transitive closure (the
+    * dedup family's cached derive-once artifact — banded pair join +
+    * O(log d) pointer-doubling CC); this operator adds one doc-keyed
+    * join and one lang-partitioned window over (doc, weight) rows.
+    */
+  def dupWeightedSampling(spark: SparkSession, dir: String): DataFrame = {
+    val cl = Dedup
+      .dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_size"))
+    val lang = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val wLang = Window.partitionBy(col("lang"))
+    cl.join(lang, "doc_id")
+      .withColumn("weight_raw", lit(1.0) / col("cluster_size"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("cluster_size"),
+        round(col("weight_raw"), 6).as("weight"),
+        round(
+          col("weight_raw") / sum(col("weight_raw")).over(wLang),
+          6
+        ).as("w_norm")
+      )
+  }
+
+  /** q164: token-budget corpus snapshot — "ship the best B tokens":
+    * rank documents by quality (the q15 heuristic rounded to 6,
+    * doc_id ties) and keep every document that STARTS before the
+    * token budget is exhausted (cum − own < B). The assembly step of
+    * a fixed-compute pretraining run, where the budget, not the
+    * corpus, is the constant.
+    *
+    * Scale: the global ordered cumulative sum — the step that is a
+    * single-partition window if written naively — runs as the
+    * two-level distributed form: range-partition on the rank key,
+    * per-partition cumsums in parallel (pid-keyed window), then a
+    * P-row offsets frame (cumsum over a provably bounded frame)
+    * broadcast back. Token counts are integers, so the distributed
+    * fold is bit-equal to the sequential one at any partition count.
+    */
+  def tokenBudgetSnapshot(
+      spark: SparkSession,
+      dir: String,
+      budget: Long = 100000L,
+      numParts: Int = 8
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(col("doc_id"), col("quality")),
+        "doc_id")
+      .select(
+        col("doc_id"),
+        round(col("quality"), 6).as("q"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens")
+      )
+    val parts = scored
+      .repartitionByRange(numParts, col("q").desc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window
+      .partitionBy(col("pid"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val withCum = parts.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    // offsets: one row per range partition; the tiny frame is the
+    // only place a global-ordered window runs
+    val offsets = withCum
+      .groupBy(col("pid"))
+      .agg(max(col("cum_in")).as("ptot"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum(col("ptot")).over(
+            Window.orderBy(col("pid").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))
+      )
+      .select(col("pid"), col("off"))
+    withCum
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_tokens", col("cum_in") + col("off"))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("q"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** q154: preference-pair construction for DPO/RLHF-style training
     * (Rafailov et al., "Direct Preference Optimization", NeurIPS
     * 2023 — the data side): within every (lang, source) stratum,

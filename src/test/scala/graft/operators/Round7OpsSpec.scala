@@ -181,6 +181,52 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q162 dup weights: 1/size per doc, normalized mass 1 per language") {
+    val rows = Sampling.dupWeightedSampling(spark, dir).collect()
+    rows.foreach { r =>
+      val k = r.getAs[Long]("cluster_size")
+      assert(math.abs(r.getAs[Double]("weight") - 1.0 / k) < 1e-6)
+    }
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val mass = rs.map(_.getAs[Double]("w_norm")).sum
+      assert(math.abs(mass - 1.0) < 1e-3, s"$lang w_norm mass $mass")
+    }
+  }
+
+  test("q163 compaction: 64 small files collapse to ceil(bytes/target) files") {
+    val (nSmall, nCompact, bytes) = graft.io.Compaction.layoutStats(spark, dir)
+    assert(nSmall == 64, s"fragmented layout has $nSmall files")
+    val want = math.max(1, math.ceil(bytes.toDouble / (4L << 20)).toInt)
+    assert(nCompact == want, s"compacted to $nCompact files, want $want")
+    assert(nCompact < nSmall)
+  }
+
+  test("q164 distributed cumsum == naive single-window cumsum at any partition count") {
+    import spark.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tokens"))
+    val p3 = Sampling.tokenBudgetSnapshot(spark, dir, numParts = 3)
+      .collect().map(key).toSet
+    val p8 = Sampling.tokenBudgetSnapshot(spark, dir, numParts = 8)
+      .collect().map(key).toSet
+    assert(p3 == p8, "partition-count invariant")
+    // naive: one global window
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .join(TextAnalysis.qualityScoresFrom(docs)
+        .select($"doc_id", $"quality"), "doc_id")
+      .select($"doc_id", round($"quality", 6).as("q"),
+        size(graft.functions.TextFunctions.tokens($"text"))
+          .cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"q".desc, $"doc_id".asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = scored.withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .filter($"cum_tokens" - $"n_tokens" < 100000L)
+      .collect().map(key).toSet
+    assert(p8 == naive, "two-level cumsum == naive global window")
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
