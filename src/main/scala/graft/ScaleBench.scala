@@ -668,8 +668,97 @@ object ScaleBench {
     require(nSessions > 0 && nSessions <= sessN,
       s"implausible session count $nSessions")
 
+    // --- prefix-filtered exact SSJ at ~10k docs -----------------------
+    // the q159 topology (global rare-first order, |S|−⌈t|S|⌉+1
+    // prefixes as candidate keys, full-set verify) with the fast
+    // xxhash64 shingle key. 20× replication → ~20-replica near-dup
+    // families: exact SSJ output is ~families·(20·19/2) VERIFIED
+    // pairs — the verify pass, not candidate generation, is the
+    // scaling cost, which is inherent to any EXACT join whose output
+    // is that large.
+    val ppT = 0.9
+    val ppDocs = Tables
+      .documents(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(19))))
+      .select(
+        (col("doc_id") + col("rep") * 500).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep") % 7).as("text")
+      )
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(cpus.toInt)
+      .cache()
+    val ppN = ppDocs.count()
+    val tPp = System.nanoTime()
+    val ppEx = ppDocs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val ppDf = ppEx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ppWin = Window.partitionBy(col("doc_id"))
+    val ppPref = ppEx
+      .join(ppDf, Seq("s"))
+      .withColumn("rn",
+        row_number().over(ppWin.orderBy(col("df").asc, col("s").asc)))
+      .withColumn("n", count(lit(1)).over(ppWin))
+      .filter(col("rn") <= col("n") - ceil(lit(ppT) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+    val ppCand = ppPref.select(col("doc_id").as("doc_a"), col("s"))
+      .join(ppPref.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val ppInter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val ppJ = ppInter.cast("double") /
+      (size(col("sh_a")) + size(col("sh_b")) - ppInter)
+    val ppPairs = ppCand
+      .join(ppDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(ppDocs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .filter(ppJ >= ppT)
+      .count()
+    val ppSec = (System.nanoTime() - tPp) / 1e9
+    require(ppPairs > 0, "prefix-filter join found no near-dup pairs")
+
+    // --- distributed global ordered cumsum at 5M rows -----------------
+    // the q164 topology: range-partition on the rank key, pid-keyed
+    // window cumsums in parallel, 64-row offsets frame broadcast
+    // back. Integer payloads → the fold is bit-equal to a sequential
+    // scan; conservation (max cum == Σ tokens) proves no row was
+    // dropped or double-counted across partition boundaries.
+    val cumN = 5000000L
+    val cumRows = spark.range(cumN).select(
+      col("id").as("doc_id"),
+      (col("id") * 2654435761L % 1000000L).cast("double").as("q"),
+      (col("id") % 1000L + 1L).as("n_tokens"))
+    val tCum = System.nanoTime()
+    val cumParts = cumRows
+      .repartitionByRange(64, col("q").desc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+    val wCum = Window.partitionBy(col("pid"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val cumIn = cumParts.withColumn("cum_in", sum(col("n_tokens")).over(wCum))
+    val cumOff = cumIn.groupBy(col("pid"))
+      .agg(max(col("cum_in")).as("ptot"))
+      .withColumn("off",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy(col("pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val cumAgg = cumIn
+      .join(broadcast(cumOff), Seq("pid"))
+      .withColumn("cum", col("cum_in") + col("off"))
+      .agg(max(col("cum")).as("mx"), count(lit(1)).as("n"))
+      .collect()(0)
+    val cumSec = (System.nanoTime() - tCum) / 1e9
+    val cumTotal = cumN / 1000L * (1000L * 1001L / 2)
+    require(cumAgg.getLong(0) == cumTotal && cumAgg.getLong(1) == cumN,
+      s"cumsum conservation failed: ${cumAgg.getLong(0)} != $cumTotal")
+
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
+        s""""ppjoin_docs":$ppN,"ppjoin_pairs":$ppPairs,"ppjoin_sec":$ppSec,""" +
+        s""""cumsum_rows":$cumN,"cumsum_sec":$cumSec,""" +
         s""""lsh_candidate_pairs":$nCandidates,"lsh_sec":$lshSec,""" +
         s""""docs_per_sec":${(nDocs / lshSec).round},""" +
         s""""vectors":$nVecs,"ann_topk_rows":$topk,"ann_sec":$annSec,""" +
