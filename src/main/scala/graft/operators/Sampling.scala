@@ -701,7 +701,12 @@ object Sampling {
     val wIn = Window
       .partitionBy(col("pid"))
       .orderBy(col("q").desc, col("doc_id").asc)
-    val withCum = parts.withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+    // materialized once: both the output rows and the offsets frame
+    // read this (without it the offsets branch re-derives the whole
+    // score+cumsum chain — at 100 TB this is a persisted artifact)
+    val withCum = parts
+      .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .cache()
     // offsets: one row per range partition; the tiny frame is the
     // only place a global-ordered window runs
     val offsets = withCum

@@ -378,6 +378,28 @@ class PlanPropertiesSpec extends AnyFunSuite {
         s"keys=${scans.flatMap(_.metrics.keys).mkString(",")}")
   }
 
+  test("round-7 batch: rank pushdown, no cartesian pairs, bounded global windows") {
+    // q154: both rank-1 windows run as WindowGroupLimit per-partition
+    // top-1 heaps before the exchange — never a full stratum sort
+    val p154 = plan("q154_preference_pairs")
+    assert(p154.contains("WindowGroupLimit"), "q154 rank-1 pushes down")
+    assert(!p154.contains("CartesianProduct"))
+    // q159: candidate generation is a key join on prefix shingles —
+    // an exact SSJ must never fall back to a cross product
+    val p159 = plan("q159_prefix_filter_join")
+    assert(!p159.contains("CartesianProduct"), "q159 no cross product")
+    // q164: the ONLY single-partition exchange is the P-row offsets
+    // frame; the corpus-wide cumsum runs partitioned
+    val p164 = plan("q164_token_budget")
+    val nSingle = "Exchange SinglePartition".r.findAllIn(p164).length
+    assert(nSingle <= 1, s"q164 has $nSingle single-partition exchanges")
+    assert(p164.contains("InMemoryTableScan") ||
+      p164.contains("TableCacheQueryStage"),
+      "q164 cumsum frame is materialized once and reused")
+    // q155/q162: membership/closure joins stay keyed
+    assert(!plan("q155_ngram_novelty").contains("CartesianProduct"))
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
