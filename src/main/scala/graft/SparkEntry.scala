@@ -525,6 +525,8 @@ object SparkEntry {
     "q163_compaction" -> ((s, d) => io.Compaction.compactedRollup(s, d)),
     // Best-B-tokens snapshot via the distributed global cumsum.
     "q164_token_budget" -> ((s, d) => Sampling.tokenBudgetSnapshot(s, d)),
+    // Text-LSH ∪ embedding near-dup edges → one CC closure.
+    "q165_multisignal_clusters" -> ((s, d) => Dedup.multiSignalClusters(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3738,6 +3740,59 @@ object SparkEntry {
                FROM qq)
          SELECT doc_id, q, n_tokens, cum_tokens
          FROM c WHERE cum_tokens - n_tokens < 100000""",
+    // q165: the q21 Jaccard edge chain ∪ the q26 sign-LSH embedding
+    // edge chain, one recursive closure over the union graph.
+    "q165_multisignal_clusters" -> {
+      val pairCos = cosSql("e1.embedding", "e2.embedding")
+      s"""WITH RECURSIVE $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         ted AS (SELECT doc_a, doc_b FROM pr
+                 WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                   >= 0.05),
+         pl AS (SELECT list(embedding ORDER BY vec_id) AS planes
+                FROM embeddings WHERE vec_id BETWEEN 100 AND 115),
+         v AS (SELECT vec_id, embedding FROM embeddings),
+         bands AS (SELECT v.vec_id, sb.b AS band,
+                 array_to_string(list_transform(
+                   [pl.planes[sb.b * 4 + 1], pl.planes[sb.b * 4 + 2],
+                    pl.planes[sb.b * 4 + 3], pl.planes[sb.b * 4 + 4]], p ->
+                   CASE WHEN list_sum(list_transform(
+                          list_zip(p, v.embedding),
+                          z -> z[1]::DOUBLE * z[2]::DOUBLE)) >= 0
+                        THEN '1' ELSE '0' END), '') AS code
+               FROM v, pl, (SELECT unnest(range(4)) AS b) sb),
+         cp AS (SELECT DISTINCT b1.vec_id AS vec_a, b2.vec_id AS vec_b
+                FROM bands b1 JOIN bands b2
+                  ON b1.band = b2.band AND b1.code = b2.code
+                  AND b1.vec_id < b2.vec_id),
+         eed AS (SELECT cp.vec_a AS doc_a, cp.vec_b AS doc_b
+                 FROM cp JOIN v e1 ON cp.vec_a = e1.vec_id
+                        JOIN v e2 ON cp.vec_b = e2.vec_id
+                 WHERE $pairCos > 0.4),
+         alln AS (SELECT doc_id FROM d WHERE len(sh) > 0
+                  UNION SELECT vec_id FROM embeddings),
+         alle AS (SELECT doc_a, doc_b FROM ted
+                  UNION SELECT doc_a, doc_b FROM eed),
+         sym2 AS (SELECT doc_a AS a, doc_b AS b FROM alle
+                  UNION SELECT doc_b, doc_a FROM alle),
+         reach2(a, b) AS (
+           SELECT doc_id, doc_id FROM alln
+           UNION
+           SELECT r.a, s2.b FROM reach2 r JOIN sym2 s2 ON r.b = s2.a),
+         lab2 AS (SELECT a AS doc_id, min(b) AS cluster_id
+                  FROM reach2 GROUP BY a),
+         sz2 AS (SELECT cluster_id, count(*) AS cluster_size
+                 FROM lab2 GROUP BY 1)
+         SELECT l.doc_id, l.cluster_id,
+           CAST(s2.cluster_size AS BIGINT) AS cluster_size
+         FROM lab2 l JOIN sz2 s2 USING (cluster_id)"""
+    },
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

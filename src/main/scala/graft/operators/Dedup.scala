@@ -1024,6 +1024,47 @@ object Dedup {
       )
   }
 
+  /** q165: multi-signal dedup clusters — the production dedup shape:
+    * surface-form edges (the q21 shingle-Jaccard pairs ≥ 0.05, the
+    * cached derive-once artifact) UNIONed with semantic edges (the
+    * q26 banded sign-LSH embedding near-dups, cosine > 0.4), one
+    * transitive closure over the combined graph. Text near-dups that
+    * embed differently and paraphrases that share no shingles both
+    * land in the same cluster — either signal alone misses one of
+    * the two.
+    *
+    * Scale: both edge generators keep their audited banded
+    * topologies; the union adds nothing but a concat of two pair
+    * tables; the closure is the same O(log d) pointer-doubling CC
+    * that clusters q72. Nodes = shingled docs ∪ embedded ids.
+    */
+  def multiSignalClusters(spark: SparkSession, dir: String): DataFrame = {
+    val textEdges = ngramJaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val embEdges = Similarity
+      .embeddingNearDupPairs(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val edges = textEdges.unionByName(embEdges).distinct()
+    val nodes = docShingles(spark, dir)
+      .select(col("doc_id"))
+      .unionByName(
+        Tables.embeddings(spark, dir).select(col("vec_id").as("doc_id")))
+      .distinct()
+    val labels = ConnectedComponents.run(
+      nodes.select(col("doc_id").as("id")),
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val sizes = labels
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes, "label")
+      .select(
+        col("id").as("doc_id"),
+        col("label").as("cluster_id"),
+        col("cluster_size")
+      )
+  }
+
   /** q159: EXACT set-similarity self-join with prefix filtering
     * (PPJoin's candidate-pruning principle — Xiao et al., "Efficient
     * Similarity Joins for Near Duplicate Detection", WWW 2008 §3):

@@ -227,6 +227,23 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(p8 == naive, "two-level cumsum == naive global window")
   }
 
+  test("q165 union graph only merges, never splits, the text-only clusters") {
+    val multi = Dedup.multiSignalClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val textOnly = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    // same text-cluster ⇒ same multi-cluster (extra edges only merge)
+    textOnly.groupBy(_._2).values.foreach { members =>
+      val multiLabels = members.map(m => multi(m._1)).distinct
+      assert(multiLabels.length == 1, "text cluster split by union closure")
+    }
+    // every embedding near-dup pair is co-clustered
+    Similarity.embeddingNearDupPairs(spark, dir).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(multi(a) == multi(b), s"embedding pair ($a,$b) not co-clustered")
+    }
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
