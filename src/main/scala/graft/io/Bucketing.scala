@@ -41,11 +41,6 @@ object Bucketing {
   ): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** Tables already laid out for this (pid, sfDir) — writing the
-    * bucketed lake is a one-time cost per process, like a real
-    * warehouse's ETL step; repeated queries (the Bench loop) read it.
-    */
-  private val laidOut = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** q152: the recurring orders⋈lineitem join off a BUCKETED lake —
     * the layout decision that matters most at 100 TB: both fact
@@ -62,17 +57,8 @@ object Bucketing {
     */
   def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
     val h = math.abs(dir.hashCode.toLong)
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-buckets-${ProcessHandle.current().pid()}-$h")
     val (ot, lt) = (s"graft_orders_b$h", s"graft_lineitem_b$h")
-    if (laidOut.add(base.getAbsolutePath)) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(base)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(base)))
+    LayoutOnce.ensure("graft-buckets", dir) { base =>
       // repartition(8, okey) uses the same hash spec as the bucket
       // layout, so every bucket lands in exactly ONE file — which is
       // what lets the scan report itself sorted and drop the SMJ's
@@ -88,7 +74,7 @@ object Bucketing {
             col("l_extendedprice"), col("l_discount"))
           .repartition(8, col("okey")),
         lt, s"$base/lineitem", "okey", 8)
-    }
+    }: Unit
     spark.table(lt)
       .hint("merge")
       .join(spark.table(ot), "okey")

@@ -13,14 +13,6 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  private val laidOut =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(rm))
-    f.delete(); ()
-  }
-
   private def parquetFiles(dir: java.io.File): Array[java.io.File] =
     Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -35,15 +27,9 @@ object Compaction {
       nSmall: Int = 64,
       targetBytes: Long = 4L << 20
   ): (String, String) = {
-    val h = math.abs(dir.hashCode.toLong)
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-compact-${ProcessHandle.current().pid()}-$h")
-    val small = new java.io.File(base, "small")
-    val compact = new java.io.File(base, "compact")
-    if (laidOut.add(base.getAbsolutePath)) {
-      rm(base)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(base)))
+    val base = LayoutOnce.ensure("graft-compact", dir) { b =>
+      val small = new java.io.File(b, "small")
+      val compact = new java.io.File(b, "compact")
       // the "bad" layout: 64 shards of a table that fits in a few MB
       graft.Tables
         .events(spark, dir)
@@ -63,16 +49,19 @@ object Compaction {
         .mode(SaveMode.Overwrite)
         .parquet(compact.getAbsolutePath)
     }
-    (small.getAbsolutePath, compact.getAbsolutePath)
+    (new java.io.File(base, "small").getAbsolutePath,
+      new java.io.File(base, "compact").getAbsolutePath)
   }
 
-  /** File counts before/after for the spec — (smallFiles,
-    * compactFiles, compactBytes).
+  /** Layout facts for the spec — (smallFiles, compactFiles,
+    * smallBytes): the engine sizes the compacted file count from the
+    * SMALL layout's bytes, so the spec must derive its expectation
+    * from the same total.
     */
   def layoutStats(spark: SparkSession, dir: String): (Int, Int, Long) = {
     val (s, c) = compactedEventsLake(spark, dir)
-    val cf = parquetFiles(new java.io.File(c))
-    (parquetFiles(new java.io.File(s)).length, cf.length, cf.map(_.length()).sum)
+    val sf = parquetFiles(new java.io.File(s))
+    (sf.length, parquetFiles(new java.io.File(c)).length, sf.map(_.length()).sum)
   }
 
   /** q163: a per-type rollup READ OFF THE COMPACTED LAKE — the

@@ -14,29 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object PartitionedLake {
 
-  /** Lakes already laid out by this process — writing is a one-time
-    * ETL cost (the q152 bucketed-lake convention); repeated queries
+  /** Write the events table date-partitioned under a per-(process,
+    * sf) temp path — a one-time ETL cost per process (the q152
+    * bucketed-lake convention, via [[LayoutOnce]]); repeated queries
     * (the Bench loop) read the layout.
     */
-  private val laidOut =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Write the events table date-partitioned under a per-(process,
-    * sf) temp path with shutdown-hook cleanup; idempotent per
-    * process.
-    */
-  def eventsByDay(spark: SparkSession, dir: String): String = {
-    val h = math.abs(dir.hashCode.toLong)
-    val base = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-datelake-${ProcessHandle.current().pid()}-$h")
-    if (laidOut.add(base.getAbsolutePath)) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(base)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(base)))
+  def eventsByDay(spark: SparkSession, dir: String): String =
+    LayoutOnce.ensure("graft-datelake", dir) { base =>
       graft.Tables
         .events(spark, dir)
         .withColumn("event_date", to_date(col("ts")))
@@ -48,9 +32,7 @@ object PartitionedLake {
         .mode(SaveMode.Overwrite)
         .partitionBy("event_date")
         .parquet(base.getAbsolutePath)
-    }
-    base.getAbsolutePath
-  }
+    }.getAbsolutePath
 
   /** q153: a one-week rollup off the DATE-PARTITIONED lake — the
     * layout decision that complements q152's bucketing: the

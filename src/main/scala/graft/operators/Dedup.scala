@@ -999,6 +999,10 @@ object Dedup {
         ).as("g")
       )
       .select(col("doc_id"), col("bucket"), hash60(col("g")).as("gk"))
+      // both split branches read this — cache the slim (doc, bucket,
+      // 60-bit key) frame so tokenize+explode+hash runs once, not
+      // once per branch
+      .cache()
     val train = grams
       .filter(col("bucket") < 80)
       .select(col("gk"))

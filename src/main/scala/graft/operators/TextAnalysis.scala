@@ -1528,6 +1528,9 @@ object TextAnalysis {
     val toks = Tables
       .documents(spark, dir)
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
+      // the vocab build and the coverage probe both read this —
+      // tokenize once, not once per consumer
+      .cache()
     val vocab = toks
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
