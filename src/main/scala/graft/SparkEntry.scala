@@ -527,6 +527,10 @@ object SparkEntry {
     "q164_token_budget" -> ((s, d) => Sampling.tokenBudgetSnapshot(s, d)),
     // Text-LSH ∪ embedding near-dup edges → one CC closure.
     "q165_multisignal_clusters" -> ((s, d) => Dedup.multiSignalClusters(s, d)),
+    // Which sources copy from which: q143 pairs by source pair.
+    "q166_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(s, d)),
+    // Cheap quality score vs LM perplexity, fixed-width bins.
+    "q167_quality_calibration" -> ((s, d) => TextAnalysis.qualityPplCalibration(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3793,6 +3797,58 @@ object SparkEntry {
            CAST(s2.cluster_size AS BIGINT) AS cluster_size
          FROM lab2 l JOIN sz2 s2 USING (cluster_id)"""
     },
+    // q166: the q143 directed-containment chain grouped by the
+    // (contained-source, containing-source) pair.
+    "q166_source_overlap" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter, any_value(a.n_sh) AS n_src
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
+               GROUP BY 1, 2),
+         c AS (SELECT doc_a, doc_b,
+                 round(inter::DOUBLE / n_src, 6) AS containment,
+                 inter::DOUBLE / n_src >= 0.8 AS contained
+               FROM p WHERE inter::DOUBLE / n_src >= 0.5)
+         SELECT da.source AS source_a, db.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(containment), 6) AS avg_containment,
+           CAST(sum(CASE WHEN contained THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contained
+         FROM c JOIN documents da ON c.doc_a = da.doc_id
+                JOIN documents db ON c.doc_b = db.doc_id
+         GROUP BY 1, 2""",
+    // q167: the q15 quality formula and the q127 LM chain joined,
+    // fixed-width bins (never corpus deciles).
+    "q167_quality_calibration" ->
+      s"""WITH $trigramLmCtes,
+         qq AS (SELECT doc_id,
+             round(0.5 * least(n_toks / 200.0, 1.0)
+                 + 0.4 * least(stop_raw * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
+           FROM (SELECT doc_id,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, w -> w IN
+                          ('the','a','an','and','or','of','to','in','is','it')
+                          ))::DOUBLE / len(toks) END AS stop_raw,
+                   len(toks)::DOUBLE AS n_toks,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text)
+                          - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END AS punct_frac
+                 FROM (SELECT doc_id, text,
+                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(text), '\\s+')
+                         END AS toks
+                       FROM documents) a) b),
+         j AS (SELECT qq.doc_id, qq.q, round(exp(sc.x), 6) AS ppl
+               FROM qq JOIN sc USING (doc_id))
+         SELECT CAST(least(floor(q * 10), 9) AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(q), 6) AS mean_q,
+           round(avg(ppl), 6) AS mean_ppl
+         FROM j GROUP BY 1""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -958,6 +958,34 @@ object Dedup {
       )
   }
 
+  /** q166: cross-source containment matrix — aggregate the q143
+    * directed containment pairs by (source of the contained doc,
+    * source of the containing doc): which corpus slices copy from
+    * which. The per-source curation view a corpus owner actually
+    * acts on (drop the mirror, keep the origin), where per-pair
+    * output is too fine to read.
+    *
+    * Scale: the pair table is the q143 banded artifact (bounded by
+    * true overlap, not corpus size); this adds two doc-keyed
+    * broadcast-able joins onto it and a 25-row aggregate.
+    */
+  def sourceOverlapMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    shingleContainment(spark, dir)
+      .join(
+        src.select(col("doc_id").as("doc_a"), col("source").as("source_a")),
+        Seq("doc_a"))
+      .join(
+        src.select(col("doc_id").as("doc_b"), col("source").as("source_b")),
+        Seq("doc_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("containment")), 6).as("avg_containment"),
+        sum(col("contained").cast("long")).as("n_contained")
+      )
+  }
+
   /** q155: test-set n-gram novelty — the memorization/contamination
     * audit of Lee et al. ("Deduplicating Training Data Makes
     * Language Models Better", ACL 2022 §6): for every TEST-split

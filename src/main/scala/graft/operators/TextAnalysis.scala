@@ -1592,6 +1592,31 @@ object TextAnalysis {
       )
   }
 
+  /** q167: quality-score ↔ perplexity calibration — does the cheap
+    * heuristic quality score (q15) actually predict the expensive
+    * trigram-LM perplexity (q127)? Documents land in fixed-width
+    * quality bins (floor(q·10), capped at 9 — fixed thresholds, NOT
+    * corpus deciles, so no corpus-wide ordered window exists at any
+    * scale) and each bin reports its count and mean perplexity. A
+    * non-monotone bin curve means the cheap gate disagrees with the
+    * LM and one of them is mis-calibrated for this corpus.
+    */
+  def qualityPplCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScores(spark, dir)
+      .select(col("doc_id"), round(col("quality"), 6).as("q"))
+    val p = trigramPerplexity(spark, dir).select(col("doc_id"), col("ppl"))
+    q.join(p, "doc_id")
+      .withColumn(
+        "bin",
+        least(floor(col("q") * 10), lit(9)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("q")), 6).as("mean_q"),
+        round(avg(col("ppl")), 6).as("mean_ppl")
+      )
+  }
+
   /** q161: CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", LREC 2020 §4.3): per language, split documents into

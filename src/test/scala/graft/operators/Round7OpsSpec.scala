@@ -251,6 +251,25 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 overlap matrix conserves the q143 pair count") {
+    val matrix = Dedup.sourceOverlapMatrix(spark, dir).collect()
+    matrix.foreach { r =>
+      assert(r.getAs[Long]("n_contained") <= r.getAs[Long]("n_pairs"))
+      val avg = r.getAs[Double]("avg_containment")
+      assert(avg >= 0.5 && avg <= 1.0, s"avg containment $avg")
+    }
+    val nPairs = Dedup.shingleContainment(spark, dir).count()
+    assert(matrix.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "matrix cells sum to the pair count")
+  }
+
+  test("q167 calibration bins partition the corpus") {
+    val out = TextAnalysis.qualityPplCalibration(spark, dir).collect()
+    assert(out.forall(r => (0 to 9).contains(r.getAs[Int]("bin"))))
+    val n = Tables.documents(spark, dir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == n, "bins cover every doc")
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
