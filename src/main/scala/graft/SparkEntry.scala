@@ -531,6 +531,10 @@ object SparkEntry {
     "q166_source_overlap" -> ((s, d) => Dedup.sourceOverlapMatrix(s, d)),
     // Cheap quality score vs LM perplexity, fixed-width bins.
     "q167_quality_calibration" -> ((s, d) => TextAnalysis.qualityPplCalibration(s, d)),
+    // KL(source ‖ corpus) over unigram token distributions.
+    "q168_source_kl" -> ((s, d) => TextAnalysis.sourceKlDrift(s, d)),
+    // Per-doc repeat counts materializing the UniMax allocation.
+    "q169_epoch_expansion" -> ((s, d) => Sampling.epochExpansion(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -955,6 +959,45 @@ object SparkEntry {
     * ranked `surv` CTE — shared by the q78 oracle and the composed
     * q130 manifest oracle.
     */
+  /** The q150 closed-form UniMax allocation as a WITH prefix ending
+    * in `al` (lang, n_chars, capped, alloc_chars, epochs) — shared
+    * by the q150 gate and the q169 epoch-expansion plan.
+    */
+  private val unimaxCtes: String =
+    """pl AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(floor(0.5 * sum(n_chars)) AS BIGINT)
+                   AS budget,
+                 CAST(count(*) AS BIGINT) AS n_langs FROM pl),
+         f AS (SELECT lang, n_chars, budget, n_langs,
+                 CAST(row_number() OVER
+                   (ORDER BY n_chars, lang) AS BIGINT) AS i,
+                 CAST(coalesce(sum(2 * n_chars) OVER
+                   (ORDER BY n_chars, lang
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS prefix
+               FROM pl CROSS JOIN tot),
+         g AS (SELECT *, CASE WHEN 2 * n_chars * (n_langs - i + 1) <
+                 budget - prefix THEN 1 ELSE 0 END AS flag FROM f),
+         h AS (SELECT *, min(flag) OVER
+                 (ORDER BY n_chars, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                 AS capped FROM g),
+         cs AS (SELECT CAST(coalesce(sum(CASE WHEN capped
+                   THEN 2 * n_chars ELSE 0 END), 0) AS BIGINT) AS capsum,
+                 CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS k
+               FROM h),
+         al AS (SELECT lang, n_chars, capped,
+           CASE WHEN capped THEN 2 * n_chars
+                ELSE CAST(floor((budget - capsum)::DOUBLE /
+                       (n_langs - k)) AS BIGINT) END AS alloc_chars,
+           round((CASE WHEN capped THEN 2 * n_chars
+                ELSE CAST(floor((budget - capsum)::DOUBLE /
+                       (n_langs - k)) AS BIGINT) END)::DOUBLE / n_chars,
+             6) AS epochs
+         FROM h CROSS JOIN cs)"""
+
   private val canonicalChainCtes: String =
     s"""$shinglesCte,
        e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
@@ -3417,39 +3460,8 @@ object SparkEntry {
     // the all-integer headroom test in (chars ASC, lang) order; the
     // equal share is floor'd so every column is engine-exact.
     "q150_unimax_mix" ->
-      """WITH pl AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars
-                     FROM documents GROUP BY 1),
-         tot AS (SELECT CAST(floor(0.5 * sum(n_chars)) AS BIGINT)
-                   AS budget,
-                 CAST(count(*) AS BIGINT) AS n_langs FROM pl),
-         f AS (SELECT lang, n_chars, budget, n_langs,
-                 CAST(row_number() OVER
-                   (ORDER BY n_chars, lang) AS BIGINT) AS i,
-                 CAST(coalesce(sum(2 * n_chars) OVER
-                   (ORDER BY n_chars, lang
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS BIGINT) AS prefix
-               FROM pl CROSS JOIN tot),
-         g AS (SELECT *, CASE WHEN 2 * n_chars * (n_langs - i + 1) <
-                 budget - prefix THEN 1 ELSE 0 END AS flag FROM f),
-         h AS (SELECT *, min(flag) OVER
-                 (ORDER BY n_chars, lang
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
-                 AS capped FROM g),
-         cs AS (SELECT CAST(coalesce(sum(CASE WHEN capped
-                   THEN 2 * n_chars ELSE 0 END), 0) AS BIGINT) AS capsum,
-                 CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
-                   AS k
-               FROM h)
-         SELECT lang, n_chars, capped,
-           CASE WHEN capped THEN 2 * n_chars
-                ELSE CAST(floor((budget - capsum)::DOUBLE /
-                       (n_langs - k)) AS BIGINT) END AS alloc_chars,
-           round((CASE WHEN capped THEN 2 * n_chars
-                ELSE CAST(floor((budget - capsum)::DOUBLE /
-                       (n_langs - k)) AS BIGINT) END)::DOUBLE / n_chars,
-             6) AS epochs
-         FROM h CROSS JOIN cs""",
+      s"""WITH $unimaxCtes
+         SELECT lang, n_chars, capped, alloc_chars, epochs FROM al""",
     // q151: both rankers rank ROUNDED scores with the doc_id
     // tiebreak (the q133 convention), and the fused score is a sum
     // of exact IEEE reciprocals of integer ranks — engine-exact.
@@ -3849,6 +3861,35 @@ object SparkEntry {
            round(avg(q), 6) AS mean_q,
            round(avg(ppl), 6) AS mean_ppl
          FROM j GROUP BY 1""",
+    // q168: identical count-ratio KL sum; the word-total table joins
+    // in word-keyed on both sides.
+    "q168_source_kl" ->
+      """WITH tk AS (SELECT source, unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+           FROM documents),
+         sw AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
+         st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts
+                FROM sw GROUP BY 1),
+         wt AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sw)
+         SELECT source, ts AS n_tokens,
+           round(sum((c::DOUBLE / ts) *
+             ln((c::DOUBLE / ts) / (cw::DOUBLE / n))), 6) AS kl
+         FROM sw JOIN st USING (source) JOIN wt USING (w) CROSS JOIN tot
+         GROUP BY source, ts""",
+    // q169: the q150 allocation CTE joined per doc; the fractional
+    // epoch becomes a deterministic md5-hash Bernoulli in exact ppm.
+    "q169_epoch_expansion" ->
+      s"""WITH $unimaxCtes
+         SELECT d.doc_id, d.lang, al.epochs,
+           CAST(floor(al.epochs) AS BIGINT) +
+             CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))
+                    ::BIGINT % 1000000 <
+                  CAST(round((al.epochs - floor(al.epochs)) * 1000000)
+                    AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_repeats
+         FROM documents d JOIN al USING (lang)""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

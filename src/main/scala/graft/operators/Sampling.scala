@@ -628,6 +628,41 @@ object Sampling {
     small.unionByName(capped)
   }
 
+  /** q169: epoch-expansion plan — materialize the q150 UniMax
+    * allocation as a PER-DOCUMENT repeat count: every doc repeats
+    * ⌊e⌋ times plus one more iff its id-hash lands under the
+    * fractional part (a deterministic Bernoulli, the same
+    * integer-ppm hash-threshold trick as the q132 temperature mix).
+    * Summed over a language, repeats ≈ e·n_docs — the exact
+    * materialized sampling schedule a trainer's data loader
+    * replays, shuffle-free and reproducible across engines and
+    * partitionings.
+    *
+    * Scale: the allocation is a 5-row broadcast; the expansion is a
+    * pure map over the corpus scan.
+    */
+  def epochExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val alloc = unimaxAllocation(spark, dir)
+      .select(col("lang"), col("epochs"))
+    val thr = round((col("epochs") - floor(col("epochs"))) * 1000000)
+      .cast("long")
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(alloc), "lang")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("epochs"),
+        (floor(col("epochs")).cast("long") +
+          when(
+            pmod(graft.functions.TextFunctions.hash60(col("doc_id")),
+              lit(1000000L)) < thr,
+            1L
+          ).otherwise(0L)).as("n_repeats")
+      )
+  }
+
   /** q162: duplication-aware sampling weights — the count-based
     * down-weighting a pretraining sampler applies instead of (or on
     * top of) hard dedup: every document in a near-dup cluster of

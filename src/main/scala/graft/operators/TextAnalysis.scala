@@ -1617,6 +1617,46 @@ object TextAnalysis {
       )
   }
 
+  /** q168: per-source distribution drift — KL(source ‖ corpus) over
+    * the unigram token distribution: how far each source's language
+    * deviates from the corpus average. The snapshot-over-snapshot /
+    * source-mix health probe: a source whose KL jumps between crawls
+    * changed its content mix (template flood, spam injection, scope
+    * drift) before any human reads a sample.
+    *
+    * Scale: ONE token pass groups to (source, word) counts; corpus
+    * word totals re-aggregate those counts (no second scan); the
+    * word-total table joins back word-keyed and the KL sum is a
+    * per-source partial aggregate. Every distribution lives as
+    * counts, never materialized as a dense vector.
+    */
+  def sourceKlDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sw = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val st = sw.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val wt = sw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val tot = sw.agg(sum(col("c")).as("n"))
+    sw.join(st, Seq("source"))
+      .join(wt, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("ts"))
+      .agg(
+        round(
+          sum(
+            (col("c").cast("double") / col("ts")) *
+              log(
+                (col("c").cast("double") / col("ts")) /
+                  (col("cw").cast("double") / col("n")))),
+          6
+        ).as("kl")
+      )
+      .select(col("source"), col("ts").as("n_tokens"), col("kl"))
+  }
+
   /** q161: CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data", LREC 2020 §4.3): per language, split documents into

@@ -270,6 +270,36 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_docs")).sum == n, "bins cover every doc")
   }
 
+  test("q168 KL drift is non-negative and token-conserving") {
+    val out = TextAnalysis.sourceKlDrift(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("kl") >= -1e-9,
+        s"KL negative for ${r.getAs[String]("source")}")
+    }
+    val total = Tables.documents(spark, dir)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .count()
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == total)
+  }
+
+  test("q169 expansion realizes the UniMax epochs in expectation") {
+    val out = Sampling.epochExpansion(spark, dir).collect()
+    val alloc = Sampling.unimaxAllocation(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("epochs")).toMap
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val e = alloc(lang)
+      val total = rs.map(_.getAs[Long]("n_repeats")).sum
+      val n = rs.length
+      assert(total >= math.floor(e).toLong * n && total <= math.ceil(e).toLong * n,
+        s"$lang repeats $total outside [${math.floor(e) * n}, ${math.ceil(e) * n}]")
+      // hash Bernoulli tracks the fractional part (loose 3-sigma-ish bound)
+      val frac = e - math.floor(e)
+      val extras = total - math.floor(e).toLong * n
+      assert(math.abs(extras - frac * n) <= math.max(10.0, 4 * math.sqrt(n.toDouble)),
+        s"$lang extras $extras vs expectation ${frac * n}")
+    }
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
