@@ -535,6 +535,10 @@ object SparkEntry {
     "q168_source_kl" -> ((s, d) => TextAnalysis.sourceKlDrift(s, d)),
     // Per-doc repeat counts materializing the UniMax allocation.
     "q169_epoch_expansion" -> ((s, d) => Sampling.epochExpansion(s, d)),
+    // Self-retrieval MRR@10: probe the BM25 index with own prefixes.
+    "q170_self_retrieval" -> ((s, d) => TextAnalysis.selfRetrievalMrr(s, d)),
+    // Join-blowup pre-flight: skew + exact self-join cardinality.
+    "q171_join_profile" -> ((s, d) => Relational.joinBlowupProfile(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3890,6 +3894,67 @@ object SparkEntry {
                     AS BIGINT)
                   THEN 1 ELSE 0 END AS n_repeats
          FROM documents d JOIN al USING (lang)""",
+    // q170: the q133 BM25 chain probed with each sample doc's 8
+    // rarest terms (df ASC, term ASC — the same rank both engines),
+    // self included; rr = 1/rank within the top-10, else 0.
+    "q170_self_retrieval" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+               THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+           FROM documents),
+         tf AS MATERIALIZED (
+           SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  avg(dl) AS avg_dl FROM dl),
+         dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         qall AS (SELECT doc_id AS q_id, unnest(list_distinct(
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\s+')
+                 END)) AS term
+               FROM documents WHERE doc_id % 250 = 0),
+         q AS (SELECT q_id, term FROM (
+                 SELECT qall.q_id, qall.term,
+                   row_number() OVER (PARTITION BY qall.q_id
+                     ORDER BY dft.df ASC, qall.term ASC) AS trk
+                 FROM qall JOIN dft ON dft.term = qall.term) t
+               WHERE trk <= 8),
+         sc AS (SELECT q.q_id, tf.doc_id,
+                  round(sum(ln((st.n_docs - dft.df + 0.5)
+                      / (dft.df + 0.5) + 1)
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avg_dl))),
+                    6) AS score
+                FROM q JOIN tf ON q.term = tf.term
+                JOIN dft ON dft.term = q.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN st
+                GROUP BY 1, 2),
+         rk AS (SELECT q_id, doc_id,
+                  row_number() OVER (PARTITION BY q_id
+                    ORDER BY score DESC, doc_id ASC) AS rank
+                FROM sc),
+         self AS (SELECT q_id, rank FROM rk
+                  WHERE rank <= 10 AND doc_id = q_id),
+         qd AS (SELECT DISTINCT q_id FROM q)
+         SELECT qd.q_id,
+           CAST(coalesce(self.rank, 0) AS INTEGER) AS self_rank,
+           round(CASE WHEN self.rank IS NOT NULL
+                      THEN 1.0 / self.rank ELSE 0.0 END, 6) AS rr
+         FROM qd LEFT JOIN self USING (q_id)""",
+    // q171: per-key count profile of the join column; the self-join
+    // cardinality is the exact sum of squared counts.
+    "q171_join_profile" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem
+                    GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_per_key,
+           round(avg(c), 6) AS avg_per_key,
+           round(max(c) / avg(c), 6) AS skew_factor,
+           CAST(sum(c * c) AS BIGINT) AS est_selfjoin_rows
+         FROM c""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

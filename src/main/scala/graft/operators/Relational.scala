@@ -413,4 +413,28 @@ object Relational {
         first_value(col("o_orderkey")).over(w).as("top_order")
       )
   }
+
+  /** q171: join-blowup profile — the pre-flight check a 100 TB job
+    * runs BEFORE a self/fact-fact join: per-key frequency stats of
+    * the join column and the exact output cardinality the join WOULD
+    * produce (Σ c(k)² for a self-join), computed from the per-key
+    * count profile alone. A skew factor (max/mean) in the hundreds
+    * or an estimate orders of magnitude above the input is the
+    * signal to salt, pre-aggregate, or rethink — for the cost of one
+    * groupBy instead of the blowup itself.
+    */
+  def joinBlowupProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_per_key"),
+      round(avg(col("c")), 6).as("avg_per_key"),
+      round(max(col("c")) / avg(col("c")), 6).as("skew_factor"),
+      sum(col("c") * col("c")).as("est_selfjoin_rows")
+    )
+  }
 }

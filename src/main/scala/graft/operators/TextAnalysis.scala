@@ -292,6 +292,95 @@ object TextAnalysis {
       .select(col("q_id"), col("doc_id"), col("rank"), col("score"))
   }
 
+  /** q170: self-retrieval MRR@10 — the retrieval-quality eval every
+    * index build ships with: probe the BM25 index with each sample
+    * document's 8 RAREST terms (lowest document frequency, term-ASC
+    * ties — the terms that identify the doc, where a naive
+    * first-tokens prefix is all stopwords) and record the reciprocal
+    * rank at which the source document comes back (0 if outside the
+    * top 10). Probing an index with its own documents' distinctive
+    * terms is the standard zero-annotation sanity eval: over a
+    * natural corpus a healthy index self-retrieves at MRR ≈ 1
+    * (modulo true near-dups, which legitimately outrank), and a drop
+    * after an index rebuild is the regression alarm. Note the eval
+    * is as much about the CORPUS as the index: on template-generated
+    * text where every token is corpus-common (the synthetic test
+    * tables: min df ≈ 0.76·N), no unigram probe can identify a doc
+    * and MRR ≈ 0 is the faithful verdict — which is exactly the
+    * lexical-diversity alarm this probe exists to raise.
+    *
+    * Scale: the same cached tf index as q133/q151 (plan-identical,
+    * so the session shares one materialization); rarest-term
+    * selection is a per-query-doc WindowGroupLimit over the df join;
+    * the probe join is broadcast-query posting lookup; per-query
+    * rank is a WindowGroupLimit top-k.
+    */
+  def selfRetrievalMrr(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 10,
+      prefixLen: Int = 8
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .cache()
+    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dlen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avg_dl")
+    )
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wRare = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("df").asc, col("term").asc)
+    val queries = docs
+      .filter(col("doc_id") % 250 === 0)
+      .select(
+        col("doc_id").as("q_id"),
+        explode(array_distinct(tokens(col("text")))).as("term")
+      )
+      .join(dft, Seq("term"))
+      .withColumn("trk", row_number().over(wRare))
+      .filter(col("trk") <= prefixLen)
+      .select(col("q_id"), col("term"))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+        lit(1.0)
+    )
+    val tfNorm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl")))
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val self = broadcast(queries)
+      .join(tf, Seq("term"))
+      .join(dft, Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k && col("doc_id") === col("q_id"))
+      .select(col("q_id"), col("rank"))
+    queries
+      .select(col("q_id"))
+      .distinct()
+      .join(self, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("rank"), lit(0)).cast("int").as("self_rank"),
+        round(
+          when(col("rank").isNotNull, lit(1.0) / col("rank"))
+            .otherwise(lit(0.0)),
+          6
+        ).as("rr")
+      )
+  }
+
   /** q151: reciprocal-rank-fusion hybrid retrieval — the standard way
     * a curation pipeline combines two retrievers with incomparable
     * score scales (here BM25 and TF-IDF cosine; in production, BM25

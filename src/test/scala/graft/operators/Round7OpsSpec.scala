@@ -300,6 +300,30 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 self-retrieval ranks are consistent reciprocal ranks") {
+    val out = TextAnalysis.selfRetrievalMrr(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rank = r.getAs[Int]("self_rank")
+      val rr = r.getAs[Double]("rr")
+      assert(rank >= 0 && rank <= 10)
+      if (rank == 0) assert(rr == 0.0)
+      else assert(math.abs(rr - 1.0 / rank) < 1e-6)
+    }
+  }
+
+  test("q171 profile's estimated self-join cardinality equals the real join") {
+    val row = Relational.joinBlowupProfile(spark, dir).collect()(0)
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"))
+    val actual = li.join(
+      li.withColumnRenamed("l_partkey", "k2"),
+      col("l_partkey") === col("k2")).count()
+    assert(row.getAs[Long]("est_selfjoin_rows") == actual,
+      "sum of squared counts == real self-join output")
+    assert(row.getAs[Long]("n_rows") == Tables.lineitem(spark, dir).count())
+    assert(row.getAs[Double]("skew_factor") >= 1.0)
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
