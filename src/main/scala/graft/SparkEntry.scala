@@ -539,6 +539,12 @@ object SparkEntry {
     "q170_self_retrieval" -> ((s, d) => TextAnalysis.selfRetrievalMrr(s, d)),
     // Join-blowup pre-flight: skew + exact self-join cardinality.
     "q171_join_profile" -> ((s, d) => Relational.joinBlowupProfile(s, d)),
+    // Cluster-granular split: near-dups never straddle train/test.
+    "q172_cluster_split" -> ((s, d) => Sampling.clusterSafeSplit(s, d)),
+    // Quota-per-(lang, quality-bin) balanced eval set.
+    "q173_balanced_evalset" -> ((s, d) => Sampling.balancedEvalSet(s, d)),
+    // Algebraic slice-merged corpus stats == direct stats.
+    "q174_mergeable_stats" -> ((s, d) => Profile.mergeableStats(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -3955,6 +3961,63 @@ object SparkEntry {
            round(max(c) / avg(c), 6) AS skew_factor,
            CAST(sum(c * c) AS BIGINT) AS est_selfjoin_rows
          FROM c""",
+    // q172: the q72 closure labels hashed by cluster_id with the q49
+    // bucket thresholds.
+    "q172_cluster_split" ->
+      s"""WITH RECURSIVE $canonicalChainCtes
+         SELECT doc_id, cluster_id,
+           CAST(('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT
+             % 100 AS INTEGER) AS bucket,
+           CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))
+                  ::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))
+                  ::BIGINT % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+         FROM lab""",
+    // q173: the q15 quality bins and the q144 md5 rank order, quota
+    // 20 per (lang, bin) cell.
+    "q173_balanced_evalset" ->
+      """WITH qq AS (SELECT doc_id, lang,
+             round(0.5 * least(n_toks / 200.0, 1.0)
+                 + 0.4 * least(stop_raw * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
+           FROM (SELECT doc_id, lang,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, w -> w IN
+                          ('the','a','an','and','or','of','to','in','is','it')
+                          ))::DOUBLE / len(toks) END AS stop_raw,
+                   len(toks)::DOUBLE AS n_toks,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text)
+                          - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END AS punct_frac
+                 FROM (SELECT doc_id, lang, text,
+                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(text), '\s+')
+                         END AS toks
+                       FROM documents) a) b),
+         r AS (SELECT doc_id, lang,
+                 CAST(least(floor(q * 10), 9) AS INTEGER) AS bin,
+                 row_number() OVER (PARTITION BY lang,
+                     CAST(least(floor(q * 10), 9) AS INTEGER)
+                   ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC)
+                   AS cell_rank
+               FROM qq)
+         SELECT doc_id, lang, bin, CAST(cell_rank AS INTEGER) AS cell_rank
+         FROM r WHERE cell_rank <= 20""",
+    // q174: the DIRECT whole-corpus stats — the engine's slice-merge
+    // must be lossless to hash-match; moments via the same closed
+    // form over exact integer sums.
+    "q174_mergeable_stats" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars,
+           round(sum(n_chars * n_chars)::DOUBLE / count(*) -
+             (sum(n_chars)::DOUBLE / count(*)) *
+             (sum(n_chars)::DOUBLE / count(*)), 6) AS var_chars
+         FROM documents""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -98,4 +98,55 @@ object Profile {
         col("approx_rsd_10pct")
       )
   }
+
+  /** q174: mergeable snapshot statistics — corpus stats maintained
+    * as an ALGEBRAIC state (count, sum, sumsq, min, max) that two
+    * snapshot slices combine WITHOUT rescanning either: the engine
+    * computes per-slice states (here the doc_id-parity halves,
+    * standing in for yesterday's corpus + today's delta), merges
+    * them component-wise, and only then derives mean/variance from
+    * the merged components. The oracle computes the same stats
+    * directly over the whole corpus — the gate is the proof that the
+    * merge is lossless. At 100 TB this is the difference between
+    * maintaining corpus stats incrementally per ingest batch and
+    * re-aggregating the world nightly.
+    *
+    * All merged components are exact integer sums (n_chars fits
+    * sumsq in a long), so the derived moments are bit-identical to
+    * the direct computation.
+    */
+  def mergeableStats(spark: SparkSession, dir: String): DataFrame = {
+    val perSlice = Tables
+      .documents(spark, dir)
+      .groupBy((col("doc_id") % 2).as("slice"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("n_chars")).as("s"),
+        sum(col("n_chars") * col("n_chars")).as("sq"),
+        min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx")
+      )
+    perSlice
+      .agg(
+        sum(col("n")).as("n_docs"),
+        sum(col("s")).as("sum_chars"),
+        sum(col("sq")).as("sumsq_chars"),
+        min(col("mn")).as("min_chars"),
+        max(col("mx")).as("max_chars")
+      )
+      .select(
+        col("n_docs"),
+        col("sum_chars"),
+        col("min_chars"),
+        col("max_chars"),
+        round(col("sum_chars").cast("double") / col("n_docs"), 6)
+          .as("mean_chars"),
+        round(
+          col("sumsq_chars").cast("double") / col("n_docs") -
+            (col("sum_chars").cast("double") / col("n_docs")) *
+            (col("sum_chars").cast("double") / col("n_docs")),
+          6
+        ).as("var_chars")
+      )
+  }
 }

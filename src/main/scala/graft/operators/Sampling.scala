@@ -663,6 +663,70 @@ object Sampling {
       )
   }
 
+  /** q172: leakage-free train/valid/test split — the q49 hash split
+    * applied at NEAR-DUP-CLUSTER granularity: every member of a
+    * cluster hashes on its cluster_id, so a document and its
+    * near-duplicates can never straddle the train/test boundary.
+    * Splitting doc-wise in a corpus with near-dups (the q49 naive
+    * form) leaks ~duplicate test content into train and inflates
+    * eval; cluster-wise is the split a deduplicated training run
+    * actually needs.
+    *
+    * Scale: cluster labels are the q72 closure (cached pair artifact
+    * + O(log d) CC); the split itself is a pure map on the label.
+    */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.TextFunctions
+      .hash60(col("cluster_id")).mod(100).cast("int")
+    Dedup
+      .dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("bucket", bucket)
+      .withColumn(
+        "split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid")
+          .otherwise("test")
+      )
+  }
+
+  /** q173: balanced eval-set construction — a fixed per-cell quota
+    * (20 docs) from every (lang, quality-bin) stratum, members
+    * chosen by the deterministic md5 rank (the q144 source-cap
+    * convention). An eval set sampled uniformly inherits the
+    * corpus's skew (one lang dominating, quality extremes absent);
+    * quota-per-cell is how eval sets are actually balanced.
+    *
+    * Scale: one scoring pass, then a WindowGroupLimit rank ≤ quota
+    * per stratum — per-partition heaps, never a full sort.
+    */
+  def balancedEvalSet(
+      spark: SparkSession,
+      dir: String,
+      quota: Int = 20
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(col("doc_id"), col("quality")),
+        "doc_id")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        least(floor(round(col("quality"), 6) * 10), lit(9))
+          .cast("int").as("bin")
+      )
+    val w = Window
+      .partitionBy(col("lang"), col("bin"))
+      .orderBy(
+        md5(col("doc_id").cast("string")).asc,
+        col("doc_id").asc)
+    scored
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= quota)
+  }
+
   /** q162: duplication-aware sampling weights — the count-based
     * down-weighting a pretraining sampler applies instead of (or on
     * top of) hard dedup: every document in a near-dup cluster of

@@ -324,6 +324,39 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(row.getAs[Double]("skew_factor") >= 1.0)
   }
 
+  test("q172 split never separates near-duplicates") {
+    val split = Sampling.clusterSafeSplit(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // every q21 near-dup pair lands in ONE split — the leakage-free
+    // property the doc-wise q49 split cannot give
+    Dedup.ngramJaccardPairs(spark, dir).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(split(a) == split(b), s"pair ($a,$b) straddles splits")
+    }
+  }
+
+  test("q173 eval set honors the per-cell quota") {
+    val rows = Sampling.balancedEvalSet(spark, dir).collect()
+    rows.groupBy(r => (r.getAs[String]("lang"), r.getAs[Int]("bin")))
+      .foreach { case (cell, rs) =>
+        assert(rs.length <= 20, s"cell $cell over quota")
+        val ranks = rs.map(_.getAs[Int]("cell_rank")).sorted.toList
+        assert(ranks == (1 to rs.length).toList, s"cell $cell ranks not dense")
+      }
+  }
+
+  test("q174 slice-merged stats equal direct aggregation") {
+    val merged = Profile.mergeableStats(spark, dir).collect()(0)
+    val direct = Tables.documents(spark, dir)
+      .agg(count(lit(1)), sum(col("n_chars")), min(col("n_chars")),
+        max(col("n_chars"))).collect()(0)
+    assert(merged.getAs[Long]("n_docs") == direct.getLong(0))
+    assert(merged.getAs[Long]("sum_chars") == direct.getLong(1))
+    assert(merged.getAs[Long]("min_chars") == direct.getLong(2))
+    assert(merged.getAs[Long]("max_chars") == direct.getLong(3))
+    assert(merged.getAs[Double]("var_chars") >= 0.0)
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
