@@ -545,6 +545,10 @@ object SparkEntry {
     "q173_balanced_evalset" -> ((s, d) => Sampling.balancedEvalSet(s, d)),
     // Algebraic slice-merged corpus stats == direct stats.
     "q174_mergeable_stats" -> ((s, d) => Profile.mergeableStats(s, d)),
+    // Per-source snapshot diff: stable/added/removed content hashes.
+    "q175_snapshot_diff" -> ((s, d) => Profile.snapshotDiff(s, d)),
+    // Quality mapped to its within-source percentile.
+    "q176_score_normalization" -> ((s, d) => Sampling.scoreNormalization(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4018,6 +4022,51 @@ object SparkEntry {
              (sum(n_chars)::DOUBLE / count(*)) *
              (sum(n_chars)::DOUBLE / count(*)), 6) AS var_chars
          FROM documents""",
+    // q175: identical parity sides, distinct (source, md5) pairs,
+    // full-outer presence flags.
+    "q175_snapshot_diff" ->
+      """WITH h AS (SELECT source, doc_id % 2 AS side, md5(text) AS h
+                    FROM documents),
+         o AS (SELECT DISTINCT source, h FROM h WHERE side = 0),
+         n AS (SELECT DISTINCT source, h FROM h WHERE side = 1),
+         j AS (SELECT coalesce(o.source, n.source) AS source,
+                 o.h AS oh, n.h AS nh
+               FROM o FULL OUTER JOIN n
+                 ON o.source = n.source AND o.h = n.h)
+         SELECT source,
+           CAST(sum(CASE WHEN oh IS NOT NULL AND nh IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_stable,
+           CAST(sum(CASE WHEN oh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN nh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+         FROM j GROUP BY 1""",
+    // q176: the q15 quality rounded to 6, percent_rank within source
+    // on (q ASC, doc_id ASC).
+    "q176_score_normalization" ->
+      """WITH qq AS (SELECT doc_id, source,
+             round(0.5 * least(n_toks / 200.0, 1.0)
+                 + 0.4 * least(stop_raw * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
+           FROM (SELECT doc_id, source,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, w -> w IN
+                          ('the','a','an','and','or','of','to','in','is','it')
+                          ))::DOUBLE / len(toks) END AS stop_raw,
+                   len(toks)::DOUBLE AS n_toks,
+                   CASE WHEN length(text) = 0 THEN 0.0
+                        ELSE (length(text)
+                          - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END AS punct_frac
+                 FROM (SELECT doc_id, source, text,
+                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                              ELSE regexp_split_to_array(trim(text), '\s+')
+                         END AS toks
+                       FROM documents) a) b)
+         SELECT doc_id, source, q,
+           round(percent_rank() OVER (PARTITION BY source
+             ORDER BY q ASC, doc_id ASC), 6) AS q_norm
+         FROM qq""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

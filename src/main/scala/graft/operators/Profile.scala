@@ -115,6 +115,44 @@ object Profile {
     * sumsq in a long), so the derived moments are bit-identical to
     * the direct computation.
     */
+  /** q175: snapshot diff report — per source, how much content two
+    * corpus snapshots share: distinct content hashes present in both
+    * (stable), only in the new one (added), only in the old one
+    * (removed). The doc_id-parity halves stand in for yesterday's
+    * crawl + today's; in production the two sides are two snapshot
+    * paths. The crawl-ops dashboard row that catches a source going
+    * stale (nothing added) or churning (everything replaced).
+    *
+    * Scale: both sides collapse to DISTINCT (source, hash) pairs at
+    * the scan (map-side partial), the diff is one full-outer
+    * hash-keyed join, and the report is a per-source aggregate of
+    * presence flags — content never travels, hashes do.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        (col("doc_id") % 2).as("side"),
+        md5(col("text")).as("h")
+      )
+    val old_ = h.filter(col("side") === 0)
+      .select(col("source"), col("h")).distinct()
+      .withColumn("in_old", lit(1))
+    val neu = h.filter(col("side") === 1)
+      .select(col("source"), col("h")).distinct()
+      .withColumn("in_new", lit(1))
+    old_
+      .join(neu, Seq("source", "h"), "full_outer")
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("in_old") === 1 && col("in_new") === 1, 1L)
+          .otherwise(0L)).as("n_stable"),
+        sum(when(col("in_old").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_new").isNull, 1L).otherwise(0L)).as("n_removed")
+      )
+  }
+
   def mergeableStats(spark: SparkSession, dir: String): DataFrame = {
     val perSlice = Tables
       .documents(spark, dir)

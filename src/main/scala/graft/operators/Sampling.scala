@@ -727,6 +727,35 @@ object Sampling {
       .filter(col("cell_rank") <= quota)
   }
 
+  /** q176: per-source rank normalization of quality scores — map
+    * each document's quality onto its PERCENTILE WITHIN ITS SOURCE
+    * (percent_rank, rounded-score order with doc_id ties). Raw
+    * quality scores are not comparable across sources (a mid-tier
+    * web doc and a mid-tier code doc score differently on the same
+    * heuristic); rank-normalizing per source is the standard fix
+    * before a single corpus-wide quality threshold is applied.
+    *
+    * Scale: one scoring pass and one source-partitioned window —
+    * no corpus-wide ordered window exists.
+    */
+  def scoreNormalization(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("q").asc, col("doc_id").asc)
+    docs
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(col("doc_id"), col("quality")),
+        "doc_id")
+      .select(
+        col("doc_id"),
+        col("source"),
+        round(col("quality"), 6).as("q")
+      )
+      .withColumn("q_norm", round(percent_rank().over(w), 6))
+  }
+
   /** q162: duplication-aware sampling weights — the count-based
     * down-weighting a pretraining sampler applies instead of (or on
     * top of) hard dedup: every document in a near-dup cluster of

@@ -357,6 +357,38 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(merged.getAs[Double]("var_chars") >= 0.0)
   }
 
+  test("q175 diff conserves each side's distinct hash count") {
+    import spark.implicits._
+    val out = Profile.snapshotDiff(spark, dir).collect()
+    val h = Tables.documents(spark, dir)
+      .select($"source", ($"doc_id" % 2).as("side"), md5($"text").as("h"))
+    val oldN = h.filter($"side" === 0).select("source", "h").distinct()
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val newN = h.filter($"side" === 1).select("source", "h").distinct()
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val s = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_stable") + r.getAs[Long]("n_removed")
+        == oldN.getOrElse(s, 0L), s"$s old side conserved")
+      assert(r.getAs[Long]("n_stable") + r.getAs[Long]("n_added")
+        == newN.getOrElse(s, 0L), s"$s new side conserved")
+    }
+  }
+
+  test("q176 normalized scores are monotone in raw scores within a source") {
+    val rows = Sampling.scoreNormalization(spark, dir).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(r =>
+        (r.getAs[Double]("q"), r.getAs[Long]("doc_id")))
+      val norms = sorted.map(_.getAs[Double]("q_norm"))
+      assert(norms.zip(norms.tail).forall { case (a, b) => a <= b },
+        s"$src q_norm not monotone")
+      assert(norms.head == 0.0 && norms.last <= 1.0)
+    }
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
