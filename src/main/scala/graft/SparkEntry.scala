@@ -549,6 +549,8 @@ object SparkEntry {
     "q175_snapshot_diff" -> ((s, d) => Profile.snapshotDiff(s, d)),
     // Quality mapped to its within-source percentile.
     "q176_score_normalization" -> ((s, d) => Sampling.scoreNormalization(s, d)),
+    // BM25 top-20 recall set reranked by exact cosine → top-10.
+    "q177_retrieve_rerank" -> ((s, d) => TextAnalysis.retrieveRerank(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -973,6 +975,64 @@ object SparkEntry {
     * ranked `surv` CTE — shared by the q78 oracle and the composed
     * q130 manifest oracle.
     */
+  /** The two-ranker retrieval chain (the q151/q177 shared frame) as
+    * a WITH prefix ending in `bm` (BM25 top-20 per query) and `coss`
+    * (cosine scores for every shared-term candidate pair).
+    */
+  private val hybridRetrievalCtes: String =
+    """toks AS (
+           SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+               THEN []::VARCHAR[]
+               ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+           FROM documents),
+         tf AS MATERIALIZED (
+           SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  avg(dl) AS avg_dl FROM dl),
+         dft AS MATERIALIZED (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         q AS (SELECT DISTINCT doc_id AS q_id, term FROM toks
+               WHERE doc_id % 250 = 0),
+         bmsc AS (SELECT q.q_id, tf.doc_id,
+                  round(sum(
+                    ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
+                    * tf.tf * 2.2
+                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avg_dl))),
+                    6) AS score
+                FROM q JOIN tf ON q.term = tf.term
+                  AND tf.doc_id <> q.q_id
+                JOIN dft ON dft.term = q.term
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN st
+                GROUP BY 1, 2),
+         bm AS (SELECT q_id, doc_id,
+                  CAST(bm25_rank AS INTEGER) AS bm25_rank
+                FROM (SELECT q_id, doc_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY score DESC, doc_id ASC) AS bm25_rank
+                      FROM bmsc) t
+                WHERE bm25_rank <= 20),
+         w AS MATERIALIZED (
+           SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((st.n_docs + 1) / (dft.df + 1)) + 1) AS w
+           FROM tf JOIN dft USING (term) CROSS JOIN st),
+         nrm AS MATERIALIZED (
+           SELECT doc_id, round(sqrt(sum(w * w)), 6) AS nrm
+           FROM w GROUP BY 1),
+         qw AS (SELECT w.doc_id AS q_id, w.term, w.w AS qwt,
+                  n.nrm AS q_nrm
+                FROM w JOIN nrm n USING (doc_id)
+                WHERE w.doc_id % 250 = 0),
+         cossc AS (SELECT qw.q_id, w.doc_id, qw.q_nrm,
+                  round(sum(qw.qwt * w.w), 6) AS dot
+                FROM qw JOIN w ON qw.term = w.term
+                  AND w.doc_id <> qw.q_id
+                GROUP BY 1, 2, 3),
+         coss AS (SELECT q_id, cossc.doc_id,
+                  round(dot / (q_nrm * nrm.nrm), 6) AS score
+                FROM cossc JOIN nrm ON nrm.doc_id = cossc.doc_id)"""
+
   /** The q150 closed-form UniMax allocation as a WITH prefix ending
     * in `al` (lang, n_chars, capped, alloc_chars, epochs) — shared
     * by the q150 gate and the q169 epoch-expansion plan.
@@ -3480,58 +3540,7 @@ object SparkEntry {
     // tiebreak (the q133 convention), and the fused score is a sum
     // of exact IEEE reciprocals of integer ranks — engine-exact.
     "q151_hybrid_rrf" ->
-      """WITH toks AS (
-           SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
-               THEN []::VARCHAR[]
-               ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
-           FROM documents),
-         tf AS MATERIALIZED (
-           SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                  avg(dl) AS avg_dl FROM dl),
-         dft AS MATERIALIZED (
-           SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         q AS (SELECT DISTINCT doc_id AS q_id, term FROM toks
-               WHERE doc_id % 250 = 0),
-         bmsc AS (SELECT q.q_id, tf.doc_id,
-                  round(sum(
-                    ln((st.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1)
-                    * tf.tf * 2.2
-                    / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avg_dl))),
-                    6) AS score
-                FROM q JOIN tf ON q.term = tf.term
-                  AND tf.doc_id <> q.q_id
-                JOIN dft ON dft.term = q.term
-                JOIN dl ON dl.doc_id = tf.doc_id
-                CROSS JOIN st
-                GROUP BY 1, 2),
-         bm AS (SELECT q_id, doc_id,
-                  CAST(bm25_rank AS INTEGER) AS bm25_rank
-                FROM (SELECT q_id, doc_id,
-                        row_number() OVER (PARTITION BY q_id
-                          ORDER BY score DESC, doc_id ASC) AS bm25_rank
-                      FROM bmsc) t
-                WHERE bm25_rank <= 20),
-         w AS MATERIALIZED (
-           SELECT tf.doc_id, tf.term,
-             tf.tf * (ln((st.n_docs + 1) / (dft.df + 1)) + 1) AS w
-           FROM tf JOIN dft USING (term) CROSS JOIN st),
-         nrm AS MATERIALIZED (
-           SELECT doc_id, round(sqrt(sum(w * w)), 6) AS nrm
-           FROM w GROUP BY 1),
-         qw AS (SELECT w.doc_id AS q_id, w.term, w.w AS qwt,
-                  n.nrm AS q_nrm
-                FROM w JOIN nrm n USING (doc_id)
-                WHERE w.doc_id % 250 = 0),
-         cossc AS (SELECT qw.q_id, w.doc_id, qw.q_nrm,
-                  round(sum(qw.qwt * w.w), 6) AS dot
-                FROM qw JOIN w ON qw.term = w.term
-                  AND w.doc_id <> qw.q_id
-                GROUP BY 1, 2, 3),
-         coss AS (SELECT q_id, cossc.doc_id,
-                  round(dot / (q_nrm * nrm.nrm), 6) AS score
-                FROM cossc JOIN nrm ON nrm.doc_id = cossc.doc_id),
+      s"""WITH $hybridRetrievalCtes,
          cosr AS (SELECT q_id, doc_id,
                   CAST(cos_rank AS INTEGER) AS cos_rank
                 FROM (SELECT q_id, doc_id,
@@ -4067,6 +4076,20 @@ object SparkEntry {
            round(percent_rank() OVER (PARTITION BY source
              ORDER BY q ASC, doc_id ASC), 6) AS q_norm
          FROM qq""",
+    // q177: the shared retrieval chain's BM25 top-20 joined to its
+    // own cosine scores, reranked (cos DESC, doc_id) to the top-10.
+    "q177_retrieve_rerank" ->
+      s"""WITH $hybridRetrievalCtes,
+         rc AS (SELECT bm.q_id, bm.doc_id, bm.bm25_rank,
+                  coss.score AS cos_score
+                FROM bm JOIN coss
+                  ON bm.q_id = coss.q_id AND bm.doc_id = coss.doc_id)
+         SELECT q_id, doc_id, CAST(rerank AS INTEGER) AS rerank,
+           cos_score, bm25_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos_score DESC, doc_id ASC) AS rerank
+               FROM rc) t
+         WHERE rerank <= 10""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -407,6 +407,56 @@ object TextAnalysis {
       kRank: Int = 20,
       rrfC: Int = 60
   ): DataFrame = {
+    val scored = retrievalScored(spark, dir)
+    def topRanks(scoreCol: Column, rankName: String): DataFrame = {
+      val w = Window
+        .partitionBy(col("q_id"))
+        .orderBy(scoreCol.desc, col("doc_id").asc)
+      scored
+        .withColumn(rankName, row_number().over(w))
+        .filter(col(rankName) <= kRank)
+        .select(col("q_id"), col("doc_id"), col(rankName))
+    }
+    val bm = topRanks(col("bm_score"), "bm25_rank")
+    val cos = topRanks(
+      round(col("dot") / (col("q_nrm") * col("nrm")), 6),
+      "cos_rank"
+    )
+
+    // fuse by rank; a doc missing from one list contributes 0 there
+    val wFuse = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    bm
+      .join(cos, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn(
+        "rrf",
+        round(
+          coalesce(lit(1.0) / (lit(rrfC) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfC) + col("cos_rank")), lit(0.0)),
+          6
+        )
+      )
+      .withColumn("rank", row_number().over(wFuse))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("doc_id"),
+        col("rank"),
+        col("rrf"),
+        col("bm25_rank"),
+        col("cos_rank")
+      )
+  }
+
+  /** The shared two-ranker candidate frame behind q151 and q177:
+    * one enriched posting index feeding one broadcast candidate join
+    * that aggregates BOTH the BM25 score and the cosine dot per
+    * (q_id, doc_id), with document norms joined in. Plan-identical
+    * across callers, so the session shares one cached
+    * materialization.
+    */
+  private def retrievalScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -464,45 +514,53 @@ object TextAnalysis {
       )
       .join(norms, Seq("doc_id"))
       .cache()
+    scored
+  }
 
-    def topRanks(scoreCol: Column, rankName: String): DataFrame = {
-      val w = Window
-        .partitionBy(col("q_id"))
-        .orderBy(scoreCol.desc, col("doc_id").asc)
-      scored
-        .withColumn(rankName, row_number().over(w))
-        .filter(col(rankName) <= kRank)
-        .select(col("q_id"), col("doc_id"), col(rankName))
-    }
-    val bm = topRanks(col("bm_score"), "bm25_rank")
-    val cos = topRanks(
-      round(col("dot") / (col("q_nrm") * col("nrm")), 6),
-      "cos_rank"
-    )
-
-    // fuse by rank; a doc missing from one list contributes 0 there
-    val wFuse = Window
+  /** q177: retrieve-then-rerank — the canonical two-stage serving
+    * shape: a cheap high-recall first stage (BM25 top-20) hands its
+    * candidate set to an expensive precise second stage (exact
+    * TF-IDF cosine; in production, a cross-encoder) that produces
+    * the final top-10 order. The point at scale: the expensive
+    * scorer touches ONLY the recall set — |Q|·20 rows — never the
+    * corpus.
+    *
+    * Both scores come off the same shared candidate frame as q151
+    * (plan-identical, one session materialization); the rerank is a
+    * join of the recall list against its own scores plus one
+    * |Q|·20-row window.
+    */
+  def retrieveRerank(
+      spark: SparkSession,
+      dir: String,
+      kRecall: Int = 20,
+      k: Int = 10
+  ): DataFrame = {
+    val scored = retrievalScored(spark, dir)
+    val wBm = Window
       .partitionBy(col("q_id"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-    bm
-      .join(cos, Seq("q_id", "doc_id"), "full_outer")
-      .withColumn(
-        "rrf",
-        round(
-          coalesce(lit(1.0) / (lit(rrfC) + col("bm25_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(rrfC) + col("cos_rank")), lit(0.0)),
-          6
-        )
-      )
-      .withColumn("rank", row_number().over(wFuse))
-      .filter(col("rank") <= k)
+      .orderBy(col("bm_score").desc, col("doc_id").asc)
+    val recall = scored
+      .withColumn("bm25_rank", row_number().over(wBm))
+      .filter(col("bm25_rank") <= kRecall)
       .select(
         col("q_id"),
         col("doc_id"),
-        col("rank"),
-        col("rrf"),
         col("bm25_rank"),
-        col("cos_rank")
+        round(col("dot") / (col("q_nrm") * col("nrm")), 6).as("cos_score")
+      )
+    val wRe = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_score").desc, col("doc_id").asc)
+    recall
+      .withColumn("rerank", row_number().over(wRe))
+      .filter(col("rerank") <= k)
+      .select(
+        col("q_id"),
+        col("doc_id"),
+        col("rerank"),
+        col("cos_score"),
+        col("bm25_rank")
       )
   }
 

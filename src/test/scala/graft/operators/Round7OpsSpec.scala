@@ -389,6 +389,22 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q177 rerank output is a cosine-reordering of the BM25 recall set") {
+    val out = TextAnalysis.retrieveRerank(spark, dir).collect()
+    out.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length <= 10, s"q$q over k")
+      // every reranked doc came from the top-20 recall stage
+      assert(rs.forall(_.getAs[Int]("bm25_rank") <= 20))
+      // rerank order follows cosine score (desc, doc_id ties)
+      val sorted = rs.sortBy(_.getAs[Int]("rerank"))
+      val keys = sorted.map(r =>
+        (-r.getAs[Double]("cos_score"), r.getAs[Long]("doc_id")))
+      assert(keys.zip(keys.tail).forall { case (a, b) =>
+        implicitly[Ordering[(Double, Long)]].lteq(a, b) },
+        s"q$q rerank not cosine-ordered")
+    }
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
