@@ -551,6 +551,8 @@ object SparkEntry {
     "q176_score_normalization" -> ((s, d) => Sampling.scoreNormalization(s, d)),
     // BM25 top-20 recall set reranked by exact cosine → top-10.
     "q177_retrieve_rerank" -> ((s, d) => TextAnalysis.retrieveRerank(s, d)),
+    // Adjacent-chunk positives + hash-picked cross-doc negatives.
+    "q178_contrastive_pairs" -> ((s, d) => TextAnalysis.contrastiveChunkPairs(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4090,6 +4092,31 @@ object SparkEntry {
                  ORDER BY cos_score DESC, doc_id ASC) AS rerank
                FROM rc) t
          WHERE rerank <= 10""",
+    // q178: the q85 chunk grid, lead() positives, and the identical
+    // md5 arithmetic picking each pair's negative document.
+    "q178_contrastive_pairs" ->
+      """WITH ch AS (SELECT doc_id, CAST(i + 1 AS INTEGER) AS chunk_idx,
+             substring(text, CAST(i * 200 + 1 AS INTEGER), 200) AS chunk
+           FROM (SELECT doc_id, text,
+                   unnest(range(((length(text) - 1) // 200) + 1)) AS i
+                 FROM documents WHERE length(text) > 0) t),
+         pos AS (SELECT doc_id, chunk_idx, chunk AS anchor,
+                   lead(chunk, 1) OVER (PARTITION BY doc_id
+                     ORDER BY chunk_idx) AS positive
+                 FROM ch),
+         p2 AS (SELECT * FROM pos WHERE positive IS NOT NULL),
+         fs AS (SELECT doc_id AS neg_doc_id, chunk AS negative
+                FROM ch WHERE chunk_idx = 1),
+         nd AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+         neg AS (SELECT p2.doc_id, p2.chunk_idx, p2.anchor, p2.positive,
+                   (('0x' || substr(md5(p2.doc_id::VARCHAR || '_' ||
+                       p2.chunk_idx::VARCHAR), 1, 15))::BIGINT
+                     + p2.doc_id + 1) % n_docs AS neg_doc_id
+                 FROM p2 CROSS JOIN nd)
+         SELECT neg.doc_id, chunk_idx, anchor, positive,
+           CAST(neg.neg_doc_id AS BIGINT) AS neg_doc_id, fs.negative
+         FROM neg JOIN fs USING (neg_doc_id)
+         WHERE neg.neg_doc_id <> neg.doc_id""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

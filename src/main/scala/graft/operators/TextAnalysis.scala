@@ -851,6 +851,63 @@ object TextAnalysis {
         expr(s"substring(text, chunk_idx0 * $width + 1, $width)").as("chunk")
       )
 
+  /** q178: contrastive chunk-pair generation — the data side of
+    * dense-retriever / contrastive pretraining (DPR's in-document
+    * positives, SimCSE's negatives): every pair of ADJACENT q85
+    * chunks in a document is an (anchor, positive) pair, and the
+    * negative is the first chunk of a deterministically hash-picked
+    * OTHER document (md5 arithmetic, so the pairing is reproducible
+    * across engines and partitionings — in production the negative
+    * comes from the q139 hard-negative miner instead of the uniform
+    * hash).
+    *
+    * Scale: positives are one lead() over a (doc, chunk_idx) window;
+    * the negative lookup is a key join against the per-doc
+    * first-chunk table. No sampling state, no collect.
+    */
+  def contrastiveChunkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docChunks(spark, dir).cache()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx").asc)
+    val pos = chunks
+      .withColumn("positive", lead(col("chunk"), 1).over(w))
+      .filter(col("positive").isNotNull)
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("chunk").as("anchor"),
+        col("positive")
+      )
+    // the hash addresses "some other doc" by id directly (doc_ids
+    // are dense 0..N-1 in these tables; with sparse ids this would
+    // be a dense-rank dimension table maintained at ingest) — no
+    // corpus-wide window, just a key join against first chunks
+    val firsts = chunks
+      .filter(col("chunk_idx") === 1)
+      .select(col("doc_id").as("neg_doc_id"), col("chunk").as("negative"))
+    val nDocs = Tables.documents(spark, dir)
+      .select((max(col("doc_id")) + 1).as("n_docs"))
+    pos
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "neg_doc_id",
+        pmod(
+          graft.functions.TextFunctions.hash60(
+            concat_ws("_", col("doc_id"), col("chunk_idx"))) +
+            col("doc_id") + 1,
+          col("n_docs"))
+      )
+      .join(firsts, Seq("neg_doc_id"))
+      .filter(col("neg_doc_id") =!= col("doc_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        col("anchor"),
+        col("positive"),
+        col("neg_doc_id"),
+        col("negative")
+      )
+  }
+
   /** q82: inverted index posting lists — for each retained token
     * (document frequency in [3, 80% of corpus]: drop hapax noise and
     * near-ubiquitous stopwords — the band is proportional so the

@@ -405,6 +405,24 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q178 pairs: positives are the next chunk, negatives from another doc") {
+    val chunks = TextAnalysis.docChunks(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx")) ->
+        r.getAs[String]("chunk")).toMap
+    val out = TextAnalysis.contrastiveChunkPairs(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val i = r.getAs[Int]("chunk_idx")
+      assert(r.getAs[String]("anchor") == chunks((d, i)))
+      assert(r.getAs[String]("positive") == chunks((d, i + 1)),
+        s"positive of ($d,$i) is not the next chunk")
+      val nd = r.getAs[Long]("neg_doc_id")
+      assert(nd != d, "negative comes from another document")
+      assert(r.getAs[String]("negative") == chunks((nd, 1)))
+    }
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
