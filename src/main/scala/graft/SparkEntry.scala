@@ -553,6 +553,8 @@ object SparkEntry {
     "q177_retrieve_rerank" -> ((s, d) => TextAnalysis.retrieveRerank(s, d)),
     // Adjacent-chunk positives + hash-picked cross-doc negatives.
     "q178_contrastive_pairs" -> ((s, d) => TextAnalysis.contrastiveChunkPairs(s, d)),
+    // Per-source near-dup redundancy: docs vs keep-one survivors.
+    "q179_source_dup_report" -> ((s, d) => Dedup.sourceDupReport(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4117,6 +4119,17 @@ object SparkEntry {
            CAST(neg.neg_doc_id AS BIGINT) AS neg_doc_id, fs.negative
          FROM neg JOIN fs USING (neg_doc_id)
          WHERE neg.neg_doc_id <> neg.doc_id""",
+    // q179: the q72 closure's min-id survivor flag aggregated per
+    // source.
+    "q179_source_dup_report" ->
+      s"""WITH RECURSIVE $canonicalChainCtes
+         SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lab.doc_id = lab.cluster_id
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           round(1.0 - sum(CASE WHEN lab.doc_id = lab.cluster_id
+             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS redundancy
+         FROM lab JOIN documents d2 USING (doc_id)
+         GROUP BY 1""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

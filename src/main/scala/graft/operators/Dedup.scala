@@ -1097,6 +1097,39 @@ object Dedup {
       )
   }
 
+  /** q179: per-source duplication report — for every source, how
+    * many docs sit in near-dup clusters, how many survive keep-one
+    * dedup (the min-id survivor convention), and the redundancy
+    * fraction. The "which sources are worth crawling" dashboard row:
+    * a source that is 60% redundant pays for itself at 40 cents on
+    * the dollar.
+    *
+    * Scale: the q72 closure labels (cached pair artifact + CC) plus
+    * one doc-keyed join and a per-source aggregate.
+    */
+  def sourceDupReport(spark: SparkSession, dir: String): DataFrame = {
+    val cl = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("survivor"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(cl, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("survivor").cast("long")).as("n_survivors")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_survivors"),
+        round(
+          lit(1.0) - col("n_survivors").cast("double") / col("n_docs"),
+          6
+        ).as("redundancy")
+      )
+  }
+
   /** q159: EXACT set-similarity self-join with prefix filtering
     * (PPJoin's candidate-pruning principle — Xiao et al., "Efficient
     * Similarity Joins for Near Duplicate Detection", WWW 2008 §3):

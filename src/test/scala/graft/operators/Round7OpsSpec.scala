@@ -423,6 +423,18 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q179 dup report conserves doc and survivor totals") {
+    val out = Dedup.sourceDupReport(spark, dir).collect()
+    val cl = Dedup.dedupClusters(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == cl.length)
+    assert(out.map(_.getAs[Long]("n_survivors")).sum ==
+      cl.count(_.getAs[Int]("survivor") == 1))
+    out.foreach { r =>
+      val red = r.getAs[Double]("redundancy")
+      assert(red >= 0.0 && red < 1.0, s"redundancy $red out of range")
+    }
+  }
+
   test("q158 next-event examples: one per event with >=3 predecessors") {
     val out = Events.nextEventExamples(spark, dir)
     val users = Tables.events(spark, dir).groupBy("user_id").count().collect()
