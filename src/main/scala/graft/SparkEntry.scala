@@ -555,6 +555,16 @@ object SparkEntry {
     "q178_contrastive_pairs" -> ((s, d) => TextAnalysis.contrastiveChunkPairs(s, d)),
     // Per-source near-dup redundancy: docs vs keep-one survivors.
     "q179_source_dup_report" -> ((s, d) => Dedup.sourceDupReport(s, d)),
+    // Trained logistic-regression quality gate (curated-vs-crawl):
+    // 6 full-batch GD rounds, one 5-sum reduction each; per-doc score.
+    "q180_lr_quality" -> ((s, d) => QualityLR.lrQualityGate(s, d)),
+    // Streaming MinHash-LSH admission gate: per-band min-doc state,
+    // suppressed iff any band bucket was claimed by an earlier doc.
+    "q181_stream_neardup" ->
+      ((s, d) => streaming.StreamNearDup.streamNearDupSuppress(s, d)),
+    // Mergeable per-source MinHash union sketch → pairwise source
+    // similarity from 8-long sketches, audited vs exact union Jaccard.
+    "q182_source_minhash" -> ((s, d) => Sketches.sourceMinhashSimilarity(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4130,6 +4140,110 @@ object SparkEntry {
              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS redundancy
          FROM lab JOIN documents d2 USING (doc_id)
          GROUP BY 1""",
+    // q180: the full 6-round GD replay as chained CTEs — identical
+    // tokenization (q142), features rounded to 6 BEFORE training,
+    // weights rounded to 6 after every round (absorbs summation-order
+    // drift), dot product in the same left-to-right order.
+    "q180_lr_quality" -> {
+      val rounds = (1 to 6)
+        .map { k =>
+          s"""p$k AS (SELECT f.y, f.f1, f.f2, f.f3, f.f4,
+             w.w0 AS a0, w.w1 AS a1, w.w2 AS a2, w.w3 AS a3, w.w4 AS a4,
+             1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3
+               + w.w4*f.f4))) AS p
+           FROM f, w${k - 1} w),
+         w$k AS (SELECT round(any_value(a0) + avg(y - p), 6) AS w0,
+             round(any_value(a1) + avg((y - p) * f1), 6) AS w1,
+             round(any_value(a2) + avg((y - p) * f2), 6) AS w2,
+             round(any_value(a3) + avg((y - p) * f3), 6) AS w3,
+             round(any_value(a4) + avg((y - p) * f4), 6) AS w4
+           FROM p$k)"""
+        }
+        .mkString(",\n         ")
+      s"""WITH t AS (SELECT doc_id,
+             CASE WHEN source = 'src0' THEN 1.0::DOUBLE
+                  ELSE 0.0::DOUBLE END AS y,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+         f AS (SELECT doc_id, y,
+             round(len(toks)::DOUBLE / 100.0, 6) AS f1,
+             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+               ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                    / len(toks) / 10.0 END, 6) AS f2,
+             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+               ELSE len(list_filter(toks, w -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it'],
+                      w)))::DOUBLE / len(toks) END, 6) AS f3,
+             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+               ELSE len(list_distinct(toks))::DOUBLE / len(toks) END, 6)
+               AS f4
+           FROM t),
+         w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+             0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4),
+         $rounds
+         SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+           round(1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2
+             + w.w3*f.f3 + w.w4*f.f4))), 6) AS score,
+           1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3
+             + w.w4*f.f4))) >= 0.5 AS pred_quality
+         FROM f, w6 w"""
+    },
+    // q181: batch statement of the stream's keep-first semantics —
+    // same q22 signature/band construction; suppressed iff any band
+    // bucket holds a smaller doc_id; band-less docs always kept.
+    "q181_stream_neardup" ->
+      s"""WITH $shinglesCte,
+         m AS (SELECT doc_id,
+                 list_transform(range(8), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT)))
+                 AS mh
+               FROM d WHERE len(sh) > 0),
+         bd AS (SELECT doc_id, t.j AS j,
+                  mh[t.j*2+1] || '_' || mh[t.j*2+2] AS bval
+                FROM m, range(4) t(j)),
+         mins AS (SELECT j, bval, min(doc_id) AS mn
+                  FROM bd GROUP BY 1, 2),
+         sup AS (SELECT bd.doc_id, bool_or(bd.doc_id > mins.mn) AS s
+                 FROM bd JOIN mins USING (j, bval) GROUP BY 1)
+         SELECT d0.doc_id, coalesce(sup.s, false) AS suppressed
+         FROM documents d0 LEFT JOIN sup ON d0.doc_id = sup.doc_id""",
+    // q182: identical seeded md5 minhash; per-source component-wise
+    // min; agreement fraction vs the exact distinct-shingle union
+    // Jaccard through the same inverted join.
+    "q182_source_minhash" ->
+      """WITH t AS (SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         sh AS (SELECT source,
+             unnest(list_distinct(list_transform(range(len(toks) - 2),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+               AS s
+           FROM t WHERE len(toks) >= 3),
+         sig AS (SELECT source, i.i AS i,
+             min(('0x' || substr(md5(i.i || ':' || s), 1, 15))::BIGINT)
+               AS h
+           FROM sh, range(8) i(i) GROUP BY 1, 2),
+         est AS (SELECT a.source AS src_a, b.source AS src_b,
+             round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)::DOUBLE / 8,
+               6) AS est_jaccard
+           FROM sig a JOIN sig b
+             ON a.i = b.i AND a.source < b.source
+           GROUP BY 1, 2),
+         su AS (SELECT DISTINCT source, s FROM sh),
+         sizes AS (SELECT source, count(*) AS n FROM su GROUP BY 1),
+         inter AS (SELECT x.source AS src_a, y.source AS src_b,
+             count(*) AS inter
+           FROM su x JOIN su y ON x.s = y.s AND x.source < y.source
+           GROUP BY 1, 2)
+         SELECT e.src_a, e.src_b, e.est_jaccard,
+           round(coalesce(i.inter, 0)::DOUBLE /
+             (na.n + nb.n - coalesce(i.inter, 0)), 6) AS jaccard
+         FROM est e
+         LEFT JOIN inter i USING (src_a, src_b)
+         JOIN sizes na ON na.source = e.src_a
+         JOIN sizes nb ON nb.source = e.src_b""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

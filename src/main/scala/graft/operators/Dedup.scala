@@ -121,7 +121,7 @@ object Dedup {
   /** 60-bit seeded hash of a string via md5 — portable across engines
     * (same construction in the DuckDB oracle).
     */
-  private def seededHash(seed: Int, s: Column): Column =
+  private[operators] def seededHash(seed: Int, s: Column): Column =
     conv(substring(md5(concat(lit(s"$seed:"), s)), 1, 15), 16, 10)
       .cast("long")
 

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed logistic-regression quality classifier — the
+  * curated-vs-crawl quality gate of the large LLM pipelines (GPT-3 /
+  * PaLM style: positives = a trusted source, negatives = the rest;
+  * every document is then scored by the trained model and the score
+  * drives sampling). The reference has no model training at all —
+  * this is part of the §7.8 LLM-pipeline extension surface, built
+  * Spark-first next to the naive-Bayes language classifier (q129)
+  * and the trigram-LM perplexity gate (q127).
+  *
+  * Scale design (the only LR topology that works at 100 TB):
+  *   - the feature frame is ONE corpus pass (zero-shuffle scalar
+  *     expressions per row), materialized once with an eager
+  *     `localCheckpoint` so the per-round gradient pass re-reads a
+  *     5-double row, not the text scan;
+  *   - each full-batch gradient-descent round is a single
+  *     partial-aggregated reduction: D+1 running sums per partition
+  *     (map-side combine), one D+1-double row crossing the wire —
+  *     the model (6 doubles) lives on the driver and enters the scan
+  *     as literals, exactly the broadcast-parameters shape of
+  *     parameter-server training collapsed to its degenerate
+  *     tiny-model case;
+  *   - nothing in the plan grows with iterations (weights are
+  *     literals, not lineage), and the per-round driver collect is
+  *     one row — the same bounded-collect contract as the BPE
+  *     trainer's per-round argmax (BpeTrain.scala).
+  *
+  * Determinism contract (what the DuckDB oracle replays round by
+  * round as chained CTEs):
+  *   - tokenization identical to the Gopher battery (q142): trim,
+  *     split on Unicode whitespace runs, empty text → empty list;
+  *   - features rounded to 6 decimals BEFORE training, so both
+  *     engines train on bit-identical inputs;
+  *   - weights rounded to 6 decimals after EVERY round (the k-means
+  *     centroid-rounding pattern), which absorbs summation-order
+  *     drift of the distributed gradient mean;
+  *   - dot products accumulate left-to-right in doubles; sigmoid is
+  *     1/(1+exp(−z)) in both engines.
+  *
+  * Reference tie-in: reference repo has only heuristic filters
+  * (transformer.py's empty-comment drop); the trained gate is the
+  * scale-path replacement.
+  */
+object QualityLR {
+
+  val LearningRate = 1.0
+  val Iters = 6
+
+  private val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** One corpus pass → (doc_id, y, f1..f4) with features rounded to
+    * 6 decimals. y = 1.0 for the curated source (`src0`), 0.0
+    * otherwise. Features: n_words/100, mean word length/10,
+    * stopword-token ratio, distinct-token ratio.
+    */
+  def features(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col("text")), "\\s+"))
+    val sw = array(Stopwords.map(lit): _*)
+    docs
+      .select(
+        col("doc_id"),
+        when(col("source") === "src0", 1.0).otherwise(0.0).as("y"),
+        toks.as("toks")
+      )
+      .select(
+        col("doc_id"),
+        col("y"),
+        round(size(col("toks")).cast("double") / 100.0, 6).as("f1"),
+        round(
+          when(size(col("toks")) === 0, 0.0).otherwise(
+            aggregate(col("toks"), lit(0.0), (acc, w) => acc + length(w).cast("double"))
+              / size(col("toks")) / 10.0
+          ),
+          6
+        ).as("f2"),
+        round(
+          when(size(col("toks")) === 0, 0.0).otherwise(
+            size(filter(col("toks"), w => array_contains(sw, w))).cast("double")
+              / size(col("toks"))
+          ),
+          6
+        ).as("f3"),
+        round(
+          when(size(col("toks")) === 0, 0.0).otherwise(
+            size(array_distinct(col("toks"))).cast("double") / size(col("toks"))
+          ),
+          6
+        ).as("f4")
+      )
+  }
+
+  /** z = w0 + w1·f1 + … accumulated left-to-right (the oracle writes
+    * the same expression order), p = 1/(1+exp(−z)).
+    */
+  private def prob(w: Array[Double]): Column = {
+    val z = lit(w(0)) + lit(w(1)) * col("f1") + lit(w(2)) * col("f2") +
+      lit(w(3)) * col("f3") + lit(w(4)) * col("f4")
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** `Iters` full-batch GD rounds from w = 0: one 5-sum aggregate per
+    * round (a single partially-aggregated row crosses the wire), the
+    * update applied and rounded on the driver. Returns the final
+    * weights.
+    */
+  def train(feats: DataFrame): Array[Double] = {
+    var w = Array.fill(5)(0.0)
+    for (_ <- 1 to Iters) {
+      val p = prob(w)
+      val r = col("y") - p
+      val g = feats
+        .agg(
+          avg(r).as("g0"),
+          avg(col("f1") * r).as("g1"),
+          avg(col("f2") * r).as("g2"),
+          avg(col("f3") * r).as("g3"),
+          avg(col("f4") * r).as("g4")
+        )
+        .head()
+      w = w.indices.map { j =>
+        BigDecimal(w(j) + LearningRate * g.getDouble(j))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+      }.toArray
+    }
+    w
+  }
+
+  /** q180: train the gate, then score every document with the final
+    * model: (doc_id, y, score, pred). The score frame is the
+    * sampling-weight input of a curation DAG; `pred` vs `y` is the
+    * self-audit (the q129 pattern).
+    */
+  def lrQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val feats = features(spark, dir).localCheckpoint(true)
+    val w = train(feats)
+    feats
+      .select(
+        col("doc_id"),
+        col("y").cast("bigint").as("label"),
+        round(prob(w), 6).as("score"),
+        (prob(w) >= 0.5).as("pred_quality")
+      )
+  }
+}

@@ -90,4 +90,85 @@ object Sketches {
       .agg(any_value(col("n")).as("exact_n"), min(col("cell_n")).as("cms_n"))
       .select(col("w").as("term"), col("exact_n"), col("cms_n"))
   }
+
+  /** q182: mergeable per-source MinHash union sketch + pairwise
+    * source-similarity estimate, audited against the exact union
+    * Jaccard.
+    *
+    * The per-source signature component i is `min` over every shingle
+    * of every document of that source — because min is associative
+    * and commutative, the signature of a source equals the
+    * component-wise min of its documents' signatures (and of its
+    * shards' signatures). That mergeability is the point: at 100 TB
+    * each shard/day/partition aggregates its own 8-long sketch, and
+    * cross-source (or cross-shard) similarity is estimated by
+    * comparing 8-double sketches — no pair join over documents ever
+    * runs. The estimate is the standard one-permutation agreement
+    * fraction P(min_a = min_b) = J(A,B).
+    *
+    * The exact-union audit (distinct shingles per source, inverted
+    * self-join — collision-linear like q21) is test-scale-only
+    * machinery to expose the sketch error; the sketch path alone is
+    * the 100 TB shape.
+    *
+    * Determinism: same portable seeded md5 60-bit hash as q22's
+    * signatures; min/count aggregates only — partitioning-invariant,
+    * exactly SQL-replayable.
+    */
+  def sourceMinhashSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val sh = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("s"))
+    // 8-component union sketch per source: one narrow pass, the
+    // shuffle carries 8 partially-aggregated mins per partition.
+    val sig = sh
+      .groupBy(col("source"))
+      .agg(
+        array((0 until Dedup.NumHashes).map { i =>
+          min(Dedup.seededHash(i, col("s")))
+        }: _*).as("sig")
+      )
+    val est = sig
+      .as("a")
+      .crossJoin(broadcast(sig.as("b")))
+      .filter(col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"),
+        col("b.source").as("src_b"),
+        round(
+          size(
+            filter(
+              zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+              v => v
+            )
+          ).cast("double") / Dedup.NumHashes,
+          6
+        ).as("est_jaccard")
+      )
+    // exact union Jaccard audit: distinct shingle sets per source,
+    // intersections via the inverted join (rows ∝ shared shingles).
+    val su = sh.distinct()
+    val sizes = su.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = su
+      .as("x")
+      .join(su.as("y"), Seq("s"))
+      .filter(col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(sizes.withColumnRenamed("source", "src_a").withColumnRenamed("n", "n_a")), Seq("src_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "src_b").withColumnRenamed("n", "n_b")), Seq("src_b"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("est_jaccard"),
+        round(
+          coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))),
+          6
+        ).as("jaccard")
+      )
+  }
 }

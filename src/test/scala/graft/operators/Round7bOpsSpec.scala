@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 additions: the trained LR quality gate (q180), streaming
+  * MinHash-LSH admission (q181), and the mergeable per-source MinHash
+  * union sketch (q182).
+  */
+class Round7bOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q180 LR training reduces log-loss below the zero model") {
+    val scored = QualityLR.lrQualityGate(spark, dir).cache()
+    // log-loss of the trained model must beat w = 0 (whose loss is
+    // ln 2 for every row) — the gradient rounds actually learned the
+    // class balance + whatever feature signal exists
+    val loss = scored
+      .select(
+        avg(
+          -(col("label") * log(greatest(col("score"), lit(1e-12))) +
+            (lit(1) - col("label")) *
+              log(greatest(lit(1) - col("score"), lit(1e-12))))
+        ).as("ll")
+      )
+      .head()
+      .getDouble(0)
+    assert(loss < math.log(2.0))
+    // scores are probabilities
+    val bad = scored.filter(col("score") < 0 || col("score") > 1).count()
+    assert(bad === 0L)
+  }
+
+  test("q180 training is deterministic across reruns and layouts") {
+    val a = QualityLR.train(
+      QualityLR.features(spark, dir).repartition(7).localCheckpoint(true))
+    val b = QualityLR.train(
+      QualityLR.features(spark, dir).repartition(2).localCheckpoint(true))
+    // weight rounding each round absorbs partial-sum ordering drift
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("q181 drained stream ≡ batch keep-first band semantics") {
+    val streamed = graft.streaming.StreamNearDup
+      .streamNearDupSuppress(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    // batch twin: suppressed iff any band bucket has a smaller doc_id
+    val hits = graft.streaming.StreamNearDup
+      .bandHits(Tables.documents(spark, dir))
+      .toDF()
+      .cache()
+    val mins = hits.groupBy(col("bkey")).agg(min(col("doc_id")).as("mn"))
+    val sup = hits
+      .join(mins, Seq("bkey"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("doc_id") > col("mn")).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    val all = Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(all.nonEmpty)
+    all.foreach { id =>
+      assert(streamed(id) === sup.getOrElse(id, false), s"doc $id")
+    }
+  }
+
+  test("q182 source sketch is mergeable from per-doc signatures") {
+    import graft.functions.TextFunctions.shingles
+    val docs = Tables.documents(spark, dir)
+    // per-doc q22 signatures, then component-wise min per source
+    val perDoc = docs
+      .select(col("source"), shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("mh", Dedup.minhashSignature(col("sh")))
+      .select(
+        col("source") +: (0 until Dedup.NumHashes)
+          .map(i => element_at(col("mh"), i + 1).as(s"h$i")): _*
+      )
+      .groupBy(col("source"))
+      .agg(
+        array((0 until Dedup.NumHashes).map(i => min(col(s"h$i"))): _*)
+          .as("merged")
+      )
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    // the source-level single-pass sketch inside q182
+    val direct = docs
+      .select(col("source"), explode(shingles(col("text"), 3)).as("s"))
+      .groupBy(col("source"))
+      .agg(
+        array((0 until Dedup.NumHashes).map { i =>
+          min(Dedup.seededHash(i, col("s")))
+        }: _*).as("sig")
+      )
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+      .toMap
+    assert(perDoc.keySet === direct.keySet)
+    perDoc.keySet.foreach(s => assert(perDoc(s) === direct(s), s))
+  }
+
+  test("q182 estimates stay in [0,1] and cover every source pair") {
+    val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
+    val nSrc = Tables.documents(spark, dir)
+      .select("source").distinct().count()
+    assert(out.count() === nSrc * (nSrc - 1) / 2)
+    assert(out.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1)
+      .count() === 0L)
+    assert(out.filter(col("jaccard") < 0 || col("jaccard") > 1)
+      .count() === 0L)
+  }
+}
