@@ -565,6 +565,9 @@ object SparkEntry {
     // Mergeable per-source MinHash union sketch → pairwise source
     // similarity from 8-long sketches, audited vs exact union Jaccard.
     "q182_source_minhash" -> ((s, d) => Sketches.sourceMinhashSimilarity(s, d)),
+    // Residual IVF-PQ (IVFADC): coarse lists + PQ on residuals +
+    // per-(query, list) LUTs, nprobe=2 — the billion-vector index.
+    "q183_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4244,6 +4247,137 @@ object SparkEntry {
          LEFT JOIN inter i USING (src_a, src_b)
          JOIN sizes na ON na.source = e.src_a
          JOIN sizes nb ON nb.source = e.src_b""",
+    // q183: full residual-IVF-PQ replay — coarse Lloyd round (q93
+    // contract, k=4), residuals vs the updated centroids, per-
+    // subspace PQ Lloyd round on residuals (q128 contract), probe
+    // ranking ties (cdist, list), ADC ties (adc, vec_id).
+    "q183_ivfpq" -> {
+      val coarseK = 4; val nProbe = 2
+      val m = 4; val subDim = 16; val pqK = 16
+      val nQ = 5; val topK = 10
+      val sqd = "(p[1] - p[2]) * (p[1] - p[2])"
+      val pqCtes = (0 until m).map { b =>
+        val lo = b * subDim + 1; val hi = (b + 1) * subDim
+        s"""s$b AS MATERIALIZED (SELECT vec_id,
+              list_slice(res, $lo, $hi) AS emb FROM resid),
+           pi$b AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                      AS INTEGER) AS cluster, emb AS c_vec
+                    FROM (SELECT vec_id, emb FROM s$b
+                          ORDER BY vec_id LIMIT $pqK) x),
+           pa$b AS MATERIALIZED (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cluster) AS rn
+             FROM (SELECT t.vec_id, c.cluster,
+                     list_sum(list_transform(list_zip(t.emb, c.c_vec),
+                       p -> $sqd)) AS dist
+                   FROM s$b t CROSS JOIN pi$b c) x),
+           pu$b AS MATERIALIZED (
+             SELECT cluster, list(v ORDER BY dim) AS c_vec FROM (
+             SELECT a.cluster, s.dim AS dim, round(avg(s.x), 6) AS v
+             FROM (SELECT vec_id,
+                     unnest(list_transform(range(len(emb)),
+                       i -> {'dim': i, 'x': emb[i+1]})) AS s FROM s$b) cells
+             JOIN (SELECT vec_id, cluster FROM pa$b WHERE rn = 1) a
+               USING (vec_id)
+             GROUP BY 1, 2) mm GROUP BY cluster),
+           pf$b AS MATERIALIZED (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist, cluster) AS rn
+             FROM (SELECT t.vec_id, c.cluster,
+                     list_sum(list_transform(list_zip(t.emb, c.c_vec),
+                       p -> $sqd)) AS dist
+                   FROM s$b t CROSS JOIN pu$b c) x),
+           l$b AS (SELECT p.query_id, p.list_id, c.cluster AS c$b,
+                     list_sum(list_transform(list_zip(
+                       list_slice(p.qres, $lo, $hi), c.c_vec),
+                       z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d$b
+                   FROM probes p CROSS JOIN pu$b c)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS emb
+           FROM embeddings),
+         ci AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                  AS INTEGER) AS cluster, emb AS c_vec
+                FROM (SELECT vec_id, emb FROM e
+                      ORDER BY vec_id LIMIT $coarseK) s),
+         ca AS MATERIALIZED (SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cluster) AS rn
+           FROM (SELECT e.vec_id, c.cluster,
+                   list_sum(list_transform(list_zip(e.emb, c.c_vec),
+                     p -> $sqd)) AS dist
+                 FROM e CROSS JOIN ci c) x),
+         cu AS MATERIALIZED (
+           SELECT cluster, list(v ORDER BY dim) AS c_vec FROM (
+           SELECT a.cluster, s.dim AS dim, round(avg(s.x), 6) AS v
+           FROM (SELECT vec_id,
+                   unnest(list_transform(range(len(emb)),
+                     i -> {'dim': i, 'x': emb[i+1]})) AS s FROM e) cells
+           JOIN (SELECT vec_id, cluster FROM ca WHERE rn = 1) a
+             USING (vec_id)
+           GROUP BY 1, 2) mm GROUP BY cluster),
+         cf AS MATERIALIZED (SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cluster) AS rn
+           FROM (SELECT e.vec_id, c.cluster,
+                   list_sum(list_transform(list_zip(e.emb, c.c_vec),
+                     p -> $sqd)) AS dist
+                 FROM e CROSS JOIN cu c) x),
+         lists AS MATERIALIZED (SELECT vec_id, cluster AS list_id
+                                FROM cf WHERE rn = 1),
+         resid AS MATERIALIZED (SELECT e.vec_id, l.list_id,
+             list_transform(list_zip(e.emb, c.c_vec), p -> p[1] - p[2])
+               AS res
+           FROM e JOIN lists l USING (vec_id)
+           JOIN cu c ON c.cluster = l.list_id),
+         pq0 AS (SELECT q.vec_id AS query_id, q.emb AS qe,
+                   c.cluster AS list_id, c.c_vec,
+                   list_sum(list_transform(list_zip(q.emb, c.c_vec),
+                     p -> $sqd)) AS cdist
+                 FROM e q CROSS JOIN cu c WHERE q.vec_id < $nQ),
+         probes AS MATERIALIZED (SELECT query_id, list_id,
+             list_transform(list_zip(qe, c_vec), p -> p[1] - p[2])
+               AS qres
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY cdist, list_id) AS pr FROM pq0) x
+           WHERE pr <= $nProbe),
+         $pqCtes,
+         codes AS MATERIALIZED (
+           SELECT f0.vec_id, f0.cluster AS c0, f1.cluster AS c1,
+             f2.cluster AS c2, f3.cluster AS c3
+           FROM (SELECT vec_id, cluster FROM pf0 WHERE rn = 1) f0
+           JOIN (SELECT vec_id, cluster FROM pf1 WHERE rn = 1) f1
+             USING (vec_id)
+           JOIN (SELECT vec_id, cluster FROM pf2 WHERE rn = 1) f2
+             USING (vec_id)
+           JOIN (SELECT vec_id, cluster FROM pf3 WHERE rn = 1) f3
+             USING (vec_id)),
+         adc AS (SELECT pr.query_id, li.vec_id, li.list_id,
+             round(l0.d0 + l1.d1 + l2.d2 + l3.d3, 6) AS adc
+           FROM lists li
+           JOIN probes pr ON pr.list_id = li.list_id
+           JOIN codes v ON v.vec_id = li.vec_id
+           JOIN l0 ON l0.query_id = pr.query_id
+             AND l0.list_id = li.list_id AND v.c0 = l0.c0
+           JOIN l1 ON l1.query_id = pr.query_id
+             AND l1.list_id = li.list_id AND v.c1 = l1.c1
+           JOIN l2 ON l2.query_id = pr.query_id
+             AND l2.list_id = li.list_id AND v.c2 = l2.c2
+           JOIN l3 ON l3.query_id = pr.query_id
+             AND l3.list_id = li.list_id AND v.c3 = l3.c3),
+         ex AS (SELECT q.vec_id AS query_id, v.vec_id,
+             round(list_sum(list_transform(list_zip(v.emb, q.emb),
+               p -> $sqd)), 6) AS exact_dist
+           FROM e v CROSS JOIN e q WHERE q.vec_id < $nQ)
+         SELECT query_id, vec_id, list_id,
+           CAST(rank AS INTEGER) AS rank, adc, exact_dist
+         FROM (SELECT a.query_id, a.vec_id, a.list_id, a.adc,
+                 ex.exact_dist,
+                 row_number() OVER (PARTITION BY a.query_id
+                   ORDER BY a.adc, a.vec_id) AS rank
+               FROM adc a JOIN ex USING (query_id, vec_id)) r
+         WHERE rank <= $topK"""
+    },
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

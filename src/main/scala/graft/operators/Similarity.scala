@@ -792,4 +792,253 @@ object Similarity {
           .as("z")
       )
   }
+
+  /** q183: the full residual IVF-PQ index — the composition of the
+    * coarse quantizer (q25) and the PQ coding layer (q128) exactly as
+    * a billion-vector deployment runs it (Jégou et al., TPAMI 2011
+    * §III: IVFADC). The coarse k-means partitions the corpus into
+    * inverted lists; each vector is PQ-encoded on its RESIDUAL
+    * x − c(list) (residuals concentrate near 0, so the shared 4×16
+    * codebook spends its codes where the mass is); a query probes its
+    * `nProbe` nearest lists and scores candidates with a
+    * per-(query, list) ADC lookup table built from the QUERY residual
+    * against that list's centroid.
+    *
+    * Scale design: vectors are scanned once for coarse assignment +
+    * residual encoding and never shuffled as payloads again (the
+    * 4-byte codes travel); centroids, codebooks, and the
+    * nQ·nProbe·m·k LUT (640 rows here) are broadcast; candidate
+    * generation is a broadcast join of the probe table against the
+    * list assignment — each query touches only its probed lists'
+    * vectors, the inverted-file property that makes the scan
+    * sublinear in corpus size. Distance math on the double residual
+    * frame runs through the `aggregate(zip_with(...))` HOF (the
+    * codegen [[graft.functions.VectorMath]] twin is float×double; a
+    * double×double variant is the production follow-up).
+    *
+    * Determinism (what the oracle replays): coarse init = lowest
+    * `coarseK` vec_ids, one Lloyd round with dim means rounded to 6
+    * (the q93 contract); PQ init per subspace = the `pqK` lowest
+    * vec_ids' residual subvectors, one Lloyd round, same rounding;
+    * every argmin ties on the lower cluster id; probe ranking ties
+    * (dist, list); final ranking ties (adc, vec_id).
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val coarseK = 4; val nProbe = 2
+    val m = 4; val subDim = 16; val pqK = 16
+    val nQ = 5; val topK = 10
+    def sqdDD(x: Column, c: Column): Column =
+      aggregate(
+        zip_with(x, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .cache()
+    // — coarse quantizer: the q93/q25 Lloyd contract at k = coarseK
+    val cInit = e
+      .orderBy(col("vec_id"))
+      .limit(coarseK)
+      .withColumn(
+        "cluster",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1
+      )
+      .select(
+        col("cluster"),
+        transform(col("embedding"), x => x.cast("double")).as("c_vec")
+      )
+    val cent = Clustering
+      .update(e, Clustering.assign(e, cInit))
+      .localCheckpoint(true)
+    val lists = Clustering
+      .assign(e, cent)
+      .select(col("vec_id"), col("cluster").as("list_id"))
+    // — residuals: x − c(list), ONE corpus pass, materialized once
+    val resid = e
+      .join(lists, Seq("vec_id"))
+      .join(
+        broadcast(cent.withColumnRenamed("cluster", "list_id")),
+        Seq("list_id")
+      )
+      .select(
+        col("vec_id"),
+        col("list_id"),
+        zip_with(col("embedding"), col("c_vec"), (x, c) => x.cast("double") - c)
+          .as("res")
+      )
+      .cache()
+    // — PQ codebooks on residual subspaces (the q128 keyed-frame form)
+    val subs = resid
+      .select(
+        col("vec_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            b =>
+              struct(
+                b.as("b"),
+                slice(col("res"), b * subDim + 1, lit(subDim)).as("sub")
+              )
+          )
+        ).as("s")
+      )
+      .select(col("s.b").as("b"), col("vec_id"), col("s.sub").as("sub"))
+      .cache()
+    val pInit = subs
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("b")).orderBy(col("vec_id")))
+      )
+      .filter(col("rn") <= pqK)
+      .select(col("b"), (col("rn") - 1).as("cluster"), col("sub").as("c_vec"))
+    def pqAssign(cents: DataFrame): DataFrame =
+      subs
+        .join(broadcast(cents), Seq("b"))
+        .select(
+          col("b"),
+          col("vec_id"),
+          col("cluster"),
+          sqdDD(col("sub"), col("c_vec")).as("dist")
+        )
+        .groupBy(col("b"), col("vec_id"))
+        .agg(min(struct(col("dist"), col("cluster"))).as("best"))
+        .select(col("b"), col("vec_id"), col("best.cluster").as("cluster"))
+    val book = subs
+      .join(pqAssign(pInit), Seq("b", "vec_id"))
+      .select(
+        col("b"),
+        col("cluster"),
+        posexplode(col("sub")).as(Seq("dim", "x"))
+      )
+      .groupBy(col("b"), col("cluster"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("v"))
+      .groupBy(col("b"), col("cluster"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("dim"), col("v")))),
+          s => s.getField("v")
+        ).as("c_vec")
+      )
+      .localCheckpoint(true)
+    val codeCols = (0 until m).map(b =>
+      max(when(col("b") === b, col("cluster"))).as(s"c$b"))
+    val codes = pqAssign(book)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+    // — query side: probe the nProbe nearest coarse lists
+    val qs = e
+      .filter(col("vec_id") < nQ)
+      .select(
+        col("vec_id").as("query_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qe")
+      )
+    val probes = qs
+      .crossJoin(broadcast(cent))
+      .select(
+        col("query_id"),
+        col("qe"),
+        col("cluster").as("list_id"),
+        col("c_vec"),
+        sqdDD(col("qe"), col("c_vec")).as("cdist")
+      )
+      .withColumn(
+        "pr",
+        row_number().over(
+          Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cdist"), col("list_id"))
+        )
+      )
+      .filter(col("pr") <= nProbe)
+      .select(
+        col("query_id"),
+        col("list_id"),
+        zip_with(col("qe"), col("c_vec"), (x, c) => x - c).as("qres")
+      )
+    // — per-(query, list) LUT: nQ·nProbe·m·pqK rows, broadcast
+    val lut = probes
+      .select(
+        col("query_id"),
+        col("list_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(m - 1)),
+            b =>
+              struct(
+                b.as("b"),
+                slice(col("qres"), b * subDim + 1, lit(subDim)).as("qsub")
+              )
+          )
+        ).as("s")
+      )
+      .select(
+        col("query_id"),
+        col("list_id"),
+        col("s.b").as("b"),
+        col("s.qsub").as("qsub")
+      )
+      .join(broadcast(book), Seq("b"))
+      .select(
+        col("query_id"),
+        col("list_id"),
+        col("b"),
+        col("cluster"),
+        sqdDD(col("qsub"), col("c_vec")).as("d")
+      )
+    def lutB(b: Int): DataFrame = lut
+      .filter(col("b") === b)
+      .select(
+        col("query_id"),
+        col("list_id"),
+        col("cluster").as(s"c$b"),
+        col("d").as(s"d$b")
+      )
+    // — candidates: only vectors living in a probed list
+    var adc = lists
+      .join(
+        broadcast(probes.select(col("query_id"), col("list_id"))),
+        Seq("list_id")
+      )
+      .join(codes, Seq("vec_id"))
+    for (b <- 0 until m)
+      adc = adc.join(
+        broadcast(lutB(b)),
+        Seq("query_id", "list_id", s"c$b")
+      )
+    val adcScore = (1 until m)
+      .map(b => col(s"d$b"))
+      .foldLeft(col("d0"))(_ + _)
+    val exact = e
+      .crossJoin(broadcast(qs))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        graft.functions.VectorMath
+          .vecSqDist(col("embedding"), col("qe"))
+          .as("exact_dist")
+      )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    adc
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("list_id"),
+        round(adcScore, 6).as("adc")
+      )
+      .join(exact, Seq("query_id", "vec_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        col("list_id"),
+        col("rank"),
+        col("adc"),
+        round(col("exact_dist"), 6).as("exact_dist")
+      )
+  }
 }

@@ -114,6 +114,27 @@ class Round7bOpsSpec extends AnyFunSuite {
     perDoc.keySet.foreach(s => assert(perDoc(s) === direct(s), s))
   }
 
+  test("q183 IVF-PQ: 10 ranked rows per query, candidates only from probed lists") {
+    val out = Similarity.ivfPqTopK(spark, dir).cache()
+    val perQuery = out.groupBy(col("query_id")).count().collect()
+    assert(perQuery.length === 5)
+    perQuery.foreach(r => assert(r.getLong(1) === 10L))
+    // every emitted candidate must live in one of its query's ≤2
+    // probed lists (the inverted-file property)
+    val listsPerQuery = out
+      .groupBy(col("query_id"))
+      .agg(countDistinct(col("list_id")).as("nl"))
+      .collect()
+    listsPerQuery.foreach(r => assert(r.getLong(1) <= 2L))
+    // ADC approximates squared distance: non-negative, and the rank-1
+    // candidate's exact distance should be among the better ones —
+    // assert the weak, deterministic property that all distances are
+    // non-negative and ranks are 1..10
+    assert(out.filter(col("adc") < 0 || col("exact_dist") < 0).count() === 0L)
+    val ranks = out.select(col("rank")).distinct().collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq === (1 to 10))
+  }
+
   test("q182 estimates stay in [0,1] and cover every source pair") {
     val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
     val nSrc = Tables.documents(spark, dir)
