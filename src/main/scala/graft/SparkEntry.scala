@@ -568,6 +568,13 @@ object SparkEntry {
     // Residual IVF-PQ (IVFADC): coarse lists + PQ on residuals +
     // per-(query, list) LUTs, nprobe=2 — the billion-vector index.
     "q183_ivfpq" -> ((s, d) => Similarity.ivfPqTopK(s, d)),
+    // Moore-Lewis cross-entropy-difference selection: in-domain vs
+    // general trigram LM with a uniform floor for unseen n-grams.
+    "q184_moore_lewis" -> ((s, d) => TextAnalysis.mooreLewisSelect(s, d)),
+    // Streaming per-hour p50/p95 from a 20-cell histogram in state,
+    // audited against the exact batch percentiles.
+    "q185_stream_monitor" ->
+      ((s, d) => streaming.EventStreams.streamQualityMonitor(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4378,6 +4385,104 @@ object SparkEntry {
                FROM adc a JOIN ex USING (query_id, vec_id)) r
          WHERE rank <= $topK"""
     },
+    // q184: both LM chains replayed with LEFT joins + the same
+    // uniform-floor interpolation; the keep cut compares the
+    // UNROUNDED diff to the corpus mean like q127.
+    "q184_moore_lewis" -> {
+      def lmCtes(p: String, filt: String): String =
+        s"""${p}tr AS (SELECT doc_id, toks FROM t $filt),
+         ${p}tri AS (SELECT s.w1 AS w1, s.w2 AS w2, s.w3 AS w3,
+             CAST(count(*) AS BIGINT) AS n3
+           FROM (SELECT unnest(list_transform(range(len(toks) - 2),
+                   i -> {'w1': toks[i+1], 'w2': toks[i+2],
+                         'w3': toks[i+3]})) AS s
+                 FROM ${p}tr WHERE len(toks) >= 3) x
+           GROUP BY 1, 2, 3),
+         ${p}tctx AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS n2ctx
+                      FROM ${p}tri GROUP BY 1, 2),
+         ${p}bi AS (SELECT s.w2 AS w2, s.w3 AS w3,
+             CAST(count(*) AS BIGINT) AS nb
+           FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+                   i -> {'w2': toks[i+1], 'w3': toks[i+2]})) AS s
+                 FROM ${p}tr WHERE len(toks) >= 2) x
+           GROUP BY 1, 2),
+         ${p}bctx AS (SELECT w2, CAST(sum(nb) AS BIGINT) AS nbctx
+                      FROM ${p}bi GROUP BY 1),
+         ${p}uni AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1
+                     FROM (SELECT unnest(toks) AS w3 FROM ${p}tr) u
+                     GROUP BY 1),
+         ${p}tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS tot
+                     FROM ${p}uni),
+         ${p}v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ${p}uni),
+         ${p}sc AS MATERIALIZED (SELECT dt.doc_id,
+             sum(dt.c * -ln(
+               0.55 * coalesce(tri.n3 / tctx.n2ctx, 0)
+               + 0.3 * coalesce(bi.nb / bctx.nbctx, 0)
+               + 0.1 * coalesce(uni.n1 / tt.tot, 0)
+               + 0.05::DOUBLE / vv.v)) / sum(dt.c) AS x
+           FROM dt
+           LEFT JOIN ${p}tri tri USING (w1, w2, w3)
+           LEFT JOIN ${p}tctx tctx USING (w1, w2)
+           LEFT JOIN ${p}bi bi USING (w2, w3)
+           LEFT JOIN ${p}bctx bctx USING (w2)
+           LEFT JOIN ${p}uni uni USING (w3)
+           CROSS JOIN ${p}tot tt CROSS JOIN ${p}v vv
+           GROUP BY 1)"""
+      s"""WITH t AS (SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
+             END AS toks FROM documents),
+         dt AS MATERIALIZED (SELECT doc_id, s.w1 AS w1, s.w2 AS w2,
+             s.w3 AS w3, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id,
+                   unnest(list_transform(range(len(toks) - 2),
+                     i -> {'w1': toks[i+1], 'w2': toks[i+2],
+                           'w3': toks[i+3]})) AS s
+                 FROM t WHERE len(toks) >= 3) x
+           GROUP BY 1, 2, 3, 4),
+         ${lmCtes("g", "")},
+         ${lmCtes("i", "WHERE source = 'src0'")},
+         j AS MATERIALIZED (SELECT doc_id, isc.x AS xi, gsc.x AS xg
+                            FROM isc JOIN gsc USING (doc_id)),
+         md AS (SELECT avg(xi - xg) AS md FROM j)
+         SELECT doc_id, round(xi, 6) AS xent_in,
+           round(xg, 6) AS xent_gen,
+           round(xi - xg, 6) AS ml_score,
+           CAST(xi - xg <= md.md AS INTEGER) AS keep
+         FROM j, md"""
+    },
+    // q185: same fixed binning and midpoint estimate; thresholds
+    // computed in DOUBLE on both sides; exact audit = quantile_cont.
+    "q185_stream_monitor" ->
+      """WITH b AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+               AS window_start,
+             CAST(least(floor(value / 25.0), 19.0) AS INTEGER) AS bin
+           FROM events),
+         h AS (SELECT window_start, bin, count(*) AS cnt
+               FROM b GROUP BY 1, 2),
+         c AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY window_start
+                 ORDER BY bin) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY window_start)
+                 AS BIGINT) AS n
+               FROM h),
+         p50 AS (SELECT window_start, min(bin) AS qbin,
+                   CAST(min(n) AS BIGINT) AS n
+                 FROM c WHERE cum::DOUBLE >= 0.5::DOUBLE * n
+                 GROUP BY 1),
+         p95 AS (SELECT window_start, min(bin) AS qbin
+                 FROM c WHERE cum::DOUBLE >= 0.95::DOUBLE * n
+                 GROUP BY 1),
+         ex AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                  AS window_start,
+                round(quantile_cont(value, 0.5), 6) AS p50_exact,
+                round(quantile_cont(value, 0.95), 6) AS p95_exact
+                FROM events GROUP BY 1)
+         SELECT p50.window_start, p50.n AS n_events,
+           round((p50.qbin + 0.5) * 25.0, 6) AS p50_est,
+           round((p95.qbin + 0.5) * 25.0, 6) AS p95_est,
+           ex.p50_exact, ex.p95_exact
+         FROM p50 JOIN p95 USING (window_start)
+         JOIN ex USING (window_start)""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

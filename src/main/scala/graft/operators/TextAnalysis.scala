@@ -1893,4 +1893,146 @@ object TextAnalysis {
           .as("bucket")
       )
   }
+
+  /** Per-doc trigram counts (doc_id, w1, w2, w3, c) from a prepared
+    * (doc_id, t) token frame — docs with < 3 tokens drop out.
+    */
+  private def docTrigramCounts(toksDf: DataFrame): DataFrame = {
+    val t = col("t")
+    val nTri = size(t) - 2
+    toksDf
+      .filter(size(t) >= 3)
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            zip_with(
+              slice(t, lit(1), nTri),
+              slice(t, lit(2), nTri),
+              (a, b) => struct(a.as("w1"), b.as("w2"))
+            ),
+            slice(t, lit(3), nTri),
+            (ab, c3) =>
+              struct(
+                ab.getField("w1").as("w1"),
+                ab.getField("w2").as("w2"),
+                c3.as("w3")
+              )
+          )
+        ).as("g")
+      )
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Cross-entropy of each scored doc under an interpolated trigram
+    * LM trained on `trainToks`, with a uniform floor so UNSEEN
+    * n-grams stay finite (the out-of-domain scoring case
+    * [[trigramPerplexityFrom]] never hits, since it scores its own
+    * training corpus):
+    *
+    *   p = 0.55·n3/n2ctx + 0.3·nb/nbctx + 0.1·n1/tot + 0.05/|V|
+    *
+    * with every missing component contributing 0 (LEFT joins +
+    * coalesce). Returns (doc_id, x) with x the per-trigram mean
+    * −ln p in nats, unrounded (callers round at the edge).
+    */
+  private def lmXentWithFloor(
+      trainToks: DataFrame,
+      scoredTri: DataFrame
+  ): DataFrame = {
+    val t = col("t")
+    val trainTri = docTrigramCounts(trainToks)
+    val tri = trainTri
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("c")).as("n3"))
+      .cache()
+    val triCtx = tri
+      .groupBy(col("w1"), col("w2"))
+      .agg(sum(col("n3")).as("n2ctx"))
+    val bi = trainToks
+      .filter(size(t) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (a, b) => struct(a.as("w2"), b.as("w3"))
+          )
+        ).as("b")
+      )
+      .select(col("b.w2"), col("b.w3"))
+      .groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("nb"))
+      .cache()
+    val biCtx = bi.groupBy(col("w2")).agg(sum(col("nb")).as("nbctx"))
+    val uni = trainToks
+      .select(explode(t).as("w3"))
+      .groupBy(col("w3"))
+      .agg(count(lit(1)).as("n1"))
+      .cache()
+    val tot = uni.agg(sum(col("n1")).cast("double").as("tot"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val p = lit(0.55) * coalesce(col("n3") / col("n2ctx"), lit(0.0)) +
+      lit(0.3) * coalesce(col("nb") / col("nbctx"), lit(0.0)) +
+      lit(0.1) * coalesce(col("n1") / col("tot"), lit(0.0)) +
+      lit(0.05) / col("v")
+    scoredTri
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(triCtx, Seq("w1", "w2"), "left")
+      .join(bi, Seq("w2", "w3"), "left")
+      .join(biCtx, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("c") * -log(p)) / sum(col("c"))).as("x"))
+  }
+
+  /** q184: Moore-Lewis cross-entropy-difference data selection
+    * (Moore & Lewis, "Intelligent Selection of Language Model
+    * Training Data", ACL 2010): score every document by
+    * H_in(d) − H_gen(d), the cross-entropy under an in-domain LM
+    * (trained on the curated source, `src0`) minus the cross-entropy
+    * under the general corpus LM. Documents that look more like the
+    * curated domain than like the average of the crawl score low and
+    * are kept — the selection rule the big pipelines run between the
+    * heuristic gates (q142) and the trained classifier (q180).
+    *
+    * Scale: both LMs are count aggregates over one tokenized corpus
+    * pass (the in-domain one over its source slice); scoring is the
+    * doc-trigram frame LEFT-joined against each LM's count tables —
+    * key shuffles carrying counts, never instances. Unseen n-grams
+    * hit the uniform floor term, so out-of-domain text is scored,
+    * not dropped. The keep cut is corpus-relative (diff ≤ corpus
+    * mean diff) like q127 — absolute thresholds do not transfer
+    * across corpus sizes.
+    */
+  def mooreLewisSelect(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .cache()
+    val all = toks.select(col("doc_id"), col("t"))
+    // the scored trigram frame feeds BOTH LM joins — materialize once
+    val scoredTri = docTrigramCounts(all).cache()
+    val inDomain = toks
+      .filter(col("source") === "src0")
+      .select(col("doc_id"), col("t"))
+    val xIn = lmXentWithFloor(inDomain, scoredTri)
+      .withColumnRenamed("x", "xi")
+    val xGen = lmXentWithFloor(all, scoredTri)
+      .withColumnRenamed("x", "xg")
+    val j = xIn.join(xGen, Seq("doc_id")).cache()
+    val mdiff = j.agg(avg(col("xi") - col("xg")).as("md"))
+    j.crossJoin(broadcast(mdiff))
+      .select(
+        col("doc_id"),
+        round(col("xi"), 6).as("xent_in"),
+        round(col("xg"), 6).as("xent_gen"),
+        round(col("xi") - col("xg"), 6).as("ml_score"),
+        (col("xi") - col("xg") <= col("md")).cast("int").as("keep")
+      )
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
@@ -408,6 +408,77 @@ object EventStreams {
         OutputMode.Update()
       )
       .toDF("user_id", "n_events", "max_value")
+  }
+
+  /** Streaming fixed-bin value histogram per tumbling hour — the
+    * bounded-memory substrate of the q185 quantile monitor: state per
+    * window is ≤ 20 counter cells regardless of event volume, evicted
+    * by the watermark. (An exact streaming quantile would need the
+    * raw values in state — unbounded.)
+    */
+  def windowedValueHistogram(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(
+        window(col("ts"), "1 hour"),
+        least(floor(col("value") / 25.0), lit(19.0)).cast("int").as("bin")
+      )
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("bin"), col("cnt"))
+
+  /** q185: continuous data-quality monitoring — per-hour approximate
+    * p50/p95 of the event value from the streaming histogram, with
+    * the exact batch percentiles joined in as the audit (the q103
+    * pattern lifted onto a stream). Quantile estimate = midpoint of
+    * the first bin whose cumulative count reaches q·n (bins of width
+    * 25 over [0, 500), last bin open). The post-drain assembly is a
+    * ≤ 20-rows-per-window batch window function.
+    */
+  def streamQualityMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val hist = runAvailableNow(
+      windowedValueHistogram(readEvents(spark, dir)),
+      "q185_stream_monitor_out",
+      "complete"
+    )
+    val cumW = W.partitionBy(col("window_start")).orderBy(col("bin"))
+    val totW = W.partitionBy(col("window_start"))
+    // both quantiles in ONE conditional-aggregation pass over the
+    // ≤ 20-row per-window histogram (min ignores the nulls of bins
+    // below the threshold)
+    def qbin(q: Double): Column =
+      min(
+        when(
+          col("cum").cast("double") >= lit(q) * col("n"),
+          col("bin")
+        )
+      )
+    val ests = hist
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("n", sum(col("cnt")).over(totW))
+      .groupBy(col("window_start"))
+      .agg(
+        min(col("n")).as("n_events"),
+        qbin(0.5).as("qbin50"),
+        qbin(0.95).as("qbin95")
+      )
+    val exact = graft.Tables
+      .events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(
+        round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+        round(expr("percentile(value, 0.95D)"), 6).as("p95_exact")
+      )
+    ests
+      .join(exact, Seq("window_start"))
+      .select(
+        col("window_start"),
+        col("n_events"),
+        round((col("qbin50") + 0.5) * 25.0, 6).as("p50_est"),
+        round((col("qbin95") + 0.5) * 25.0, 6).as("p95_est"),
+        col("p50_exact"),
+        col("p95_exact")
+      )
   }
 
   /** Keyed latest-record dedup: for a stream of (key, updated,

@@ -135,6 +135,58 @@ class Round7bOpsSpec extends AnyFunSuite {
     assert(ranks.toSeq === (1 to 10))
   }
 
+  test("q184 Moore-Lewis: in-domain docs score lower (more in-domain)") {
+    val out = TextAnalysis.mooreLewisSelect(spark, dir).cache()
+    val bySrc = out
+      .join(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id")
+      )
+      .groupBy(col("source") === "src0")
+      .agg(avg(col("ml_score")).as("m"))
+      .collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1))
+      .toMap
+    // src0 trigrams are all in the in-domain LM; other sources hit
+    // the floor terms under it — their H_in − H_gen must be higher
+    assert(bySrc(true) < bySrc(false))
+    // the corpus-relative cut keeps a strict, non-empty subset
+    val kept = out.filter(col("keep") === 1).count()
+    assert(kept > 0 && kept < out.count())
+  }
+
+  test("q185 histogram estimate lands in the type-1 exact quantile's bin") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val out = graft.streaming.EventStreams
+      .streamQualityMonitor(spark, dir)
+      .cache()
+    assert(out.count() > 0)
+    // the bin rule (first bin with cum ≥ q·n) selects exactly the bin
+    // holding the type-1 (inverted-CDF) quantile, so the midpoint
+    // estimate is within half a bin width of it — an invariant at any
+    // window size (the audit columns use interpolated quantiles,
+    // which drift at tiny n; that is expected, not a defect)
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("window_start"), col("value"))
+    val rw = W.partitionBy(col("window_start")).orderBy(col("value"))
+    val tw = W.partitionBy(col("window_start"))
+    val ranked = ev
+      .withColumn("r", row_number().over(rw))
+      .withColumn("n", count(lit(1)).over(tw))
+    def t1(q: Double) = min(
+      when(col("r").cast("double") >= lit(q) * col("n"), col("value")))
+    val exact1 = ranked
+      .groupBy(col("window_start"))
+      .agg(t1(0.5).as("t1_50"), t1(0.95).as("t1_95"))
+    val bad = out
+      .join(exact1, Seq("window_start"))
+      .filter(
+        abs(col("p50_est") - col("t1_50")) > 12.5 ||
+          abs(col("p95_est") - col("t1_95")) > 12.5
+      )
+    assert(bad.count() === 0L)
+  }
+
   test("q182 estimates stay in [0,1] and cover every source pair") {
     val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
     val nSrc = Tables.documents(spark, dir)
