@@ -575,6 +575,9 @@ object SparkEntry {
     // audited against the exact batch percentiles.
     "q185_stream_monitor" ->
       ((s, d) => streaming.EventStreams.streamQualityMonitor(s, d)),
+    // Content-defined chunking dedup: hash-cut variable chunks,
+    // corpus-wide keep-first, per-doc duplication report.
+    "q186_cdc_chunks" -> ((s, d) => Dedup.cdcChunkDedup(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4483,6 +4486,39 @@ object SparkEntry {
            ex.p50_exact, ex.p95_exact
          FROM p50 JOIN p95 USING (window_start)
          JOIN ex USING (window_start)""",
+    // q186: same hash-cut boundary rule, running-count chunk ids,
+    // md5 chunk keys; keep-first = row_number on (doc_id, start).
+    "q186_cdc_chunks" ->
+      """WITH tk AS (SELECT doc_id, toks FROM (
+             SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+             FROM documents) t WHERE len(toks) >= 1),
+         p AS (SELECT doc_id, CAST(s.i AS INTEGER) AS pos,
+                 toks[s.i + 1] AS w,
+                 CASE WHEN ('0x' || substr(md5(toks[s.i + 1]), 1, 15))
+                        ::BIGINT % 8 = 0 THEN 1 ELSE 0 END AS cut
+               FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i
+                     FROM tk) s(doc_id, toks, i)),
+         ch AS (SELECT doc_id, pos, w,
+                  sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - cut AS chunk
+                FROM p),
+         c AS MATERIALIZED (SELECT doc_id, chunk,
+                 min(pos) AS chunk_start,
+                 CAST(count(*) AS BIGINT) AS n_toks,
+                 md5(string_agg(w, ' ' ORDER BY pos)) AS ckey
+               FROM ch GROUP BY 1, 2),
+         wn AS (SELECT c.*, row_number() OVER (PARTITION BY ckey
+                  ORDER BY doc_id, chunk_start) AS rn FROM c)
+         SELECT doc_id, count(*) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           round(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END)::DOUBLE
+             / sum(n_toks), 6) AS dup_token_frac
+         FROM wn GROUP BY 1""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

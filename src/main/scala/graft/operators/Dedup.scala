@@ -1198,4 +1198,87 @@ object Dedup {
       .filter(j >= t)
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
+
+  /** q186: content-defined chunking (CDC) dedup — variable-length
+    * chunks whose boundaries are set by the CONTENT (a token is a cut
+    * point iff hash(token) ≡ 0 mod 8), so an insertion early in a
+    * document shifts only the chunk it lands in; every later chunk
+    * re-aligns and still dedups. That shift resistance is what the
+    * fixed-span (q96) and disjoint-segment (q136) forms lack — CDC is
+    * the rolling-boundary trick of storage dedup (LBFS/restic)
+    * applied to corpus text.
+    *
+    * Pipeline: tokenize with positions → boundary flags → per-doc
+    * chunk ids as a running boundary count (window over the doc's
+    * tokens only — bounded partitions) → chunk rows (ordered token
+    * join, md5 key) → corpus-wide keep-first on chunk key (first =
+    * lowest (doc_id, chunk_start)) → per-doc duplication report.
+    *
+    * Scale: the only corpus-wide shuffle is the chunk-key groupBy
+    * (keys ∝ distinct content, partially aggregated); per-doc windows
+    * partition on doc_id. Expected chunk length is the boundary
+    * modulus (8 tokens) — the granularity/robustness dial.
+    *
+    * Determinism: the boundary hash is the portable [[hash60]]; the
+    * winner tie-break is the (doc_id, chunk_start) struct-min; chunk
+    * keys are md5 of the space-joined tokens.
+    */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    cdcChunkDedupFrom(Tables.documents(spark, dir))
+
+  /** The CDC pipeline over a prepared (doc_id, text) frame — the seam
+    * the shift-resistance spec drives with synthetic insertions.
+    */
+  def cdcChunkDedupFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+      .withColumn("cut", (pmod(hash60(col("w")), lit(8)) === 0).cast("int"))
+    val w = Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a cut token ENDS its chunk: chunk id = boundaries strictly
+    // before this token = inclusive running count minus own flag
+    val chunked = toks
+      .withColumn("chunk", sum(col("cut")).over(w) - col("cut"))
+    val chunks = chunked
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(
+        min(col("pos")).as("chunk_start"),
+        count(lit(1)).as("n_toks"),
+        md5(
+          concat_ws(
+            " ",
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("w")))),
+              s => s.getField("w")
+            )
+          )
+        ).as("ckey")
+      )
+      // feeds the keep-first aggregate AND the per-doc report join
+      .cache()
+    val winners = chunks
+      .groupBy(col("ckey"))
+      .agg(min(struct(col("doc_id"), col("chunk_start"))).as("first"))
+    chunks
+      .join(winners, Seq("ckey"))
+      .withColumn(
+        "dup",
+        (col("doc_id") =!= col("first.doc_id") ||
+          col("chunk_start") =!= col("first.chunk_start")).cast("int")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("dup")).as("n_dup_chunks"),
+        sum(col("n_toks")).as("n_tokens"),
+        round(
+          sum(col("dup") * col("n_toks")).cast("double") /
+            sum(col("n_toks")),
+          6
+        ).as("dup_token_frac")
+      )
+  }
 }

@@ -995,8 +995,11 @@ object Similarity {
         col("cluster").as(s"c$b"),
         col("d").as(s"d$b")
       )
-    // — candidates: only vectors living in a probed list
-    var adc = lists
+    // — candidates: only vectors living in a probed list (the cached
+    // residual frame already carries the list assignment — reusing it
+    // avoids re-running the coarse assignment scan)
+    var adc = resid
+      .select(col("vec_id"), col("list_id"))
       .join(
         broadcast(probes.select(col("query_id"), col("list_id"))),
         Seq("list_id")

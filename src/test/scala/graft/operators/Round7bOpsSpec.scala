@@ -187,6 +187,24 @@ class Round7bOpsSpec extends AnyFunSuite {
     assert(bad.count() === 0L)
   }
 
+  test("q186 CDC chunking re-aligns after an insertion (shift resistance)") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val shifted = "INSERTED " + base
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val rep = Dedup
+      .cdcChunkDedupFrom(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(4))
+      .toMap
+    // doc 1 is the keep-first original: zero duplicated tokens
+    assert(rep(1L) === 0.0)
+    // doc 2 differs only in one leading token; every chunk after the
+    // first content-defined cut point is byte-identical to doc 1's
+    // and must dedup — the bulk of its tokens are flagged duplicate
+    assert(rep(2L) > 0.5, s"dup_token_frac was ${rep(2L)}")
+  }
+
   test("q182 estimates stay in [0,1] and cover every source pair") {
     val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
     val nSrc = Tables.documents(spark, dir)
