@@ -306,6 +306,52 @@ object ScaleBench {
       pqTop.filter(r => r.getLong(0) == r.getLong(1)).forall(_.getInt(2) == 1),
       "PQ self-match must rank first at 100k vectors")
 
+    // --- residual IVF-PQ at ~100k vectors: the coarse inverted lists
+    // (k=8, nprobe=2) bound each query's candidate scan to its probed
+    // lists' 4-byte codes; residual encode is one more corpus pass;
+    // LUTs stay nQ·nProbe·m·k rows regardless of corpus size
+    val tIvfPq = System.nanoTime()
+    val ivfPqTop = graft.operators.Similarity
+      .ivfPqTopKFrom(
+        vecs.select(col("vec_id"), col("embedding")), coarseK = 8)
+      .collect()
+    val ivfPqSec = (System.nanoTime() - tIvfPq) / 1e9
+    require(ivfPqTop.length == 50, s"IVF-PQ top-k rows: ${ivfPqTop.length}")
+    require(
+      ivfPqTop.groupBy(_.getLong(0)).forall(
+        _._2.map(_.getInt(3)).toSeq.sorted == (1 to 10).toSeq),
+      "IVF-PQ ranks must be 1..10 per query")
+
+    // --- CDC chunk dedup at ~100k docs: replicas differ from their
+    // source only in the trailing rep token, so every chunk before
+    // the last boundary dedups — mean dup fraction must be high and
+    // the only corpus-wide shuffle is the chunk-key groupBy
+    val tCdc = System.nanoTime()
+    val cdcAgg = graft.operators.Dedup
+      .cdcChunkDedupFrom(docs)
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("dup_token_frac")).as("mean_dup"))
+      .collect()(0)
+    val cdcSec = (System.nanoTime() - tCdc) / 1e9
+    require(cdcAgg.getLong(0) == nDocs, s"CDC rows: ${cdcAgg.getLong(0)}")
+    require(cdcAgg.getDouble(1) > 0.5,
+      s"CDC mean dup frac: ${cdcAgg.getDouble(1)}")
+
+    // --- LR quality-gate training at ~100k docs: 6 rounds × one
+    // 5-double partially-aggregated reduction — training cost is 6
+    // corpus scans of a 5-double frame, independent of model hosting
+    val lrDocs = docs.withColumn(
+      "source",
+      when(pmod(col("doc_id"), lit(20)) === 0, lit("src0"))
+        .otherwise(lit("crawl")))
+    val tLr = System.nanoTime()
+    val lrW = graft.operators.QualityLR.train(
+      graft.operators.QualityLR.featuresFrom(lrDocs).localCheckpoint(true))
+    val lrSec = (System.nanoTime() - tLr) / 1e9
+    require(lrW.length == 5 && lrW.forall(w => !w.isNaN && !w.isInfinite),
+      s"LR weights: ${lrW.mkString(",")}")
+
     // --- NB classifier train→score at ~100k docs: one counting pass
     // over the token stream, vocabulary-sized count tables, sparse
     // scoring join carrying pre-aggregated counts
@@ -773,6 +819,10 @@ object ScaleBench {
         s""""simhash_band_sec":$simBandSec,""" +
         s""""bpe_rounds":${bpeMerges.length},"bpe_sec":$bpeSec,""" +
         s""""pq_topk_rows":${pqTop.length},"pq_sec":$pqSec,""" +
+        s""""ivfpq_topk_rows":${ivfPqTop.length},"ivfpq_sec":$ivfPqSec,""" +
+        s""""cdc_docs":${cdcAgg.getLong(0)},""" +
+        s""""cdc_mean_dup":${cdcAgg.getDouble(1)},"cdc_sec":$cdcSec,""" +
+        s""""lr_rounds":6,"lr_sec":$lrSec,""" +
         s""""nb_docs":${nbAgg.getLong(0)},""" +
         s""""nb_correct":${nbAgg.getLong(1)},"nb_sec":$nbSec,""" +
         s""""quality_col_sec":$qualityColSec,"quality_fused_sec":$qualityFusedSec,""" +

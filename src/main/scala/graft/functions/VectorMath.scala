@@ -96,14 +96,23 @@ case class VectorSqDist(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  private def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        // the residual-vector case (IVF-PQ): both sides already double
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"vec_sq_dist requires (array<float>, array<double>) inputs, got " +
+          s"vec_sq_dist requires (array<float|double>, array<double>) " +
+            s"inputs, got " +
             s"${left.dataType.simpleString}, ${right.dataType.simpleString}"
         )
     }
@@ -113,10 +122,12 @@ case class VectorSqDist(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val isFloat = leftIsFloat
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val d = x.getFloat(i).toDouble - y.getDouble(i)
+      val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val d = xv - y.getDouble(i)
       acc += d * d
       i += 1
     }
@@ -135,11 +146,14 @@ case class VectorSqDist(left: Expression, right: Expression)
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         val d = ctx.freshName("d")
+        val get =
+          if (leftIsFloat) s"((double) $a.getFloat($i))"
+          else s"$a.getDouble($i)"
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  double $d = ((double) $a.getFloat($i)) - $b.getDouble($i);
+           |  double $d = $get - $b.getDouble($i);
            |  $acc += $d * $d;
            |}
            |${ev.value} = $acc;

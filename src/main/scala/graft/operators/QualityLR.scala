@@ -60,8 +60,13 @@ object QualityLR {
     * otherwise. Features: n_words/100, mean word length/10,
     * stopword-token ratio, distinct-token ratio.
     */
-  def features(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def features(spark: SparkSession, dir: String): DataFrame =
+    featuresFrom(Tables.documents(spark, dir))
+
+  /** The feature pass over a prepared (doc_id, source, text) frame —
+    * the ScaleBench seam.
+    */
+  def featuresFrom(docs: DataFrame): DataFrame = {
     val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
       .otherwise(split(trim(col("text")), "\\s+"))
     val sw = array(Stopwords.map(lit): _*)

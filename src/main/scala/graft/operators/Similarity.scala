@@ -812,9 +812,9 @@ object Similarity {
     * list assignment — each query touches only its probed lists'
     * vectors, the inverted-file property that makes the scan
     * sublinear in corpus size. Distance math on the double residual
-    * frame runs through the `aggregate(zip_with(...))` HOF (the
-    * codegen [[graft.functions.VectorMath]] twin is float×double; a
-    * double×double variant is the production follow-up).
+    * frame runs through the double×double branch of the codegen
+    * [[graft.functions.VectorMath.vecSqDist]] (same left-to-right
+    * fold as the float×double branch and the oracle's `list_sum`).
     *
     * Determinism (what the oracle replays): coarse init = lowest
     * `coarseK` vec_ids, one Lloyd round with dim means rounded to 6
@@ -823,20 +823,27 @@ object Similarity {
     * every argmin ties on the lower cluster id; probe ranking ties
     * (dist, list); final ranking ties (adc, vec_id).
     */
-  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val coarseK = 4; val nProbe = 2
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopKFrom(
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    )
+
+  /** The IVFADC pipeline over a prepared (vec_id, embedding) frame —
+    * the ScaleBench seam (runs it on a replicated 100k-vector
+    * corpus).
+    */
+  def ivfPqTopKFrom(
+      vectors: DataFrame,
+      coarseK: Int = 4,
+      nProbe: Int = 2
+  ): DataFrame = {
     val m = 4; val subDim = 16; val pqK = 16
     val nQ = 5; val topK = 10
+    // double×double codegen sqdist (same left-to-right fold the
+    // oracle's list_sum replays; VectorMathSpec diffs it vs the HOF)
     def sqdDD(x: Column, c: Column): Column =
-      aggregate(
-        zip_with(x, c, (a, b) => (a - b) * (a - b)),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-    val e = Tables
-      .embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .cache()
+      graft.functions.VectorMath.vecSqDist(x, c)
+    val e = vectors.cache()
     // — coarse quantizer: the q93/q25 Lloyd contract at k = coarseK
     val cInit = e
       .orderBy(col("vec_id"))

@@ -2009,9 +2009,14 @@ object TextAnalysis {
     * mean diff) like q127 — absolute thresholds do not transfer
     * across corpus sizes.
     */
-  def mooreLewisSelect(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables
-      .documents(spark, dir)
+  def mooreLewisSelect(spark: SparkSession, dir: String): DataFrame =
+    mooreLewisSelectFrom(Tables.documents(spark, dir))
+
+  /** The Moore-Lewis chain over a prepared (doc_id, source, text)
+    * frame — the ScaleBench seam.
+    */
+  def mooreLewisSelectFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
       .cache()
     val all = toks.select(col("doc_id"), col("t"))

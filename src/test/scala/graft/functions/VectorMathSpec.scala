@@ -81,4 +81,27 @@ class VectorMathSpec extends AnyFunSuite {
       .count()
     assert(diff == 0L)
   }
+
+  test("vec_sq_dist double×double branch matches the HOF fold") {
+    val df = graft.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+      .limit(200)
+      .select(
+        org.apache.spark.sql.functions
+          .transform(col("embedding"), x => x.cast("double"))
+          .as("xd")
+      )
+    val withC = df.crossJoin(
+      df.select(col("xd").as("c_vec")).limit(5)
+    )
+    val diff = withC
+      .select(
+        VectorMath.vecSqDist(col("xd"), col("c_vec")).as("cg"),
+        graft.operators.Clustering.sqDistHof(col("xd"), col("c_vec"))
+          .as("hof")
+      )
+      .filter(col("cg") =!= col("hof"))
+      .count()
+    assert(diff == 0L)
+  }
 }
