@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // strength reduction: composed md5-prefix hash → fused expression
     e.injectOptimizerRule(_ => graft.plans.Md5PrefixRewrite)
+    // strength reduction: aggregate(zip_with(...)) squared-distance
+    // fold → codegen'd vec_sq_dist primitive loop
+    e.injectOptimizerRule(_ => graft.plans.VecSqDistRewrite)
     // whole-operator extension: the native backward as-of join
     // (logical AsOfJoin → AsOfJoinExec sorted merge)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

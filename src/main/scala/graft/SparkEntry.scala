@@ -578,6 +578,9 @@ object SparkEntry {
     // Content-defined chunking dedup: hash-cut variable chunks,
     // corpus-wide keep-first, per-doc duplication report.
     "q186_cdc_chunks" -> ((s, d) => Dedup.cdcChunkDedup(s, d)),
+    // Threshold sensitivity: pairs/flagged-docs/retention at every
+    // Jaccard cutoff from one pass over the cached pair artifact.
+    "q187_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4519,6 +4522,34 @@ object SparkEntry {
            round(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END)::DOUBLE
              / sum(n_toks), 6) AS dup_token_frac
          FROM wn GROUP BY 1""",
+    // q187: q21's pair chain + a range fan-out on the same
+    // floor(jaccard/0.05) arithmetic; dup docs = distinct larger ids.
+    "q187_threshold_sweep" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pj AS (SELECT doc_a, doc_b,
+                  round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
+                FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.05),
+         sw AS (SELECT CAST(t.k AS INTEGER) AS k, doc_a, doc_b
+                FROM pj, range(1, 21) t(k)
+                WHERE t.k <= floor(jaccard / 0.05)),
+         g AS (SELECT k, count(*) AS n_pairs,
+                 count(DISTINCT doc_b) AS n_dup_docs
+               FROM sw GROUP BY 1),
+         tot AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT round(k * 0.05::DOUBLE, 2) AS threshold, n_pairs,
+           n_dup_docs,
+           round(1.0 - n_dup_docs::DOUBLE / tot.n_docs, 6)
+             AS retention_frac
+         FROM g, tot""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -118,14 +118,23 @@ case class VectorSqDist(left: Expression, right: Expression)
     }
   }
 
+  // Null semantics mirror the aggregate(zip_with(...)) fold exactly,
+  // so the VecSqDistRewrite strength reduction is observationally
+  // pure: zip_with pads a length mismatch with nulls and any null
+  // element nulls the whole fold — this expression returns null in
+  // both cases.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     val isFloat = leftIsFloat
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val d = xv - y.getDouble(i)
       acc += d * d
@@ -150,13 +159,23 @@ case class VectorSqDist(left: Expression, right: Expression)
           if (leftIsFloat) s"((double) $a.getFloat($i))"
           else s"$a.getDouble($i)"
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $d = $get - $b.getDouble($i);
-           |  $acc += $d * $d;
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |      ${ev.isNull} = true;
+           |      break;
+           |    }
+           |    double $d = $get - $b.getDouble($i);
+           |    $acc += $d * $d;
+           |  }
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = $acc;
+           |  }
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       }
     )

@@ -1226,6 +1226,52 @@ object Dedup {
   def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
     cdcChunkDedupFrom(Tables.documents(spark, dir))
 
+  /** q187: dedup threshold sensitivity sweep — the report an operator
+    * reads BEFORE picking the near-dup Jaccard cutoff: for every
+    * candidate threshold t ∈ {0.05, 0.10, …, 1.00}, how many pairs
+    * survive, how many documents would be flagged as duplicates
+    * (appear as the larger id of a qualifying pair — the keep-first
+    * upper bound, no closure needed), and the corpus retention that
+    * implies. One pass over the SAME cached pair artifact the dedup
+    * family (q21/q72/q78) already derives: each pair fans out to its
+    * qualifying thresholds (≤ 20 rows), so the sweep costs one
+    * explode + groupBy over the pair table — never a per-threshold
+    * re-clustering.
+    *
+    * Determinism: thresholds realized as integer steps k with
+    * k ≤ floor(jaccard/0.05) — identical double arithmetic in the
+    * oracle; counts are exact aggregates.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+    val total = Tables
+      .documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    pairs
+      .select(
+        explode(
+          sequence(lit(1), floor(col("jaccard") / 0.05).cast("int"))
+        ).as("k"),
+        col("doc_a"),
+        col("doc_b")
+      )
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_dup_docs")
+      )
+      .crossJoin(broadcast(total))
+      .select(
+        round(col("k") * 0.05, 2).as("threshold"),
+        col("n_pairs"),
+        col("n_dup_docs"),
+        round(
+          lit(1.0) - col("n_dup_docs").cast("double") / col("n_docs"),
+          6
+        ).as("retention_frac")
+      )
+  }
+
   /** The CDC pipeline over a prepared (doc_id, text) frame — the seam
     * the shift-resistance spec drives with synthetic insertions.
     */

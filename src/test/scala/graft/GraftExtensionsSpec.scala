@@ -125,4 +125,59 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.clearDefaultSession()
     }
   }
+
+  test("VecSqDistRewrite strength-reduces the HOF fold to vec_sq_dist") {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession
+      .builder()
+      .master("local[2]")
+      .appName("vecsqdist-rewrite-spec")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      val df = spark
+        .range(5)
+        .select(
+          col("id"),
+          transform(
+            sequence(lit(0), lit(63)),
+            i => (i + col("id")).cast("float")
+          ).as("x"),
+          transform(
+            sequence(lit(0), lit(63)),
+            i => i.cast("double") * 0.5
+          ).as("c")
+        )
+      // float×double: the HOF's inserted cast is part of the pattern
+      val q = df.select(
+        graft.operators.Clustering.sqDistHof(col("x"), col("c")).as("d"))
+      assert(
+        q.queryExecution.optimizedPlan.toString.contains("vec_sq_dist"),
+        q.queryExecution.optimizedPlan.toString)
+      val viaRule = q.collect().map(_.getDouble(0)).toSeq
+      val direct = df
+        .select(graft.functions.VectorMath
+          .vecSqDist(col("x"), col("c")).as("d"))
+        .collect()
+        .map(_.getDouble(0))
+        .toSeq
+      assert(viaRule == direct)
+      // double×double (the IVF-PQ residual layout) rewrites too
+      val q2 = df.select(
+        graft.operators.Clustering
+          .sqDistHof(transform(col("x"), e => e.cast("double")), col("c"))
+          .as("d"))
+      assert(
+        q2.queryExecution.optimizedPlan.toString.contains("vec_sq_dist"),
+        q2.queryExecution.optimizedPlan.toString)
+      assert(q2.collect().map(_.getDouble(0)).toSeq == direct)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
 }
