@@ -581,6 +581,9 @@ object SparkEntry {
     // Threshold sensitivity: pairs/flagged-docs/retention at every
     // Jaccard cutoff from one pass over the cached pair artifact.
     "q187_threshold_sweep" -> ((s, d) => Dedup.dedupThresholdSweep(s, d)),
+    // Heaps-law V(N)=k·N^β vocabulary-growth fit per source — the
+    // growth-law twin of the q148 Zipf rank-frequency fit.
+    "q188_heaps_law" -> ((s, d) => TextAnalysis.heapsLawFit(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4550,6 +4553,56 @@ object SparkEntry {
            round(1.0 - n_dup_docs::DOUBLE / tot.n_docs, 6)
              AS retention_frac
          FROM g, tot""",
+    // q188: identical global positions (per-doc offsets + in-doc
+    // index), decile bounds in the same double floor arithmetic, and
+    // the closed-form log-log least squares, rounded at the edge.
+    "q188_heaps_law" ->
+      """WITH t AS (SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks FROM documents),
+         dl AS (SELECT source, doc_id, CAST(len(toks) AS BIGINT) AS len
+                FROM t WHERE len(toks) > 0),
+         off AS (SELECT source, doc_id,
+                   sum(len) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - len AS off
+                 FROM dl),
+         tg AS (SELECT x.source, x.w,
+                  o.off + x.i + 1 AS posg
+                FROM (SELECT source, doc_id, s.i AS i, s.tok AS w
+                      FROM (SELECT source, doc_id,
+                              unnest(list_transform(range(len(toks)),
+                                i -> {'i': i, 'tok': toks[i+1]})) AS s
+                            FROM t WHERE len(toks) > 0) y) x
+                JOIN off o USING (source, doc_id)),
+         first AS (SELECT source, w, min(posg) AS fp
+                   FROM tg GROUP BY 1, 2),
+         tot AS (SELECT source, count(*) AS n_tokens
+                 FROM tg GROUP BY 1),
+         voc AS (SELECT source, count(*) AS vocab
+                 FROM first GROUP BY 1),
+         b AS (SELECT source, t2.d AS d,
+                 CAST(floor(n_tokens * t2.d / 10.0) AS BIGINT) AS bound
+               FROM tot, range(1, 11) t2(d)
+               WHERE floor(n_tokens * t2.d / 10.0) >= 1),
+         pt AS (SELECT f.source, ln(min(b.bound)::DOUBLE) AS x,
+                  ln(count(*)::DOUBLE) AS y
+                FROM first f JOIN b
+                  ON f.source = b.source AND f.fp <= b.bound
+                GROUP BY f.source, b.d),
+         ft AS (SELECT source, count(*)::DOUBLE AS np,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM pt GROUP BY 1),
+         fit AS (SELECT source,
+                   (sxy - sx * sy / np) / (sxx - sx * sx / np) AS beta,
+                   sx, sy, np
+                 FROM ft)
+         SELECT tot.source, tot.n_tokens, voc.vocab,
+           round(fit.beta, 6) AS beta,
+           round(exp((fit.sy - fit.beta * fit.sx) / fit.np), 6) AS k
+         FROM tot JOIN voc USING (source) JOIN fit USING (source)""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -1990,6 +1990,116 @@ object TextAnalysis {
       .agg((sum(col("c") * -log(p)) / sum(col("c"))).as("x"))
   }
 
+  /** q188: Heaps-law vocabulary-growth fit per source — V(N) ≈ k·N^β
+    * (Heaps, "Information Retrieval: Computational and Theoretical
+    * Aspects", 1978). The growth exponent β is the planning number a
+    * corpus team reads next to the Zipf fit (q148): it forecasts how
+    * much NEW vocabulary (entities, code identifiers, typos — the
+    * stuff dedup and tokenizer budgets care about) another 10× of a
+    * source will add. A heavily-duplicated source shows a depressed
+    * β — this is the growth-law view of redundancy.
+    *
+    * Distributed shape: one tokenize pass with positions; global
+    * token positions within a source via per-doc offsets (one window
+    * over the per-source DOC list, thousands of rows, never the token
+    * stream); first occurrence = min global position per (source,
+    * word); V sampled at the 10 decile checkpoints of the stream via
+    * a broadcast non-equi join of the vocab-sized first-occurrence
+    * frame against 10 bounds per source; the log-log least-squares
+    * fit is a closed-form aggregate over ≤ 10 points per source.
+    *
+    * Determinism: positions are exact integers; checkpoint bounds are
+    * floor(N·d/10) in double (exact below 2^53); the LS fit sums ≤ 10
+    * doubles and rounds to 6.
+    */
+  def heapsLawFit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"), tokens(col("text")).as("t"))
+    val docLens = docs
+      .select(col("source"), col("doc_id"), size(col("t")).cast("long").as("len"))
+      .filter(col("len") > 0)
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = docLens
+      .withColumn("off", sum(col("len")).over(w) - col("len"))
+    val tokG = docs
+      .select(col("source"), col("doc_id"), posexplode(col("t")).as(Seq("pos", "w")))
+      .join(offsets.select(col("source"), col("doc_id"), col("off")), Seq("source", "doc_id"))
+      .select(col("source"), col("w"), (col("off") + col("pos") + 1).as("posg"))
+    val first = tokG
+      .groupBy(col("source"), col("w"))
+      .agg(min(col("posg")).as("fp"))
+      // feeds the 10-bound join AND the vocab total — materialize once
+      .cache()
+    val totals = tokG
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val vocab = first
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"))
+    val bounds = totals
+      .select(
+        col("source"),
+        col("n_tokens"),
+        explode(sequence(lit(1), lit(10))).as("d")
+      )
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("d"),
+        floor(col("n_tokens") * col("d") / lit(10.0)).cast("long").as("bound")
+      )
+      .filter(col("bound") >= 1)
+    val points = first
+      .join(broadcast(bounds), Seq("source"))
+      .filter(col("fp") <= col("bound"))
+      .groupBy(col("source"), col("d"))
+      .agg(
+        min(col("bound")).as("bound"),
+        count(lit(1)).as("v")
+      )
+      .select(
+        col("source"),
+        log(col("bound").cast("double")).as("x"),
+        log(col("v").cast("double")).as("y")
+      )
+    val fit = points
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("double").as("np"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx")
+      )
+      .select(
+        col("source"),
+        ((col("sxy") - col("sx") * col("sy") / col("np")) /
+          (col("sxx") - col("sx") * col("sx") / col("np"))).as("beta"),
+        col("sx"),
+        col("sy"),
+        col("np")
+      )
+      .select(
+        col("source"),
+        col("beta"),
+        exp((col("sy") - col("beta") * col("sx")) / col("np")).as("k")
+      )
+    totals
+      .join(vocab, Seq("source"))
+      .join(fit, Seq("source"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("vocab"),
+        round(col("beta"), 6).as("beta"),
+        round(col("k"), 6).as("k")
+      )
+  }
+
   /** q184: Moore-Lewis cross-entropy-difference data selection
     * (Moore & Lewis, "Intelligent Selection of Language Model
     * Training Data", ACL 2010): score every document by

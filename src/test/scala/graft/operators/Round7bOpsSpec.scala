@@ -205,6 +205,33 @@ class Round7bOpsSpec extends AnyFunSuite {
     assert(rep(2L) > 0.5, s"dup_token_frac was ${rep(2L)}")
   }
 
+  test("q188 Heaps fit: sane exponent, exact vocab, positive scale") {
+    val out = TextAnalysis.heapsLawFit(spark, dir).cache()
+    val docs = Tables.documents(spark, dir)
+    val nSrc = docs.select("source").distinct().count()
+    assert(out.count() === nSrc)
+    // sublinear vocabulary growth: 0 ≤ β < 1 (the synthetic corpus's
+    // ~31-token vocab saturates in the first decile, so β = 0 exactly
+    // for sources whose checkpoints all see the full vocabulary —
+    // the depressed-β signature of a saturated/duplicated source)
+    val badBeta = out.filter(col("beta") < 0 || col("beta") >= 1).count()
+    assert(badBeta === 0L)
+    assert(out.filter(col("k") <= 0).count() === 0L)
+    // the reported vocab is the exact per-source distinct token count
+    val exact = docs
+      .select(
+        col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("w")
+      )
+      .groupBy(col("source"))
+      .agg(countDistinct(col("w")).as("v"))
+    val mism = out
+      .join(exact, Seq("source"))
+      .filter(col("vocab") =!= col("v"))
+      .count()
+    assert(mism === 0L)
+  }
+
   test("q182 estimates stay in [0,1] and cover every source pair") {
     val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
     val nSrc = Tables.documents(spark, dir)
