@@ -584,6 +584,12 @@ object SparkEntry {
     // Heaps-law V(N)=k·N^β vocabulary-growth fit per source — the
     // growth-law twin of the q148 Zipf rank-frequency fit.
     "q188_heaps_law" -> ((s, d) => TextAnalysis.heapsLawFit(s, d)),
+    // Normalization-aware exact dedup: raw-key vs normalized-key
+    // duplicate flags; norm-only = the yield canonicalization buys.
+    "q189_normalized_dedup" -> ((s, d) => Dedup.normalizedDedup(s, d)),
+    // Cohen's κ between the four quality gates (Gopher, perplexity,
+    // LR, Moore-Lewis) — the stack-redundancy methodology check.
+    "q190_gate_agreement" -> ((s, d) => TextAnalysis.gateAgreement(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -962,6 +968,165 @@ object SparkEntry {
     * — shared by the q127 oracle and the composed q130 manifest
     * oracle.
     */
+  /** Full q127 oracle statement — shared by its entry and the q190
+    * gate-agreement composition (embedded there as a subquery).
+    */
+  private lazy val trigramPplOracleSql: String =
+    s"""WITH $trigramLmCtes
+         SELECT doc_id, n_trigrams, round(x, 6) AS xent,
+           round(exp(x), 6) AS ppl,
+           CAST(exp(x) <= mean_ppl AS INTEGER) AS keep
+         FROM sc CROSS JOIN m"""
+
+  /** Full q180 oracle statement (6 GD rounds as chained CTEs) —
+    * shared by its entry and the q190 composition.
+    */
+  private lazy val lrQualityOracleSql: String = {
+    val rounds = (1 to 6)
+      .map { k =>
+        s"""p$k AS (SELECT f.y, f.f1, f.f2, f.f3, f.f4,
+             w.w0 AS a0, w.w1 AS a1, w.w2 AS a2, w.w3 AS a3, w.w4 AS a4,
+             1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3
+               + w.w4*f.f4))) AS p
+           FROM f, w${k - 1} w),
+         w$k AS (SELECT round(any_value(a0) + avg(y - p), 6) AS w0,
+             round(any_value(a1) + avg((y - p) * f1), 6) AS w1,
+             round(any_value(a2) + avg((y - p) * f2), 6) AS w2,
+             round(any_value(a3) + avg((y - p) * f3), 6) AS w3,
+             round(any_value(a4) + avg((y - p) * f4), 6) AS w4
+           FROM p$k)"""
+      }
+      .mkString(",\n         ")
+    s"""WITH t AS (SELECT doc_id,
+             CASE WHEN source = 'src0' THEN 1.0::DOUBLE
+                  ELSE 0.0::DOUBLE END AS y,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+           FROM documents),
+         f AS (SELECT doc_id, y,
+             round(len(toks)::DOUBLE / 100.0, 6) AS f1,
+             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+               ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                    / len(toks) / 10.0 END, 6) AS f2,
+             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+               ELSE len(list_filter(toks, w -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it'],
+                      w)))::DOUBLE / len(toks) END, 6) AS f3,
+             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
+               ELSE len(list_distinct(toks))::DOUBLE / len(toks) END, 6)
+               AS f4
+           FROM t),
+         w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
+             0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4),
+         $rounds
+         SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+           round(1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2
+             + w.w3*f.f3 + w.w4*f.f4))), 6) AS score,
+           1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3
+             + w.w4*f.f4))) >= 0.5 AS pred_quality
+         FROM f, w6 w"""
+  }
+
+  /** Full q184 oracle statement (both LM chains + floor scoring) —
+    * shared by its entry and the q190 composition.
+    */
+  private lazy val mooreLewisOracleSql: String = {
+    def lmCtes(p: String, filt: String): String =
+      s"""${p}tr AS (SELECT doc_id, toks FROM t $filt),
+         ${p}tri AS (SELECT s.w1 AS w1, s.w2 AS w2, s.w3 AS w3,
+             CAST(count(*) AS BIGINT) AS n3
+           FROM (SELECT unnest(list_transform(range(len(toks) - 2),
+                   i -> {'w1': toks[i+1], 'w2': toks[i+2],
+                         'w3': toks[i+3]})) AS s
+                 FROM ${p}tr WHERE len(toks) >= 3) x
+           GROUP BY 1, 2, 3),
+         ${p}tctx AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS n2ctx
+                      FROM ${p}tri GROUP BY 1, 2),
+         ${p}bi AS (SELECT s.w2 AS w2, s.w3 AS w3,
+             CAST(count(*) AS BIGINT) AS nb
+           FROM (SELECT unnest(list_transform(range(len(toks) - 1),
+                   i -> {'w2': toks[i+1], 'w3': toks[i+2]})) AS s
+                 FROM ${p}tr WHERE len(toks) >= 2) x
+           GROUP BY 1, 2),
+         ${p}bctx AS (SELECT w2, CAST(sum(nb) AS BIGINT) AS nbctx
+                      FROM ${p}bi GROUP BY 1),
+         ${p}uni AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1
+                     FROM (SELECT unnest(toks) AS w3 FROM ${p}tr) u
+                     GROUP BY 1),
+         ${p}tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS tot
+                     FROM ${p}uni),
+         ${p}v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ${p}uni),
+         ${p}sc AS MATERIALIZED (SELECT dt.doc_id,
+             sum(dt.c * -ln(
+               0.55 * coalesce(tri.n3 / tctx.n2ctx, 0)
+               + 0.3 * coalesce(bi.nb / bctx.nbctx, 0)
+               + 0.1 * coalesce(uni.n1 / tt.tot, 0)
+               + 0.05::DOUBLE / vv.v)) / sum(dt.c) AS x
+           FROM dt
+           LEFT JOIN ${p}tri tri USING (w1, w2, w3)
+           LEFT JOIN ${p}tctx tctx USING (w1, w2)
+           LEFT JOIN ${p}bi bi USING (w2, w3)
+           LEFT JOIN ${p}bctx bctx USING (w2)
+           LEFT JOIN ${p}uni uni USING (w3)
+           CROSS JOIN ${p}tot tt CROSS JOIN ${p}v vv
+           GROUP BY 1)"""
+    s"""WITH t AS (SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
+             END AS toks FROM documents),
+         dt AS MATERIALIZED (SELECT doc_id, s.w1 AS w1, s.w2 AS w2,
+             s.w3 AS w3, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT doc_id,
+                   unnest(list_transform(range(len(toks) - 2),
+                     i -> {'w1': toks[i+1], 'w2': toks[i+2],
+                           'w3': toks[i+3]})) AS s
+                 FROM t WHERE len(toks) >= 3) x
+           GROUP BY 1, 2, 3, 4),
+         ${lmCtes("g", "")},
+         ${lmCtes("i", "WHERE source = 'src0'")},
+         j AS MATERIALIZED (SELECT doc_id, isc.x AS xi, gsc.x AS xg
+                            FROM isc JOIN gsc USING (doc_id)),
+         md AS (SELECT avg(xi - xg) AS md FROM j)
+         SELECT doc_id, round(xi, 6) AS xent_in,
+           round(xg, 6) AS xent_gen,
+           round(xi - xg, 6) AS ml_score,
+           CAST(xi - xg <= md.md AS INTEGER) AS keep
+         FROM j, md"""
+  }
+
+  /** Full q142 oracle statement — shared by its entry and the q190
+    * composition.
+    */
+  private lazy val gopherOracleSql: String =
+    """WITH t AS (SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         s AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
+                    / len(toks) END, 6) AS mean_word_len,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(list_filter(toks,
+                      w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                    / len(toks) END, 6) AS alpha_frac,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE ((length(text) - length(replace(text, '#', ''))) +
+                     (length(text) - length(replace(text, '...', ''))) / 3)
+                    / len(toks) END, 6) AS symbol_frac,
+             CAST(len(list_intersect(list_distinct(toks),
+               ['the','a','an','and','or','of','to','in','is','it']))
+               AS BIGINT) AS n_stopwords
+           FROM t)
+         SELECT s.*,
+           n_words BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_frac <= 0.1
+             AND alpha_frac >= 0.8
+             AND n_stopwords >= 2 AS keep
+         FROM s"""
+
   private val trigramLmCtes: String =
     """t AS (SELECT doc_id,
                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -2624,12 +2789,7 @@ object SparkEntry {
     // q127: same LM count tables and interpolation weights as the
     // engine; every component is positive (scored corpus = training
     // corpus) so the ln never sees zero.
-    "q127_trigram_ppl" ->
-      s"""WITH $trigramLmCtes
-         SELECT doc_id, n_trigrams, round(x, 6) AS xent,
-           round(exp(x), 6) AS ppl,
-           CAST(exp(x) <= mean_ppl AS INTEGER) AS keep
-         FROM sc CROSS JOIN m""",
+    "q127_trigram_ppl" -> trigramPplOracleSql,
     // q130: the composed corpus-assembly manifest — q78's canonical
     // survivors ∩ q127's perplexity-kept docs, sharded by the q75
     // doc_id hash; both chains reused verbatim.
@@ -3394,35 +3554,7 @@ object SparkEntry {
          FROM pr WHERE d2o > 0""",
     // q142: identical tokenization, rule thresholds, and rounding; the
     // keep conjunction reads the ROUNDED fractions on both sides.
-    "q142_gopher_rules" ->
-      """WITH t AS (SELECT doc_id, text,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-           FROM documents),
-         s AS (SELECT doc_id,
-             CAST(len(toks) AS BIGINT) AS n_words,
-             round(CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
-                    / len(toks) END, 6) AS mean_word_len,
-             round(CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE len(list_filter(toks,
-                      w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
-                    / len(toks) END, 6) AS alpha_frac,
-             round(CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE ((length(text) - length(replace(text, '#', ''))) +
-                     (length(text) - length(replace(text, '...', ''))) / 3)
-                    / len(toks) END, 6) AS symbol_frac,
-             CAST(len(list_intersect(list_distinct(toks),
-               ['the','a','an','and','or','of','to','in','is','it']))
-               AS BIGINT) AS n_stopwords
-           FROM t)
-         SELECT s.*,
-           n_words BETWEEN 50 AND 100000
-             AND mean_word_len BETWEEN 3.0 AND 10.0
-             AND symbol_frac <= 0.1
-             AND alpha_frac >= 0.8
-             AND n_stopwords >= 2 AS keep
-         FROM s""",
+    "q142_gopher_rules" -> gopherOracleSql,
     // q143: the same shingle inversion as q21; containment divides by
     // the SOURCE side's set size; thresholds compare unrounded.
     "q143_shingle_containment" ->
@@ -4163,51 +4295,7 @@ object SparkEntry {
     // tokenization (q142), features rounded to 6 BEFORE training,
     // weights rounded to 6 after every round (absorbs summation-order
     // drift), dot product in the same left-to-right order.
-    "q180_lr_quality" -> {
-      val rounds = (1 to 6)
-        .map { k =>
-          s"""p$k AS (SELECT f.y, f.f1, f.f2, f.f3, f.f4,
-             w.w0 AS a0, w.w1 AS a1, w.w2 AS a2, w.w3 AS a3, w.w4 AS a4,
-             1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3
-               + w.w4*f.f4))) AS p
-           FROM f, w${k - 1} w),
-         w$k AS (SELECT round(any_value(a0) + avg(y - p), 6) AS w0,
-             round(any_value(a1) + avg((y - p) * f1), 6) AS w1,
-             round(any_value(a2) + avg((y - p) * f2), 6) AS w2,
-             round(any_value(a3) + avg((y - p) * f3), 6) AS w3,
-             round(any_value(a4) + avg((y - p) * f4), 6) AS w4
-           FROM p$k)"""
-        }
-        .mkString(",\n         ")
-      s"""WITH t AS (SELECT doc_id,
-             CASE WHEN source = 'src0' THEN 1.0::DOUBLE
-                  ELSE 0.0::DOUBLE END AS y,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
-           FROM documents),
-         f AS (SELECT doc_id, y,
-             round(len(toks)::DOUBLE / 100.0, 6) AS f1,
-             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
-               ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
-                    / len(toks) / 10.0 END, 6) AS f2,
-             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
-               ELSE len(list_filter(toks, w -> list_contains(
-                      ['the','a','an','and','or','of','to','in','is','it'],
-                      w)))::DOUBLE / len(toks) END, 6) AS f3,
-             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
-               ELSE len(list_distinct(toks))::DOUBLE / len(toks) END, 6)
-               AS f4
-           FROM t),
-         w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
-             0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4),
-         $rounds
-         SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
-           round(1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2
-             + w.w3*f.f3 + w.w4*f.f4))), 6) AS score,
-           1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3
-             + w.w4*f.f4))) >= 0.5 AS pred_quality
-         FROM f, w6 w"""
-    },
+    "q180_lr_quality" -> lrQualityOracleSql,
     // q181: batch statement of the stream's keep-first semantics —
     // same q22 signature/band construction; suppressed iff any band
     // bucket holds a smaller doc_id; band-less docs always kept.
@@ -4397,69 +4485,7 @@ object SparkEntry {
     // q184: both LM chains replayed with LEFT joins + the same
     // uniform-floor interpolation; the keep cut compares the
     // UNROUNDED diff to the corpus mean like q127.
-    "q184_moore_lewis" -> {
-      def lmCtes(p: String, filt: String): String =
-        s"""${p}tr AS (SELECT doc_id, toks FROM t $filt),
-         ${p}tri AS (SELECT s.w1 AS w1, s.w2 AS w2, s.w3 AS w3,
-             CAST(count(*) AS BIGINT) AS n3
-           FROM (SELECT unnest(list_transform(range(len(toks) - 2),
-                   i -> {'w1': toks[i+1], 'w2': toks[i+2],
-                         'w3': toks[i+3]})) AS s
-                 FROM ${p}tr WHERE len(toks) >= 3) x
-           GROUP BY 1, 2, 3),
-         ${p}tctx AS (SELECT w1, w2, CAST(sum(n3) AS BIGINT) AS n2ctx
-                      FROM ${p}tri GROUP BY 1, 2),
-         ${p}bi AS (SELECT s.w2 AS w2, s.w3 AS w3,
-             CAST(count(*) AS BIGINT) AS nb
-           FROM (SELECT unnest(list_transform(range(len(toks) - 1),
-                   i -> {'w2': toks[i+1], 'w3': toks[i+2]})) AS s
-                 FROM ${p}tr WHERE len(toks) >= 2) x
-           GROUP BY 1, 2),
-         ${p}bctx AS (SELECT w2, CAST(sum(nb) AS BIGINT) AS nbctx
-                      FROM ${p}bi GROUP BY 1),
-         ${p}uni AS (SELECT w3, CAST(count(*) AS BIGINT) AS n1
-                     FROM (SELECT unnest(toks) AS w3 FROM ${p}tr) u
-                     GROUP BY 1),
-         ${p}tot AS (SELECT CAST(sum(n1) AS DOUBLE) AS tot
-                     FROM ${p}uni),
-         ${p}v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ${p}uni),
-         ${p}sc AS MATERIALIZED (SELECT dt.doc_id,
-             sum(dt.c * -ln(
-               0.55 * coalesce(tri.n3 / tctx.n2ctx, 0)
-               + 0.3 * coalesce(bi.nb / bctx.nbctx, 0)
-               + 0.1 * coalesce(uni.n1 / tt.tot, 0)
-               + 0.05::DOUBLE / vv.v)) / sum(dt.c) AS x
-           FROM dt
-           LEFT JOIN ${p}tri tri USING (w1, w2, w3)
-           LEFT JOIN ${p}tctx tctx USING (w1, w2)
-           LEFT JOIN ${p}bi bi USING (w2, w3)
-           LEFT JOIN ${p}bctx bctx USING (w2)
-           LEFT JOIN ${p}uni uni USING (w3)
-           CROSS JOIN ${p}tot tt CROSS JOIN ${p}v vv
-           GROUP BY 1)"""
-      s"""WITH t AS (SELECT doc_id, source,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\\s+')
-             END AS toks FROM documents),
-         dt AS MATERIALIZED (SELECT doc_id, s.w1 AS w1, s.w2 AS w2,
-             s.w3 AS w3, CAST(count(*) AS BIGINT) AS c
-           FROM (SELECT doc_id,
-                   unnest(list_transform(range(len(toks) - 2),
-                     i -> {'w1': toks[i+1], 'w2': toks[i+2],
-                           'w3': toks[i+3]})) AS s
-                 FROM t WHERE len(toks) >= 3) x
-           GROUP BY 1, 2, 3, 4),
-         ${lmCtes("g", "")},
-         ${lmCtes("i", "WHERE source = 'src0'")},
-         j AS MATERIALIZED (SELECT doc_id, isc.x AS xi, gsc.x AS xg
-                            FROM isc JOIN gsc USING (doc_id)),
-         md AS (SELECT avg(xi - xg) AS md FROM j)
-         SELECT doc_id, round(xi, 6) AS xent_in,
-           round(xg, 6) AS xent_gen,
-           round(xi - xg, 6) AS ml_score,
-           CAST(xi - xg <= md.md AS INTEGER) AS keep
-         FROM j, md"""
-    },
+    "q184_moore_lewis" -> mooreLewisOracleSql,
     // q185: same fixed binning and midpoint estimate; thresholds
     // computed in DOUBLE on both sides; exact audit = quantile_cont.
     "q185_stream_monitor" ->
@@ -4603,6 +4629,60 @@ object SparkEntry {
            round(fit.beta, 6) AS beta,
            round(exp((fit.sy - fit.beta * fit.sx) / fit.np), 6) AS k
          FROM tot JOIN voc USING (source) JOIN fit USING (source)""",
+    // q189: identical normalization chain (lower → strip non-alnum →
+    // collapse ws → trim) and md5 keys; dup flags via group counts.
+    "q189_normalized_dedup" ->
+      """WITH k AS (SELECT doc_id, md5(text) AS raw_key,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_key
+           FROM documents),
+         c AS (SELECT k.*,
+             count(*) OVER (PARTITION BY raw_key) AS raw_n,
+             count(*) OVER (PARTITION BY norm_key) AS norm_n
+           FROM k)
+         SELECT doc_id, raw_n > 1 AS raw_dup, norm_n > 1 AS norm_dup,
+           norm_n > 1 AND raw_n = 1 AS norm_only_dup
+         FROM c""",
+    // q190: each gate's full proven oracle embedded verbatim as a
+    // subquery (no CTE renaming, no re-derivation drift); κ in the
+    // same expression order, chance-agreement ties → κ = 0.
+    "q190_gate_agreement" ->
+      s"""WITH g1 AS (SELECT doc_id, keep AS f
+                      FROM ($gopherOracleSql) x1),
+         g2 AS (SELECT doc_id, pred_quality AS f
+                FROM ($lrQualityOracleSql) x2),
+         g3 AS (SELECT doc_id, keep = 1 AS f
+                FROM ($mooreLewisOracleSql) x3),
+         g4 AS (SELECT doc_id, keep = 1 AS f
+                FROM ($trigramPplOracleSql) x4),
+         fl AS (SELECT doc_id, 'gopher' AS gate, f FROM g1
+                UNION ALL SELECT doc_id, 'lr', f FROM g2
+                UNION ALL SELECT doc_id, 'ml', f FROM g3
+                UNION ALL SELECT doc_id, 'ppl', f FROM g4),
+         pr AS (SELECT a.gate AS gate_a, b.gate AS gate_b,
+                  count(*) AS n,
+                  CAST(sum(CASE WHEN a.f AND b.f THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s11,
+                  CAST(sum(CASE WHEN NOT a.f AND NOT b.f
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s00,
+                  CAST(sum(CASE WHEN a.f THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sa,
+                  CAST(sum(CASE WHEN b.f THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sb
+                FROM fl a JOIN fl b
+                  ON a.doc_id = b.doc_id AND a.gate < b.gate
+                GROUP BY 1, 2)
+         SELECT gate_a, gate_b, n,
+           round((s11 + s00)::DOUBLE / n, 6) AS agree_frac,
+           CASE WHEN (sa * sb + (n - sa) * (n - sb))::DOUBLE
+                  / (n * n) = 1
+                THEN 0.0
+                ELSE round(((s11 + s00)::DOUBLE / n
+                  - (sa * sb + (n - sa) * (n - sb))::DOUBLE / (n * n))
+                  / (1 - (sa * sb + (n - sa) * (n - sb))::DOUBLE
+                     / (n * n)), 6)
+           END AS kappa
+         FROM pr""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

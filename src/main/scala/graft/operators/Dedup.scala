@@ -1226,6 +1226,50 @@ object Dedup {
   def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
     cdcChunkDedupFrom(Tables.documents(spark, dir))
 
+  /** q189: normalization-aware exact dedup — the CCNet preprocessing
+    * insight made measurable: exact dedup on RAW text misses copies
+    * that differ only in case, punctuation, or whitespace, so
+    * production pipelines canonicalize first. This query reports the
+    * delta: per document, is it an exact duplicate under the raw
+    * key, under the normalized key (lowercase, strip non-alnum,
+    * collapse whitespace), and — the interesting set — only under
+    * normalization. The norm-only fraction is the yield a pipeline
+    * forfeits by skipping canonicalization.
+    *
+    * Scale: two md5 keys per row in one scan; group sizes via two
+    * key-partitioned window counts (bounded by duplicate family
+    * size). Both keys and the normalization are engine-portable
+    * (lower / regexp_replace / md5 — identical in the oracle).
+    */
+  def normalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(
+      regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""),
+        "\\s+",
+        " "
+      )
+    )
+    val keyed = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("raw_key"),
+        md5(norm).as("norm_key")
+      )
+    val rawW = Window.partitionBy(col("raw_key"))
+    val normW = Window.partitionBy(col("norm_key"))
+    keyed
+      .withColumn("raw_n", count(lit(1)).over(rawW))
+      .withColumn("norm_n", count(lit(1)).over(normW))
+      .select(
+        col("doc_id"),
+        (col("raw_n") > 1).as("raw_dup"),
+        (col("norm_n") > 1).as("norm_dup"),
+        (col("norm_n") > 1 && col("raw_n") === 1).as("norm_only_dup")
+      )
+  }
+
   /** q187: dedup threshold sensitivity sweep — the report an operator
     * reads BEFORE picking the near-dup Jaccard cutoff: for every
     * candidate threshold t ∈ {0.05, 0.10, …, 1.00}, how many pairs

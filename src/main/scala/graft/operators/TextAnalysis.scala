@@ -2100,6 +2100,73 @@ object TextAnalysis {
       )
   }
 
+  /** q190: quality-gate agreement matrix — Cohen's κ between every
+    * pair of the four independent quality gates the engine ships:
+    * the Gopher heuristic battery (q142), the corpus-LM perplexity
+    * cut (q127), the trained LR curated-vs-crawl gate (q180), and
+    * Moore-Lewis cross-entropy-difference selection (q184). This is
+    * the methodology check a curation team runs before stacking
+    * filters: high κ between two gates means one is redundant; κ
+    * near 0 means they cut on genuinely different signals (chance-
+    * corrected — raw agreement is inflated when both gates keep
+    * almost everything).
+    *
+    * Composition shape: each gate is the EXISTING operator invoked
+    * through its public seam; flags go long-form (doc, gate, keep)
+    * and one self-join + aggregate produces all 6 pairs. The oracle
+    * embeds each gate's full proven SQL as a subquery — zero
+    * re-derivation drift. Pairs involving the LM gates cover the
+    * ≥3-token documents those gates score; `n` reports each pair's
+    * overlap.
+    */
+  def gateAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val gates = Seq(
+      "gopher" -> gopherRules(spark, dir)
+        .select(col("doc_id"), col("keep").cast("boolean").as("f")),
+      "lr" -> QualityLR
+        .lrQualityGate(spark, dir)
+        .select(col("doc_id"), col("pred_quality").as("f")),
+      "ml" -> mooreLewisSelect(spark, dir)
+        .select(col("doc_id"), (col("keep") === 1).as("f")),
+      "ppl" -> trigramPerplexity(spark, dir)
+        .select(col("doc_id"), (col("keep") === 1).as("f"))
+    )
+    val flags = gates
+      .map { case (n, df) =>
+        df.select(col("doc_id"), lit(n).as("gate"), col("f"))
+      }
+      .reduce(_.unionByName(_))
+      // feeds both sides of the pair self-join
+      .cache()
+    val a = flags.select(
+      col("doc_id"), col("gate").as("gate_a"), col("f").as("fa"))
+    val b = flags.select(
+      col("doc_id"), col("gate").as("gate_b"), col("f").as("fb"))
+    val pr = a
+      .join(b, Seq("doc_id"))
+      .filter(col("gate_a") < col("gate_b"))
+      .groupBy(col("gate_a"), col("gate_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("fa") && col("fb"), 1).otherwise(0)).as("s11"),
+        sum(when(!col("fa") && !col("fb"), 1).otherwise(0)).as("s00"),
+        sum(when(col("fa"), 1).otherwise(0)).as("sa"),
+        sum(when(col("fb"), 1).otherwise(0)).as("sb")
+      )
+    val po = (col("s11") + col("s00")).cast("double") / col("n")
+    val pe = (col("sa") * col("sb") + (col("n") - col("sa")) *
+      (col("n") - col("sb"))).cast("double") / (col("n") * col("n"))
+    pr.select(
+      col("gate_a"),
+      col("gate_b"),
+      col("n"),
+      round(po, 6).as("agree_frac"),
+      when(pe === 1, 0.0)
+        .otherwise(round((po - pe) / (lit(1) - pe), 6))
+        .as("kappa")
+    )
+  }
+
   /** q184: Moore-Lewis cross-entropy-difference data selection
     * (Moore & Lewis, "Intelligent Selection of Language Model
     * Training Data", ACL 2010): score every document by

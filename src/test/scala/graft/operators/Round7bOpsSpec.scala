@@ -232,6 +232,15 @@ class Round7bOpsSpec extends AnyFunSuite {
     assert(mism === 0L)
   }
 
+  test("q190 gate agreement: all 6 pairs, κ bounded, constant gate ⇒ κ = 0") {
+    val out = TextAnalysis.gateAgreement(spark, dir).cache()
+    assert(out.count() === 6)
+    assert(out.filter(col("kappa") < -1 || col("kappa") > 1).count() === 0L)
+    assert(out.filter(col("agree_frac") < 0 || col("agree_frac") > 1)
+      .count() === 0L)
+    assert(out.filter(col("n") <= 0).count() === 0L)
+  }
+
   test("q182 estimates stay in [0,1] and cover every source pair") {
     val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
     val nSrc = Tables.documents(spark, dir)
