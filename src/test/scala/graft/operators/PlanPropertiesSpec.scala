@@ -400,6 +400,47 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!plan("q155_ngram_novelty").contains("CartesianProduct"))
   }
 
+  test("round-7 continuation ops keep their scale plan shapes") {
+    // q180: the model is literals and the features frame is an eager
+    // localCheckpoint — SCORING is a shuffle-free map stage
+    val p180 = plan("q180_lr_quality")
+    assert(!p180.contains("Exchange"), "q180 scoring must not shuffle")
+    // q182: the 8-long sketch pair table rides broadcast; the only
+    // pairwise step is keyed (shingle inversion), never cartesian
+    val p182 = plan("q182_source_minhash")
+    assert(p182.contains("BroadcastNestedLoopJoin"), "sketch pairs broadcast")
+    assert(!p182.contains("CartesianProduct"))
+    // q183: LUT/probe joins are broadcast hash joins; candidates come
+    // from the probed lists, never a corpus cross product
+    val p183 = plan("q183_ivfpq")
+    assert(p183.contains("BroadcastHashJoin"), "q183 LUTs broadcast")
+    assert(!p183.contains("CartesianProduct"))
+    // q184: both LM scoring chains are keyed joins + broadcast scalars
+    val p184 = plan("q184_moore_lewis")
+    assert(!p184.contains("CartesianProduct"))
+    assert(p184.contains("BroadcastNestedLoopJoin"),
+      "tot/|V| scalars broadcast")
+    // q186: chunk windows partition on doc_id; no global sort anywhere
+    val p186 = plan("q186_cdc_chunks")
+    assert(!p186.contains("Arguments: rangepartitioning("),
+      "q186 no corpus-wide global sort")
+    assert(!p186.contains("CartesianProduct"))
+    // q187: the sweep reads the CACHED pair artifact, one fan-out pass
+    val p187 = plan("q187_threshold_sweep")
+    assert(p187.contains("InMemoryTableScan") ||
+      p187.contains("TableCacheQueryStage"),
+      "q187 reuses the cached q21 pair table")
+    assert(!p187.contains("CartesianProduct"))
+    // q188: decile bounds join the vocab-sized first-occurrence frame
+    // as a BROADCAST equi-join on source (fp ≤ bound is a post-filter)
+    val p188 = plan("q188_heaps_law")
+    assert(p188.contains("BroadcastHashJoin"), "bounds broadcast")
+    assert(!p188.contains("CartesianProduct"))
+    // q189/q190: keyed windows and keyed self-join only
+    assert(!plan("q189_normalized_dedup").contains("CartesianProduct"))
+    assert(!plan("q190_gate_agreement").contains("CartesianProduct"))
+  }
+
   test("every oracle query has matching column names in its SQL") {
     // alias discipline: each oracle's SQL must mention every output
     // column name of the Spark result (driver sorts columns by name)
