@@ -590,6 +590,9 @@ object SparkEntry {
     // Cohen's κ between the four quality gates (Gopher, perplexity,
     // LR, Moore-Lewis) — the stack-redundancy methodology check.
     "q190_gate_agreement" -> ((s, d) => TextAnalysis.gateAgreement(s, d)),
+    // Per-epoch deterministic global training order: epoch-seeded
+    // hash permutations via the exact two-pass global ranking.
+    "q191_epoch_order" -> ((s, d) => Sampling.epochShuffleOrder(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4683,6 +4686,18 @@ object SparkEntry {
                      / (n * n)), 6)
            END AS kappa
          FROM pr""",
+    // q191: same epoch-seeded md5 order key; the per-epoch position
+    // is a window row_number (tiny per-epoch partitions in DuckDB;
+    // the Spark side uses the exact distributed ranking instead).
+    "q191_epoch_order" ->
+      """WITH k AS (SELECT doc_id, t.e AS epoch,
+             ('0x' || substr(md5(t.e || ':' || doc_id), 1, 15))::BIGINT
+               AS h
+           FROM documents, range(3) t(e))
+         SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+           row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
+             AS position
+         FROM k""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -911,4 +911,51 @@ object Sampling {
         round(col("chosen_q") - col("rejected_q"), 6).as("margin")
       )
   }
+
+  /** q191: per-epoch deterministic global training order — every
+    * epoch is a DIFFERENT pseudo-random permutation of the corpus
+    * (epoch-seeded content hash), and every permutation is exactly
+    * reproducible on any cluster layout or retry. This is the data-
+    * order contract of reproducible LLM training: a restart at epoch
+    * 2 must re-derive byte-identical batch order without any stored
+    * shuffle state.
+    *
+    * Scale: the order key is hash60(epoch:doc_id); positions come
+    * from ONE two-pass exact global ranking over (epoch, key) — the
+    * q50/q164 range-shuffle + zipWithIndex machinery, never a
+    * corpus-wide single-partition window — and the per-epoch
+    * position is closed-form rank arithmetic (rank − epoch·N).
+    */
+  def epochShuffleOrder(
+      spark: SparkSession,
+      dir: String,
+      epochs: Int = 3
+  ): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val keyed = docs
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch")
+      )
+      .withColumn(
+        "h",
+        hash60(concat_ws(":", col("epoch"), col("doc_id")))
+      )
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    Ranking
+      .withGlobalRank(
+        keyed,
+        Seq(col("epoch"), col("h"), col("doc_id")),
+        "r",
+        parts
+      )
+      .crossJoin(broadcast(total))
+      .select(
+        col("epoch"),
+        col("doc_id"),
+        (col("r") - col("epoch") * col("n_docs")).as("position")
+      )
+  }
 }

@@ -241,6 +241,48 @@ class Round7bOpsSpec extends AnyFunSuite {
     assert(out.filter(col("n") <= 0).count() === 0L)
   }
 
+  test("q191 epoch orders are reproducible permutations that differ") {
+    val out = Sampling.epochShuffleOrder(spark, dir).cache()
+    val n = Tables.documents(spark, dir).count()
+    // each epoch is a permutation of 1..N
+    val perEpoch = out
+      .groupBy(col("epoch"))
+      .agg(
+        count(lit(1)).as("c"),
+        min(col("position")).as("mn"),
+        max(col("position")).as("mx"),
+        countDistinct(col("position")).as("dp")
+      )
+      .collect()
+    assert(perEpoch.length === 3)
+    perEpoch.foreach { r =>
+      assert(r.getLong(1) === n && r.getLong(2) === 1L &&
+        r.getLong(3) === n && r.getLong(4) === n)
+    }
+    // epochs produce genuinely different orders
+    val same01 = out
+      .filter(col("epoch") === 0)
+      .select(col("doc_id"), col("position"))
+      .join(
+        out.filter(col("epoch") === 1)
+          .select(col("doc_id"), col("position").as("p1")),
+        Seq("doc_id")
+      )
+      .filter(col("position") === col("p1"))
+      .count()
+    assert(same01 < n, "epoch 0 and 1 must not share the full order")
+    // and a rerun reproduces epoch 1 exactly (layout-independent)
+    val rerun = Sampling
+      .epochShuffleOrder(spark, dir)
+      .filter(col("epoch") === 1)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(2))
+      .toMap
+    out.filter(col("epoch") === 1).collect().foreach { r =>
+      assert(rerun(r.getLong(1)) === r.getLong(2))
+    }
+  }
+
   test("q182 estimates stay in [0,1] and cover every source pair") {
     val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
     val nSrc = Tables.documents(spark, dir)
