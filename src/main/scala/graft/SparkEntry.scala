@@ -593,6 +593,10 @@ object SparkEntry {
     // Per-epoch deterministic global training order: epoch-seeded
     // hash permutations via the exact two-pass global ranking.
     "q191_epoch_order" -> ((s, d) => Sampling.epochShuffleOrder(s, d)),
+    // Embedding-space decontamination: cross-set banded LSH candidates
+    // + exact cosine verify against the eval vectors.
+    "q192_embedding_decon" ->
+      ((s, d) => Similarity.embeddingDecontaminate(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4698,6 +4702,39 @@ object SparkEntry {
            row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id)
              AS position
          FROM k""",
+    // q192: q26's banded generation replayed cross-set; argmax by
+    // (sim desc, eval_id desc) matches the struct-max tie-break.
+    "q192_embedding_decon" -> {
+      val pairCos = cosSql("e1.embedding", "e2.embedding")
+      s"""WITH pl AS (SELECT list(embedding ORDER BY vec_id) AS planes
+                FROM embeddings WHERE vec_id BETWEEN 100 AND 115),
+         v AS (SELECT vec_id, embedding FROM embeddings),
+         bands AS (SELECT v.vec_id, s.b AS band,
+                 array_to_string(list_transform(
+                   [pl.planes[s.b * 4 + 1], pl.planes[s.b * 4 + 2],
+                    pl.planes[s.b * 4 + 3], pl.planes[s.b * 4 + 4]], p ->
+                   CASE WHEN list_sum(list_transform(
+                          list_zip(p, v.embedding),
+                          z -> z[1]::DOUBLE * z[2]::DOUBLE)) >= 0
+                        THEN '1' ELSE '0' END), '') AS code
+               FROM v, pl, (SELECT unnest(range(4)) AS b) s),
+         p AS (SELECT DISTINCT b1.vec_id AS vec_id,
+                 b2.vec_id AS eval_id
+               FROM bands b1 JOIN bands b2
+                 ON b1.band = b2.band AND b1.code = b2.code
+               WHERE b1.vec_id % 50 != 0 AND b2.vec_id % 50 = 0),
+         s AS (SELECT p.vec_id, p.eval_id, $pairCos AS sim
+               FROM p JOIN v e1 ON p.vec_id = e1.vec_id
+                      JOIN v e2 ON p.eval_id = e2.vec_id),
+         f AS (SELECT vec_id, eval_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, eval_id DESC) AS rn,
+                 count(*) OVER (PARTITION BY vec_id) AS n_matches
+               FROM s WHERE sim > 0.4)
+         SELECT vec_id, CAST(n_matches AS BIGINT) AS n_matches,
+           eval_id AS best_eval_id, round(sim, 6) AS best_sim
+         FROM f WHERE rn = 1"""
+    },
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -216,6 +216,58 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** q192: embedding-space benchmark decontamination — the third leg
+    * of the decontamination triad (shingle overlap q73, Bloom screen
+    * q137, retrieval q133 work on TEXT): flag training vectors whose
+    * embedding is near-identical to an eval-set vector, catching
+    * paraphrased contamination that exact n-gram methods miss. Eval
+    * set = vec_id ≡ 0 mod 50 (stands in for the benchmark's
+    * embedded examples).
+    *
+    * Scale: candidates come from the same banded sign-LSH codes as
+    * q26, but the band join is CROSS-SET (corpus codes × eval codes)
+    * — cost ∝ collisions with the tiny eval side, never
+    * |corpus|×|eval|; verification is exact cosine on the candidate
+    * pairs only; the per-vector report is a struct-argmax aggregate.
+    */
+  def embeddingDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val b = lshBandCodes(spark, dir, None, planesPerBand = 4)
+      .select(col("vec_id"), col("band"), col("code"))
+      .cache()
+    val corpus = b.filter(pmod(col("vec_id"), lit(50)) =!= 0)
+    val evalSide = b
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("eval_id"), col("band"), col("code"))
+    val pairs = corpus
+      .join(evalSide, Seq("band", "code"))
+      .select(col("vec_id"), col("eval_id"))
+      .distinct()
+    val e = Tables.embeddings(spark, dir)
+    pairs
+      .join(e.select(col("vec_id"), col("embedding").as("ec")), Seq("vec_id"))
+      .join(
+        e.select(col("vec_id").as("eval_id"), col("embedding").as("ee")),
+        Seq("eval_id")
+      )
+      .select(
+        col("vec_id"),
+        col("eval_id"),
+        cosine(col("ec"), col("ee")).as("sim")
+      )
+      .filter(col("sim") > 0.4)
+      .groupBy(col("vec_id"))
+      .agg(
+        count(lit(1)).as("n_matches"),
+        max(struct(col("sim"), col("eval_id"))).as("best")
+      )
+      .select(
+        col("vec_id"),
+        col("n_matches"),
+        col("best.eval_id").as("best_eval_id"),
+        round(col("best.sim"), 6).as("best_sim")
+      )
+  }
+
   /** q69: per-label embedding centroids — element-wise mean over the
     * vector column, the building block for k-means/IVF training and
     * class prototypes. Distributed shape: posexplode → per-(label,

@@ -283,6 +283,16 @@ class Round7bOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q192 decontamination flags only corpus vectors, sims above cut") {
+    val out = Similarity.embeddingDecontaminate(spark, dir).cache()
+    // eval vectors (id ≡ 0 mod 50) must never appear as flagged rows
+    assert(out.filter(pmod(col("vec_id"), lit(50)) === 0).count() === 0L)
+    // every best match IS an eval vector above the verify threshold
+    assert(out.filter(pmod(col("best_eval_id"), lit(50)) =!= 0).count() === 0L)
+    assert(out.filter(col("best_sim") <= 0.4).count() === 0L)
+    assert(out.filter(col("n_matches") <= 0).count() === 0L)
+  }
+
   test("q182 estimates stay in [0,1] and cover every source pair") {
     val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
     val nSrc = Tables.documents(spark, dir)
