@@ -52,9 +52,6 @@ object QualityLR {
   val LearningRate = 1.0
   val Iters = 6
 
-  private val Stopwords: Seq[String] =
-    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-
   /** One corpus pass → (doc_id, y, f1..f4) with features rounded to
     * 6 decimals. y = 1.0 for the curated source (`src0`), 0.0
     * otherwise. Features: n_words/100, mean word length/10,
@@ -64,12 +61,13 @@ object QualityLR {
     featuresFrom(Tables.documents(spark, dir))
 
   /** The feature pass over a prepared (doc_id, source, text) frame —
-    * the ScaleBench seam.
+    * the ScaleBench seam. Tokenization and the stopword list are the
+    * shared [[graft.functions.TextFunctions]] ones (the q142
+    * contract), not private copies.
     */
   def featuresFrom(docs: DataFrame): DataFrame = {
-    val toks = when(length(trim(col("text"))) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(col("text")), "\\s+"))
-    val sw = array(Stopwords.map(lit): _*)
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val sw = array(graft.functions.TextFunctions.stopwordsEn.map(lit): _*)
     docs
       .select(
         col("doc_id"),

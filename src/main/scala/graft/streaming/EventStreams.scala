@@ -82,21 +82,32 @@ object EventStreams {
     f.delete(): Unit
   }
 
-  /** Streaming read of the events table (file source — stands in for
-    * any append-only stream; ts arrives as TIMESTAMP_NTZ micros,
-    * cast to session-zone TimestampType like Tables.events).
+  /** Streaming read of one test-dir parquet table (file source —
+    * stands in for any append-only feed). Shared by the event stream
+    * and the document stream readers: schema probed from a batch
+    * read, pathGlobFilter pins the single table file.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readTableStream(
+      spark: SparkSession,
+      dir: String,
+      table: String
+  ): DataFrame = {
     val schema = spark.read
       .option("mergeSchema", "false")
-      .parquet(s"$dir/events.parquet")
+      .parquet(s"$dir/$table.parquet")
       .schema
     spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", s"$table.parquet")
       .parquet(dir) // file streaming source requires a directory
-      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
   }
+
+  /** Streaming read of the events table; ts arrives as TIMESTAMP_NTZ
+    * micros, cast to session-zone TimestampType like Tables.events.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    readTableStream(spark, dir, "events")
+      .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
 
   /** Tumbling 1-hour windowed counts under a 10-minute watermark —
     * the streaming twin of Events.tumblingCounts.

@@ -53,16 +53,8 @@ object StreamNearDup {
   /** Streaming read of the documents table (file source — stands in
     * for any append-only document feed).
     */
-  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read
-      .option("mergeSchema", "false")
-      .parquet(s"$dir/documents.parquet")
-      .schema
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-  }
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    EventStreams.readTableStream(spark, dir, "documents")
 
   /** (doc_id, band key) hits: the q22 signature → band construction
     * as pure column expressions (streaming-safe, zero state). The
