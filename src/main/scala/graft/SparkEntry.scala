@@ -4281,12 +4281,15 @@ object SparkEntry {
          neg AS (SELECT p2.doc_id, p2.chunk_idx, p2.anchor, p2.positive,
                    (('0x' || substr(md5(p2.doc_id::VARCHAR || '_' ||
                        p2.chunk_idx::VARCHAR), 1, 15))::BIGINT
-                     + p2.doc_id + 1) % n_docs AS neg_doc_id
-                 FROM p2 CROSS JOIN nd)
-         SELECT neg.doc_id, chunk_idx, anchor, positive,
-           CAST(neg.neg_doc_id AS BIGINT) AS neg_doc_id, fs.negative
-         FROM neg JOIN fs USING (neg_doc_id)
-         WHERE neg.neg_doc_id <> neg.doc_id""",
+                     + p2.doc_id + 1) % n_docs AS pick, n_docs
+                 FROM p2 CROSS JOIN nd),
+         n2 AS (SELECT doc_id, chunk_idx, anchor, positive,
+                  CASE WHEN pick = doc_id THEN (pick + 1) % n_docs
+                       ELSE pick END AS neg_doc_id
+                FROM neg)
+         SELECT n2.doc_id, chunk_idx, anchor, positive,
+           CAST(n2.neg_doc_id AS BIGINT) AS neg_doc_id, fs.negative
+         FROM n2 JOIN fs USING (neg_doc_id)""",
     // q179: the q72 closure's min-id survivor flag aggregated per
     // source.
     "q179_source_dup_report" ->
@@ -4576,7 +4579,7 @@ object SparkEntry {
                   >= 0.05),
          sw AS (SELECT CAST(t.k AS INTEGER) AS k, doc_a, doc_b
                 FROM pj, range(1, 21) t(k)
-                WHERE t.k <= floor(jaccard / 0.05)),
+                WHERE t.k <= floor(round(jaccard * 1000000) / 50000.0)),
          g AS (SELECT k, count(*) AS n_pairs,
                  count(DISTINCT doc_b) AS n_dup_docs
                FROM sw GROUP BY 1),
@@ -4641,14 +4644,18 @@ object SparkEntry {
     "q189_normalized_dedup" ->
       """WITH k AS (SELECT doc_id, md5(text) AS raw_key,
              md5(trim(regexp_replace(regexp_replace(lower(text),
-               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_key
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS norm_key,
+             length(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) > 0
+               AS has_content
            FROM documents),
          c AS (SELECT k.*,
              count(*) OVER (PARTITION BY raw_key) AS raw_n,
              count(*) OVER (PARTITION BY norm_key) AS norm_n
            FROM k)
-         SELECT doc_id, raw_n > 1 AS raw_dup, norm_n > 1 AS norm_dup,
-           norm_n > 1 AND raw_n = 1 AS norm_only_dup
+         SELECT doc_id, raw_n > 1 AS raw_dup,
+           norm_n > 1 AND has_content AS norm_dup,
+           norm_n > 1 AND has_content AND raw_n = 1 AS norm_only_dup
          FROM c""",
     // q190: each gate's full proven oracle embedded verbatim as a
     // subquery (no CTE renaming, no re-derivation drift); κ in the

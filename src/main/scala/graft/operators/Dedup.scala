@@ -79,7 +79,25 @@ object Dedup {
     * re-deriving it per consumer. The caller owns materialization of
     * `d` (it feeds both sides of the self-join).
     */
-  def ngramJaccardPairsFrom(d: DataFrame): DataFrame = {
+  def ngramJaccardPairsFrom(d: DataFrame): DataFrame =
+    shinglePairIntersections(d)
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .filter(col("jaccard") >= 0.05)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** The raw shingle-inversion pair frame (doc_a < doc_b, inter,
+    * n_a, n_b) shared by the Jaccard (q21) and containment (q143)
+    * pair generators — ONE maintenance site for the collision-linear
+    * inversion topology.
+    */
+  private def shinglePairIntersections(d: DataFrame): DataFrame = {
     val e = d.select(
       col("doc_id"),
       size(col("sh")).as("n_sh"),
@@ -103,16 +121,6 @@ object Dedup {
         first(col("n_a")).as("n_a"),
         first(col("n_b")).as("n_b")
       )
-      .withColumn(
-        "jaccard",
-        round(
-          col("inter").cast("double") /
-            (col("n_a") + col("n_b") - col("inter")),
-          6
-        )
-      )
-      .filter(col("jaccard") >= 0.05)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   val NumHashes = 8
@@ -906,23 +914,7 @@ object Dedup {
       dir: String,
       minContainment: Double = 0.5
   ): DataFrame = {
-    val d = docShingles(spark, dir)
-    val e = d.select(
-      col("doc_id"),
-      size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s")
-    )
-    val a = e.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"), col("s"))
-    val b = e.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"), col("s"))
-    val pairs = a
-      .join(b, Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(
-        count(lit(1)).as("inter"),
-        first(col("n_a")).as("n_a"),
-        first(col("n_b")).as("n_b")
-      )
+    val pairs = shinglePairIntersections(docShingles(spark, dir))
     pairs
       .select(
         explode(
@@ -1255,7 +1247,12 @@ object Dedup {
       .select(
         col("doc_id"),
         md5(col("text")).as("raw_key"),
-        md5(norm).as("norm_key")
+        md5(norm).as("norm_key"),
+        // punctuation/whitespace-only docs all normalize to "", which
+        // would flag unrelated empty-content docs as duplicates of
+        // each other — an empty canonical form is "no content", not
+        // "same content"
+        (length(norm) > 0).as("has_content")
       )
     val rawW = Window.partitionBy(col("raw_key"))
     val normW = Window.partitionBy(col("norm_key"))
@@ -1265,8 +1262,9 @@ object Dedup {
       .select(
         col("doc_id"),
         (col("raw_n") > 1).as("raw_dup"),
-        (col("norm_n") > 1).as("norm_dup"),
-        (col("norm_n") > 1 && col("raw_n") === 1).as("norm_only_dup")
+        (col("norm_n") > 1 && col("has_content")).as("norm_dup"),
+        (col("norm_n") > 1 && col("has_content") && col("raw_n") === 1)
+          .as("norm_only_dup")
       )
   }
 
@@ -1292,9 +1290,17 @@ object Dedup {
       .documents(spark, dir)
       .agg(count(lit(1)).as("n_docs"))
     pairs
+      // jaccard is a 6-decimal rounded value; rescale it to an exact
+      // integer (round kills the binary residue) so the threshold
+      // comparison is integer arithmetic — floor(j / 0.05) in IEEE
+      // doubles drops pairs sitting exactly ON a threshold (0.15/0.05
+      // = 2.9999…96)
       .select(
         explode(
-          sequence(lit(1), floor(col("jaccard") / 0.05).cast("int"))
+          sequence(
+            lit(1),
+            floor(round(col("jaccard") * 1000000) / 50000.0).cast("int")
+          )
         ).as("k"),
         col("doc_a"),
         col("doc_b")

@@ -137,12 +137,16 @@ object Similarity {
   def ivfTopKProbe(
       spark: SparkSession,
       dir: String,
-      nprobe: Int = 2
+      nprobe: Int = 2,
+      k: Int = 8
   ): DataFrame = {
-    val assigned = ivfAssign(spark, dir, 8)
+    // ONE k drives both the corpus assignment and the probe-ranking
+    // centroid set — diverging literals would rank queries against
+    // centroids that don't match the inverted lists
+    val assigned = ivfAssign(spark, dir, k)
     val e = Tables.embeddings(spark, dir)
     val cents = e
-      .filter(col("vec_id") < 8)
+      .filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
     val wq = Window
       .partitionBy(col("q_id"))
@@ -188,33 +192,9 @@ object Similarity {
     * verification is an equi-join on vec_id (AQE broadcasts the
     * small side at bench scale; at corpus scale it's a key shuffle).
     */
-  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // both sides of the band self-join read the codes; cache so the
-    // sign-coding pass (16 dot products per vector) runs once
-    val b = lshBandCodes(spark, dir, None, planesPerBand = 4)
-      .select(col("vec_id"), col("band"), col("code"))
-      .cache()
-    val ca = b.select(col("vec_id").as("vec_a"), col("band"), col("code"))
-    val cb = b.select(col("vec_id").as("vec_b"), col("band"), col("code"))
-    val pairs = ca
-      .join(cb, Seq("band", "code"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .distinct()
-    val e = Tables.embeddings(spark, dir)
-    pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")),
-        Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")),
-        Seq("vec_b"))
-      .select(
-        col("vec_a"),
-        col("vec_b"),
-        cosine(col("ea"), col("eb")).as("sim")
-      )
-      .filter(col("sim") > 0.4)
+  def embeddingNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(spark, dir)
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
-  }
 
   /** q192: embedding-space benchmark decontamination — the third leg
     * of the decontamination triad (shingle overlap q73, Bloom screen
@@ -371,7 +351,20 @@ object Similarity {
     * vector fetch is an equi-join on vec_id (AQE broadcasts the
     * small side at bench scale; at corpus scale it's a key shuffle).
     */
-  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def lshNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(spark, dir)
+      .select(col("vec_a"), col("vec_b"), col("n_shared_bands"),
+        round(col("sim"), 6).as("sim"))
+
+  /** The banded sign-LSH candidate → exact-cosine-verify engine shared
+    * by q70 (keeps the shared-band count) and q26 (drops it): one
+    * cached code frame, one band self-join, one vector-fetch verify.
+    * Returns (vec_a, vec_b, n_shared_bands, sim) with sim UNROUNDED
+    * and already > 0.4.
+    */
+  private def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    // both sides of the band self-join read the codes; cache so the
+    // sign-coding pass (16 dot products per vector) runs once
     val b = lshBandCodes(spark, dir, None, planesPerBand = 4)
       .select(col("vec_id"), col("band"), col("code"))
       .cache()
@@ -395,8 +388,6 @@ object Similarity {
         cosine(col("ea"), col("eb")).as("sim")
       )
       .filter(col("sim") > 0.4)
-      .select(col("vec_a"), col("vec_b"), col("n_shared_bands"),
-        round(col("sim"), 6).as("sim"))
   }
 
   /** q94: int8 scalar quantization of the embedding column with its

@@ -241,12 +241,15 @@ object TextAnalysis {
     * before the exchange. Ranking compares ROUNDED scores (6 places,
     * doc_id tiebreak) so rank membership is engine-exact.
     */
-  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // the term-frequency index is the retrieval artifact: it feeds
-    // document frequencies, doc lengths, and the scoring join —
-    // materialize the tokenize+count pass once (at web scale this is
-    // the persisted inverted index, not an in-memory cache)
+  /** The BM25 index artifact shared by q133/q151/q170/q177: ONE
+    * cached (doc, term, tf) pass plus doc lengths, corpus stats, and
+    * document frequencies. Plan-identical across callers, so the
+    * session shares one materialization (at web scale this is the
+    * persisted inverted index).
+    */
+  private def bm25Index(
+      docs: DataFrame
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -258,19 +261,42 @@ object TextAnalysis {
       avg(col("dl")).as("avg_dl")
     )
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    (tf, dlen, stats, dft)
+  }
+
+  /** Lucene-variant BM25 idf — ONE definition for every retrieval
+    * operator (a tuning change applied here reaches q133, q151,
+    * q170, and q177 together).
+    */
+  private def bm25Idf: Column =
+    log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+        lit(1.0)
+    )
+
+  /** BM25 tf normalization with k1 = 1.2, b = 0.75 (tf·(k1+1) /
+    * (tf + k1·(1−b + b·dl/avgdl))) — single maintenance site.
+    */
+  private def bm25TfNorm: Column =
+    col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl")))
+
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // the term-frequency index is the retrieval artifact: it feeds
+    // document frequencies, doc lengths, and the scoring join —
+    // materialize the tokenize+count pass once (at web scale this is
+    // the persisted inverted index, not an in-memory cache)
+    val (tf, dlen, stats, dft) = bm25Index(docs)
     val queries = docs
       .filter(col("doc_id") % 250 === 0)
       .select(
         col("doc_id").as("q_id"),
         explode(array_distinct(tokens(col("text")))).as("term")
       )
-    val idf = log(
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
-        lit(1.0)
-    )
-    val tfNorm = col("tf") * lit(2.2) /
-      (col("tf") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl")))
+    val idf = bm25Idf
+    val tfNorm = bm25TfNorm
     val w = Window
       .partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -322,17 +348,7 @@ object TextAnalysis {
       prefixLen: Int = 8
   ): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .cache()
-    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dlen.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avg_dl")
-    )
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (tf, dlen, stats, dft) = bm25Index(docs)
     val wRare = Window
       .partitionBy(col("q_id"))
       .orderBy(col("df").asc, col("term").asc)
@@ -346,13 +362,8 @@ object TextAnalysis {
       .withColumn("trk", row_number().over(wRare))
       .filter(col("trk") <= prefixLen)
       .select(col("q_id"), col("term"))
-    val idf = log(
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
-        lit(1.0)
-    )
-    val tfNorm = col("tf") * lit(2.2) /
-      (col("tf") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl")))
+    val idf = bm25Idf
+    val tfNorm = bm25TfNorm
     val w = Window
       .partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -458,17 +469,7 @@ object TextAnalysis {
     */
   private def retrievalScored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .cache()
-    val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dlen.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avg_dl")
-    )
-    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (tf, dlen, stats, dft) = bm25Index(docs)
 
     // Both rankers score the SAME candidate set (pairs sharing ≥1
     // term), so one enriched posting index — (doc, term) with tf, df,
@@ -496,13 +497,8 @@ object TextAnalysis {
       )
 
     // ranker 1 formula: BM25 (the exact q133 scoring chain)
-    val idfBm = log(
-      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
-        lit(1.0)
-    )
-    val tfNorm = col("tf") * lit(2.2) /
-      (col("tf") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * col("dl") / col("avg_dl")))
+    val idfBm = bm25Idf
+    val tfNorm = bm25TfNorm
 
     val scored = broadcast(qside)
       .join(enriched, Seq("term"))
@@ -889,15 +885,23 @@ object TextAnalysis {
     pos
       .crossJoin(broadcast(nDocs))
       .withColumn(
-        "neg_doc_id",
+        "pick",
         pmod(
           graft.functions.TextFunctions.hash60(
             concat_ws("_", col("doc_id"), col("chunk_idx"))) +
             col("doc_id") + 1,
           col("n_docs"))
       )
+      // when the hash pick lands on the anchor's own doc (~1/N of
+      // pairs), step to the next doc instead of dropping the whole
+      // (anchor, positive) training pair
+      .withColumn(
+        "neg_doc_id",
+        when(col("pick") === col("doc_id"),
+          pmod(col("pick") + 1, col("n_docs")))
+          .otherwise(col("pick"))
+      )
       .join(firsts, Seq("neg_doc_id"))
-      .filter(col("neg_doc_id") =!= col("doc_id"))
       .select(
         col("doc_id"),
         col("chunk_idx"),
@@ -1296,34 +1300,9 @@ object TextAnalysis {
     */
   def trigramPerplexityFrom(toksDf: DataFrame): DataFrame = {
     val t = col("t")
-    val nTri = size(t) - 2
-    val docTri = toksDf
-      .filter(size(t) >= 3)
-      .select(
-        col("doc_id"),
-        explode(
-          zip_with(
-            zip_with(
-              slice(t, lit(1), nTri),
-              slice(t, lit(2), nTri),
-              (a, b) => struct(a.as("w1"), b.as("w2"))
-            ),
-            slice(t, lit(3), nTri),
-            (ab, c3) =>
-              struct(
-                ab.getField("w1").as("w1"),
-                ab.getField("w2").as("w2"),
-                c3.as("w3")
-              )
-          )
-        ).as("g")
-      )
-      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
-      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c"))
-      // feeds the trigram LM aggregate and the scoring join —
-      // materialize once (Spark does not dedupe DAG subtrees)
-      .cache()
+    // feeds the trigram LM aggregate and the scoring join —
+    // materialize once (Spark does not dedupe DAG subtrees)
+    val docTri = docTrigramCounts(toksDf).cache()
     val tri = docTri
       .groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("c")).as("n3"))
