@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strength reduction: aggregate(zip_with(...)) squared-distance
     // fold → codegen'd vec_sq_dist primitive loop
     e.injectOptimizerRule(_ => graft.plans.VecSqDistRewrite)
+    // strength reduction: aggregate(zip_with(...)) dot-product fold
+    // → codegen'd vec_dot primitive loop
+    e.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
     // whole-operator extension: the native backward as-of join
     // (logical AsOfJoin → AsOfJoinExec sorted merge)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

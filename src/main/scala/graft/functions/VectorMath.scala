@@ -17,9 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * DuckDB oracle mirrors: each element widened float→double, products
   * accumulated left-to-right in a double.
   *
-  * Nulls: null array → null result (standard null-intolerant
-  * semantics); lengths are clamped to the shorter array, matching
-  * zip_with-without-nulls over equal-length vectors.
+  * Nulls: null array → null result; a length mismatch or a null
+  * element also nulls the result — exactly the
+  * `aggregate(zip_with(...))` fold semantics, which makes the
+  * [[graft.plans.VecDotRewrite]] strength reduction observationally
+  * pure.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,13 +41,21 @@ case class VectorDot(left: Expression, right: Expression)
     }
   }
 
+  // Null semantics mirror the aggregate(zip_with(...)) fold exactly
+  // (length mismatch → null via zip_with padding; null element →
+  // null) so the VecDotRewrite strength reduction is observationally
+  // pure.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -64,12 +74,22 @@ case class VectorDot(left: Expression, right: Expression)
         val i = ctx.freshName("i")
         val acc = ctx.freshName("acc")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $acc = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |      ${ev.isNull} = true;
+           |      break;
+           |    }
+           |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+           |  }
+           |  if (!${ev.isNull}) {
+           |    ${ev.value} = $acc;
+           |  }
            |}
-           |${ev.value} = $acc;
          """.stripMargin
       }
     )

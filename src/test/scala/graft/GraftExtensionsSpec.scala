@@ -174,6 +174,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
         q2.queryExecution.optimizedPlan.toString.contains("vec_sq_dist"),
         q2.queryExecution.optimizedPlan.toString)
       assert(q2.collect().map(_.getDouble(0)).toSeq == direct)
+      // and the dot-product fold rewrites to vec_dot (float×float)
+      val df2 = df.select(
+        col("x"),
+        transform(col("x"), e => e * 2.0f).as("y"))
+      val q3 = df2.select(
+        graft.operators.Similarity.dotProductHof(col("x"), col("y")).as("d"))
+      assert(
+        q3.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        q3.queryExecution.optimizedPlan.toString)
+      val dotDirect = df2
+        .select(graft.functions.VectorMath.vecDot(col("x"), col("y")).as("d"))
+        .collect()
+        .map(_.getDouble(0))
+        .toSeq
+      assert(q3.collect().map(_.getDouble(0)).toSeq == dotDirect)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
