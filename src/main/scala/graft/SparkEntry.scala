@@ -597,6 +597,9 @@ object SparkEntry {
     // + exact cosine verify against the eval vectors.
     "q192_embedding_decon" ->
       ((s, d) => Similarity.embeddingDecontaminate(s, d)),
+    // Hash-seeded bootstrap CI for per-source mean doc length —
+    // reproducible error bars, B=32 resamples as one explode + join.
+    "q193_bootstrap_ci" -> ((s, d) => Sampling.bootstrapCi(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4742,6 +4745,32 @@ object SparkEntry {
            eval_id AS best_eval_id, round(sim, 6) AS best_sim
          FROM f WHERE rn = 1"""
     },
+    // q193: identical hash-seeded picks, per-source position ranks,
+    // and the population stddev over the 32 exact resample means.
+    "q193_bootstrap_ci" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS pick
+           FROM documents),
+         c AS (SELECT source, count(*) AS n,
+                 avg(n_chars::DOUBLE) AS mean_direct
+               FROM documents GROUP BY 1),
+         pk AS (SELECT source, b,
+                  ('0x' || substr(md5(b || ':' || i || ':' ||
+                     source), 1, 15))::BIGINT % n + 1 AS pick
+                FROM (SELECT c.source, c.n, t.b AS b,
+                        unnest(range(1, c.n + 1)) AS i
+                      FROM c, range(32) t(b)) x),
+         rm AS (SELECT pk.source, pk.b, avg(r.n_chars::DOUBLE) AS m
+                FROM pk JOIN r USING (source, pick)
+                GROUP BY 1, 2),
+         s AS (SELECT source, stddev_pop(m) AS se FROM rm GROUP BY 1)
+         SELECT c.source, CAST(c.n AS BIGINT) AS n_docs,
+           round(c.mean_direct, 6) AS mean_nchars,
+           round(s.se, 6) AS boot_se,
+           round(c.mean_direct - 1.96 * s.se, 6) AS ci_lo,
+           round(c.mean_direct + 1.96 * s.se, 6) AS ci_hi
+         FROM c JOIN s USING (source)""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

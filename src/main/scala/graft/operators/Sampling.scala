@@ -912,6 +912,79 @@ object Sampling {
       )
   }
 
+  /** q193: deterministic bootstrap confidence intervals for a corpus
+    * metric (mean document length per source) — the error bars a
+    * data team should attach before acting on a per-source number
+    * (is src3's mean length REALLY lower, or is that sampling
+    * noise?). Resampling is hash-seeded (replicate b, slot i →
+    * pick = hash(b:i:source) mod n), so the interval is exactly
+    * reproducible on any cluster layout — no RNG state, no seed
+    * files.
+    *
+    * Scale: B=32 resamples realized as one explode (32·N rows) + one
+    * equi-join against the per-source position-ranked frame + two
+    * bounded aggregations; per-source windows only (never corpus-
+    * wide). At extreme scale the same shape runs on per-shard
+    * subsamples (bag-of-little-bootstraps); the topology is
+    * unchanged. The metric is integer-valued, so resample means are
+    * EXACT (integer sums in doubles below 2^53) and only the final
+    * stddev over 32 means carries float rounding, absorbed by the
+    * 6-place round.
+    */
+  def bootstrapCi(
+      spark: SparkSession,
+      dir: String,
+      b: Int = 32
+  ): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    // position-ranked frame feeds the resample join — materialize once
+    val ranked = docs.withColumn("pick", row_number().over(w)).cache()
+    val counts = ranked
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("n_chars").cast("double")).as("mean_direct")
+      )
+    val picks = counts
+      .select(col("source"), col("n"), explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .select(
+        col("source"),
+        col("b"),
+        explode(sequence(lit(1), col("n"))).as("i"),
+        col("n")
+      )
+      .select(
+        col("source"),
+        col("b"),
+        (pmod(
+          hash60(concat_ws(":", col("b"), col("i"), col("source"))),
+          col("n")
+        ) + 1).as("pick")
+      )
+    val resampleMeans = picks
+      .join(ranked.select(col("source"), col("pick"), col("n_chars")),
+        Seq("source", "pick"))
+      .groupBy(col("source"), col("b"))
+      .agg(avg(col("n_chars").cast("double")).as("m"))
+    val se = resampleMeans
+      .groupBy(col("source"))
+      .agg(stddev_pop(col("m")).as("se"))
+    counts
+      .join(se, Seq("source"))
+      .select(
+        col("source"),
+        col("n").as("n_docs"),
+        round(col("mean_direct"), 6).as("mean_nchars"),
+        round(col("se"), 6).as("boot_se"),
+        round(col("mean_direct") - lit(1.96) * col("se"), 6).as("ci_lo"),
+        round(col("mean_direct") + lit(1.96) * col("se"), 6).as("ci_hi")
+      )
+  }
+
   /** q191: per-epoch deterministic global training order — every
     * epoch is a DIFFERENT pseudo-random permutation of the corpus
     * (epoch-seeded content hash), and every permutation is exactly

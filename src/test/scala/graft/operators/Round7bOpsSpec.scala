@@ -293,6 +293,21 @@ class Round7bOpsSpec extends AnyFunSuite {
     assert(out.filter(col("n_matches") <= 0).count() === 0L)
   }
 
+  test("q193 bootstrap CI brackets the direct mean and is reproducible") {
+    val out = Sampling.bootstrapCi(spark, dir).cache()
+    val nSrc = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(out.count() === nSrc)
+    // the interval is centered on the direct mean and non-degenerate
+    assert(out.filter(col("ci_lo") > col("mean_nchars") ||
+      col("ci_hi") < col("mean_nchars")).count() === 0L)
+    assert(out.filter(col("boot_se") < 0).count() === 0L)
+    // hash-seeded resampling: a rerun is bit-identical
+    val again = Sampling.bootstrapCi(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    out.collect().foreach(r =>
+      assert(again(r.getString(0)) === r.getDouble(4)))
+  }
+
   test("q182 estimates stay in [0,1] and cover every source pair") {
     val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
     val nSrc = Tables.documents(spark, dir)
