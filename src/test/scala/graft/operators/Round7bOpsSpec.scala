@@ -5,9 +5,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-7 additions: the trained LR quality gate (q180), streaming
-  * MinHash-LSH admission (q181), and the mergeable per-source MinHash
-  * union sketch (q182).
+/** Round-7 continuation additions: the trained LR quality gate
+  * (q180), streaming MinHash-LSH admission (q181), the mergeable
+  * per-source MinHash union sketch (q182), residual IVF-PQ (q183),
+  * Moore-Lewis selection (q184), the streaming quantile monitor
+  * (q185), CDC chunk dedup (q186), the Heaps-law fit (q188), the
+  * gate-agreement matrix (q190), epoch-order reproducibility (q191),
+  * embedding decontamination (q192), and bootstrap CIs (q193).
   */
 class Round7bOpsSpec extends AnyFunSuite {
 
