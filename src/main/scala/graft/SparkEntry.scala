@@ -600,6 +600,9 @@ object SparkEntry {
     // Hash-seeded bootstrap CI for per-source mean doc length —
     // reproducible error bars, B=32 resamples as one explode + join.
     "q193_bootstrap_ci" -> ((s, d) => Sampling.bootstrapCi(s, d)),
+    // The four-gate curation manifest: dedup survivors ∩ Gopher ∩
+    // ppl-cut ∩ LR-mean-cut ∩ Moore-Lewis → hash shards (q130 widened).
+    "q194_four_gate_manifest" -> ((s, d) => Sampling.fourGateManifest(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4771,6 +4774,30 @@ object SparkEntry {
            round(c.mean_direct - 1.96 * s.se, 6) AS ci_lo,
            round(c.mean_direct + 1.96 * s.se, 6) AS ci_hi
          FROM c JOIN s USING (source)""",
+    // q194: the q78 recursive closure + q127 LM chain shared inline
+    // (the q130 pattern); the gopher/LR/ML gates embedded as their
+    // full proven statements; LR cut at the corpus-mean score.
+    "q194_four_gate_manifest" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         $trigramLmCtes,
+         pk AS (SELECT doc_id FROM sc CROSS JOIN m
+                WHERE exp(x) <= mean_ppl),
+         gk AS (SELECT doc_id FROM ($gopherOracleSql) x1 WHERE keep),
+         lrs AS (SELECT doc_id, score FROM ($lrQualityOracleSql) x2),
+         lrm AS (SELECT avg(score) AS ms FROM lrs),
+         lk AS (SELECT doc_id FROM lrs, lrm WHERE score >= ms),
+         mk AS (SELECT doc_id FROM ($mooreLewisOracleSql) x3
+                WHERE keep = 1),
+         man AS (SELECT s.doc_id,
+                   ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT
+                     AS h
+                 FROM (SELECT doc_id FROM surv WHERE rn = 1) s
+                 JOIN pk USING (doc_id) JOIN gk USING (doc_id)
+                 JOIN lk USING (doc_id) JOIN mk USING (doc_id))
+         SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY h % 8
+             ORDER BY h ASC, doc_id ASC) AS INTEGER) AS position
+         FROM man""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -173,6 +173,69 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("position"), col("ppl"))
   }
 
+  /** q194: the four-gate curation manifest — the q130 composition
+    * widened to the full round-7 gate stack: documents must survive
+    * the near-dup closure (q78) AND pass the Gopher heuristic battery
+    * (q142), the corpus-LM perplexity cut (q127), the trained LR gate
+    * at its corpus-mean score cut (q180 — the mean cut, because on a
+    * 5%-positive corpus the 0.5 decision threshold correctly predicts
+    * no positives), and Moore-Lewis selection (q184); survivors land
+    * in deterministic hash shards with per-shard positions. This is
+    * the whole curation DAG — dedup closure + four independent
+    * quality signals + layout — as ONE query, every stage reused
+    * through its public seam.
+    *
+    * Scale: each gate is its own bounded pipeline (documented at its
+    * own query); the intersection is four key joins on doc_id; the
+    * manifest tail shuffles once on the shard hash. The oracle embeds
+    * the proven gate SQL as subqueries over the shared recursive
+    * closure + LM chains — no re-derivation drift.
+    */
+  def fourGateManifest(
+      spark: SparkSession,
+      dir: String,
+      numShards: Int = 8
+  ): DataFrame = {
+    val surv = Dedup
+      .canonicalDocs(spark, dir)
+      .select(col("keep_doc").as("doc_id"))
+    val gopherKeep = TextAnalysis
+      .gopherRules(spark, dir)
+      .filter(col("keep"))
+      .select(col("doc_id"))
+    val pplKeep = TextAnalysis
+      .trigramPerplexity(spark, dir)
+      .filter(col("keep") === 1)
+      .select(col("doc_id"))
+    val lrScored = QualityLR
+      .lrQualityGate(spark, dir)
+      .select(col("doc_id"), col("score"))
+    val lrMean = lrScored.agg(avg(col("score")).as("ms"))
+    val lrKeep = lrScored
+      .crossJoin(broadcast(lrMean))
+      .filter(col("score") >= col("ms"))
+      .select(col("doc_id"))
+    val mlKeep = TextAnalysis
+      .mooreLewisSelect(spark, dir)
+      .filter(col("keep") === 1)
+      .select(col("doc_id"))
+    val w = Window
+      .partitionBy(col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    surv
+      .join(gopherKeep, Seq("doc_id"))
+      .join(pplKeep, Seq("doc_id"))
+      .join(lrKeep, Seq("doc_id"))
+      .join(mlKeep, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        graft.functions.TextFunctions.hash60(col("doc_id")).as("h")
+      )
+      .withColumn("shard", (col("h") % numShards).cast("int"))
+      .withColumn("position", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("position"))
+  }
+
   /** q131: DSIR-style importance weighting (Xie et al., "Data
     * Selection for Language Models via Importance Resampling",
     * NeurIPS 2023): score every document by how target-like its

@@ -312,6 +312,29 @@ class Round7bOpsSpec extends AnyFunSuite {
       assert(again(r.getString(0)) === r.getDouble(4)))
   }
 
+  test("q194 manifest rows pass every gate; positions contiguous per shard") {
+    // sf0.001's 500 docs leave the strict five-way conjunction empty;
+    // sf0.01 (the driver's correctness SF) has survivors to assert on
+    val dir01 = "/root/testdata/sf0.01"
+    val man = Sampling.fourGateManifest(spark, dir01).cache()
+    assert(man.count() > 0)
+    // subset of each gate's keep set
+    val gop = TextAnalysis.gopherRules(spark, dir01)
+      .filter(col("keep")).select("doc_id")
+    val ml = TextAnalysis.mooreLewisSelect(spark, dir01)
+      .filter(col("keep") === 1).select("doc_id")
+    assert(man.join(gop, Seq("doc_id"), "left_anti").count() === 0L)
+    assert(man.join(ml, Seq("doc_id"), "left_anti").count() === 0L)
+    // per-shard positions are 1..n (dense, no gaps)
+    val bad = man
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), max(col("position")).as("mx"),
+        min(col("position")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(bad === 0L)
+  }
+
   test("q182 estimates stay in [0,1] and cover every source pair") {
     val out = Sketches.sourceMinhashSimilarity(spark, dir).cache()
     val nSrc = Tables.documents(spark, dir)
