@@ -131,9 +131,10 @@ object Sinks {
     */
   def fileSizeMb(path: String): Double = {
     def bytes(f: java.io.File): Long =
-      if (f.isFile)
-        if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
-        else f.length
+      // marker exclusion applies to directories too: a streaming
+      // sink's _spark_metadata/ manifest must not count as data
+      if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+      else if (f.isFile) f.length
       else Option(f.listFiles()).map(_.map(bytes).sum).getOrElse(0L)
     val f = new java.io.File(path)
     if (!f.exists()) 0.0 else bytes(f) / (1024.0 * 1024.0)

@@ -67,15 +67,21 @@ object BpeTrain {
     * one row per round, rank 1 = first merge.
     */
   def train(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
-    trainFromWords(
-      Tables
-        .documents(spark, dir)
-        .select(explode(tokens(col("text"))).as("w"))
-        .filter(length(col("w")) > 0 && !col("w").contains(Sep))
-        .groupBy(col("w"))
-        .agg(count(lit(1)).as("freq")),
-      rounds
-    )
+    trainFromWords(corpusWords(spark, dir), rounds)
+
+  /** The (w, freq) corpus vocabulary — ONE tokenize pass feeding both
+    * the merge loop and the shipped segmentation (cached, so a
+    * train-then-segment session materializes it once; at 100 TB this
+    * is the persisted vocab artifact).
+    */
+  private def corpusWords(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .cache()
 
   /** The merge loop over a prepared (w, freq) vocabulary frame. */
   def trainFromWords(words: DataFrame, rounds: Int): DataFrame = {
@@ -176,24 +182,25 @@ object BpeTrain {
       dir: String,
       rounds: Int = 8
   ): DataFrame = {
-    val merged = train(spark, dir, rounds).collect()
-    val words = Tables
-      .documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) > 0 && !col("w").contains(Sep))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("freq"))
+    val words = corpusWords(spark, dir)
+    val merged = trainFromWords(words, rounds).collect()
     val syms = merged.foldLeft(
       array_join(split(col("w"), ""), Sep)
     ) { (acc, m) =>
       applyMerge(acc, m.getString(1), m.getString(2))
     }
-    words.select(
-      col("w"),
-      col("freq"),
-      split(syms, Sep).as("pieces"),
-      size(split(syms, Sep)).as("n_pieces")
-    )
+    // materialize pieces first: the k-round nested merge fold is a
+    // lambda-bearing expression Spark's subexpression elimination
+    // skips, so writing split(syms) twice would run the whole fold
+    // twice per row
+    words
+      .select(col("w"), col("freq"), split(syms, Sep).as("pieces"))
+      .select(
+        col("w"),
+        col("freq"),
+        col("pieces"),
+        size(col("pieces")).as("n_pieces")
+      )
   }
 
   /** q146: tokenizer fertility per language — subwords-per-word and

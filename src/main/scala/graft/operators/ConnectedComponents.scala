@@ -66,7 +66,12 @@ object ConnectedComponents {
 
     var labels =
       nodes.select(col("id"), col("id").as("label")).localCheckpoint(true)
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // SUM over zero rows is NULL — an empty graph must converge to an
+    // empty label table, not NPE
+    var prevSum = labels
+      .agg(coalesce(sum(col("label")), lit(0L)))
+      .head()
+      .getLong(0)
     var converged = false
     var round = 0
 
@@ -94,7 +99,7 @@ object ConnectedComponents {
         )
         .localCheckpoint(false)
 
-      val s = doubled.agg(sum(col("label"))).head().getLong(0)
+      val s = doubled.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       labels = doubled

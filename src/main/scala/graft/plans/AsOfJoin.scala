@@ -243,6 +243,18 @@ object AsOf {
       left.columns.toSet.intersect(right.columns.toSet).isEmpty,
       "as-of join requires disjoint column names; alias the right side"
     )
+    // the merge comparator is built from the LEFT side's types and
+    // applied to right rows — a type mismatch (e.g. epoch-millis long
+    // vs timestamp) would silently compare different units or throw
+    // a ClassCastException deep in a task; fail fast here instead
+    val lkt = resolve(lPlan, leftKeys ++ leftOrder).map(_.dataType)
+    val rkt = resolve(rPlan, rightKeys ++ rightOrder).map(_.dataType)
+    require(
+      lkt == rkt,
+      s"as-of join key/order column types must match pairwise: " +
+        s"left=${lkt.map(_.simpleString).mkString(",")} " +
+        s"right=${rkt.map(_.simpleString).mkString(",")}"
+    )
     ensureStrategy(left.sparkSession)
     PlanBridge.ofRows(
       left.sparkSession,

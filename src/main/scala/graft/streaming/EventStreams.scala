@@ -497,22 +497,44 @@ object EventStreams {
     * extension the reference never handles (SURVEY §2.9 "late data").
     * Emits the current winner on every change (update mode).
     */
+  /** How long a key's latest-record state survives past its last
+    * update before event-time eviction — the bound that keeps state
+    * O(keys inside the horizon), not O(all keys ever seen).
+    */
+  val LatestByKeyHorizonMs: Long = 60L * 60 * 1000
+
   def latestByKey(records: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val spark = records.sparkSession
     import spark.implicits._
     records
       .select(col(keyCol).cast("string").as("k"), col(tsCol).as("ts"))
+      .withWatermark("ts", "10 minutes")
       .as[(String, Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[(String, Timestamp)],
          state: GroupState[Timestamp]) => {
-          val maxNew = rows.map(_._2).maxBy(_.getTime)
-          val winner = state.getOption match {
-            case Some(old) if old.getTime >= maxNew.getTime => old
-            case _ => state.update(maxNew); maxNew
+          if (state.hasTimedOut) {
+            // horizon passed with no new update: emit the final
+            // winner once more and evict — without this the state
+            // table grows with every key ever seen
+            val last = state.get
+            state.remove()
+            (key, last)
+          } else {
+            val maxNew = rows.map(_._2).maxBy(_.getTime)
+            val winner = state.getOption match {
+              case Some(old) if old.getTime >= maxNew.getTime => old
+              case _ => state.update(maxNew); maxNew
+            }
+            state.setTimeoutTimestamp(
+              math.max(
+                winner.getTime + LatestByKeyHorizonMs,
+                state.getCurrentWatermarkMs() + 1
+              )
+            )
+            (key, winner)
           }
-          (key, winner)
         }
       )
       .toDF("k", "latest_ts")
