@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: images/audio/video as opaque `binary`
@@ -132,17 +132,25 @@ object Multimodal {
     * partition-level stub as [[decodeAll]]. One narrow map + generate,
     * no shuffle: at 100 TB this parallelizes per input split.
     */
+  /** The stub frame model shared by q48 and q116 — ONE policy site
+    * (frame count = payload bytes mod 240 + 1; stride = max(1, n/8))
+    * so both queries always derive the same frame set for the same
+    * payload.
+    */
+  private def frameCount(payloadLen: Column): Column =
+    (payloadLen % 240 + lit(1)).cast("int")
+
+  private def frameStride(nFrames: Column): Column =
+    greatest(lit(1), (nFrames / 8).cast("int"))
+
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     val media = mediaFromDocuments(spark, dir).toDF()
     val withFrames = media
       .select(
         col("doc_id"),
-        (length(col("payload")) % 240 + lit(1)).cast("int").as("n_frames")
+        frameCount(length(col("payload"))).as("n_frames")
       )
-      .withColumn(
-        "stride",
-        greatest(lit(1), (col("n_frames") / 8).cast("int"))
-      )
+      .withColumn("stride", frameStride(col("n_frames")))
     withFrames
       .select(
         col("doc_id"),
@@ -172,10 +180,9 @@ object Multimodal {
       .select(
         col("doc_id"),
         graft.functions.RollingHash.rollingHash(col("text")).as("h"),
-        (length(col("text").cast("binary")) % 240 + 1).cast("int")
-          .as("n_frames")
+        frameCount(length(col("text").cast("binary"))).as("n_frames")
       )
-      .withColumn("stride", greatest(lit(1), (col("n_frames") / 8).cast("int")))
+      .withColumn("stride", frameStride(col("n_frames")))
     base
       .select(
         col("doc_id"),

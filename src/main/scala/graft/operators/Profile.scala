@@ -99,22 +99,6 @@ object Profile {
       )
   }
 
-  /** q174: mergeable snapshot statistics — corpus stats maintained
-    * as an ALGEBRAIC state (count, sum, sumsq, min, max) that two
-    * snapshot slices combine WITHOUT rescanning either: the engine
-    * computes per-slice states (here the doc_id-parity halves,
-    * standing in for yesterday's corpus + today's delta), merges
-    * them component-wise, and only then derives mean/variance from
-    * the merged components. The oracle computes the same stats
-    * directly over the whole corpus — the gate is the proof that the
-    * merge is lossless. At 100 TB this is the difference between
-    * maintaining corpus stats incrementally per ingest batch and
-    * re-aggregating the world nightly.
-    *
-    * All merged components are exact integer sums (n_chars fits
-    * sumsq in a long), so the derived moments are bit-identical to
-    * the direct computation.
-    */
   /** q175: snapshot diff report — per source, how much content two
     * corpus snapshots share: distinct content hashes present in both
     * (stable), only in the new one (added), only in the old one
@@ -153,6 +137,22 @@ object Profile {
       )
   }
 
+  /** q174: mergeable snapshot statistics — corpus stats maintained
+    * as an ALGEBRAIC state (count, sum, sumsq, min, max) that two
+    * snapshot slices combine WITHOUT rescanning either: the engine
+    * computes per-slice states (here the doc_id-parity halves,
+    * standing in for yesterday's corpus + today's delta), merges
+    * them component-wise, and only then derives mean/variance from
+    * the merged components. The oracle computes the same stats
+    * directly over the whole corpus — the gate is the proof that the
+    * merge is lossless. At 100 TB this is the difference between
+    * maintaining corpus stats incrementally per ingest batch and
+    * re-aggregating the world nightly.
+    *
+    * All merged components are exact integer sums (n_chars fits
+    * sumsq in a long), so the derived moments are bit-identical to
+    * the direct computation.
+    */
   def mergeableStats(spark: SparkSession, dir: String): DataFrame = {
     val perSlice = Tables
       .documents(spark, dir)

@@ -227,14 +227,31 @@ object Relational {
     * (q43).
     */
   def groupingSets(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    // dir-derived view name (the Subqueries.viewTag pattern):
+    // concurrent calls on different dirs must not race on a shared
+    // session-global view registration
+    val tag = java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(
+        java.nio.file.Paths
+          .get(dir)
+          .toAbsolutePath
+          .normalize
+          .toString
+          .getBytes("UTF-8")
+      )
+      .take(8)
+      .map("%02x".format(_))
+      .mkString
+    val view = s"lineitem_gs_$tag"
+    Tables.lineitem(spark, dir).createOrReplaceTempView(view)
     spark.sql(
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) * 2 +
         |    CAST(grouping(l_linestatus) AS INT) AS gid,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  count(1) AS n
-        |FROM lineitem_gs
+        |FROM $view
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())""".stripMargin
     )
