@@ -714,22 +714,32 @@ object ScaleBench {
     require(nSessions > 0 && nSessions <= sessN,
       s"implausible session count $nSessions")
 
-    // --- prefix-filtered exact SSJ at ~10k docs -----------------------
+    // --- prefix-filtered exact SSJ at ~100k docs ----------------------
     // the q159 topology (global rare-first order, |S|−⌈t|S|⌉+1
     // prefixes as candidate keys, full-set verify) with the fast
-    // xxhash64 shingle key. 20× replication → ~20-replica near-dup
-    // families: exact SSJ output is ~families·(20·19/2) VERIFIED
-    // pairs — the verify pass, not candidate generation, is the
-    // scaling cost, which is inherent to any EXACT join whose output
-    // is that large.
+    // xxhash64 shingle key, at 200× replication with CONTROLLED
+    // true-pair volume: reps 0-4 of each source keep the source text
+    // (a 5-member near-dup family per source), reps ≥ 5 salt every
+    // 3rd token with the replica id, making every shingle unique —
+    // 97.5% of the corpus has NO near-dup. The recorded candidate
+    // count must therefore track the ~C(5,2)·sources true pairs, not
+    // the 5·10⁹ pair corpus square — the "candidate volume ∝ true
+    // pairs" property that makes prefix-filtered SSJ viable at 100 TB.
     val ppT = 0.9
-    val ppDocs = Tables
+    val ppRaw = Tables
       .documents(spark, dir)
-      .withColumn("rep", explode(sequence(lit(0), lit(19))))
+      .withColumn("rep", explode(sequence(lit(0), lit(199))))
       .select(
         (col("doc_id") + col("rep") * 500).as("doc_id"),
-        concat(col("text"), lit(" rep"), col("rep") % 7).as("text")
+        when(col("rep") < 5,
+          concat(col("text"), lit(" rep"), col("rep")))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), "\\s+"),
+              (w, i) => when(i % 3 === 0,
+                concat(w, lit("_"), col("rep"))).otherwise(w))))
+          .as("text")
       )
+    val ppDocs = ppRaw
       .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .repartition(cpus.toInt)
@@ -753,18 +763,128 @@ object ScaleBench {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+      .cache()
+    val ppCandN = ppCand.count()
     val ppInter = size(array_intersect(col("sh_a"), col("sh_b")))
     val ppJ = ppInter.cast("double") /
       (size(col("sh_a")) + size(col("sh_b")) - ppInter)
-    val ppPairs = ppCand
+    val ppPairsDf = ppCand
       .join(ppDocs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
         Seq("doc_a"))
       .join(ppDocs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         Seq("doc_b"))
       .filter(ppJ >= ppT)
-      .count()
+      .select(col("doc_a"), col("doc_b"))
+      .cache()
+    val ppPairs = ppPairsDf.count()
     val ppSec = (System.nanoTime() - tPp) / 1e9
     require(ppPairs > 0, "prefix-filter join found no near-dup pairs")
+    // proportionality: candidates within a small constant of true
+    // pairs, and sub-millionth of the corpus square
+    require(ppCandN <= 100L * math.max(ppPairs, 1L),
+      s"candidate volume $ppCandN not ∝ true pairs $ppPairs")
+    require(ppCandN.toDouble < 1e-4 * ppN.toDouble * ppN.toDouble,
+      s"candidate volume $ppCandN ≈ corpus²")
+
+    // --- multi-signal closure at ~100k docs (the q165 topology) -------
+    // text edges (the verified SSJ pairs above: reps 0-4 of each
+    // source) ∪ embedding edges (banded 64-plane sign-LSH + cosine
+    // verify over 100k vectors where reps 3-7 share the source
+    // embedding and other reps get a rep-rotated — effectively
+    // unrelated — vector), one pointer-doubling closure. The two
+    // signals overlap only on reps 3-4, so every source's full
+    // {0..7} cluster EXISTS ONLY because the union graph connects
+    // text-only and embedding-only members through the shared ones —
+    // the cross-signal merge q165 exists to provide, validated here
+    // at 200× the gated scale.
+    val msVecs = Tables
+      .embeddings(spark, dir)
+      .withColumn("rep", explode(sequence(lit(0), lit(199))))
+      .select(
+        (col("vec_id") + col("rep") * 500).as("vid"),
+        when(col("rep").between(3, 7), col("embedding"))
+          .otherwise(
+            transform(sequence(lit(0), lit(63)),
+              i => element_at(col("embedding"),
+                ((i + col("rep")) % 64).cast("int") + 1)))
+          .as("emb")
+      )
+      .repartition(cpus.toInt)
+      .cache()
+    val msN = msVecs.count()
+    val tMs = System.nanoTime()
+    // 64 deterministic planes from corpus vectors; 4 bands × 16 bits
+    val msPlanes = Tables
+      .embeddings(spark, dir)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 164)
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("vec_id").as("v"),
+            col("embedding").as("emb")))),
+          s => s.getField("emb")
+        ).as("planes"))
+    val msCoded = msVecs
+      .crossJoin(broadcast(msPlanes))
+      .select(
+        col("vid"),
+        col("emb"),
+        transform(sequence(lit(0), lit(3)), b =>
+          concat_ws("", transform(sequence(lit(0), lit(15)), j =>
+            when(aggregate(
+              zip_with(col("emb"),
+                element_at(col("planes"), (b * 16 + j + 1).cast("int")),
+                (x, p) => x * p),
+              lit(0.0d), (acc, x) => acc + x) >= 0, "1").otherwise("0")))
+        ).as("codes"))
+    val msBanded = msCoded.select(
+      col("vid"),
+      explode(
+        transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            element_at(col("codes"), b.cast("int") + 1).as("code")))
+      ).as("bk"))
+    val msEmbCand = msBanded
+      .select(col("vid").as("doc_a"), col("bk"))
+      .join(msBanded.select(col("vid").as("doc_b"), col("bk")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val msCos = VectorMath.vecCosine(col("emb_a"), col("emb_b"))
+    val msEmbEdges = msEmbCand
+      .join(msVecs.select(col("vid").as("doc_a"), col("emb").as("emb_a")),
+        Seq("doc_a"))
+      .join(msVecs.select(col("vid").as("doc_b"), col("emb").as("emb_b")),
+        Seq("doc_b"))
+      .filter(msCos >= 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    val msEdges = ppPairsDf.unionByName(msEmbEdges).distinct()
+    val msNodes = ppDocs.select(col("doc_id").as("id"))
+      .unionByName(msVecs.select(col("vid").as("id")))
+      .distinct()
+    val msLabels = graft.operators.ConnectedComponents.run(
+      msNodes,
+      msEdges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val msSizes = msLabels
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2)
+      .agg(
+        count(lit(1)).as("clusters"),
+        sum(col("sz")).as("clustered"),
+        max(col("sz")).as("max_sz"))
+      .collect()(0)
+    val msClusters = msSizes.getLong(0)
+    val msClustered = msSizes.getLong(1)
+    val msMaxSz = msSizes.getLong(2)
+    val msSec = (System.nanoTime() - tMs) / 1e9
+    // every source has at least its 5-member embedding family (reps
+    // 3-7, identical vectors); text families add reps 0-2 through the
+    // shared 3-4 — so clustered mass sits in [2500, ~4000·slack] with
+    // no runaway merging
+    require(msClustered >= 2500,
+      s"multi-signal closure clustered only $msClustered nodes")
+    require(msMaxSz <= 32,
+      s"multi-signal closure runaway cluster of $msMaxSz")
 
     // --- distributed global ordered cumsum at 5M rows -----------------
     // the q164 topology: range-partition on the rank key, pid-keyed
@@ -803,7 +923,11 @@ object ScaleBench {
 
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
-        s""""ppjoin_docs":$ppN,"ppjoin_pairs":$ppPairs,"ppjoin_sec":$ppSec,""" +
+        s""""ppjoin_docs":$ppN,"ppjoin_candidates":$ppCandN,""" +
+        s""""ppjoin_pairs":$ppPairs,"ppjoin_sec":$ppSec,""" +
+        s""""multisignal_vectors":$msN,"multisignal_clusters":$msClusters,""" +
+        s""""multisignal_clustered":$msClustered,""" +
+        s""""multisignal_max_cluster":$msMaxSz,"multisignal_sec":$msSec,""" +
         s""""cumsum_rows":$cumN,"cumsum_sec":$cumSec,""" +
         s""""lsh_candidate_pairs":$nCandidates,"lsh_sec":$lshSec,""" +
         s""""docs_per_sec":${(nDocs / lshSec).round},""" +

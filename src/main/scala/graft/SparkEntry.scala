@@ -603,6 +603,14 @@ object SparkEntry {
     // The four-gate curation manifest: dedup survivors ∩ Gopher ∩
     // ppl-cut ∩ LR-mean-cut ∩ Moore-Lewis → hash shards (q130 widened).
     "q194_four_gate_manifest" -> ((s, d) => Sampling.fourGateManifest(s, d)),
+    // Gopher-style per-doc n-gram repetition battery.
+    "q195_repetition_stats" -> (Repetition.repetitionStats _),
+    // Cross-document duplicate 10-token windows at stride 5.
+    "q196_dup_windows" -> (Repetition.duplicateWindows _),
+    // Per-language exact-IQR token-length gate.
+    "q197_iqr_length_gate" -> (Sampling.iqrLengthGate _),
+    // MinHash estimate-vs-exact Jaccard error audit over q22 pairs.
+    "q198_minhash_error" -> (Dedup.minhashErrorAudit _),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -816,16 +824,30 @@ object SparkEntry {
             .map(col): _*)
     }),
     // DSv2 `jira` source (paginated stub-backed REST scan) → flatten:
-    // the connector path of the same pipeline.
-    "qj04_jira_source" -> ((s: SparkSession, _: String) =>
-      driverSafe(jira.JiraFlatten.flatten(
+    // the connector path of the same pipeline, projected to the
+    // oracle-comparable scalar shape (arrays as ','-joined csv) so the
+    // driver gate checks VALUES, not just protocol liveness.
+    "qj04_jira_source" -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      jira.JiraFlatten.flatten(
         s.read
           .format("jira")
           .option("stubDir", s"${jira.JiraPipeline.FixtureDir}/stub_TEST")
           .option("project", "TEST")
           .option("pageSize", 3)
           .load(),
-        "TEST")))
+        "TEST")
+        .select(
+          col("issue_key"), col("issue_id"), col("project"), col("url"),
+          col("title"), col("description"), col("status"), col("priority"),
+          col("issue_type"), col("reporter"), col("assignee"),
+          col("created"), col("updated"), col("resolved"),
+          array_join(col("labels"), ",").as("labels_csv"),
+          array_join(col("components"), ",").as("components_csv"),
+          array_join(col("versions"), ",").as("versions_csv"),
+          array_join(col("fix_versions"), ",").as("fix_versions_csv"),
+          col("comment_count"))
+    })
   )
 
   /** DuckDB cosine with double left-to-right accumulation — matches
@@ -840,6 +862,90 @@ object SparkEntry {
     * \x01 delimiter no JSON line contains) and inspects json_keys.
     * Mirrors [[graft.jira.JiraPipeline.readRaw]]'s probe columns.
     */
+  /** DuckDB replay of the reference flatten (scraper.py field
+    * extraction + utils clean_text) over raw_issues_TEST.jsonl: the
+    * oracle for both q54 (JSONL read path) and qj04 (DSv2 paginated
+    * source path — same bytes, different engine transport).
+    */
+  private def jiraFlattenOracleSql(withArrayCsv: Boolean): String = {
+      def clean(e: String): String =
+        s"trim(regexp_replace(COALESCE($e, ''), '\\s+', ' ', 'g'))"
+      val desc = clean("fields.description")
+      val csvCols =
+        if (withArrayCsv)
+          """,
+           COALESCE(array_to_string(fields.labels, ','), '') AS labels_csv,
+           COALESCE(array_to_string(list_transform(
+             COALESCE(fields.components, []),
+             x -> COALESCE(x.name, '')), ','), '') AS components_csv,
+           COALESCE(array_to_string(list_transform(
+             COALESCE(fields.versions, []),
+             x -> COALESCE(x.name, '')), ','), '') AS versions_csv,
+           COALESCE(array_to_string(list_transform(
+             COALESCE(fields.fixVersions, []),
+             x -> COALESCE(x.name, '')), ','), '') AS fix_versions_csv"""
+        else ""
+      s"""WITH raw AS (
+           SELECT * FROM read_json(
+             '/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl',
+             format='newline_delimited', columns={
+               'key': 'VARCHAR', 'id': 'VARCHAR',
+               'fields': 'STRUCT(
+                  summary VARCHAR, description VARCHAR,
+                  status STRUCT(name VARCHAR),
+                  priority STRUCT(name VARCHAR),
+                  issuetype STRUCT(name VARCHAR),
+                  reporter STRUCT(displayName VARCHAR, name VARCHAR),
+                  assignee STRUCT(displayName VARCHAR, name VARCHAR),
+                  created VARCHAR, updated VARCHAR,
+                  resolutiondate VARCHAR,
+                  labels VARCHAR[],
+                  components STRUCT(name VARCHAR)[],
+                  versions STRUCT(name VARCHAR)[],
+                  fixVersions STRUCT(name VARCHAR)[],
+                  comment STRUCT(comments STRUCT(
+                    author STRUCT(displayName VARCHAR, name VARCHAR),
+                    created VARCHAR, body VARCHAR)[])
+               )'})),
+         ${jiraProbeCte(Seq(
+             "/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl"))},
+         f AS (
+           SELECT key, id, fields FROM raw
+           WHERE $jiraKeepSql),
+         c AS (
+           SELECT key, id, fields,
+             list_filter(
+               list_transform(fields.comment.comments,
+                 x -> ${clean("x.body")}),
+               b -> length(b) > 0) AS clean_bodies
+           FROM f)
+         SELECT
+           COALESCE(key, '') AS issue_key,
+           COALESCE(id, '') AS issue_id,
+           'TEST' AS project,
+           'https://issues.apache.org/jira/browse/' || COALESCE(key, '')
+             AS url,
+           ${clean("fields.summary")} AS title,
+           CASE WHEN length($desc) > 20000
+                THEN substr($desc, 1, 20000) || '...'
+                ELSE $desc END AS description,
+           COALESCE(fields.status.name, 'Unknown') AS status,
+           COALESCE(fields.priority.name, 'Unknown') AS priority,
+           COALESCE(fields.issuetype.name, 'Unknown') AS issue_type,
+           CASE WHEN fields.reporter IS NULL THEN 'Unknown'
+                ELSE COALESCE(fields.reporter.displayName,
+                       fields.reporter.name, 'Unknown') END AS reporter,
+           CASE WHEN fields.assignee IS NULL THEN 'Unknown'
+                ELSE COALESCE(fields.assignee.displayName,
+                       fields.assignee.name, 'Unknown') END AS assignee,
+           COALESCE(fields.created, '') AS created,
+           COALESCE(fields.updated, '') AS updated,
+           COALESCE(fields.resolutiondate, '') AS resolved,
+           CAST(COALESCE(len(clean_bodies), 0) AS INTEGER)
+             AS comment_count$csvCols
+         FROM c"""
+  }
+
   private def jiraProbeCte(files: Seq[String]): String = {
     val crash = Seq("status", "priority", "issuetype", "comment",
       "components", "versions", "fixVersions")
@@ -1609,6 +1715,34 @@ object SparkEntry {
              (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
              AS jaccard
          FROM p""",
+    // q198: the q22 candidate chain aggregated per estimate level —
+    // pair count, mean and max |est − exact|.
+    "q198_minhash_error" ->
+      s"""WITH $shinglesCte,
+         m AS (SELECT doc_id, sh,
+                 list_transform(range(8), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT))) AS mh
+               FROM d WHERE len(sh) > 0),
+         bd AS (SELECT doc_id, sh, mh, t.j,
+                  mh[t.j*2+1] || '_' || mh[t.j*2+2] AS bval
+                FROM m, range(4) t(j)),
+         p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.mh AS mh_a, b.mh AS mh_b, a.sh AS sh_a, b.sh AS sh_b
+               FROM bd a JOIN bd b
+                 ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         pe AS (SELECT
+                  round(len(list_filter(list_zip(mh_a, mh_b),
+                    z -> z[1] = z[2]))::DOUBLE / 8, 6) AS est_jaccard,
+                  abs(round(len(list_filter(list_zip(mh_a, mh_b),
+                      z -> z[1] = z[2]))::DOUBLE / 8, 6)
+                    - round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+                      (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+                      6)) AS err
+                FROM p)
+         SELECT est_jaccard, count(*) AS n_pairs,
+           round(avg(err), 6) AS mean_abs_err,
+           round(max(err), 6) AS max_abs_err
+         FROM pe GROUP BY 1""",
     "q23_simhash" -> {
       val votes = (0 until 16)
         .map(b =>
@@ -2032,70 +2166,13 @@ object SparkEntry {
                FROM ex) u"""),
     // clean_text = trim ∘ collapse-\s+ (the F1 semantics); reused for
     // title/description/comment bodies below.
-    "q54_jira_flatten_sql" -> {
-      def clean(e: String): String =
-        s"trim(regexp_replace(COALESCE($e, ''), '\\s+', ' ', 'g'))"
-      val desc = clean("fields.description")
-      s"""WITH raw AS (
-           SELECT * FROM read_json(
-             '/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl',
-             format='newline_delimited', columns={
-               'key': 'VARCHAR', 'id': 'VARCHAR',
-               'fields': 'STRUCT(
-                  summary VARCHAR, description VARCHAR,
-                  status STRUCT(name VARCHAR),
-                  priority STRUCT(name VARCHAR),
-                  issuetype STRUCT(name VARCHAR),
-                  reporter STRUCT(displayName VARCHAR, name VARCHAR),
-                  assignee STRUCT(displayName VARCHAR, name VARCHAR),
-                  created VARCHAR, updated VARCHAR,
-                  resolutiondate VARCHAR,
-                  labels VARCHAR[],
-                  components STRUCT(name VARCHAR)[],
-                  versions STRUCT(name VARCHAR)[],
-                  fixVersions STRUCT(name VARCHAR)[],
-                  comment STRUCT(comments STRUCT(
-                    author STRUCT(displayName VARCHAR, name VARCHAR),
-                    created VARCHAR, body VARCHAR)[])
-               )'})),
-         ${jiraProbeCte(Seq(
-             "/root/repo/src/test/resources/jira/raw_issues_TEST.jsonl"))},
-         f AS (
-           SELECT key, id, fields FROM raw
-           WHERE $jiraKeepSql),
-         c AS (
-           SELECT key, id, fields,
-             list_filter(
-               list_transform(fields.comment.comments,
-                 x -> ${clean("x.body")}),
-               b -> length(b) > 0) AS clean_bodies
-           FROM f)
-         SELECT
-           COALESCE(key, '') AS issue_key,
-           COALESCE(id, '') AS issue_id,
-           'TEST' AS project,
-           'https://issues.apache.org/jira/browse/' || COALESCE(key, '')
-             AS url,
-           ${clean("fields.summary")} AS title,
-           CASE WHEN length($desc) > 20000
-                THEN substr($desc, 1, 20000) || '...'
-                ELSE $desc END AS description,
-           COALESCE(fields.status.name, 'Unknown') AS status,
-           COALESCE(fields.priority.name, 'Unknown') AS priority,
-           COALESCE(fields.issuetype.name, 'Unknown') AS issue_type,
-           CASE WHEN fields.reporter IS NULL THEN 'Unknown'
-                ELSE COALESCE(fields.reporter.displayName,
-                       fields.reporter.name, 'Unknown') END AS reporter,
-           CASE WHEN fields.assignee IS NULL THEN 'Unknown'
-                ELSE COALESCE(fields.assignee.displayName,
-                       fields.assignee.name, 'Unknown') END AS assignee,
-           COALESCE(fields.created, '') AS created,
-           COALESCE(fields.updated, '') AS updated,
-           COALESCE(fields.resolutiondate, '') AS resolved,
-           CAST(COALESCE(len(clean_bodies), 0) AS INTEGER)
-             AS comment_count
-         FROM c"""
-    },
+    "q54_jira_flatten_sql" -> jiraFlattenOracleSql(withArrayCsv = false),
+    // qj04: the DSv2 connector path gated on values, not just row
+    // count — the stub search pages are byte-identical to
+    // raw_issues_TEST.jsonl (enforced by JiraSourceSpec's
+    // fixture-identity test), so DuckDB replays the same flatten over
+    // the JSONL while the engine reads through the paginated source.
+    "qj04_jira_source" -> jiraFlattenOracleSql(withArrayCsv = true),
     "q51_vocab" ->
       """WITH t AS (
            SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -3929,7 +4006,9 @@ object SparkEntry {
            round(sum(value), 2) AS total_value
          FROM events GROUP BY 1""",
     // q164: the naive single-window cumsum — the engine's two-level
-    // range-partitioned form must be integer-identical to it.
+    // range-partitioned form must be integer-identical to it. q is
+    // exported as integer micro-units (q132/q81 convention) so the
+    // compare is float-free end to end.
     "q164_token_budget" ->
       """WITH qq AS (SELECT doc_id,
              round(0.5 * least(n_toks / 200.0, 1.0)
@@ -3955,7 +4034,8 @@ object SparkEntry {
                  sum(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
                FROM qq)
-         SELECT doc_id, q, n_tokens, cum_tokens
+         SELECT doc_id, CAST(round(q * 1e6) AS BIGINT) AS q_micro,
+                n_tokens, cum_tokens
          FROM c WHERE cum_tokens - n_tokens < 100000""",
     // q165: the q21 Jaccard edge chain ∪ the q26 sign-LSH embedding
     // edge chain, one recursive closure over the union graph.
@@ -4798,6 +4878,89 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY h % 8
              ORDER BY h ASC, doc_id ASC) AS INTEGER) AS position
          FROM man""",
+    // q195: per-doc n-gram repetition battery — the keep predicate
+    // compares the SAME 6-rounded values both engines emit.
+    "q195_repetition_stats" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+           FROM documents),
+         base AS (SELECT doc_id, len(t) AS n_tokens,
+                    len(list_distinct(t)) AS n_distinct FROM d),
+         bi AS (SELECT doc_id, g, count(*) AS c FROM (
+                  SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+                    i -> t[i+1] || ' ' || t[i+2])) AS g
+                  FROM d WHERE len(t) >= 2) x GROUP BY 1, 2),
+         bitop AS (SELECT doc_id, max(c) AS top_bi FROM bi GROUP BY 1),
+         tri AS (SELECT doc_id, g, count(*) AS c FROM (
+                   SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+                   FROM d WHERE len(t) >= 3) x GROUP BY 1, 2),
+         tria AS (SELECT doc_id, sum(c) AS tri_tot,
+                    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS tri_dup
+                  FROM tri GROUP BY 1),
+         r AS (SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+                 round(CASE WHEN b.n_tokens = 0 THEN 0.0
+                   ELSE 1.0 - b.n_distinct::DOUBLE / b.n_tokens END, 6)
+                   AS dup_token_frac,
+                 round(CASE WHEN b.n_tokens = 0 THEN 0.0
+                   ELSE 2.0 * COALESCE(bt.top_bi, 0) / b.n_tokens END, 6)
+                   AS top_bigram_frac,
+                 round(COALESCE(ta.tri_dup::DOUBLE / ta.tri_tot, 0.0), 6)
+                   AS dup_trigram_frac
+               FROM base b
+               LEFT JOIN bitop bt USING (doc_id)
+               LEFT JOIN tria ta USING (doc_id))
+         SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
+           dup_trigram_frac,
+           CAST(dup_token_frac <= 0.7 AND top_bigram_frac <= 0.2
+             AND dup_trigram_frac <= 0.3 AS INTEGER) AS keep
+         FROM r""",
+    // q196: 10-token windows at stride 5; duplicated = exact window
+    // text in ≥ 2 distinct docs.
+    "q196_dup_windows" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+           FROM documents),
+         win AS (SELECT doc_id,
+                   unnest(list_transform(range((len(t) - 10) // 5 + 1),
+                     i -> array_to_string(t[(i*5+1):(i*5+10)], ' '))) AS w
+                 FROM d WHERE len(t) >= 10),
+         dup AS (SELECT w, 1 AS is_dup FROM (
+                   SELECT w, count(DISTINCT doc_id) AS nd
+                   FROM win GROUP BY 1) x WHERE nd >= 2),
+         per AS (SELECT doc_id, count(*) AS n_windows,
+                   sum(COALESCE(is_dup, 0)) AS n_dup_windows
+                 FROM win LEFT JOIN dup USING (w) GROUP BY 1)
+         SELECT doc_id,
+           CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           round(COALESCE(n_dup_windows::DOUBLE / n_windows, 0.0), 6)
+             AS dup_window_frac
+         FROM documents LEFT JOIN per USING (doc_id)""",
+    // q197: exact rank-statistic quartiles per language (value at
+    // rank ⌈0.25n⌉ / ⌈0.75n⌉ in (n_tokens, doc_id) order).
+    "q197_iqr_length_gate" ->
+      """WITH d AS (SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (SELECT d.*,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_tokens ASC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS cnt
+               FROM d),
+         q AS (SELECT lang,
+                 max(CASE WHEN rn = CAST(ceil(cnt * 0.25) AS BIGINT)
+                   THEN n_tokens END) AS q1,
+                 max(CASE WHEN rn = CAST(ceil(cnt * 0.75) AS BIGINT)
+                   THEN n_tokens END) AS q3
+               FROM r GROUP BY 1)
+         SELECT doc_id, lang, n_tokens, q1, q3,
+           CAST(n_tokens BETWEEN q1 AND q3 AS INTEGER) AS keep
+         FROM d JOIN q USING (lang)""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

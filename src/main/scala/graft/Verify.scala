@@ -35,6 +35,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the query's parquet is on disk — its operator-internal caches
+      // are dead weight from here on; release so a 198-query session
+      // doesn't accumulate every derive-once artifact (and so no query
+      // silently reads a predecessor's cached frame)
+      graft.util.Caches.releaseAll()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

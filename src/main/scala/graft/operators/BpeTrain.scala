@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Caches._
 import graft.Tables
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -69,10 +70,12 @@ object BpeTrain {
   def train(spark: SparkSession, dir: String, rounds: Int = 8): DataFrame =
     trainFromWords(corpusWords(spark, dir), rounds)
 
-  /** The (w, freq) corpus vocabulary — ONE tokenize pass feeding both
-    * the merge loop and the shipped segmentation (cached, so a
-    * train-then-segment session materializes it once; at 100 TB this
-    * is the persisted vocab artifact).
+  /** The (w, freq) corpus vocabulary — one tokenize pass. NOT cached
+    * here: the train path reads it exactly once (straight into the
+    * round-0 localCheckpoint), so a cache would only add an
+    * InMemoryRelation materialization between the scan and the loop —
+    * measured +1.1 s on q125 in round 7. [[segmentation]], the one
+    * consumer that reads the vocab twice, caches its own handle.
     */
   private def corpusWords(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -81,7 +84,6 @@ object BpeTrain {
       .filter(length(col("w")) > 0 && !col("w").contains(Sep))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
-      .cache()
 
   /** The merge loop over a prepared (w, freq) vocabulary frame. */
   def trainFromWords(words: DataFrame, rounds: Int): DataFrame = {
@@ -182,7 +184,10 @@ object BpeTrain {
       dir: String,
       rounds: Int = 8
   ): DataFrame = {
-    val words = corpusWords(spark, dir)
+    // cached HERE because segmentation is the one consumer that reads
+    // the vocab twice: once into the merge loop (materialized eagerly
+    // by the collect below) and once more in the shipped pieces frame
+    val words = corpusWords(spark, dir).cacheTracked()
     val merged = trainFromWords(words, rounds).collect()
     val syms = merged.foldLeft(
       array_join(split(col("w"), ""), Sep)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Caches._
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -55,7 +56,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       // both near-dup queries self-join this set; caching stops Spark
       // recomputing tokenize+shingle on each join branch
-      .cache()
+      .cacheTracked()
 
   /** q21: n-gram Jaccard near-dup pairs via shingle inversion: explode
     * shingles → self-join on shingle → per-pair intersection count →
@@ -71,7 +72,7 @@ object Dedup {
       // makes every consumer read one materialization instead of
       // re-running the inversion self-join — at 100 TB the artifact
       // persists to parquet; same topology.
-      .cache()
+      .cacheTracked()
 
   /** The pair generation over a prepared (doc_id, sh) shingle frame —
     * the seam a composed curation DAG (q130) uses to feed one
@@ -171,7 +172,7 @@ object Dedup {
       .withColumn("mh", minhashSignature(col("sh")))
       // signature (8 seeded md5s per shingle) feeds both sides of the
       // band self-join — materialize once
-      .cache()
+      .cacheTracked()
     val banded = d.select(
       col("doc_id"),
       col("mh"),
@@ -226,6 +227,31 @@ object Dedup {
       )
       .distinct()
   }
+
+  /** q198: MinHash estimator-error audit — for every q22 LSH
+    * candidate pair, the signature-estimated Jaccard vs the exact
+    * shingle Jaccard, aggregated per estimate level (k=8 signatures
+    * quantize estimates to eighths): pair count, mean and max
+    * absolute error. The parameter-validation pass a dedup team runs
+    * before trusting a (k, bands, rows) configuration at scale —
+    * if max_abs_err at the decision threshold exceeds the threshold
+    * margin, k is too small.
+    *
+    * Scale: one aggregate over the q22 candidate table (collision-
+    * linear, never corpus²); output is ≤ k+1 rows at any corpus size.
+    */
+  def minhashErrorAudit(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(spark, dir)
+      .select(
+        col("est_jaccard"),
+        abs(col("est_jaccard") - col("jaccard")).as("err")
+      )
+      .groupBy(col("est_jaccard"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("err")), 6).as("mean_abs_err"),
+        round(max(col("err")), 6).as("max_abs_err")
+      )
 
   /** q72: near-dup cluster resolution — the step after pair
     * generation. Edges are the q21 Jaccard pairs (≥ 0.05); nodes are
@@ -476,7 +502,7 @@ object Dedup {
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // both sides of the band self-join read the signatures; caching
     // stops Spark recomputing the token-vote aggregation per branch
-    val sh = simhashDocs(spark, dir).cache()
+    val sh = simhashDocs(spark, dir).cacheTracked()
     val banded = sh.select(
       col("doc_id"),
       col("simhash"),
@@ -1022,7 +1048,7 @@ object Dedup {
       // both split branches read this — cache the slim (doc, bucket,
       // 60-bit key) frame so tokenize+explode+hash runs once, not
       // once per branch
-      .cache()
+      .cacheTracked()
     val train = grams
       .filter(col("bucket") < 80)
       .select(col("gk"))
@@ -1354,7 +1380,7 @@ object Dedup {
         ).as("ckey")
       )
       // feeds the keep-first aggregate AND the per-doc report join
-      .cache()
+      .cacheTracked()
     val winners = chunks
       .groupBy(col("ckey"))
       .agg(min(struct(col("doc_id"), col("chunk_start"))).as("first"))

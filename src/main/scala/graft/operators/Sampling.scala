@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Caches._
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -196,15 +197,29 @@ object Sampling {
       dir: String,
       numShards: Int = 8
   ): DataFrame = {
+    // the gates' shared inputs, derived ONCE: one documents scan, one
+    // tokenize pass, one per-doc trigram count — round 7 paid the
+    // tokenize+trigram chain separately inside the perplexity AND
+    // Moore-Lewis gates (the q130 lesson applied one level up; at
+    // 100 TB these are the persisted artifacts the gates read)
+    val docs = Tables.documents(spark, dir)
+    val toksSrc = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .cacheTracked()
+    val toks = toksSrc.select(col("doc_id"), col("t"))
+    val docTri = TextAnalysis.docTrigramCounts(toks).cacheTracked()
     val surv = Dedup
       .canonicalDocs(spark, dir)
       .select(col("keep_doc").as("doc_id"))
     val gopherKeep = TextAnalysis
-      .gopherRules(spark, dir)
+      .gopherRulesFrom(docs)
       .filter(col("keep"))
       .select(col("doc_id"))
     val pplKeep = TextAnalysis
-      .trigramPerplexity(spark, dir)
+      .trigramPerplexityFrom(toks, docTri)
       .filter(col("keep") === 1)
       .select(col("doc_id"))
     val lrScored = QualityLR
@@ -216,9 +231,25 @@ object Sampling {
       .filter(col("score") >= col("ms"))
       .select(col("doc_id"))
     val mlKeep = TextAnalysis
-      .mooreLewisSelect(spark, dir)
+      .mooreLewisSelectFromToks(toksSrc, docTri)
       .filter(col("keep") === 1)
       .select(col("doc_id"))
+    fourGateManifestFrom(surv, gopherKeep, pplKeep, lrKeep, mlKeep, numShards)
+  }
+
+  /** The manifest tail over CALLER-prepared gate outputs — the
+    * persisted-artifact seam: at 100 TB each gate's kept set is a
+    * materialized table and corpus assembly is exactly these four
+    * doc_id joins plus one shard shuffle.
+    */
+  def fourGateManifestFrom(
+      surv: DataFrame,
+      gopherKeep: DataFrame,
+      pplKeep: DataFrame,
+      lrKeep: DataFrame,
+      mlKeep: DataFrame,
+      numShards: Int = 8
+  ): DataFrame = {
     val w = Window
       .partitionBy(col("shard"))
       .orderBy(col("h").asc, col("doc_id").asc)
@@ -295,7 +326,7 @@ object Sampling {
         col("lang"),
         (graft.functions.TextFunctions.hash60(col("g")) % buckets).as("b")
       )
-      .cache()
+      .cacheTracked()
     val db = feats.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
     val srcCnt = feats.groupBy(col("b")).agg(count(lit(1)).as("cs"))
     val tgtCnt = feats
@@ -897,7 +928,7 @@ object Sampling {
     // score+cumsum chain — at 100 TB this is a persisted artifact)
     val withCum = parts
       .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
-      .cache()
+      .cacheTracked()
     // offsets: one row per range partition; the tiny frame is the
     // only place a global-ordered window runs
     val offsets = withCum
@@ -916,7 +947,61 @@ object Sampling {
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("cum_tokens", col("cum_in") + col("off"))
       .filter(col("cum_tokens") - col("n_tokens") < budget)
-      .select(col("doc_id"), col("q"), col("n_tokens"), col("cum_tokens"))
+      // q is emitted as integer micro-units (the q132/q81
+      // integerization convention): a DOUBLE at a 5e-7 boundary can
+      // hash differently across oracle engines even when the value
+      // is semantically identical; BIGINT removes the sensitivity.
+      .select(
+        col("doc_id"),
+        round(col("q") * lit(1e6)).cast("long").as("q_micro"),
+        col("n_tokens"),
+        col("cum_tokens"))
+  }
+
+  /** q197: per-language exact-IQR length gate — keep documents whose
+    * token count lies in [P25, P75] of their OWN language (corpus-
+    * relative, like the q127/q184 cuts: absolute length thresholds
+    * don't transfer across languages with different tokenization
+    * density). Quartiles are EXACT rank statistics (value at rank
+    * ⌈0.25·n⌉ / ⌈0.75·n⌉ in (n_tokens ASC, doc_id ASC) order), so the
+    * oracle replays them bit-identically — approx_percentile would be
+    * cheaper at scale but engine-specific.
+    *
+    * Scale: one tokenize scan; the rank runs per-language (at 100 TB,
+    * the range-partitioned two-level rank of [[Ranking]] within each
+    * language); the quartile table is |langs| rows, broadcast back.
+    */
+  def iqrLengthGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+    val wRank = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n_tokens").asc, col("doc_id").asc)
+    val ranked = d
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val qs = ranked
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("rn") === ceil(col("cnt") * 0.25), col("n_tokens")))
+          .as("q1"),
+        max(when(col("rn") === ceil(col("cnt") * 0.75), col("n_tokens")))
+          .as("q3")
+      )
+    d.join(broadcast(qs), Seq("lang"))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        col("n_tokens"),
+        col("q1"),
+        col("q3"),
+        col("n_tokens").between(col("q1"), col("q3")).cast("int").as("keep")
+      )
   }
 
   /** q154: preference-pair construction for DPO/RLHF-style training
@@ -1005,7 +1090,7 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("n_chars"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
     // position-ranked frame feeds the resample join — materialize once
-    val ranked = docs.withColumn("pick", row_number().over(w)).cache()
+    val ranked = docs.withColumn("pick", row_number().over(w)).cacheTracked()
     val counts = ranked
       .groupBy(col("source"))
       .agg(

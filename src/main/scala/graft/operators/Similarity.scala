@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Caches._
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -93,7 +94,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("best.cid").as("cid"))
       // ivfTopK probes this as both query side and candidate side;
       // cache so assignment (N·K cosines) runs once
-      .cache()
+      .cacheTracked()
   }
 
   /** q25: IVF-pruned ANN — top-5 per query (queries = vec_id<3)
@@ -213,7 +214,7 @@ object Similarity {
   def embeddingDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val b = lshBandCodes(spark, dir, None, planesPerBand = 4)
       .select(col("vec_id"), col("band"), col("code"))
-      .cache()
+      .cacheTracked()
     val corpus = b.filter(pmod(col("vec_id"), lit(50)) =!= 0)
     val evalSide = b
       .filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -367,7 +368,7 @@ object Similarity {
     // sign-coding pass (16 dot products per vector) runs once
     val b = lshBandCodes(spark, dir, None, planesPerBand = 4)
       .select(col("vec_id"), col("band"), col("code"))
-      .cache()
+      .cacheTracked()
     val a = b.select(col("vec_id").as("vec_a"), col("band"), col("code"))
     val c = b.select(col("vec_id").as("vec_b"), col("band"), col("code"))
     val pairs = a
@@ -467,7 +468,7 @@ object Similarity {
   def pqAdcTopKFrom(vectors: DataFrame): DataFrame = {
     val m = 4; val subDim = 16; val k = 16
     val nQueries = 5; val topK = 10
-    val e = vectors.cache()
+    val e = vectors.cacheTracked()
     // All m subspaces in ONE frame keyed by subspace id `b` — one
     // corpus pass emits every (b, vec_id, subvector) cell, and the
     // Lloyd round / encode / LUT stages below each run ONCE over the
@@ -489,7 +490,7 @@ object Similarity {
         ).as("s")
       )
       .select(col("s.b").as("b"), col("vec_id"), col("s.sub").as("sub"))
-      .cache()
+      .cacheTracked()
     def sqd(x: Column, c: Column): Column =
       graft.functions.VectorMath.vecSqDist(x, c)
     // deterministic init: cluster c of subspace b = the subvector of
@@ -558,7 +559,7 @@ object Similarity {
         col("cluster"),
         sqd(col("sub"), col("c_vec")).as("d")
       )
-      .cache()
+      .cacheTracked()
     def lut(b: Int): DataFrame = lutAll
       .filter(col("b") === b)
       .select(
@@ -886,7 +887,7 @@ object Similarity {
     // oracle's list_sum replays; VectorMathSpec diffs it vs the HOF)
     def sqdDD(x: Column, c: Column): Column =
       graft.functions.VectorMath.vecSqDist(x, c)
-    val e = vectors.cache()
+    val e = vectors.cacheTracked()
     // — coarse quantizer: the q93/q25 Lloyd contract at k = coarseK
     val cInit = e
       .orderBy(col("vec_id"))
@@ -918,7 +919,7 @@ object Similarity {
         zip_with(col("embedding"), col("c_vec"), (x, c) => x.cast("double") - c)
           .as("res")
       )
-      .cache()
+      .cacheTracked()
     // — PQ codebooks on residual subspaces (the q128 keyed-frame form)
     val subs = resid
       .select(
@@ -935,7 +936,7 @@ object Similarity {
         ).as("s")
       )
       .select(col("s.b").as("b"), col("vec_id"), col("s.sub").as("sub"))
-      .cache()
+      .cacheTracked()
     val pInit = subs
       .withColumn(
         "rn",

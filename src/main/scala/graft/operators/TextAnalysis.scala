@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.util.Caches._
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -254,7 +255,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .cache()
+      .cacheTracked()
     val dlen = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dlen.agg(
       count(lit(1)).cast("double").as("n_docs"),
@@ -484,7 +485,7 @@ object TextAnalysis {
       .join(dlen, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("w", col("tf") * idfCos)
-      .cache()
+      .cacheTracked()
     val norms = enriched
       .groupBy(col("doc_id"))
       .agg(round(sqrt(sum(col("w") * col("w"))), 6).as("nrm"))
@@ -509,7 +510,7 @@ object TextAnalysis {
         round(sum(col("qwt") * col("w")), 6).as("dot")
       )
       .join(norms, Seq("doc_id"))
-      .cache()
+      .cacheTracked()
     scored
   }
 
@@ -862,7 +863,7 @@ object TextAnalysis {
     * first-chunk table. No sampling state, no collect.
     */
   def contrastiveChunkPairs(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = docChunks(spark, dir).cache()
+    val chunks = docChunks(spark, dir).cacheTracked()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx").asc)
     val pos = chunks
       .withColumn("positive", lead(col("chunk"), 1).over(w))
@@ -1087,7 +1088,7 @@ object TextAnalysis {
       )
       .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
-      .cache()
+      .cacheTracked()
     val left = bi.groupBy(col("w1")).agg(sum(col("n")).as("n_left"))
     val right = bi.groupBy(col("w2")).agg(sum(col("n")).as("n_right"))
     val total = bi.agg(sum(col("n")).as("t_bi"))
@@ -1237,11 +1238,11 @@ object TextAnalysis {
       // the doc-bigram frame feeds three plan branches (LM, context
       // totals, the scoring join) — materialize it once; Spark does
       // not dedupe common subtrees across a DAG
-      .cache()
+      .cacheTracked()
     val lm = docBi
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("c")).as("n"))
-      .cache()
+      .cacheTracked()
     val ctx = lm.groupBy(col("w1")).agg(sum(col("n")).as("ctx_n"))
     val vocab = toksDf
       .select(explode(t).as("w"))
@@ -1291,22 +1292,30 @@ object TextAnalysis {
         .select(col("doc_id"), tokens(col("text")).as("t"))
         // the LM chain reads this three times (trigram, bigram,
         // unigram passes) — tokenize once, not thrice
-        .cache()
+        .cacheTracked()
     )
 
   /** The interpolated-LM perplexity chain over a prepared (doc_id, t)
     * token frame — the q130 seam. The caller owns materialization:
     * the chain derives trigram, bigram, and unigram counts from it.
     */
-  def trigramPerplexityFrom(toksDf: DataFrame): DataFrame = {
-    val t = col("t")
+  def trigramPerplexityFrom(toksDf: DataFrame): DataFrame =
     // feeds the trigram LM aggregate and the scoring join —
     // materialize once (Spark does not dedupe DAG subtrees)
-    val docTri = docTrigramCounts(toksDf).cache()
+    trigramPerplexityFrom(toksDf, docTrigramCounts(toksDf).cacheTracked())
+
+  /** The perplexity chain over a CALLER-prepared per-doc trigram
+    * count frame — the q194 seam: the four-gate manifest derives
+    * (doc_id, w1, w2, w3, c) once and feeds it to both this gate and
+    * the Moore-Lewis gate instead of paying two corpus trigram
+    * passes. The caller owns `docTri`'s materialization.
+    */
+  def trigramPerplexityFrom(toksDf: DataFrame, docTri: DataFrame): DataFrame = {
+    val t = col("t")
     val tri = docTri
       .groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("c")).as("n3"))
-      .cache()
+      .cacheTracked()
     val triCtx = tri
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("n3")).as("n2ctx"))
@@ -1324,7 +1333,7 @@ object TextAnalysis {
       .select(col("b.w2"), col("b.w3"))
       .groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("nb"))
-      .cache()
+      .cacheTracked()
     val biCtx = bi.groupBy(col("w2")).agg(sum(col("nb")).as("nbctx"))
     val uni = toksDf
       .select(explode(t).as("w3"))
@@ -1347,7 +1356,7 @@ object TextAnalysis {
         (sum(col("c") * -log(p)) / sum(col("c"))).as("x")
       )
       // feeds the corpus-mean aggregate and the final projection
-      .cache()
+      .cacheTracked()
     val meanPpl = scored.agg(avg(exp(col("x"))).as("mean_ppl"))
     scored
       .crossJoin(broadcast(meanPpl))
@@ -1399,14 +1408,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
     val toks = docs
       .select(col("doc_id"), col("lang"), explode(col("t")).as("w"))
-      .cache()
+      .cacheTracked()
     val docTok = toks
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("c"))
     val tl = toks
       .groupBy(col("lang"), col("w"))
       .agg(count(lit(1)).as("ctl"))
-      .cache()
+      .cacheTracked()
     val langStats = tl
       .groupBy(col("lang"))
       .agg(sum(col("ctl")).as("cl"))
@@ -1483,11 +1492,16 @@ object TextAnalysis {
     * inside whole-stage codegen; at 100 TB this is the cheapest class
     * of curation pass (embarrassingly parallel, no state).
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesFrom(Tables.documents(spark, dir))
+
+  /** The Gopher battery over a prepared (doc_id, text, …) frame —
+    * the q194 seam (one documents scan shared across gates).
+    */
+  def gopherRulesFrom(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val stops = array(stopwordsEn.map(lit): _*)
-    Tables
-      .documents(spark, dir)
+    docs
       .select(
         col("doc_id"),
         col("text"),
@@ -1545,7 +1559,7 @@ object TextAnalysis {
     val toks = Tables
       .documents(spark, dir)
       .select(tokens(col("text")).as("t"))
-      .cache()
+      .cacheTracked()
     def gramsOfN(n: Int): DataFrame =
       toks
         .select(
@@ -1713,7 +1727,7 @@ object TextAnalysis {
       .select(col("lang"), explode(tokens(col("text"))).as("w"))
       // the vocab build and the coverage probe both read this —
       // tokenize once, not once per consumer
-      .cache()
+      .cacheTracked()
     val vocab = toks
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"))
@@ -1819,7 +1833,7 @@ object TextAnalysis {
       .select(col("source"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
-      .cache()
+      .cacheTracked()
     val st = sw.groupBy(col("source")).agg(sum(col("c")).as("ts"))
     val wt = sw.groupBy(col("w")).agg(sum(col("c")).as("cw"))
     val tot = sw.agg(sum(col("c")).as("n"))
@@ -1876,7 +1890,7 @@ object TextAnalysis {
   /** Per-doc trigram counts (doc_id, w1, w2, w3, c) from a prepared
     * (doc_id, t) token frame — docs with < 3 tokens drop out.
     */
-  private def docTrigramCounts(toksDf: DataFrame): DataFrame = {
+  private[operators] def docTrigramCounts(toksDf: DataFrame): DataFrame = {
     val t = col("t")
     val nTri = size(t) - 2
     toksDf
@@ -1926,7 +1940,7 @@ object TextAnalysis {
     val tri = trainTri
       .groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("c")).as("n3"))
-      .cache()
+      .cacheTracked()
     val triCtx = tri
       .groupBy(col("w1"), col("w2"))
       .agg(sum(col("n3")).as("n2ctx"))
@@ -1944,13 +1958,13 @@ object TextAnalysis {
       .select(col("b.w2"), col("b.w3"))
       .groupBy(col("w2"), col("w3"))
       .agg(count(lit(1)).as("nb"))
-      .cache()
+      .cacheTracked()
     val biCtx = bi.groupBy(col("w2")).agg(sum(col("nb")).as("nbctx"))
     val uni = trainToks
       .select(explode(t).as("w3"))
       .groupBy(col("w3"))
       .agg(count(lit(1)).as("n1"))
-      .cache()
+      .cacheTracked()
     val tot = uni.agg(sum(col("n1")).cast("double").as("tot"))
     val v = uni.agg(count(lit(1)).as("v"))
     val p = lit(0.55) * coalesce(col("n3") / col("n2ctx"), lit(0.0)) +
@@ -2012,7 +2026,7 @@ object TextAnalysis {
       .groupBy(col("source"), col("w"))
       .agg(min(col("posg")).as("fp"))
       // feeds the 10-bound join AND the vocab total — materialize once
-      .cache()
+      .cacheTracked()
     val totals = tokG
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"))
@@ -2099,15 +2113,24 @@ object TextAnalysis {
     * overlap.
     */
   def gateAgreement(spark: SparkSession, dir: String): DataFrame = {
+    // shared gate inputs, derived once (same scheme as q194's
+    // fourGateManifest): one documents scan, one tokenize pass, one
+    // per-doc trigram count feeding both LM gates
+    val docs = Tables.documents(spark, dir)
+    val toksSrc = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .cacheTracked()
+    val toks = toksSrc.select(col("doc_id"), col("t"))
+    val docTri = docTrigramCounts(toks).cacheTracked()
     val gates = Seq(
-      "gopher" -> gopherRules(spark, dir)
+      "gopher" -> gopherRulesFrom(docs)
         .select(col("doc_id"), col("keep").cast("boolean").as("f")),
       "lr" -> QualityLR
         .lrQualityGate(spark, dir)
         .select(col("doc_id"), col("pred_quality").as("f")),
-      "ml" -> mooreLewisSelect(spark, dir)
+      "ml" -> mooreLewisSelectFromToks(toksSrc, docTri)
         .select(col("doc_id"), (col("keep") === 1).as("f")),
-      "ppl" -> trigramPerplexity(spark, dir)
+      "ppl" -> trigramPerplexityFrom(toks, docTri)
         .select(col("doc_id"), (col("keep") === 1).as("f"))
     )
     val flags = gates
@@ -2116,7 +2139,7 @@ object TextAnalysis {
       }
       .reduce(_.unionByName(_))
       // feeds both sides of the pair self-join
-      .cache()
+      .cacheTracked()
     val a = flags.select(
       col("doc_id"), col("gate").as("gate_a"), col("f").as("fa"))
     val b = flags.select(
@@ -2174,10 +2197,23 @@ object TextAnalysis {
   def mooreLewisSelectFrom(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
-      .cache()
-    val all = toks.select(col("doc_id"), col("t"))
+      .cacheTracked()
     // the scored trigram frame feeds BOTH LM joins — materialize once
-    val scoredTri = docTrigramCounts(all).cache()
+    mooreLewisSelectFromToks(
+      toks,
+      docTrigramCounts(toks.select(col("doc_id"), col("t"))).cacheTracked())
+  }
+
+  /** The Moore-Lewis chain over CALLER-prepared (doc_id, source, t)
+    * tokens and per-doc trigram counts — the q194 seam (shares one
+    * tokenize pass and one trigram pass with the perplexity gate).
+    * The caller owns both frames' materialization.
+    */
+  def mooreLewisSelectFromToks(
+      toks: DataFrame,
+      scoredTri: DataFrame
+  ): DataFrame = {
+    val all = toks.select(col("doc_id"), col("t"))
     val inDomain = toks
       .filter(col("source") === "src0")
       .select(col("doc_id"), col("t"))
@@ -2185,7 +2221,7 @@ object TextAnalysis {
       .withColumnRenamed("x", "xi")
     val xGen = lmXentWithFloor(all, scoredTri)
       .withColumnRenamed("x", "xg")
-    val j = xIn.join(xGen, Seq("doc_id")).cache()
+    val j = xIn.join(xGen, Seq("doc_id")).cacheTracked()
     val mdiff = j.agg(avg(col("xi") - col("xg")).as("md"))
     j.crossJoin(broadcast(mdiff))
       .select(

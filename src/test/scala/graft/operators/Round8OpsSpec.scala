@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral specs for the round-8 operator batch (q195-q198). */
+class Round8OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  test("q195 repetition stats match a driver-side recount on sample docs") {
+    val rows = Repetition
+      .repetitionStats(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(rows.keySet == docs.keySet, "one output row per document")
+    // recount 20 docs by hand
+    docs.toSeq.sortBy(_._1).take(20).foreach { case (id, text) =>
+      val t =
+        if (text.trim.isEmpty) Array.empty[String]
+        else text.trim.split("\\s+")
+      val r = rows(id)
+      assert(r.getAs[Long]("n_tokens") == t.length.toLong, s"doc $id tokens")
+      val dupTok =
+        if (t.isEmpty) 0.0 else 1.0 - t.distinct.length.toDouble / t.length
+      assert(math.abs(r.getAs[Double]("dup_token_frac") - dupTok) < 1e-6)
+      val bi = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val topBi =
+        if (bi.isEmpty) 0.0
+        else 2.0 * bi.groupBy(identity).values.map(_.size).max / t.length
+      assert(
+        math.abs(r.getAs[Double]("top_bigram_frac") - topBi) < 1e-6,
+        s"doc $id top bigram")
+      val tri = t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
+      val dupTri =
+        if (tri.isEmpty) 0.0
+        else {
+          val c = tri.groupBy(identity).values.map(_.size).toSeq
+          c.filter(_ >= 2).sum.toDouble / c.sum
+        }
+      assert(
+        math.abs(r.getAs[Double]("dup_trigram_frac") - dupTri) < 1e-6,
+        s"doc $id dup trigram")
+    }
+  }
+
+  test("q196 window counts follow the stride arithmetic; dup is cross-doc") {
+    val out = Repetition.duplicateWindows(spark, dir).collect()
+    val lens = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    out.foreach { r =>
+      val n = lens(r.getAs[Long]("doc_id"))
+      val want = if (n < 10) 0L else ((n - 10) / 5 + 1).toLong
+      assert(r.getAs[Long]("n_windows") == want, s"doc windows for n=$n")
+      assert(r.getAs[Long]("n_dup_windows") <= r.getAs[Long]("n_windows"))
+    }
+    // a duplicated window implies at least TWO docs report one
+    val anyDup = out.count(_.getAs[Long]("n_dup_windows") > 0)
+    assert(anyDup != 1, "cross-doc duplication cannot involve one doc")
+  }
+
+  test("q197 IQR gate: quartiles are exact rank statistics per language") {
+    val out = Sampling.iqrLengthGate(spark, dir).collect()
+    val byLang = out.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows
+        .map(r => (r.getAs[Long]("n_tokens"), r.getAs[Long]("doc_id")))
+        .sorted
+      val n = sorted.length
+      val q1 = sorted(math.ceil(n * 0.25).toInt - 1)._1
+      val q3 = sorted(math.ceil(n * 0.75).toInt - 1)._1
+      rows.foreach { r =>
+        assert(r.getAs[Long]("q1") == q1, s"$lang q1")
+        assert(r.getAs[Long]("q3") == q3, s"$lang q3")
+        val keep = r.getAs[Int]("keep") == 1
+        val t = r.getAs[Long]("n_tokens")
+        assert(keep == (t >= q1 && t <= q3), s"$lang keep")
+      }
+    }
+  }
+
+  test("q198 error audit: estimates quantized to eighths, pairs conserved") {
+    val audit = Dedup.minhashErrorAudit(spark, dir).collect()
+    audit.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(math.abs(est * 8 - math.round(est * 8)) < 1e-6,
+        s"estimate $est not a multiple of 1/8")
+      assert(r.getAs[Double]("mean_abs_err") <= r.getAs[Double]("max_abs_err"))
+    }
+    val totalPairs = audit.map(_.getAs[Long]("n_pairs")).sum
+    val q22Pairs = Dedup.minhashLshPairs(spark, dir).count()
+    assert(totalPairs == q22Pairs, "audit partitions the q22 pair set")
+  }
+}

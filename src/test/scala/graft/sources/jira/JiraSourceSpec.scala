@@ -70,6 +70,34 @@ class JiraSourceSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("stub pages ≡ raw JSONL: the qj04 oracle's fixture-identity premise") {
+    // qj04's DuckDB oracle replays the flatten over raw_issues_TEST.jsonl
+    // while the engine reads the paginated stub — that compare is only
+    // meaningful if both fixtures carry the SAME issue objects. Enforced
+    // here at the JSON-tree level (Jackson JsonNode equality: field-order
+    // insensitive, value-exact).
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fromPages = new java.io.File(stubDir)
+      .listFiles()
+      .filter(_.getName.startsWith("search_"))
+      .flatMap { f =>
+        val root = om.readTree(f)
+        (0 until root.get("issues").size())
+          .map(i => root.get("issues").get(i))
+      }
+      .map(n => n.get("key").asText() -> n)
+      .toMap
+    val fromJsonl = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(
+        s"${JiraPipeline.FixtureDir}/raw_issues_TEST.jsonl"))
+      .toArray(Array.empty[String])
+      .map(om.readTree)
+      .map(n => n.get("key").asText() -> n)
+      .toMap
+    assert(fromPages.keySet == fromJsonl.keySet)
+    fromPages.foreach { case (k, n) => assert(n == fromJsonl(k), k) }
+  }
+
   test("column pruning reaches the scan (pushed fields)") {
     val df = jiraRead.load().select(col("key"), col("fields.summary"))
     val scan = df.queryExecution.executedPlan.collectLeaves().head
