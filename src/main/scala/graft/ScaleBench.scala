@@ -797,6 +797,13 @@ object ScaleBench {
     // text-only and embedding-only members through the shared ones —
     // the cross-signal merge q165 exists to provide, validated here
     // at 200× the gated scale.
+    // reps 3-7 keep the source embedding (a 5-member exact family);
+    // every other rep gets hash-keyed ±1 sign flips per dimension —
+    // same-rep flips cancel in a dot product (cross-source sims stay
+    // at the base corpus's ≤ 0.51 ceiling) and different-rep patterns
+    // decorrelate, so NO pair outside the kept families verifies at
+    // 0.9 (a rotation scheme tried first produced accidental ≥ 0.9
+    // alignments and runaway merged clusters)
     val msVecs = Tables
       .embeddings(spark, dir)
       .withColumn("rep", explode(sequence(lit(0), lit(199))))
@@ -805,8 +812,9 @@ object ScaleBench {
         when(col("rep").between(3, 7), col("embedding"))
           .otherwise(
             transform(sequence(lit(0), lit(63)),
-              i => element_at(col("embedding"),
-                ((i + col("rep")) % 64).cast("int") + 1)))
+              i => (element_at(col("embedding"), i + 1).cast("double") *
+                when(pmod(xxhash64(lit("ms"), col("rep"), i), lit(2)) === 0,
+                  lit(1.0)).otherwise(lit(-1.0))).cast("float")))
           .as("emb")
       )
       .repartition(cpus.toInt)

@@ -611,6 +611,12 @@ object SparkEntry {
     "q197_iqr_length_gate" -> (Sampling.iqrLengthGate _),
     // MinHash estimate-vs-exact Jaccard error audit over q22 pairs.
     "q198_minhash_error" -> (Dedup.minhashErrorAudit _),
+    // Calibration curve of the trained LR gate (exact score deciles).
+    "q199_lr_calibration" -> (QualityLR.lrCalibration _),
+    // Cumulative exact → near-dup → semantic dedup funnel.
+    "q200_dedup_funnel" -> (Dedup.dedupFunnel _),
+    // (lang, source) contingency vs independence, chi-square cells.
+    "q201_composition_chi2" -> (TextAnalysis.compositionChiSquare _),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -4961,6 +4967,68 @@ object SparkEntry {
          SELECT doc_id, lang, n_tokens, q1, q3,
            CAST(n_tokens BETWEEN q1 AND q3 AS INTEGER) AS keep
          FROM d JOIN q USING (lang)""",
+    // q199: the full LR training replay as a subquery, then exact
+    // ntile deciles (the q50 convention) and per-decile stats.
+    "q199_lr_calibration" ->
+      s"""WITH sc AS (SELECT * FROM ($lrQualityOracleSql) x),
+         d AS (SELECT *, CAST(ntile(10) OVER
+                 (ORDER BY score DESC, doc_id) AS INTEGER) AS decile
+               FROM sc)
+         SELECT decile, count(*) AS n_docs,
+           round(avg(score), 6) AS mean_score,
+           round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate
+         FROM d GROUP BY 1""",
+    // q200: the q78 recursive closure (surv), the q93/q135 k-means +
+    // SemDeDup chain (renamed sm/sp/ss to avoid CTE collisions), and
+    // q20's md5 keep-min rule, composed cumulatively; removed = the
+    // 4-row lag window.
+    "q200_dedup_funnel" -> {
+      val pairCos = cosSql("lo.emb", "hi.emb")
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         $kmeansCtes,
+         asg AS MATERIALIZED (SELECT vec_id, cluster FROM a3
+                              WHERE rn = 1),
+         sm AS MATERIALIZED (SELECT a.vec_id, a.cluster, e.emb
+                             FROM asg a JOIN e USING (vec_id)),
+         sp AS (SELECT hi.vec_id, $pairCos AS sim
+                FROM sm hi JOIN sm lo
+                  ON hi.cluster = lo.cluster AND lo.vec_id < hi.vec_id),
+         ss AS (SELECT vec_id, max(sim) AS ms FROM sp GROUP BY 1),
+         semkept AS (SELECT sm.vec_id AS doc_id FROM sm LEFT JOIN ss
+                     ON sm.vec_id = ss.vec_id
+                     WHERE coalesce(ss.ms < 0.35, true)),
+         s1 AS (SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(text)),
+         s2 AS (SELECT doc_id FROM s1
+                JOIN (SELECT doc_id FROM surv WHERE rn = 1) sv
+                  USING (doc_id)),
+         s3 AS (SELECT doc_id FROM s2 JOIN semkept USING (doc_id)),
+         counts AS (
+           SELECT '0_all' AS stage, count(*) AS n_docs FROM documents
+           UNION ALL SELECT '1_exact', count(*) FROM s1
+           UNION ALL SELECT '2_neardup', count(*) FROM s2
+           UNION ALL SELECT '3_semantic', count(*) FROM s3)
+         SELECT stage, n_docs,
+           coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs,
+             CAST(0 AS BIGINT)) AS removed
+         FROM counts"""
+    },
+    // q201: contingency cells vs independence expectation.
+    "q201_composition_chi2" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n
+             FROM documents GROUP BY 1, 2),
+         lt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+         st AS (SELECT source, count(*) AS n_source
+                FROM documents GROUP BY 1),
+         t AS (SELECT count(*) AS n_total FROM documents)
+         SELECT c.lang, c.source, c.n,
+           round(lt.n_lang::DOUBLE * st.n_source / t.n_total, 6)
+             AS expected,
+           round((c.n - lt.n_lang::DOUBLE * st.n_source / t.n_total)
+             * (c.n - lt.n_lang::DOUBLE * st.n_source / t.n_total)
+             / (lt.n_lang::DOUBLE * st.n_source / t.n_total), 6)
+             AS chi2_cell
+         FROM c JOIN lt USING (lang) JOIN st USING (source), t""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -253,6 +253,49 @@ object Dedup {
         round(max(col("err")), 6).as("max_abs_err")
       )
 
+  /** q200: dedup funnel — the three dedup stages a production corpus
+    * passes through, applied CUMULATIVELY with per-stage attribution:
+    * exact (md5 keep-min, q20's rule), near-dup (the q78 canonical
+    * survivor of the shingle closure), semantic (the q135 SemDeDup
+    * keep rule over embedding clusters, vec_id ≡ doc_id in this
+    * corpus). Output: one row per stage with cumulative survivors and
+    * docs removed BY that stage — the attribution a pipeline owner
+    * reads to see which stage earns its compute.
+    *
+    * Scale: each stage keeps its own audited topology; the funnel
+    * adds three doc_id semi-joins and a 4-row ordered window (bounded
+    * frame). The per-stage counts are the same numbers the stages'
+    * own queries gate.
+    */
+  def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir).select(col("doc_id"))
+    val s1 = exactDedup(spark, dir)
+      .select(col("survivor_id").as("doc_id"))
+    val s2 = s1.join(
+      canonicalDocs(spark, dir).select(col("keep_doc").as("doc_id")),
+      Seq("doc_id"))
+    val s3 = s2.join(
+      semanticDedup(spark, dir)
+        .filter(col("kept"))
+        .select(col("vec_id").as("doc_id")),
+      Seq("doc_id"))
+    val counts = Seq(
+      "0_all" -> all,
+      "1_exact" -> s1,
+      "2_neardup" -> s2,
+      "3_semantic" -> s3
+    ).map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_docs")).select(lit(name).as("stage"),
+        col("n_docs"))
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("stage").asc)
+    counts
+      .withColumn(
+        "removed",
+        coalesce(lag(col("n_docs"), 1).over(w) - col("n_docs"), lit(0L)))
+      .select(col("stage"), col("n_docs"), col("removed"))
+  }
+
   /** q72: near-dup cluster resolution — the step after pair
     * generation. Edges are the q21 Jaccard pairs (≥ 0.05); nodes are
     * every shingled doc (singletons keep themselves). Transitive

@@ -154,4 +154,30 @@ object QualityLR {
         (prob(w) >= 0.5).as("pred_quality")
       )
   }
+
+  /** q199: calibration curve of the trained gate — exact score
+    * deciles (ntile over (score DESC, doc_id), the q50 rank
+    * convention) vs the empirical positive rate inside each decile.
+    * The reliability diagram a curation team reads before trusting
+    * LR scores as sampling WEIGHTS rather than a binary cut: a
+    * well-calibrated decile's mean score ≈ its positive rate; a
+    * miscalibrated gate still ranks but must not weight.
+    *
+    * Scale: one scored scan; the decile rank is a global total order
+    * over (score, doc_id) — at 100 TB the exact two-pass range rank
+    * ([[graft.operators.Ranking]]); output is 10 rows at any corpus
+    * size.
+    */
+  def lrCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    lrQualityGate(spark, dir)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 6).as("mean_score"),
+        round(avg(col("label").cast("double")), 6).as("pos_rate")
+      )
+  }
 }

@@ -2093,6 +2093,43 @@ object TextAnalysis {
       )
   }
 
+  /** q201: corpus composition independence audit — the (lang, source)
+    * contingency table with expected counts under independence and
+    * per-cell chi-square contributions. The "is my language mix the
+    * same in every source" check a corpus team runs before assuming
+    * per-source language shares transfer: a large cell contribution
+    * flags a source whose language profile diverges from the corpus
+    * (a crawl gone single-language, a mislabeled dump).
+    *
+    * Scale: one groupBy over the scan (|langs|·|sources| aggregated
+    * cells), two tiny marginal aggregates broadcast back — nothing
+    * grows with the corpus but the first pass.
+    */
+  def compositionChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val cells = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val langTot = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val srcTot = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val e = col("n_lang").cast("double") * col("n_source") / col("n_total")
+    cells
+      .join(broadcast(langTot), Seq("lang"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"),
+        col("source"),
+        col("n"),
+        round(e, 6).as("expected"),
+        round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_cell")
+      )
+  }
+
   /** q190: quality-gate agreement matrix — Cohen's κ between every
     * pair of the four independent quality gates the engine ships:
     * the Gopher heuristic battery (q142), the corpus-LM perplexity

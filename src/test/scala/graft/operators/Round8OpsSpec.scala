@@ -102,6 +102,50 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q199 calibration: deciles partition the corpus, scores decrease") {
+    val rows = QualityLR
+      .lrCalibration(spark, dir)
+      .collect()
+      .sortBy(_.getAs[Int]("decile"))
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, dir).count())
+    val means = rows.map(_.getAs[Double]("mean_score"))
+    assert(means.zip(means.tail).forall { case (a, b) => a >= b },
+      "mean score must be non-increasing across deciles")
+    rows.foreach { r =>
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+  }
+
+  test("q200 funnel: cumulative stages shrink and attribution conserves") {
+    val rows = Dedup
+      .dedupFunnel(spark, dir)
+      .collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("0_all", "1_exact", "2_neardup", "3_semantic"))
+    val n = rows.map(_.getAs[Long]("n_docs"))
+    assert(n.zip(n.tail).forall { case (a, b) => a >= b }, "monotone")
+    assert(rows.head.getAs[Long]("removed") == 0L)
+    rows.zip(rows.tail).foreach { case (prev, cur) =>
+      assert(cur.getAs[Long]("removed") ==
+        prev.getAs[Long]("n_docs") - cur.getAs[Long]("n_docs"))
+    }
+    assert(n.head == Tables.documents(spark, dir).count())
+  }
+
+  test("q201 chi-square: marginals conserve and expectations sum to N") {
+    val rows = TextAnalysis.compositionChiSquare(spark, dir).collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == Tables.documents(spark, dir).count())
+    val expSum = rows.map(_.getAs[Double]("expected")).sum
+    // cells absent from the corpus carry no row, so Σ expected ≤ N
+    assert(expSum <= n + 1e-3)
+    rows.foreach(r => assert(r.getAs[Double]("chi2_cell") >= 0.0))
+  }
+
   test("q198 error audit: estimates quantized to eighths, pairs conserved") {
     val audit = Dedup.minhashErrorAudit(spark, dir).collect()
     audit.foreach { r =>
