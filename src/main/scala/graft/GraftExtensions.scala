@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // strength reduction: aggregate(zip_with(...)) dot-product fold
     // → codegen'd vec_dot primitive loop
     e.injectOptimizerRule(_ => graft.plans.VecDotRewrite)
+    // strength reduction: size(array_intersect(a, b)) over string
+    // arrays → single-pass counting kernel (the Jaccard verify shape)
+    e.injectOptimizerRule(_ => graft.plans.ArrayIntersectSizeRewrite)
     // whole-operator extension: the native backward as-of join
     // (logical AsOfJoin → AsOfJoinExec sorted merge)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
