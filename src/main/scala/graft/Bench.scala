@@ -49,6 +49,12 @@ object Bench {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_BENCH_MODE=session skips the per-query cache
+    // release: queries inherit earlier queries' derive-once artifacts
+    // like a long-lived analytics session would (the round-7
+    // semantics). The gate number stays the default isolated mode.
+    val sessionMode =
+      sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("session")
     // SPARK_GRAFT_ONLY=q130,q72 restricts to matching name prefixes —
     // targeted timing during iteration; unset = the full gate.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -59,7 +65,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // when BENCH_DETAIL.json would describe a subset, don't overwrite
     // the full-run detail file
-    val writeDetail = only.isEmpty
+    val writeDetail = only.isEmpty && !sessionMode
     val results = selected.map { case (name, fn) =>
       // every QUERY starts cache-cold: operators cache derive-once
       // artifacts (dedup closure, IVF lists, …) and without this a
@@ -69,8 +75,10 @@ object Bench {
       // Within a query, the warmup may populate the query's OWN
       // caches — the measured number stays the documented
       // steady-state one, but owes nothing to other queries.
-      graft.util.Caches.releaseAll()
-      spark.catalog.clearCache()
+      if (!sessionMode) {
+        graft.util.Caches.releaseAll()
+        spark.catalog.clearCache()
+      }
       def once(): Double = {
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch { case _: Throwable => return -1.0 }
@@ -90,8 +98,9 @@ object Bench {
     // Full-name detail (for humans / PERF.md) — file, not stdout.
     val detail = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val mode = if (sessionMode) "session" else "isolated"
     val detailJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir","warmup_runs":1,"measured_runs":2,"agg":"min","loadavg_1m":$load}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"$mode","queries":$detail,"sf":"$sfDir","warmup_runs":1,"measured_runs":2,"agg":"min","loadavg_1m":$load}"""
     if (writeDetail) {
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_DETAIL.json"),
@@ -110,7 +119,7 @@ object Bench {
     }.mkString("{", ",", "}")
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":$qs,"top_k":15,"detail":"BENCH_DETAIL.json","sf":"$sfDir","warmup_runs":1,"measured_runs":2,"agg":"min","loadavg_1m":$load}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"mode":"$mode","queries":$qs,"top_k":15,"detail":"BENCH_DETAIL.json","sf":"$sfDir","warmup_runs":1,"measured_runs":2,"agg":"min","loadavg_1m":$load}""")
     System.out.flush()
   }
 }

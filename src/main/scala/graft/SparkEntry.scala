@@ -617,6 +617,10 @@ object SparkEntry {
     "q200_dedup_funnel" -> (Dedup.dedupFunnel _),
     // (lang, source) contingency vs independence, chi-square cells.
     "q201_composition_chi2" -> (TextAnalysis.compositionChiSquare _),
+    // Packing-efficiency audit over the q53 window layout.
+    "q202_packing_audit" -> ((s, d) => TextAnalysis.packingAudit(s, d)),
+    // Near-dup pairs bucketed by the split assignment of their ends.
+    "q203_split_leakage" -> (Dedup.splitLeakage _),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -5029,6 +5033,68 @@ object SparkEntry {
              / (lt.n_lang::DOUBLE * st.n_source / t.n_total), 6)
              AS chi2_cell
          FROM c JOIN lt USING (lang) JOIN st USING (source), t""",
+    // q202: the q53 layout replayed, then per-(lang, window) token
+    // sums, per-lang fill/overflow/spanning rollup. The n_tokens > 0
+    // guard keeps empty docs out of the spanning count (their start
+    // and end offsets coincide) and keeps cum−1 non-negative, where
+    // DuckDB's floor `//` and Spark's truncating cast would differ.
+    "q202_packing_audit" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT d.*, CAST(sum(n_tokens) OVER
+                 (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens FROM d),
+         w AS (SELECT *, (cum_tokens - n_tokens) // 2048 AS window_id
+               FROM c),
+         wa AS (SELECT lang, window_id, sum(n_tokens) AS win_tokens
+                FROM w GROUP BY 1, 2),
+         sp AS (SELECT lang, count(*) AS spanning_docs
+                FROM w
+                WHERE n_tokens > 0
+                  AND (cum_tokens - 1) // 2048 <> window_id
+                GROUP BY 1),
+         agg AS (SELECT lang, count(*) AS n_windows,
+                   round(avg(win_tokens::DOUBLE) / 2048, 6) AS mean_fill,
+                   sum(CASE WHEN win_tokens > 2048 THEN 1 ELSE 0 END)
+                     AS overflow_windows
+                 FROM wa GROUP BY 1)
+         SELECT agg.lang, agg.n_windows, agg.mean_fill,
+           CAST(agg.overflow_windows AS BIGINT) AS overflow_windows,
+           CAST(COALESCE(sp.spanning_docs, 0) AS BIGINT) AS spanning_docs
+         FROM agg LEFT JOIN sp USING (lang)""",
+    // q203: the q21 inversion pair chain at J ≥ 0.5 joined to the
+    // q49 split hash of both ends, split pair canonicalized.
+    "q203_split_leakage" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.5),
+         sp AS (SELECT doc_id,
+                  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80
+                       THEN 'train'
+                       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+                       THEN 'valid' ELSE 'test' END AS split
+                FROM documents)
+         SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           count(*) AS n_pairs,
+           CAST(least(sa.split, sb.split) <> greatest(sa.split, sb.split)
+             AS INTEGER) AS leak
+         FROM pr
+         JOIN sp sa ON pr.doc_a = sa.doc_id
+         JOIN sp sb ON pr.doc_b = sb.doc_id
+         GROUP BY 1, 2""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

@@ -228,6 +228,39 @@ object Dedup {
       .distinct()
   }
 
+  /** q203: train/test split leakage audit — near-duplicate pairs
+    * (shingle Jaccard ≥ 0.5) bucketed by the q49 split assignment of
+    * their two ends, split pair canonicalized (least/greatest). The
+    * eval-integrity check a team runs after ANY split: a near-dup of
+    * a test document sitting in train leaks the answer, and
+    * hash-by-id splits (q49) do NOT prevent it — only cluster-safe
+    * splits (q172) do. `leak = 1` rows are the cross-split mass that
+    * motivates q172.
+    *
+    * Scale: the cached pair artifact (collision-linear) + two
+    * split-map joins (pure per-row hash, no shuffle on the split
+    * side) + one ≤ 6-row aggregate.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val sp = Sampling
+      .trainTestSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .select(
+        least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leak", (col("split_a") =!= col("split_b")).cast("int"))
+  }
+
   /** q198: MinHash estimator-error audit — for every q22 LSH
     * candidate pair, the signature-estimated Jaccard vs the exact
     * shingle Jaccard, aggregated per estimate level (k=8 signatures

@@ -697,6 +697,56 @@ object TextAnalysis {
       )
   }
 
+  /** q202: packing-efficiency audit over the q53 layout — per
+    * language: window count, mean window fill (Σ tokens ÷ budget),
+    * windows whose content overflows the budget (a doc STARTING
+    * inside the window runs past its end — the overflow the packer
+    * either truncates or spills), and documents that span a window
+    * boundary. The padding/truncation-waste dashboard a packed-
+    * pretraining writer reads before committing a context budget:
+    * low mean fill wastes compute on padding, high overflow wastes
+    * tokens on truncation.
+    *
+    * Scale: one pass over the q53 frame (itself one lang-shuffle),
+    * one (lang, window) aggregate, one per-lang rollup — output is
+    * |langs| rows at any corpus size.
+    */
+  def packingAudit(
+      spark: SparkSession,
+      dir: String,
+      budget: Int = 2048
+  ): DataFrame = {
+    val w = packWindows(spark, dir, budget)
+      // feeds the window aggregate and the spanning-doc count
+      .cacheTracked()
+    val winAgg = w
+      .groupBy(col("lang"), col("window_id"))
+      .agg(sum(col("n_tokens")).as("win_tokens"))
+    val spanning = w
+      .filter(col("n_tokens") > 0)
+      .filter(
+        ((col("cum_tokens") - 1) / budget).cast("long") =!= col("window_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("spanning_docs"))
+    winAgg
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        round(avg(col("win_tokens").cast("double")) / budget, 6)
+          .as("mean_fill"),
+        sum(when(col("win_tokens") > budget, 1L).otherwise(0L))
+          .as("overflow_windows")
+      )
+      .join(spanning, Seq("lang"), "left")
+      .select(
+        col("lang"),
+        col("n_windows"),
+        col("mean_fill"),
+        col("overflow_windows"),
+        coalesce(col("spanning_docs"), lit(0L)).as("spanning_docs")
+      )
+  }
+
   /** GPT-2-style pre-tokenization pattern: contraction suffixes,
     * optional-space letter runs, digit runs, punctuation runs,
     * whitespace runs. Deliberately restricted to constructs with
