@@ -621,6 +621,20 @@ object SparkEntry {
     "q202_packing_audit" -> ((s, d) => TextAnalysis.packingAudit(s, d)),
     // Near-dup pairs bucketed by the split assignment of their ends.
     "q203_split_leakage" -> (Dedup.splitLeakage _),
+    // Good-Turing frequency spectrum + unseen-mass estimate.
+    "q204_good_turing" -> ((s, d) => TextAnalysis.goodTuring(s, d)),
+    // Per-cluster quality cap over the k-means assignment.
+    "q205_cluster_cap" -> ((s, d) => Clustering.clusterCap(s, d)),
+    // Quarantine list repairing the q203 cross-split leakage.
+    "q207_leak_quarantine" -> (Dedup.leakQuarantine _),
+    // Per-source length-profile rejection ratios + acceptance counts.
+    "q209_length_match" -> ((s, d) => Sampling.lengthMatchSampler(s, d)),
+    // KV-cache prefix-sharing curve at probe depths 1..16.
+    "q210_prefix_sharing" -> ((s, d) => TextAnalysis.prefixSharing(s, d)),
+    // McNemar paired discordance test over every gate pair.
+    "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
+    // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
+    "q208_transitivity" -> ((s, d) => Dedup.transitivityAudit(s, d)),
     // Filter-funnel yield: per-stage surviving doc counts.
     "q115_filter_funnel" -> (TextAnalysis.filterFunnel _),
     // Pooled frame embeddings: stride-sampled frames → stub per-frame
@@ -1399,6 +1413,30 @@ object SparkEntry {
              6) AS epochs
          FROM h CROSS JOIN cs)"""
 
+  /** The q15 quality score as a `qq (doc_id, q)` CTE — shared by the
+    * canonical-survivor chain (q78 family) and the q205 cluster cap.
+    */
+  private val qualityCte: String =
+    """qq AS (SELECT doc_id,
+                round(0.5 * least(n_toks / 200.0, 1.0)
+                    + 0.4 * least(stop_raw * 5.0, 1.0)
+                    + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
+              FROM (SELECT doc_id,
+                      CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE len(list_filter(toks, w -> w IN
+                             ('the','a','an','and','or','of','to','in','is','it')
+                             ))::DOUBLE / len(toks) END AS stop_raw,
+                      len(toks)::DOUBLE AS n_toks,
+                      CASE WHEN length(text) = 0 THEN 0.0
+                           ELSE (length(text)
+                                 - length(translate(text, '.,!?;:', '')))::DOUBLE
+                                / length(text) END AS punct_frac
+                    FROM (SELECT doc_id, text,
+                            CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                                 ELSE regexp_split_to_array(trim(text), '\s+')
+                            END AS toks
+                          FROM documents) a) b)"""
+
   private val canonicalChainCtes: String =
     s"""$shinglesCte,
        e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
@@ -1421,31 +1459,31 @@ object SparkEntry {
                FROM reach GROUP BY a),
        sz AS (SELECT cluster_id, count(*) AS cluster_size
               FROM lab GROUP BY 1),
-       qq AS (SELECT doc_id,
-                round(0.5 * least(n_toks / 200.0, 1.0)
-                    + 0.4 * least(stop_raw * 5.0, 1.0)
-                    + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
-              FROM (SELECT doc_id,
-                      CASE WHEN len(toks) = 0 THEN 0.0
-                           ELSE len(list_filter(toks, w -> w IN
-                             ('the','a','an','and','or','of','to','in','is','it')
-                             ))::DOUBLE / len(toks) END AS stop_raw,
-                      len(toks)::DOUBLE AS n_toks,
-                      CASE WHEN length(text) = 0 THEN 0.0
-                           ELSE (length(text)
-                                 - length(translate(text, '.,!?;:', '')))::DOUBLE
-                                / length(text) END AS punct_frac
-                    FROM (SELECT doc_id, text,
-                            CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                                 ELSE regexp_split_to_array(trim(text), '\\s+')
-                            END AS toks
-                          FROM documents) a) b),
+       $qualityCte,
        surv AS (SELECT lab.cluster_id, sz.cluster_size, lab.doc_id, qq.q,
                   row_number() OVER (PARTITION BY lab.cluster_id
                     ORDER BY qq.q DESC, lab.doc_id ASC) AS rn
                 FROM lab
                 JOIN sz USING (cluster_id)
                 JOIN qq USING (doc_id))"""
+
+  /** The four quality gates as one long (doc_id, gate, f) flag CTE —
+    * each gate's full proven oracle embedded as a subquery. Shared by
+    * the q190 agreement (κ) and q206 McNemar compositions.
+    */
+  private lazy val gateFlagsCtes: String =
+    s"""g1 AS (SELECT doc_id, keep AS f
+              FROM ($gopherOracleSql) x1),
+       g2 AS (SELECT doc_id, pred_quality AS f
+              FROM ($lrQualityOracleSql) x2),
+       g3 AS (SELECT doc_id, keep = 1 AS f
+              FROM ($mooreLewisOracleSql) x3),
+       g4 AS (SELECT doc_id, keep = 1 AS f
+              FROM ($trigramPplOracleSql) x4),
+       fl AS (SELECT doc_id, 'gopher' AS gate, f FROM g1
+              UNION ALL SELECT doc_id, 'lr', f FROM g2
+              UNION ALL SELECT doc_id, 'ml', f FROM g3
+              UNION ALL SELECT doc_id, 'ppl', f FROM g4)"""
 
   /** The q93 Lloyd chain as a reusable WITH prefix: `e` (double-cast
     * vectors), deterministic `init` (k=8 lowest vec_ids), two unrolled
@@ -4757,18 +4795,7 @@ object SparkEntry {
     // subquery (no CTE renaming, no re-derivation drift); κ in the
     // same expression order, chance-agreement ties → κ = 0.
     "q190_gate_agreement" ->
-      s"""WITH g1 AS (SELECT doc_id, keep AS f
-                      FROM ($gopherOracleSql) x1),
-         g2 AS (SELECT doc_id, pred_quality AS f
-                FROM ($lrQualityOracleSql) x2),
-         g3 AS (SELECT doc_id, keep = 1 AS f
-                FROM ($mooreLewisOracleSql) x3),
-         g4 AS (SELECT doc_id, keep = 1 AS f
-                FROM ($trigramPplOracleSql) x4),
-         fl AS (SELECT doc_id, 'gopher' AS gate, f FROM g1
-                UNION ALL SELECT doc_id, 'lr', f FROM g2
-                UNION ALL SELECT doc_id, 'ml', f FROM g3
-                UNION ALL SELECT doc_id, 'ppl', f FROM g4),
+      s"""WITH $gateFlagsCtes,
          pr AS (SELECT a.gate AS gate_a, b.gate AS gate_b,
                   count(*) AS n,
                   CAST(sum(CASE WHEN a.f AND b.f THEN 1 ELSE 0 END)
@@ -5095,6 +5122,178 @@ object SparkEntry {
          JOIN sp sa ON pr.doc_a = sa.doc_id
          JOIN sp sb ON pr.doc_b = sb.doc_id
          GROUP BY 1, 2""",
+    // q204: same unigram counts → count-of-counts chain; the r+1
+    // lookup is a self-join on the spectrum (NULL at gaps), totals
+    // one aggregated row.
+    "q204_good_turing" ->
+      """WITH wc AS (
+           SELECT w, count(*) AS r FROM (
+             SELECT unnest(
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+             FROM documents) x
+           GROUP BY w),
+         spec AS (SELECT r, count(*) AS n_types FROM wc GROUP BY r),
+         t AS (SELECT sum(r * n_types) AS n_total,
+                 sum(CASE WHEN r = 1 THEN n_types END) AS n1
+               FROM spec),
+         lo AS (SELECT r, n_types,
+                  row_number() OVER (ORDER BY r) AS rk
+                FROM spec)
+         SELECT s.r, s.n_types,
+           round((s.r + 1) * nx.n_types::DOUBLE / s.n_types, 6) AS r_star,
+           round(s.r * s.n_types::DOUBLE / t.n_total, 6) AS prob_mass,
+           round(coalesce(t.n1, 0)::DOUBLE / t.n_total, 6) AS p0
+         FROM lo s LEFT JOIN spec nx ON nx.r = s.r + 1, t
+         WHERE s.rk <= 10""",
+    // q205: the q93 Lloyd chain for the assignment, the shared q15
+    // quality CTE, per-cluster rank with the (q desc, doc_id asc)
+    // tiebreak, micro-unit quality export.
+    "q205_cluster_cap" ->
+      s"""WITH $kmeansCtes,
+         asg AS (SELECT vec_id AS doc_id, cluster FROM a3 WHERE rn = 1),
+         $qualityCte,
+         r AS (SELECT asg.doc_id, asg.cluster, qq.q,
+                 row_number() OVER (PARTITION BY asg.cluster
+                   ORDER BY qq.q DESC, asg.doc_id ASC) AS rk
+               FROM asg JOIN qq USING (doc_id))
+         SELECT doc_id, cluster, CAST(rk AS INTEGER) AS rk,
+           CAST(round(q * 1e6) AS BIGINT) AS q_micro
+         FROM r WHERE rk <= 50""",
+    // q207: the q203 cross-split chain; the victim CASE mirrors the
+    // engine's split-priority expression exactly.
+    "q207_leak_quarantine" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.5),
+         sp AS (SELECT doc_id,
+                  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80
+                       THEN 'train'
+                       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+                       THEN 'valid' ELSE 'test' END AS split
+                FROM documents),
+         x AS (SELECT pr.doc_a, pr.doc_b, sa.split AS sa, sb.split AS sb,
+                 CASE sa.split WHEN 'train' THEN 0 WHEN 'valid' THEN 1
+                   ELSE 2 END AS pa,
+                 CASE sb.split WHEN 'train' THEN 0 WHEN 'valid' THEN 1
+                   ELSE 2 END AS pb
+               FROM pr
+               JOIN sp sa ON pr.doc_a = sa.doc_id
+               JOIN sp sb ON pr.doc_b = sb.doc_id
+               WHERE sa.split <> sb.split)
+         SELECT CASE WHEN pa < pb THEN doc_a ELSE doc_b END AS doc_id,
+           CASE WHEN pa < pb THEN sa ELSE sb END AS split,
+           count(*) AS n_links
+         FROM x GROUP BY 1, 2""",
+    // q209: same (source, bucket) count chain; ratio rounded to ppm
+    // on the identical integer-product double, q49 hash acceptance.
+    "q209_length_match" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END)
+               AS BIGINT) // 32 AS bucket
+           FROM documents),
+         c AS (SELECT source, bucket, count(*) AS n_docs
+               FROM d GROUP BY 1, 2),
+         st AS (SELECT source, sum(n_docs) AS s_tot FROM c GROUP BY 1),
+         bt AS (SELECT bucket, sum(n_docs) AS g_cnt FROM c GROUP BY 1),
+         gt AS (SELECT sum(n_docs) AS g_tot FROM c),
+         r AS (SELECT c.source, c.bucket,
+                 least(1000000, CAST(round(
+                   1e6 * (bt.g_cnt * st.s_tot)::DOUBLE
+                   / (gt.g_tot * c.n_docs)) AS BIGINT)) AS ratio_ppm
+               FROM c JOIN st USING (source)
+               JOIN bt USING (bucket), gt)
+         SELECT d.source, d.bucket, count(*) AS n_docs,
+           max(r.ratio_ppm) AS ratio_ppm,
+           CAST(sum(CASE WHEN
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000 < r.ratio_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted
+         FROM d JOIN r USING (source, bucket)
+         GROUP BY 1, 2""",
+    // q210: docs × probe depths, shorter docs excluded per depth,
+    // shared-prefix groups rolled up per depth.
+    "q210_prefix_sharing" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+           FROM documents),
+         g AS (SELECT CAST(dd.depth AS BIGINT) AS depth,
+                 array_to_string(t[1:dd.depth], ' ') AS prefix,
+                 count(*) AS cnt
+               FROM tk, (SELECT unnest([1, 2, 4, 8, 16]) AS depth) dd
+               WHERE len(t) >= dd.depth
+               GROUP BY 1, 2)
+         SELECT depth,
+           CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_prefixes,
+           CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+             AS n_docs_sharing,
+           CAST(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * depth
+             ELSE 0 END) AS BIGINT) AS saved_tokens
+         FROM g GROUP BY 1""",
+    // q206: the shared gate-flag CTEs, discordant-cell counts, and
+    // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
+    "q206_mcnemar_gates" ->
+      s"""WITH $gateFlagsCtes
+         SELECT a.gate AS gate_a, b.gate AS gate_b,
+           count(*) AS n,
+           CAST(sum(CASE WHEN a.f AND NOT b.f THEN 1 ELSE 0 END)
+             AS BIGINT) AS n10,
+           CAST(sum(CASE WHEN NOT a.f AND b.f THEN 1 ELSE 0 END)
+             AS BIGINT) AS n01,
+           CASE WHEN sum(CASE WHEN a.f <> b.f THEN 1 ELSE 0 END) = 0
+                THEN 0.0
+                ELSE round(
+                  (sum(CASE WHEN a.f AND NOT b.f THEN 1 ELSE 0 END)
+                   - sum(CASE WHEN NOT a.f AND b.f THEN 1 ELSE 0 END))
+                  ** 2
+                  / sum(CASE WHEN a.f <> b.f THEN 1 ELSE 0 END)::DOUBLE,
+                  6)
+           END AS mcnemar_chi2
+         FROM fl a JOIN fl b
+           ON a.doc_id = b.doc_id AND a.gate < b.gate
+         GROUP BY 1, 2""",
+    // q208: the q21 inversion chain at J >= 0.5, symmetrized, wedge
+    // self-join on the center, closing edge probed against the same
+    // pair set; single summary row with micro-unit closure rate.
+    "q208_transitivity" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.5),
+         sym AS (SELECT doc_a AS ctr, doc_b AS nbr FROM pr
+                 UNION ALL SELECT doc_b, doc_a FROM pr),
+         w AS (SELECT x.nbr AS doc_a, y.nbr AS doc_b
+               FROM sym x JOIN sym y
+                 ON x.ctr = y.ctr AND x.nbr < y.nbr),
+         j AS (SELECT w.doc_a, w.doc_b,
+                 CASE WHEN pr.doc_a IS NULL THEN 0 ELSE 1 END AS closed
+               FROM w LEFT JOIN pr
+                 ON w.doc_a = pr.doc_a AND w.doc_b = pr.doc_b)
+         SELECT count(*) AS n_wedges,
+           CAST(coalesce(sum(closed), 0) AS BIGINT) AS n_closed,
+           CASE WHEN count(*) = 0 THEN 0
+                ELSE CAST(round(coalesce(sum(closed), 0) * 1e6
+                  / count(*)) AS BIGINT)
+           END AS closure_micro
+         FROM j""",
     // q94: identical double widening, nearest-integer coding, and
     // dequantization arithmetic; error stats rounded to 6.
     "q94_int8_quant" ->

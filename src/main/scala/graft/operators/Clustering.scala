@@ -128,4 +128,45 @@ object Clustering {
     assign(e, centroids)
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
   }
+
+  /** q205: cluster-capped diversity corpus — the q93 assignment joined
+    * to the q15 quality scores (vec_id ≡ doc_id), then at most `cap`
+    * documents kept per cluster by (quality desc, doc_id asc) rank.
+    * The diversity-preserving alternative to a global quality cut: a
+    * global top-N drains rare topics (their best documents score below
+    * a dominant topic's median), while a per-cluster cap keeps every
+    * region of embedding space represented — the capping step of
+    * cluster-based corpus curation, downstream of SemDeDup-style
+    * clustering (Abbas et al., 2023).
+    *
+    * Scale: the assignment is the audited q93 topology (broadcast
+    * centroids, zero corpus shuffles); quality is a narrow scan; the
+    * rank is per-cluster (k partitions — at 100 TB use range-
+    * partitioned two-level rank within each cluster if k is small and
+    * clusters are huge); output ≤ k·cap rows.
+    */
+  def clusterCap(
+      spark: SparkSession,
+      dir: String,
+      cap: Int = 50
+  ): DataFrame = {
+    val asg = kmeansAssign(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+    val q = TextAnalysis
+      .qualityScoresFrom(Tables.documents(spark, dir))
+      .select(col("doc_id"), round(col("quality"), 6).as("q"))
+    val w = Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    asg
+      .join(q, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(
+        col("doc_id"),
+        col("cluster"),
+        col("rk"),
+        round(col("q") * lit(1e6)).cast("long").as("q_micro")
+      )
+  }
 }

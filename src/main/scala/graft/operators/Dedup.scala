@@ -261,6 +261,96 @@ object Dedup {
       .withColumn("leak", (col("split_a") =!= col("split_b")).cast("int"))
   }
 
+  /** q207: leakage quarantine — the repair step downstream of the
+    * q203 audit: for every cross-split near-dup pair (J ≥ 0.5), the
+    * LOWER-priority end (train < valid < test — eval sets are sacred,
+    * training data is expendable) is quarantined, with the number of
+    * cross-split links it carries. Dropping exactly these documents
+    * from their splits makes valid/test near-dup-clean against the
+    * rest of the corpus without touching a single eval document — the
+    * minimal-on-the-train-side repair every split needs when
+    * cluster-safe splitting (q172) wasn't used from the start.
+    *
+    * Scale: the cached pair artifact + two per-row hash split maps +
+    * one aggregate keyed on the quarantined doc — all collision-
+    * linear, nothing corpus².
+    */
+  def leakQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val sp = Sampling
+      .trainTestSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
+    def pri(c: Column): Column =
+      when(c === "train", 0).when(c === "valid", 1).otherwise(2)
+    pairs
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("sa")),
+        Seq("doc_a"))
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("sb")),
+        Seq("doc_b"))
+      .filter(col("sa") =!= col("sb"))
+      .select(
+        when(pri(col("sa")) < pri(col("sb")), col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"),
+        when(pri(col("sa")) < pri(col("sb")), col("sa"))
+          .otherwise(col("sb")).as("split")
+      )
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  /** q208: near-dup transitivity audit — over the pair graph at
+    * J ≥ t, count wedges (a—b—c through a shared center) and how many
+    * close (a—c also ≥ t). The closure rate is the empirical check on
+    * the single biggest assumption transitive-closure dedup (q72/q78)
+    * makes: near-duplication is treated as an equivalence relation,
+    * but Jaccard is NOT transitive — a low closure rate means CC is
+    * chaining dissimilar documents through middlemen and the cluster
+    * survivor policy is deleting non-duplicates. Read this BEFORE
+    * trusting cluster counts; if it's low, raise t or switch to the
+    * q159 verified-pair topology.
+    *
+    * Scale: the near-dup graph is sparse (collision-linear edges), so
+    * wedges = Σ_b deg(b)² stays linear in practice; the closing-edge
+    * probe is one join back against the cached pair artifact — never
+    * against the corpus.
+    */
+  def transitivityAudit(
+      spark: SparkSession,
+      dir: String,
+      t: Double = 0.5
+  ): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"))
+      // read three times: two wedge arms + the closing-edge probe
+      .cacheTracked()
+    val sym = pairs
+      .select(col("doc_a").as("ctr"), col("doc_b").as("nbr"))
+      .unionByName(pairs.select(col("doc_b").as("ctr"), col("doc_a").as("nbr")))
+    val wedges = sym
+      .as("x")
+      .join(sym.as("y"), col("x.ctr") === col("y.ctr"))
+      .filter(col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("doc_a"), col("y.nbr").as("doc_b"))
+    wedges
+      .join(pairs.withColumn("closed", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .agg(
+        count(lit(1)).as("n_wedges"),
+        coalesce(sum(col("closed")), lit(0L)).as("n_closed")
+      )
+      .select(
+        col("n_wedges"),
+        col("n_closed"),
+        when(col("n_wedges") === 0, 0L)
+          .otherwise(
+            round(col("n_closed") * lit(1e6) / col("n_wedges")).cast("long")
+          )
+          .as("closure_micro")
+      )
+  }
+
   /** q198: MinHash estimator-error audit — for every q22 LSH
     * candidate pair, the signature-estimated Jaccard vs the exact
     * shingle Jaccard, aggregated per estimate level (k=8 signatures

@@ -48,6 +48,82 @@ object Sampling {
           .otherwise("test")
       )
 
+  /** q209: length-distribution rejection sampler — per-source
+    * acceptance ratios that reshape every source's token-length
+    * profile to the GLOBAL length profile, then the deterministic
+    * ppm-hash acceptance. Length is one of the strongest spurious
+    * signals a mixed corpus carries (a source recognizable by
+    * document length alone lets a model shortcut-learn source
+    * identity), and rejection-to-target is the standard debiasing:
+    * accept(source, bucket) = min(1, global_share / source_share),
+    * so over-represented buckets thin and the rest pass whole.
+    * Ratios are integer ppm (the q132 convention) and acceptance is
+    * the q49 id-keyed hash — deterministic, engine-independent,
+    * composable with every other gate.
+    *
+    * Scale: one tokenize scan → (source, bucket) partial-agg counts
+    * (tiny); ratios derive from that frame alone and broadcast back;
+    * acceptance is a pure per-row hash. No corpus shuffle anywhere.
+    */
+  def lengthMatchSampler(
+      spark: SparkSession,
+      dir: String,
+      bucketTokens: Int = 32
+  ): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        floor(
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long") / bucketTokens
+        ).cast("long").as("bucket")
+      )
+    val counts = d
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      // read by the ratio chain (source totals, bucket totals, grand
+      // total) and the output join
+      .cacheTracked()
+    val srcTot = counts
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("s_tot"))
+    val bucketTot = counts
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_docs")).as("g_cnt"))
+    val grandTot = counts.agg(sum(col("n_docs")).as("g_tot"))
+    val ratios = counts
+      .join(srcTot, Seq("source"))
+      .join(bucketTot, Seq("bucket"))
+      .crossJoin(broadcast(grandTot))
+      .select(
+        col("source"),
+        col("bucket"),
+        col("n_docs"),
+        least(
+          lit(1000000L),
+          round(
+            lit(1e6) * (col("g_cnt") * col("s_tot")).cast("double") /
+              (col("g_tot") * col("n_docs"))
+          ).cast("long")
+        ).as("ratio_ppm")
+      )
+    d
+      .join(broadcast(ratios), Seq("source", "bucket"))
+      .withColumn(
+        "accepted",
+        graft.functions.TextFunctions.hash60(col("doc_id")) % 1000000L
+          < col("ratio_ppm")
+      )
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("ratio_ppm")).as("ratio_ppm"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("n_accepted")
+      )
+  }
+
   /** q71: stratified down-sampling — per-language keep rates (the
     * data-mixing knob of a pretraining corpus: up/down-weight
     * languages or sources to a target distribution). Same

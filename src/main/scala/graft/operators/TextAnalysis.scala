@@ -747,6 +747,129 @@ object TextAnalysis {
       )
   }
 
+  /** q204: Good-Turing frequency spectrum (Gale & Sampson, "Good-
+    * Turing frequency estimation without tears", JQL 1995) over the
+    * corpus unigram counts — for each observed count r ≤ maxR: the
+    * number of types N_r, the Turing-smoothed adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, the probability mass r·N_r/N at that
+    * count, and the unseen-event mass P₀ = N₁/N. The estimate an LM
+    * builder reads before choosing a smoothing scheme (the q149
+    * Kneser-Ney discount is exactly a reparameterized r*) and the
+    * standard estimator for "how much vocabulary have we NOT seen" —
+    * at 100 TB of web text P₀ tells you whether another crawl is
+    * worth tokenizing.
+    *
+    * `r_star` is NULL at spectrum gaps (no types observed exactly
+    * r+1 times) — Good-Turing is undefined there and smoothing
+    * implementations fall back to a fitted power law.
+    *
+    * The output keeps the `maxRows` SMALLEST observed counts rather
+    * than a fixed r ≤ cap: the low end of the spectrum is where
+    * smoothing decisions live, and its absolute position depends on
+    * corpus size (a fixed cap returns nothing once every type clears
+    * it).
+    *
+    * Scale: one tokenize scan → word-count shuffle (partial agg) →
+    * count-of-counts shuffle on r; the spectrum is ≤ |distinct
+    * counts| rows (vastly smaller than the vocabulary), so the
+    * rank-and-keep tail is a single tiny window.
+    */
+  def goodTuring(
+      spark: SparkSession,
+      dir: String,
+      maxRows: Int = 10
+  ): DataFrame = {
+    val wc = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("r"))
+    val spec = wc
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_types"))
+      // read three times: the output rows, the r+1 lookup, the totals
+      .cacheTracked()
+    val tot = spec.agg(
+      sum(col("r") * col("n_types")).as("n_total"),
+      sum(when(col("r") === 1, col("n_types"))).as("n1")
+    )
+    val nxt = spec.select(
+      (col("r") - 1).as("r"),
+      col("n_types").as("n_next")
+    )
+    spec
+      .withColumn(
+        "rk",
+        row_number().over(Window.orderBy(col("r").asc))
+      )
+      .filter(col("rk") <= maxRows)
+      .drop("rk")
+      .join(nxt, Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("r"),
+        col("n_types"),
+        round(
+          (col("r") + 1) * col("n_next").cast("double") / col("n_types"),
+          6
+        ).as("r_star"),
+        round(col("r") * col("n_types").cast("double") / col("n_total"), 6)
+          .as("prob_mass"),
+        round(coalesce(col("n1"), lit(0L)).cast("double") / col("n_total"), 6)
+          .as("p0")
+      )
+  }
+
+  /** q210: prefix-sharing curve — at each probe depth (1, 2, 4, 8,
+    * 16 leading tokens), how many distinct prefixes are shared by ≥ 2
+    * documents, how many documents sit in a shared-prefix group, and
+    * the total prefix tokens a prefix-aware cache would not recompute
+    * (Σ (group−1)·depth). The capacity-planning curve for inference-
+    * time KV-cache sharing (vLLM-style automatic prefix caching) and
+    * for prefix-grouped training batches: templated corpora (chat
+    * transcripts, boilerplate headers, few-shot prompts) show heavy
+    * shallow sharing that decays with depth, and the knee of this
+    * curve is the cache depth worth provisioning.
+    *
+    * Documents shorter than the probe depth can't share a full
+    * prefix of that depth and are excluded from that row.
+    *
+    * Scale: docs × 5 depths explode (constant factor), one
+    * (depth, prefix) partial-agg count, one 5-row rollup. The prefix
+    * strings shuffle hashed with their groups — at 100 TB hash the
+    * prefix to 64 bits first and carry the string only for reporting.
+    */
+  def prefixSharing(
+      spark: SparkSession,
+      dir: String,
+      depths: Seq[Int] = Seq(1, 2, 4, 8, 16)
+  ): DataFrame = {
+    val groups = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        col("t"),
+        explode(lit(depths.toArray)).as("depth")
+      )
+      .filter(size(col("t")) >= col("depth"))
+      .select(
+        col("depth").cast("long").as("depth"),
+        array_join(slice(col("t"), lit(1), col("depth")), " ").as("prefix")
+      )
+      .groupBy(col("depth"), col("prefix"))
+      .agg(count(lit(1)).as("cnt"))
+    groups
+      .groupBy(col("depth"))
+      .agg(
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_shared_prefixes"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L))
+          .as("n_docs_sharing"),
+        sum(when(col("cnt") > 1, (col("cnt") - 1) * col("depth"))
+          .otherwise(0L)).as("saved_tokens")
+      )
+  }
+
   /** GPT-2-style pre-tokenization pattern: contraction suffixes,
     * optional-space letter runs, digit runs, punctuation runs,
     * whitespace runs. Deliberately restricted to constructs with
@@ -2200,33 +2323,7 @@ object TextAnalysis {
     * overlap.
     */
   def gateAgreement(spark: SparkSession, dir: String): DataFrame = {
-    // shared gate inputs, derived once (same scheme as q194's
-    // fourGateManifest): one documents scan, one tokenize pass, one
-    // per-doc trigram count feeding both LM gates
-    val docs = Tables.documents(spark, dir)
-    val toksSrc = docs
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
-      .cacheTracked()
-    val toks = toksSrc.select(col("doc_id"), col("t"))
-    val docTri = docTrigramCounts(toks).cacheTracked()
-    val gates = Seq(
-      "gopher" -> gopherRulesFrom(docs)
-        .select(col("doc_id"), col("keep").cast("boolean").as("f")),
-      "lr" -> QualityLR
-        .lrQualityGate(spark, dir)
-        .select(col("doc_id"), col("pred_quality").as("f")),
-      "ml" -> mooreLewisSelectFromToks(toksSrc, docTri)
-        .select(col("doc_id"), (col("keep") === 1).as("f")),
-      "ppl" -> trigramPerplexityFrom(toks, docTri)
-        .select(col("doc_id"), (col("keep") === 1).as("f"))
-    )
-    val flags = gates
-      .map { case (n, df) =>
-        df.select(col("doc_id"), lit(n).as("gate"), col("f"))
-      }
-      .reduce(_.unionByName(_))
-      // feeds both sides of the pair self-join
-      .cacheTracked()
+    val flags = gateFlags(spark, dir)
     val a = flags.select(
       col("doc_id"), col("gate").as("gate_a"), col("f").as("fa"))
     val b = flags.select(
@@ -2254,6 +2351,84 @@ object TextAnalysis {
         .otherwise(round((po - pe) / (lit(1) - pe), 6))
         .as("kappa")
     )
+  }
+
+  /** The long (doc_id, gate, f) flag frame over the four round-7
+    * quality gates — shared inputs derived once (same scheme as
+    * q194's fourGateManifest): one documents scan, one tokenize pass,
+    * one per-doc trigram count feeding both LM gates. Cached: q190
+    * reads it on both sides of its pair self-join and q206 replays
+    * the same pairing.
+    */
+  private def gateFlags(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toksSrc = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .cacheTracked()
+    val toks = toksSrc.select(col("doc_id"), col("t"))
+    val docTri = docTrigramCounts(toks).cacheTracked()
+    Seq(
+      "gopher" -> gopherRulesFrom(docs)
+        .select(col("doc_id"), col("keep").cast("boolean").as("f")),
+      "lr" -> QualityLR
+        .lrQualityGate(spark, dir)
+        .select(col("doc_id"), col("pred_quality").as("f")),
+      "ml" -> mooreLewisSelectFromToks(toksSrc, docTri)
+        .select(col("doc_id"), (col("keep") === 1).as("f")),
+      "ppl" -> trigramPerplexityFrom(toks, docTri)
+        .select(col("doc_id"), (col("keep") === 1).as("f"))
+    )
+      .map { case (n, df) =>
+        df.select(col("doc_id"), lit(n).as("gate"), col("f"))
+      }
+      .reduce(_.unionByName(_))
+      .cacheTracked()
+  }
+
+  /** q206: McNemar's paired test over every gate pair — where q190's
+    * Cohen's κ measures chance-corrected AGREEMENT, McNemar asks the
+    * sharper production question: do two gates disagree
+    * SYMMETRICALLY, or is one systematically stricter? Per pair, the
+    * discordant counts b = |a keeps, b drops| and c = |a drops,
+    * b keeps| and the statistic (b−c)²/(b+c) (χ², 1 dof; ≥ 3.84
+    * rejects symmetric disagreement at p < 0.05). A large statistic
+    * with a healthy κ means the gates rank alike but one's threshold
+    * is tighter — retune the threshold, don't retrain the gate.
+    *
+    * Scale: the shared gate-flag frame (one scan + LM chains), one
+    * doc_id self-join (co-partitioned), one 6-row aggregate.
+    */
+  def mcnemarGates(spark: SparkSession, dir: String): DataFrame = {
+    val flags = gateFlags(spark, dir)
+    val a = flags.select(
+      col("doc_id"), col("gate").as("gate_a"), col("f").as("fa"))
+    val b = flags.select(
+      col("doc_id"), col("gate").as("gate_b"), col("f").as("fb"))
+    a
+      .join(b, Seq("doc_id"))
+      .filter(col("gate_a") < col("gate_b"))
+      .groupBy(col("gate_a"), col("gate_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("n01")
+      )
+      .select(
+        col("gate_a"),
+        col("gate_b"),
+        col("n"),
+        col("n10"),
+        col("n01"),
+        when(col("n10") + col("n01") === 0, 0.0)
+          .otherwise(
+            round(
+              pow(col("n10") - col("n01"), 2).cast("double") /
+                (col("n10") + col("n01")),
+              6
+            )
+          )
+          .as("mcnemar_chi2")
+      )
   }
 
   /** q184: Moore-Lewis cross-entropy-difference data selection
