@@ -631,6 +631,16 @@ object SparkEntry {
     "q209_length_match" -> ((s, d) => Sampling.lengthMatchSampler(s, d)),
     // KV-cache prefix-sharing curve at probe depths 1..16.
     "q210_prefix_sharing" -> ((s, d) => TextAnalysis.prefixSharing(s, d)),
+    // Source reputation: per-source mean quality, shrunk toward the
+    // corpus mean with 20 pseudo-observations.
+    "q211_source_reputation" -> ((s, d) => TextAnalysis.sourceReputation(s, d)),
+    // Eval-centric contamination: per eval doc, train hits + worst
+    // containment.
+    "q213_eval_contamination" -> (Dedup.evalContamination _),
+    // Simplified silhouette per k-means cluster.
+    "q215_silhouette" -> ((s, d) => Clustering.clusterSilhouette(s, d)),
+    // Exact Mann-Whitney AUC of the trained LR gate.
+    "q216_lr_auc" -> (QualityLR.lrAuc _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5242,6 +5252,85 @@ object SparkEntry {
            CAST(sum(CASE WHEN cnt > 1 THEN (cnt - 1) * depth
              ELSE 0 END) AS BIGINT) AS saved_tokens
          FROM g GROUP BY 1""",
+    // q211: per-doc quality integerized to micro BEFORE summing, so
+    // both engines aggregate exact integers; identical shrinkage
+    // expression order on the two final divisions.
+    "q211_source_reputation" ->
+      s"""WITH $qualityCte,
+         sc AS (SELECT d.source,
+                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+                FROM documents d JOIN qq ON d.doc_id = qq.doc_id),
+         ps AS (SELECT source, count(*) AS n_docs, sum(qm) AS sum_qm
+                FROM sc GROUP BY 1),
+         g AS (SELECT sum(n_docs) AS g_n, sum(sum_qm) AS g_sum FROM ps)
+         SELECT ps.source, ps.n_docs,
+           CAST(round(ps.sum_qm::DOUBLE / ps.n_docs) AS BIGINT)
+             AS mean_q_micro,
+           CAST(round((ps.sum_qm + 20.0 * g.g_sum / g.g_n)
+             / (ps.n_docs + 20)) AS BIGINT) AS shrunk_q_micro
+         FROM ps, g""",
+    // q213: the q73 5-gram chain flipped to the eval side, with the
+    // eval shingle-set size carried for the containment denominator.
+    "q213_eval_contamination" ->
+      """WITH dd AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 4),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5])) AS sh
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 5),
+         ev AS (SELECT doc_id AS eval_id, len(sh) AS n_eval,
+                  unnest(sh) AS s
+                FROM dd WHERE doc_id % 50 = 0),
+         tr AS (SELECT doc_id AS train_id, unnest(sh) AS s FROM dd
+                WHERE doc_id % 50 <> 0),
+         p AS (SELECT ev.eval_id, tr.train_id, count(*) AS inter,
+                 max(ev.n_eval) AS n_eval
+               FROM tr JOIN ev ON tr.s = ev.s
+               GROUP BY 1, 2)
+         SELECT eval_id, count(*) AS n_train_hits,
+           max(CAST(round(inter * 1e6 / n_eval) AS BIGINT))
+             AS max_containment_micro
+         FROM p GROUP BY 1""",
+    // q215: a3 already ranks every (vec, centroid) distance; rn=1 is
+    // a, rn=2 is b, same sqrt/ratio expression, micro rollup.
+    "q215_silhouette" ->
+      s"""WITH $kmeansCtes,
+         ab AS (SELECT vec_id,
+                  min(CASE WHEN rn = 1 THEN dist END) AS a,
+                  min(CASE WHEN rn = 2 THEN dist END) AS b,
+                  min(CASE WHEN rn = 1 THEN cluster END) AS cluster
+                FROM a3 WHERE rn <= 2 GROUP BY 1),
+         s AS (SELECT cluster,
+                 CASE WHEN greatest(sqrt(a), sqrt(b)) = 0 THEN 0.0
+                      ELSE (sqrt(b) - sqrt(a))
+                        / greatest(sqrt(a), sqrt(b)) END AS sil
+               FROM ab)
+         SELECT cluster, count(*) AS n_vecs,
+           CAST(round(avg(sil) * 1e6) AS BIGINT) AS mean_sil_micro
+         FROM s GROUP BY 1""",
+    // q216: grouped-by-distinct-score rank sum — integer cells all
+    // the way to the single final division, identical on both sides.
+    "q216_lr_auc" ->
+      s"""WITH g AS (SELECT score, count(*) AS cnt, sum(label) AS n_pos_s
+                FROM ($lrQualityOracleSql) z
+                GROUP BY 1),
+         r AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY score ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+               FROM g),
+         a AS (SELECT sum(n_pos_s * (2 * cum_before + cnt + 1)) AS trs,
+                 sum(n_pos_s) AS n_pos, sum(cnt) AS n_all
+               FROM r)
+         SELECT n_pos, n_all - n_pos AS n_neg,
+           CASE WHEN n_pos = 0 OR n_pos = n_all THEN NULL
+                ELSE CAST(round(1e6 * (trs - n_pos * (n_pos + 1))::DOUBLE
+                  / (2 * n_pos * (n_all - n_pos))) AS BIGINT)
+           END AS auc_micro
+         FROM a""",
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
     // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
     "q206_mcnemar_gates" ->

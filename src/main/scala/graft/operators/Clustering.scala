@@ -112,6 +112,23 @@ object Clustering {
     val e = Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
+    assign(e, kmeansCentroids(spark, dir, k, iters))
+      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+  }
+
+  /** The converged centroid frame the q93 assignment reads — exposed
+    * so downstream audits (q215 silhouette) score against the SAME
+    * k-row model instead of re-running Lloyd.
+    */
+  def kmeansCentroids(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      iters: Int = 2
+  ): DataFrame = {
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
     val init = e
       .orderBy(col("vec_id"))
       .limit(k)
@@ -125,8 +142,65 @@ object Clustering {
       val a = assign(e, centroids)
       centroids = update(e, a).localCheckpoint(true)
     }
-    assign(e, centroids)
-      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+    centroids
+  }
+
+  /** q215: simplified-silhouette audit of the q93 clustering — per
+    * vector, a = distance to its own (nearest) centroid and b =
+    * distance to the second-nearest, s = (b−a)/max(a,b) ∈ [0,1] (the
+    * centroid-based silhouette of Rousseeuw 1987 as used for large-N
+    * cluster validation; the exact pairwise form is O(N²) and never
+    * runs at corpus scale). Per cluster: size and mean silhouette in
+    * integer micro-units. Low mean silhouette marks clusters whose
+    * members sit near a rival centroid — exactly where the q205 cap
+    * and q135 semantic dedup make their worst decisions, so this is
+    * the confidence gauge read alongside both.
+    *
+    * Scale: k broadcast centroids × one corpus scan (no shuffle to
+    * compute all k distances); the per-vector rank is a k-row window
+    * keyed by vec_id; the rollup is k rows. Nothing pairwise.
+    */
+  def clusterSilhouette(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      iters: Int = 2
+  ): DataFrame = {
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val dists = e
+      .crossJoin(broadcast(kmeansCentroids(spark, dir, k, iters)))
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        sqDist(col("embedding"), col("c_vec")).as("dist")
+      )
+    val w = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cluster").asc)
+    val ab = dists
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("vec_id"))
+      .agg(
+        min(when(col("rn") === 1, col("dist"))).as("a"),
+        min(when(col("rn") === 2, col("dist"))).as("b"),
+        min(when(col("rn") === 1, col("cluster"))).as("cluster")
+      )
+    val sa = sqrt(col("a"))
+    val sb = sqrt(col("b"))
+    ab
+      .withColumn(
+        "sil",
+        when(greatest(sa, sb) === 0, 0.0)
+          .otherwise((sb - sa) / greatest(sa, sb))
+      )
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("sil")) * lit(1e6)).cast("long").as("mean_sil_micro")
+      )
   }
 
   /** q205: cluster-capped diversity corpus — the q93 assignment joined

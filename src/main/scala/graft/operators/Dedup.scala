@@ -539,6 +539,49 @@ object Dedup {
       )
   }
 
+  /** q213: eval-centric contamination report — the q73 flip: q73
+    * lists the TRAINING docs to drop; this scores each EVAL document
+    * by how compromised it already is: the number of training docs
+    * sharing ≥ 1 distinct 5-gram, and the worst-case containment
+    * (max over hits of |∩| / |eval shingles|, micro-units). An eval
+    * doc with high max containment measures memorization, not
+    * ability — benchmark hygiene reports rank by exactly this number
+    * before trusting a score delta.
+    *
+    * Scale: identical topology to q73 — the eval shingle set is tiny
+    * vs the corpus and broadcast; the training scan never shuffles;
+    * per-(eval, train) counts partial-aggregate, then collapse to one
+    * row per contaminated eval doc.
+    */
+  def evalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text"), 5).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val evalSh = docs
+      .filter(col("doc_id") % 50 === 0)
+      .select(
+        col("doc_id").as("eval_id"),
+        size(col("sh")).cast("long").as("n_eval"),
+        explode(col("sh")).as("s")
+      )
+    val trainSh = docs
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("s"))
+    trainSh
+      .join(broadcast(evalSh), Seq("s"))
+      // per-doc shingle lists are distinct, so the count IS |∩|
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("inter"), max(col("n_eval")).as("n_eval"))
+      .groupBy(col("eval_id"))
+      .agg(
+        count(lit(1)).as("n_train_hits"),
+        max(
+          round(col("inter") * lit(1e6) / col("n_eval")).cast("long")
+        ).as("max_containment_micro")
+      )
+  }
+
   private val SimHashBits = 16
 
   /** q23: 16-bit SimHash per document — per-bit majority vote over

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -168,6 +169,54 @@ object QualityLR {
     * ([[graft.operators.Ranking]]); output is 10 rows at any corpus
     * size.
     */
+  /** q216: exact AUC of the trained gate via the Mann-Whitney
+    * rank-sum — ties handled with average ranks (grouped by distinct
+    * score, so the whole statistic is integer arithmetic: with
+    * two_rank_sum = Σ_s n_pos(s)·(2·cum_before(s) + cnt(s) + 1),
+    * U = (two_rank_sum − n₁(n₁+1))/2 and AUC = U/(n₁n₀)), emitted in
+    * micro-units. The threshold-free companion to q199's calibration
+    * deciles: AUC certifies the RANKING (can the gate order docs at
+    * all), calibration certifies the SCORES — a curation team needs
+    * both before using LR output as sampling weights.
+    *
+    * Scale: one scored scan → distinct-score partial agg. Scores are
+    * rounded to 6 decimals, so the grouped frame is ≤ 1,000,001 rows
+    * at ANY corpus size — the single-partition cumulative window runs
+    * on a provably bounded frame (the q164 offsets argument).
+    */
+  def lrAuc(spark: SparkSession, dir: String): DataFrame = {
+    val byScore = lrQualityGate(spark, dir)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("cnt"), sum(col("label")).as("n_pos_s"))
+    val w = Window
+      .orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .agg(
+        sum(
+          col("n_pos_s") * (lit(2) * col("cum_before") + col("cnt") + 1)
+        ).as("trs"),
+        sum(col("n_pos_s")).as("n_pos"),
+        sum(col("cnt")).as("n_all")
+      )
+      .select(
+        col("n_pos"),
+        (col("n_all") - col("n_pos")).as("n_neg"),
+        when(
+          col("n_pos") === 0 || col("n_pos") === col("n_all"),
+          lit(null).cast("long")
+        ).otherwise(
+          round(
+            lit(1e6) *
+              (col("trs") - col("n_pos") * (col("n_pos") + 1))
+                .cast("double") /
+              (lit(2) * col("n_pos") * (col("n_all") - col("n_pos")))
+          ).cast("long")
+        ).as("auc_micro")
+      )
+  }
+
   def lrCalibration(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id").asc)

@@ -820,6 +820,56 @@ object TextAnalysis {
       )
   }
 
+  /** q211: source reputation with empirical-Bayes shrinkage — per
+    * source: document count, raw mean quality, and the mean shrunk
+    * toward the corpus mean with `pseudo` pseudo-observations
+    * (James-Stein-style partial pooling: shrunk = (Σq + k·μ)/(n+k)).
+    * The ranking a curation team actually uses to admit or demote a
+    * SOURCE: a 30-document domain with a lucky mean must not outrank
+    * a 3M-document domain scoring marginally lower, and shrinkage is
+    * the standard fix. Per-doc quality is integerized to micro-units
+    * first, so every sum is exact integer arithmetic and only the
+    * final two divisions touch doubles.
+    *
+    * Scale: one scored scan → per-source partial-agg (|sources|
+    * rows) → one broadcast corpus-total row. No corpus shuffle.
+    */
+  def sourceReputation(
+      spark: SparkSession,
+      dir: String,
+      pseudo: Int = 20
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * lit(1e6)).cast("long").as("qm")),
+        Seq("doc_id"))
+    val perSource = scored
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("sum_qm"))
+    val global = perSource.agg(
+      sum(col("n_docs")).as("g_n"),
+      sum(col("sum_qm")).as("g_sum")
+    )
+    perSource
+      .crossJoin(broadcast(global))
+      .select(
+        col("source"),
+        col("n_docs"),
+        round(col("sum_qm").cast("double") / col("n_docs"))
+          .cast("long").as("mean_q_micro"),
+        round(
+          (col("sum_qm") +
+            lit(pseudo.toDouble) * col("g_sum") / col("g_n")) /
+            (col("n_docs") + pseudo)
+        ).cast("long").as("shrunk_q_micro")
+      )
+  }
+
   /** q210: prefix-sharing curve — at each probe depth (1, 2, 4, 8,
     * 16 leading tokens), how many distinct prefixes are shared by ≥ 2
     * documents, how many documents sit in a shared-prefix group, and
