@@ -641,6 +641,11 @@ object SparkEntry {
     "q215_silhouette" -> ((s, d) => Clustering.clusterSilhouette(s, d)),
     // Exact Mann-Whitney AUC of the trained LR gate.
     "q216_lr_auc" -> (QualityLR.lrAuc _),
+    // Streaming LR admission: batch-trained model as stream literals.
+    "q217_stream_quality_gate" ->
+      ((s, d) => streaming.StreamQualityGate.streamLrAdmission(s, d)),
+    // Per-cluster member-quality spread: the survivor-policy audit.
+    "q218_cluster_spread" -> (Dedup.clusterQualitySpread _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5331,6 +5336,33 @@ object SparkEntry {
                   / (2 * n_pos * (n_all - n_pos))) AS BIGINT)
            END AS auc_micro
          FROM a""",
+    // q217: the q180 GD chain scores every doc; the cut is the mean
+    // of the rounded scores (the q194 convention) — the drained
+    // stream must equal this batch statement row for row.
+    "q217_stream_quality_gate" ->
+      s"""WITH sc AS (SELECT doc_id, score
+                FROM ($lrQualityOracleSql) z),
+         m AS (SELECT avg(score) AS cut FROM sc)
+         SELECT doc_id, score, score >= cut AS admitted
+         FROM sc, m""",
+    // q218: the recursive-closure labels + shared quality CTE; the
+    // engine's double rounding (6 places, then micro) replayed.
+    "q218_cluster_spread" ->
+      s"""WITH RECURSIVE $canonicalChainCtes
+         SELECT lab.cluster_id,
+           CAST(max(sz.cluster_size) AS BIGINT) AS cluster_size,
+           min(CAST(round(round(qq.q, 6) * 1e6) AS BIGINT))
+             AS q_min_micro,
+           max(CAST(round(round(qq.q, 6) * 1e6) AS BIGINT))
+             AS q_max_micro,
+           max(CAST(round(round(qq.q, 6) * 1e6) AS BIGINT))
+             - min(CAST(round(round(qq.q, 6) * 1e6) AS BIGINT))
+             AS q_spread_micro
+         FROM lab
+         JOIN sz USING (cluster_id)
+         JOIN qq USING (doc_id)
+         WHERE sz.cluster_size >= 2
+         GROUP BY 1""",
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
     // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
     "q206_mcnemar_gates" ->

@@ -539,6 +539,42 @@ object Dedup {
       )
   }
 
+  /** q218: per-cluster quality spread — for every multi-document
+    * near-dup cluster (q72), the min/max member quality and their
+    * spread in micro-units. The audit that justifies q78's
+    * keep-BEST-quality survivor policy over keep-min-id: a large
+    * spread means the copies are NOT interchangeable (one is the
+    * clean original, another an ad-injected scrape) and arbitrary
+    * survivor choice loses real quality; a spread near zero means
+    * min-id would have been fine and the quality join is wasted
+    * effort. Read the mass of this distribution before choosing a
+    * survivor policy.
+    *
+    * Scale: cluster labels are the audited q72 topology; quality is
+    * a narrow scan; the rollup is one partial-aggregated groupBy on
+    * cluster_id — output is |multi-doc clusters| rows.
+    */
+  def clusterQualitySpread(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+      .filter(col("cluster_size") >= 2)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val q = TextAnalysis
+      .qualityScores(spark, dir)
+      .select(
+        col("doc_id"),
+        round(round(col("quality"), 6) * lit(1e6)).cast("long").as("qm")
+      )
+    labels
+      .join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(col("cluster_size")).as("cluster_size"),
+        min(col("qm")).as("q_min_micro"),
+        max(col("qm")).as("q_max_micro")
+      )
+      .withColumn("q_spread_micro", col("q_max_micro") - col("q_min_micro"))
+  }
+
   /** q213: eval-centric contamination report — the q73 flip: q73
     * lists the TRAINING docs to drop; this scores each EVAL document
     * by how compromised it already is: the number of training docs

@@ -102,6 +102,13 @@ object QualityLR {
       )
   }
 
+  /** The trained model as a literal scoring column (rounded to 6 like
+    * every emitted score) — the deployed-config shape: weights travel
+    * as plain numbers, and the same expression scores a batch frame
+    * or a stream (q217).
+    */
+  def score(w: Array[Double]): Column = round(prob(w), 6)
+
   /** z = w0 + w1·f1 + … accumulated left-to-right (the oracle writes
     * the same expression order), p = 1/(1+exp(−z)).
     */
