@@ -646,6 +646,12 @@ object SparkEntry {
       ((s, d) => streaming.StreamQualityGate.streamLrAdmission(s, d)),
     // Per-cluster member-quality spread: the survivor-policy audit.
     "q218_cluster_spread" -> (Dedup.clusterQualitySpread _),
+    // First-owner shingle attribution: what each source adds.
+    "q219_source_novelty" -> (Dedup.sourceNovelty _),
+    // Church-Gale burstiness + Poisson adaptation per mid-df term.
+    "q220_burstiness" -> (TextAnalysis.termBurstiness _),
+    // Raw vs dedup-surviving corpus mass per source.
+    "q221_dedup_sizes" -> (Dedup.dedupAdjustedSizes _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5363,6 +5369,66 @@ object SparkEntry {
          JOIN qq USING (doc_id)
          WHERE sz.cluster_size >= 2
          GROUP BY 1""",
+    // q219: distinct (source, shingle) set; first owner = min source
+    // name; left join keeps all-novel sources exact.
+    "q219_source_novelty" ->
+      s"""WITH $shinglesCte,
+         ss AS (SELECT DISTINCT doc.source, u.s
+                FROM d JOIN documents doc USING (doc_id),
+                  unnest(d.sh) AS u(s)),
+         t AS (SELECT source, count(*) AS n_shingles FROM ss GROUP BY 1),
+         o AS (SELECT s, min(source) AS source FROM ss GROUP BY 1),
+         nv AS (SELECT source, count(*) AS n_novel FROM o GROUP BY 1)
+         SELECT t.source, t.n_shingles,
+           coalesce(nv.n_novel, 0) AS n_novel,
+           CAST(round(coalesce(nv.n_novel, 0) * 1e6 / t.n_shingles)
+             AS BIGINT) AS novelty_ppm
+         FROM t LEFT JOIN nv USING (source)""",
+    // q220: per-(term, doc) counts → per-term cf/df; identical
+    // expected-df expression 1 - exp(-cf/D) on both engines.
+    "q220_burstiness" ->
+      """WITH tk AS (SELECT doc_id, unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+           FROM documents),
+         pd AS (SELECT w, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
+         pt AS (SELECT w, sum(tf) AS cf, count(*) AS df FROM pd
+                GROUP BY 1 HAVING count(*) >= 3),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT w, cf, df,
+           CAST(round(cf * 1e6 / df) AS BIGINT) AS burst_micro,
+           CAST(round(n_docs * (1.0 - exp(-(cf::DOUBLE / n_docs)))
+             * 1e6 / df) AS BIGINT) AS adaptation_micro
+         FROM pt, n""",
+    // q221: the recursive closure's nodes/survivors decide kept; docs
+    // outside the closure (< 3 tokens) count as kept.
+    "q221_dedup_sizes" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         tokc AS (SELECT doc_id, source,
+             CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END)
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         kp AS (SELECT doc_id FROM surv WHERE rn = 1),
+         k AS (SELECT t.source, t.n_tokens,
+                 CASE WHEN n.doc_id IS NULL OR kp.doc_id IS NOT NULL
+                      THEN 1 ELSE 0 END AS kept
+               FROM tokc t
+               LEFT JOIN nodes n USING (doc_id)
+               LEFT JOIN kp USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+           sum(n_tokens) AS n_tokens,
+           CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+           sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)
+             AS n_tokens_kept,
+           CAST(round(sum(kept) * 1e6 / count(*)) AS BIGINT)
+             AS doc_retention_ppm,
+           CASE WHEN sum(n_tokens) = 0 THEN 1000000
+                ELSE CAST(round(
+                  sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) * 1e6
+                  / sum(n_tokens)) AS BIGINT)
+           END AS token_retention_ppm
+         FROM k GROUP BY 1""",
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
     // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
     "q206_mcnemar_gates" ->

@@ -539,6 +539,105 @@ object Dedup {
       )
   }
 
+  /** q221: dedup-adjusted source sizes — per source, raw vs
+    * effective corpus mass once the near-dup closure keeps one
+    * survivor per cluster: document and token counts before/after,
+    * with retention in ppm. The number that belongs on a corpus card
+    * next to the raw size: a source advertising 10M documents that
+    * retains 4M after dedup is a 4M-document source, and sources are
+    * priced/weighted by the effective column. Documents too short to
+    * shingle (< 3 tokens) were never dedup candidates and count as
+    * kept.
+    *
+    * Scale: the audited q78 closure + one narrow token scan + a
+    * |sources|-row rollup; survivors join on doc_id (co-partitioned
+    * with the scan's own keying at scale).
+    */
+  def dedupAdjustedSizes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")
+      )
+    // ONE closure feeds both the membership flag and the survivor
+    // argmax — without the shared handle the canonicalDocs path would
+    // re-run the whole CC iteration
+    val labels = dedupClusters(spark, dir).cacheTracked()
+    val clustered = labels.select(col("doc_id"), lit(1).as("in_closure"))
+    val keepers = canonicalDocsFrom(labels, TextAnalysis.qualityScores(spark, dir))
+      .select(col("keep_doc").as("doc_id"), lit(1).as("survivor"))
+    docs
+      .join(clustered, Seq("doc_id"), "left")
+      .join(keepers, Seq("doc_id"), "left")
+      .withColumn(
+        "kept",
+        (col("in_closure").isNull || col("survivor").isNotNull).cast("long")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("kept")).as("n_docs_kept"),
+        sum(when(col("kept") === 1, col("n_tokens")).otherwise(0L))
+          .as("n_tokens_kept")
+      )
+      .withColumn(
+        "doc_retention_ppm",
+        round(col("n_docs_kept") * lit(1e6) / col("n_docs")).cast("long")
+      )
+      .withColumn(
+        "token_retention_ppm",
+        when(col("n_tokens") === 0, 1000000L)
+          .otherwise(
+            round(col("n_tokens_kept") * lit(1e6) / col("n_tokens"))
+              .cast("long")
+          )
+      )
+  }
+
+  /** q219: marginal source novelty — attribute every distinct corpus
+    * shingle to the FIRST source containing it (sources in
+    * lexicographic order — the deterministic stand-in for an
+    * acquisition order), and report per source: its own distinct-
+    * shingle count, the shingles it contributes FIRST (novel), and
+    * novelty as ppm. The answer to "what does licensing this source
+    * actually add?": a source whose novelty is near zero is already
+    * covered by the sources ahead of it, whatever its raw size.
+    *
+    * Scale: one shingle explode → (source, shingle) dedup (partial
+    * agg) → two shuffles on the shingle key (owner argmin) and the
+    * source key (counts). Output is |sources| rows. At 100 TB the
+    * (source, shingle) frame is the same posting topology as q82.
+    */
+  def sourceNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val srcSh = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("s"))
+      .distinct()
+      // read twice: per-source totals and the first-owner attribution
+      .cacheTracked()
+    val totals = srcSh
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val novel = srcSh
+      .groupBy(col("s"))
+      .agg(min(col("source")).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_novel"))
+    totals
+      .join(novel, Seq("source"), "left")
+      .select(
+        col("source"),
+        col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(
+          coalesce(col("n_novel"), lit(0L)) * lit(1e6) / col("n_shingles")
+        ).cast("long").as("novelty_ppm")
+      )
+  }
+
   /** q218: per-cluster quality spread — for every multi-document
     * near-dup cluster (q72), the min/max member quality and their
     * spread in micro-units. The audit that justifies q78's

@@ -820,6 +820,47 @@ object TextAnalysis {
       )
   }
 
+  /** q220: term burstiness / adaptation (Church & Gale, "Poisson
+    * mixtures", 1995): for every term with document frequency ≥ 3,
+    * the collection frequency cf, document frequency df, burstiness
+    * cf/df (mean occurrences per containing document), and the
+    * Poisson-expected document frequency E[df] = D·(1−e^(−cf/D)) with
+    * the adaptation ratio E[df]/df. Terms with ratio ≫ 1 occur in far
+    * fewer documents than a Poisson scatter of their mass predicts —
+    * they are bursty (topical, templated, or boilerplate), and
+    * burstiness is what separates a CONTENT term from a frequent
+    * function word at equal cf. Feeds stopword discovery (q160) and
+    * boilerplate detection from a statistical direction.
+    *
+    * Scale: one tokenize scan → (term, doc) partial-agg → per-term
+    * rollup; one broadcast corpus-count row. Output ∝ vocabulary.
+    */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val perTerm = perDoc
+      .groupBy(col("w"))
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+    val d = docs.agg(count(lit(1)).as("n_docs"))
+    val expDf = col("n_docs") *
+      (lit(1.0) - exp(-(col("cf").cast("double") / col("n_docs"))))
+    perTerm
+      .crossJoin(broadcast(d))
+      .select(
+        col("w"),
+        col("cf"),
+        col("df"),
+        round(col("cf") * lit(1e6) / col("df")).cast("long")
+          .as("burst_micro"),
+        round(expDf * lit(1e6) / col("df")).cast("long")
+          .as("adaptation_micro")
+      )
+  }
+
   /** q211: source reputation with empirical-Bayes shrinkage — per
     * source: document count, raw mean quality, and the mean shrunk
     * toward the corpus mean with `pseudo` pseudo-observations
