@@ -652,6 +652,12 @@ object SparkEntry {
     "q220_burstiness" -> (TextAnalysis.termBurstiness _),
     // Raw vs dedup-surviving corpus mass per source.
     "q221_dedup_sizes" -> (Dedup.dedupAdjustedSizes _),
+    // Cross-video duplicate-frame audit on the stub fingerprints.
+    "q222_frame_dedup" -> (Multimodal.frameDedup _),
+    // Greedy reputation-ranked token-budget admission per source.
+    "q223_admission_plan" -> ((s, d) => Sampling.sourceAdmissionPlan(s, d)),
+    // Monroe-style log-odds distinctive terms, src0 vs the rest.
+    "q224_fightin_words" -> ((s, d) => TextAnalysis.fightinWords(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5429,6 +5435,110 @@ object SparkEntry {
                   / sum(n_tokens)) AS BIGINT)
            END AS token_retention_ppm
          FROM k GROUP BY 1""",
+    // q222: the q116 rolling-hash + frame-stride chain; the per-frame
+    // fingerprint drops the dim term; dup = fingerprint in >= 2 docs.
+    "q222_frame_dedup" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(length(text)),
+                 i -> ord(substr(text, (i+1)::INT, 1))::BIGINT)),
+               (a, c) -> (a * 31 + c) % 1000000007) AS h,
+             CAST(octet_length(encode(text)) % 240 + 1 AS INTEGER)
+               AS n_frames
+           FROM documents),
+         frames AS (
+           SELECT doc_id,
+             (h + f * 2654435761) % 1000000007 AS fp
+           FROM (SELECT doc_id, h,
+                   unnest(range(0, n_frames, greatest(1, n_frames // 8)))
+                     AS f
+                 FROM base) x),
+         dup AS (SELECT fp FROM frames GROUP BY fp
+                 HAVING count(DISTINCT doc_id) >= 2),
+         pd AS (SELECT doc_id, count(*) AS n_sampled FROM frames
+                GROUP BY 1),
+         dd AS (SELECT f.doc_id, count(*) AS n_dup
+                FROM frames f JOIN dup USING (fp) GROUP BY 1)
+         SELECT pd.doc_id, pd.n_sampled, dd.n_dup,
+           CAST(round(dd.n_dup * 1e6 / pd.n_sampled) AS BIGINT)
+             AS dup_frac_ppm
+         FROM pd JOIN dd USING (doc_id)""",
+    // q223: the q211 shrinkage chain ranks; one tiny-frame window
+    // does the greedy budget walk.
+    "q223_admission_plan" ->
+      s"""WITH $qualityCte,
+         sc AS (SELECT d.source,
+                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+                FROM documents d JOIN qq ON d.doc_id = qq.doc_id),
+         ps AS (SELECT source, count(*) AS n_docs, sum(qm) AS sum_qm
+                FROM sc GROUP BY 1),
+         g AS (SELECT sum(n_docs) AS g_n, sum(sum_qm) AS g_sum FROM ps),
+         rep AS (SELECT ps.source,
+                   CAST(round((ps.sum_qm + 20.0 * g.g_sum / g.g_n)
+                     / (ps.n_docs + 20)) AS BIGINT) AS shrunk_q_micro
+                 FROM ps, g),
+         tok AS (SELECT source,
+                   sum(CAST(len(CASE WHEN length(trim(text)) = 0
+                         THEN []::VARCHAR[]
+                         ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END) AS BIGINT)) AS n_tokens
+                 FROM documents GROUP BY 1),
+         r AS (SELECT rep.source, rep.shrunk_q_micro, tok.n_tokens,
+                 CAST(row_number() OVER
+                   (ORDER BY rep.shrunk_q_micro DESC, rep.source ASC)
+                   AS INTEGER) AS rank,
+                 coalesce(sum(tok.n_tokens) OVER
+                   (ORDER BY rep.shrunk_q_micro DESC, rep.source ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS cum_before
+               FROM rep JOIN tok USING (source))
+         SELECT source, rank, shrunk_q_micro, n_tokens, cum_before,
+           greatest(0, least(n_tokens, 50000 - cum_before))
+             AS admitted_tokens,
+           CASE WHEN greatest(0, least(n_tokens, 50000 - cum_before))
+                  = n_tokens THEN 'full'
+                WHEN greatest(0, least(n_tokens, 50000 - cum_before))
+                  > 0 THEN 'partial'
+                ELSE 'excluded' END AS status
+         FROM r""",
+    // q224: identical prior/log-odds/variance expression order; two
+    // top-k windows over the vocabulary-bounded score frame.
+    "q224_fightin_words" ->
+      """WITH tk AS (SELECT source = 'src0' AS in1, unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+           FROM documents),
+         c AS (SELECT w,
+                 CAST(sum(CASE WHEN in1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS y1,
+                 CAST(sum(CASE WHEN in1 THEN 0 ELSE 1 END) AS BIGINT)
+                   AS y2
+               FROM tk GROUP BY 1),
+         t AS (SELECT sum(y1) AS n1, sum(y2) AS n2 FROM c),
+         s AS (SELECT w, y1, y2,
+                 CAST(round(
+                   (ln((y1 + aw) / (n1 + 1000.0 - y1 - aw))
+                    - ln((y2 + aw) / (n2 + 1000.0 - y2 - aw)))
+                   / sqrt(1.0 / (y1 + aw) + 1.0 / (y2 + aw))
+                   * 1e6) AS BIGINT) AS z_micro
+               FROM (SELECT c.*, t.n1, t.n2,
+                       1000.0 * (c.y1 + c.y2)::DOUBLE / (t.n1 + t.n2)
+                         AS aw
+                     FROM c, t) x),
+         up AS (SELECT 'src0' AS direction,
+                  CAST(row_number() OVER
+                    (ORDER BY z_micro DESC, w ASC) AS INTEGER) AS rk,
+                  w, y1, y2, z_micro
+                FROM s),
+         dn AS (SELECT 'rest' AS direction,
+                  CAST(row_number() OVER
+                    (ORDER BY z_micro ASC, w ASC) AS INTEGER) AS rk,
+                  w, y1, y2, z_micro
+                FROM s)
+         SELECT * FROM up WHERE rk <= 10
+         UNION ALL
+         SELECT * FROM dn WHERE rk <= 10""",
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
     // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
     "q206_mcnemar_gates" ->

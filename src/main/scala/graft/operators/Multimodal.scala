@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.util.Caches._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -208,5 +209,64 @@ object Multimodal {
         round(avg(col("kv.v")), 6).as("pooled")
       )
       .select(col("doc_id"), col("n_frames"), col("dim"), col("pooled"))
+  }
+
+  /** q222: cross-video duplicate-frame audit — stride-sample frames
+    * (the q48 derivation), fingerprint each with the deterministic
+    * per-frame stub hash (the q116 seam — a real pipeline slots a
+    * perceptual hash here), and report every document whose sampled
+    * frames also appear in ANOTHER document: sampled count, duplicated
+    * count, duplicated fraction in ppm. The video twin of q196's
+    * duplicate text windows: re-uploads, intros/outros, and shared
+    * stock footage duplicate at the FRAME level long before two videos
+    * are whole-file duplicates, and frame-level mass is what a
+    * multimodal dedup pass actually budgets against.
+    *
+    * Scale: one narrow scan → frame explode (≤ 31 sampled frames per
+    * doc) → one fingerprint groupBy (partial agg) + one join back on
+    * the duplicated fingerprints (collision-bounded, tiny) → per-doc
+    * rollup. No pairwise work anywhere.
+    */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = graft.Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.RollingHash.rollingHash(col("text")).as("h"),
+        frameCount(length(col("text").cast("binary"))).as("n_frames")
+      )
+      .withColumn("stride", frameStride(col("n_frames")))
+      .select(
+        col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("stride"))).as("f"),
+        col("h")
+      )
+      .withColumn(
+        "fp",
+        (col("h") + col("f").cast("long") * 2654435761L) % 1000000007L
+      )
+      // read three times: per-doc totals, dup-fingerprint set, rollup
+      .cacheTracked()
+    val dupFps = frames
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("fp"))
+    val perDoc = frames
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sampled"))
+    val dupPerDoc = frames
+      .join(dupFps, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup"))
+    perDoc
+      .join(dupPerDoc, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_sampled"),
+        col("n_dup"),
+        round(col("n_dup") * lit(1e6) / col("n_sampled")).cast("long")
+          .as("dup_frac_ppm")
+      )
   }
 }

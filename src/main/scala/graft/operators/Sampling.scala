@@ -124,6 +124,69 @@ object Sampling {
       )
   }
 
+  /** q223: source admission plan — rank sources by their shrunk
+    * reputation (q211), then admit token mass greedily against a
+    * fixed budget: each source is taken whole while the budget holds,
+    * the boundary source partially, the rest excluded. The one-page
+    * answer to "which sources make the cut this run": reputation
+    * (not raw mean) orders, so small lucky sources don't jump the
+    * queue, and the admitted-token column IS the per-source quota the
+    * q130-style manifest then materializes.
+    *
+    * Scale: the q211 rollup (|sources| rows) + one token rollup +
+    * one window over the |sources|-row frame — the only "global"
+    * window in the query runs on a provably tiny frame.
+    */
+  def sourceAdmissionPlan(
+      spark: SparkSession,
+      dir: String,
+      budget: Long = 50000L
+  ): DataFrame = {
+    val rep = TextAnalysis
+      .sourceReputation(spark, dir)
+      .select(col("source"), col("shrunk_q_micro"))
+    val tok = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("t")).as("n_tokens"))
+    val w = Window.orderBy(col("shrunk_q_micro").desc, col("source").asc)
+    rep
+      .join(tok, Seq("source"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn(
+        "cum_before",
+        coalesce(
+          sum(col("n_tokens")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L))
+      )
+      .withColumn(
+        "admitted_tokens",
+        greatest(
+          lit(0L),
+          least(col("n_tokens"), lit(budget) - col("cum_before")))
+      )
+      .withColumn(
+        "status",
+        when(col("admitted_tokens") === col("n_tokens"), "full")
+          .when(col("admitted_tokens") > 0, "partial")
+          .otherwise("excluded")
+      )
+      .select(
+        col("source"),
+        col("rank"),
+        col("shrunk_q_micro"),
+        col("n_tokens"),
+        col("cum_before"),
+        col("admitted_tokens"),
+        col("status")
+      )
+  }
+
   /** q71: stratified down-sampling — per-language keep rates (the
     * data-mixing knob of a pretraining corpus: up/down-weight
     * languages or sources to a target distribution). Same

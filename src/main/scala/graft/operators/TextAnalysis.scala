@@ -861,6 +861,79 @@ object TextAnalysis {
       )
   }
 
+  /** q224: distinctive terms via log-odds with an informative
+    * Dirichlet prior (Monroe, Colaresi & Quinn, "Fightin' Words",
+    * Political Analysis 2008): src0 vs the rest of the corpus, prior
+    * α_w = α₀·(pooled frequency share), per-term
+    * δ_w = ln((y1+α_w)/(n1+α₀−y1−α_w)) − ln((y2+α_w)/(n2+α₀−y2−α_w)),
+    * z = δ/√(1/(y1+α_w) + 1/(y2+α_w)); the top `k` terms in each
+    * direction. The corpus-comparison tool that raw frequency ratios
+    * get wrong twice (rare terms explode, common terms wash out) —
+    * used to characterize WHAT a source contributes before deciding
+    * its mix weight, and to spot templated boilerplate (absurd |z|).
+    *
+    * Scale: one tokenize scan → per-(term, side) partial-agg counts →
+    * vocabulary-sized score frame; the two top-k windows run on that
+    * vocabulary-bounded frame.
+    */
+  def fightinWords(
+      spark: SparkSession,
+      dir: String,
+      alpha0: Double = 1000.0,
+      k: Int = 10
+  ): DataFrame = {
+    val counts = Tables
+      .documents(spark, dir)
+      .select(
+        (col("source") === "src0").as("in1"),
+        explode(tokens(col("text"))).as("w")
+      )
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("in1"), 1L).otherwise(0L)).as("y1"),
+        sum(when(!col("in1"), 1L).otherwise(0L)).as("y2")
+      )
+    val tot = counts.agg(
+      sum(col("y1")).as("n1"),
+      sum(col("y2")).as("n2")
+    )
+    // (α0 · pooled) / total, associated exactly like the oracle text
+    val aw = (lit(alpha0) * (col("y1") + col("y2")).cast("double")) /
+      (col("n1") + col("n2"))
+    val d1 = log((col("y1") + aw) / (col("n1") + alpha0 - col("y1") - aw))
+    val d2 = log((col("y2") + aw) / (col("n2") + alpha0 - col("y2") - aw))
+    val z = (d1 - d2) /
+      sqrt(lit(1.0) / (col("y1") + aw) + lit(1.0) / (col("y2") + aw))
+    val scored = counts
+      .crossJoin(broadcast(tot))
+      .select(
+        col("w"),
+        col("y1"),
+        col("y2"),
+        round(z * lit(1e6)).cast("long").as("z_micro")
+      )
+    val up = Window.orderBy(col("z_micro").desc, col("w").asc)
+    val down = Window.orderBy(col("z_micro").asc, col("w").asc)
+    scored
+      .withColumn("rk", row_number().over(up))
+      .filter(col("rk") <= k)
+      .withColumn("direction", lit("src0"))
+      .unionByName(
+        scored
+          .withColumn("rk", row_number().over(down))
+          .filter(col("rk") <= k)
+          .withColumn("direction", lit("rest"))
+      )
+      .select(
+        col("direction"),
+        col("rk"),
+        col("w"),
+        col("y1"),
+        col("y2"),
+        col("z_micro")
+      )
+  }
+
   /** q211: source reputation with empirical-Bayes shrinkage — per
     * source: document count, raw mean quality, and the mean shrunk
     * toward the corpus mean with `pseudo` pseudo-observations
