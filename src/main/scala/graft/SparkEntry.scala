@@ -658,6 +658,12 @@ object SparkEntry {
     "q223_admission_plan" -> ((s, d) => Sampling.sourceAdmissionPlan(s, d)),
     // Monroe-style log-odds distinctive terms, src0 vs the rest.
     "q224_fightin_words" -> ((s, d) => TextAnalysis.fightinWords(s, d)),
+    // Cross-source near-dup pairs oriented by arrival order.
+    "q225_copy_flow" -> (Dedup.copyFlow _),
+    // Majority-vote ensemble over the four quality gates.
+    "q226_gate_ensemble" -> (TextAnalysis.gateEnsemble _),
+    // Entropy + importance-weight ESS per sampling temperature.
+    "q227_mix_sweep" -> (Sampling.mixTemperatureSweep _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5539,6 +5545,58 @@ object SparkEntry {
          SELECT * FROM up WHERE rk <= 10
          UNION ALL
          SELECT * FROM dn WHERE rk <= 10""",
+    // q225: the q203 pair chain joined to both ends' sources; doc_a
+    // is the earlier end by construction.
+    "q225_copy_flow" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.5)
+         SELECT sa.source AS source_from, sb.source AS source_to,
+           count(*) AS n_pairs
+         FROM pr
+         JOIN documents sa ON pr.doc_a = sa.doc_id
+         JOIN documents sb ON pr.doc_b = sb.doc_id
+         GROUP BY 1, 2""",
+    // q226: the shared gate-flag CTEs rolled to per-doc votes, then
+    // the (n_gates, votes, kept) histogram.
+    "q226_gate_ensemble" ->
+      s"""WITH $gateFlagsCtes,
+         v AS (SELECT doc_id, count(*) AS n_gates,
+                 CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                   AS votes
+               FROM fl GROUP BY 1)
+         SELECT n_gates, votes,
+           CAST(votes * 2 > n_gates AS INTEGER) AS kept,
+           count(*) AS n_docs
+         FROM v GROUP BY 1, 2, 3""",
+    // q227: the q132 power chain per temperature; identical entropy
+    // and ESS expression order, micro/ppm rounding.
+    "q227_mix_sweep" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM pl),
+         b AS (SELECT lang, n_docs, tot, t.tau,
+                 pow(n_docs / tot, t.tau) AS qr
+               FROM pl CROSS JOIN tot,
+                 (SELECT unnest([0.3, 0.5, 0.7, 1.0]) AS tau) t),
+         qs AS (SELECT tau, sum(qr) AS qs FROM b GROUP BY 1),
+         w AS (SELECT b.*, (qr / qs.qs) AS q,
+                 (qr / qs.qs) / (n_docs / tot) AS w
+               FROM b JOIN qs USING (tau))
+         SELECT CAST(round(tau * 1000) AS BIGINT) AS tau_permille,
+           CAST(round(-sum(q * ln(q)) * 1e6) AS BIGINT)
+             AS entropy_micro,
+           CAST(round(pow(sum(n_docs * w), 2) * 1e6
+             / (sum(n_docs * w * w) * any_value(tot))) AS BIGINT)
+             AS ess_ppm
+         FROM w GROUP BY tau""",
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
     // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
     "q206_mcnemar_gates" ->

@@ -539,6 +539,38 @@ object Dedup {
       )
   }
 
+  /** q225: copy-flow matrix — cross-source near-dup pairs (J ≥ 0.5)
+    * oriented by ingest order (doc_id, the corpus's arrival proxy:
+    * doc_a < doc_b by construction, so doc_a is the earlier
+    * "origin", doc_b the later "copy"), rolled up per
+    * (source_from, source_to). The provenance question behind source
+    * weighting: a source whose content mostly ARRIVES second in
+    * near-dup pairs is an aggregator republishing the corpus to
+    * itself, and double-weighting it double-counts its originals'
+    * sources. Diagonal rows are within-source duplication (the q179
+    * view); the off-diagonal asymmetry is the copy direction.
+    *
+    * Scale: the cached pair artifact + two per-row source-map joins +
+    * a |sources|² rollup. Collision-linear throughout.
+    */
+  def copyFlow(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val src = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(
+        src.select(col("doc_id").as("doc_a"), col("source").as("source_from")),
+        Seq("doc_a"))
+      .join(
+        src.select(col("doc_id").as("doc_b"), col("source").as("source_to")),
+        Seq("doc_b"))
+      .groupBy(col("source_from"), col("source_to"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** q221: dedup-adjusted source sizes — per source, raw vs
     * effective corpus mass once the near-dup closure keeps one
     * survivor per cluster: document and token counts before/after,

@@ -124,6 +124,61 @@ object Sampling {
       )
   }
 
+  /** q227: temperature-sweep mix diagnostics — for each sampling
+    * temperature α ∈ {0.3, 0.5, 0.7, 1.0}, the language mix
+    * q_l ∝ p_l^α evaluated two ways: its Shannon entropy (how evenly
+    * the mix spreads across languages) and the effective sample size
+    * of importance-reweighting the natural corpus to it,
+    * ESS = (Σ_docs w)²/(Σ_docs w²) with w = q_l/p_l, as a fraction of
+    * N in ppm. The two numbers that decide a temperature BEFORE
+    * committing a corpus build: entropy says how much the tail is
+    * boosted, ESS says how much statistical efficiency the
+    * reweighting burns (α = 1 is the natural mix: ESS = N exactly).
+    *
+    * Scale: one |langs|-row count frame crossed with 4 literal
+    * temperatures — everything after the first rollup is constant
+    * work; output is 4 rows.
+    */
+  def mixTemperatureSweep(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables
+      .documents(spark, dir)
+      .select(col("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = perLang.agg(sum(col("n_docs")).cast("double").as("tot"))
+    val taus = Seq(0.3, 0.5, 0.7, 1.0)
+    val base = perLang
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("tot"),
+        explode(lit(taus.toArray)).as("tau")
+      )
+      .withColumn("qr", pow(col("n_docs") / col("tot"), col("tau")))
+    val qsum = base
+      .groupBy(col("tau"))
+      .agg(sum(col("qr")).as("qs"))
+    base
+      .join(broadcast(qsum), Seq("tau"))
+      .withColumn("q", col("qr") / col("qs"))
+      .withColumn("w", col("q") / (col("n_docs") / col("tot")))
+      .groupBy(col("tau"))
+      .agg(
+        round(-sum(col("q") * log(col("q"))) * lit(1e6)).cast("long")
+          .as("entropy_micro"),
+        round(
+          pow(sum(col("n_docs") * col("w")), 2) * lit(1e6) /
+            (sum(col("n_docs") * col("w") * col("w")) * first(col("tot")))
+        ).cast("long").as("ess_ppm")
+      )
+      .select(
+        round(col("tau") * 1000).cast("long").as("tau_permille"),
+        col("entropy_micro"),
+        col("ess_ppm")
+      )
+  }
+
   /** q223: source admission plan — rank sources by their shrunk
     * reputation (q211), then admit token mass greedily against a
     * fixed budget: each source is taken whole while the budget holds,

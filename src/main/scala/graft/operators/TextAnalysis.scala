@@ -861,6 +861,30 @@ object TextAnalysis {
       )
   }
 
+  /** q226: gate-ensemble vote histogram — every document's keep
+    * votes across the four quality gates, bucketed by how many gates
+    * scored it (the LM gates only score ≥ 3-token documents) and how
+    * many voted keep, with the strict-majority ensemble verdict
+    * (2·votes > n_gates). The composition the q190/q206 agreement
+    * stats exist to justify: once κ says the gates measure different
+    * things, majority vote is the standard variance-reducing
+    * combiner, and this histogram is its yield table — how much
+    * corpus each vote level carries and what the ensemble keeps.
+    *
+    * Scale: the shared gate-flag frame + one doc_id rollup + one
+    * ≤ 10-row histogram aggregate.
+    */
+  def gateEnsemble(spark: SparkSession, dir: String): DataFrame =
+    gateFlags(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_gates"),
+        sum(col("f").cast("long")).as("votes")
+      )
+      .withColumn("kept", (col("votes") * 2 > col("n_gates")).cast("int"))
+      .groupBy(col("n_gates"), col("votes"), col("kept"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** q224: distinctive terms via log-odds with an informative
     * Dirichlet prior (Monroe, Colaresi & Quinn, "Fightin' Words",
     * Political Analysis 2008): src0 vs the rest of the corpus, prior
