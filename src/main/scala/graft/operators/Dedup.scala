@@ -148,10 +148,16 @@ object Dedup {
     */
   def minhashSignature(sh: Column, portable: Boolean = true): Column =
     if (portable)
-      array((0 until NumHashes).map { i =>
-        array_min(transform(sh, s => seededHash(i, s)))
-      }: _*)
+      graft.functions.Md5MinHashSig.md5MinhashSig(sh, NumHashes)
     else graft.functions.MinHashSig.minhashSig(sh, NumHashes)
+
+  /** The interpreted md5 HOF formulation — kept as the executable
+    * spec Md5MinHashSigSpec diffs the fused kernel against.
+    */
+  def minhashSignatureMd5Hof(sh: Column): Column =
+    array((0 until NumHashes).map { i =>
+      array_min(transform(sh, s => seededHash(i, s)))
+    }: _*)
 
   /** The interpreted xxhash64 HOF formulation — kept as the executable
     * spec that MinHashSigSpec diffs the codegen expression against.
