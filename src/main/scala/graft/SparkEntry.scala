@@ -664,6 +664,12 @@ object SparkEntry {
     "q226_gate_ensemble" -> (TextAnalysis.gateEnsemble _),
     // Entropy + importance-weight ESS per sampling temperature.
     "q227_mix_sweep" -> (Sampling.mixTemperatureSweep _),
+    // Span-level packed layout: (window, doc, tok range) writer map.
+    "q228_pack_spans" -> ((s, d) => TextAnalysis.packSpans(s, d)),
+    // Per-gate unique rejection mass: the delete-a-gate input.
+    "q229_gate_ablation" -> (TextAnalysis.gateAblation _),
+    // Kept-set churn between temperatures 0.3 and 0.7 per language.
+    "q230_mix_churn" -> ((s, d) => Sampling.mixChurn(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5597,6 +5603,89 @@ object SparkEntry {
              / (sum(n_docs * w * w) * any_value(tot))) AS BIGINT)
              AS ess_ppm
          FROM w GROUP BY tau""",
+    // q228: the q53 per-language cumsum, one row per (doc, crossed
+    // window); DuckDB's floor `//` matches the truncating cast on
+    // the non-negative offsets.
+    "q228_pack_spans" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, lang, n_tokens,
+                 CAST(sum(n_tokens) OVER
+                   (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum FROM d),
+         s AS (SELECT lang, doc_id, cum - n_tokens AS gstart, cum,
+                 unnest(range((cum - n_tokens) // 2048,
+                              (cum - 1) // 2048 + 1)) AS window_id
+               FROM c WHERE n_tokens > 0)
+         SELECT lang, window_id, doc_id,
+           greatest(gstart, window_id * 2048) - gstart AS tok_start,
+           least(cum, (window_id + 1) * 2048)
+             - greatest(gstart, window_id * 2048) AS tok_len
+         FROM s""",
+    // q229: the shared gate-flag CTEs; unique drop = the only
+    // dissenting vote among the gates that scored the doc.
+    "q229_gate_ablation" ->
+      s"""WITH $gateFlagsCtes,
+         v AS (SELECT doc_id,
+                 CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT)
+                   AS votes,
+                 count(*) AS n_gates
+               FROM fl GROUP BY 1)
+         SELECT fl.gate, count(*) AS n_scored,
+           CAST(sum(CASE WHEN fl.f THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(sum(CASE WHEN NOT fl.f AND v.votes = v.n_gates - 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_drop
+         FROM fl JOIN v USING (doc_id)
+         GROUP BY 1""",
+    // q230: the q132 rate chain at two alphas over one lang frame
+    // (window-sum normalization), one hash-count scan for both cuts.
+    "q230_mix_churn" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM pl),
+         r AS (SELECT lang, n_docs,
+                 CAST(floor(least(1.0,
+                   0.5 * tot * (pow(n_docs / tot, 0.3)
+                     / sum(pow(n_docs / tot, 0.3)) OVER ())
+                   / n_docs) * 1e6) AS BIGINT) AS rate_lo_ppm,
+                 CAST(floor(least(1.0,
+                   0.5 * tot * (pow(n_docs / tot, 0.7)
+                     / sum(pow(n_docs / tot, 0.7)) OVER ())
+                   / n_docs) * 1e6) AS BIGINT) AS rate_hi_ppm
+               FROM pl CROSS JOIN tot)
+         SELECT d.lang, max(r.n_docs) AS n_docs,
+           max(r.rate_lo_ppm) AS rate_lo_ppm,
+           max(r.rate_hi_ppm) AS rate_hi_ppm,
+           CAST(sum(CASE WHEN
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000 < r.rate_lo_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept_lo,
+           CAST(sum(CASE WHEN
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000 < r.rate_hi_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept_hi,
+           abs(CAST(sum(CASE WHEN
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000 < r.rate_hi_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             - CAST(sum(CASE WHEN
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000 < r.rate_lo_ppm THEN 1 ELSE 0 END) AS BIGINT))
+             AS churn,
+           CAST(round(abs(CAST(sum(CASE WHEN
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000 < r.rate_hi_ppm THEN 1 ELSE 0 END) AS BIGINT)
+             - CAST(sum(CASE WHEN
+             ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000 < r.rate_lo_ppm THEN 1 ELSE 0 END) AS BIGINT))
+             * 1e6 / max(r.n_docs)) AS BIGINT) AS churn_ppm
+         FROM documents d JOIN r USING (lang)
+         GROUP BY 1""",
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
     // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
     "q206_mcnemar_gates" ->

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.util.Caches._
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -122,6 +122,72 @@ object Sampling {
         max(col("ratio_ppm")).as("ratio_ppm"),
         sum(when(col("accepted"), 1L).otherwise(0L)).as("n_accepted")
       )
+  }
+
+  /** q230: mix churn between two temperatures — per language, the
+    * q132 admission replayed at α = 0.3 and α = 0.7 (same budget
+    * fraction), with kept counts under each and the document churn a
+    * temperature change causes. Because admission is the SHARED
+    * id-keyed hash against a per-language rate, the two kept sets are
+    * nested by construction — raising a language's rate only ADDS
+    * documents, never swaps them — so churn = |kept_hi − kept_lo|
+    * exactly, and a mix iteration re-tokenizes only the delta. That
+    * nesting is the reproducibility property this query surfaces: a
+    * random-per-run sampler would churn the full symmetric
+    * difference.
+    *
+    * Scale: the |langs|-row rate chain twice + ONE corpus scan
+    * counting both thresholds in the same aggregate. No shuffle
+    * beyond the per-language rollup.
+    */
+  def mixChurn(
+      spark: SparkSession,
+      dir: String,
+      budgetFrac: Double = 0.5
+  ): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val perLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = perLang.agg(sum(col("n_docs")).cast("double").as("tot"))
+    def ratePpm(alpha: Double): Column = {
+      // the q132 rate expression, inlined per alpha over the same
+      // base frame (qr/qs normalized inside a window over the tiny
+      // lang frame instead of a second cross join)
+      val qr = pow(col("n_docs") / col("tot"), alpha)
+      val qs = sum(qr).over(Window.partitionBy(lit(1)))
+      floor(
+        least(
+          lit(1.0),
+          lit(budgetFrac) * col("tot") * (qr / qs) / col("n_docs")
+        ) * 1e6
+      ).cast("long")
+    }
+    val rates = perLang
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        ratePpm(0.3).as("rate_lo_ppm"),
+        ratePpm(0.7).as("rate_hi_ppm")
+      )
+    val h = graft.functions.TextFunctions.hash60(col("doc_id")) % 1000000L
+    docs
+      .join(broadcast(rates), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n_docs")).as("n_docs"),
+        max(col("rate_lo_ppm")).as("rate_lo_ppm"),
+        max(col("rate_hi_ppm")).as("rate_hi_ppm"),
+        sum(when(h < col("rate_lo_ppm"), 1L).otherwise(0L)).as("n_kept_lo"),
+        sum(when(h < col("rate_hi_ppm"), 1L).otherwise(0L)).as("n_kept_hi")
+      )
+      .withColumn(
+        "churn",
+        abs(col("n_kept_hi") - col("n_kept_lo")))
+      .withColumn(
+        "churn_ppm",
+        round(col("churn") * lit(1e6) / col("n_docs")).cast("long"))
   }
 
   /** q227: temperature-sweep mix diagnostics — for each sampling

@@ -697,6 +697,57 @@ object TextAnalysis {
       )
   }
 
+  /** q228: span-level packed layout — the q53 assignment taken to
+    * its writer artifact: every document becomes one row PER WINDOW
+    * IT TOUCHES, with the doc-local token range [tok_start,
+    * tok_start+tok_len) that lands in that window. This is the
+    * physical layout a packed-pretraining writer emits (window w =
+    * concat of its spans in (doc_id) order, docs split exactly at
+    * budget boundaries, zero padding between spans) — q53 says WHERE
+    * a doc starts, q202 audits the waste, this op emits the actual
+    * span map the dataloader consumes.
+    *
+    * Scale: one pass over the q53 frame; the explode emits
+    * (1 + windows-crossed) rows per doc — Σ spans = n_docs +
+    * boundary crossings, linear in corpus tokens / budget. No new
+    * shuffle beyond q53's per-language cumsum.
+    */
+  def packSpans(
+      spark: SparkSession,
+      dir: String,
+      budget: Int = 2048
+  ): DataFrame = {
+    val base = packWindows(spark, dir, budget)
+      .filter(col("n_tokens") > 0)
+      .withColumn("gstart", col("cum_tokens") - col("n_tokens"))
+    base
+      .select(
+        col("lang"),
+        col("doc_id"),
+        col("gstart"),
+        col("cum_tokens"),
+        explode(
+          sequence(
+            (col("gstart") / budget).cast("long"),
+            ((col("cum_tokens") - 1) / budget).cast("long")
+          )
+        ).as("window_id")
+      )
+      .withColumn(
+        "span_gstart",
+        greatest(col("gstart"), col("window_id") * budget))
+      .withColumn(
+        "span_gend",
+        least(col("cum_tokens"), (col("window_id") + 1) * budget))
+      .select(
+        col("lang"),
+        col("window_id"),
+        col("doc_id"),
+        (col("span_gstart") - col("gstart")).as("tok_start"),
+        (col("span_gend") - col("span_gstart")).as("tok_len")
+      )
+  }
+
   /** q202: packing-efficiency audit over the q53 layout — per
     * language: window count, mean window fill (Σ tokens ÷ budget),
     * windows whose content overflows the budget (a doc STARTING
@@ -884,6 +935,40 @@ object TextAnalysis {
       .withColumn("kept", (col("votes") * 2 > col("n_gates")).cast("int"))
       .groupBy(col("n_gates"), col("votes"), col("kept"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** q229: gate-ablation audit — per gate: how many documents it
+    * scored, how many it passes, and its UNIQUE rejection mass (docs
+    * it alone drops — every other gate that scored them votes keep).
+    * The delete-a-gate decision input: a gate whose unique mass is
+    * near zero is redundant with the ensemble and its compute can go;
+    * a gate with large unique mass is the only thing standing between
+    * those documents and the corpus, so removing it changes the
+    * corpus by exactly that mass. Complements q190/q206 (pairwise
+    * agreement) with the set-level marginal view.
+    *
+    * Scale: the shared gate-flag frame + one per-doc vote rollup +
+    * one co-partitioned join back + a 4-row aggregate.
+    */
+  def gateAblation(spark: SparkSession, dir: String): DataFrame = {
+    val flags = gateFlags(spark, dir)
+    val perDoc = flags
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("f").cast("long")).as("votes"),
+        count(lit(1)).as("n_gates")
+      )
+    flags
+      .join(perDoc, Seq("doc_id"))
+      .groupBy(col("gate"))
+      .agg(
+        count(lit(1)).as("n_scored"),
+        sum(col("f").cast("long")).as("n_pass"),
+        sum(
+          when(!col("f") && col("votes") === col("n_gates") - 1, 1L)
+            .otherwise(0L)
+        ).as("n_unique_drop")
+      )
+  }
 
   /** q224: distinctive terms via log-odds with an informative
     * Dirichlet prior (Monroe, Colaresi & Quinn, "Fightin' Words",
