@@ -670,6 +670,15 @@ object SparkEntry {
     "q229_gate_ablation" -> (TextAnalysis.gateAblation _),
     // Kept-set churn between temperatures 0.3 and 0.7 per language.
     "q230_mix_churn" -> ((s, d) => Sampling.mixChurn(s, d)),
+    // Online q53 packer: one token cursor of state per language.
+    "q231_stream_pack" ->
+      ((s, d) => streaming.StreamPack.streamPackWindows(s, d)),
+    // Per-shard token balance: the straggler forecast.
+    "q232_shard_balance" -> ((s, d) => Sampling.shardBalance(s, d)),
+    // Power-of-two length classes with padding-waste ppm.
+    "q233_batch_shape" -> (TextAnalysis.batchShapeHistogram _),
+    // One-way ANOVA F per embedding dimension, labels as groups.
+    "q234_label_separability" -> (Clustering.labelSeparability _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5686,6 +5695,84 @@ object SparkEntry {
              * 1e6 / max(r.n_docs)) AS BIGINT) AS churn_ppm
          FROM documents d JOIN r USING (lang)
          GROUP BY 1""",
+    // q231: the drained online packer must equal the q53 batch
+    // cumsum row for row.
+    "q231_stream_pack" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT d.*, CAST(sum(n_tokens) OVER
+                 (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens FROM d)
+         SELECT doc_id, lang, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 2048 AS window_id
+         FROM c""",
+    // q232: the q75 content-hash shard key, token rollup, even-share
+    // ratio in ppm.
+    "q232_shard_balance" ->
+      """WITH d AS (
+           SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+               ::BIGINT % 8 AS INTEGER) AS shard,
+             CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END)
+               AS BIGINT) AS t
+           FROM documents),
+         s AS (SELECT shard, count(*) AS n_docs, sum(t) AS n_tokens
+               FROM d GROUP BY 1),
+         g AS (SELECT sum(n_tokens) AS g_tokens FROM s)
+         SELECT shard, n_docs, n_tokens,
+           CAST(round(n_tokens * 8 * 1e6 / g_tokens) AS BIGINT)
+             AS balance_ppm
+         FROM s, g""",
+    // q233: bucket = bit-length - 1 via the binary string (integer-
+    // exact at powers of two); cap via integer shift on both sides.
+    "q233_batch_shape" ->
+      """WITH d AS (
+           SELECT CAST(len(CASE WHEN length(trim(text)) = 0
+                THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END)
+             AS BIGINT) AS n
+           FROM documents),
+         b AS (SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, n
+               FROM d WHERE n >= 1),
+         r AS (SELECT bucket, count(*) AS n_docs, sum(n) AS sum_tokens
+               FROM b GROUP BY 1)
+         SELECT bucket, n_docs, sum_tokens,
+           CAST(1 << CAST(bucket + 1 AS INTEGER) AS BIGINT) AS cap,
+           n_docs * CAST(1 << CAST(bucket + 1 AS INTEGER) AS BIGINT)
+             AS padded_tokens,
+           CAST(round((n_docs * CAST(1 << CAST(bucket + 1 AS INTEGER)
+               AS BIGINT) - sum_tokens) * 1e6
+             / (n_docs * CAST(1 << CAST(bucket + 1 AS INTEGER)
+               AS BIGINT))) AS BIGINT) AS waste_ppm
+         FROM r""",
+    // q234: per-(label, dim) moment cells, identical F expression
+    // order on the rollup.
+    "q234_label_separability" ->
+      """WITH cells AS (
+           SELECT label, CAST(u.i AS INTEGER) AS dim,
+             count(*) AS n,
+             sum(u.x) AS s1,
+             sum(u.x * u.x) AS s2
+           FROM (SELECT label,
+                   unnest(list_transform(range(len(embedding)),
+                     i -> {'i': i, 'x': embedding[i+1]::DOUBLE})) AS u
+                 FROM embeddings) t
+           GROUP BY 1, 2),
+         r AS (SELECT dim, count(*) AS g, sum(n) AS bign,
+                 sum(s1) AS t,
+                 sum(s1 * s1 / n) AS sw,
+                 sum(s2) AS ss
+               FROM cells GROUP BY 1)
+         SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(g AS BIGINT) AS n_labels,
+           CAST(round(((sw - t * t / bign) / (g - 1))
+             / ((ss - sw) / (bign - g)) * 1e6) AS BIGINT) AS f_micro
+         FROM r""",
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
     // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
     "q206_mcnemar_gates" ->

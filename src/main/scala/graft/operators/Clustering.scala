@@ -145,6 +145,52 @@ object Clustering {
     centroids
   }
 
+  /** q234: label separability — a one-way ANOVA F statistic per
+    * embedding dimension, labels as groups:
+    * F_d = [Σ_g s1²/n − T²/N]/(G−1) ÷ [Σ_g s2 − Σ_g s1²/n]/(N−G)
+    * from per-(label, dim) count/sum/sum-of-squares cells. High-F
+    * dimensions separate the labels linearly — the shortcut-risk
+    * audit for a training set (a classifier can read the label off
+    * those dimensions without learning content) and the feature-
+    * selection view for cheap linear probes. All group moments come
+    * from ONE partial-aggregated pass; no per-pair or per-centroid
+    * work.
+    *
+    * Scale: one posexplode scan → (label, dim) partial agg (G·dims
+    * rows) → dims-row rollup. Output is |dims| rows at any N.
+    */
+  def labelSeparability(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2")
+      )
+    cells
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("g"),
+        sum(col("n")).as("bign"),
+        sum(col("s1")).as("t"),
+        sum(col("s1") * col("s1") / col("n")).as("sw"),
+        sum(col("s2")).as("ss")
+      )
+      .select(
+        col("dim").cast("long").as("dim"),
+        col("g").cast("long").as("n_labels"),
+        round(
+          ((col("sw") - col("t") * col("t") / col("bign")) /
+            (col("g") - 1)) /
+            ((col("ss") - col("sw")) / (col("bign") - col("g"))) *
+            lit(1e6)
+        ).cast("long").as("f_micro")
+      )
+  }
+
   /** q215: simplified-silhouette audit of the q93 clustering — per
     * vector, a = distance to its own (nearest) centroid and b =
     * distance to the second-nearest, s = (b−a)/max(a,b) ∈ [0,1] (the

@@ -124,6 +124,44 @@ object Sampling {
       )
   }
 
+  /** q232: shard-balance audit — per q75 shard: document count,
+    * token mass, and imbalance vs the perfectly-even share in ppm
+    * (shard_tokens · num_shards / total_tokens). The straggler
+    * forecast for a data-parallel run: every training step waits for
+    * the SLOWEST shard, so the max imbalance row IS the step-time
+    * overhead the layout bakes in, and rebalancing (or re-keying)
+    * pays off exactly when that number drifts from 1,000,000.
+    *
+    * Scale: one tokenize scan keyed by the same content hash as q75
+    * (pure map) → |shards|-row rollup + one broadcast total.
+    */
+  def shardBalance(
+      spark: SparkSession,
+      dir: String,
+      numShards: Int = 8
+  ): DataFrame = {
+    val perShard = Tables
+      .documents(spark, dir)
+      .select(
+        (graft.functions.TextFunctions.hash60(col("doc_id")) % numShards)
+          .cast("int").as("shard"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("t")
+      )
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val tot = perShard.agg(sum(col("n_tokens")).as("g_tokens"))
+    perShard
+      .crossJoin(broadcast(tot))
+      .select(
+        col("shard"),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("n_tokens") * lit(numShards) * lit(1e6) / col("g_tokens"))
+          .cast("long").as("balance_ppm")
+      )
+  }
+
   /** q230: mix churn between two temperatures — per language, the
     * q132 admission replayed at α = 0.3 and α = 0.7 (same budget
     * fraction), with kept counts under each and the document churn a

@@ -936,6 +936,42 @@ object TextAnalysis {
       .groupBy(col("n_gates"), col("votes"), col("kept"))
       .agg(count(lit(1)).as("n_docs"))
 
+  /** q233: batch-shape planning histogram — documents bucketed by
+    * power-of-two token-length class (bucket k holds lengths in
+    * [2^k, 2^(k+1)); k derives from the binary representation, pure
+    * integer arithmetic), with the padding waste of batching each
+    * class to its ceiling: padded = n_docs · 2^(k+1), waste =
+    * (padded − Σ tokens)/padded in ppm. The length-bucketing table a
+    * dynamic-batching dataloader (or a padded inference server) reads
+    * to pick its bucket boundaries: classes with high waste want a
+    * finer split, classes with few docs want merging.
+    *
+    * Scale: one tokenize scan → ≤ 64-row rollup. Nothing else.
+    */
+  def batchShapeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens(col("text"))).cast("long")
+    Tables
+      .documents(spark, dir)
+      .select(n.as("n"))
+      .filter(col("n") >= 1)
+      // bucket = bit-length(n) - 1, via the binary-string length —
+      // exact at powers of two where floor(log2) float-drifts
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .withColumn(
+        "cap",
+        expr("CAST(shiftleft(1L, CAST(bucket + 1 AS INT)) AS BIGINT)"))
+      .withColumn("padded_tokens", col("n_docs") * col("cap"))
+      .withColumn(
+        "waste_ppm",
+        round(
+          (col("padded_tokens") - col("sum_tokens")) * lit(1e6) /
+            col("padded_tokens")
+        ).cast("long")
+      )
+  }
+
   /** q229: gate-ablation audit — per gate: how many documents it
     * scored, how many it passes, and its UNIQUE rejection mass (docs
     * it alone drops — every other gate that scored them votes keep).
