@@ -679,6 +679,12 @@ object SparkEntry {
     "q233_batch_shape" -> (TextAnalysis.batchShapeHistogram _),
     // One-way ANOVA F per embedding dimension, labels as groups.
     "q234_label_separability" -> (Clustering.labelSeparability _),
+    // Sorted-neighborhood (merge/purge) LCP pairs, prefix-blocked.
+    "q235_sorted_neighbors" -> ((s, d) => Dedup.sortedNeighborPairs(s, d)),
+    // Label-balanced batch assignment (<= 1 per label per batch).
+    "q236_balanced_batches" -> (Clustering.balancedBatches _),
+    // Exponentially-decayed event counts at three half-lives.
+    "q237_decay_counts" -> (Events.decayCounts _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5773,6 +5779,57 @@ object SparkEntry {
            CAST(round(((sw - t * t / bign) / (g - 1))
              / ((ss - sw) / (bign - g)) * 1e6) AS BIGINT) AS f_micro
          FROM r""",
+    // q235: same prefix-block window; LCP from the first mismatch in
+    // the null-padded zip. list_position's not-found result is
+    // version-dependent (0 in DuckDB 1.0, NULL in others) — nullif
+    // folds both to the equal-arrays fallback (min length).
+    "q235_sorted_neighbors" ->
+      """WITH d AS (
+           SELECT doc_id, toks AS t,
+             array_to_string(toks[1:5], ' ') AS block
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+') END
+                     AS toks
+                 FROM documents) x
+           WHERE len(toks) >= 5),
+         w AS (SELECT doc_id, t,
+                 lag(doc_id) OVER
+                   (PARTITION BY block ORDER BY t, doc_id) AS prev_id,
+                 lag(t) OVER
+                   (PARTITION BY block ORDER BY t, doc_id) AS prev_t
+               FROM d),
+         p AS (SELECT doc_id, prev_id,
+                 coalesce(
+                   nullif(list_position(list_transform(list_zip(t, prev_t),
+                     z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+                   least(len(t), len(prev_t))) AS lcp
+               FROM w WHERE prev_id IS NOT NULL)
+         SELECT least(prev_id, doc_id) AS doc_a,
+           greatest(prev_id, doc_id) AS doc_b,
+           CAST(lcp AS BIGINT) AS lcp
+         FROM p WHERE lcp >= 5""",
+    // q236: rank within label, batch = rank - 1.
+    "q236_balanced_batches" ->
+      """SELECT vec_id, label,
+         CAST(row_number() OVER
+           (PARTITION BY label ORDER BY vec_id) - 1 AS BIGINT)
+           AS batch_id
+         FROM embeddings""",
+    // q237: identical age arithmetic (epoch micros), identical decay
+    // expression order, sums rounded to 6.
+    "q237_decay_counts" ->
+      """WITH r AS (SELECT max(ts) AS ref FROM events),
+         a AS (SELECT event_type,
+                 (epoch_us(r.ref) - epoch_us(ts))::DOUBLE / 1e6 AS age_s,
+                 h.half_life_s
+               FROM events CROSS JOIN r,
+                 (SELECT unnest([3600, 21600, 86400]) AS half_life_s) h)
+         SELECT event_type, CAST(half_life_s AS BIGINT) AS half_life_s,
+           count(*) AS n_events,
+           round(sum(exp(-ln(2) * age_s / half_life_s)), 6)
+             AS decayed_count
+         FROM a GROUP BY 1, 2""",
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
     // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
     "q206_mcnemar_gates" ->

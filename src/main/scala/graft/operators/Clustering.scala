@@ -145,6 +145,25 @@ object Clustering {
     centroids
   }
 
+  /** q236: label-balanced batch assignment — vectors ranked within
+    * their label by vec_id, batch_id = rank − 1, so every batch holds
+    * AT MOST one vector per label: the class-balanced batch sampler
+    * of contrastive/metric training (in-batch negatives are
+    * guaranteed cross-label, so no false negatives from same-class
+    * collisions). Deterministic, id-keyed, and a pure rank — the
+    * dataloader artifact, not a statistic.
+    *
+    * Scale: one rank per label partition (at 100 TB the two-level
+    * range rank within each label); output is one row per vector.
+    */
+  def balancedBatches(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+      .withColumn("batch_id", (row_number().over(w) - 1).cast("long"))
+  }
+
   /** q234: label separability — a one-way ANOVA F statistic per
     * embedding dimension, labels as groups:
     * F_d = [Σ_g s1²/n − T²/N]/(G−1) ÷ [Σ_g s2 − Σ_g s1²/n]/(N−G)

@@ -4,6 +4,7 @@ import graft.util.Caches._
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline: exact
@@ -542,6 +543,57 @@ object Dedup {
       .agg(
         countDistinct(col("s")).as("n_shared_shingles"),
         countDistinct(col("eval_id")).as("n_eval_docs")
+      )
+  }
+
+  /** q235: sorted-neighborhood near-dup pairs (Hernández & Stolfo,
+    * "The merge/purge problem for large databases", SIGMOD 1995) —
+    * the third blocking family next to LSH (q22) and prefix
+    * filtering (q159): sort documents by text and compare each to
+    * its predecessor, emitting pairs whose token-level longest
+    * common prefix is ≥ `minLcp`. Catches the truncation/append
+    * duplicate shape (same head, different tail) that Jaccard
+    * under-scores when the tails diverge.
+    *
+    * Blocked for scale: any pair with LCP ≥ minLcp shares its first
+    * `minLcp` tokens, so partitioning by the exact minLcp-token
+    * prefix loses NO qualifying pair, and the sort+lag runs inside
+    * bounded blocks — never a global single-partition window.
+    *
+    * Scale: one tokenize scan → one block-keyed sort window →
+    * neighbor LCP per row. Linear; no pair blow-up anywhere.
+    */
+  def sortedNeighborPairs(
+      spark: SparkSession,
+      dir: String,
+      minLcp: Int = 5
+  ): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= minLcp)
+      .withColumn("block", array_join(slice(col("t"), 1, minLcp), " "))
+    val w = Window.partitionBy(col("block")).orderBy(col("t"), col("doc_id"))
+    val withPrev = d
+      .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .filter(col("prev_id").isNotNull)
+    // first mismatch position in the null-padded zip (Spark's
+    // array_position yields 0 when absent); absent → arrays equal
+    // through max length → LCP = |t| = |prev|
+    val eqs = zip_with(col("t"), col("prev_t"), (x, y) => x <=> y)
+    val pos = array_position(eqs, false)
+    withPrev
+      .withColumn(
+        "lcp",
+        when(pos === 0, least(size(col("t")), size(col("prev_t"))).cast("long"))
+          .otherwise(pos - 1)
+      )
+      .filter(col("lcp") >= minLcp)
+      .select(
+        least(col("prev_id"), col("doc_id")).as("doc_a"),
+        greatest(col("prev_id"), col("doc_id")).as("doc_b"),
+        col("lcp")
       )
   }
 

@@ -436,4 +436,39 @@ object Events {
         col("event_type").as("label")
       )
   }
+
+  /** q237: exponentially-decayed event counts — per event type and
+    * half-life (1 h, 6 h, 24 h), the decay-weighted count
+    * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest
+    * timestamp. The freshness-weighted activity metric behind
+    * trending/decay dashboards and recency-weighted sampling: a
+    * count whose unit is "events as of now", where an event
+    * half_life ago is worth half an event. Three half-lives in one
+    * scan show how fast each type's mass evaporates.
+    *
+    * Scale: one broadcast max-ts row, one scan × 3 literal
+    * half-lives, one (type, half-life) partial agg — |types|·3 rows
+    * out.
+    */
+  def decayCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("ts"))
+    val ref = ev.agg(max(col("ts")).as("ref"))
+    val halfLives = Seq(3600L, 21600L, 86400L)
+    ev
+      .crossJoin(broadcast(ref))
+      .select(
+        col("event_type"),
+        ((unix_micros(col("ref")) - unix_micros(col("ts"))).cast("double") /
+          lit(1e6)).as("age_s"),
+        explode(lit(halfLives.toArray)).as("half_life_s")
+      )
+      .groupBy(col("event_type"), col("half_life_s"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(
+          sum(exp(lit(-math.log(2.0)) * col("age_s") / col("half_life_s"))),
+          6
+        ).as("decayed_count")
+      )
+  }
 }
