@@ -685,6 +685,12 @@ object SparkEntry {
     "q236_balanced_batches" -> (Clustering.balancedBatches _),
     // Exponentially-decayed event counts at three half-lives.
     "q237_decay_counts" -> (Events.decayCounts _),
+    // Adjusted Rand Index: q93 k-means clusters vs ground-truth labels.
+    "q238_cluster_ari" -> (Clustering.clusteringAgreement _),
+    // Mean pairwise cosine per label via the sum-vector identity.
+    "q239_isotropy" -> (Similarity.embeddingIsotropy _),
+    // Leave-one-out exact 1-NN label accuracy on an eval slice.
+    "q240_nn_label_eval" -> (Similarity.nnLabelEval _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5830,6 +5836,82 @@ object SparkEntry {
            round(sum(exp(-ln(2) * age_s / half_life_s)), 6)
              AS decayed_count
          FROM a GROUP BY 1, 2""",
+    // q238: q93's unrolled Lloyd CTEs → contingency table → exact
+    // integer comb terms; the two final divisions are over exact
+    // integers so the double results are IEEE-identical.
+    "q238_cluster_ari" ->
+      s"""WITH $kmeansCtes,
+         asg AS (SELECT vec_id, cluster FROM a3 WHERE rn = 1),
+         ct AS (SELECT cluster, l.label, count(*)::BIGINT AS n_ij
+                FROM asg JOIN embeddings l USING (vec_id)
+                GROUP BY 1, 2),
+         cells AS (SELECT sum(n_ij * (n_ij - 1) // 2)::BIGINT AS comb_cells,
+                     sum(n_ij)::BIGINT AS n,
+                     count(DISTINCT cluster)::BIGINT AS n_clusters,
+                     count(DISTINCT label)::BIGINT AS n_labels
+                   FROM ct),
+         ra AS (SELECT sum(a * (a - 1) // 2)::BIGINT AS comb_a
+                FROM (SELECT sum(n_ij) AS a FROM ct GROUP BY cluster)),
+         cb AS (SELECT sum(b * (b - 1) // 2)::BIGINT AS comb_b
+                FROM (SELECT sum(n_ij) AS b FROM ct GROUP BY label))
+         SELECT n, n_clusters, n_labels, comb_cells, comb_a, comb_b,
+           CAST(round(
+             (comb_cells - comb_a::DOUBLE * comb_b / (n * (n - 1) // 2))
+             / ((comb_a + comb_b) / 2.0
+                - comb_a::DOUBLE * comb_b / (n * (n - 1) // 2)) * 1e6)
+             AS BIGINT) AS ari_micro
+         FROM cells, ra, cb""",
+    // q239: same rounded per-(label,dim) sum cells; global sums
+    // derived from the SAME rounded per-label cells.
+    "q239_isotropy" ->
+      """WITH u AS (SELECT label::BIGINT AS label,
+                 list_transform(embedding, x -> x::DOUBLE /
+                   sqrt(list_sum(list_transform(embedding,
+                     y -> y::DOUBLE * y::DOUBLE)))) AS uv
+               FROM embeddings
+               WHERE list_sum(list_transform(embedding,
+                 y -> y::DOUBLE * y::DOUBLE)) > 0),
+         cells AS (SELECT label, CAST(s.i AS INTEGER) AS dim,
+                     round(sum(s.v), 6) AS s
+                   FROM (SELECT label,
+                           unnest(list_transform(range(len(uv)),
+                             i -> {'i': i, 'v': uv[i + 1]})) AS s
+                         FROM u) x
+                   GROUP BY 1, 2),
+         nl AS (SELECT label, count(*)::BIGINT AS n FROM u GROUP BY 1),
+         per_label AS (SELECT c.label, nl.n,
+                         sum(c.s * c.s) AS ss
+                       FROM cells c JOIN nl USING (label)
+                       GROUP BY 1, 2),
+         gl AS (SELECT -1::BIGINT AS label,
+                  (SELECT count(*)::BIGINT FROM u) AS n,
+                  sum(sg * sg) AS ss
+                FROM (SELECT dim, sum(s) AS sg FROM cells GROUP BY 1))
+         SELECT label, n,
+           CAST(round((ss - n) / (n * (n - 1)) * 1e6) AS BIGINT)
+             AS mean_cos_micro
+         FROM (SELECT * FROM per_label UNION ALL SELECT * FROM gl)""",
+    // q240: same eval slice, same cosine fold, the argmax replayed as
+    // a rank-1 window with the vec_id tiebreak on the unrounded sim.
+    "q240_nn_label_eval" -> {
+      val pairCos = cosSql("q_vec", "e.embedding")
+      s"""WITH ev AS (SELECT vec_id AS q_id, embedding AS q_vec,
+                 label AS q_label
+               FROM embeddings WHERE vec_id % 5 = 0),
+         s AS (SELECT q_id, q_label, e.label AS nn_label, e.vec_id,
+                 $pairCos AS sim
+               FROM embeddings e JOIN ev ON e.vec_id <> ev.q_id),
+         r AS (SELECT q_id, q_label, nn_label,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM s)
+         SELECT q_label AS label, count(*)::BIGINT AS n_eval,
+           sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0 END)::BIGINT
+             AS n_correct,
+           CAST(round(sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0
+             END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS acc_micro
+         FROM r WHERE rk = 1 GROUP BY 1"""
+    },
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
     // the (b-c)^2/(b+c) statistic with the zero-discordance guard.
     "q206_mcnemar_gates" ->

@@ -145,6 +145,68 @@ object Clustering {
     centroids
   }
 
+  /** q238: Adjusted Rand Index between the q93 k-means clustering and
+    * the ground-truth labels (Hubert & Arabie 1985) — the standard
+    * external-validation score for "did unsupervised clustering
+    * recover the annotation": ARI = (Σ_ij C(n_ij,2) − E) /
+    * (½[Σ_i C(a_i,2) + Σ_j C(b_j,2)] − E) with
+    * E = Σ_i C(a_i,2)·Σ_j C(b_j,2) / C(n,2), all terms read off the
+    * (cluster, label) contingency table. 1 = perfect recovery, 0 =
+    * chance. Read alongside q215 (internal silhouette) and q234
+    * (per-dimension separability): this is the corpus-level answer.
+    *
+    * Determinism: every comb term is exact integer arithmetic; the
+    * only float ops are the final two divisions of exact integers —
+    * IEEE-identical in any engine, emitted in micro-units.
+    *
+    * Scale: one corpus join/agg to the k×L contingency table
+    * (map-side combined, localCheckpoint-truncated like the centroid
+    * frame), then three aggregations of that tiny frame. Nothing
+    * pairwise — the C(n,2) pair counts are closed-form.
+    */
+  def clusteringAgreement(spark: SparkSession, dir: String): DataFrame = {
+    def comb2(c: Column): Column = (c * (c - 1) / 2).cast("long")
+    val asg = kmeansAssign(spark, dir).select(col("vec_id"), col("cluster"))
+    val lbl = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val ct = asg
+      .join(lbl, "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_ij"))
+      .localCheckpoint(true)
+    val cells = ct.agg(
+      sum(comb2(col("n_ij"))).as("comb_cells"),
+      sum(col("n_ij")).as("n"),
+      countDistinct(col("cluster")).as("n_clusters"),
+      countDistinct(col("label")).as("n_labels")
+    )
+    val ra = ct
+      .groupBy(col("cluster"))
+      .agg(sum(col("n_ij")).as("a"))
+      .agg(sum(comb2(col("a"))).as("comb_a"))
+    val cb = ct
+      .groupBy(col("label"))
+      .agg(sum(col("n_ij")).as("b"))
+      .agg(sum(comb2(col("b"))).as("comb_b"))
+    val combN = comb2(col("n"))
+    val expected = col("comb_a").cast("double") * col("comb_b") / combN
+    val ari = (col("comb_cells") - expected) /
+      ((col("comb_a") + col("comb_b")) / lit(2.0) - expected)
+    cells
+      .crossJoin(broadcast(ra))
+      .crossJoin(broadcast(cb))
+      .select(
+        col("n"),
+        col("n_clusters"),
+        col("n_labels"),
+        col("comb_cells"),
+        col("comb_a"),
+        col("comb_b"),
+        round(ari * 1e6).cast("long").as("ari_micro")
+      )
+  }
+
   /** q236: label-balanced batch assignment — vectors ranked within
     * their label by vec_id, batch_id = rank − 1, so every batch holds
     * AT MOST one vector per label: the class-balanced batch sampler

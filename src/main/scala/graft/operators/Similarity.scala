@@ -39,6 +39,110 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorMath.vecCosine(a, b)
 
+  /** q239: embedding isotropy — the mean pairwise cosine of the
+    * unit-normalized vectors, per label and globally (label −1),
+    * WITHOUT any pairwise computation: for unit vectors,
+    * mean_{i≠j} u_i·u_j = (‖Σu‖² − n) / (n(n−1)), so the whole
+    * statistic reads off the per-dimension sum vector. High mean
+    * cosine = anisotropic, cone-shaped embeddings (Ethayarajh 2019)
+    * — retrieval and semantic-dedup thresholds (q26/q135) degrade
+    * there, and q156's whitening is the fix this gauge motivates.
+    *
+    * Determinism: per-(label, dim) coordinate sums are rounded to 6
+    * decimals (the q69 centroid convention — absorbs distributed
+    * summation-order drift); the global sum vector is derived from
+    * those same rounded per-label sums on both engines.
+    *
+    * Scale: one corpus scan → (label, dim) partial-agg cells
+    * (map-side combined, |labels|·dims rows) → |labels|-row frames.
+    * The corpus is never shuffled, nothing is pairwise.
+    */
+  def embeddingIsotropy(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"), col("embedding"))
+      .filter(graft.functions.VectorMath.vecDot(col("embedding"), col("embedding")) > 0)
+    val nrm = graft.functions.VectorMath.vecNorm(col("embedding"))
+    val cells = e
+      .select(
+        col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double") / nrm))
+          .as(Seq("dim", "u"))
+      )
+      .groupBy(col("label"), col("dim"))
+      .agg(round(sum(col("u")), 6).as("s"))
+    val perLabelN = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    def meanCos(ss: Column, n: Column): Column =
+      round((ss - n) / (n * (n - 1)) * 1e6).cast("long")
+    val perLabel = cells
+      .groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("ss"))
+      .join(perLabelN, "label")
+    val globalRow = cells
+      .groupBy(col("dim"))
+      .agg(sum(col("s")).as("sg"))
+      .agg(sum(col("sg") * col("sg")).as("ss"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n"))))
+      .select(lit(-1L).as("label"), col("ss"), col("n"))
+    perLabel
+      .select(col("label"), col("ss"), col("n"))
+      .unionByName(globalRow)
+      .select(col("label"), col("n"), meanCos(col("ss"), col("n")).as("mean_cos_micro"))
+  }
+
+  /** q240: leave-one-out 1-NN label accuracy — the classic "are these
+    * embeddings any good" probe: for each vector in a deterministic
+    * eval slice (vec_id ≡ 0 mod 5), find its exact nearest neighbor
+    * by cosine among ALL other vectors and score whether the
+    * neighbor's label matches. Per label: eval count, hits, accuracy.
+    * The supervised complement to q215/q238 — it evaluates the
+    * embedding space itself, not a clustering of it.
+    *
+    * Scale: the eval slice is the bounded broadcast side (a fixed
+    * eval sample in production); the corpus streams past it in ONE
+    * scan and the exact top-1 is a map-side partial `max` over
+    * (sim, −vec_id) structs — no window, no corpus shuffle, |eval|
+    * rows out of the aggregate, then an |labels|-row rollup. The
+    * same argmax-as-aggregation idiom as IVF assignment.
+    */
+  def nnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val ev = e
+      .filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"),
+        col("label").as("q_label")
+      )
+    val best = e
+      .join(broadcast(ev), col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        max(
+          struct(
+            cosine(col("q_vec"), col("embedding")).as("sim"),
+            (-col("vec_id")).as("neg_id"),
+            col("label").as("nn_label")
+          )
+        ).as("best")
+      )
+    best
+      .groupBy(col("q_label").as("label"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("best.nn_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_correct")
+      )
+      .select(
+        col("label"),
+        col("n_eval"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_eval") * 1e6)
+          .cast("long")
+          .as("acc_micro")
+      )
+  }
+
   /** q24: brute-force cosine top-10 per query vector (queries =
     * vec_id<5, broadcast). Exact ANN baseline: one scan of the corpus,
     * per-partition top-k heaps via the rank-filter window.
