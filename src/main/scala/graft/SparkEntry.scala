@@ -691,6 +691,12 @@ object SparkEntry {
     "q239_isotropy" -> (Similarity.embeddingIsotropy _),
     // Leave-one-out exact 1-NN label accuracy on an eval slice.
     "q240_nn_label_eval" -> (Similarity.nnLabelEval _),
+    // Top principal component by 4-round distributed power iteration.
+    "q241_pc1_power" -> ((s, d) => Similarity.pc1Power(s, d)),
+    // Rank-biased overlap between exact and IVF probe-2 rankings.
+    "q242_rank_rbo" -> (Similarity.rankAgreementRbo _),
+    // Competence-based curriculum entry step per document.
+    "q243_curriculum" -> ((s, d) => Sampling.curriculumPacing(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -5891,6 +5897,121 @@ object SparkEntry {
            CAST(round((ss - n) / (n * (n - 1)) * 1e6) AS BIGINT)
              AS mean_cos_micro
          FROM (SELECT * FROM per_label UNION ALL SELECT * FROM gl)""",
+    // q241: the power iteration unrolled — per-round CTEs with the
+    // same round-to-6 points (mu, per-vec dots, z, normalized v).
+    "q241_pc1_power" -> {
+      val roundCtes = (1 to 4)
+        .map { r =>
+          val pv = if (r == 1) "v0" else s"v${r - 1}"
+          s"""s$r AS (SELECT vec_id, round(sum(xc * v), 6) AS s
+               FROM cells JOIN $pv USING (dim) GROUP BY 1),
+             z$r AS (SELECT dim,
+                 round(sum(s * xc) / (SELECT n FROM nn), 6) AS z
+               FROM cells JOIN s$r USING (vec_id) GROUP BY 1),
+             v$r AS (SELECT dim,
+                 round(z / sqrt((SELECT sum(z * z) FROM z$r)), 6) AS v
+               FROM z$r)"""
+        }
+        .mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         xp AS (SELECT vec_id, CAST(s.i AS INTEGER) AS dim,
+                  s.v::DOUBLE AS x
+                FROM (SELECT vec_id,
+                        unnest(list_transform(range(len(embedding)),
+                          i -> {'i': i, 'v': embedding[i + 1]})) AS s
+                      FROM e) t),
+         mu AS (SELECT dim, round(avg(x), 6) AS m FROM xp GROUP BY 1),
+         cells AS MATERIALIZED (SELECT vec_id, xp.dim, x - m AS xc
+                                FROM xp JOIN mu USING (dim)),
+         nn AS (SELECT count(*)::BIGINT AS n FROM e),
+         v0 AS (SELECT dim,
+                  round(1.0 / sqrt((SELECT count(*) FROM mu)), 6) AS v
+                FROM mu),
+         $roundCtes,
+         sf AS (SELECT vec_id, round(sum(xc * v), 6) AS s
+                FROM cells JOIN v4 USING (dim) GROUP BY 1),
+         lam AS (SELECT sum(s * s) / (SELECT n FROM nn) AS lambda
+                 FROM sf),
+         tot AS (SELECT sum(xc * xc) / (SELECT n FROM nn) AS totvar
+                 FROM cells)
+         SELECT dim, v AS pc1,
+           CAST(round(lambda * 1e6) AS BIGINT) AS lambda_micro,
+           CAST(round(lambda / totvar * 1e6) AS BIGINT)
+             AS var_share_micro
+         FROM v4, lam, tot"""
+    },
+    // q242: both rank lists replayed (q24's exact form at depth 5 and
+    // q106's probe-2 form verbatim), same head weights as literals.
+    "q242_rank_rbo" -> {
+      val pairCos = cosSql("q_vec", "e.embedding")
+      val wLit = (1 to 5)
+        .map(d => math.pow(0.9, d - 1) * (1 - 0.9))
+        .mkString("[", ", ", "]")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                FROM embeddings WHERE vec_id < 3),
+         ex AS (SELECT q_id, vec_id, rk_a
+                FROM (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, vec_id ASC) AS rk_a
+                      FROM (SELECT q_id, e.vec_id, $pairCos AS sim
+                            FROM embeddings e, q) s) t
+                WHERE rk_a <= 5),
+         c AS (SELECT vec_id AS cid, embedding AS c_vec
+               FROM embeddings WHERE vec_id < 8),
+         sims AS (SELECT e.vec_id, e.embedding, c.cid,
+                    ${cosSql("c_vec", "embedding")} AS csim
+                  FROM embeddings e, c),
+         asg AS (SELECT vec_id, embedding, cid
+                 FROM (SELECT vec_id, embedding, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cid ASC) AS rk
+                       FROM sims) t WHERE rk = 1),
+         qp AS (SELECT vec_id AS q_id, embedding AS q_vec, cid
+                FROM (SELECT vec_id, embedding, cid,
+                        row_number() OVER (PARTITION BY vec_id
+                          ORDER BY csim DESC, cid ASC) AS crk
+                      FROM sims WHERE vec_id < 3) t WHERE crk <= 2),
+         ap AS (SELECT q_id, vec_id, rk_b
+                FROM (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, vec_id ASC) AS rk_b
+                      FROM (SELECT qp.q_id, a.vec_id,
+                              ${cosSql("q_vec", "a.embedding")} AS sim
+                            FROM asg a JOIN qp ON a.cid = qp.cid) s) t
+                WHERE rk_b <= 5),
+         j AS (SELECT coalesce(a.q_id, b.q_id) AS q_id, a.rk_a, b.rk_b
+               FROM ex a FULL OUTER JOIN ap b
+                 ON a.q_id = b.q_id AND a.vec_id = b.vec_id),
+         ov AS (SELECT q_id, dd.d, count(*)::BIGINT AS a_d
+                FROM j, (SELECT unnest([1, 2, 3, 4, 5]) AS d) dd
+                WHERE rk_a <= dd.d AND rk_b <= dd.d GROUP BY 1, 2),
+         sc AS (SELECT q_id,
+                  max(CASE WHEN d = 5 THEN a_d END) AS overlap_k,
+                  CAST(round(sum($wLit[d] * a_d / d) * 1e6) AS BIGINT)
+                    AS rbo_micro
+                FROM ov GROUP BY 1)
+         SELECT q.q_id, coalesce(overlap_k, 0)::BIGINT AS overlap_k,
+           coalesce(rbo_micro, 0)::BIGINT AS rbo_micro
+         FROM q LEFT JOIN sc USING (q_id)"""
+    },
+    // q243: same tokenizer CASE, same global order, the pacing
+    // arithmetic in the same left-to-right association.
+    "q243_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS n_tokens
+           FROM documents),
+         r AS (SELECT doc_id, n_tokens,
+                 row_number() OVER (ORDER BY n_tokens, doc_id)::BIGINT
+                   AS rank,
+                 (SELECT count(*)::BIGINT FROM d) AS n
+               FROM d)
+         SELECT doc_id, n_tokens, rank,
+           CAST(ceil((rank - 1)::DOUBLE / greatest(n - 1, 1)
+             * (rank - 1) / greatest(n - 1, 1) * 10000) AS BIGINT)
+             AS entry_step
+         FROM r""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -1269,6 +1269,54 @@ object Sampling {
     * the range-partitioned two-level rank of [[Ranking]] within each
     * language); the quartile table is |langs| rows, broadcast back.
     */
+  /** q243: competence-based curriculum pacing (Platanios et al. 2019)
+    * — with competence c(t) = √(t/T), a document whose difficulty
+    * percentile is ρ becomes trainable at step t = ⌈T·ρ²⌉: the square
+    * root front-loads easy examples and admits the long tail late.
+    * Difficulty = token count (the classic length curriculum),
+    * percentile = (rank−1)/(n−1) over (n_tokens, doc_id). Emits per
+    * doc: length, global rank, and its entry step for T = 10 000 —
+    * the dataloader-ready pacing schedule.
+    *
+    * Scale: the global rank is [[Ranking.withGlobalRank]] (range
+    * shuffle + per-partition offsets — never a single-partition
+    * window); the entry step is pure arithmetic on exact integers,
+    * so no float drift exists anywhere.
+    */
+  def curriculumPacing(
+      spark: SparkSession,
+      dir: String,
+      totalSteps: Long = 10000L
+  ): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("n_tokens")
+      )
+    val ranked = Ranking.withGlobalRank(
+      d,
+      Seq(col("n_tokens").asc, col("doc_id").asc),
+      "rank",
+      32
+    )
+    val nF = broadcast(d.agg(count(lit(1)).as("n")))
+    ranked
+      .crossJoin(nF)
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("rank"),
+        ceil(
+          (col("rank") - 1).cast("double") / greatest(col("n") - 1, lit(1L))
+            * (col("rank") - 1) / greatest(col("n") - 1, lit(1L))
+            * totalSteps
+        ).cast("long").as("entry_step")
+      )
+  }
+
   def iqrLengthGate(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables
       .documents(spark, dir)

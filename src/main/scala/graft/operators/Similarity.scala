@@ -143,6 +143,157 @@ object Similarity {
       )
   }
 
+  /** q241: top principal component by fixed-round power iteration —
+    * covariance-free distributed PCA-1: v ← Σ_i x̃_i (x̃_i·v) / n,
+    * renormalized each round, starting from the deterministic
+    * v₀ = 1/√D. Emits the round-`rounds` iterate per dimension plus
+    * the Rayleigh eigenvalue λ = Σ(x̃·v)²/n and its share of total
+    * variance. The dominant-direction probe behind q156's whitening
+    * and the anisotropy q239 flags: a large share means one axis
+    * carries the space (rogue-dimension pathology).
+    *
+    * The covariance matrix (D², fine at D=64 but 10¹² cells at
+    * D=10⁶) is never formed: each round is two matvec passes —
+    * (1) s_i = x̃_i·v with v broadcast (one corpus-cell scan, no
+    * shuffle), (2) z = Σ s_i·x̃_i as a dim-keyed partial agg — the
+    * standard scale topology for tall-skinny PCA.
+    *
+    * Determinism (the kmeans convention): μ, every per-vector dot,
+    * every per-dim sum, and each normalized coordinate are rounded
+    * to 6 decimals round-by-round, absorbing distributed
+    * summation-order drift; the D-row v frame is
+    * localCheckpoint-truncated per round.
+    */
+  def pc1Power(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val exploded = e.select(
+      col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "x"))
+    )
+    val mu = exploded
+      .groupBy(col("dim"))
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+    val cells = exploded
+      .join(broadcast(mu), "dim")
+      .select(
+        col("vec_id"),
+        col("dim"),
+        (col("x").cast("double") - col("m")).as("xc")
+      )
+      .cacheTracked()
+    val nF = broadcast(e.agg(count(lit(1)).as("n")))
+    val dF = broadcast(mu.agg(count(lit(1)).as("dd")))
+    var v = mu
+      .select(col("dim"))
+      .crossJoin(dF)
+      .select(col("dim"), round(lit(1.0) / sqrt(col("dd")), 6).as("v"))
+      .localCheckpoint(true)
+    def dots(vf: DataFrame): DataFrame = cells
+      .join(broadcast(vf), "dim")
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("xc") * col("v")), 6).as("s"))
+    for (_ <- 1 to rounds) {
+      val z = cells
+        .join(dots(v), "vec_id")
+        .groupBy(col("dim"))
+        .agg(sum(col("s") * col("xc")).as("zs"))
+        .crossJoin(nF)
+        .select(col("dim"), round(col("zs") / col("n"), 6).as("z"))
+      val nrm = broadcast(z.agg(sum(col("z") * col("z")).as("zz")))
+      v = z
+        .crossJoin(nrm)
+        .select(col("dim"), round(col("z") / sqrt(col("zz")), 6).as("v"))
+        .localCheckpoint(true)
+    }
+    val sF = dots(v)
+    val lambdaF = broadcast(
+      sF.agg(sum(col("s") * col("s")).as("ssum"))
+        .crossJoin(nF)
+        .select((col("ssum") / col("n")).as("lambda"))
+    )
+    val totF = broadcast(
+      cells
+        .agg(sum(col("xc") * col("xc")).as("xx"))
+        .crossJoin(nF)
+        .select((col("xx") / col("n")).as("totvar"))
+    )
+    v.crossJoin(lambdaF)
+      .crossJoin(totF)
+      .select(
+        col("dim"),
+        col("v").as("pc1"),
+        round(col("lambda") * 1e6).cast("long").as("lambda_micro"),
+        round(col("lambda") / col("totvar") * 1e6)
+          .cast("long")
+          .as("var_share_micro")
+      )
+  }
+
+  /** q242: rank-biased overlap (Webber et al. 2010, truncated head
+    * weights) between the EXACT cosine top-5 and the IVF probe-2
+    * top-5 for the same query slice — the rank-aware ANN-fidelity
+    * gauge next to plain recall: RBO@k = (1−p) Σ_{d≤k} p^{d−1}·A_d
+    * with A_d the overlap fraction of the two depth-d prefixes and
+    * p = 0.9, so losing the rank-1 neighbor costs more than losing
+    * the rank-5 one. Per query: the overlap at full depth and the
+    * RBO score in micro-units.
+    *
+    * Scale: both rankings are the audited q24/q106 plans (broadcast
+    * query side, one corpus scan each); the agreement join touches
+    * only the two k-row-per-query rank lists, and the depth explode
+    * is k literals.
+    */
+  def rankAgreementRbo(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val p = 0.9
+    val e = Tables.embeddings(spark, dir)
+    val q = e
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wq = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = e
+      .join(broadcast(q))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim")
+      )
+      .withColumn("rk_a", row_number().over(wq))
+      .filter(col("rk_a") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk_a"))
+    val approx = ivfTopKProbe(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rk").as("rk_b"))
+    val joined = exact
+      .join(approx, Seq("q_id", "vec_id"), "full_outer")
+    val depths = explode(lit((1 to k).toArray)).as("d")
+    val weights = (1 to k).map(d => math.pow(p, d - 1) * (1 - p))
+    val wExpr = element_at(lit(weights.toArray), col("d"))
+    val scored = joined
+      .select(col("q_id"), col("rk_a"), col("rk_b"), depths)
+      .filter(col("rk_a") <= col("d") && col("rk_b") <= col("d"))
+      .groupBy(col("q_id"), col("d"))
+      .agg(count(lit(1)).as("a_d"))
+      .groupBy(col("q_id"))
+      .agg(
+        max(when(col("d") === k, col("a_d"))).as("overlap_k"),
+        round(sum(wExpr * col("a_d") / col("d")) * 1e6)
+          .cast("long")
+          .as("rbo_micro")
+      )
+    // zero-overlap queries vanish from the agg — restore them with 0s
+    q.select(col("q_id"))
+      .join(scored, Seq("q_id"), "left_outer")
+      .select(
+        col("q_id"),
+        coalesce(col("overlap_k"), lit(0L)).as("overlap_k"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro")
+      )
+  }
+
   /** q24: brute-force cosine top-10 per query vector (queries =
     * vec_id<5, broadcast). Exact ANN baseline: one scan of the corpus,
     * per-partition top-k heaps via the rank-filter window.
