@@ -697,6 +697,12 @@ object SparkEntry {
     "q242_rank_rbo" -> (Similarity.rankAgreementRbo _),
     // Competence-based curriculum entry step per document.
     "q243_curriculum" -> ((s, d) => Sampling.curriculumPacing(s, d)),
+    // 5-NN label-consensus mislabel screen over the labeled vectors.
+    "q244_label_consensus" -> (Similarity.labelConsensus _),
+    // Deterministic round-robin source-interleaved training order.
+    "q245_source_interleave" -> (Sampling.sourceInterleaveOrder _),
+    // Cross-language duplicate pairs via shared winnow fingerprints.
+    "q246_crosslang_dups" -> (Dedup.crossLanguageDups _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6012,6 +6018,68 @@ object SparkEntry {
              * (rank - 1) / greatest(n - 1, 1) * 10000) AS BIGINT)
              AS entry_step
          FROM r""",
+    // q244: all-pairs cosine (self excluded), top-5 by the same
+    // (sim DESC, id ASC) rank, consensus threshold on the count.
+    "q244_label_consensus" -> {
+      val pairCos = cosSql("e.embedding", "r.embedding")
+      s"""WITH s AS (SELECT e.vec_id, e.label, r.vec_id AS r_id,
+                 r.label AS r_label, $pairCos AS sim
+               FROM embeddings e JOIN embeddings r
+                 ON e.vec_id <> r.vec_id),
+         t AS (SELECT vec_id, label, r_label,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, r_id ASC) AS rk
+               FROM s)
+         SELECT vec_id, label,
+           sum(CASE WHEN r_label = label THEN 1 ELSE 0 END)::BIGINT
+             AS n_agree,
+           sum(CASE WHEN r_label = label THEN 1 ELSE 0 END) < 2
+             AS suspect
+         FROM t WHERE rk <= 5 GROUP BY 1, 2"""
+    },
+    // q245: the same md5 within-source shuffle key, then the
+    // interleaving (src_rank, source, doc_id) total order.
+    "q245_source_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)::BIGINT
+               AS src_rank
+           FROM documents)
+         SELECT doc_id, source, src_rank,
+           row_number() OVER (ORDER BY src_rank, source, doc_id)::BIGINT
+             AS pos
+         FROM r""",
+    // q246: q140's winnow CTEs verbatim; the pair predicate swaps
+    // the >= 2 count floor for the cross-language condition.
+    "q246_crosslang_dups" ->
+      """WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         g AS (SELECT doc_id, len(toks) - 2 AS ng,
+                 unnest(list_transform(range(len(toks) - 2),
+                   i -> {'pos': i,
+                         'h': ('0x' || substr(md5(toks[i+1] || ' ' ||
+                            toks[i+2] || ' ' || toks[i+3]), 1, 15))::BIGINT}))
+                   AS s
+               FROM t WHERE len(toks) >= 3),
+         wm AS (SELECT doc_id, ng, s.pos AS pos,
+                  min(s.h) OVER (PARTITION BY doc_id ORDER BY s.pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+                FROM g),
+         fp AS MATERIALIZED (SELECT DISTINCT doc_id, mh FROM wm
+               WHERE pos <= greatest(ng - 4, 0)),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*)::BIGINT AS n_shared
+                FROM fp a JOIN fp b
+                  ON a.mh = b.mh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+         SELECT doc_a, doc_b, la.lang AS lang_a, lb.lang AS lang_b,
+           n_shared
+         FROM pr
+         JOIN documents la ON pr.doc_a = la.doc_id
+         JOIN documents lb ON pr.doc_b = lb.doc_id
+         WHERE la.lang <> lb.lang""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -1297,11 +1297,11 @@ object Dedup {
     * count join keys on doc_id (no broadcast: it scales with the
     * corpus).
     */
-  def winnowFingerprints(
-      spark: SparkSession,
-      dir: String,
-      w: Int = 4
-  ): DataFrame = {
+  /** The winnowed fingerprint set (doc_id, mh) that q140's pair join
+    * and q246's cross-language screen both read — one derivation, two
+    * consumers.
+    */
+  def winnowFp(spark: SparkSession, dir: String, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = Tables
       .documents(spark, dir)
@@ -1327,13 +1327,21 @@ object Dedup {
       .partitionBy(col("doc_id"))
       .orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val fp = grams
+    grams
       .withColumn("mh", min(col("h")).over(win))
       // window STARTS: docs shorter than w grams winnow their single
       // truncated window at pos 0
       .filter(col("pos") <= greatest(col("n_grams") - w, lit(0)))
       .select(col("doc_id"), col("mh"))
       .distinct()
+  }
+
+  def winnowFingerprints(
+      spark: SparkSession,
+      dir: String,
+      w: Int = 4
+  ): DataFrame = {
+    val fp = winnowFp(spark, dir, w)
     val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     fp.as("a")
       .join(
@@ -1354,6 +1362,51 @@ object Dedup {
             (col("nfa") + col("nfb") - col("n_shared")),
           6
         ).as("overlap")
+      )
+  }
+
+  /** q246: cross-language duplicate pairs — documents tagged with
+    * DIFFERENT languages that share a winnowed fingerprint (q140's
+    * scheme): the contamination shape language-partitioned pipelines
+    * miss entirely, because per-lang dedup never compares across the
+    * partition. Real cause: boilerplate/code blocks surviving
+    * translation, mislabeled lang tags, or copy-paste corpora. Each
+    * pair carries both langs and the shared-fingerprint count; even
+    * one shared winnow window is a strong signal across languages
+    * (the q140 intra-corpus join demands ≥2).
+    *
+    * Scale: candidate generation is the fingerprint-blocked
+    * self-join (collision-linear, never corpus²); the lang decoration
+    * joins a 2-column frame keyed by doc_id. Same topology as q140
+    * with a different predicate.
+    */
+  def crossLanguageDups(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val fp = winnowFp(spark, dir)
+    fp.as("a")
+      .join(
+        fp.as("b"),
+        col("a.mh") === col("b.mh") && col("a.doc_id") < col("b.doc_id")
+      )
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(
+        langs.select(col("doc_id").as("doc_a"), col("lang").as("lang_a")),
+        Seq("doc_a")
+      )
+      .join(
+        langs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b")),
+        Seq("doc_b")
+      )
+      .filter(col("lang_a") =!= col("lang_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("lang_a"),
+        col("lang_b"),
+        col("n_shared")
       )
   }
 

@@ -1269,6 +1269,39 @@ object Sampling {
     * the range-partitioned two-level rank of [[Ranking]] within each
     * language); the quartile table is |langs| rows, broadcast back.
     */
+  /** q245: source-interleaved training order — documents shuffled
+    * within their source by the portable md5 key, then globally
+    * ordered by (within-source rank, source): a deterministic
+    * round-robin across sources, so consecutive training examples
+    * come from different sources wherever supply allows (two docs
+    * from one source are adjacent only when every other source's
+    * supply at that rank is exhausted). The anti-clumping
+    * complement to q191's plain global shuffle: gradient noise
+    * stays source-mixed batch over batch instead of averaging out
+    * only in expectation.
+    *
+    * Scale: one within-source window (bounded by the largest
+    * source), then [[Ranking.withGlobalRank]]'s range shuffle on the
+    * (rank, source) key — no single-partition stage.
+    */
+  def sourceInterleaveOrder(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val wSrc = Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    val ranked = d.withColumn("src_rank", row_number().over(wSrc).cast("long"))
+    Ranking
+      .withGlobalRank(
+        ranked,
+        Seq(col("src_rank").asc, col("source").asc, col("doc_id").asc),
+        "pos",
+        32
+      )
+      .select(col("doc_id"), col("source"), col("src_rank"), col("pos"))
+  }
+
   /** q243: competence-based curriculum pacing (Platanios et al. 2019)
     * — with competence c(t) = √(t/T), a document whose difficulty
     * percentile is ρ becomes trainable at step t = ⌈T·ρ²⌉: the square

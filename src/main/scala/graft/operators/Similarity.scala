@@ -143,6 +143,56 @@ object Similarity {
       )
   }
 
+  /** q244: neighborhood label-consensus mislabel screen (the 1-NN
+    * agreement idea of confident learning, k = 5): for every vector,
+    * the fraction of its 5 exact nearest neighbors (cosine, self
+    * excluded) sharing its label; consensus < 2/5 flags a suspect —
+    * the annotation-noise screen run before a labeled set becomes
+    * eval or fine-tuning data. Complements q145 (geometric outliers:
+    * far from OWN centroid) — this catches points sitting INSIDE a
+    * different label's neighborhood, which centroid distance misses.
+    *
+    * Scale: the screened slice streams past the broadcast reference
+    * the same way q240's eval does; here the whole (small) labeled
+    * table is both sides, and at 100 TB the reference side would be
+    * the IVF-bucketed index with this exact consensus rollup after
+    * candidate retrieval. Per-vector top-5 is a bounded window over
+    * the per-query candidate rows.
+    */
+  def labelConsensus(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val e = Tables.embeddings(spark, dir)
+    val ref = e.select(
+      col("vec_id").as("r_id"),
+      col("embedding").as("r_vec"),
+      col("label").as("r_label")
+    )
+    val w = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("r_id").asc)
+    e.join(broadcast(ref), col("vec_id") =!= col("r_id"))
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("r_id"),
+        col("r_label"),
+        cosine(col("embedding"), col("r_vec")).as("sim")
+      )
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        sum(when(col("r_label") === col("label"), 1L).otherwise(0L))
+          .as("n_agree")
+      )
+      .select(
+        col("vec_id"),
+        col("label"),
+        col("n_agree"),
+        (col("n_agree") < 2).as("suspect")
+      )
+  }
+
   /** q241: top principal component by fixed-round power iteration —
     * covariance-free distributed PCA-1: v ← Σ_i x̃_i (x̃_i·v) / n,
     * renormalized each round, starting from the deterministic
