@@ -703,6 +703,12 @@ object SparkEntry {
     "q245_source_interleave" -> (Sampling.sourceInterleaveOrder _),
     // Cross-language duplicate pairs via shared winnow fingerprints.
     "q246_crosslang_dups" -> (Dedup.crossLanguageDups _),
+    // Per-source token-mass Gini (doc-size inequality gauge).
+    "q247_source_gini" -> (Sampling.sourceTokenGini _),
+    // Per-cluster label purity and entropy of the q93 clustering.
+    "q248_cluster_purity" -> (Clustering.clusterPurity _),
+    // Tie-corrected Spearman + Pearson between length and quality.
+    "q249_length_quality_corr" -> (TextAnalysis.lengthQualityCorrelation _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6080,6 +6086,82 @@ object SparkEntry {
          JOIN documents la ON pr.doc_a = la.doc_id
          JOIN documents lb ON pr.doc_b = lb.doc_id
          WHERE la.lang <> lb.lang""",
+    // q247: the same (x, doc_id) rank; every Gini term is an exact
+    // integer until the two final divisions.
+    "q247_source_gini" ->
+      """WITH d AS (SELECT doc_id, source,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS x
+           FROM documents),
+         r AS (SELECT source, x,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY x, doc_id)::BIGINT AS i
+               FROM d)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(x)::BIGINT AS total_tokens,
+           CAST(round((2.0 * sum(i * x)
+               / (count(*) * nullif(sum(x), 0))
+             - (count(*) + 1)::DOUBLE / count(*)) * 1e6) AS BIGINT)
+             AS gini_micro
+         FROM r GROUP BY 1""",
+    // q248: the q93 CTEs + contingency table; majority via the same
+    // (n_ij DESC, label ASC) rank; entropy in micro-units.
+    "q248_cluster_purity" ->
+      s"""WITH $kmeansCtes,
+         asg AS (SELECT vec_id, cluster FROM a3 WHERE rn = 1),
+         ct AS (SELECT cluster, l.label, count(*)::BIGINT AS n_ij
+                FROM asg JOIN embeddings l USING (vec_id)
+                GROUP BY 1, 2),
+         x AS (SELECT cluster, label, n_ij,
+                 row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_ij DESC, label ASC) AS rk,
+                 sum(n_ij) OVER (PARTITION BY cluster) AS size
+               FROM ct)
+         SELECT cluster, max(size)::BIGINT AS size,
+           max(CASE WHEN rk = 1 THEN label END) AS majority_label,
+           max(CASE WHEN rk = 1 THEN n_ij END)::BIGINT AS n_majority,
+           CAST(round(max(CASE WHEN rk = 1 THEN n_ij END)::DOUBLE
+             / max(size) * 1e6) AS BIGINT) AS purity_micro,
+           CAST(round(sum(-(n_ij::DOUBLE / size)
+             * ln(n_ij::DOUBLE / size)) * 1e6) AS BIGINT)
+             AS entropy_micro
+         FROM x GROUP BY 1""",
+    // q249: average ranks from the same (value, doc_id) row_numbers;
+    // identical raw-moment formulas on both sides.
+    "q249_length_quality_corr" ->
+      s"""WITH $qualityCte,
+         d AS (SELECT doc_id,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END)::BIGINT AS x
+               FROM documents),
+         b AS (SELECT d.doc_id, d.x, qq.q AS y
+               FROM d JOIN qq USING (doc_id)),
+         rx0 AS (SELECT x, row_number() OVER (ORDER BY x, doc_id)::BIGINT
+                   AS rn FROM b),
+         rxa AS (SELECT x, avg(rn) AS rx FROM rx0 GROUP BY 1),
+         ry0 AS (SELECT y, row_number() OVER (ORDER BY y, doc_id)::BIGINT
+                   AS rn FROM b),
+         rya AS (SELECT y, avg(rn) AS ry FROM ry0 GROUP BY 1),
+         j AS (SELECT b.x, b.y, rxa.rx, rya.ry
+               FROM b JOIN rxa USING (x) JOIN rya USING (y)),
+         s AS (SELECT count(*)::BIGINT AS n,
+                 sum(rx) AS srx, sum(ry) AS sry,
+                 sum(rx * rx) AS srx2, sum(ry * ry) AS sry2,
+                 sum(rx * ry) AS srxy,
+                 sum(x::DOUBLE) AS sx, sum(y) AS sy,
+                 sum(x::DOUBLE * x) AS sx2, sum(y * y) AS sy2,
+                 sum(x::DOUBLE * y) AS sxy
+               FROM j)
+         SELECT n,
+           CAST(round((n * srxy - srx * sry)
+             / (sqrt(n * srx2 - srx * srx) * sqrt(n * sry2 - sry * sry))
+             * 1e6) AS BIGINT) AS spearman_micro,
+           CAST(round((n * sxy - sx * sy)
+             / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+             * 1e6) AS BIGINT) AS pearson_micro
+         FROM s""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -145,6 +145,59 @@ object Clustering {
     centroids
   }
 
+  /** q248: per-cluster label purity and entropy of the q93 k-means
+    * clustering — the local companion to q238's global ARI: per
+    * cluster, its size, the majority label (ties → smaller label),
+    * purity = majority/size, and the label entropy −Σ p ln p. A
+    * cluster can be large AND impure (topic mixing two labels) while
+    * ARI still looks fine globally; this is the row-level view the
+    * q205 cap and q135 dedup decisions should be read against.
+    *
+    * Scale: the same k×L contingency table as q238 (one corpus
+    * join/agg), then per-cluster windows over ≤L rows each. Entropy
+    * sums ≤L float terms per cluster — emitted in micro-units.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val asg = kmeansAssign(spark, dir).select(col("vec_id"), col("cluster"))
+    val lbl = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val ct = asg
+      .join(lbl, "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n_ij"))
+    val w = Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("n_ij").desc, col("label").asc)
+    ct.withColumn("rk", row_number().over(w))
+      .withColumn(
+        "size",
+        sum(col("n_ij")).over(Window.partitionBy(col("cluster")))
+      )
+      .groupBy(col("cluster"))
+      .agg(
+        max(col("size")).as("size"),
+        max(when(col("rk") === 1, col("label"))).as("majority_label"),
+        max(when(col("rk") === 1, col("n_ij"))).as("n_majority"),
+        round(
+          sum(
+            -(col("n_ij").cast("double") / col("size"))
+              * log(col("n_ij").cast("double") / col("size"))
+          ) * 1e6
+        ).cast("long").as("entropy_micro")
+      )
+      .select(
+        col("cluster"),
+        col("size"),
+        col("majority_label"),
+        col("n_majority"),
+        round(col("n_majority").cast("double") / col("size") * 1e6)
+          .cast("long")
+          .as("purity_micro"),
+        col("entropy_micro")
+      )
+  }
+
   /** q238: Adjusted Rand Index between the q93 k-means clustering and
     * the ground-truth labels (Hubert & Arabie 1985) — the standard
     * external-validation score for "did unsupervised clustering

@@ -1269,6 +1269,53 @@ object Sampling {
     * the range-partitioned two-level rank of [[Ranking]] within each
     * language); the quartile table is |langs| rows, broadcast back.
     */
+  /** q247: per-source token-mass Gini coefficient — how unequally a
+    * source's token budget is concentrated in its documents, via the
+    * sorted-cumulative form G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over
+    * docs ranked by (n_tokens, doc_id). G≈0: uniform doc sizes; G→1:
+    * a few giant docs carry the source — exactly the sources where
+    * doc-level sampling (q130/q223 budgets are doc-keyed) and
+    * token-level budgets (q164) diverge, so this is the gauge that
+    * says which accounting to trust per source.
+    *
+    * Determinism: rank, Σi·x and Σx are exact integers; the two
+    * final divisions are over exact integers — IEEE-identical.
+    *
+    * Scale: one tokenize scan, one per-source window (bounded by the
+    * largest source; two-level rank at 100 TB), a |sources|-row agg.
+    */
+  def sourceTokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("x")
+      )
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("x").asc, col("doc_id").asc)
+    d.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("six")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("total_tokens"),
+        round(
+          (lit(2.0) * col("six")
+            / (col("n_docs") * nullif(col("total_tokens"), lit(0L)))
+            - (col("n_docs") + 1).cast("double") / col("n_docs")) * 1e6
+        ).cast("long").as("gini_micro")
+      )
+  }
+
   /** q245: source-interleaved training order — documents shuffled
     * within their source by the portable md5 key, then globally
     * ordered by (within-source rank, source): a deterministic

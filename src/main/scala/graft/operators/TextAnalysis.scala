@@ -64,6 +64,77 @@ object TextAnalysis {
         qualityScore(col("text")).as("quality")
       )
 
+  /** q249: length↔quality rank correlation — tie-corrected Spearman ρ
+    * (Pearson over average ranks) plus raw Pearson r between per-doc
+    * token count and the q15 quality score, as one corpus row. The
+    * q15 score embeds a length term (0.5·min(n/200,1)), so ρ should
+    * be strongly positive — a DROP in this gauge after a pipeline
+    * change means the quality gate stopped tracking length where it
+    * should, and a ρ≈1 means it tracks ONLY length (the degenerate
+    * gate q229's ablation would also expose). Rank correlation is
+    * the scale-robust choice: insensitive to the score's nonlinear
+    * saturation.
+    *
+    * Determinism: average ranks are exact half-integers (sums of
+    * row_numbers over ties), so every Spearman aggregate is exactly
+    * representable and order-independent; the raw-moment Pearson
+    * aggregates are rounded only at the final micro cast.
+    *
+    * Scale: two [[Ranking.withGlobalRank]] total orders (range
+    * shuffle each, never a single-partition window), per-value
+    * average-rank joins, then one corpus-pass moment aggregate.
+    */
+  def lengthQualityCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("x")
+      )
+      .join(
+        qualityScores(spark, dir).select(col("doc_id"), col("quality").as("y")),
+        "doc_id"
+      )
+    def avgRank(keyName: String): DataFrame = Ranking
+      .withGlobalRank(
+        base.select(col("doc_id"), col(keyName)),
+        Seq(col(keyName).asc, col("doc_id").asc),
+        "rn",
+        32
+      )
+      .groupBy(col(keyName))
+      .agg(avg(col("rn")).as(s"r$keyName"))
+    val j = base
+      .join(avgRank("x"), "x")
+      .join(avgRank("y"), "y")
+    val s = j.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("srx"),
+      sum(col("ry")).as("sry"),
+      sum(col("rx") * col("rx")).as("srx2"),
+      sum(col("ry") * col("ry")).as("sry2"),
+      sum(col("rx") * col("ry")).as("srxy"),
+      sum(col("x").cast("double")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x").cast("double") * col("x")).as("sx2"),
+      sum(col("y") * col("y")).as("sy2"),
+      sum(col("x").cast("double") * col("y")).as("sxy")
+    )
+    def corr(sa: Column, sb: Column, sa2: Column, sb2: Column, sab: Column) =
+      (col("n") * sab - sa * sb) /
+        (sqrt(col("n") * sa2 - sa * sa) * sqrt(col("n") * sb2 - sb * sb))
+    s.select(
+      col("n"),
+      round(
+        corr(col("srx"), col("sry"), col("srx2"), col("sry2"), col("srxy"))
+          * 1e6
+      ).cast("long").as("spearman_micro"),
+      round(
+        corr(col("sx"), col("sy"), col("sx2"), col("sy2"), col("sxy")) * 1e6
+      ).cast("long").as("pearson_micro")
+    )
+  }
+
   /** q16: heuristic language ID vs the labeled lang column. */
   def languageId(spark: SparkSession, dir: String): DataFrame =
     Tables
