@@ -709,6 +709,12 @@ object SparkEntry {
     "q248_cluster_purity" -> (Clustering.clusterPurity _),
     // Tie-corrected Spearman + Pearson between length and quality.
     "q249_length_quality_corr" -> (TextAnalysis.lengthQualityCorrelation _),
+    // Padding-waste curve of the unpacked loader at 4 context lengths.
+    "q250_padding_curve" -> (TextAnalysis.paddingWasteCurve _),
+    // Symbol/digit-density content-type tagging (code/numeric/prose).
+    "q251_content_type" -> (TextAnalysis.contentTypeTags _),
+    // Flesch reading-ease per document from one scan.
+    "q252_readability" -> (TextAnalysis.readability _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6162,6 +6168,67 @@ object SparkEntry {
              / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
              * 1e6) AS BIGINT) AS pearson_micro
          FROM s""",
+    // q250: same tokenizer CASE, ceil-chunk arithmetic on exact
+    // integers, the ppm division in the same order.
+    "q250_padding_curve" ->
+      """WITH d AS (SELECT
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS n
+           FROM documents),
+         x AS (SELECT n, l.len
+               FROM (SELECT n FROM d WHERE n > 0) d2,
+                 (SELECT unnest([512, 1024, 2048, 4096]::BIGINT[])
+                    AS len) l),
+         w AS (SELECT len, n,
+                 CAST(ceil(n::DOUBLE / len) AS BIGINT) AS nw FROM x)
+         SELECT len, count(*)::BIGINT AS n_docs,
+           sum(n)::BIGINT AS total_tokens,
+           sum(nw)::BIGINT AS n_windows,
+           sum(nw * len - n)::BIGINT AS padded_tokens,
+           CAST(round(sum(nw * len - n)::DOUBLE / (sum(nw) * len) * 1e6)
+             AS BIGINT) AS waste_ppm
+         FROM w GROUP BY len""",
+    // q251: identical translate() alphabets and threshold order.
+    "q251_content_type" ->
+      """SELECT doc_id, n_chars, sym_ppm, digit_ppm,
+         CASE WHEN n_chars = 0 THEN 'empty'
+              WHEN sym_ppm >= 20000 THEN 'code'
+              WHEN digit_ppm >= 50000 THEN 'numeric'
+              ELSE 'prose' END AS content_class
+         FROM (SELECT doc_id, length(text)::BIGINT AS n_chars,
+                 CASE WHEN length(text) = 0 THEN 0
+                      ELSE CAST(round((length(text)
+                        - length(translate(text, '{}();=<>[]', '')))::DOUBLE
+                        * 1e6 / length(text)) AS BIGINT) END AS sym_ppm,
+                 CASE WHEN length(text) = 0 THEN 0
+                      ELSE CAST(round((length(text)
+                        - length(translate(text, '0123456789', '')))::DOUBLE
+                        * 1e6 / length(text)) AS BIGINT) END AS digit_ppm
+               FROM documents) t""",
+    // q252: same tokenizer, same [.!?]+ / [aeiouy]+ run counts, the
+    // vowel-less word floor via the same list filter.
+    "q252_readability" ->
+      """WITH t AS (SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks
+           FROM documents),
+         m AS (SELECT doc_id,
+                 len(toks)::BIGINT AS n_words,
+                 greatest(len(regexp_extract_all(text, '[.!?]+'))::BIGINT,
+                   1) AS n_sentences,
+                 (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  + len(list_filter(toks, w ->
+                      NOT regexp_matches(lower(w), '[aeiouy]'))))::BIGINT
+                   AS n_syllables
+               FROM t)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(round((206.835
+             - 1.015 * (n_words::DOUBLE / n_sentences)
+             - 84.6 * (n_syllables::DOUBLE / n_words)) * 1e6) AS BIGINT)
+             AS flesch_micro
+         FROM m WHERE n_words > 0""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

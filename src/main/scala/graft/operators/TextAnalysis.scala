@@ -135,6 +135,92 @@ object TextAnalysis {
     )
   }
 
+  /** q251: content-type tagging — per doc, the structural-symbol and
+    * digit densities (ppm) and a deterministic three-way class:
+    * `code` when symbol density ≥ 2%, else `numeric` when digit
+    * density ≥ 5%, else `prose` (`empty` for zero-char docs). The
+    * cheap domain tagger mix planning reads before any trained
+    * classifier exists — code-vs-prose ratio is a first-order knob
+    * in pretraining mixes, and the ppm columns let downstream sweeps
+    * re-threshold without a rescan.
+    *
+    * Counting is translate()-based (no regex): chars removed when
+    * deleting the class alphabet. One narrow map, no shuffle.
+    */
+  def contentTypeTags(spark: SparkSession, dir: String): DataFrame = {
+    val chars = length(col("text")).cast("long")
+    def density(alphabet: String): Column =
+      (chars - length(translate(col("text"), alphabet, "")).cast("long"))
+        .cast("double") * 1e6 / chars
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        chars.as("n_chars"),
+        when(chars === 0, 0L)
+          .otherwise(round(density("{}();=<>[]")).cast("long"))
+          .as("sym_ppm"),
+        when(chars === 0, 0L)
+          .otherwise(round(density("0123456789")).cast("long"))
+          .as("digit_ppm")
+      )
+      .withColumn(
+        "content_class",
+        when(col("n_chars") === 0, "empty")
+          .when(col("sym_ppm") >= 20000L, "code")
+          .when(col("digit_ppm") >= 50000L, "numeric")
+          .otherwise("prose")
+      )
+  }
+
+  /** q252: Flesch reading-ease per document — 206.835 − 1.015·(W/S)
+    * − 84.6·(Y/W) with W = tokens, S = sentence-ender runs
+    * ([.!?]+, floored at 1), Y = vowel-group syllables
+    * ([aeiouy]+ runs, each vowel-less word floored at 1 syllable).
+    * The classic readability gate (textbook-vs-spam separation) —
+    * a quality signal orthogonal to q15's stopword/length blend and
+    * q127's perplexity; empty docs are excluded (W = 0 undefined).
+    *
+    * All three counts come from one scan (two regexp_extract_all
+    * passes + one token filter); the score is exact-integer ratios —
+    * no distributed float summation anywhere.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val w = size(toks).cast("long")
+    val s = greatest(
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L)
+    )
+    val vowelGroups =
+      size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+        .cast("long")
+    val novowel = size(
+      filter(toks, t => !lower(t).rlike("[aeiouy]"))
+    ).cast("long")
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        w.as("n_words"),
+        s.as("n_sentences"),
+        (vowelGroups + novowel).as("n_syllables")
+      )
+      .filter(col("n_words") > 0)
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_sentences"),
+        col("n_syllables"),
+        round(
+          (lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+            * 1e6
+        ).cast("long").as("flesch_micro")
+      )
+  }
+
   /** q16: heuristic language ID vs the labeled lang column. */
   def languageId(spark: SparkSession, dir: String): DataFrame =
     Tables
@@ -739,6 +825,46 @@ object TextAnalysis {
       .withColumn(
         "keep",
         col("dup_token_frac") <= 0.7 && col("dup_bigram_frac") <= 0.5
+      )
+  }
+
+  /** q250: padding-waste curve of the UNPACKED loader across context
+    * lengths — for each candidate window length L ∈ {512, 1024,
+    * 2048, 4096}, chunk every doc alone into ⌈n/L⌉ windows and pad
+    * the last: waste(L) = Σ(⌈n/L⌉·L − n). The context-length
+    * decision sheet, and the quantified argument FOR q53's packed
+    * layout (whose waste is only the per-language final partial
+    * window): read waste_ppm here against q202's packed audit.
+    *
+    * Scale: one tokenize scan × 4 literal lengths (an exploded
+    * constant array, no extra pass), one 4-row agg. Exact integer
+    * arithmetic throughout.
+    */
+  def paddingWasteCurve(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Seq(512L, 1024L, 2048L, 4096L)
+    Tables
+      .documents(spark, dir)
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("n"), explode(lit(lens.toArray)).as("len"))
+      .withColumn("n_windows", ceil(col("n").cast("double") / col("len")).cast("long"))
+      .groupBy(col("len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("n_windows")).as("n_windows"),
+        sum(col("n_windows") * col("len") - col("n")).as("padded_tokens")
+      )
+      .select(
+        col("len"),
+        col("n_docs"),
+        col("total_tokens"),
+        col("n_windows"),
+        col("padded_tokens"),
+        round(
+          col("padded_tokens").cast("double")
+            / (col("n_windows") * col("len")) * 1e6
+        ).cast("long").as("waste_ppm")
       )
   }
 
