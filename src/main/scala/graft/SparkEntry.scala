@@ -715,6 +715,12 @@ object SparkEntry {
     "q251_content_type" -> (TextAnalysis.contentTypeTags _),
     // Flesch reading-ease per document from one scan.
     "q252_readability" -> (TextAnalysis.readability _),
+    // Novelty-decay curve over arrival buckets (first-seen shingles).
+    "q253_novelty_decay" -> ((s, d) => Dedup.noveltyDecay(s, d)),
+    // Hourly burst z-scores vs trailing 24 observed buckets.
+    "q254_burst_flags" -> (Events.burstFlags _),
+    // Pairwise source JS divergence over the top-1000 terms.
+    "q255_source_style" -> ((s, d) => TextAnalysis.sourceStyleMatrix(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6229,6 +6235,76 @@ object SparkEntry {
              - 84.6 * (n_syllables::DOUBLE / n_words)) * 1e6) AS BIGINT)
              AS flesch_micro
          FROM m WHERE n_words > 0""",
+    // q253: the shared shingle CTE; buckets via the same floor
+    // division; exact-integer novelty arithmetic.
+    "q253_novelty_decay" ->
+      s"""WITH $shinglesCte,
+         p AS (SELECT DISTINCT doc_id // 50 AS b, s AS sh
+               FROM (SELECT doc_id, unnest(sh) AS s FROM d) x),
+         f AS (SELECT sh, min(b) AS first_b FROM p GROUP BY 1)
+         SELECT b, count(*)::BIGINT AS n_distinct,
+           sum(CASE WHEN first_b = b THEN 1 ELSE 0 END)::BIGINT AS n_new,
+           CAST(round(sum(CASE WHEN first_b = b THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 1e6) AS BIGINT) AS novelty_ppm
+         FROM p JOIN f USING (sh) GROUP BY 1""",
+    // q254: identical trailing-24-rows frame; mean/variance from the
+    // same integer window sums; NULL guards via the same k/s2 nulls.
+    "q254_burst_flags" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hour, n,
+                 count(*) OVER tw AS k, sum(n) OVER tw AS s,
+                 sum(n * n) OVER tw AS s2
+               FROM h WINDOW tw AS (PARTITION BY event_type
+                 ORDER BY hour ROWS BETWEEN 24 PRECEDING
+                 AND 1 PRECEDING))
+         SELECT event_type, epoch_us(hour)::BIGINT AS hour_us, n,
+           k::BIGINT AS n_prev,
+           CASE WHEN k >= 12
+                 AND (s2::DOUBLE - s::DOUBLE * s / k) / k > 0
+                THEN CAST(round((n - s::DOUBLE / k)
+                  / sqrt((s2::DOUBLE - s::DOUBLE * s / k) / k) * 1e6)
+                  AS BIGINT) END AS z_micro,
+           coalesce(k >= 12
+             AND (s2::DOUBLE - s::DOUBLE * s / k) / k > 0
+             AND (n - s::DOUBLE / k)
+               / sqrt((s2::DOUBLE - s::DOUBLE * s / k) / k) > 3.0,
+             false) AS burst
+         FROM w""",
+    // q255: same top-1000 vocabulary, dense grid with zero counts,
+    // add-one smoothing and the identical JS term order.
+    "q255_source_style" ->
+      """WITH tk AS (SELECT source,
+             unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+')
+                    END) AS term
+           FROM documents),
+         vc AS (SELECT term FROM (SELECT term, count(*) AS cnt
+                 FROM tk GROUP BY 1
+                 ORDER BY cnt DESC, term ASC LIMIT 1000)),
+         vs AS (SELECT count(*)::BIGINT AS v FROM vc),
+         cnts AS (SELECT source, term, count(*)::BIGINT AS c
+                  FROM tk JOIN vc USING (term) GROUP BY 1, 2),
+         srcs AS (SELECT DISTINCT source FROM tk),
+         dense AS (SELECT s.source, v.term, coalesce(c.c, 0) AS c
+                   FROM srcs s CROSS JOIN vc v
+                   LEFT JOIN cnts c
+                     ON c.source = s.source AND c.term = v.term),
+         tot AS (SELECT source, sum(c)::BIGINT AS tot FROM dense
+                 GROUP BY 1),
+         pr AS (SELECT d.source, d.term,
+                  (d.c + 1)::DOUBLE / (t.tot + vs.v) AS p
+                FROM dense d JOIN tot t USING (source), vs),
+         pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     a.p AS p, b.p AS q
+                   FROM pr a JOIN pr b
+                     ON a.term = b.term AND a.source < b.source)
+         SELECT source_a, source_b,
+           CAST(round(sum(p / 2 * ln(p / ((p + q) / 2))
+             + q / 2 * ln(q / ((p + q) / 2))) * 1e6) AS BIGINT)
+             AS js_micro
+         FROM pairs GROUP BY 1, 2""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

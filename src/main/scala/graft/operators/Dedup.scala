@@ -1410,6 +1410,49 @@ object Dedup {
       )
   }
 
+  /** q253: novelty-decay curve over arrival order — documents grouped
+    * into arrival buckets of `bucketSize` by doc_id (the corpus's
+    * ingest proxy, the q225 convention); per bucket: distinct
+    * 3-shingles present, how many appear for the FIRST time in that
+    * bucket, and the novelty fraction. The diminishing-returns curve
+    * of continued scraping: when novelty_ppm flattens near zero, new
+    * acquisition is re-buying the same corpus (q219 gives the
+    * per-source version of this; this is the time series).
+    *
+    * Scale: one shingle inversion (distinct (bucket, shingle) pairs),
+    * one min-agg per shingle, one shingle-keyed co-partitioned join
+    * back, a |buckets|-row rollup. Exact integers throughout.
+    */
+  def noveltyDecay(
+      spark: SparkSession,
+      dir: String,
+      bucketSize: Int = 50
+  ): DataFrame = {
+    val pairs = Tables
+      .documents(spark, dir)
+      .select(
+        (col("doc_id") / lit(bucketSize)).cast("long").as("b"),
+        explode(shingles(col("text"), 3)).as("sh")
+      )
+      .distinct()
+    val firstB = pairs.groupBy(col("sh")).agg(min(col("b")).as("first_b"))
+    pairs
+      .join(firstB, "sh")
+      .groupBy(col("b"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("first_b") === col("b"), 1L).otherwise(0L)).as("n_new")
+      )
+      .select(
+        col("b"),
+        col("n_distinct"),
+        col("n_new"),
+        round(col("n_new").cast("double") / col("n_distinct") * 1e6)
+          .cast("long")
+          .as("novelty_ppm")
+      )
+  }
+
   /** q143: asymmetric shingle containment C(A,B) = |A∩B| / |A| — the
     * sub-document duplication detector Jaccard misses. A short doc
     * fully embedded in a long one has low Jaccard (the union is

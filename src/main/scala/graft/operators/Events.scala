@@ -437,6 +437,49 @@ object Events {
       )
   }
 
+  /** q254: hourly burst detection — per event type, the hourly count
+    * z-scored against the trailing 24 OBSERVED hourly buckets
+    * (exclusive), flagged as a burst at z > 3 once ≥ 12 trailing
+    * buckets exist. The rate-anomaly monitor on top of q79's rolling
+    * counts: ingestion spikes, bot storms, and pipeline stalls all
+    * show up here first. Trailing mean/variance are derived from
+    * integer window sums (Σn, Σn²), so the statistic is drift-free:
+    * the only floats are divisions of exact integers.
+    *
+    * Scale: one (type, hour) partial agg (map-side combined), then
+    * bounded windows over per-type hourly series — frame size =
+    * hours observed, never event rows.
+    */
+  def burstFlags(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("hour"))
+      .rowsBetween(-24, -1)
+    val mean = col("s").cast("double") / col("k")
+    val varr =
+      (col("s2").cast("double") - col("s").cast("double") * col("s") / col("k")) /
+        col("k")
+    val z = (col("n") - mean) / sqrt(varr)
+    hourly
+      .withColumn("k", count(lit(1)).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .select(
+        col("event_type"),
+        unix_micros(col("hour")).as("hour_us"),
+        col("n"),
+        col("k").as("n_prev"),
+        when(col("k") >= 12 && varr > 0, round(z * 1e6).cast("long"))
+          .as("z_micro"),
+        coalesce(col("k") >= 12 && varr > 0 && z > 3.0, lit(false))
+          .as("burst")
+      )
+  }
+
   /** q237: exponentially-decayed event counts — per event type and
     * half-life (1 h, 6 h, 24 h), the decay-weighted count
     * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest

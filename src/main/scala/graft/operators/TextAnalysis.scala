@@ -221,6 +221,78 @@ object TextAnalysis {
       )
   }
 
+  /** q255: pairwise source style distance — Jensen-Shannon divergence
+    * between every source pair's add-one-smoothed unigram
+    * distributions over the corpus's top-1000 terms (by global count,
+    * term-asc tiebreak). The full source×source style matrix that
+    * q168 (per-source-vs-global KL) projects to one column: JS is
+    * symmetric and bounded by ln 2, so the matrix feeds clustering
+    * of sources and flags near-identical feeds (candidate merges)
+    * and outlier feeds (mix-planning risk) directly.
+    *
+    * Scale: the only corpus-scale pass is the (source, term) count;
+    * the dense |sources|×1000 profile grid, the pair join, and the
+    * |pairs|-row rollup are all bounded by the fixed vocabulary —
+    * never by corpus size.
+    */
+  def sourceStyleMatrix(
+      spark: SparkSession,
+      dir: String,
+      vocabSize: Int = 1000
+  ): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val vocab = broadcast(
+      toks
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+        .limit(vocabSize)
+        .select(col("term"))
+    )
+    val counts = toks
+      .join(vocab, "term")
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val sources = toks.select(col("source")).distinct()
+    val vSize = broadcast(vocab.agg(count(lit(1)).as("v")))
+    // dense grid: every (source, vocab term), absent counts = 0
+    val dense = sources
+      .crossJoin(vocab)
+      .join(counts, Seq("source", "term"), "left_outer")
+      .select(col("source"), col("term"), coalesce(col("c"), lit(0L)).as("c"))
+    val totals = dense.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val probs = dense
+      .join(broadcast(totals), "source")
+      .crossJoin(vSize)
+      .select(
+        col("source"),
+        col("term"),
+        ((col("c") + 1).cast("double") / (col("tot") + col("v"))).as("p")
+      )
+    val pairs = probs
+      .as("a")
+      .join(probs.as("b"), col("a.term") === col("b.term")
+        && col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        col("a.p").as("p"),
+        col("b.p").as("q")
+      )
+    val m = (col("p") + col("q")) / 2
+    pairs
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        round(
+          sum(
+            col("p") / 2 * log(col("p") / m) + col("q") / 2 * log(col("q") / m)
+          ) * 1e6
+        ).cast("long").as("js_micro")
+      )
+  }
+
   /** q16: heuristic language ID vs the labeled lang column. */
   def languageId(spark: SparkSession, dir: String): DataFrame =
     Tables
