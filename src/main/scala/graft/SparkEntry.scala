@@ -721,6 +721,12 @@ object SparkEntry {
     "q254_burst_flags" -> (Events.burstFlags _),
     // Pairwise source JS divergence over the top-1000 terms.
     "q255_source_style" -> ((s, d) => TextAnalysis.sourceStyleMatrix(s, d)),
+    // Top repeated 5-token prefixes/suffixes per source (boilerplate).
+    "q256_boilerplate_edges" -> (TextAnalysis.boilerplateEdges _),
+    // Per-user event-type entropy profile.
+    "q257_user_profile" -> (Events.userBehaviorProfile _),
+    // Token-weighted quality deciles via the two-level cumsum.
+    "q258_token_deciles" -> ((s, d) => Sampling.tokenWeightedQualityDeciles(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6305,6 +6311,69 @@ object SparkEntry {
              + q / 2 * ln(q / ((p + q) / 2))) * 1e6) AS BIGINT)
              AS js_micro
          FROM pairs GROUP BY 1, 2""",
+    // q256: same 2-token edges (1-based inclusive slices), same
+    // count floor and (n_docs DESC, snippet ASC) top-10 rank.
+    "q256_boilerplate_edges" ->
+      """WITH t AS (SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks
+           FROM documents),
+         e AS (SELECT source, 'prefix' AS kind,
+                 array_to_string(toks[1:2], ' ') AS snippet
+               FROM t WHERE len(toks) >= 2
+               UNION ALL
+               SELECT source, 'suffix' AS kind,
+                 array_to_string(toks[len(toks)-1:len(toks)], ' ')
+                   AS snippet
+               FROM t WHERE len(toks) >= 2),
+         c AS (SELECT source, kind, snippet, count(*)::BIGINT AS n_docs
+               FROM e GROUP BY 1, 2, 3),
+         r AS (SELECT source, kind, snippet, n_docs,
+                 CAST(row_number() OVER (PARTITION BY source, kind
+                   ORDER BY n_docs DESC, snippet ASC) AS INTEGER) AS rk
+               FROM c WHERE n_docs >= 2)
+         SELECT source, kind, snippet, n_docs, rk
+         FROM r WHERE rk <= 10""",
+    // q257: per-(user, type) counts, user totals, the same entropy
+    // term order (sum of -p·ln p over the type rows).
+    "q257_user_profile" ->
+      """WITH ut AS (SELECT user_id, event_type, count(*)::BIGINT AS c
+               FROM events GROUP BY 1, 2),
+         w AS (SELECT user_id, c,
+                 sum(c) OVER (PARTITION BY user_id)::BIGINT AS tot
+               FROM ut)
+         SELECT user_id, max(tot)::BIGINT AS n_events,
+           count(*)::BIGINT AS n_types,
+           CAST(round(sum(-(c::DOUBLE / tot) * ln(c::DOUBLE / tot))
+             * 1e6) AS BIGINT) AS entropy_micro
+         FROM w GROUP BY 1""",
+    // q258: one window cumsum in the oracle stands in for the
+    // engine's two-level form (same order keys, same totals); the
+    // decile probe is the identical integer boundary test.
+    "q258_token_deciles" -> {
+      s"""WITH $qualityCte,
+         d0 AS (SELECT doc_id,
+                  (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text),
+                          '\\s+'))
+                   END)::BIGINT AS n
+                FROM documents),
+         b AS (SELECT d0.doc_id, qq.q, n
+               FROM d0 JOIN qq USING (doc_id) WHERE n > 0),
+         c AS (SELECT doc_id, q, n,
+                 sum(n) OVER (ORDER BY q, doc_id)::BIGINT AS cum
+               FROM b),
+         t AS (SELECT sum(n)::BIGINT AS tot FROM b),
+         x AS (SELECT dec.d, c.cum, c.doc_id, c.q
+               FROM c, t,
+                 (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d) dec
+               WHERE c.cum * 10 >= dec.d * t.tot),
+         m AS (SELECT d, min(cum) AS mcum FROM x GROUP BY 1)
+         SELECT x.d::BIGINT AS decile, x.cum AS cum_tokens, x.doc_id,
+           CAST(round(x.q * 1e6) AS BIGINT) AS q_micro
+         FROM x JOIN m ON x.d = m.d AND x.cum = m.mcum"""
+    },
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -437,6 +437,35 @@ object Events {
       )
   }
 
+  /** q257: per-user behavioral profile — event count, distinct event
+    * types, and the Shannon entropy of the user's event-type
+    * distribution (micro-units). Entropy 0 = single-behavior users
+    * (bots, scrapers, dead accounts); high entropy = engaged mixed
+    * behavior — the per-entity diversity screen that q83's funnel
+    * and q95's retention read cohort-level. All counts are exact
+    * integers; the entropy terms are divisions of exact integers.
+    *
+    * Scale: one (user, type) partial agg, then a user-keyed rollup —
+    * both map-side combined, state ∝ |users|·|types|.
+    */
+  def userBehaviorProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "tot",
+        sum(col("c")).over(Window.partitionBy(col("user_id")))
+      )
+    val p = col("c").cast("double") / col("tot")
+    ut.groupBy(col("user_id"))
+      .agg(
+        max(col("tot")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(sum(-p * log(p)) * 1e6).cast("long").as("entropy_micro")
+      )
+  }
+
   /** q254: hourly burst detection — per event type, the hourly count
     * z-scored against the trailing 24 OBSERVED hourly buckets
     * (exclusive), flagged as a burst at z > 3 once ≥ 12 trailing

@@ -1316,6 +1316,90 @@ object Sampling {
       )
   }
 
+  /** q258: token-weighted quality deciles — the quality level of the
+    * d/10-th TOKEN (not document): docs ordered by (quality, doc_id),
+    * token mass cumulated, and for each decile d the first document
+    * whose cumulative token count reaches d·total/10. Doc-level
+    * deciles (q50) say "half the DOCS are below q₀.₅"; this says
+    * "half the TOKENS are" — the two disagree exactly when q247's
+    * Gini is high, and token-weighted is the one a training-mix
+    * budget actually consumes.
+    *
+    * Scale: the q164 two-level cumsum topology (range partition +
+    * per-partition window + P-row offsets frame — no global window
+    * over data); the decile probe is a 9-literal explode with
+    * map-side partial mins, 9 rows shuffled per partition. The
+    * boundary test is exact integer arithmetic (cum·10 ≥ d·total).
+    */
+  def tokenWeightedQualityDeciles(
+      spark: SparkSession,
+      dir: String,
+      numParts: Int = 8
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(col("doc_id"), col("quality")),
+        "doc_id"
+      )
+      .select(
+        col("doc_id"),
+        round(col("quality"), 6).as("q"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("n")
+      )
+      .filter(col("n") > 0)
+    val parts = scored
+      .repartitionByRange(numParts, col("q").asc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window
+      .partitionBy(col("pid"))
+      .orderBy(col("q").asc, col("doc_id").asc)
+    val withCum = parts
+      .withColumn("cum_in", sum(col("n")).over(wIn))
+      .cacheTracked()
+    val offsets = withCum
+      .groupBy(col("pid"))
+      .agg(max(col("cum_in")).as("ptot"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum(col("ptot")).over(
+            Window
+              .orderBy(col("pid").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select(col("pid"), col("off"))
+    val cum = withCum
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("cum_in") + col("off"))
+    val tot = broadcast(scored.agg(sum(col("n")).as("tot")))
+    val probed = cum
+      .crossJoin(tot)
+      .select(
+        explode(lit((1 to 9).toArray)).as("d"),
+        col("cum"),
+        col("doc_id"),
+        col("q"),
+        col("tot")
+      )
+      .filter(col("cum") * 10 >= col("d") * col("tot"))
+    probed
+      .groupBy(col("d"))
+      .agg(min(struct(col("cum"), col("doc_id"), col("q"))).as("m"))
+      .select(
+        col("d").cast("long").as("decile"),
+        col("m.cum").as("cum_tokens"),
+        col("m.doc_id").as("doc_id"),
+        round(col("m.q") * 1e6).cast("long").as("q_micro")
+      )
+  }
+
   /** q245: source-interleaved training order — documents shuffled
     * within their source by the portable md5 key, then globally
     * ordered by (within-source rank, source): a deterministic

@@ -293,6 +293,56 @@ object TextAnalysis {
       )
   }
 
+  /** q256: boilerplate edge mining — per source, the top-10 repeated
+    * 2-token document PREFIXES and SUFFIXES (kind column), kept when
+    * ≥ 2 docs share them (the corpus's openings are near-unique, so
+    * short edges with a low floor are the demonstrable setting; the
+    * edge length and floor are the obvious production knobs). Repeated edges are the signature of
+    * template boilerplate (headers, footers, licence stubs, nav
+    * crumbs) — the strings a cleaning pass should strip BEFORE
+    * dedup, because boilerplate inflates every similarity metric
+    * (q21/q22 scores, q140 fingerprints) without being content.
+    * Ranked by (doc count DESC, snippet ASC) for determinism.
+    *
+    * Scale: one tokenize scan emitting two edge snippets per doc,
+    * one (source, kind, snippet) count agg (map-side combined), a
+    * bounded per-(source, kind) top-10 window.
+    */
+  def boilerplateEdges(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val edges = Tables
+      .documents(spark, dir)
+      .select(col("source"), t.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("source"),
+        explode(
+          array(
+            struct(
+              lit("prefix").as("kind"),
+              array_join(slice(col("toks"), 1, 2), " ").as("snippet")
+            ),
+            struct(
+              lit("suffix").as("kind"),
+              array_join(slice(col("toks"), -2, 2), " ").as("snippet")
+            )
+          )
+        ).as("e")
+      )
+      .select(col("source"), col("e.kind").as("kind"), col("e.snippet").as("snippet"))
+    val w = Window
+      .partitionBy(col("source"), col("kind"))
+      .orderBy(col("n_docs").desc, col("snippet").asc)
+    edges
+      .groupBy(col("source"), col("kind"), col("snippet"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("kind"), col("snippet"), col("n_docs"),
+        col("rk"))
+  }
+
   /** q16: heuristic language ID vs the labeled lang column. */
   def languageId(spark: SparkSession, dir: String): DataFrame =
     Tables
