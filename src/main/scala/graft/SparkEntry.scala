@@ -727,6 +727,12 @@ object SparkEntry {
     "q257_user_profile" -> (Events.userBehaviorProfile _),
     // Token-weighted quality deciles via the two-level cumsum.
     "q258_token_deciles" -> ((s, d) => Sampling.tokenWeightedQualityDeciles(s, d)),
+    // Per-source quality drift: bucket means + OLS slope per source.
+    "q259_quality_drift" -> ((s, d) => Sampling.sourceQualityDrift(s, d)),
+    // Embedding integrity: zero/NaN/dup vectors + norm envelope.
+    "q260_embedding_integrity" -> (Similarity.embeddingIntegrity _),
+    // Inter-arrival gap moments + CV² burstiness per event type.
+    "q261_interarrival" -> (Events.interArrivalStats _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6374,6 +6380,78 @@ object SparkEntry {
            CAST(round(x.q * 1e6) AS BIGINT) AS q_micro
          FROM x JOIN m ON x.d = m.d AND x.cum = m.mcum"""
     },
+    // q259: same bucket floor-div, rounded bucket means, identical
+    // OLS term order over exact integer bucket indices.
+    "q259_quality_drift" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source, d.doc_id // 50 AS b, qq.q
+               FROM documents d JOIN qq USING (doc_id)),
+         bm AS (SELECT source, b,
+                  CAST(round(avg(q) * 1e6) AS BIGINT) AS mqm
+                FROM s GROUP BY 1, 2),
+         ag AS (SELECT source, count(*)::BIGINT AS n,
+                  sum(b)::BIGINT AS sx, sum(mqm)::BIGINT AS sy,
+                  sum(b * b)::BIGINT AS sx2, sum(b * mqm)::BIGINT AS sxy
+                FROM bm GROUP BY 1)
+         SELECT source, n AS n_buckets,
+           CAST(round(sy::DOUBLE / n) AS BIGINT) AS mean_q_micro,
+           CASE WHEN n > 1 THEN
+             CAST(round((n::DOUBLE * sxy - sx * sy)
+               / (n::DOUBLE * sx2 - sx * sx)) AS BIGINT)
+           END AS slope_micro_per_bucket
+         FROM ag""",
+    // q260: the same left-to-right square fold for norms, isnan/isinf
+    // element filters, and the value-grouped duplicate count.
+    "q260_embedding_integrity" ->
+      """WITH pr AS (SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE))) AS nrm,
+             list_sum(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE)) = 0 AS is_zero,
+             len(list_filter(embedding,
+               x -> isnan(x) OR isinf(x))) > 0 AS nonfinite
+           FROM embeddings),
+         dp AS (SELECT label,
+                  sum(CASE WHEN n_copies >= 2 THEN n_copies ELSE 0
+                      END)::BIGINT AS n_dup_vectors
+                FROM (SELECT label, embedding,
+                        count(*)::BIGINT AS n_copies
+                      FROM embeddings GROUP BY 1, 2) g
+                GROUP BY 1),
+         ag AS (SELECT label, count(*)::BIGINT AS n_vecs,
+                  sum(CASE WHEN is_zero THEN 1 ELSE 0 END)::BIGINT
+                    AS n_zero_norm,
+                  sum(CASE WHEN nonfinite THEN 1 ELSE 0 END)::BIGINT
+                    AS n_nonfinite,
+                  CAST(round(min(nrm) * 1e6) AS BIGINT)
+                    AS min_norm_micro,
+                  CAST(round(sum(nrm) / count(*) * 1e6) AS BIGINT)
+                    AS mean_norm_micro,
+                  CAST(round(max(nrm) * 1e6) AS BIGINT)
+                    AS max_norm_micro
+                FROM pr GROUP BY 1)
+         SELECT ag.label, n_vecs, n_zero_norm, n_nonfinite,
+           dp.n_dup_vectors, min_norm_micro, mean_norm_micro,
+           max_norm_micro
+         FROM ag JOIN dp USING (label)""",
+    // q261: same (us, event_id) lag order; gap moments as integer
+    // sums (squares cast per-term to double); identical CV² order.
+    "q261_interarrival" ->
+      """WITH e AS (SELECT event_id, event_type,
+                 epoch_us(ts)::BIGINT AS us FROM events),
+         g AS (SELECT event_type,
+                 us - lag(us) OVER (PARTITION BY event_type
+                   ORDER BY us, event_id) AS gap
+               FROM e),
+         f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+         SELECT event_type, count(*)::BIGINT AS n_gaps,
+           round(sum(gap)::DOUBLE / count(*) / 1e6, 3) AS mean_gap_s,
+           CAST(round(((sum(gap::DOUBLE * gap)
+               - sum(gap)::DOUBLE * sum(gap) / count(*)) / count(*))
+             / ((sum(gap)::DOUBLE / count(*))
+                * (sum(gap)::DOUBLE / count(*))) * 1e6) AS BIGINT)
+             AS cv2_micro
+         FROM f GROUP BY 1""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -437,6 +437,46 @@ object Events {
       )
   }
 
+  /** q261: inter-arrival burstiness per event type — gaps between
+    * consecutive events (microseconds, event-time order with
+    * event_id tiebreak), summarized as mean gap and the squared
+    * coefficient of variation CV² = Var(gap)/E[gap]² (micro-units).
+    * CV² ≈ 1 is Poisson arrival; CV² ≫ 1 is bursty (retry storms,
+    * batch replays), CV² ≪ 1 is metronome traffic (synthetic bots,
+    * cron) — the arrival-process audit behind q254's rate z-scores.
+    * Gap moments are exact integer sums (µs gaps), so the statistic
+    * is drift-free up to the final divisions.
+    *
+    * Scale: one per-type lag window (bounded by the per-type event
+    * count; at 100 TB, per (type, day) shards), one |types|-row agg.
+    */
+  def interArrivalStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gaps = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val n = col("n").cast("double")
+    val mean = col("s").cast("double") / col("n")
+    val varr = (col("s2").cast("double") - col("s").cast("double") * col("s") / col("n")) / col("n")
+    gaps
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("gap")).as("s"),
+        sum(col("gap").cast("double") * col("gap")).as("s2")
+      )
+      .select(
+        col("event_type"),
+        col("n").as("n_gaps"),
+        round(mean / 1e6, 3).as("mean_gap_s"),
+        round(varr / (mean * mean) * 1e6).cast("long").as("cv2_micro")
+      )
+  }
+
   /** q257: per-user behavioral profile — event count, distinct event
     * types, and the Shannon entropy of the user's event-type
     * distribution (micro-units). Entropy 0 = single-behavior users

@@ -1400,6 +1400,67 @@ object Sampling {
       )
   }
 
+  /** q259: per-source quality drift — mean quality per (source,
+    * arrival bucket) plus an OLS slope of bucket-mean quality over
+    * bucket index per source (micro-units/bucket): the data-rot
+    * monitor. A negative slope says the source's recent batches are
+    * worse than its history — exactly what a static reputation score
+    * (q211) averages away, and the signal that should trigger a
+    * re-crawl review before the next mix is cut. Buckets are
+    * doc_id/50 (the q253 arrival proxy).
+    *
+    * Determinism: bucket means are integerized to micro-units at the
+    * (source, bucket) agg (the q164 convention), so every OLS term —
+    * Σb, Σmq, Σb·mq, Σb² — is an EXACT integer and the slope/mean
+    * are single divisions of exact integers: no summation-order
+    * sensitivity exists anywhere.
+    *
+    * Scale: one scored scan → (source, bucket) partial agg →
+    * |sources|-row OLS rollup. Nothing beyond the q15 pass touches
+    * corpus rows.
+    */
+  def sourceQualityDrift(
+      spark: SparkSession,
+      dir: String,
+      bucketSize: Int = 50
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("doc_id") / lit(bucketSize)).cast("long").as("b")
+      )
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(col("doc_id"), col("quality")),
+        "doc_id"
+      )
+    val bucketMeans = scored
+      .groupBy(col("source"), col("b"))
+      .agg(round(avg(col("quality")) * 1e6).cast("long").as("mqm"))
+    val n = col("n").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sx2") - col("sx") * col("sx"))
+    bucketMeans
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("b")).as("sx"),
+        sum(col("mqm")).as("sy"),
+        sum(col("b") * col("b")).as("sx2"),
+        sum(col("b") * col("mqm")).as("sxy")
+      )
+      .select(
+        col("source"),
+        col("n").as("n_buckets"),
+        round(col("sy").cast("double") / col("n")).cast("long")
+          .as("mean_q_micro"),
+        when(col("n") > 1, round(slope).cast("long"))
+          .as("slope_micro_per_bucket")
+      )
+  }
+
   /** q245: source-interleaved training order — documents shuffled
     * within their source by the portable md5 key, then globally
     * ordered by (within-source rank, source): a deterministic

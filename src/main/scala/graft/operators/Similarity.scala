@@ -193,6 +193,60 @@ object Similarity {
       )
   }
 
+  /** q260: embedding integrity audit — per label: vector count,
+    * zero-norm vectors, non-finite coordinates (NaN/Inf), duplicate
+    * exact vectors, and the norm envelope (min/mean/max, micro).
+    * The pre-flight check before ANY index build or eval over the
+    * embedding column: a failed featurizer shows up as zero vectors,
+    * NaNs, or one vector repeated across many rows — all of which
+    * silently corrupt IVF lists (q25/q183), cosine ranks (q24/q240),
+    * and whitening stats (q156) without throwing anywhere.
+    *
+    * Scale: one corpus scan computing per-row scalars, one label
+    * rollup; the duplicate count is a groupBy on the vector value
+    * (map-side combined) — no pairwise work, no hashing round-trip.
+    */
+  def embeddingIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val sq = graft.functions.VectorMath.vecDot(col("embedding"), col("embedding"))
+    val perRow = e.select(
+      col("label"),
+      col("embedding"),
+      sqrt(sq).as("nrm"),
+      (sq === 0.0).as("is_zero"),
+      exists(col("embedding"), x => isnan(x) || abs(x) === lit(Float.PositiveInfinity))
+        .as("nonfinite")
+    )
+    val dups = e
+      .groupBy(col("label"), col("embedding"))
+      .agg(count(lit(1)).as("n_copies"))
+      .groupBy(col("label"))
+      .agg(sum(when(col("n_copies") >= 2, col("n_copies")).otherwise(0L))
+        .as("n_dup_vectors"))
+    perRow
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
+        round(min(col("nrm")) * 1e6).cast("long").as("min_norm_micro"),
+        round(sum(col("nrm")) / count(lit(1)) * 1e6).cast("long")
+          .as("mean_norm_micro"),
+        round(max(col("nrm")) * 1e6).cast("long").as("max_norm_micro")
+      )
+      .join(dups, "label")
+      .select(
+        col("label"),
+        col("n_vecs"),
+        col("n_zero_norm"),
+        col("n_nonfinite"),
+        col("n_dup_vectors"),
+        col("min_norm_micro"),
+        col("mean_norm_micro"),
+        col("max_norm_micro")
+      )
+  }
+
   /** q241: top principal component by fixed-round power iteration —
     * covariance-free distributed PCA-1: v ← Σ_i x̃_i (x̃_i·v) / n,
     * renormalized each round, starting from the deterministic
