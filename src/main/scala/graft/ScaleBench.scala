@@ -894,6 +894,82 @@ object ScaleBench {
     require(msMaxSz <= 32,
       s"multi-signal closure runaway cluster of $msMaxSz")
 
+    // --- power-iteration PC1 at ~100k vectors (the q241 topology) -----
+    // covariance-free: each round is (1) s_i = x̃_i·v with v broadcast,
+    // (2) z = Σ s_i·x̃_i as a dim-keyed partial agg — 6.4M cells/round,
+    // never a D×D matrix. Validation: the final iterate is unit-norm
+    // and its Rayleigh quotient is positive.
+    val tPc = System.nanoTime()
+    val pcCells = vecs
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("x", col("x").cast("double"))
+    val pcMu = pcCells.groupBy(col("dim")).agg(round(avg(col("x")), 6).as("m"))
+    val pcC = pcCells
+      .join(broadcast(pcMu), "dim")
+      .select(col("vec_id"), col("dim"), (col("x") - col("m")).as("xc"))
+      .cache()
+    val pcNF = broadcast(vecs.agg(count(lit(1)).as("n")))
+    var pcV = pcMu
+      .select(col("dim"), round(lit(0.125), 6).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val s = pcC
+        .join(broadcast(pcV), "dim")
+        .groupBy(col("vec_id"))
+        .agg(round(sum(col("xc") * col("v")), 6).as("s"))
+      val z = pcC
+        .join(s, "vec_id")
+        .groupBy(col("dim"))
+        .agg(sum(col("s") * col("xc")).as("zs"))
+        .crossJoin(pcNF)
+        .select(col("dim"), round(col("zs") / col("n"), 6).as("z"))
+      val nrm = broadcast(z.agg(sum(col("z") * col("z")).as("zz")))
+      pcV = z
+        .crossJoin(nrm)
+        .select(col("dim"), round(col("z") / sqrt(col("zz")), 6).as("v"))
+        .localCheckpoint(true)
+    }
+    val pcNorm = pcV.agg(sum(col("v") * col("v"))).collect()(0).getDouble(0)
+    val pcSec = (System.nanoTime() - tPc) / 1e9
+    pcC.unpersist(true)
+    require(math.abs(pcNorm - 1.0) < 1e-3, s"pc1 norm drifted: $pcNorm")
+
+    // --- exact 1-NN label eval at ~100k corpus (the q240 topology) ----
+    // bounded eval slice broadcast, corpus streamed once, top-1 as a
+    // map-side struct-max — ~50M cosines, no corpus shuffle.
+    val labeled = vecs
+      .withColumn("label", (col("vec_id") % 7).cast("int"))
+    val nnEval = labeled
+      .filter(col("vec_id") % 200 === 0)
+      .limit(500)
+      .select(
+        col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"),
+        col("label").as("q_label")
+      )
+    val tNn = System.nanoTime()
+    val nnAgg = labeled
+      .join(broadcast(nnEval), col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(
+        max(
+          struct(
+            VectorMath.vecCosine(col("q_vec"), col("embedding")).as("sim"),
+            (-col("vec_id")).as("neg_id"),
+            col("label").as("nn_label")
+          )
+        ).as("best")
+      )
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("best.nn_label") === col("q_label"), 1L).otherwise(0L))
+          .as("hits")
+      )
+      .collect()(0)
+    val nnSec = (System.nanoTime() - tNn) / 1e9
+    val nnEvalN = nnAgg.getLong(0)
+    val nnHits = nnAgg.getLong(1)
+
     // --- distributed global ordered cumsum at 5M rows -----------------
     // the q164 topology: range-partition on the rank key, pid-keyed
     // window cumsums in parallel, 64-row offsets frame broadcast
@@ -937,6 +1013,9 @@ object ScaleBench {
         s""""multisignal_clustered":$msClustered,""" +
         s""""multisignal_max_cluster":$msMaxSz,"multisignal_sec":$msSec,""" +
         s""""cumsum_rows":$cumN,"cumsum_sec":$cumSec,""" +
+        s""""pc1_cells":${nVecs * 64},"pc1_rounds":4,"pc1_sec":$pcSec,""" +
+        s""""nn_eval":$nnEvalN,"nn_hits":$nnHits,"nn_sec":$nnSec,""" +
+        s""""nn_cosines_per_sec":${(nVecs * nnEvalN / nnSec).round},""" +
         s""""lsh_candidate_pairs":$nCandidates,"lsh_sec":$lshSec,""" +
         s""""docs_per_sec":${(nDocs / lshSec).round},""" +
         s""""vectors":$nVecs,"ann_topk_rows":$topk,"ann_sec":$annSec,""" +
