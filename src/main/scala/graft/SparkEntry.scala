@@ -733,6 +733,12 @@ object SparkEntry {
     "q260_embedding_integrity" -> (Similarity.embeddingIntegrity _),
     // Inter-arrival gap moments + CV² burstiness per event type.
     "q261_interarrival" -> (Events.interArrivalStats _),
+    // First-order event-type transition matrix, row-normalized.
+    "q262_event_transitions" -> (Events.eventTransitions _),
+    // Inverse-frequency capped oversampling plan per label.
+    "q263_oversampling_plan" -> ((s, d) => Sampling.oversamplingPlan(s, d)),
+    // Affine quantizer MSE/SNR sweep at 2/4/8 bits.
+    "q264_quant_sweep" -> (Similarity.quantizationSweep _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6452,6 +6458,67 @@ object SparkEntry {
                 * (sum(gap)::DOUBLE / count(*))) * 1e6) AS BIGINT)
              AS cv2_micro
          FROM f GROUP BY 1""",
+    // q262: the same (us, event_id) lag order; probabilities are
+    // single divisions of exact counts.
+    "q262_event_transitions" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts)::BIGINT AS us FROM events),
+         t AS (SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS prev
+               FROM e),
+         c AS (SELECT prev AS from_type, event_type AS to_type,
+                 count(*)::BIGINT AS n
+               FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT from_type, to_type, n,
+                 sum(n) OVER (PARTITION BY from_type)::BIGINT AS rt
+               FROM c)
+         SELECT from_type, to_type, n,
+           CAST(round(n::DOUBLE / rt * 1e6) AS BIGINT) AS p_micro
+         FROM w""",
+    // q263: exact-integer label counts; the same least(cap, ...)
+    // weight, expected-count and share formulas.
+    "q263_oversampling_plan" ->
+      """WITH c AS (SELECT label, count(*)::BIGINT AS n
+               FROM embeddings GROUP BY 1),
+         t AS (SELECT sum(n)::BIGINT AS bign, count(*)::BIGINT AS k
+               FROM c),
+         w AS (SELECT label, n,
+                 least(10.0, bign::DOUBLE / (k * n)) AS w
+               FROM c, t),
+         et AS (SELECT sum(n * w) AS etot FROM w)
+         SELECT label, n,
+           CAST(round(w * 1e6) AS BIGINT) AS weight_micro,
+           CAST(round(n * w) AS BIGINT) AS expected_n,
+           CAST(round(n * w / etot * 1e6) AS BIGINT) AS share_micro
+         FROM w, et""",
+    // q264: q94's affine scheme at three widths — identical code
+    // rounding, reconstruction order, and moment formulas.
+    "q264_quant_sweep" ->
+      """WITH cells AS (SELECT vec_id, CAST(s.i AS INTEGER) AS dim,
+                 s.v::DOUBLE AS x
+               FROM (SELECT vec_id,
+                       unnest(list_transform(range(len(embedding)),
+                         i -> {'i': i, 'v': embedding[i + 1]})) AS s
+                     FROM embeddings) t),
+         st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM cells
+                GROUP BY 1),
+         vx AS (SELECT ((sum(x * x) - sum(x) * sum(x) / count(*))
+                  / count(*)) AS varx FROM cells),
+         q AS (SELECT sh.shift, x,
+                 x - (mn + (CASE WHEN mx > mn
+                       THEN round((x - mn) / (mx - mn) * sh.shift, 0)
+                       ELSE 0.0 END) / sh.shift * (mx - mn)) AS e
+               FROM cells JOIN st USING (dim),
+                 (SELECT unnest([3, 15, 255]::BIGINT[]) AS shift) sh)
+         SELECT (CASE WHEN shift = 3 THEN 2 WHEN shift = 15 THEN 4
+                 ELSE 8 END)::BIGINT AS bits,
+           CAST(round(avg(e * e) * 1e9) AS BIGINT) AS mse_nano,
+           CAST(round(max(abs(e)) * 1e6) AS BIGINT)
+             AS max_abs_err_micro,
+           CAST(round(vx.varx / avg(e * e) * 1e3) AS BIGINT)
+             AS snr_milli
+         FROM q, vx GROUP BY 1, vx.varx""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

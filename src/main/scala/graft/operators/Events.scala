@@ -437,6 +437,48 @@ object Events {
       )
   }
 
+  /** q262: first-order event-type transition matrix — per-user event
+    * sequences (event-time order, event_id tiebreak) lag-paired into
+    * (from, to) transitions, counted, and row-normalized to
+    * probabilities (micro-units). The Markov backbone behind q158's
+    * next-event examples: the matrix IS the baseline next-event
+    * predictor, and off-diagonal mass identifies funnel edges worth
+    * modeling (view→purchase) vs noise (click→click self-loops).
+    * Exact integer counts; probabilities are single divisions.
+    *
+    * Scale: one per-user lag window (bounded per user), one
+    * (from, to) agg — |types|² rows out, map-side combined.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val tr = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    tr.groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type")))
+      )
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n"),
+        round(col("n").cast("double") / col("row_total") * 1e6)
+          .cast("long")
+          .as("p_micro")
+      )
+  }
+
   /** q261: inter-arrival burstiness per event type — gaps between
     * consecutive events (microseconds, event-time order with
     * event_id tiebreak), summarized as mean gap and the squared

@@ -1400,6 +1400,54 @@ object Sampling {
       )
   }
 
+  /** q263: inverse-frequency oversampling plan for label imbalance —
+    * per label: weight = min(cap, N/(K·n_l)) (balanced target: every
+    * label gets 1/K of the resampled mass, capped at `cap`× to stop
+    * tiny classes exploding into repeats), the expected resampled
+    * count, and the post-resampling share. The class-imbalance
+    * prescription read before fine-tuning on labeled data — the
+    * labels' answer to what q132's temperature mix does for sources.
+    * Every input is an exact integer; weights/shares are single
+    * divisions, emitted in micro-units.
+    *
+    * Scale: one |labels|-row agg; the plan applies downstream as a
+    * per-row weighted draw (the q97 A-Res machinery).
+    */
+  def oversamplingPlan(
+      spark: SparkSession,
+      dir: String,
+      cap: Double = 10.0
+  ): DataFrame = {
+    val counts = Tables
+      .embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = broadcast(
+      counts.agg(sum(col("n")).as("bign"), count(lit(1)).as("k"))
+    )
+    val weight = least(
+      lit(cap),
+      col("bign").cast("double") / (col("k") * col("n"))
+    )
+    val withW = counts.crossJoin(tot).withColumn("w", weight)
+    val expTot = broadcast(
+      withW
+        .select((col("n") * col("w")).as("e"))
+        .agg(sum(col("e")).as("etot"))
+    )
+    withW
+      .crossJoin(expTot)
+      .select(
+        col("label"),
+        col("n"),
+        round(col("w") * 1e6).cast("long").as("weight_micro"),
+        round(col("n") * col("w")).cast("long").as("expected_n"),
+        round(col("n") * col("w") / col("etot") * 1e6)
+          .cast("long")
+          .as("share_micro")
+      )
+  }
+
   /** q259: per-source quality drift — mean quality per (source,
     * arrival bucket) plus an OLS slope of bucket-mean quality over
     * bucket index per source (micro-units/bucket): the data-rot

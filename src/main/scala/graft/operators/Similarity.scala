@@ -792,6 +792,73 @@ object Similarity {
       )
   }
 
+  /** q264: quantization-width sweep — q94's per-dimension affine
+    * quantizer evaluated at 2/4/8 bits in one pass: per width, the
+    * corpus MSE, the worst absolute error, and the SNR
+    * (signal variance / MSE, micro-units). The bits-per-coordinate
+    * decision sheet for index compression: SNR halves per bit
+    * dropped ≈ 6 dB/bit; where the curve knees is where the ANN
+    * recall (q106) starts paying for memory savings.
+    *
+    * Scale: one (dim) min/max pass, then one cell scan × 3 literal
+    * widths with map-side partial aggs — output is 3 rows.
+    */
+  def quantizationSweep(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+    val stats = cells
+      .groupBy(col("dim"))
+      .agg(
+        min(col("x")).cast("double").as("mn"),
+        max(col("x")).cast("double").as("mx")
+      )
+    val xd = col("x").cast("double")
+    val levels = (col("shift").cast("double"))
+    val code = when(
+      col("mx") > col("mn"),
+      round((xd - col("mn")) / (col("mx") - col("mn")) * levels, 0)
+    ).otherwise(lit(0.0))
+    val dq = col("mn") + code / levels * (col("mx") - col("mn"))
+    val err = xd - dq
+    val varTot = broadcast(
+      cells
+        .agg(
+          count(lit(1)).as("nc"),
+          sum(xd).as("sx"),
+          sum(xd * xd).as("sx2")
+        )
+        .select(
+          ((col("sx2") - col("sx") * col("sx") / col("nc")) / col("nc"))
+            .as("varx")
+        )
+    )
+    cells
+      .join(broadcast(stats), "dim")
+      .select(
+        col("x"),
+        col("mn"),
+        col("mx"),
+        explode(lit(Array(3L, 15L, 255L))).as("shift")
+      )
+      .withColumn("e", err)
+      .groupBy(col("shift"))
+      .agg(
+        avg(col("e") * col("e")).as("mse"),
+        max(abs(col("e"))).as("mae")
+      )
+      .crossJoin(varTot)
+      .select(
+        when(col("shift") === 3L, 2L)
+          .when(col("shift") === 15L, 4L)
+          .otherwise(8L)
+          .as("bits"),
+        round(col("mse") * 1e9).cast("long").as("mse_nano"),
+        round(col("mae") * 1e6).cast("long").as("max_abs_err_micro"),
+        round(col("varx") / col("mse") * 1e3).cast("long").as("snr_milli")
+      )
+  }
+
   /** q128: product quantization with asymmetric-distance (ADC) top-k
     * — the IVF-PQ coding layer of a billion-vector ANN index (Jégou
     * et al., "Product Quantization for Nearest Neighbor Search",
