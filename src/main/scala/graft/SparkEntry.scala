@@ -739,6 +739,12 @@ object SparkEntry {
     "q263_oversampling_plan" -> ((s, d) => Sampling.oversamplingPlan(s, d)),
     // Affine quantizer MSE/SNR sweep at 2/4/8 bits.
     "q264_quant_sweep" -> (Similarity.quantizationSweep _),
+    // Exact recall@5 of the IVF probe topology at nprobe 1-4.
+    "q265_recall_curve" -> (Similarity.recallVsProbe _),
+    // Character-unigram entropy per language.
+    "q266_char_entropy" -> (TextAnalysis.charEntropy _),
+    // Standardized TTR over each source's first 1000 tokens.
+    "q267_standardized_ttr" -> ((s, d) => TextAnalysis.standardizedTtr(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6519,6 +6525,97 @@ object SparkEntry {
            CAST(round(vx.varx / avg(e * e) * 1e3) AS BIGINT)
              AS snr_milli
          FROM q, vx GROUP BY 1, vx.varx""",
+    // q265: q106's probe CTEs with the centroid-rank explode
+    // (range(crk, 5) ≡ sequence(crk, 4)); exact top-5 from q24's
+    // plan; recall counts are exact integers.
+    "q265_recall_curve" -> {
+      val qCos = cosSql("q_vec", "e.embedding")
+      val cCos = cosSql("c_vec", "embedding")
+      val pCos = cosSql("c_vec", "q_vec")
+      val aCos = cosSql("q_vec", "a.embedding")
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+                FROM embeddings WHERE vec_id < 3),
+         ex AS (SELECT q_id, vec_id
+                FROM (SELECT q_id, vec_id,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, vec_id ASC) AS rk
+                      FROM (SELECT q_id, e.vec_id, $qCos AS sim
+                            FROM embeddings e, q) s) t
+                WHERE rk <= 5),
+         c AS (SELECT vec_id AS cid, embedding AS c_vec
+               FROM embeddings WHERE vec_id < 8),
+         sims AS (SELECT e.vec_id, e.embedding, c.cid,
+                    $cCos AS csim
+                  FROM embeddings e, c),
+         asg AS (SELECT vec_id, embedding, cid
+                 FROM (SELECT vec_id, embedding, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cid ASC) AS rk
+                       FROM sims) t WHERE rk = 1),
+         pc AS (SELECT q_id, q_vec, cid, crk
+                FROM (SELECT q.q_id, q.q_vec, c.cid,
+                        row_number() OVER (PARTITION BY q.q_id
+                          ORDER BY $pCos DESC, c.cid ASC) AS crk
+                      FROM q, c) t WHERE crk <= 4),
+         cand AS (SELECT pc.q_id, a.vec_id, $aCos AS sim, pc.crk
+                  FROM asg a JOIN pc ON a.cid = pc.cid),
+         cnp AS (SELECT q_id, vec_id, sim,
+                   unnest(range(crk, 5)) AS np FROM cand),
+         ap AS (SELECT q_id, vec_id, np
+                FROM (SELECT q_id, vec_id, np,
+                        row_number() OVER (PARTITION BY q_id, np
+                          ORDER BY sim DESC, vec_id ASC) AS rk
+                      FROM cnp) t WHERE rk <= 5)
+         SELECT np::BIGINT AS nprobe, count(*)::BIGINT AS n_matches,
+           CAST(round(count(*)::DOUBLE
+             / ((SELECT count(*) FROM q) * 5) * 1e6) AS BIGINT)
+             AS recall_ppm
+         FROM ap JOIN ex USING (q_id, vec_id) GROUP BY np"""
+    },
+    // q266: per-code-point substr explode; entropy from exact
+    // (lang, char) counts.
+    "q266_char_entropy" ->
+      """WITH ch AS (SELECT lang, substr(text, i + 1, 1) AS ch
+               FROM (SELECT lang, text,
+                       unnest(range(length(text))) AS i
+                     FROM documents WHERE length(text) > 0) x),
+         lc AS (SELECT lang, ch, count(*)::BIGINT AS c
+                FROM ch GROUP BY 1, 2),
+         w AS (SELECT lang, c,
+                 sum(c) OVER (PARTITION BY lang)::BIGINT AS tot
+               FROM lc)
+         SELECT lang, max(tot)::BIGINT AS n_chars,
+           count(*)::BIGINT AS n_distinct_chars,
+           CAST(round(sum(-(c::DOUBLE / tot) * ln(c::DOUBLE / tot))
+             * 1e6) AS BIGINT) AS entropy_micro
+         FROM w GROUP BY 1""",
+    // q267: same per-source doc-order cumsum and 0-based token
+    // offsets; TTR from exact distinct/total counts.
+    "q267_standardized_ttr" ->
+      """WITH d AS (SELECT doc_id, source, toks,
+                 len(toks)::BIGINT AS n
+               FROM (SELECT doc_id, source,
+                       CASE WHEN length(trim(text)) = 0
+                            THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text),
+                              '\s+') END AS toks
+                     FROM documents) x),
+         c AS (SELECT doc_id, source, toks, n,
+                 sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum
+               FROM d),
+         f AS (SELECT source, s.t AS tok
+               FROM (SELECT source, cum, n,
+                       unnest(list_transform(range(len(toks)),
+                         i -> {'i': i, 't': toks[i + 1]})) AS s
+                     FROM c WHERE cum - n < 1000) x
+               WHERE (cum - n) + s.i < 1000)
+         SELECT source, count(*)::BIGINT AS n_sample,
+           count(DISTINCT tok)::BIGINT AS n_types,
+           CAST(round(count(DISTINCT tok)::DOUBLE / count(*) * 1e6)
+             AS BIGINT) AS ttr_micro
+         FROM f GROUP BY 1""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -859,6 +859,84 @@ object Similarity {
       )
   }
 
+  /** q265: IVF recall-vs-nprobe curve — exact recall@5 of the q106
+    * probe topology at nprobe ∈ {1,2,3,4}, in one pass: a candidate
+    * from centroid-rank crk participates in every probe depth ≥ crk,
+    * so one explode covers the whole sweep. The index-tuning sheet:
+    * where the curve saturates is the cheapest nprobe that matches
+    * brute force, and q242's RBO tells you what the residual misses
+    * cost in rank terms. Recall counts are exact integers.
+    *
+    * Scale: the queries/centroids are broadcast; the corpus is
+    * scanned once for assignment (the cached q25 frame at session
+    * level), candidates ∝ probed-list sizes × 4 probe depths; the
+    * exact baseline is the audited q24 plan at depth 5.
+    */
+  def recallVsProbe(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val depth = 5
+    val e = Tables.embeddings(spark, dir)
+    val q = e
+      .filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wq = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val exact = e
+      .join(broadcast(q))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim")
+      )
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= depth)
+      .select(col("q_id"), col("vec_id"))
+    val cents = e
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_vec"))
+    val wc = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probes = q
+      .join(broadcast(cents))
+      .select(
+        col("q_id"),
+        col("q_vec"),
+        col("cid"),
+        cosine(col("c_vec"), col("q_vec")).as("csim")
+      )
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= 4)
+      .select(col("q_id"), col("q_vec"), col("cid"), col("crk"))
+    val wnp = Window
+      .partitionBy(col("q_id"), col("np"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val approx = ivfAssign(spark, dir, k)
+      .join(broadcast(probes), Seq("cid"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim"),
+        explode(sequence(col("crk"), lit(4))).as("np")
+      )
+      .withColumn("rk", row_number().over(wnp))
+      .filter(col("rk") <= depth)
+    val nq = broadcast(q.agg(count(lit(1)).as("nq")))
+    approx
+      .join(exact, Seq("q_id", "vec_id"))
+      .groupBy(col("np"))
+      .agg(count(lit(1)).as("n_matches"))
+      .crossJoin(nq)
+      .select(
+        col("np").cast("long").as("nprobe"),
+        col("n_matches"),
+        round(col("n_matches").cast("double") / (col("nq") * depth) * 1e6)
+          .cast("long")
+          .as("recall_ppm")
+      )
+  }
+
   /** q128: product quantization with asymmetric-distance (ADC) top-k
     * — the IVF-PQ coding layer of a billion-vector ANN index (Jégou
     * et al., "Product Quantization for Nearest Neighbor Search",

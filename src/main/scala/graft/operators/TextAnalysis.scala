@@ -343,6 +343,96 @@ object TextAnalysis {
         col("rk"))
   }
 
+  /** q266: per-language character entropy — the Shannon entropy of
+    * each language's character unigram distribution (micro-nats),
+    * plus the distinct-character inventory and char mass. The
+    * script-complexity gauge: logographic scripts (zh) run ~3×
+    * alphabetic entropy, which drives bytes/token (q146 fertility)
+    * and compression-planning assumptions; a sudden DROP for one
+    * lang flags mojibake or stripped diacritics upstream. Counts are
+    * exact integers; the entropy terms are single divisions.
+    *
+    * Scale: one char-explode scan → (lang, char) partial agg
+    * (map-side combined, bounded by inventory × langs) → |langs|
+    * rollup.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables
+      .documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(
+        col("lang"),
+        col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i")
+      )
+      .select(col("lang"), col("text").substr(col("i"), lit(1)).as("ch"))
+    val lc = chars
+      .groupBy(col("lang"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn(
+        "tot",
+        sum(col("c")).over(Window.partitionBy(col("lang")))
+      )
+    val p = col("c").cast("double") / col("tot")
+    lc.groupBy(col("lang"))
+      .agg(
+        max(col("tot")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(sum(-p * log(p)) * 1e6).cast("long").as("entropy_micro")
+      )
+  }
+
+  /** q267: standardized type-token ratio — lexical richness on an
+    * EQUAL footing across sources: the TTR of each source's first
+    * 1000 tokens (doc_id order), so big sources aren't penalized by
+    * Heaps-law vocabulary saturation the way raw TTR penalizes them
+    * (q188 fits the whole curve; this is the fixed-sample point
+    * estimate mix planners actually compare). Exact integers
+    * throughout.
+    *
+    * Scale: one per-source window over doc token counts (bounded by
+    * docs per source) assigns global token offsets WITHOUT exploding
+    * the corpus; only docs overlapping the first-1000 window explode
+    * their tokens.
+    */
+  def standardizedTtr(
+      spark: SparkSession,
+      dir: String,
+      sample: Int = 1000
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .filter(col("cum") - col("n") < sample)
+    val toksInWindow = docs
+      .select(
+        col("source"),
+        (col("cum") - col("n")).as("off"),
+        posexplode(col("toks")).as(Seq("i", "tok"))
+      )
+      .filter(col("off") + col("i") < sample)
+    toksInWindow
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_sample"),
+        countDistinct(col("tok")).as("n_types")
+      )
+      .select(
+        col("source"),
+        col("n_sample"),
+        col("n_types"),
+        round(col("n_types").cast("double") / col("n_sample") * 1e6)
+          .cast("long")
+          .as("ttr_micro")
+      )
+  }
+
   /** q16: heuristic language ID vs the labeled lang column. */
   def languageId(spark: SparkSession, dir: String): DataFrame =
     Tables
