@@ -745,6 +745,12 @@ object SparkEntry {
     "q266_char_entropy" -> (TextAnalysis.charEntropy _),
     // Standardized TTR over each source's first 1000 tokens.
     "q267_standardized_ttr" -> ((s, d) => TextAnalysis.standardizedTtr(s, d)),
+    // Largest-remainder integer budget apportionment per cell.
+    "q268_apportionment" -> ((s, d) => Sampling.budgetApportionment(s, d)),
+    // Hourly cross-correlation between type pairs at lags -3..3.
+    "q269_cross_correlation" -> ((s, d) => Events.crossCorrelation(s, d)),
+    // Session-level event-type co-occurrence PMI.
+    "q270_session_pmi" -> (Events.sessionTypePmi _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6616,6 +6622,89 @@ object SparkEntry {
            CAST(round(count(DISTINCT tok)::DOUBLE / count(*) * 1e6)
              AS BIGINT) AS ttr_micro
          FROM f GROUP BY 1""",
+    // q268: pure integer arithmetic — same remainder, same
+    // (rem DESC, source, lang) seat order.
+    "q268_apportionment" ->
+      """WITH c AS (SELECT source, lang, count(*)::BIGINT AS n_docs
+               FROM documents GROUP BY 1, 2),
+         t AS (SELECT sum(n_docs)::BIGINT AS bign FROM c),
+         b AS (SELECT source, lang, n_docs,
+                 (10000 * n_docs) % bign AS rem,
+                 (10000 * n_docs - (10000 * n_docs) % bign) // bign
+                   AS base
+               FROM c, t),
+         l AS (SELECT 10000 - sum(base)::BIGINT AS leftover FROM b),
+         r AS (SELECT source, lang, n_docs, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, source ASC,
+                   lang ASC)::BIGINT AS rk
+               FROM b)
+         SELECT source, lang, n_docs, base::BIGINT AS base,
+           rk <= l.leftover AS bonus,
+           (base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0
+            END)::BIGINT AS alloc
+         FROM r, l""",
+    // q269: identical hour indexing (floor µs/3600e6), exact integer
+    // moments, one final correlation division.
+    "q269_cross_correlation" ->
+      """WITH h AS (SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS hi,
+                 count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 lg.lag, a.n AS x, b.n AS y
+               FROM h a,
+                 (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS lag) lg,
+                 h b
+               WHERE b.hi = a.hi - lg.lag
+                 AND a.event_type <> b.event_type),
+         m AS (SELECT type_a, type_b, lag,
+                 count(*)::BIGINT AS cnt,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2,
+                 sum(x * y)::BIGINT AS sxy
+               FROM j GROUP BY 1, 2, 3)
+         SELECT type_a, type_b, lag::BIGINT AS lag_h, cnt AS n_hours,
+           CAST(round((cnt::DOUBLE * sxy - sx * sy)
+             / (sqrt(cnt::DOUBLE * sx2 - sx * sx)
+                * sqrt(cnt::DOUBLE * sy2 - sy * sy)) * 1e6) AS BIGINT)
+             AS corr_micro
+         FROM m""",
+    // q270: q29's session windows verbatim, distinct (session, type)
+    // rows, exact counts into one log.
+    "q270_session_pmi" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type
+               FROM events),
+         s AS (SELECT user_id, event_type,
+                 sum(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          > 30 * 60 * 1000000
+                     THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+               FROM (SELECT user_id, event_id, ts, event_type,
+                       lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_ts
+                     FROM e) x),
+         st AS (SELECT DISTINCT user_id, session_seq, event_type
+                FROM s),
+         tots AS (SELECT count(*)::BIGINT AS s
+                FROM (SELECT DISTINCT user_id, session_seq FROM st)),
+         pt AS (SELECT event_type, count(*)::BIGINT AS n_t
+                FROM st GROUP BY 1),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  count(*)::BIGINT AS n_ab
+                FROM st a JOIN st b
+                  ON a.user_id = b.user_id
+                  AND a.session_seq = b.session_seq
+                  AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT type_a, type_b, n_ab, na.n_t AS n_a, nb.n_t AS n_b,
+           CAST(round(ln(n_ab::DOUBLE * tots.s / (na.n_t * nb.n_t))
+             * 1e6) AS BIGINT) AS pmi_micro
+         FROM pr
+         JOIN pt na ON pr.type_a = na.event_type
+         JOIN pt nb ON pr.type_b = nb.event_type, tots""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

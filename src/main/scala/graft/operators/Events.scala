@@ -437,6 +437,142 @@ object Events {
       )
   }
 
+  /** q269: hourly cross-correlation matrix — Pearson correlation
+    * between every ORDERED pair of event types' hourly count series
+    * at lags −3..+3 hours: corr(a_t, b_{t−lag}) over the hours both
+    * series observe. A peak at lag>0 means a LEADS b (errors lead
+    * purchase dips, campaigns lead signups) — the lead/lag screen
+    * behind alerting and causal follow-up. All moments are exact
+    * integer sums over integer counts; the correlation is one final
+    * division.
+    *
+    * Scale: the series frame is (type, hour) — bounded by observed
+    * hours, never events; the pair×lag join is |types|²×7 of those
+    * bounded frames.
+    */
+  def crossCorrelation(spark: SparkSession, dir: String, maxLag: Int = 3): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(
+        col("event_type"),
+        (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hi")
+      )
+      .agg(count(lit(1)).as("n"))
+    val a = hourly.select(
+      col("event_type").as("type_a"),
+      col("hi"),
+      col("n").as("x")
+    )
+    val b = hourly.select(
+      col("event_type").as("type_b"),
+      col("hi").as("hib"),
+      col("n").as("y")
+    )
+    val lags = explode(lit((-maxLag to maxLag).toArray)).as("lag")
+    val joined = a
+      .select(col("type_a"), col("hi"), col("x"), lags)
+      .join(
+        b,
+        col("hib") === col("hi") - col("lag") && col("type_a") =!= col("type_b")
+      )
+    val n = col("cnt").cast("double")
+    val corr = (n * col("sxy") - col("sx") * col("sy")) /
+      (sqrt(n * col("sx2") - col("sx") * col("sx")) *
+        sqrt(n * col("sy2") - col("sy") * col("sy")))
+    joined
+      .groupBy(col("type_a"), col("type_b"), col("lag"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"),
+        sum(col("x") * col("y")).as("sxy")
+      )
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("lag").cast("long").as("lag_h"),
+        col("cnt").as("n_hours"),
+        round(corr * 1e6).cast("long").as("corr_micro")
+      )
+  }
+
+  /** q270: session-level event-type PMI — for every unordered type
+    * pair, the pointwise mutual information of co-occurring in one
+    * session (q29's 30-minute-gap sessions): PMI = ln(n_ab·S /
+    * (n_a·n_b)) over S sessions. Positive PMI pairs are behavioral
+    * bundles (view→purchase in one sitting); negative pairs are
+    * mutually exclusive modes — the session-structure complement to
+    * q262's step-level transitions. Counts are exact integers.
+    *
+    * Scale: sessionization is the audited q29 windows; the pair join
+    * runs within sessions over ≤|types| distinct rows each, so
+    * candidates ∝ sessions·|types|², never events².
+    */
+  def sessionTypePmi(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val newSession = when(
+      col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000,
+      1L
+    ).otherwise(0L)
+    val st = Tables
+      .events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", newSession)
+      .withColumn(
+        "session_seq",
+        sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+    val totS = broadcast(
+      st.select(col("user_id"), col("session_seq"))
+        .distinct()
+        .agg(count(lit(1)).as("s"))
+    )
+    val perType = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = st
+      .as("a")
+      .join(
+        st.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.session_seq") === col("b.session_seq")
+          && col("a.event_type") < col("b.event_type")
+      )
+      .groupBy(
+        col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b")
+      )
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(
+        perType.select(col("event_type").as("type_a"), col("n_t").as("n_a")),
+        Seq("type_a")
+      )
+      .join(
+        perType.select(col("event_type").as("type_b"), col("n_t").as("n_b")),
+        Seq("type_b")
+      )
+      .crossJoin(totS)
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_ab"),
+        col("n_a"),
+        col("n_b"),
+        round(
+          log(
+            col("n_ab").cast("double") * col("s") / (col("n_a") * col("n_b"))
+          ) * 1e6
+        ).cast("long").as("pmi_micro")
+      )
+  }
+
   /** q262: first-order event-type transition matrix — per-user event
     * sequences (event-time order, event_id tiebreak) lag-paired into
     * (from, to) transitions, counted, and row-normalized to

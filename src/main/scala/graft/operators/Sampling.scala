@@ -1400,6 +1400,56 @@ object Sampling {
       )
   }
 
+  /** q268: largest-remainder (Hamilton) budget apportionment — an
+    * integer document budget allocated across (source, lang) cells
+    * exactly proportionally: base = ⌊B·n_c/N⌋ per cell, and the
+    * B − Σbase leftover seats go to the largest integer remainders
+    * (B·n_c mod N, ties → (source, lang) asc). The allocation sheet
+    * for "sample exactly B docs, keep the mix" — naive per-cell
+    * rounding over- or under-shoots B by up to |cells|/2; this sums
+    * to B exactly, by construction. 100% integer arithmetic: no
+    * float exists anywhere in the operator.
+    *
+    * Scale: one (source, lang) count agg; the remainder rank is a
+    * window over |cells| rows (bounded by the label-cardinality
+    * product, never corpus size).
+    */
+  def budgetApportionment(
+      spark: SparkSession,
+      dir: String,
+      budget: Long = 10000L
+  ): DataFrame = {
+    val cells = Tables
+      .documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = broadcast(cells.agg(sum(col("n_docs")).as("bign")))
+    val based = cells
+      .crossJoin(tot)
+      .withColumn("rem", (lit(budget) * col("n_docs")) % col("bign"))
+      // base = (B·n − rem)/N divides exactly — pure integer math
+      .withColumn(
+        "base",
+        ((lit(budget) * col("n_docs") - col("rem")) / col("bign")).cast("long")
+      )
+    val leftover = broadcast(
+      based.agg((lit(budget) - sum(col("base"))).as("leftover"))
+    )
+    val w = Window.orderBy(col("rem").desc, col("source").asc, col("lang").asc)
+    based
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(leftover)
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_docs"),
+        col("base"),
+        (col("rk") <= col("leftover")).as("bonus"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc")
+      )
+  }
+
   /** q263: inverse-frequency oversampling plan for label imbalance —
     * per label: weight = min(cap, N/(K·n_l)) (balanced target: every
     * label gets 1/K of the resampled mass, capped at `cap`× to stop
