@@ -751,6 +751,12 @@ object SparkEntry {
     "q269_cross_correlation" -> ((s, d) => Events.crossCorrelation(s, d)),
     // Session-level event-type co-occurrence PMI.
     "q270_session_pmi" -> (Events.sessionTypePmi _),
+    // Head/torso/tail vocabulary strata by cumulative coverage.
+    "q271_vocab_strata" -> (TextAnalysis.vocabCoverageStrata _),
+    // CUBE over (source, lang, content_class) with token mass.
+    "q272_composition_cube" -> (TextAnalysis.compositionCube _),
+    // ARI between the J>=0.3 and J>=0.6 dedup closures.
+    "q273_threshold_ari" -> ((s, d) => Dedup.thresholdClusterAgreement(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6705,6 +6711,113 @@ object SparkEntry {
          FROM pr
          JOIN pt na ON pr.type_a = na.event_type
          JOIN pt nb ON pr.type_b = nb.event_type, tots""",
+    // q271: same (cnt DESC, term) order; strata boundaries compare
+    // exact integers (cum·100 vs tot·threshold).
+    "q271_vocab_strata" ->
+      """WITH tc AS (SELECT term, count(*)::BIGINT AS cnt
+               FROM (SELECT unnest(CASE WHEN length(trim(text)) = 0
+                       THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\s+')
+                       END) AS term
+                     FROM documents) x
+               GROUP BY 1),
+         t AS (SELECT sum(cnt)::BIGINT AS tot FROM tc),
+         r AS (SELECT cnt,
+                 sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum
+               FROM tc),
+         s AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'head'
+                      WHEN cum * 100 <= tot * 95 THEN 'torso'
+                      ELSE 'tail' END AS stratum, cnt
+               FROM r, t)
+         SELECT stratum, count(*)::BIGINT AS n_terms,
+           sum(cnt)::BIGINT AS token_mass,
+           CAST(round(sum(cnt)::DOUBLE / (SELECT tot FROM t) * 1e6)
+             AS BIGINT) AS coverage_ppm
+         FROM s GROUP BY 1""",
+    // q272: the q251 tagger inline + GROUP BY CUBE; GROUPING() uses
+    // the same first-arg-MSB bit order as Spark's grouping_id().
+    "q272_composition_cube" ->
+      """WITH tagged AS (SELECT doc_id,
+             CASE WHEN n_chars = 0 THEN 'empty'
+                  WHEN sym_ppm >= 20000 THEN 'code'
+                  WHEN digit_ppm >= 50000 THEN 'numeric'
+                  ELSE 'prose' END AS content_class
+           FROM (SELECT doc_id, length(text)::BIGINT AS n_chars,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE CAST(round((length(text)
+                          - length(translate(text, '{}();=<>[]', ''))
+                          )::DOUBLE * 1e6 / length(text)) AS BIGINT)
+                   END AS sym_ppm,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE CAST(round((length(text)
+                          - length(translate(text, '0123456789', ''))
+                          )::DOUBLE * 1e6 / length(text)) AS BIGINT)
+                   END AS digit_ppm
+                 FROM documents) t),
+         base AS (SELECT d.source, d.lang, tg.content_class,
+                    (CASE WHEN length(trim(d.text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(d.text),
+                            '\s+')) END)::BIGINT AS n_tokens
+                  FROM documents d JOIN tagged tg USING (doc_id))
+         SELECT source, lang, content_class,
+           GROUPING(source, lang, content_class)::BIGINT AS gid,
+           count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS tokens
+         FROM base GROUP BY CUBE (source, lang, content_class)""",
+    // q273: two recursive closures over the same jaccard pair CTE,
+    // then the q238 comb-term arithmetic on the joint labeling.
+    "q273_threshold_ari" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pj AS (SELECT doc_a, doc_b,
+                  round(inter::DOUBLE / (n_a + n_b - inter), 6) AS j
+                FROM pr),
+         nodes AS (SELECT doc_id FROM d WHERE len(sh) > 0),
+         lo_sym AS (SELECT doc_a AS a, doc_b AS b FROM pj
+                    WHERE j >= 0.3
+                    UNION SELECT doc_b, doc_a FROM pj WHERE j >= 0.3),
+         lo_reach(a, b) AS (
+           SELECT doc_id, doc_id FROM nodes
+           UNION
+           SELECT r.a, s.b FROM lo_reach r JOIN lo_sym s ON r.b = s.a),
+         lo_lab AS (SELECT a AS id, min(b) AS c_lo FROM lo_reach
+                    GROUP BY 1),
+         hi_sym AS (SELECT doc_a AS a, doc_b AS b FROM pj
+                    WHERE j >= 0.6
+                    UNION SELECT doc_b, doc_a FROM pj WHERE j >= 0.6),
+         hi_reach(a, b) AS (
+           SELECT doc_id, doc_id FROM nodes
+           UNION
+           SELECT r.a, s.b FROM hi_reach r JOIN hi_sym s ON r.b = s.a),
+         hi_lab AS (SELECT a AS id, min(b) AS c_hi FROM hi_reach
+                    GROUP BY 1),
+         ct AS (SELECT c_lo, c_hi, count(*)::BIGINT AS n_ij
+                FROM lo_lab JOIN hi_lab USING (id) GROUP BY 1, 2),
+         cells AS (SELECT sum(n_ij * (n_ij - 1) // 2)::BIGINT
+                     AS comb_cells,
+                     sum(n_ij)::BIGINT AS n,
+                     count(DISTINCT c_lo)::BIGINT AS n_clusters_lo,
+                     count(DISTINCT c_hi)::BIGINT AS n_clusters_hi
+                   FROM ct),
+         ra AS (SELECT sum(a * (a - 1) // 2)::BIGINT AS comb_a
+                FROM (SELECT sum(n_ij) AS a FROM ct GROUP BY c_lo)),
+         cb AS (SELECT sum(b * (b - 1) // 2)::BIGINT AS comb_b
+                FROM (SELECT sum(n_ij) AS b FROM ct GROUP BY c_hi))
+         SELECT n, n_clusters_lo, n_clusters_hi, comb_cells, comb_a,
+           comb_b,
+           CAST(round(
+             (comb_cells - comb_a::DOUBLE * comb_b / (n * (n - 1) // 2))
+             / ((comb_a + comb_b) / 2.0
+                - comb_a::DOUBLE * comb_b / (n * (n - 1) // 2)) * 1e6)
+             AS BIGINT) AS ari_micro
+         FROM cells, ra, cb""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

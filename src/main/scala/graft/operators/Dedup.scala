@@ -1453,6 +1453,76 @@ object Dedup {
       )
   }
 
+  /** q273: dedup-threshold sensitivity in CLUSTER space — the
+    * Adjusted Rand Index between the connected-component closures at
+    * J ≥ 0.3 and J ≥ 0.6 over the SAME cached pair artifact. q187
+    * sweeps thresholds at the pair level; this measures what a
+    * threshold change does to the final cluster assignment the
+    * survivor policy (q78) consumes — ARI ≈ 1 means the knob is
+    * safe, low ARI means retune deliberately. All comb terms are
+    * exact integers off the (label_lo, label_hi) contingency table.
+    *
+    * Scale: two pointer-doubling closures over threshold-filtered
+    * edge subsets of one pair table (collision-linear), one
+    * contingency agg, tiny-frame arithmetic — the q238 topology with
+    * clusterings for both sides.
+    */
+  def thresholdClusterAgreement(
+      spark: SparkSession,
+      dir: String,
+      tLo: Double = 0.3,
+      tHi: Double = 0.6
+  ): DataFrame = {
+    def comb2(c: Column): Column = (c * (c - 1) / 2).cast("long")
+    val pairs = ngramJaccardPairs(spark, dir)
+    val nodes = docShingles(spark, dir).select(col("doc_id").as("id"))
+    def labelsAt(t: Double): DataFrame = ConnectedComponents.run(
+      nodes,
+      pairs
+        .filter(col("jaccard") >= t)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    )
+    val ct = labelsAt(tLo)
+      .select(col("id"), col("label").as("c_lo"))
+      .join(
+        labelsAt(tHi).select(col("id"), col("label").as("c_hi")),
+        "id"
+      )
+      .groupBy(col("c_lo"), col("c_hi"))
+      .agg(count(lit(1)).as("n_ij"))
+      .localCheckpoint(true)
+    val cells = ct.agg(
+      sum(comb2(col("n_ij"))).as("comb_cells"),
+      sum(col("n_ij")).as("n"),
+      countDistinct(col("c_lo")).as("n_clusters_lo"),
+      countDistinct(col("c_hi")).as("n_clusters_hi")
+    )
+    val ra = ct
+      .groupBy(col("c_lo"))
+      .agg(sum(col("n_ij")).as("a"))
+      .agg(sum(comb2(col("a"))).as("comb_a"))
+    val cb = ct
+      .groupBy(col("c_hi"))
+      .agg(sum(col("n_ij")).as("b"))
+      .agg(sum(comb2(col("b"))).as("comb_b"))
+    val combN = comb2(col("n"))
+    val expected = col("comb_a").cast("double") * col("comb_b") / combN
+    val ari = (col("comb_cells") - expected) /
+      ((col("comb_a") + col("comb_b")) / lit(2.0) - expected)
+    cells
+      .crossJoin(broadcast(ra))
+      .crossJoin(broadcast(cb))
+      .select(
+        col("n"),
+        col("n_clusters_lo"),
+        col("n_clusters_hi"),
+        col("comb_cells"),
+        col("comb_a"),
+        col("comb_b"),
+        round(ari * 1e6).cast("long").as("ari_micro")
+      )
+  }
+
   /** q143: asymmetric shingle containment C(A,B) = |A∩B| / |A| — the
     * sub-document duplication detector Jaccard misses. A short doc
     * fully embedded in a long one has low Jaccard (the union is

@@ -433,6 +433,116 @@ object TextAnalysis {
       )
   }
 
+  /** q271: vocabulary coverage strata — terms ranked by corpus
+    * frequency and cut into head (cumulative share ≤ 80%), torso
+    * (≤ 95%) and tail: per stratum, the term count, token mass and
+    * exact coverage. The tokenizer/embedding-table planning sheet:
+    * the head is what a small vocab must cover, the tail is what
+    * byte-fallback eats — q157's OOV plan and q204's unseen-mass
+    * estimate both read against this stratification.
+    *
+    * Scale: term counts are one agg; the rank is
+    * [[Ranking.withGlobalRank]] and the cumulative mass is the q164
+    * two-level range cumsum over the ranked vocab — no
+    * single-partition window anywhere. Boundaries compare exact
+    * integers (cum·100 vs threshold·total).
+    */
+  def vocabCoverageStrata(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val parts = 32
+    val ranked = Ranking
+      .withGlobalRank(terms, Seq(col("cnt").desc, col("term").asc), "rk", parts)
+      .repartitionByRange(parts, col("rk").asc)
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("rk").asc)
+    val withCum = ranked
+      .withColumn("cum_in", sum(col("cnt")).over(wIn))
+      .cacheTracked()
+    val offsets = withCum
+      .groupBy(col("pid"))
+      .agg(max(col("cum_in")).as("ptot"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum(col("ptot")).over(
+            Window.orderBy(col("pid").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select(col("pid"), col("off"))
+    val tot = broadcast(terms.agg(sum(col("cnt")).as("tot")))
+    withCum
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("cum_in") + col("off"))
+      .crossJoin(tot)
+      .withColumn(
+        "stratum",
+        when(col("cum") * 100 <= col("tot") * 80, "head")
+          .when(col("cum") * 100 <= col("tot") * 95, "torso")
+          .otherwise("tail")
+      )
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("cnt")).as("token_mass")
+      )
+      .crossJoin(tot)
+      .select(
+        col("stratum"),
+        col("n_terms"),
+        col("token_mass"),
+        round(col("token_mass").cast("double") / col("tot") * 1e6)
+          .cast("long")
+          .as("coverage_ppm")
+      )
+  }
+
+  /** q272: corpus composition cube — document counts and token mass
+    * over every combination of (source, lang, content_class), with
+    * all CUBE rollups (grouping_id disambiguates genuine NULLs from
+    * rollup rows). The one artifact a mix planner actually opens:
+    * "how much code is in zh from src3" and every marginal of it,
+    * from one pass. Content class = q251's translate()-threshold
+    * tagger, so this cube composes two gated operators.
+    *
+    * Scale: one tag+tokenize scan into a CUBE aggregate — Spark
+    * expands 8 grouping sets map-side; output ∝ Π cardinalities.
+    */
+  def compositionCube(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = contentTypeTags(spark, dir)
+      .select(col("doc_id"), col("content_class"))
+    val base = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")
+      )
+      .join(tagged, "doc_id")
+    base
+      .cube(col("source"), col("lang"), col("content_class"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens")
+      )
+      .select(
+        col("source"),
+        col("lang"),
+        col("content_class"),
+        col("gid"),
+        col("n_docs"),
+        col("tokens")
+      )
+  }
+
   /** q16: heuristic language ID vs the labeled lang column. */
   def languageId(spark: SparkSession, dir: String): DataFrame =
     Tables
