@@ -757,6 +757,12 @@ object SparkEntry {
     "q272_composition_cube" -> (TextAnalysis.compositionCube _),
     // ARI between the J>=0.3 and J>=0.6 dedup closures.
     "q273_threshold_ari" -> ((s, d) => Dedup.thresholdClusterAgreement(s, d)),
+    // LCP/LCS/edit-region anatomy of near-dup pairs at J>=0.3.
+    "q274_neardup_anatomy" -> ((s, d) => Dedup.nearDupAnatomy(s, d)),
+    // Median/MAD modified z-score quality outliers per source.
+    "q275_robust_outliers" -> (Sampling.robustQualityOutliers _),
+    // Per-document first-owner shingle novelty.
+    "q276_doc_novelty" -> (Dedup.docNovelty _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6818,6 +6824,100 @@ object SparkEntry {
                 - comb_a::DOUBLE * comb_b / (n * (n - 1) // 2)) * 1e6)
              AS BIGINT) AS ari_micro
          FROM cells, ra, cb""",
+    // q274: the q21 pair CTE at J>=0.3 + the q235 null-padded-zip
+    // LCP (forward and on list_reverse), same clamp and shape CASE.
+    "q274_neardup_anatomy" ->
+      s"""WITH $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pj AS (SELECT doc_a, doc_b,
+                  round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                    AS jaccard
+                FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.3),
+         tk AS (SELECT doc_id,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+')
+                  END AS toks
+                FROM documents),
+         j0 AS (SELECT pj.doc_a, pj.doc_b, pj.jaccard,
+                  a.toks AS ta, b.toks AS tb
+                FROM pj
+                JOIN tk a ON pj.doc_a = a.doc_id
+                JOIN tk b ON pj.doc_b = b.doc_id),
+         m AS (SELECT doc_a, doc_b, jaccard,
+                 len(ta)::BIGINT AS na, len(tb)::BIGINT AS nb,
+                 coalesce(nullif(list_position(list_transform(
+                     list_zip(ta, tb),
+                     z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0)
+                   - 1, least(len(ta), len(tb)))::BIGINT AS lcp,
+                 coalesce(nullif(list_position(list_transform(
+                     list_zip(list_reverse(ta), list_reverse(tb)),
+                     z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0)
+                   - 1, least(len(ta), len(tb)))::BIGINT AS lcs_raw
+               FROM j0),
+         f AS (SELECT doc_a, doc_b, jaccard, lcp,
+                 least(lcs_raw, least(na, nb) - lcp) AS lcs, na, nb
+               FROM m)
+         SELECT doc_a, doc_b, jaccard, lcp, lcs,
+           na - lcp - lcs AS edit_a, nb - lcp - lcs AS edit_b,
+           CASE WHEN na - lcp - lcs = 0 AND nb - lcp - lcs = 0
+                  THEN 'identical'
+                WHEN lcp > 0 AND lcs > 0 THEN 'middle_edit'
+                WHEN lcp > 0 THEN 'suffix_change'
+                WHEN lcs > 0 THEN 'prefix_change'
+                ELSE 'unaligned' END AS shape
+         FROM f""",
+    // q275: the q197-convention exact medians (rank ceil(n/2)) for
+    // value and deviation; identical z expression and flag.
+    "q275_robust_outliers" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source, qq.q
+               FROM documents d JOIN qq USING (doc_id)),
+         r1 AS (SELECT source, q, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY q, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS cnt
+                FROM s),
+         med AS (SELECT source, q AS med FROM r1
+                 WHERE rn = ceil(cnt / 2)),
+         dv AS (SELECT s.doc_id, s.source, s.q, m.med,
+                  abs(s.q - m.med) AS dev
+                FROM s JOIN med m USING (source)),
+         r2 AS (SELECT source, dev, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY dev, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY source) AS cnt
+                FROM dv),
+         mad AS (SELECT source, dev AS mad FROM r2
+                 WHERE rn = ceil(cnt / 2))
+         SELECT dv.doc_id, dv.source,
+           CAST(round(q * 1e6) AS BIGINT) AS q_micro,
+           CAST(round(med * 1e6) AS BIGINT) AS med_micro,
+           CAST(round(mad * 1e6) AS BIGINT) AS mad_micro,
+           CAST(round(0.6745 * (q - med) / nullif(mad, 0.0) * 1e6)
+             AS BIGINT) AS z_micro,
+           coalesce(abs(0.6745 * (q - med) / nullif(mad, 0.0)) > 3.5,
+             false) AS outlier
+         FROM dv JOIN mad USING (source)""",
+    // q276: the shared shingle CTE; exact first-owner counts.
+    "q276_doc_novelty" ->
+      s"""WITH $shinglesCte,
+         p AS (SELECT doc_id, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         f AS (SELECT s, min(doc_id) AS first_doc FROM p GROUP BY 1)
+         SELECT doc_id, count(*)::BIGINT AS n_shingles,
+           sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+               END)::BIGINT AS n_novel,
+           CAST(round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+             END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS novelty_ppm
+         FROM p JOIN f USING (s) GROUP BY 1""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -1523,6 +1523,106 @@ object Dedup {
       )
   }
 
+  /** q274: near-dup pair anatomy — for every exact-Jaccard pair at
+    * J ≥ 0.3, WHERE the two documents differ: token-level longest
+    * common prefix, longest common suffix (clamped so lcp+lcs never
+    * exceeds the shorter doc), the per-side edit-region sizes, and a
+    * shape class (identical / suffix_change / prefix_change /
+    * middle_edit / unaligned). The cleaning-policy diagnostic on top
+    * of the pair score: append/truncate shapes (suffix_change) are
+    * boilerplate or version bumps that q256's edge mining strips;
+    * scattered shapes are genuine rewrites a survivor policy must
+    * arbitrate.
+    *
+    * Scale: the pair frame is the cached collision-linear artifact;
+    * the anatomy is two zips per pair row. Nothing new touches the
+    * corpus beyond the one text join onto bounded pairs.
+    */
+  def nearDupAnatomy(
+      spark: SparkSession,
+      dir: String,
+      minJ: Double = 0.3
+  ): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir).filter(col("jaccard") >= minJ)
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    def firstMismatch(a: Column, b: Column): Column = {
+      val eqs = zip_with(a, b, (x, y) => x <=> y)
+      val pos = array_position(eqs, false)
+      when(pos === 0, least(size(a), size(b)).cast("long"))
+        .otherwise(pos - 1)
+    }
+    val joined = pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+      .withColumn("na", size(col("ta")).cast("long"))
+      .withColumn("nb", size(col("tb")).cast("long"))
+      .withColumn("lcp", firstMismatch(col("ta"), col("tb")))
+      .withColumn(
+        "lcs_raw",
+        firstMismatch(reverse(col("ta")), reverse(col("tb")))
+      )
+      .withColumn(
+        "lcs",
+        least(col("lcs_raw"), least(col("na"), col("nb")) - col("lcp"))
+      )
+    joined
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("jaccard"),
+        col("lcp"),
+        col("lcs"),
+        (col("na") - col("lcp") - col("lcs")).as("edit_a"),
+        (col("nb") - col("lcp") - col("lcs")).as("edit_b")
+      )
+      .withColumn(
+        "shape",
+        when(col("edit_a") === 0 && col("edit_b") === 0, "identical")
+          .when(col("lcp") > 0 && col("lcs") > 0, "middle_edit")
+          .when(col("lcp") > 0, "suffix_change")
+          .when(col("lcs") > 0, "prefix_change")
+          .otherwise("unaligned")
+      )
+  }
+
+  /** q276: per-document novelty — the fraction of a document's
+    * distinct 3-shingles that first appear in THAT document (min
+    * doc_id owner over the whole corpus, the q219/q253 attribution
+    * convention at document grain). The curation priority signal:
+    * high-novelty docs are the corpus's information frontier; docs
+    * near zero are recombinations of earlier material and the first
+    * candidates under a token budget (q162's weights agree with this
+    * but need the cluster closure; this is closure-free).
+    *
+    * Scale: one shingle inversion, one min-agg per shingle, one
+    * shingle-keyed join back, a doc-keyed rollup — all
+    * collision-linear, no pairwise work.
+    */
+  def docNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+    val firstDoc = pairs.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+    pairs
+      .join(firstDoc, "sh")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel")
+      )
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles") * 1e6)
+          .cast("long")
+          .as("novelty_ppm")
+      )
+  }
+
   /** q143: asymmetric shingle containment C(A,B) = |A∩B| / |A| — the
     * sub-document duplication detector Jaccard misses. A short doc
     * fully embedded in a long one has low Jaccard (the union is

@@ -1400,6 +1400,61 @@ object Sampling {
       )
   }
 
+  /** q275: robust quality outliers — per source, the EXACT median
+    * and MAD (median absolute deviation) of the q15 quality score,
+    * and per doc the modified z-score 0.6745·(q−med)/MAD with the
+    * Iglewicz-Hoaglin |z| > 3.5 outlier flag. The screen that
+    * survives what breaks mean/stddev gates: a source with 5% spam
+    * shifts a mean-based z enough to mask the spam itself; median
+    * and MAD don't move. Medians are exact rank statistics (value at
+    * rank ⌈n/2⌉ in (value, doc_id) order — the q197 convention), so
+    * the oracle replays them bit-identically; MAD = 0 sources emit
+    * NULL z and no flags.
+    *
+    * Scale: two bounded per-source rank windows (two-level rank at
+    * 100 TB), a |sources|-row stats frame broadcast back onto one
+    * scored scan.
+    */
+  def robustQualityOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(col("doc_id"), round(col("quality"), 6).as("q")),
+        "doc_id"
+      )
+    def medianOf(df: DataFrame, valueCol: String): DataFrame = {
+      val w = Window
+        .partitionBy(col("source"))
+        .orderBy(col(valueCol).asc, col("doc_id").asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rn") === ceil(col("cnt") / 2))
+        .select(col("source"), col(valueCol).as("med"))
+    }
+    val med = medianOf(scored, "q")
+    val withDev = scored
+      .join(broadcast(med), "source")
+      .withColumn("dev", abs(col("q") - col("med")))
+    val mad = medianOf(
+      withDev.select(col("doc_id"), col("source"), col("dev").as("q")),
+      "q"
+    ).select(col("source"), col("med").as("mad"))
+    val z = lit(0.6745) * (col("q") - col("med")) / nullif(col("mad"), lit(0.0))
+    withDev
+      .join(broadcast(mad), "source")
+      .select(
+        col("doc_id"),
+        col("source"),
+        round(col("q") * 1e6).cast("long").as("q_micro"),
+        round(col("med") * 1e6).cast("long").as("med_micro"),
+        round(col("mad") * 1e6).cast("long").as("mad_micro"),
+        round(z * 1e6).cast("long").as("z_micro"),
+        coalesce(abs(z) > 3.5, lit(false)).as("outlier")
+      )
+  }
+
   /** q268: largest-remainder (Hamilton) budget apportionment — an
     * integer document budget allocated across (source, lang) cells
     * exactly proportionally: base = ⌊B·n_c/N⌋ per cell, and the
