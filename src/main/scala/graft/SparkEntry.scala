@@ -763,6 +763,13 @@ object SparkEntry {
     "q275_robust_outliers" -> (Sampling.robustQualityOutliers _),
     // Per-document first-owner shingle novelty.
     "q276_doc_novelty" -> (Dedup.docNovelty _),
+    // Streaming transition detection (one struct of state per user);
+    // drained counts must equal the batch q262 lag window.
+    "q277_stream_transitions" -> (streaming.EventStreams.streamTransitionCounts _),
+    // Cosine histogram over deterministic lattice pairs.
+    "q278_cosine_histogram" -> (Similarity.cosineHistogram _),
+    // Exact two-sample KS of each source's quality vs the corpus.
+    "q279_source_ks" -> (Sampling.sourceQualityKs _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6918,6 +6925,76 @@ object SparkEntry {
            CAST(round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
              END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS novelty_ppm
          FROM p JOIN f USING (s) GROUP BY 1""",
+    // q277: the batch q262 oracle verbatim — the stream must land on
+    // the identical transition multiset.
+    "q277_stream_transitions" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts)::BIGINT AS us FROM events),
+         t AS (SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS prev
+               FROM e),
+         c AS (SELECT prev AS from_type, event_type AS to_type,
+                 count(*)::BIGINT AS n
+               FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT from_type, to_type, n,
+                 sum(n) OVER (PARTITION BY from_type)::BIGINT AS rt
+               FROM c)
+         SELECT from_type, to_type, n,
+           CAST(round(n::DOUBLE / rt * 1e6) AS BIGINT) AS p_micro
+         FROM w""",
+    // q278: same lattice pairs, same cosine fold, same floor binning.
+    "q278_cosine_histogram" -> {
+      val pairCos = cosSql("a.embedding", "b.embedding")
+      s"""WITH p AS (SELECT a.vec_id, st.s, $pairCos AS c
+               FROM embeddings a
+               CROSS JOIN (SELECT unnest(range(1, 17)) AS s) st
+               JOIN embeddings b ON b.vec_id = a.vec_id + st.s),
+         bn AS (SELECT least(CAST(floor((c + 1.0) / 2.0 * 20)
+                   AS BIGINT), 19) AS bin
+                FROM p),
+         h AS (SELECT bin, count(*)::BIGINT AS n_pairs FROM bn
+               GROUP BY 1),
+         t AS (SELECT sum(n_pairs)::BIGINT AS tot FROM h)
+         SELECT bin, round(-1.0 + bin * 0.1, 1) AS bin_lo, n_pairs,
+           CAST(round(n_pairs::DOUBLE / t.tot * 1e6) AS BIGINT)
+             AS share_ppm
+         FROM h, t"""
+    },
+    // q279: ECDFs from exact integer cumsums; the sup evaluated at v
+    // and v⁻ for every source point; same critical-value constant.
+    "q279_source_ks" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source, qq.q
+               FROM documents d JOIN qq USING (doc_id)),
+         gv AS (SELECT q, count(*)::BIGINT AS gcnt,
+                  sum(count(*)) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS gcum
+                FROM s GROUP BY q),
+         sv AS (SELECT source, q, count(*)::BIGINT AS scnt,
+                  sum(count(*)) OVER (PARTITION BY source ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS scum
+                FROM s GROUP BY source, q),
+         ns AS (SELECT source, count(*)::BIGINT AS n_s FROM s
+                GROUP BY 1),
+         nn AS (SELECT count(*)::BIGINT AS bign FROM s),
+         j AS (SELECT sv.source, ns.n_s, nn.bign,
+                 greatest(
+                   abs(sv.scum::DOUBLE / ns.n_s
+                     - gv.gcum::DOUBLE / nn.bign),
+                   abs((sv.scum - sv.scnt)::DOUBLE / ns.n_s
+                     - (gv.gcum - gv.gcnt)::DOUBLE / nn.bign)) AS d
+               FROM sv JOIN gv USING (q)
+               JOIN ns USING (source), nn)
+         SELECT source, max(n_s)::BIGINT AS n,
+           CAST(round(max(d) * 1e6) AS BIGINT) AS ks_micro,
+           CAST(round(max(1.358 * sqrt((n_s + bign)::DOUBLE
+             / (n_s * bign))) * 1e6) AS BIGINT) AS crit_micro,
+           max(d) > max(1.358 * sqrt((n_s + bign)::DOUBLE
+             / (n_s * bign))) AS drifted
+         FROM j GROUP BY source""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -1455,6 +1455,70 @@ object Sampling {
       )
   }
 
+  /** q279: exact two-sample Kolmogorov-Smirnov distance of each
+    * source's quality distribution against the corpus — the sup of
+    * |F_source − F_corpus| evaluated on BOTH sides of every source
+    * sample point, which attains the true two-sample supremum (the
+    * ECDF difference is piecewise monotone between source steps, so
+    * interval ends — v and the next step's v⁻ — cover every
+    * extremum). Flag at the asymptotic α=0.05 critical value
+    * 1.358·√((n+N)/(n·N)). The distribution-level drift gate next
+    * to q168's KL (which needs binning) and q259's trend slope —
+    * KS is binning-free and catches shape changes a mean tracker
+    * misses. Every ECDF value is a division of exact integers.
+    *
+    * Scale: one (value) count frame and one (source, value) count
+    * frame; cumsums run over the QUANTIZED value domain (≤ 10⁶+1
+    * distinct 6-decimal scores — bounded, never corpus rows; the
+    * two-level cumsum applies beyond that).
+    */
+  def sourceQualityKs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(col("doc_id"), round(col("quality"), 6).as("q")),
+        "doc_id"
+      )
+    val wg = Window
+      .orderBy(col("q").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = scored
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(wg))
+    val ws = Window
+      .partitionBy(col("source"))
+      .orderBy(col("q").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sv = scored
+      .groupBy(col("source"), col("q"))
+      .agg(count(lit(1)).as("scnt"))
+      .withColumn("scum", sum(col("scnt")).over(ws))
+    val ns = broadcast(
+      scored.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    )
+    val bigN = broadcast(scored.agg(count(lit(1)).as("bign")))
+    val f = col("scum").cast("double") / col("n_s")
+    val fm = (col("scum") - col("scnt")).cast("double") / col("n_s")
+    val g = col("gcum").cast("double") / col("bign")
+    val gm = (col("gcum") - col("gcnt")).cast("double") / col("bign")
+    val d = greatest(abs(f - g), abs(fm - gm))
+    val crit = lit(1.358) *
+      sqrt((col("n_s") + col("bign")).cast("double") / (col("n_s") * col("bign")))
+    sv.join(gv, "q")
+      .join(ns, "source")
+      .crossJoin(bigN)
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n"),
+        round(max(d) * 1e6).cast("long").as("ks_micro"),
+        round(max(crit) * 1e6).cast("long").as("crit_micro"),
+        (max(d) > max(crit)).as("drifted")
+      )
+  }
+
   /** q268: largest-remainder (Hamilton) budget apportionment — an
     * integer document budget allocated across (source, lang) cells
     * exactly proportionally: base = ⌊B·n_c/N⌋ per cell, and the

@@ -937,6 +937,50 @@ object Similarity {
       )
   }
 
+  /** q278: pairwise-cosine distribution histogram — the "shape of
+    * the space" diagnostic, from DETERMINISTIC LATTICE pairs
+    * (vec_id, vec_id+stride) at strides 1..16 instead of O(n²)
+    * sampling: for id-shuffled corpora the lattice is an unbiased
+    * pair sample, 16n pairs, linear. 20 equal bins over [−1, 1] with
+    * counts and shares. Read with q239: a histogram bulked above 0
+    * is the anisotropy cone; mass near 1 predicts how hard q26's
+    * thresholds and q135's dedup will fire.
+    *
+    * Scale: one self-join per stride on vec_id+stride (equi-join,
+    * co-partitioned), exact integer bin counts.
+    */
+  def cosineHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e
+      .select(
+        col("vec_id"),
+        col("embedding").as("ea"),
+        explode(lit((1 to 16).toArray)).as("s")
+      )
+      .withColumn("other", col("vec_id") + col("s"))
+    val pairs = a.join(
+      e.select(col("vec_id").as("other"), col("embedding").as("eb")),
+      Seq("other")
+    )
+    val c = cosine(col("ea"), col("eb"))
+    val bin = least(floor((c + 1.0) / 2.0 * 20).cast("long"), lit(19L))
+    val binned = pairs
+      .select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = broadcast(binned.agg(sum(col("n_pairs")).as("tot")))
+    binned
+      .crossJoin(tot)
+      .select(
+        col("bin"),
+        round(lit(-1.0) + col("bin") * 0.1, 1).as("bin_lo"),
+        col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("tot") * 1e6)
+          .cast("long")
+          .as("share_ppm")
+      )
+  }
+
   /** q128: product quantization with asymmetric-distance (ADC) top-k
     * — the IVF-PQ coding layer of a billion-vector ANN index (Jégou
     * et al., "Product Quantization for Nearest Neighbor Search",

@@ -421,6 +421,110 @@ object EventStreams {
       .toDF("user_id", "n_events", "max_value")
   }
 
+  /** q277's per-user transition detector: state = the last
+    * (us, event_id, type) seen per user; each batch's rows are
+    * sorted by (us, event_id) inside the group and every consecutive
+    * pair (state→first, then row→row) emits one (from, to)
+    * transition. One tiny struct of state per user — the streaming
+    * footprint of q262's lag window. Cross-batch correctness rides
+    * on per-key event-time-ordered arrival (true for the drain-once
+    * AvailableNow source here; a production stream buffers within
+    * the watermark before applying the same fold).
+    */
+  private[streaming] class TransitionProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, String),
+        (String, String)] {
+    @transient private var last: ValueState[(Long, Long, String)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[(Long, Long, String)](
+        "last",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.STRING),
+        TTLConfig.NONE
+      )
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timerValues: TimerValues
+    ): Iterator[(String, String)] = {
+      val ordered = rows.toArray.sortBy(r => (r._3, r._2))
+      val out = Array.newBuilder[(String, String)]
+      var prev: Option[(Long, Long, String)] =
+        if (last.exists()) Some(last.get()) else None
+      ordered.foreach { case (_, eid, us, tp) =>
+        prev.foreach(p => out += ((p._3, tp)))
+        prev = Some((us, eid, tp))
+      }
+      prev.foreach(last.update)
+      out.result().iterator
+    }
+  }
+
+  /** q277: streaming event-type transitions — the TransitionProcessor
+    * emits (from, to) rows in append mode; the count rollup happens
+    * over the drained table (counting is order-free, so it needs no
+    * stream state of its own). Drained availableNow, the transition
+    * multiset must equal batch q262's lag-window counts — that
+    * equality is the oracle.
+    */
+  def streamTransitions(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new TransitionProcessor,
+        TimeMode.None(),
+        OutputMode.Append()
+      )
+      .toDF("from_type", "to_type")
+  }
+
+  /** q277 gate surface: drain the transition stream, then the
+    * order-free count rollup and row-normalization (the batch part —
+    * counting transitions needs no stream state). Must equal q262.
+    */
+  def streamTransitionCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // transformWithState requires the RocksDB provider (the HDFS
+    // store has no column families); restore the session conf after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val drained =
+      try
+        runAvailableNow(
+          streamTransitions(readEvents(spark, dir)),
+          "q277_stream_transitions_out",
+          "append"
+        )
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    drained
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "row_total",
+        sum(col("n")).over(W.partitionBy(col("from_type")))
+      )
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n"),
+        round(col("n").cast("double") / col("row_total") * 1e6)
+          .cast("long")
+          .as("p_micro")
+      )
+  }
+
   /** Streaming fixed-bin value histogram per tumbling hour — the
     * bounded-memory substrate of the q185 quantile monitor: state per
     * window is ≤ 20 counter cells regardless of event volume, evicted
