@@ -770,6 +770,12 @@ object SparkEntry {
     "q278_cosine_histogram" -> (Similarity.cosineHistogram _),
     // Exact two-sample KS of each source's quality vs the corpus.
     "q279_source_ks" -> (Sampling.sourceQualityKs _),
+    // Day-of-week × hour-of-day activity heatmap with peak flags.
+    "q280_calendar_profile" -> (Events.calendarProfile _),
+    // Jarque-Bera normality audit of quality per source.
+    "q281_normality_audit" -> (Sampling.qualityNormalityAudit _),
+    // Similarity-banded deterministic review batch (3 pairs/band).
+    "q282_review_batch" -> ((s, d) => Dedup.reviewBatch(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -6995,6 +7001,79 @@ object SparkEntry {
            max(d) > max(1.358 * sqrt((n_s + bign)::DOUBLE
              / (n_s * bign))) AS drifted
          FROM j GROUP BY source""",
+    // q280: ISO dow via isodow, hour extraction, exact share math,
+    // same 2x-mean peak rule on exact integers.
+    "q280_calendar_profile" ->
+      """WITH c AS (SELECT isodow(ts)::BIGINT AS dow,
+                 hour(ts)::BIGINT AS hod, count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         t AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS n_cells
+               FROM c)
+         SELECT dow, hod, n,
+           CAST(round(n::DOUBLE / t.tot * 1e6) AS BIGINT) AS share_ppm,
+           n * t.n_cells > t.tot * 2 AS peak
+         FROM c, t""",
+    // q281: same micro integerization, exact-integer mean pivot,
+    // centered small-deviation moments, m2*sqrt(m2) (no pow).
+    "q281_normality_audit" ->
+      s"""WITH $qualityCte,
+         sc AS (SELECT d.doc_id, d.source,
+                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+                FROM documents d JOIN qq USING (doc_id)),
+         mn AS (SELECT source,
+                  CAST(round(avg(qm)) AS BIGINT) AS mean_micro
+                FROM sc GROUP BY 1),
+         dv AS (SELECT sc.source,
+                  (sc.qm - mn.mean_micro)::DOUBLE / 1e6 AS d
+                FROM sc JOIN mn USING (source)),
+         ag AS (SELECT source, count(*)::BIGINT AS n,
+                  sum(d * d) AS s2, sum(d * d * d) AS s3,
+                  sum(d * d * d * d) AS s4
+                FROM dv GROUP BY 1)
+         SELECT source, n,
+           CAST(round((s3 / n) / ((s2 / n) * sqrt(s2 / n)) * 1e6)
+             AS BIGINT) AS skew_micro,
+           CAST(round(((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0) * 1e6)
+             AS BIGINT) AS ex_kurtosis_micro,
+           CAST(round(n / 6.0 * (((s3 / n) / ((s2 / n) * sqrt(s2 / n)))
+               * ((s3 / n) / ((s2 / n) * sqrt(s2 / n)))
+             + (((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0)
+                * ((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0)) / 4.0)
+             * 1e3) AS BIGINT) AS jb_milli,
+           n / 6.0 * (((s3 / n) / ((s2 / n) * sqrt(s2 / n)))
+               * ((s3 / n) / ((s2 / n) * sqrt(s2 / n)))
+             + (((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0)
+                * ((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0)) / 4.0)
+             > 5.991 AS non_normal
+         FROM ag""",
+    // q282: the q21 pair CTE, 0.1 bands on the rounded jaccard, the
+    // same md5(doc_a:doc_b) pick order.
+    "q282_review_batch" ->
+      s"""WITH $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pj AS (SELECT doc_a, doc_b,
+                  round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                    AS jaccard
+                FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.05),
+         bd AS (SELECT doc_a, doc_b, jaccard,
+                  least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS band
+                FROM pj),
+         rk AS (SELECT band, doc_a, doc_b, jaccard,
+                  CAST(row_number() OVER (PARTITION BY band
+                    ORDER BY md5(doc_a::VARCHAR || ':' ||
+                      doc_b::VARCHAR) ASC, doc_a ASC, doc_b ASC)
+                    AS INTEGER) AS pick
+                FROM bd)
+         SELECT band, pick, doc_a, doc_b, jaccard
+         FROM rk WHERE pick <= 3""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

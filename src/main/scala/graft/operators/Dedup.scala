@@ -1623,6 +1623,39 @@ object Dedup {
       )
   }
 
+  /** q282: similarity-banded review batch — the human-labeling batch
+    * generator: exact-Jaccard pairs bucketed into 0.1-wide similarity
+    * bands and, per band, the 3 pairs with the lowest portable md5
+    * rank (a uniform deterministic draw, the q144 convention). Spread
+    * across bands is the point: threshold calibration needs labels
+    * NEAR the decision boundary and sanity anchors far from it, not
+    * a top-k that samples only obvious duplicates.
+    *
+    * Scale: the pair artifact is the cached collision-linear frame;
+    * banding is arithmetic; the per-band pick is a bounded window
+    * over ≤|bands| partitions.
+    */
+  def reviewBatch(
+      spark: SparkSession,
+      dir: String,
+      perBand: Int = 3
+  ): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+      .withColumn(
+        "band",
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+      )
+    val key = md5(concat_ws(":", col("doc_a"), col("doc_b")))
+    val w = Window
+      .partitionBy(col("band"))
+      .orderBy(key.asc, col("doc_a").asc, col("doc_b").asc)
+    pairs
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= perBand)
+      .select(col("band"), col("pick"), col("doc_a"), col("doc_b"),
+        col("jaccard"))
+  }
+
   /** q143: asymmetric shingle containment C(A,B) = |A∩B| / |A| — the
     * sub-document duplication detector Jaccard misses. A short doc
     * fully embedded in a long one has low Jaccard (the union is

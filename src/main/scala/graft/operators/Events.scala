@@ -573,6 +573,40 @@ object Events {
       )
   }
 
+  /** q280: calendar activity profile — event counts per (day-of-week,
+    * hour-of-day) cell with corpus share and a peak flag (cell count
+    * > 2× the mean cell count). The seasonality fingerprint behind
+    * capacity planning and the denominator q254's burst z-scores
+    * implicitly assume away: a Monday-9am "burst" that repeats every
+    * Monday is calendar, not anomaly. Counts are exact integers;
+    * dow follows ISO (1 = Monday) via dayofweek re-mapping so both
+    * engines agree.
+    *
+    * Scale: one scan → 168-cell agg, map-side combined.
+    */
+  def calendarProfile(spark: SparkSession, dir: String): DataFrame = {
+    // Spark dayofweek: 1 = Sunday; remap to ISO 1 = Monday
+    val isoDow = ((dayofweek(col("ts")) + 5) % 7 + 1).cast("long")
+    val cells = Tables
+      .events(spark, dir)
+      .groupBy(isoDow.as("dow"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = broadcast(
+      cells.agg(sum(col("n")).as("tot"), count(lit(1)).as("n_cells"))
+    )
+    cells
+      .crossJoin(tot)
+      .select(
+        col("dow"),
+        col("hod"),
+        col("n"),
+        round(col("n").cast("double") / col("tot") * 1e6)
+          .cast("long")
+          .as("share_ppm"),
+        (col("n") * col("n_cells") > col("tot") * 2).as("peak")
+      )
+  }
+
   /** q262: first-order event-type transition matrix — per-user event
     * sequences (event-time order, event_id tiebreak) lag-paired into
     * (from, to) transitions, counted, and row-normalized to

@@ -1519,6 +1519,64 @@ object Sampling {
       )
   }
 
+  /** q281: Jarque-Bera normality audit of the quality score per
+    * source — sample skewness g₁ = m₃/m₂^1.5 and excess kurtosis
+    * g₂ = m₄/m₂² − 3 from central moments, JB = n/6·(g₁² + g₂²/4),
+    * flagged against the χ²₂ 5% critical value 5.991. Mean/σ gates
+    * and z-scores assume rough normality; a huge JB says the source
+    * needs the rank-based machinery (q275's MAD screen, q176's
+    * quantile normalization) instead. Two-pass for stability: the
+    * score is integerized to micro, the per-source mean is an exact
+    * integer pivot, and moments are sums of SMALL centered
+    * deviations — no raw-power-sum cancellation anywhere; m₂^1.5 is
+    * written m₂·√m₂ so only IEEE-exact sqrt is used.
+    *
+    * Scale: one mean agg + one centered-moment agg (both map-side
+    * combined) → |sources|-row arithmetic.
+    */
+  def qualityNormalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val meanF = scored
+      .groupBy(col("source"))
+      .agg(round(avg(col("qm"))).cast("long").as("mean_micro"))
+    val withD = scored
+      .join(broadcast(meanF), "source")
+      .withColumn("d", (col("qm") - col("mean_micro")).cast("double") / 1e6)
+    val n = col("n").cast("double")
+    val m2 = col("s2") / n
+    val m3 = col("s3") / n
+    val m4 = col("s4") / n
+    val g1 = m3 / (m2 * sqrt(m2))
+    val g2 = m4 / (m2 * m2) - 3.0
+    val jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    withD
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("d") * col("d")).as("s2"),
+        sum(col("d") * col("d") * col("d")).as("s3"),
+        sum(col("d") * col("d") * col("d") * col("d")).as("s4")
+      )
+      .select(
+        col("source"),
+        col("n"),
+        round(g1 * 1e6).cast("long").as("skew_micro"),
+        round(g2 * 1e6).cast("long").as("ex_kurtosis_micro"),
+        round(jb * 1e3).cast("long").as("jb_milli"),
+        (jb > 5.991).as("non_normal")
+      )
+  }
+
   /** q268: largest-remainder (Hamilton) budget apportionment — an
     * integer document budget allocated across (source, lang) cells
     * exactly proportionally: base = ⌊B·n_c/N⌋ per cell, and the
