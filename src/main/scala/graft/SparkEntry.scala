@@ -776,6 +776,24 @@ object SparkEntry {
     "q281_normality_audit" -> (Sampling.qualityNormalityAudit _),
     // Similarity-banded deterministic review batch (3 pairs/band).
     "q282_review_batch" -> ((s, d) => Dedup.reviewBatch(s, d)),
+    // Tie-corrected Mann-Whitney U of quality per source vs rest.
+    "q283_mannwhitney_drift" -> (Sampling.mannWhitneyDrift _),
+    // Benjamini-Hochberg FDR step-up over the KS drift battery.
+    "q284_ks_fdr" -> (Sampling.ksDriftFdr _),
+    // Theil-T between/within decomposition of token inequality.
+    "q285_theil_decomposition" -> (Sampling.theilDecomposition _),
+    // Head-vs-tail distinct-vocabulary concentration per source.
+    "q286_lead_bias" -> (TextAnalysis.leadBias _),
+    // Docs/tokens/mean-quality frontier across ten quality cuts.
+    "q287_quality_yield" -> (Sampling.qualityYieldCurve _),
+    // MI / uncertainty coefficient of each gate vs doc metadata.
+    "q288_gate_mi" -> (TextAnalysis.gateMiScreen _),
+    // Kish effective sample size of the q132 temperature mix.
+    "q289_mix_ess" -> ((s, d) => Sampling.mixEffectiveSampleSize(s, d)),
+    // Tokens lost to single-window truncation across 5 context sizes.
+    "q290_truncation_loss" -> (TextAnalysis.truncationLossCurve _),
+    // Four band geometries of one 12-perm signature vs exact truth.
+    "q291_lsh_tuning" -> ((s, d) => Dedup.lshBandTuning(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -7074,6 +7092,327 @@ object SparkEntry {
                 FROM bd)
          SELECT band, pick, doc_a, doc_b, jaccard
          FROM rk WHERE pick <= 3""",
+    // q283: same micro quantization; doubled average ranks keep every
+    // rank exact-integer; tie term and u2 are BIGINT on both engines;
+    // no continuity correction on either side.
+    "q283_mannwhitney_drift" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         gv AS (SELECT qm, count(*)::BIGINT AS gcnt,
+                  sum(count(*)) OVER (ORDER BY qm
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS gcum
+                FROM s GROUP BY qm),
+         rk AS (SELECT qm, gcnt,
+                  2 * (gcum - gcnt) + gcnt + 1 AS rank2
+                FROM gv),
+         tt AS (SELECT sum(gcnt * gcnt * gcnt - gcnt)::BIGINT AS tsum,
+                  sum(gcnt)::BIGINT AS bign
+                FROM gv),
+         sv AS (SELECT source, qm, count(*)::BIGINT AS scnt
+                FROM s GROUP BY 1, 2),
+         ag AS (SELECT sv.source, sum(sv.scnt)::BIGINT AS n_s,
+                  sum(sv.scnt * rk.rank2)::BIGINT AS r2
+                FROM sv JOIN rk USING (qm) GROUP BY 1),
+         zc AS (SELECT source, n_s,
+                  r2 - n_s * (n_s + 1) AS u2,
+                  n_s::DOUBLE * (bign - n_s) / 12.0 * ((bign + 1)
+                    - tsum::DOUBLE / (bign::DOUBLE * (bign - 1)))
+                    AS var_u,
+                  n_s::DOUBLE * (bign - n_s) AS mu2
+                FROM ag, tt)
+         SELECT source, n_s AS n, u2,
+           CAST(round(CASE WHEN var_u <= 0 THEN 0.0
+             ELSE (u2 - mu2) / (2.0 * sqrt(var_u)) END * 1e6) AS BIGINT)
+             AS z_micro,
+           abs(CASE WHEN var_u <= 0 THEN 0.0
+             ELSE (u2 - mu2) / (2.0 * sqrt(var_u)) END) > 1.96
+             AS shifted
+         FROM zc""",
+    // q284: the q279 KS chain, the asymptotic 2*exp(-2*d^2*ne) tail,
+    // micro-quantized p BEFORE the exact-integer BH step-up.
+    "q284_ks_fdr" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source, qq.q
+               FROM documents d JOIN qq USING (doc_id)),
+         gv AS (SELECT q, count(*)::BIGINT AS gcnt,
+                  sum(count(*)) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS gcum
+                FROM s GROUP BY q),
+         sv AS (SELECT source, q, count(*)::BIGINT AS scnt,
+                  sum(count(*)) OVER (PARTITION BY source ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS scum
+                FROM s GROUP BY source, q),
+         ns AS (SELECT source, count(*)::BIGINT AS n_s FROM s
+                GROUP BY 1),
+         nn AS (SELECT count(*)::BIGINT AS bign FROM s),
+         j AS (SELECT sv.source, ns.n_s, nn.bign,
+                 greatest(
+                   abs(sv.scum::DOUBLE / ns.n_s
+                     - gv.gcum::DOUBLE / nn.bign),
+                   abs((sv.scum - sv.scnt)::DOUBLE / ns.n_s
+                     - (gv.gcum - gv.gcnt)::DOUBLE / nn.bign)) AS d
+               FROM sv JOIN gv USING (q)
+               JOIN ns USING (source), nn),
+         ks AS (SELECT source, max(n_s)::BIGINT AS n_s,
+                  max(bign)::BIGINT AS bign, max(d) AS d
+                FROM j GROUP BY 1),
+         pv AS (SELECT source, n_s AS n,
+                  CAST(round(d * 1e6) AS BIGINT) AS ks_micro,
+                  CAST(round(least(1.0, 2.0 * exp(-2.0 * d * d
+                    * (n_s::DOUBLE * bign / (n_s + bign)))) * 1e6)
+                    AS BIGINT) AS p_micro
+                FROM ks),
+         mm AS (SELECT count(*)::BIGINT AS m FROM pv),
+         rk AS (SELECT pv.*, mm.m,
+                  row_number() OVER (ORDER BY p_micro, source)::BIGINT
+                    AS bh_rank
+                FROM pv, mm),
+         km AS (SELECT rk.*,
+                  max(CASE WHEN p_micro * m * 20 <= bh_rank * 1000000
+                    THEN bh_rank END) OVER () AS kmax
+                FROM rk)
+         SELECT source, n, ks_micro, p_micro, bh_rank,
+           bh_rank <= coalesce(kmax, 0) AS rejected
+         FROM km""",
+    // q285: q247's token count, nano-quantized within summands summed
+    // as BIGINT, exact-integer ln arguments, milli outputs.
+    "q285_theil_decomposition" ->
+      """WITH d AS (SELECT doc_id, source,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS x
+           FROM documents),
+         src AS (SELECT source,
+                  sum(CASE WHEN x > 0 THEN 1 ELSE 0 END)::BIGINT AS n_s,
+                  sum(CASE WHEN x = 0 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_zero,
+                  sum(x)::BIGINT AS sum_s
+                FROM d GROUP BY 1),
+         tot AS (SELECT sum(n_s)::BIGINT AS bign,
+                  sum(sum_s)::BIGINT AS tot
+                FROM src),
+         wi AS (SELECT d.source,
+                  sum(CAST(round((d.x * src.n_s)::DOUBLE / src.sum_s
+                    * ln((d.x * src.n_s)::DOUBLE / src.sum_s) * 1e9)
+                    AS BIGINT))::BIGINT AS t_sum
+                FROM d JOIN src USING (source)
+                WHERE d.x > 0 GROUP BY 1)
+         SELECT src.source, src.n_s AS n_docs, src.n_zero,
+           CAST(round(src.sum_s::DOUBLE / tot.tot * 1e6) AS BIGINT)
+             AS tok_share_ppm,
+           CAST(round(wi.t_sum::DOUBLE / (src.n_s::DOUBLE * 1e9) * 1e3)
+             AS BIGINT) AS within_milli,
+           CAST(round(src.sum_s::DOUBLE / tot.tot
+             * ln((src.sum_s * tot.bign)::DOUBLE
+                  / (src.n_s * tot.tot)::DOUBLE) * 1e3) AS BIGINT)
+             AS between_milli,
+           CAST(round(src.sum_s::DOUBLE / tot.tot
+             * (wi.t_sum::DOUBLE / (src.n_s::DOUBLE * 1e9)) * 1e3)
+             AS BIGINT) AS contrib_milli
+         FROM src JOIN wi USING (source), tot""",
+    // q286: list slices + list_distinct; the intersection via
+    // list_filter/list_contains (exact distinct-term set algebra).
+    "q286_lead_bias" ->
+      """WITH t AS (SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+           FROM documents),
+         hs AS (SELECT source,
+                  list_distinct(toks[1:64]) AS h,
+                  list_distinct(toks[65:]) AS tl
+                FROM t WHERE len(toks) > 0),
+         c AS (SELECT source,
+                 len(list_filter(h, x -> list_contains(tl, x)))::BIGINT
+                   AS nb,
+                 len(h)::BIGINT AS nh, len(tl)::BIGINT AS nt
+               FROM hs)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(nh - nb)::BIGINT AS head_only,
+           sum(nt - nb)::BIGINT AS tail_only,
+           sum(nb)::BIGINT AS both_terms,
+           CAST(round(sum(nh - nb)::DOUBLE
+             / (sum(nh - nb) + sum(nt - nb) + sum(nb)) * 1e6)
+             AS BIGINT) AS lead_ppm
+         FROM c GROUP BY 1""",
+    // q287: same micro bucket clamp, 10x10 threshold join, exact
+    // integer sums; empty cuts surface as zero rows via LEFT JOIN.
+    "q287_quality_yield" ->
+      s"""WITH $qualityCte,
+         xc AS (SELECT doc_id,
+                  (CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END)::BIGINT AS x
+                FROM documents),
+         sc AS (SELECT xc.doc_id, xc.x,
+                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+                FROM xc JOIN qq USING (doc_id)),
+         bk AS (SELECT least(CAST(floor(qm / 100000.0) AS BIGINT), 9)
+                    AS b,
+                  count(*)::BIGINT AS n_docs, sum(x)::BIGINT AS n_toks,
+                  sum(qm)::BIGINT AS qm_sum
+                FROM sc GROUP BY 1),
+         tt AS (SELECT sum(n_toks)::BIGINT AS tot_toks FROM bk),
+         th AS (SELECT unnest(range(0, 10))::BIGINT AS k),
+         cu AS (SELECT th.k,
+                  coalesce(sum(bk.n_docs), 0)::BIGINT AS docs_kept,
+                  coalesce(sum(bk.n_toks), 0)::BIGINT AS toks_kept,
+                  coalesce(sum(bk.qm_sum), 0)::BIGINT AS qm_kept
+                FROM th LEFT JOIN bk ON bk.b >= th.k GROUP BY 1)
+         SELECT k AS thr_decile, docs_kept, toks_kept,
+           CAST(round(toks_kept::DOUBLE / tt.tot_toks * 1e6) AS BIGINT)
+             AS tok_share_ppm,
+           CASE WHEN docs_kept = 0 THEN 0
+                ELSE CAST(round(qm_kept::DOUBLE / docs_kept) AS BIGINT)
+           END AS mean_q_micro
+         FROM cu, tt""",
+    // q288: the shared gate-flag CTEs, a 3-way feature unpivot, and
+    // nano-quantized MI/entropy summands summed as BIGINT.
+    "q288_gate_mi" ->
+      s"""WITH $gateFlagsCtes,
+         ft AS (SELECT doc_id, 'source' AS feature, source AS fval
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'lang', lang FROM documents
+                UNION ALL
+                SELECT doc_id, 'len_digits',
+                  length(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END)::BIGINT AS VARCHAR))::VARCHAR
+                FROM documents),
+         cj AS (SELECT fl.gate, ft.feature, ft.fval, fl.f,
+                  count(*)::BIGINT AS n_c
+                FROM fl JOIN ft USING (doc_id) GROUP BY 1, 2, 3, 4),
+         tot AS (SELECT gate, feature, sum(n_c)::BIGINT AS n
+                 FROM cj GROUP BY 1, 2),
+         mf AS (SELECT gate, feature, fval, sum(n_c)::BIGINT AS n_f
+                FROM cj GROUP BY 1, 2, 3),
+         mk AS (SELECT gate, feature, f, sum(n_c)::BIGINT AS n_k
+                FROM cj GROUP BY 1, 2, 3),
+         mi AS (SELECT cj.gate, cj.feature,
+                  sum(CAST(round(cj.n_c::DOUBLE / tot.n
+                    * ln(cj.n_c::DOUBLE * tot.n
+                         / (mf.n_f::DOUBLE * mk.n_k)) * 1e9)
+                    AS BIGINT))::BIGINT AS mi_nano
+                FROM cj
+                JOIN tot USING (gate, feature)
+                JOIN mf USING (gate, feature, fval)
+                JOIN mk USING (gate, feature, f)
+                GROUP BY 1, 2),
+         hk AS (SELECT mk.gate, mk.feature, max(tot.n)::BIGINT AS n,
+                  sum(CAST(round(-1.0 * mk.n_k::DOUBLE / tot.n
+                    * ln(mk.n_k::DOUBLE / tot.n) * 1e9)
+                    AS BIGINT))::BIGINT AS h_nano
+                FROM mk JOIN tot USING (gate, feature) GROUP BY 1, 2)
+         SELECT mi.gate, mi.feature, hk.n,
+           CAST(round(mi.mi_nano::DOUBLE / 1e3) AS BIGINT) AS mi_micro,
+           CASE WHEN hk.h_nano = 0 THEN 0
+                ELSE CAST(round(mi.mi_nano::DOUBLE / hk.h_nano * 1e6)
+                  AS BIGINT)
+           END AS nmi_micro
+         FROM mi JOIN hk USING (gate, feature)""",
+    // q289: the q132 weight chain verbatim; femto-quantized ESS terms
+    // summed as BIGINT before the single reciprocal.
+    "q289_mix_ess" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM pl),
+         qr AS (SELECT lang, n_docs, tot,
+                  pow(n_docs / tot, 0.3) AS qr
+                FROM pl CROSS JOIN tot),
+         qs AS (SELECT sum(qr) AS qs FROM qr),
+         t AS (SELECT lang, n_docs, tot, qr / qs AS q,
+                 CAST(round((qr / qs) * (qr / qs) / n_docs * 1e15)
+                   AS BIGINT) AS t_femto
+               FROM qr CROSS JOIN qs),
+         fs AS (SELECT sum(t_femto)::BIGINT AS f_sum FROM t)
+         SELECT lang, n_docs::BIGINT AS n_docs,
+           CAST(round(q * 1e6) AS BIGINT) AS q_ppm,
+           CAST(round(0.5 * tot * q / n_docs * 1e6) AS BIGINT)
+             AS rep_micro,
+           CAST(round(1e15 / fs.f_sum) AS BIGINT) AS ess_docs,
+           CAST(round(1e15 / fs.f_sum / tot * 1e6) AS BIGINT) AS ess_ppm
+         FROM t, fs""",
+    // q290: same exploded length lattice, exact integer clip sums.
+    "q290_truncation_loss" ->
+      """WITH n AS (SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END)::BIGINT AS n
+             FROM documents),
+         x AS (SELECT n.n, l.len
+               FROM n, (SELECT unnest([128, 256, 512, 1024, 2048])
+                          ::BIGINT AS len) l
+               WHERE n.n > 0)
+         SELECT len, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN n > len THEN 1 ELSE 0 END)::BIGINT
+             AS docs_truncated,
+           sum(n)::BIGINT AS total_tokens,
+           sum(least(n, len))::BIGINT AS kept_tokens,
+           CAST(round((sum(n) - sum(least(n, len)))::DOUBLE / sum(n)
+             * 1e6) AS BIGINT) AS lost_ppm
+         FROM x GROUP BY 1""",
+    // q291: 12-perm portable signature, four band lattices off one
+    // CTE, truth from the exact q21 pair chain at J >= 0.5; the
+    // analytic S-curve constants are shared literals.
+    "q291_lsh_tuning" -> {
+      val geom = Seq((6, 2), (4, 3), (3, 4), (2, 6))
+      val perConfig = geom.map { case (b, r) =>
+        val expP50 = math.round(
+          (1.0 - math.pow(1.0 - math.pow(0.5, r), b)) * 1e6
+        )
+        s"""SELECT $b::BIGINT AS bands, $r::BIGINT AS rows_per_band,
+           (SELECT count(*) FROM
+             (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bd_${b}_$r a JOIN bd_${b}_$r b
+                ON a.j = b.j AND a.bval = b.bval
+                  AND a.doc_id < b.doc_id))::BIGINT AS n_candidates,
+           (SELECT count(*) FROM truth)::BIGINT AS n_true,
+           (SELECT count(*) FROM
+             (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bd_${b}_$r a JOIN bd_${b}_$r b
+                ON a.j = b.j AND a.bval = b.bval
+                  AND a.doc_id < b.doc_id) c
+             JOIN truth USING (doc_a, doc_b))::BIGINT AS n_hit,
+           $expP50::BIGINT AS expected_p50_ppm"""
+      }
+      val bandCtes = geom.map { case (b, r) =>
+        s"""bd_${b}_$r AS (SELECT doc_id, t.j,
+             array_to_string(mh[t.j*$r+1:t.j*$r+$r], '_') AS bval
+           FROM m12, range($b) t(j))"""
+      }.mkString(",\n         ")
+      s"""WITH $shinglesCte,
+         m12 AS (SELECT doc_id, sh,
+                 list_transform(range(12), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT)))
+                   AS mh
+               FROM d WHERE len(sh) > 0),
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b FROM pr
+                   WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                     >= 0.5),
+         $bandCtes,
+         raw AS (${perConfig.mkString("\n           UNION ALL\n           ")})
+         SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
+           CASE WHEN n_true = 0 THEN 0
+                ELSE CAST(round(n_hit::DOUBLE / n_true * 1e6) AS BIGINT)
+           END AS recall_ppm,
+           CASE WHEN n_candidates = 0 THEN 0
+                ELSE CAST(round(n_hit::DOUBLE / n_candidates * 1e6)
+                  AS BIGINT)
+           END AS precision_ppm,
+           expected_p50_ppm
+         FROM raw"""
+    },
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

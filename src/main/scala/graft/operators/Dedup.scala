@@ -2136,4 +2136,100 @@ object Dedup {
         ).as("dup_token_frac")
       )
   }
+
+  /** q291: LSH band-geometry tuning table — the SAME 12-permutation
+    * MinHash signature banded four ways (6×2, 4×3, 3×4, 2×6) and each
+    * geometry scored against the EXACT J ≥ 0.5 pair set: candidate
+    * volume, recall, precision, and the analytic collision
+    * probability 1−(1−0.5^r)^b at the target threshold. This is the
+    * dial a 100 TB dedup run sets FIRST — more rows per band moves
+    * the S-curve right (fewer candidates, lower recall), and the
+    * table shows the measured trade on this corpus next to the
+    * theory, so the geometry is chosen from evidence instead of the
+    * default. The ground truth reuses the exact shingle-inversion
+    * pair seam (collision-linear, the audited scale shape); each
+    * geometry's candidate generation is the q22 band join.
+    *
+    * Scale: one signature pass (12 md5-min folds, map-side), four
+    * band self-joins each ∝ collisions, and 1-row aggregates —
+    * no all-pairs step anywhere; the exact-truth join is the same
+    * inversion the gated dedup family already runs.
+    */
+  def lshBandTuning(spark: SparkSession, dir: String): DataFrame = {
+    val configs = Seq((6, 2), (4, 3), (3, 4), (2, 6))
+    val d = docShingles(spark, dir)
+      .withColumn(
+        "mh",
+        graft.functions.Md5MinHashSig.md5MinhashSig(col("sh"), 12)
+      )
+      .cacheTracked()
+    val truth = ngramJaccardPairsFrom(d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .cacheTracked()
+    val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+    configs
+      .map { case (b, r) =>
+        val banded = d
+          .select(
+            col("doc_id"),
+            explode(
+              transform(
+                sequence(lit(0), lit(b - 1)),
+                j =>
+                  struct(
+                    j.as("j"),
+                    array_join(
+                      transform(
+                        slice(col("mh"), j * r + 1, lit(r)),
+                        x => x.cast("string")
+                      ),
+                      "_"
+                    ).as("bval")
+                  )
+              )
+            ).as("bk")
+          )
+          .select(col("doc_id"), col("bk.j"), col("bk.bval"))
+        val cand = banded
+          .select(col("j"), col("bval"), col("doc_id").as("doc_a"))
+          .join(
+            banded.select(col("j"), col("bval"), col("doc_id").as("doc_b")),
+            Seq("j", "bval")
+          )
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+          .cacheTracked()
+        val expP50 = math.round(
+          (1.0 - math.pow(1.0 - math.pow(0.5, r), b)) * 1e6
+        )
+        broadcast(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(broadcast(
+            cand.join(truth, Seq("doc_a", "doc_b"))
+              .agg(count(lit(1)).as("n_hit"))
+          ))
+          .crossJoin(nTrue)
+          .select(
+            lit(b.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            col("n_candidates"),
+            col("n_true"),
+            col("n_hit"),
+            when(col("n_true") === 0L, lit(0L))
+              .otherwise(
+                round(col("n_hit").cast("double") / col("n_true") * 1e6)
+                  .cast("long")
+              ).as("recall_ppm"),
+            when(col("n_candidates") === 0L, lit(0L))
+              .otherwise(
+                round(
+                  col("n_hit").cast("double") / col("n_candidates") * 1e6
+                ).cast("long")
+              ).as("precision_ppm"),
+            lit(expP50).as("expected_p50_ppm")
+          )
+      }
+      .reduce(_.unionByName(_))
+  }
 }

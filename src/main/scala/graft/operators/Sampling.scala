@@ -1473,6 +1473,24 @@ object Sampling {
     * two-level cumsum applies beyond that).
     */
   def sourceQualityKs(spark: SparkSession, dir: String): DataFrame = {
+    val crit = lit(1.358) *
+      sqrt((col("n_s") + col("bign")).cast("double") / (col("n_s") * col("bign")))
+    ksPerSource(spark, dir)
+      .select(
+        col("source"),
+        col("n_s").as("n"),
+        round(col("d") * 1e6).cast("long").as("ks_micro"),
+        round(crit * 1e6).cast("long").as("crit_micro"),
+        (col("d") > crit).as("drifted")
+      )
+  }
+
+  /** Shared KS core: per-source sup distance `d` of the quality ECDF
+    * vs the corpus ECDF, with the sample sizes — the seam q279's
+    * flag view and q284's FDR battery both read, so the two gates
+    * can never disagree on the statistic.
+    */
+  private def ksPerSource(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val scored = docs
       .select(col("doc_id"), col("source"))
@@ -1505,17 +1523,355 @@ object Sampling {
     val g = col("gcum").cast("double") / col("bign")
     val gm = (col("gcum") - col("gcnt")).cast("double") / col("bign")
     val d = greatest(abs(f - g), abs(fm - gm))
-    val crit = lit(1.358) *
-      sqrt((col("n_s") + col("bign")).cast("double") / (col("n_s") * col("bign")))
     sv.join(gv, "q")
       .join(ns, "source")
       .crossJoin(bigN)
       .groupBy(col("source"))
       .agg(
-        max(col("n_s")).as("n"),
-        round(max(d) * 1e6).cast("long").as("ks_micro"),
-        round(max(crit) * 1e6).cast("long").as("crit_micro"),
-        (max(d) > max(crit)).as("drifted")
+        max(col("n_s")).as("n_s"),
+        max(col("bign")).as("bign"),
+        max(d).as("d")
+      )
+  }
+
+  /** q283: per-source Mann-Whitney U location test of the quality
+    * score against the REST of the corpus — the rank-based complement
+    * to q279's KS (shape-sensitive, sign-blind) and q259's OLS slope
+    * (parametric): U detects a directional median shift without any
+    * normality assumption, which q281's Jarque-Bera audit shows these
+    * scores routinely violate. Ranks are average-ranks over the
+    * micro-quantized score, kept EXACT by carrying 2×rank (a tied
+    * group's doubled average rank `2·prevcum + t + 1` is an integer);
+    * `u2 = 2U` is therefore an exact BIGINT on both engines. The
+    * normal approximation uses the tie-corrected variance
+    * n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))); `shifted` flags |z| > 1.96
+    * (two-sided α=0.05). No continuity correction (documented choice,
+    * mirrored in the oracle).
+    *
+    * Scale: rank math runs over the QUANTIZED value domain (≤ 10⁶+1
+    * tie groups — bounded, never corpus rows); per-source sums are
+    * one map-side-combined aggregate; the tie term is one broadcast
+    * scalar.
+    */
+  def mannWhitneyDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val wg = Window
+      .orderBy(col("qm").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = scored
+      .groupBy(col("qm"))
+      .agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(wg))
+      // doubled average rank of the tie group: 2·(gcum−gcnt) + gcnt + 1
+      .withColumn(
+        "rank2",
+        lit(2L) * (col("gcum") - col("gcnt")) + col("gcnt") + lit(1L)
+      )
+    val ties = broadcast(
+      gv.agg(
+        sum(col("gcnt") * col("gcnt") * col("gcnt") - col("gcnt"))
+          .as("tsum"),
+        sum(col("gcnt")).as("bign")
+      )
+    )
+    val perSrc = scored
+      .groupBy(col("source"), col("qm"))
+      .agg(count(lit(1)).as("scnt"))
+      .join(gv.select(col("qm"), col("rank2")), "qm")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("scnt")).as("n_s"),
+        sum(col("scnt") * col("rank2")).as("r2")
+      )
+      .crossJoin(ties)
+    val n1 = col("n_s").cast("double")
+    val n2 = (col("bign") - col("n_s")).cast("double")
+    val u2 = col("r2") - col("n_s") * (col("n_s") + lit(1L))
+    val varU = n1 * n2 / 12.0 * ((col("bign") + 1).cast("double") -
+      col("tsum").cast("double") /
+      (col("bign").cast("double") * (col("bign") - 1).cast("double")))
+    val z = when(varU <= 0.0, lit(0.0))
+      .otherwise((u2.cast("double") - n1 * n2) / (lit(2.0) * sqrt(varU)))
+    perSrc.select(
+      col("source"),
+      col("n_s").as("n"),
+      u2.as("u2"),
+      round(z * 1e6).cast("long").as("z_micro"),
+      (abs(z) > 1.96).as("shifted")
+    )
+  }
+
+  /** q284: Benjamini-Hochberg FDR control over the per-source KS
+    * drift battery — q279 flags each source at a FIXED α, which at
+    * hundreds of sources (the 100 TB reality) fires ~5% of clean
+    * sources every audit; BH step-up bounds the FALSE DISCOVERY RATE
+    * instead, the standard fix for a monitoring battery. p-values use
+    * the asymptotic two-sample KS tail 2·exp(−2d²·nₑ) (one exp call,
+    * identical on both engines), micro-quantized BEFORE the step-up
+    * so the decision `p·m ≤ i·α` is evaluated in EXACT integer
+    * arithmetic: p_micro·m·20 ≤ i·10⁶ at α=0.05. Rejects every rank
+    * ≤ the largest passing rank (step-up, not step-down).
+    *
+    * Scale: the KS core's cost (bounded value-domain cumsums); the
+    * step-up runs on the |sources|-row battery — a bounded frame, so
+    * its single-partition window is safe by construction.
+    */
+  def ksDriftFdr(spark: SparkSession, dir: String): DataFrame = {
+    val ne = col("n_s").cast("double") * col("bign") /
+      (col("n_s") + col("bign")).cast("double")
+    val p = least(
+      lit(1.0),
+      lit(2.0) * exp(lit(-2.0) * col("d") * col("d") * ne)
+    )
+    val withP = ksPerSource(spark, dir)
+      .select(
+        col("source"),
+        col("n_s").as("n"),
+        round(col("d") * 1e6).cast("long").as("ks_micro"),
+        round(p * 1e6).cast("long").as("p_micro")
+      )
+    val m = broadcast(withP.agg(count(lit(1)).as("m")))
+    val wr = Window.orderBy(col("p_micro").asc, col("source").asc)
+    val wall = Window
+      .orderBy(col("p_micro").asc, col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withP
+      .crossJoin(m)
+      .withColumn("bh_rank", row_number().over(wr).cast("long"))
+      .withColumn(
+        "kmax",
+        max(
+          when(
+            col("p_micro") * col("m") * 20 <= col("bh_rank") * lit(1000000L),
+            col("bh_rank")
+          )
+        ).over(wall)
+      )
+      .select(
+        col("source"),
+        col("n"),
+        col("ks_micro"),
+        col("p_micro"),
+        col("bh_rank"),
+        (col("bh_rank") <= coalesce(col("kmax"), lit(0L))).as("rejected")
+      )
+  }
+
+  /** q285: Theil-T decomposition of the corpus token mass — overall
+    * inequality split EXACTLY into between-source and within-source
+    * components (T = T_between + Σ_s share_s·T_within_s), which
+    * Gini (q247) cannot do. The between term answers "is the token
+    * budget concentrated in a few sources?" and the within terms
+    * rank sources by internal doc-size concentration — the two
+    * levers (per-source caps vs per-doc caps, q144/q205) attack
+    * different components, so this table says which lever to pull.
+    *
+    * Determinism: each doc's within summand (x/μ_s)·ln(x/μ_s) is
+    * nano-quantized to BIGINT before summation (order-free exact
+    * integer sums, the q259 convention); the ln argument is the
+    * exact-integer ratio x·n_s/Σ_s. Between terms are |sources|-row
+    * arithmetic. Zero-token docs are excluded (ln domain), counted
+    * in `n_zero`.
+    *
+    * Scale: one tokenize scan + one per-source agg for the moments,
+    * one broadcast of the |sources|-row frame back across the scan
+    * for the summands — nothing grows past the scan.
+    */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("x")
+      )
+    val src = d
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("x") > 0, 1L).otherwise(0L)).as("n_s"),
+        sum(when(col("x") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("x")).as("sum_s")
+      )
+    val tot = broadcast(
+      src.agg(
+        sum(col("n_s")).as("bign"),
+        sum(col("sum_s")).as("tot")
+      )
+    )
+    // per-doc within summand, nano-quantized: (x/μ_s)·ln(x/μ_s) with
+    // μ_s = sum_s/n_s, i.e. ratio = x·n_s/sum_s
+    val ratio = (col("x") * col("n_s")).cast("double") / col("sum_s")
+    val within = d
+      .filter(col("x") > 0)
+      .join(broadcast(src.select(col("source"), col("n_s"), col("sum_s"))),
+        "source")
+      .select(
+        col("source"),
+        round(ratio * log(ratio) * 1e9).cast("long").as("t_nano")
+      )
+      .groupBy(col("source"))
+      .agg(sum(col("t_nano")).as("t_sum"))
+    val share = col("sum_s").cast("double") / col("tot")
+    val meanRatio = (col("sum_s") * col("bign")).cast("double") /
+      (col("n_s") * col("tot")).cast("double")
+    val withinT = col("t_sum").cast("double") / (col("n_s").cast("double") * 1e9)
+    src
+      .join(within, "source")
+      .crossJoin(tot)
+      .select(
+        col("source"),
+        col("n_s").as("n_docs"),
+        col("n_zero"),
+        round(share * 1e6).cast("long").as("tok_share_ppm"),
+        round(withinT * 1e3).cast("long").as("within_milli"),
+        round(share * log(meanRatio) * 1e3).cast("long").as("between_milli"),
+        round(share * withinT * 1e3).cast("long").as("contrib_milli")
+      )
+  }
+
+  /** q287: quality-threshold yield frontier — for each candidate cut
+    * q ≥ k/10 (k = 0…9), the documents kept, tokens kept, kept-token
+    * share, and mean quality of the kept set. q258's deciles answer
+    * "what quality level does the d-th token sit at"; this is the
+    * decision table read the other way: "if I cut at 0.4, what do I
+    * pay in tokens and gain in mean quality" — the frontier a mix
+    * planner walks before fixing the gate threshold (and the
+    * corpus-level twin of q229's per-gate ablation).
+    *
+    * Exactness: docs are bucketed by the micro-quantized score
+    * (bucket = ⌊q_micro/10⁵⌋ clamped to 9, so `q ≥ k/10` ⇔
+    * `bucket ≥ k` exactly); the frontier is a 10×10 bucket×threshold
+    * join over exact integer sums — no per-corpus-row float ever.
+    *
+    * Scale: one tokenize+score scan → 10-row bucket agg (map-side
+    * combined); everything after is constant-size arithmetic.
+    */
+  def qualityYieldCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(
+        col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("x")
+      )
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val buckets = scored
+      .groupBy(
+        least(floor(col("qm") / lit(100000.0)).cast("long"), lit(9L))
+          .as("b")
+      )
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x")).as("n_toks"),
+        sum(col("qm")).as("qm_sum")
+      )
+    val tot = broadcast(buckets.agg(sum(col("n_toks")).as("tot_toks")))
+    val thr = spark.range(0, 10).select(col("id").as("k"))
+    thr
+      .join(broadcast(buckets), col("b") >= col("k"), "left")
+      .groupBy(col("k"))
+      .agg(
+        coalesce(sum(col("n_docs")), lit(0L)).as("docs_kept"),
+        coalesce(sum(col("n_toks")), lit(0L)).as("toks_kept"),
+        coalesce(sum(col("qm_sum")), lit(0L)).as("qm_kept")
+      )
+      .crossJoin(tot)
+      .select(
+        col("k").as("thr_decile"),
+        col("docs_kept"),
+        col("toks_kept"),
+        round(col("toks_kept").cast("double") / col("tot_toks") * 1e6)
+          .cast("long").as("tok_share_ppm"),
+        when(col("docs_kept") === 0L, lit(0L))
+          .otherwise(
+            round(col("qm_kept").cast("double") / col("docs_kept"))
+              .cast("long")
+          ).as("mean_q_micro")
+      )
+  }
+
+  /** q289: Kish effective sample size of the q132 temperature mix —
+    * the mix plan gives language l the normalized weight
+    * q_l ∝ p_l^α; training on that mix repeats each of its n_l docs
+    * r_l = q_l·B/n_l times, and the effective number of DISTINCT
+    * samples behind the weighted corpus is ESS = 1/Σ_l q_l²/n_l
+    * (Kish). A mix that looks balanced in weights can have a tiny
+    * ESS when a low-resource language is upsampled hard — `rep_micro`
+    * names the offender (epochs over that language's data), and
+    * `ess_ppm` (ESS/corpus) is the single number to watch as α moves
+    * (α=1 → ESS=N, α=0 → harmonic-mean collapse). Same α=0.3,
+    * budget=0.5 as the gated q132 so the two tables line up.
+    *
+    * Determinism: the per-language ESS terms q_l²/n_l are
+    * femto-quantized to BIGINT before the cross-language sum (the
+    * |langs|-row float-sum is the only order-sensitive step; q132's
+    * qs sum is replayed identically on both engines).
+    *
+    * Scale: one (lang) count agg; everything else is |langs|-row
+    * arithmetic — the corpus is scanned once, never shuffled.
+    */
+  def mixEffectiveSampleSize(
+      spark: SparkSession,
+      dir: String,
+      alpha: Double = 0.3,
+      budgetFrac: Double = 0.5
+  ): DataFrame = {
+    val perLang = Tables
+      .documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = broadcast(perLang.agg(sum(col("n_docs")).cast("double").as("tot")))
+    val qraw = perLang
+      .crossJoin(tot)
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("tot"),
+        pow(col("n_docs") / col("tot"), alpha).as("qr")
+      )
+    val qsum = broadcast(qraw.agg(sum(col("qr")).as("qs")))
+    val qn = col("qr") / col("qs")
+    val terms = qraw
+      .crossJoin(qsum)
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("tot"),
+        qn.as("q"),
+        round(qn * qn / col("n_docs") * 1e15).cast("long").as("t_femto")
+      )
+    val essSum = broadcast(terms.agg(sum(col("t_femto")).as("f_sum")))
+    terms
+      .crossJoin(essSum)
+      .select(
+        col("lang"),
+        col("n_docs"),
+        round(col("q") * 1e6).cast("long").as("q_ppm"),
+        round(lit(budgetFrac) * col("tot") * col("q") / col("n_docs") * 1e6)
+          .cast("long").as("rep_micro"),
+        round(lit(1e15) / col("f_sum")).cast("long").as("ess_docs"),
+        round(lit(1e15) / col("f_sum") / col("tot") * 1e6).cast("long")
+          .as("ess_ppm")
       )
   }
 

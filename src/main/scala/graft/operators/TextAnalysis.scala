@@ -3322,4 +3322,194 @@ object TextAnalysis {
         (col("xi") - col("xg") <= col("md")).cast("int").as("keep")
       )
   }
+
+  /** q286: lead-bias audit — how much of each document's vocabulary
+    * lives ONLY in its first 64 tokens. Boilerplate-heavy sources
+    * (templated intros, navigation headers) concentrate their
+    * distinct terms in the document lead, which inflates
+    * head-truncated training examples and fools length-normalized
+    * quality scores; a high `lead_ppm` says "train-time truncation
+    * keeps most of this source's signal", a low one says truncation
+    * destroys it. Per doc: head = first 64 tokens, tail = rest;
+    * per-source sums of |head∖tail|, |tail∖head|, |head∩tail| over
+    * DISTINCT terms, all exact integers.
+    *
+    * Scale: pure per-row array arithmetic (slice/distinct/intersect
+    * are codegen built-ins) + one map-side-combined agg — a single
+    * narrow scan, zero shuffles beyond the |sources|-row agg.
+    */
+  def leadBias(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val d = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), toks.as("t"))
+      .filter(size(col("t")) > 0)
+      .select(
+        col("source"),
+        array_distinct(slice(col("t"), 1, 64)).as("h"),
+        array_distinct(
+          slice(col("t"), lit(65), greatest(size(col("t")) - 64, lit(0)))
+        ).as("tl")
+      )
+      .select(
+        col("source"),
+        size(array_intersect(col("h"), col("tl"))).cast("long").as("both"),
+        size(col("h")).cast("long").as("nh"),
+        size(col("tl")).cast("long").as("nt")
+      )
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nh") - col("both")).as("head_only"),
+        sum(col("nt") - col("both")).as("tail_only"),
+        sum(col("both")).as("both_terms")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("head_only"),
+        col("tail_only"),
+        col("both_terms"),
+        round(
+          col("head_only").cast("double") /
+            (col("head_only") + col("tail_only") + col("both_terms")) * 1e6
+        ).cast("long").as("lead_ppm")
+      )
+  }
+
+  /** q288: gate-failure mutual-information screen — for each quality
+    * gate and each metadata feature (source, lang, token-count digit
+    * magnitude), the mutual information I(feature; keep) and the
+    * uncertainty coefficient I/H(keep). This is the diagnostic a
+    * curation team runs when a gate's kill rate looks wrong: a high
+    * NMI against `source` means the gate is a de-facto source filter
+    * (retune per source); high against `len_digits` means it's a
+    * length proxy (q142's explicit length rules are cheaper); low
+    * everywhere means it cuts on signal the metadata can't explain —
+    * the gate is earning its keep. Digit magnitude (decimal digit
+    * count of the token count) is used instead of log-bucketing
+    * because it is EXACT integer arithmetic on both engines.
+    *
+    * Determinism: each cell's MI summand is nano-quantized to BIGINT
+    * before summation (order-free); marginals are exact integers.
+    *
+    * Scale: the shared gate-flag frame (one scan + the LM chains),
+    * one feature explode (3 rows/doc), one co-partitioned doc_id
+    * join, then aggregates over |gates|·|features|·|values|·2 cells —
+    * bounded, never corpus rows.
+    */
+  def gateMiScreen(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val x = size(tokens(col("text"))).cast("long")
+    val ft = docs.select(
+      col("doc_id"),
+      explode(
+        array(
+          struct(lit("source").as("feature"), col("source").as("fval")),
+          struct(lit("lang").as("feature"), col("lang").as("fval")),
+          struct(
+            lit("len_digits").as("feature"),
+            length(x.cast("string")).cast("string").as("fval")
+          )
+        )
+      ).as("e")
+    ).select(col("doc_id"), col("e.feature"), col("e.fval"))
+    val cells = gateFlags(spark, dir)
+      .join(ft, "doc_id")
+      .groupBy(col("gate"), col("feature"), col("fval"), col("f"))
+      .agg(count(lit(1)).as("n_c"))
+    val tot = cells
+      .groupBy(col("gate"), col("feature"))
+      .agg(sum(col("n_c")).as("n"))
+    val mf = cells
+      .groupBy(col("gate"), col("feature"), col("fval"))
+      .agg(sum(col("n_c")).as("n_f"))
+    val mk = cells
+      .groupBy(col("gate"), col("feature"), col("f"))
+      .agg(sum(col("n_c")).as("n_k"))
+    val miTerm = col("n_c").cast("double") / col("n") *
+      log(
+        col("n_c").cast("double") * col("n") /
+          (col("n_f").cast("double") * col("n_k"))
+      )
+    val mi = cells
+      .join(broadcast(tot), Seq("gate", "feature"))
+      .join(mf, Seq("gate", "feature", "fval"))
+      .join(broadcast(mk), Seq("gate", "feature", "f"))
+      .select(
+        col("gate"),
+        col("feature"),
+        round(miTerm * 1e9).cast("long").as("t_nano")
+      )
+      .groupBy(col("gate"), col("feature"))
+      .agg(sum(col("t_nano")).as("mi_nano"))
+    val hTerm = lit(-1.0) * col("n_k").cast("double") / col("n") *
+      log(col("n_k").cast("double") / col("n"))
+    val hk = mk
+      .join(broadcast(tot), Seq("gate", "feature"))
+      .select(
+        col("gate"),
+        col("feature"),
+        col("n"),
+        round(hTerm * 1e9).cast("long").as("h_nano")
+      )
+      .groupBy(col("gate"), col("feature"))
+      .agg(max(col("n")).as("n"), sum(col("h_nano")).as("h_nano"))
+    mi.join(hk, Seq("gate", "feature"))
+      .select(
+        col("gate"),
+        col("feature"),
+        col("n"),
+        round(col("mi_nano").cast("double") / 1e3).cast("long")
+          .as("mi_micro"),
+        when(col("h_nano") === 0L, lit(0L))
+          .otherwise(
+            round(
+              col("mi_nano").cast("double") / col("h_nano") * 1e6
+            ).cast("long")
+          ).as("nmi_micro")
+      )
+  }
+
+  /** q290: truncation-loss curve of the single-window loader — for
+    * each max context L ∈ {128…2048}, the tokens LOST if every doc is
+    * clipped to its first L tokens (no packing, no continuation
+    * windows). The decision-sheet complement of q250: padding waste
+    * says what short docs cost, truncation loss says what long docs
+    * cost; a loader picks L where the q250 and q290 curves cross,
+    * and q286's lead-bias table says how much SIGNAL (not just
+    * token count) the clipped tail carried. Exact integer arithmetic
+    * throughout.
+    *
+    * Scale: one tokenize scan × 5 literal lengths (exploded constant
+    * array), one 5-row map-side-combined agg — no shuffle of corpus
+    * rows, no second pass.
+    */
+  def truncationLossCurve(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Seq(128L, 256L, 512L, 1024L, 2048L)
+    Tables
+      .documents(spark, dir)
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("n"), explode(lit(lens.toArray)).as("len"))
+      .groupBy(col("len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n") > col("len"), 1L).otherwise(0L))
+          .as("docs_truncated"),
+        sum(col("n")).as("total_tokens"),
+        sum(least(col("n"), col("len"))).as("kept_tokens")
+      )
+      .select(
+        col("len"),
+        col("n_docs"),
+        col("docs_truncated"),
+        col("total_tokens"),
+        col("kept_tokens"),
+        round(
+          (col("total_tokens") - col("kept_tokens")).cast("double")
+            / col("total_tokens") * 1e6
+        ).cast("long").as("lost_ppm")
+      )
+  }
 }
