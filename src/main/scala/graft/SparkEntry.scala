@@ -794,6 +794,12 @@ object SparkEntry {
     "q290_truncation_loss" -> (TextAnalysis.truncationLossCurve _),
     // Four band geometries of one 12-perm signature vs exact truth.
     "q291_lsh_tuning" -> ((s, d) => Dedup.lshBandTuning(s, d)),
+    // 10%-trimmed vs raw mean of quality per source.
+    "q292_trimmed_mean" -> ((s, d) => Sampling.trimmedMeanGap(s, d)),
+    // Exact per-source deciles vs corpus deciles with deltas.
+    "q293_qq_drift" -> (Sampling.qqDecileDrift _),
+    // NB lang-ID confusion matrix with margin diagnostics.
+    "q294_lang_confusion" -> (TextAnalysis.langConfusionAudit _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -1599,6 +1605,52 @@ object SparkEntry {
                                  ELSE regexp_split_to_array(trim(text), '\s+')
                             END AS toks
                           FROM documents) a) b)"""
+
+  /** Full q129 oracle statement — shared by its entry and the q294
+    * confusion-audit composition (embedded there as a subquery).
+    */
+  private val nbLangIdOracleSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\s+')
+                  END AS toks FROM documents),
+         tok AS MATERIALIZED (
+           SELECT doc_id, lang, unnest(toks) AS w FROM t),
+         dt AS MATERIALIZED (
+           SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         tl AS MATERIALIZED (
+           SELECT lang AS l, w, count(*) AS ctl FROM tok GROUP BY 1, 2),
+         ls AS (SELECT l, CAST(sum(ctl) AS BIGINT) AS cl
+                FROM tl GROUP BY 1),
+         pr AS (SELECT lang AS l, count(DISTINCT doc_id) AS n_docs
+                FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM pr),
+         v AS (SELECT count(DISTINCT w) AS v FROM tl),
+         lc AS (SELECT ls.l, ln(pr.n_docs / tot.tot) AS ln_prior,
+                  ln(ls.cl + v.v) AS ln_denom
+                FROM ls JOIN pr USING (l) CROSS JOIN tot CROSS JOIN v),
+         ss AS MATERIALIZED (
+           SELECT dt.doc_id, tl.l, sum(dt.c * ln(tl.ctl + 1)) AS s1
+           FROM dt JOIN tl USING (w) GROUP BY 1, 2),
+         dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_doc
+                FROM dt GROUP BY 1),
+         sc AS MATERIALIZED (
+           SELECT d.doc_id, d.lang, lc.l,
+             lc.ln_prior - dn.n_doc * lc.ln_denom
+               + coalesce(ss.s1, 0.0) AS score
+           FROM (SELECT doc_id, lang FROM t) d
+           JOIN dn USING (doc_id)
+           CROSS JOIN lc
+           LEFT JOIN ss ON ss.doc_id = d.doc_id AND ss.l = lc.l),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, l ASC) AS rn FROM sc)
+         SELECT doc_id, any_value(lang) AS lang,
+           max(CASE WHEN rn = 1 THEN l END) AS pred_lang,
+           round(max(CASE WHEN rn = 1 THEN score END)
+             - max(CASE WHEN rn = 2 THEN score END), 6) AS margin,
+           CAST(max(CASE WHEN rn = 1 THEN l END) = any_value(lang)
+             AS INTEGER) AS correct
+         FROM rk WHERE rn <= 2 GROUP BY doc_id"""
 
   private val canonicalChainCtes: String =
     s"""$shinglesCte,
@@ -3113,48 +3165,7 @@ object SparkEntry {
     // pairs contribute ln(1) = 0, so only the observed count table
     // joins in; argmax/margin replayed through the same (score desc,
     // lang asc) window.
-    "q129_nb_langid" ->
-      """WITH t AS (SELECT doc_id, lang,
-                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                       ELSE regexp_split_to_array(trim(text), '\s+')
-                  END AS toks FROM documents),
-         tok AS MATERIALIZED (
-           SELECT doc_id, lang, unnest(toks) AS w FROM t),
-         dt AS MATERIALIZED (
-           SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
-         tl AS MATERIALIZED (
-           SELECT lang AS l, w, count(*) AS ctl FROM tok GROUP BY 1, 2),
-         ls AS (SELECT l, CAST(sum(ctl) AS BIGINT) AS cl
-                FROM tl GROUP BY 1),
-         pr AS (SELECT lang AS l, count(DISTINCT doc_id) AS n_docs
-                FROM tok GROUP BY 1),
-         tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM pr),
-         v AS (SELECT count(DISTINCT w) AS v FROM tl),
-         lc AS (SELECT ls.l, ln(pr.n_docs / tot.tot) AS ln_prior,
-                  ln(ls.cl + v.v) AS ln_denom
-                FROM ls JOIN pr USING (l) CROSS JOIN tot CROSS JOIN v),
-         ss AS MATERIALIZED (
-           SELECT dt.doc_id, tl.l, sum(dt.c * ln(tl.ctl + 1)) AS s1
-           FROM dt JOIN tl USING (w) GROUP BY 1, 2),
-         dn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_doc
-                FROM dt GROUP BY 1),
-         sc AS MATERIALIZED (
-           SELECT d.doc_id, d.lang, lc.l,
-             lc.ln_prior - dn.n_doc * lc.ln_denom
-               + coalesce(ss.s1, 0.0) AS score
-           FROM (SELECT doc_id, lang FROM t) d
-           JOIN dn USING (doc_id)
-           CROSS JOIN lc
-           LEFT JOIN ss ON ss.doc_id = d.doc_id AND ss.l = lc.l),
-         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-                  ORDER BY score DESC, l ASC) AS rn FROM sc)
-         SELECT doc_id, any_value(lang) AS lang,
-           max(CASE WHEN rn = 1 THEN l END) AS pred_lang,
-           round(max(CASE WHEN rn = 1 THEN score END)
-             - max(CASE WHEN rn = 2 THEN score END), 6) AS margin,
-           CAST(max(CASE WHEN rn = 1 THEN l END) = any_value(lang)
-             AS INTEGER) AS correct
-         FROM rk WHERE rn <= 2 GROUP BY doc_id""",
+    "q129_nb_langid" -> nbLangIdOracleSql,
     // q131: identical hashed-feature multinomials; hash60 replayed
     // as the md5 15-hex-char prefix (the q75 shard construction).
     "q131_dsir_weights" ->
@@ -7413,6 +7424,87 @@ object SparkEntry {
            expected_p50_ppm
          FROM raw"""
     },
+    // q292: same (qm, doc_id) rank, exact floor(n/10) trim counts,
+    // integer sums with one division per mean.
+    "q292_trimmed_mean" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         r AS (SELECT source, doc_id, qm,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY qm, doc_id)::BIGINT AS i,
+                 count(*) OVER (PARTITION BY source)::BIGINT AS n_s
+               FROM s),
+         ag AS (SELECT source, max(n_s) AS n,
+                  sum(qm)::BIGINT AS qsum,
+                  sum(CASE WHEN i > n_s // 10
+                        AND i <= n_s - n_s // 10
+                      THEN qm ELSE 0 END)::BIGINT AS tsum,
+                  sum(CASE WHEN i > n_s // 10
+                        AND i <= n_s - n_s // 10
+                      THEN 1 ELSE 0 END)::BIGINT AS n_kept
+                FROM r GROUP BY 1)
+         SELECT source, n,
+           CAST(round(qsum::DOUBLE / n) AS BIGINT) AS mean_micro,
+           CAST(round(tsum::DOUBLE / n_kept) AS BIGINT)
+             AS trimmed_micro,
+           CAST(round(tsum::DOUBLE / n_kept) AS BIGINT)
+             - CAST(round(qsum::DOUBLE / n) AS BIGINT) AS gap_micro
+         FROM ag""",
+    // q293: the q279 cumsum frames; decile values via the exact
+    // integer predicate 10*cum >= d*n with min(qm) per probe.
+    "q293_qq_drift" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         gv AS (SELECT qm, count(*)::BIGINT AS gcnt,
+                  sum(count(*)) OVER (ORDER BY qm
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS gcum
+                FROM s GROUP BY qm),
+         sv AS (SELECT source, qm, count(*)::BIGINT AS scnt,
+                  sum(count(*)) OVER (PARTITION BY source ORDER BY qm
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS scum
+                FROM s GROUP BY source, qm),
+         ns AS (SELECT source, count(*)::BIGINT AS n_s FROM s
+                GROUP BY 1),
+         nn AS (SELECT count(*)::BIGINT AS bign FROM s),
+         dd AS (SELECT unnest(range(1, 10))::BIGINT AS decile),
+         sq AS (SELECT sv.source, dd.decile,
+                  min(sv.qm) AS src_q_micro
+                FROM sv JOIN ns USING (source), dd
+                WHERE sv.scum * 10 >= dd.decile * ns.n_s
+                GROUP BY 1, 2),
+         cq AS (SELECT dd.decile, min(gv.qm) AS corpus_q_micro
+                FROM gv, nn, dd
+                WHERE gv.gcum * 10 >= dd.decile * nn.bign
+                GROUP BY 1)
+         SELECT sq.source, sq.decile, sq.src_q_micro, cq.corpus_q_micro,
+           sq.src_q_micro - cq.corpus_q_micro AS delta_micro
+         FROM sq JOIN cq USING (decile)""",
+    // q294: the full q129 statement as a subquery; micro margins
+    // summed as BIGINT, one division per cell mean.
+    "q294_lang_confusion" ->
+      s"""WITH nb AS (SELECT lang, pred_lang,
+                 CAST(round(margin * 1e6) AS BIGINT) AS mm
+               FROM ($nbLangIdOracleSql) x),
+         tr AS (SELECT lang, count(*)::BIGINT AS n_true FROM nb
+                GROUP BY 1),
+         cell AS (SELECT lang, pred_lang, count(*)::BIGINT AS n,
+                   sum(mm)::BIGINT AS mm_sum,
+                   sum(CASE WHEN mm < 1000000 THEN 1 ELSE 0 END)::BIGINT
+                     AS low_margin_n
+                 FROM nb GROUP BY 1, 2)
+         SELECT cell.lang, cell.pred_lang, cell.n,
+           CAST(round(cell.n::DOUBLE / tr.n_true * 1e6) AS BIGINT)
+             AS row_share_ppm,
+           CAST(round(cell.mm_sum::DOUBLE / cell.n) AS BIGINT)
+             AS mean_margin_micro,
+           cell.low_margin_n
+         FROM cell JOIN tr USING (lang)""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -1875,6 +1875,132 @@ object Sampling {
       )
   }
 
+  /** q292: 10%-trimmed mean vs raw mean of quality per source — the
+    * robust-location twin of q275's MAD scale screen. A large
+    * |gap| means the source's mean is carried by its tails (a few
+    * boilerplate zeros or spam-perfect scores), so mean-based gates
+    * (q130's mean-ppl cut, q259's trend) misread it; the trimmed
+    * column is the number those gates should see. Trim counts are
+    * exact (⌊n/10⌋ per side by (q, doc_id) rank); both means are one
+    * exact-integer sum and one division.
+    *
+    * Scale: one per-source rank window (bounded by the largest
+    * source; the two-level [[Ranking]] rank beyond that) + one agg.
+    */
+  def trimmedMeanGap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("qm").asc, col("doc_id").asc)
+    val ranked = scored
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val k = floor(col("n_s") / lit(10.0)).cast("long")
+    val kept = col("i") > k && col("i") <= col("n_s") - k
+    ranked
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n"),
+        sum(col("qm")).as("qsum"),
+        sum(when(kept, col("qm")).otherwise(0L)).as("tsum"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept")
+      )
+      .select(
+        col("source"),
+        col("n"),
+        round(col("qsum").cast("double") / col("n")).cast("long")
+          .as("mean_micro"),
+        round(col("tsum").cast("double") / col("n_kept")).cast("long")
+          .as("trimmed_micro"),
+        (round(col("tsum").cast("double") / col("n_kept")).cast("long") -
+          round(col("qsum").cast("double") / col("n")).cast("long"))
+          .as("gap_micro")
+      )
+  }
+
+  /** q293: Q-Q decile drift profile — per source, the EXACT deciles
+    * d/10 (d = 1…9) of the quality distribution next to the corpus
+    * deciles, with the signed delta. q279's KS reports one sup;
+    * this says WHERE the drift lives (a tail-only divergence leaves
+    * the middle deltas at zero), which decides between re-weighting
+    * (mid-shift) and outlier screening (tail-shift). Deciles are
+    * value-domain rank statistics: the smallest value whose
+    * cumulative count reaches ⌈d·n/10⌉, evaluated as the EXACT
+    * integer predicate 10·cum ≥ d·n — no percentile_approx, no
+    * per-row global window.
+    *
+    * Scale: the q279 cumsum frames (quantized value domain, bounded);
+    * the decile probe is a 9-literal broadcast join with map-side
+    * partial mins.
+    */
+  def qqDecileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val wg = Window
+      .orderBy(col("qm").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = scored
+      .groupBy(col("qm"))
+      .agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(wg))
+    val ws = Window
+      .partitionBy(col("source"))
+      .orderBy(col("qm").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sv = scored
+      .groupBy(col("source"), col("qm"))
+      .agg(count(lit(1)).as("scnt"))
+      .withColumn("scum", sum(col("scnt")).over(ws))
+    val ns = broadcast(
+      scored.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    )
+    val bigN = broadcast(scored.agg(count(lit(1)).as("bign")))
+    val deciles = broadcast(
+      spark.range(1, 10).select(col("id").as("decile"))
+    )
+    val srcQ = sv
+      .join(ns, "source")
+      .crossJoin(deciles)
+      .filter(col("scum") * 10 >= col("decile") * col("n_s"))
+      .groupBy(col("source"), col("decile"))
+      .agg(min(col("qm")).as("src_q_micro"))
+    val corpQ = broadcast(
+      gv.crossJoin(bigN)
+        .crossJoin(deciles)
+        .filter(col("gcum") * 10 >= col("decile") * col("bign"))
+        .groupBy(col("decile"))
+        .agg(min(col("qm")).as("corpus_q_micro"))
+    )
+    srcQ
+      .join(corpQ, "decile")
+      .select(
+        col("source"),
+        col("decile"),
+        col("src_q_micro"),
+        col("corpus_q_micro"),
+        (col("src_q_micro") - col("corpus_q_micro")).as("delta_micro")
+      )
+  }
+
   /** q281: Jarque-Bera normality audit of the quality score per
     * source — sample skewness g₁ = m₃/m₂^1.5 and excess kurtosis
     * g₂ = m₄/m₂² − 3 from central moments, JB = n/6·(g₁² + g₂²/4),

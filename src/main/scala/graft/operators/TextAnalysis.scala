@@ -3512,4 +3512,48 @@ object TextAnalysis {
         ).cast("long").as("lost_ppm")
       )
   }
+
+  /** q294: language-confusion audit — the q129 NB classifier's
+    * per-doc (label, prediction, margin) stream aggregated into the
+    * confusion matrix with per-cell mean margin and low-margin
+    * counts. Off-diagonal cells with HIGH margin are mislabel
+    * suspects (the model is confident the tag is wrong — route to
+    * q213-style quarantine); diagonal cells with a large low-margin
+    * share mark languages whose boundary needs a better model before
+    * per-language budgets (q150/q268) can be trusted. Margins are
+    * micro-quantized per doc and summed as exact integers; each
+    * share is one division.
+    *
+    * Scale: the NB score topology (vocabulary-sized count tables,
+    * one scoring join), then a |langs|²-bounded aggregate.
+    */
+  def langConfusionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val nb = nbLangId(spark, dir)
+      .select(
+        col("lang"),
+        col("pred_lang"),
+        round(col("margin") * 1e6).cast("long").as("mm")
+      )
+    val tr = broadcast(
+      nb.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+    )
+    nb.groupBy(col("lang"), col("pred_lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("mm")).as("mm_sum"),
+        sum(when(col("mm") < 1000000L, 1L).otherwise(0L))
+          .as("low_margin_n")
+      )
+      .join(tr, "lang")
+      .select(
+        col("lang"),
+        col("pred_lang"),
+        col("n"),
+        round(col("n").cast("double") / col("n_true") * 1e6)
+          .cast("long").as("row_share_ppm"),
+        round(col("mm_sum").cast("double") / col("n")).cast("long")
+          .as("mean_margin_micro"),
+        col("low_margin_n")
+      )
+  }
 }
