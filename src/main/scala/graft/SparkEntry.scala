@@ -800,6 +800,12 @@ object SparkEntry {
     "q293_qq_drift" -> (Sampling.qqDecileDrift _),
     // NB lang-ID confusion matrix with margin diagnostics.
     "q294_lang_confusion" -> (TextAnalysis.langConfusionAudit _),
+    // Deterministic 200-replicate randomization test, top-2 sources.
+    "q295_perm_test" -> ((s, d) => Sampling.meanDiffPermutationTest(s, d)),
+    // Hourly-count autocorrelation at lags 1/24/168 per event type.
+    "q296_hourly_acf" -> (Events.hourlyAcf _),
+    // ESS / worst repetition across five temperature exponents.
+    "q297_alpha_sweep" -> ((s, d) => Sampling.mixAlphaSweep(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -7505,6 +7511,152 @@ object SparkEntry {
              AS mean_margin_micro,
            cell.low_margin_n
          FROM cell JOIN tr USING (lang)""",
+    // q295: same top-2 pick, the hash60 mod-(n_a+n_b) assignment per
+    // replicate, micro-rounded means before the extreme comparison.
+    "q295_perm_test" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         cnt AS (SELECT source, count(*)::BIGINT AS n_src FROM s
+                 GROUP BY 1),
+         t2 AS (SELECT source, grp FROM
+                 (SELECT source, row_number() OVER
+                    (ORDER BY n_src DESC, source ASC) AS grp
+                  FROM cnt) WHERE grp <= 2),
+         ab AS (SELECT s.doc_id, s.qm, t2.grp FROM s
+                JOIN t2 USING (source)),
+         sz AS (SELECT
+                  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_a,
+                  sum(CASE WHEN grp = 2 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_b,
+                  sum(CASE WHEN grp = 1 THEN qm ELSE 0 END)::BIGINT
+                    AS qa,
+                  sum(CASE WHEN grp = 2 THEN qm ELSE 0 END)::BIGINT
+                    AS qb
+                FROM ab),
+         nm AS (SELECT
+                  max(CASE WHEN grp = 1 THEN source END) AS source_a,
+                  max(CASE WHEN grp = 2 THEN source END) AS source_b
+                FROM (SELECT t2.*, cnt.n_src FROM t2
+                      JOIN cnt USING (source))),
+         rp AS (SELECT r.rep, ab.qm,
+                  ('0x' || substr(md5(ab.doc_id::VARCHAR || ':'
+                    || r.rep), 1, 15))::BIGINT
+                    % (sz.n_a + sz.n_b) < sz.n_a AS to_a
+                FROM ab, (SELECT unnest(range(0, 200)) AS rep) r, sz),
+         ag AS (SELECT rep,
+                  sum(CASE WHEN to_a THEN qm ELSE 0 END)::BIGINT AS ra,
+                  sum(CASE WHEN to_a THEN 1 ELSE 0 END)::BIGINT AS ca,
+                  sum(CASE WHEN NOT to_a THEN qm ELSE 0 END)::BIGINT
+                    AS rb,
+                  sum(CASE WHEN NOT to_a THEN 1 ELSE 0 END)::BIGINT
+                    AS cb
+                FROM rp GROUP BY 1),
+         rd AS (SELECT rep,
+                  CAST(round(ra::DOUBLE / ca) AS BIGINT)
+                    - CAST(round(rb::DOUBLE / cb) AS BIGINT) AS rdiff
+                FROM ag),
+         ob AS (SELECT sz.*,
+                  CAST(round(qa::DOUBLE / n_a) AS BIGINT)
+                    - CAST(round(qb::DOUBLE / n_b) AS BIGINT) AS obs
+                FROM sz)
+         SELECT nm.source_a, nm.source_b, ob.n_a, ob.n_b,
+           ob.obs AS obs_diff_micro,
+           sum(CASE WHEN abs(rdiff) >= abs(ob.obs) THEN 1 ELSE 0
+             END)::BIGINT AS n_extreme,
+           count(*)::BIGINT AS b,
+           CAST(round((sum(CASE WHEN abs(rdiff) >= abs(ob.obs)
+             THEN 1 ELSE 0 END) + 1)::DOUBLE / (count(*) + 1) * 1e6)
+             AS BIGINT) AS p_micro,
+           (sum(CASE WHEN abs(rdiff) >= abs(ob.obs) THEN 1 ELSE 0
+             END) + 1)::DOUBLE / (count(*) + 1) < 0.05 AS significant
+         FROM rd, ob, nm GROUP BY 1, 2, 3, 4, 5""",
+    // q296: integer-div hour buckets, dense zero-filled grid, the
+    // milli-mean pivot, exact BIGINT ACF sums, lead() lattice.
+    "q296_hourly_acf" ->
+      """WITH c AS (SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS h,
+                 count(*)::BIGINT AS x
+               FROM events GROUP BY 1, 2),
+         sp AS (SELECT event_type, min(h) AS h_min, max(h) AS h_max
+                FROM c GROUP BY 1),
+         g AS (SELECT event_type, unnest(range(h_min, h_max + 1)) AS h
+               FROM sp),
+         dn AS (SELECT g.event_type, g.h,
+                  coalesce(c.x, 0)::BIGINT AS x
+                FROM g LEFT JOIN c USING (event_type, h)),
+         m AS (SELECT event_type,
+                 CAST(round(avg(x) * 1e3) AS BIGINT) AS m_milli
+               FROM dn GROUP BY 1),
+         dv AS (SELECT dn.event_type, dn.h,
+                  1000 * dn.x - m.m_milli AS d
+                FROM dn JOIN m USING (event_type)),
+         ld AS (SELECT event_type, d,
+                  lead(d, 1) OVER (PARTITION BY event_type
+                    ORDER BY h) AS d1,
+                  lead(d, 24) OVER (PARTITION BY event_type
+                    ORDER BY h) AS d24,
+                  lead(d, 168) OVER (PARTITION BY event_type
+                    ORDER BY h) AS d168
+                FROM dv),
+         ag AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+                  sum(d * d)::BIGINT AS den,
+                  sum(CASE WHEN d1 IS NULL THEN 0 ELSE d * d1
+                    END)::BIGINT AS num1,
+                  sum(CASE WHEN d24 IS NULL THEN 0 ELSE d * d24
+                    END)::BIGINT AS num24,
+                  sum(CASE WHEN d168 IS NULL THEN 0 ELSE d * d168
+                    END)::BIGINT AS num168
+                FROM ld GROUP BY 1),
+         l AS (SELECT unnest([1, 24, 168])::BIGINT AS lag)
+         SELECT event_type, l.lag, n_hours,
+           CASE WHEN den = 0 THEN 0
+                ELSE CAST(round((CASE l.lag WHEN 1 THEN num1
+                  WHEN 24 THEN num24 ELSE num168 END)::DOUBLE
+                  / den * 1e6) AS BIGINT)
+           END AS acf_micro,
+           den <> 0 AND (CASE l.lag WHEN 1 THEN num1
+             WHEN 24 THEN num24 ELSE num168 END)::DOUBLE / den > 0.2
+             AS seasonal
+         FROM ag, l""",
+    // q297: the q289 chain swept over an unnested alpha lattice; the
+    // per-alpha argmax via the same (rep desc, lang asc) window.
+    "q297_alpha_sweep" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs
+                     FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM pl),
+         a AS (SELECT unnest([0, 30, 50, 70, 100])::BIGINT
+                 AS alpha_centi),
+         qraw AS (SELECT lang, n_docs, tot, alpha_centi,
+                   pow(n_docs / tot, alpha_centi / 100.0) AS qr
+                 FROM pl CROSS JOIN tot CROSS JOIN a),
+         qs AS (SELECT alpha_centi, sum(qr) AS qs FROM qraw
+                GROUP BY 1),
+         t AS (SELECT qraw.lang, qraw.n_docs, qraw.tot,
+                 qraw.alpha_centi, qraw.qr / qs.qs AS q
+               FROM qraw JOIN qs USING (alpha_centi)),
+         t2 AS (SELECT lang, n_docs, tot, alpha_centi,
+                  CAST(round(q * q / n_docs * 1e15) AS BIGINT)
+                    AS t_femto,
+                  CAST(round(0.5 * tot * q / n_docs * 1e6) AS BIGINT)
+                    AS rep_micro
+                FROM t),
+         fs AS (SELECT alpha_centi, sum(t_femto)::BIGINT AS f_sum
+                FROM t2 GROUP BY 1),
+         tp AS (SELECT alpha_centi, tot, rep_micro AS max_rep_micro,
+                  lang AS max_rep_lang
+                FROM (SELECT t2.*, row_number() OVER
+                       (PARTITION BY alpha_centi
+                        ORDER BY rep_micro DESC, lang ASC) AS rn
+                      FROM t2) WHERE rn = 1)
+         SELECT tp.alpha_centi,
+           CAST(round(1e15 / fs.f_sum) AS BIGINT) AS ess_docs,
+           CAST(round(1e15 / fs.f_sum / tp.tot * 1e6) AS BIGINT)
+             AS ess_ppm,
+           tp.max_rep_micro, tp.max_rep_lang
+         FROM tp JOIN fs USING (alpha_centi)""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -795,4 +795,98 @@ object Events {
         ).as("decayed_count")
       )
   }
+
+  /** q296: seasonality strength per event type — the sample
+    * autocorrelation of the DENSE hourly count series at lags 1
+    * (persistence), 24 (daily cycle), and 168 (weekly cycle). q254
+    * flags individual bursts against a trailing window; this is the
+    * global periodic structure those thresholds should be conditioned
+    * on (a type with acf₂₄ ≈ 0.8 needs hour-of-day-relative burst
+    * baselines, q280's cells). The grid is filled with explicit
+    * zero hours (sequence over the [min, max] hour range — absent
+    * hours are real observations of zero, and skipping them biases
+    * the ACF toward busy periods).
+    *
+    * Determinism: hour buckets are exact integer `div`; deviations
+    * use the milli-mean integer pivot (d = 1000·x − m), so both ACF
+    * sums are exact BIGINTs and the ratio is one division.
+    *
+    * Scale: one (type, hour) count agg; the dense series is bounded
+    * by the time span (hours, not events), so the per-type window is
+    * bounded by construction; three lead() columns ride one window.
+    */
+  def hourlyAcf(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h")
+      )
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("x"))
+    val span = counts
+      .groupBy(col("event_type"))
+      .agg(min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+    val grid = span
+      .select(
+        col("event_type"),
+        explode(sequence(col("h_min"), col("h_max"))).as("h")
+      )
+    val dense = grid
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(
+        col("event_type"),
+        col("h"),
+        coalesce(col("x"), lit(0L)).as("x")
+      )
+    val m = broadcast(
+      dense
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("x")) * 1e3).cast("long").as("m_milli"))
+    )
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    val withD = dense
+      .join(m, "event_type")
+      .withColumn("d", lit(1000L) * col("x") - col("m_milli"))
+      .withColumn("d1", lead(col("d"), 1).over(w))
+      .withColumn("d24", lead(col("d"), 24).over(w))
+      .withColumn("d168", lead(col("d"), 168).over(w))
+    val agg = withD
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        sum(col("d") * col("d")).as("den"),
+        sum(when(col("d1").isNotNull, col("d") * col("d1"))
+          .otherwise(0L)).as("num1"),
+        sum(when(col("d24").isNotNull, col("d") * col("d24"))
+          .otherwise(0L)).as("num24"),
+        sum(when(col("d168").isNotNull, col("d") * col("d168"))
+          .otherwise(0L)).as("num168")
+      )
+    agg
+      .select(
+        col("event_type"),
+        col("n_hours"),
+        col("den"),
+        explode(
+          array(
+            struct(lit(1L).as("lag"), col("num1").as("num")),
+            struct(lit(24L).as("lag"), col("num24").as("num")),
+            struct(lit(168L).as("lag"), col("num168").as("num"))
+          )
+        ).as("e")
+      )
+      .select(
+        col("event_type"),
+        col("e.lag").as("lag"),
+        col("n_hours"),
+        when(col("den") === 0L, lit(0L))
+          .otherwise(
+            round(col("e.num").cast("double") / col("den") * 1e6)
+              .cast("long")
+          ).as("acf_micro"),
+        (col("den") =!= 0L &&
+          col("e.num").cast("double") / col("den") > 0.2).as("seasonal")
+      )
+  }
 }

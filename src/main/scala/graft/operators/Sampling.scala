@@ -2001,6 +2001,211 @@ object Sampling {
       )
   }
 
+  /** q295: deterministic randomization test for the mean-quality
+    * difference between the two LARGEST sources — the
+    * distribution-free significance check behind q292's gap and
+    * q283's rank shift: is the observed mean difference larger than
+    * what label-shuffling produces? 200 replicates reassign each doc
+    * to group A with the exact-integer predicate
+    * `hash60(doc_id:rep) mod (n_a+n_b) < n_a` (binomial
+    * randomization — group sizes vary per replicate, documented);
+    * the two-sided p-value is (1 + #{|diff_r| ≥ |observed|})/(B+1).
+    * Every replicate statistic is exact integer sums with one
+    * division, micro-rounded before the comparison.
+    *
+    * Scale: one scan of the two sources' docs exploded ×200 into
+    * (rep, group) partial sums — map-side combined to 400 cells, so
+    * the shuffle carries 400·P rows regardless of corpus size;
+    * replicate count is the only amplifier and it is a constant.
+    */
+  def meanDiffPermutationTest(
+      spark: SparkSession,
+      dir: String,
+      reps: Int = 200
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    // the two largest sources, ties by name — a deterministic pick
+    val top2 = scored
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_src"))
+      .orderBy(col("n_src").desc, col("source").asc)
+      .limit(2)
+      .withColumn(
+        "grp",
+        row_number().over(
+          Window.orderBy(col("n_src").desc, col("source").asc)
+        )
+      )
+    val ab = scored.join(broadcast(top2), "source")
+    val sizes = broadcast(
+      ab.groupBy()
+        .agg(
+          sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("grp") === 1, col("qm")).otherwise(0L)).as("qa"),
+          sum(when(col("grp") === 2, col("qm")).otherwise(0L)).as("qb"),
+          max(when(col("grp") === 1, col("source"))).as("source_a"),
+          max(when(col("grp") === 2, col("source"))).as("source_b")
+        )
+    )
+    val obsDiff = round(col("qa").cast("double") / col("n_a")).cast("long") -
+      round(col("qb").cast("double") / col("n_b")).cast("long")
+    val repFrame = ab
+      .crossJoin(sizes.select(col("n_a"), col("n_b")))
+      .select(
+        col("doc_id"),
+        col("qm"),
+        col("n_a"),
+        col("n_b"),
+        explode(sequence(lit(0), lit(reps - 1))).as("rep")
+      )
+      .select(
+        col("rep"),
+        col("qm"),
+        (graft.functions.TextFunctions.hash60(
+          concat(
+            col("doc_id").cast("string"),
+            lit(":"),
+            col("rep").cast("string")
+          )
+        ) % (col("n_a") + col("n_b")) < col("n_a")).as("to_a")
+      )
+      .groupBy(col("rep"))
+      .agg(
+        sum(when(col("to_a"), col("qm")).otherwise(0L)).as("ra"),
+        sum(when(col("to_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("to_a"), col("qm")).otherwise(0L)).as("rb"),
+        sum(when(!col("to_a"), 1L).otherwise(0L)).as("cb")
+      )
+      // a replicate that empties a group (never at real sizes) is
+      // counted as extreme on both engines via the null comparison
+      .select(
+        col("rep"),
+        (round(col("ra").cast("double") / col("ca")).cast("long") -
+          round(col("rb").cast("double") / col("cb")).cast("long"))
+          .as("rdiff")
+      )
+    repFrame
+      .crossJoin(sizes)
+      .groupBy(
+        col("source_a"),
+        col("source_b"),
+        col("n_a"),
+        col("n_b")
+      )
+      .agg(
+        max(obsDiff).as("obs_diff_micro"),
+        sum(when(abs(col("rdiff")) >= abs(obsDiff), 1L).otherwise(0L))
+          .as("n_extreme"),
+        count(lit(1)).as("b")
+      )
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_a"),
+        col("n_b"),
+        col("obs_diff_micro"),
+        col("n_extreme"),
+        col("b"),
+        round(
+          (col("n_extreme") + 1).cast("double") / (col("b") + 1) * 1e6
+        ).cast("long").as("p_micro"),
+        ((col("n_extreme") + 1).cast("double") / (col("b") + 1) < 0.05)
+          .as("significant")
+      )
+  }
+
+  /** q297: temperature-α planning sweep — the q289 ESS and the
+    * worst-case repetition factor evaluated at α ∈ {0, 0.3, 0.5,
+    * 0.7, 1.0} in one pass. α=1 is proportional sampling (ESS = N,
+    * no upsampling); α=0 is uniform-over-languages (maximal
+    * low-resource repetition); the table shows exactly what each
+    * step of flattening costs in effective samples and who pays it
+    * (`max_rep_lang`) — the two columns a mix review actually reads
+    * before settling the q132 exponent.
+    *
+    * Scale: one (lang) count agg; the sweep is |alphas|·|langs|-row
+    * arithmetic (femto-quantized ESS terms, the q289 convention);
+    * the per-α argmax is a bounded window.
+    */
+  def mixAlphaSweep(
+      spark: SparkSession,
+      dir: String,
+      budgetFrac: Double = 0.5
+  ): DataFrame = {
+    val perLang = Tables
+      .documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = broadcast(
+      perLang.agg(sum(col("n_docs")).cast("double").as("tot"))
+    )
+    val alphas = Seq(0L, 30L, 50L, 70L, 100L)
+    val qraw = perLang
+      .crossJoin(tot)
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("tot"),
+        explode(lit(alphas.toArray)).as("alpha_centi")
+      )
+      .withColumn(
+        "qr",
+        pow(col("n_docs") / col("tot"), col("alpha_centi") / lit(100.0))
+      )
+    val qs = qraw
+      .groupBy(col("alpha_centi"))
+      .agg(sum(col("qr")).as("qs"))
+    val terms = qraw
+      .join(broadcast(qs), "alpha_centi")
+      .withColumn("q", col("qr") / col("qs"))
+      .withColumn(
+        "t_femto",
+        round(col("q") * col("q") / col("n_docs") * 1e15).cast("long")
+      )
+      .withColumn(
+        "rep_micro",
+        round(
+          lit(budgetFrac) * col("tot") * col("q") / col("n_docs") * 1e6
+        ).cast("long")
+      )
+    val fs = terms
+      .groupBy(col("alpha_centi"))
+      .agg(sum(col("t_femto")).as("f_sum"))
+    val wr = Window
+      .partitionBy(col("alpha_centi"))
+      .orderBy(col("rep_micro").desc, col("lang").asc)
+    val top = terms
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(
+        col("alpha_centi"),
+        col("tot"),
+        col("rep_micro").as("max_rep_micro"),
+        col("lang").as("max_rep_lang")
+      )
+    top
+      .join(broadcast(fs), "alpha_centi")
+      .select(
+        col("alpha_centi"),
+        round(lit(1e15) / col("f_sum")).cast("long").as("ess_docs"),
+        round(lit(1e15) / col("f_sum") / col("tot") * 1e6).cast("long")
+          .as("ess_ppm"),
+        col("max_rep_micro"),
+        col("max_rep_lang")
+      )
+  }
+
   /** q281: Jarque-Bera normality audit of the quality score per
     * source — sample skewness g₁ = m₃/m₂^1.5 and excess kurtosis
     * g₂ = m₄/m₂² − 3 from central moments, JB = n/6·(g₁² + g₂²/4),
