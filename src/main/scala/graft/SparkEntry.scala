@@ -806,6 +806,12 @@ object SparkEntry {
     "q296_hourly_acf" -> (Events.hourlyAcf _),
     // ESS / worst repetition across five temperature exponents.
     "q297_alpha_sweep" -> ((s, d) => Sampling.mixAlphaSweep(s, d)),
+    // Minimum detectable-shift sample size per source vs actual n.
+    "q298_power_audit" -> (Sampling.samplePowerAudit _),
+    // Length-standardized (Kitagawa) quality gap per source.
+    "q299_adjusted_quality" -> (Sampling.compositionAdjustedQuality _),
+    // Exact Shapley split of the four-gate stack's kill count.
+    "q300_gate_shapley" -> (TextAnalysis.gateShapley _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -7657,6 +7663,105 @@ object SparkEntry {
              AS ess_ppm,
            tp.max_rep_micro, tp.max_rep_lang
          FROM tp JOIN fs USING (alpha_centi)""",
+    // q298: the q281 integer-pivot second moment; same z constants
+    // and delta, same ceil.
+    "q298_power_audit" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         mn AS (SELECT source, CAST(round(avg(qm)) AS BIGINT)
+                  AS mean_micro
+                FROM s GROUP BY 1),
+         ag AS (SELECT s.source, count(*)::BIGINT AS n,
+                  max(mn.mean_micro)::BIGINT AS mean_micro,
+                  sum((s.qm - mn.mean_micro)
+                    * (s.qm - mn.mean_micro))::BIGINT AS s2
+                FROM s JOIN mn USING (source) GROUP BY 1)
+         SELECT source, n, mean_micro,
+           CAST(round(s2::DOUBLE / n) AS BIGINT) AS var_micro2,
+           CAST(ceil((1.96 + 0.8416) * (1.96 + 0.8416)
+             * (s2::DOUBLE / n) / (10000.0 * 10000.0)) AS BIGINT)
+             AS n_needed,
+           n < ceil((1.96 + 0.8416) * (1.96 + 0.8416)
+             * (s2::DOUBLE / n) / (10000.0 * 10000.0)) AS underpowered
+         FROM ag""",
+    // q299: the q288 digit-count strata, micro-integer stratum means,
+    // exact-integer expectation dot product.
+    "q299_adjusted_quality" ->
+      s"""WITH $qualityCte,
+         x AS (SELECT doc_id, source,
+                 length(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END)::BIGINT AS VARCHAR)) AS stratum
+               FROM documents),
+         s AS (SELECT x.source, x.stratum,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM x JOIN qq USING (doc_id)),
+         cs AS (SELECT stratum, CAST(round(avg(qm)) AS BIGINT)
+                  AS cm_micro
+                FROM s GROUP BY 1),
+         cm AS (SELECT CAST(round(avg(qm)) AS BIGINT) AS corpus_micro
+                FROM s),
+         ag AS (SELECT source, stratum, count(*)::BIGINT AS n_ss,
+                  sum(qm)::BIGINT AS q_ss
+                FROM s GROUP BY 1, 2),
+         j AS (SELECT source, sum(n_ss)::BIGINT AS n,
+                 sum(q_ss)::BIGINT AS qsum,
+                 sum(n_ss * cs.cm_micro)::BIGINT AS esum
+               FROM ag JOIN cs USING (stratum) GROUP BY 1)
+         SELECT source, n,
+           CAST(round(qsum::DOUBLE / n) AS BIGINT) AS actual_micro,
+           CAST(round(esum::DOUBLE / n) AS BIGINT) AS expected_micro,
+           cm.corpus_micro,
+           CAST(round(qsum::DOUBLE / n) AS BIGINT) - cm.corpus_micro
+             AS raw_gap_micro,
+           CAST(round(qsum::DOUBLE / n) AS BIGINT)
+             - CAST(round(esum::DOUBLE / n) AS BIGINT)
+             AS adj_gap_micro
+         FROM j, cm""",
+    // q300: the shared gate-flag CTEs, 16-pattern counts, and the
+    // IDENTICAL subset lattice (generated from the same Scala seq).
+    "q300_gate_shapley" -> {
+      val latRows = graft.operators.TextAnalysis.gateShapleyLattice
+        .map { case (g, ig, il, im, ip, w) =>
+          s"('$g', $ig, $il, $im, $ip, $w)"
+        }
+        .mkString(", ")
+      s"""WITH $gateFlagsCtes,
+         wd AS (SELECT doc_id,
+                  max(CASE WHEN gate = 'gopher' THEN f END) AS fg,
+                  max(CASE WHEN gate = 'lr' THEN f END) AS fl2,
+                  max(CASE WHEN gate = 'ml' THEN f END) AS fm,
+                  max(CASE WHEN gate = 'ppl' THEN f END) AS fp
+                FROM fl GROUP BY 1),
+         wf AS (SELECT * FROM wd WHERE fg IS NOT NULL
+                  AND fl2 IS NOT NULL AND fm IS NOT NULL
+                  AND fp IS NOT NULL),
+         pat AS (SELECT fg, fl2, fm, fp, count(*)::BIGINT AS c
+                 FROM wf GROUP BY 1, 2, 3, 4),
+         tot AS (SELECT sum(c)::BIGINT AS n,
+                  sum(CASE WHEN NOT (fg AND fl2 AND fm AND fp)
+                    THEN c ELSE 0 END)::BIGINT AS killed_total
+                 FROM pat),
+         lat AS (SELECT * FROM (VALUES $latRows)
+                   v(gate, ig, il, im, ip, w24)),
+         sh AS (SELECT lat.gate,
+                  sum(CASE WHEN (lat.ig = 0 OR pat.fg)
+                    AND (lat.il = 0 OR pat.fl2)
+                    AND (lat.im = 0 OR pat.fm)
+                    AND (lat.ip = 0 OR pat.fp)
+                    AND NOT (CASE lat.gate WHEN 'gopher' THEN pat.fg
+                      WHEN 'lr' THEN pat.fl2 WHEN 'ml' THEN pat.fm
+                      ELSE pat.fp END)
+                    THEN pat.c * lat.w24 ELSE 0 END)::BIGINT
+                    AS shapley_24ths
+                FROM pat CROSS JOIN lat GROUP BY 1)
+         SELECT sh.gate, tot.n, tot.killed_total, sh.shapley_24ths,
+           CAST(round(sh.shapley_24ths::DOUBLE / (tot.n * 24) * 1e6)
+             AS BIGINT) AS shapley_ppm
+         FROM sh, tot"""
+    },
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -2206,6 +2206,133 @@ object Sampling {
       )
   }
 
+  /** q298: per-source sample-size adequacy (power analysis) — the
+    * minimum n that detects a δ = 0.01 mean-quality shift at
+    * two-sided α = 0.05 with power 0.8, from each source's OWN
+    * variance: n* = ((z_{α/2}+z_β)·σ/δ)². Sources with n < n* are
+    * flagged: their q259 trend points and q279/q283 drift verdicts
+    * are underpowered, so an alert from them is noise until more
+    * data lands (and a quiet signal means nothing). Variance uses
+    * the exact integer-pivot second moment (the q281 convention:
+    * d = qm − mean_micro is an exact integer, Σd² an exact BIGINT).
+    *
+    * Scale: one mean agg + one centered agg, both map-side combined;
+    * the formula is |sources|-row arithmetic.
+    */
+  def samplePowerAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val meanF = scored
+      .groupBy(col("source"))
+      .agg(round(avg(col("qm"))).cast("long").as("mean_micro"))
+    val agg = scored
+      .join(broadcast(meanF), "source")
+      .withColumn("d", col("qm") - col("mean_micro"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("mean_micro")).as("mean_micro"),
+        sum(col("d") * col("d")).as("s2")
+      )
+    // ((1.96 + 0.8416) * sigma / delta)^2 with delta = 10000 micro
+    val varMicro2 = col("s2").cast("double") / col("n")
+    val zsum = lit(1.96 + 0.8416)
+    val nNeeded = ceil(
+      zsum * zsum * varMicro2 / (lit(10000.0) * lit(10000.0))
+    ).cast("long")
+    agg.select(
+      col("source"),
+      col("n"),
+      col("mean_micro"),
+      round(varMicro2).cast("long").as("var_micro2"),
+      nNeeded.as("n_needed"),
+      (col("n") < nNeeded).as("underpowered")
+    )
+  }
+
+  /** q299: composition-adjusted quality (direct standardization /
+    * Kitagawa) — each source's mean quality next to the mean it
+    * WOULD have if quality depended only on document length: the
+    * corpus per-stratum means (strata = decimal digit count of the
+    * token count, the q288 feature) weighted by the source's own
+    * stratum mix. A source whose raw gap vs the corpus collapses
+    * after adjustment isn't better or worse — it just writes longer
+    * or shorter documents, and gating it on raw mean quality double-
+    * counts length (which the score already rewards). Stratum means
+    * are micro-integers; the expected mean is an exact-integer dot
+    * product with ONE final division.
+    *
+    * Scale: one tokenize+score scan feeding a |strata|-row corpus
+    * agg (broadcast back) and a (source, stratum) agg — nothing
+    * beyond the scan grows with the corpus.
+    */
+  def compositionAdjustedQuality(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        length(
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long")
+            .cast("string")
+        ).as("stratum")
+      )
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val corpusStratum = broadcast(
+      scored
+        .groupBy(col("stratum"))
+        .agg(round(avg(col("qm"))).cast("long").as("cm_micro"))
+    )
+    val corpusMean = broadcast(
+      scored.agg(round(avg(col("qm"))).cast("long").as("corpus_micro"))
+    )
+    scored
+      .groupBy(col("source"), col("stratum"))
+      .agg(count(lit(1)).as("n_ss"), sum(col("qm")).as("q_ss"))
+      .join(corpusStratum, "stratum")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_ss")).as("n"),
+        sum(col("q_ss")).as("qsum"),
+        sum(col("n_ss") * col("cm_micro")).as("esum")
+      )
+      .crossJoin(corpusMean)
+      .select(
+        col("source"),
+        col("n"),
+        round(col("qsum").cast("double") / col("n")).cast("long")
+          .as("actual_micro"),
+        round(col("esum").cast("double") / col("n")).cast("long")
+          .as("expected_micro"),
+        col("corpus_micro"),
+        (round(col("qsum").cast("double") / col("n")).cast("long")
+          - col("corpus_micro")).as("raw_gap_micro"),
+        (round(col("qsum").cast("double") / col("n")).cast("long")
+          - round(col("esum").cast("double") / col("n")).cast("long"))
+          .as("adj_gap_micro")
+      )
+  }
+
   /** q281: Jarque-Bera normality audit of the quality score per
     * source — sample skewness g₁ = m₃/m₂^1.5 and excess kurtosis
     * g₂ = m₄/m₂² − 3 from central moments, JB = n/6·(g₁² + g₂²/4),

@@ -3556,4 +3556,120 @@ object TextAnalysis {
         col("low_margin_n")
       )
   }
+
+  /** The (gate, include-flags, 24·weight) subset lattice behind
+    * q300's exact Shapley computation — public so the DuckDB oracle
+    * replays the IDENTICAL rows as a VALUES list. For each gate g
+    * and each subset S of the other three gates, the Shapley weight
+    * |S|!·(3−|S|)!/4! appears as an integer numerator over 24.
+    */
+  def gateShapleyLattice: Seq[(String, Int, Int, Int, Int, Int)] = {
+    val gates = Seq("gopher", "lr", "ml", "ppl")
+    for {
+      g <- gates
+      mask <- 0 until 8
+    } yield {
+      val others = gates.filterNot(_ == g)
+      val inc = others.zipWithIndex
+        .map { case (h, i) => h -> ((mask >> i) & 1) }
+        .toMap
+      val w24 = Seq(6, 2, 2, 6)(inc.values.sum)
+      (
+        g,
+        inc.getOrElse("gopher", 0),
+        inc.getOrElse("lr", 0),
+        inc.getOrElse("ml", 0),
+        inc.getOrElse("ppl", 0),
+        w24
+      )
+    }
+  }
+
+  /** q300: exact Shapley attribution of the four-gate stack's kill
+    * count — for each gate, its average marginal contribution to
+    * "documents removed" over ALL 2³ arrival orders of the other
+    * gates, not just the leave-one-out view q229 reports. Shapley is
+    * the only attribution that sums EXACTLY to the stack's total
+    * kill (efficiency — asserted in spec), so overlapping gates
+    * split shared kills instead of double-counting them; a gate
+    * whose Shapley share is far below its solo kill rate is mostly
+    * redundant with the rest of the stack. Computed from the 16
+    * pass-pattern counts: φ_g·24 = Σ_S w24(|S|)·#{docs passing all
+    * of S but killed by g} — every term an exact BIGINT.
+    *
+    * Scale: the shared gate-flag frame, one 16-row pattern agg, and
+    * a 16×32 constant-lattice join — corpus cost is one pass.
+    */
+  def gateShapley(spark: SparkSession, dir: String): DataFrame = {
+    val wide = gateFlags(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("gate") === "gopher", col("f"))).as("fg"),
+        max(when(col("gate") === "lr", col("f"))).as("fl"),
+        max(when(col("gate") === "ml", col("f"))).as("fm"),
+        max(when(col("gate") === "ppl", col("f"))).as("fp")
+      )
+      .filter(
+        col("fg").isNotNull && col("fl").isNotNull &&
+          col("fm").isNotNull && col("fp").isNotNull
+      )
+    val pat = wide
+      .groupBy(col("fg"), col("fl"), col("fm"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+    val tot = broadcast(
+      pat.agg(
+        sum(col("c")).as("n"),
+        sum(
+          when(!(col("fg") && col("fl") && col("fm") && col("fp")),
+            col("c")).otherwise(0L)
+        ).as("killed_total")
+      )
+    )
+    val latticeDf = broadcast(
+      spark
+        .range(1)
+        .select(
+          explode(
+            array(gateShapleyLattice.map {
+              case (g, ig, il, im, ip, w) =>
+                struct(
+                  lit(g).as("gate"),
+                  lit(ig).as("ig"),
+                  lit(il).as("il"),
+                  lit(im).as("im"),
+                  lit(ip).as("ip"),
+                  lit(w.toLong).as("w24")
+                )
+            }: _*)
+          ).as("e")
+        )
+        .select(col("e.*"))
+    )
+    val passesS = (col("ig") === 0 || col("fg")) &&
+      (col("il") === 0 || col("fl")) &&
+      (col("im") === 0 || col("fm")) &&
+      (col("ip") === 0 || col("fp"))
+    val ownPass = when(col("gate") === "gopher", col("fg"))
+      .when(col("gate") === "lr", col("fl"))
+      .when(col("gate") === "ml", col("fm"))
+      .otherwise(col("fp"))
+    pat
+      .crossJoin(latticeDf)
+      .groupBy(col("gate"))
+      .agg(
+        sum(
+          when(passesS && !ownPass, col("c") * col("w24")).otherwise(0L)
+        ).as("shapley_24ths")
+      )
+      .crossJoin(tot)
+      .select(
+        col("gate"),
+        col("n"),
+        col("killed_total"),
+        col("shapley_24ths"),
+        round(
+          col("shapley_24ths").cast("double") / (col("n") * 24) * 1e6
+        ).cast("long").as("shapley_ppm")
+      )
+  }
 }
