@@ -812,6 +812,12 @@ object SparkEntry {
     "q299_adjusted_quality" -> (Sampling.compositionAdjustedQuality _),
     // Exact Shapley split of the four-gate stack's kill count.
     "q300_gate_shapley" -> (TextAnalysis.gateShapley _),
+    // Streaming burst detector drained ≡ batch q254 minus open hours.
+    "q301_stream_bursts" -> (streaming.EventStreams.streamBurstFlags _),
+    // k-occurrence (hubness) histogram of the exact 5-NN graph.
+    "q302_hubness" -> (Similarity.hubnessAudit _),
+    // KMV vs exact distinct tokens per source with ppm error.
+    "q303_kmv_error" -> (Sketches.kmvSourceTokenError _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -7762,6 +7768,90 @@ object SparkEntry {
              AS BIGINT) AS shapley_ppm
          FROM sh, tot"""
     },
+    // q301: the batch q254 chain restricted to CLOSED hours (every
+    // hour strictly before each type's max) — the stream's final
+    // open bucket is not complete, so it never emits.
+    "q301_stream_bursts" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         mx AS (SELECT event_type, max(hour) AS h_max FROM h
+                GROUP BY 1),
+         w AS (SELECT event_type, hour, n,
+                 count(*) OVER tw AS k, sum(n) OVER tw AS s,
+                 sum(n * n) OVER tw AS s2
+               FROM h WINDOW tw AS (PARTITION BY event_type
+                 ORDER BY hour ROWS BETWEEN 24 PRECEDING
+                 AND 1 PRECEDING))
+         SELECT w.event_type, epoch_us(w.hour)::BIGINT AS hour_us,
+           w.n, k::BIGINT AS n_prev,
+           CASE WHEN k >= 12
+                 AND (s2::DOUBLE - s::DOUBLE * s / k) / k > 0
+                THEN CAST(round((n - s::DOUBLE / k)
+                  / sqrt((s2::DOUBLE - s::DOUBLE * s / k) / k) * 1e6)
+                  AS BIGINT) END AS z_micro,
+           coalesce(k >= 12
+             AND (s2::DOUBLE - s::DOUBLE * s / k) / k > 0
+             AND (n - s::DOUBLE / k)
+               / sqrt((s2::DOUBLE - s::DOUBLE * s / k) / k) > 3.0,
+             false) AS burst
+         FROM w JOIN mx USING (event_type)
+         WHERE w.hour < mx.h_max""",
+    // q302: the q240 broadcast-eval topology at k=5; the zero-
+    // occurrence mass appended from the corpus/appearing totals.
+    "q302_hubness" -> {
+      val pairCos = cosSql("q_vec", "e.embedding")
+      s"""WITH ev AS (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id % 5 = 0),
+         s AS (SELECT ev.q_id, e.vec_id, $pairCos AS sim
+               FROM embeddings e JOIN ev ON e.vec_id <> ev.q_id),
+         r AS (SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id ASC) AS rk
+               FROM s),
+         oc AS (SELECT vec_id, count(*)::BIGINT AS occurrences
+                FROM r WHERE rk <= 5 GROUP BY 1),
+         hh AS (SELECT occurrences, count(*)::BIGINT AS n_vectors
+                FROM oc GROUP BY 1),
+         t AS (SELECT count(*)::BIGINT AS n_corpus FROM embeddings),
+         ap AS (SELECT count(*)::BIGINT AS n_app FROM oc),
+         u AS (SELECT occurrences, n_vectors FROM hh
+               UNION ALL
+               SELECT 0::BIGINT, (t.n_corpus - ap.n_app)::BIGINT
+               FROM t, ap)
+         SELECT occurrences, n_vectors,
+           CAST(round(n_vectors::DOUBLE / t.n_corpus * 1e6) AS BIGINT)
+             AS share_ppm
+         FROM u, t"""
+    },
+    // q303: the q58 KMV chain per source over token hashes — same
+    // 60-bit hash, same (k-1)*2^60/h_k estimator, same k=256.
+    "q303_kmv_error" ->
+      """WITH tk AS (SELECT source,
+             unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+')
+                    END) AS w
+           FROM documents),
+         h AS (SELECT DISTINCT source,
+                 ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+               FROM tk),
+         r AS (SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h)
+                   AS rk,
+                 count(*) OVER (PARTITION BY source) AS nd
+               FROM h),
+         e AS (SELECT source,
+                 CASE WHEN any_value(nd) < 256
+                      THEN any_value(nd)::DOUBLE
+                      ELSE 255::DOUBLE * 1152921504606846976::DOUBLE
+                           / max(CASE WHEN rk = 256 THEN h END)::DOUBLE
+                 END AS est,
+                 CAST(any_value(nd) AS BIGINT) AS n_exact
+               FROM r GROUP BY 1)
+         SELECT source, n_exact, round(est, 6) AS kmv_estimate,
+           CAST(round(abs(est - n_exact) / n_exact * 1e6) AS BIGINT)
+             AS err_ppm
+         FROM e""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -1643,4 +1643,61 @@ object Similarity {
         round(col("exact_dist"), 6).as("exact_dist")
       )
   }
+
+  /** q302: hubness audit of the exact 5-NN graph — the k-occurrence
+    * histogram: for each corpus vector, how many query vectors list
+    * it among their top-5, bucketed into (occurrences → vector
+    * count) including the never-retrieved mass at 0. High-dimensional
+    * embedding spaces grow "hub" vectors that appear in a huge
+    * fraction of neighbor lists (Radovanović et al., JMLR 2010) —
+    * hubs poison kNN label eval (q240), dedup-by-neighbor (q135),
+    * and retrieval diversity, and the fix (centering / whitening,
+    * q156) is exactly what this table decides. Queries are the q240
+    * eval slice (vec_id % 5 = 0, self excluded).
+    *
+    * Scale: the q240/q244 topology — corpus streams past the
+    * broadcast query slice, WindowGroupLimit keeps only per-query
+    * top-5 rows across the exchange; the histogram is a bounded agg.
+    */
+  def hubnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = e
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("sim")
+      )
+    val w = Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val occ = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("occurrences"))
+    val hist = occ
+      .groupBy(col("occurrences"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = broadcast(e.agg(count(lit(1)).as("n_corpus")))
+    val appearing = broadcast(occ.agg(count(lit(1)).as("n_app")))
+    val zeroRow = tot
+      .crossJoin(appearing)
+      .select(
+        lit(0L).as("occurrences"),
+        (col("n_corpus") - col("n_app")).as("n_vectors")
+      )
+    hist
+      .unionByName(zeroRow)
+      .crossJoin(tot)
+      .select(
+        col("occurrences"),
+        col("n_vectors"),
+        round(col("n_vectors").cast("double") / col("n_corpus") * 1e6)
+          .cast("long").as("share_ppm")
+      )
+  }
 }

@@ -171,4 +171,40 @@ object Sketches {
         ).as("jaccard")
       )
   }
+
+  /** q303: KMV error audit over per-source distinct TOKENS — the q58
+    * sketch pointed at the quantity a vocabulary planner actually
+    * budgets (per-source lexicon size, the q157/q271 inputs), with
+    * the exact answer alongside and the relative error in ppm. This
+    * is the evidence table for replacing exact DISTINCT with the
+    * O(k)-state sketch at 100 TB: sources still under k are exact by
+    * construction (the estimator returns n), and the audit shows the
+    * (k−1)/h_k error at the sources that overflow.
+    *
+    * Scale: one tokenize scan → 60-bit hashes → the bounded
+    * [[graft.functions.KmvSketch]] aggregate (≤ 256 longs of state
+    * per source, map-side merged); the exact column is the expensive
+    * baseline the sketch exists to replace — kept here because the
+    * audit is the point.
+    */
+  def kmvSourceTokenError(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .select(col("source"), hash60(col("w")).as("h"))
+    hashed
+      .groupBy(col("source"))
+      .agg(
+        graft.functions.KmvSketch.kmvDistinct(col("h")).as("est"),
+        countDistinct(col("h")).as("n_exact")
+      )
+      .select(
+        col("source"),
+        col("n_exact"),
+        round(col("est"), 6).as("kmv_estimate"),
+        round(
+          abs(col("est") - col("n_exact")) / col("n_exact") * 1e6
+        ).cast("long").as("err_ppm")
+      )
+  }
 }

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming twins of the batch event operators
@@ -523,6 +524,148 @@ object EventStreams {
           .cast("long")
           .as("p_micro")
       )
+  }
+
+  /** q301's per-type burst detector: state = the ≤24 most recent
+    * CLOSED (hour, count) buckets plus the currently-open bucket.
+    * Each batch folds its rows into a local hour→count map, closes
+    * hours in ascending order, and emits a verdict for every closed
+    * bucket z-scored against the trailing ring — EXACTLY q254's
+    * 24-PRECEDING-observed-buckets window, streamed with O(24)
+    * state per type. The final still-open hour never emits (it is
+    * not complete), so drained output ≡ batch q254 minus each
+    * type's last observed hour — that restriction IS the oracle.
+    * Cross-batch correctness rides on per-key event-time-ordered
+    * arrival (the q277 contract; true for the drain-once
+    * AvailableNow source here).
+    */
+  private[streaming] class BurstProcessor
+      extends StatefulProcessor[String, (String, Long),
+        (String, Long, Long, Long, Long, Boolean, Boolean)] {
+    @transient private var ring: ListState[(Long, Long)] = _
+    @transient private var cur: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      ring = getHandle.getListState[(Long, Long)](
+        "ring",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE
+      )
+      cur = getHandle.getValueState[(Long, Long)](
+        "cur",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE
+      )
+    }
+
+    private def verdict(
+        key: String,
+        hour: Long,
+        n: Long,
+        prev: scala.collection.Seq[(Long, Long)]
+    ): (String, Long, Long, Long, Long, Boolean, Boolean) = {
+      val k = prev.size.toLong
+      val s = prev.map(_._2).sum
+      val s2 = prev.map(c => c._2 * c._2).sum
+      if (k >= 12) {
+        val mean = s.toDouble / k
+        val varr = (s2.toDouble - s.toDouble * s / k) / k
+        if (varr > 0) {
+          val z = (n - mean) / math.sqrt(varr)
+          // Spark round() is HALF_UP (away from zero) — mirror it
+          val zMicro = BigDecimal(z * 1e6)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toLong
+          (key, hour, n, k, zMicro, true, z > 3.0)
+        } else (key, hour, n, k, 0L, false, false)
+      } else (key, hour, n, k, 0L, false, false)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Long)],
+        timerValues: TimerValues
+    ): Iterator[(String, Long, Long, Long, Long, Boolean, Boolean)] = {
+      val counts = scala.collection.mutable.SortedMap.empty[Long, Long]
+      rows.foreach { case (_, h) =>
+        counts.update(h, counts.getOrElse(h, 0L) + 1L)
+      }
+      val ringBuf =
+        scala.collection.mutable.ArrayBuffer.from(ring.get())
+      var open: Option[(Long, Long)] =
+        if (cur.exists()) Some(cur.get()) else None
+      val out = Array.newBuilder[
+        (String, Long, Long, Long, Long, Boolean, Boolean)]
+      counts.foreach { case (h, c) =>
+        open match {
+          case Some((ch, cn)) if h == ch => open = Some((ch, cn + c))
+          case Some((ch, cn)) =>
+            // h > ch under ordered arrival: close the open bucket
+            out += verdict(key, ch, cn, ringBuf)
+            ringBuf += ((ch, cn))
+            if (ringBuf.size > 24) ringBuf.remove(0)
+            open = Some((h, c))
+          case None => open = Some((h, c))
+        }
+      }
+      ring.clear()
+      ringBuf.foreach(ring.appendValue)
+      open.foreach(cur.update)
+      out.result().iterator
+    }
+  }
+
+  /** q301: streaming burst flags — the BurstProcessor in append mode
+    * over (type, event-hour) rows.
+    */
+  def streamBursts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us")
+      )
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new BurstProcessor,
+        TimeMode.None(),
+        OutputMode.Append()
+      )
+      .toDF("event_type", "hour_us", "n", "n_prev", "z_raw", "has_z",
+        "burst")
+  }
+
+  /** q301 gate surface: drain the burst stream and project the batch
+    * q254 schema (z_micro NULL below the 12-bucket / zero-variance
+    * floor). Must equal q254 minus each type's final (still-open)
+    * hour.
+    */
+  def streamBurstFlags(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val drained =
+      try
+        runAvailableNow(
+          streamBursts(readEvents(spark, dir)),
+          "q301_stream_bursts_out",
+          "append"
+        )
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    drained.select(
+      col("event_type"),
+      col("hour_us"),
+      col("n"),
+      col("n_prev"),
+      when(col("has_z"), col("z_raw")).as("z_micro"),
+      col("burst")
+    )
   }
 
   /** Streaming fixed-bin value histogram per tumbling hour — the
