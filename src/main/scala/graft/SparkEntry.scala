@@ -818,6 +818,13 @@ object SparkEntry {
     "q302_hubness" -> (Similarity.hubnessAudit _),
     // KMV vs exact distinct tokens per source with ppm error.
     "q303_kmv_error" -> (Sketches.kmvSourceTokenError _),
+    // PPS systematic token sample: exact-B picks vs entitlement.
+    "q304_systematic_sample" ->
+      ((s, d) => Sampling.systematicTokenSample(s, d)),
+    // Neyman vs proportional allocation, Hamilton-rounded to budget.
+    "q305_neyman_alloc" -> ((s, d) => Sampling.neymanAllocation(s, d)),
+    // Hill tail index of doc token counts per source.
+    "q306_hill_tail" -> (Sampling.hillTailIndex _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -7852,6 +7859,119 @@ object SparkEntry {
            CAST(round(abs(est - n_exact) / n_exact * 1e6) AS BIGINT)
              AS err_ppm
          FROM e""",
+    // q304: global (h, doc_id) cumsum, integral-division pick test,
+    // same budget and milli deviation columns.
+    "q304_systematic_sample" ->
+      """WITH d AS (SELECT doc_id, source, n_tokens,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM (SELECT doc_id, source,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END)::BIGINT AS n_tokens
+                 FROM documents) x
+           WHERE n_tokens > 0),
+         c AS (SELECT source, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum
+               FROM d),
+         t AS (SELECT sum(n_tokens)::BIGINT AS t FROM d),
+         s AS (SELECT source, n_tokens,
+                 (cum * 1000) // t.t
+                   - ((cum - n_tokens) * 1000) // t.t AS sel
+               FROM c, t)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(sel)::BIGINT AS n_sel,
+           CAST(round(sum(n_tokens)::DOUBLE / t.t * 1000 * 1e3)
+             AS BIGINT) AS expected_milli,
+           sum(sel)::BIGINT * 1000
+             - CAST(round(sum(n_tokens)::DOUBLE / t.t * 1000 * 1e3)
+                 AS BIGINT) AS dev_milli
+         FROM s, t GROUP BY source, t.t""",
+    // q305: exact integer-pivot sd, micro-quantized quotas, the q268
+    // Hamilton base/remainder split run twice.
+    "q305_neyman_alloc" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         mn AS (SELECT source, CAST(round(avg(qm)) AS BIGINT)
+                  AS mean_micro
+                FROM s GROUP BY 1),
+         mom AS (SELECT s.source, count(*)::BIGINT AS n_docs,
+                  sum((s.qm - mn.mean_micro)
+                    * (s.qm - mn.mean_micro))::BIGINT AS s2
+                 FROM s JOIN mn USING (source) GROUP BY 1),
+         m2 AS (SELECT source, n_docs, s2,
+                  sqrt(s2::DOUBLE / n_docs) AS sd
+                FROM mom),
+         tt AS (SELECT sum(n_docs::DOUBLE * sd) AS w_ney,
+                  sum(n_docs)::DOUBLE AS w_prop
+                FROM m2),
+         q AS (SELECT m2.source, m2.n_docs, m2.sd,
+                 CAST(round(m2.n_docs::DOUBLE * m2.sd / tt.w_ney
+                   * 1000 * 1e6) AS BIGINT) AS q_ney,
+                 CAST(round(m2.n_docs::DOUBLE / tt.w_prop * 1000 * 1e6)
+                   AS BIGINT) AS q_prop
+               FROM m2, tt),
+         b1 AS (SELECT q.*,
+                 (q_ney - q_ney % 1000000) // 1000000 AS base_n,
+                 q_ney % 1000000 AS rem_n,
+                 (q_prop - q_prop % 1000000) // 1000000 AS base_p,
+                 q_prop % 1000000 AS rem_p
+               FROM q),
+         lv AS (SELECT greatest(1000 - sum(base_n), 0) AS left_n,
+                  greatest(1000 - sum(base_p), 0) AS left_p
+                FROM b1),
+         rk AS (SELECT b1.*,
+                 row_number() OVER (ORDER BY rem_n DESC, source ASC)
+                   AS rk_n,
+                 row_number() OVER (ORDER BY rem_p DESC, source ASC)
+                   AS rk_p
+               FROM b1)
+         SELECT rk.source, rk.n_docs,
+           CAST(round(rk.sd) AS BIGINT) AS sd_micro,
+           rk.q_ney AS quota_micro,
+           (rk.base_n + CASE WHEN rk.rk_n <= lv.left_n THEN 1 ELSE 0
+             END)::BIGINT AS alloc_neyman,
+           (rk.base_p + CASE WHEN rk.rk_p <= lv.left_p THEN 1 ELSE 0
+             END)::BIGINT AS alloc_prop,
+           (rk.base_n + CASE WHEN rk.rk_n <= lv.left_n THEN 1 ELSE 0
+             END)::BIGINT
+             - (rk.base_p + CASE WHEN rk.rk_p <= lv.left_p THEN 1
+                 ELSE 0 END)::BIGINT AS shift
+         FROM rk, lv""",
+    // q306: same rank construction, exact x_(k+1) pick, nano-log
+    // summands, NULL alpha on the all-ties degenerate case.
+    "q306_hill_tail" ->
+      """WITH d AS (SELECT doc_id, source,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS x
+           FROM documents),
+         f AS (SELECT * FROM d WHERE x > 0),
+         r AS (SELECT source, doc_id, x,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY x DESC, doc_id ASC)::BIGINT AS rk,
+                 count(*) OVER (PARTITION BY source)::BIGINT AS n_s
+               FROM f),
+         g AS (SELECT *, (n_s - n_s % 10) // 10 AS k FROM r
+               WHERE n_s >= 20),
+         th AS (SELECT source, x AS xk1 FROM g WHERE rk = k + 1),
+         tm AS (SELECT g.source, g.n_s, g.k, th.xk1,
+                 sum(CAST(round(ln(g.x::DOUBLE / th.xk1) * 1e9)
+                   AS BIGINT))::BIGINT AS t_sum
+               FROM g JOIN th USING (source)
+               WHERE g.rk <= g.k
+               GROUP BY 1, 2, 3, 4)
+         SELECT source, n_s AS n, k, xk1,
+           CASE WHEN t_sum = 0 THEN NULL
+                ELSE CAST(round(k::DOUBLE * 1e9 / t_sum * 1e3)
+                  AS BIGINT)
+           END AS alpha_milli,
+           coalesce(t_sum <> 0
+             AND k::DOUBLE * 1e9 / t_sum < 2.0, false) AS heavy_tail
+         FROM tm""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

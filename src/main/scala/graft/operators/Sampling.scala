@@ -1875,6 +1875,266 @@ object Sampling {
       )
   }
 
+  /** q304: PPS systematic token-weighted sample — docs laid out in
+    * deterministic hash order, token mass cumulated, and every
+    * multiple of the stride T/B (T = total tokens, B = 1000) picks
+    * the doc whose interval contains it. Systematic PPS draws
+    * EXACTLY B picks with zero variance in the total (Bernoulli ppm
+    * gates like q132 only hit the budget in expectation), and
+    * big docs can legitimately be picked multiple times (their
+    * `sel_count` is the number of stride multiples inside their
+    * interval — exactly how PPS-with-replacement weights them). The
+    * audit view: realized picks per source against the exact
+    * token-share entitlement, deviation in milli-picks.
+    *
+    * Determinism: the pick test floor(cum·B/T) − floor((cum−n)·B/T)
+    * is pure BIGINT arithmetic.
+    *
+    * Scale: the q164 two-level cumsum (range partition on the hash +
+    * per-partition window + P-row offsets frame) — no global
+    * window over corpus rows.
+    */
+  def systematicTokenSample(
+      spark: SparkSession,
+      dir: String,
+      budget: Long = 1000L,
+      numParts: Int = 8
+  ): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("n_tokens")
+      )
+      .filter(col("n_tokens") > 0)
+      .withColumn("h", graft.functions.TextFunctions.hash60(col("doc_id")))
+    val parts = docs
+      .repartitionByRange(numParts, col("h").asc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window
+      .partitionBy(col("pid"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val withCum = parts
+      .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .cacheTracked()
+    val offsets = withCum
+      .groupBy(col("pid"))
+      .agg(max(col("cum_in")).as("ptot"))
+      .withColumn(
+        "off",
+        coalesce(
+          sum(col("ptot")).over(
+            Window.orderBy(col("pid").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)
+          ),
+          lit(0L)
+        )
+      )
+      .select(col("pid"), col("off"))
+    val tot = broadcast(docs.agg(sum(col("n_tokens")).as("t")))
+    val cum = col("cum_in") + col("off")
+    withCum
+      .join(broadcast(offsets), Seq("pid"))
+      .crossJoin(tot)
+      .withColumn("hi", cum * lit(budget))
+      .withColumn("lo", (cum - col("n_tokens")) * lit(budget))
+      // integral div keeps the pick test exact BIGINT arithmetic
+      // (a double quotient of ~2^54 products would wobble at exact
+      // stride multiples)
+      .withColumn("sel", expr("hi div t - lo div t"))
+      .select(col("source"), col("n_tokens"), col("sel"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("src_tokens"),
+        sum(col("sel")).as("n_sel")
+      )
+      .crossJoin(tot)
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_sel"),
+        round(
+          col("src_tokens").cast("double") / col("t") * budget * 1e3
+        ).cast("long").as("expected_milli"),
+        (col("n_sel") * 1000 -
+          round(
+            col("src_tokens").cast("double") / col("t") * budget * 1e3
+          ).cast("long")).as("dev_milli")
+      )
+  }
+
+  /** q305: Neyman allocation with exact Hamilton rounding — the
+    * optimal stratified-sampling budget split n_s ∝ N_s·σ_s (survey
+    * sampling's variance-minimizing rule) next to the proportional
+    * split n_s ∝ N_s, both rounded to integers by the q268
+    * largest-remainder method on micro-quantized quotas so each
+    * column sums EXACTLY to the budget. Sources where the two
+    * columns diverge are where variance lives (q298's underpowered
+    * flag tells the same story from the other side); reading them
+    * together prices the upgrade from proportional to Neyman before
+    * committing an annotation or eval budget.
+    *
+    * Determinism: σ uses the exact integer-pivot second moment;
+    * quotas are micro-quantized BEFORE base/remainder splitting, so
+    * Hamilton runs on exact integers (ranking ties broken by
+    * source).
+    *
+    * Scale: two corpus aggregates; everything else is
+    * |sources|-row arithmetic and a bounded rank window.
+    */
+  def neymanAllocation(
+      spark: SparkSession,
+      dir: String,
+      budget: Long = 1000L
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val meanF = scored
+      .groupBy(col("source"))
+      .agg(round(avg(col("qm"))).cast("long").as("mean_micro"))
+    val mom = scored
+      .join(broadcast(meanF), "source")
+      .withColumn("d", col("qm") - col("mean_micro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("d") * col("d")).as("s2"))
+      .withColumn("sd", sqrt(col("s2").cast("double") / col("n_docs")))
+    val wNey = col("n_docs").cast("double") * col("sd")
+    val totals = broadcast(
+      mom.agg(
+        sum(wNey).as("w_ney"),
+        sum(col("n_docs")).cast("double").as("w_prop")
+      )
+    )
+    val quotas = mom
+      .crossJoin(totals)
+      .withColumn(
+        "q_ney",
+        round(wNey / col("w_ney") * budget * 1e6).cast("long")
+      )
+      .withColumn(
+        "q_prop",
+        round(
+          col("n_docs").cast("double") / col("w_prop") * budget * 1e6
+        ).cast("long")
+      )
+    def alloc(df: DataFrame, q: String, out: String): DataFrame = {
+      val base = (col(q) - col(q) % 1000000L) / 1000000L
+      val based = df
+        .withColumn(s"base_$out", base.cast("long"))
+        .withColumn(s"rem_$out", col(q) % 1000000L)
+      val leftover = broadcast(
+        based.agg(
+          greatest(lit(budget) - sum(col(s"base_$out")), lit(0L))
+            .as(s"left_$out")
+        )
+      )
+      val w = Window.orderBy(col(s"rem_$out").desc, col("source").asc)
+      based
+        .withColumn(s"rk_$out", row_number().over(w).cast("long"))
+        .crossJoin(leftover)
+        .withColumn(
+          out,
+          col(s"base_$out") +
+            when(col(s"rk_$out") <= col(s"left_$out"), 1L).otherwise(0L)
+        )
+    }
+    val a1 = alloc(quotas, "q_ney", "alloc_neyman")
+    val a2 = alloc(a1, "q_prop", "alloc_prop")
+    a2.select(
+      col("source"),
+      col("n_docs"),
+      round(col("sd")).cast("long").as("sd_micro"),
+      col("q_ney").as("quota_micro"),
+      col("alloc_neyman"),
+      col("alloc_prop"),
+      (col("alloc_neyman") - col("alloc_prop")).as("shift")
+    )
+  }
+
+  /** q306: Hill tail-index of the per-source document-length
+    * distribution — α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top
+    * k = ⌊n/10⌋ order statistics. α < 2 means infinite-variance
+    * heavy tails: per-source token budgets (q164/q304) are then
+    * dominated by a few giant docs, mean-based gates misread the
+    * source (q292's gap shows the symptom, this names the law), and
+    * doc-level caps (q205) are the only stabilizer. Reported for
+    * sources with n ≥ 20 (k ≥ 2); summands are nano-quantized BIGINTs
+    * (order-free sums), the threshold statistic x₍ₖ₊₁₎ is an exact
+    * rank pick.
+    *
+    * Scale: one per-source rank window (two-level rank at 100 TB),
+    * one bounded threshold join, one agg.
+    */
+  def hillTailIndex(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("x")
+      )
+      .filter(col("x") > 0)
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("x").desc, col("doc_id").asc)
+    val ranked = d
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn(
+        "n_s",
+        count(lit(1)).over(Window.partitionBy(col("source")))
+      )
+      .filter(col("n_s") >= 20)
+      .withColumn("k", ((col("n_s") - col("n_s") % 10L) / 10L).cast("long"))
+    val thresh = ranked
+      .filter(col("rk") === col("k") + 1)
+      .select(col("source"), col("x").as("xk1"))
+    ranked
+      .filter(col("rk") <= col("k"))
+      .join(broadcast(thresh), "source")
+      .select(
+        col("source"),
+        col("n_s"),
+        col("k"),
+        col("xk1"),
+        round(log(col("x").cast("double") / col("xk1")) * 1e9)
+          .cast("long").as("t_nano")
+      )
+      .groupBy(col("source"), col("n_s"), col("k"), col("xk1"))
+      .agg(sum(col("t_nano")).as("t_sum"))
+      .select(
+        col("source"),
+        col("n_s").as("n"),
+        col("k"),
+        col("xk1"),
+        when(col("t_sum") === 0L, lit(null).cast("long"))
+          .otherwise(
+            round(
+              col("k").cast("double") * 1e9 / col("t_sum") * 1e3
+            ).cast("long")
+          ).as("alpha_milli"),
+        coalesce(
+          col("t_sum") =!= 0L &&
+            col("k").cast("double") * 1e9 / col("t_sum") < 2.0,
+          lit(false)
+        ).as("heavy_tail")
+      )
+  }
+
   /** q292: 10%-trimmed mean vs raw mean of quality per source — the
     * robust-location twin of q275's MAD scale screen. A large
     * |gap| means the source's mean is carried by its tails (a few
