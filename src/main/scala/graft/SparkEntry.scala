@@ -825,6 +825,12 @@ object SparkEntry {
     "q305_neyman_alloc" -> ((s, d) => Sampling.neymanAllocation(s, d)),
     // Hill tail index of doc token counts per source.
     "q306_hill_tail" -> (Sampling.hillTailIndex _),
+    // Energy-gated audio segments via gaps-and-islands merging.
+    "q307_audio_segments" -> (Multimodal.audioSegments _),
+    // Closed-form CUSUM level-shift detection per event type.
+    "q308_cusum" -> (Events.cusumShifts _),
+    // Per-(source, pii_type) census: docs affected, matches, chars.
+    "q309_pii_census" -> (TextAnalysis.piiCensus _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -7972,6 +7978,111 @@ object SparkEntry {
            coalesce(t_sum <> 0
              AND k::DOUBLE * 1e9 / t_sum < 2.0, false) AS heavy_tail
          FROM tm""",
+    // q307: the q116 rolling content hash, mod-1000-before-combining
+    // energies, the same rank-difference islands.
+    "q307_audio_segments" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(length(text)),
+                 i -> ord(substr(text, (i+1)::INT, 1))::BIGINT)),
+               (a, c) -> (a * 31 + c) % 1000000007) AS h,
+             (octet_length(encode(text)) % 120 + 4)::BIGINT
+               AS n_windows
+           FROM documents),
+         wx AS (SELECT doc_id, h,
+                  unnest(range(n_windows))::BIGINT AS w
+                FROM base),
+         e AS (SELECT doc_id, w,
+                 (((h % 1000 + 1000) % 1000)
+                   + ((w * 2654435761) % 1000)) % 1000 AS energy
+               FROM wx),
+         k AS (SELECT doc_id, w, energy,
+                 w - row_number() OVER (PARTITION BY doc_id
+                   ORDER BY w) AS grp
+               FROM e WHERE energy >= 100)
+         SELECT doc_id, min(w)::BIGINT AS seg_start,
+           max(w)::BIGINT AS seg_end,
+           count(*)::BIGINT AS n_windows,
+           CAST(round(avg(energy)) AS BIGINT) AS mean_energy_milli
+         FROM k GROUP BY doc_id, grp""",
+    // q308: the q296 dense-series CTEs, prefix-sum/prefix-min closed
+    // form, same 8-sigma alarm and last-peak tiebreak.
+    "q308_cusum" ->
+      """WITH c AS (SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS h,
+                 count(*)::BIGINT AS x
+               FROM events GROUP BY 1, 2),
+         sp AS (SELECT event_type, min(h) AS h_min, max(h) AS h_max
+                FROM c GROUP BY 1),
+         g AS (SELECT event_type, unnest(range(h_min, h_max + 1)) AS h
+               FROM sp),
+         dn AS (SELECT g.event_type, g.h,
+                  coalesce(c.x, 0)::BIGINT AS x
+                FROM g LEFT JOIN c USING (event_type, h)),
+         m AS (SELECT event_type,
+                 CAST(round(avg(x) * 1e3) AS BIGINT) AS m_milli
+               FROM dn GROUP BY 1),
+         dv AS (SELECT dn.event_type, dn.h,
+                  1000 * dn.x - m.m_milli AS d
+                FROM dn JOIN m USING (event_type)),
+         pp AS (SELECT event_type, h, d,
+                  sum(d) OVER tw::BIGINT AS p
+                FROM dv WINDOW tw AS (PARTITION BY event_type
+                  ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)),
+         pm AS (SELECT event_type, h, d, p,
+                  min(p) OVER tw::BIGINT AS pmin
+                FROM pp WINDOW tw AS (PARTITION BY event_type
+                  ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)),
+         s AS (SELECT event_type, h, d,
+                 p - least(pmin, 0) AS s
+               FROM pm),
+         sd AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+                  sqrt(sum(d * d)::DOUBLE / count(*)) AS sigma
+                FROM dv GROUP BY 1),
+         f AS (SELECT s.event_type, s.h, s.s, sd.n_hours, sd.sigma,
+                 s.s::DOUBLE > 8.0 * sd.sigma AS alarm
+               FROM s JOIN sd USING (event_type)),
+         sm AS (SELECT event_type, max(n_hours)::BIGINT AS n_hours,
+                  CAST(round(max(sigma)) AS BIGINT) AS sigma_milli,
+                  max(s)::BIGINT AS max_cusum_milli,
+                  sum(CASE WHEN alarm THEN 1 ELSE 0 END)::BIGINT
+                    AS n_alarms,
+                  min(CASE WHEN alarm THEN h END)::BIGINT
+                    AS first_alarm_h
+                FROM f GROUP BY 1),
+         pk AS (SELECT f.event_type, max(f.h)::BIGINT AS peak_h
+                FROM f JOIN sm USING (event_type)
+                WHERE f.s = sm.max_cusum_milli GROUP BY 1)
+         SELECT sm.event_type, sm.n_hours, sm.sigma_milli,
+           sm.max_cusum_milli, pk.peak_h, sm.n_alarms,
+           sm.first_alarm_h
+         FROM sm JOIN pk USING (event_type)""",
+    // q309: generated from the SAME pattern seq as the operator;
+    // list_sum over match lengths with the empty-list coalesce.
+    "q309_pii_census" -> {
+      val arms = graft.operators.TextAnalysis.piiPatterns
+        .map { case (name, re) =>
+          s"""SELECT source, '$name' AS pii_type,
+             len(regexp_extract_all(text, '$re'))::BIGINT AS n_matches,
+             coalesce(list_sum(list_transform(
+               regexp_extract_all(text, '$re'),
+               m -> length(m))), 0)::BIGINT AS n_chars
+           FROM documents"""
+        }
+        .mkString("\n           UNION ALL\n           ")
+      s"""WITH p AS ($arms)
+         SELECT source, pii_type,
+           sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)::BIGINT
+             AS docs_affected,
+           sum(n_matches)::BIGINT AS n_matches,
+           sum(n_chars)::BIGINT AS chars_matched,
+           CAST(round(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0
+             END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS affected_ppm
+         FROM p GROUP BY 1, 2"""
+    },
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

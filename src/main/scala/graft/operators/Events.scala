@@ -815,7 +815,14 @@ object Events {
     * by the time span (hours, not events), so the per-type window is
     * bounded by construction; three lead() columns ride one window.
     */
-  def hourlyAcf(spark: SparkSession, dir: String): DataFrame = {
+  /** The dense zero-filled hourly count series with the milli-mean
+    * integer pivot — shared by q296's ACF and q308's CUSUM (absent
+    * hours are real zero observations for both).
+    */
+  private def denseHourlySeries(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
     val counts = Tables
       .events(spark, dir)
       .select(
@@ -844,10 +851,14 @@ object Events {
         .groupBy(col("event_type"))
         .agg(round(avg(col("x")) * 1e3).cast("long").as("m_milli"))
     )
-    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
-    val withD = dense
+    dense
       .join(m, "event_type")
       .withColumn("d", lit(1000L) * col("x") - col("m_milli"))
+  }
+
+  def hourlyAcf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h").asc)
+    val withD = denseHourlySeries(spark, dir)
       .withColumn("d1", lead(col("d"), 1).over(w))
       .withColumn("d24", lead(col("d"), 24).over(w))
       .withColumn("d168", lead(col("d"), 168).over(w))
@@ -887,6 +898,85 @@ object Events {
           ).as("acf_micro"),
         (col("den") =!= 0L &&
           col("e.num").cast("double") / col("den") > 0.2).as("seasonal")
+      )
+  }
+
+  /** q308: CUSUM level-shift detection per event type — Page's
+    * cumulative-sum chart over the dense hourly series, computed in
+    * CLOSED FORM: the sequential recursion S_t = max(0, S_{t−1}+d_t)
+    * equals P_t − min_{j≤t} P_j for the prefix sums P, so two
+    * windows (a cumsum and a running min) replace the unparalleliz-
+    * able loop. q254's z-score flags single-hour spikes; CUSUM
+    * accumulates SMALL persistent shifts (a source that quietly
+    * doubles its rate never trips a 3σ hourly gate but walks the
+    * CUSUM straight up). Alarm when S_t > 8σ_d, σ_d from the exact
+    * integer second moment of the milli-pivot deviations. Per type:
+    * the path maximum, its hour, alarm count, and first alarm hour.
+    *
+    * Determinism: P and S are exact BIGINT (milli-deviation cumsums);
+    * only the σ threshold comparison is a double.
+    *
+    * Scale: the dense series is bounded by the time span; per-type
+    * windows never see event rows.
+    */
+  def cusumShifts(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val series = denseHourlySeries(spark, dir)
+      .withColumn("p", sum(col("d")).over(wc))
+      .withColumn("pmin", min(col("p")).over(wc))
+      .withColumn("s", col("p") - least(col("pmin"), lit(0L)))
+    val sd = broadcast(
+      series
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum(col("d") * col("d")).as("dd")
+        )
+        .withColumn(
+          "sigma_milli",
+          sqrt(col("dd").cast("double") / col("n_hours"))
+        )
+    )
+    val flagged = series
+      .join(sd, "event_type")
+      .withColumn(
+        "alarm",
+        col("s").cast("double") > lit(8.0) * col("sigma_milli")
+      )
+    val summary = flagged
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n_hours")).as("n_hours"),
+        round(max(col("sigma_milli"))).cast("long").as("sigma_milli"),
+        max(col("s")).as("max_cusum_milli"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("alarm"), col("h"))).as("first_alarm_h")
+      )
+    // peak hour: the LAST hour attaining the path maximum (exact
+    // integer equality, oracle-identical tiebreak)
+    val peak = flagged
+      .join(
+        broadcast(
+          summary.select(col("event_type"), col("max_cusum_milli"))
+        ),
+        "event_type"
+      )
+      .filter(col("s") === col("max_cusum_milli"))
+      .groupBy(col("event_type"))
+      .agg(max(col("h")).as("peak_h"))
+    summary
+      .join(broadcast(peak), "event_type")
+      .select(
+        col("event_type"),
+        col("n_hours"),
+        col("sigma_milli"),
+        col("max_cusum_milli"),
+        col("peak_h"),
+        col("n_alarms"),
+        col("first_alarm_h")
       )
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.util.Caches._
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: images/audio/video as opaque `binary`
@@ -267,6 +268,71 @@ object Multimodal {
         col("n_dup"),
         round(col("n_dup") * lit(1e6) / col("n_sampled")).cast("long")
           .as("dup_frac_ppm")
+      )
+  }
+
+  /** q307: audio segment gating — the voice-activity-detection
+    * pipeline shape: window the payload (500 ms windows, count keyed
+    * on the byte length), score each window with the deterministic
+    * per-window energy stub (the q116 seam — a real pipeline slots
+    * an RMS/VAD model here), gate at energy ≥ 100‰, and merge
+    * consecutive kept windows into segments via the gaps-and-islands
+    * rank difference. Emits one row per kept segment with its window
+    * span and exact mean energy — the artifact an ASR/data pipeline
+    * feeds to transcription, with silence already dropped.
+    *
+    * Determinism: window energies are pure integer arithmetic on the
+    * rolling content hash (no float, no overflow — both addends are
+    * reduced mod 1000 before combining); segment stats are exact
+    * integer sums.
+    *
+    * Scale: narrow scan → bounded window explode (≤ 123/doc) → a
+    * per-doc islands window (bounded) → per-segment agg. No
+    * cross-doc shuffle beyond the final agg.
+    */
+  def audioSegments(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.RollingHash.rollingHash(col("text")).as("h"),
+        (length(col("text").cast("binary")) % 120 + lit(4))
+          .cast("long")
+          .as("n_windows")
+      )
+    val windows = base
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        explode(sequence(lit(0L), col("n_windows") - 1)).as("w"),
+        col("h")
+      )
+      .withColumn(
+        "energy_milli",
+        pmod(
+          pmod(col("h"), lit(1000L)) +
+            pmod(col("w") * lit(2654435761L), lit(1000L)),
+          lit(1000L)
+        )
+      )
+    val kept = windows.filter(col("energy_milli") >= 100)
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("w").asc)
+    kept
+      .withColumn("grp", col("w") - row_number().over(wr))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(
+        min(col("w")).as("seg_start"),
+        max(col("w")).as("seg_end"),
+        count(lit(1)).as("n_windows"),
+        round(avg(col("energy_milli"))).cast("long")
+          .as("mean_energy_milli")
+      )
+      .select(
+        col("doc_id"),
+        col("seg_start"),
+        col("seg_end"),
+        col("n_windows"),
+        col("mean_energy_milli")
       )
   }
 }

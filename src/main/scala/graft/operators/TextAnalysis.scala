@@ -3557,6 +3557,74 @@ object TextAnalysis {
       )
   }
 
+  /** q309: PII census — per (source, pii_type ∈ {email, phone, ip,
+    * url}): documents affected, total matches, and matched
+    * characters (the mass redaction would remove). q59 redacts; this
+    * is the AUDIT that decides redaction policy per source — a
+    * source at 30% affected docs needs the scrubber in its ingest
+    * path, one at 0.01% needs quarantine review (the matches are
+    * probably structured content, not PII). Patterns are
+    * RE2-compatible (the q59 contract) so the oracle replays them;
+    * every output is an exact integer or one division.
+    *
+    * Scale: one narrow scan, four regexp passes per row fused in
+    * codegen, a 4-row-per-doc explode, one (source, type) agg.
+    */
+  /** The q309 pattern set — public so the oracle SQL is generated
+    * from the SAME strings (RE2-compatible, valid in both engines).
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}",
+    "phone" -> "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b",
+    "ip" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "url" -> "https?://[^\\s]+"
+  )
+
+  def piiCensus(spark: SparkSession, dir: String): DataFrame = {
+    val patterns = piiPatterns
+    val perType = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        explode(
+          array(patterns.map { case (name, re) =>
+            val ms = regexp_extract_all(col("text"), lit(re), lit(0))
+            struct(
+              lit(name).as("pii_type"),
+              size(ms).cast("long").as("n_matches"),
+              aggregate(ms, lit(0L), (acc, m) => acc + length(m))
+                .as("n_chars")
+            )
+          }: _*)
+        ).as("e")
+      )
+      .select(
+        col("source"),
+        col("e.pii_type"),
+        col("e.n_matches"),
+        col("e.n_chars")
+      )
+    perType
+      .groupBy(col("source"), col("pii_type"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_matches") > 0, 1L).otherwise(0L))
+          .as("docs_affected"),
+        sum(col("n_matches")).as("n_matches"),
+        sum(col("n_chars")).as("chars_matched")
+      )
+      .select(
+        col("source"),
+        col("pii_type"),
+        col("docs_affected"),
+        col("n_matches"),
+        col("chars_matched"),
+        round(
+          col("docs_affected").cast("double") / col("n_docs") * 1e6
+        ).cast("long").as("affected_ppm")
+      )
+  }
+
   /** The (gate, include-flags, 24·weight) subset lattice behind
     * q300's exact Shapley computation — public so the DuckDB oracle
     * replays the IDENTICAL rows as a VALUES list. For each gate g
