@@ -831,6 +831,12 @@ object SparkEntry {
     "q308_cusum" -> (Events.cusumShifts _),
     // Per-(source, pii_type) census: docs affected, matches, chars.
     "q309_pii_census" -> (TextAnalysis.piiCensus _),
+    // Coverage-floored 5% eval holdout per (source, lang) cell.
+    "q310_coverage_holdout" -> ((s, d) => Sampling.coverageHoldout(s, d)),
+    // Per-dimension mean drift between even/odd vec_id snapshots.
+    "q311_embedding_drift" -> (Similarity.embeddingSnapshotDrift _),
+    // Optimal Bloom bits/hashes per source at two target FPPs.
+    "q312_bloom_plan" -> (Sketches.bloomSizingPlan _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -8083,6 +8089,88 @@ object SparkEntry {
              END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS affected_ppm
          FROM p GROUP BY 1, 2"""
     },
+    // q310: same hash order, same floor/cap arithmetic, rank-based
+    // exact-k selection.
+    "q310_coverage_holdout" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM documents),
+         cn AS (SELECT source, lang, count(*)::BIGINT AS n_cell
+                FROM d GROUP BY 1, 2),
+         ct AS (SELECT source, lang, n_cell,
+                 least(n_cell, greatest(5,
+                   CAST(round(n_cell * 0.05) AS BIGINT))) AS k_target
+               FROM cn),
+         r AS (SELECT d.source, d.lang, d.doc_id, ct.n_cell,
+                 ct.k_target,
+                 row_number() OVER (PARTITION BY d.source, d.lang
+                   ORDER BY d.h, d.doc_id)::BIGINT AS rk
+               FROM d JOIN ct USING (source, lang))
+         SELECT source, lang, max(n_cell)::BIGINT AS n_cell,
+           max(k_target)::BIGINT AS k_target,
+           sum(CASE WHEN rk <= k_target THEN 1 ELSE 0 END)::BIGINT
+             AS n_held,
+           sum(CASE WHEN rk <= k_target THEN 1 ELSE 0 END)
+             = max(k_target) AS target_met,
+           min(CASE WHEN rk <= k_target THEN doc_id END)::BIGINT
+             AS first_held_doc
+         FROM r GROUP BY 1, 2""",
+    // q311: per-dim raw-moment split on vec_id parity; identical
+    // mean/variance/z expression order, micro/milli quantization.
+    "q311_embedding_drift" ->
+      """WITH c AS (SELECT vec_id % 2 = 0 AS snap_a,
+                 r.i AS dim, embedding[(r.i + 1)::INT]::DOUBLE AS v
+               FROM embeddings CROSS JOIN range(64) r(i)),
+         ag AS (SELECT dim, snap_a, count(*)::BIGINT AS n,
+                  sum(v) AS s1, sum(v * v) AS s2
+                FROM c GROUP BY 1, 2),
+         a AS (SELECT dim, n AS n_a, s1 AS sa1, s2 AS sa2 FROM ag
+               WHERE snap_a),
+         b AS (SELECT dim, n AS n_b, s1 AS sb1, s2 AS sb2 FROM ag
+               WHERE NOT snap_a),
+         j AS (SELECT a.dim, n_a, n_b,
+                 sa1 / n_a AS ma, sb1 / n_b AS mb,
+                 sa2 / n_a - (sa1 / n_a) * (sa1 / n_a) AS va,
+                 sb2 / n_b - (sb1 / n_b) * (sb1 / n_b) AS vb
+               FROM a JOIN b USING (dim))
+         SELECT dim::INTEGER AS dim, n_a, n_b,
+           CAST(round(ma * 1e6) AS BIGINT) AS mean_a_micro,
+           CAST(round(mb * 1e6) AS BIGINT) AS mean_b_micro,
+           CAST(round((mb - ma) * 1e6) AS BIGINT) AS delta_micro,
+           CASE WHEN sqrt(va / n_a + vb / n_b) = 0 THEN 0
+                ELSE CAST(round((mb - ma)
+                  / sqrt(va / n_a + vb / n_b) * 1e3) AS BIGINT)
+           END AS z_milli,
+           coalesce(sqrt(va / n_a + vb / n_b) <> 0
+             AND abs((mb - ma) / sqrt(va / n_a + vb / n_b)) > 3.0,
+             false) AS drifted
+         FROM j""",
+    // q312: same closed forms over the exact per-source hash
+    // cardinality; ln on both engines, ceil/round identical.
+    "q312_bloom_plan" ->
+      """WITH tk AS (SELECT source,
+             unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+')
+                    END) AS w
+           FROM documents),
+         cd AS (SELECT source, count(DISTINCT
+                 ('0x' || substr(md5(w), 1, 15))::BIGINT)::BIGINT
+                 AS n_keys
+               FROM tk GROUP BY 1),
+         x AS (SELECT source, n_keys,
+                 unnest([10000, 1000])::BIGINT AS fpp_ppm
+               FROM cd),
+         y AS (SELECT source, n_keys, fpp_ppm,
+                 CAST(ceil(-(n_keys::DOUBLE)
+                   * ln(fpp_ppm::DOUBLE / 1e6)
+                   / (ln(2.0) * ln(2.0))) AS BIGINT) AS bits
+               FROM x)
+         SELECT source, n_keys, fpp_ppm, bits,
+           CAST(round(bits::DOUBLE / n_keys * ln(2.0)) AS BIGINT)
+             AS k_hashes,
+           CAST(round(bits::DOUBLE / 8192.0 * 1e3) AS BIGINT)
+             AS kib_milli
+         FROM y""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

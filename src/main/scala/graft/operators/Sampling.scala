@@ -1875,6 +1875,68 @@ object Sampling {
       )
   }
 
+  /** q310: coverage-guaranteed eval holdout — a 5% hash split
+    * (q49's construction) with a floor: every (source, lang) cell
+    * contributes at least `minK` = 5 docs (or all of them, if the
+    * cell is smaller). A plain proportional holdout starves rare
+    * cells — an eval set with 2 docs of a language measures nothing
+    * — and the floor is what eval-design actually ships. Selection
+    * inside a cell is by the deterministic hash ORDER (rank ≤ k),
+    * not a ppm threshold, so the realized count hits the target
+    * EXACTLY; k = max(minK, round(5%·n)) capped at n.
+    *
+    * Scale: one scan + a per-cell rank window (bounded by the
+    * largest cell; two-level rank beyond) + a |cells|-row audit agg.
+    */
+  def coverageHoldout(
+      spark: SparkSession,
+      dir: String,
+      frac: Double = 0.05,
+      minK: Long = 5L
+  ): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.hash60(col("doc_id")).as("h")
+      )
+    val cellN = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_cell"))
+      .withColumn(
+        "k_target",
+        least(
+          col("n_cell"),
+          greatest(lit(minK), round(col("n_cell") * frac).cast("long"))
+        )
+      )
+    val w = Window
+      .partitionBy(col("source"), col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs
+      .join(broadcast(cellN), Seq("source", "lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("held_out", col("rk") <= col("k_target"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        max(col("n_cell")).as("n_cell"),
+        max(col("k_target")).as("k_target"),
+        sum(when(col("held_out"), 1L).otherwise(0L)).as("n_held"),
+        min(when(col("held_out"), col("doc_id"))).as("first_held_doc")
+      )
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_cell"),
+        col("k_target"),
+        col("n_held"),
+        (col("n_held") === col("k_target")).as("target_met"),
+        col("first_held_doc")
+      )
+  }
+
   /** q304: PPS systematic token-weighted sample — docs laid out in
     * deterministic hash order, token mass cumulated, and every
     * multiple of the stride T/B (T = total tokens, B = 1000) picks

@@ -1644,6 +1644,73 @@ object Similarity {
       )
   }
 
+  /** q311: per-dimension embedding snapshot drift — vectors split
+    * into snapshot A (even vec_id) and B (odd), and every dimension
+    * audited for mean shift: Δ_d = mean_B − mean_A with the
+    * two-sample z against the pooled per-dim variance. This is
+    * feature-level drift monitoring for an embedding pipeline: an
+    * encoder redeploy or preprocessing change shifts SPECIFIC
+    * dimensions (layernorm drift, a flipped channel), which
+    * corpus-level cosine histograms (q278) average away. Per-dim
+    * moments are one (dim)-keyed pass; outputs micro-quantized.
+    *
+    * Scale: one explode(dim) scan → 2·D aggregate cells, map-side
+    * combined; D rows out.
+    */
+  def embeddingSnapshotDrift(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val cells = Tables
+      .embeddings(spark, dir)
+      .select(
+        (col("vec_id") % 2 === 0).as("snap_a"),
+        posexplode(col("embedding")).as(Seq("dim", "v"))
+      )
+      .select(col("snap_a"), col("dim"), col("v").cast("double").as("v"))
+    val agg = cells
+      .groupBy(col("dim"), col("snap_a"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2")
+      )
+    val a = agg
+      .filter(col("snap_a"))
+      .select(
+        col("dim"),
+        col("n").as("n_a"),
+        col("s1").as("sa1"),
+        col("s2").as("sa2")
+      )
+    val b = agg
+      .filter(!col("snap_a"))
+      .select(
+        col("dim"),
+        col("n").as("n_b"),
+        col("s1").as("sb1"),
+        col("s2").as("sb2")
+      )
+    val meanA = col("sa1") / col("n_a")
+    val meanB = col("sb1") / col("n_b")
+    val varA = col("sa2") / col("n_a") - meanA * meanA
+    val varB = col("sb2") / col("n_b") - meanB * meanB
+    val se = sqrt(varA / col("n_a") + varB / col("n_b"))
+    val z = (meanB - meanA) / se
+    a.join(b, "dim")
+      .select(
+        col("dim"),
+        col("n_a"),
+        col("n_b"),
+        round(meanA * 1e6).cast("long").as("mean_a_micro"),
+        round(meanB * 1e6).cast("long").as("mean_b_micro"),
+        round((meanB - meanA) * 1e6).cast("long").as("delta_micro"),
+        when(se === 0.0, lit(0L))
+          .otherwise(round(z * 1e3).cast("long")).as("z_milli"),
+        coalesce(se =!= 0.0 && abs(z) > 3.0, lit(false)).as("drifted")
+      )
+  }
+
   /** q302: hubness audit of the exact 5-NN graph — the k-occurrence
     * histogram: for each corpus vector, how many query vectors list
     * it among their top-5, bucketed into (occurrences → vector

@@ -207,4 +207,53 @@ object Sketches {
         ).cast("long").as("err_ppm")
       )
   }
+
+  /** q312: Bloom-filter sizing plan — for each source's distinct-
+    * token cardinality and each target false-positive rate p ∈
+    * {1%, 0.1%}: the optimal bit count m = ⌈−n·ln p / ln²2⌉, hash
+    * count k = round(m/n·ln 2), and the filter's memory in KiB.
+    * The sheet read before provisioning the q137 decontamination
+    * filters at 100 TB — per-source filters (this table) vs one
+    * big filter (the total row's arithmetic) is a real deployment
+    * choice, and the k column is what the filter build actually
+    * parameterizes. Pure closed-form arithmetic over exact
+    * cardinalities.
+    *
+    * Scale: one distinct-count aggregate (or q303's KMV estimate at
+    * scale), then |sources|·2 rows of arithmetic.
+    */
+  def bloomSizingPlan(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .select(col("source"), hash60(col("w")).as("h"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n_keys"))
+    val fpps = Seq(10000L, 1000L) // ppm
+    val ln2sq = log(lit(2.0)) * log(lit(2.0))
+    counts
+      .select(
+        col("source"),
+        col("n_keys"),
+        explode(lit(fpps.toArray)).as("fpp_ppm")
+      )
+      .withColumn(
+        "bits",
+        ceil(
+          -col("n_keys").cast("double") *
+            log(col("fpp_ppm").cast("double") / 1e6) / ln2sq
+        ).cast("long")
+      )
+      .select(
+        col("source"),
+        col("n_keys"),
+        col("fpp_ppm"),
+        col("bits"),
+        round(
+          col("bits").cast("double") / col("n_keys") * log(lit(2.0))
+        ).cast("long").as("k_hashes"),
+        round(col("bits").cast("double") / 8192.0 * 1e3).cast("long")
+          .as("kib_milli")
+      )
+  }
 }
