@@ -837,6 +837,12 @@ object SparkEntry {
     "q311_embedding_drift" -> (Similarity.embeddingSnapshotDrift _),
     // Optimal Bloom bits/hashes per source at two target FPPs.
     "q312_bloom_plan" -> (Sketches.bloomSizingPlan _),
+    // Character mass per writing-system class per source.
+    "q313_script_census" -> (TextAnalysis.scriptCensus _),
+    // Joint padding/truncation cost frontier across 6 lengths.
+    "q314_context_cost" -> (TextAnalysis.contextCostFrontier _),
+    // Cluster size vs 2-core size on the J >= 0.5 dup graph.
+    "q315_core_audit" -> ((s, d) => Dedup.coreAudit(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -8171,6 +8177,105 @@ object SparkEntry {
            CAST(round(bits::DOUBLE / 8192.0 * 1e3) AS BIGINT)
              AS kib_milli
          FROM y""",
+    // q313: generated from the same class seq (RE2 escape column);
+    // global-replace flag, length-difference counts, other = rest.
+    "q313_script_census" -> {
+      val cls = graft.operators.TextAnalysis.scriptClasses
+      val cols = cls.map { case (name, _, re2) =>
+        s"""(length(text) - length(regexp_replace(text, '$re2', '',
+           'g')))::BIGINT AS c_$name"""
+      }.mkString(",\n             ")
+      val arms = cls.map { case (name, _, _) =>
+        s"SELECT source, total, '$name' AS script, c_$name AS n_chars FROM p"
+      }.mkString("\n           UNION ALL\n           ")
+      val sumAll = cls.map(c => s"c_${c._1}").mkString(" + ")
+      s"""WITH p AS (SELECT source, length(text)::BIGINT AS total,
+             $cols
+           FROM documents),
+         u AS ($arms
+           UNION ALL
+           SELECT source, total, 'other', total - ($sumAll) FROM p)
+         SELECT source, script, sum(n_chars)::BIGINT AS n_chars,
+           CAST(round(sum(n_chars)::DOUBLE
+             / nullif(sum(total), 0) * 1e6) AS BIGINT) AS share_ppm
+         FROM u GROUP BY 1, 2"""
+    },
+    // q314: same length lattice; window-min argmin flags over the
+    // 6-row frontier; exact integer token sums.
+    "q314_context_cost" ->
+      """WITH n AS (SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END)::BIGINT AS n
+             FROM documents),
+         x AS (SELECT n.n, l.len,
+                 CAST(ceil(n.n::DOUBLE / l.len) AS BIGINT)
+                   AS n_windows
+               FROM n, (SELECT unnest([128, 256, 512, 1024, 2048,
+                   4096])::BIGINT AS len) l
+               WHERE n.n > 0),
+         ag AS (SELECT len, count(*)::BIGINT AS n_docs,
+                  sum(n)::BIGINT AS total_tokens,
+                  sum(n_windows * len - n)::BIGINT AS padded_tokens,
+                  sum(n_windows * len)::BIGINT AS padded_capacity,
+                  sum(greatest(n - len, 0))::BIGINT AS lost_tokens
+                FROM x GROUP BY 1),
+         mm AS (SELECT min(padded_tokens) AS min_pad,
+                  min(lost_tokens) AS min_lost
+                FROM ag)
+         SELECT len, n_docs, total_tokens, padded_tokens,
+           CAST(round(padded_tokens::DOUBLE / padded_capacity * 1e6)
+             AS BIGINT) AS pad_waste_ppm,
+           lost_tokens,
+           CAST(round(lost_tokens::DOUBLE / total_tokens * 1e6)
+             AS BIGINT) AS lost_ppm,
+           CASE WHEN padded_tokens < lost_tokens THEN 'pack'
+                ELSE 'truncate' END AS cheaper_design,
+           padded_tokens = mm.min_pad AS best_pack_l,
+           lost_tokens = mm.min_lost AS best_truncate_l
+         FROM ag, mm""",
+    // q315: the q208 edge chain at J >= 0.5, recursive reach labels,
+    // and the SAME five unrolled peel rounds.
+    "q315_core_audit" -> {
+      val peels = (1 to 5).map { i =>
+        val prev = if (i == 1) "a0" else s"a${i - 1}"
+        s"""e$i AS (SELECT sym.a, sym.b FROM sym
+             JOIN $prev x ON sym.a = x.n
+             JOIN $prev y ON sym.b = y.n),
+         a$i AS (SELECT a AS n FROM e$i GROUP BY a
+               HAVING count(*) >= 2)"""
+      }.mkString(",\n         ")
+      s"""WITH RECURSIVE $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         ed AS (SELECT doc_a, doc_b FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.5),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM ed
+                 UNION ALL SELECT doc_b, doc_a FROM ed),
+         nodes AS (SELECT DISTINCT a AS id FROM sym),
+         reach(x, y) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT r.x, s.b FROM reach r JOIN sym s ON r.y = s.a),
+         lab AS (SELECT x AS id, min(y) AS label
+                 FROM reach GROUP BY 1),
+         a0 AS (SELECT id AS n FROM nodes),
+         $peels
+         SELECT lab.label AS cluster_id,
+           count(*)::BIGINT AS cluster_size,
+           sum(CASE WHEN a5.n IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS core2_size,
+           sum(CASE WHEN a5.n IS NOT NULL THEN 1 ELSE 0 END) > 0
+             AS has_core,
+           sum(CASE WHEN a5.n IS NOT NULL THEN 1 ELSE 0 END) = 0
+             AND count(*) > 2 AS chain_suspect
+         FROM lab LEFT JOIN a5 ON lab.id = a5.n GROUP BY 1"""
+    },
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

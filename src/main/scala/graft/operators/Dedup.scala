@@ -2137,6 +2137,66 @@ object Dedup {
       )
   }
 
+  /** q315: 2-core audit of the J ≥ 0.5 near-dup graph — each
+    * cluster's size next to its 2-core (the subgraph left after
+    * iteratively peeling degree-1 nodes). A cluster whose 2-core is
+    * empty is a CHAIN — its members are linked through intermediaries
+    * and transitive dedup may be over-merging (q208's wedge rate is
+    * the global symptom; this localizes it per cluster) — while a
+    * large 2-core is a genuine dense duplicate community safe to
+    * collapse to one survivor. Peeling is unrolled to 5 rounds (the
+    * q93 Lloyd convention: bounded unrolled iterations, oracle
+    * replays the same 5); the spec asserts the peel reaches its
+    * fixpoint within 5 rounds on the test corpus.
+    *
+    * Scale: edges are the audited banded pair set; each peel round
+    * is one degree agg + one semi-join (collision-volume, not
+    * corpus); cluster labels ride the pointer-doubling CC.
+    */
+  def coreAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(spark, dir)
+    val ed = ngramJaccardPairsFrom(d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .cacheTracked()
+    val sym = ed
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(ed.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val nodes = sym.select(col("a").as("id")).distinct()
+    val labels = ConnectedComponents.run(
+      nodes,
+      ed.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    )
+    // five unrolled peel rounds: alive := {n : deg_alive(n) >= 2}
+    var alive = nodes.select(col("id").as("n"))
+    for (_ <- 1 to 5) {
+      val ealive = sym
+        .join(alive.select(col("n").as("a")), "a")
+        .join(alive.select(col("n").as("b")), "b")
+      alive = ealive
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select(col("a").as("n"))
+    }
+    val core = alive.select(col("n").as("id"), lit(1L).as("in_core"))
+    labels
+      .join(core, Seq("id"), "left")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        sum(coalesce(col("in_core"), lit(0L))).as("core2_size")
+      )
+      .select(
+        col("label").as("cluster_id"),
+        col("cluster_size"),
+        col("core2_size"),
+        (col("core2_size") > 0).as("has_core"),
+        (col("core2_size") === 0 && col("cluster_size") > 2)
+          .as("chain_suspect")
+      )
+  }
+
   /** q291: LSH band-geometry tuning table — the SAME 12-permutation
     * MinHash signature banded four ways (6×2, 4×3, 3×4, 2×6) and each
     * geometry scored against the EXACT J ≥ 0.5 pair set: candidate

@@ -3570,6 +3570,142 @@ object TextAnalysis {
     * Scale: one narrow scan, four regexp passes per row fused in
     * codegen, a 4-row-per-doc explode, one (source, type) agg.
     */
+  /** q313's script classes as (name, java-regex, re2-regex) — the
+    * char-class RANGES are identical; only the escape syntax differs
+    * between Spark's Java regex and DuckDB's RE2, so both columns
+    * are generated from this one seq. `\s` is written as an explicit
+    * class because Java and RE2 disagree on vertical tab.
+    */
+  val scriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "[A-Za-z]", "[A-Za-z]"),
+    ("digit", "[0-9]", "[0-9]"),
+    ("cjk", "[\\u4E00-\\u9FFF]", "[\\x{4E00}-\\x{9FFF}]"),
+    ("cyrillic", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("space", "[ \\t\\n\\r\\f]", "[ \\t\\n\\r\\f]")
+  )
+
+  /** q313: script census — per source, the character mass in each
+    * writing-system class (Latin, digits, CJK, Cyrillic, whitespace,
+    * other) with shares. The multilingual-hygiene twin of q129's
+    * label check: a source tagged `en` carrying 30% CJK characters
+    * is mislabeled or mis-extracted, and mixed-script mass is where
+    * encoding damage (mojibake) concentrates. Counts are exact
+    * character counts via length-difference after class removal —
+    * one regexp_replace per class inside codegen, no explode of
+    * characters.
+    *
+    * Scale: one narrow scan × 5 regex passes, a |sources|·6 agg.
+    */
+  def scriptCensus(spark: SparkSession, dir: String): DataFrame = {
+    val perClass = scriptClasses.map { case (name, javaRe, _) =>
+      struct(
+        lit(name).as("script"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), javaRe, "")))
+          .cast("long").as("n_chars")
+      )
+    }
+    val withOther = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("total"),
+        array(perClass: _*).as("cls")
+      )
+      .withColumn(
+        "cls2",
+        concat(
+          col("cls"),
+          array(
+            struct(
+              lit("other").as("script"),
+              (col("total") -
+                aggregate(col("cls"), lit(0L), (acc, c) =>
+                  acc + c.getField("n_chars"))).as("n_chars")
+            )
+          )
+        )
+      )
+      .select(col("source"), col("total"), explode(col("cls2")).as("e"))
+      .select(col("source"), col("total"), col("e.script"),
+        col("e.n_chars"))
+    withOther
+      .groupBy(col("source"), col("script"))
+      .agg(
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("total")).as("total_chars")
+      )
+      .select(
+        col("source"),
+        col("script"),
+        col("n_chars"),
+        round(
+          col("n_chars").cast("double") /
+            nullif(col("total_chars"), lit(0L)) * 1e6
+        ).cast("long").as("share_ppm")
+      )
+  }
+
+  /** q314: context-length cost frontier — q250's padding waste (the
+    * pack-into-⌈n/L⌉-windows loader) and q290's truncation loss (the
+    * clip-to-one-window loader) evaluated on the SAME length lattice
+    * and reduced to the decision: per L, which design is cheaper,
+    * and per design, which L minimizes its waste. The two source
+    * curves exist exactly for this sheet; emitting the joined
+    * frontier keeps the decision in one artifact (and the argmin
+    * flags make regressions visible when the corpus shifts). Exact
+    * integer token arithmetic throughout.
+    *
+    * Scale: one tokenize scan × 6 literal lengths, a 6-row agg, and
+    * 6-row window arithmetic.
+    */
+  def contextCostFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Seq(128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val agg = Tables
+      .documents(spark, dir)
+      .select(size(tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("n"), explode(lit(lens.toArray)).as("len"))
+      .withColumn(
+        "n_windows",
+        ceil(col("n").cast("double") / col("len")).cast("long")
+      )
+      .groupBy(col("len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(col("n_windows") * col("len") - col("n"))
+          .as("padded_tokens"),
+        sum(col("n_windows") * col("len")).as("padded_capacity"),
+        sum(greatest(col("n") - col("len"), lit(0L)))
+          .as("lost_tokens")
+      )
+    val wAll = Window
+      .orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("min_pad", min(col("padded_tokens")).over(wAll))
+      .withColumn("min_lost", min(col("lost_tokens")).over(wAll))
+      .select(
+        col("len"),
+        col("n_docs"),
+        col("total_tokens"),
+        col("padded_tokens"),
+        round(
+          col("padded_tokens").cast("double") / col("padded_capacity")
+            * 1e6
+        ).cast("long").as("pad_waste_ppm"),
+        col("lost_tokens"),
+        round(
+          col("lost_tokens").cast("double") / col("total_tokens") * 1e6
+        ).cast("long").as("lost_ppm"),
+        when(col("padded_tokens") < col("lost_tokens"), lit("pack"))
+          .otherwise(lit("truncate")).as("cheaper_design"),
+        (col("padded_tokens") === col("min_pad")).as("best_pack_l"),
+        (col("lost_tokens") === col("min_lost")).as("best_truncate_l")
+      )
+  }
+
   /** The q309 pattern set — public so the oracle SQL is generated
     * from the SAME strings (RE2-compatible, valid in both engines).
     */
