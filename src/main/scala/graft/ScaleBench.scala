@@ -1005,6 +1005,83 @@ object ScaleBench {
     require(cumAgg.getLong(0) == cumTotal && cumAgg.getLong(1) == cumN,
       s"cumsum conservation failed: ${cumAgg.getLong(0)} != $cumTotal")
 
+    // --- systematic PPS pick test on the 5M-row cumsum ----------------
+    // the q304 topology rides the cumsum above: with B picks over
+    // total token mass T, the stride-multiple pick test must select
+    // EXACTLY B rows — the zero-variance property, verified at 5M.
+    val ppsB = 10000L
+    val tPps = System.nanoTime()
+    val ppsSel = cumIn
+      .join(broadcast(cumOff), Seq("pid"))
+      .withColumn("cum", col("cum_in") + col("off"))
+      .withColumn("hi", col("cum") * ppsB)
+      .withColumn("lo", (col("cum") - col("n_tokens")) * ppsB)
+      .withColumn("t", lit(cumTotal))
+      .withColumn("sel", expr("hi div t - lo div t"))
+      .agg(sum(col("sel")).as("picks"))
+      .collect()(0)
+      .getLong(0)
+    val ppsSec = (System.nanoTime() - tPps) / 1e9
+    require(ppsSel == ppsB, s"systematic PPS drew $ppsSel != $ppsB")
+
+    // --- 2-core peel at ~1.03M nodes (the q315 topology) --------------
+    // known structure: 100k 10-node chains (must peel away entirely)
+    // + 10k triangles (each survives as a 2-core). Peel to fixpoint
+    // with per-round localCheckpoint lineage truncation; the chain
+    // mass dies in 5 rounds, so fixpoint lands at round 6.
+    val chains = spark
+      .range(100000L)
+      .select(explode(sequence(lit(0L), lit(8L))).as("j"), col("id"))
+      .select(
+        (col("id") * 10 + col("j")).as("a"),
+        (col("id") * 10 + col("j") + 1).as("b")
+      )
+    val triBase = 2000000L
+    val tris = spark
+      .range(10000L)
+      .select(
+        explode(
+          array(
+            struct(lit(0L).as("i"), lit(1L).as("j")),
+            struct(lit(1L).as("i"), lit(2L).as("j")),
+            struct(lit(0L).as("i"), lit(2L).as("j"))
+          )
+        ).as("e"),
+        col("id")
+      )
+      .select(
+        (lit(triBase) + col("id") * 3 + col("e.i")).as("a"),
+        (lit(triBase) + col("id") * 3 + col("e.j")).as("b")
+      )
+    val peelEdges = chains.unionByName(tris).localCheckpoint(true)
+    val peelSym = peelEdges
+      .unionByName(peelEdges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val tPeel = System.nanoTime()
+    var alive = peelSym.select(col("a").as("n")).distinct()
+      .localCheckpoint(true)
+    var aliveN = alive.count()
+    var peelRounds = 0
+    var peelDone = false
+    while (!peelDone && peelRounds < 30) {
+      val next = peelSym
+        .join(alive.select(col("n").as("a")), "a")
+        .join(alive.select(col("n").as("b")), "b")
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select(col("a").as("n"))
+        .localCheckpoint(false)
+      val nN = next.count()
+      peelDone = nN == aliveN
+      alive = next
+      aliveN = nN
+      peelRounds += 1
+    }
+    val peelSec = (System.nanoTime() - tPeel) / 1e9
+    require(aliveN == 30000L, s"2-core kept $aliveN nodes, want 30000")
+    require(peelDone, "2-core peel did not reach fixpoint in 30 rounds")
+
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
         s""""ppjoin_docs":$ppN,"ppjoin_candidates":$ppCandN,""" +
@@ -1013,6 +1090,9 @@ object ScaleBench {
         s""""multisignal_clustered":$msClustered,""" +
         s""""multisignal_max_cluster":$msMaxSz,"multisignal_sec":$msSec,""" +
         s""""cumsum_rows":$cumN,"cumsum_sec":$cumSec,""" +
+        s""""pps_picks":$ppsSel,"pps_sec":$ppsSec,""" +
+        s""""peel_nodes":1030000,"peel_core":$aliveN,""" +
+        s""""peel_rounds":$peelRounds,"peel_sec":$peelSec,""" +
         s""""pc1_cells":${nVecs * 64},"pc1_rounds":4,"pc1_sec":$pcSec,""" +
         s""""nn_eval":$nnEvalN,"nn_hits":$nnHits,"nn_sec":$nnSec,""" +
         s""""nn_cosines_per_sec":${(nVecs * nnEvalN / nnSec).round},""" +
