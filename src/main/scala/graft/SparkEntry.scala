@@ -843,6 +843,12 @@ object SparkEntry {
     "q314_context_cost" -> (TextAnalysis.contextCostFrontier _),
     // Cluster size vs 2-core size on the J >= 0.5 dup graph.
     "q315_core_audit" -> ((s, d) => Dedup.coreAudit(s, d)),
+    // Top-3 user excess contributions for every burst hour.
+    "q316_burst_attribution" -> (Events.burstAttribution _),
+    // AMS F2 sketch (R=64) vs exact second moment per source.
+    "q317_ams_f2" -> (Sketches.amsF2Audit _),
+    // Omnibus Kruskal-Wallis rank test across all sources.
+    "q318_kruskal_wallis" -> (Sampling.kruskalWallis _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -8276,6 +8282,128 @@ object SparkEntry {
              AND count(*) > 2 AS chain_suspect
          FROM lab LEFT JOIN a5 ON lab.id = a5.n GROUP BY 1"""
     },
+    // q316: the q254 burst chain, one semi-joined event pass, the
+    // micro-quantized expected contribution, top-3 per burst hour.
+    "q316_burst_attribution" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hour, n,
+                 count(*) OVER tw AS k, sum(n) OVER tw AS s,
+                 sum(n * n) OVER tw AS s2
+               FROM h WINDOW tw AS (PARTITION BY event_type
+                 ORDER BY hour ROWS BETWEEN 24 PRECEDING
+                 AND 1 PRECEDING)),
+         bu AS (SELECT event_type, epoch_us(hour)::BIGINT AS hour_us,
+                  n AS hour_n
+                FROM w
+                WHERE k >= 12
+                  AND (s2::DOUBLE - s::DOUBLE * s / k) / k > 0
+                  AND (n - s::DOUBLE / k)
+                    / sqrt((s2::DOUBLE - s::DOUBLE * s / k) / k)
+                    > 3.0),
+         ev AS (SELECT event_type,
+                  epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us,
+                  user_id
+                FROM events),
+         tt AS (SELECT event_type, count(*)::BIGINT AS type_n
+                FROM ev GROUP BY 1),
+         us AS (SELECT event_type, user_id, count(*)::BIGINT AS user_n
+                FROM ev GROUP BY 1, 2),
+         ib AS (SELECT ev.event_type, ev.hour_us, ev.user_id,
+                  count(*)::BIGINT AS n_in_hour,
+                  max(bu.hour_n)::BIGINT AS hour_n
+                FROM ev JOIN bu USING (event_type, hour_us)
+                GROUP BY 1, 2, 3),
+         sc AS (SELECT ib.event_type, ib.hour_us, ib.user_id,
+                  ib.n_in_hour, us.user_n,
+                  ib.n_in_hour * 1000000
+                    - CAST(round(us.user_n::DOUBLE / tt.type_n
+                        * ib.hour_n * 1e6) AS BIGINT) AS excess_micro
+                FROM ib JOIN us USING (event_type, user_id)
+                JOIN tt USING (event_type)),
+         rk AS (SELECT sc.*, row_number() OVER
+                  (PARTITION BY event_type, hour_us
+                   ORDER BY excess_micro DESC, user_id ASC)::BIGINT
+                  AS rk
+                FROM sc)
+         SELECT event_type, hour_us, rk, user_id, n_in_hour, user_n,
+           excess_micro
+         FROM rk WHERE rk <= 3""",
+    // q317: same ±1 parity signs off the 60-bit hash, exact counter
+    // sums, sum-of-squares/64 estimate.
+    "q317_ams_f2" ->
+      """WITH tk AS (SELECT source,
+             unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\s+')
+                    END) AS w
+           FROM documents),
+         f AS (SELECT source, w, count(*)::BIGINT AS f FROM tk
+               GROUP BY 1, 2),
+         ex AS (SELECT source, sum(f * f)::BIGINT AS f2_exact FROM f
+                GROUP BY 1),
+         pj AS (SELECT source, r.r,
+                  sum(f * CASE WHEN ('0x' || substr(md5(r.r || ':'
+                    || w), 1, 15))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END)::BIGINT AS c
+                FROM f, range(64) r(r) GROUP BY 1, 2),
+         es AS (SELECT source,
+                  CAST(round(sum(c * c)::DOUBLE / 64.0) AS BIGINT)
+                    AS f2_est
+                FROM pj GROUP BY 1)
+         SELECT ex.source, ex.f2_exact, es.f2_est,
+           CAST(round(abs(es.f2_est - ex.f2_exact)::DOUBLE
+             / ex.f2_exact * 1e6) AS BIGINT) AS err_ppm
+         FROM ex JOIN es USING (source)""",
+    // q318: the q283 rank frames; H assembled from exact rank sums,
+    // tie-corrected, Wilson-Hilferty z on both engines.
+    "q318_kruskal_wallis" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         gv AS (SELECT qm, count(*)::BIGINT AS gcnt,
+                  sum(count(*)) OVER (ORDER BY qm
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS gcum
+                FROM s GROUP BY qm),
+         rk AS (SELECT qm, gcnt,
+                  2 * (gcum - gcnt) + gcnt + 1 AS rank2
+                FROM gv),
+         tt AS (SELECT sum(gcnt * gcnt * gcnt - gcnt)::BIGINT AS tsum,
+                  sum(gcnt)::BIGINT AS bign
+                FROM gv),
+         sv AS (SELECT source, qm, count(*)::BIGINT AS scnt
+                FROM s GROUP BY 1, 2),
+         ag AS (SELECT sv.source, sum(sv.scnt)::BIGINT AS n_s,
+                  sum(sv.scnt * rk.rank2)::BIGINT AS r2
+                FROM sv JOIN rk USING (qm) GROUP BY 1),
+         kk AS (SELECT count(*)::BIGINT AS k FROM ag),
+         ha AS (SELECT sum(r2::DOUBLE * r2 / n_s) AS sum_term FROM ag),
+         hh AS (SELECT 3.0 * ha.sum_term
+                  / (tt.bign::DOUBLE * (tt.bign + 1))
+                  - 3.0 * (tt.bign + 1)::DOUBLE AS h,
+                  tt.tsum, tt.bign, kk.k
+                FROM ha, tt, kk),
+         h2 AS (SELECT h,
+                  h / (1.0 - tsum::DOUBLE
+                    / (bign::DOUBLE * bign * bign - bign)) AS hc,
+                  (k - 1)::DOUBLE AS df
+                FROM hh),
+         h3 AS (SELECT h, hc, df,
+                 (pow(hc / df, 1.0 / 3.0)
+                   - (1.0 - 2.0 / (9.0 * df)))
+                   / sqrt(2.0 / (9.0 * df)) AS z
+               FROM h2)
+         SELECT ag.source, ag.n_s AS n,
+           CAST(round(ag.r2::DOUBLE / (2.0 * ag.n_s) * 1e3) AS BIGINT)
+             AS mean_rank_milli,
+           CAST(round(h3.h * 1e3) AS BIGINT) AS h_milli,
+           CAST(round(h3.hc * 1e3) AS BIGINT) AS hc_milli,
+           h3.df::BIGINT AS df,
+           CAST(round(h3.z * 1e3) AS BIGINT) AS z_milli,
+           h3.z > 1.645 AS significant
+         FROM ag, h3""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -761,6 +761,73 @@ object Events {
       )
   }
 
+  /** q316: burst attribution — for every hour q254 flags as a burst,
+    * the top-3 users by EXCESS contribution: their count in the
+    * burst hour minus the count their overall share of the type's
+    * traffic predicts for an hour of that size. This is the page an
+    * on-call actually needs after the q254 alert fires — "who is
+    * it": one dominant user with a huge excess is a bot or a stuck
+    * retry loop; diffuse excess across thousands is organic. Every
+    * count is exact; the expected contribution is micro-quantized
+    * before the excess subtraction so ranking ties are
+    * engine-stable.
+    *
+    * Scale: the q254 chain (bounded hourly frames) + ONE pass over
+    * events restricted to burst (type, hour) pairs via a broadcast
+    * semi-join — the corpus is never rescanned per burst; the top-3
+    * window partitions on (type, hour), bounded by users-per-hour.
+    */
+  def burstAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val bursts = burstFlags(spark, dir)
+      .filter(col("burst"))
+      .select(col("event_type"), col("hour_us"), col("n").as("hour_n"))
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        col("user_id")
+      )
+    val typeTotals = broadcast(
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+    )
+    val userShare = ev
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("user_n"))
+    val inBurst = ev
+      .join(broadcast(bursts), Seq("event_type", "hour_us"))
+      .groupBy(col("event_type"), col("hour_us"), col("user_id"))
+      .agg(count(lit(1)).as("n_in_hour"), max(col("hour_n")).as("hour_n"))
+    val expected = round(
+      col("user_n").cast("double") / col("type_n") * col("hour_n") * 1e6
+    ).cast("long")
+    val scoredU = inBurst
+      .join(userShare, Seq("event_type", "user_id"))
+      .join(typeTotals, "event_type")
+      .withColumn(
+        "excess_micro",
+        col("n_in_hour") * lit(1000000L) - expected
+      )
+    val w = Window
+      .partitionBy(col("event_type"), col("hour_us"))
+      .orderBy(
+        col("excess_micro").desc,
+        col("user_id").asc
+      )
+    scoredU
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(
+        col("event_type"),
+        col("hour_us"),
+        col("rk").cast("long").as("rk"),
+        col("user_id"),
+        col("n_in_hour"),
+        col("user_n"),
+        col("excess_micro")
+      )
+  }
+
   /** q237: exponentially-decayed event counts — per event type and
     * half-life (1 h, 6 h, 24 h), the decay-weighted count
     * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest

@@ -1611,6 +1611,109 @@ object Sampling {
     )
   }
 
+  /** q318: Kruskal-Wallis k-sample rank test — ONE test for "does
+    * ANY source's quality distribution differ", completing the rank
+    * family: q283 tests each source against the rest (k two-sample
+    * tests needing q284's FDR control); KW asks the omnibus question
+    * first, and only a significant H justifies the per-source hunt.
+    * Built on the SAME doubled-average-rank machinery as q283
+    * (exact-integer rank sums), with the tie-corrected
+    * H_c = H / (1 − ΣT/(N³−N)) and a Wilson-Hilferty normal
+    * approximation for the χ²_{k−1} tail (identical closed form on
+    * both engines — neither ships a χ² CDF).
+    *
+    * Scale: the bounded quantized-value rank frames; per-source
+    * sums map-side combined; the H assembly is |sources|-row math.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val wg = Window
+      .orderBy(col("qm").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gv = scored
+      .groupBy(col("qm"))
+      .agg(count(lit(1)).as("gcnt"))
+      .withColumn("gcum", sum(col("gcnt")).over(wg))
+      .withColumn(
+        "rank2",
+        lit(2L) * (col("gcum") - col("gcnt")) + col("gcnt") + lit(1L)
+      )
+    val ties = broadcast(
+      gv.agg(
+        sum(col("gcnt") * col("gcnt") * col("gcnt") - col("gcnt"))
+          .as("tsum"),
+        sum(col("gcnt")).as("bign")
+      )
+    )
+    val perSrc = scored
+      .groupBy(col("source"), col("qm"))
+      .agg(count(lit(1)).as("scnt"))
+      .join(gv.select(col("qm"), col("rank2")), "qm")
+      .groupBy(col("source"))
+      .agg(
+        sum(col("scnt")).as("n_s"),
+        sum(col("scnt") * col("rank2")).as("r2")
+      )
+    val k = broadcast(perSrc.agg(count(lit(1)).as("k")))
+    val nD = col("bign").cast("double")
+    // H = 3/(N(N+1))·Σ r2_s²/n_s − 3(N+1)   (r2 = 2·rank sums)
+    val hTerm = col("r2").cast("double") * col("r2") / col("n_s")
+    val assembled = perSrc
+      .crossJoin(ties)
+      .crossJoin(k)
+      .withColumn("h_term", hTerm)
+    val hAgg = broadcast(
+      assembled
+        .groupBy(col("bign"), col("tsum"), col("k"))
+        .agg(sum(col("h_term")).as("sum_term"))
+        .withColumn(
+          "h",
+          lit(3.0) * col("sum_term") /
+            (col("bign").cast("double") * (col("bign") + 1)) -
+            lit(3.0) * (col("bign") + 1).cast("double")
+        )
+        .withColumn(
+          "hc",
+          col("h") / (lit(1.0) - col("tsum").cast("double") /
+            (col("bign").cast("double") * col("bign") * col("bign") -
+              col("bign")))
+        )
+        .withColumn("df", (col("k") - 1).cast("double"))
+        // Wilson-Hilferty: (Hc/df)^(1/3) ~ N(1 - 2/(9df), 2/(9df))
+        .withColumn(
+          "z",
+          (pow(col("hc") / col("df"), 1.0 / 3.0) -
+            (lit(1.0) - lit(2.0) / (lit(9.0) * col("df")))) /
+            sqrt(lit(2.0) / (lit(9.0) * col("df")))
+        )
+        .select(col("h"), col("hc"), col("df"), col("z"))
+    )
+    perSrc
+      .crossJoin(hAgg)
+      .select(
+        col("source"),
+        col("n_s").as("n"),
+        round(
+          col("r2").cast("double") / (lit(2.0) * col("n_s")) * 1e3
+        ).cast("long").as("mean_rank_milli"),
+        round(col("h") * 1e3).cast("long").as("h_milli"),
+        round(col("hc") * 1e3).cast("long").as("hc_milli"),
+        col("df").cast("long").as("df"),
+        round(col("z") * 1e3).cast("long").as("z_milli"),
+        (col("z") > 1.645).as("significant")
+      )
+  }
+
   /** q284: Benjamini-Hochberg FDR control over the per-source KS
     * drift battery — q279 flags each source at a FIXED α, which at
     * hundreds of sources (the 100 TB reality) fires ~5% of clean

@@ -208,6 +208,67 @@ object Sketches {
       )
   }
 
+  /** q317: AMS F₂ sketch audit — the second frequency moment
+    * Σ_w f_w² of each source's token distribution (the concentration
+    * statistic behind self-join sizing and repetition mass),
+    * estimated by the Alon-Matias-Szegedy ±1-projection sketch with
+    * R = 64 counters and compared to the exact value in ppm. F₂ is
+    * the other classic mergeable sketch next to KMV's F₀ (q303):
+    * counter state is R integers per source regardless of vocabulary,
+    * merge is vector addition — the 100 TB shape — and this table
+    * is the evidence for its error at R = 64. Signs come from the
+    * engine's 60-bit hash parity, replayed exactly by the oracle.
+    *
+    * Scale: one tokenize scan → vocab-sized (source, w) counts →
+    * a ×64 projection explode map-side-combined to |sources|·64
+    * cells; the exact column is the vocab-sized baseline the sketch
+    * replaces.
+    */
+  def amsF2Audit(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("f"))
+    val exact = f
+      .groupBy(col("source"))
+      .agg(sum(col("f") * col("f")).as("f2_exact"))
+    val counters = f
+      .select(
+        col("source"),
+        col("f"),
+        col("w"),
+        explode(sequence(lit(0), lit(63))).as("r")
+      )
+      .withColumn(
+        "s",
+        when(
+          hash60(concat(col("r").cast("string"), lit(":"), col("w")))
+            % 2 === 0,
+          1L
+        ).otherwise(-1L)
+      )
+      .groupBy(col("source"), col("r"))
+      .agg(sum(col("f") * col("s")).as("c"))
+    val est = counters
+      .groupBy(col("source"))
+      .agg(
+        round(sum(col("c") * col("c")).cast("double") / 64.0)
+          .cast("long").as("f2_est")
+      )
+    exact
+      .join(est, "source")
+      .select(
+        col("source"),
+        col("f2_exact"),
+        col("f2_est"),
+        round(
+          abs(col("f2_est") - col("f2_exact")).cast("double") /
+            col("f2_exact") * 1e6
+        ).cast("long").as("err_ppm")
+      )
+  }
+
   /** q312: Bloom-filter sizing plan — for each source's distinct-
     * token cardinality and each target false-positive rate p ∈
     * {1%, 0.1%}: the optimal bit count m = ⌈−n·ln p / ln²2⌉, hash
