@@ -849,6 +849,12 @@ object SparkEntry {
     "q317_ams_f2" -> (Sketches.amsF2Audit _),
     // Omnibus Kruskal-Wallis rank test across all sources.
     "q318_kruskal_wallis" -> (Sampling.kruskalWallis _),
+    // Cochran's Q omnibus strictness test across the four gates.
+    "q319_cochran_q" -> (TextAnalysis.cochranQ _),
+    // Calendar-profile residual anomalies vs raw q254 bursts.
+    "q320_deseasonalized" -> (Events.deseasonalizedAnomalies _),
+    // Per-from-type chi-square stationarity of the transition matrix.
+    "q321_transition_stability" -> (Events.transitionStationarity _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -8404,6 +8410,158 @@ object SparkEntry {
            CAST(round(h3.z * 1e3) AS BIGINT) AS z_milli,
            h3.z > 1.645 AS significant
          FROM ag, h3""",
+    // q319: the shared gate pattern counts; exact-integer Q assembly,
+    // same chi2_3 5% cut, four unpivoted gate rows.
+    "q319_cochran_q" ->
+      s"""WITH $gateFlagsCtes,
+         wd AS (SELECT doc_id,
+                  max(CASE WHEN gate = 'gopher' THEN f END) AS fg,
+                  max(CASE WHEN gate = 'lr' THEN f END) AS fl2,
+                  max(CASE WHEN gate = 'ml' THEN f END) AS fm,
+                  max(CASE WHEN gate = 'ppl' THEN f END) AS fp
+                FROM fl GROUP BY 1),
+         wf AS (SELECT * FROM wd WHERE fg IS NOT NULL
+                  AND fl2 IS NOT NULL AND fm IS NOT NULL
+                  AND fp IS NOT NULL),
+         pat AS (SELECT fg, fl2, fm, fp, count(*)::BIGINT AS c
+                 FROM wf GROUP BY 1, 2, 3, 4),
+         tot AS (SELECT sum(c)::BIGINT AS n,
+                  sum(c * (fg::INT + fl2::INT + fm::INT + fp::INT)
+                    )::BIGINT AS sum_r,
+                  sum(c * (fg::INT + fl2::INT + fm::INT + fp::INT)
+                    * (fg::INT + fl2::INT + fm::INT + fp::INT)
+                    )::BIGINT AS sum_r2,
+                  sum(CASE WHEN fg THEN c ELSE 0 END)::BIGINT AS cg,
+                  sum(CASE WHEN fl2 THEN c ELSE 0 END)::BIGINT AS cl,
+                  sum(CASE WHEN fm THEN c ELSE 0 END)::BIGINT AS cm,
+                  sum(CASE WHEN fp THEN c ELSE 0 END)::BIGINT AS cp
+                 FROM pat),
+         qq2 AS (SELECT tot.*,
+                  3.0 * (4.0 * (cg * cg + cl * cl + cm * cm + cp * cp
+                    )::DOUBLE - sum_r::DOUBLE * sum_r)
+                    / (4 * sum_r - sum_r2)::DOUBLE AS q
+                FROM tot),
+         u AS (SELECT 'gopher' AS gate, n, cg AS n_pass, q FROM qq2
+               UNION ALL SELECT 'lr', n, cl, q FROM qq2
+               UNION ALL SELECT 'ml', n, cm, q FROM qq2
+               UNION ALL SELECT 'ppl', n, cp, q FROM qq2)
+         SELECT gate, n, n_pass,
+           CAST(round(n_pass::DOUBLE / n * 1e6) AS BIGINT) AS pass_ppm,
+           CAST(round(q * 1e3) AS BIGINT) AS q_milli,
+           q > 7.815 AS gates_differ
+         FROM u""",
+    // q320: q280's ISO dow cells as the seasonal profile, exact
+    // integer residuals, the q254 chain joined for the raw verdict.
+    "q320_deseasonalized" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         hh AS (SELECT event_type, hour, n,
+                  isodow(hour)::BIGINT AS dow,
+                  hour(hour)::BIGINT AS hod
+                FROM h),
+         cells AS (SELECT event_type, dow, hod,
+                    CAST(round(avg(n) * 1e3) AS BIGINT) AS m_milli
+                  FROM hh GROUP BY 1, 2, 3),
+         wr AS (SELECT hh.event_type, hh.hour, hh.n,
+                  1000 * hh.n - cells.m_milli AS r
+                FROM hh JOIN cells USING (event_type, dow, hod)),
+         sg AS (SELECT event_type,
+                  sqrt(sum(r * r)::DOUBLE / count(*)) AS sigma_r
+                FROM wr GROUP BY 1),
+         w2 AS (SELECT event_type, hour, n,
+                 count(*) OVER tw AS k, sum(n) OVER tw AS s,
+                 sum(n * n) OVER tw AS s2
+               FROM h WINDOW tw AS (PARTITION BY event_type
+                 ORDER BY hour ROWS BETWEEN 24 PRECEDING
+                 AND 1 PRECEDING)),
+         raw AS (SELECT event_type, epoch_us(hour)::BIGINT AS hour_us,
+                  coalesce(k >= 12
+                    AND (s2::DOUBLE - s::DOUBLE * s / k) / k > 0
+                    AND (n - s::DOUBLE / k)
+                      / sqrt((s2::DOUBLE - s::DOUBLE * s / k) / k)
+                      > 3.0, false) AS raw_burst
+                FROM w2),
+         j AS (SELECT wr.event_type,
+                 epoch_us(wr.hour)::BIGINT AS hour_us, wr.n, wr.r,
+                 sg.sigma_r, raw.raw_burst,
+                 coalesce(sg.sigma_r <> 0
+                   AND abs(wr.r::DOUBLE / sg.sigma_r) > 3.0, false)
+                   AS anomalous
+               FROM wr JOIN sg USING (event_type)
+               JOIN raw ON raw.event_type = wr.event_type
+                 AND raw.hour_us = epoch_us(wr.hour))
+         SELECT event_type, hour_us, n, r AS resid_milli,
+           CASE WHEN sigma_r = 0 THEN 0
+                ELSE CAST(round(r::DOUBLE / sigma_r * 1e6) AS BIGINT)
+           END AS z_micro,
+           anomalous, raw_burst
+         FROM j WHERE anomalous OR raw_burst""",
+    // q321: midpoint split (integer floor on both engines), per-from
+    // chi-square homogeneity with nano-quantized cell terms, WH tail.
+    "q321_transition_stability" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts) AS us
+               FROM events),
+         md AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS mid
+                FROM e),
+         t AS (SELECT user_id, event_type, us,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS prev
+               FROM e),
+         tr AS (SELECT prev AS from_type, event_type AS to_type,
+                  CASE WHEN us <= md.mid THEN 1 ELSE 2 END AS half
+                FROM t, md WHERE prev IS NOT NULL),
+         cw AS (SELECT from_type, to_type,
+                  sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT
+                    AS n1,
+                  sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT
+                    AS n2
+                FROM tr GROUP BY 1, 2),
+         rt AS (SELECT from_type, sum(n1)::BIGINT AS r1,
+                  sum(n2)::BIGINT AS r2
+                FROM cw GROUP BY 1),
+         cc AS (SELECT cw.from_type, cw.n1, cw.n2,
+                 CAST(round((
+                   CASE WHEN (cw.n1 + cw.n2)::DOUBLE * rt.r1
+                       / (rt.r1 + rt.r2) > 0
+                     THEN (cw.n1 - (cw.n1 + cw.n2)::DOUBLE * rt.r1
+                         / (rt.r1 + rt.r2))
+                       * (cw.n1 - (cw.n1 + cw.n2)::DOUBLE * rt.r1
+                         / (rt.r1 + rt.r2))
+                       / ((cw.n1 + cw.n2)::DOUBLE * rt.r1
+                         / (rt.r1 + rt.r2))
+                     ELSE 0 END
+                   + CASE WHEN (cw.n1 + cw.n2)::DOUBLE * rt.r2
+                       / (rt.r1 + rt.r2) > 0
+                     THEN (cw.n2 - (cw.n1 + cw.n2)::DOUBLE * rt.r2
+                         / (rt.r1 + rt.r2))
+                       * (cw.n2 - (cw.n1 + cw.n2)::DOUBLE * rt.r2
+                         / (rt.r1 + rt.r2))
+                       / ((cw.n1 + cw.n2)::DOUBLE * rt.r2
+                         / (rt.r1 + rt.r2))
+                     ELSE 0 END) * 1e9) AS BIGINT) AS c_nano
+               FROM cw JOIN rt USING (from_type)),
+         pf AS (SELECT from_type, sum(n1)::BIGINT AS n_first_half,
+                  sum(n2)::BIGINT AS n_second_half,
+                  count(*)::BIGINT AS n_cells,
+                  sum(c_nano)::BIGINT AS chi2_nano
+                FROM cc GROUP BY 1)
+         SELECT from_type, n_first_half, n_second_half,
+           CAST(round(chi2_nano::DOUBLE / 1e9 * 1e3) AS BIGINT)
+             AS chi2_milli,
+           (n_cells - 1)::BIGINT AS df,
+           CAST(round((pow((chi2_nano::DOUBLE / 1e9)
+               / (n_cells - 1)::DOUBLE, 1.0 / 3.0)
+             - (1.0 - 2.0 / (9.0 * (n_cells - 1)::DOUBLE)))
+             / sqrt(2.0 / (9.0 * (n_cells - 1)::DOUBLE)) * 1e3)
+             AS BIGINT) AS z_milli,
+           (pow((chi2_nano::DOUBLE / 1e9)
+               / (n_cells - 1)::DOUBLE, 1.0 / 3.0)
+             - (1.0 - 2.0 / (9.0 * (n_cells - 1)::DOUBLE)))
+             / sqrt(2.0 / (9.0 * (n_cells - 1)::DOUBLE)) > 1.645
+             AS drifted
+         FROM pf WHERE n_cells > 1""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

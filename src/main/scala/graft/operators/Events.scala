@@ -828,6 +828,182 @@ object Events {
       )
   }
 
+  /** q320: deseasonalized anomaly flags — the q254 burst detector
+    * re-run on RESIDUALS after removing each type's (ISO dow × hour)
+    * calendar profile (the q280 cells): r = count − cell mean,
+    * flagged at |r| > 3σ_r. q296 proves these series carry strong
+    * daily/weekly cycles, so raw z-scores (q254) fire every Monday
+    * 9am; the residual flag only fires when an hour is anomalous FOR
+    * ITS SLOT. Emitted rows are the union of residual anomalies and
+    * raw q254 bursts with both verdicts side by side — the
+    * comparison IS the artifact (raw-only rows are seasonality false
+    * alarms; residual-only rows are what seasonality masked).
+    *
+    * Determinism: cell means are milli-quantized integers, residuals
+    * exact BIGINT, σ_r from the exact residual second moment.
+    *
+    * Scale: one (type, hour) agg → bounded hourly frames; the cell
+    * profile is a |types|·168-row broadcast.
+    */
+  def deseasonalizedAnomalies(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .groupBy(
+        col("event_type"),
+        date_trunc("hour", col("ts")).as("hour")
+      )
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", ((dayofweek(col("hour")) + 5) % 7 + 1).cast("long"))
+      .withColumn("hod", hour(col("hour")).cast("long"))
+    val cells = broadcast(
+      hourly
+        .groupBy(col("event_type"), col("dow"), col("hod"))
+        .agg(round(avg(col("n")) * 1e3).cast("long").as("m_milli"))
+    )
+    val withR = hourly
+      .join(cells, Seq("event_type", "dow", "hod"))
+      .withColumn("r", lit(1000L) * col("n") - col("m_milli"))
+    val sig = broadcast(
+      withR
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_hours"),
+          sum(col("r") * col("r")).as("rr")
+        )
+        .withColumn(
+          "sigma_r",
+          sqrt(col("rr").cast("double") / col("n_hours"))
+        )
+        .select(col("event_type"), col("sigma_r"))
+    )
+    val raw = burstFlags(spark, dir)
+      .select(
+        col("event_type"),
+        col("hour_us"),
+        col("burst").as("raw_burst")
+      )
+    val z = col("r").cast("double") / col("sigma_r")
+    withR
+      .join(sig, "event_type")
+      .withColumn("hour_us", unix_micros(col("hour")))
+      .join(raw, Seq("event_type", "hour_us"))
+      .withColumn(
+        "anomalous",
+        coalesce(col("sigma_r") =!= 0.0 && abs(z) > 3.0, lit(false))
+      )
+      .filter(col("anomalous") || col("raw_burst"))
+      .select(
+        col("event_type"),
+        col("hour_us"),
+        col("n"),
+        col("r").as("resid_milli"),
+        when(col("sigma_r") === 0.0, lit(0L))
+          .otherwise(round(z * 1e6).cast("long")).as("z_micro"),
+        col("anomalous"),
+        col("raw_burst")
+      )
+  }
+
+  /** q321: transition-matrix stationarity — q262's first-order
+    * (from, to) matrix is only a usable predictor if it is STABLE
+    * over time; this splits the corpus at the midpoint timestamp
+    * (a transition belongs to its second event's half), builds the
+    * two per-half matrices, and runs a per-from-type χ² homogeneity
+    * test of the outgoing distributions with a Wilson-Hilferty
+    * normal tail (both engines, no χ² CDF). A drifted row says that
+    * type's behavior changed mid-corpus — retrain windows, don't
+    * pool.
+    *
+    * Determinism: the midpoint is exact integer arithmetic; cell
+    * χ² contributions are nano-quantized BIGINTs before the
+    * per-from sum.
+    *
+    * Scale: one lag window per user (bounded), one (from, to, half)
+    * agg — |types|² cells; everything after is cell arithmetic.
+    */
+  def transitionStationarity(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+    val mid = broadcast(
+      ev.agg(
+        ((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid")
+      )
+    )
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val tr = ev
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .crossJoin(mid)
+      .select(
+        col("prev").as("from_type"),
+        col("event_type").as("to_type"),
+        when(col("us") <= col("mid"), 1L).otherwise(2L).as("half")
+      )
+    val cellsW = tr
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 2L, 1L).otherwise(0L)).as("n2")
+      )
+    val rowTot = cellsW
+      .groupBy(col("from_type"))
+      .agg(sum(col("n1")).as("r1"), sum(col("n2")).as("r2"))
+    val e1 = (col("n1") + col("n2")).cast("double") * col("r1") /
+      (col("r1") + col("r2"))
+    val e2 = (col("n1") + col("n2")).cast("double") * col("r2") /
+      (col("r1") + col("r2"))
+    val contrib =
+      when(e1 > 0.0, (col("n1") - e1) * (col("n1") - e1) / e1)
+        .otherwise(0.0) +
+        when(e2 > 0.0, (col("n2") - e2) * (col("n2") - e2) / e2)
+          .otherwise(0.0)
+    val perFrom = cellsW
+      .join(broadcast(rowTot), "from_type")
+      .select(
+        col("from_type"),
+        col("n1"),
+        col("n2"),
+        round(contrib * 1e9).cast("long").as("c_nano")
+      )
+      .groupBy(col("from_type"))
+      .agg(
+        sum(col("n1")).as("n_first_half"),
+        sum(col("n2")).as("n_second_half"),
+        count(lit(1)).as("n_cells"),
+        sum(col("c_nano")).as("chi2_nano")
+      )
+    val df = (col("n_cells") - 1).cast("double")
+    val chi2 = col("chi2_nano").cast("double") / 1e9
+    val zWh = (pow(chi2 / df, 1.0 / 3.0) -
+      (lit(1.0) - lit(2.0) / (lit(9.0) * df))) /
+      sqrt(lit(2.0) / (lit(9.0) * df))
+    perFrom
+      .filter(col("n_cells") > 1)
+      .select(
+        col("from_type"),
+        col("n_first_half"),
+        col("n_second_half"),
+        round(chi2 * 1e3).cast("long").as("chi2_milli"),
+        (col("n_cells") - 1).as("df"),
+        round(zWh * 1e3).cast("long").as("z_milli"),
+        (zWh > lit(1.645)).as("drifted")
+      )
+  }
+
   /** q237: exponentially-decayed event counts — per event type and
     * half-life (1 h, 6 h, 24 h), the decay-weighted count
     * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest

@@ -3570,6 +3570,80 @@ object TextAnalysis {
     * Scale: one narrow scan, four regexp passes per row fused in
     * codegen, a 4-row-per-doc explode, one (source, type) agg.
     */
+  /** q319: Cochran's Q across the four-gate battery — the k-gate
+    * omnibus the pairwise McNemar grid (q206) needs in front of it:
+    * one test of "do the gates differ in strictness at all" before
+    * six pairwise hunts (the q318-before-q283 discipline applied to
+    * gates). Q = k(k−1)·Σ_j(C_j − ΣC/k)² / (k·ΣR_i − ΣR_i²) over
+    * per-doc pass counts R_i and per-gate pass totals C_j — every
+    * term an exact integer off the 16 pass-pattern counts; the χ²₃
+    * 5% cut is 7.815. Output: one row per gate (its pass total and
+    * share) carrying the shared Q verdict.
+    *
+    * Scale: the shared gate-flag frame → the SAME bounded pattern
+    * agg as q300; everything after is 16-row arithmetic.
+    */
+  def cochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val wide = gateFlags(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("gate") === "gopher", col("f"))).as("fg"),
+        max(when(col("gate") === "lr", col("f"))).as("fl"),
+        max(when(col("gate") === "ml", col("f"))).as("fm"),
+        max(when(col("gate") === "ppl", col("f"))).as("fp")
+      )
+      .filter(
+        col("fg").isNotNull && col("fl").isNotNull &&
+          col("fm").isNotNull && col("fp").isNotNull
+      )
+    val pat = wide
+      .groupBy(col("fg"), col("fl"), col("fm"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+    val ri = col("fg").cast("long") + col("fl").cast("long") +
+      col("fm").cast("long") + col("fp").cast("long")
+    val tot = broadcast(
+      pat.agg(
+        sum(col("c")).as("n"),
+        sum(col("c") * ri).as("sum_r"),
+        sum(col("c") * ri * ri).as("sum_r2"),
+        sum(when(col("fg"), col("c")).otherwise(0L)).as("cg"),
+        sum(when(col("fl"), col("c")).otherwise(0L)).as("cl"),
+        sum(when(col("fm"), col("c")).otherwise(0L)).as("cm"),
+        sum(when(col("fp"), col("c")).otherwise(0L)).as("cp")
+      )
+    )
+    // Q = (k−1)·(k·ΣC_j² − (ΣC)²) / (k·ΣR − ΣR²), k = 4
+    val sumC2 = col("cg") * col("cg") + col("cl") * col("cl") +
+      col("cm") * col("cm") + col("cp") * col("cp")
+    val q = lit(3.0) *
+      (lit(4.0) * sumC2.cast("double") -
+        col("sum_r").cast("double") * col("sum_r")) /
+      (lit(4.0) * col("sum_r") - col("sum_r2")).cast("double")
+    val gates = Seq(
+      ("gopher", "cg"), ("lr", "cl"), ("ml", "cm"), ("ppl", "cp")
+    )
+    tot
+      .select(
+        col("n"),
+        round(q * 1e3).cast("long").as("q_milli"),
+        (q > 7.815).as("gates_differ"),
+        explode(
+          array(gates.map { case (g, c) =>
+            struct(lit(g).as("gate"), col(c).as("n_pass"))
+          }: _*)
+        ).as("e")
+      )
+      .select(
+        col("e.gate"),
+        col("n"),
+        col("e.n_pass"),
+        round(col("e.n_pass").cast("double") / col("n") * 1e6)
+          .cast("long").as("pass_ppm"),
+        col("q_milli"),
+        col("gates_differ")
+      )
+  }
+
   /** q313's script classes as (name, java-regex, re2-regex) — the
     * char-class RANGES are identical; only the escape syntax differs
     * between Spark's Java regex and DuckDB's RE2, so both columns
