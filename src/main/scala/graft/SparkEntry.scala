@@ -855,6 +855,13 @@ object SparkEntry {
     "q320_deseasonalized" -> (Events.deseasonalizedAnomalies _),
     // Per-from-type chi-square stationarity of the transition matrix.
     "q321_transition_stability" -> (Events.transitionStationarity _),
+    // Two-proportion z + BH step-up per (gate, source) cell.
+    "q322_gate_fairness" -> (TextAnalysis.gateFairnessBattery _),
+    // Chapman capture-recapture estimate of the near-dup pair count.
+    "q323_capture_recapture" -> ((s, d) => Dedup.captureRecapture(s, d)),
+    // Deterministic triplet violation rate per embedding label.
+    "q324_triplet_violations" ->
+      ((s, d) => Similarity.tripletViolations(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -8562,6 +8569,143 @@ object SparkEntry {
              / sqrt(2.0 / (9.0 * (n_cells - 1)::DOUBLE)) > 1.645
              AS drifted
          FROM pf WHERE n_cells > 1""",
+    // q322: pooled two-proportion z, the same A-S 7.1.26 erf
+    // polynomial, micro-quantized p, the q284 exact-integer step-up.
+    "q322_gate_fairness" ->
+      s"""WITH $gateFlagsCtes,
+         cj AS (SELECT fl.gate, d.source, count(*)::BIGINT AS n_s,
+                  sum(CASE WHEN fl.f THEN 1 ELSE 0 END)::BIGINT AS k_s
+                FROM fl JOIN documents d USING (doc_id)
+                GROUP BY 1, 2),
+         gt AS (SELECT gate, sum(n_s)::BIGINT AS n_g,
+                  sum(k_s)::BIGINT AS k_g
+                FROM cj GROUP BY 1),
+         zz AS (SELECT cj.gate, cj.source, cj.n_s, cj.k_s,
+                  gt.n_g, gt.k_g,
+                  CASE WHEN sqrt((gt.k_g::DOUBLE / gt.n_g)
+                      * (1.0 - gt.k_g::DOUBLE / gt.n_g)
+                      * (1.0 / cj.n_s + 1.0 / (gt.n_g - cj.n_s))) = 0
+                    THEN 0.0
+                    ELSE (cj.k_s::DOUBLE / cj.n_s
+                      - (gt.k_g - cj.k_s)::DOUBLE / (gt.n_g - cj.n_s))
+                    / sqrt((gt.k_g::DOUBLE / gt.n_g)
+                      * (1.0 - gt.k_g::DOUBLE / gt.n_g)
+                      * (1.0 / cj.n_s + 1.0 / (gt.n_g - cj.n_s)))
+                  END AS z
+                FROM cj JOIN gt USING (gate)),
+         pa AS (SELECT *, abs(z) / sqrt(2.0) AS az FROM zz),
+         pb AS (SELECT *, 1.0 / (1.0 + 0.3275911 * az) AS tt FROM pa),
+         pc AS (SELECT *,
+                 1.0 - (1.0 - (0.254829592 * tt - 0.284496736 * tt * tt
+                   + 1.421413741 * tt * tt * tt
+                   - 1.453152027 * tt * tt * tt * tt
+                   + 1.061405429 * tt * tt * tt * tt * tt)
+                   * exp(-az * az)) AS p
+                FROM pb),
+         wp2 AS (SELECT gate, source, n_s, k_s,
+                  CAST(round(k_s::DOUBLE / n_s * 1e6) AS BIGINT)
+                    AS rate_ppm,
+                  CAST(round((k_g - k_s)::DOUBLE / (n_g - n_s) * 1e6)
+                    AS BIGINT) AS rest_ppm,
+                  CAST(round(z * 1e3) AS BIGINT) AS z_milli,
+                  CAST(round(p * 1e6) AS BIGINT) AS p_micro
+                FROM pc),
+         mm AS (SELECT count(*)::BIGINT AS m FROM wp2),
+         rk AS (SELECT wp2.*, mm.m,
+                  row_number() OVER (ORDER BY p_micro, gate, source
+                    )::BIGINT AS bh_rank
+                FROM wp2, mm),
+         km AS (SELECT rk.*,
+                  max(CASE WHEN p_micro * m * 20 <= bh_rank * 1000000
+                    THEN bh_rank END) OVER () AS kmax
+                FROM rk)
+         SELECT gate, source, n_s, k_s, rate_ppm, rest_ppm, z_milli,
+           p_micro, bh_rank,
+           bh_rank <= coalesce(kmax, 0) AS rejected
+         FROM km""",
+    // q323: the q291 signature, two 3-band nets, Chapman arithmetic,
+    // the exact J >= 0.5 truth alongside.
+    "q323_capture_recapture" ->
+      s"""WITH $shinglesCte,
+         m12 AS (SELECT doc_id, sh,
+                 list_transform(range(12), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT)))
+                   AS mh
+               FROM d WHERE len(sh) > 0),
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b FROM pr
+                   WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                     >= 0.5),
+         bda AS (SELECT doc_id, t.j,
+                  array_to_string(mh[t.j*2+1:t.j*2+2], '_') AS bval
+                FROM m12, range(0, 3) t(j)),
+         bdb AS (SELECT doc_id, t.j,
+                  array_to_string(mh[t.j*2+1:t.j*2+2], '_') AS bval
+                FROM m12, range(3, 6) t(j)),
+         ca AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bda a JOIN bda b
+                  ON a.j = b.j AND a.bval = b.bval
+                    AND a.doc_id < b.doc_id),
+         cb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bdb a JOIN bdb b
+                  ON a.j = b.j AND a.bval = b.bval
+                    AND a.doc_id < b.doc_id),
+         st AS (SELECT
+                  (SELECT count(*) FROM ca)::BIGINT AS n_a,
+                  (SELECT count(*) FROM cb)::BIGINT AS n_b,
+                  (SELECT count(*) FROM ca JOIN cb
+                     USING (doc_a, doc_b))::BIGINT AS n_both,
+                  (SELECT count(*) FROM
+                     (SELECT doc_a, doc_b FROM ca UNION
+                      SELECT doc_a, doc_b FROM cb))::BIGINT AS n_union,
+                  (SELECT count(*) FROM truth)::BIGINT AS n_true)
+         SELECT n_a, n_b, n_both, n_union, n_true,
+           CAST(round(((n_a + 1)::DOUBLE * (n_b + 1) / (n_both + 1)
+             - 1.0) * 1e3) AS BIGINT) AS chapman_milli,
+           CAST(round(n_union::DOUBLE / ((n_a + 1)::DOUBLE * (n_b + 1)
+             / (n_both + 1) - 1.0) * 1e6) AS BIGINT) AS caught_ppm,
+           CASE WHEN n_true = 0 THEN 0
+                ELSE CAST(round(abs((n_a + 1)::DOUBLE * (n_b + 1)
+                  / (n_both + 1) - 1.0 - n_true::DOUBLE)
+                  / n_true * 1e6) AS BIGINT)
+           END AS est_err_ppm
+         FROM st""",
+    // q324: same wrapped positive pick, same 8-id negative window,
+    // same margin; cosine folds via the shared list expression.
+    "q324_triplet_violations" -> {
+      val cPos = cosSql("wp.embedding", "wp.pos_vec")
+      val cNeg = cosSql("wp.embedding", "np.neg_vec")
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         wp AS (SELECT vec_id, label, embedding,
+                  coalesce(lead(embedding, 1) OVER
+                      (PARTITION BY label ORDER BY vec_id),
+                    first_value(embedding) OVER
+                      (PARTITION BY label ORDER BY vec_id)) AS pos_vec
+                FROM e),
+         ng AS (SELECT e.vec_id, n.vec_id AS nv,
+                  n.embedding AS neg_vec,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY n.vec_id) AS rk
+                FROM e JOIN e n ON n.vec_id > e.vec_id
+                  AND n.vec_id <= e.vec_id + 8
+                  AND n.label <> e.label),
+         np AS (SELECT vec_id, neg_vec FROM ng WHERE rk = 1),
+         tri AS (SELECT wp.label, $cPos AS c_pos, $cNeg AS c_neg
+                 FROM wp JOIN np USING (vec_id))
+         SELECT label, count(*)::BIGINT AS n_triplets,
+           sum(CASE WHEN c_pos < c_neg + 0.05 THEN 1 ELSE 0
+             END)::BIGINT AS n_violated,
+           CAST(round(sum(CASE WHEN c_pos < c_neg + 0.05 THEN 1
+             ELSE 0 END)::DOUBLE / count(*) * 1e6) AS BIGINT)
+             AS violation_ppm
+         FROM tri GROUP BY 1"""
+    },
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

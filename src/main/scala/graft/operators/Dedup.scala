@@ -2197,6 +2197,97 @@ object Dedup {
       )
   }
 
+  /** q323: capture-recapture pair-count estimate — the 12-perm
+    * signature's six 2-row bands split into two independent 3-band
+    * "nets" A and B; each catches a set of candidate pairs, and the
+    * Chapman estimator N̂ = (|A|+1)(|B|+1)/(|A∩B|+1) − 1 estimates
+    * the total catchable near-dup pair population WITHOUT
+    * enumerating it. At 100 TB the exact pair count is unknowable —
+    * this is how a dedup run estimates its own recall (caught/N̂);
+    * at bench scale the exact J ≥ 0.5 truth sits alongside, so the
+    * estimator itself is audited. All counts exact; the estimate is
+    * two multiplications and a division.
+    *
+    * Scale: two half-signature band joins (collision-linear) + 1-row
+    * arithmetic; the truth column is the bench-only audit baseline.
+    */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(spark, dir)
+      .withColumn(
+        "mh",
+        graft.functions.Md5MinHashSig.md5MinhashSig(col("sh"), 12)
+      )
+      .cacheTracked()
+    def net(bandLo: Int, bandHi: Int): DataFrame = {
+      val banded = d
+        .select(
+          col("doc_id"),
+          explode(
+            transform(
+              sequence(lit(bandLo), lit(bandHi)),
+              j =>
+                struct(
+                  j.as("j"),
+                  concat_ws(
+                    "_",
+                    element_at(col("mh"), j * 2 + 1),
+                    element_at(col("mh"), j * 2 + 2)
+                  ).as("bval")
+                )
+            )
+          ).as("bk")
+        )
+        .select(col("doc_id"), col("bk.j"), col("bk.bval"))
+      banded
+        .select(col("j"), col("bval"), col("doc_id").as("doc_a"))
+        .join(
+          banded.select(col("j"), col("bval"), col("doc_id").as("doc_b")),
+          Seq("j", "bval")
+        )
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+    }
+    val a = net(0, 2).cacheTracked()
+    val b = net(3, 5).cacheTracked()
+    val truth = ngramJaccardPairsFrom(d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val nA = broadcast(a.agg(count(lit(1)).as("n_a")))
+    val nB = broadcast(b.agg(count(lit(1)).as("n_b")))
+    val nBoth = broadcast(
+      a.join(b, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_both"))
+    )
+    val nUnion = broadcast(
+      a.unionByName(b).distinct().agg(count(lit(1)).as("n_union"))
+    )
+    val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+    val chapman = (col("n_a") + 1).cast("double") *
+      (col("n_b") + 1) / (col("n_both") + 1) - lit(1.0)
+    nA.crossJoin(nB)
+      .crossJoin(nBoth)
+      .crossJoin(nUnion)
+      .crossJoin(nTrue)
+      .select(
+        col("n_a"),
+        col("n_b"),
+        col("n_both"),
+        col("n_union"),
+        col("n_true"),
+        round(chapman * 1e3).cast("long").as("chapman_milli"),
+        round(
+          col("n_union").cast("double") / chapman * 1e6
+        ).cast("long").as("caught_ppm"),
+        when(col("n_true") === 0L, lit(0L))
+          .otherwise(
+            round(
+              abs(chapman - col("n_true").cast("double")) /
+                col("n_true") * 1e6
+            ).cast("long")
+          ).as("est_err_ppm")
+      )
+  }
+
   /** q291: LSH band-geometry tuning table — the SAME 12-permutation
     * MinHash signature banded four ways (6×2, 4×3, 3×4, 2×6) and each
     * geometry scored against the EXACT J ≥ 0.5 pair set: candidate

@@ -1711,6 +1711,80 @@ object Similarity {
       )
   }
 
+  /** q324: triplet violation rate per label — deterministic triplets
+    * (anchor, next same-label vector, next different-label vector,
+    * both by vec_id order wrapped around) scored as VIOLATED when
+    * cos(a, pos) < cos(a, neg) + margin (0.05). This is the
+    * rank-based metric-learning eval next to the centroid view
+    * (q234): centroids can separate while individual neighborhoods
+    * still invert, and the violation rate is exactly what a triplet
+    * fine-tune would optimize — measured here before anyone pays for
+    * training. Deterministic pairing makes the oracle replay exact.
+    *
+    * Scale: two lead() windows inside label partitions and one
+    * cross-label lead on the global order — bounded window frames,
+    * two cosine folds per row, one |labels|-row agg.
+    */
+  def tripletViolations(
+      spark: SparkSession,
+      dir: String,
+      margin: Double = 0.05
+  ): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // pos: next vector of the SAME label in vec_id order (wrap via
+    // first_value when last)
+    val wl = Window.partitionBy(col("label")).orderBy(col("vec_id").asc)
+    val withPos = e
+      .withColumn("pos_vec", lead(col("embedding"), 1).over(wl))
+      .withColumn(
+        "pos_vec",
+        coalesce(col("pos_vec"), first(col("embedding")).over(wl))
+      )
+    // neg: the nearest FOLLOWING vec_id with a different label —
+    // deterministic via a range self-join on the next 8 ids (label
+    // runs in this corpus are ≤ 4, so only the last few ids of the
+    // table can fail to find one and drop — mirrored by the oracle)
+    val neg = e
+      .select(col("vec_id").as("nv"), col("label").as("nl"),
+        col("embedding").as("neg_vec"))
+    val cand = e
+      .select(col("vec_id"), col("label"))
+      .join(
+        neg,
+        col("nv") > col("vec_id") && col("nv") <= col("vec_id") + 8 &&
+          col("nl") =!= col("label")
+      )
+    val wn = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("nv").asc)
+    val negPick = cand
+      .withColumn("rk", row_number().over(wn))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("neg_vec"))
+    withPos
+      .join(negPick, "vec_id")
+      .select(
+        col("label"),
+        cosine(col("embedding"), col("pos_vec")).as("c_pos"),
+        cosine(col("embedding"), col("neg_vec")).as("c_neg")
+      )
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_triplets"),
+        sum(
+          when(col("c_pos") < col("c_neg") + margin, 1L).otherwise(0L)
+        ).as("n_violated")
+      )
+      .select(
+        col("label"),
+        col("n_triplets"),
+        col("n_violated"),
+        round(
+          col("n_violated").cast("double") / col("n_triplets") * 1e6
+        ).cast("long").as("violation_ppm")
+      )
+  }
+
   /** q302: hubness audit of the exact 5-NN graph — the k-occurrence
     * histogram: for each corpus vector, how many query vectors list
     * it among their top-5, bucketed into (occurrences → vector

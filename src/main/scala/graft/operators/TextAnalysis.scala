@@ -3644,6 +3644,96 @@ object TextAnalysis {
       )
   }
 
+  /** q322: gate fairness battery — for every (gate, source) cell:
+    * the source's pass rate vs the rest of the corpus, the
+    * two-proportion pooled z, the asymptotic p, and BH step-up
+    * rejection across the whole battery (the q284 discipline applied
+    * to gates: 4 gates × |sources| tests fire ~5% false alarms under
+    * a fixed α). A rejected cell means the gate treats that source
+    * differently from the corpus — retune per source (q299 says
+    * whether composition explains it) or accept the gate is doing
+    * its job on a genuinely different source. p-values are
+    * micro-quantized BEFORE the exact-integer step-up.
+    *
+    * Scale: the shared gate-flag frame joined to the doc→source map
+    * once; per-cell counts map-side combined; the step-up runs on
+    * the bounded battery frame.
+    */
+  def gateFairnessBattery(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val cells = gateFlags(spark, dir)
+      .join(src, "doc_id")
+      .groupBy(col("gate"), col("source"))
+      .agg(
+        count(lit(1)).as("n_s"),
+        sum(when(col("f"), 1L).otherwise(0L)).as("k_s")
+      )
+    val gateTot = cells
+      .groupBy(col("gate"))
+      .agg(sum(col("n_s")).as("n_g"), sum(col("k_s")).as("k_g"))
+    val joined = cells.join(broadcast(gateTot), "gate")
+    val nR = (col("n_g") - col("n_s")).cast("double")
+    val kR = (col("k_g") - col("k_s")).cast("double")
+    val p1 = col("k_s").cast("double") / col("n_s")
+    val p2 = kR / nR
+    val pPool = col("k_g").cast("double") / col("n_g")
+    val se = sqrt(
+      pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n_s") + lit(1.0) / nR)
+    )
+    // a gate that passes nothing or everything has zero pooled
+    // variance — no evidence either way, z defined as 0
+    val z = when(se === 0.0, lit(0.0)).otherwise((p1 - p2) / se)
+    // two-sided normal tail via the Abramowitz-Stegun 7.1.26 erf
+    // polynomial — closed form identical on both engines
+    val az = abs(z) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * az)
+    val erf = lit(1.0) - (lit(0.254829592) * t - lit(0.284496736) * t * t +
+      lit(1.421413741) * t * t * t - lit(1.453152027) * t * t * t * t +
+      lit(1.061405429) * t * t * t * t * t) * exp(-az * az)
+    val p = lit(1.0) - erf
+    val withP = joined.select(
+      col("gate"),
+      col("source"),
+      col("n_s"),
+      col("k_s"),
+      round(p1 * 1e6).cast("long").as("rate_ppm"),
+      round(p2 * 1e6).cast("long").as("rest_ppm"),
+      round(z * 1e3).cast("long").as("z_milli"),
+      round(p * 1e6).cast("long").as("p_micro")
+    )
+    val m = broadcast(withP.agg(count(lit(1)).as("m")))
+    val wr = Window.orderBy(col("p_micro").asc, col("gate").asc,
+      col("source").asc)
+    val wall = Window
+      .orderBy(col("p_micro").asc, col("gate").asc, col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withP
+      .crossJoin(m)
+      .withColumn("bh_rank", row_number().over(wr).cast("long"))
+      .withColumn(
+        "kmax",
+        max(
+          when(
+            col("p_micro") * col("m") * 20 <= col("bh_rank") * lit(1000000L),
+            col("bh_rank")
+          )
+        ).over(wall)
+      )
+      .select(
+        col("gate"),
+        col("source"),
+        col("n_s"),
+        col("k_s"),
+        col("rate_ppm"),
+        col("rest_ppm"),
+        col("z_milli"),
+        col("p_micro"),
+        col("bh_rank"),
+        (col("bh_rank") <= coalesce(col("kmax"), lit(0L))).as("rejected")
+      )
+  }
+
   /** q313's script classes as (name, java-regex, re2-regex) — the
     * char-class RANGES are identical; only the escape syntax differs
     * between Spark's Java regex and DuckDB's RE2, so both columns
