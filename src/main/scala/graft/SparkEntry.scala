@@ -862,6 +862,12 @@ object SparkEntry {
     // Deterministic triplet violation rate per embedding label.
     "q324_triplet_violations" ->
       ((s, d) => Similarity.tripletViolations(s, d)),
+    // Top-50 drifted terms across the doc_id midpoint split.
+    "q325_vocab_drift" -> (TextAnalysis.vocabMidpointDrift _),
+    // Weighted quality-component means + binding constraint.
+    "q326_quality_components" -> (TextAnalysis.qualityComponents _),
+    // Variance share of each 8-dim PQ subspace (the OPQ gauge).
+    "q327_pq_variance" -> (Similarity.pqSubspaceVariance _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -8706,6 +8712,105 @@ object SparkEntry {
              AS violation_ppm
          FROM tri GROUP BY 1"""
     },
+    // q325: midpoint split on doc_id, top-1000 vocabulary by total
+    // count, nano-quantized chi2 contributions, top-50 by (c, term).
+    "q325_vocab_drift" ->
+      """WITH md AS (SELECT ((min(doc_id) + max(doc_id)) // 2)::BIGINT
+                 AS mid
+               FROM documents),
+         tk AS (SELECT
+                 unnest(CASE WHEN length(trim(text)) = 0
+                   THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(trim(text), '\s+')
+                   END) AS term,
+                 CASE WHEN doc_id <= md.mid THEN 1 ELSE 2 END AS half
+               FROM documents, md),
+         ct AS (SELECT term,
+                 sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n1,
+                 sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS n2
+               FROM tk GROUP BY 1),
+         tp AS (SELECT * FROM
+                 (SELECT ct.*, row_number() OVER
+                    (ORDER BY n1 + n2 DESC, term ASC) AS vrank
+                  FROM ct) WHERE vrank <= 1000),
+         tt AS (SELECT sum(n1)::BIGINT AS t1, sum(n2)::BIGINT AS t2
+                FROM tp),
+         cc AS (SELECT term, n1, n2,
+                 CAST(round((
+                   (n1 - (n1 + n2)::DOUBLE * tt.t1 / (tt.t1 + tt.t2))
+                   * (n1 - (n1 + n2)::DOUBLE * tt.t1 / (tt.t1 + tt.t2))
+                   / ((n1 + n2)::DOUBLE * tt.t1 / (tt.t1 + tt.t2))
+                   + (n2 - (n1 + n2)::DOUBLE * tt.t2 / (tt.t1 + tt.t2))
+                   * (n2 - (n1 + n2)::DOUBLE * tt.t2 / (tt.t1 + tt.t2))
+                   / ((n1 + n2)::DOUBLE * tt.t2 / (tt.t1 + tt.t2))
+                 ) * 1e9) AS BIGINT) AS c_nano
+               FROM tp, tt),
+         rk AS (SELECT cc.*, row_number() OVER
+                  (ORDER BY c_nano DESC, term ASC)::BIGINT
+                  AS drift_rank
+                FROM cc)
+         SELECT drift_rank, term, n1, n2, c_nano AS chi2_nano
+         FROM rk WHERE drift_rank <= 50""",
+    // q326: the q15 component formulas, micro per doc, exact sums,
+    // headroom argmax with the len > stop > punct tie order.
+    "q326_quality_components" ->
+      """WITH c AS (SELECT source,
+             CAST(round(0.5 * least((CASE WHEN length(trim(text)) = 0
+                 THEN 0 ELSE len(regexp_split_to_array(trim(text),
+                 '\s+')) END)::DOUBLE / 200.0, 1.0) * 1e6) AS BIGINT)
+               AS lm,
+             CAST(round(0.4 * least((CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE len(list_filter(toks, w -> w IN
+                   ('the','a','an','and','or','of','to','in','is','it')
+                   ))::DOUBLE / len(toks) END) * 5.0, 1.0) * 1e6)
+               AS BIGINT) AS sm,
+             CAST(round(0.1 * (1.0 - least((CASE WHEN length(text) = 0
+                 THEN 0.0 ELSE (length(text) - length(translate(text,
+                 '.,!?;:', '')))::DOUBLE / length(text) END) * 10.0,
+                 1.0)) * 1e6) AS BIGINT) AS pm
+           FROM (SELECT source, text,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+')
+                   END AS toks
+                 FROM documents) t),
+         ag AS (SELECT source, count(*)::BIGINT AS n,
+                  CAST(round(avg(lm)) AS BIGINT) AS len_micro,
+                  CAST(round(avg(sm)) AS BIGINT) AS stop_micro,
+                  CAST(round(avg(pm)) AS BIGINT) AS punct_micro
+                FROM c GROUP BY 1)
+         SELECT source, n, len_micro, stop_micro, punct_micro,
+           len_micro + stop_micro + punct_micro AS mean_q_micro,
+           CASE WHEN 500000 - len_micro >= 400000 - stop_micro
+                 AND 500000 - len_micro >= 100000 - punct_micro
+                THEN 'len'
+                WHEN 400000 - stop_micro >= 100000 - punct_micro
+                THEN 'stop'
+                ELSE 'punct' END AS binding
+         FROM ag""",
+    // q327: per-dim raw moments via the constant 64-range lattice,
+    // contiguous 8-dim subspaces, nano variance sums.
+    "q327_pq_variance" ->
+      """WITH c AS (SELECT r.i AS dim,
+                 embedding[(r.i + 1)::INT]::DOUBLE AS v
+               FROM embeddings CROSS JOIN range(64) r(i)),
+         pd AS (SELECT dim, count(*)::BIGINT AS n, sum(v) AS s1,
+                  sum(v * v) AS s2
+                FROM c GROUP BY 1),
+         sv AS (SELECT (dim // 8)::BIGINT AS subspace,
+                  s2 / n - (s1 / n) * (s1 / n) AS vard
+                FROM pd),
+         ps AS (SELECT subspace,
+                  CAST(round(sum(vard) * 1e9) AS BIGINT) AS var_nano
+                FROM sv GROUP BY 1),
+         tt AS (SELECT sum(var_nano)::BIGINT AS tot_nano FROM ps)
+         SELECT subspace, var_nano,
+           CAST(round(var_nano::DOUBLE / tt.tot_nano * 1e6) AS BIGINT)
+             AS share_ppm,
+           CAST(round(var_nano::DOUBLE / tt.tot_nano * 8.0 * 1e3)
+             AS BIGINT) AS imbalance_milli
+         FROM ps, tt""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

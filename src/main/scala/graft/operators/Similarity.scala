@@ -1711,6 +1711,52 @@ object Similarity {
       )
   }
 
+  /** q327: PQ subspace variance balance — the 64-dim space cut into
+    * the 8 contiguous 8-dim subspaces q128's product quantizer
+    * trains on, with each subspace's share of total variance. PQ
+    * error concentrates in high-variance subspaces (each gets the
+    * same codebook budget), so imbalance here is the quantified
+    * argument for a rotation (OPQ) before the q128/q183 indexes are
+    * built at scale — or the evidence it isn't needed. Raw per-dim
+    * moments in one pass; shares in ppm, imbalance vs uniform in
+    * milli.
+    *
+    * Scale: one explode(dim) scan → 64 aggregate cells → 8 rows.
+    */
+  def pqSubspaceVariance(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables
+      .embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("v"))
+    val perDim = cells
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2")
+      )
+      .select(
+        (col("dim") / 8).cast("long").as("subspace"),
+        (col("s2") / col("n") -
+          (col("s1") / col("n")) * (col("s1") / col("n"))).as("vard")
+      )
+    val perSub = perDim
+      .groupBy(col("subspace"))
+      .agg(round(sum(col("vard")) * 1e9).cast("long").as("var_nano"))
+    val tot = broadcast(perSub.agg(sum(col("var_nano")).as("tot_nano")))
+    perSub
+      .crossJoin(tot)
+      .select(
+        col("subspace"),
+        col("var_nano"),
+        round(col("var_nano").cast("double") / col("tot_nano") * 1e6)
+          .cast("long").as("share_ppm"),
+        round(
+          col("var_nano").cast("double") / col("tot_nano") * 8.0 * 1e3
+        ).cast("long").as("imbalance_milli")
+      )
+  }
+
   /** q324: triplet violation rate per label — deterministic triplets
     * (anchor, next same-label vector, next different-label vector,
     * both by vec_id order wrapped around) scored as VIOLATED when

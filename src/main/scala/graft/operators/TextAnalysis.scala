@@ -3644,6 +3644,128 @@ object TextAnalysis {
       )
   }
 
+  /** q325: vocabulary midpoint drift — the corpus split at the
+    * doc_id midpoint (the arrival proxy q253 established) and the
+    * top-1000 terms' counts compared across halves: per-term χ²
+    * homogeneity contributions, ranked, top-50 emitted. q168 finds
+    * SOURCES whose vocabulary diverges from the corpus; this finds
+    * TERMS whose usage shifted over the corpus's life — topic
+    * drift, a source coming online mid-crawl, or template churn —
+    * and the term list is the actionable part (q321's omnibus
+    * verdict, at term granularity). Contributions are
+    * nano-quantized before ranking so membership is engine-exact.
+    *
+    * Scale: one token count pass; the top-1000 vocabulary is a
+    * bounded rank (q255's construction); per-term cells are exact
+    * integers.
+    */
+  def vocabMidpointDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val mid = broadcast(
+      docs.agg(
+        ((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long")
+          .as("mid")
+      )
+    )
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .crossJoin(mid)
+      .select(
+        col("term"),
+        when(col("doc_id") <= col("mid"), 1L).otherwise(2L).as("half")
+      )
+    val counts = toks
+      .groupBy(col("term"))
+      .agg(
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 2L, 1L).otherwise(0L)).as("n2")
+      )
+    val wTop = Window.orderBy((col("n1") + col("n2")).desc, col("term").asc)
+    val top = counts
+      .withColumn("vrank", row_number().over(wTop))
+      .filter(col("vrank") <= 1000)
+    val tots = broadcast(
+      top.agg(sum(col("n1")).as("t1"), sum(col("n2")).as("t2"))
+    )
+    val e1 = (col("n1") + col("n2")).cast("double") * col("t1") /
+      (col("t1") + col("t2"))
+    val e2 = (col("n1") + col("n2")).cast("double") * col("t2") /
+      (col("t1") + col("t2"))
+    val contrib = (col("n1") - e1) * (col("n1") - e1) / e1 +
+      (col("n2") - e2) * (col("n2") - e2) / e2
+    val wr = Window.orderBy(col("c_nano").desc, col("term").asc)
+    top
+      .crossJoin(tots)
+      .select(
+        col("term"),
+        col("n1"),
+        col("n2"),
+        round(contrib * 1e9).cast("long").as("c_nano")
+      )
+      .withColumn("drift_rank", row_number().over(wr).cast("long"))
+      .filter(col("drift_rank") <= 50)
+      .select(
+        col("drift_rank"),
+        col("term"),
+        col("n1"),
+        col("n2"),
+        col("c_nano").as("chi2_nano")
+      )
+  }
+
+  /** q326: quality-component attribution — the q15 score is
+    * 0.5·len + 0.4·stop + 0.1·punct; per source, the mean of each
+    * WEIGHTED component and the binding one (largest headroom to
+    * its weight cap). A low-quality source is fixed differently
+    * depending on the binding term: len → concatenate/filter short
+    * docs, stop → language or extraction problems (cross-check
+    * q294), punct → markup damage (cross-check q313). Components
+    * are micro-quantized per doc and summed exactly; means are one
+    * division each.
+    *
+    * Scale: one narrow scan, one |sources|-row agg.
+    */
+  def qualityComponents(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{punctCount, stopwordRatio, tokenCount}
+    val t = tokenCount(col("text")).cast("double")
+    val lt = lit(0.5) * least(t / 200.0, lit(1.0))
+    val st = lit(0.4) * least(stopwordRatio(col("text")) * 5.0, lit(1.0))
+    val pr = when(length(col("text")) === 0, lit(0.0))
+      .otherwise(punctCount(col("text")).cast("double") / length(col("text")))
+    val pt = lit(0.1) * (lit(1.0) - least(pr * 10.0, lit(1.0)))
+    val perDoc = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        round(lt * 1e6).cast("long").as("lm"),
+        round(st * 1e6).cast("long").as("sm"),
+        round(pt * 1e6).cast("long").as("pm")
+      )
+    val agg = perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("lm"))).cast("long").as("len_micro"),
+        round(avg(col("sm"))).cast("long").as("stop_micro"),
+        round(avg(col("pm"))).cast("long").as("punct_micro")
+      )
+    val hl = lit(500000L) - col("len_micro")
+    val hs = lit(400000L) - col("stop_micro")
+    val hp = lit(100000L) - col("punct_micro")
+    agg.select(
+      col("source"),
+      col("n"),
+      col("len_micro"),
+      col("stop_micro"),
+      col("punct_micro"),
+      (col("len_micro") + col("stop_micro") + col("punct_micro"))
+        .as("mean_q_micro"),
+      when(hl >= hs && hl >= hp, lit("len"))
+        .when(hs >= hp, lit("stop"))
+        .otherwise(lit("punct")).as("binding")
+    )
+  }
+
   /** q322: gate fairness battery — for every (gate, source) cell:
     * the source's pass rate vs the rest of the corpus, the
     * two-proportion pooled z, the asymptotic p, and BH step-up
