@@ -868,6 +868,12 @@ object SparkEntry {
     "q326_quality_components" -> (TextAnalysis.qualityComponents _),
     // Variance share of each 8-dim PQ subspace (the OPQ gauge).
     "q327_pq_variance" -> (Similarity.pqSubspaceVariance _),
+    // q115's stages re-accounted in tokens (the budget view).
+    "q328_token_funnel" -> (TextAnalysis.tokenFunnel _),
+    // 1-bit minwise estimator audit by exact-Jaccard band.
+    "q329_bbit_minwise" -> ((s, d) => Dedup.bBitMinwiseAudit(s, d)),
+    // Quasi-identifier cells below k=5 per source (release check).
+    "q330_k_anonymity" -> ((s, d) => Sampling.kAnonymityCensus(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -8811,6 +8817,124 @@ object SparkEntry {
            CAST(round(var_nano::DOUBLE / tt.tot_nano * 8.0 * 1e3)
              AS BIGINT) AS imbalance_milli
          FROM ps, tt""",
+    // q328: the q115 stage CTEs with token sums instead of doc
+    // counts; shares in ppm of the stage-0 token mass.
+    "q328_token_funnel" ->
+      """WITH d AS (SELECT doc_id, text,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks
+           FROM documents),
+         f AS (SELECT doc_id, text, toks,
+             len(toks) AS nt,
+             round(0.5 * least(len(toks) / 200.0, 1.0)
+                 + 0.4 * least(CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE len(list_filter(toks, w -> w IN
+                       ('the','a','an','and','or','of','to','in','is','it')
+                       ))::DOUBLE / len(toks) END * 5.0, 1.0)
+                 + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE (length(text)
+                           - length(translate(text, '.,!?;:', '')))::DOUBLE
+                          / length(text) END * 10.0, 1.0)), 6) AS q,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                   END, 6) AS dtf,
+             round(CASE WHEN len(toks) <= 1 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(
+                       list_transform(range(len(toks) - 1),
+                         i -> toks[i+1] || ' ' || toks[i+2])))::DOUBLE
+                     / (len(toks) - 1)
+                   END, 6) AS dbf,
+             len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+               + len(regexp_extract_all(text,
+                   '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS pii,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS survivor
+           FROM d),
+         s AS (SELECT nt,
+             (nt >= 10) AS s1,
+             (nt >= 10 AND q >= 0.3) AS s2,
+             (nt >= 10 AND q >= 0.3 AND dtf <= 0.7 AND dbf <= 0.5) AS s3,
+             (nt >= 10 AND q >= 0.3 AND dtf <= 0.7 AND dbf <= 0.5
+              AND pii = 0) AS s4,
+             (nt >= 10 AND q >= 0.3 AND dtf <= 0.7 AND dbf <= 0.5
+              AND pii = 0 AND survivor = doc_id) AS s5
+           FROM f),
+         a AS (SELECT sum(nt)::BIGINT AS t0,
+             sum(CASE WHEN s1 THEN nt ELSE 0 END)::BIGINT AS t1,
+             sum(CASE WHEN s2 THEN nt ELSE 0 END)::BIGINT AS t2,
+             sum(CASE WHEN s3 THEN nt ELSE 0 END)::BIGINT AS t3,
+             sum(CASE WHEN s4 THEN nt ELSE 0 END)::BIGINT AS t4,
+             sum(CASE WHEN s5 THEN nt ELSE 0 END)::BIGINT AS t5
+           FROM s),
+         u AS (SELECT '0_all' AS stage, t0 AS n_tokens, t0 FROM a
+           UNION ALL SELECT '1_minlen', t1, t0 FROM a
+           UNION ALL SELECT '2_quality', t2, t0 FROM a
+           UNION ALL SELECT '3_repetition', t3, t0 FROM a
+           UNION ALL SELECT '4_pii_free', t4, t0 FROM a
+           UNION ALL SELECT '5_unique', t5, t0 FROM a)
+         SELECT stage, n_tokens,
+           CAST(round(n_tokens::DOUBLE / t0 * 1e6) AS BIGINT)
+             AS token_share_ppm
+         FROM u""",
+    // q329: low-bit signature, zip-compare collision count, the
+    // recentred clipped estimator, exact-J bands.
+    "q329_bbit_minwise" ->
+      s"""WITH $shinglesCte,
+         m12 AS (SELECT doc_id, sh,
+                 list_transform(range(12), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT))
+                   ) AS mh
+               FROM d WHERE len(sh) > 0),
+         bt AS (SELECT doc_id,
+                  list_transform(mh, h -> (h % 2 + 2) % 2) AS bits
+                FROM m12),
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pj AS (SELECT doc_a, doc_b,
+                  round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                    AS jaccard
+                FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.05),
+         wb AS (SELECT pj.doc_a, pj.doc_b, pj.jaccard,
+                  len(list_filter(list_zip(a.bits, b.bits),
+                    z -> z[1] = z[2]))::BIGINT AS c
+                FROM pj JOIN bt a ON pj.doc_a = a.doc_id
+                JOIN bt b ON pj.doc_b = b.doc_id),
+         er AS (SELECT
+                  least(CAST(floor(jaccard * 10) AS BIGINT), 9)
+                    AS j_band,
+                  greatest(0, CAST(round((2.0 * c / 12.0 - 1.0) * 1e3)
+                    AS BIGINT))
+                    - CAST(round(jaccard * 1e3) AS BIGINT) AS err
+                FROM wb)
+         SELECT j_band, count(*)::BIGINT AS n_pairs,
+           CAST(round(avg(abs(err))) AS BIGINT) AS mean_abs_err_milli,
+           CAST(round(avg(err)) AS BIGINT) AS mean_bias_milli
+         FROM er GROUP BY 1""",
+    // q330: same quasi-identifier cells, k=5 cut, exact rollup.
+    "q330_k_anonymity" ->
+      """WITH c AS (SELECT source, lang,
+             length(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+'))
+               END)::BIGINT AS VARCHAR)) AS len_digits,
+             count(*)::BIGINT AS n_cell
+           FROM documents GROUP BY 1, 2, 3)
+         SELECT source, count(*)::BIGINT AS n_cells,
+           sum(CASE WHEN n_cell < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS small_cells,
+           sum(n_cell)::BIGINT AS n_docs,
+           sum(CASE WHEN n_cell < 5 THEN n_cell ELSE 0 END)::BIGINT
+             AS docs_at_risk,
+           CAST(round(sum(CASE WHEN n_cell < 5 THEN n_cell ELSE 0
+             END)::DOUBLE / sum(n_cell) * 1e6) AS BIGINT) AS risk_ppm
+         FROM c GROUP BY 1""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -2197,6 +2197,75 @@ object Dedup {
       )
   }
 
+  /** q329: b-bit minwise audit (Li & König 2010) — keep only the
+    * LOW BIT of each of the 12 MinHash permutations (32× less
+    * signature storage than the 60-bit values) and audit the b=1
+    * estimator Ĵ = 2·(c/k) − 1 against the exact Jaccard on the
+    * candidate pair set, bucketed by exact-J band: pair count, mean
+    * absolute error, mean bias (all milli). The storage/accuracy
+    * trade the 100 TB signature store actually negotiates —
+    * unrelated pairs collide on half their bits by chance, which is
+    * why the estimator recentres, and why this audit shows b=1 is
+    * fine at high J (the dedup regime) and noisy below.
+    *
+    * Scale: one signature pass; pair work rides the existing exact
+    * candidate generator (collision-linear); per-pair arithmetic is
+    * 12 bit-compares in codegen.
+    */
+  def bBitMinwiseAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(spark, dir)
+      .withColumn(
+        "mh",
+        graft.functions.Md5MinHashSig.md5MinhashSig(col("sh"), 12)
+      )
+      .withColumn("bits", transform(col("mh"), h => pmod(h, lit(2L))))
+      .cacheTracked()
+    val pairs = ngramJaccardPairsFrom(d)
+    val withBits = pairs
+      .join(
+        d.select(col("doc_id").as("doc_a"), col("bits").as("ba")),
+        "doc_a"
+      )
+      .join(
+        d.select(col("doc_id").as("doc_b"), col("bits").as("bb")),
+        "doc_b"
+      )
+      .withColumn(
+        "c",
+        aggregate(
+          zip_with(col("ba"), col("bb"), (x, y) =>
+            when(x === y, 1L).otherwise(0L)),
+          lit(0L),
+          (acc, v) => acc + v
+        )
+      )
+      // b=1 estimator, clipped to [0, 1]
+      .withColumn(
+        "est_milli",
+        greatest(
+          lit(0L),
+          round(
+            (lit(2.0) * col("c").cast("double") / 12.0 - 1.0) * 1e3
+          ).cast("long")
+        )
+      )
+      .withColumn(
+        "err_milli",
+        col("est_milli") - round(col("jaccard") * 1e3).cast("long")
+      )
+    withBits
+      .groupBy(
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+          .as("j_band")
+      )
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(abs(col("err_milli")))).cast("long")
+          .as("mean_abs_err_milli"),
+        round(avg(col("err_milli"))).cast("long").as("mean_bias_milli")
+      )
+  }
+
   /** q323: capture-recapture pair-count estimate — the 12-perm
     * signature's six 2-row bands split into two independent 3-band
     * "nets" A and B; each catches a set of candidate pairs, and the

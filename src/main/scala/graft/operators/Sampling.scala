@@ -1978,6 +1978,57 @@ object Sampling {
       )
   }
 
+  /** q330: k-anonymity census — per source, how many
+    * (lang, length-digit) quasi-identifier cells fall below k = 5
+    * documents and how many documents those cells hold. The release
+    * check before publishing per-cell statistics (q272's cube, the
+    * per-cell rates of q322): small cells can identify their members
+    * by metadata alone, and the standard remedies (suppress or
+    * coarsen) start from exactly this table. Exact integer counts,
+    * one division.
+    *
+    * Scale: one (source, lang, digits) agg — bounded cells; a
+    * |sources|-row rollup.
+    */
+  def kAnonymityCensus(
+      spark: SparkSession,
+      dir: String,
+      k: Long = 5L
+  ): DataFrame = {
+    val cells = Tables
+      .documents(spark, dir)
+      .groupBy(
+        col("source"),
+        col("lang"),
+        length(
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long")
+            .cast("string")
+        ).as("len_digits")
+      )
+      .agg(count(lit(1)).as("n_cell"))
+    cells
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("n_cell") < k, 1L).otherwise(0L))
+          .as("small_cells"),
+        sum(col("n_cell")).as("n_docs"),
+        sum(when(col("n_cell") < k, col("n_cell")).otherwise(0L))
+          .as("docs_at_risk")
+      )
+      .select(
+        col("source"),
+        col("n_cells"),
+        col("small_cells"),
+        col("n_docs"),
+        col("docs_at_risk"),
+        round(
+          col("docs_at_risk").cast("double") / col("n_docs") * 1e6
+        ).cast("long").as("risk_ppm")
+      )
+  }
+
   /** q310: coverage-guaranteed eval holdout — a 5% hash split
     * (q49's construction) with a floor: every (source, lang) cell
     * contributes at least `minK` = 5 docs (or all of them, if the

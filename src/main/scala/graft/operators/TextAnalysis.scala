@@ -2018,6 +2018,59 @@ object TextAnalysis {
       .select(col("s.stage"), col("s.n_docs"), col("s.pct"))
   }
 
+  /** q328: token-weighted filter funnel — q115's five stages
+    * re-accounted in TOKENS: each stage's surviving token mass and
+    * its share of the corpus budget. Docs and tokens tell different
+    * stories exactly when kill rates correlate with length (q306's
+    * heavy tails guarantee they do): a stage that drops 5% of docs
+    * can drop 30% of tokens, and the training budget (q164/q304) is
+    * spent in tokens. Same stage predicates as q115 — one scan, one
+    * aggregate, exact integer sums.
+    */
+  def tokenFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b"
+    val byHash = Window.partitionBy(md5(col("text")))
+    val scored = Tables
+      .documents(spark, dir)
+      .withColumn("tk", tokenCount(col("text")).cast("long"))
+      .withColumn("rc",
+        graft.functions.RepetitionCounts.repetitionCounts(col("text")))
+      .withColumn("fr",
+        graft.functions.RepetitionCounts.repetitionFromCounts(col("rc")))
+      .withColumn("s1", col("tk") >= 10)
+      .withColumn("s2", col("s1") && qualityScore(col("text")) >= 0.3)
+      .withColumn("s3", col("s2") &&
+        col("fr.dup_token_frac") <= 0.7 && col("fr.dup_bigram_frac") <= 0.5)
+      .withColumn("s4", col("s3") &&
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))) === 0)
+      .withColumn("s5", col("s4") &&
+        min(col("doc_id")).over(byHash) === col("doc_id"))
+    val agg = scored.agg(
+      sum(col("tk")).as("t0"),
+      sum(when(col("s1"), col("tk")).otherwise(0L)).as("t1"),
+      sum(when(col("s2"), col("tk")).otherwise(0L)).as("t2"),
+      sum(when(col("s3"), col("tk")).otherwise(0L)).as("t3"),
+      sum(when(col("s4"), col("tk")).otherwise(0L)).as("t4"),
+      sum(when(col("s5"), col("tk")).otherwise(0L)).as("t5"),
+      count(lit(1)).as("n0"),
+      sum(col("s5").cast("long")).as("n5")
+    )
+    val stages = Seq(
+      "0_all" -> "t0", "1_minlen" -> "t1", "2_quality" -> "t2",
+      "3_repetition" -> "t3", "4_pii_free" -> "t4", "5_unique" -> "t5")
+    agg
+      .select(
+        explode(array(stages.map { case (name, c) =>
+          struct(lit(name).as("stage"), col(c).as("n_tokens"),
+            round(col(c).cast("double") / col("t0") * 1e6)
+              .cast("long").as("token_share_ppm"))
+        }: _*)).as("s")
+      )
+      .select(col("s.stage"), col("s.n_tokens"), col("s.token_share_ppm"))
+  }
+
   /** q109: the corpus summary card — the one-row dataset report every
     * corpus release ships with (counts, language concentration,
     * exact-duplication rate, quality distribution), composed from
