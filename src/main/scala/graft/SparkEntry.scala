@@ -874,6 +874,12 @@ object SparkEntry {
     "q329_bbit_minwise" -> ((s, d) => Dedup.bBitMinwiseAudit(s, d)),
     // Quasi-identifier cells below k=5 per source (release check).
     "q330_k_anonymity" -> ((s, d) => Sampling.kAnonymityCensus(s, d)),
+    // Outgoing-distribution entropy per from-type + corpus rate.
+    "q331_entropy_rate" -> (Events.entropyRate _),
+    // Per-language thresholds matching the global gate pass rate.
+    "q332_rate_matched" -> (Sampling.rateMatchedThresholds _),
+    // Quality ACF over doc_id order at lags 1/10/100.
+    "q333_order_acf" -> (Sampling.qualityOrderAcf _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -8935,6 +8941,98 @@ object SparkEntry {
            CAST(round(sum(CASE WHEN n_cell < 5 THEN n_cell ELSE 0
              END)::DOUBLE / sum(n_cell) * 1e6) AS BIGINT) AS risk_ppm
          FROM c GROUP BY 1""",
+    // q331: the q262 lag pairs, nano-quantized entropy summands,
+    // pi-weighted rate assembled from the same integers.
+    "q331_entropy_rate" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts) AS us
+               FROM events),
+         t AS (SELECT user_id, event_type, us,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS prev
+               FROM e),
+         c AS (SELECT prev AS from_type, event_type AS to_type,
+                 count(*)::BIGINT AS n
+               FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+         r AS (SELECT from_type, n,
+                 sum(n) OVER (PARTITION BY from_type)::BIGINT AS rt
+               FROM c),
+         h AS (SELECT from_type,
+                 CAST(round(-1.0 * n::DOUBLE / rt
+                   * ln(n::DOUBLE / rt) * 1e9) AS BIGINT) AS h_nano,
+                 rt
+               FROM r),
+         pf AS (SELECT from_type, max(rt)::BIGINT AS n_out,
+                  sum(h_nano)::BIGINT AS h_sum
+                FROM h GROUP BY 1),
+         tt AS (SELECT sum(n_out)::BIGINT AS n_total FROM pf),
+         wp AS (SELECT pf.*, tt.n_total,
+                  CAST(round(pf.n_out::DOUBLE / tt.n_total
+                    * (pf.h_sum::DOUBLE / 1e9) * 1e9) AS BIGINT)
+                    AS rate_term_nano
+                FROM pf, tt),
+         rr AS (SELECT sum(rate_term_nano)::BIGINT AS rate_nano
+                FROM wp)
+         SELECT from_type, n_out,
+           CAST(round(n_out::DOUBLE / n_total * 1e6) AS BIGINT)
+             AS pi_ppm,
+           CAST(round(h_sum::DOUBLE / 1e6) AS BIGINT) AS h_milli,
+           CAST(round(rr.rate_nano::DOUBLE / 1e6) AS BIGINT)
+             AS rate_milli
+         FROM wp, rr""",
+    // q332: value-domain cumsums per language, exact-integer drop
+    // counts via integral division, the (d+1)-th smallest pick.
+    "q332_rate_matched" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.lang,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         g AS (SELECT count(*)::BIGINT AS bign,
+                 sum(CASE WHEN qm >= 300000 THEN 1 ELSE 0 END)::BIGINT
+                   AS kept
+               FROM s),
+         sv AS (SELECT lang, qm, count(*)::BIGINT AS scnt,
+                  sum(count(*)) OVER (PARTITION BY lang ORDER BY qm
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    )::BIGINT AS scum
+                FROM s GROUP BY 1, 2),
+         ns AS (SELECT lang, count(*)::BIGINT AS n_l FROM s
+                GROUP BY 1),
+         wd AS (SELECT sv.lang, sv.qm, sv.scum, ns.n_l,
+                  ns.n_l - (g.kept * ns.n_l) // g.bign AS d_l
+                FROM sv JOIN ns USING (lang), g),
+         th AS (SELECT lang, min(qm) AS thr_micro FROM wd
+                WHERE scum >= d_l + 1 GROUP BY 1)
+         SELECT ns.lang, ns.n_l AS n,
+           CAST(round(g.kept::DOUBLE / g.bign * 1e6) AS BIGINT)
+             AS global_rate_ppm,
+           th.thr_micro,
+           th.thr_micro - 300000 AS delta_micro
+         FROM ns JOIN th USING (lang), g""",
+    // q333: same integer mean pivot; lag pairs via shifted
+    // equi-joins; one shared denominator.
+    "q333_order_acf" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         m AS (SELECT CAST(round(avg(qm)) AS BIGINT) AS m FROM s),
+         dv AS (SELECT doc_id, qm - m.m AS d FROM s, m),
+         dn AS (SELECT sum(d * d)::BIGINT AS den FROM dv),
+         l AS (SELECT unnest([1, 10, 100])::BIGINT AS lag),
+         pr AS (SELECT l.lag, count(*)::BIGINT AS n_pairs,
+                  sum(a.d * b.d)::BIGINT AS num
+                FROM l JOIN dv a ON true
+                JOIN dv b ON b.doc_id = a.doc_id + l.lag
+                GROUP BY 1)
+         SELECT pr.lag, pr.n_pairs,
+           CASE WHEN dn.den = 0 THEN 0
+                ELSE CAST(round(pr.num::DOUBLE / dn.den * 1e6)
+                  AS BIGINT)
+           END AS acf_micro,
+           dn.den <> 0
+             AND abs(pr.num::DOUBLE / dn.den) < 0.05 AS order_safe
+         FROM pr, dn""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

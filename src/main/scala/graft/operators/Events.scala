@@ -1004,6 +1004,77 @@ object Events {
       )
   }
 
+  /** q331: Markov entropy rate — per from-type, the entropy of its
+    * outgoing transition distribution, and the corpus entropy rate
+    * Σ πᵢ·Hᵢ with π the observed from-type mass: how PREDICTABLE the
+    * event stream is given one step of context. Read with q262 (the
+    * matrix) and q321 (its stability): a low entropy rate justifies
+    * the Markov baseline for q158-style next-event examples; a
+    * high one says one step of context buys little. Summands are
+    * nano-quantized BIGINTs; π and H are exact-integer divisions.
+    *
+    * Scale: the q262 lag window + |types|²-cell arithmetic.
+    */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val tr = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rows = tr
+      .withColumn(
+        "rt",
+        sum(col("n")).over(Window.partitionBy(col("from_type")))
+      )
+      .select(
+        col("from_type"),
+        col("n"),
+        col("rt"),
+        round(
+          lit(-1.0) * col("n").cast("double") / col("rt") *
+            log(col("n").cast("double") / col("rt")) * 1e9
+        ).cast("long").as("h_nano")
+      )
+    val perFrom = rows
+      .groupBy(col("from_type"))
+      .agg(max(col("rt")).as("n_out"), sum(col("h_nano")).as("h_sum"))
+    val tot = broadcast(perFrom.agg(sum(col("n_out")).as("n_total")))
+    val withPi = perFrom
+      .crossJoin(tot)
+      .withColumn(
+        "rate_term_nano",
+        round(
+          col("n_out").cast("double") / col("n_total") *
+            (col("h_sum").cast("double") / 1e9) * 1e9
+        ).cast("long")
+      )
+    val rate = broadcast(
+      withPi.agg(sum(col("rate_term_nano")).as("rate_nano"))
+    )
+    withPi
+      .crossJoin(rate)
+      .select(
+        col("from_type"),
+        col("n_out"),
+        round(col("n_out").cast("double") / col("n_total") * 1e6)
+          .cast("long").as("pi_ppm"),
+        round(col("h_sum").cast("double") / 1e6).cast("long")
+          .as("h_milli"),
+        round(col("rate_nano").cast("double") / 1e6).cast("long")
+          .as("rate_milli")
+      )
+  }
+
   /** q237: exponentially-decayed event counts — per event type and
     * half-life (1 h, 6 h, 24 h), the decay-weighted count
     * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest

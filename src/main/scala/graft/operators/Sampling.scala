@@ -1978,6 +1978,145 @@ object Sampling {
       )
   }
 
+  /** q332: rate-matched per-language quality thresholds — the
+    * corpus-level quality gate q ≥ 0.3 passes some global rate r;
+    * per language, the threshold that would pass the SAME rate r of
+    * that language's docs (the exact value at rank ⌈(1−r)·n_l⌉ in
+    * ascending order). Absolute thresholds don't transfer across
+    * languages (the q197/q127 lesson); rate-matching is the
+    * group-parity calibration a multilingual gate ships with, and
+    * the delta column says which languages the global cut was
+    * quietly starving or flooding. Exact rank statistics over the
+    * quantized value domain (the q293 construction).
+    *
+    * Scale: value-domain cumsums per language (bounded), one
+    * broadcast global-rate row.
+    */
+  def rateMatchedThresholds(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("lang"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    // global pass count at the shipped cut (q >= 0.3)
+    val global = broadcast(
+      scored.agg(
+        count(lit(1)).as("bign"),
+        sum(when(col("qm") >= 300000L, 1L).otherwise(0L)).as("kept")
+      )
+    )
+    val ws = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("qm").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sv = scored
+      .groupBy(col("lang"), col("qm"))
+      .agg(count(lit(1)).as("scnt"))
+      .withColumn("scum", sum(col("scnt")).over(ws))
+    val ns = broadcast(
+      scored.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    )
+    // drop count per language d_l = n_l - ceil(r * n_l), with
+    // r = kept/bign evaluated as exact integer cross products:
+    // threshold = min qm with 10^? ... scum >= d_l where
+    // d_l = n_l - floor(kept * n_l / bign)  (kept docs rounded down
+    // keeps the matched rate conservative; mirrored in the oracle)
+    val withD = sv
+      .join(ns, "lang")
+      .crossJoin(global)
+      .withColumn("kept_l", expr("(kept * n_l) div bign"))
+      .withColumn("d_l", col("n_l") - col("kept_l"))
+    val thr = withD
+      // the (d_l + 1)-th smallest value: the first KEPT doc's score
+      .filter(col("scum") >= col("d_l") + 1)
+      .groupBy(col("lang"))
+      .agg(min(col("qm")).as("thr_micro"))
+    ns.join(thr, "lang")
+      .crossJoin(global)
+      .select(
+        col("lang"),
+        col("n_l").as("n"),
+        round(col("kept").cast("double") / col("bign") * 1e6)
+          .cast("long").as("global_rate_ppm"),
+        col("thr_micro"),
+        (col("thr_micro") - lit(300000L)).as("delta_micro")
+      )
+  }
+
+  /** q333: storage-order autocorrelation of quality — the ACF of
+    * the quality score over doc_id order at lags 1/10/100. A
+    * shuffled corpus shows ≈0 at every lag; structure here means
+    * storage order carries quality (crawl batches, per-source
+    * dumps), so sequential readers (q191's epoch order, q53's
+    * packing) inherit a quality CURRICULUM nobody chose —
+    * deliberately choosing one is q243's job. Deviations use the
+    * exact integer mean pivot; lag pairs come from shifted
+    * equi-joins on doc_id (no global window), so the plan is a
+    * co-partitioned self-join at any scale.
+    */
+  def qualityOrderAcf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val mean = broadcast(
+      scored.agg(round(avg(col("qm"))).cast("long").as("m"))
+    )
+    val dev = scored
+      .crossJoin(mean)
+      .select(col("doc_id"), (col("qm") - col("m")).as("d"))
+      .cacheTracked()
+    val den = broadcast(
+      dev.agg(sum(col("d") * col("d")).as("den"))
+    )
+    Seq(1L, 10L, 100L)
+      .map { lag =>
+        dev
+          .join(
+            dev.select(
+              (col("doc_id") - lag).as("doc_id"),
+              col("d").as("dl")
+            ),
+            "doc_id"
+          )
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(col("d") * col("dl")).as("num")
+          )
+          .crossJoin(den)
+          .select(
+            lit(lag).as("lag"),
+            col("n_pairs"),
+            when(col("den") === 0L, lit(0L))
+              .otherwise(
+                round(
+                  col("num").cast("double") / col("den") * 1e6
+                ).cast("long")
+              ).as("acf_micro"),
+            (col("den") =!= 0L &&
+              abs(col("num").cast("double") / col("den")) < 0.05)
+              .as("order_safe")
+          )
+      }
+      .reduce(_.unionByName(_))
+  }
+
   /** q330: k-anonymity census — per source, how many
     * (lang, length-digit) quasi-identifier cells fall below k = 5
     * documents and how many documents those cells hold. The release
