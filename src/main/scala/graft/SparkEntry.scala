@@ -880,6 +880,12 @@ object SparkEntry {
     "q332_rate_matched" -> (Sampling.rateMatchedThresholds _),
     // Quality ACF over doc_id order at lags 1/10/100.
     "q333_order_acf" -> (Sampling.qualityOrderAcf _),
+    // Candidate-pair volume and yield per source pair.
+    "q334_lsh_cost" -> ((s, d) => Dedup.lshCostAttribution(s, d)),
+    // Adjacent-frame cosine cuts per doc (the q116 feature seam).
+    "q335_scene_cuts" -> (Multimodal.sceneCuts _),
+    // Brown-Forsythe spread-equality test across sources.
+    "q336_brown_forsythe" -> (Sampling.brownForsythe _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9033,6 +9039,136 @@ object SparkEntry {
            dn.den <> 0
              AND abs(pr.num::DOUBLE / dn.den) < 0.05 AS order_safe
          FROM pr, dn""",
+    // q334: the q22 candidate chain, exact per-pair Jaccard, ordered
+    // source-pair rollup with shares and verification yield.
+    "q334_lsh_cost" ->
+      s"""WITH $shinglesCte,
+         m AS (SELECT doc_id, sh,
+                 list_transform(range(8), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT))) AS mh
+               FROM d WHERE len(sh) > 0),
+         bd AS (SELECT doc_id, sh, mh, t.j,
+                  mh[t.j*2+1] || '_' || mh[t.j*2+2] AS bval
+                FROM m, range(4) t(j)),
+         p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sh AS sh_a, b.sh AS sh_b
+               FROM bd a JOIN bd b
+                 ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         pj AS (SELECT doc_a, doc_b,
+                 round(len(list_intersect(sh_a, sh_b))::DOUBLE /
+                   (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
+                   6) AS jaccard
+               FROM p),
+         ws AS (SELECT least(da.source, db.source) AS source_a,
+                  greatest(da.source, db.source) AS source_b,
+                  pj.jaccard
+                FROM pj
+                JOIN documents da ON pj.doc_a = da.doc_id
+                JOIN documents db ON pj.doc_b = db.doc_id),
+         tt AS (SELECT count(*)::BIGINT AS n_total FROM ws)
+         SELECT source_a, source_b, count(*)::BIGINT AS n_candidates,
+           sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_true,
+           CAST(round(count(*)::DOUBLE / tt.n_total * 1e6) AS BIGINT)
+             AS cost_share_ppm,
+           CAST(round(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0
+             END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS yield_ppm
+         FROM ws, tt GROUP BY source_a, source_b, tt.n_total""",
+    // q335: the q116 hash/frames derivation, 4-dim stub features,
+    // lead pairs, zero-norm-guarded cosine, micro means.
+    "q335_scene_cuts" ->
+      """WITH base AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(length(text)),
+                 i -> ord(substr(text, (i+1)::INT, 1))::BIGINT)),
+               (a, c) -> (a * 31 + c) % 1000000007) AS h,
+             CAST(octet_length(encode(text)) % 240 + 1 AS INTEGER)
+               AS n_frames
+           FROM documents),
+         fr AS (SELECT doc_id, h, n_frames,
+             unnest(range(0, n_frames, greatest(1, n_frames // 8))) AS f
+           FROM base),
+         fv AS (SELECT doc_id, f,
+             list_transform(range(4), k ->
+               ((h + f * 2654435761 + k * 40503) % 1000)::DOUBLE
+                 / 1000.0) AS v
+           FROM fr),
+         ld AS (SELECT doc_id, f, v,
+             lead(v) OVER (PARTITION BY doc_id ORDER BY f) AS vn
+           FROM fv),
+         pr AS (SELECT doc_id,
+             list_sum(list_transform(list_zip(v, vn),
+               p -> p[1] * p[2])) AS dt,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS na,
+             sqrt(list_sum(list_transform(vn, x -> x * x))) AS nb
+           FROM ld WHERE vn IS NOT NULL),
+         cm AS (SELECT doc_id,
+             CAST(round(CASE WHEN na * nb = 0 THEN 0.0
+               ELSE dt / (na * nb) END * 1e6) AS BIGINT) AS c_micro
+           FROM pr)
+         SELECT doc_id, (count(*) + 1)::BIGINT AS n_sampled,
+           sum(CASE WHEN c_micro < 500000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_cuts,
+           CAST(round(avg(c_micro) / 1e3) AS BIGINT)
+             AS mean_adj_cos_milli
+         FROM cm GROUP BY 1""",
+    // q336: exact lower medians, integer deviations, the q281 pivot
+    // moments, the same redundant (k-1)F/df WH form.
+    "q336_brown_forsythe" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+               FROM documents d JOIN qq USING (doc_id)),
+         r AS (SELECT source, qm,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY qm, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS cnt
+               FROM s),
+         md AS (SELECT source, qm AS med_micro FROM r
+                WHERE rn = ceil(cnt / 2.0)),
+         dv AS (SELECT s.source, abs(s.qm - md.med_micro) AS z
+                FROM s JOIN md USING (source)),
+         ps AS (SELECT dv.source, count(*)::BIGINT AS n_s,
+                  max(md.med_micro)::BIGINT AS med_micro,
+                  CAST(round(avg(dv.z)) AS BIGINT) AS m_s,
+                  sum(dv.z)::BIGINT AS z_sum
+                FROM dv JOIN md ON dv.source = md.source
+                GROUP BY 1),
+         wi AS (SELECT dv.source,
+                  sum((dv.z - ps.m_s) * (dv.z - ps.m_s))::BIGINT
+                    AS within_s
+                FROM dv JOIN ps USING (source) GROUP BY 1),
+         gr AS (SELECT sum(n_s)::BIGINT AS bign,
+                  CAST(round(sum(z_sum)::DOUBLE / sum(n_s)) AS BIGINT)
+                    AS m_all,
+                  count(*)::BIGINT AS k
+                FROM ps),
+         asm AS (SELECT ps.source, ps.n_s, ps.med_micro, ps.m_s,
+                  wi.within_s, gr.bign, gr.k, gr.m_all,
+                  ps.n_s * (ps.m_s - gr.m_all) * (ps.m_s - gr.m_all)
+                    AS btw_s
+                FROM ps JOIN wi USING (source), gr),
+         sm AS (SELECT bign, k, sum(btw_s)::BIGINT AS btw,
+                  sum(within_s)::BIGINT AS win
+                FROM asm GROUP BY 1, 2),
+         ff AS (SELECT bign, k,
+                 (bign - k)::DOUBLE / (k - 1)::DOUBLE
+                   * btw::DOUBLE / win::DOUBLE AS f,
+                 (k - 1)::DOUBLE AS df
+               FROM sm),
+         zz AS (SELECT f, df,
+                 (pow(f * (k - 1)::DOUBLE / df, 1.0 / 3.0)
+                   - (1.0 - 2.0 / (9.0 * df)))
+                   / sqrt(2.0 / (9.0 * df)) AS z_wh
+               FROM ff)
+         SELECT ps.source, ps.n_s AS n, ps.med_micro,
+           ps.m_s AS mean_dev_micro,
+           CAST(round(zz.f * 1e3) AS BIGINT) AS f_milli,
+           zz.df::BIGINT AS df,
+           CAST(round(zz.z_wh * 1e3) AS BIGINT) AS z_milli,
+           zz.z_wh > 1.645 AS spreads_differ
+         FROM ps, zz""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -2197,6 +2197,63 @@ object Dedup {
       )
   }
 
+  /** q334: LSH cost attribution — the q22 band join's candidate
+    * pairs rolled up by (source_a, source_b): which source pairs
+    * generate the verification work. Dedup cost at 100 TB is
+    * candidate volume, not corpus size, and it concentrates: a
+    * template-heavy source pair can own most of the join. This
+    * table prices per-source dedup (small filters, q312) against
+    * global dedup, and names the pair to block-key first. Exact
+    * counts plus each cell's share and its true-pair yield
+    * (candidates that verify at J ≥ 0.5).
+    *
+    * Scale: the existing banded candidate generator (collision-
+    * linear) + two broadcast doc→source maps; the rollup is
+    * |sources|²-bounded.
+    */
+  def lshCostAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val srcMap = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val cand = minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val withSrc = cand
+      .join(
+        srcMap.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        "doc_a"
+      )
+      .join(
+        srcMap.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        "doc_b"
+      )
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("jaccard")
+      )
+    val tot = broadcast(withSrc.agg(count(lit(1)).as("n_total")))
+    withSrc
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L))
+          .as("n_true")
+      )
+      .crossJoin(tot)
+      .select(
+        col("source_a"),
+        col("source_b"),
+        col("n_candidates"),
+        col("n_true"),
+        round(
+          col("n_candidates").cast("double") / col("n_total") * 1e6
+        ).cast("long").as("cost_share_ppm"),
+        round(
+          col("n_true").cast("double") / col("n_candidates") * 1e6
+        ).cast("long").as("yield_ppm")
+      )
+  }
+
   /** q329: b-bit minwise audit (Li & König 2010) — keep only the
     * LOW BIT of each of the 12 MinHash permutations (32× less
     * signature storage than the 60-bit values) and audit the b=1

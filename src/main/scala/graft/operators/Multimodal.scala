@@ -271,6 +271,74 @@ object Multimodal {
       )
   }
 
+  /** q335: scene-cut detection — adjacent stride-sampled frames
+    * (the q48 derivation) compared by their stub feature vectors
+    * (the q116 seam — a real pipeline slots a frame encoder here):
+    * a cut is an adjacent pair whose cosine drops below 0.5. The
+    * video-curation primitive behind clip segmentation and
+    * per-scene sampling budgets; per doc: sampled frames, cut
+    * count, and the mean adjacent cosine (a smoothness score that
+    * separates static slideware from cut-heavy content). Per-pair
+    * cosines are micro-quantized before the exact-integer mean.
+    *
+    * Scale: narrow scan → bounded frame explode (≤ 31 sampled per
+    * doc) → per-doc lead window (bounded) → one agg.
+    */
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val dims = 4
+    val base = graft.Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.functions.RollingHash.rollingHash(col("text")).as("h"),
+        frameCount(length(col("text").cast("binary"))).as("n_frames")
+      )
+      .withColumn("stride", frameStride(col("n_frames")))
+    val feat = array((0 until dims).map { k =>
+      (((col("h") + col("f").cast("long") * 2654435761L +
+        lit(k.toLong * 40503L)) % 1000L).cast("double") / 1000.0)
+    }: _*)
+    val frames = base
+      .select(
+        col("doc_id"),
+        col("h"),
+        explode(sequence(lit(0), col("n_frames") - 1, col("stride")))
+          .as("f")
+      )
+      .withColumn("v", feat)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("f").asc)
+    val pairs = frames
+      .withColumn("vn", lead(col("v"), 1).over(w))
+      .filter(col("vn").isNotNull)
+    val dot = aggregate(
+      zip_with(col("v"), col("vn"), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x
+    )
+    val na = sqrt(
+      aggregate(transform(col("v"), x => x * x), lit(0.0),
+        (acc, x) => acc + x)
+    )
+    val nb = sqrt(
+      aggregate(transform(col("vn"), x => x * x), lit(0.0),
+        (acc, x) => acc + x)
+    )
+    val cos = when(na * nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+    pairs
+      .select(
+        col("doc_id"),
+        round(cos * 1e6).cast("long").as("c_micro")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        (count(lit(1)) + 1).as("n_sampled"),
+        sum(when(col("c_micro") < 500000L, 1L).otherwise(0L))
+          .as("n_cuts"),
+        round(avg(col("c_micro")) / 1e3).cast("long")
+          .as("mean_adj_cos_milli")
+      )
+  }
+
   /** q307: audio segment gating — the voice-activity-detection
     * pipeline shape: window the payload (500 ms windows, count keyed
     * on the byte length), score each window with the deterministic

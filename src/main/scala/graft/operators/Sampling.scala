@@ -2052,6 +2052,113 @@ object Sampling {
       )
   }
 
+  /** q336: Brown-Forsythe scale test — the variance-equality
+    * complement that completes the distributional battery: KW/q318
+    * tests location, q279 shape, q281 normality, and this tests
+    * SPREAD, on |q − median_s| deviations so it survives the heavy
+    * tails q306 documents (classic Levene uses means and doesn't).
+    * Unequal spreads invalidate pooled-variance machinery (q298's
+    * n*, q295's pooled test), so this verdict gates those. Built on
+    * exact integer deviations from the exact lower median, the
+    * q281 integer-pivot moment convention, and the Wilson-Hilferty
+    * tail on (k−1)·F ≈ χ²_{k−1}.
+    *
+    * Scale: one per-source rank window for the median (bounded /
+    * two-level), two moment aggregates, |sources|-row assembly.
+    */
+  def brownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("qm").asc, col("doc_id").asc)
+    val med = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "cnt",
+        count(lit(1)).over(Window.partitionBy(col("source")))
+      )
+      .filter(col("rn") === ceil(col("cnt") / 2))
+      .select(col("source"), col("qm").as("med_micro"))
+    val devs = scored
+      .join(broadcast(med), "source")
+      .withColumn("z", abs(col("qm") - col("med_micro")))
+    val perSrc = devs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_s"),
+        max(col("med_micro")).as("med_micro"),
+        round(avg(col("z"))).cast("long").as("m_s"),
+        sum(col("z")).as("z_sum")
+      )
+    val withinAgg = devs
+      .join(broadcast(perSrc.select(col("source"), col("m_s"))), "source")
+      .select(
+        col("source"),
+        ((col("z") - col("m_s")) * (col("z") - col("m_s"))).as("w2")
+      )
+      .groupBy(col("source"))
+      .agg(sum(col("w2")).as("within_s"))
+    val grand = broadcast(
+      perSrc.agg(
+        sum(col("n_s")).as("bign"),
+        round(
+          sum(col("z_sum")).cast("double") / sum(col("n_s"))
+        ).cast("long").as("m_all"),
+        count(lit(1)).as("k")
+      )
+    )
+    val assembled = perSrc
+      .join(withinAgg, "source")
+      .crossJoin(grand)
+      .withColumn(
+        "btw_s",
+        col("n_s") * (col("m_s") - col("m_all")) *
+          (col("m_s") - col("m_all"))
+      )
+    val sums = broadcast(
+      assembled
+        .groupBy(col("bign"), col("k"))
+        .agg(sum(col("btw_s")).as("btw"), sum(col("within_s")).as("win"))
+        .withColumn(
+          "f",
+          (col("bign") - col("k")).cast("double") /
+            (col("k") - 1).cast("double") *
+            col("btw").cast("double") / col("win").cast("double")
+        )
+        .withColumn("df", (col("k") - 1).cast("double"))
+        .withColumn(
+          "z_wh",
+          (pow(col("f") * (col("k") - 1).cast("double") / col("df"),
+            1.0 / 3.0) -
+            (lit(1.0) - lit(2.0) / (lit(9.0) * col("df")))) /
+            sqrt(lit(2.0) / (lit(9.0) * col("df")))
+        )
+        .select(col("f"), col("df"), col("z_wh"))
+    )
+    perSrc
+      .crossJoin(sums)
+      .select(
+        col("source"),
+        col("n_s").as("n"),
+        col("med_micro"),
+        col("m_s").as("mean_dev_micro"),
+        round(col("f") * 1e3).cast("long").as("f_milli"),
+        col("df").cast("long").as("df"),
+        round(col("z_wh") * 1e3).cast("long").as("z_milli"),
+        (col("z_wh") > 1.645).as("spreads_differ")
+      )
+  }
+
   /** q333: storage-order autocorrelation of quality — the ACF of
     * the quality score over doc_id order at lags 1/10/100. A
     * shuffled corpus shows ≈0 at every lag; structure here means
