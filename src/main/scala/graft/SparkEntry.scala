@@ -886,6 +886,12 @@ object SparkEntry {
     "q335_scene_cuts" -> (Multimodal.sceneCuts _),
     // Brown-Forsythe spread-equality test across sources.
     "q336_brown_forsythe" -> (Sampling.brownForsythe _),
+    // Per-source length-quality OLS slope vs the pooled slope.
+    "q337_slope_heterogeneity" -> (Sampling.slopeHeterogeneity _),
+    // Bytes/chars/tokens conversion table per language.
+    "q338_byte_economics" -> (TextAnalysis.byteEconomics _),
+    // Median-of-pairwise-slopes robust trend per source.
+    "q339_theil_sen" -> ((s, d) => Sampling.theilSenTrend(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9169,6 +9175,90 @@ object SparkEntry {
            CAST(round(zz.z_wh * 1e3) AS BIGINT) AS z_milli,
            zz.z_wh > 1.645 AS spreads_differ
          FROM ps, zz""",
+    // q337: exact 5-moment regression per source, the same moment-
+    // identity SE with the sqrt floor, pooled slope from summed
+    // moments.
+    "q337_slope_heterogeneity" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source,
+                 (CASE WHEN length(trim(d.text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                  END)::BIGINT AS x,
+                 CAST(round(qq.q * 1e6) AS BIGINT) AS y
+               FROM documents d JOIN qq USING (doc_id)),
+         mom AS (SELECT source, count(*)::BIGINT AS n,
+                  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                  sum(x * x)::BIGINT AS sx2, sum(x * y)::BIGINT AS sxy,
+                  sum(y * y)::BIGINT AS sy2
+                 FROM s GROUP BY 1),
+         pl AS (SELECT (sum(n)::DOUBLE * sum(sxy)
+                  - sum(sx)::DOUBLE * sum(sy))
+                  / (sum(n)::DOUBLE * sum(sx2)
+                    - sum(sx)::DOUBLE * sum(sx)) AS b_pool
+                FROM mom),
+         asm AS (SELECT mom.*,
+                  n::DOUBLE * sx2 - sx::DOUBLE * sx AS sxx,
+                  n::DOUBLE * sxy - sx::DOUBLE * sy AS sxy2,
+                  n::DOUBLE * sy2 - sy::DOUBLE * sy AS syy
+                FROM mom),
+         bb AS (SELECT asm.*, sxy2 / sxx AS b FROM asm
+                WHERE n > 2 AND sxx > 0),
+         zz AS (SELECT bb.*,
+                 sqrt(greatest(0.0, ((syy - b * sxy2) / n::DOUBLE)
+                   / (n::DOUBLE - 2) / (sxx / n::DOUBLE))) AS se
+               FROM bb)
+         SELECT zz.source, zz.n,
+           CAST(round(zz.b * 1e6) AS BIGINT) AS slope_micro_per_tok,
+           CAST(round(pl.b_pool * 1e6) AS BIGINT) AS pooled_micro,
+           CAST(round(zz.se * 1e6) AS BIGINT) AS se_micro,
+           CAST(round(CASE WHEN zz.se = 0 THEN 0.0
+             ELSE (zz.b - pl.b_pool) / zz.se END * 1e3) AS BIGINT)
+             AS z_milli,
+           coalesce(abs(CASE WHEN zz.se = 0 THEN 0.0
+             ELSE (zz.b - pl.b_pool) / zz.se END) > 3.0, false)
+             AS divergent
+         FROM zz, pl""",
+    // q338: exact integer sums, three milli ratios.
+    "q338_byte_economics" ->
+      """WITH b AS (SELECT lang, length(text)::BIGINT AS chars,
+             octet_length(encode(text))::BIGINT AS bytes,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS toks
+           FROM documents)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(bytes)::BIGINT AS n_bytes,
+           sum(chars)::BIGINT AS n_chars,
+           sum(toks)::BIGINT AS n_tokens,
+           CAST(round(sum(bytes)::DOUBLE / sum(toks) * 1e3) AS BIGINT)
+             AS bytes_per_token_milli,
+           CAST(round(sum(chars)::DOUBLE / sum(toks) * 1e3) AS BIGINT)
+             AS chars_per_token_milli,
+           CAST(round(sum(bytes)::DOUBLE / sum(chars) * 1e3) AS BIGINT)
+             AS bytes_per_char_milli
+         FROM b GROUP BY 1""",
+    // q339: the q259 bucket means, pairwise micro slopes, the exact
+    // lower-median rank pick per source.
+    "q339_theil_sen" ->
+      s"""WITH $qualityCte,
+         s AS (SELECT d.doc_id, d.source, d.doc_id // 50 AS b, qq.q
+               FROM documents d JOIN qq USING (doc_id)),
+         bm AS (SELECT source, b,
+                  CAST(round(avg(q) * 1e6) AS BIGINT) AS mqm
+                FROM s GROUP BY 1, 2),
+         pr AS (SELECT a.source,
+                 CAST(round((b2.mqm - a.mqm)::DOUBLE / (b2.b - a.b))
+                   AS BIGINT) AS slope_micro
+               FROM bm a JOIN bm b2
+                 ON a.source = b2.source AND b2.b > a.b),
+         rk AS (SELECT source, slope_micro,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY slope_micro) AS rn,
+                 count(*) OVER (PARTITION BY source) AS cnt
+               FROM pr)
+         SELECT source, cnt::BIGINT AS n_pairs,
+           slope_micro AS ts_slope_micro
+         FROM rk WHERE rn = ceil(cnt / 2.0)""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

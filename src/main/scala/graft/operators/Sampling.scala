@@ -2052,6 +2052,155 @@ object Sampling {
       )
   }
 
+  /** q337: length↔quality slope heterogeneity — per source, the
+    * exact OLS slope of quality (micro) on token count, its
+    * residual-based standard error, and the z of its deviation from
+    * the POOLED slope. q249 says the corpus-level coupling exists;
+    * this asks whether it is the SAME coupling everywhere — a
+    * source whose slope diverges breaks any length-normalization
+    * applied globally (q299's standardization assumes shared
+    * stratum effects). All regression moments are exact integer
+    * sums; slopes/SEs are assembled in doubles and micro-quantized.
+    *
+    * Scale: one scan → per-source 5-moment agg (map-side), then
+    * |sources|-row assembly; the pooled slope is the same moments
+    * summed once more.
+    */
+  def slopeHeterogeneity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("x")
+      )
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("y")
+          ),
+        "doc_id"
+      )
+    val mom = scored
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sx2"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("sy2")
+      )
+    val nD = col("n").cast("double")
+    val sxx = nD * col("sx2") - col("sx").cast("double") * col("sx")
+    val sxy = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val syy = nD * col("sy2") - col("sy").cast("double") * col("sy")
+    val b = sxy / sxx
+    // residual variance from the moment identity:
+    // SSE = (Syy - b*Sxy) / n ; SE(b)^2 = SSE/(n-2) / (Sxx/n)
+    val se = sqrt(
+      greatest(lit(0.0), ((syy - b * sxy) / nD) / (nD - 2) / (sxx / nD))
+    )
+    val pooled = broadcast(
+      mom
+        .agg(
+          sum(col("n")).as("n"),
+          sum(col("sx")).as("sx"),
+          sum(col("sy")).as("sy"),
+          sum(col("sx2")).as("sx2"),
+          sum(col("sxy")).as("sxy")
+        )
+        .select(
+          ((col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+            (col("n").cast("double") * col("sx2") -
+              col("sx").cast("double") * col("sx"))).as("b_pool")
+        )
+    )
+    val z = when(se === 0.0, lit(0.0))
+      .otherwise((b - col("b_pool")) / se)
+    mom
+      .filter(col("n") > 2 && sxx > 0.0)
+      .crossJoin(pooled)
+      .select(
+        col("source"),
+        col("n"),
+        round(b * 1e6).cast("long").as("slope_micro_per_tok"),
+        round(col("b_pool") * 1e6).cast("long").as("pooled_micro"),
+        round(se * 1e6).cast("long").as("se_micro"),
+        round(z * 1e3).cast("long").as("z_milli"),
+        coalesce(abs(z) > 3.0, lit(false)).as("divergent")
+      )
+  }
+
+  /** q339: Theil-Sen robust trend per source — the MEDIAN of all
+    * pairwise bucket-mean slopes (micro-quantized per pair, exact
+    * rank median), next to q259's OLS slope. One contaminated
+    * bucket (an ingestion hiccup) swings OLS but not the pairwise
+    * median; at ≤ P buckets per source the pair set is P(P−1)/2 —
+    * bounded by construction, never corpus rows. Disagreement
+    * between the two slope columns IS the finding: it localizes
+    * trend estimates that are artifacts of single buckets.
+    *
+    * Scale: bucket means (one agg), per-source pair explode over
+    * ≤ P² bounded rows, one rank window per source.
+    */
+  def theilSenTrend(
+      spark: SparkSession,
+      dir: String,
+      bucketSize: Int = 50
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucketMeans = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        (col("doc_id") / lit(bucketSize)).cast("long").as("b")
+      )
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(col("doc_id"), col("quality")),
+        "doc_id"
+      )
+      .groupBy(col("source"), col("b"))
+      .agg(round(avg(col("quality")) * 1e6).cast("long").as("mqm"))
+    val pairs = bucketMeans
+      .join(
+        bucketMeans.select(
+          col("source"),
+          col("b").as("b2"),
+          col("mqm").as("mqm2")
+        ),
+        Seq("source")
+      )
+      .filter(col("b2") > col("b"))
+      .select(
+        col("source"),
+        round(
+          (col("mqm2") - col("mqm")).cast("double") /
+            (col("b2") - col("b"))
+        ).cast("long").as("slope_micro")
+      )
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("slope_micro").asc)
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "cnt",
+        count(lit(1)).over(Window.partitionBy(col("source")))
+      )
+      .filter(col("rn") === ceil(col("cnt") / 2))
+      .select(
+        col("source"),
+        col("cnt").as("n_pairs"),
+        col("slope_micro").as("ts_slope_micro")
+      )
+  }
+
   /** q336: Brown-Forsythe scale test — the variance-equality
     * complement that completes the distributional battery: KW/q318
     * tests location, q279 shape, q281 normality, and this tests

@@ -3697,6 +3697,50 @@ object TextAnalysis {
       )
   }
 
+  /** q338: byte economics per language — bytes, characters, and
+    * tokens with the conversion ratios (bytes/token, chars/token,
+    * bytes/char in milli). Token budgets (q164/q304), storage
+    * provisioning, and network planning live in different units,
+    * and the exchange rates are per-language facts (CJK spends ~3
+    * bytes per character and packs more meaning per token): this is
+    * the conversion table read whenever a token budget meets a
+    * storage bill. Exact integer sums, three divisions.
+    *
+    * Scale: one narrow scan, a |langs|-row agg.
+    */
+  def byteEconomics(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        length(col("text").cast("binary")).cast("long").as("bytes"),
+        tokenCount(col("text")).cast("long").as("toks")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bytes")).as("n_bytes"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("toks")).as("n_tokens")
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_bytes"),
+        col("n_chars"),
+        col("n_tokens"),
+        round(
+          col("n_bytes").cast("double") / col("n_tokens") * 1e3
+        ).cast("long").as("bytes_per_token_milli"),
+        round(
+          col("n_chars").cast("double") / col("n_tokens") * 1e3
+        ).cast("long").as("chars_per_token_milli"),
+        round(
+          col("n_bytes").cast("double") / col("n_chars") * 1e3
+        ).cast("long").as("bytes_per_char_milli")
+      )
+
   /** q325: vocabulary midpoint drift — the corpus split at the
     * doc_id midpoint (the arrival proxy q253 established) and the
     * top-1000 terms' counts compared across halves: per-term χ²
