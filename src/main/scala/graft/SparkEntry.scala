@@ -892,6 +892,12 @@ object SparkEntry {
     "q338_byte_economics" -> (TextAnalysis.byteEconomics _),
     // Median-of-pairwise-slopes robust trend per source.
     "q339_theil_sen" -> ((s, d) => Sampling.theilSenTrend(s, d)),
+    // Gate pass-rate drift across the doc_id midpoint halves.
+    "q340_gate_drift" -> (TextAnalysis.gatePassDrift _),
+    // What keep-the-best buys over keep-min-id, by cluster size.
+    "q341_survivor_uplift" -> ((s, d) => Dedup.survivorUplift(s, d)),
+    // Duplicate arrival-gap coverage bands (streaming TTL sizing).
+    "q342_dup_gaps" -> ((s, d) => Dedup.dupArrivalGaps(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9259,6 +9265,98 @@ object SparkEntry {
          SELECT source, cnt::BIGINT AS n_pairs,
            slope_micro AS ts_slope_micro
          FROM rk WHERE rn = ceil(cnt / 2.0)""",
+    // q340: the shared gate flags split at the doc_id midpoint,
+    // pooled two-proportion z, |z| > 3 verdict.
+    "q340_gate_drift" ->
+      s"""WITH $gateFlagsCtes,
+         md AS (SELECT ((min(doc_id) + max(doc_id)) // 2)::BIGINT
+                  AS mid
+                FROM documents),
+         ag AS (SELECT gate,
+                  sum(CASE WHEN doc_id <= md.mid THEN 1 ELSE 0
+                    END)::BIGINT AS n1,
+                  sum(CASE WHEN doc_id <= md.mid AND f THEN 1 ELSE 0
+                    END)::BIGINT AS k1,
+                  sum(CASE WHEN doc_id > md.mid THEN 1 ELSE 0
+                    END)::BIGINT AS n2,
+                  sum(CASE WHEN doc_id > md.mid AND f THEN 1 ELSE 0
+                    END)::BIGINT AS k2
+                FROM fl, md GROUP BY 1),
+         zz AS (SELECT ag.*,
+                 CASE WHEN sqrt(((k1 + k2)::DOUBLE / (n1 + n2))
+                     * (1.0 - (k1 + k2)::DOUBLE / (n1 + n2))
+                     * (1.0 / n1 + 1.0 / n2)) = 0 THEN 0.0
+                   ELSE (k1::DOUBLE / n1 - k2::DOUBLE / n2)
+                     / sqrt(((k1 + k2)::DOUBLE / (n1 + n2))
+                       * (1.0 - (k1 + k2)::DOUBLE / (n1 + n2))
+                       * (1.0 / n1 + 1.0 / n2))
+                 END AS z
+               FROM ag)
+         SELECT gate, n1, k1, n2, k2,
+           CAST(round(k1::DOUBLE / n1 * 1e6) AS BIGINT) AS rate1_ppm,
+           CAST(round(k2::DOUBLE / n2 * 1e6) AS BIGINT) AS rate2_ppm,
+           CAST(round(z * 1e3) AS BIGINT) AS z_milli,
+           coalesce(abs(z) > 3.0, false) AS drifted
+         FROM zz""",
+    // q341: the canonical chain's labels/sizes/scores; best and
+    // min-id survivors via rank windows; size bands capped at 5.
+    "q341_survivor_uplift" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         mem AS (SELECT lab.cluster_id, sz.cluster_size, lab.doc_id,
+                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+                FROM lab JOIN sz USING (cluster_id)
+                JOIN qq USING (doc_id)
+                WHERE sz.cluster_size > 1),
+         rk AS (SELECT mem.*,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY qm DESC, doc_id ASC) AS r_best,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY doc_id ASC) AS r_min
+               FROM mem),
+         pc AS (SELECT cluster_id, max(cluster_size) AS cluster_size,
+                  count(*)::BIGINT AS n, sum(qm)::BIGINT AS q_sum,
+                  max(CASE WHEN r_best = 1 THEN qm END)::BIGINT
+                    AS q_best,
+                  max(CASE WHEN r_min = 1 THEN qm END)::BIGINT
+                    AS q_minid
+                FROM rk GROUP BY 1)
+         SELECT least(cluster_size, 5)::BIGINT AS size_band,
+           count(*)::BIGINT AS n_clusters,
+           CAST(round(avg(q_best)) AS BIGINT) AS best_micro,
+           CAST(round(avg(q_minid)) AS BIGINT) AS minid_micro,
+           CAST(round(sum(q_sum)::DOUBLE / sum(n)) AS BIGINT)
+             AS member_micro,
+           CAST(round(avg(q_best)) AS BIGINT)
+             - CAST(round(avg(q_minid)) AS BIGINT) AS uplift_micro
+         FROM pc GROUP BY 1""",
+    // q342: the q21 pair chain at J >= 0.5, decimal-digit gap bands,
+    // cumulative coverage over the bounded band frame.
+    "q342_dup_gaps" ->
+      s"""WITH $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         gp AS (SELECT length(CAST(doc_b - doc_a AS VARCHAR))::BIGINT
+                  AS gap_digits
+                FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.5),
+         bd AS (SELECT gap_digits, count(*)::BIGINT AS n_pairs
+                FROM gp GROUP BY 1),
+         tt AS (SELECT sum(n_pairs)::BIGINT AS n_total FROM bd),
+         cm AS (SELECT gap_digits, n_pairs,
+                 sum(n_pairs) OVER (ORDER BY gap_digits
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum
+               FROM bd)
+         SELECT cm.gap_digits, cm.n_pairs,
+           CAST(round(cm.cum::DOUBLE / tt.n_total * 1e6) AS BIGINT)
+             AS coverage_ppm
+         FROM cm, tt""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -2197,6 +2197,110 @@ object Dedup {
       )
   }
 
+  /** q341: survivor quality uplift — what the q78 keep-the-best
+    * policy actually BUYS over keep-min-id, by cluster-size band:
+    * the mean quality of kept survivors, the mean over all cluster
+    * members, the mean of the min-id alternative, and the uplift in
+    * micro. Dedup policy reviews argue about survivor selection in
+    * the abstract; this prices it (uplift ≈ 0 means min-id is fine
+    * and cheaper — no quality join needed at 100 TB). Exact integer
+    * sums off the audited cluster closure; singleton clusters are
+    * excluded (no choice to make).
+    *
+    * Scale: the cached q72 labels + one quality join, two bounded
+    * aggregates.
+    */
+  def survivorUplift(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .filter(col("cluster_size") > 1)
+    val quality = TextAnalysis
+      .qualityScores(spark, dir)
+      .select(
+        col("doc_id"),
+        round(col("quality") * 1e6).cast("long").as("qm")
+      )
+    val withQ = labels.join(quality, "doc_id")
+    val perCluster = withQ
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(col("cluster_size")).as("cluster_size"),
+        count(lit(1)).as("n"),
+        sum(col("qm")).as("q_sum"),
+        // best-quality survivor (q78's rule: quality desc, id asc)
+        max(struct(col("qm"), (-col("doc_id")).as("nid")))
+          .as("best"),
+        // min-id survivor's quality
+        min(struct(col("doc_id"), col("qm"))).as("minid")
+      )
+      .select(
+        col("cluster_id"),
+        col("cluster_size"),
+        col("n"),
+        col("q_sum"),
+        col("best.qm").as("q_best"),
+        col("minid.qm").as("q_minid")
+      )
+    perCluster
+      .groupBy(
+        least(col("cluster_size"), lit(5L)).as("size_band")
+      )
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        round(avg(col("q_best"))).cast("long").as("best_micro"),
+        round(avg(col("q_minid"))).cast("long").as("minid_micro"),
+        round(
+          sum(col("q_sum")).cast("double") / sum(col("n"))
+        ).cast("long").as("member_micro")
+      )
+      .select(
+        col("size_band"),
+        col("n_clusters"),
+        col("best_micro"),
+        col("minid_micro"),
+        col("member_micro"),
+        (col("best_micro") - col("minid_micro")).as("uplift_micro")
+      )
+  }
+
+  /** q342: duplicate arrival-gap coverage — the distribution of
+    * |doc_a − doc_b| (arrival-order distance, the q253/q325 proxy)
+    * over J ≥ 0.5 pairs, in power-of-10 bands with cumulative
+    * coverage. This SIZES the streaming dedup state (q101/q181 keep
+    * a bounded window): "a TTL of 10^k arrival units catches Y% of
+    * duplicates" is exactly this table, and the tail band is the
+    * recall ceiling any bounded-state dedup accepts. Exact integer
+    * gaps; band = decimal digit count of the gap.
+    *
+    * Scale: the collision-linear pair set + one bounded agg and a
+    * ≤10-row cumulative window.
+    */
+  def dupArrivalGaps(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(
+        length((col("doc_b") - col("doc_a")).cast("string"))
+          .cast("long").as("gap_digits")
+      )
+    val bands = pairs
+      .groupBy(col("gap_digits"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = broadcast(bands.agg(sum(col("n_pairs")).as("n_total")))
+    val w = Window
+      .orderBy(col("gap_digits").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("cum", sum(col("n_pairs")).over(w))
+      .crossJoin(tot)
+      .select(
+        col("gap_digits"),
+        col("n_pairs"),
+        round(
+          col("cum").cast("double") / col("n_total") * 1e6
+        ).cast("long").as("coverage_ppm")
+      )
+  }
+
   /** q334: LSH cost attribution — the q22 band join's candidate
     * pairs rolled up by (source_a, source_b): which source pairs
     * generate the verification work. Dedup cost at 100 TB is

@@ -3863,6 +3863,61 @@ object TextAnalysis {
     )
   }
 
+  /** q340: gate pass-rate drift — each gate's pass rate on the first
+    * vs second half of the corpus (doc_id midpoint, the q325 split)
+    * with the pooled two-proportion z. A gate whose rate moves
+    * across corpus life is reacting to upstream drift (q325 names
+    * the terms; q259 the sources) — and every threshold tuned on
+    * last month's corpus is now a different gate. Exact counts; one
+    * z per gate; the χ-free verdict at |z| > 3.
+    *
+    * Scale: the shared gate-flag frame + one broadcast midpoint;
+    * 4×2 cells.
+    */
+  def gatePassDrift(spark: SparkSession, dir: String): DataFrame = {
+    val mid = broadcast(
+      Tables
+        .documents(spark, dir)
+        .agg(
+          ((min(col("doc_id")) + max(col("doc_id"))) / 2).cast("long")
+            .as("mid")
+        )
+    )
+    val cells = gateFlags(spark, dir)
+      .crossJoin(mid)
+      .groupBy(col("gate"))
+      .agg(
+        sum(when(col("doc_id") <= col("mid"), 1L).otherwise(0L))
+          .as("n1"),
+        sum(when(col("doc_id") <= col("mid") && col("f"), 1L)
+          .otherwise(0L)).as("k1"),
+        sum(when(col("doc_id") > col("mid"), 1L).otherwise(0L))
+          .as("n2"),
+        sum(when(col("doc_id") > col("mid") && col("f"), 1L)
+          .otherwise(0L)).as("k2")
+      )
+    val p1 = col("k1").cast("double") / col("n1")
+    val p2 = col("k2").cast("double") / col("n2")
+    val pPool = (col("k1") + col("k2")).cast("double") /
+      (col("n1") + col("n2"))
+    val se = sqrt(
+      pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n1") + lit(1.0) / col("n2"))
+    )
+    val z = when(se === 0.0, lit(0.0)).otherwise((p1 - p2) / se)
+    cells.select(
+      col("gate"),
+      col("n1"),
+      col("k1"),
+      col("n2"),
+      col("k2"),
+      round(p1 * 1e6).cast("long").as("rate1_ppm"),
+      round(p2 * 1e6).cast("long").as("rate2_ppm"),
+      round(z * 1e3).cast("long").as("z_milli"),
+      coalesce(abs(z) > 3.0, lit(false)).as("drifted")
+    )
+  }
+
   /** q322: gate fairness battery — for every (gate, source) cell:
     * the source's pass rate vs the rest of the corpus, the
     * two-proportion pooled z, the asymptotic p, and BH step-up
