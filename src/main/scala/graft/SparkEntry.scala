@@ -898,6 +898,12 @@ object SparkEntry {
     "q341_survivor_uplift" -> ((s, d) => Dedup.survivorUplift(s, d)),
     // Duplicate arrival-gap coverage bands (streaming TTL sizing).
     "q342_dup_gaps" -> ((s, d) => Dedup.dupArrivalGaps(s, d)),
+    // Holdout vs train mean-quality z per source (q310 audit).
+    "q343_holdout_rep" -> (Sampling.holdoutRepresentativeness _),
+    // Pass-rate curve per (gate, length-digit stratum).
+    "q344_gate_curves" -> (TextAnalysis.gatePassCurves _),
+    // Exact p50/p95/max distinct users per hour per type.
+    "q345_concurrency" -> (Events.concurrencyPercentiles _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9357,6 +9363,105 @@ object SparkEntry {
            CAST(round(cm.cum::DOUBLE / tt.n_total * 1e6) AS BIGINT)
              AS coverage_ppm
          FROM cm, tt""",
+    // q343: the q310 selection replayed, two-sample z on raw-moment
+    // variances, micro means.
+    "q343_holdout_rep" ->
+      s"""WITH $qualityCte,
+         d0 AS (SELECT doc_id, source, lang,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM documents),
+         cn AS (SELECT source, lang, count(*)::BIGINT AS n_cell
+                FROM d0 GROUP BY 1, 2),
+         ct AS (SELECT source, lang, n_cell,
+                 least(n_cell, greatest(5,
+                   CAST(round(n_cell * 0.05) AS BIGINT))) AS k_target
+               FROM cn),
+         fl2 AS (SELECT d0.doc_id, d0.source,
+                  row_number() OVER (PARTITION BY d0.source, d0.lang
+                    ORDER BY d0.h, d0.doc_id) <= ct.k_target
+                    AS held_out
+                FROM d0 JOIN ct USING (source, lang)),
+         sc AS (SELECT fl2.source, fl2.held_out,
+                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+                FROM fl2 JOIN qq USING (doc_id)),
+         ag AS (SELECT source,
+                  sum(CASE WHEN held_out THEN 1 ELSE 0 END)::BIGINT
+                    AS n_h,
+                  sum(CASE WHEN held_out THEN qm ELSE 0 END)::BIGINT
+                    AS s_h,
+                  sum(CASE WHEN held_out THEN qm * qm ELSE 0
+                    END)::BIGINT AS s2_h,
+                  sum(CASE WHEN NOT held_out THEN 1 ELSE 0
+                    END)::BIGINT AS n_t,
+                  sum(CASE WHEN NOT held_out THEN qm ELSE 0
+                    END)::BIGINT AS s_t,
+                  sum(CASE WHEN NOT held_out THEN qm * qm ELSE 0
+                    END)::BIGINT AS s2_t
+                FROM sc GROUP BY 1),
+         zz AS (SELECT ag.*,
+                 CASE WHEN sqrt((s2_h::DOUBLE / n_h
+                     - (s_h::DOUBLE / n_h) * (s_h::DOUBLE / n_h))
+                     / n_h
+                     + (s2_t::DOUBLE / n_t
+                       - (s_t::DOUBLE / n_t) * (s_t::DOUBLE / n_t))
+                     / n_t) = 0 THEN 0.0
+                   ELSE (s_h::DOUBLE / n_h - s_t::DOUBLE / n_t)
+                     / sqrt((s2_h::DOUBLE / n_h
+                       - (s_h::DOUBLE / n_h) * (s_h::DOUBLE / n_h))
+                       / n_h
+                       + (s2_t::DOUBLE / n_t
+                         - (s_t::DOUBLE / n_t) * (s_t::DOUBLE / n_t))
+                       / n_t)
+                 END AS z
+               FROM ag WHERE n_h > 1 AND n_t > 1)
+         SELECT source, n_h, n_t,
+           CAST(round(s_h::DOUBLE / n_h) AS BIGINT) AS holdout_micro,
+           CAST(round(s_t::DOUBLE / n_t) AS BIGINT) AS train_micro,
+           CAST(round(z * 1e3) AS BIGINT) AS z_milli,
+           coalesce(abs(z) > 3.0, false) AS unrepresentative
+         FROM zz""",
+    // q344: the shared gate flags x ten-token buckets, exact rates.
+    "q344_gate_curves" ->
+      s"""WITH $gateFlagsCtes,
+         st AS (SELECT doc_id,
+                 least(CAST(floor((CASE WHEN length(trim(text)) = 0
+                   THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END) / 10.0) AS BIGINT), 9) AS len_bucket
+               FROM documents)
+         SELECT fl.gate, st.len_bucket, count(*)::BIGINT AS n,
+           sum(CASE WHEN fl.f THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           CAST(round(sum(CASE WHEN fl.f THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 1e6) AS BIGINT) AS pass_ppm
+         FROM fl JOIN st USING (doc_id)
+         GROUP BY 1, 2""",
+    // q345: distinct (type, hour, user) pass, bounded rank windows,
+    // the q197 exact-rank percentile convention.
+    "q345_concurrency" ->
+      """WITH hu AS (SELECT DISTINCT event_type,
+                 epoch_us(ts) // 3600000000 AS h, user_id
+               FROM events),
+         hc AS (SELECT event_type, h, count(*)::BIGINT AS u
+                FROM hu GROUP BY 1, 2),
+         rk AS (SELECT event_type, h, u,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY u, h)::BIGINT AS rn,
+                 count(*) OVER (PARTITION BY event_type)::BIGINT
+                   AS cnt
+               FROM hc),
+         p50 AS (SELECT event_type, u AS p50_users FROM rk
+                 WHERE rn = ceil(cnt / 2.0)),
+         p95 AS (SELECT event_type, u AS p95_users FROM rk
+                 WHERE rn = ceil(cnt * 19 / 20.0)),
+         mx AS (SELECT event_type, count(*)::BIGINT AS n_hours,
+                  max(u)::BIGINT AS max_users
+                FROM hc GROUP BY 1)
+         SELECT mx.event_type, mx.n_hours, p50.p50_users,
+           p95.p95_users, mx.max_users,
+           CAST(round(p95.p95_users::DOUBLE / p50.p50_users * 1e3)
+             AS BIGINT) AS burst_ratio_milli
+         FROM mx JOIN p50 USING (event_type)
+         JOIN p95 USING (event_type)""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -1075,6 +1075,68 @@ object Events {
       )
   }
 
+  /** q345: hourly concurrency percentiles — per event type, the
+    * exact p50/p95/max of DISTINCT active users per observed hour.
+    * Events-per-hour (q254's series) sizes throughput; distinct
+    * users sizes per-user session state (q121/q123's stores scale
+    * with concurrent keys, not events) — and the p95:p50 ratio is
+    * the burstiness a provisioner pads for. Percentiles are exact
+    * rank statistics over the bounded hourly frame (value at rank
+    * ⌈p·n⌉, the q197 convention).
+    *
+    * Scale: one (type, hour, user) distinct pass → (type, hour)
+    * counts (bounded by hours) → per-type rank windows on the
+    * bounded frame.
+    */
+  def concurrencyPercentiles(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val hourly = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("h"),
+        col("user_id")
+      )
+      .distinct()
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("u"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("u").asc, col("h").asc)
+    val ranked = hourly
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn(
+        "cnt",
+        count(lit(1)).over(Window.partitionBy(col("event_type")))
+      )
+    val p50 = ranked
+      .filter(col("rn") === ceil(col("cnt") / 2))
+      .select(col("event_type"), col("u").as("p50_users"))
+    val p95 = ranked
+      .filter(col("rn") === ceil(col("cnt") * 19 / 20))
+      .select(col("event_type"), col("u").as("p95_users"))
+    val mx = hourly
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_hours"),
+        max(col("u")).as("max_users")
+      )
+    mx.join(broadcast(p50), "event_type")
+      .join(broadcast(p95), "event_type")
+      .select(
+        col("event_type"),
+        col("n_hours"),
+        col("p50_users"),
+        col("p95_users"),
+        col("max_users"),
+        round(
+          col("p95_users").cast("double") / col("p50_users") * 1e3
+        ).cast("long").as("burst_ratio_milli")
+      )
+  }
+
   /** q237: exponentially-decayed event counts — per event type and
     * half-life (1 h, 6 h, 24 h), the decay-weighted count
     * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest

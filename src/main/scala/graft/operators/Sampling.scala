@@ -2308,6 +2308,105 @@ object Sampling {
       )
   }
 
+  /** q343: holdout representativeness — per source, the q310
+    * holdout's mean quality vs the remaining training mass, with the
+    * two-sample z on the exact integer-pivot variances. A holdout
+    * that drifts from its train distribution measures the wrong
+    * thing (the coverage floor guarantees cell PRESENCE, not
+    * representativeness — this audits the part the floor can't).
+    * Hash selection should pass everywhere; a failure here means
+    * the source's quality correlates with the selection hash's
+    * input ordering — a generator bug worth catching.
+    *
+    * Scale: the q310 rank selection + two moment aggregates.
+    */
+  def holdoutRepresentativeness(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val held = coverageHoldoutFlags(spark, dir)
+    val scored = held
+      .join(
+        TextAnalysis.qualityScoresFrom(docs)
+          .select(
+            col("doc_id"),
+            round(col("quality") * 1e6).cast("long").as("qm")
+          ),
+        "doc_id"
+      )
+    val agg = scored
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("held_out"), 1L).otherwise(0L)).as("n_h"),
+        sum(when(col("held_out"), col("qm")).otherwise(0L)).as("s_h"),
+        sum(when(col("held_out"), col("qm") * col("qm")).otherwise(0L))
+          .as("s2_h"),
+        sum(when(!col("held_out"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(!col("held_out"), col("qm")).otherwise(0L)).as("s_t"),
+        sum(when(!col("held_out"), col("qm") * col("qm"))
+          .otherwise(0L)).as("s2_t")
+      )
+      .filter(col("n_h") > 1 && col("n_t") > 1)
+    val mh = col("s_h").cast("double") / col("n_h")
+    val mt = col("s_t").cast("double") / col("n_t")
+    val vh = col("s2_h").cast("double") / col("n_h") - mh * mh
+    val vt = col("s2_t").cast("double") / col("n_t") - mt * mt
+    val se = sqrt(vh / col("n_h") + vt / col("n_t"))
+    val z = when(se === 0.0, lit(0.0)).otherwise((mh - mt) / se)
+    agg.select(
+      col("source"),
+      col("n_h"),
+      col("n_t"),
+      round(mh).cast("long").as("holdout_micro"),
+      round(mt).cast("long").as("train_micro"),
+      round(z * 1e3).cast("long").as("z_milli"),
+      coalesce(abs(z) > 3.0, lit(false)).as("unrepresentative")
+    )
+  }
+
+  /** The q310 selection as per-doc flags — shared by the holdout
+    * audit (q343) so the two queries can never disagree on
+    * membership.
+    */
+  private[operators] def coverageHoldoutFlags(
+      spark: SparkSession,
+      dir: String,
+      frac: Double = 0.05,
+      minK: Long = 5L
+  ): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("lang"),
+        graft.functions.TextFunctions.hash60(col("doc_id")).as("h")
+      )
+    val cellN = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_cell"))
+      .withColumn(
+        "k_target",
+        least(
+          col("n_cell"),
+          greatest(lit(minK), round(col("n_cell") * frac).cast("long"))
+        )
+      )
+    val w = Window
+      .partitionBy(col("source"), col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs
+      .join(broadcast(cellN), Seq("source", "lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("lang"),
+        (col("rk") <= col("k_target")).as("held_out")
+      )
+  }
+
   /** q333: storage-order autocorrelation of quality — the ACF of
     * the quality score over doc_id order at lags 1/10/100. A
     * shuffled corpus shows ≈0 at every lag; structure here means

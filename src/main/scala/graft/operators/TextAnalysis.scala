@@ -3863,6 +3863,47 @@ object TextAnalysis {
     )
   }
 
+  /** q344: gate pass-rate curves by length magnitude — for each
+    * gate and each ten-token length bucket (0-9, 10-19, ... 90+),
+    * the pass rate. q288's MI says WHETHER a gate is a length
+    * proxy; this draws the CURVE — the shape (cliff vs ramp vs
+    * U) tells which rule inside the gate binds where, and a
+    * non-monotone ppl/lr curve is the signature of a length
+    * confounder in the trained model's features. Exact counts, one
+    * division per cell.
+    *
+    * Scale: the shared gate-flag frame + one bounded
+    * (gate × digits) agg.
+    */
+  def gatePassCurves(spark: SparkSession, dir: String): DataFrame = {
+    val strata = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        least(
+          floor(
+            size(tokens(col("text"))).cast("long") / lit(10.0)
+          ).cast("long"),
+          lit(9L)
+        ).as("len_bucket")
+      )
+    gateFlags(spark, dir)
+      .join(strata, "doc_id")
+      .groupBy(col("gate"), col("len_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("f"), 1L).otherwise(0L)).as("n_pass")
+      )
+      .select(
+        col("gate"),
+        col("len_bucket"),
+        col("n"),
+        col("n_pass"),
+        round(col("n_pass").cast("double") / col("n") * 1e6)
+          .cast("long").as("pass_ppm")
+      )
+  }
+
   /** q340: gate pass-rate drift — each gate's pass rate on the first
     * vs second half of the corpus (doc_id midpoint, the q325 split)
     * with the pooled two-proportion z. A gate whose rate moves
