@@ -2167,7 +2167,12 @@ object Dedup {
       nodes,
       ed.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     )
-    // five unrolled peel rounds: alive := {n : deg_alive(n) >= 2}
+    // five unrolled peel rounds: alive := {n : deg_alive(n) >= 2}.
+    // Each round references the previous round's frame TWICE (both
+    // join sides) — without materialization the plan tree doubles
+    // per round (2^5 copies of the pair generator; measured 21 s at
+    // sf0.1). Caching each round's survivor set keeps the plan
+    // linear in rounds.
     var alive = nodes.select(col("id").as("n"))
     for (_ <- 1 to 5) {
       val ealive = sym
@@ -2178,6 +2183,7 @@ object Dedup {
         .agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2)
         .select(col("a").as("n"))
+        .cacheTracked()
     }
     val core = alive.select(col("n").as("id"), lit(1L).as("in_core"))
     labels
