@@ -904,6 +904,12 @@ object SparkEntry {
     "q344_gate_curves" -> (TextAnalysis.gatePassCurves _),
     // Exact p50/p95/max distinct users per hour per type.
     "q345_concurrency" -> (Events.concurrencyPercentiles _),
+    // IDF-weighted Jaccard with verdict flips at the 0.5 cut.
+    "q346_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(s, d)),
+    // Reduction ratio vs pair completeness for three blockers.
+    "q347_blocking_quality" -> ((s, d) => Dedup.blockingQuality(s, d)),
+    // Exact-dup mass exposed per normalization stage.
+    "q348_normalization_lift" -> ((s, d) => Dedup.normalizationLift(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9462,6 +9468,146 @@ object SparkEntry {
              AS BIGINT) AS burst_ratio_milli
          FROM mx JOIN p50 USING (event_type)
          JOIN p95 USING (event_type)""",
+    // q346: nano-quantized ln(N/df) weights, weighted inversion
+    // sums, the same 0.05 emission and 0.5 flip predicates.
+    "q346_weighted_jaccard" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         nd AS (SELECT count(*)::BIGINT AS nd FROM d
+                WHERE len(sh) > 0),
+         df AS (SELECT s, count(*)::BIGINT AS df FROM e GROUP BY 1),
+         w AS (SELECT s,
+                 CAST(round(ln(nd.nd::DOUBLE / df) * 1e9) AS BIGINT)
+                   AS w_nano
+               FROM df, nd),
+         ew AS (SELECT e.doc_id, e.s, w.w_nano FROM e JOIN w USING (s)),
+         dw AS (SELECT doc_id, sum(w_nano)::BIGINT AS w_doc,
+                  count(*)::BIGINT AS n_sh
+                FROM ew GROUP BY 1),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  sum(a.w_nano)::BIGINT AS inter_w,
+                  count(*)::BIGINT AS inter
+                FROM ew a JOIN ew b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         j AS (SELECT pr.doc_a, pr.doc_b,
+                 round(pr.inter::DOUBLE
+                   / (da.n_sh + db.n_sh - pr.inter), 6) AS jaccard,
+                 round(pr.inter_w::DOUBLE
+                   / (da.w_doc + db.w_doc - pr.inter_w), 6)
+                   AS wjaccard
+               FROM pr
+               JOIN dw da ON pr.doc_a = da.doc_id
+               JOIN dw db ON pr.doc_b = db.doc_id)
+         SELECT doc_a, doc_b, jaccard, wjaccard,
+           (jaccard >= 0.5) <> (wjaccard >= 0.5) AS flipped
+         FROM j WHERE jaccard >= 0.05 OR wjaccard >= 0.05""",
+    // q347: three candidate generators vs the exact truth; analytic
+    // n(n-1)/2 pair space; q22's band chain reused for the second.
+    "q347_blocking_quality" ->
+      s"""WITH $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         truth AS (SELECT doc_a, doc_b FROM pr
+                   WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                     >= 0.5),
+         nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+         nd AS (SELECT count(*)::BIGINT AS nd FROM documents),
+         t0 AS (SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS toks
+               FROM documents),
+         ft AS (SELECT doc_id, toks[1] AS k FROM t0
+                WHERE len(toks) >= 1),
+         ftp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM ft a JOIN ft b
+                   ON a.k = b.k AND a.doc_id < b.doc_id),
+         m AS (SELECT doc_id,
+                 list_transform(range(8), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT))) AS mh
+               FROM d WHERE len(sh) > 0),
+         bd AS (SELECT doc_id, t.j,
+                  mh[t.j*2+1] || '_' || mh[t.j*2+2] AS bval
+                FROM m, range(4) t(j)),
+         mhp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bd a JOIN bd b
+                   ON a.j = b.j AND a.bval = b.bval
+                     AND a.doc_id < b.doc_id),
+         lb AS (SELECT doc_id,
+                 least(CAST(floor(len(toks) / 10.0) AS BIGINT), 9)
+                   AS k
+               FROM t0),
+         lbp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM lb a JOIN lb b
+                   ON a.k = b.k AND a.doc_id < b.doc_id),
+         raw AS (
+           SELECT 'first_token' AS scheme,
+             (SELECT count(*) FROM ftp)::BIGINT AS n_candidates,
+             (SELECT count(*) FROM ftp JOIN truth
+                USING (doc_a, doc_b))::BIGINT AS n_covered
+           UNION ALL
+           SELECT 'minhash_bands',
+             (SELECT count(*) FROM mhp)::BIGINT,
+             (SELECT count(*) FROM mhp JOIN truth
+                USING (doc_a, doc_b))::BIGINT
+           UNION ALL
+           SELECT 'length_bucket',
+             (SELECT count(*) FROM lbp)::BIGINT,
+             (SELECT count(*) FROM lbp JOIN truth
+                USING (doc_a, doc_b))::BIGINT)
+         SELECT scheme, n_candidates, nt.n_true, n_covered,
+           CAST(round((1.0 - n_candidates::DOUBLE * 2
+             / (nd.nd::DOUBLE * (nd.nd - 1))) * 1e6) AS BIGINT)
+             AS reduction_ppm,
+           CASE WHEN nt.n_true = 0 THEN 0
+                ELSE CAST(round(n_covered::DOUBLE / nt.n_true * 1e6)
+                  AS BIGINT)
+           END AS completeness_ppm
+         FROM raw, nt, nd""",
+    // q348: four cumulative hash projections, exact distinct/dup
+    // counts per stage.
+    "q348_normalization_lift" ->
+      """WITH s0 AS (SELECT md5(text) AS h FROM documents),
+         s1 AS (SELECT md5(lower(text)) AS h FROM documents),
+         s2 AS (SELECT md5(regexp_replace(trim(lower(text)),
+                  '\s+', ' ', 'g')) AS h FROM documents),
+         s3 AS (SELECT md5(regexp_replace(regexp_replace(
+                  trim(lower(text)), '\s+', ' ', 'g'),
+                  '[.,!?;:]', '', 'g')) AS h FROM documents),
+         a0 AS (SELECT '0_raw' AS stage, count(*)::BIGINT AS n_distinct,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT
+                    AS docs_in_dups,
+                  sum(c)::BIGINT AS n_docs
+                FROM (SELECT h, count(*)::BIGINT AS c FROM s0
+                      GROUP BY 1)),
+         a1 AS (SELECT '1_lower', count(*)::BIGINT,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT,
+                  sum(c)::BIGINT
+                FROM (SELECT h, count(*)::BIGINT AS c FROM s1
+                      GROUP BY 1)),
+         a2 AS (SELECT '2_whitespace', count(*)::BIGINT,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT,
+                  sum(c)::BIGINT
+                FROM (SELECT h, count(*)::BIGINT AS c FROM s2
+                      GROUP BY 1)),
+         a3 AS (SELECT '3_punct', count(*)::BIGINT,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT,
+                  sum(c)::BIGINT
+                FROM (SELECT h, count(*)::BIGINT AS c FROM s3
+                      GROUP BY 1)),
+         u AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1
+               UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+         SELECT stage, n_distinct, docs_in_dups,
+           CAST(round(docs_in_dups::DOUBLE / n_docs * 1e6) AS BIGINT)
+             AS dup_ppm
+         FROM u""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

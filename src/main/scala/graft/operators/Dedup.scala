@@ -2307,6 +2307,221 @@ object Dedup {
       )
   }
 
+  /** q346: IDF-weighted Jaccard — the q21 pair set rescored with
+    * each shingle worth ln(N/df): shared BOILERPLATE shingles
+    * (template headers, common phrases) stop inflating similarity,
+    * and rare-content overlap dominates. Emitted per candidate pair
+    * next to the unweighted score with the verdict flip at the 0.5
+    * cut — flipped pairs are exactly where template-heavy corpora
+    * over- or under-merge under plain Jaccard. Weights are
+    * nano-quantized per shingle (exact BIGINT pair sums); the
+    * topology is the same collision-linear inversion with weighted
+    * instead of unit counts.
+    *
+    * Scale: one df aggregate (vocab-sized, joined into the
+    * inversion), the q21 pair join carrying weighted partial sums.
+    */
+  def weightedJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(spark, dir)
+    val e = d
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val nDocs = broadcast(d.agg(count(lit(1)).as("nd")))
+    val df = e
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .select(
+        col("s"),
+        round(log(col("nd").cast("double") / col("df")) * 1e9)
+          .cast("long").as("w_nano")
+      )
+    val ew = e.join(df, "s").cacheTracked()
+    val docW = ew
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_nano")).as("w_doc"), count(lit(1)).as("n_sh"))
+    val inter = ew
+      .select(col("doc_id").as("doc_a"), col("s"), col("w_nano"))
+      .join(
+        ew.select(col("doc_id").as("doc_b"), col("s")),
+        Seq("s")
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        sum(col("w_nano")).as("inter_w"),
+        count(lit(1)).as("inter")
+      )
+    inter
+      .join(
+        docW.select(col("doc_id").as("doc_a"), col("w_doc").as("wa"),
+          col("n_sh").as("n_a")),
+        "doc_a"
+      )
+      .join(
+        docW.select(col("doc_id").as("doc_b"), col("w_doc").as("wb"),
+          col("n_sh").as("n_b")),
+        "doc_b"
+      )
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        ).as("jaccard"),
+        round(
+          col("inter_w").cast("double") /
+            (col("wa") + col("wb") - col("inter_w")),
+          6
+        ).as("wjaccard")
+      )
+      .filter(col("jaccard") >= 0.05 || col("wjaccard") >= 0.05)
+      .withColumn(
+        "flipped",
+        (col("jaccard") >= 0.5) =!= (col("wjaccard") >= 0.5)
+      )
+  }
+
+  /** q347: blocking-scheme quality — the two textbook record-linkage
+    * gauges for three candidate generators the engine ships
+    * (first-token block, MinHash bands, ten-token length bucket):
+    * REDUCTION RATIO (1 − candidates/allPairs — how much of the n²
+    * the scheme avoids) and PAIR COMPLETENESS (the fraction of true
+    * J ≥ 0.5 pairs the scheme's candidates cover). The ER-planning
+    * table: a scheme is viable only in the top-right corner, and the
+    * exact frontier depends on the corpus — measured here, not
+    * assumed. All counts exact; allPairs = n(n−1)/2 analytic.
+    *
+    * Scale: each scheme is collision-linear candidate generation;
+    * truth rides the audited inversion; three bounded summary rows.
+    */
+  def blockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = docShingles(spark, dir).cacheTracked()
+    val truth = ngramJaccardPairsFrom(d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .cacheTracked()
+    val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+    val docs = Tables.documents(spark, dir)
+    // the reduction-ratio denominator is the FULL corpus pair space
+    // (schemes may block docs the shingle set excludes)
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("nd")))
+    def summarize(name: String, cand: DataFrame): DataFrame = {
+      val c = cand.distinct().cacheTracked()
+      broadcast(c.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(broadcast(
+          c.join(truth, Seq("doc_a", "doc_b"))
+            .agg(count(lit(1)).as("n_covered"))
+        ))
+        .crossJoin(nTrue)
+        .crossJoin(nDocs)
+        .select(
+          lit(name).as("scheme"),
+          col("n_candidates"),
+          col("n_true"),
+          col("n_covered"),
+          round(
+            (lit(1.0) - col("n_candidates").cast("double") * 2 /
+              (col("nd").cast("double") * (col("nd") - 1))) * 1e6
+          ).cast("long").as("reduction_ppm"),
+          when(col("n_true") === 0L, lit(0L))
+            .otherwise(
+              round(
+                col("n_covered").cast("double") / col("n_true") * 1e6
+              ).cast("long")
+            ).as("completeness_ppm")
+        )
+    }
+    // scheme 1: first-token blocking
+    val ft = docs
+      .select(
+        col("doc_id"),
+        element_at(graft.functions.TextFunctions.tokens(col("text")), 1)
+          .as("k")
+      )
+      .filter(col("k").isNotNull)
+    val ftPairs = ft
+      .select(col("k"), col("doc_id").as("doc_a"))
+      .join(ft.select(col("k"), col("doc_id").as("doc_b")), Seq("k"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    // scheme 2: the q22 MinHash bands
+    val mhPairs = minhashLshPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    // scheme 3: ten-token length bucket
+    val lb = docs
+      .select(
+        col("doc_id"),
+        least(
+          floor(
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long") / lit(10.0)
+          ).cast("long"),
+          lit(9L)
+        ).as("k")
+      )
+    val lbPairs = lb
+      .select(col("k"), col("doc_id").as("doc_a"))
+      .join(lb.select(col("k"), col("doc_id").as("doc_b")), Seq("k"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    summarize("first_token", ftPairs)
+      .unionByName(summarize("minhash_bands", mhPairs))
+      .unionByName(summarize("length_bucket", lbPairs))
+  }
+
+  /** q348: normalization lift — how much MORE exact-duplicate mass
+    * each text-normalization stage exposes: raw md5, lowercase,
+    * + whitespace collapse, + punctuation strip. Per stage: distinct
+    * texts, docs in duplicate groups, and the LIFT over the previous
+    * stage — the cleaning-pipeline decision table for which
+    * normalizations are worth running before exact dedup at 100 TB
+    * (a stage with zero lift is a wasted pass). Exact integer
+    * counts; stages are cumulative by construction.
+    *
+    * Scale: one scan × 4 hash projections, four group-by-hash
+    * aggregates (map-side), a 4-row summary.
+    */
+  def normalizationLift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val raw = col("text")
+    val lowered = lower(col("text"))
+    val ws = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val punct = regexp_replace(
+      regexp_replace(trim(lower(col("text"))), "\\s+", " "),
+      "[.,!?;:]",
+      ""
+    )
+    val stages = Seq(
+      ("0_raw", raw),
+      ("1_lower", lowered),
+      ("2_whitespace", ws),
+      ("3_punct", punct)
+    )
+    stages
+      .map { case (name, expr0) =>
+        docs
+          .groupBy(md5(expr0).as("h"))
+          .agg(count(lit(1)).as("c"))
+          .agg(
+            count(lit(1)).as("n_distinct"),
+            sum(when(col("c") > 1, col("c")).otherwise(0L))
+              .as("docs_in_dups"),
+            sum(col("c")).as("n_docs")
+          )
+          .select(
+            lit(name).as("stage"),
+            col("n_distinct"),
+            col("docs_in_dups"),
+            round(
+              col("docs_in_dups").cast("double") / col("n_docs") * 1e6
+            ).cast("long").as("dup_ppm")
+          )
+      }
+      .reduce(_.unionByName(_))
+  }
+
   /** q334: LSH cost attribution — the q22 band join's candidate
     * pairs rolled up by (source_a, source_b): which source pairs
     * generate the verification work. Dedup cost at 100 TB is
