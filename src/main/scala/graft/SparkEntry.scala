@@ -910,6 +910,12 @@ object SparkEntry {
     "q347_blocking_quality" -> ((s, d) => Dedup.blockingQuality(s, d)),
     // Exact-dup mass exposed per normalization stage.
     "q348_normalization_lift" -> ((s, d) => Dedup.normalizationLift(s, d)),
+    // Tokens removed by keep-the-best dedup, per source.
+    "q349_dedup_savings" -> ((s, d) => Dedup.dedupTokenSavings(s, d)),
+    // Top-5 three-step event paths per starting type.
+    "q350_event_paths" -> (Events.eventPaths _),
+    // Rule-based lang-vs-script mislabel rate per language.
+    "q351_script_consistency" -> (TextAnalysis.scriptLangConsistency _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9608,6 +9614,76 @@ object SparkEntry {
            CAST(round(docs_in_dups::DOUBLE / n_docs * 1e6) AS BIGINT)
              AS dup_ppm
          FROM u""",
+    // q349: the canonical chain's survivor rank; removed = rn > 1;
+    // token ledger per source with the zero guard.
+    "q349_dedup_savings" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         rem AS (SELECT doc_id FROM surv WHERE rn > 1),
+         tk AS (SELECT doc_id, source,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END)::BIGINT AS tk
+               FROM documents),
+         j AS (SELECT tk.source, tk.tk,
+                 rem.doc_id IS NOT NULL AS removed
+               FROM tk LEFT JOIN rem USING (doc_id))
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN removed THEN 1 ELSE 0 END)::BIGINT
+             AS docs_removed,
+           sum(CASE WHEN removed THEN tk ELSE 0 END)::BIGINT
+             AS tokens_removed,
+           CAST(round(sum(CASE WHEN removed THEN tk ELSE 0
+             END)::DOUBLE / nullif(sum(tk), 0) * 1e6) AS BIGINT)
+             AS removed_ppm
+         FROM j GROUP BY 1""",
+    // q350: two lags on the q262 window, bounded trigram cells,
+    // top-5 per start with the lexicographic tiebreak.
+    "q350_event_paths" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts) AS us
+               FROM events),
+         t AS (SELECT event_type, us,
+                 lag(event_type, 1) OVER w AS p1,
+                 lag(event_type, 2) OVER w AS p2
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY us, event_id)),
+         tri AS (SELECT p2 AS step1, p1 AS step2,
+                  event_type AS step3, count(*)::BIGINT AS n
+                FROM t WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+         tt AS (SELECT step1, sum(n)::BIGINT AS start_total
+                FROM tri GROUP BY 1),
+         rk AS (SELECT tri.*, row_number() OVER
+                  (PARTITION BY step1
+                   ORDER BY n DESC, step2 ASC, step3 ASC)::BIGINT
+                  AS rk
+                FROM tri)
+         SELECT rk.step1, rk.rk, rk.step2, rk.step3, rk.n,
+           CAST(round(rk.n::DOUBLE / tt.start_total * 1e6) AS BIGINT)
+             AS share_ppm
+         FROM rk JOIN tt USING (step1) WHERE rk.rk <= 5""",
+    // q351: the q313 length-difference counts, the zh->CJK rule,
+    // the strict-majority inconsistency predicate.
+    "q351_script_consistency" ->
+      """WITH c AS (SELECT lang,
+             (length(text) - length(regexp_replace(text,
+               '[\x{4E00}-\x{9FFF}]', '', 'g')))::BIGINT AS cjk_n,
+             (length(text) - length(regexp_replace(text,
+               '[A-Za-z]', '', 'g')))::BIGINT AS lat_n
+           FROM documents),
+         p AS (SELECT lang, cjk_n + lat_n AS letters,
+                 CASE WHEN lang = 'zh' THEN cjk_n ELSE lat_n END
+                   AS expected
+               FROM c),
+         f AS (SELECT lang,
+                 expected * 2 < letters AS inconsistent
+               FROM p WHERE letters > 0)
+         SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN inconsistent THEN 1 ELSE 0 END)::BIGINT
+             AS n_inconsistent,
+           CAST(round(sum(CASE WHEN inconsistent THEN 1 ELSE 0
+             END)::DOUBLE / count(*) * 1e6) AS BIGINT)
+             AS inconsistent_ppm
+         FROM f GROUP BY 1""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

@@ -2307,6 +2307,77 @@ object Dedup {
       )
   }
 
+  /** q349: dedup token savings per source — the tokens the q78
+    * keep-the-best policy REMOVES, attributed to the source of each
+    * removed document: removed docs, removed tokens, and the share
+    * of the source's token mass that was duplicate weight. This is
+    * q341's value audit turned into the budget ledger (q328's stage
+    * view aggregates globally; budgets are negotiated per source),
+    * and a source whose removed share dwarfs its peers is the
+    * re-crawl to fix first. Exact integer sums off the audited
+    * closure and the q78 survivor rule.
+    *
+    * Scale: the cached cluster labels + one quality join for the
+    * argmax + one token scan; |sources|-row rollup.
+    */
+  def dedupTokenSavings(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = TextAnalysis
+      .qualityScores(spark, dir)
+      .select(
+        col("doc_id"),
+        round(col("quality"), 6).as("q")
+      )
+    val keep = labels
+      .join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select((-col("best.nid")).as("keep_doc"))
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("tk")
+      )
+    val removed = labels
+      .join(
+        broadcast(keep.select(col("keep_doc").as("doc_id"),
+          lit(true).as("kept"))),
+        Seq("doc_id"),
+        "left"
+      )
+      .filter(col("kept").isNull)
+      .select(col("doc_id"))
+    docs
+      .join(
+        removed.select(col("doc_id"), lit(true).as("removed")),
+        Seq("doc_id"),
+        "left"
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("n_tokens"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("docs_removed"),
+        sum(when(col("removed"), col("tk")).otherwise(0L))
+          .as("tokens_removed")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("docs_removed"),
+        col("tokens_removed"),
+        round(
+          col("tokens_removed").cast("double") /
+            nullif(col("n_tokens"), lit(0L)) * 1e6
+        ).cast("long").as("removed_ppm")
+      )
+  }
+
   /** q346: IDF-weighted Jaccard — the q21 pair set rescored with
     * each shingle worth ln(N/df): shared BOILERPLATE shingles
     * (template headers, common phrases) stop inflating similarity,

@@ -1137,6 +1137,59 @@ object Events {
       )
   }
 
+  /** q350: common event paths — the top-5 three-step type sequences
+    * per starting type, from per-user event streams (event-time
+    * order, event_id tiebreak). q262's matrix is the one-step view;
+    * paths of three expose the flows product analytics actually
+    * names (view→click→purchase vs view→click→view), and the top-k
+    * per start keeps the output bounded at |types|·5. Exact counts;
+    * rank ties broken lexicographically.
+    *
+    * Scale: two lag columns on one per-user window (bounded), one
+    * trigram agg (≤ |types|³ cells), a bounded rank window.
+    */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val tri = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .filter(col("p2").isNotNull)
+      .groupBy(
+        col("p2").as("step1"),
+        col("p1").as("step2"),
+        col("event_type").as("step3")
+      )
+      .agg(count(lit(1)).as("n"))
+    val tot = tri
+      .groupBy(col("step1"))
+      .agg(sum(col("n")).as("start_total"))
+    val wr = Window
+      .partitionBy(col("step1"))
+      .orderBy(col("n").desc, col("step2").asc, col("step3").asc)
+    tri
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= 5)
+      .join(broadcast(tot), "step1")
+      .select(
+        col("step1"),
+        col("rk"),
+        col("step2"),
+        col("step3"),
+        col("n"),
+        round(col("n").cast("double") / col("start_total") * 1e6)
+          .cast("long").as("share_ppm")
+      )
+  }
+
   /** q237: exponentially-decayed event counts — per event type and
     * half-life (1 h, 6 h, 24 h), the decay-weighted count
     * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest

@@ -4049,6 +4049,57 @@ object TextAnalysis {
       )
   }
 
+  /** q351: script-lang consistency — the RULE-based mislabel
+    * detector next to q294's model-based one: each lang tag expects
+    * a script (zh → CJK, everything else here → Latin), and a doc
+    * whose expected-script character share falls below 50% of its
+    * letter mass is inconsistent. Per (lang): docs checked,
+    * inconsistent count and ppm. q294 flags what a trained model
+    * doubts; this flags what a one-line invariant PROVES wrong —
+    * cheap enough to run in ingest, before any model exists. Exact
+    * counts via the q313 length-difference technique.
+    *
+    * Scale: one narrow scan with two regexp passes, a |langs|-row
+    * agg.
+    */
+  def scriptLangConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val cjk = "[\\u4E00-\\u9FFF]"
+    val latin = "[A-Za-z]"
+    val cjkN = (length(col("text")) -
+      length(regexp_replace(col("text"), cjk, ""))).cast("long")
+    val latN = (length(col("text")) -
+      length(regexp_replace(col("text"), latin, ""))).cast("long")
+    val expected = when(col("lang") === "zh", cjkN).otherwise(latN)
+    val letters = cjkN + latN
+    val perDoc = Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        letters.as("letters"),
+        expected.as("expected")
+      )
+      .filter(col("letters") > 0)
+      .select(
+        col("lang"),
+        (col("expected") * 2 < col("letters")).as("inconsistent")
+      )
+    perDoc
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("inconsistent"), 1L).otherwise(0L))
+          .as("n_inconsistent")
+      )
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("n_inconsistent"),
+        round(
+          col("n_inconsistent").cast("double") / col("n_docs") * 1e6
+        ).cast("long").as("inconsistent_ppm")
+      )
+  }
+
   /** q313's script classes as (name, java-regex, re2-regex) — the
     * char-class RANGES are identical; only the escape syntax differs
     * between Spark's Java regex and DuckDB's RE2, so both columns
