@@ -916,6 +916,12 @@ object SparkEntry {
     "q350_event_paths" -> (Events.eventPaths _),
     // Rule-based lang-vs-script mislabel rate per language.
     "q351_script_consistency" -> (TextAnalysis.scriptLangConsistency _),
+    // Consecutive-doc_id source runs: clumping in storage order.
+    "q352_source_runs" -> (Sampling.sourceRunLengths _),
+    // Exact p50/p95 dwell seconds per transition pair.
+    "q353_transition_dwell" -> (Events.transitionDwell _),
+    // Exact short-circuit cost of all 24 gate orderings.
+    "q354_gate_ordering" -> (TextAnalysis.gateOrderingPlan _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9684,6 +9690,106 @@ object SparkEntry {
              END)::DOUBLE / count(*) * 1e6) AS BIGINT)
              AS inconsistent_ppm
          FROM f GROUP BY 1""",
+    // q352: the shifted doc_id-1 self-join, run-start predicate,
+    // exact run counts.
+    "q352_source_runs" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+         wp AS (SELECT d.doc_id, d.source, p.source AS prev_source
+                FROM d LEFT JOIN d p ON p.doc_id = d.doc_id - 1)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN prev_source IS NULL
+                 OR prev_source <> source THEN 1 ELSE 0 END)::BIGINT
+             AS n_runs,
+           CAST(round(count(*)::DOUBLE
+             / sum(CASE WHEN prev_source IS NULL
+                 OR prev_source <> source THEN 1 ELSE 0 END) * 1e3)
+             AS BIGINT) AS mean_run_milli
+         FROM wp GROUP BY 1""",
+    // q353: second-quantized gaps, value-domain cumsums per pair,
+    // the exact integer percentile predicates.
+    "q353_transition_dwell" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts) AS us
+               FROM events),
+         t AS (SELECT event_type, us,
+                 lag(event_type) OVER w AS prev_type,
+                 lag(us) OVER w AS prev_us
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY us, event_id)),
+         tr AS (SELECT prev_type AS from_type,
+                  event_type AS to_type,
+                  (us - prev_us) // 1000000 AS gap_s
+                FROM t WHERE prev_type IS NOT NULL),
+         c AS (SELECT from_type, to_type, gap_s,
+                 count(*)::BIGINT AS c
+               FROM tr GROUP BY 1, 2, 3),
+         cu AS (SELECT from_type, to_type, gap_s, c,
+                 sum(c) OVER (PARTITION BY from_type, to_type
+                   ORDER BY gap_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cumc,
+                 sum(c) OVER (PARTITION BY from_type, to_type
+                   )::BIGINT AS n
+               FROM c),
+         p50 AS (SELECT from_type, to_type,
+                  min(gap_s)::BIGINT AS p50_gap_s
+                FROM cu WHERE cumc * 2 >= n GROUP BY 1, 2),
+         p95 AS (SELECT from_type, to_type,
+                  min(gap_s)::BIGINT AS p95_gap_s
+                FROM cu WHERE cumc * 20 >= n * 19 GROUP BY 1, 2),
+         nn AS (SELECT from_type, to_type, max(n)::BIGINT AS n
+                FROM cu GROUP BY 1, 2)
+         SELECT nn.from_type, nn.to_type, nn.n, p50.p50_gap_s,
+           p95.p95_gap_s
+         FROM nn JOIN p50 USING (from_type, to_type)
+         JOIN p95 USING (from_type, to_type)""",
+    // q354: the shared pattern counts, the same subset/order lattice
+    // rows as VALUES, exact short-circuit totals, 24-row rank.
+    "q354_gate_ordering" -> {
+      val subs = graft.operators.TextAnalysis.gateSubsetLattice
+        .map { case (m, ig, il, im, ip) => s"($m, $ig, $il, $im, $ip)" }
+        .mkString(", ")
+      val ords = graft.operators.TextAnalysis.gateOrderLattice
+        .map { case (n, m1, m2, m3) => s"('$n', $m1, $m2, $m3)" }
+        .mkString(", ")
+      s"""WITH $gateFlagsCtes,
+         wd AS (SELECT doc_id,
+                  max(CASE WHEN gate = 'gopher' THEN f END) AS fg,
+                  max(CASE WHEN gate = 'lr' THEN f END) AS fl2,
+                  max(CASE WHEN gate = 'ml' THEN f END) AS fm,
+                  max(CASE WHEN gate = 'ppl' THEN f END) AS fp
+                FROM fl GROUP BY 1),
+         wf AS (SELECT * FROM wd WHERE fg IS NOT NULL
+                  AND fl2 IS NOT NULL AND fm IS NOT NULL
+                  AND fp IS NOT NULL),
+         pat AS (SELECT fg, fl2, fm, fp, count(*)::BIGINT AS c
+                 FROM wf GROUP BY 1, 2, 3, 4),
+         subs AS (SELECT * FROM (VALUES $subs)
+                    v(mask, ig, il, im, ip)),
+         sc AS (SELECT subs.mask,
+                  sum(CASE WHEN (subs.ig = 0 OR pat.fg)
+                    AND (subs.il = 0 OR pat.fl2)
+                    AND (subs.im = 0 OR pat.fm)
+                    AND (subs.ip = 0 OR pat.fp)
+                    THEN pat.c ELSE 0 END)::BIGINT AS pass_c
+                FROM pat CROSS JOIN subs GROUP BY 1),
+         nt AS (SELECT sum(c)::BIGINT AS n FROM pat),
+         ords AS (SELECT * FROM (VALUES $ords)
+                    v(ordering, m1, m2, m3)),
+         tot AS (SELECT ords.ordering,
+                  (nt.n + s1.pass_c + s2.pass_c + s3.pass_c)::BIGINT
+                    AS total_evals
+                FROM ords
+                JOIN sc s1 ON s1.mask = ords.m1
+                JOIN sc s2 ON s2.mask = ords.m2
+                JOIN sc s3 ON s3.mask = ords.m3, nt)
+         SELECT ordering, total_evals,
+           row_number() OVER (ORDER BY total_evals, ordering)::BIGINT
+             AS rank,
+           row_number() OVER (ORDER BY total_evals, ordering) = 1
+             AS optimal
+         FROM tot"""
+    },
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

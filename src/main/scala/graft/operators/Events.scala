@@ -1190,6 +1190,76 @@ object Events {
       )
   }
 
+  /** q353: transition dwell-time percentiles — per (from, to) type
+    * pair, the exact p50/p95 of the gap seconds between the two
+    * events of each transition. q262 says WHICH transitions happen;
+    * this says HOW FAST (a view→purchase median of 30 s vs 2 h is a
+    * different product), and the p95 sets session-timeout and
+    * watermark bounds per edge. Percentiles are exact rank
+    * statistics over the QUANTIZED gap domain (second resolution —
+    * the value-domain cumsum, never a window over transition rows).
+    *
+    * Scale: the q262 lag window, one (pair, gap_s) count frame
+    * (bounded by distinct gaps), per-pair cumsums on that bounded
+    * frame.
+    */
+  def transitionDwell(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val tr = Tables
+      .events(spark, dir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("us")
+      )
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(
+        col("prev_type").as("from_type"),
+        col("event_type").as("to_type"),
+        expr("(us - prev_us) div 1000000").as("gap_s")
+      )
+    val counts = tr
+      .groupBy(col("from_type"), col("to_type"), col("gap_s"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window
+      .partitionBy(col("from_type"), col("to_type"))
+      .orderBy(col("gap_s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cumc", sum(col("c")).over(wc))
+      .withColumn(
+        "n",
+        sum(col("c")).over(
+          Window.partitionBy(col("from_type"), col("to_type"))
+        )
+      )
+    val p50 = cum
+      .filter(col("cumc") * 2 >= col("n"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(min(col("gap_s")).as("p50_gap_s"))
+    val p95 = cum
+      .filter(col("cumc") * 20 >= col("n") * 19)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(min(col("gap_s")).as("p95_gap_s"))
+    val nn = cum
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(max(col("n")).as("n"))
+    nn.join(p50, Seq("from_type", "to_type"))
+      .join(p95, Seq("from_type", "to_type"))
+      .select(
+        col("from_type"),
+        col("to_type"),
+        col("n"),
+        col("p50_gap_s"),
+        col("p95_gap_s")
+      )
+  }
+
   /** q237: exponentially-decayed event counts — per event type and
     * half-life (1 h, 6 h, 24 h), the decay-weighted count
     * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest

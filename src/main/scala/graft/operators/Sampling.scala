@@ -2407,6 +2407,50 @@ object Sampling {
       )
   }
 
+  /** q352: source run lengths in storage order — per source, how
+    * many consecutive-doc_id runs it forms and the mean run length.
+    * The categorical twin of q333's quality ACF: long runs mean
+    * sequential readers see one source for thousands of steps
+    * (gradient clumping), which q245's interleave exists to fix —
+    * this measures whether the RAW layout needs it. Run starts are
+    * detected by the shifted equi-join on doc_id − 1 (no global
+    * window); all counts exact.
+    *
+    * Scale: one co-partitioned self-join + a |sources|-row agg.
+    */
+  def sourceRunLengths(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val withPrev = d
+      .join(
+        d.select(
+          (col("doc_id") + 1).as("doc_id"),
+          col("source").as("prev_source")
+        ),
+        Seq("doc_id"),
+        "left"
+      )
+      .withColumn(
+        "run_start",
+        col("prev_source").isNull || col("prev_source") =!= col("source")
+      )
+    withPrev
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("run_start"), 1L).otherwise(0L)).as("n_runs")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_runs"),
+        round(
+          col("n_docs").cast("double") / col("n_runs") * 1e3
+        ).cast("long").as("mean_run_milli")
+      )
+  }
+
   /** q333: storage-order autocorrelation of quality — the ACF of
     * the quality score over doc_id order at lags 1/10/100. A
     * shuffled corpus shows ≈0 at every lag; structure here means

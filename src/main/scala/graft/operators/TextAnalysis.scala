@@ -4291,6 +4291,123 @@ object TextAnalysis {
       )
   }
 
+  /** q354's lattices, public so the oracle replays identical rows:
+    * every nonempty gate subset as a bitmask (gopher=1, lr=2, ml=4,
+    * ppl=8) with include flags, and every ordering of the four
+    * gates with its three proper prefix masks.
+    */
+  val gateSubsetLattice: Seq[(Int, Int, Int, Int, Int)] =
+    (1 until 16).map { m =>
+      (m, m & 1, (m >> 1) & 1, (m >> 2) & 1, (m >> 3) & 1)
+    }
+
+  val gateOrderLattice: Seq[(String, Int, Int, Int)] = {
+    val bits = Map("gopher" -> 1, "lr" -> 2, "ml" -> 4, "ppl" -> 8)
+    Seq("gopher", "lr", "ml", "ppl").permutations.toSeq.map { p =>
+      val m1 = bits(p(0))
+      val m2 = m1 | bits(p(1))
+      val m3 = m2 | bits(p(2))
+      (p.mkString(">"), m1, m2, m3)
+    }.sortBy(_._1)
+  }
+
+  /** q354: gate ordering plan — for each of the 24 evaluation orders
+    * of the four gates, the EXACT total number of gate evaluations a
+    * short-circuiting pipeline performs (docs entering stage k =
+    * docs passing the first k−1 gates), computed from the 16
+    * pass-pattern counts — no independence assumption. The cheapest
+    * order runs the most selective gate first ONLY if its kills
+    * aren't redundant with later gates (the q190/q300 overlap
+    * structure decides), so this is the table that turns those
+    * diagnostics into a pipeline layout, priced exactly.
+    *
+    * Scale: the shared pattern agg + constant 15- and 24-row
+    * lattice joins.
+    */
+  def gateOrderingPlan(spark: SparkSession, dir: String): DataFrame = {
+    val pat = gateFlags(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("gate") === "gopher", col("f"))).as("fg"),
+        max(when(col("gate") === "lr", col("f"))).as("fl"),
+        max(when(col("gate") === "ml", col("f"))).as("fm"),
+        max(when(col("gate") === "ppl", col("f"))).as("fp")
+      )
+      .filter(
+        col("fg").isNotNull && col("fl").isNotNull &&
+          col("fm").isNotNull && col("fp").isNotNull
+      )
+      .groupBy(col("fg"), col("fl"), col("fm"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+    val subsetsDf = broadcast(
+      spark
+        .range(1)
+        .select(
+          explode(
+            array(gateSubsetLattice.map { case (m, ig, il, im, ip) =>
+              struct(
+                lit(m).as("mask"),
+                lit(ig).as("ig"),
+                lit(il).as("il"),
+                lit(im).as("im"),
+                lit(ip).as("ip")
+              )
+            }: _*)
+          ).as("e")
+        )
+        .select(col("e.*"))
+    )
+    val passes = (col("ig") === 0 || col("fg")) &&
+      (col("il") === 0 || col("fl")) &&
+      (col("im") === 0 || col("fm")) &&
+      (col("ip") === 0 || col("fp"))
+    val subCounts = broadcast(
+      pat
+        .crossJoin(subsetsDf)
+        .groupBy(col("mask"))
+        .agg(sum(when(passes, col("c")).otherwise(0L)).as("pass_c"))
+    )
+    val nTot = broadcast(pat.agg(sum(col("c")).as("n")))
+    val ordersDf = spark
+      .range(1)
+      .select(
+        explode(
+          array(gateOrderLattice.map { case (name, m1, m2, m3) =>
+            struct(
+              lit(name).as("ordering"),
+              lit(m1).as("m1"),
+              lit(m2).as("m2"),
+              lit(m3).as("m3")
+            )
+          }: _*)
+        ).as("e")
+      )
+      .select(col("e.*"))
+    val joined = ordersDf
+      .join(
+        subCounts.select(col("mask").as("m1"), col("pass_c").as("p1")),
+        "m1"
+      )
+      .join(
+        subCounts.select(col("mask").as("m2"), col("pass_c").as("p2")),
+        "m2"
+      )
+      .join(
+        subCounts.select(col("mask").as("m3"), col("pass_c").as("p3")),
+        "m3"
+      )
+      .crossJoin(nTot)
+      .select(
+        col("ordering"),
+        (col("n") + col("p1") + col("p2") + col("p3"))
+          .as("total_evals")
+      )
+    val w = Window.orderBy(col("total_evals").asc, col("ordering").asc)
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("optimal", col("rank") === 1L)
+  }
+
   /** The (gate, include-flags, 24·weight) subset lattice behind
     * q300's exact Shapley computation — public so the DuckDB oracle
     * replays the IDENTICAL rows as a VALUES list. For each gate g
