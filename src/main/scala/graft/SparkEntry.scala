@@ -922,6 +922,12 @@ object SparkEntry {
     "q353_transition_dwell" -> (Events.transitionDwell _),
     // Exact short-circuit cost of all 24 gate orderings.
     "q354_gate_ordering" -> (TextAnalysis.gateOrderingPlan _),
+    // Mean event value in burst vs normal hours per type.
+    "q355_burst_value" -> (Events.burstValueImpact _),
+    // Exact five-point token-length summary per language.
+    "q356_length_five_point" -> (TextAnalysis.lengthFivePoint _),
+    // Exact five-point events-per-user summary per type.
+    "q357_user_five_point" -> (Events.userActivityFivePoint _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9790,6 +9796,92 @@ object SparkEntry {
              AS optimal
          FROM tot"""
     },
+    // q355: the q254 burst chain as a left-join verdict, exact
+    // micro-value sums on both sides of the flag.
+    "q355_burst_value" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, hour, n,
+                 count(*) OVER tw AS k, sum(n) OVER tw AS s,
+                 sum(n * n) OVER tw AS s2
+               FROM h WINDOW tw AS (PARTITION BY event_type
+                 ORDER BY hour ROWS BETWEEN 24 PRECEDING
+                 AND 1 PRECEDING)),
+         bu AS (SELECT event_type, epoch_us(hour)::BIGINT AS hour_us
+                FROM w
+                WHERE k >= 12
+                  AND (s2::DOUBLE - s::DOUBLE * s / k) / k > 0
+                  AND (n - s::DOUBLE / k)
+                    / sqrt((s2::DOUBLE - s::DOUBLE * s / k) / k)
+                    > 3.0),
+         ev AS (SELECT event_type,
+                  epoch_us(date_trunc('hour', ts))::BIGINT AS hour_us,
+                  CAST(round(value * 1e6) AS BIGINT) AS vm
+                FROM events),
+         j AS (SELECT ev.event_type, ev.vm,
+                 bu.hour_us IS NOT NULL AS in_burst
+               FROM ev LEFT JOIN bu USING (event_type, hour_us))
+         SELECT event_type, in_burst, count(*)::BIGINT AS n_events,
+           CAST(round(sum(vm)::DOUBLE / count(*)) AS BIGINT)
+             AS mean_value_micro
+         FROM j GROUP BY 1, 2""",
+    // q356: value-domain cumsums per lang, the exact integer
+    // percentile predicates, five columns.
+    "q356_length_five_point" ->
+      """WITH v AS (SELECT lang,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS k
+           FROM documents),
+         c AS (SELECT lang, k, count(*)::BIGINT AS c FROM v
+               GROUP BY 1, 2),
+         cu AS (SELECT lang, k, c,
+                 sum(c) OVER (PARTITION BY lang ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cumc,
+                 sum(c) OVER (PARTITION BY lang)::BIGINT AS n
+               FROM c),
+         p25 AS (SELECT lang, min(k)::BIGINT AS p25_toks FROM cu
+                 WHERE cumc * 4 >= n GROUP BY 1),
+         p50 AS (SELECT lang, min(k)::BIGINT AS p50_toks FROM cu
+                 WHERE cumc * 2 >= n GROUP BY 1),
+         p75 AS (SELECT lang, min(k)::BIGINT AS p75_toks FROM cu
+                 WHERE cumc * 4 >= n * 3 GROUP BY 1),
+         ex AS (SELECT lang, max(n)::BIGINT AS n_docs,
+                  min(k)::BIGINT AS min_toks,
+                  max(k)::BIGINT AS max_toks
+                FROM cu GROUP BY 1)
+         SELECT ex.lang, ex.n_docs, ex.min_toks, p25.p25_toks,
+           p50.p50_toks, p75.p75_toks, ex.max_toks
+         FROM ex JOIN p25 USING (lang) JOIN p50 USING (lang)
+         JOIN p75 USING (lang)""",
+    // q357: the same construction over events-per-user counts.
+    "q357_user_five_point" ->
+      """WITH pu AS (SELECT event_type, user_id,
+                 count(*)::BIGINT AS k
+               FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, k, count(*)::BIGINT AS c FROM pu
+               GROUP BY 1, 2),
+         cu AS (SELECT event_type, k, c,
+                 sum(c) OVER (PARTITION BY event_type ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cumc,
+                 sum(c) OVER (PARTITION BY event_type)::BIGINT AS n
+               FROM c),
+         p25 AS (SELECT event_type, min(k)::BIGINT AS p25_k FROM cu
+                 WHERE cumc * 4 >= n GROUP BY 1),
+         p50 AS (SELECT event_type, min(k)::BIGINT AS p50_k FROM cu
+                 WHERE cumc * 2 >= n GROUP BY 1),
+         p75 AS (SELECT event_type, min(k)::BIGINT AS p75_k FROM cu
+                 WHERE cumc * 4 >= n * 3 GROUP BY 1),
+         ex AS (SELECT event_type, max(n)::BIGINT AS n_users,
+                  min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+                FROM cu GROUP BY 1)
+         SELECT ex.event_type, ex.n_users, ex.min_k, p25.p25_k,
+           p50.p50_k, p75.p75_k, ex.max_k
+         FROM ex JOIN p25 USING (event_type)
+         JOIN p50 USING (event_type) JOIN p75 USING (event_type)""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

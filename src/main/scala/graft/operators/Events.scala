@@ -1260,6 +1260,101 @@ object Events {
       )
   }
 
+  /** q355: burst value impact — per event type, the event count and
+    * mean `value` inside q254's burst hours vs all other hours. The
+    * triage question after an alert: organic bursts carry normal (or
+    * better) per-event value; bot storms and retry loops carry
+    * near-zero. Joining the verdict to the ledger answers it
+    * before anyone pages the on-call. Values are micro-quantized
+    * per event and summed exactly.
+    *
+    * Scale: the q254 chain (bounded) broadcast against one event
+    * scan; a |types|·2 agg.
+    */
+  def burstValueImpact(spark: SparkSession, dir: String): DataFrame = {
+    val bursts = burstFlags(spark, dir)
+      .filter(col("burst"))
+      .select(col("event_type"), col("hour_us"), lit(true).as("in_burst"))
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        round(col("value") * 1e6).cast("long").as("vm")
+      )
+    ev.join(broadcast(bursts), Seq("event_type", "hour_us"), "left")
+      .groupBy(
+        col("event_type"),
+        coalesce(col("in_burst"), lit(false)).as("in_burst")
+      )
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("v_sum"))
+      .select(
+        col("event_type"),
+        col("in_burst"),
+        col("n_events"),
+        round(col("v_sum").cast("double") / col("n_events"))
+          .cast("long").as("mean_value_micro")
+      )
+  }
+
+  /** q357: user-activity five-point summary — per event type, the
+    * exact min/p25/p50/p75/max of events per user. The
+    * abuse-and-capacity gauge: a p75≈median with a huge max is a
+    * bot profile (q316 names it); a fat p75 is genuinely heavy
+    * usage. Exact rank statistics over the quantized count domain
+    * (per-user counts grouped by value, never a window over users).
+    *
+    * Scale: one (type, user) agg → (type, count-value) frame
+    * (bounded by distinct activity levels) → value-domain cumsums.
+    */
+  def userActivityFivePoint(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val perUser = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("k"))
+    val vals = perUser
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cumc", sum(col("c")).over(wc))
+      .withColumn(
+        "n",
+        sum(col("c")).over(Window.partitionBy(col("event_type")))
+      )
+    def pick(num: Int, den: Int, name: String): DataFrame =
+      cum
+        .filter(col("cumc") * den >= col("n") * num)
+        .groupBy(col("event_type"))
+        .agg(min(col("k")).as(name))
+    val ext = cum
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_users"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k")
+      )
+    ext
+      .join(broadcast(pick(1, 4, "p25_k")), "event_type")
+      .join(broadcast(pick(1, 2, "p50_k")), "event_type")
+      .join(broadcast(pick(3, 4, "p75_k")), "event_type")
+      .select(
+        col("event_type"),
+        col("n_users"),
+        col("min_k"),
+        col("p25_k"),
+        col("p50_k"),
+        col("p75_k"),
+        col("max_k")
+      )
+  }
+
   /** q237: exponentially-decayed event counts — per event type and
     * half-life (1 h, 6 h, 24 h), the decay-weighted count
     * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest

@@ -3697,6 +3697,62 @@ object TextAnalysis {
       )
   }
 
+  /** q356: document-length five-point summary per language — exact
+    * min/p25/p50/p75/max token counts via value-domain cumsums. The
+    * readable companion to q197's IQR gate and q306's tail index:
+    * the five numbers a dataset card prints per language, computed
+    * with the same rank-exact machinery as the gates so the card
+    * and the gates can never disagree.
+    *
+    * Scale: one tokenize scan → (lang, count-value) frame (bounded
+    * by distinct lengths) → value-domain cumsums.
+    */
+  def lengthFivePoint(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        size(tokens(col("text"))).cast("long").as("k")
+      )
+      .groupBy(col("lang"), col("k"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cumc", sum(col("c")).over(wc))
+      .withColumn(
+        "n",
+        sum(col("c")).over(Window.partitionBy(col("lang")))
+      )
+    def pick(num: Int, den: Int, name: String): DataFrame =
+      cum
+        .filter(col("cumc") * den >= col("n") * num)
+        .groupBy(col("lang"))
+        .agg(min(col("k")).as(name))
+    val ext = cum
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n")).as("n_docs"),
+        min(col("k")).as("min_toks"),
+        max(col("k")).as("max_toks")
+      )
+    ext
+      .join(broadcast(pick(1, 4, "p25_toks")), "lang")
+      .join(broadcast(pick(1, 2, "p50_toks")), "lang")
+      .join(broadcast(pick(3, 4, "p75_toks")), "lang")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("min_toks"),
+        col("p25_toks"),
+        col("p50_toks"),
+        col("p75_toks"),
+        col("max_toks")
+      )
+  }
+
   /** q338: byte economics per language — bytes, characters, and
     * tokens with the conversion ratios (bytes/token, chars/token,
     * bytes/char in milli). Token budgets (q164/q304), storage
