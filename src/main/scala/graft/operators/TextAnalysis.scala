@@ -4395,6 +4395,10 @@ object TextAnalysis {
       )
       .groupBy(col("fg"), col("fl"), col("fm"), col("fp"))
       .agg(count(lit(1)).as("c"))
+      // 16 rows, but its lineage is the full four-gate LM chain;
+      // subCounts, nTot, and the three ordering joins all read it —
+      // uncached, the chain runs 4x (measured 10s vs ~2.5s)
+      .cacheTracked()
     val subsetsDf = broadcast(
       spark
         .range(1)
