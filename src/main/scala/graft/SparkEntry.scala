@@ -928,6 +928,12 @@ object SparkEntry {
     "q356_length_five_point" -> (TextAnalysis.lengthFivePoint _),
     // Exact five-point events-per-user summary per type.
     "q357_user_five_point" -> (Events.userActivityFivePoint _),
+    // Top-1%-user value share per type (whale concentration).
+    "q358_value_concentration" -> (Events.valueConcentration _),
+    // Week-over-week event growth per type.
+    "q359_weekly_growth" -> (Events.weeklyGrowth _),
+    // One-row net-trainable-token ledger across all stages.
+    "q360_trainable_tokens" -> (Sampling.trainableTokens _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9882,6 +9888,83 @@ object SparkEntry {
            p50.p50_k, p75.p75_k, ex.max_k
          FROM ex JOIN p25 USING (event_type)
          JOIN p50 USING (event_type) JOIN p75 USING (event_type)""",
+    // q358: per-user micro value sums, exact top-1% rank cut,
+    // (value desc, user asc) tie order.
+    "q358_value_concentration" ->
+      """WITH pu AS (SELECT event_type, user_id,
+                 sum(CAST(round(value * 1e6) AS BIGINT))::BIGINT AS v
+               FROM events GROUP BY 1, 2),
+         rk AS (SELECT event_type, user_id, v,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY v DESC, user_id ASC)::BIGINT AS rk,
+                 count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+               FROM pu),
+         ag AS (SELECT event_type, max(n)::BIGINT AS n_users,
+                  max(CAST(ceil(n / 100.0) AS BIGINT))::BIGINT
+                    AS k_top,
+                  sum(v)::BIGINT AS v_total,
+                  sum(CASE WHEN rk <= ceil(n / 100.0) THEN v ELSE 0
+                    END)::BIGINT AS v_top
+                FROM rk GROUP BY 1)
+         SELECT event_type, n_users, k_top, v_total, v_top,
+           CAST(round(v_top::DOUBLE / nullif(v_total, 0) * 1e6)
+             AS BIGINT) AS top_share_ppm
+         FROM ag""",
+    // q359: date_trunc('week') buckets (Monday on both engines),
+    // bounded lag window, one growth division.
+    "q359_weekly_growth" ->
+      """WITH wk AS (SELECT event_type,
+                 epoch_us(date_trunc('week', ts))::BIGINT AS week_us,
+                 count(*)::BIGINT AS n
+               FROM events GROUP BY 1, 2),
+         lg AS (SELECT event_type, week_us, n,
+                 lag(n) OVER (PARTITION BY event_type
+                   ORDER BY week_us)::BIGINT AS prev_n
+               FROM wk)
+         SELECT event_type, week_us, n, prev_n,
+           CASE WHEN prev_n IS NULL THEN NULL
+                ELSE CAST(round((n - prev_n)::DOUBLE / prev_n * 1e6)
+                  AS BIGINT)
+           END AS growth_ppm
+         FROM lg""",
+    // q360: the canonical closure + the gate flags + exact-dup
+    // survivors composed into the one-row ledger; docs outside the
+    // shingle closure keep themselves; gates vote where defined.
+    "q360_trainable_tokens" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         $gateFlagsCtes,
+         tk AS (SELECT doc_id,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END)::BIGINT AS tk
+               FROM documents),
+         ex AS (SELECT min(doc_id) AS doc_id FROM documents
+                GROUP BY md5(text)),
+         nk AS (SELECT doc_id FROM surv WHERE rn = 1),
+         cl AS (SELECT doc_id FROM lab),
+         gk AS (SELECT doc_id FROM fl GROUP BY doc_id
+                HAVING sum(CASE WHEN NOT f THEN 1 ELSE 0 END) = 0),
+         a AS (SELECT tk.tk,
+                 ex.doc_id IS NOT NULL AS ek,
+                 (nk.doc_id IS NOT NULL OR cl.doc_id IS NULL) AS nk2,
+                 gk.doc_id IS NOT NULL AS gk2
+               FROM tk
+               LEFT JOIN ex USING (doc_id)
+               LEFT JOIN nk USING (doc_id)
+               LEFT JOIN cl USING (doc_id)
+               LEFT JOIN gk USING (doc_id))
+         SELECT count(*)::BIGINT AS n_docs,
+           sum(tk)::BIGINT AS total_tokens,
+           sum(CASE WHEN ek THEN tk ELSE 0 END)::BIGINT
+             AS after_exact_dedup,
+           sum(CASE WHEN ek AND nk2 THEN tk ELSE 0 END)::BIGINT
+             AS after_near_dedup,
+           sum(CASE WHEN ek AND nk2 AND gk2 THEN tk ELSE 0
+             END)::BIGINT AS trainable_tokens,
+           CAST(round(sum(CASE WHEN ek AND nk2 AND gk2 THEN tk
+             ELSE 0 END)::DOUBLE / sum(tk) * 1e6) AS BIGINT)
+             AS trainable_ppm
+         FROM a""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {

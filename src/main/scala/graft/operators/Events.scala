@@ -1355,6 +1355,94 @@ object Events {
       )
   }
 
+  /** q358: value concentration — per event type, the share of total
+    * event value carried by the top 1% of users (by their value
+    * sum), plus the user-count and value totals. The revenue twin of
+    * q357's activity profile: whale-concentration decides whether
+    * per-user protections (rate limits, fraud review) target the
+    * right tail. Exact: per-user micro sums, the top-1% threshold by
+    * exact rank (⌈n/100⌉ users), tie handling by (value, user_id)
+    * order.
+    *
+    * Scale: one (type, user) agg; the rank runs per type over user
+    * rows (two-level rank at extreme scale); one bounded rollup.
+    */
+  def valueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 1e6).cast("long")).as("v"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("v").desc, col("user_id").asc)
+    perUser
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn(
+        "n",
+        count(lit(1)).over(Window.partitionBy(col("event_type")))
+      )
+      .withColumn("k_top", ceil(col("n") / lit(100.0)).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_users"),
+        max(col("k_top")).as("k_top"),
+        sum(col("v")).as("v_total"),
+        sum(when(col("rk") <= col("k_top"), col("v")).otherwise(0L))
+          .as("v_top")
+      )
+      .select(
+        col("event_type"),
+        col("n_users"),
+        col("k_top"),
+        col("v_total"),
+        col("v_top"),
+        round(
+          col("v_top").cast("double") /
+            nullif(col("v_total"), lit(0L)) * 1e6
+        ).cast("long").as("top_share_ppm")
+      )
+  }
+
+  /** q359: weekly growth — per event type and ISO week start, the
+    * event count and week-over-week growth in ppm (the first week
+    * has none). The trend line under q254's hourly anomalies and
+    * q320's seasonality: sustained growth is capacity planning,
+    * sustained decline is a product conversation, and both are
+    * invisible at hourly granularity. Exact counts; growth is one
+    * division; weeks come from date_trunc so both engines bucket
+    * identically.
+    *
+    * Scale: one (type, week) agg (bounded by the time span), a
+    * bounded lag window.
+    */
+  def weeklyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables
+      .events(spark, dir)
+      .groupBy(
+        col("event_type"),
+        unix_micros(date_trunc("week", col("ts"))).as("week_us")
+      )
+      .agg(count(lit(1)).as("n"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("week_us").asc)
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(
+        col("event_type"),
+        col("week_us"),
+        col("n"),
+        col("prev_n"),
+        when(col("prev_n").isNull, lit(null).cast("long"))
+          .otherwise(
+            round(
+              (col("n") - col("prev_n")).cast("double") /
+                col("prev_n") * 1e6
+            ).cast("long")
+          ).as("growth_ppm")
+      )
+  }
+
   /** q237: exponentially-decayed event counts — per event type and
     * half-life (1 h, 6 h, 24 h), the decay-weighted count
     * Σ exp(−ln2 · age/half_life) anchored at the corpus's latest

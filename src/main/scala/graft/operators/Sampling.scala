@@ -2407,6 +2407,89 @@ object Sampling {
       )
   }
 
+  /** q360: net trainable tokens — THE headline number, assembled
+    * from the audited stages in one row: corpus docs/tokens, tokens
+    * after exact dedup (md5 survivors), after near-dup dedup (the
+    * q78 keep-best closure), and after the four-gate battery
+    * (gates vote where defined: the LM gates only score ≥3-token
+    * docs, so short docs are judged by gopher+lr alone — the rule
+    * spelled out here and mirrored in the oracle). Every upstream
+    * stage is an already-gated operator reached through its public
+    * seam; this query is the ledger a budget meeting opens with.
+    *
+    * Scale: honest recomputation of the dedup closure and gate
+    * chains (at 100 TB each is a persisted artifact; the `*From`
+    * seams exist) + one token scan; output is one row.
+    */
+  def trainableTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(
+        col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long")
+          .as("tk")
+      )
+    // exact-dup survivors: min doc_id per md5(text)
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("exact_keep"))
+    // near-dup survivors: the q78 keep-best rule over the closure
+    val labels = Dedup
+      .dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val nearKeep = labels
+      .join(
+        TextAnalysis.qualityScores(spark, dir)
+          .select(col("doc_id"), round(col("quality"), 6).as("q")),
+        "doc_id"
+      )
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select((-col("best.nid")).as("doc_id"), lit(true).as("near_keep"))
+    // gate votes where defined (LM gates cover >= 3-token docs)
+    val gateKeep = TextAnalysis
+      .gateFlagsPublic(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(sum(when(!col("f"), 1L).otherwise(0L)).as("n_fail"))
+      .select(col("doc_id"), (col("n_fail") === 0L).as("gates_keep"))
+    val assembled = toks
+      .join(broadcast(exactKeep), Seq("doc_id"), "left")
+      .join(labels.select(col("doc_id"), lit(true).as("in_closure")),
+        Seq("doc_id"), "left")
+      .join(nearKeep, Seq("doc_id"), "left")
+      .join(gateKeep, Seq("doc_id"), "left")
+      .select(
+        col("tk"),
+        coalesce(col("exact_keep"), lit(false)).as("ek"),
+        // docs outside the shingle closure keep themselves
+        (coalesce(col("near_keep"), lit(false)) ||
+          col("in_closure").isNull).as("nk"),
+        coalesce(col("gates_keep"), lit(false)).as("gk")
+      )
+    assembled.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tk")).as("total_tokens"),
+      sum(when(col("ek"), col("tk")).otherwise(0L))
+        .as("after_exact_dedup"),
+      sum(when(col("ek") && col("nk"), col("tk")).otherwise(0L))
+        .as("after_near_dedup"),
+      sum(when(col("ek") && col("nk") && col("gk"), col("tk"))
+        .otherwise(0L)).as("trainable_tokens")
+    ).select(
+      col("n_docs"),
+      col("total_tokens"),
+      col("after_exact_dedup"),
+      col("after_near_dedup"),
+      col("trainable_tokens"),
+      round(
+        col("trainable_tokens").cast("double") / col("total_tokens")
+          * 1e6
+      ).cast("long").as("trainable_ppm")
+    )
+  }
+
   /** q352: source run lengths in storage order — per source, how
     * many consecutive-doc_id runs it forms and the mean run length.
     * The categorical twin of q333's quality ACF: long runs mean

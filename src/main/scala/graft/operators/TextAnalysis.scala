@@ -3234,6 +3234,12 @@ object TextAnalysis {
     )
   }
 
+  /** The gate-flag frame exposed for cross-object compositions
+    * (q360's trainable-token ledger lives in Sampling).
+    */
+  def gateFlagsPublic(spark: SparkSession, dir: String): DataFrame =
+    gateFlags(spark, dir)
+
   /** The long (doc_id, gate, f) flag frame over the four round-7
     * quality gates — shared inputs derived once (same scheme as
     * q194's fourGateManifest): one documents scan, one tokenize pass,
