@@ -1449,27 +1449,42 @@ object SparkEntry {
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
                   ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
            FROM documents),
-         f AS (SELECT doc_id, y,
-             round(len(toks)::DOUBLE / 100.0, 6) AS f1,
-             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
-               ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
-                    / len(toks) / 10.0 END, 6) AS f2,
-             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
-               ELSE len(list_filter(toks, w -> list_contains(
+         fm AS (SELECT doc_id, y,
+             len(toks)::BIGINT * 10000 AS f1m,
+             CASE WHEN len(toks) = 0 THEN 0
+               ELSE ${sqlIdivHalfUp(
+        "list_sum(list_transform(toks, w -> length(w)))::BIGINT * 100000",
+        "len(toks)")} END AS f2m,
+             CASE WHEN len(toks) = 0 THEN 0
+               ELSE ${sqlIdivHalfUp(
+        """len(list_filter(toks, w -> list_contains(
                       ['the','a','an','and','or','of','to','in','is','it'],
-                      w)))::DOUBLE / len(toks) END, 6) AS f3,
-             round(CASE WHEN len(toks) = 0 THEN 0.0::DOUBLE
-               ELSE len(list_distinct(toks))::DOUBLE / len(toks) END, 6)
-               AS f4
+                      w)))::BIGINT * 1000000""",
+        "len(toks)")} END AS f3m,
+             CASE WHEN len(toks) = 0 THEN 0
+               ELSE ${sqlIdivHalfUp(
+        "len(list_distinct(toks))::BIGINT * 1000000",
+        "len(toks)")} END AS f4m
            FROM t),
+         f AS (SELECT doc_id, y, f1m, f2m, f3m, f4m,
+             f1m::DOUBLE / 1000000 AS f1, f2m::DOUBLE / 1000000 AS f2,
+             f3m::DOUBLE / 1000000 AS f3, f4m::DOUBLE / 1000000 AS f4
+           FROM fm),
          w0 AS (SELECT 0.0::DOUBLE AS w0, 0.0::DOUBLE AS w1,
              0.0::DOUBLE AS w2, 0.0::DOUBLE AS w3, 0.0::DOUBLE AS w4),
          $rounds
          SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
-           round(1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2
-             + w.w3*f.f3 + w.w4*f.f4))), 6) AS score,
-           1.0/(1.0 + exp(-(w.w0 + w.w1*f.f1 + w.w2*f.f2 + w.w3*f.f3
-             + w.w4*f.f4))) >= 0.5 AS pred_quality
+           CAST(round(w.w0 * 1e6) AS BIGINT) * 1000000
+             + CAST(round(w.w1 * 1e6) AS BIGINT) * f.f1m
+             + CAST(round(w.w2 * 1e6) AS BIGINT) * f.f2m
+             + CAST(round(w.w3 * 1e6) AS BIGINT) * f.f3m
+             + CAST(round(w.w4 * 1e6) AS BIGINT) * f.f4m AS z_pico,
+           (CAST(round(w.w0 * 1e6) AS BIGINT) * 1000000
+             + CAST(round(w.w1 * 1e6) AS BIGINT) * f.f1m
+             + CAST(round(w.w2 * 1e6) AS BIGINT) * f.f2m
+             + CAST(round(w.w3 * 1e6) AS BIGINT) * f.f3m
+             + CAST(round(w.w4 * 1e6) AS BIGINT) * f.f4m) >= 0
+             AS pred_quality
          FROM f, w6 w"""
   }
 
@@ -1716,6 +1731,64 @@ object SparkEntry {
              6) AS epochs
          FROM h CROSS JOIN cs)"""
 
+  /** DuckDB twin of [[graft.functions.IntMath.idivHalfUp]]: exact
+    * round-half-up(a/b) in pure BIGINT — `(2a + b) // (2b)` for
+    * a >= 0, b > 0. The round-9 convention: NO hashed/ordered column
+    * may come from `round()` of a float that can land on a .5
+    * boundary; this is the replacement everywhere a ratio is emitted.
+    */
+  private def sqlIdivHalfUp(a: String, b: String): String =
+    s"((2*($a) + ($b)) // (2*($b)))"
+
+  /** DuckDB twin of IntMath.microRatio: round-half-up(a*1e6/b). */
+  private def sqlMicroRatio(a: String, b: String): String =
+    sqlIdivHalfUp(s"($a) * 1000000", b)
+
+  /** DuckDB twin of IntMath.idivHalfUpSigned: signed half-away-from-
+    * zero integer division (b > 0).
+    */
+  private def sqlIdivHalfUpSigned(a: String, b: String): String =
+    s"""(CASE WHEN ($a) < 0
+          THEN -${sqlIdivHalfUp(s"-($a)", b)}
+          ELSE ${sqlIdivHalfUp(a, b)} END)"""
+
+  /** Pure-BIGINT micro-quality as a `qm (doc_id, q_micro)` CTE — the
+    * DuckDB twin of [[graft.functions.TextFunctions.qualityMicro]]
+    * (same three signals and weights as the double q15 score, every
+    * term exact integer micro-units). Shared by every query whose
+    * hashed/ordered surface carries quality.
+    */
+  private val qMicroCte: String = {
+    val stopM = sqlIdivHalfUp("5000000 * n_stop", "n_toks")
+    val punctM = sqlIdivHalfUp("10000000 * n_punct", "n_chars")
+    s"""qm AS (SELECT doc_id,
+                ${sqlIdivHalfUp(
+        "5*len_m + 4*stop_m + (1000000 - punct_m)",
+        "10")} AS q_micro
+              FROM (SELECT doc_id,
+                      least(n_toks * 5000, 1000000) AS len_m,
+                      CASE WHEN n_toks = 0 THEN 0
+                           ELSE least($stopM, 1000000) END AS stop_m,
+                      CASE WHEN n_chars = 0 THEN 0
+                           ELSE least($punctM, 1000000) END AS punct_m
+                    FROM (SELECT doc_id,
+                            len(toks) AS n_toks,
+                            len(list_filter(toks, w -> w IN
+                              ('the','a','an','and','or','of','to','in','is','it')
+                              )) AS n_stop,
+                            length(text)
+                              - length(translate(text, '.,!?;:', ''))
+                              AS n_punct,
+                            length(text) AS n_chars
+                          FROM (SELECT doc_id, text,
+                                  CASE WHEN length(trim(text)) = 0
+                                       THEN []::VARCHAR[]
+                                       ELSE regexp_split_to_array(
+                                              trim(text), '\\s+')
+                                  END AS toks
+                                FROM documents) a) b) c)"""
+  }
+
   /** The q15 quality score as a `qq (doc_id, q)` CTE — shared by the
     * canonical-survivor chain (q78 family) and the q205 cluster cap.
     */
@@ -1808,13 +1881,14 @@ object SparkEntry {
                FROM reach GROUP BY a),
        sz AS (SELECT cluster_id, count(*) AS cluster_size
               FROM lab GROUP BY 1),
-       $qualityCte,
-       surv AS (SELECT lab.cluster_id, sz.cluster_size, lab.doc_id, qq.q,
+       $qMicroCte,
+       surv AS (SELECT lab.cluster_id, sz.cluster_size, lab.doc_id,
+                  qm.q_micro,
                   row_number() OVER (PARTITION BY lab.cluster_id
-                    ORDER BY qq.q DESC, lab.doc_id ASC) AS rn
+                    ORDER BY qm.q_micro DESC, lab.doc_id ASC) AS rn
                 FROM lab
                 JOIN sz USING (cluster_id)
-                JOIN qq USING (doc_id))"""
+                JOIN qm USING (doc_id))"""
 
   /** The four quality gates as one long (doc_id, gate, f) flag CTE —
     * each gate's full proven oracle embedded as a subquery. Shared by
@@ -2612,25 +2686,11 @@ object SparkEntry {
               THEN 'valid' ELSE 'test' END AS split
          FROM documents""",
     "q50_quality_deciles" ->
-      """WITH per_doc AS (
-           SELECT doc_id,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks,
-             round(0.5 * least(n_toks / 200.0, 1.0)
-                 + 0.4 * least(CASE WHEN n_toks = 0 THEN 0.0
-                     ELSE len(list_filter(
-                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                            ELSE regexp_split_to_array(trim(text), '\s+') END,
-                       w -> w IN ('the','a','an','and','or','of','to','in','is','it')
-                       ))::DOUBLE / n_toks END * 5.0, 1.0)
-                 + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-                     ELSE (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
-                          / length(text) END * 10.0, 1.0)), 6) AS quality
-           FROM documents)
-         SELECT doc_id, quality,
-           CAST(ntile(10) OVER (ORDER BY quality DESC, doc_id)
+      s"""WITH $qMicroCte
+         SELECT doc_id, q_micro,
+           CAST(ntile(10) OVER (ORDER BY q_micro DESC, doc_id)
              AS INTEGER) AS decile
-         FROM per_doc""",
+         FROM qm""",
     "q45_stream_latest_dedup" ->
       """SELECT CAST(user_id AS VARCHAR) AS k,
          max(CAST(ts AS TIMESTAMP)) AS latest_ts
@@ -3509,7 +3569,7 @@ object SparkEntry {
     "q78_canonical_docs" ->
       s"""WITH RECURSIVE $canonicalChainCtes
          SELECT cluster_id, cluster_size, doc_id AS keep_doc,
-           q AS keep_quality
+           q_micro AS keep_q_micro
          FROM surv WHERE rn = 1""",
     // q79: identical RANGE frame on epoch micros.
     "q79_rolling_hour" ->
@@ -3677,38 +3737,21 @@ object SparkEntry {
          LEFT JOIN p ON v.user_id = p.user_id""",
     // q89: identical rounded boundaries + rounded-score comparison.
     "q89_decile_bounds" ->
-      """WITH qq AS (SELECT doc_id,
-                  round(0.5 * least(n_toks / 200.0, 1.0)
-                      + 0.4 * least(stop_raw * 5.0, 1.0)
-                      + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
-                FROM (SELECT doc_id,
-                        CASE WHEN len(toks) = 0 THEN 0.0
-                             ELSE len(list_filter(toks, w -> w IN
-                               ('the','a','an','and','or','of','to','in','is','it')
-                               ))::DOUBLE / len(toks) END AS stop_raw,
-                        len(toks)::DOUBLE AS n_toks,
-                        CASE WHEN length(text) = 0 THEN 0.0
-                             ELSE (length(text)
-                                   - length(translate(text, '.,!?;:', '')))::DOUBLE
-                                  / length(text) END AS punct_frac
-                      FROM (SELECT doc_id, text,
-                              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                                   ELSE regexp_split_to_array(trim(text), '\s+')
-                              END AS toks
-                            FROM documents) a) b),
-         bounds AS (SELECT [round(quantile_cont(q, 0.1), 6),
-                            round(quantile_cont(q, 0.2), 6),
-                            round(quantile_cont(q, 0.3), 6),
-                            round(quantile_cont(q, 0.4), 6),
-                            round(quantile_cont(q, 0.5), 6),
-                            round(quantile_cont(q, 0.6), 6),
-                            round(quantile_cont(q, 0.7), 6),
-                            round(quantile_cont(q, 0.8), 6),
-                            round(quantile_cont(q, 0.9), 6)] AS bs FROM qq)
-         SELECT doc_id, q AS quality,
-           CAST(1 + len(list_filter((SELECT bs FROM bounds), b -> q >= b))
-             AS INTEGER) AS vbucket
-         FROM qq""",
+      s"""WITH $qMicroCte,
+         bounds AS (SELECT [quantile_cont(q_micro::DOUBLE, 0.1),
+                            quantile_cont(q_micro::DOUBLE, 0.2),
+                            quantile_cont(q_micro::DOUBLE, 0.3),
+                            quantile_cont(q_micro::DOUBLE, 0.4),
+                            quantile_cont(q_micro::DOUBLE, 0.5),
+                            quantile_cont(q_micro::DOUBLE, 0.6),
+                            quantile_cont(q_micro::DOUBLE, 0.7),
+                            quantile_cont(q_micro::DOUBLE, 0.8),
+                            quantile_cont(q_micro::DOUBLE, 0.9)] AS bs
+                    FROM qm)
+         SELECT doc_id, q_micro,
+           CAST(1 + len(list_filter((SELECT bs FROM bounds),
+             b -> q_micro >= b)) AS INTEGER) AS vbucket
+         FROM qm""",
     // q90: latest change wins (date, key total order); P deletes.
     "q90_cdc_apply" ->
       """WITH last AS (
@@ -4196,25 +4239,9 @@ object SparkEntry {
     // q154: the q15 quality formula (rounded to 6 before ranking),
     // rank-1 windows with the doc_id ASC tiebreak on both ends.
     "q154_preference_pairs" ->
-      """WITH q AS (SELECT doc_id, lang, source,
-             round(0.5 * least(n_toks / 200.0, 1.0)
-                 + 0.4 * least(stop_raw * 5.0, 1.0)
-                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
-           FROM (SELECT doc_id, lang, source,
-                   CASE WHEN len(toks) = 0 THEN 0.0
-                        ELSE len(list_filter(toks, w -> w IN
-                          ('the','a','an','and','or','of','to','in','is','it')
-                          ))::DOUBLE / len(toks) END AS stop_raw,
-                   len(toks)::DOUBLE AS n_toks,
-                   CASE WHEN length(text) = 0 THEN 0.0
-                        ELSE (length(text)
-                          - length(translate(text, '.,!?;:', '')))::DOUBLE
-                          / length(text) END AS punct_frac
-                 FROM (SELECT doc_id, lang, source, text,
-                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                              ELSE regexp_split_to_array(trim(text), '\s+')
-                         END AS toks
-                       FROM documents) a) b),
+      s"""WITH $qMicroCte,
+         q AS (SELECT d.doc_id, d.lang, d.source, q2.q_micro AS q
+               FROM documents d JOIN qm q2 USING (doc_id)),
          c AS (SELECT lang, source, doc_id AS chosen_id, q AS cq,
                  row_number() OVER (PARTITION BY lang, source
                    ORDER BY q DESC, doc_id ASC) AS rk
@@ -4224,7 +4251,7 @@ object SparkEntry {
                    ORDER BY q ASC, doc_id ASC) AS rk
                FROM q)
          SELECT c.lang, c.source, chosen_id, rejected_id,
-           round(cq - rq, 6) AS margin
+           cq - rq AS margin_micro
          FROM c JOIN r ON c.lang = r.lang AND c.source = r.source
          WHERE c.rk = 1 AND r.rk = 1 AND chosen_id <> rejected_id""",
     // q155: identical md5-prefix split buckets, distinct 8-gram
@@ -4362,36 +4389,22 @@ object SparkEntry {
            round(sum(value), 2) AS total_value
          FROM events GROUP BY 1""",
     // q164: the naive single-window cumsum — the engine's two-level
-    // range-partitioned form must be integer-identical to it. q is
-    // exported as integer micro-units (q132/q81 convention) so the
-    // compare is float-free end to end.
+    // range-partitioned form must be integer-identical to it. The
+    // rank key IS the pure-BIGINT micro-quality (round-9 seam), so
+    // the compare is float-free end to end, ordering included.
     "q164_token_budget" ->
-      """WITH qq AS (SELECT doc_id,
-             round(0.5 * least(n_toks / 200.0, 1.0)
-                 + 0.4 * least(stop_raw * 5.0, 1.0)
-                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q,
-             CAST(n_toks AS BIGINT) AS n_tokens
-           FROM (SELECT doc_id,
-                   CASE WHEN len(toks) = 0 THEN 0.0
-                        ELSE len(list_filter(toks, w -> w IN
-                          ('the','a','an','and','or','of','to','in','is','it')
-                          ))::DOUBLE / len(toks) END AS stop_raw,
-                   len(toks) AS n_toks,
-                   CASE WHEN length(text) = 0 THEN 0.0
-                        ELSE (length(text)
-                          - length(translate(text, '.,!?;:', '')))::DOUBLE
-                          / length(text) END AS punct_frac
-                 FROM (SELECT doc_id, text,
-                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                              ELSE regexp_split_to_array(trim(text), '\s+')
-                         END AS toks
-                       FROM documents) a) b),
-         c AS (SELECT doc_id, q, n_tokens,
-                 sum(n_tokens) OVER (ORDER BY q DESC, doc_id ASC
+      s"""WITH $qMicroCte,
+         nt AS (SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                 END::BIGINT AS n_tokens
+               FROM documents),
+         c AS (SELECT qm.doc_id, qm.q_micro, nt.n_tokens,
+                 sum(nt.n_tokens) OVER (ORDER BY qm.q_micro DESC,
+                   qm.doc_id ASC
                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
-               FROM qq)
-         SELECT doc_id, CAST(round(q * 1e6) AS BIGINT) AS q_micro,
-                n_tokens, cum_tokens
+               FROM qm JOIN nt USING (doc_id))
+         SELECT doc_id, q_micro, n_tokens, cum_tokens
          FROM c WHERE cum_tokens - n_tokens < 100000""",
     // q165: the q21 Jaccard edge chain ∪ the q26 sign-LSH embedding
     // edge chain, one recursive closure over the union graph.
@@ -4472,31 +4485,15 @@ object SparkEntry {
     // fixed-width bins (never corpus deciles).
     "q167_quality_calibration" ->
       s"""WITH $trigramLmCtes,
-         qq AS (SELECT doc_id,
-             round(0.5 * least(n_toks / 200.0, 1.0)
-                 + 0.4 * least(stop_raw * 5.0, 1.0)
-                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
-           FROM (SELECT doc_id,
-                   CASE WHEN len(toks) = 0 THEN 0.0
-                        ELSE len(list_filter(toks, w -> w IN
-                          ('the','a','an','and','or','of','to','in','is','it')
-                          ))::DOUBLE / len(toks) END AS stop_raw,
-                   len(toks)::DOUBLE AS n_toks,
-                   CASE WHEN length(text) = 0 THEN 0.0
-                        ELSE (length(text)
-                          - length(translate(text, '.,!?;:', '')))::DOUBLE
-                          / length(text) END AS punct_frac
-                 FROM (SELECT doc_id, text,
-                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                              ELSE regexp_split_to_array(trim(text), '\\s+')
-                         END AS toks
-                       FROM documents) a) b),
-         j AS (SELECT qq.doc_id, qq.q, round(exp(sc.x), 6) AS ppl
-               FROM qq JOIN sc USING (doc_id))
-         SELECT CAST(least(floor(q * 10), 9) AS INTEGER) AS bin,
+         $qMicroCte,
+         j AS (SELECT q2.doc_id, q2.q_micro,
+                 CAST(round(round(exp(sc.x), 6) * 1e6) AS BIGINT)
+                   AS ppl_micro
+               FROM qm q2 JOIN sc USING (doc_id))
+         SELECT CAST(least(q_micro // 100000, 9) AS INTEGER) AS bin,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(avg(q), 6) AS mean_q,
-           round(avg(ppl), 6) AS mean_ppl
+           ${sqlIdivHalfUp("sum(q_micro)", "count(*)")} AS mean_q_micro,
+           ${sqlIdivHalfUp("sum(ppl_micro)", "count(*)")} AS mean_ppl_micro
          FROM j GROUP BY 1""",
     // q168: identical count-ratio KL sum; the word-total table joins
     // in word-keyed on both sides.
@@ -4604,32 +4601,14 @@ object SparkEntry {
     // q173: the q15 quality bins and the q144 md5 rank order, quota
     // 20 per (lang, bin) cell.
     "q173_balanced_evalset" ->
-      """WITH qq AS (SELECT doc_id, lang,
-             round(0.5 * least(n_toks / 200.0, 1.0)
-                 + 0.4 * least(stop_raw * 5.0, 1.0)
-                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
-           FROM (SELECT doc_id, lang,
-                   CASE WHEN len(toks) = 0 THEN 0.0
-                        ELSE len(list_filter(toks, w -> w IN
-                          ('the','a','an','and','or','of','to','in','is','it')
-                          ))::DOUBLE / len(toks) END AS stop_raw,
-                   len(toks)::DOUBLE AS n_toks,
-                   CASE WHEN length(text) = 0 THEN 0.0
-                        ELSE (length(text)
-                          - length(translate(text, '.,!?;:', '')))::DOUBLE
-                          / length(text) END AS punct_frac
-                 FROM (SELECT doc_id, lang, text,
-                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                              ELSE regexp_split_to_array(trim(text), '\s+')
-                         END AS toks
-                       FROM documents) a) b),
-         r AS (SELECT doc_id, lang,
-                 CAST(least(floor(q * 10), 9) AS INTEGER) AS bin,
-                 row_number() OVER (PARTITION BY lang,
-                     CAST(least(floor(q * 10), 9) AS INTEGER)
-                   ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC)
+      s"""WITH $qMicroCte,
+         r AS (SELECT d.doc_id, d.lang,
+                 CAST(least(qm.q_micro // 100000, 9) AS INTEGER) AS bin,
+                 row_number() OVER (PARTITION BY d.lang,
+                     CAST(least(qm.q_micro // 100000, 9) AS INTEGER)
+                   ORDER BY md5(d.doc_id::VARCHAR) ASC, d.doc_id ASC)
                    AS cell_rank
-               FROM qq)
+               FROM documents d JOIN qm ON d.doc_id = qm.doc_id)
          SELECT doc_id, lang, bin, CAST(cell_rank AS INTEGER) AS cell_rank
          FROM r WHERE cell_rank <= 20""",
     // q174: the DIRECT whole-corpus stats — the engine's slice-merge
@@ -4667,29 +4646,17 @@ object SparkEntry {
     // q176: the q15 quality rounded to 6, percent_rank within source
     // on (q ASC, doc_id ASC).
     "q176_score_normalization" ->
-      """WITH qq AS (SELECT doc_id, source,
-             round(0.5 * least(n_toks / 200.0, 1.0)
-                 + 0.4 * least(stop_raw * 5.0, 1.0)
-                 + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
-           FROM (SELECT doc_id, source,
-                   CASE WHEN len(toks) = 0 THEN 0.0
-                        ELSE len(list_filter(toks, w -> w IN
-                          ('the','a','an','and','or','of','to','in','is','it')
-                          ))::DOUBLE / len(toks) END AS stop_raw,
-                   len(toks)::DOUBLE AS n_toks,
-                   CASE WHEN length(text) = 0 THEN 0.0
-                        ELSE (length(text)
-                          - length(translate(text, '.,!?;:', '')))::DOUBLE
-                          / length(text) END AS punct_frac
-                 FROM (SELECT doc_id, source, text,
-                         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                              ELSE regexp_split_to_array(trim(text), '\s+')
-                         END AS toks
-                       FROM documents) a) b)
-         SELECT doc_id, source, q,
-           round(percent_rank() OVER (PARTITION BY source
-             ORDER BY q ASC, doc_id ASC), 6) AS q_norm
-         FROM qq""",
+      s"""WITH $qMicroCte,
+         r AS (SELECT d.doc_id, d.source, qm.q_micro,
+                 row_number() OVER (PARTITION BY d.source
+                   ORDER BY qm.q_micro ASC, d.doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY d.source) AS n_src
+               FROM documents d JOIN qm ON d.doc_id = qm.doc_id)
+         SELECT doc_id, source, q_micro,
+           CASE WHEN n_src = 1 THEN 0
+                ELSE ${sqlMicroRatio("rk - 1", "n_src - 1")} END
+             AS q_norm_ppm
+         FROM r""",
     // q177: the shared retrieval chain's BM25 top-20 joined to its
     // own cosine scores, reranked (cos DESC, doc_id) to the top-10.
     "q177_retrieve_rerank" ->
@@ -5208,9 +5175,9 @@ object SparkEntry {
          pk AS (SELECT doc_id FROM sc CROSS JOIN m
                 WHERE exp(x) <= mean_ppl),
          gk AS (SELECT doc_id FROM ($gopherOracleSql) x1 WHERE keep),
-         lrs AS (SELECT doc_id, score FROM ($lrQualityOracleSql) x2),
-         lrm AS (SELECT avg(score) AS ms FROM lrs),
-         lk AS (SELECT doc_id FROM lrs, lrm WHERE score >= ms),
+         lrs AS (SELECT doc_id, z_pico FROM ($lrQualityOracleSql) x2),
+         lrm AS (SELECT sum(z_pico) AS sz, count(*) AS nz FROM lrs),
+         lk AS (SELECT doc_id FROM lrs, lrm WHERE z_pico * nz >= sz),
          mk AS (SELECT doc_id FROM ($mooreLewisOracleSql) x3
                 WHERE keep = 1),
          man AS (SELECT s.doc_id,
@@ -5307,15 +5274,16 @@ object SparkEntry {
            CAST(n_tokens BETWEEN q1 AND q3 AS INTEGER) AS keep
          FROM d JOIN q USING (lang)""",
     // q199: the full LR training replay as a subquery, then exact
-    // ntile deciles (the q50 convention) and per-decile stats.
+    // ntile deciles over the exact z_pico ranking (the q50
+    // convention); per-decile stats all-integer (round-9 seam).
     "q199_lr_calibration" ->
       s"""WITH sc AS (SELECT * FROM ($lrQualityOracleSql) x),
          d AS (SELECT *, CAST(ntile(10) OVER
-                 (ORDER BY score DESC, doc_id) AS INTEGER) AS decile
+                 (ORDER BY z_pico DESC, doc_id) AS INTEGER) AS decile
                FROM sc)
          SELECT decile, count(*) AS n_docs,
-           round(avg(score), 6) AS mean_score,
-           round(avg(CAST(label AS DOUBLE)), 6) AS pos_rate
+           CAST(sum(z_pico) AS BIGINT) AS sum_z_pico,
+           ${sqlMicroRatio("sum(label)", "count(*)")} AS pos_rate_ppm
          FROM d GROUP BY 1""",
     // q200: the q78 recursive closure (surv), the q93/q135 k-means +
     // SemDeDup chain (renamed sm/sp/ss to avoid CTE collisions), and
@@ -5460,13 +5428,12 @@ object SparkEntry {
     "q205_cluster_cap" ->
       s"""WITH $kmeansCtes,
          asg AS (SELECT vec_id AS doc_id, cluster FROM a3 WHERE rn = 1),
-         $qualityCte,
-         r AS (SELECT asg.doc_id, asg.cluster, qq.q,
+         $qMicroCte,
+         r AS (SELECT asg.doc_id, asg.cluster, q2.q_micro,
                  row_number() OVER (PARTITION BY asg.cluster
-                   ORDER BY qq.q DESC, asg.doc_id ASC) AS rk
-               FROM asg JOIN qq USING (doc_id))
-         SELECT doc_id, cluster, CAST(rk AS INTEGER) AS rk,
-           CAST(round(q * 1e6) AS BIGINT) AS q_micro
+                   ORDER BY q2.q_micro DESC, asg.doc_id ASC) AS rk
+               FROM asg JOIN qm q2 USING (doc_id))
+         SELECT doc_id, cluster, CAST(rk AS INTEGER) AS rk, q_micro
          FROM r WHERE rk <= 50""",
     // q207: the q203 cross-split chain; the victim CASE mirrors the
     // engine's split-priority expression exactly.
@@ -5554,18 +5521,17 @@ object SparkEntry {
     // both engines aggregate exact integers; identical shrinkage
     // expression order on the two final divisions.
     "q211_source_reputation" ->
-      s"""WITH $qualityCte,
-         sc AS (SELECT d.source,
-                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-                FROM documents d JOIN qq ON d.doc_id = qq.doc_id),
-         ps AS (SELECT source, count(*) AS n_docs, sum(qm) AS sum_qm
+      s"""WITH $qMicroCte,
+         sc AS (SELECT d.source, qm.q_micro AS qv
+                FROM documents d JOIN qm ON d.doc_id = qm.doc_id),
+         ps AS (SELECT source, count(*) AS n_docs, sum(qv) AS sum_qm
                 FROM sc GROUP BY 1),
          g AS (SELECT sum(n_docs) AS g_n, sum(sum_qm) AS g_sum FROM ps)
          SELECT ps.source, ps.n_docs,
-           CAST(round(ps.sum_qm::DOUBLE / ps.n_docs) AS BIGINT)
-             AS mean_q_micro,
-           CAST(round((ps.sum_qm + 20.0 * g.g_sum / g.g_n)
-             / (ps.n_docs + 20)) AS BIGINT) AS shrunk_q_micro
+           ${sqlIdivHalfUp("ps.sum_qm", "ps.n_docs")} AS mean_q_micro,
+           ${sqlIdivHalfUp(
+        s"ps.sum_qm + 20 * ${sqlIdivHalfUp("g.g_sum", "g.g_n")}",
+        "ps.n_docs + 20")} AS shrunk_q_micro
          FROM ps, g""",
     // q213: the q73 5-gram chain flipped to the eval side, with the
     // eval shingle-set size carried for the containment denominator.
@@ -5610,13 +5576,14 @@ object SparkEntry {
          SELECT cluster, count(*) AS n_vecs,
            CAST(round(avg(sil) * 1e6) AS BIGINT) AS mean_sil_micro
          FROM s GROUP BY 1""",
-    // q216: grouped-by-distinct-score rank sum — integer cells all
-    // the way to the single final division, identical on both sides.
+    // q216: grouped-by-distinct-z_pico rank sum — integer cells all
+    // the way through the exact half-up final division (round-9
+    // seam: AUC is rank-invariant under the monotone sigmoid).
     "q216_lr_auc" ->
-      s"""WITH g AS (SELECT score, count(*) AS cnt, sum(label) AS n_pos_s
+      s"""WITH g AS (SELECT z_pico, count(*) AS cnt, sum(label) AS n_pos_s
                 FROM ($lrQualityOracleSql) z
                 GROUP BY 1),
-         r AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY score ASC
+         r AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY z_pico ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                  AS cum_before
                FROM g),
@@ -5625,18 +5592,19 @@ object SparkEntry {
                FROM r)
          SELECT n_pos, n_all - n_pos AS n_neg,
            CASE WHEN n_pos = 0 OR n_pos = n_all THEN NULL
-                ELSE CAST(round(1e6 * (trs - n_pos * (n_pos + 1))::DOUBLE
-                  / (2 * n_pos * (n_all - n_pos))) AS BIGINT)
+                ELSE ${sqlIdivHalfUp(
+        "1000000 * (trs - n_pos * (n_pos + 1))",
+        "2 * n_pos * (n_all - n_pos)")}
            END AS auc_micro
          FROM a""",
     // q217: the q180 GD chain scores every doc; the cut is the mean
-    // of the rounded scores (the q194 convention) — the drained
-    // stream must equal this batch statement row for row.
+    // z in exact signed BIGINTs (z·n >= Σz, the q194 convention) —
+    // the drained stream must equal this batch statement row for row.
     "q217_stream_quality_gate" ->
-      s"""WITH sc AS (SELECT doc_id, score
+      s"""WITH sc AS (SELECT doc_id, z_pico
                 FROM ($lrQualityOracleSql) z),
-         m AS (SELECT avg(score) AS cut FROM sc)
-         SELECT doc_id, score, score >= cut AS admitted
+         m AS (SELECT sum(z_pico) AS sz, count(*) AS nz FROM sc)
+         SELECT doc_id, z_pico, z_pico * nz >= sz AS admitted
          FROM sc, m""",
     // q218: the recursive-closure labels + shared quality CTE; the
     // engine's double rounding (6 places, then micro) replayed.
@@ -5644,16 +5612,12 @@ object SparkEntry {
       s"""WITH RECURSIVE $canonicalChainCtes
          SELECT lab.cluster_id,
            CAST(max(sz.cluster_size) AS BIGINT) AS cluster_size,
-           min(CAST(round(round(qq.q, 6) * 1e6) AS BIGINT))
-             AS q_min_micro,
-           max(CAST(round(round(qq.q, 6) * 1e6) AS BIGINT))
-             AS q_max_micro,
-           max(CAST(round(round(qq.q, 6) * 1e6) AS BIGINT))
-             - min(CAST(round(round(qq.q, 6) * 1e6) AS BIGINT))
-             AS q_spread_micro
+           min(qm.q_micro) AS q_min_micro,
+           max(qm.q_micro) AS q_max_micro,
+           max(qm.q_micro) - min(qm.q_micro) AS q_spread_micro
          FROM lab
          JOIN sz USING (cluster_id)
-         JOIN qq USING (doc_id)
+         JOIN qm USING (doc_id)
          WHERE sz.cluster_size >= 2
          GROUP BY 1""",
     // q219: distinct (source, shingle) set; first owner = min source
@@ -5674,18 +5638,16 @@ object SparkEntry {
     // q220: per-(term, doc) counts → per-term cf/df; identical
     // expected-df expression 1 - exp(-cf/D) on both engines.
     "q220_burstiness" ->
-      """WITH tk AS (SELECT doc_id, unnest(
+      s"""WITH tk AS (SELECT doc_id, unnest(
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
            FROM documents),
          pd AS (SELECT w, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
          pt AS (SELECT w, sum(tf) AS cf, count(*) AS df FROM pd
                 GROUP BY 1 HAVING count(*) >= 3),
          n AS (SELECT count(*) AS n_docs FROM documents)
-         SELECT w, cf, df,
-           CAST(round(cf * 1e6 / df) AS BIGINT) AS burst_micro,
-           CAST(round(n_docs * (1.0 - exp(-(cf::DOUBLE / n_docs)))
-             * 1e6 / df) AS BIGINT) AS adaptation_micro
+         SELECT w, cf, df, n_docs,
+           ${sqlMicroRatio("cf", "df")} AS burst_micro
          FROM pt, n""",
     // q221: the recursive closure's nodes/survivors decide kept; docs
     // outside the closure (< 3 tokens) count as kept.
@@ -5708,12 +5670,11 @@ object SparkEntry {
            CAST(sum(kept) AS BIGINT) AS n_docs_kept,
            sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)
              AS n_tokens_kept,
-           CAST(round(sum(kept) * 1e6 / count(*)) AS BIGINT)
-             AS doc_retention_ppm,
+           ${sqlMicroRatio("sum(kept)", "count(*)")} AS doc_retention_ppm,
            CASE WHEN sum(n_tokens) = 0 THEN 1000000
-                ELSE CAST(round(
-                  sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) * 1e6
-                  / sum(n_tokens)) AS BIGINT)
+                ELSE ${sqlMicroRatio(
+        "sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)",
+        "sum(n_tokens)")}
            END AS token_retention_ppm
          FROM k GROUP BY 1""",
     // q222: the q116 rolling-hash + frame-stride chain; the per-frame
@@ -5748,16 +5709,16 @@ object SparkEntry {
     // q223: the q211 shrinkage chain ranks; one tiny-frame window
     // does the greedy budget walk.
     "q223_admission_plan" ->
-      s"""WITH $qualityCte,
-         sc AS (SELECT d.source,
-                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-                FROM documents d JOIN qq ON d.doc_id = qq.doc_id),
-         ps AS (SELECT source, count(*) AS n_docs, sum(qm) AS sum_qm
+      s"""WITH $qMicroCte,
+         sc AS (SELECT d.source, qm.q_micro AS qv
+                FROM documents d JOIN qm ON d.doc_id = qm.doc_id),
+         ps AS (SELECT source, count(*) AS n_docs, sum(qv) AS sum_qm
                 FROM sc GROUP BY 1),
          g AS (SELECT sum(n_docs) AS g_n, sum(sum_qm) AS g_sum FROM ps),
          rep AS (SELECT ps.source,
-                   CAST(round((ps.sum_qm + 20.0 * g.g_sum / g.g_n)
-                     / (ps.n_docs + 20)) AS BIGINT) AS shrunk_q_micro
+                   ${sqlIdivHalfUp(
+        s"ps.sum_qm + 20 * ${sqlIdivHalfUp("g.g_sum", "g.g_n")}",
+        "ps.n_docs + 20")} AS shrunk_q_micro
                  FROM ps, g),
          tok AS (SELECT source,
                    sum(CAST(len(CASE WHEN length(trim(text)) = 0
@@ -5974,27 +5935,28 @@ object SparkEntry {
     // q232: the q75 content-hash shard key, token rollup, even-share
     // ratio in ppm.
     "q232_shard_balance" ->
-      """WITH d AS (
+      s"""WITH d AS (
            SELECT CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
                ::BIGINT % 8 AS INTEGER) AS shard,
              CAST(len(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END)
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END)
                AS BIGINT) AS t
            FROM documents),
          s AS (SELECT shard, count(*) AS n_docs, sum(t) AS n_tokens
                FROM d GROUP BY 1),
          g AS (SELECT sum(n_tokens) AS g_tokens FROM s)
          SELECT shard, n_docs, n_tokens,
-           CAST(round(n_tokens * 8 * 1e6 / g_tokens) AS BIGINT)
-             AS balance_ppm
+           ${sqlMicroRatio(
+        "n_tokens",
+        sqlIdivHalfUp("g_tokens", "8"))} AS balance_ppm
          FROM s, g""",
     // q233: bucket = bit-length - 1 via the binary string (integer-
     // exact at powers of two); cap via integer shift on both sides.
     "q233_batch_shape" ->
-      """WITH d AS (
+      s"""WITH d AS (
            SELECT CAST(len(CASE WHEN length(trim(text)) = 0
                 THEN []::VARCHAR[]
-                ELSE regexp_split_to_array(trim(text), '\s+') END)
+                ELSE regexp_split_to_array(trim(text), '\\s+') END)
              AS BIGINT) AS n
            FROM documents),
          b AS (SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, n
@@ -6005,10 +5967,11 @@ object SparkEntry {
            CAST(1 << CAST(bucket + 1 AS INTEGER) AS BIGINT) AS cap,
            n_docs * CAST(1 << CAST(bucket + 1 AS INTEGER) AS BIGINT)
              AS padded_tokens,
-           CAST(round((n_docs * CAST(1 << CAST(bucket + 1 AS INTEGER)
-               AS BIGINT) - sum_tokens) * 1e6
-             / (n_docs * CAST(1 << CAST(bucket + 1 AS INTEGER)
-               AS BIGINT))) AS BIGINT) AS waste_ppm
+           ${sqlMicroRatio(
+        """n_docs * CAST(1 << CAST(bucket + 1 AS INTEGER) AS BIGINT)
+               - sum_tokens""",
+        "n_docs * CAST(1 << CAST(bucket + 1 AS INTEGER) AS BIGINT)")}
+             AS waste_ppm
          FROM r""",
     // q234: per-(label, dim) moment cells, identical F expression
     // order on the rollup.
@@ -6360,14 +6323,14 @@ object SparkEntry {
     // q249: average ranks from the same (value, doc_id) row_numbers;
     // identical raw-moment formulas on both sides.
     "q249_length_quality_corr" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          d AS (SELECT doc_id,
                  (CASE WHEN length(trim(text)) = 0 THEN 0
                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                   END)::BIGINT AS x
                FROM documents),
-         b AS (SELECT d.doc_id, d.x, qq.q AS y
-               FROM d JOIN qq USING (doc_id)),
+         b AS (SELECT d.doc_id, d.x, q2.q_micro AS y
+               FROM d JOIN qm q2 USING (doc_id)),
          rx0 AS (SELECT x, row_number() OVER (ORDER BY x, doc_id)::BIGINT
                    AS rn FROM b),
          rxa AS (SELECT x, avg(rn) AS rx FROM rx0 GROUP BY 1),
@@ -6380,16 +6343,19 @@ object SparkEntry {
                  sum(rx) AS srx, sum(ry) AS sry,
                  sum(rx * rx) AS srx2, sum(ry * ry) AS sry2,
                  sum(rx * ry) AS srxy,
-                 sum(x::DOUBLE) AS sx, sum(y) AS sy,
-                 sum(x::DOUBLE * x) AS sx2, sum(y * y) AS sy2,
-                 sum(x::DOUBLE * y) AS sxy
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sx2,
+                 CAST(sum(y * y) AS BIGINT) AS sy2,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
                FROM j)
          SELECT n,
            CAST(round((n * srxy - srx * sry)
              / (sqrt(n * srx2 - srx * srx) * sqrt(n * sry2 - sry * sry))
              * 1e6) AS BIGINT) AS spearman_micro,
-           CAST(round((n * sxy - sx * sy)
-             / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))
+           CAST(round((n::DOUBLE * sxy - sx::DOUBLE * sy)
+             / (sqrt(n::DOUBLE * sx2 - sx::DOUBLE * sx)
+                * sqrt(n::DOUBLE * sy2 - sy::DOUBLE * sy))
              * 1e6) AS BIGINT) AS pearson_micro
          FROM s""",
     // q250: same tokenizer CASE, ceil-chunk arithmetic on exact
@@ -6564,15 +6530,15 @@ object SparkEntry {
     // engine's two-level form (same order keys, same totals); the
     // decile probe is the identical integer boundary test.
     "q258_token_deciles" -> {
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          d0 AS (SELECT doc_id,
                   (CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text),
                           '\\s+'))
                    END)::BIGINT AS n
                 FROM documents),
-         b AS (SELECT d0.doc_id, qq.q, n
-               FROM d0 JOIN qq USING (doc_id) WHERE n > 0),
+         b AS (SELECT d0.doc_id, q2.q_micro AS q, n
+               FROM d0 JOIN qm q2 USING (doc_id) WHERE n > 0),
          c AS (SELECT doc_id, q, n,
                  sum(n) OVER (ORDER BY q, doc_id)::BIGINT AS cum
                FROM b),
@@ -6583,27 +6549,28 @@ object SparkEntry {
                WHERE c.cum * 10 >= dec.d * t.tot),
          m AS (SELECT d, min(cum) AS mcum FROM x GROUP BY 1)
          SELECT x.d::BIGINT AS decile, x.cum AS cum_tokens, x.doc_id,
-           CAST(round(x.q * 1e6) AS BIGINT) AS q_micro
+           x.q AS q_micro
          FROM x JOIN m ON x.d = m.d AND x.cum = m.mcum"""
     },
     // q259: same bucket floor-div, rounded bucket means, identical
     // OLS term order over exact integer bucket indices.
     "q259_quality_drift" ->
-      s"""WITH $qualityCte,
-         s AS (SELECT d.doc_id, d.source, d.doc_id // 50 AS b, qq.q
-               FROM documents d JOIN qq USING (doc_id)),
+      s"""WITH $qMicroCte,
+         s AS (SELECT d.doc_id, d.source, d.doc_id // 50 AS b,
+                 q2.q_micro AS q
+               FROM documents d JOIN qm q2 USING (doc_id)),
          bm AS (SELECT source, b,
-                  CAST(round(avg(q) * 1e6) AS BIGINT) AS mqm
+                  ${sqlIdivHalfUp("sum(q)", "count(*)")} AS mqm
                 FROM s GROUP BY 1, 2),
          ag AS (SELECT source, count(*)::BIGINT AS n,
                   sum(b)::BIGINT AS sx, sum(mqm)::BIGINT AS sy,
                   sum(b * b)::BIGINT AS sx2, sum(b * mqm)::BIGINT AS sxy
                 FROM bm GROUP BY 1)
          SELECT source, n AS n_buckets,
-           CAST(round(sy::DOUBLE / n) AS BIGINT) AS mean_q_micro,
-           CASE WHEN n > 1 THEN
-             CAST(round((n::DOUBLE * sxy - sx * sy)
-               / (n::DOUBLE * sx2 - sx * sx)) AS BIGINT)
+           ${sqlIdivHalfUp("sy", "n")} AS mean_q_micro,
+           CASE WHEN n > 1 AND (n * sx2 - sx * sx) <> 0 THEN
+             ${sqlIdivHalfUpSigned("n * sxy - sx * sy",
+        "n * sx2 - sx * sx")}
            END AS slope_micro_per_bucket
          FROM ag""",
     // q260: the same left-to-right square fold for norms, isnan/isinf
@@ -7053,9 +7020,9 @@ object SparkEntry {
     // q275: the q197-convention exact medians (rank ceil(n/2)) for
     // value and deviation; identical z expression and flag.
     "q275_robust_outliers" ->
-      s"""WITH $qualityCte,
-         s AS (SELECT d.doc_id, d.source, qq.q
-               FROM documents d JOIN qq USING (doc_id)),
+      s"""WITH $qMicroCte,
+         s AS (SELECT d.doc_id, d.source, q2.q_micro AS q
+               FROM documents d JOIN qm q2 USING (doc_id)),
          r1 AS (SELECT source, q, doc_id,
                   row_number() OVER (PARTITION BY source
                     ORDER BY q, doc_id) AS rn,
@@ -7074,12 +7041,11 @@ object SparkEntry {
          mad AS (SELECT source, dev AS mad FROM r2
                  WHERE rn = ceil(cnt / 2))
          SELECT dv.doc_id, dv.source,
-           CAST(round(q * 1e6) AS BIGINT) AS q_micro,
-           CAST(round(med * 1e6) AS BIGINT) AS med_micro,
-           CAST(round(mad * 1e6) AS BIGINT) AS mad_micro,
-           CAST(round(0.6745 * (q - med) / nullif(mad, 0.0) * 1e6)
-             AS BIGINT) AS z_micro,
-           coalesce(abs(0.6745 * (q - med) / nullif(mad, 0.0)) > 3.5,
+           q AS q_micro, med AS med_micro, mad AS mad_micro,
+           CASE WHEN mad = 0 THEN NULL
+                ELSE ${sqlIdivHalfUpSigned("674500 * (q - med)", "mad")}
+           END AS z_micro,
+           coalesce(6745 * abs(q - med) > 35000 * nullif(mad, 0),
              false) AS outlier
          FROM dv JOIN mad USING (source)""",
     // q276: the shared shingle CTE; exact first-owner counts.
@@ -7133,9 +7099,9 @@ object SparkEntry {
     // q279: ECDFs from exact integer cumsums; the sup evaluated at v
     // and v⁻ for every source point; same critical-value constant.
     "q279_source_ks" ->
-      s"""WITH $qualityCte,
-         s AS (SELECT d.doc_id, d.source, qq.q
-               FROM documents d JOIN qq USING (doc_id)),
+      s"""WITH $qMicroCte,
+         s AS (SELECT d.doc_id, d.source, q2.q_micro AS q
+               FROM documents d JOIN qm q2 USING (doc_id)),
          gv AS (SELECT q, count(*)::BIGINT AS gcnt,
                   sum(count(*)) OVER (ORDER BY q
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -7151,18 +7117,19 @@ object SparkEntry {
          nn AS (SELECT count(*)::BIGINT AS bign FROM s),
          j AS (SELECT sv.source, ns.n_s, nn.bign,
                  greatest(
-                   abs(sv.scum::DOUBLE / ns.n_s
-                     - gv.gcum::DOUBLE / nn.bign),
-                   abs((sv.scum - sv.scnt)::DOUBLE / ns.n_s
-                     - (gv.gcum - gv.gcnt)::DOUBLE / nn.bign)) AS d
+                   abs(sv.scum * nn.bign - gv.gcum * ns.n_s),
+                   abs((sv.scum - sv.scnt) * nn.bign
+                     - (gv.gcum - gv.gcnt) * ns.n_s)) AS dnum
                FROM sv JOIN gv USING (q)
                JOIN ns USING (source), nn)
          SELECT source, max(n_s)::BIGINT AS n,
-           CAST(round(max(d) * 1e6) AS BIGINT) AS ks_micro,
+           ${sqlMicroRatio("max(dnum)", "max(n_s) * max(bign)")}
+             AS ks_micro,
            CAST(round(max(1.358 * sqrt((n_s + bign)::DOUBLE
              / (n_s * bign))) * 1e6) AS BIGINT) AS crit_micro,
-           max(d) > max(1.358 * sqrt((n_s + bign)::DOUBLE
-             / (n_s * bign))) AS drifted
+           max(dnum)::DOUBLE / (max(n_s) * max(bign))
+             > max(1.358 * sqrt((n_s + bign)::DOUBLE
+               / (n_s * bign))) AS drifted
          FROM j GROUP BY source""",
     // q280: ISO dow via isodow, hour extraction, exact share math,
     // same 2x-mean peak rule on exact integers.
@@ -7179,10 +7146,10 @@ object SparkEntry {
     // q281: same micro integerization, exact-integer mean pivot,
     // centered small-deviation moments, m2*sqrt(m2) (no pow).
     "q281_normality_audit" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          sc AS (SELECT d.doc_id, d.source,
-                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-                FROM documents d JOIN qq USING (doc_id)),
+                  q2.q_micro AS qm
+                FROM documents d JOIN qm q2 USING (doc_id)),
          mn AS (SELECT source,
                   CAST(round(avg(qm)) AS BIGINT) AS mean_micro
                 FROM sc GROUP BY 1),
@@ -7241,10 +7208,10 @@ object SparkEntry {
     // rank exact-integer; tie term and u2 are BIGINT on both engines;
     // no continuity correction on either side.
     "q283_mannwhitney_drift" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.source,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          gv AS (SELECT qm, count(*)::BIGINT AS gcnt,
                   sum(count(*)) OVER (ORDER BY qm
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -7279,9 +7246,9 @@ object SparkEntry {
     // q284: the q279 KS chain, the asymptotic 2*exp(-2*d^2*ne) tail,
     // micro-quantized p BEFORE the exact-integer BH step-up.
     "q284_ks_fdr" ->
-      s"""WITH $qualityCte,
-         s AS (SELECT d.doc_id, d.source, qq.q
-               FROM documents d JOIN qq USING (doc_id)),
+      s"""WITH $qMicroCte,
+         s AS (SELECT d.doc_id, d.source, q2.q_micro AS q
+               FROM documents d JOIN qm q2 USING (doc_id)),
          gv AS (SELECT q, count(*)::BIGINT AS gcnt,
                   sum(count(*)) OVER (ORDER BY q
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -7297,19 +7264,20 @@ object SparkEntry {
          nn AS (SELECT count(*)::BIGINT AS bign FROM s),
          j AS (SELECT sv.source, ns.n_s, nn.bign,
                  greatest(
-                   abs(sv.scum::DOUBLE / ns.n_s
-                     - gv.gcum::DOUBLE / nn.bign),
-                   abs((sv.scum - sv.scnt)::DOUBLE / ns.n_s
-                     - (gv.gcum - gv.gcnt)::DOUBLE / nn.bign)) AS d
+                   abs(sv.scum * nn.bign - gv.gcum * ns.n_s),
+                   abs((sv.scum - sv.scnt) * nn.bign
+                     - (gv.gcum - gv.gcnt) * ns.n_s)) AS dnum
                FROM sv JOIN gv USING (q)
                JOIN ns USING (source), nn),
          ks AS (SELECT source, max(n_s)::BIGINT AS n_s,
-                  max(bign)::BIGINT AS bign, max(d) AS d
+                  max(bign)::BIGINT AS bign, max(dnum)::BIGINT AS dnum
                 FROM j GROUP BY 1),
          pv AS (SELECT source, n_s AS n,
-                  CAST(round(d * 1e6) AS BIGINT) AS ks_micro,
-                  CAST(round(least(1.0, 2.0 * exp(-2.0 * d * d
-                    * (n_s::DOUBLE * bign / (n_s + bign)))) * 1e6)
+                  ${sqlMicroRatio("dnum", "n_s * bign")} AS ks_micro,
+                  CAST(round(least(1.0,
+                    2.0 * exp(-2.0 * (dnum::DOUBLE / (n_s * bign))
+                      * (dnum::DOUBLE / (n_s * bign))
+                      * (n_s::DOUBLE * bign / (n_s + bign)))) * 1e6)
                     AS BIGINT) AS p_micro
                 FROM ks),
          mm AS (SELECT count(*)::BIGINT AS m FROM pv),
@@ -7387,15 +7355,15 @@ object SparkEntry {
     // q287: same micro bucket clamp, 10x10 threshold join, exact
     // integer sums; empty cuts surface as zero rows via LEFT JOIN.
     "q287_quality_yield" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          xc AS (SELECT doc_id,
                   (CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                    END)::BIGINT AS x
                 FROM documents),
          sc AS (SELECT xc.doc_id, xc.x,
-                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-                FROM xc JOIN qq USING (doc_id)),
+                  q2.q_micro AS qm
+                FROM xc JOIN qm q2 USING (doc_id)),
          bk AS (SELECT least(CAST(floor(qm / 100000.0) AS BIGINT), 9)
                     AS b,
                   count(*)::BIGINT AS n_docs, sum(x)::BIGINT AS n_toks,
@@ -7561,10 +7529,10 @@ object SparkEntry {
     // q292: same (qm, doc_id) rank, exact floor(n/10) trim counts,
     // integer sums with one division per mean.
     "q292_trimmed_mean" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.source,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          r AS (SELECT source, doc_id, qm,
                  row_number() OVER (PARTITION BY source
                    ORDER BY qm, doc_id)::BIGINT AS i,
@@ -7589,10 +7557,10 @@ object SparkEntry {
     // q293: the q279 cumsum frames; decile values via the exact
     // integer predicate 10*cum >= d*n with min(qm) per probe.
     "q293_qq_drift" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.source,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          gv AS (SELECT qm, count(*)::BIGINT AS gcnt,
                   sum(count(*)) OVER (ORDER BY qm
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -7642,10 +7610,10 @@ object SparkEntry {
     // q295: same top-2 pick, the hash60 mod-(n_a+n_b) assignment per
     // replicate, micro-rounded means before the extreme comparison.
     "q295_perm_test" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.source,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          cnt AS (SELECT source, count(*)::BIGINT AS n_src FROM s
                  GROUP BY 1),
          t2 AS (SELECT source, grp FROM
@@ -7788,10 +7756,10 @@ object SparkEntry {
     // q298: the q281 integer-pivot second moment; same z constants
     // and delta, same ceil.
     "q298_power_audit" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.source,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          mn AS (SELECT source, CAST(round(avg(qm)) AS BIGINT)
                   AS mean_micro
                 FROM s GROUP BY 1),
@@ -7811,15 +7779,15 @@ object SparkEntry {
     // q299: the q288 digit-count strata, micro-integer stratum means,
     // exact-integer expectation dot product.
     "q299_adjusted_quality" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          x AS (SELECT doc_id, source,
                  length(CAST((CASE WHEN length(trim(text)) = 0 THEN 0
                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                    END)::BIGINT AS VARCHAR)) AS stratum
                FROM documents),
          s AS (SELECT x.source, x.stratum,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM x JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM x JOIN qm q2 USING (doc_id)),
          cs AS (SELECT stratum, CAST(round(avg(qm)) AS BIGINT)
                   AS cm_micro
                 FROM s GROUP BY 1),
@@ -8000,10 +7968,10 @@ object SparkEntry {
     // q305: exact integer-pivot sd, micro-quantized quotas, the q268
     // Hamilton base/remainder split run twice.
     "q305_neyman_alloc" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.source,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          mn AS (SELECT source, CAST(round(avg(qm)) AS BIGINT)
                   AS mean_micro
                 FROM s GROUP BY 1),
@@ -8443,10 +8411,10 @@ object SparkEntry {
     // q318: the q283 rank frames; H assembled from exact rank sums,
     // tie-corrected, Wilson-Hilferty z on both engines.
     "q318_kruskal_wallis" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.source,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          gv AS (SELECT qm, count(*)::BIGINT AS gcnt,
                   sum(count(*)) OVER (ORDER BY qm
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
@@ -9037,10 +9005,10 @@ object SparkEntry {
     // q332: value-domain cumsums per language, exact-integer drop
     // counts via integral division, the (d+1)-th smallest pick.
     "q332_rate_matched" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.lang,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          g AS (SELECT count(*)::BIGINT AS bign,
                  sum(CASE WHEN qm >= 300000 THEN 1 ELSE 0 END)::BIGINT
                    AS kept
@@ -9066,10 +9034,10 @@ object SparkEntry {
     // q333: same integer mean pivot; lag pairs via shifted
     // equi-joins; one shared denominator.
     "q333_order_acf" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          m AS (SELECT CAST(round(avg(qm)) AS BIGINT) AS m FROM s),
          dv AS (SELECT doc_id, qm - m.m AS d FROM s, m),
          dn AS (SELECT sum(d * d)::BIGINT AS den FROM dv),
@@ -9164,10 +9132,10 @@ object SparkEntry {
     // q336: exact lower medians, integer deviations, the q281 pivot
     // moments, the same redundant (k-1)F/df WH form.
     "q336_brown_forsythe" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.source,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS qm
+               FROM documents d JOIN qm q2 USING (doc_id)),
          r AS (SELECT source, qm,
                  row_number() OVER (PARTITION BY source
                    ORDER BY qm, doc_id) AS rn,
@@ -9221,13 +9189,13 @@ object SparkEntry {
     // identity SE with the sqrt floor, pooled slope from summed
     // moments.
     "q337_slope_heterogeneity" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          s AS (SELECT d.doc_id, d.source,
                  (CASE WHEN length(trim(d.text)) = 0 THEN 0
                    ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
                   END)::BIGINT AS x,
-                 CAST(round(qq.q * 1e6) AS BIGINT) AS y
-               FROM documents d JOIN qq USING (doc_id)),
+                 q2.q_micro AS y
+               FROM documents d JOIN qm q2 USING (doc_id)),
          mom AS (SELECT source, count(*)::BIGINT AS n,
                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
                   sum(x * x)::BIGINT AS sx2, sum(x * y)::BIGINT AS sxy,
@@ -9282,15 +9250,16 @@ object SparkEntry {
     // q339: the q259 bucket means, pairwise micro slopes, the exact
     // lower-median rank pick per source.
     "q339_theil_sen" ->
-      s"""WITH $qualityCte,
-         s AS (SELECT d.doc_id, d.source, d.doc_id // 50 AS b, qq.q
-               FROM documents d JOIN qq USING (doc_id)),
+      s"""WITH $qMicroCte,
+         s AS (SELECT d.doc_id, d.source, d.doc_id // 50 AS b,
+                 q2.q_micro AS q
+               FROM documents d JOIN qm q2 USING (doc_id)),
          bm AS (SELECT source, b,
-                  CAST(round(avg(q) * 1e6) AS BIGINT) AS mqm
+                  ${sqlIdivHalfUp("sum(q)", "count(*)")} AS mqm
                 FROM s GROUP BY 1, 2),
          pr AS (SELECT a.source,
-                 CAST(round((b2.mqm - a.mqm)::DOUBLE / (b2.b - a.b))
-                   AS BIGINT) AS slope_micro
+                 ${sqlIdivHalfUpSigned("b2.mqm - a.mqm", "b2.b - a.b")}
+                   AS slope_micro
                FROM bm a JOIN bm b2
                  ON a.source = b2.source AND b2.b > a.b),
          rk AS (SELECT source, slope_micro,
@@ -9339,31 +9308,31 @@ object SparkEntry {
     "q341_survivor_uplift" ->
       s"""WITH RECURSIVE $canonicalChainCtes,
          mem AS (SELECT lab.cluster_id, sz.cluster_size, lab.doc_id,
-                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
+                  qm.q_micro AS qv
                 FROM lab JOIN sz USING (cluster_id)
-                JOIN qq USING (doc_id)
+                JOIN qm USING (doc_id)
                 WHERE sz.cluster_size > 1),
          rk AS (SELECT mem.*,
                  row_number() OVER (PARTITION BY cluster_id
-                   ORDER BY qm DESC, doc_id ASC) AS r_best,
+                   ORDER BY qv DESC, doc_id ASC) AS r_best,
                  row_number() OVER (PARTITION BY cluster_id
                    ORDER BY doc_id ASC) AS r_min
                FROM mem),
          pc AS (SELECT cluster_id, max(cluster_size) AS cluster_size,
-                  count(*)::BIGINT AS n, sum(qm)::BIGINT AS q_sum,
-                  max(CASE WHEN r_best = 1 THEN qm END)::BIGINT
+                  count(*)::BIGINT AS n, sum(qv)::BIGINT AS q_sum,
+                  max(CASE WHEN r_best = 1 THEN qv END)::BIGINT
                     AS q_best,
-                  max(CASE WHEN r_min = 1 THEN qm END)::BIGINT
+                  max(CASE WHEN r_min = 1 THEN qv END)::BIGINT
                     AS q_minid
                 FROM rk GROUP BY 1)
          SELECT least(cluster_size, 5)::BIGINT AS size_band,
            count(*)::BIGINT AS n_clusters,
-           CAST(round(avg(q_best)) AS BIGINT) AS best_micro,
-           CAST(round(avg(q_minid)) AS BIGINT) AS minid_micro,
-           CAST(round(sum(q_sum)::DOUBLE / sum(n)) AS BIGINT)
-             AS member_micro,
-           CAST(round(avg(q_best)) AS BIGINT)
-             - CAST(round(avg(q_minid)) AS BIGINT) AS uplift_micro
+           ${sqlIdivHalfUp("sum(q_best)", "count(*)")} AS best_micro,
+           ${sqlIdivHalfUp("sum(q_minid)", "count(*)")} AS minid_micro,
+           ${sqlIdivHalfUp("sum(q_sum)", "sum(n)")} AS member_micro,
+           ${sqlIdivHalfUp("sum(q_best)", "count(*)")}
+             - ${sqlIdivHalfUp("sum(q_minid)", "count(*)")}
+             AS uplift_micro
          FROM pc GROUP BY 1""",
     // q342: the q21 pair chain at J >= 0.5, decimal-digit gap bands,
     // cumulative coverage over the bounded band frame.
@@ -9396,7 +9365,7 @@ object SparkEntry {
     // q343: the q310 selection replayed, two-sample z on raw-moment
     // variances, micro means.
     "q343_holdout_rep" ->
-      s"""WITH $qualityCte,
+      s"""WITH $qMicroCte,
          d0 AS (SELECT doc_id, source, lang,
              ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
            FROM documents),
@@ -9412,8 +9381,8 @@ object SparkEntry {
                     AS held_out
                 FROM d0 JOIN ct USING (source, lang)),
          sc AS (SELECT fl2.source, fl2.held_out,
-                  CAST(round(qq.q * 1e6) AS BIGINT) AS qm
-                FROM fl2 JOIN qq USING (doc_id)),
+                  q2.q_micro AS qm
+                FROM fl2 JOIN qm q2 USING (doc_id)),
          ag AS (SELECT source,
                   sum(CASE WHEN held_out THEN 1 ELSE 0 END)::BIGINT
                     AS n_h,
@@ -9650,9 +9619,10 @@ object SparkEntry {
              AS docs_removed,
            sum(CASE WHEN removed THEN tk ELSE 0 END)::BIGINT
              AS tokens_removed,
-           CAST(round(sum(CASE WHEN removed THEN tk ELSE 0
-             END)::DOUBLE / nullif(sum(tk), 0) * 1e6) AS BIGINT)
-             AS removed_ppm
+           CASE WHEN sum(tk) = 0 THEN NULL
+                ELSE ${sqlMicroRatio(
+        "sum(CASE WHEN removed THEN tk ELSE 0 END)", "sum(tk)")}
+           END AS removed_ppm
          FROM j GROUP BY 1""",
     // q350: two lags on the q262 window, bounded trigram cells,
     // top-5 per start with the lexicographic tiebreak.

@@ -83,6 +83,42 @@ object TextFunctions {
       lit(0.1) * (lit(1.0) - least(punctTerm * 10.0, lit(1.0))), 6)
   }
 
+  /** Pure-BIGINT micro-quality — the round-9 integer twin of
+    * [[qualityScore]], and the ONLY quality representation allowed in
+    * hashed, ordered, or grouped output columns. Same three signals
+    * and weights, but every term is an exact integer in micro-units
+    * ([[IntMath.idivHalfUp]] for the two ratios, which are exact at
+    * every half-boundary where the double version is
+    * engine-dependent):
+    *
+    *   len_m   = min(n_tokens * 5000, 1e6)            // min(n/200,1)
+    *   stop_m  = min(halfUp(5e6 * n_stop, n_tokens), 1e6)
+    *   punct_m = min(halfUp(1e7 * n_punct, n_chars), 1e6)
+    *   q_micro = halfUp(5*len_m + 4*stop_m + (1e6 - punct_m), 10)
+    *
+    * DuckDB twin: SparkEntry.qMicroCte. The double [[qualityScore]]
+    * stays for spec-level sanity checks only; `|q_micro/1e6 − q| ≤
+    * 2e-6` is pinned by QualityMicroSpec.
+    */
+  def qualityMicro(c: Column): Column = {
+    import IntMath.idivHalfUp
+    val t = tokenCount(c).cast("long")
+    val nStop = size(filter(tokens(c), w => w.isin(stopwordsEn: _*)))
+      .cast("long")
+    val nPunct = punctCount(c).cast("long")
+    val nChars = length(c).cast("long")
+    val lenM = least(t * lit(5000L), lit(1000000L))
+    val stopM = when(t === 0, lit(0L))
+      .otherwise(least(idivHalfUp(lit(5000000L) * nStop, t), lit(1000000L)))
+    val punctM = when(nChars === 0, lit(0L))
+      .otherwise(
+        least(idivHalfUp(lit(10000000L) * nPunct, nChars), lit(1000000L)))
+    idivHalfUp(
+      lit(5L) * lenM + lit(4L) * stopM + (lit(1000000L) - punctM),
+      lit(10L)
+    )
+  }
+
   /** Per-language marker words for the n-gram/stopword language-ID
     * heuristic. Deterministic tie-break = list order below.
     */

@@ -407,11 +407,10 @@ object Clustering {
     val asg = kmeansAssign(spark, dir)
       .select(col("vec_id").as("doc_id"), col("cluster"))
     val q = TextAnalysis
-      .qualityScoresFrom(Tables.documents(spark, dir))
-      .select(col("doc_id"), round(col("quality"), 6).as("q"))
+      .qualityMicroScoresFrom(Tables.documents(spark, dir))
     val w = Window
       .partitionBy(col("cluster"))
-      .orderBy(col("q").desc, col("doc_id").asc)
+      .orderBy(col("q_micro").desc, col("doc_id").asc)
     asg
       .join(q, Seq("doc_id"))
       .withColumn("rk", row_number().over(w))
@@ -420,7 +419,7 @@ object Clustering {
         col("doc_id"),
         col("cluster"),
         col("rk"),
-        round(col("q") * lit(1e6)).cast("long").as("q_micro")
+        col("q_micro")
       )
   }
 }

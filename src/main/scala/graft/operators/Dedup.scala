@@ -485,7 +485,7 @@ object Dedup {
   def canonicalDocs(spark: SparkSession, dir: String): DataFrame =
     canonicalDocsFrom(
       dedupClusters(spark, dir),
-      TextAnalysis.qualityScores(spark, dir)
+      TextAnalysis.qualityMicroScores(spark, dir)
     )
 
   /** The survivor argmax over prepared cluster labels and quality
@@ -498,8 +498,11 @@ object Dedup {
   ): DataFrame = {
     val labels = clusterLabels
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    // survivor argmax runs on the pure-BIGINT micro-quality (round-9
+    // seam): a DOUBLE key at an ulp boundary can pick a different
+    // survivor per engine; the integer key cannot
     val quality = qualityScores
-      .select(col("doc_id"), round(col("quality"), 6).as("q"))
+      .select(col("doc_id"), col("q_micro"))
     labels
       .join(quality, "doc_id")
       .groupBy(col("cluster_id"))
@@ -507,13 +510,13 @@ object Dedup {
         max(col("cluster_size")).as("cluster_size"),
         // lexicographic struct max: quality desc, then doc_id asc
         // (negated id turns the asc tiebreak into a max)
-        max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best")
+        max(struct(col("q_micro"), (-col("doc_id")).as("nid"))).as("best")
       )
       .select(
         col("cluster_id"),
         col("cluster_size"),
         (-col("best.nid")).as("keep_doc"),
-        col("best.q").as("keep_quality")
+        col("best.q_micro").as("keep_q_micro")
       )
   }
 
@@ -656,7 +659,7 @@ object Dedup {
     // re-run the whole CC iteration
     val labels = dedupClusters(spark, dir).cacheTracked()
     val clustered = labels.select(col("doc_id"), lit(1).as("in_closure"))
-    val keepers = canonicalDocsFrom(labels, TextAnalysis.qualityScores(spark, dir))
+    val keepers = canonicalDocsFrom(labels, TextAnalysis.qualityMicroScores(spark, dir))
       .select(col("keep_doc").as("doc_id"), lit(1).as("survivor"))
     docs
       .join(clustered, Seq("doc_id"), "left")
@@ -675,14 +678,14 @@ object Dedup {
       )
       .withColumn(
         "doc_retention_ppm",
-        round(col("n_docs_kept") * lit(1e6) / col("n_docs")).cast("long")
+        graft.functions.IntMath.microRatio(col("n_docs_kept"), col("n_docs"))
       )
       .withColumn(
         "token_retention_ppm",
         when(col("n_tokens") === 0, 1000000L)
           .otherwise(
-            round(col("n_tokens_kept") * lit(1e6) / col("n_tokens"))
-              .cast("long")
+            graft.functions.IntMath
+              .microRatio(col("n_tokens_kept"), col("n_tokens"))
           )
       )
   }
@@ -747,19 +750,14 @@ object Dedup {
     val labels = dedupClusters(spark, dir)
       .filter(col("cluster_size") >= 2)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    val q = TextAnalysis
-      .qualityScores(spark, dir)
-      .select(
-        col("doc_id"),
-        round(round(col("quality"), 6) * lit(1e6)).cast("long").as("qm")
-      )
+    val q = TextAnalysis.qualityMicroScores(spark, dir)
     labels
       .join(q, Seq("doc_id"))
       .groupBy(col("cluster_id"))
       .agg(
         max(col("cluster_size")).as("cluster_size"),
-        min(col("qm")).as("q_min_micro"),
-        max(col("qm")).as("q_max_micro")
+        min(col("q_micro")).as("q_min_micro"),
+        max(col("q_micro")).as("q_max_micro")
       )
       .withColumn("q_spread_micro", col("q_max_micro") - col("q_min_micro"))
   }
@@ -2221,11 +2219,8 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .filter(col("cluster_size") > 1)
     val quality = TextAnalysis
-      .qualityScores(spark, dir)
-      .select(
-        col("doc_id"),
-        round(col("quality") * 1e6).cast("long").as("qm")
-      )
+      .qualityMicroScores(spark, dir)
+      .select(col("doc_id"), col("q_micro").as("qm"))
     val withQ = labels.join(quality, "doc_id")
     val perCluster = withQ
       .groupBy(col("cluster_id"))
@@ -2253,11 +2248,15 @@ object Dedup {
       )
       .agg(
         count(lit(1)).as("n_clusters"),
-        round(avg(col("q_best"))).cast("long").as("best_micro"),
-        round(avg(col("q_minid"))).cast("long").as("minid_micro"),
-        round(
-          sum(col("q_sum")).cast("double") / sum(col("n"))
-        ).cast("long").as("member_micro")
+        graft.functions.IntMath
+          .idivHalfUp(sum(col("q_best")), count(lit(1)))
+          .as("best_micro"),
+        graft.functions.IntMath
+          .idivHalfUp(sum(col("q_minid")), count(lit(1)))
+          .as("minid_micro"),
+        graft.functions.IntMath
+          .idivHalfUp(sum(col("q_sum")), sum(col("n")))
+          .as("member_micro")
       )
       .select(
         col("size_band"),
@@ -2324,11 +2323,8 @@ object Dedup {
     val labels = dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
     val quality = TextAnalysis
-      .qualityScores(spark, dir)
-      .select(
-        col("doc_id"),
-        round(col("quality"), 6).as("q")
-      )
+      .qualityMicroScores(spark, dir)
+      .select(col("doc_id"), col("q_micro").as("q"))
     val keep = labels
       .join(quality, "doc_id")
       .groupBy(col("cluster_id"))
@@ -2343,10 +2339,12 @@ object Dedup {
           .cast("long")
           .as("tk")
       )
+    // doc_id-keyed shuffle join, NOT a broadcast: the survivor set
+    // is one row per near-dup cluster — at web scale dup mass makes
+    // that billions of rows, far past any driver/broadcast budget
     val removed = labels
       .join(
-        broadcast(keep.select(col("keep_doc").as("doc_id"),
-          lit(true).as("kept"))),
+        keep.select(col("keep_doc").as("doc_id"), lit(true).as("kept")),
         Seq("doc_id"),
         "left"
       )
@@ -2371,10 +2369,11 @@ object Dedup {
         col("n_docs"),
         col("docs_removed"),
         col("tokens_removed"),
-        round(
-          col("tokens_removed").cast("double") /
-            nullif(col("n_tokens"), lit(0L)) * 1e6
-        ).cast("long").as("removed_ppm")
+        when(col("n_tokens") === 0L, lit(null).cast("long"))
+          .otherwise(
+            graft.functions.IntMath
+              .microRatio(col("tokens_removed"), col("n_tokens")))
+          .as("removed_ppm")
       )
   }
 

@@ -53,10 +53,14 @@ object QualityLR {
   val LearningRate = 1.0
   val Iters = 6
 
-  /** One corpus pass → (doc_id, y, f1..f4) with features rounded to
-    * 6 decimals. y = 1.0 for the curated source (`src0`), 0.0
-    * otherwise. Features: n_words/100, mean word length/10,
-    * stopword-token ratio, distinct-token ratio.
+  /** One corpus pass → (doc_id, y, f1m..f4m, f1..f4). The round-9
+    * integer-seam convention: features are DEFINED as exact BIGINT
+    * micro-units (f1m = n_tokens·10⁴ for n/100; f2m/f3m/f4m via
+    * [[graft.functions.IntMath.idivHalfUp]] for the three ratios),
+    * and the double training features are fm/1e6 — an EXACT int→
+    * double conversion, so both engines train on bit-identical
+    * inputs with no float rounding anywhere upstream of the sigmoid.
+    * y = 1.0 for the curated source (`src0`), 0.0 otherwise.
     */
   def features(spark: SparkSession, dir: String): DataFrame =
     featuresFrom(Tables.documents(spark, dir))
@@ -67,8 +71,14 @@ object QualityLR {
     * contract), not private copies.
     */
   def featuresFrom(docs: DataFrame): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
     val toks = graft.functions.TextFunctions.tokens(col("text"))
     val sw = array(graft.functions.TextFunctions.stopwordsEn.map(lit): _*)
+    val n = size(col("toks")).cast("long")
+    val sumLen = aggregate(
+      col("toks"),
+      lit(0L),
+      (acc, w) => acc + length(w).cast("long"))
     docs
       .select(
         col("doc_id"),
@@ -78,36 +88,41 @@ object QualityLR {
       .select(
         col("doc_id"),
         col("y"),
-        round(size(col("toks")).cast("double") / 100.0, 6).as("f1"),
-        round(
-          when(size(col("toks")) === 0, 0.0).otherwise(
-            aggregate(col("toks"), lit(0.0), (acc, w) => acc + length(w).cast("double"))
-              / size(col("toks")) / 10.0
-          ),
-          6
-        ).as("f2"),
-        round(
-          when(size(col("toks")) === 0, 0.0).otherwise(
-            size(filter(col("toks"), w => array_contains(sw, w))).cast("double")
-              / size(col("toks"))
-          ),
-          6
-        ).as("f3"),
-        round(
-          when(size(col("toks")) === 0, 0.0).otherwise(
-            size(array_distinct(col("toks"))).cast("double") / size(col("toks"))
-          ),
-          6
-        ).as("f4")
+        (n * lit(10000L)).as("f1m"),
+        when(n === 0, lit(0L))
+          .otherwise(idivHalfUp(sumLen * lit(100000L), n)).as("f2m"),
+        when(n === 0, lit(0L))
+          .otherwise(idivHalfUp(
+            size(filter(col("toks"), w => array_contains(sw, w)))
+              .cast("long") * lit(1000000L),
+            n)).as("f3m"),
+        when(n === 0, lit(0L))
+          .otherwise(idivHalfUp(
+            size(array_distinct(col("toks"))).cast("long") * lit(1000000L),
+            n)).as("f4m")
       )
+      .withColumn("f1", col("f1m").cast("double") / 1e6)
+      .withColumn("f2", col("f2m").cast("double") / 1e6)
+      .withColumn("f3", col("f3m").cast("double") / 1e6)
+      .withColumn("f4", col("f4m").cast("double") / 1e6)
   }
 
-  /** The trained model as a literal scoring column (rounded to 6 like
-    * every emitted score) — the deployed-config shape: weights travel
-    * as plain numbers, and the same expression scores a batch frame
-    * or a stream (q217).
+  /** The trained model as an exact BIGINT scoring key: z_pico =
+    * w0µ·10⁶ + Σ wjµ·fjm, where wjµ = round(wj·10⁶) (exact — the
+    * weights are 6-decimal-rounded, so wj·10⁶ is within one ulp of an
+    * integer and the round is a snap, never a half-boundary call).
+    * z_pico is a strictly monotone key for the sigmoid probability,
+    * so every ordering/grouping/threshold the gate family needs runs
+    * on pure integers; the sigmoid itself never reaches a hashed
+    * column. Headroom: |w|µ ≤ ~10⁷ and fm ≤ n_tokens·10⁴, so z_pico
+    * stays under 2^63 for documents up to ~10⁸ tokens.
     */
-  def score(w: Array[Double]): Column = round(prob(w), 6)
+  def zPico(w: Array[Double]): Column = {
+    val wm = w.map(x => Math.round(x * 1e6))
+    lit(wm(0)) * lit(1000000L) +
+      lit(wm(1)) * col("f1m") + lit(wm(2)) * col("f2m") +
+      lit(wm(3)) * col("f3m") + lit(wm(4)) * col("f4m")
+  }
 
   /** z = w0 + w1·f1 + … accumulated left-to-right (the oracle writes
     * the same expression order), p = 1/(1+exp(−z)).
@@ -154,12 +169,14 @@ object QualityLR {
   def lrQualityGate(spark: SparkSession, dir: String): DataFrame = {
     val feats = features(spark, dir).localCheckpoint(true)
     val w = train(feats)
+    // z_pico >= 0 ⟺ sigmoid(z) >= 0.5 — the 0.5 decision cut as an
+    // exact integer comparison (round-9 convention: no exp output)
     feats
       .select(
         col("doc_id"),
         col("y").cast("bigint").as("label"),
-        round(prob(w), 6).as("score"),
-        (prob(w) >= 0.5).as("pred_quality")
+        zPico(w).as("z_pico"),
+        (zPico(w) >= 0L).as("pred_quality")
       )
   }
 
@@ -177,26 +194,29 @@ object QualityLR {
     * size.
     */
   /** q216: exact AUC of the trained gate via the Mann-Whitney
-    * rank-sum — ties handled with average ranks (grouped by distinct
-    * score, so the whole statistic is integer arithmetic: with
-    * two_rank_sum = Σ_s n_pos(s)·(2·cum_before(s) + cnt(s) + 1),
+    * rank-sum — ties handled with average ranks, grouped by distinct
+    * z_pico key (AUC is rank-invariant under the monotone sigmoid, so
+    * ranking by the exact integer z is the SAME statistic with zero
+    * float sensitivity: with
+    * two_rank_sum = Σ_z n_pos(z)·(2·cum_before(z) + cnt(z) + 1),
     * U = (two_rank_sum − n₁(n₁+1))/2 and AUC = U/(n₁n₀)), emitted in
-    * micro-units. The threshold-free companion to q199's calibration
-    * deciles: AUC certifies the RANKING (can the gate order docs at
-    * all), calibration certifies the SCORES — a curation team needs
-    * both before using LR output as sampling weights.
+    * micro-units via exact half-up integer division. The
+    * threshold-free companion to q199's calibration deciles: AUC
+    * certifies the RANKING (can the gate order docs at all),
+    * calibration certifies the SCORES — a curation team needs both
+    * before using LR output as sampling weights.
     *
-    * Scale: one scored scan → distinct-score partial agg. Scores are
-    * rounded to 6 decimals, so the grouped frame is ≤ 1,000,001 rows
-    * at ANY corpus size — the single-partition cumulative window runs
-    * on a provably bounded frame (the q164 offsets argument).
+    * Scale: one scored scan → distinct-key partial agg. The grouped
+    * frame is bounded by the distinct feature tuples; the cumulative
+    * window over it is the only global-ordered step (at 100 TB, the
+    * two-level range-partitioned cumsum of q164).
     */
   def lrAuc(spark: SparkSession, dir: String): DataFrame = {
     val byScore = lrQualityGate(spark, dir)
-      .groupBy(col("score"))
+      .groupBy(col("z_pico"))
       .agg(count(lit(1)).as("cnt"), sum(col("label")).as("n_pos_s"))
     val w = Window
-      .orderBy(col("score").asc)
+      .orderBy(col("z_pico").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     byScore
       .withColumn("cum_before", coalesce(sum(col("cnt")).over(w), lit(0L)))
@@ -214,26 +234,39 @@ object QualityLR {
           col("n_pos") === 0 || col("n_pos") === col("n_all"),
           lit(null).cast("long")
         ).otherwise(
-          round(
-            lit(1e6) *
-              (col("trs") - col("n_pos") * (col("n_pos") + 1))
-                .cast("double") /
-              (lit(2) * col("n_pos") * (col("n_all") - col("n_pos")))
-          ).cast("long")
+          graft.functions.IntMath.idivHalfUp(
+            lit(1000000L) *
+              (col("trs") - col("n_pos") * (col("n_pos") + 1)),
+            lit(2L) * col("n_pos") * (col("n_all") - col("n_pos"))
+          )
         ).as("auc_micro")
       )
   }
 
+  /** q199: calibration deciles over the exact z_pico ranking — per
+    * decile, the document count, the exact integer score mass
+    * (sum_z_pico — signed BIGINT, so no mean division enters the
+    * hashed surface), and the positive rate in ppm (exact half-up
+    * integer ratio).
+    */
   def lrCalibration(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("score").desc, col("doc_id").asc)
+      .orderBy(col("z_pico").desc, col("doc_id").asc)
     lrQualityGate(spark, dir)
       .withColumn("decile", ntile(10).over(w))
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("score")), 6).as("mean_score"),
-        round(avg(col("label").cast("double")), 6).as("pos_rate")
+        sum(col("z_pico")).as("sum_z_pico"),
+        sum(col("label")).as("n_pos")
+      )
+      .select(
+        col("decile"),
+        col("n_docs"),
+        col("sum_z_pico"),
+        graft.functions.IntMath
+          .microRatio(col("n_pos"), col("n_docs"))
+          .as("pos_rate_ppm")
       )
   }
 }

@@ -151,14 +151,22 @@ object Sampling {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
     val tot = perShard.agg(sum(col("n_tokens")).as("g_tokens"))
+    // exact-integer imbalance vs the half-up even share: the
+    // two-step form (even share first) keeps every product under
+    // 2^63 at any shard count × corpus size, where the one-shot
+    // n_tokens·shards·1e6 overflows past ~10¹² tokens per shard
     perShard
       .crossJoin(broadcast(tot))
       .select(
         col("shard"),
         col("n_docs"),
         col("n_tokens"),
-        round(col("n_tokens") * lit(numShards) * lit(1e6) / col("g_tokens"))
-          .cast("long").as("balance_ppm")
+        graft.functions.IntMath
+          .microRatio(
+            col("n_tokens"),
+            graft.functions.IntMath
+              .idivHalfUp(col("g_tokens"), lit(numShards.toLong)))
+          .as("balance_ppm")
       )
   }
 
@@ -520,13 +528,16 @@ object Sampling {
       .trigramPerplexityFrom(toks, docTri)
       .filter(col("keep") === 1)
       .select(col("doc_id"))
+    // mean-z cut in exact signed BIGINTs: z·n >= Σz (the round-9
+    // integer-seam form of "score above the corpus mean")
     val lrScored = QualityLR
       .lrQualityGate(spark, dir)
-      .select(col("doc_id"), col("score"))
-    val lrMean = lrScored.agg(avg(col("score")).as("ms"))
+      .select(col("doc_id"), col("z_pico"))
+    val lrMean = lrScored
+      .agg(sum(col("z_pico")).as("sz"), count(lit(1)).as("nz"))
     val lrKeep = lrScored
       .crossJoin(broadcast(lrMean))
-      .filter(col("score") >= col("ms"))
+      .filter(col("z_pico") * col("nz") >= col("sz"))
       .select(col("doc_id"))
     val mlKeep = TextAnalysis
       .mooreLewisSelectFromToks(toksSrc, docTri)
@@ -822,22 +833,22 @@ object Sampling {
     * compare ROUNDED (6 places) so membership is engine-exact.
     */
   def decileByBoundaries(spark: SparkSession, dir: String): DataFrame = {
-    val scored = TextAnalysis
-      .qualityScores(spark, dir)
-      .select(col("doc_id"), col("quality"))
+    // integer micro-quality feeds both the boundary aggregate and the
+    // emitted column (round-9 seam); the interpolated decile
+    // boundaries are exact-integer-derived doubles (n−1)p arithmetic,
+    // bit-identical across engines, and never themselves emitted
+    val scored = TextAnalysis.qualityMicroScores(spark, dir)
     val bounds = scored.agg(
-      transform(
-        expr(
-          "percentile(quality, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"),
-        b => round(b, 6)
-      ).as("bs")
+      expr(
+        "percentile(q_micro, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("bs")
     )
     scored
       .join(broadcast(bounds))
       .select(
         col("doc_id"),
-        col("quality"),
-        (lit(1) + size(filter(col("bs"), b => col("quality") >= b)))
+        col("q_micro"),
+        (lit(1) + size(filter(col("bs"), b => col("q_micro") >= b)))
           .cast("int")
           .as("vbucket")
       )
@@ -851,19 +862,17 @@ object Sampling {
     * corpus through one partition.
     */
   def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val scored = TextAnalysis
-      .qualityScores(spark, dir)
-      .select(col("doc_id"), col("quality"))
+    val scored = TextAnalysis.qualityMicroScores(spark, dir)
     val total = scored.count()
     Ranking
       .withGlobalRank(
         scored,
-        Seq(col("quality").desc, col("doc_id").asc),
+        Seq(col("q_micro").desc, col("doc_id").asc),
         "rk",
         spark.sessionState.conf.numShufflePartitions
       )
       .withColumn("decile", Ranking.ntileFromRank(col("rk"), lit(total), 10))
-      .select(col("doc_id"), col("quality"), col("decile"))
+      .select(col("doc_id"), col("q_micro"), col("decile"))
   }
 
   /** q97: weighted sampling without replacement, k=50, weight =
@@ -1098,16 +1107,18 @@ object Sampling {
       quota: Int = 20
   ): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // decile bin as exact integer division of the micro-quality —
+    // floor(q·10) on a double flips at bin edges across engines;
+    // q_micro div 100000 cannot (round-9 seam)
     val scored = docs
-      .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(col("doc_id"), col("quality")),
-        "doc_id")
+      .join(TextAnalysis.qualityMicroScoresFrom(docs), "doc_id")
       .select(
         col("doc_id"),
         col("lang"),
-        least(floor(round(col("quality"), 6) * 10), lit(9))
-          .cast("int").as("bin")
+        least(
+          graft.functions.IntMath.idiv(col("q_micro"), lit(100000L)),
+          lit(9L)
+        ).cast("int").as("bin")
       )
     val w = Window
       .partitionBy(col("lang"), col("bin"))
@@ -1134,18 +1145,25 @@ object Sampling {
     val docs = Tables.documents(spark, dir)
     val w = Window
       .partitionBy(col("source"))
-      .orderBy(col("q").asc, col("doc_id").asc)
+      .orderBy(col("q_micro").asc, col("doc_id").asc)
+    // percent_rank = (rank−1)/(n−1) emitted as the exact half-up ppm
+    // of its two integer terms (round-9 seam) — the double form can
+    // land exactly on a .5 micro-boundary
     docs
-      .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(col("doc_id"), col("quality")),
-        "doc_id")
+      .join(TextAnalysis.qualityMicroScoresFrom(docs), "doc_id")
+      .select(col("doc_id"), col("source"), col("q_micro"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col("source"))))
       .select(
         col("doc_id"),
         col("source"),
-        round(col("quality"), 6).as("q")
+        col("q_micro"),
+        when(col("n_src") === 1, 0L)
+          .otherwise(
+            graft.functions.IntMath
+              .microRatio(col("rk") - 1, col("n_src") - 1))
+          .as("q_norm_ppm")
       )
-      .withColumn("q_norm", round(percent_rank().over(w), 6))
   }
 
   /** q162: duplication-aware sampling weights — the count-based
@@ -1206,21 +1224,20 @@ object Sampling {
     val docs = Tables.documents(spark, dir)
     val scored = docs
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(col("doc_id"), col("quality")),
+        TextAnalysis.qualityMicroScoresFrom(docs),
         "doc_id")
       .select(
         col("doc_id"),
-        round(col("quality"), 6).as("q"),
+        col("q_micro"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long").as("n_tokens")
       )
     val parts = scored
-      .repartitionByRange(numParts, col("q").desc, col("doc_id").asc)
+      .repartitionByRange(numParts, col("q_micro").desc, col("doc_id").asc)
       .withColumn("pid", spark_partition_id())
     val wIn = Window
       .partitionBy(col("pid"))
-      .orderBy(col("q").desc, col("doc_id").asc)
+      .orderBy(col("q_micro").desc, col("doc_id").asc)
     // materialized once: both the output rows and the offsets frame
     // read this (without it the offsets branch re-derives the whole
     // score+cumsum chain — at 100 TB this is a persisted artifact)
@@ -1245,13 +1262,13 @@ object Sampling {
       .join(broadcast(offsets), Seq("pid"))
       .withColumn("cum_tokens", col("cum_in") + col("off"))
       .filter(col("cum_tokens") - col("n_tokens") < budget)
-      // q is emitted as integer micro-units (the q132/q81
-      // integerization convention): a DOUBLE at a 5e-7 boundary can
-      // hash differently across oracle engines even when the value
-      // is semantically identical; BIGINT removes the sensitivity.
+      // the rank key IS the emitted pure-BIGINT micro-quality
+      // (round-9 seam): no double ever orders or labels the cut, so
+      // an ulp flip can neither reorder the budget nor shift
+      // cum_tokens across engines.
       .select(
         col("doc_id"),
-        round(col("q") * lit(1e6)).cast("long").as("q_micro"),
+        col("q_micro"),
         col("n_tokens"),
         col("cum_tokens"))
   }
@@ -1338,14 +1355,10 @@ object Sampling {
   ): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val scored = docs
-      .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(col("doc_id"), col("quality")),
-        "doc_id"
-      )
+      .join(TextAnalysis.qualityMicroScoresFrom(docs), "doc_id")
       .select(
         col("doc_id"),
-        round(col("quality"), 6).as("q"),
+        col("q_micro").as("q"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long")
           .as("n")
@@ -1396,7 +1409,7 @@ object Sampling {
         col("d").cast("long").as("decile"),
         col("m.cum").as("cum_tokens"),
         col("m.doc_id").as("doc_id"),
-        round(col("m.q") * 1e6).cast("long").as("q_micro")
+        col("m.q").as("q_micro")
       )
   }
 
@@ -1420,8 +1433,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(col("doc_id"), round(col("quality"), 6).as("q")),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("q")),
         "doc_id"
       )
     def medianOf(df: DataFrame, valueCol: String): DataFrame = {
@@ -1441,17 +1454,29 @@ object Sampling {
       withDev.select(col("doc_id"), col("source"), col("dev").as("q")),
       "q"
     ).select(col("source"), col("med").as("mad"))
-    val z = lit(0.6745) * (col("q") - col("med")) / nullif(col("mad"), lit(0.0))
+    // all integers: z_micro = halfUpSigned(674500·(q−med), mad)
+    // (0.6745·Δq/mad in micro-units with Δq, mad both micro), NULL at
+    // mad = 0; the flag |0.6745·Δq/mad| > 3.5 is the exact integer
+    // cross-multiplication 6745·|Δq| > 35000·mad (round-9 seam)
     withDev
       .join(broadcast(mad), "source")
       .select(
         col("doc_id"),
         col("source"),
-        round(col("q") * 1e6).cast("long").as("q_micro"),
-        round(col("med") * 1e6).cast("long").as("med_micro"),
-        round(col("mad") * 1e6).cast("long").as("mad_micro"),
-        round(z * 1e6).cast("long").as("z_micro"),
-        coalesce(abs(z) > 3.5, lit(false)).as("outlier")
+        col("q").as("q_micro"),
+        col("med").as("med_micro"),
+        col("mad").as("mad_micro"),
+        when(col("mad") === 0L, lit(null).cast("long"))
+          .otherwise(
+            graft.functions.IntMath.idivHalfUpSigned(
+              lit(674500L) * (col("q") - col("med")),
+              col("mad")))
+          .as("z_micro"),
+        coalesce(
+          lit(6745L) * abs(col("q") - col("med")) >
+            lit(35000L) * nullif(col("mad"), lit(0L)),
+          lit(false)
+        ).as("outlier")
       )
   }
 
@@ -1475,13 +1500,20 @@ object Sampling {
   def sourceQualityKs(spark: SparkSession, dir: String): DataFrame = {
     val crit = lit(1.358) *
       sqrt((col("n_s") + col("bign")).cast("double") / (col("n_s") * col("bign")))
+    // ks_micro is the exact half-up ratio of the integer sup
+    // numerator over n_s·N; crit keeps its sqrt form (IEEE sqrt is
+    // correctly rounded, hence engine-identical on integer inputs)
+    // and the drift flag compares the same two deterministic doubles
     ksPerSource(spark, dir)
       .select(
         col("source"),
         col("n_s").as("n"),
-        round(col("d") * 1e6).cast("long").as("ks_micro"),
+        graft.functions.IntMath
+          .microRatio(col("dnum"), col("n_s") * col("bign"))
+          .as("ks_micro"),
         round(crit * 1e6).cast("long").as("crit_micro"),
-        (col("d") > crit).as("drifted")
+        (col("dnum").cast("double") /
+          (col("n_s") * col("bign")).cast("double") > crit).as("drifted")
       )
   }
 
@@ -1495,8 +1527,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(col("doc_id"), round(col("quality"), 6).as("q")),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("q")),
         "doc_id"
       )
     val wg = Window
@@ -1518,11 +1550,16 @@ object Sampling {
       scored.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
     )
     val bigN = broadcast(scored.agg(count(lit(1)).as("bign")))
-    val f = col("scum").cast("double") / col("n_s")
-    val fm = (col("scum") - col("scnt")).cast("double") / col("n_s")
-    val g = col("gcum").cast("double") / col("bign")
-    val gm = (col("gcum") - col("gcnt")).cast("double") / col("bign")
-    val d = greatest(abs(f - g), abs(fm - gm))
+    // the sup runs on the EXACT common-denominator numerator
+    // |scum·N − gcum·n_s| (BIGINT; the double ECDF difference can sit
+    // exactly on a .5 micro-boundary — round-9 seam). Headroom: the
+    // n_s·N product caps this form near ~3e9 rows; past that the
+    // per-source KS runs on a sampled ECDF anyway.
+    val dnum = greatest(
+      abs(col("scum") * col("bign") - col("gcum") * col("n_s")),
+      abs((col("scum") - col("scnt")) * col("bign") -
+        (col("gcum") - col("gcnt")) * col("n_s"))
+    )
     sv.join(gv, "q")
       .join(ns, "source")
       .crossJoin(bigN)
@@ -1530,7 +1567,7 @@ object Sampling {
       .agg(
         max(col("n_s")).as("n_s"),
         max(col("bign")).as("bign"),
-        max(d).as("d")
+        max(dnum).as("dnum")
       )
   }
 
@@ -1558,11 +1595,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val wg = Window
@@ -1630,11 +1664,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val wg = Window
@@ -1732,15 +1763,23 @@ object Sampling {
   def ksDriftFdr(spark: SparkSession, dir: String): DataFrame = {
     val ne = col("n_s").cast("double") * col("bign") /
       (col("n_s") + col("bign")).cast("double")
+    // d rebuilt from the exact integer sup numerator (identical
+    // doubles both engines); the one exp stays — its micro
+    // quantization is the only non-integer step left here, shared
+    // verbatim with the oracle
+    val d = col("dnum").cast("double") /
+      (col("n_s") * col("bign")).cast("double")
     val p = least(
       lit(1.0),
-      lit(2.0) * exp(lit(-2.0) * col("d") * col("d") * ne)
+      lit(2.0) * exp(lit(-2.0) * d * d * ne)
     )
     val withP = ksPerSource(spark, dir)
       .select(
         col("source"),
         col("n_s").as("n"),
-        round(col("d") * 1e6).cast("long").as("ks_micro"),
+        graft.functions.IntMath
+          .microRatio(col("dnum"), col("n_s") * col("bign"))
+          .as("ks_micro"),
         round(p * 1e6).cast("long").as("p_micro")
       )
     val m = broadcast(withP.agg(count(lit(1)).as("m")))
@@ -1871,11 +1910,8 @@ object Sampling {
           .as("x")
       )
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val buckets = scored
@@ -2000,11 +2036,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("lang"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     // global pass count at the shipped cut (q >= 0.3)
@@ -2077,11 +2110,8 @@ object Sampling {
           .as("x")
       )
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("y")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("y")),
         "doc_id"
       )
     val mom = scored
@@ -2160,13 +2190,11 @@ object Sampling {
         col("source"),
         (col("doc_id") / lit(bucketSize)).cast("long").as("b")
       )
-      .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(col("doc_id"), col("quality")),
-        "doc_id"
-      )
+      .join(TextAnalysis.qualityMicroScoresFrom(docs), "doc_id")
       .groupBy(col("source"), col("b"))
-      .agg(round(avg(col("quality")) * 1e6).cast("long").as("mqm"))
+      // exact integer bucket mean (round-9 seam)
+      .agg(graft.functions.IntMath
+        .idivHalfUp(sum(col("q_micro")), count(lit(1))).as("mqm"))
     val pairs = bucketMeans
       .join(
         bucketMeans.select(
@@ -2179,10 +2207,10 @@ object Sampling {
       .filter(col("b2") > col("b"))
       .select(
         col("source"),
-        round(
-          (col("mqm2") - col("mqm")).cast("double") /
-            (col("b2") - col("b"))
-        ).cast("long").as("slope_micro")
+        // signed half-up integer pair slope (round-9 seam)
+        graft.functions.IntMath
+          .idivHalfUpSigned(col("mqm2") - col("mqm"), col("b2") - col("b"))
+          .as("slope_micro")
       )
     val w = Window
       .partitionBy(col("source"))
@@ -2220,11 +2248,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val w = Window
@@ -2328,11 +2353,8 @@ object Sampling {
     val held = coverageHoldoutFlags(spark, dir)
     val scored = held
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val agg = scored
@@ -2441,8 +2463,8 @@ object Sampling {
       .select(col("doc_id"), col("cluster_id"))
     val nearKeep = labels
       .join(
-        TextAnalysis.qualityScores(spark, dir)
-          .select(col("doc_id"), round(col("quality"), 6).as("q")),
+        TextAnalysis.qualityMicroScores(spark, dir)
+          .select(col("doc_id"), col("q_micro").as("q")),
         "doc_id"
       )
       .groupBy(col("cluster_id"))
@@ -2550,11 +2572,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val mean = broadcast(
@@ -2832,11 +2851,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val meanF = scored
@@ -2989,11 +3005,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val w = Window
@@ -3045,11 +3058,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val wg = Window
@@ -3124,11 +3134,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     // the two largest sources, ties by name — a deterministic pick
@@ -3321,11 +3328,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val meanF = scored
@@ -3388,11 +3392,8 @@ object Sampling {
         ).as("stratum")
       )
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val corpusStratum = broadcast(
@@ -3450,11 +3451,8 @@ object Sampling {
     val scored = docs
       .select(col("doc_id"), col("source"))
       .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * 1e6).cast("long").as("qm")
-          ),
+        TextAnalysis.qualityMicroScoresFrom(docs)
+          .select(col("doc_id"), col("q_micro").as("qm")),
         "doc_id"
       )
     val meanF = scored
@@ -3617,17 +3615,16 @@ object Sampling {
         col("source"),
         (col("doc_id") / lit(bucketSize)).cast("long").as("b")
       )
-      .join(
-        TextAnalysis.qualityScoresFrom(docs)
-          .select(col("doc_id"), col("quality")),
-        "doc_id"
-      )
+      .join(TextAnalysis.qualityMicroScoresFrom(docs), "doc_id")
     val bucketMeans = scored
       .groupBy(col("source"), col("b"))
-      .agg(round(avg(col("quality")) * 1e6).cast("long").as("mqm"))
-    val n = col("n").cast("double")
-    val slope = (n * col("sxy") - col("sx") * col("sy")) /
-      (n * col("sx2") - col("sx") * col("sx"))
+      // exact integer bucket mean (round-9 seam)
+      .agg(graft.functions.IntMath
+        .idivHalfUp(sum(col("q_micro")), count(lit(1))).as("mqm"))
+    // OLS slope over exact integer sums, emitted via signed half-up
+    // division (round-9 seam: the double quotient can land on .5)
+    val slopeNum = col("n") * col("sxy") - col("sx") * col("sy")
+    val slopeDen = col("n") * col("sx2") - col("sx") * col("sx")
     bucketMeans
       .groupBy(col("source"))
       .agg(
@@ -3640,9 +3637,11 @@ object Sampling {
       .select(
         col("source"),
         col("n").as("n_buckets"),
-        round(col("sy").cast("double") / col("n")).cast("long")
-          .as("mean_q_micro"),
-        when(col("n") > 1, round(slope).cast("long"))
+        graft.functions.IntMath
+          .idivHalfUp(col("sy"), col("n")).as("mean_q_micro"),
+        when(
+          col("n") > 1 && slopeDen =!= 0L,
+          graft.functions.IntMath.idivHalfUpSigned(slopeNum, slopeDen))
           .as("slope_micro_per_bucket")
       )
   }
@@ -3780,16 +3779,12 @@ object Sampling {
   def preferencePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val scored = docs
-      .join(
-        TextAnalysis.qualityScoresFrom(docs).select(
-          col("doc_id"), col("quality")),
-        "doc_id"
-      )
+      .join(TextAnalysis.qualityMicroScoresFrom(docs), "doc_id")
       .select(
         col("lang"),
         col("source"),
         col("doc_id"),
-        round(col("quality"), 6).as("q")
+        col("q_micro").as("q")
       )
     def rank1(ord: Seq[org.apache.spark.sql.Column], prefix: String) = {
       val w = Window.partitionBy(col("lang"), col("source")).orderBy(ord: _*)
@@ -3813,7 +3808,7 @@ object Sampling {
         col("source"),
         col("chosen_id"),
         col("rejected_id"),
-        round(col("chosen_q") - col("rejected_q"), 6).as("margin")
+        (col("chosen_q") - col("rejected_q")).as("margin_micro")
       )
   }
 

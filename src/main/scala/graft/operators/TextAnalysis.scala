@@ -64,6 +64,21 @@ object TextAnalysis {
         qualityScore(col("text")).as("quality")
       )
 
+  /** The round-9 integer quality seam: (doc_id, q_micro) with
+    * q_micro the pure-BIGINT [[graft.functions.TextFunctions
+    * .qualityMicro]] — the ONLY quality frame allowed to feed hashed,
+    * ordered, or grouped output columns (DuckDB twin:
+    * SparkEntry.qMicroCte).
+    */
+  def qualityMicroScores(spark: SparkSession, dir: String): DataFrame =
+    qualityMicroScoresFrom(Tables.documents(spark, dir))
+
+  def qualityMicroScoresFrom(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.functions.TextFunctions.qualityMicro(col("text")).as("q_micro")
+    )
+
   /** q249: length↔quality rank correlation — tie-corrected Spearman ρ
     * (Pearson over average ranks) plus raw Pearson r between per-doc
     * token count and the q15 quality score, as one corpus row. The
@@ -92,7 +107,8 @@ object TextAnalysis {
         size(tokens(col("text"))).cast("long").as("x")
       )
       .join(
-        qualityScores(spark, dir).select(col("doc_id"), col("quality").as("y")),
+        qualityMicroScores(spark, dir)
+          .select(col("doc_id"), col("q_micro").as("y")),
         "doc_id"
       )
     def avgRank(keyName: String): DataFrame = Ranking
@@ -114,15 +130,21 @@ object TextAnalysis {
       sum(col("rx") * col("rx")).as("srx2"),
       sum(col("ry") * col("ry")).as("sry2"),
       sum(col("rx") * col("ry")).as("srxy"),
-      sum(col("x").cast("double")).as("sx"),
+      // raw moments as EXACT BIGINTs (y is the integer micro-quality;
+      // float sums would be summation-order-dependent); the one
+      // int→double cast below is deterministic
+      sum(col("x")).as("sx"),
       sum(col("y")).as("sy"),
-      sum(col("x").cast("double") * col("x")).as("sx2"),
+      sum(col("x") * col("x")).as("sx2"),
       sum(col("y") * col("y")).as("sy2"),
-      sum(col("x").cast("double") * col("y")).as("sxy")
+      sum(col("x") * col("y")).as("sxy")
     )
-    def corr(sa: Column, sb: Column, sa2: Column, sb2: Column, sab: Column) =
-      (col("n") * sab - sa * sb) /
-        (sqrt(col("n") * sa2 - sa * sa) * sqrt(col("n") * sb2 - sb * sb))
+    def corr(sa: Column, sb: Column, sa2: Column, sb2: Column, sab: Column) = {
+      def d(c: Column) = c.cast("double")
+      (d(col("n")) * d(sab) - d(sa) * d(sb)) /
+        (sqrt(d(col("n")) * d(sa2) - d(sa) * d(sa)) *
+          sqrt(d(col("n")) * d(sb2) - d(sb) * d(sb)))
+    }
     s.select(
       col("n"),
       round(
@@ -1416,18 +1438,22 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
       .filter(col("df") >= 3)
     val d = docs.agg(count(lit(1)).as("n_docs"))
-    val expDf = col("n_docs") *
-      (lit(1.0) - exp(-(col("cf").cast("double") / col("n_docs"))))
+    // hashed surface is pure integers: cf, df, n_docs, and the exact
+    // half-up burstiness ratio. The Poisson adaptation ratio
+    // E[df]/df = n_docs·(1−e^(−cf/n_docs))/df needs libm exp — not
+    // correctly rounded, so it differs across engines/versions — and
+    // therefore lives in TermBurstinessSpec (recomputed from the
+    // emitted exact inputs, asserted within tolerance), never in an
+    // emitted column (round-9 convention).
     perTerm
       .crossJoin(broadcast(d))
       .select(
         col("w"),
         col("cf"),
         col("df"),
-        round(col("cf") * lit(1e6) / col("df")).cast("long")
-          .as("burst_micro"),
-        round(expDf * lit(1e6) / col("df")).cast("long")
-          .as("adaptation_micro")
+        col("n_docs"),
+        graft.functions.IntMath.microRatio(col("cf"), col("df"))
+          .as("burst_micro")
       )
   }
 
@@ -1484,10 +1510,9 @@ object TextAnalysis {
       .withColumn("padded_tokens", col("n_docs") * col("cap"))
       .withColumn(
         "waste_ppm",
-        round(
-          (col("padded_tokens") - col("sum_tokens")) * lit(1e6) /
-            col("padded_tokens")
-        ).cast("long")
+        graft.functions.IntMath.microRatio(
+          col("padded_tokens") - col("sum_tokens"),
+          col("padded_tokens"))
       )
   }
 
@@ -1617,34 +1642,33 @@ object TextAnalysis {
       dir: String,
       pseudo: Int = 20
   ): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
     val docs = Tables.documents(spark, dir)
     val scored = docs
       .select(col("doc_id"), col("source"))
-      .join(
-        qualityScoresFrom(docs)
-          .select(
-            col("doc_id"),
-            round(col("quality") * lit(1e6)).cast("long").as("qm")),
-        Seq("doc_id"))
+      .join(qualityMicroScoresFrom(docs), Seq("doc_id"))
     val perSource = scored
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("qm")).as("sum_qm"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("q_micro")).as("sum_qm"))
     val global = perSource.agg(
       sum(col("n_docs")).as("g_n"),
       sum(col("sum_qm")).as("g_sum")
     )
+    // exact integer shrinkage: the global mean is itself a half-up
+    // integer (one extra deterministic rounding vs the pure rational
+    // form (g_n·sum_qm + pseudo·g_sum)/(g_n·(n+pseudo)) — chosen so
+    // the products stay under 2^63 at any corpus size)
     perSource
       .crossJoin(broadcast(global))
       .select(
         col("source"),
         col("n_docs"),
-        round(col("sum_qm").cast("double") / col("n_docs"))
-          .cast("long").as("mean_q_micro"),
-        round(
-          (col("sum_qm") +
-            lit(pseudo.toDouble) * col("g_sum") / col("g_n")) /
-            (col("n_docs") + pseudo)
-        ).cast("long").as("shrunk_q_micro")
+        idivHalfUp(col("sum_qm"), col("n_docs")).as("mean_q_micro"),
+        idivHalfUp(
+          col("sum_qm") +
+            lit(pseudo.toLong) * idivHalfUp(col("g_sum"), col("g_n")),
+          col("n_docs") + lit(pseudo.toLong)
+        ).as("shrunk_q_micro")
       )
   }
 
@@ -1772,10 +1796,12 @@ object TextAnalysis {
     * pass run before choosing curriculum/filter thresholds.
     */
   def qualityHistogram(spark: SparkSession, dir: String): DataFrame =
-    qualityScores(spark, dir)
+    qualityMicroScores(spark, dir)
       .select(
         least(
-          greatest(floor(round(col("quality"), 6) * 20).cast("int"), lit(0)),
+          // bucket = q·20 = q_micro div 50000, exact integers
+          graft.functions.IntMath
+            .idiv(col("q_micro"), lit(50000L)).cast("int"),
           lit(19)
         ).as("bucket")
       )
@@ -2853,18 +2879,30 @@ object TextAnalysis {
     * LM and one of them is mis-calibrated for this corpus.
     */
   def qualityPplCalibration(spark: SparkSession, dir: String): DataFrame = {
-    val q = qualityScores(spark, dir)
-      .select(col("doc_id"), round(col("quality"), 6).as("q"))
-    val p = trigramPerplexity(spark, dir).select(col("doc_id"), col("ppl"))
+    val q = qualityMicroScores(spark, dir)
+    // per-doc ppl is micro-quantized ONCE (the only transcendental
+    // step), then every bin statistic is exact integer arithmetic —
+    // a float avg would be summation-order-dependent (round-9 seam)
+    val p = trigramPerplexity(spark, dir)
+      .select(
+        col("doc_id"),
+        round(col("ppl") * 1e6).cast("long").as("ppl_micro"))
     q.join(p, "doc_id")
       .withColumn(
         "bin",
-        least(floor(col("q") * 10), lit(9)).cast("int"))
+        least(
+          graft.functions.IntMath.idiv(col("q_micro"), lit(100000L)),
+          lit(9L)
+        ).cast("int"))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("q")), 6).as("mean_q"),
-        round(avg(col("ppl")), 6).as("mean_ppl")
+        graft.functions.IntMath
+          .idivHalfUp(sum(col("q_micro")), count(lit(1)))
+          .as("mean_q_micro"),
+        graft.functions.IntMath
+          .idivHalfUp(sum(col("ppl_micro")), count(lit(1)))
+          .as("mean_ppl_micro")
       )
   }
 

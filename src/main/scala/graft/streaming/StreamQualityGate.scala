@@ -31,22 +31,25 @@ object StreamQualityGate {
 
   def streamLrAdmission(spark: SparkSession, dir: String): DataFrame = {
     // offline phase: train on the batch table; model + threshold
-    // become literals (two tiny driver values, never a join)
+    // become literals (three tiny driver values, never a join). The
+    // cut is the corpus-mean z — z_pico·n >= Σz_pico is the mean
+    // comparison in exact signed BIGINTs (round-9 convention: the
+    // sigmoid never reaches an emitted or compared value)
     val feats = QualityLR.features(spark, dir).localCheckpoint(true)
     val w = QualityLR.train(feats)
-    val cut = feats
-      .select(QualityLR.score(w).as("score"))
-      .agg(avg(col("score")).as("cut"))
+    val cutRow = feats
+      .select(QualityLR.zPico(w).as("z"))
+      .agg(sum(col("z")).as("sz"), count(lit(1)).as("n"))
       .head()
-      .getDouble(0)
+    val (sumZ, nDocs) = (cutRow.getLong(0), cutRow.getLong(1))
     // online phase: stateless score-and-admit over the ingest stream
     val admitted = QualityLR
       .featuresFrom(EventStreams.readTableStream(spark, dir, "documents"))
       .select(
         col("doc_id"),
-        QualityLR.score(w).as("score")
+        QualityLR.zPico(w).as("z_pico")
       )
-      .withColumn("admitted", col("score") >= lit(cut))
+      .withColumn("admitted", col("z_pico") * lit(nDocs) >= lit(sumZ))
     EventStreams.runAvailableNow(
       admitted,
       "q217_stream_quality_gate_out",

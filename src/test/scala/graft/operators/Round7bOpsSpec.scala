@@ -29,20 +29,27 @@ class Round7bOpsSpec extends AnyFunSuite {
     val scored = QualityLR.lrQualityGate(spark, dir).cache()
     // log-loss of the trained model must beat w = 0 (whose loss is
     // ln 2 for every row) — the gradient rounds actually learned the
-    // class balance + whatever feature signal exists
+    // class balance + whatever feature signal exists. The sigmoid
+    // lives only here in the spec (round-9 seam: the emitted surface
+    // is the exact integer z_pico, in 1e-12 units: micro-weights ×
+    // micro-features); p = sigmoid(z_pico / 1e12).
+    val p =
+      lit(1.0) / (lit(1.0) + exp(-(col("z_pico").cast("double") / 1e12)))
     val loss = scored
       .select(
         avg(
-          -(col("label") * log(greatest(col("score"), lit(1e-12))) +
+          -(col("label") * log(greatest(p, lit(1e-12))) +
             (lit(1) - col("label")) *
-              log(greatest(lit(1) - col("score"), lit(1e-12))))
+              log(greatest(lit(1) - p, lit(1e-12))))
         ).as("ll")
       )
       .head()
       .getDouble(0)
     assert(loss < math.log(2.0))
-    // scores are probabilities
-    val bad = scored.filter(col("score") < 0 || col("score") > 1).count()
+    // the decision cut is the exact integer sign test
+    val bad = scored
+      .filter(col("pred_quality") =!= (col("z_pico") >= 0L))
+      .count()
     assert(bad === 0L)
   }
 

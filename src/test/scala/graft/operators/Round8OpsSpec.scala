@@ -110,12 +110,19 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
     val total = rows.map(_.getAs[Long]("n_docs")).sum
     assert(total == Tables.documents(spark, dir).count())
-    val means = rows.map(_.getAs[Double]("mean_score"))
-    assert(means.zip(means.tail).forall { case (a, b) => a >= b },
-      "mean score must be non-increasing across deciles")
+    // mean z per decile must be non-increasing — compare the exact
+    // rationals sum/n via cross-multiplication (no float division)
+    val sums = rows.map(_.getAs[Long]("sum_z_pico"))
+    val ns = rows.map(_.getAs[Long]("n_docs"))
+    sums.zip(ns).zip(sums.zip(ns).tail).foreach {
+      case ((sa, na), (sb, nb)) =>
+        assert(
+          BigInt(sa) * nb >= BigInt(sb) * na,
+          "mean z_pico must be non-increasing across deciles")
+    }
     rows.foreach { r =>
-      val pr = r.getAs[Double]("pos_rate")
-      assert(pr >= 0.0 && pr <= 1.0)
+      val pr = r.getAs[Long]("pos_rate_ppm")
+      assert(pr >= 0L && pr <= 1000000L)
     }
   }
 

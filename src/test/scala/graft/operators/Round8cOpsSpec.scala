@@ -89,14 +89,17 @@ class Round8cOpsSpec extends AnyFunSuite {
   test("q216 AUC agrees with a driver-side O(n^2) reference count") {
     val scored = QualityLR
       .lrQualityGate(spark, dir)
-      .select(col("score"), col("label"))
+      .select(col("z_pico"), col("label"))
       .collect()
-      .map(r => (r.getDouble(0), r.getLong(1)))
+      .map(r => (r.getLong(0), r.getLong(1)))
     val pos = scored.filter(_._2 == 1L).map(_._1)
     val neg = scored.filter(_._2 == 0L).map(_._1)
-    val wins = (for (p <- pos; n <- neg)
-      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
-    val want = math.round(1e6 * wins / (pos.length.toLong * neg.length))
+    // pairwise win count in exact half-units: 2·wins
+    val wins2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    // round-half-up(1e6 · wins2 / (2·n1·n0)) — the engine's exact form
+    val den = 2L * pos.length.toLong * neg.length
+    val want = (2L * 1000000L * wins2 + den) / (2L * den)
     val r = QualityLR.lrAuc(spark, dir).collect().head
     assert(r.getAs[Long]("n_pos") == pos.length.toLong)
     assert(r.getAs[Long]("n_neg") == neg.length.toLong)

@@ -45,14 +45,16 @@ class Round8dOpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val cf = r.getAs[Long]("cf")
       val df = r.getAs[Long]("df")
+      val nDocs = r.getAs[Long]("n_docs")
       assert(df >= 3L)
       assert(cf >= df, "a term occurs at least once per containing doc")
       assert(r.getAs[Long]("burst_micro") >= 1000000L,
         "burstiness cf/df is at least 1")
-      // Poisson expectation never exceeds total mass: E[df] <= cf,
-      // and for bursty terms E[df] > df (ratio > 1)
-      val ad = r.getAs[Long]("adaptation_micro")
-      assert(ad >= 0L)
+      // the Poisson adaptation ratio lives HERE, recomputed from the
+      // emitted exact integers (round-9 seam: libm exp never reaches
+      // an emitted column): E[df] = D·(1−e^(−cf/D)) ∈ (0, min(cf, D)]
+      val expDf = nDocs * (1.0 - math.exp(-cf.toDouble / nDocs))
+      assert(expDf > 0.0 && expDf <= math.min(cf, nDocs) + 1e-6)
     }
     // sanity on one term by hand
     val sample = rows.minBy(_.getAs[String]("w"))

@@ -43,11 +43,16 @@ class StreamPackSpec extends AnyFunSuite {
     val rows = Sampling.shardBalance(spark, dir).collect()
     assert(rows.length == 8)
     val total = rows.map(_.getAs[Long]("n_tokens")).sum
-    // Σ shard_ppm ≈ 8 · 1e6 (rounding only)
+    // exact twin of the engine's two-step integer form:
+    // even = halfUp(total/8); ppm = halfUp(n_tokens·1e6/even)
+    def halfUp(a: Long, b: Long): Long = (2 * a + b) / (2 * b)
+    val even = halfUp(total, 8L)
+    // Σ shard_ppm ≈ 8·1e6, slack = the even-share half-unit rounding
+    // amplified by 1e6/even, plus one ulp per shard ratio
     val ppmSum = rows.map(_.getAs[Long]("balance_ppm")).sum
-    assert(math.abs(ppmSum - 8000000L) <= 8L)
+    assert(math.abs(ppmSum - 8000000L) <= 8L + 8000000L / even)
     rows.foreach { r =>
-      val want = math.round(r.getAs[Long]("n_tokens") * 8 * 1e6 / total)
+      val want = halfUp(r.getAs[Long]("n_tokens") * 1000000L, even)
       assert(r.getAs[Long]("balance_ppm") == want)
     }
   }

@@ -26,23 +26,23 @@ class StreamQualityGateSpec extends AnyFunSuite {
       .collect()
       .map(r =>
         r.getAs[Long]("doc_id") ->
-          (r.getAs[Double]("score"), r.getAs[Boolean]("admitted")))
+          (r.getAs[Long]("z_pico"), r.getAs[Boolean]("admitted")))
       .toMap
-    // batch twin: q180's scores, the mean cut applied identically
+    // batch twin: q180's exact integer keys, the mean-z cut applied
+    // as the same exact signed comparison z·n >= Σz (round-9 seam:
+    // no float enters the score or the cut on either side)
     val scored = QualityLR
       .lrQualityGate(spark, dir)
-      .select(col("doc_id"), col("score"))
+      .select(col("doc_id"), col("z_pico"))
       .collect()
-      .map(r => r.getLong(0) -> r.getDouble(1))
+      .map(r => r.getLong(0) -> r.getLong(1))
       .toMap
-    val cut = scored.values.sum / scored.size
+    val sumZ = scored.values.map(BigInt(_)).sum
+    val n = scored.size
     assert(drained.keySet == scored.keySet, "one verdict per document")
-    scored.foreach { case (id, s) =>
-      assert(drained(id)._1 == s, s"doc $id score drift")
-      // the engine's cut is Spark's avg over the same values; allow
-      // the summation-order epsilon only AT the boundary
-      if (math.abs(s - cut) > 1e-9)
-        assert(drained(id)._2 == (s >= cut), s"doc $id admission")
+    scored.foreach { case (id, z) =>
+      assert(drained(id)._1 == z, s"doc $id score drift")
+      assert(drained(id)._2 == (BigInt(z) * n >= sumZ), s"doc $id admission")
     }
     val admitted = drained.values.count(_._2)
     assert(admitted > 0 && admitted < drained.size,
@@ -71,8 +71,7 @@ class StreamQualityGateSpec extends AnyFunSuite {
       .canonicalDocs(spark, dir)
       .collect()
       .map(r =>
-        r.getAs[Long]("cluster_id") ->
-          math.round(r.getAs[Double]("keep_quality") * 1e6))
+        r.getAs[Long]("cluster_id") -> r.getAs[Long]("keep_q_micro"))
       .toMap
     rows.foreach { r =>
       val cid = r.getAs[Long]("cluster_id")
