@@ -1082,6 +1082,74 @@ object ScaleBench {
     require(aliveN == 30000L, s"2-core kept $aliveN nodes, want 30000")
     require(peelDone, "2-core peel did not reach fixpoint in 30 rounds")
 
+    // --- trainable-token ledger funnel at ~100k docs (q360/q200) ------
+    // the composed corpus-accounting funnel with the round-9
+    // de-broadcast plan: exact-dup keep as a WINDOW over md5(text)
+    // (never a corpus-sized broadcast side), a second
+    // normalization-aware window (lowercased hash — the q189 rule)
+    // as the near stage, and the integer micro-quality gate. Known
+    // structure: every 4th replica keeps the source text verbatim, so
+    // exact survivors = (3/4)·N + base exactly; the rest carry a
+    // case-flipped suffix so the NORMALIZED stage collapses each
+    // suffix class once more. Monotone counts + exact closed forms
+    // verify the funnel at 100k+ with zero pairwise work.
+    val ledBase = Tables.documents(spark, dir)
+    val ledN0 = ledBase.count()
+    val led = ledBase
+      .withColumn("rep", explode(sequence(lit(0), lit(docMult - 1))))
+      .select(
+        (col("doc_id") + col("rep") * 500).as("doc_id"),
+        when(col("rep") % 4 === 0, col("text"))
+          .otherwise(
+            concat(col("text"),
+              when(col("rep") % 2 === 1, lit(" REPTAG"))
+                .otherwise(lit(" reptag")),
+              (col("rep") % 5).cast("string")))
+          .as("text")
+      )
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val tLed = System.nanoTime()
+    val wExact = Window.partitionBy(md5(col("text")))
+    val wNorm = Window.partitionBy(md5(lower(col("text"))))
+    val ledger = led
+      .select(
+        col("doc_id"),
+        col("text"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("tk"),
+        graft.functions.TextFunctions.qualityMicro(col("text")).as("qm")
+      )
+      .withColumn("ek", min(col("doc_id")).over(wExact) === col("doc_id"))
+      .withColumn("nk", min(col("doc_id")).over(wNorm) === col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("total_tokens"),
+        sum(when(col("ek"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("ek") && col("nk"), 1L).otherwise(0L))
+          .as("n_norm"),
+        sum(when(col("ek") && col("nk") && col("qm") >= 300000L, 1L)
+          .otherwise(0L)).as("n_gated"),
+        sum(when(col("ek") && col("nk") && col("qm") >= 300000L,
+          col("tk")).otherwise(0L)).as("gated_tokens")
+      )
+      .collect()(0)
+    val ledSec = (System.nanoTime() - tLed) / 1e9
+    val ledDocs = ledger.getLong(0)
+    val ledExact = ledger.getLong(2)
+    val ledNorm = ledger.getLong(3)
+    val ledGated = ledger.getLong(4)
+    // exact survivors: one per source doc + one per distinct
+    // (doc, suffix-case, digit) variant = N0·(1 + min(docMult-1, 10))
+    // for docMult ≥ 11 (2 cases × 5 digits); monotone thereafter
+    require(ledDocs == ledN0 * docMult, "ledger corpus size")
+    if (docMult >= 21)
+      require(ledExact == ledN0 * 11, s"exact survivors $ledExact")
+    // normalization folds the two suffix cases: 1 + 5 classes
+    if (docMult >= 21)
+      require(ledNorm == ledN0 * 6, s"normalized survivors $ledNorm")
+    require(ledGated <= ledNorm && ledNorm <= ledExact, "monotone funnel")
+
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
         s""""ppjoin_docs":$ppN,"ppjoin_candidates":$ppCandN,""" +
@@ -1134,7 +1202,10 @@ object ScaleBench {
         s""""asof_rows":$asofLeftN,"asof_matched":$asofMatched,""" +
         s""""asof_sec":$asofSec,""" +
         s""""session_events":$sessN,"sessions":$nSessions,""" +
-        s""""session_sec":$sessSec}"""
+        s""""session_sec":$sessSec,""" +
+        s""""ledger_docs":$ledDocs,"ledger_exact":$ledExact,""" +
+        s""""ledger_norm":$ledNorm,"ledger_gated":$ledGated,""" +
+        s""""ledger_sec":$ledSec}"""
     )
     spark.stop()
   }

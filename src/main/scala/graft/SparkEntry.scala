@@ -2745,6 +2745,29 @@ object SparkEntry {
                    CAST(octet_length(encode(text)) % 240 + 1 AS INTEGER)
                      AS n_frames
                  FROM documents) a) b""",
+    // q35: the register-level HLL state (shared 60-bit md5 hash, top
+    // 8 bits route, first-1-bit rho) replayed exactly — the estimate
+    // itself is spec-audited, never hashed (round-9 convention).
+    "q35_approx_distinct" ->
+      """WITH h AS (SELECT
+             ('0x' || substr(md5(l_orderkey::VARCHAR), 1, 15))::BIGINT
+               AS h
+           FROM lineitem),
+         r AS (SELECT h >> 52 AS reg,
+                 CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                      ELSE 53 - length(bin(h & 4503599627370495))
+                 END AS rho
+               FROM h),
+         regs AS (SELECT reg, max(rho) AS mj FROM r GROUP BY 1),
+         sk AS (SELECT count(*)::BIGINT AS n_occupied,
+                  sum((1::BIGINT << CAST(53 - mj AS INTEGER)))::BIGINT
+                    AS sum_t
+                FROM regs),
+         ex AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS exact
+                FROM lineitem)
+         SELECT exact, 256::BIGINT AS m,
+           256 - n_occupied AS n_zero_registers, sum_t
+         FROM ex, sk""",
     "q36_salted_join" ->
       """SELECT o_orderpriority,
          round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n_rows
@@ -4277,8 +4300,7 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN tr.gk IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_seen,
-           round(1.0 - sum(CASE WHEN tr.gk IS NOT NULL THEN 1 ELSE 0 END)
-             ::DOUBLE / count(*), 6) AS novelty
+           ((2*(count(*) - sum(CASE WHEN tr.gk IS NOT NULL THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS novelty_ppm
          FROM te LEFT JOIN tr ON te.gk = tr.gk
          GROUP BY doc_id""",
     // q156: identical double widening; mean/stddev_pop per dim
@@ -5482,9 +5504,7 @@ object SparkEntry {
          bt AS (SELECT bucket, sum(n_docs) AS g_cnt FROM c GROUP BY 1),
          gt AS (SELECT sum(n_docs) AS g_tot FROM c),
          r AS (SELECT c.source, c.bucket,
-                 least(1000000, CAST(round(
-                   1e6 * (bt.g_cnt * st.s_tot)::DOUBLE
-                   / (gt.g_tot * c.n_docs)) AS BIGINT)) AS ratio_ppm
+                 least(1000000, ((2*(bt.g_cnt * st.s_tot) * 1000000 + (gt.g_tot * c.n_docs)) // (2*(gt.g_tot * c.n_docs)))) AS ratio_ppm
                FROM c JOIN st USING (source)
                JOIN bt USING (bucket), gt)
          SELECT d.source, d.bucket, count(*) AS n_docs,
@@ -5556,7 +5576,7 @@ object SparkEntry {
                FROM tr JOIN ev ON tr.s = ev.s
                GROUP BY 1, 2)
          SELECT eval_id, count(*) AS n_train_hits,
-           max(CAST(round(inter * 1e6 / n_eval) AS BIGINT))
+           max(((2*(inter) * 1000000 + (n_eval)) // (2*(n_eval))))
              AS max_containment_micro
          FROM p GROUP BY 1""",
     // q215: a3 already ranks every (vec, centroid) distance; rn=1 is
@@ -5632,8 +5652,7 @@ object SparkEntry {
          nv AS (SELECT source, count(*) AS n_novel FROM o GROUP BY 1)
          SELECT t.source, t.n_shingles,
            coalesce(nv.n_novel, 0) AS n_novel,
-           CAST(round(coalesce(nv.n_novel, 0) * 1e6 / t.n_shingles)
-             AS BIGINT) AS novelty_ppm
+           ((2*(coalesce(nv.n_novel, 0)) * 1000000 + (t.n_shingles)) // (2*(t.n_shingles))) AS novelty_ppm
          FROM t LEFT JOIN nv USING (source)""",
     // q220: per-(term, doc) counts → per-term cf/df; identical
     // expected-df expression 1 - exp(-cf/D) on both engines.
@@ -5703,7 +5722,7 @@ object SparkEntry {
          dd AS (SELECT f.doc_id, count(*) AS n_dup
                 FROM frames f JOIN dup USING (fp) GROUP BY 1)
          SELECT pd.doc_id, pd.n_sampled, dd.n_dup,
-           CAST(round(dd.n_dup * 1e6 / pd.n_sampled) AS BIGINT)
+           ((2*(dd.n_dup) * 1000000 + (pd.n_sampled)) // (2*(pd.n_sampled)))
              AS dup_frac_ppm
          FROM pd JOIN dd USING (doc_id)""",
     // q223: the q211 shrinkage chain ranks; one tiny-frame window
@@ -5907,13 +5926,12 @@ object SparkEntry {
              ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
                % 1000000 < r.rate_lo_ppm THEN 1 ELSE 0 END) AS BIGINT))
              AS churn,
-           CAST(round(abs(CAST(sum(CASE WHEN
+           ((2*(abs(CAST(sum(CASE WHEN
              ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
                % 1000000 < r.rate_hi_ppm THEN 1 ELSE 0 END) AS BIGINT)
              - CAST(sum(CASE WHEN
              ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
-               % 1000000 < r.rate_lo_ppm THEN 1 ELSE 0 END) AS BIGINT))
-             * 1e6 / max(r.n_docs)) AS BIGINT) AS churn_ppm
+               % 1000000 < r.rate_lo_ppm THEN 1 ELSE 0 END) AS BIGINT))) * 1000000 + (max(r.n_docs))) // (2*(max(r.n_docs)))) AS churn_ppm
          FROM documents d JOIN r USING (lang)
          GROUP BY 1""",
     // q231: the drained online packer must equal the q53 batch
@@ -6220,11 +6238,24 @@ object SparkEntry {
     // q244: all-pairs cosine (self excluded), top-5 by the same
     // (sim DESC, id ASC) rank, consensus threshold on the count.
     "q244_label_consensus" -> {
-      val pairCos = cosSql("e.embedding", "r.embedding")
-      s"""WITH s AS (SELECT e.vec_id, e.label, r.vec_id AS r_id,
-                 r.label AS r_label, $pairCos AS sim
-               FROM embeddings e JOIN embeddings r
-                 ON e.vec_id <> r.vec_id),
+      val centCos = cosSql("c_vec", "embedding")
+      val pairCos = cosSql("e.embedding", "r.r_vec")
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS c_vec
+                FROM embeddings WHERE vec_id < 8),
+         sims AS (SELECT e.vec_id, e.embedding, e.label, c.cid,
+                    $centCos AS csim
+                  FROM embeddings e, c),
+         asg AS (SELECT vec_id, embedding, label, cid
+                 FROM (SELECT vec_id, embedding, label, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cid ASC) AS rk
+                       FROM sims) t WHERE rk = 1),
+         r AS (SELECT cid, vec_id AS r_id, embedding AS r_vec,
+                 label AS r_label FROM asg),
+         s AS (SELECT e.vec_id, e.label, r.r_id, r.r_label,
+                 $pairCos AS sim
+               FROM asg e JOIN r
+                 ON e.cid = r.cid AND e.vec_id <> r.r_id),
          t AS (SELECT vec_id, label, r_label,
                  row_number() OVER (PARTITION BY vec_id
                    ORDER BY sim DESC, r_id ASC) AS rk
@@ -6293,9 +6324,7 @@ object SparkEntry {
                FROM d)
          SELECT source, count(*)::BIGINT AS n_docs,
            sum(x)::BIGINT AS total_tokens,
-           CAST(round((2.0 * sum(i * x)
-               / (count(*) * nullif(sum(x), 0))
-             - (count(*) + 1)::DOUBLE / count(*)) * 1e6) AS BIGINT)
+           (CASE WHEN ((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000) < 0 THEN -((2*(-((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)) + (count(*) * nullif(sum(x), 0))) // (2*(count(*) * nullif(sum(x), 0)))) ELSE ((2*((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000) + (count(*) * nullif(sum(x), 0))) // (2*(count(*) * nullif(sum(x), 0)))) END)
              AS gini_micro
          FROM r GROUP BY 1""",
     // q248: the q93 CTEs + contingency table; majority via the same
@@ -6314,8 +6343,8 @@ object SparkEntry {
          SELECT cluster, max(size)::BIGINT AS size,
            max(CASE WHEN rk = 1 THEN label END) AS majority_label,
            max(CASE WHEN rk = 1 THEN n_ij END)::BIGINT AS n_majority,
-           CAST(round(max(CASE WHEN rk = 1 THEN n_ij END)::DOUBLE
-             / max(size) * 1e6) AS BIGINT) AS purity_micro,
+           ((2*(max(CASE WHEN rk = 1 THEN n_ij END)) * 1000000
+             + (max(size))) // (2*(max(size)))) AS purity_micro,
            CAST(round(sum(-(n_ij::DOUBLE / size)
              * ln(n_ij::DOUBLE / size)) * 1e6) AS BIGINT)
              AS entropy_micro
@@ -6376,8 +6405,7 @@ object SparkEntry {
            sum(n)::BIGINT AS total_tokens,
            sum(nw)::BIGINT AS n_windows,
            sum(nw * len - n)::BIGINT AS padded_tokens,
-           CAST(round(sum(nw * len - n)::DOUBLE / (sum(nw) * len) * 1e6)
-             AS BIGINT) AS waste_ppm
+           ((2*(sum(nw * len - n)) * 1000000 + (sum(nw) * len)) // (2*(sum(nw) * len))) AS waste_ppm
          FROM w GROUP BY len""",
     // q251: identical translate() alphabets and threshold order.
     "q251_content_type" ->
@@ -6388,13 +6416,9 @@ object SparkEntry {
               ELSE 'prose' END AS content_class
          FROM (SELECT doc_id, length(text)::BIGINT AS n_chars,
                  CASE WHEN length(text) = 0 THEN 0
-                      ELSE CAST(round((length(text)
-                        - length(translate(text, '{}();=<>[]', '')))::DOUBLE
-                        * 1e6 / length(text)) AS BIGINT) END AS sym_ppm,
+                      ELSE ((2*(length(text) - length(translate(text, '{}();=<>[]', ''))) * 1000000 + (length(text))) // (2*(length(text)))) END AS sym_ppm,
                  CASE WHEN length(text) = 0 THEN 0
-                      ELSE CAST(round((length(text)
-                        - length(translate(text, '0123456789', '')))::DOUBLE
-                        * 1e6 / length(text)) AS BIGINT) END AS digit_ppm
+                      ELSE ((2*(length(text) - length(translate(text, '0123456789', ''))) * 1000000 + (length(text))) // (2*(length(text)))) END AS digit_ppm
                FROM documents) t""",
     // q252: same tokenizer, same [.!?]+ / [aeiouy]+ run counts, the
     // vowel-less word floor via the same list filter.
@@ -6414,9 +6438,7 @@ object SparkEntry {
                    AS n_syllables
                FROM t)
          SELECT doc_id, n_words, n_sentences, n_syllables,
-           CAST(round((206.835
-             - 1.015 * (n_words::DOUBLE / n_sentences)
-             - 84.6 * (n_syllables::DOUBLE / n_words)) * 1e6) AS BIGINT)
+           (206835000 - ((2*(1015000 * n_words) + (n_sentences)) // (2*(n_sentences))) - ((2*(84600000 * n_syllables) + (n_words)) // (2*(n_words))))
              AS flesch_micro
          FROM m WHERE n_words > 0""",
     // q253: the shared shingle CTE; buckets via the same floor
@@ -6428,8 +6450,7 @@ object SparkEntry {
          f AS (SELECT sh, min(b) AS first_b FROM p GROUP BY 1)
          SELECT b, count(*)::BIGINT AS n_distinct,
            sum(CASE WHEN first_b = b THEN 1 ELSE 0 END)::BIGINT AS n_new,
-           CAST(round(sum(CASE WHEN first_b = b THEN 1 ELSE 0 END)::DOUBLE
-             / count(*) * 1e6) AS BIGINT) AS novelty_ppm
+           ((2*(sum(CASE WHEN first_b = b THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS novelty_ppm
          FROM p JOIN f USING (sh) GROUP BY 1""",
     // q254: identical trailing-24-rows frame; mean/variance from the
     // same integer window sums; NULL guards via the same k/s2 nulls.
@@ -6596,11 +6617,11 @@ object SparkEntry {
                     AS n_zero_norm,
                   sum(CASE WHEN nonfinite THEN 1 ELSE 0 END)::BIGINT
                     AS n_nonfinite,
-                  CAST(round(min(nrm) * 1e6) AS BIGINT)
+                  min(CAST(round(nrm * 1e6) AS BIGINT))
                     AS min_norm_micro,
-                  CAST(round(sum(nrm) / count(*) * 1e6) AS BIGINT)
+                  ((2*(sum(CAST(round(nrm * 1e6) AS BIGINT))) + (count(*))) // (2*(count(*))))
                     AS mean_norm_micro,
-                  CAST(round(max(nrm) * 1e6) AS BIGINT)
+                  max(CAST(round(nrm * 1e6) AS BIGINT))
                     AS max_norm_micro
                 FROM pr GROUP BY 1)
          SELECT ag.label, n_vecs, n_zero_norm, n_nonfinite,
@@ -6641,7 +6662,7 @@ object SparkEntry {
                  sum(n) OVER (PARTITION BY from_type)::BIGINT AS rt
                FROM c)
          SELECT from_type, to_type, n,
-           CAST(round(n::DOUBLE / rt * 1e6) AS BIGINT) AS p_micro
+           ((2*(n) * 1000000 + (rt)) // (2*(rt))) AS p_micro
          FROM w""",
     // q263: exact-integer label counts; the same least(cap, ...)
     // weight, expected-count and share formulas.
@@ -6651,14 +6672,14 @@ object SparkEntry {
          t AS (SELECT sum(n)::BIGINT AS bign, count(*)::BIGINT AS k
                FROM c),
          w AS (SELECT label, n,
-                 least(10.0, bign::DOUBLE / (k * n)) AS w
+                 least(10000000, ((2*(bign) * 1000000 + (k * n)) // (2*(k * n)))) AS w_micro
                FROM c, t),
-         et AS (SELECT sum(n * w) AS etot FROM w)
-         SELECT label, n,
-           CAST(round(w * 1e6) AS BIGINT) AS weight_micro,
-           CAST(round(n * w) AS BIGINT) AS expected_n,
-           CAST(round(n * w / etot * 1e6) AS BIGINT) AS share_micro
-         FROM w, et""",
+         e AS (SELECT label, n, w_micro, n * w_micro AS e_micro FROM w),
+         et AS (SELECT sum(e_micro)::BIGINT AS etot_micro FROM e)
+         SELECT label, n, w_micro AS weight_micro,
+           ((2*(e_micro) + (1000000)) // (2*(1000000))) AS expected_n,
+           ((2*(e_micro) * 1000000 + (etot_micro)) // (2*(etot_micro))) AS share_micro
+         FROM e, et""",
     // q264: q94's affine scheme at three widths — identical code
     // rounding, reconstruction order, and moment formulas.
     "q264_quant_sweep" ->
@@ -6728,8 +6749,7 @@ object SparkEntry {
                           ORDER BY sim DESC, vec_id ASC) AS rk
                       FROM cnp) t WHERE rk <= 5)
          SELECT np::BIGINT AS nprobe, count(*)::BIGINT AS n_matches,
-           CAST(round(count(*)::DOUBLE
-             / ((SELECT count(*) FROM q) * 5) * 1e6) AS BIGINT)
+           ((2*(count(*)) * 1000000 + ((SELECT count(*) FROM q) * 5)) // (2*((SELECT count(*) FROM q) * 5)))
              AS recall_ppm
          FROM ap JOIN ex USING (q_id, vec_id) GROUP BY np"""
     },
@@ -6774,8 +6794,7 @@ object SparkEntry {
                WHERE (cum - n) + s.i < 1000)
          SELECT source, count(*)::BIGINT AS n_sample,
            count(DISTINCT tok)::BIGINT AS n_types,
-           CAST(round(count(DISTINCT tok)::DOUBLE / count(*) * 1e6)
-             AS BIGINT) AS ttr_micro
+           ((2*(count(DISTINCT tok)) * 1000000 + (count(*))) // (2*(count(*)))) AS ttr_micro
          FROM f GROUP BY 1""",
     // q268: pure integer arithmetic — same remainder, same
     // (rem DESC, source, lang) seat order.
@@ -6882,8 +6901,7 @@ object SparkEntry {
                FROM r, t)
          SELECT stratum, count(*)::BIGINT AS n_terms,
            sum(cnt)::BIGINT AS token_mass,
-           CAST(round(sum(cnt)::DOUBLE / (SELECT tot FROM t) * 1e6)
-             AS BIGINT) AS coverage_ppm
+           ((2*(sum(cnt)) * 1000000 + (SELECT tot FROM t)) // (2*(SELECT tot FROM t))) AS coverage_ppm
          FROM s GROUP BY 1""",
     // q272: the q251 tagger inline + GROUP BY CUBE; GROUPING() uses
     // the same first-arg-MSB bit order as Spark's grouping_id().
@@ -6895,14 +6913,10 @@ object SparkEntry {
                   ELSE 'prose' END AS content_class
            FROM (SELECT doc_id, length(text)::BIGINT AS n_chars,
                    CASE WHEN length(text) = 0 THEN 0
-                        ELSE CAST(round((length(text)
-                          - length(translate(text, '{}();=<>[]', ''))
-                          )::DOUBLE * 1e6 / length(text)) AS BIGINT)
+                        ELSE ((2*(length(text) - length(translate(text, '{}();=<>[]', ''))) * 1000000 + (length(text))) // (2*(length(text))))
                    END AS sym_ppm,
                    CASE WHEN length(text) = 0 THEN 0
-                        ELSE CAST(round((length(text)
-                          - length(translate(text, '0123456789', ''))
-                          )::DOUBLE * 1e6 / length(text)) AS BIGINT)
+                        ELSE ((2*(length(text) - length(translate(text, '0123456789', ''))) * 1000000 + (length(text))) // (2*(length(text))))
                    END AS digit_ppm
                  FROM documents) t),
          base AS (SELECT d.source, d.lang, tg.content_class,
@@ -7057,8 +7071,7 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_shingles,
            sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
                END)::BIGINT AS n_novel,
-           CAST(round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
-             END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS novelty_ppm
+           ((2*(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS novelty_ppm
          FROM p JOIN f USING (s) GROUP BY 1""",
     // q277: the batch q262 oracle verbatim — the stream must land on
     // the identical transition multiset.
@@ -7076,7 +7089,7 @@ object SparkEntry {
                  sum(n) OVER (PARTITION BY from_type)::BIGINT AS rt
                FROM c)
          SELECT from_type, to_type, n,
-           CAST(round(n::DOUBLE / rt * 1e6) AS BIGINT) AS p_micro
+           ((2*(n) * 1000000 + (rt)) // (2*(rt))) AS p_micro
          FROM w""",
     // q278: same lattice pairs, same cosine fold, same floor binning.
     "q278_cosine_histogram" -> {
@@ -7092,7 +7105,7 @@ object SparkEntry {
                GROUP BY 1),
          t AS (SELECT sum(n_pairs)::BIGINT AS tot FROM h)
          SELECT bin, round(-1.0 + bin * 0.1, 1) AS bin_lo, n_pairs,
-           CAST(round(n_pairs::DOUBLE / t.tot * 1e6) AS BIGINT)
+           ((2*(n_pairs) * 1000000 + (t.tot)) // (2*(t.tot)))
              AS share_ppm
          FROM h, t"""
     },
@@ -7140,7 +7153,7 @@ object SparkEntry {
          t AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS n_cells
                FROM c)
          SELECT dow, hod, n,
-           CAST(round(n::DOUBLE / t.tot * 1e6) AS BIGINT) AS share_ppm,
+           ((2*(n) * 1000000 + (t.tot)) // (2*(t.tot))) AS share_ppm,
            n * t.n_cells > t.tot * 2 AS peak
          FROM c, t""",
     // q281: same micro integerization, exact-integer mean pivot,
@@ -7151,7 +7164,7 @@ object SparkEntry {
                   q2.q_micro AS qm
                 FROM documents d JOIN qm q2 USING (doc_id)),
          mn AS (SELECT source,
-                  CAST(round(avg(qm)) AS BIGINT) AS mean_micro
+                  (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END) AS mean_micro
                 FROM sc GROUP BY 1),
          dv AS (SELECT sc.source,
                   (sc.qm - mn.mean_micro)::DOUBLE / 1e6 AS d
@@ -7316,17 +7329,14 @@ object SparkEntry {
                 FROM d JOIN src USING (source)
                 WHERE d.x > 0 GROUP BY 1)
          SELECT src.source, src.n_s AS n_docs, src.n_zero,
-           CAST(round(src.sum_s::DOUBLE / tot.tot * 1e6) AS BIGINT)
+           ((2*(src.sum_s) * 1000000 + (tot.tot)) // (2*(tot.tot)))
              AS tok_share_ppm,
-           CAST(round(wi.t_sum::DOUBLE / (src.n_s::DOUBLE * 1e9) * 1e3)
-             AS BIGINT) AS within_milli,
+           (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s * 1000000)) // (2*(src.n_s * 1000000))) ELSE ((2*(wi.t_sum) + (src.n_s * 1000000)) // (2*(src.n_s * 1000000))) END) AS within_milli,
            CAST(round(src.sum_s::DOUBLE / tot.tot
              * ln((src.sum_s * tot.bign)::DOUBLE
                   / (src.n_s * tot.tot)::DOUBLE) * 1e3) AS BIGINT)
              AS between_milli,
-           CAST(round(src.sum_s::DOUBLE / tot.tot
-             * (wi.t_sum::DOUBLE / (src.n_s::DOUBLE * 1e9)) * 1e3)
-             AS BIGINT) AS contrib_milli
+           (CASE WHEN (src.sum_s * (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s)) // (2*(src.n_s))) ELSE ((2*(wi.t_sum) + (src.n_s)) // (2*(src.n_s))) END)) < 0 THEN -((2*(-(src.sum_s * (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s)) // (2*(src.n_s))) ELSE ((2*(wi.t_sum) + (src.n_s)) // (2*(src.n_s))) END))) + (tot.tot * 1000000)) // (2*(tot.tot * 1000000))) ELSE ((2*(src.sum_s * (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s)) // (2*(src.n_s))) ELSE ((2*(wi.t_sum) + (src.n_s)) // (2*(src.n_s))) END)) + (tot.tot * 1000000)) // (2*(tot.tot * 1000000))) END) AS contrib_milli
          FROM src JOIN wi USING (source), tot""",
     // q286: list slices + list_distinct; the intersection via
     // list_filter/list_contains (exact distinct-term set algebra).
@@ -7348,9 +7358,7 @@ object SparkEntry {
            sum(nh - nb)::BIGINT AS head_only,
            sum(nt - nb)::BIGINT AS tail_only,
            sum(nb)::BIGINT AS both_terms,
-           CAST(round(sum(nh - nb)::DOUBLE
-             / (sum(nh - nb) + sum(nt - nb) + sum(nb)) * 1e6)
-             AS BIGINT) AS lead_ppm
+           ((2*(sum(nh - nb)) * 1000000 + (sum(nh - nb) + sum(nt - nb) + sum(nb))) // (2*(sum(nh - nb) + sum(nt - nb) + sum(nb)))) AS lead_ppm
          FROM c GROUP BY 1""",
     // q287: same micro bucket clamp, 10x10 threshold join, exact
     // integer sums; empty cuts surface as zero rows via LEFT JOIN.
@@ -7377,10 +7385,10 @@ object SparkEntry {
                   coalesce(sum(bk.qm_sum), 0)::BIGINT AS qm_kept
                 FROM th LEFT JOIN bk ON bk.b >= th.k GROUP BY 1)
          SELECT k AS thr_decile, docs_kept, toks_kept,
-           CAST(round(toks_kept::DOUBLE / tt.tot_toks * 1e6) AS BIGINT)
+           ((2*(toks_kept) * 1000000 + (tt.tot_toks)) // (2*(tt.tot_toks)))
              AS tok_share_ppm,
            CASE WHEN docs_kept = 0 THEN 0
-                ELSE CAST(round(qm_kept::DOUBLE / docs_kept) AS BIGINT)
+                ELSE ((2*(qm_kept) + (docs_kept)) // (2*(docs_kept)))
            END AS mean_q_micro
          FROM cu, tt""",
     // q288: the shared gate-flag CTEs, a 3-way feature unpivot, and
@@ -7422,10 +7430,9 @@ object SparkEntry {
                     AS BIGINT))::BIGINT AS h_nano
                 FROM mk JOIN tot USING (gate, feature) GROUP BY 1, 2)
          SELECT mi.gate, mi.feature, hk.n,
-           CAST(round(mi.mi_nano::DOUBLE / 1e3) AS BIGINT) AS mi_micro,
+           (CASE WHEN (mi.mi_nano) < 0 THEN -((2*(-(mi.mi_nano)) + (1000)) // (2*(1000))) ELSE ((2*(mi.mi_nano) + (1000)) // (2*(1000))) END) AS mi_micro,
            CASE WHEN hk.h_nano = 0 THEN 0
-                ELSE CAST(round(mi.mi_nano::DOUBLE / hk.h_nano * 1e6)
-                  AS BIGINT)
+                ELSE (CASE WHEN (mi.mi_nano * 1000000) < 0 THEN -((2*(-(mi.mi_nano * 1000000)) + (hk.h_nano)) // (2*(hk.h_nano))) ELSE ((2*(mi.mi_nano * 1000000) + (hk.h_nano)) // (2*(hk.h_nano))) END)
            END AS nmi_micro
          FROM mi JOIN hk USING (gate, feature)""",
     // q289: the q132 weight chain verbatim; femto-quantized ESS terms
@@ -7442,14 +7449,16 @@ object SparkEntry {
                  CAST(round((qr / qs) * (qr / qs) / n_docs * 1e15)
                    AS BIGINT) AS t_femto
                FROM qr CROSS JOIN qs),
-         fs AS (SELECT sum(t_femto)::BIGINT AS f_sum FROM t)
+         fs AS (SELECT sum(t_femto)::BIGINT AS f_sum FROM t),
+         ti AS (SELECT CAST(sum(n_docs) AS BIGINT) AS toti FROM pl)
          SELECT lang, n_docs::BIGINT AS n_docs,
            CAST(round(q * 1e6) AS BIGINT) AS q_ppm,
            CAST(round(0.5 * tot * q / n_docs * 1e6) AS BIGINT)
              AS rep_micro,
-           CAST(round(1e15 / fs.f_sum) AS BIGINT) AS ess_docs,
-           CAST(round(1e15 / fs.f_sum / tot * 1e6) AS BIGINT) AS ess_ppm
-         FROM t, fs""",
+           ((2*(1000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) AS ess_docs,
+           ((2*(((2*(1000000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) * 1000) + (ti.toti)) // (2*(ti.toti)))
+             AS ess_ppm
+         FROM t, fs, ti""",
     // q290: same exploded length lattice, exact integer clip sums.
     "q290_truncation_loss" ->
       """WITH n AS (SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
@@ -7465,8 +7474,7 @@ object SparkEntry {
              AS docs_truncated,
            sum(n)::BIGINT AS total_tokens,
            sum(least(n, len))::BIGINT AS kept_tokens,
-           CAST(round((sum(n) - sum(least(n, len)))::DOUBLE / sum(n)
-             * 1e6) AS BIGINT) AS lost_ppm
+           ((2*(sum(n) - sum(least(n, len))) * 1000000 + (sum(n))) // (2*(sum(n)))) AS lost_ppm
          FROM x GROUP BY 1""",
     // q291: 12-perm portable signature, four band lattices off one
     // CTE, truth from the exact q21 pair chain at J >= 0.5; the
@@ -7517,11 +7525,10 @@ object SparkEntry {
          raw AS (${perConfig.mkString("\n           UNION ALL\n           ")})
          SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
            CASE WHEN n_true = 0 THEN 0
-                ELSE CAST(round(n_hit::DOUBLE / n_true * 1e6) AS BIGINT)
+                ELSE ((2*(n_hit) * 1000000 + (n_true)) // (2*(n_true)))
            END AS recall_ppm,
            CASE WHEN n_candidates = 0 THEN 0
-                ELSE CAST(round(n_hit::DOUBLE / n_candidates * 1e6)
-                  AS BIGINT)
+                ELSE ((2*(n_hit) * 1000000 + (n_candidates)) // (2*(n_candidates)))
            END AS precision_ppm,
            expected_p50_ppm
          FROM raw"""
@@ -7601,7 +7608,7 @@ object SparkEntry {
                      AS low_margin_n
                  FROM nb GROUP BY 1, 2)
          SELECT cell.lang, cell.pred_lang, cell.n,
-           CAST(round(cell.n::DOUBLE / tr.n_true * 1e6) AS BIGINT)
+           ((2*(cell.n) * 1000000 + (tr.n_true)) // (2*(tr.n_true)))
              AS row_share_ppm,
            CAST(round(cell.mm_sum::DOUBLE / cell.n) AS BIGINT)
              AS mean_margin_micro,
@@ -7663,11 +7670,9 @@ object SparkEntry {
            sum(CASE WHEN abs(rdiff) >= abs(ob.obs) THEN 1 ELSE 0
              END)::BIGINT AS n_extreme,
            count(*)::BIGINT AS b,
-           CAST(round((sum(CASE WHEN abs(rdiff) >= abs(ob.obs)
-             THEN 1 ELSE 0 END) + 1)::DOUBLE / (count(*) + 1) * 1e6)
-             AS BIGINT) AS p_micro,
+           ((2*(sum(CASE WHEN abs(rdiff) >= abs(ob.obs) THEN 1 ELSE 0 END) + 1) * 1000000 + (count(*) + 1)) // (2*(count(*) + 1))) AS p_micro,
            (sum(CASE WHEN abs(rdiff) >= abs(ob.obs) THEN 1 ELSE 0
-             END) + 1)::DOUBLE / (count(*) + 1) < 0.05 AS significant
+             END) + 1) * 20 < (count(*) + 1) AS significant
          FROM rd, ob, nm GROUP BY 1, 2, 3, 4, 5""",
     // q296: integer-div hour buckets, dense zero-filled grid, the
     // milli-mean pivot, exact BIGINT ACF sums, lead() lattice.
@@ -7684,7 +7689,7 @@ object SparkEntry {
                   coalesce(c.x, 0)::BIGINT AS x
                 FROM g LEFT JOIN c USING (event_type, h)),
          m AS (SELECT event_type,
-                 CAST(round(avg(x) * 1e3) AS BIGINT) AS m_milli
+                 ((2*(sum(x) * 1000) + (count(*))) // (2*(count(*)))) AS m_milli
                FROM dn GROUP BY 1),
          dv AS (SELECT dn.event_type, dn.h,
                   1000 * dn.x - m.m_milli AS d
@@ -7709,12 +7714,10 @@ object SparkEntry {
          l AS (SELECT unnest([1, 24, 168])::BIGINT AS lag)
          SELECT event_type, l.lag, n_hours,
            CASE WHEN den = 0 THEN 0
-                ELSE CAST(round((CASE l.lag WHEN 1 THEN num1
-                  WHEN 24 THEN num24 ELSE num168 END)::DOUBLE
-                  / den * 1e6) AS BIGINT)
+                ELSE (CASE WHEN ((CASE l.lag WHEN 1 THEN num1 WHEN 24 THEN num24 ELSE num168 END) * 1000000) < 0 THEN -((2*(-((CASE l.lag WHEN 1 THEN num1 WHEN 24 THEN num24 ELSE num168 END) * 1000000)) + (den)) // (2*(den))) ELSE ((2*((CASE l.lag WHEN 1 THEN num1 WHEN 24 THEN num24 ELSE num168 END) * 1000000) + (den)) // (2*(den))) END)
            END AS acf_micro,
            den <> 0 AND (CASE l.lag WHEN 1 THEN num1
-             WHEN 24 THEN num24 ELSE num168 END)::DOUBLE / den > 0.2
+             WHEN 24 THEN num24 ELSE num168 END) * 5 > den
              AS seasonal
          FROM ag, l""",
     // q297: the q289 chain swept over an unnested alpha lattice; the
@@ -7748,8 +7751,8 @@ object SparkEntry {
                         ORDER BY rep_micro DESC, lang ASC) AS rn
                       FROM t2) WHERE rn = 1)
          SELECT tp.alpha_centi,
-           CAST(round(1e15 / fs.f_sum) AS BIGINT) AS ess_docs,
-           CAST(round(1e15 / fs.f_sum / tp.tot * 1e6) AS BIGINT)
+           ((2*(1000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) AS ess_docs,
+           ((2*(((2*(1000000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) * 1000) + (CAST(tp.tot AS BIGINT))) // (2*(CAST(tp.tot AS BIGINT))))
              AS ess_ppm,
            tp.max_rep_micro, tp.max_rep_lang
          FROM tp JOIN fs USING (alpha_centi)""",
@@ -7760,7 +7763,7 @@ object SparkEntry {
          s AS (SELECT d.doc_id, d.source,
                  q2.q_micro AS qm
                FROM documents d JOIN qm q2 USING (doc_id)),
-         mn AS (SELECT source, CAST(round(avg(qm)) AS BIGINT)
+         mn AS (SELECT source, (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END)
                   AS mean_micro
                 FROM s GROUP BY 1),
          ag AS (SELECT s.source, count(*)::BIGINT AS n,
@@ -7788,10 +7791,10 @@ object SparkEntry {
          s AS (SELECT x.source, x.stratum,
                  q2.q_micro AS qm
                FROM x JOIN qm q2 USING (doc_id)),
-         cs AS (SELECT stratum, CAST(round(avg(qm)) AS BIGINT)
+         cs AS (SELECT stratum, (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END)
                   AS cm_micro
                 FROM s GROUP BY 1),
-         cm AS (SELECT CAST(round(avg(qm)) AS BIGINT) AS corpus_micro
+         cm AS (SELECT (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END) AS corpus_micro
                 FROM s),
          ag AS (SELECT source, stratum, count(*)::BIGINT AS n_ss,
                   sum(qm)::BIGINT AS q_ss
@@ -7848,8 +7851,7 @@ object SparkEntry {
                     AS shapley_24ths
                 FROM pat CROSS JOIN lat GROUP BY 1)
          SELECT sh.gate, tot.n, tot.killed_total, sh.shapley_24ths,
-           CAST(round(sh.shapley_24ths::DOUBLE / (tot.n * 24) * 1e6)
-             AS BIGINT) AS shapley_ppm
+           (CASE WHEN (sh.shapley_24ths * 1000000) < 0 THEN -((2*(-(sh.shapley_24ths * 1000000)) + (tot.n * 24)) // (2*(tot.n * 24))) ELSE ((2*(sh.shapley_24ths * 1000000) + (tot.n * 24)) // (2*(tot.n * 24))) END) AS shapley_ppm
          FROM sh, tot"""
     },
     // q301: the batch q254 chain restricted to CLOSED hours (every
@@ -7904,7 +7906,7 @@ object SparkEntry {
                SELECT 0::BIGINT, (t.n_corpus - ap.n_app)::BIGINT
                FROM t, ap)
          SELECT occurrences, n_vectors,
-           CAST(round(n_vectors::DOUBLE / t.n_corpus * 1e6) AS BIGINT)
+           ((2*(n_vectors) * 1000000 + (t.n_corpus)) // (2*(t.n_corpus)))
              AS share_ppm
          FROM u, t"""
     },
@@ -7959,11 +7961,9 @@ object SparkEntry {
                FROM c, t)
          SELECT source, count(*)::BIGINT AS n_docs,
            sum(sel)::BIGINT AS n_sel,
-           CAST(round(sum(n_tokens)::DOUBLE / t.t * 1000 * 1e3)
-             AS BIGINT) AS expected_milli,
+           ((2*(sum(n_tokens) * 1000000) + (t.t)) // (2*(t.t))) AS expected_milli,
            sum(sel)::BIGINT * 1000
-             - CAST(round(sum(n_tokens)::DOUBLE / t.t * 1000 * 1e3)
-                 AS BIGINT) AS dev_milli
+             - ((2*(sum(n_tokens) * 1000000) + (t.t)) // (2*(t.t))) AS dev_milli
          FROM s, t GROUP BY source, t.t""",
     // q305: exact integer-pivot sd, micro-quantized quotas, the q268
     // Hamilton base/remainder split run twice.
@@ -7972,7 +7972,7 @@ object SparkEntry {
          s AS (SELECT d.doc_id, d.source,
                  q2.q_micro AS qm
                FROM documents d JOIN qm q2 USING (doc_id)),
-         mn AS (SELECT source, CAST(round(avg(qm)) AS BIGINT)
+         mn AS (SELECT source, (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END)
                   AS mean_micro
                 FROM s GROUP BY 1),
          mom AS (SELECT s.source, count(*)::BIGINT AS n_docs,
@@ -7983,13 +7983,12 @@ object SparkEntry {
                   sqrt(s2::DOUBLE / n_docs) AS sd
                 FROM mom),
          tt AS (SELECT sum(n_docs::DOUBLE * sd) AS w_ney,
-                  sum(n_docs)::DOUBLE AS w_prop
+                  sum(n_docs)::BIGINT AS w_prop
                 FROM m2),
          q AS (SELECT m2.source, m2.n_docs, m2.sd,
                  CAST(round(m2.n_docs::DOUBLE * m2.sd / tt.w_ney
                    * 1000 * 1e6) AS BIGINT) AS q_ney,
-                 CAST(round(m2.n_docs::DOUBLE / tt.w_prop * 1000 * 1e6)
-                   AS BIGINT) AS q_prop
+                 ((2*(m2.n_docs * 1000000000) + (tt.w_prop)) // (2*(tt.w_prop))) AS q_prop
                FROM m2, tt),
          b1 AS (SELECT q.*,
                  (q_ney - q_ney % 1000000) // 1000000 AS base_n,
@@ -8075,7 +8074,7 @@ object SparkEntry {
          SELECT doc_id, min(w)::BIGINT AS seg_start,
            max(w)::BIGINT AS seg_end,
            count(*)::BIGINT AS n_windows,
-           CAST(round(avg(energy)) AS BIGINT) AS mean_energy_milli
+           (CASE WHEN (sum(energy)) < 0 THEN -((2*(-(sum(energy))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(energy)) + (count(*))) // (2*(count(*)))) END) AS mean_energy_milli
          FROM k GROUP BY doc_id, grp""",
     // q308: the q296 dense-series CTEs, prefix-sum/prefix-min closed
     // form, same 8-sigma alarm and last-peak tiebreak.
@@ -8092,7 +8091,7 @@ object SparkEntry {
                   coalesce(c.x, 0)::BIGINT AS x
                 FROM g LEFT JOIN c USING (event_type, h)),
          m AS (SELECT event_type,
-                 CAST(round(avg(x) * 1e3) AS BIGINT) AS m_milli
+                 ((2*(sum(x) * 1000) + (count(*))) // (2*(count(*)))) AS m_milli
                FROM dn GROUP BY 1),
          dv AS (SELECT dn.event_type, dn.h,
                   1000 * dn.x - m.m_milli AS d
@@ -8150,8 +8149,7 @@ object SparkEntry {
              AS docs_affected,
            sum(n_matches)::BIGINT AS n_matches,
            sum(n_chars)::BIGINT AS chars_matched,
-           CAST(round(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0
-             END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS affected_ppm
+           ((2*(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS affected_ppm
          FROM p GROUP BY 1, 2"""
     },
     // q310: same hash order, same floor/cap arithmetic, rank-based
@@ -8187,21 +8185,22 @@ object SparkEntry {
                  r.i AS dim, embedding[(r.i + 1)::INT]::DOUBLE AS v
                FROM embeddings CROSS JOIN range(64) r(i)),
          ag AS (SELECT dim, snap_a, count(*)::BIGINT AS n,
-                  sum(v) AS s1, sum(v * v) AS s2
+                  sum(v) AS s1, sum(v * v) AS s2,
+                  sum(CAST(round(v * 1e6) AS BIGINT))::BIGINT AS sm
                 FROM c GROUP BY 1, 2),
-         a AS (SELECT dim, n AS n_a, s1 AS sa1, s2 AS sa2 FROM ag
-               WHERE snap_a),
-         b AS (SELECT dim, n AS n_b, s1 AS sb1, s2 AS sb2 FROM ag
-               WHERE NOT snap_a),
-         j AS (SELECT a.dim, n_a, n_b,
+         a AS (SELECT dim, n AS n_a, s1 AS sa1, s2 AS sa2, sm AS sma
+               FROM ag WHERE snap_a),
+         b AS (SELECT dim, n AS n_b, s1 AS sb1, s2 AS sb2, sm AS smb
+               FROM ag WHERE NOT snap_a),
+         j AS (SELECT a.dim, n_a, n_b, sma, smb,
                  sa1 / n_a AS ma, sb1 / n_b AS mb,
                  sa2 / n_a - (sa1 / n_a) * (sa1 / n_a) AS va,
                  sb2 / n_b - (sb1 / n_b) * (sb1 / n_b) AS vb
                FROM a JOIN b USING (dim))
          SELECT dim::INTEGER AS dim, n_a, n_b,
-           CAST(round(ma * 1e6) AS BIGINT) AS mean_a_micro,
-           CAST(round(mb * 1e6) AS BIGINT) AS mean_b_micro,
-           CAST(round((mb - ma) * 1e6) AS BIGINT) AS delta_micro,
+           (CASE WHEN (sma) < 0 THEN -((2*(-(sma)) + (n_a)) // (2*(n_a))) ELSE ((2*(sma) + (n_a)) // (2*(n_a))) END) AS mean_a_micro,
+           (CASE WHEN (smb) < 0 THEN -((2*(-(smb)) + (n_b)) // (2*(n_b))) ELSE ((2*(smb) + (n_b)) // (2*(n_b))) END) AS mean_b_micro,
+           (CASE WHEN (smb) < 0 THEN -((2*(-(smb)) + (n_b)) // (2*(n_b))) ELSE ((2*(smb) + (n_b)) // (2*(n_b))) END) - (CASE WHEN (sma) < 0 THEN -((2*(-(sma)) + (n_a)) // (2*(n_a))) ELSE ((2*(sma) + (n_a)) // (2*(n_a))) END) AS delta_micro,
            CASE WHEN sqrt(va / n_a + vb / n_b) = 0 THEN 0
                 ELSE CAST(round((mb - ma)
                   / sqrt(va / n_a + vb / n_b) * 1e3) AS BIGINT)
@@ -8233,7 +8232,7 @@ object SparkEntry {
          SELECT source, n_keys, fpp_ppm, bits,
            CAST(round(bits::DOUBLE / n_keys * ln(2.0)) AS BIGINT)
              AS k_hashes,
-           CAST(round(bits::DOUBLE / 8192.0 * 1e3) AS BIGINT)
+           ((2*(bits * 1000) + (8192)) // (2*(8192)))
              AS kib_milli
          FROM y""",
     // q313: generated from the same class seq (RE2 escape column);
@@ -8255,8 +8254,8 @@ object SparkEntry {
            UNION ALL
            SELECT source, total, 'other', total - ($sumAll) FROM p)
          SELECT source, script, sum(n_chars)::BIGINT AS n_chars,
-           CAST(round(sum(n_chars)::DOUBLE
-             / nullif(sum(total), 0) * 1e6) AS BIGINT) AS share_ppm
+           (CASE WHEN sum(total) = 0 THEN NULL
+             ELSE ((2*(sum(n_chars)) * 1000000 + (sum(total))) // (2*(sum(total)))) END) AS share_ppm
          FROM u GROUP BY 1, 2"""
     },
     // q314: same length lattice; window-min argmin flags over the
@@ -8282,11 +8281,9 @@ object SparkEntry {
                   min(lost_tokens) AS min_lost
                 FROM ag)
          SELECT len, n_docs, total_tokens, padded_tokens,
-           CAST(round(padded_tokens::DOUBLE / padded_capacity * 1e6)
-             AS BIGINT) AS pad_waste_ppm,
+           ((2*(padded_tokens) * 1000000 + (padded_capacity)) // (2*(padded_capacity))) AS pad_waste_ppm,
            lost_tokens,
-           CAST(round(lost_tokens::DOUBLE / total_tokens * 1e6)
-             AS BIGINT) AS lost_ppm,
+           ((2*(lost_tokens) * 1000000 + (total_tokens)) // (2*(total_tokens))) AS lost_ppm,
            CASE WHEN padded_tokens < lost_tokens THEN 'pack'
                 ELSE 'truncate' END AS cheaper_design,
            padded_tokens = mm.min_pad AS best_pack_l,
@@ -8371,8 +8368,7 @@ object SparkEntry {
          sc AS (SELECT ib.event_type, ib.hour_us, ib.user_id,
                   ib.n_in_hour, us.user_n,
                   ib.n_in_hour * 1000000
-                    - CAST(round(us.user_n::DOUBLE / tt.type_n
-                        * ib.hour_n * 1e6) AS BIGINT) AS excess_micro
+                    - ((2*(us.user_n * ib.hour_n) * 1000000 + (tt.type_n)) // (2*(tt.type_n))) AS excess_micro
                 FROM ib JOIN us USING (event_type, user_id)
                 JOIN tt USING (event_type)),
          rk AS (SELECT sc.*, row_number() OVER
@@ -8405,8 +8401,7 @@ object SparkEntry {
                     AS f2_est
                 FROM pj GROUP BY 1)
          SELECT ex.source, ex.f2_exact, es.f2_est,
-           CAST(round(abs(es.f2_est - ex.f2_exact)::DOUBLE
-             / ex.f2_exact * 1e6) AS BIGINT) AS err_ppm
+           ((2*(abs(es.f2_est - ex.f2_exact)) * 1000000 + (ex.f2_exact)) // (2*(ex.f2_exact))) AS err_ppm
          FROM ex JOIN es USING (source)""",
     // q318: the q283 rank frames; H assembled from exact rank sums,
     // tie-corrected, Wilson-Hilferty z on both engines.
@@ -8449,7 +8444,7 @@ object SparkEntry {
                    / sqrt(2.0 / (9.0 * df)) AS z
                FROM h2)
          SELECT ag.source, ag.n_s AS n,
-           CAST(round(ag.r2::DOUBLE / (2.0 * ag.n_s) * 1e3) AS BIGINT)
+           ((2*(ag.r2 * 1000) + (2 * ag.n_s)) // (2*(2 * ag.n_s)))
              AS mean_rank_milli,
            CAST(round(h3.h * 1e3) AS BIGINT) AS h_milli,
            CAST(round(h3.hc * 1e3) AS BIGINT) AS hc_milli,
@@ -8486,15 +8481,20 @@ object SparkEntry {
          qq2 AS (SELECT tot.*,
                   3.0 * (4.0 * (cg * cg + cl * cl + cm * cm + cp * cp
                     )::DOUBLE - sum_r::DOUBLE * sum_r)
-                    / (4 * sum_r - sum_r2)::DOUBLE AS q
+                    / (4 * sum_r - sum_r2)::DOUBLE AS q,
+                  3 * (4 * (cg * cg + cl * cl + cm * cm + cp * cp)
+                    - sum_r * sum_r) AS q_num,
+                  4 * sum_r - sum_r2 AS q_den
                 FROM tot),
-         u AS (SELECT 'gopher' AS gate, n, cg AS n_pass, q FROM qq2
-               UNION ALL SELECT 'lr', n, cl, q FROM qq2
-               UNION ALL SELECT 'ml', n, cm, q FROM qq2
-               UNION ALL SELECT 'ppl', n, cp, q FROM qq2)
+         u AS (SELECT 'gopher' AS gate, n, cg AS n_pass, q, q_num,
+                 q_den FROM qq2
+               UNION ALL SELECT 'lr', n, cl, q, q_num, q_den FROM qq2
+               UNION ALL SELECT 'ml', n, cm, q, q_num, q_den FROM qq2
+               UNION ALL SELECT 'ppl', n, cp, q, q_num, q_den FROM qq2)
          SELECT gate, n, n_pass,
-           CAST(round(n_pass::DOUBLE / n * 1e6) AS BIGINT) AS pass_ppm,
-           CAST(round(q * 1e3) AS BIGINT) AS q_milli,
+           ((2*(n_pass) * 1000000 + (n)) // (2*(n))) AS pass_ppm,
+           CASE WHEN q_den = 0 THEN 0
+                ELSE (CASE WHEN (q_num * 1000) < 0 THEN -((2*(-(q_num * 1000)) + (q_den)) // (2*(q_den))) ELSE ((2*(q_num * 1000) + (q_den)) // (2*(q_den))) END) END AS q_milli,
            q > 7.815 AS gates_differ
          FROM u""",
     // q320: q280's ISO dow cells as the seasonal profile, exact
@@ -8508,7 +8508,7 @@ object SparkEntry {
                   hour(hour)::BIGINT AS hod
                 FROM h),
          cells AS (SELECT event_type, dow, hod,
-                    CAST(round(avg(n) * 1e3) AS BIGINT) AS m_milli
+                    ((2*(sum(n) * 1000) + (count(*))) // (2*(count(*)))) AS m_milli
                   FROM hh GROUP BY 1, 2, 3),
          wr AS (SELECT hh.event_type, hh.hour, hh.n,
                   1000 * hh.n - cells.m_milli AS r
@@ -8595,7 +8595,7 @@ object SparkEntry {
                   sum(c_nano)::BIGINT AS chi2_nano
                 FROM cc GROUP BY 1)
          SELECT from_type, n_first_half, n_second_half,
-           CAST(round(chi2_nano::DOUBLE / 1e9 * 1e3) AS BIGINT)
+           ((2*(chi2_nano) + (1000000)) // (2*(1000000)))
              AS chi2_milli,
            (n_cells - 1)::BIGINT AS df,
            CAST(round((pow((chi2_nano::DOUBLE / 1e9)
@@ -8643,10 +8643,9 @@ object SparkEntry {
                    * exp(-az * az)) AS p
                 FROM pb),
          wp2 AS (SELECT gate, source, n_s, k_s,
-                  CAST(round(k_s::DOUBLE / n_s * 1e6) AS BIGINT)
+                  ((2*(k_s) * 1000000 + (n_s)) // (2*(n_s)))
                     AS rate_ppm,
-                  CAST(round((k_g - k_s)::DOUBLE / (n_g - n_s) * 1e6)
-                    AS BIGINT) AS rest_ppm,
+                  ((2*(k_g - k_s) * 1000000 + (n_g - n_s)) // (2*(n_g - n_s))) AS rest_ppm,
                   CAST(round(z * 1e3) AS BIGINT) AS z_milli,
                   CAST(round(p * 1e6) AS BIGINT) AS p_micro
                 FROM pc),
@@ -8706,14 +8705,10 @@ object SparkEntry {
                       SELECT doc_a, doc_b FROM cb))::BIGINT AS n_union,
                   (SELECT count(*) FROM truth)::BIGINT AS n_true)
          SELECT n_a, n_b, n_both, n_union, n_true,
-           CAST(round(((n_a + 1)::DOUBLE * (n_b + 1) / (n_both + 1)
-             - 1.0) * 1e3) AS BIGINT) AS chapman_milli,
-           CAST(round(n_union::DOUBLE / ((n_a + 1)::DOUBLE * (n_b + 1)
-             / (n_both + 1) - 1.0) * 1e6) AS BIGINT) AS caught_ppm,
+           (CASE WHEN (((n_a + 1) * (n_b + 1) - (n_both + 1)) * 1000) < 0 THEN -((2*(-(((n_a + 1) * (n_b + 1) - (n_both + 1)) * 1000)) + (n_both + 1)) // (2*(n_both + 1))) ELSE ((2*(((n_a + 1) * (n_b + 1) - (n_both + 1)) * 1000) + (n_both + 1)) // (2*(n_both + 1))) END) AS chapman_milli,
+           ((2*(n_union * (n_both + 1)) * 1000000 + ((n_a + 1) * (n_b + 1) - (n_both + 1))) // (2*((n_a + 1) * (n_b + 1) - (n_both + 1)))) AS caught_ppm,
            CASE WHEN n_true = 0 THEN 0
-                ELSE CAST(round(abs((n_a + 1)::DOUBLE * (n_b + 1)
-                  / (n_both + 1) - 1.0 - n_true::DOUBLE)
-                  / n_true * 1e6) AS BIGINT)
+                ELSE ((2*(abs((n_a + 1) * (n_b + 1) - (n_both + 1) - n_true * (n_both + 1))) * 1000000 + ((n_both + 1) * n_true)) // (2*((n_both + 1) * n_true)))
            END AS est_err_ppm
          FROM st""",
     // q324: same wrapped positive pick, same 8-id negative window,
@@ -8741,8 +8736,7 @@ object SparkEntry {
          SELECT label, count(*)::BIGINT AS n_triplets,
            sum(CASE WHEN c_pos < c_neg + 0.05 THEN 1 ELSE 0
              END)::BIGINT AS n_violated,
-           CAST(round(sum(CASE WHEN c_pos < c_neg + 0.05 THEN 1
-             ELSE 0 END)::DOUBLE / count(*) * 1e6) AS BIGINT)
+           ((2*(sum(CASE WHEN c_pos < c_neg + 0.05 THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))
              AS violation_ppm
          FROM tri GROUP BY 1"""
     },
@@ -8790,29 +8784,39 @@ object SparkEntry {
     // q326: the q15 component formulas, micro per doc, exact sums,
     // headroom argmax with the len > stop > punct tie order.
     "q326_quality_components" ->
-      """WITH c AS (SELECT source,
-             CAST(round(0.5 * least((CASE WHEN length(trim(text)) = 0
-                 THEN 0 ELSE len(regexp_split_to_array(trim(text),
-                 '\s+')) END)::DOUBLE / 200.0, 1.0) * 1e6) AS BIGINT)
-               AS lm,
-             CAST(round(0.4 * least((CASE WHEN len(toks) = 0 THEN 0.0
-                 ELSE len(list_filter(toks, w -> w IN
-                   ('the','a','an','and','or','of','to','in','is','it')
-                   ))::DOUBLE / len(toks) END) * 5.0, 1.0) * 1e6)
-               AS BIGINT) AS sm,
-             CAST(round(0.1 * (1.0 - least((CASE WHEN length(text) = 0
-                 THEN 0.0 ELSE (length(text) - length(translate(text,
-                 '.,!?;:', '')))::DOUBLE / length(text) END) * 10.0,
-                 1.0)) * 1e6) AS BIGINT) AS pm
-           FROM (SELECT source, text,
-                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                        ELSE regexp_split_to_array(trim(text), '\s+')
-                   END AS toks
-                 FROM documents) t),
+      """WITH t0 AS (SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS n_toks,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(list_filter(
+                    regexp_split_to_array(trim(text), '\s+'),
+                    w -> w IN ('the','a','an','and','or','of','to',
+                      'in','is','it')))
+             END AS n_stop,
+             length(text)
+               - length(translate(text, '.,!?;:', '')) AS n_punct,
+             length(text) AS n_chars
+           FROM documents),
+         t1 AS (SELECT source,
+             least(n_toks * 5000, 1000000) AS len_m,
+             CASE WHEN n_toks = 0 THEN 0
+                  ELSE least(((2*(5000000 * n_stop) + (n_toks)) // (2*(n_toks))), 1000000)
+             END AS stop_m,
+             CASE WHEN n_chars = 0 THEN 0
+                  ELSE least(((2*(10000000 * n_punct) + (n_chars)) // (2*(n_chars))),
+                    1000000)
+             END AS punct_m
+           FROM t0),
+         c AS (SELECT source,
+             ((2*(len_m) + (2)) // (2*(2))) AS lm,
+             ((2*(2 * stop_m) + (5)) // (2*(5))) AS sm,
+             ((2*(1000000 - punct_m) + (10)) // (2*(10))) AS pm
+           FROM t1),
          ag AS (SELECT source, count(*)::BIGINT AS n,
-                  CAST(round(avg(lm)) AS BIGINT) AS len_micro,
-                  CAST(round(avg(sm)) AS BIGINT) AS stop_micro,
-                  CAST(round(avg(pm)) AS BIGINT) AS punct_micro
+                  (CASE WHEN (sum(lm)) < 0 THEN -((2*(-(sum(lm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(lm)) + (count(*))) // (2*(count(*)))) END) AS len_micro,
+                  (CASE WHEN (sum(sm)) < 0 THEN -((2*(-(sum(sm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(sm)) + (count(*))) // (2*(count(*)))) END) AS stop_micro,
+                  (CASE WHEN (sum(pm)) < 0 THEN -((2*(-(sum(pm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(pm)) + (count(*))) // (2*(count(*)))) END) AS punct_micro
                 FROM c GROUP BY 1)
          SELECT source, n, len_micro, stop_micro, punct_micro,
            len_micro + stop_micro + punct_micro AS mean_q_micro,
@@ -8840,10 +8844,8 @@ object SparkEntry {
                 FROM sv GROUP BY 1),
          tt AS (SELECT sum(var_nano)::BIGINT AS tot_nano FROM ps)
          SELECT subspace, var_nano,
-           CAST(round(var_nano::DOUBLE / tt.tot_nano * 1e6) AS BIGINT)
-             AS share_ppm,
-           CAST(round(var_nano::DOUBLE / tt.tot_nano * 8.0 * 1e3)
-             AS BIGINT) AS imbalance_milli
+           ((2*(var_nano) * 1000000 + (tt.tot_nano)) // (2*(tt.tot_nano))) AS share_ppm,
+           ((2*(var_nano * 8000) + (tt.tot_nano)) // (2*(tt.tot_nano))) AS imbalance_milli
          FROM ps, tt""",
     // q328: the q115 stage CTEs with token sums instead of doc
     // counts; shares in ppm of the stage-0 token mass.
@@ -8902,7 +8904,7 @@ object SparkEntry {
            UNION ALL SELECT '4_pii_free', t4, t0 FROM a
            UNION ALL SELECT '5_unique', t5, t0 FROM a)
          SELECT stage, n_tokens,
-           CAST(round(n_tokens::DOUBLE / t0 * 1e6) AS BIGINT)
+           ((2*(n_tokens) * 1000000 + (t0)) // (2*(t0)))
              AS token_share_ppm
          FROM u""",
     // q329: low-bit signature, zip-compare collision count, the
@@ -8936,15 +8938,15 @@ object SparkEntry {
                 FROM pj JOIN bt a ON pj.doc_a = a.doc_id
                 JOIN bt b ON pj.doc_b = b.doc_id),
          er AS (SELECT
-                  least(CAST(floor(jaccard * 10) AS BIGINT), 9)
-                    AS j_band,
-                  greatest(0, CAST(round((2.0 * c / 12.0 - 1.0) * 1e3)
-                    AS BIGINT))
-                    - CAST(round(jaccard * 1e3) AS BIGINT) AS err
+                  least(CAST(round(jaccard * 1e6) AS BIGINT) // 100000,
+                    9) AS j_band,
+                  greatest(0, (CASE WHEN ((c - 6) * 1000) < 0 THEN -((2*(-((c - 6) * 1000)) + (6)) // (2*(6))) ELSE ((2*((c - 6) * 1000) + (6)) // (2*(6))) END))
+                    - ((2*(CAST(round(jaccard * 1e6) AS BIGINT)) + (1000)) // (2*(1000)))
+                    AS err
                 FROM wb)
          SELECT j_band, count(*)::BIGINT AS n_pairs,
            CAST(round(avg(abs(err))) AS BIGINT) AS mean_abs_err_milli,
-           CAST(round(avg(err)) AS BIGINT) AS mean_bias_milli
+           (CASE WHEN (sum(err)) < 0 THEN -((2*(-(sum(err))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(err)) + (count(*))) // (2*(count(*)))) END) AS mean_bias_milli
          FROM er GROUP BY 1""",
     // q330: same quasi-identifier cells, k=5 cut, exact rollup.
     "q330_k_anonymity" ->
@@ -8960,8 +8962,7 @@ object SparkEntry {
            sum(n_cell)::BIGINT AS n_docs,
            sum(CASE WHEN n_cell < 5 THEN n_cell ELSE 0 END)::BIGINT
              AS docs_at_risk,
-           CAST(round(sum(CASE WHEN n_cell < 5 THEN n_cell ELSE 0
-             END)::DOUBLE / sum(n_cell) * 1e6) AS BIGINT) AS risk_ppm
+           ((2*(sum(CASE WHEN n_cell < 5 THEN n_cell ELSE 0 END)) * 1000000 + (sum(n_cell))) // (2*(sum(n_cell)))) AS risk_ppm
          FROM c GROUP BY 1""",
     // q331: the q262 lag pairs, nano-quantized entropy summands,
     // pi-weighted rate assembled from the same integers.
@@ -8996,10 +8997,9 @@ object SparkEntry {
          rr AS (SELECT sum(rate_term_nano)::BIGINT AS rate_nano
                 FROM wp)
          SELECT from_type, n_out,
-           CAST(round(n_out::DOUBLE / n_total * 1e6) AS BIGINT)
-             AS pi_ppm,
-           CAST(round(h_sum::DOUBLE / 1e6) AS BIGINT) AS h_milli,
-           CAST(round(rr.rate_nano::DOUBLE / 1e6) AS BIGINT)
+           ((2*(n_out) * 1000000 + (n_total)) // (2*(n_total))) AS pi_ppm,
+           ((2*(h_sum) + (1000000)) // (2*(1000000))) AS h_milli,
+           ((2*(rr.rate_nano) + (1000000)) // (2*(1000000)))
              AS rate_milli
          FROM wp, rr""",
     // q332: value-domain cumsums per language, exact-integer drop
@@ -9026,8 +9026,7 @@ object SparkEntry {
          th AS (SELECT lang, min(qm) AS thr_micro FROM wd
                 WHERE scum >= d_l + 1 GROUP BY 1)
          SELECT ns.lang, ns.n_l AS n,
-           CAST(round(g.kept::DOUBLE / g.bign * 1e6) AS BIGINT)
-             AS global_rate_ppm,
+           ((2*(g.kept) * 1000000 + (g.bign)) // (2*(g.bign))) AS global_rate_ppm,
            th.thr_micro,
            th.thr_micro - 300000 AS delta_micro
          FROM ns JOIN th USING (lang), g""",
@@ -9038,7 +9037,7 @@ object SparkEntry {
          s AS (SELECT d.doc_id,
                  q2.q_micro AS qm
                FROM documents d JOIN qm q2 USING (doc_id)),
-         m AS (SELECT CAST(round(avg(qm)) AS BIGINT) AS m FROM s),
+         m AS (SELECT (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END) AS m FROM s),
          dv AS (SELECT doc_id, qm - m.m AS d FROM s, m),
          dn AS (SELECT sum(d * d)::BIGINT AS den FROM dv),
          l AS (SELECT unnest([1, 10, 100])::BIGINT AS lag),
@@ -9049,11 +9048,10 @@ object SparkEntry {
                 GROUP BY 1)
          SELECT pr.lag, pr.n_pairs,
            CASE WHEN dn.den = 0 THEN 0
-                ELSE CAST(round(pr.num::DOUBLE / dn.den * 1e6)
-                  AS BIGINT)
+                ELSE (CASE WHEN (pr.num * 1000000) < 0 THEN -((2*(-(pr.num * 1000000)) + (dn.den)) // (2*(dn.den))) ELSE ((2*(pr.num * 1000000) + (dn.den)) // (2*(dn.den))) END)
            END AS acf_micro,
            dn.den <> 0
-             AND abs(pr.num::DOUBLE / dn.den) < 0.05 AS order_safe
+             AND 20 * abs(pr.num) < dn.den AS order_safe
          FROM pr, dn""",
     // q334: the q22 candidate chain, exact per-pair Jaccard, ordered
     // source-pair rollup with shares and verification yield.
@@ -9085,10 +9083,10 @@ object SparkEntry {
          SELECT source_a, source_b, count(*)::BIGINT AS n_candidates,
            sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)::BIGINT
              AS n_true,
-           CAST(round(count(*)::DOUBLE / tt.n_total * 1e6) AS BIGINT)
+           ((2*(count(*)) * 1000000 + (tt.n_total)) // (2*(tt.n_total)))
              AS cost_share_ppm,
-           CAST(round(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0
-             END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS yield_ppm
+           ((2*(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END))
+             * 1000000 + (count(*))) // (2*(count(*)))) AS yield_ppm
          FROM ws, tt GROUP BY source_a, source_b, tt.n_total""",
     // q335: the q116 hash/frames derivation, 4-dim stub features,
     // lead pairs, zero-norm-guarded cosine, micro means.
@@ -9126,7 +9124,9 @@ object SparkEntry {
          SELECT doc_id, (count(*) + 1)::BIGINT AS n_sampled,
            sum(CASE WHEN c_micro < 500000 THEN 1 ELSE 0 END)::BIGINT
              AS n_cuts,
-           CAST(round(avg(c_micro) / 1e3) AS BIGINT)
+           (CASE WHEN sum(c_micro) < 0
+              THEN -((2*(-sum(c_micro)) + (count(*) * 1000)) // (2*(count(*) * 1000)))
+              ELSE ((2*(sum(c_micro)) + (count(*) * 1000)) // (2*(count(*) * 1000))) END)
              AS mean_adj_cos_milli
          FROM cm GROUP BY 1""",
     // q336: exact lower medians, integer deviations, the q281 pivot
@@ -9204,12 +9204,18 @@ object SparkEntry {
          pl AS (SELECT (sum(n)::DOUBLE * sum(sxy)
                   - sum(sx)::DOUBLE * sum(sy))
                   / (sum(n)::DOUBLE * sum(sx2)
-                    - sum(sx)::DOUBLE * sum(sx)) AS b_pool
+                    - sum(sx)::DOUBLE * sum(sx)) AS b_pool,
+                  (sum(n) * sum(sxy) - sum(sx) * sum(sy))::BIGINT
+                    AS p_num,
+                  (sum(n) * sum(sx2) - sum(sx) * sum(sx))::BIGINT
+                    AS p_den
                 FROM mom),
          asm AS (SELECT mom.*,
                   n::DOUBLE * sx2 - sx::DOUBLE * sx AS sxx,
                   n::DOUBLE * sxy - sx::DOUBLE * sy AS sxy2,
-                  n::DOUBLE * sy2 - sy::DOUBLE * sy AS syy
+                  n::DOUBLE * sy2 - sy::DOUBLE * sy AS syy,
+                  (n * sxy - sx * sy)::BIGINT AS num_i,
+                  (n * sx2 - sx * sx)::BIGINT AS den_i
                 FROM mom),
          bb AS (SELECT asm.*, sxy2 / sxx AS b FROM asm
                 WHERE n > 2 AND sxx > 0),
@@ -9218,8 +9224,10 @@ object SparkEntry {
                    / (n::DOUBLE - 2) / (sxx / n::DOUBLE))) AS se
                FROM bb)
          SELECT zz.source, zz.n,
-           CAST(round(zz.b * 1e6) AS BIGINT) AS slope_micro_per_tok,
-           CAST(round(pl.b_pool * 1e6) AS BIGINT) AS pooled_micro,
+           (CASE WHEN (zz.num_i) < 0 THEN -((2*(-(zz.num_i)) + (greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1)))) ELSE ((2*(zz.num_i) + (greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1)))) END)
+             AS slope_micro_per_tok,
+           (CASE WHEN (pl.p_num) < 0 THEN -((2*(-(pl.p_num)) + (greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1)))) ELSE ((2*(pl.p_num) + (greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1)))) END)
+             AS pooled_micro,
            CAST(round(zz.se * 1e6) AS BIGINT) AS se_micro,
            CAST(round(CASE WHEN zz.se = 0 THEN 0.0
              ELSE (zz.b - pl.b_pool) / zz.se END * 1e3) AS BIGINT)
@@ -9240,11 +9248,11 @@ object SparkEntry {
            sum(bytes)::BIGINT AS n_bytes,
            sum(chars)::BIGINT AS n_chars,
            sum(toks)::BIGINT AS n_tokens,
-           CAST(round(sum(bytes)::DOUBLE / sum(toks) * 1e3) AS BIGINT)
+           ((2*(sum(bytes) * 1000) + (sum(toks))) // (2*(sum(toks))))
              AS bytes_per_token_milli,
-           CAST(round(sum(chars)::DOUBLE / sum(toks) * 1e3) AS BIGINT)
+           ((2*(sum(chars) * 1000) + (sum(toks))) // (2*(sum(toks))))
              AS chars_per_token_milli,
-           CAST(round(sum(bytes)::DOUBLE / sum(chars) * 1e3) AS BIGINT)
+           ((2*(sum(bytes) * 1000) + (sum(chars))) // (2*(sum(chars))))
              AS bytes_per_char_milli
          FROM b GROUP BY 1""",
     // q339: the q259 bucket means, pairwise micro slopes, the exact
@@ -9298,8 +9306,8 @@ object SparkEntry {
                  END AS z
                FROM ag)
          SELECT gate, n1, k1, n2, k2,
-           CAST(round(k1::DOUBLE / n1 * 1e6) AS BIGINT) AS rate1_ppm,
-           CAST(round(k2::DOUBLE / n2 * 1e6) AS BIGINT) AS rate2_ppm,
+           ((2*(k1) * 1000000 + (n1)) // (2*(n1))) AS rate1_ppm,
+           ((2*(k2) * 1000000 + (n2)) // (2*(n2))) AS rate2_ppm,
            CAST(round(z * 1e3) AS BIGINT) AS z_milli,
            coalesce(abs(z) > 3.0, false) AS drifted
          FROM zz""",
@@ -9359,7 +9367,7 @@ object SparkEntry {
                    )::BIGINT AS cum
                FROM bd)
          SELECT cm.gap_digits, cm.n_pairs,
-           CAST(round(cm.cum::DOUBLE / tt.n_total * 1e6) AS BIGINT)
+           ((2*(cm.cum) * 1000000 + (tt.n_total)) // (2*(tt.n_total)))
              AS coverage_ppm
          FROM cm, tt""",
     // q343: the q310 selection replayed, two-sample z on raw-moment
@@ -9430,8 +9438,7 @@ object SparkEntry {
                FROM documents)
          SELECT fl.gate, st.len_bucket, count(*)::BIGINT AS n,
            sum(CASE WHEN fl.f THEN 1 ELSE 0 END)::BIGINT AS n_pass,
-           CAST(round(sum(CASE WHEN fl.f THEN 1 ELSE 0 END)::DOUBLE
-             / count(*) * 1e6) AS BIGINT) AS pass_ppm
+           ((2*(sum(CASE WHEN fl.f THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS pass_ppm
          FROM fl JOIN st USING (doc_id)
          GROUP BY 1, 2""",
     // q345: distinct (type, hour, user) pass, bounded rank windows,
@@ -9457,8 +9464,7 @@ object SparkEntry {
                 FROM hc GROUP BY 1)
          SELECT mx.event_type, mx.n_hours, p50.p50_users,
            p95.p95_users, mx.max_users,
-           CAST(round(p95.p95_users::DOUBLE / p50.p50_users * 1e3)
-             AS BIGINT) AS burst_ratio_milli
+           ((2*(p95.p95_users * 1000) + (p50.p50_users)) // (2*(p50.p50_users))) AS burst_ratio_milli
          FROM mx JOIN p50 USING (event_type)
          JOIN p95 USING (event_type)""",
     // q346: nano-quantized ln(N/df) weights, weighted inversion
@@ -9556,12 +9562,10 @@ object SparkEntry {
              (SELECT count(*) FROM lbp JOIN truth
                 USING (doc_a, doc_b))::BIGINT)
          SELECT scheme, n_candidates, nt.n_true, n_covered,
-           CAST(round((1.0 - n_candidates::DOUBLE * 2
-             / (nd.nd::DOUBLE * (nd.nd - 1))) * 1e6) AS BIGINT)
+           ((2*(nd.nd * (nd.nd - 1) - 2 * n_candidates) * 1000000 + (nd.nd * (nd.nd - 1))) // (2*(nd.nd * (nd.nd - 1))))
              AS reduction_ppm,
            CASE WHEN nt.n_true = 0 THEN 0
-                ELSE CAST(round(n_covered::DOUBLE / nt.n_true * 1e6)
-                  AS BIGINT)
+                ELSE ((2*(n_covered) * 1000000 + (nt.n_true)) // (2*(nt.n_true)))
            END AS completeness_ppm
          FROM raw, nt, nd""",
     // q348: four cumulative hash projections, exact distinct/dup
@@ -9598,7 +9602,7 @@ object SparkEntry {
          u AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1
                UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
          SELECT stage, n_distinct, docs_in_dups,
-           CAST(round(docs_in_dups::DOUBLE / n_docs * 1e6) AS BIGINT)
+           ((2*(docs_in_dups) * 1000000 + (n_docs)) // (2*(n_docs)))
              AS dup_ppm
          FROM u""",
     // q349: the canonical chain's survivor rank; removed = rn > 1;
@@ -9646,7 +9650,7 @@ object SparkEntry {
                   AS rk
                 FROM tri)
          SELECT rk.step1, rk.rk, rk.step2, rk.step3, rk.n,
-           CAST(round(rk.n::DOUBLE / tt.start_total * 1e6) AS BIGINT)
+           ((2*(rk.n) * 1000000 + (tt.start_total)) // (2*(tt.start_total)))
              AS share_ppm
          FROM rk JOIN tt USING (step1) WHERE rk.rk <= 5""",
     // q351: the q313 length-difference counts, the zh->CJK rule,
@@ -9668,8 +9672,7 @@ object SparkEntry {
          SELECT lang, count(*)::BIGINT AS n_docs,
            sum(CASE WHEN inconsistent THEN 1 ELSE 0 END)::BIGINT
              AS n_inconsistent,
-           CAST(round(sum(CASE WHEN inconsistent THEN 1 ELSE 0
-             END)::DOUBLE / count(*) * 1e6) AS BIGINT)
+           ((2*(sum(CASE WHEN inconsistent THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))
              AS inconsistent_ppm
          FROM f GROUP BY 1""",
     // q352: the shifted doc_id-1 self-join, run-start predicate,
@@ -9682,10 +9685,7 @@ object SparkEntry {
            sum(CASE WHEN prev_source IS NULL
                  OR prev_source <> source THEN 1 ELSE 0 END)::BIGINT
              AS n_runs,
-           CAST(round(count(*)::DOUBLE
-             / sum(CASE WHEN prev_source IS NULL
-                 OR prev_source <> source THEN 1 ELSE 0 END) * 1e3)
-             AS BIGINT) AS mean_run_milli
+           ((2*(count(*) * 1000) + (sum(CASE WHEN prev_source IS NULL OR prev_source <> source THEN 1 ELSE 0 END))) // (2*(sum(CASE WHEN prev_source IS NULL OR prev_source <> source THEN 1 ELSE 0 END)))) AS mean_run_milli
          FROM wp GROUP BY 1""",
     // q353: second-quantized gaps, value-domain cumsums per pair,
     // the exact integer percentile predicates.
@@ -9877,8 +9877,8 @@ object SparkEntry {
                     END)::BIGINT AS v_top
                 FROM rk GROUP BY 1)
          SELECT event_type, n_users, k_top, v_total, v_top,
-           CAST(round(v_top::DOUBLE / nullif(v_total, 0) * 1e6)
-             AS BIGINT) AS top_share_ppm
+           (CASE WHEN v_total = 0 THEN NULL
+             ELSE ((2*(v_top) * 1000000 + (v_total)) // (2*(v_total))) END) AS top_share_ppm
          FROM ag""",
     // q359: date_trunc('week') buckets (Monday on both engines),
     // bounded lag window, one growth division.
@@ -9893,8 +9893,7 @@ object SparkEntry {
                FROM wk)
          SELECT event_type, week_us, n, prev_n,
            CASE WHEN prev_n IS NULL THEN NULL
-                ELSE CAST(round((n - prev_n)::DOUBLE / prev_n * 1e6)
-                  AS BIGINT)
+                ELSE (CASE WHEN ((n - prev_n) * 1000000) < 0 THEN -((2*(-((n - prev_n) * 1000000)) + (prev_n)) // (2*(prev_n))) ELSE ((2*((n - prev_n) * 1000000) + (prev_n)) // (2*(prev_n))) END)
            END AS growth_ppm
          FROM lg""",
     // q360: the canonical closure + the gate flags + exact-dup
@@ -9931,20 +9930,31 @@ object SparkEntry {
              AS after_near_dedup,
            sum(CASE WHEN ek AND nk2 AND gk2 THEN tk ELSE 0
              END)::BIGINT AS trainable_tokens,
-           CAST(round(sum(CASE WHEN ek AND nk2 AND gk2 THEN tk
-             ELSE 0 END)::DOUBLE / sum(tk) * 1e6) AS BIGINT)
+           ((2*(sum(CASE WHEN ek AND nk2 AND gk2 THEN tk ELSE 0 END)) * 1000000 + (sum(tk))) // (2*(sum(tk))))
              AS trainable_ppm
          FROM a""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
     "q240_nn_label_eval" -> {
+      val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")
-      s"""WITH ev AS (SELECT vec_id AS q_id, embedding AS q_vec,
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS c_vec
+                FROM embeddings WHERE vec_id < 8),
+         sims AS (SELECT e.vec_id, e.embedding, e.label, c.cid,
+                    $centCos AS csim
+                  FROM embeddings e, c),
+         asg AS (SELECT vec_id, embedding, label, cid
+                 FROM (SELECT vec_id, embedding, label, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cid ASC) AS rk
+                       FROM sims) t WHERE rk = 1),
+         ev AS (SELECT cid, vec_id AS q_id, embedding AS q_vec,
                  label AS q_label
-               FROM embeddings WHERE vec_id % 5 = 0),
+               FROM asg WHERE vec_id % 5 = 0),
          s AS (SELECT q_id, q_label, e.label AS nn_label, e.vec_id,
                  $pairCos AS sim
-               FROM embeddings e JOIN ev ON e.vec_id <> ev.q_id),
+               FROM asg e JOIN ev
+                 ON e.cid = ev.cid AND e.vec_id <> ev.q_id),
          r AS (SELECT q_id, q_label, nn_label,
                  row_number() OVER (PARTITION BY q_id
                    ORDER BY sim DESC, vec_id ASC) AS rk
@@ -9952,8 +9962,7 @@ object SparkEntry {
          SELECT q_label AS label, count(*)::BIGINT AS n_eval,
            sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0 END)::BIGINT
              AS n_correct,
-           CAST(round(sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0
-             END)::DOUBLE / count(*) * 1e6) AS BIGINT) AS acc_micro
+           ((2*(sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS acc_micro
          FROM r WHERE rk = 1 GROUP BY 1"""
     },
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
@@ -10004,8 +10013,7 @@ object SparkEntry {
          SELECT count(*) AS n_wedges,
            CAST(coalesce(sum(closed), 0) AS BIGINT) AS n_closed,
            CASE WHEN count(*) = 0 THEN 0
-                ELSE CAST(round(coalesce(sum(closed), 0) * 1e6
-                  / count(*)) AS BIGINT)
+                ELSE ((2*(coalesce(sum(closed), 0)) * 1000000 + (count(*))) // (2*(count(*))))
            END AS closure_micro
          FROM j""",
     // q94: identical double widening, nearest-integer coding, and

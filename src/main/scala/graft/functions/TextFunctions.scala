@@ -102,6 +102,19 @@ object TextFunctions {
     */
   def qualityMicro(c: Column): Column = {
     import IntMath.idivHalfUp
+    val (lenM, stopM, punctM) = qualityMicroTerms(c)
+    idivHalfUp(
+      lit(5L) * lenM + lit(4L) * stopM + (lit(1000000L) - punctM),
+      lit(10L)
+    )
+  }
+
+  /** The three exact integer micro-terms of [[qualityMicro]] —
+    * exposed so component-level audits (q326) decompose the SAME
+    * integers the composite score is built from.
+    */
+  def qualityMicroTerms(c: Column): (Column, Column, Column) = {
+    import IntMath.idivHalfUp
     val t = tokenCount(c).cast("long")
     val nStop = size(filter(tokens(c), w => w.isin(stopwordsEn: _*)))
       .cast("long")
@@ -113,10 +126,7 @@ object TextFunctions {
     val punctM = when(nChars === 0, lit(0L))
       .otherwise(
         least(idivHalfUp(lit(10000000L) * nPunct, nChars), lit(1000000L)))
-    idivHalfUp(
-      lit(5L) * lenM + lit(4L) * stopM + (lit(1000000L) - punctM),
-      lit(10L)
-    )
+    (lenM, stopM, punctM)
   }
 
   /** Per-language marker words for the n-gram/stopword language-ID

@@ -191,8 +191,8 @@ object Clustering {
         col("size"),
         col("majority_label"),
         col("n_majority"),
-        round(col("n_majority").cast("double") / col("size") * 1e6)
-          .cast("long")
+        graft.functions.IntMath
+          .microRatio(col("n_majority"), col("size"))
           .as("purity_micro"),
         col("entropy_micro")
       )

@@ -352,8 +352,8 @@ object Dedup {
         col("n_closed"),
         when(col("n_wedges") === 0, 0L)
           .otherwise(
-            round(col("n_closed") * lit(1e6) / col("n_wedges")).cast("long")
-          )
+            graft.functions.IntMath
+              .microRatio(col("n_closed"), col("n_wedges")))
           .as("closure_micro")
       )
   }
@@ -725,9 +725,9 @@ object Dedup {
         col("source"),
         col("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        round(
-          coalesce(col("n_novel"), lit(0L)) * lit(1e6) / col("n_shingles")
-        ).cast("long").as("novelty_ppm")
+        graft.functions.IntMath
+          .microRatio(coalesce(col("n_novel"), lit(0L)), col("n_shingles"))
+          .as("novelty_ppm")
       )
   }
 
@@ -800,7 +800,7 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_train_hits"),
         max(
-          round(col("inter") * lit(1e6) / col("n_eval")).cast("long")
+          graft.functions.IntMath.microRatio(col("inter"), col("n_eval"))
         ).as("max_containment_micro")
       )
   }
@@ -1445,8 +1445,8 @@ object Dedup {
         col("b"),
         col("n_distinct"),
         col("n_new"),
-        round(col("n_new").cast("double") / col("n_distinct") * 1e6)
-          .cast("long")
+        graft.functions.IntMath
+          .microRatio(col("n_new"), col("n_distinct"))
           .as("novelty_ppm")
       )
   }
@@ -1615,8 +1615,8 @@ object Dedup {
         col("doc_id"),
         col("n_shingles"),
         col("n_novel"),
-        round(col("n_novel").cast("double") / col("n_shingles") * 1e6)
-          .cast("long")
+        graft.functions.IntMath
+          .microRatio(col("n_novel"), col("n_shingles"))
           .as("novelty_ppm")
       )
   }
@@ -1798,10 +1798,9 @@ object Dedup {
         col("doc_id"),
         col("n_grams"),
         col("n_seen"),
-        round(
-          lit(1.0) - col("n_seen").cast("double") / col("n_grams"),
-          6
-        ).as("novelty")
+        graft.functions.IntMath
+          .microRatio(col("n_grams") - col("n_seen"), col("n_grams"))
+          .as("novelty_ppm")
       )
   }
 
@@ -2300,9 +2299,8 @@ object Dedup {
       .select(
         col("gap_digits"),
         col("n_pairs"),
-        round(
-          col("cum").cast("double") / col("n_total") * 1e6
-        ).cast("long").as("coverage_ppm")
+        graft.functions.IntMath
+          .microRatio(col("cum"), col("n_total")).as("coverage_ppm")
       )
   }
 
@@ -2491,15 +2489,13 @@ object Dedup {
           col("n_candidates"),
           col("n_true"),
           col("n_covered"),
-          round(
-            (lit(1.0) - col("n_candidates").cast("double") * 2 /
-              (col("nd").cast("double") * (col("nd") - 1))) * 1e6
-          ).cast("long").as("reduction_ppm"),
+          graft.functions.IntMath.microRatio(
+            col("nd") * (col("nd") - 1) - lit(2L) * col("n_candidates"),
+            col("nd") * (col("nd") - 1)).as("reduction_ppm"),
           when(col("n_true") === 0L, lit(0L))
             .otherwise(
-              round(
-                col("n_covered").cast("double") / col("n_true") * 1e6
-              ).cast("long")
+              graft.functions.IntMath
+                .microRatio(col("n_covered"), col("n_true"))
             ).as("completeness_ppm")
         )
     }
@@ -2584,9 +2580,9 @@ object Dedup {
             lit(name).as("stage"),
             col("n_distinct"),
             col("docs_in_dups"),
-            round(
-              col("docs_in_dups").cast("double") / col("n_docs") * 1e6
-            ).cast("long").as("dup_ppm")
+            graft.functions.IntMath
+              .microRatio(col("docs_in_dups"), col("n_docs"))
+              .as("dup_ppm")
           )
       }
       .reduce(_.unionByName(_))
@@ -2640,12 +2636,12 @@ object Dedup {
         col("source_b"),
         col("n_candidates"),
         col("n_true"),
-        round(
-          col("n_candidates").cast("double") / col("n_total") * 1e6
-        ).cast("long").as("cost_share_ppm"),
-        round(
-          col("n_true").cast("double") / col("n_candidates") * 1e6
-        ).cast("long").as("yield_ppm")
+        graft.functions.IntMath
+          .microRatio(col("n_candidates"), col("n_total"))
+          .as("cost_share_ppm"),
+        graft.functions.IntMath
+          .microRatio(col("n_true"), col("n_candidates"))
+          .as("yield_ppm")
       )
   }
 
@@ -2694,27 +2690,36 @@ object Dedup {
       // b=1 estimator, clipped to [0, 1]
       .withColumn(
         "est_milli",
+        // (2c/12 − 1)·1e3 = (c−6)·1000/6 as exact signed half-up
         greatest(
           lit(0L),
-          round(
-            (lit(2.0) * col("c").cast("double") / 12.0 - 1.0) * 1e3
-          ).cast("long")
+          graft.functions.IntMath
+            .idivHalfUpSigned((col("c") - 6) * lit(1000L), lit(6L))
         )
       )
       .withColumn(
         "err_milli",
-        col("est_milli") - round(col("jaccard") * 1e3).cast("long")
+        // j is 6-decimal-rounded: snap it to micro once, then the
+        // milli quantization is exact integer half-up (j·1e3 of a
+        // .xxx5-valued j is a genuine half-boundary otherwise)
+        col("est_milli") - graft.functions.IntMath.idivHalfUp(
+          round(col("jaccard") * 1e6).cast("long"), lit(1000L))
       )
     withBits
       .groupBy(
-        least(floor(col("jaccard") * 10).cast("long"), lit(9L))
-          .as("j_band")
+        least(
+          graft.functions.IntMath.idiv(
+            round(col("jaccard") * 1e6).cast("long"), lit(100000L)),
+          lit(9L)
+        ).as("j_band")
       )
       .agg(
         count(lit(1)).as("n_pairs"),
         round(avg(abs(col("err_milli")))).cast("long")
           .as("mean_abs_err_milli"),
-        round(avg(col("err_milli"))).cast("long").as("mean_bias_milli")
+        graft.functions.IntMath
+          .idivHalfUpSigned(sum(col("err_milli")), count(lit(1)))
+          .as("mean_bias_milli")
       )
   }
 
@@ -2783,8 +2788,10 @@ object Dedup {
       a.unionByName(b).distinct().agg(count(lit(1)).as("n_union"))
     )
     val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
-    val chapman = (col("n_a") + 1).cast("double") *
-      (col("n_b") + 1) / (col("n_both") + 1) - lit(1.0)
+    // chapman = A/B − 1 with A = (n_a+1)(n_b+1), B = n_both+1 —
+    // emitted via exact signed half-up integer division (round-9)
+    val chapA = (col("n_a") + 1) * (col("n_b") + 1)
+    val chapB = col("n_both") + 1
     nA.crossJoin(nB)
       .crossJoin(nBoth)
       .crossJoin(nUnion)
@@ -2795,16 +2802,18 @@ object Dedup {
         col("n_both"),
         col("n_union"),
         col("n_true"),
-        round(chapman * 1e3).cast("long").as("chapman_milli"),
-        round(
-          col("n_union").cast("double") / chapman * 1e6
-        ).cast("long").as("caught_ppm"),
+        graft.functions.IntMath
+          .idivHalfUpSigned((chapA - chapB) * lit(1000L), chapB)
+          .as("chapman_milli"),
+        graft.functions.IntMath
+          .microRatio(col("n_union") * chapB, chapA - chapB)
+          .as("caught_ppm"),
         when(col("n_true") === 0L, lit(0L))
           .otherwise(
-            round(
-              abs(chapman - col("n_true").cast("double")) /
-                col("n_true") * 1e6
-            ).cast("long")
+            // |chapman − n_true| / n_true = |A−B−n_true·B| / (B·n_true)
+            graft.functions.IntMath.microRatio(
+              abs(chapA - chapB - col("n_true") * chapB),
+              chapB * col("n_true"))
           ).as("est_err_ppm")
       )
   }
@@ -2890,14 +2899,13 @@ object Dedup {
             col("n_hit"),
             when(col("n_true") === 0L, lit(0L))
               .otherwise(
-                round(col("n_hit").cast("double") / col("n_true") * 1e6)
-                  .cast("long")
+                graft.functions.IntMath
+                  .microRatio(col("n_hit"), col("n_true"))
               ).as("recall_ppm"),
             when(col("n_candidates") === 0L, lit(0L))
               .otherwise(
-                round(
-                  col("n_hit").cast("double") / col("n_candidates") * 1e6
-                ).cast("long")
+                graft.functions.IntMath
+                  .microRatio(col("n_hit"), col("n_candidates"))
               ).as("precision_ppm"),
             lit(expP50).as("expected_p50_ppm")
           )

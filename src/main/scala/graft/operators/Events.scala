@@ -600,8 +600,7 @@ object Events {
         col("dow"),
         col("hod"),
         col("n"),
-        round(col("n").cast("double") / col("tot") * 1e6)
-          .cast("long")
+        graft.functions.IntMath.microRatio(col("n"), col("tot"))
           .as("share_ppm"),
         (col("n") * col("n_cells") > col("tot") * 2).as("peak")
       )
@@ -643,8 +642,7 @@ object Events {
         col("from_type"),
         col("to_type"),
         col("n"),
-        round(col("n").cast("double") / col("row_total") * 1e6)
-          .cast("long")
+        graft.functions.IntMath.microRatio(col("n"), col("row_total"))
           .as("p_micro")
       )
   }
@@ -798,9 +796,8 @@ object Events {
       .join(broadcast(bursts), Seq("event_type", "hour_us"))
       .groupBy(col("event_type"), col("hour_us"), col("user_id"))
       .agg(count(lit(1)).as("n_in_hour"), max(col("hour_n")).as("hour_n"))
-    val expected = round(
-      col("user_n").cast("double") / col("type_n") * col("hour_n") * 1e6
-    ).cast("long")
+    val expected = graft.functions.IntMath.microRatio(
+      col("user_n") * col("hour_n"), col("type_n"))
     val scoredU = inBurst
       .join(userShare, Seq("event_type", "user_id"))
       .join(typeTotals, "event_type")
@@ -861,7 +858,9 @@ object Events {
     val cells = broadcast(
       hourly
         .groupBy(col("event_type"), col("dow"), col("hod"))
-        .agg(round(avg(col("n")) * 1e3).cast("long").as("m_milli"))
+        .agg(graft.functions.IntMath
+          .idivHalfUp(sum(col("n")) * lit(1000L), count(lit(1)))
+          .as("m_milli"))
     )
     val withR = hourly
       .join(cells, Seq("event_type", "dow", "hod"))
@@ -997,7 +996,8 @@ object Events {
         col("from_type"),
         col("n_first_half"),
         col("n_second_half"),
-        round(chi2 * 1e3).cast("long").as("chi2_milli"),
+        graft.functions.IntMath
+          .idivHalfUp(col("chi2_nano"), lit(1000000L)).as("chi2_milli"),
         (col("n_cells") - 1).as("df"),
         round(zWh * 1e3).cast("long").as("z_milli"),
         (zWh > lit(1.645)).as("drifted")
@@ -1066,11 +1066,11 @@ object Events {
       .select(
         col("from_type"),
         col("n_out"),
-        round(col("n_out").cast("double") / col("n_total") * 1e6)
-          .cast("long").as("pi_ppm"),
-        round(col("h_sum").cast("double") / 1e6).cast("long")
+        graft.functions.IntMath.microRatio(col("n_out"), col("n_total"))
+          .as("pi_ppm"),
+        graft.functions.IntMath.idivHalfUp(col("h_sum"), lit(1000000L))
           .as("h_milli"),
-        round(col("rate_nano").cast("double") / 1e6).cast("long")
+        graft.functions.IntMath.idivHalfUp(col("rate_nano"), lit(1000000L))
           .as("rate_milli")
       )
   }
@@ -1131,9 +1131,9 @@ object Events {
         col("p50_users"),
         col("p95_users"),
         col("max_users"),
-        round(
-          col("p95_users").cast("double") / col("p50_users") * 1e3
-        ).cast("long").as("burst_ratio_milli")
+        graft.functions.IntMath
+          .idivHalfUp(col("p95_users") * lit(1000L), col("p50_users"))
+          .as("burst_ratio_milli")
       )
   }
 
@@ -1185,8 +1185,8 @@ object Events {
         col("step2"),
         col("step3"),
         col("n"),
-        round(col("n").cast("double") / col("start_total") * 1e6)
-          .cast("long").as("share_ppm")
+        graft.functions.IntMath.microRatio(col("n"), col("start_total"))
+          .as("share_ppm")
       )
   }
 
@@ -1396,10 +1396,11 @@ object Events {
         col("k_top"),
         col("v_total"),
         col("v_top"),
-        round(
-          col("v_top").cast("double") /
-            nullif(col("v_total"), lit(0L)) * 1e6
-        ).cast("long").as("top_share_ppm")
+        when(col("v_total") === 0L, lit(null).cast("long"))
+          .otherwise(
+            graft.functions.IntMath
+              .microRatio(col("v_top"), col("v_total")))
+          .as("top_share_ppm")
       )
   }
 
@@ -1435,10 +1436,9 @@ object Events {
         col("prev_n"),
         when(col("prev_n").isNull, lit(null).cast("long"))
           .otherwise(
-            round(
-              (col("n") - col("prev_n")).cast("double") /
-                col("prev_n") * 1e6
-            ).cast("long")
+            graft.functions.IntMath.idivHalfUpSigned(
+              (col("n") - col("prev_n")) * lit(1000000L),
+              col("prev_n"))
           ).as("growth_ppm")
       )
   }
@@ -1531,7 +1531,9 @@ object Events {
     val m = broadcast(
       dense
         .groupBy(col("event_type"))
-        .agg(round(avg(col("x")) * 1e3).cast("long").as("m_milli"))
+        .agg(graft.functions.IntMath
+          .idivHalfUp(sum(col("x")) * lit(1000L), count(lit(1)))
+          .as("m_milli"))
     )
     dense
       .join(m, "event_type")
@@ -1575,11 +1577,11 @@ object Events {
         col("n_hours"),
         when(col("den") === 0L, lit(0L))
           .otherwise(
-            round(col("e.num").cast("double") / col("den") * 1e6)
-              .cast("long")
+            graft.functions.IntMath
+              .idivHalfUpSigned(col("e.num") * lit(1000000L), col("den"))
           ).as("acf_micro"),
-        (col("den") =!= 0L &&
-          col("e.num").cast("double") / col("den") > 0.2).as("seasonal")
+        // 0.2 threshold as the exact cross-multiplication num·5 > den
+        (col("den") =!= 0L && col("e.num") * 5 > col("den")).as("seasonal")
       )
   }
 

@@ -266,7 +266,8 @@ object Multimodal {
         col("doc_id"),
         col("n_sampled"),
         col("n_dup"),
-        round(col("n_dup") * lit(1e6) / col("n_sampled")).cast("long")
+        graft.functions.IntMath
+          .microRatio(col("n_dup"), col("n_sampled"))
           .as("dup_frac_ppm")
       )
   }
@@ -334,7 +335,8 @@ object Multimodal {
         (count(lit(1)) + 1).as("n_sampled"),
         sum(when(col("c_micro") < 500000L, 1L).otherwise(0L))
           .as("n_cuts"),
-        round(avg(col("c_micro")) / 1e3).cast("long")
+        graft.functions.IntMath
+          .idivHalfUpSigned(sum(col("c_micro")), count(lit(1)) * lit(1000L))
           .as("mean_adj_cos_milli")
       )
   }
@@ -392,7 +394,8 @@ object Multimodal {
         min(col("w")).as("seg_start"),
         max(col("w")).as("seg_end"),
         count(lit(1)).as("n_windows"),
-        round(avg(col("energy_milli"))).cast("long")
+        graft.functions.IntMath
+          .idivHalfUpSigned(sum(col("energy_milli")), count(lit(1)))
           .as("mean_energy_milli")
       )
       .select(

@@ -81,21 +81,49 @@ object Profile {
     * is sub-second). At 100 TB the fused form would shuffle TBs of
     * sketch state; the split form shuffles kilobytes.
     */
+  /** q35: HyperLogLog cardinality sketch with a hash-exact oracle —
+    * the round-9 replacement for Spark's built-in HLL++ (whose
+    * register layout no other engine can replay). The sketch is
+    * built from the engine's shared 60-bit md5 hash (the q58 KMV
+    * convention): register = top 8 bits (m = 256), ρ = position of
+    * the first 1-bit in the low 52 bits (53 when they are zero), and
+    * the emitted surface is pure BIGINT register state —
+    * n_zero_registers and sum_t = Σ 2^(53−M_j) over occupied
+    * registers — so both engines agree bit for bit. The HLL estimate
+    * α·m²/S (S = (sum_t + n_zero·2^53)/2^53) and its ±2σ bound vs
+    * exact live in HllSketchSpec, next to a cross-check against
+    * Spark's built-in approx_count_distinct; the gate compares only
+    * the deterministic registers (the q220 convention: derived
+    * floats belong in specs, not hashed columns).
+    *
+    * Scale: one map-side-combined (register → max ρ) aggregate — 256
+    * cells at any corpus size — then a 1-row rollup; mergeable
+    * across shards by construction (max per register).
+    */
   def cardinalitySketch(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val approx = li.agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_default"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_rsd_1pct"),
-      approx_count_distinct(col("l_orderkey"), 0.1).as("approx_rsd_10pct")
+    val h = graft.functions.TextFunctions.hash60(col("l_orderkey"))
+    val reg = shiftright(h, 52)
+    val low = h.bitwiseAND(lit((1L << 52) - 1))
+    val rho = when(low === 0L, lit(53L))
+      .otherwise(lit(53L) - length(bin(low)))
+    val regs = li
+      .select(reg.as("reg"), rho.as("rho"))
+      .groupBy(col("reg"))
+      .agg(max(col("rho")).as("mj"))
+    val sketch = regs.agg(
+      count(lit(1)).as("n_occupied"),
+      sum(expr("CAST(shiftleft(1L, CAST(53 - mj AS INT)) AS BIGINT)"))
+        .as("sum_t")
     )
     val exact = li.agg(countDistinct(col("l_orderkey")).as("exact"))
     exact
-      .crossJoin(approx)
+      .crossJoin(sketch)
       .select(
         col("exact"),
-        col("approx_default"),
-        col("approx_rsd_1pct"),
-        col("approx_rsd_10pct")
+        lit(256L).as("m"),
+        (lit(256L) - col("n_occupied")).as("n_zero_registers"),
+        col("sum_t")
       )
   }
 

@@ -103,10 +103,9 @@ object Sampling {
         col("n_docs"),
         least(
           lit(1000000L),
-          round(
-            lit(1e6) * (col("g_cnt") * col("s_tot")).cast("double") /
-              (col("g_tot") * col("n_docs"))
-          ).cast("long")
+          graft.functions.IntMath.microRatio(
+            col("g_cnt") * col("s_tot"),
+            col("g_tot") * col("n_docs"))
         ).as("ratio_ppm")
       )
     d
@@ -233,7 +232,7 @@ object Sampling {
         abs(col("n_kept_hi") - col("n_kept_lo")))
       .withColumn(
         "churn_ppm",
-        round(col("churn") * lit(1e6) / col("n_docs")).cast("long"))
+        graft.functions.IntMath.microRatio(col("churn"), col("n_docs")))
   }
 
   /** q227: temperature-sweep mix diagnostics — for each sampling
@@ -1325,11 +1324,12 @@ object Sampling {
         col("source"),
         col("n_docs"),
         col("total_tokens"),
-        round(
-          (lit(2.0) * col("six")
-            / (col("n_docs") * nullif(col("total_tokens"), lit(0L)))
-            - (col("n_docs") + 1).cast("double") / col("n_docs")) * 1e6
-        ).cast("long").as("gini_micro")
+        // (2Σix − (n+1)Σx)·1e6 / (n·Σx), exact signed half-up
+        graft.functions.IntMath.idivHalfUpSigned(
+          (lit(2L) * col("six") -
+            (col("n_docs") + 1) * col("total_tokens")) * lit(1000000L),
+          col("n_docs") * nullif(col("total_tokens"), lit(0L))
+        ).as("gini_micro")
       )
   }
 
@@ -1734,9 +1734,9 @@ object Sampling {
       .select(
         col("source"),
         col("n_s").as("n"),
-        round(
-          col("r2").cast("double") / (lit(2.0) * col("n_s")) * 1e3
-        ).cast("long").as("mean_rank_milli"),
+        graft.functions.IntMath
+          .idivHalfUp(col("r2") * lit(1000L), lit(2L) * col("n_s"))
+          .as("mean_rank_milli"),
         round(col("h") * 1e3).cast("long").as("h_milli"),
         round(col("hc") * 1e3).cast("long").as("hc_milli"),
         col("df").cast("long").as("df"),
@@ -1876,10 +1876,20 @@ object Sampling {
         col("source"),
         col("n_s").as("n_docs"),
         col("n_zero"),
-        round(share * 1e6).cast("long").as("tok_share_ppm"),
-        round(withinT * 1e3).cast("long").as("within_milli"),
+        graft.functions.IntMath
+          .microRatio(col("sum_s"), col("tot")).as("tok_share_ppm"),
+        graft.functions.IntMath
+          .idivHalfUpSigned(col("t_sum"), col("n_s") * lit(1000000L))
+          .as("within_milli"),
         round(share * log(meanRatio) * 1e3).cast("long").as("between_milli"),
-        round(share * withinT * 1e3).cast("long").as("contrib_milli")
+        // share·within·1e3 = sum_s·t_sum/(tot·n_s·1e6): two-step
+        // exact division (inner value ≈ within·1e9) keeps BIGINTs
+        // under 2^63 at any corpus size (round-9 seam)
+        graft.functions.IntMath.idivHalfUpSigned(
+          col("sum_s") * graft.functions.IntMath
+            .idivHalfUpSigned(col("t_sum"), col("n_s")),
+          col("tot") * lit(1000000L)
+        ).as("contrib_milli")
       )
   }
 
@@ -1939,12 +1949,13 @@ object Sampling {
         col("k").as("thr_decile"),
         col("docs_kept"),
         col("toks_kept"),
-        round(col("toks_kept").cast("double") / col("tot_toks") * 1e6)
-          .cast("long").as("tok_share_ppm"),
+        graft.functions.IntMath
+          .microRatio(col("toks_kept"), col("tot_toks"))
+          .as("tok_share_ppm"),
         when(col("docs_kept") === 0L, lit(0L))
           .otherwise(
-            round(col("qm_kept").cast("double") / col("docs_kept"))
-              .cast("long")
+            graft.functions.IntMath
+              .idivHalfUp(col("qm_kept"), col("docs_kept"))
           ).as("mean_q_micro")
       )
   }
@@ -2008,8 +2019,17 @@ object Sampling {
         round(col("q") * 1e6).cast("long").as("q_ppm"),
         round(lit(budgetFrac) * col("tot") * col("q") / col("n_docs") * 1e6)
           .cast("long").as("rep_micro"),
-        round(lit(1e15) / col("f_sum")).cast("long").as("ess_docs"),
-        round(lit(1e15) / col("f_sum") / col("tot") * 1e6).cast("long")
+        graft.functions.IntMath
+          .idivHalfUp(lit(1000000000000000L), col("f_sum"))
+          .as("ess_docs"),
+        // milli-doc intermediate keeps the ppm exact to ±0.1 while
+        // every step stays in BIGINT (round-9 seam)
+        graft.functions.IntMath
+          .idivHalfUp(
+            graft.functions.IntMath
+              .idivHalfUp(lit(1000000000000000000L), col("f_sum")) *
+              lit(1000L),
+            col("tot"))
           .as("ess_ppm")
       )
   }
@@ -2078,8 +2098,8 @@ object Sampling {
       .select(
         col("lang"),
         col("n_l").as("n"),
-        round(col("kept").cast("double") / col("bign") * 1e6)
-          .cast("long").as("global_rate_ppm"),
+        graft.functions.IntMath.microRatio(col("kept"), col("bign"))
+          .as("global_rate_ppm"),
         col("thr_micro"),
         (col("thr_micro") - lit(300000L)).as("delta_micro")
       )
@@ -2147,19 +2167,34 @@ object Sampling {
           ((col("n").cast("double") * col("sxy") -
             col("sx").cast("double") * col("sy")) /
             (col("n").cast("double") * col("sx2") -
-              col("sx").cast("double") * col("sx"))).as("b_pool")
+              col("sx").cast("double") * col("sx"))).as("b_pool"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("p_num"),
+          (col("n") * col("sx2") - col("sx") * col("sx")).as("p_den")
         )
     )
     val z = when(se === 0.0, lit(0.0))
       .otherwise((b - col("b_pool")) / se)
+    // slopes emitted via the two-step exact division (reduce the
+    // integer denominator to its micro share first, then one signed
+    // half-up divide): numI·1e6 overflows 2^63 at source scale, and
+    // the one-shot double quotient can land exactly on .5 (round-9)
+    import graft.functions.IntMath.{idivHalfUp, idivHalfUpSigned}
+    val numI = col("n") * col("sxy") - col("sx") * col("sy")
+    val denR = greatest(
+      idivHalfUp(col("n") * col("sx2") - col("sx") * col("sx"),
+        lit(1000000L)),
+      lit(1L))
     mom
       .filter(col("n") > 2 && sxx > 0.0)
       .crossJoin(pooled)
       .select(
         col("source"),
         col("n"),
-        round(b * 1e6).cast("long").as("slope_micro_per_tok"),
-        round(col("b_pool") * 1e6).cast("long").as("pooled_micro"),
+        idivHalfUpSigned(numI, denR).as("slope_micro_per_tok"),
+        idivHalfUpSigned(
+          col("p_num"),
+          greatest(idivHalfUp(col("p_den"), lit(1000000L)), lit(1L))
+        ).as("pooled_micro"),
         round(se * 1e6).cast("long").as("se_micro"),
         round(z * 1e3).cast("long").as("z_milli"),
         coalesce(abs(z) > 3.0, lit(false)).as("divergent")
@@ -2271,7 +2306,7 @@ object Sampling {
       .agg(
         count(lit(1)).as("n_s"),
         max(col("med_micro")).as("med_micro"),
-        round(avg(col("z"))).cast("long").as("m_s"),
+        graft.functions.IntMath.idivHalfUpSigned(sum(col("z")), count(lit(1))).as("m_s"),
         sum(col("z")).as("z_sum")
       )
     val withinAgg = devs
@@ -2445,18 +2480,23 @@ object Sampling {
     */
   def trainableTokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // exact-dup keep flag as a window over the content hash — NOT a
+    // broadcast join: the survivor set is one row per distinct text,
+    // i.e. corpus-sized by construction, and broadcasting it is a
+    // driver OOM at web scale. The hash-partitioned window shuffles
+    // once on md5(text) and carries the token count along, so the
+    // exact-dedup stage adds no second scan either.
+    val wH = Window.partitionBy(md5(col("text")))
     val toks = docs
       .select(
         col("doc_id"),
+        col("text"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long")
           .as("tk")
       )
-    // exact-dup survivors: min doc_id per md5(text)
-    val exactKeep = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), lit(true).as("exact_keep"))
+      .withColumn("exact_keep", min(col("doc_id")).over(wH) === col("doc_id"))
+      .select(col("doc_id"), col("tk"), col("exact_keep"))
     // near-dup survivors: the q78 keep-best rule over the closure
     val labels = Dedup
       .dedupClusters(spark, dir)
@@ -2477,14 +2517,13 @@ object Sampling {
       .agg(sum(when(!col("f"), 1L).otherwise(0L)).as("n_fail"))
       .select(col("doc_id"), (col("n_fail") === 0L).as("gates_keep"))
     val assembled = toks
-      .join(broadcast(exactKeep), Seq("doc_id"), "left")
       .join(labels.select(col("doc_id"), lit(true).as("in_closure")),
         Seq("doc_id"), "left")
       .join(nearKeep, Seq("doc_id"), "left")
       .join(gateKeep, Seq("doc_id"), "left")
       .select(
         col("tk"),
-        coalesce(col("exact_keep"), lit(false)).as("ek"),
+        col("exact_keep").as("ek"),
         // docs outside the shingle closure keep themselves
         (coalesce(col("near_keep"), lit(false)) ||
           col("in_closure").isNull).as("nk"),
@@ -2505,10 +2544,9 @@ object Sampling {
       col("after_exact_dedup"),
       col("after_near_dedup"),
       col("trainable_tokens"),
-      round(
-        col("trainable_tokens").cast("double") / col("total_tokens")
-          * 1e6
-      ).cast("long").as("trainable_ppm")
+      graft.functions.IntMath
+        .microRatio(col("trainable_tokens"), col("total_tokens"))
+        .as("trainable_ppm")
     )
   }
 
@@ -2550,9 +2588,9 @@ object Sampling {
         col("source"),
         col("n_docs"),
         col("n_runs"),
-        round(
-          col("n_docs").cast("double") / col("n_runs") * 1e3
-        ).cast("long").as("mean_run_milli")
+        graft.functions.IntMath
+          .idivHalfUp(col("n_docs") * lit(1000L), col("n_runs"))
+          .as("mean_run_milli")
       )
   }
 
@@ -2577,7 +2615,7 @@ object Sampling {
         "doc_id"
       )
     val mean = broadcast(
-      scored.agg(round(avg(col("qm"))).cast("long").as("m"))
+      scored.agg(graft.functions.IntMath.idivHalfUpSigned(sum(col("qm")), count(lit(1))).as("m"))
     )
     val dev = scored
       .crossJoin(mean)
@@ -2606,12 +2644,12 @@ object Sampling {
             col("n_pairs"),
             when(col("den") === 0L, lit(0L))
               .otherwise(
-                round(
-                  col("num").cast("double") / col("den") * 1e6
-                ).cast("long")
+                graft.functions.IntMath.idivHalfUpSigned(
+                  col("num") * lit(1000000L), col("den"))
               ).as("acf_micro"),
+            // |num/den| < 0.05 as the exact cross-mult 20|num| < den
             (col("den") =!= 0L &&
-              abs(col("num").cast("double") / col("den")) < 0.05)
+              lit(20L) * abs(col("num")) < col("den"))
               .as("order_safe")
           )
       }
@@ -2663,9 +2701,9 @@ object Sampling {
         col("small_cells"),
         col("n_docs"),
         col("docs_at_risk"),
-        round(
-          col("docs_at_risk").cast("double") / col("n_docs") * 1e6
-        ).cast("long").as("risk_ppm")
+        graft.functions.IntMath
+          .microRatio(col("docs_at_risk"), col("n_docs"))
+          .as("risk_ppm")
       )
   }
 
@@ -2813,13 +2851,14 @@ object Sampling {
         col("source"),
         col("n_docs"),
         col("n_sel"),
-        round(
-          col("src_tokens").cast("double") / col("t") * budget * 1e3
-        ).cast("long").as("expected_milli"),
+        graft.functions.IntMath
+          .idivHalfUp(
+            col("src_tokens") * lit(budget * 1000L), col("t"))
+          .as("expected_milli"),
         (col("n_sel") * 1000 -
-          round(
-            col("src_tokens").cast("double") / col("t") * budget * 1e3
-          ).cast("long")).as("dev_milli")
+          graft.functions.IntMath.idivHalfUp(
+            col("src_tokens") * lit(budget * 1000L), col("t")))
+          .as("dev_milli")
       )
   }
 
@@ -2857,7 +2896,7 @@ object Sampling {
       )
     val meanF = scored
       .groupBy(col("source"))
-      .agg(round(avg(col("qm"))).cast("long").as("mean_micro"))
+      .agg(graft.functions.IntMath.idivHalfUpSigned(sum(col("qm")), count(lit(1))).as("mean_micro"))
     val mom = scored
       .join(broadcast(meanF), "source")
       .withColumn("d", col("qm") - col("mean_micro"))
@@ -2879,9 +2918,9 @@ object Sampling {
       )
       .withColumn(
         "q_prop",
-        round(
-          col("n_docs").cast("double") / col("w_prop") * budget * 1e6
-        ).cast("long")
+        graft.functions.IntMath.idivHalfUp(
+          col("n_docs") * lit(budget * 1000000L),
+          col("w_prop").cast("long"))
       )
     def alloc(df: DataFrame, q: String, out: String): DataFrame = {
       val base = (col(q) - col(q) % 1000000L) / 1000000L
@@ -3221,10 +3260,11 @@ object Sampling {
         col("obs_diff_micro"),
         col("n_extreme"),
         col("b"),
-        round(
-          (col("n_extreme") + 1).cast("double") / (col("b") + 1) * 1e6
-        ).cast("long").as("p_micro"),
-        ((col("n_extreme") + 1).cast("double") / (col("b") + 1) < 0.05)
+        graft.functions.IntMath
+          .microRatio(col("n_extreme") + 1, col("b") + 1)
+          .as("p_micro"),
+        // p < 0.05 as the exact cross-mult 20(n+1) < b+1
+        (lit(20L) * (col("n_extreme") + 1) < col("b") + 1)
           .as("significant")
       )
   }
@@ -3302,8 +3342,17 @@ object Sampling {
       .join(broadcast(fs), "alpha_centi")
       .select(
         col("alpha_centi"),
-        round(lit(1e15) / col("f_sum")).cast("long").as("ess_docs"),
-        round(lit(1e15) / col("f_sum") / col("tot") * 1e6).cast("long")
+        graft.functions.IntMath
+          .idivHalfUp(lit(1000000000000000L), col("f_sum"))
+          .as("ess_docs"),
+        // milli-doc intermediate keeps the ppm exact to ±0.1 while
+        // every step stays in BIGINT (round-9 seam)
+        graft.functions.IntMath
+          .idivHalfUp(
+            graft.functions.IntMath
+              .idivHalfUp(lit(1000000000000000000L), col("f_sum")) *
+              lit(1000L),
+            col("tot"))
           .as("ess_ppm"),
         col("max_rep_micro"),
         col("max_rep_lang")
@@ -3334,7 +3383,7 @@ object Sampling {
       )
     val meanF = scored
       .groupBy(col("source"))
-      .agg(round(avg(col("qm"))).cast("long").as("mean_micro"))
+      .agg(graft.functions.IntMath.idivHalfUpSigned(sum(col("qm")), count(lit(1))).as("mean_micro"))
     val agg = scored
       .join(broadcast(meanF), "source")
       .withColumn("d", col("qm") - col("mean_micro"))
@@ -3399,10 +3448,10 @@ object Sampling {
     val corpusStratum = broadcast(
       scored
         .groupBy(col("stratum"))
-        .agg(round(avg(col("qm"))).cast("long").as("cm_micro"))
+        .agg(graft.functions.IntMath.idivHalfUpSigned(sum(col("qm")), count(lit(1))).as("cm_micro"))
     )
     val corpusMean = broadcast(
-      scored.agg(round(avg(col("qm"))).cast("long").as("corpus_micro"))
+      scored.agg(graft.functions.IntMath.idivHalfUpSigned(sum(col("qm")), count(lit(1))).as("corpus_micro"))
     )
     scored
       .groupBy(col("source"), col("stratum"))
@@ -3457,7 +3506,7 @@ object Sampling {
       )
     val meanF = scored
       .groupBy(col("source"))
-      .agg(round(avg(col("qm"))).cast("long").as("mean_micro"))
+      .agg(graft.functions.IntMath.idivHalfUpSigned(sum(col("qm")), count(lit(1))).as("mean_micro"))
     val withD = scored
       .join(broadcast(meanF), "source")
       .withColumn("d", (col("qm") - col("mean_micro")).cast("double") / 1e6)
@@ -3561,26 +3610,29 @@ object Sampling {
     val tot = broadcast(
       counts.agg(sum(col("n")).as("bign"), count(lit(1)).as("k"))
     )
-    val weight = least(
-      lit(cap),
-      col("bign").cast("double") / (col("k") * col("n"))
+    // integer weight plan: w_micro = min(cap·1e6, halfUp(bign·1e6,
+    // k·n)); expectations carry e_micro = n·w_micro exactly, so the
+    // share is a pure-integer ratio (round-9 seam)
+    import graft.functions.IntMath.{idivHalfUp, microRatio}
+    val weightMicro = least(
+      lit(Math.round(cap * 1e6)),
+      microRatio(col("bign"), col("k") * col("n"))
     )
-    val withW = counts.crossJoin(tot).withColumn("w", weight)
+    val withW = counts
+      .crossJoin(tot)
+      .withColumn("w_micro", weightMicro)
+      .withColumn("e_micro", col("n") * col("w_micro"))
     val expTot = broadcast(
-      withW
-        .select((col("n") * col("w")).as("e"))
-        .agg(sum(col("e")).as("etot"))
+      withW.agg(sum(col("e_micro")).as("etot_micro"))
     )
     withW
       .crossJoin(expTot)
       .select(
         col("label"),
         col("n"),
-        round(col("w") * 1e6).cast("long").as("weight_micro"),
-        round(col("n") * col("w")).cast("long").as("expected_n"),
-        round(col("n") * col("w") / col("etot") * 1e6)
-          .cast("long")
-          .as("share_micro")
+        col("w_micro").as("weight_micro"),
+        idivHalfUp(col("e_micro"), lit(1000000L)).as("expected_n"),
+        microRatio(col("e_micro"), col("etot_micro")).as("share_micro")
       )
   }
 

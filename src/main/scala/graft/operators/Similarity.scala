@@ -98,24 +98,31 @@ object Similarity {
     * The supervised complement to q215/q238 — it evaluates the
     * embedding space itself, not a clustering of it.
     *
-    * Scale: the eval slice is the bounded broadcast side (a fixed
-    * eval sample in production); the corpus streams past it in ONE
-    * scan and the exact top-1 is a map-side partial `max` over
-    * (sim, −vec_id) structs — no window, no corpus shuffle, |eval|
-    * rows out of the aggregate, then an |labels|-row rollup. The
-    * same argmax-as-aggregation idiom as IVF assignment.
+    * Scale: candidates come from the shared IVF seam ([[ivfAssign]],
+    * nprobe = 1): the eval slice is a fifth of the corpus, so the old
+    * broadcast-NLJ shape was corpus×corpus/5 — a scale-killer. The
+    * list-keyed join costs Σ|list|·|eval∩list| and the exact top-1
+    * within the probed list is a map-side partial `max` over
+    * (sim, −vec_id) structs — no window, no corpus shuffle, ≤|eval|
+    * rows out of the aggregate, then an |labels|-row rollup. The IVF
+    * recall trade is the q244 contract; the exact NLJ twin lives in
+    * the differential spec.
     */
   def nnLabelEval(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val ev = e
+    val lbl = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val asg = ivfAssign(spark, dir, 8).join(lbl, "vec_id")
+    val ev = asg
       .filter(pmod(col("vec_id"), lit(5)) === 0)
       .select(
+        col("cid"),
         col("vec_id").as("q_id"),
         col("embedding").as("q_vec"),
         col("label").as("q_label")
       )
-    val best = e
-      .join(broadcast(ev), col("vec_id") =!= col("q_id"))
+    val best = asg
+      .join(ev, asg("cid") === ev("cid") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("q_label"))
       .agg(
         max(
@@ -137,8 +144,8 @@ object Similarity {
         col("label"),
         col("n_eval"),
         col("n_correct"),
-        round(col("n_correct").cast("double") / col("n_eval") * 1e6)
-          .cast("long")
+        graft.functions.IntMath
+          .microRatio(col("n_correct"), col("n_eval"))
           .as("acc_micro")
       )
   }
@@ -152,17 +159,25 @@ object Similarity {
     * far from OWN centroid) — this catches points sitting INSIDE a
     * different label's neighborhood, which centroid distance misses.
     *
-    * Scale: the screened slice streams past the broadcast reference
-    * the same way q240's eval does; here the whole (small) labeled
-    * table is both sides, and at 100 TB the reference side would be
-    * the IVF-bucketed index with this exact consensus rollup after
-    * candidate retrieval. Per-vector top-5 is a bounded window over
-    * the per-query candidate rows.
+    * Scale: candidates come from the shared IVF seam ([[ivfAssign]],
+    * the q25/q106 index): every vector searches only its OWN inverted
+    * list (nprobe = 1), so the candidate join is LIST-KEYED — cost
+    * Σ|list|², never the corpus×corpus nested loop. At 100 TB the
+    * lists are the trained-k-means index partitions and this exact
+    * plan holds; the recall trade (a true neighbor in another list is
+    * unseen) is the standard IVF contract, and the exact all-pairs
+    * twin lives in the differential spec, not in the shipped plan.
+    * Per-vector top-5 is a bounded window over per-list candidates.
     */
   def labelConsensus(spark: SparkSession, dir: String): DataFrame = {
     val k = 5
-    val e = Tables.embeddings(spark, dir)
-    val ref = e.select(
+    val lbl = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val asg = ivfAssign(spark, dir, 8)
+      .join(lbl, "vec_id")
+    val ref = asg.select(
+      col("cid"),
       col("vec_id").as("r_id"),
       col("embedding").as("r_vec"),
       col("label").as("r_label")
@@ -170,7 +185,8 @@ object Similarity {
     val w = Window
       .partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("r_id").asc)
-    e.join(broadcast(ref), col("vec_id") =!= col("r_id"))
+    asg
+      .join(ref, asg("cid") === ref("cid") && col("vec_id") =!= col("r_id"))
       .select(
         col("vec_id"),
         col("label"),
@@ -212,7 +228,10 @@ object Similarity {
     val perRow = e.select(
       col("label"),
       col("embedding"),
-      sqrt(sq).as("nrm"),
+      // per-row micro norm, quantized ONCE (sqrt is IEEE
+      // correctly-rounded, so the double is engine-identical); all
+      // downstream stats are exact integer arithmetic
+      round(sqrt(sq) * 1e6).cast("long").as("nrm_micro"),
       (sq === 0.0).as("is_zero"),
       exists(col("embedding"), x => isnan(x) || abs(x) === lit(Float.PositiveInfinity))
         .as("nonfinite")
@@ -229,10 +248,13 @@ object Similarity {
         count(lit(1)).as("n_vecs"),
         sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero_norm"),
         sum(when(col("nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
-        round(min(col("nrm")) * 1e6).cast("long").as("min_norm_micro"),
-        round(sum(col("nrm")) / count(lit(1)) * 1e6).cast("long")
+        min(col("nrm_micro")).as("min_norm_micro"),
+        // integer mean of the per-row micro norms: a float mean is
+        // summation-order-dependent (round-9 seam)
+        graft.functions.IntMath
+          .idivHalfUp(sum(col("nrm_micro")), count(lit(1)))
           .as("mean_norm_micro"),
-        round(max(col("nrm")) * 1e6).cast("long").as("max_norm_micro")
+        max(col("nrm_micro")).as("max_norm_micro")
       )
       .join(dups, "label")
       .select(
@@ -931,8 +953,8 @@ object Similarity {
       .select(
         col("np").cast("long").as("nprobe"),
         col("n_matches"),
-        round(col("n_matches").cast("double") / (col("nq") * depth) * 1e6)
-          .cast("long")
+        graft.functions.IntMath
+          .microRatio(col("n_matches"), col("nq") * depth)
           .as("recall_ppm")
       )
   }
@@ -975,8 +997,7 @@ object Similarity {
         col("bin"),
         round(lit(-1.0) + col("bin") * 0.1, 1).as("bin_lo"),
         col("n_pairs"),
-        round(col("n_pairs").cast("double") / col("tot") * 1e6)
-          .cast("long")
+        graft.functions.IntMath.microRatio(col("n_pairs"), col("tot"))
           .as("share_ppm")
       )
   }
@@ -1667,13 +1688,22 @@ object Similarity {
         (col("vec_id") % 2 === 0).as("snap_a"),
         posexplode(col("embedding")).as(Seq("dim", "v"))
       )
-      .select(col("snap_a"), col("dim"), col("v").cast("double").as("v"))
+      .select(
+        col("snap_a"),
+        col("dim"),
+        col("v").cast("double").as("v"),
+        // per-component micro quantization: the emitted means are
+        // integer sums of these (a float mean is summation-order-
+        // dependent; round-9 seam) — the z audit keeps raw moments
+        round(col("v").cast("double") * 1e6).cast("long").as("vm")
+      )
     val agg = cells
       .groupBy(col("dim"), col("snap_a"))
       .agg(
         count(lit(1)).as("n"),
         sum(col("v")).as("s1"),
-        sum(col("v") * col("v")).as("s2")
+        sum(col("v") * col("v")).as("s2"),
+        sum(col("vm")).as("sm")
       )
     val a = agg
       .filter(col("snap_a"))
@@ -1681,7 +1711,8 @@ object Similarity {
         col("dim"),
         col("n").as("n_a"),
         col("s1").as("sa1"),
-        col("s2").as("sa2")
+        col("s2").as("sa2"),
+        col("sm").as("sma")
       )
     val b = agg
       .filter(!col("snap_a"))
@@ -1689,7 +1720,8 @@ object Similarity {
         col("dim"),
         col("n").as("n_b"),
         col("s1").as("sb1"),
-        col("s2").as("sb2")
+        col("s2").as("sb2"),
+        col("sm").as("smb")
       )
     val meanA = col("sa1") / col("n_a")
     val meanB = col("sb1") / col("n_b")
@@ -1702,9 +1734,14 @@ object Similarity {
         col("dim"),
         col("n_a"),
         col("n_b"),
-        round(meanA * 1e6).cast("long").as("mean_a_micro"),
-        round(meanB * 1e6).cast("long").as("mean_b_micro"),
-        round((meanB - meanA) * 1e6).cast("long").as("delta_micro"),
+        graft.functions.IntMath
+          .idivHalfUpSigned(col("sma"), col("n_a")).as("mean_a_micro"),
+        graft.functions.IntMath
+          .idivHalfUpSigned(col("smb"), col("n_b")).as("mean_b_micro"),
+        (graft.functions.IntMath
+          .idivHalfUpSigned(col("smb"), col("n_b")) -
+          graft.functions.IntMath
+            .idivHalfUpSigned(col("sma"), col("n_a"))).as("delta_micro"),
         when(se === 0.0, lit(0L))
           .otherwise(round(z * 1e3).cast("long")).as("z_milli"),
         coalesce(se =!= 0.0 && abs(z) > 3.0, lit(false)).as("drifted")
@@ -1749,11 +1786,11 @@ object Similarity {
       .select(
         col("subspace"),
         col("var_nano"),
-        round(col("var_nano").cast("double") / col("tot_nano") * 1e6)
-          .cast("long").as("share_ppm"),
-        round(
-          col("var_nano").cast("double") / col("tot_nano") * 8.0 * 1e3
-        ).cast("long").as("imbalance_milli")
+        graft.functions.IntMath
+          .microRatio(col("var_nano"), col("tot_nano")).as("share_ppm"),
+        graft.functions.IntMath
+          .idivHalfUp(col("var_nano") * lit(8000L), col("tot_nano"))
+          .as("imbalance_milli")
       )
   }
 
@@ -1825,9 +1862,9 @@ object Similarity {
         col("label"),
         col("n_triplets"),
         col("n_violated"),
-        round(
-          col("n_violated").cast("double") / col("n_triplets") * 1e6
-        ).cast("long").as("violation_ppm")
+        graft.functions.IntMath
+          .microRatio(col("n_violated"), col("n_triplets"))
+          .as("violation_ppm")
       )
   }
 
@@ -1883,8 +1920,8 @@ object Similarity {
       .select(
         col("occurrences"),
         col("n_vectors"),
-        round(col("n_vectors").cast("double") / col("n_corpus") * 1e6)
-          .cast("long").as("share_ppm")
+        graft.functions.IntMath
+          .microRatio(col("n_vectors"), col("n_corpus")).as("share_ppm")
       )
   }
 }

@@ -262,10 +262,9 @@ object Sketches {
         col("source"),
         col("f2_exact"),
         col("f2_est"),
-        round(
-          abs(col("f2_est") - col("f2_exact")).cast("double") /
-            col("f2_exact") * 1e6
-        ).cast("long").as("err_ppm")
+        graft.functions.IntMath.microRatio(
+          abs(col("f2_est") - col("f2_exact")), col("f2_exact"))
+          .as("err_ppm")
       )
   }
 
@@ -313,7 +312,8 @@ object Sketches {
         round(
           col("bits").cast("double") / col("n_keys") * log(lit(2.0))
         ).cast("long").as("k_hashes"),
-        round(col("bits").cast("double") / 8192.0 * 1e3).cast("long")
+        graft.functions.IntMath
+          .idivHalfUp(col("bits") * lit(1000L), lit(8192L))
           .as("kib_milli")
       )
   }

@@ -172,18 +172,19 @@ object TextAnalysis {
   def contentTypeTags(spark: SparkSession, dir: String): DataFrame = {
     val chars = length(col("text")).cast("long")
     def density(alphabet: String): Column =
-      (chars - length(translate(col("text"), alphabet, "")).cast("long"))
-        .cast("double") * 1e6 / chars
+      graft.functions.IntMath.microRatio(
+        chars - length(translate(col("text"), alphabet, "")).cast("long"),
+        chars)
     Tables
       .documents(spark, dir)
       .select(
         col("doc_id"),
         chars.as("n_chars"),
         when(chars === 0, 0L)
-          .otherwise(round(density("{}();=<>[]")).cast("long"))
+          .otherwise(density("{}();=<>[]"))
           .as("sym_ppm"),
         when(chars === 0, 0L)
-          .otherwise(round(density("0123456789")).cast("long"))
+          .otherwise(density("0123456789"))
           .as("digit_ppm")
       )
       .withColumn(
@@ -234,12 +235,14 @@ object TextAnalysis {
         col("n_words"),
         col("n_sentences"),
         col("n_syllables"),
-        round(
-          (lit(206.835)
-            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
-            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
-            * 1e6
-        ).cast("long").as("flesch_micro")
+        // 206.835e6 − 1.015e6·w/s − 84.6e6·sy/w with each ratio an
+        // exact half-up integer division (round-9 seam)
+        (lit(206835000L) -
+          graft.functions.IntMath.idivHalfUp(
+            lit(1015000L) * col("n_words"), col("n_sentences")) -
+          graft.functions.IntMath.idivHalfUp(
+            lit(84600000L) * col("n_syllables"), col("n_words")))
+          .as("flesch_micro")
       )
   }
 
@@ -449,8 +452,8 @@ object TextAnalysis {
         col("source"),
         col("n_sample"),
         col("n_types"),
-        round(col("n_types").cast("double") / col("n_sample") * 1e6)
-          .cast("long")
+        graft.functions.IntMath
+          .microRatio(col("n_types"), col("n_sample"))
           .as("ttr_micro")
       )
   }
@@ -519,8 +522,8 @@ object TextAnalysis {
         col("stratum"),
         col("n_terms"),
         col("token_mass"),
-        round(col("token_mass").cast("double") / col("tot") * 1e6)
-          .cast("long")
+        graft.functions.IntMath
+          .microRatio(col("token_mass"), col("tot"))
           .as("coverage_ppm")
       )
   }
@@ -1205,10 +1208,9 @@ object TextAnalysis {
         col("total_tokens"),
         col("n_windows"),
         col("padded_tokens"),
-        round(
-          col("padded_tokens").cast("double")
-            / (col("n_windows") * col("len")) * 1e6
-        ).cast("long").as("waste_ppm")
+        graft.functions.IntMath
+          .microRatio(col("padded_tokens"), col("n_windows") * col("len"))
+          .as("waste_ppm")
       )
   }
 
@@ -2090,8 +2092,8 @@ object TextAnalysis {
       .select(
         explode(array(stages.map { case (name, c) =>
           struct(lit(name).as("stage"), col(c).as("n_tokens"),
-            round(col(c).cast("double") / col("t0") * 1e6)
-              .cast("long").as("token_share_ppm"))
+            graft.functions.IntMath.microRatio(col(c), col("t0"))
+              .as("token_share_ppm"))
         }: _*)).as("s")
       )
       .select(col("s.stage"), col("s.n_tokens"), col("s.token_share_ppm"))
@@ -3467,10 +3469,10 @@ object TextAnalysis {
         col("head_only"),
         col("tail_only"),
         col("both_terms"),
-        round(
-          col("head_only").cast("double") /
-            (col("head_only") + col("tail_only") + col("both_terms")) * 1e6
-        ).cast("long").as("lead_ppm")
+        graft.functions.IntMath.microRatio(
+          col("head_only"),
+          col("head_only") + col("tail_only") + col("both_terms"))
+          .as("lead_ppm")
       )
   }
 
@@ -3557,13 +3559,13 @@ object TextAnalysis {
         col("gate"),
         col("feature"),
         col("n"),
-        round(col("mi_nano").cast("double") / 1e3).cast("long")
-          .as("mi_micro"),
+        graft.functions.IntMath
+          .idivHalfUpSigned(col("mi_nano"), lit(1000L)).as("mi_micro"),
         when(col("h_nano") === 0L, lit(0L))
           .otherwise(
-            round(
-              col("mi_nano").cast("double") / col("h_nano") * 1e6
-            ).cast("long")
+            graft.functions.IntMath
+              .idivHalfUpSigned(col("mi_nano") * lit(1000000L),
+                col("h_nano"))
           ).as("nmi_micro")
       )
   }
@@ -3603,10 +3605,11 @@ object TextAnalysis {
         col("docs_truncated"),
         col("total_tokens"),
         col("kept_tokens"),
-        round(
-          (col("total_tokens") - col("kept_tokens")).cast("double")
-            / col("total_tokens") * 1e6
-        ).cast("long").as("lost_ppm")
+        graft.functions.IntMath
+          .microRatio(
+            col("total_tokens") - col("kept_tokens"),
+            col("total_tokens"))
+          .as("lost_ppm")
       )
   }
 
@@ -3646,9 +3649,10 @@ object TextAnalysis {
         col("lang"),
         col("pred_lang"),
         col("n"),
-        round(col("n").cast("double") / col("n_true") * 1e6)
-          .cast("long").as("row_share_ppm"),
-        round(col("mm_sum").cast("double") / col("n")).cast("long")
+        graft.functions.IntMath.microRatio(col("n"), col("n_true"))
+          .as("row_share_ppm"),
+        graft.functions.IntMath
+          .idivHalfUpSigned(col("mm_sum"), col("n"))
           .as("mean_margin_micro"),
         col("low_margin_n")
       )
@@ -3712,17 +3716,19 @@ object TextAnalysis {
     // Q = (k−1)·(k·ΣC_j² − (ΣC)²) / (k·ΣR − ΣR²), k = 4
     val sumC2 = col("cg") * col("cg") + col("cl") * col("cl") +
       col("cm") * col("cm") + col("cp") * col("cp")
-    val q = lit(3.0) *
-      (lit(4.0) * sumC2.cast("double") -
-        col("sum_r").cast("double") * col("sum_r")) /
-      (lit(4.0) * col("sum_r") - col("sum_r2")).cast("double")
+    val qNum = lit(3L) *
+      (lit(4L) * sumC2 - col("sum_r") * col("sum_r"))
+    val qDen = lit(4L) * col("sum_r") - col("sum_r2")
+    val q = qNum.cast("double") / qDen.cast("double")
     val gates = Seq(
       ("gopher", "cg"), ("lr", "cl"), ("ml", "cm"), ("ppl", "cp")
     )
     tot
       .select(
         col("n"),
-        round(q * 1e3).cast("long").as("q_milli"),
+        when(qDen === 0L, lit(0L))
+          .otherwise(graft.functions.IntMath
+            .idivHalfUpSigned(qNum * lit(1000L), qDen)).as("q_milli"),
         (q > 7.815).as("gates_differ"),
         explode(
           array(gates.map { case (g, c) =>
@@ -3734,8 +3740,8 @@ object TextAnalysis {
         col("e.gate"),
         col("n"),
         col("e.n_pass"),
-        round(col("e.n_pass").cast("double") / col("n") * 1e6)
-          .cast("long").as("pass_ppm"),
+        graft.functions.IntMath.microRatio(col("e.n_pass"), col("n"))
+          .as("pass_ppm"),
         col("q_milli"),
         col("gates_differ")
       )
@@ -3830,15 +3836,15 @@ object TextAnalysis {
         col("n_bytes"),
         col("n_chars"),
         col("n_tokens"),
-        round(
-          col("n_bytes").cast("double") / col("n_tokens") * 1e3
-        ).cast("long").as("bytes_per_token_milli"),
-        round(
-          col("n_chars").cast("double") / col("n_tokens") * 1e3
-        ).cast("long").as("chars_per_token_milli"),
-        round(
-          col("n_bytes").cast("double") / col("n_chars") * 1e3
-        ).cast("long").as("bytes_per_char_milli")
+        graft.functions.IntMath
+          .idivHalfUp(col("n_bytes") * lit(1000L), col("n_tokens"))
+          .as("bytes_per_token_milli"),
+        graft.functions.IntMath
+          .idivHalfUp(col("n_chars") * lit(1000L), col("n_tokens"))
+          .as("chars_per_token_milli"),
+        graft.functions.IntMath
+          .idivHalfUp(col("n_bytes") * lit(1000L), col("n_chars"))
+          .as("bytes_per_char_milli")
       )
 
   /** q325: vocabulary midpoint drift — the corpus split at the
@@ -3923,28 +3929,28 @@ object TextAnalysis {
     * Scale: one narrow scan, one |sources|-row agg.
     */
   def qualityComponents(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.{punctCount, stopwordRatio, tokenCount}
-    val t = tokenCount(col("text")).cast("double")
-    val lt = lit(0.5) * least(t / 200.0, lit(1.0))
-    val st = lit(0.4) * least(stopwordRatio(col("text")) * 5.0, lit(1.0))
-    val pr = when(length(col("text")) === 0, lit(0.0))
-      .otherwise(punctCount(col("text")).cast("double") / length(col("text")))
-    val pt = lit(0.1) * (lit(1.0) - least(pr * 10.0, lit(1.0)))
+    import graft.functions.IntMath.idivHalfUp
+    // the SAME exact integer terms the composite q_micro is built
+    // from (TextFunctions.qualityMicroTerms), weighted in pure
+    // integers: 0.5·len → lenM/2, 0.4·stop → 2·stopM/5,
+    // 0.1·(1−punct) → (1e6−punctM)/10 (round-9 seam)
+    val (lenM, stopM, punctM) =
+      graft.functions.TextFunctions.qualityMicroTerms(col("text"))
     val perDoc = Tables
       .documents(spark, dir)
       .select(
         col("source"),
-        round(lt * 1e6).cast("long").as("lm"),
-        round(st * 1e6).cast("long").as("sm"),
-        round(pt * 1e6).cast("long").as("pm")
+        idivHalfUp(lenM, lit(2L)).as("lm"),
+        idivHalfUp(lit(2L) * stopM, lit(5L)).as("sm"),
+        idivHalfUp(lit(1000000L) - punctM, lit(10L)).as("pm")
       )
     val agg = perDoc
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n"),
-        round(avg(col("lm"))).cast("long").as("len_micro"),
-        round(avg(col("sm"))).cast("long").as("stop_micro"),
-        round(avg(col("pm"))).cast("long").as("punct_micro")
+        idivHalfUp(sum(col("lm")), count(lit(1))).as("len_micro"),
+        idivHalfUp(sum(col("sm")), count(lit(1))).as("stop_micro"),
+        idivHalfUp(sum(col("pm")), count(lit(1))).as("punct_micro")
       )
     val hl = lit(500000L) - col("len_micro")
     val hs = lit(400000L) - col("stop_micro")
@@ -3999,8 +4005,8 @@ object TextAnalysis {
         col("len_bucket"),
         col("n"),
         col("n_pass"),
-        round(col("n_pass").cast("double") / col("n") * 1e6)
-          .cast("long").as("pass_ppm")
+        graft.functions.IntMath.microRatio(col("n_pass"), col("n"))
+          .as("pass_ppm")
       )
   }
 
@@ -4052,8 +4058,10 @@ object TextAnalysis {
       col("k1"),
       col("n2"),
       col("k2"),
-      round(p1 * 1e6).cast("long").as("rate1_ppm"),
-      round(p2 * 1e6).cast("long").as("rate2_ppm"),
+      graft.functions.IntMath.microRatio(col("k1"), col("n1"))
+        .as("rate1_ppm"),
+      graft.functions.IntMath.microRatio(col("k2"), col("n2"))
+        .as("rate2_ppm"),
       round(z * 1e3).cast("long").as("z_milli"),
       coalesce(abs(z) > 3.0, lit(false)).as("drifted")
     )
@@ -4112,8 +4120,11 @@ object TextAnalysis {
       col("source"),
       col("n_s"),
       col("k_s"),
-      round(p1 * 1e6).cast("long").as("rate_ppm"),
-      round(p2 * 1e6).cast("long").as("rest_ppm"),
+      graft.functions.IntMath.microRatio(col("k_s"), col("n_s"))
+        .as("rate_ppm"),
+      graft.functions.IntMath
+        .microRatio(col("k_g") - col("k_s"), col("n_g") - col("n_s"))
+        .as("rest_ppm"),
       round(z * 1e3).cast("long").as("z_milli"),
       round(p * 1e6).cast("long").as("p_micro")
     )
@@ -4194,9 +4205,9 @@ object TextAnalysis {
         col("lang"),
         col("n_docs"),
         col("n_inconsistent"),
-        round(
-          col("n_inconsistent").cast("double") / col("n_docs") * 1e6
-        ).cast("long").as("inconsistent_ppm")
+        graft.functions.IntMath
+          .microRatio(col("n_inconsistent"), col("n_docs"))
+          .as("inconsistent_ppm")
       )
   }
 
@@ -4269,10 +4280,10 @@ object TextAnalysis {
         col("source"),
         col("script"),
         col("n_chars"),
-        round(
-          col("n_chars").cast("double") /
-            nullif(col("total_chars"), lit(0L)) * 1e6
-        ).cast("long").as("share_ppm")
+        when(col("total_chars") === 0L, lit(null).cast("long"))
+          .otherwise(graft.functions.IntMath
+            .microRatio(col("n_chars"), col("total_chars")))
+          .as("share_ppm")
       )
   }
 
@@ -4321,14 +4332,13 @@ object TextAnalysis {
         col("n_docs"),
         col("total_tokens"),
         col("padded_tokens"),
-        round(
-          col("padded_tokens").cast("double") / col("padded_capacity")
-            * 1e6
-        ).cast("long").as("pad_waste_ppm"),
+        graft.functions.IntMath
+          .microRatio(col("padded_tokens"), col("padded_capacity"))
+          .as("pad_waste_ppm"),
         col("lost_tokens"),
-        round(
-          col("lost_tokens").cast("double") / col("total_tokens") * 1e6
-        ).cast("long").as("lost_ppm"),
+        graft.functions.IntMath
+          .microRatio(col("lost_tokens"), col("total_tokens"))
+          .as("lost_ppm"),
         when(col("padded_tokens") < col("lost_tokens"), lit("pack"))
           .otherwise(lit("truncate")).as("cheaper_design"),
         (col("padded_tokens") === col("min_pad")).as("best_pack_l"),
@@ -4385,9 +4395,9 @@ object TextAnalysis {
         col("docs_affected"),
         col("n_matches"),
         col("chars_matched"),
-        round(
-          col("docs_affected").cast("double") / col("n_docs") * 1e6
-        ).cast("long").as("affected_ppm")
+        graft.functions.IntMath
+          .microRatio(col("docs_affected"), col("n_docs"))
+          .as("affected_ppm")
       )
   }
 
@@ -4622,9 +4632,9 @@ object TextAnalysis {
         col("n"),
         col("killed_total"),
         col("shapley_24ths"),
-        round(
-          col("shapley_24ths").cast("double") / (col("n") * 24) * 1e6
-        ).cast("long").as("shapley_ppm")
+        graft.functions.IntMath.idivHalfUpSigned(
+          col("shapley_24ths") * lit(1000000L), col("n") * lit(24L))
+          .as("shapley_ppm")
       )
   }
 }

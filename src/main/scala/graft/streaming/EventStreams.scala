@@ -520,8 +520,7 @@ object EventStreams {
         col("from_type"),
         col("to_type"),
         col("n"),
-        round(col("n").cast("double") / col("row_total") * 1e6)
-          .cast("long")
+        graft.functions.IntMath.microRatio(col("n"), col("row_total"))
           .as("p_micro")
       )
   }

@@ -39,7 +39,7 @@ class AssemblySpec extends AnyFunSuite {
   test("quality deciles: each decile within 1 of n/10, ordered by quality") {
     val rows = Sampling
       .qualityDeciles(spark, dir)
-      .orderBy(col("decile"), col("quality").desc)
+      .orderBy(col("decile"), col("q_micro").desc)
       .collect()
     val byDecile = rows.groupBy(_.getAs[Int]("decile")).view.mapValues(_.length)
     assert(byDecile.keys.toSet == (1 to 10).toSet)
@@ -49,8 +49,8 @@ class AssemblySpec extends AnyFunSuite {
     val minMax = rows
       .groupBy(_.getAs[Int]("decile"))
       .view
-      .mapValues(rs => (rs.map(_.getAs[Double]("quality")).min,
-        rs.map(_.getAs[Double]("quality")).max))
+      .mapValues(rs => (rs.map(_.getAs[Long]("q_micro")).min,
+        rs.map(_.getAs[Long]("q_micro")).max))
     for (d <- 1 to 9)
       assert(minMax(d)._1 >= minMax(d + 1)._2,
         s"decile $d min < decile ${d + 1} max")

@@ -61,7 +61,7 @@ class RankingSpec extends AnyFunSuite {
     val out = Sampling.qualityDeciles(spark, "/root/testdata/sf0.001")
     assert(
       out.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq ==
-        Seq("doc_id" -> "bigint", "quality" -> "double", "decile" -> "int"))
+        Seq("doc_id" -> "bigint", "q_micro" -> "bigint", "decile" -> "int"))
     assert(out.select("decile").distinct().count() == 10)
   }
 }

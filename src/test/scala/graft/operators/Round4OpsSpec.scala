@@ -228,11 +228,12 @@ class Round4OpsSpec extends AnyFunSuite {
   test("decileByBoundaries buckets are ordered with quality and span 1..10") {
     val out = Sampling.decileByBoundaries(spark, dir)
     assert(out.filter(col("vbucket") < 1 || col("vbucket") > 10).count() == 0)
-    // monotone: sorting by quality must sort by bucket
+    // monotone: sorting by the integer micro-quality must sort by
+    // bucket (round-9 seam: the emitted score is q_micro)
     val rows = out
-      .orderBy(col("quality"))
+      .orderBy(col("q_micro"))
       .collect()
-      .map(r => (r.getDouble(1), r.getInt(2)))
+      .map(r => (r.getLong(1), r.getInt(2)))
     assert(rows.sliding(2).forall {
       case Array((_, b1), (_, b2)) => b1 <= b2
       case _ => true

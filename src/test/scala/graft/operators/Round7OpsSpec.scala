@@ -86,7 +86,8 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
-      assert(r.getAs[Double]("margin") >= 0.0, "chosen quality >= rejected quality")
+      assert(r.getAs[Long]("margin_micro") >= 0L,
+        "chosen quality >= rejected quality")
     }
     // one pair at most per (lang, source) stratum
     val strata = rows.map(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
@@ -98,8 +99,8 @@ class Round7OpsSpec extends AnyFunSuite {
     // novelty is in [0,1]; and every counted doc is in the test split
     val out = Dedup.ngramNovelty(spark, dir).collect()
     out.foreach { r =>
-      val nov = r.getAs[Double]("novelty")
-      assert(nov >= 0.0 && nov <= 1.0)
+      val nov = r.getAs[Long]("novelty_ppm")
+      assert(nov >= 0L && nov <= 1000000L)
       assert(r.getAs[Long]("n_seen") <= r.getAs[Long]("n_grams"))
     }
     val testIds = Sampling.trainTestSplit(spark, dir)
@@ -381,11 +382,11 @@ class Round7OpsSpec extends AnyFunSuite {
     val rows = Sampling.scoreNormalization(spark, dir).collect()
     rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
       val sorted = rs.sortBy(r =>
-        (r.getAs[Double]("q"), r.getAs[Long]("doc_id")))
-      val norms = sorted.map(_.getAs[Double]("q_norm"))
+        (r.getAs[Long]("q_micro"), r.getAs[Long]("doc_id")))
+      val norms = sorted.map(_.getAs[Long]("q_norm_ppm"))
       assert(norms.zip(norms.tail).forall { case (a, b) => a <= b },
         s"$src q_norm not monotone")
-      assert(norms.head == 0.0 && norms.last <= 1.0)
+      assert(norms.head == 0L && norms.last <= 1000000L)
     }
   }
 

@@ -26,22 +26,26 @@ class Round8aoOpsSpec extends AnyFunSuite {
       .select(col("doc_id"), col("source"),
         size(graft.functions.TextFunctions.tokens(col("text")))
           .cast("long").as("x"))
-      .join(TextAnalysis.qualityScores(spark, dir)
-        .select(col("doc_id"), round(col("quality") * 1e6)
-          .cast("long").as("y")), "doc_id")
+      .join(TextAnalysis.qualityMicroScores(spark, dir)
+        .select(col("doc_id"), col("q_micro").as("y")), "doc_id")
       .collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("x"),
         r.getAs[Long]("y")))
+    // the engine's two-step exact division (round-9 seam)
+    def halfUp(a: Long, b: Long): Long = (2 * a + b) / (2 * b)
+    def halfUpSigned(a: Long, b: Long): Long =
+      if (a < 0) -halfUp(-a, b) else halfUp(a, b)
     rows.foreach { r =>
       val src = r.getAs[String]("source")
       val xs = data.filter(_._1 == src)
-      val n = xs.length.toDouble
-      val sx = xs.map(_._2).sum.toDouble
-      val sy = xs.map(_._3).sum.toDouble
-      val sxy = n * xs.map(t => t._2 * t._3).sum - sx * sy
-      val sxx = n * xs.map(t => t._2 * t._2).sum - sx * sx
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sy = xs.map(_._3).sum
+      val num = n * xs.map(t => t._2 * t._3).sum - sx * sy
+      val den = n * xs.map(t => t._2 * t._2).sum - sx * sx
+      val denR = math.max(halfUp(den, 1000000L), 1L)
       assert(r.getAs[Long]("slope_micro_per_tok") ==
-        math.round(sxy / sxx * 1e6))
+        halfUpSigned(num, denR))
     }
     // pooled slope is identical on every row
     assert(rows.map(_.getAs[Long]("pooled_micro")).distinct.length == 1)
@@ -66,21 +70,23 @@ class Round8aoOpsSpec extends AnyFunSuite {
     val bm = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         (col("doc_id") / 50).cast("long").as("b"))
-      .join(TextAnalysis.qualityScores(spark, dir)
-        .select(col("doc_id"), col("quality")), "doc_id")
+      .join(TextAnalysis.qualityMicroScores(spark, dir)
+        .select(col("doc_id"), col("q_micro")), "doc_id")
       .groupBy(col("source"), col("b"))
-      .agg(round(avg(col("quality")) * 1e6).cast("long").as("m"))
+      .agg(graft.functions.IntMath
+        .idivHalfUp(sum(col("q_micro")), count(lit(1))).as("m"))
       .collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("b"),
         r.getAs[Long]("m")))
+    def halfUp(a: Long, b: Long): Long = (2 * a + b) / (2 * b)
+    def halfUpSigned(a: Long, b: Long): Long =
+      if (a < 0) -halfUp(-a, b) else halfUp(a, b)
     rows.foreach { r =>
       val src = r.getAs[String]("source")
       val pts = bm.filter(_._1 == src).sortBy(_._2)
       val slopes = for {
         i <- pts.indices; j <- pts.indices if pts(j)._2 > pts(i)._2
-      } yield BigDecimal(
-        (pts(j)._3 - pts(i)._3).toDouble / (pts(j)._2 - pts(i)._2)
-      ).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      } yield halfUpSigned(pts(j)._3 - pts(i)._3, pts(j)._2 - pts(i)._2)
       val sorted = slopes.sorted
       val med = sorted((math.ceil(sorted.length / 2.0) - 1).toInt)
       assert(r.getAs[Long]("n_pairs") == slopes.length.toLong)

@@ -95,13 +95,21 @@ class Round8iOpsSpec extends AnyFunSuite {
 
   test("q240 accuracy matches a naive leave-one-out 1-NN") {
     val rows = Similarity.nnLabelEval(spark, dir).collect()
+    // round 9: the shipped plan retrieves within the query's own IVF
+    // list (nprobe = 1) — the recount restricts to the same list
+    val asg = Similarity
+      .ivfAssign(spark, dir, 8)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
     val evalSet = vecs.filter(_._1 % 5 == 0)
-    val naive = evalSet.map { case (qid, qv, ql) =>
-      val best = vecs
-        .filter(_._1 != qid)
+    val naive = evalSet.flatMap { case (qid, qv, ql) =>
+      val cands = vecs
+        .filter(o => o._1 != qid && asg(o._1) == asg(qid))
         .map { case (id, v, l) => (cos(qv, v), -id, l) }
-        .max
-      (ql, best._3 == ql)
+      if (cands.isEmpty) None else Some((ql, cands.max._3 == ql))
     }
     val byLabel = naive.groupBy(_._1)
     assert(rows.map(_.getAs[Long]("n_eval")).sum == evalSet.length.toLong)
@@ -110,8 +118,9 @@ class Round8iOpsSpec extends AnyFunSuite {
       val g = byLabel(l)
       assert(r.getAs[Long]("n_eval") == g.length.toLong)
       assert(r.getAs[Long]("n_correct") == g.count(_._2).toLong, s"label $l")
-      val acc = g.count(_._2).toDouble / g.length
-      assert(math.abs(r.getAs[Long]("acc_micro") - math.round(acc * 1e6)) <= 1L)
+      def halfUp(a: Long, b: Long): Long = (2 * a + b) / (2 * b)
+      assert(r.getAs[Long]("acc_micro") ==
+        halfUp(g.count(_._2).toLong * 1000000L, g.length.toLong))
     }
   }
 }

@@ -39,10 +39,19 @@ class Round8kOpsSpec extends AnyFunSuite {
     val rows = Similarity.labelConsensus(spark, dir).collect()
     assert(rows.length == vecs.length)
     val byId = rows.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // round 9: candidates come from the vector's own IVF list
+    // (nprobe = 1) — the exact recount restricts to the same list
+    val asg = Similarity
+      .ivfAssign(spark, dir, 8)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cid"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
     // recount exactly for a sample of 25 vectors
     vecs.take(25).foreach { case (id, v, l) =>
       val top5 = vecs
-        .filter(_._1 != id)
+        .filter(o => o._1 != id && asg(o._1) == asg(id))
         .map { case (rid, rv, rl) => (cos(v, rv), -rid, rl) }
         .sorted(Ordering[(Double, Long, Int)].reverse)
         .take(5)

@@ -75,11 +75,9 @@ class Round8oOpsSpec extends AnyFunSuite {
     val rows = Sampling.tokenWeightedQualityDeciles(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("decile")).sorted.toSeq == (1L to 9L))
     val q = TextAnalysis
-      .qualityScores(spark, dir)
+      .qualityMicroScores(spark, dir)
       .collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        BigDecimal(r.getAs[Double]("quality"))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("q_micro"))
       .toMap
     val docs = Tables
       .documents(spark, dir)
@@ -101,8 +99,7 @@ class Round8oOpsSpec extends AnyFunSuite {
       val row = rows.find(_.getAs[Long]("decile") == d.toLong).get
       assert(row.getAs[Long]("doc_id") == hit._2, s"decile $d doc")
       assert(row.getAs[Long]("cum_tokens") == hit._3, s"decile $d cum")
-      assert(row.getAs[Long]("q_micro") == math.round(hit._1 * 1e6),
-        s"decile $d q")
+      assert(row.getAs[Long]("q_micro") == hit._1, s"decile $d q")
     }
     // token-weighted median must be >= doc-count median quality when
     // long docs skew high... just check monotonicity across deciles

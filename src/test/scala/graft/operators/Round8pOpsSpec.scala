@@ -23,9 +23,9 @@ class Round8pOpsSpec extends AnyFunSuite {
   test("q259 slope recounts against a driver-side OLS on bucket means") {
     val rows = Sampling.sourceQualityDrift(spark, dir).collect()
     val q = TextAnalysis
-      .qualityScores(spark, dir)
+      .qualityMicroScores(spark, dir)
       .collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("q_micro"))
       .toMap
     val docs = Tables
       .documents(spark, dir)
@@ -36,25 +36,29 @@ class Round8pOpsSpec extends AnyFunSuite {
     val bySource = docs.groupBy(_._1)
     rows.foreach { r =>
       val src = r.getAs[String]("source")
+      def halfUp(a: Long, b: Long): Long = (2 * a + b) / (2 * b)
+      def halfUpSigned(a: Long, b: Long): Long =
+        if (a < 0) -halfUp(-a, b) else halfUp(a, b)
       val buckets = bySource(src)
         .groupBy(_._2)
         .map { case (b, xs) =>
-          (b, math.round(xs.map(_._3).sum / xs.length * 1e6))
+          (b, halfUp(xs.map(_._3).sum, xs.length.toLong))
         }
         .toArray
         .sortBy(_._1)
       assert(r.getAs[Long]("n_buckets") == buckets.length.toLong)
-      val n = buckets.length
+      val n = buckets.length.toLong
       val sy = buckets.map(_._2).sum
-      assert(r.getAs[Long]("mean_q_micro") == math.round(sy.toDouble / n))
+      assert(r.getAs[Long]("mean_q_micro") == halfUp(sy, n))
       if (n > 1) {
         val sx = buckets.map(_._1).sum
         val sx2 = buckets.map(b => b._1 * b._1).sum
         val sxy = buckets.map(b => b._1 * b._2).sum
-        val slope = (n.toDouble * sxy - sx * sy) /
-          (n.toDouble * sx2 - sx * sx)
-        assert(math.abs(r.getAs[Long]("slope_micro_per_bucket") -
-          math.round(slope)) <= 1L, s"source $src")
+        val num = n * sxy - sx * sy
+        val den = n * sx2 - sx * sx
+        if (den != 0L)
+          assert(r.getAs[Long]("slope_micro_per_bucket") ==
+            halfUpSigned(num, den), s"source $src")
       }
     }
   }

@@ -49,10 +49,9 @@ class Round8wOpsSpec extends AnyFunSuite {
   test("q281 moments recount against a naive driver computation") {
     val rows = Sampling.qualityNormalityAudit(spark, dir).collect()
     val q = TextAnalysis
-      .qualityScores(spark, dir)
+      .qualityMicroScores(spark, dir)
       .collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        math.round(r.getAs[Double]("quality") * 1e6))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("q_micro"))
       .toMap
     val docs = Tables
       .documents(spark, dir)
@@ -63,7 +62,7 @@ class Round8wOpsSpec extends AnyFunSuite {
       val src = r.getAs[String]("source")
       val qs = docs.filter(_._1 == src).map(_._2)
       val n = qs.length
-      val meanMicro = math.round(qs.sum.toDouble / n)
+      val meanMicro = (2 * qs.sum + n) / (2L * n)
       val d = qs.map(x => (x - meanMicro).toDouble / 1e6)
       val m2 = d.map(x => x * x).sum / n
       val m3 = d.map(x => x * x * x).sum / n

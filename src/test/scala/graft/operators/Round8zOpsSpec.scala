@@ -24,9 +24,8 @@ class Round8zOpsSpec extends AnyFunSuite {
     val rows = Sampling.trimmedMeanGap(spark, dir).collect()
     val scored = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"))
-      .join(TextAnalysis.qualityScores(spark, dir)
-        .select(col("doc_id"), round(col("quality") * 1e6)
-          .cast("long").as("qm")), "doc_id")
+      .join(TextAnalysis.qualityMicroScores(spark, dir)
+        .select(col("doc_id"), col("q_micro").as("qm")), "doc_id")
       .collect()
       .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("qm")))
@@ -37,10 +36,10 @@ class Round8zOpsSpec extends AnyFunSuite {
       val k = xs.length / 10
       val kept = xs.slice(k, xs.length - k)
       assert(r.getAs[Long]("n") == xs.length)
-      assert(r.getAs[Long]("mean_micro") ==
-        math.round(xs.sum.toDouble / xs.length))
+      def halfUp(a: Long, b: Long): Long = (2 * a + b) / (2 * b)
+      assert(r.getAs[Long]("mean_micro") == halfUp(xs.sum, xs.length))
       assert(r.getAs[Long]("trimmed_micro") ==
-        math.round(kept.sum.toDouble / kept.length))
+        halfUp(kept.sum, kept.length))
       assert(r.getAs[Long]("gap_micro") ==
         r.getAs[Long]("trimmed_micro") - r.getAs[Long]("mean_micro"))
     }

@@ -102,6 +102,22 @@ def main():
             n_ok += 1
         print(f"{name}: {verdict}  ({len(spark_rows)} rows)")
     print(f"== {n_ok}/{len(names)} OK ==")
+    # boundary-sensitivity lint: the round-9 convention bans round()
+    # of float quotients in hashed oracle columns — a construct whose
+    # half-boundary behavior differs across DuckDB VERSIONS (the
+    # sandbox pins 1.0.0; the driver runs newer), so a violation can
+    # be green here and red at the gate. lint_oracles.py fails the
+    # check when one reappears. (A true multi-version sweep needs
+    # additional duckdb wheels, which the zero-egress sandbox cannot
+    # fetch — the lint enforces the convention that makes results
+    # version-independent by construction instead.)
+    import subprocess
+    lint = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "lint_oracles.py"),
+         outdir])
+    if lint.returncode != 0:
+        sys.exit(1)
 
 if __name__ == "__main__":
     main()
