@@ -934,6 +934,12 @@ object SparkEntry {
     "q359_weekly_growth" -> (Events.weeklyGrowth _),
     // One-row net-trainable-token ledger across all stages.
     "q360_trainable_tokens" -> (Sampling.trainableTokens _),
+    // Tokenizer fertility + compute tax per language, integer milli.
+    "q361_tokenizer_fertility" -> (TextAnalysis.tokenizerFertility _),
+    // Batch-composition diversity over the shuffled order, B = 32.
+    "q362_batch_diversity" -> ((s, d) => Sampling.batchDiversity(s, d)),
+    // 10-stopword function-word profile L1 drift per source.
+    "q363_stopword_drift" -> (TextAnalysis.stopwordProfileDrift _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -9935,6 +9941,90 @@ object SparkEntry {
          FROM a""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
     // a rank-1 window with the vec_id tiebreak on the unrounded sim.
+    // q361: three integer sums per (lang), exact milli divisions;
+    // English baseline as a 1-row cross join.
+    "q361_tokenizer_fertility" ->
+      """WITH b AS (SELECT lang,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS ws,
+             len(regexp_extract_all(lower(text),
+               '[a-z0-9]+|[^a-z0-9\s]'))::BIGINT AS bpe,
+             octet_length(encode(text))::BIGINT AS bytes
+           FROM documents),
+         pl AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                  sum(ws)::BIGINT AS ws_tokens,
+                  sum(bpe)::BIGINT AS bpe_tokens,
+                  sum(bytes)::BIGINT AS n_bytes
+                FROM b GROUP BY 1),
+         p2 AS (SELECT *,
+                  ((2*(bpe_tokens * 1000) + (ws_tokens)) // (2*(ws_tokens))) AS fertility_milli,
+                  ((2*(n_bytes * 1000) + (bpe_tokens)) // (2*(bpe_tokens)))
+                    AS bytes_per_bpe_milli
+                FROM pl),
+         en AS (SELECT fertility_milli AS ef FROM p2 WHERE lang = 'en')
+         SELECT lang, n_docs, ws_tokens, bpe_tokens, fertility_milli,
+           bytes_per_bpe_milli,
+           ((2*(fertility_milli * 1000) + (en.ef)) // (2*(en.ef))) AS fertility_tax_milli
+         FROM p2, en""",
+    // q362: the q191 md5 order cut into batches of 32; majority via
+    // the (count, source) lexicographic max — struct-max twin.
+    "q362_batch_diversity" ->
+      """WITH o AS (SELECT doc_id, source, lang,
+             (row_number() OVER (ORDER BY md5(doc_id::VARCHAR) ASC,
+                doc_id ASC) - 1) // 32 AS batch
+           FROM documents),
+         bs AS (SELECT batch, source, count(*)::BIGINT AS c
+                FROM o GROUP BY 1, 2),
+         tp AS (SELECT batch, count(*)::BIGINT AS n_sources,
+                  max(struct_pack(c := c, source := source)) AS top
+                FROM bs GROUP BY 1),
+         ba AS (SELECT batch, count(*)::BIGINT AS n_docs,
+                  count(DISTINCT lang)::BIGINT AS n_langs
+                FROM o GROUP BY 1)
+         SELECT ba.batch, ba.n_docs, tp.n_sources, ba.n_langs,
+           tp.top.source AS majority_source,
+           ((2*(tp.top.c) * 1000000 + (ba.n_docs)) // (2*(ba.n_docs)))
+             AS majority_share_ppm
+         FROM ba JOIN tp USING (batch)""",
+    // q363: fixed 10-word profile cells, broadcast corpus ppm, exact
+    // |delta-ppm| L1 rollup.
+    "q363_stopword_drift" ->
+      """WITH tok AS (SELECT source, unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END)
+               AS w
+           FROM documents),
+         sw AS (SELECT unnest(['the','a','an','and','or','of','to',
+             'in','is','it']) AS w),
+         ps AS (SELECT source, count(*)::BIGINT AS n_tokens,
+                  sum(CASE WHEN w IN ('the','a','an','and','or','of',
+                    'to','in','is','it') THEN 1 ELSE 0 END)::BIGINT
+                    AS n_stop
+                FROM tok GROUP BY 1),
+         cells AS (SELECT source, w, count(*)::BIGINT AS c FROM tok
+                   WHERE w IN ('the','a','an','and','or','of','to',
+                     'in','is','it')
+                   GROUP BY 1, 2),
+         gn AS (SELECT count(*)::BIGINT AS gn FROM tok),
+         corpus AS (SELECT cells.w,
+                      ((2*(sum(c)) * 1000000 + (gn.gn))
+                        // (2*(gn.gn))) AS g_ppm
+                    FROM cells, gn GROUP BY cells.w, gn.gn),
+         dr AS (SELECT ps.source,
+                  sum(abs(
+                    ((2*(coalesce(cells.c, 0)) * 1000000
+                      + (ps.n_tokens)) // (2*(ps.n_tokens)))
+                    - corpus.g_ppm))::BIGINT AS l1_drift_ppm
+                FROM ps CROSS JOIN corpus
+                LEFT JOIN cells ON cells.source = ps.source
+                  AND cells.w = corpus.w
+                GROUP BY 1)
+         SELECT ps.source, ps.n_tokens,
+           ((2*(ps.n_stop) * 1000000 + (ps.n_tokens))
+             // (2*(ps.n_tokens))) AS stop_mass_ppm,
+           dr.l1_drift_ppm
+         FROM ps JOIN dr USING (source)""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -3983,4 +3983,62 @@ object Sampling {
         (col("r") - col("epoch") * col("n_docs")).as("position")
       )
   }
+
+  /** q362: batch-composition diversity audit — documents laid out in
+    * the reproducible shuffled order (the q191/q75 content-keyed md5
+    * rank), cut into consecutive batches of B, and each batch scored
+    * for mixing: distinct sources, distinct languages, and the
+    * majority-source share in exact ppm. SGD quality degrades when
+    * consecutive batches are source-clumped (correlated gradients);
+    * the q245 interleaver exists to prevent that, and this table is
+    * the measurement that says whether the PLAIN shuffle already
+    * mixes well enough — if every batch of 32 sees 15+ sources, the
+    * interleaver is unnecessary complexity.
+    *
+    * Scale: one [[Ranking.withGlobalRank]] range shuffle for the
+    * order (never a single-partition window), a batch-keyed rollup;
+    * output is N/B rows. Majority share via the max-count struct —
+    * exact integers (round-9 seam).
+    */
+  def batchDiversity(
+      spark: SparkSession,
+      dir: String,
+      batchSize: Int = 32
+  ): DataFrame = {
+    import graft.functions.IntMath.{idiv, microRatio}
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("lang"),
+        md5(col("doc_id").cast("string")).as("h")
+      )
+    val ordered = Ranking
+      .withGlobalRank(d, Seq(col("h").asc, col("doc_id").asc), "pos", 32)
+      .withColumn("batch", idiv(col("pos") - 1, lit(batchSize.toLong)))
+    val bySrc = ordered
+      .groupBy(col("batch"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("batch"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        max(struct(col("c"), col("source"))).as("top")
+      )
+    ordered
+      .groupBy(col("batch"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs")
+      )
+      .join(bySrc, Seq("batch"))
+      .select(
+        col("batch"),
+        col("n_docs"),
+        col("n_sources"),
+        col("n_langs"),
+        col("top.source").as("majority_source"),
+        microRatio(col("top.c"), col("n_docs")).as("majority_share_ppm")
+      )
+  }
 }

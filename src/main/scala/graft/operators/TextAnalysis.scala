@@ -4637,4 +4637,121 @@ object TextAnalysis {
           .as("shapley_ppm")
       )
   }
+
+  /** q361: tokenizer fertility per language — BPE-ish subwords per
+    * whitespace word (the q14 `[a-z0-9]+|[^a-z0-9\\s]` proxy), bytes
+    * per subword, and the fertility tax vs the English baseline, all
+    * in exact integer milli-units. The tokenizer-economics table a
+    * multilingual budget holder reads before fixing per-language
+    * token quotas (q150/q268): a language at 1.8× English fertility
+    * pays 1.8× the compute for the same word mass, and the tax
+    * column IS that multiplier. Complements q338 (byte economics —
+    * storage) with the compute axis.
+    *
+    * Scale: one scan computing three per-row integers, a |langs|-row
+    * rollup, one broadcast 1-row English baseline. Exact half-up
+    * integer divisions end to end (round-9 seam).
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val perLang = Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("bpe"),
+        octet_length(col("text")).cast("long").as("bytes")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("bytes")).as("n_bytes")
+      )
+      .withColumn(
+        "fertility_milli",
+        idivHalfUp(col("bpe_tokens") * lit(1000L), col("ws_tokens")))
+      .withColumn(
+        "bytes_per_bpe_milli",
+        idivHalfUp(col("n_bytes") * lit(1000L), col("bpe_tokens")))
+    val en = broadcast(
+      perLang
+        .filter(col("lang") === "en")
+        .select(col("fertility_milli").as("en_fertility_milli")))
+    perLang
+      .crossJoin(en)
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("ws_tokens"),
+        col("bpe_tokens"),
+        col("fertility_milli"),
+        col("bytes_per_bpe_milli"),
+        idivHalfUp(col("fertility_milli") * lit(1000L),
+          col("en_fertility_milli")).as("fertility_tax_milli")
+      )
+  }
+
+  /** q363: stopword-profile drift per source — the 10-stopword
+    * function-word profile of each source as exact token-mass ppm,
+    * and its L1 distance to the corpus-wide profile. Function-word
+    * rates are the cheapest stable stylometric fingerprint: a source
+    * whose profile drifts is changing REGISTER (template flood,
+    * machine translation, spam), often before the q15 quality score
+    * moves, and unlike q168's unigram KL this is a 10-dimension
+    * integer profile with no logarithm anywhere — the drift number
+    * is exact and version-proof.
+    *
+    * Scale: one token scan → (source, word) counts for a FIXED
+    * 10-word vocabulary (bounded cells), one broadcast corpus
+    * profile, a |sources|-row rollup of exact |Δppm| sums.
+    */
+  def stopwordProfileDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val sw = graft.functions.TextFunctions.stopwordsEn
+    val tok = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val perSource = tok
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("w").isin(sw: _*), 1L).otherwise(0L)).as("n_stop")
+      )
+    val cells = tok
+      .filter(col("w").isin(sw: _*))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val corpus = broadcast(
+      cells
+        .groupBy(col("w"))
+        .agg(sum(col("c")).as("gc"))
+        .crossJoin(tok.agg(count(lit(1)).as("gn")))
+        .select(col("w"), microRatio(col("gc"), col("gn")).as("g_ppm"))
+    )
+    val drift = perSource
+      .select(col("source"), col("n_tokens"))
+      .crossJoin(broadcast(corpus.select(col("w"), col("g_ppm"))))
+      .join(cells, Seq("source", "w"), "left")
+      .select(
+        col("source"),
+        col("w"),
+        abs(
+          microRatio(coalesce(col("c"), lit(0L)), col("n_tokens")) -
+            col("g_ppm")
+        ).as("d_ppm")
+      )
+      .groupBy(col("source"))
+      .agg(sum(col("d_ppm")).as("l1_drift_ppm"))
+    perSource
+      .join(drift, Seq("source"))
+      .select(
+        col("source"),
+        col("n_tokens"),
+        microRatio(col("n_stop"), col("n_tokens")).as("stop_mass_ppm"),
+        col("l1_drift_ppm")
+      )
+  }
 }
