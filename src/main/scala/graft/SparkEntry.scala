@@ -940,6 +940,13 @@ object SparkEntry {
     "q362_batch_diversity" -> ((s, d) => Sampling.batchDiversity(s, d)),
     // 10-stopword function-word profile L1 drift per source.
     "q363_stopword_drift" -> (TextAnalysis.stopwordProfileDrift _),
+    // Top-3 3-token document prefixes per source (boilerplate).
+    "q364_boilerplate_prefixes" ->
+      ((s, d) => TextAnalysis.boilerplatePrefixes(s, d)),
+    // Removable-dup-mass share in the top-k clusters, k lattice.
+    "q365_dup_concentration" -> (Dedup.dupMassConcentration _),
+    // (user, hour)-context co-occurrence lift per type pair.
+    "q366_type_lift" -> (Events.typeCooccurrenceLift _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10025,6 +10032,76 @@ object SparkEntry {
              // (2*(ps.n_tokens))) AS stop_mass_ppm,
            dr.l1_drift_ppm
          FROM ps JOIN dr USING (source)""",
+    // q364: same prefix derivation; per-source top-3 via
+    // row_number (count desc, prefix asc).
+    "q364_boilerplate_prefixes" ->
+      """WITH d AS (SELECT source,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS t
+           FROM documents),
+         p AS (SELECT source,
+                 array_to_string(t[1:3], ' ') AS prefix
+               FROM d WHERE len(t) >= 3),
+         tt AS (SELECT source, count(*)::BIGINT AS n_docs FROM p
+                GROUP BY 1),
+         c AS (SELECT source, prefix, count(*)::BIGINT AS n_prefix
+               FROM p GROUP BY 1, 2),
+         r AS (SELECT c.*, CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY n_prefix DESC, prefix ASC) AS INTEGER)
+                 AS rank
+               FROM c)
+         SELECT r.source, r.rank, r.prefix, r.n_prefix,
+           ((2*(r.n_prefix) * 1000000 + (tt.n_docs)) // (2*(tt.n_docs))) AS share_ppm
+         FROM r JOIN tt USING (source) WHERE r.rank <= 3""",
+    // q365: the recursive closure's cluster sizes, removable = size-1,
+    // rank desc, 4-point k lattice.
+    "q365_dup_concentration" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         cl AS (SELECT cluster_id,
+                  max(cluster_size)::BIGINT - 1 AS removable
+                FROM surv GROUP BY 1
+                HAVING max(cluster_size) >= 2),
+         rk AS (SELECT cluster_id, removable,
+                  row_number() OVER (ORDER BY removable DESC,
+                    cluster_id ASC)::BIGINT AS rk
+                FROM cl),
+         tt AS (SELECT count(*)::BIGINT AS n_clusters,
+                  sum(removable)::BIGINT AS total_removable
+                FROM cl),
+         kk AS (SELECT unnest([1, 5, 25, 125]::BIGINT[]) AS k)
+         SELECT kk.k, tt.n_clusters,
+           count(*)::BIGINT AS clusters_in_topk,
+           sum(rk.removable)::BIGINT AS removable_in_topk,
+           tt.total_removable,
+           ((2*(sum(rk.removable)) * 1000000 + (tt.total_removable)) // (2*(tt.total_removable))) AS share_ppm
+         FROM kk JOIN rk ON rk.rk <= kk.k
+         CROSS JOIN tt
+         GROUP BY kk.k, tt.n_clusters, tt.total_removable""",
+    // q366: distinct (user#hour, type) contexts, context-keyed
+    // self-join a < b, exact integer lift.
+    "q366_type_lift" ->
+      """WITH ctx AS (SELECT DISTINCT
+             user_id::VARCHAR || '#' ||
+               epoch_us(date_trunc('hour', ts))::VARCHAR AS ctx,
+             event_type
+           FROM events),
+         n AS (SELECT count(DISTINCT ctx)::BIGINT AS n_ctx FROM ctx),
+         s AS (SELECT event_type, count(*)::BIGINT AS n_t FROM ctx
+               GROUP BY 1),
+         p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 count(*)::BIGINT AS n_ab
+               FROM ctx a JOIN ctx b
+                 ON a.ctx = b.ctx AND a.event_type < b.event_type
+               GROUP BY 1, 2)
+         SELECT p.type_a, p.type_b, sa.n_t AS n_a, sb.n_t AS n_b,
+           p.n_ab,
+           ((2*(p.n_ab * n.n_ctx * 1000) + (sa.n_t * sb.n_t))
+             // (2*(sa.n_t * sb.n_t))) AS lift_milli
+         FROM p
+         JOIN s sa ON sa.event_type = p.type_a
+         JOIN s sb ON sb.event_type = p.type_b
+         CROSS JOIN n""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -2912,4 +2912,64 @@ object Dedup {
       }
       .reduce(_.unionByName(_))
   }
+
+  /** q365: duplicate-mass concentration — how much of the removable
+    * duplicate mass (cluster size − 1 docs per near-dup cluster)
+    * sits in the top-k largest clusters, for k ∈ {1, 5, 25, 125}.
+    * The dedup-effort planner: when the top 25 clusters carry 80% of
+    * the removable mass, a cheap targeted pass (exact-match the few
+    * giant templates) buys most of the win before any MinHash runs —
+    * the q358 value-concentration idea applied to dedup economics.
+    *
+    * Scale: the audited closure labels → one |clusters|-row frame;
+    * the rank is a bounded-domain total order (two-level rank at
+    * extreme scale); the k-lattice probe is an explode over 4
+    * literals with map-side partial sums. Exact integer shares.
+    */
+  def dupMassConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val clusters = dedupClusters(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(max(col("cluster_size")).as("size"))
+      .filter(col("size") >= 2)
+      .select(col("cluster_id"), (col("size") - 1).as("removable"))
+    val ranked = graft.operators.Ranking
+      .withGlobalRank(
+        clusters,
+        Seq(col("removable").desc, col("cluster_id").asc),
+        "rk",
+        32)
+      .cacheTracked()
+    val tot = broadcast(
+      ranked.agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("removable")).as("total_removable"))
+    )
+    ranked
+      .crossJoin(tot)
+      .select(
+        explode(lit(Array(1L, 5L, 25L, 125L))).as("k"),
+        col("rk"),
+        col("removable"),
+        col("n_clusters"),
+        col("total_removable")
+      )
+      .filter(col("rk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(
+        max(col("n_clusters")).as("n_clusters"),
+        max(col("total_removable")).as("total_removable"),
+        count(lit(1)).as("clusters_in_topk"),
+        sum(col("removable")).as("removable_in_topk")
+      )
+      .select(
+        col("k"),
+        col("n_clusters"),
+        col("clusters_in_topk"),
+        col("removable_in_topk"),
+        col("total_removable"),
+        microRatio(col("removable_in_topk"), col("total_removable"))
+          .as("share_ppm")
+      )
+  }
 }

@@ -1663,4 +1663,62 @@ object Events {
         col("first_alarm_h")
       )
   }
+
+  /** q366: event-type co-occurrence lift — for every unordered type
+    * pair, how much more often the two types co-occur in the same
+    * (user, hour) context than independence predicts:
+    * lift = P(a,b) / (P(a)·P(b)) over distinct contexts, emitted in
+    * exact integer milli as n_ab·N·1000 / (n_a·n_b). The
+    * market-basket view of the event stream: high-lift pairs are
+    * behavioral bundles (the q262 transition matrix sees ORDER;
+    * this sees association regardless of order), and lift < 1 pairs
+    * are substitutes. Context = the deterministic hour bucket — no
+    * session inference, so the oracle replays it exactly.
+    *
+    * Scale: one scan → distinct (context, type) (partial agg), a
+    * self-join keyed on the context (collision-linear in co-occurring
+    * pairs, never |types|²·|contexts|), two bounded rollups. All
+    * integer arithmetic (round-9 seam).
+    */
+  def typeCooccurrenceLift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    import graft.util.Caches._
+    val ctx = Tables
+      .events(spark, dir)
+      .select(
+        concat_ws("#", col("user_id").cast("string"),
+          unix_micros(date_trunc("hour", col("ts"))).cast("string"))
+          .as("ctx"),
+        col("event_type")
+      )
+      .distinct()
+      .cacheTracked()
+    val n = broadcast(ctx.select(col("ctx")).distinct()
+      .agg(count(lit(1)).as("n_ctx")))
+    val singles = ctx
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = ctx
+      .join(
+        ctx.select(col("ctx"), col("event_type").as("type_b")),
+        Seq("ctx"))
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(singles.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a")), Seq("type_a"))
+      .join(singles.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b")), Seq("type_b"))
+      .crossJoin(n)
+      .select(
+        col("type_a"),
+        col("type_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_ab"),
+        idivHalfUp(col("n_ab") * col("n_ctx") * lit(1000L),
+          col("n_a") * col("n_b")).as("lift_milli")
+      )
+  }
 }

@@ -4754,4 +4754,55 @@ object TextAnalysis {
         col("l1_drift_ppm")
       )
   }
+
+  /** q364: boilerplate-prefix detector — per source, the top-3
+    * 3-token document PREFIXES by frequency with their doc-share in
+    * exact ppm. Templated sources (chat exports, scraped forums,
+    * generated docs) announce themselves as one prefix owning a
+    * large share; that prefix is then the strip-rule input for a
+    * cleaning pass, and the share is the before/after gauge. The
+    * head-anchored cheap cousin of the q82 boilerplate n-gram scan:
+    * one prefix per document instead of every shingle.
+    *
+    * Scale: one scan emitting a single 3-token prefix per document
+    * (docs shorter than 3 tokens are excluded), a (source, prefix)
+    * partial-agg count, a per-source top-3 window (WindowGroupLimit
+    * heaps under AQE — never a full sort). Exact integer shares.
+    */
+  def boilerplatePrefixes(
+      spark: SparkSession,
+      dir: String,
+      top: Int = 3
+  ): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+    val withPrefix = d
+      .filter(size(col("t")) >= 3)
+      .select(
+        col("source"),
+        array_join(slice(col("t"), 1, 3), " ").as("prefix"))
+    val totals = withPrefix
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_prefix").desc, col("prefix").asc)
+    withPrefix
+      .groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_prefix"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= top)
+      .join(totals, Seq("source"))
+      .select(
+        col("source"),
+        col("rank"),
+        col("prefix"),
+        col("n_prefix"),
+        microRatio(col("n_prefix"), col("n_docs")).as("share_ppm")
+      )
+  }
 }
