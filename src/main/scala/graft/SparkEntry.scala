@@ -947,6 +947,12 @@ object SparkEntry {
     "q365_dup_concentration" -> (Dedup.dupMassConcentration _),
     // (user, hour)-context co-occurrence lift per type pair.
     "q366_type_lift" -> (Events.typeCooccurrenceLift _),
+    // Mann-Kendall S on arrival-bucket median lengths, pure integer.
+    "q367_length_trend_mk" -> (Sampling.lengthTrendMk _),
+    // Chi-square uniformity of hash60 mod 256, exact integer milli.
+    "q368_hash_uniformity" -> ((s, d) => Sampling.hashUniformity(s, d)),
+    // Maximal adjacent-duplicate runs per source in storage order.
+    "q369_adjacent_dup_runs" -> (Sampling.adjacentDupRuns _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10102,6 +10108,75 @@ object SparkEntry {
          JOIN s sa ON sa.event_type = p.type_a
          JOIN s sb ON sb.event_type = p.type_b
          CROSS JOIN n""",
+    // q367: same bucket medians (exact rank pick), pairwise sign sum.
+    "q367_length_trend_mk" ->
+      """WITH d AS (SELECT doc_id, source, doc_id // 50 AS b,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\s+'))
+              END)::BIGINT AS n
+           FROM documents),
+         r AS (SELECT source, b, n, doc_id,
+                 row_number() OVER (PARTITION BY source, b
+                   ORDER BY n ASC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY source, b) AS cnt
+               FROM d),
+         med AS (SELECT source, b, n AS med FROM r
+                 WHERE rn = ceil(cnt / 2)),
+         pr AS (SELECT a.source,
+                 CASE WHEN b2.med > a.med THEN 1
+                      WHEN b2.med < a.med THEN -1 ELSE 0 END AS sg
+               FROM med a JOIN med b2
+                 ON a.source = b2.source AND b2.b > a.b),
+         nb AS (SELECT source, count(*)::BIGINT AS n_buckets FROM med
+                GROUP BY 1)
+         SELECT pr.source, nb.n_buckets,
+           count(*)::BIGINT AS n_pairs,
+           sum(sg)::BIGINT AS s_stat,
+           CASE WHEN sum(sg) > 0 THEN 1
+                WHEN sum(sg) < 0 THEN -1 ELSE 0 END::BIGINT
+             AS direction
+         FROM pr JOIN nb USING (source)
+         GROUP BY pr.source, nb.n_buckets""",
+    // q368: 256 hash cells, exact integer chi-square milli.
+    "q368_hash_uniformity" ->
+      """WITH c AS (SELECT
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+               % 256 AS bucket,
+             count(*)::BIGINT AS o
+           FROM documents GROUP BY 1),
+         a AS (SELECT count(*)::BIGINT AS buckets_hit,
+                 sum(o)::BIGINT AS n_docs,
+                 sum(o * o)::BIGINT AS sum_o2
+               FROM c)
+         SELECT 256::BIGINT AS n_buckets, buckets_hit, n_docs,
+           (CASE WHEN (256 * sum_o2 - n_docs * n_docs) < 0
+             THEN -((2*(-((256 * sum_o2 - n_docs * n_docs) * 1000))
+               + (n_docs)) // (2*(n_docs)))
+             ELSE ((2*((256 * sum_o2 - n_docs * n_docs) * 1000)
+               + (n_docs)) // (2*(n_docs))) END) AS chi2_milli
+         FROM a""",
+    // q369: lag-equality runs via prefix-sum run ids.
+    "q369_adjacent_dup_runs" ->
+      """WITH d AS (SELECT source, doc_id, md5(text) AS h
+           FROM documents),
+         l AS (SELECT source, doc_id, h,
+                 CASE WHEN lag(h) OVER (PARTITION BY source
+                   ORDER BY doc_id ASC) = h THEN 1 ELSE 0 END AS same
+               FROM d),
+         g AS (SELECT source,
+                 sum(1 - same) OVER (PARTITION BY source
+                   ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+               FROM l),
+         runs AS (SELECT source, run_id, count(*)::BIGINT AS run_len
+                  FROM g GROUP BY 1, 2)
+         SELECT source,
+           sum(run_len - 1)::BIGINT AS adjacent_dup_pairs,
+           sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS runs_ge2,
+           max(run_len)::BIGINT AS max_run
+         FROM runs GROUP BY 1""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -4041,4 +4041,155 @@ object Sampling {
         microRatio(col("top.c"), col("n_docs")).as("majority_share_ppm")
       )
   }
+
+  /** q367: Mann-Kendall trend test on arrival-bucket median document
+    * length — S = Σ_{{i<j}} sign(median_j − median_i) over 50-doc
+    * arrival buckets. S is a PURE INTEGER statistic (the round-9
+    * ideal: no variance estimate, no division anywhere in the hashed
+    * surface), monotone-trend-sensitive and outlier-immune where
+    * q259's OLS slope is not. |S| near its maximum n(n−1)/2 means
+    * document length is drifting monotonically with crawl time — the
+    * content-shift alarm that precedes quality-score movement. The
+    * normal z and its verdict stay spec-side (sqrt of the closed-form
+    * variance n(n−1)(2n+5)/18).
+    *
+    * Scale: bucket medians are exact rank picks over bounded buckets;
+    * the pair sum runs on the |buckets|-row frame (bounded: buckets
+    * ∝ corpus/50 but the per-source frame is |buckets_s| ≤ corpus_s/50
+    * — at extreme scale, coarsen the bucket width, not the operator).
+    */
+  def lengthTrendMk(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        graft.functions.IntMath.idiv(col("doc_id"), lit(50L)).as("b"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n")
+      )
+    val w = Window
+      .partitionBy(col("source"), col("b"))
+      .orderBy(col("n").asc, col("doc_id").asc)
+    val medians = d
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "cnt",
+        count(lit(1)).over(Window.partitionBy(col("source"), col("b"))))
+      .filter(col("rn") === ceil(col("cnt") / 2))
+      .select(col("source"), col("b"), col("n").as("med"))
+    val pairs = medians
+      .join(
+        medians.select(
+          col("source"),
+          col("b").as("b2"),
+          col("med").as("med2")),
+        Seq("source"))
+      .filter(col("b2") > col("b"))
+    pairs
+      .groupBy(col("source"))
+      .agg(
+        sum(
+          when(col("med2") > col("med"), 1L)
+            .when(col("med2") < col("med"), -1L)
+            .otherwise(0L)
+        ).as("s_stat"),
+        count(lit(1)).as("n_pairs")
+      )
+      .join(
+        medians.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_buckets")),
+        Seq("source"))
+      .select(
+        col("source"),
+        col("n_buckets"),
+        col("n_pairs"),
+        col("s_stat"),
+        // trend direction as exact integer sign
+        when(col("s_stat") > 0, 1L)
+          .when(col("s_stat") < 0, -1L)
+          .otherwise(0L).as("direction")
+      )
+  }
+
+  /** q368: hash-bucket uniformity audit — Pearson chi-square of
+    * hash60(doc_id) mod 256 against the uniform distribution, in
+    * EXACT integer milli: with B buckets and N docs,
+    * χ² = (B·Σo² − N²)/N, so χ²_milli = halfUp((B·Σo² − N²)·1000, N)
+    * with zero floats anywhere. This is the foundational audit under
+    * every id-keyed decision in the engine — the q49 split, q71
+    * strata, q75 shards, q304 PPS — all assume the shared 60-bit
+    * hash scatters uniformly; a biased hash silently skews every one
+    * of them. The p-value (χ² tail at 255 dof) stays spec-side.
+    *
+    * Scale: one pure-map scan → 256 partial-agg cells → one row.
+    */
+  def hashUniformity(
+      spark: SparkSession,
+      dir: String,
+      buckets: Int = 256
+  ): DataFrame = {
+    import graft.functions.IntMath.idivHalfUpSigned
+    val cells = Tables
+      .documents(spark, dir)
+      .select(
+        pmod(graft.functions.TextFunctions.hash60(col("doc_id")),
+          lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("o"))
+    cells
+      .agg(
+        count(lit(1)).as("buckets_hit"),
+        sum(col("o")).as("n_docs"),
+        sum(col("o") * col("o")).as("sum_o2")
+      )
+      .select(
+        lit(buckets.toLong).as("n_buckets"),
+        col("buckets_hit"),
+        col("n_docs"),
+        idivHalfUpSigned(
+          (lit(buckets.toLong) * col("sum_o2") -
+            col("n_docs") * col("n_docs")) * lit(1000L),
+          col("n_docs")).as("chi2_milli")
+      )
+  }
+
+  /** q369: adjacent-duplicate runs in storage order — maximal runs of
+    * consecutive doc_ids (per source) whose text hash repeats the
+    * previous row's. Crawl artifacts (a stuck paginator, a retry
+    * loop, a mirrored listing) write the SAME document many times IN
+    * A ROW, which position-blind dedup statistics (q20's groups)
+    * can't distinguish from organic far-apart duplication — and the
+    * fix differs (a crawler patch vs a dedup pass). Reports per
+    * source: adjacent-dup pairs, runs of length ≥ 2, and the longest
+    * run. All exact integers.
+    *
+    * Scale: one source-partitioned window ordered by doc_id (bounded
+    * per source; range-partition within source at extreme scale), a
+    * run-id prefix sum, a |sources|-row rollup.
+    */
+  def adjacentDupRuns(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    val d = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("same", (lag(col("h"), 1).over(w) === col("h"))
+        .cast("long"))
+      .withColumn("same", coalesce(col("same"), lit(0L)))
+      .withColumn(
+        "run_id",
+        sum(lit(1L) - col("same")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = d
+      .groupBy(col("source"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+    runs
+      .groupBy(col("source"))
+      .agg(
+        sum(col("run_len") - 1).as("adjacent_dup_pairs"),
+        sum(when(col("run_len") >= 2, 1L).otherwise(0L))
+          .as("runs_ge2"),
+        max(col("run_len")).as("max_run")
+      )
+  }
 }
