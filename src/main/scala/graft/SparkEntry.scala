@@ -953,6 +953,12 @@ object SparkEntry {
     "q368_hash_uniformity" -> ((s, d) => Sampling.hashUniformity(s, d)),
     // Maximal adjacent-duplicate runs per source in storage order.
     "q369_adjacent_dup_runs" -> (Sampling.adjacentDupRuns _),
+    // Exact P10/P50/P90 micro-quality envelope per language.
+    "q370_quality_bands" -> (TextAnalysis.qualityBandsByLang _),
+    // Simpson token concentration per source, exact integer ppm.
+    "q371_simpson_diversity" -> (TextAnalysis.simpsonConcentration _),
+    // Orphans/childless/dangling keys across the relational spine.
+    "q372_referential_integrity" -> (Relational.referentialIntegrity _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10177,6 +10183,73 @@ object SparkEntry {
              AS runs_ge2,
            max(run_len)::BIGINT AS max_run
          FROM runs GROUP BY 1""",
+    // q370: same type-1 rank picks at ceil(p*n/100) per language.
+    "q370_quality_bands" ->
+      s"""WITH $qMicroCte,
+         sc AS (SELECT d.doc_id, d.lang, q2.q_micro
+               FROM documents d JOIN qm q2 USING (doc_id)),
+         r AS (SELECT lang, q_micro, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY q_micro ASC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS cnt
+               FROM sc)
+         SELECT lang, max(cnt)::BIGINT AS n_docs,
+           max(CASE WHEN rn = ceil(cnt * 10 / 100) THEN q_micro END)
+             ::BIGINT AS p10_micro,
+           max(CASE WHEN rn = ceil(cnt * 50 / 100) THEN q_micro END)
+             ::BIGINT AS p50_micro,
+           max(CASE WHEN rn = ceil(cnt * 90 / 100) THEN q_micro END)
+             ::BIGINT AS p90_micro,
+           max(CASE WHEN rn = ceil(cnt * 90 / 100) THEN q_micro END)
+             ::BIGINT
+             - max(CASE WHEN rn = ceil(cnt * 10 / 100) THEN q_micro
+                 END)::BIGINT AS spread_micro
+         FROM r GROUP BY 1""",
+    // q371: exact coincidence-pair numerator per source.
+    "q371_simpson_diversity" ->
+      """WITH tok AS (SELECT source, unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END)
+               AS w
+           FROM documents),
+         c AS (SELECT source, w, count(*)::BIGINT AS c FROM tok
+               GROUP BY 1, 2),
+         a AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+                 count(*)::BIGINT AS n_types,
+                 sum(c * (c - 1))::BIGINT AS coincidence_pairs
+               FROM c GROUP BY 1)
+         SELECT source, n_tokens, n_types, coincidence_pairs,
+           ((2*(coincidence_pairs) * 1000000
+             + (n_tokens * (n_tokens - 1)))
+             // (2*(n_tokens * (n_tokens - 1)))) AS simpson_ppm
+         FROM a""",
+    // q372: three anti-join audits, 4 fixed rows.
+    "q372_referential_integrity" ->
+      """WITH oli AS (SELECT count(*)::BIGINT AS bad FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+         nli AS (SELECT count(*)::BIGINT AS n FROM lineitem),
+         cho AS (SELECT count(*)::BIGINT AS bad FROM orders
+             WHERE o_orderkey NOT IN
+               (SELECT DISTINCT l_orderkey FROM lineitem)),
+         nor AS (SELECT count(*)::BIGINT AS n FROM orders),
+         olc AS (SELECT count(*)::BIGINT AS bad FROM customer
+             WHERE c_custkey NOT IN
+               (SELECT DISTINCT o_custkey FROM orders)),
+         ncu AS (SELECT count(*)::BIGINT AS n FROM customer),
+         dor AS (SELECT count(*)::BIGINT AS bad FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         u AS (
+           SELECT 'lineitem_orphans' AS check, oli.bad, nli.n
+             FROM oli, nli
+           UNION ALL SELECT 'childless_orders', cho.bad, nor.n
+             FROM cho, nor
+           UNION ALL SELECT 'orderless_customers', olc.bad, ncu.n
+             FROM olc, ncu
+           UNION ALL SELECT 'dangling_orders', dor.bad, nor.n
+             FROM dor, nor)
+         SELECT u.check, u.bad AS n_bad, u.n AS n_total,
+           ((2*(u.bad) * 1000000 + (u.n)) // (2*(u.n))) AS bad_ppm
+         FROM u""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

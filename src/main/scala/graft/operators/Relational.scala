@@ -454,4 +454,63 @@ object Relational {
       sum(col("c") * col("c")).as("est_selfjoin_rows")
     )
   }
+
+  /** q372: referential-integrity audit across the relational spine —
+    * orphaned lineitems (no parent order), childless orders (no
+    * lineitems), customers with no orders, and orders referencing a
+    * missing customer, each as exact counts with ppm against their
+    * own table size. The data-contract check a warehouse runs after
+    * every load: silent orphan growth is how a broken upstream join
+    * shows up WEEKS before anyone reads a wrong revenue number.
+    *
+    * Scale: three key-keyed anti-join aggregates (each a broadcast-
+    * able or shuffle join on the foreign key — never a scan product);
+    * output is 4 rows at any scale.
+    */
+  def referentialIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val ord = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    def ratioRow(
+        name: String,
+        bad: Long,
+        total: Long
+    ): (String, Long, Long) = (name, bad, total)
+    val orphanLi = li
+      .join(ord.select(col("o_orderkey")),
+        li("l_orderkey") === ord("o_orderkey"), "left_anti")
+      .count()
+    val nLi = li.count()
+    val childless = ord
+      .join(li.select(col("l_orderkey")).distinct(),
+        ord("o_orderkey") === li("l_orderkey"), "left_anti")
+      .count()
+    val nOrd = ord.count()
+    val orderlessCust = cust
+      .join(ord.select(col("o_custkey")).distinct(),
+        cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .count()
+    val nCust = cust.count()
+    val danglingOrd = ord
+      .join(cust, ord("o_custkey") === cust("c_custkey"), "left_anti")
+      .count()
+    val rows = Seq(
+      ratioRow("lineitem_orphans", orphanLi, nLi),
+      ratioRow("childless_orders", childless, nOrd),
+      ratioRow("orderless_customers", orderlessCust, nCust),
+      ratioRow("dangling_orders", danglingOrd, nOrd)
+    )
+    import spark.implicits._
+    rows
+      .toDF("check", "n_bad", "n_total")
+      .select(
+        col("check"),
+        col("n_bad"),
+        col("n_total"),
+        microRatio(col("n_bad"), col("n_total")).as("bad_ppm")
+      )
+  }
 }

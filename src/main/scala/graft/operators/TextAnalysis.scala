@@ -4805,4 +4805,83 @@ object TextAnalysis {
         microRatio(col("n_prefix"), col("n_docs")).as("share_ppm")
       )
   }
+
+  /** q370: per-language quality envelope — exact P10/P50/P90 of the
+    * integer micro-quality (type-1 rank picks at ⌈q·n⌉ in
+    * (q_micro, doc_id) order, the q197 convention) plus the P90−P10
+    * spread. The one-line quality summary a mix planner reads per
+    * language before setting per-language thresholds (q332's
+    * rate-matched cuts): a language whose P10 sits above another's
+    * P50 should not share a single global cut. All integers; exact
+    * rank statistics replay bit-identically in the oracle.
+    *
+    * Scale: one scoring scan, one per-language rank window (bounded
+    * by the largest language; two-level rank at extreme scale), a
+    * |langs|-row rollup.
+    */
+  def qualityBandsByLang(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("lang"))
+      .join(qualityMicroScoresFrom(docs), "doc_id")
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("q_micro").asc, col("doc_id").asc)
+    val ranked = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "cnt",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+    def pick(p: Int): Column =
+      max(when(col("rn") === ceil(col("cnt") * p / 100), col("q_micro")))
+    ranked
+      .groupBy(col("lang"))
+      .agg(
+        max(col("cnt")).as("n_docs"),
+        pick(10).as("p10_micro"),
+        pick(50).as("p50_micro"),
+        pick(90).as("p90_micro")
+      )
+      .withColumn("spread_micro", col("p90_micro") - col("p10_micro"))
+  }
+
+  /** q371: Simpson concentration of each source's token distribution
+    * — λ = Σ c(c−1) / (N(N−1)), the exact probability that two
+    * tokens drawn without replacement from the source are the SAME
+    * type, in ppm; diversity = 1 − λ. A pure integer ratio (the
+    * round-9 ideal — the entropy-based diversity gauges need ln,
+    * this needs nothing), mergeable across shards (sum the per-type
+    * counts), and the repeated-token concentration signal that
+    * flags templated/boilerplate sources at a glance: λ rises as a
+    * few types dominate.
+    *
+    * Scale: one token scan → (source, type) partial-agg counts →
+    * |sources|-row rollup of Σc(c−1). Headroom: c(c−1) needs the top
+    * type's count under ~3e9 per source; past that, compute per
+    * shard and merge the exact integer numerators.
+    */
+  def simpsonConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val counts = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * (col("c") - 1)).as("coincidence_pairs")
+      )
+      .select(
+        col("source"),
+        col("n_tokens"),
+        col("n_types"),
+        col("coincidence_pairs"),
+        microRatio(
+          col("coincidence_pairs"),
+          col("n_tokens") * (col("n_tokens") - 1)).as("simpson_ppm")
+      )
+  }
 }
