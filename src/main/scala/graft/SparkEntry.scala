@@ -959,6 +959,12 @@ object SparkEntry {
     "q371_simpson_diversity" -> (TextAnalysis.simpsonConcentration _),
     // Orphans/childless/dangling keys across the relational spine.
     "q372_referential_integrity" -> (Relational.referentialIntegrity _),
+    // Benford first-digit audit on order totals, pinned-constant ppm.
+    "q373_benford_digits" -> (Relational.benfordAudit _),
+    // Kendall C/D/tie pair counts, length vs quality, hash sample.
+    "q374_kendall_tau" -> (TextAnalysis.kendallLengthQuality _),
+    // Wald-Wolfowitz runs around the per-source median in doc order.
+    "q375_quality_runs" -> (TextAnalysis.qualityRunsTest _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10250,6 +10256,106 @@ object SparkEntry {
          SELECT u.check, u.bad AS n_bad, u.n AS n_total,
            ((2*(u.bad) * 1000000 + (u.n)) // (2*(u.n))) AS bad_ppm
          FROM u""",
+    // q373: digit from the decimal string of an exact BIGINT; the
+    // Benford expectation is the same pinned literal list as
+    // Relational.benfordExpectedPpm (no runtime log10 anywhere).
+    "q373_benford_digits" ->
+      s"""WITH v AS (SELECT CAST(floor(o_totalprice) AS BIGINT) AS b
+           FROM orders WHERE floor(o_totalprice) >= 1),
+         o AS (SELECT CAST(substr(CAST(b AS VARCHAR), 1, 1) AS BIGINT)
+                 AS digit,
+                 count(*)::BIGINT AS observed
+               FROM v GROUP BY 1),
+         g AS (SELECT unnest([1,2,3,4,5,6,7,8,9])::BIGINT AS digit,
+                 unnest([301030,176091,124939,96910,79181,
+                         66947,57992,51153,45757])::BIGINT
+                   AS expected_ppm),
+         j AS (SELECT g.digit, coalesce(o.observed, 0)::BIGINT
+                 AS observed, g.expected_ppm
+               FROM g LEFT JOIN o USING (digit)),
+         t AS (SELECT sum(observed)::BIGINT AS n FROM j)
+         SELECT j.digit, j.observed, t.n AS n_values,
+           ${sqlMicroRatio("j.observed", "greatest(t.n, 1)")}
+             AS observed_ppm,
+           j.expected_ppm,
+           ${sqlMicroRatio("j.observed", "greatest(t.n, 1)")}
+             - j.expected_ppm AS dev_ppm
+         FROM j, t""",
+    // q374: the same bottom-64-by-(md5,doc_id) sample and exact pair
+    // counts; tau's numerator is pure integer, tau-b lives in the
+    // spec (it needs a sqrt).
+    "q374_kendall_tau" ->
+      s"""WITH $qMicroCte,
+         s AS (SELECT d.source, d.doc_id, d.n_chars AS x,
+                 q2.q_micro AS y,
+                 row_number() OVER (PARTITION BY d.source
+                   ORDER BY md5(d.text) ASC, d.doc_id ASC) AS rn
+               FROM documents d JOIN qm q2 USING (doc_id)),
+         k AS (SELECT source, doc_id, x, y FROM s WHERE rn <= 64),
+         p AS (SELECT a.source, a.x - b.x AS dx, a.y - b.y AS dy
+               FROM k a JOIN k b
+                 ON a.source = b.source AND a.doc_id < b.doc_id),
+         agg AS (SELECT source, count(*)::BIGINT AS n_pairs,
+                  sum(CASE WHEN dx <> 0 AND dy <> 0
+                        AND ((dx > 0) = (dy > 0))
+                      THEN 1 ELSE 0 END)::BIGINT AS concordant,
+                  sum(CASE WHEN dx <> 0 AND dy <> 0
+                        AND ((dx > 0) <> (dy > 0))
+                      THEN 1 ELSE 0 END)::BIGINT AS discordant,
+                  sum(CASE WHEN dx = 0 AND dy <> 0
+                      THEN 1 ELSE 0 END)::BIGINT AS ties_x,
+                  sum(CASE WHEN dx <> 0 AND dy = 0
+                      THEN 1 ELSE 0 END)::BIGINT AS ties_y,
+                  sum(CASE WHEN dx = 0 AND dy = 0
+                      THEN 1 ELSE 0 END)::BIGINT AS ties_xy
+                 FROM p GROUP BY 1),
+         ns AS (SELECT source, count(*)::BIGINT AS n_sampled
+                FROM k GROUP BY 1)
+         SELECT agg.source, ns.n_sampled, agg.n_pairs,
+           agg.concordant, agg.discordant,
+           agg.ties_x, agg.ties_y, agg.ties_xy,
+           agg.concordant - agg.discordant AS tau_num
+         FROM agg JOIN ns USING (source)""",
+    // q375: exact type-1 median pick, docs AT the median excluded,
+    // runs via lag + prefix-sum run ids (the q369 idiom).
+    "q375_quality_runs" ->
+      s"""WITH $qMicroCte,
+         sc AS (SELECT d.doc_id, d.source, q2.q_micro
+               FROM documents d JOIN qm q2 USING (doc_id)),
+         r AS (SELECT source, q_micro, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY q_micro ASC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY source) AS cnt
+               FROM sc),
+         m AS (SELECT source, q_micro AS med_micro FROM r
+               WHERE rn = ceil(cnt * 50 / 100)),
+         sgn AS (SELECT sc.source, sc.doc_id,
+                  CASE WHEN sc.q_micro > m.med_micro
+                    THEN 1 ELSE 0 END AS above
+                FROM sc JOIN m USING (source)
+                WHERE sc.q_micro <> m.med_micro),
+         l AS (SELECT source, doc_id, above,
+                 CASE WHEN lag(above) OVER (PARTITION BY source
+                   ORDER BY doc_id ASC) = above THEN 0 ELSE 1 END
+                   AS brk
+               FROM sgn),
+         g AS (SELECT source, above,
+                 sum(brk) OVER (PARTITION BY source
+                   ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+               FROM l),
+         runs AS (SELECT source, run_id, count(*)::BIGINT AS run_len,
+                    max(above) AS above
+                  FROM g GROUP BY 1, 2)
+         SELECT source,
+           sum(CASE WHEN above = 1 THEN run_len ELSE 0 END)::BIGINT
+             AS n_above,
+           sum(CASE WHEN above = 0 THEN run_len ELSE 0 END)::BIGINT
+             AS n_below,
+           count(*)::BIGINT AS n_runs,
+           max(run_len)::BIGINT AS longest_run
+         FROM runs GROUP BY 1""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

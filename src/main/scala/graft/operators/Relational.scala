@@ -513,4 +513,61 @@ object Relational {
         microRatio(col("n_bad"), col("n_total")).as("bad_ppm")
       )
   }
+
+  /** Benford's-law expected first-digit shares log10(1 + 1/d) in ppm.
+    * These are CONSTANTS, so the transcendental log10 never touches a
+    * runtime column — the nine literals are pinned here (they sum to
+    * exactly 1,000,000) and mirrored verbatim in the oracle SQL.
+    */
+  val benfordExpectedPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L
+  )
+
+  /** q373: Benford first-significant-digit audit over order totals —
+    * the classic fabricated-or-truncated-numbers screen, run over
+    * `floor(o_totalprice)`. Natural multi-scale monetary amounts
+    * should track log10(1 + 1/d); a synthetic generator with a
+    * uniform price range will not, and the signed per-digit deviation
+    * quantifies exactly how far off it is. Every hashed column is a
+    * pure integer: the digit comes from the decimal string of an
+    * exact BIGINT (floor of a double is exact; integer-to-string is
+    * deterministic), shares are half-up ppm ratios, and the Benford
+    * expectation is a pinned literal (no runtime log10).
+    *
+    * Scale: one narrow scan → 9-group partial agg → 9-row frame; the
+    * only window runs over the provably-bounded 9-row digit lattice.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val obs = Tables
+      .orders(spark, dir)
+      .select(floor(col("o_totalprice")).cast("long").as("b"))
+      .filter(col("b") >= 1L)
+      .select(substring(col("b").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val digits = spark.range(1, 10).select(col("id").as("digit"))
+    val expected = benfordExpectedPpm
+      .foldLeft(lit(0L)) { case (acc, (d, ppm)) =>
+        when(col("digit") === d.toLong, lit(ppm)).otherwise(acc)
+      }
+    val obsPpm =
+      microRatio(col("observed"), greatest(col("n_values"), lit(1L)))
+    digits
+      .join(obs, Seq("digit"), "left")
+      .na
+      .fill(0L, Seq("observed"))
+      .withColumn("n_values",
+        sum(col("observed")).over(Window.partitionBy()))
+      .select(
+        col("digit"),
+        col("observed"),
+        col("n_values"),
+        obsPpm.as("observed_ppm"),
+        expected.as("expected_ppm"),
+        (obsPpm - expected).as("dev_ppm")
+      )
+  }
 }

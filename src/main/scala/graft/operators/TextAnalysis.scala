@@ -4884,4 +4884,133 @@ object TextAnalysis {
           col("n_tokens") * (col("n_tokens") - 1)).as("simpson_ppm")
       )
   }
+
+  /** q374: Kendall concordance between document length and micro-
+    * quality per source, over a deterministic hash sample — the
+    * distribution-free complement of q249's Spearman ρ (which rides
+    * averaged ranks); Kendall's pair counts are the round-9 ideal
+    * form because the statistic is NOTHING BUT integers: concordant,
+    * discordant and tie pair counts, with τ's numerator C − D emitted
+    * exactly and the normalized τ-b left to the spec (it needs a
+    * sqrt). A drop in C − D after a pipeline change means the quality
+    * gate stopped tracking length where it should.
+    *
+    * Sample: bottom-64 docs per source by (md5(text), doc_id) — the
+    * same deterministic hash-order sampling the q191/q362 family
+    * uses, which Spark executes as WindowGroupLimit (per-partition
+    * top-k heaps, no full sort). The pair join is then bounded at
+    * 64²/2 pairs per source REGARDLESS of corpus size — the exact-
+    * pairs-on-a-deterministic-sample pattern that keeps an O(n²)
+    * statistic flat at 100 TB.
+    */
+  def kendallLengthQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"))
+      .join(qualityMicroScoresFrom(docs), "doc_id")
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    val sampled = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 64)
+      .select(col("source"), col("doc_id"),
+        col("n_chars").as("x"), col("q_micro").as("y"))
+    val a = sampled.as("a")
+    val b = sampled.as("b")
+    val pairs = a
+      .join(b,
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.source").as("source"),
+        (col("a.x") - col("b.x")).as("dx"),
+        (col("a.y") - col("b.y")).as("dy")
+      )
+    val nSampled = sampled
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"))
+    pairs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dx") =!= 0 && col("dy") =!= 0 &&
+          (col("dx") > 0) === (col("dy") > 0), 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("dx") =!= 0 && col("dy") =!= 0 &&
+          (col("dx") > 0) =!= (col("dy") > 0), 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L))
+          .as("ties_x"),
+        sum(when(col("dx") =!= 0 && col("dy") === 0, 1L).otherwise(0L))
+          .as("ties_y"),
+        sum(when(col("dx") === 0 && col("dy") === 0, 1L).otherwise(0L))
+          .as("ties_xy")
+      )
+      .join(nSampled, "source")
+      .select(
+        col("source"), col("n_sampled"), col("n_pairs"),
+        col("concordant"), col("discordant"),
+        col("ties_x"), col("ties_y"), col("ties_xy"),
+        (col("concordant") - col("discordant")).as("tau_num")
+      )
+  }
+
+  /** q375: Wald–Wolfowitz runs test of micro-quality around the per-
+    * source median, in storage (doc_id) order — the randomness audit
+    * UNDER every "shuffle once, stream in storage order" training
+    * plan (q191): too FEW runs means quality drifts or clumps along
+    * the crawl (adjacent batches see correlated quality), too MANY
+    * means an unnatural alternation. Docs AT the median are excluded
+    * (the standard treatment); everything hashed is an integer count
+    * — n_above, n_below, the observed run count and the longest run —
+    * while the normal z-approximation lives in the spec.
+    *
+    * Scale: the median is an exact type-1 rank pick (one window
+    * partitioned by source), runs are a lag + running-sum pass over
+    * the same partitioning — two linear shuffles, no joins wider than
+    * |sources| rows.
+    */
+  def qualityRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(qualityMicroScoresFrom(docs), "doc_id")
+    val wOrd = Window
+      .partitionBy(col("source"))
+      .orderBy(col("q_micro").asc, col("doc_id").asc)
+    val wSrc = Window.partitionBy(col("source"))
+    val med = scored
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt", count(lit(1)).over(wSrc))
+      .filter(col("rn") === ceil(col("cnt") * 50 / 100))
+      .select(col("source"), col("q_micro").as("med_micro"))
+    val signs = scored
+      .join(med, "source")
+      .filter(col("q_micro") =!= col("med_micro"))
+      .select(col("source"), col("doc_id"),
+        when(col("q_micro") > col("med_micro"), 1L).otherwise(0L)
+          .as("above"))
+    val wSeq = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    val runs = signs
+      .withColumn("brk",
+        when(lag(col("above"), 1).over(wSeq) === col("above"), 0L)
+          .otherwise(1L))
+      .withColumn("run_id",
+        sum(col("brk")).over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("source"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"), max(col("above")).as("above"))
+    runs
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("above") === 1L, col("run_len")).otherwise(0L))
+          .as("n_above"),
+        sum(when(col("above") === 0L, col("run_len")).otherwise(0L))
+          .as("n_below"),
+        count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("longest_run")
+      )
+  }
 }
