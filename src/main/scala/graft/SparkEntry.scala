@@ -965,6 +965,13 @@ object SparkEntry {
     "q374_kendall_tau" -> (TextAnalysis.kendallLengthQuality _),
     // Wald-Wolfowitz runs around the per-source median in doc order.
     "q375_quality_runs" -> (TextAnalysis.qualityRunsTest _),
+    // lang x source contingency: expected milli + cell chi2 micro.
+    "q376_lang_source_contingency" ->
+      (TextAnalysis.langSourceContingency _),
+    // Exclusive type/token mass per source, exact ppm.
+    "q377_vocab_specificity" -> (TextAnalysis.vocabSpecificity _),
+    // Time-to-first-purchase life table in whole-day offsets.
+    "q378_purchase_survival" -> (Events.purchaseSurvival _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10356,6 +10363,80 @@ object SparkEntry {
            count(*)::BIGINT AS n_runs,
            max(run_len)::BIGINT AS longest_run
          FROM runs GROUP BY 1""",
+    // q376: marginals as window sums over the bounded cell frame;
+    // expected milli and the cell chi2 micro are exact half-up
+    // integer divisions of pure-integer numerators.
+    "q376_lang_source_contingency" ->
+      s"""WITH c AS (SELECT lang, source, count(*)::BIGINT AS observed
+           FROM documents GROUP BY 1, 2),
+         m AS (SELECT lang, source, observed,
+                 sum(observed) OVER (PARTITION BY lang)::BIGINT
+                   AS row_total,
+                 sum(observed) OVER (PARTITION BY source)::BIGINT
+                   AS col_total,
+                 sum(observed) OVER ()::BIGINT AS n_docs
+               FROM c)
+         SELECT lang, source, observed, row_total, col_total, n_docs,
+           ${sqlIdivHalfUp("row_total * col_total * 1000", "n_docs")}
+             AS expected_milli,
+           ${sqlIdivHalfUp(
+        "(n_docs * observed - row_total * col_total)" +
+          " * (n_docs * observed - row_total * col_total) * 1000000",
+        "n_docs * row_total * col_total")} AS cell_chi2_micro
+         FROM m""",
+    // q377: (source, type) counts -> per-type carrying-source count
+    // -> per-source exclusive type/token rollup, exact ppm.
+    "q377_vocab_specificity" ->
+      s"""WITH tok AS (SELECT source, unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END)
+               AS w
+           FROM documents),
+         c AS (SELECT source, w, count(*)::BIGINT AS c FROM tok
+               GROUP BY 1, 2),
+         sp AS (SELECT w, count(*)::BIGINT AS n_sources FROM c
+                GROUP BY 1),
+         a AS (SELECT c.source,
+                 count(*)::BIGINT AS n_types,
+                 sum(c.c)::BIGINT AS n_tokens,
+                 sum(CASE WHEN sp.n_sources = 1 THEN 1 ELSE 0 END)
+                   ::BIGINT AS excl_types,
+                 sum(CASE WHEN sp.n_sources = 1 THEN c.c ELSE 0 END)
+                   ::BIGINT AS excl_tokens
+               FROM c JOIN sp USING (w) GROUP BY 1)
+         SELECT source, n_types, n_tokens, excl_types, excl_tokens,
+           ${sqlMicroRatio("excl_types", "n_types")} AS excl_type_ppm,
+           ${sqlMicroRatio("excl_tokens", "n_tokens")}
+             AS excl_token_ppm
+         FROM a""",
+    // q378: the same exact integer day offsets (epoch micros div
+    // 86400e6) and cumulative at-risk over the bounded day lattice.
+    "q378_purchase_survival" ->
+      """WITH e AS (SELECT user_id, event_type,
+                 epoch_us(ts)::BIGINT AS us FROM events),
+         f AS (SELECT user_id, min(us)::BIGINT AS us0 FROM e
+               GROUP BY 1),
+         p AS (SELECT user_id, min(us)::BIGINT AS usp FROM e
+               WHERE event_type = 'purchase' GROUP BY 1),
+         h AS (SELECT max(us)::BIGINT AS us_max FROM e),
+         u AS (SELECT (coalesce(p.usp, h.us_max) - f.us0)
+                   // 86400000000 AS day,
+                 CASE WHEN p.usp IS NOT NULL THEN 1 ELSE 0 END
+                   AS converted
+               FROM f LEFT JOIN p USING (user_id) CROSS JOIN h),
+         d AS (SELECT day, sum(converted)::BIGINT AS n_events,
+                 sum(1 - converted)::BIGINT AS n_censored,
+                 count(*)::BIGINT AS n_ending
+               FROM u GROUP BY 1),
+         w AS (SELECT day, n_events, n_censored, n_ending,
+                 sum(n_ending) OVER ()::BIGINT AS n_total,
+                 sum(n_ending) OVER (ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS ended_through
+               FROM d)
+         SELECT day, n_total - ended_through + n_ending AS n_at_risk,
+           n_events, n_censored
+         FROM w""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

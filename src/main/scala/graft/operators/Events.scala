@@ -1721,4 +1721,64 @@ object Events {
           col("n_a") * col("n_b")).as("lift_milli")
       )
   }
+
+  /** q378: discrete life table for time-to-first-purchase — per whole
+    * day since each user's FIRST event: how many users are still at
+    * risk (no purchase yet, still observable), how many convert that
+    * day, how many are censored (observation window ends before they
+    * purchase). The survival-analysis primitive under every
+    * activation/retention metric; the Kaplan-Meier product itself is
+    * a product of rationals, so it lives in the spec — the hashed
+    * surface is NOTHING BUT counts. Day offsets are exact integer
+    * microsecond differences div 86400e6 (no calendar arithmetic, no
+    * timezone sensitivity).
+    *
+    * Scale: two per-user min-aggregations (map-side combinable), one
+    * scalar max (the censoring horizon), then a groupBy(day) whose
+    * cumulative window runs over the bounded day lattice (the
+    * corpus's time SPAN, not its size).
+    */
+  def purchaseSurvival(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idiv
+    val e = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val first = e.groupBy(col("user_id")).agg(min(col("us")).as("us0"))
+    val purch = e
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("usp"))
+    val horizon = e.agg(max(col("us")).as("us_max"))
+    val perUser = first
+      .join(purch, Seq("user_id"), "left")
+      .crossJoin(horizon)
+      .select(
+        idiv(coalesce(col("usp"), col("us_max")) - col("us0"),
+          lit(86400000000L)).as("day"),
+        when(col("usp").isNotNull, 1L).otherwise(0L).as("converted")
+      )
+    val byDay = perUser
+      .groupBy(col("day"))
+      .agg(
+        sum(col("converted")).as("n_events"),
+        sum(lit(1L) - col("converted")).as("n_censored"),
+        count(lit(1)).as("n_ending")
+      )
+    val wAll = Window.partitionBy()
+    val wCum = Window
+      .partitionBy()
+      .orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_total", sum(col("n_ending")).over(wAll))
+      .withColumn("ended_through", sum(col("n_ending")).over(wCum))
+      .select(
+        col("day"),
+        (col("n_total") - col("ended_through") + col("n_ending"))
+          .as("n_at_risk"),
+        col("n_events"),
+        col("n_censored")
+      )
+  }
 }

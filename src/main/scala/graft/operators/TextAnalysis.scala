@@ -4957,6 +4957,95 @@ object TextAnalysis {
       )
   }
 
+  /** q376: lang × source contingency audit — per cell: observed
+    * count, marginals, the expected count under independence in exact
+    * integer milli, and the cell's chi-square contribution in exact
+    * integer micro via (N·o − r·c)²·10⁶ / (N·r·c) half-up. The
+    * corpus-composition independence screen: a large cell
+    * contribution means a source is language-skewed relative to the
+    * corpus (a crawl partition artifact the per-dimension censuses
+    * q19/q313 cannot see). Cramér's V needs a sqrt, so it lives in
+    * the spec; every hashed column here is a pure integer.
+    *
+    * Scale: one groupBy(lang, source) partial agg; the windows run
+    * over the provably bounded |langs|×|sources| cell frame.
+    * Overflow headroom: N·o must stay under 2^63 — past ~3e9 docs
+    * per cell, compute the exact integer numerators per shard and
+    * merge (the q371 treatment).
+    */
+  def langSourceContingency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val cells = Tables
+      .documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("observed"))
+    val withMargins = cells
+      .withColumn("row_total",
+        sum(col("observed")).over(Window.partitionBy(col("lang"))))
+      .withColumn("col_total",
+        sum(col("observed")).over(Window.partitionBy(col("source"))))
+      .withColumn("n_docs",
+        sum(col("observed")).over(Window.partitionBy()))
+    val dev = col("n_docs") * col("observed") -
+      col("row_total") * col("col_total")
+    withMargins.select(
+      col("lang"),
+      col("source"),
+      col("observed"),
+      col("row_total"),
+      col("col_total"),
+      col("n_docs"),
+      idivHalfUp(col("row_total") * col("col_total") * lit(1000L),
+        col("n_docs")).as("expected_milli"),
+      idivHalfUp(dev * dev * lit(1000000L),
+        col("n_docs") * col("row_total") * col("col_total"))
+        .as("cell_chi2_micro")
+    )
+  }
+
+  /** q377: vocabulary specificity per source — how much of a source's
+    * type inventory and token mass is EXCLUSIVE to it (types seen in
+    * no other source). High exclusivity marks domain-specific or
+    * noisy-vocabulary sources (their tokens won't transfer); near-
+    * zero marks redundant crawls of the same register. The cross-
+    * source complement of q371's within-source concentration, and
+    * pure integers throughout.
+    *
+    * Scale: token scan → (source, type) partial-agg counts → one
+    * groupBy(type) to count carrying sources → rollup per source.
+    * All shuffles are on (source, type) / type — no pair joins.
+    */
+  def vocabSpecificity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val counts = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val spread = counts
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_sources"))
+    counts
+      .join(spread, "w")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("n_sources") === 1L, 1L).otherwise(0L))
+          .as("excl_types"),
+        sum(when(col("n_sources") === 1L, col("c")).otherwise(0L))
+          .as("excl_tokens")
+      )
+      .select(
+        col("source"), col("n_types"), col("n_tokens"),
+        col("excl_types"), col("excl_tokens"),
+        microRatio(col("excl_types"), col("n_types"))
+          .as("excl_type_ppm"),
+        microRatio(col("excl_tokens"), col("n_tokens"))
+          .as("excl_token_ppm")
+      )
+  }
+
   /** q375: Wald–Wolfowitz runs test of micro-quality around the per-
     * source median, in storage (doc_id) order — the randomness audit
     * UNDER every "shuffle once, stream in storage order" training
