@@ -972,6 +972,12 @@ object SparkEntry {
     "q377_vocab_specificity" -> (TextAnalysis.vocabSpecificity _),
     // Time-to-first-purchase life table in whole-day offsets.
     "q378_purchase_survival" -> (Events.purchaseSurvival _),
+    // Direct vs collateral quarantine mass per source (q73 x q207).
+    "q379_blast_radius" -> (Dedup.contaminationBlastRadius _),
+    // Exact-dup rate per exact ntile(10) length decile.
+    "q380_dup_by_length" -> (Dedup.dupRateByLength _),
+    // Global-vs-per-lang median cut: admissions and flip counts.
+    "q381_threshold_transfer" -> (TextAnalysis.thresholdTransfer _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10437,6 +10443,134 @@ object SparkEntry {
          SELECT day, n_total - ended_through + n_ending AS n_at_risk,
            n_events, n_censored
          FROM w""",
+    // q379: the q73 contamination CTE (5-gram shingles — NOT the
+    // 3-gram pair CTE) + the q207 pair threshold; the neighbor set
+    // excludes eval docs and the contaminated set.
+    "q379_blast_radius" ->
+      s"""WITH $shinglesCte,
+         d5 AS (SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 4),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5])) AS sh
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 5),
+         e5 AS (SELECT doc_id, unnest(sh) AS s FROM d5
+                WHERE len(sh) > 0),
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         cont AS (SELECT DISTINCT a.doc_id FROM e5 a JOIN e5 b
+                 ON a.s = b.s
+               WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.5),
+         nb AS (SELECT DISTINCT nbr AS doc_id FROM (
+                 SELECT doc_b AS nbr FROM pr
+                 WHERE doc_a IN (SELECT doc_id FROM cont)
+                 UNION ALL
+                 SELECT doc_a AS nbr FROM pr
+                 WHERE doc_b IN (SELECT doc_id FROM cont)) x
+                WHERE nbr % 50 <> 0
+                  AND nbr NOT IN (SELECT doc_id FROM cont)),
+         cls AS (SELECT dd.doc_id, dd.source, dd.n_chars,
+                  CASE WHEN dd.doc_id IN (SELECT doc_id FROM cont)
+                    THEN 1 ELSE 0 END AS direct,
+                  CASE WHEN dd.doc_id IN (SELECT doc_id FROM nb)
+                    THEN 1 ELSE 0 END AS collateral
+                 FROM documents dd WHERE dd.doc_id % 50 <> 0),
+         a AS (SELECT source, count(*)::BIGINT AS n_train_docs,
+                 sum(direct)::BIGINT AS n_direct,
+                 sum(collateral)::BIGINT AS n_collateral,
+                 sum(direct * n_chars)::BIGINT AS direct_chars,
+                 sum(collateral * n_chars)::BIGINT AS collateral_chars
+               FROM cls GROUP BY 1)
+         SELECT source, n_train_docs, n_direct, n_collateral,
+           direct_chars, collateral_chars,
+           ${sqlMicroRatio("n_direct + n_collateral", "n_train_docs")}
+             AS quarantine_ppm
+         FROM a""",
+    // q380: plain SQL ntile(10) — Ranking.ntileFromRank matches it
+    // bit-for-bit (spec-pinned) without the single-partition window;
+    // the dup flag is J >= 0.5 pair membership (the q207 threshold).
+    "q380_dup_by_length" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.5),
+         du AS (SELECT DISTINCT doc_id FROM (
+                 SELECT doc_a AS doc_id FROM pr
+                 UNION ALL SELECT doc_b FROM pr) x),
+         f AS (SELECT dd.doc_id, dd.n_chars,
+                 CASE WHEN dd.doc_id IN (SELECT doc_id FROM du)
+                   THEN 1 ELSE 0 END AS is_dup
+               FROM documents dd),
+         r AS (SELECT doc_id, n_chars, is_dup,
+                 ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+               FROM f),
+         a AS (SELECT decile::BIGINT AS decile,
+                 count(*)::BIGINT AS n_docs,
+                 sum(is_dup)::BIGINT AS n_dup_docs,
+                 min(n_chars)::BIGINT AS min_chars,
+                 max(n_chars)::BIGINT AS max_chars
+               FROM r GROUP BY 1)
+         SELECT decile, n_docs, n_dup_docs, min_chars, max_chars,
+           ${sqlMicroRatio("n_dup_docs", "n_docs")} AS dup_ppm
+         FROM a""",
+    // q381: both medians are the same type-1 rank pick; flips are
+    // exact integer comparisons of q_micro against the two cuts.
+    "q381_threshold_transfer" ->
+      s"""WITH $qMicroCte,
+         sc AS (SELECT dd.doc_id, dd.lang, q2.q_micro
+               FROM documents dd JOIN qm q2 USING (doc_id)),
+         g AS (SELECT q_micro AS global_med FROM
+                (SELECT q_micro,
+                   row_number() OVER (ORDER BY q_micro, doc_id) AS rn,
+                   count(*) OVER () AS cnt
+                 FROM sc) t
+               WHERE rn = ceil(cnt * 50 / 100)),
+         l AS (SELECT lang, q_micro AS lang_med FROM
+                (SELECT lang, q_micro, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY q_micro, doc_id) AS lrn,
+                   count(*) OVER (PARTITION BY lang) AS lcnt
+                 FROM sc) t
+               WHERE lrn = ceil(lcnt * 50 / 100)),
+         a AS (SELECT sc.lang, count(*)::BIGINT AS n_docs,
+                 max(l.lang_med)::BIGINT AS lang_med,
+                 max(g.global_med)::BIGINT AS global_med,
+                 sum(CASE WHEN sc.q_micro > g.global_med
+                   THEN 1 ELSE 0 END)::BIGINT AS admit_global,
+                 sum(CASE WHEN sc.q_micro > l.lang_med
+                   THEN 1 ELSE 0 END)::BIGINT AS admit_lang,
+                 sum(CASE WHEN sc.q_micro > l.lang_med
+                       AND sc.q_micro <= g.global_med
+                   THEN 1 ELSE 0 END)::BIGINT AS flips_in,
+                 sum(CASE WHEN sc.q_micro <= l.lang_med
+                       AND sc.q_micro > g.global_med
+                   THEN 1 ELSE 0 END)::BIGINT AS flips_out
+               FROM sc JOIN l USING (lang) CROSS JOIN g
+               GROUP BY 1)
+         SELECT lang, n_docs, lang_med, global_med,
+           admit_global, admit_lang, flips_in, flips_out,
+           ${sqlMicroRatio("flips_in + flips_out", "n_docs")}
+             AS flip_ppm
+         FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

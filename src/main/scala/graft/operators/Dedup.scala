@@ -2972,4 +2972,113 @@ object Dedup {
           .as("share_ppm")
       )
   }
+
+  /** q379: contamination blast radius — the cost of the "remove the
+    * whole near-dup neighborhood of anything eval-contaminated"
+    * policy, per source. `direct` = train docs sharing a 5-shingle
+    * with the eval set (the q73 seam); `collateral` = their J ≥ 0.5
+    * near-dup neighbors (the q207 pair threshold) that are NOT
+    * themselves contaminated — clean docs dragged out by association.
+    * A high collateral:direct ratio means contamination sits inside
+    * big template clusters and aggressive quarantine is expensive;
+    * near-zero means surgical removal suffices. Counts and char mass
+    * are exact integers; the ppm is half-up.
+    *
+    * Scale: the shared cached pair artifact (collision-linear) + two
+    * semi/anti joins keyed on doc_id — nothing corpus².
+    */
+  def contaminationBlastRadius(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val cont = decontaminate(spark, dir).select(col("doc_id"))
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val nbr = pairs
+      .join(cont.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .select(col("doc_b").as("doc_id"))
+      .union(
+        pairs
+          .join(cont.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+          .select(col("doc_a").as("doc_id"))
+      )
+      .distinct()
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(cont, Seq("doc_id"), "left_anti")
+    val base = Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    base
+      .join(cont.withColumn("direct", lit(1L)), Seq("doc_id"), "left")
+      .join(nbr.withColumn("collateral", lit(1L)), Seq("doc_id"), "left")
+      .na
+      .fill(0L, Seq("direct", "collateral"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(col("direct")).as("n_direct"),
+        sum(col("collateral")).as("n_collateral"),
+        sum(col("direct") * col("n_chars")).as("direct_chars"),
+        sum(col("collateral") * col("n_chars")).as("collateral_chars")
+      )
+      .select(
+        col("source"), col("n_train_docs"),
+        col("n_direct"), col("n_collateral"),
+        col("direct_chars"), col("collateral_chars"),
+        microRatio(col("n_direct") + col("n_collateral"),
+          col("n_train_docs")).as("quarantine_ppm")
+      )
+  }
+
+  /** q380: near-duplicate rate per length decile — WHERE in the
+    * length distribution duplication lives. Short docs (navigation
+    * strings, error pages) usually duplicate far more than long ones;
+    * if the TOP deciles duplicate heavily instead, the corpus has a
+    * template-expansion problem the length filter won't fix. Deciles
+    * are exact SQL ntile(10) buckets over (n_chars, doc_id) computed
+    * via the distributed total order ([[Ranking.withGlobalRank]] +
+    * [[Ranking.ntileFromRank]] — range shuffle + per-partition
+    * offsets, never a single-partition window); the dup flag is
+    * membership in any J ≥ 0.5 pair of the shared cached pair
+    * artifact (the q207 threshold — this corpus's duplication is
+    * near-dup, not byte-exact, so an md5 flag would measure nothing).
+    */
+  def dupRateByLength(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+    val dupIds = pairs
+      .select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    val flagged = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .na
+      .fill(0L, Seq("is_dup"))
+    val ranked = Ranking.withGlobalRank(
+      flagged, Seq(col("n_chars").asc, col("doc_id").asc), "rn", 8)
+    val tot = flagged.agg(count(lit(1)).as("total"))
+    ranked
+      .crossJoin(broadcast(tot))
+      .withColumn("decile",
+        Ranking.ntileFromRank(col("rn"), col("total"), 10).cast("long"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")
+      )
+      .select(
+        col("decile"), col("n_docs"), col("n_dup_docs"),
+        col("min_chars"), col("max_chars"),
+        microRatio(col("n_dup_docs"), col("n_docs")).as("dup_ppm")
+      )
+  }
 }

@@ -5046,6 +5046,68 @@ object TextAnalysis {
       )
   }
 
+  /** q381: threshold-transfer audit — what changes if the quality cut
+    * is the GLOBAL median instead of each language's own median. For
+    * every language: docs admitted under each cut and the two flip
+    * populations (admitted per-lang but not globally, and vice
+    * versa). Languages whose quality distribution sits below the
+    * corpus median lose most of their mass under a global cut — the
+    * classic way a single-threshold gate silently de-represents a
+    * language; this emits that damage as exact integer counts before
+    * anyone trains on it. Both medians are exact type-1 rank picks
+    * (the global one via the distributed total order, never a
+    * single-partition window).
+    */
+  def thresholdTransfer(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("lang"))
+      .join(qualityMicroScoresFrom(docs), "doc_id")
+    val ranked = Ranking.withGlobalRank(
+      scored, Seq(col("q_micro").asc, col("doc_id").asc), "rn", 8)
+    val tot = scored.agg(count(lit(1)).as("cnt"))
+    val gmed = ranked
+      .crossJoin(broadcast(tot))
+      .filter(col("rn") === ceil(col("cnt") * 50 / 100))
+      .select(col("q_micro").as("global_med"))
+    val wOrd = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("q_micro").asc, col("doc_id").asc)
+    val lmed = scored
+      .withColumn("lrn", row_number().over(wOrd))
+      .withColumn("lcnt",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("lrn") === ceil(col("lcnt") * 50 / 100))
+      .select(col("lang"), col("q_micro").as("lang_med"))
+    scored
+      .join(lmed, "lang")
+      .crossJoin(broadcast(gmed))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("lang_med")).as("lang_med"),
+        max(col("global_med")).as("global_med"),
+        sum(when(col("q_micro") > col("global_med"), 1L).otherwise(0L))
+          .as("admit_global"),
+        sum(when(col("q_micro") > col("lang_med"), 1L).otherwise(0L))
+          .as("admit_lang"),
+        sum(when(col("q_micro") > col("lang_med") &&
+          col("q_micro") <= col("global_med"), 1L).otherwise(0L))
+          .as("flips_in"),
+        sum(when(col("q_micro") <= col("lang_med") &&
+          col("q_micro") > col("global_med"), 1L).otherwise(0L))
+          .as("flips_out")
+      )
+      .select(
+        col("lang"), col("n_docs"), col("lang_med"), col("global_med"),
+        col("admit_global"), col("admit_lang"),
+        col("flips_in"), col("flips_out"),
+        microRatio(col("flips_in") + col("flips_out"), col("n_docs"))
+          .as("flip_ppm")
+      )
+  }
+
   /** q375: Wald–Wolfowitz runs test of micro-quality around the per-
     * source median, in storage (doc_id) order — the randomness audit
     * UNDER every "shuffle once, stream in storage order" training
