@@ -978,6 +978,12 @@ object SparkEntry {
     "q380_dup_by_length" -> (Dedup.dupRateByLength _),
     // Global-vs-per-lang median cut: admissions and flip counts.
     "q381_threshold_transfer" -> (TextAnalysis.thresholdTransfer _),
+    // Hash vs block-cyclic shard policy: token skew side by side.
+    "q382_shard_policy" -> ((s, d) => Sampling.shardPolicySkew(s, d)),
+    // Cross-doc repeated 8-gram incidence mass per source.
+    "q383_template_ngrams" -> (TextAnalysis.templateNgramMass _),
+    // Docs within +-w of the per-lang median quality, w lattice.
+    "q384_borderline_band" -> (TextAnalysis.borderlineBand _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10570,6 +10576,93 @@ object SparkEntry {
            admit_global, admit_lang, flips_in, flips_out,
            ${sqlMicroRatio("flips_in + flips_out", "n_docs")}
              AS flip_ppm
+         FROM a""",
+    // q382: the q232 hash-shard spelling + plain row_number for the
+    // block-cyclic policy; the same two-step even-share gauge.
+    "q382_shard_policy" ->
+      s"""WITH base AS (
+           SELECT doc_id,
+             CAST(len(CASE WHEN length(trim(text)) = 0
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END)
+               AS BIGINT) AS t
+           FROM documents),
+         h AS (SELECT 'hash' AS policy,
+                 CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % 8 AS BIGINT) AS shard, t
+               FROM base),
+         c AS (SELECT 'block_cyclic' AS policy,
+                 CAST((row_number() OVER (ORDER BY doc_id ASC) - 1)
+                   % 8 AS BIGINT) AS shard, t
+               FROM base),
+         u AS (SELECT * FROM h UNION ALL SELECT * FROM c),
+         s AS (SELECT policy, shard, count(*)::BIGINT AS n_docs,
+                 sum(t)::BIGINT AS n_tokens
+               FROM u GROUP BY 1, 2),
+         g AS (SELECT policy, sum(n_tokens)::BIGINT AS g_tokens
+               FROM s GROUP BY 1)
+         SELECT s.policy, s.shard, s.n_docs, s.n_tokens,
+           ${sqlMicroRatio(
+        "s.n_tokens",
+        sqlIdivHalfUp("g.g_tokens", "8"))} AS vs_even_ppm
+         FROM s JOIN g USING (policy)""",
+    // q383: per-doc-distinct 8-grams (the q73 shingle convention,
+    // width 8) -> (source, gram) counts -> per-source rollup.
+    "q383_template_ngrams" ->
+      s"""WITH d8 AS (SELECT source, doc_id,
+             list_distinct(list_transform(range(len(toks) - 7),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                 || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]))
+               AS sh
+           FROM (SELECT source, doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 8),
+         inc AS (SELECT source, doc_id, unnest(sh) AS g FROM d8
+                 WHERE len(sh) > 0),
+         cnt AS (SELECT source, g, count(*)::BIGINT AS c FROM inc
+                 GROUP BY 1, 2),
+         a AS (SELECT source,
+                 sum(c)::BIGINT AS n_incidences,
+                 count(*)::BIGINT AS n_grams,
+                 sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT
+                   AS template_incidences,
+                 sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT
+                   AS template_grams
+               FROM cnt GROUP BY 1)
+         SELECT source, n_incidences, n_grams,
+           template_incidences, template_grams,
+           ${sqlMicroRatio("template_incidences",
+        "greatest(n_incidences, 1)")} AS template_ppm
+         FROM a""",
+    // q384: the q370 median pick per lang x a 3-value band lattice;
+    // the band test is an integer absolute difference.
+    "q384_borderline_band" ->
+      s"""WITH $qMicroCte,
+         sc AS (SELECT dd.doc_id, dd.lang, q2.q_micro
+               FROM documents dd JOIN qm q2 USING (doc_id)),
+         l AS (SELECT lang, q_micro AS med_micro FROM
+                (SELECT lang, q_micro, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY q_micro, doc_id) AS lrn,
+                   count(*) OVER (PARTITION BY lang) AS lcnt
+                 FROM sc) t
+               WHERE lrn = ceil(lcnt * 50 / 100)),
+         b AS (SELECT unnest([10000, 50000, 100000])::BIGINT
+                 AS band_micro),
+         a AS (SELECT sc.lang, b.band_micro,
+                 max(l.med_micro)::BIGINT AS med_micro,
+                 count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN abs(sc.q_micro - l.med_micro)
+                       <= b.band_micro
+                   THEN 1 ELSE 0 END)::BIGINT AS n_within
+               FROM sc JOIN l USING (lang) CROSS JOIN b
+               GROUP BY 1, 2)
+         SELECT lang, band_micro, med_micro, n_docs, n_within,
+           ${sqlMicroRatio("n_within", "n_docs")} AS within_ppm
          FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")

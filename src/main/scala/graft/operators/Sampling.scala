@@ -4192,4 +4192,67 @@ object Sampling {
         max(col("run_len")).as("max_run")
       )
   }
+
+  /** q382: shard-assignment policy comparison — token skew per shard
+    * under the two assignment families a training job actually
+    * chooses between: content-blind HASH (hash60(doc_id) mod W, the
+    * q232 policy — stateless, stable under re-runs) and BLOCK-CYCLIC
+    * over storage order ((rank−1) mod W — what a naive "deal rows
+    * round-robin as you read" reader does). Round-robin equalizes
+    * doc COUNTS by construction but inherits any length clumping of
+    * the storage order (the q375 signal) as token skew; hash
+    * equalizes in expectation only. This emits both, same units,
+    * side by side: per (policy, shard) exact doc/token counts and
+    * the q232 imbalance gauge (tokens vs the half-up even share).
+    *
+    * Scale: hash policy is a pure map; block-cyclic rides the
+    * distributed total order ([[Ranking.withGlobalRank]] — range
+    * shuffle + offsets, never a single-partition window).
+    */
+  def shardPolicySkew(
+      spark: SparkSession,
+      dir: String,
+      numShards: Int = 8
+  ): DataFrame = {
+    import graft.functions.IntMath.{idivHalfUp, microRatio}
+    val base = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("t")
+      )
+    val hashAssigned = base.select(
+      lit("hash").as("policy"),
+      (graft.functions.TextFunctions.hash60(col("doc_id")) % numShards)
+        .cast("long").as("shard"),
+      col("t")
+    )
+    val cyclicAssigned = Ranking
+      .withGlobalRank(base, Seq(col("doc_id").asc), "rn", 8)
+      .select(
+        lit("block_cyclic").as("policy"),
+        ((col("rn") - 1) % numShards).cast("long").as("shard"),
+        col("t")
+      )
+    val perShard = hashAssigned
+      .union(cyclicAssigned)
+      .groupBy(col("policy"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+    val tot = perShard
+      .groupBy(col("policy"))
+      .agg(sum(col("n_tokens")).as("g_tokens"))
+    perShard
+      .join(tot, "policy")
+      .select(
+        col("policy"),
+        col("shard"),
+        col("n_docs"),
+        col("n_tokens"),
+        // q232's overflow-safe two-step: even share first, then ppm
+        microRatio(col("n_tokens"),
+          idivHalfUp(col("g_tokens"), lit(numShards.toLong)))
+          .as("vs_even_ppm")
+      )
+  }
 }

@@ -5108,6 +5108,92 @@ object TextAnalysis {
       )
   }
 
+  /** q383: cross-document template 8-gram mass per source — what
+    * fraction of a source's (doc, 8-gram) incidences use an 8-gram
+    * that also appears in ANOTHER doc of the same source. The
+    * boilerplate gauge BETWEEN q364 (prefixes only — misses mid-doc
+    * templates) and full near-dup pairing (q21 — misses sub-pair-
+    * threshold template reuse): legal footers, cookie banners and
+    * generated-page skeletons show up here first. Incidences are
+    * per-doc-distinct 8-grams (the q73 shingle convention), so a
+    * phrase repeated inside ONE doc doesn't count as template mass.
+    *
+    * Scale: one shingle scan → (source, gram) partial-agg counts →
+    * per-source rollup; shuffle keys are (source, gram) — uniform,
+    * collision-linear, nothing corpus².
+    */
+  def templateNgramMass(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val inc = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(shingles(col("text"), 8)).as("g"))
+    val counts = inc
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_incidences"),
+        count(lit(1)).as("n_grams"),
+        sum(when(col("c") >= 2L, col("c")).otherwise(0L))
+          .as("template_incidences"),
+        sum(when(col("c") >= 2L, 1L).otherwise(0L))
+          .as("template_grams")
+      )
+      .select(
+        col("source"), col("n_incidences"), col("n_grams"),
+        col("template_incidences"), col("template_grams"),
+        microRatio(col("template_incidences"),
+          greatest(col("n_incidences"), lit(1L))).as("template_ppm")
+      )
+  }
+
+  /** q384: borderline-band census — how many docs sit within ±w of
+    * each language's median micro-quality, for w ∈ {10k, 50k, 100k}
+    * micro. The FRAGILITY complement of the q381 transfer audit: a
+    * fat band means tiny threshold drift (retrained gate, new
+    * stopword list) re-labels a big population, so the gate's
+    * decisions are unstable even if today's pass rate looks fine.
+    * Pure integers: the median is the q370 type-1 rank pick, the
+    * band test is an integer absolute difference.
+    */
+  def borderlineBand(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("lang"))
+      .join(qualityMicroScoresFrom(docs), "doc_id")
+    val wOrd = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("q_micro").asc, col("doc_id").asc)
+    val lmed = scored
+      .withColumn("lrn", row_number().over(wOrd))
+      .withColumn("lcnt",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("lrn") === ceil(col("lcnt") * 50 / 100))
+      .select(col("lang"), col("q_micro").as("med_micro"))
+    scored
+      .join(lmed, "lang")
+      .crossJoin(
+        spark.range(0, 3).select(
+          element_at(
+            array(lit(10000L), lit(50000L), lit(100000L)),
+            (col("id") + 1).cast("int")).as("band_micro")))
+      .groupBy(col("lang"), col("band_micro"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("med_micro")).as("med_micro"),
+        sum(when(abs(col("q_micro") - col("med_micro"))
+          <= col("band_micro"), 1L).otherwise(0L)).as("n_within")
+      )
+      .select(
+        col("lang"), col("band_micro"), col("med_micro"),
+        col("n_docs"), col("n_within"),
+        microRatio(col("n_within"), col("n_docs")).as("within_ppm")
+      )
+  }
+
   /** q375: Wald–Wolfowitz runs test of micro-quality around the per-
     * source median, in storage (doc_id) order — the randomness audit
     * UNDER every "shuffle once, stream in storage order" training
