@@ -984,6 +984,13 @@ object SparkEntry {
     "q383_template_ngrams" -> (TextAnalysis.templateNgramMass _),
     // Docs within +-w of the per-lang median quality, w lattice.
     "q384_borderline_band" -> (TextAnalysis.borderlineBand _),
+    // TTL'd streaming LSH admission: only a RECENT bucket suppresses.
+    "q385_stream_ttl_dedup" ->
+      ((s, d) => streaming.StreamNearDup.streamTtlNearDup(s, d)),
+    // Within-cluster length spread per cluster-size band.
+    "q386_cluster_spread_bands" -> (Dedup.clusterLengthSpread _),
+    // Multi-source cluster share per cluster-size band.
+    "q387_cross_source_clusters" -> (Dedup.crossSourceClusters _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10663,6 +10670,85 @@ object SparkEntry {
                GROUP BY 1, 2)
          SELECT lang, band_micro, med_micro, n_docs, n_within,
            ${sqlMicroRatio("n_within", "n_docs")} AS within_ppm
+         FROM a""",
+    // q385: the q181 band chain with lag() recency instead of min()
+    // — suppressed iff any band's previous occupant is within the
+    // TTL (100 arrival ids), the exact batch twin of the TTL state.
+    "q385_stream_ttl_dedup" ->
+      s"""WITH $shinglesCte,
+         m AS (SELECT doc_id,
+                 list_transform(range(8), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT)))
+                 AS mh
+               FROM d WHERE len(sh) > 0),
+         bd AS (SELECT doc_id, t.j AS j,
+                  mh[t.j*2+1] || '_' || mh[t.j*2+2] AS bval
+                FROM m, range(4) t(j)),
+         lg AS (SELECT doc_id,
+                  lag(doc_id) OVER (PARTITION BY j, bval
+                    ORDER BY doc_id ASC) AS prev
+                FROM bd),
+         sup AS (SELECT doc_id,
+                  bool_or(prev IS NOT NULL AND doc_id - prev <= 100)
+                    AS s
+                 FROM lg GROUP BY 1)
+         SELECT d0.doc_id, coalesce(sup.s, false) AS suppressed
+         FROM documents d0 LEFT JOIN sup ON d0.doc_id = sup.doc_id""",
+    // q386: the shared recursive closure (J >= 0.05) -> per-cluster
+    // length spread -> size-band rollup; ppm is exact half-up.
+    "q386_cluster_spread_bands" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         pc AS (SELECT lab.cluster_id,
+                  max(sz.cluster_size)::BIGINT AS cs,
+                  count(*)::BIGINT AS n_docs,
+                  (max(dd.n_chars) - min(dd.n_chars))::BIGINT AS spread
+                FROM lab
+                JOIN sz USING (cluster_id)
+                JOIN documents dd USING (doc_id)
+                WHERE sz.cluster_size >= 2
+                GROUP BY 1),
+         b AS (SELECT CASE WHEN cs = 2 THEN '2_pair'
+                           WHEN cs <= 4 THEN '3_4_small'
+                           ELSE '5_plus_template' END AS size_band,
+                 n_docs, spread
+               FROM pc),
+         a AS (SELECT size_band, count(*)::BIGINT AS n_clusters,
+                 sum(n_docs)::BIGINT AS n_docs,
+                 sum(spread)::BIGINT AS sum_spread_chars,
+                 max(spread)::BIGINT AS max_spread_chars,
+                 sum(CASE WHEN spread = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_exact_length
+               FROM b GROUP BY 1)
+         SELECT size_band, n_clusters, n_docs, sum_spread_chars,
+           max_spread_chars, n_exact_length,
+           ${sqlMicroRatio("n_exact_length", "n_clusters")}
+             AS exact_length_ppm
+         FROM a""",
+    // q387: the same closure -> per-cluster distinct-source count ->
+    // size-band rollup of the multi-source share.
+    "q387_cross_source_clusters" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         pc AS (SELECT lab.cluster_id,
+                  max(sz.cluster_size)::BIGINT AS cs,
+                  count(DISTINCT dd.source)::BIGINT AS n_sources
+                FROM lab
+                JOIN sz USING (cluster_id)
+                JOIN documents dd USING (doc_id)
+                WHERE sz.cluster_size >= 2
+                GROUP BY 1),
+         b AS (SELECT CASE WHEN cs = 2 THEN '2_pair'
+                           WHEN cs <= 4 THEN '3_4_small'
+                           ELSE '5_plus_template' END AS size_band,
+                 n_sources
+               FROM pc),
+         a AS (SELECT size_band, count(*)::BIGINT AS n_clusters,
+                 sum(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_multi_source,
+                 max(n_sources)::BIGINT AS max_sources
+               FROM b GROUP BY 1)
+         SELECT size_band, n_clusters, n_multi_source, max_sources,
+           ${sqlMicroRatio("n_multi_source", "n_clusters")}
+             AS multi_source_ppm
          FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")

@@ -3033,6 +3033,104 @@ object Dedup {
       )
   }
 
+  /** q386: near-dup cluster anatomy by size band — per cluster-size
+    * band (pair / small 3-4 / template 5+): cluster count, doc mass,
+    * and the within-cluster LENGTH spread (max−min n_chars, summed
+    * and worst-case). Tight spreads mean true copies (dedup freely);
+    * fat spreads mean containment chains — a short page swallowed by
+    * a long one — where keep-one policies destroy content and the
+    * q143 containment treatment applies instead. The cluster-level
+    * complement of q274's pairwise anatomy, over the SAME q72 label
+    * seam the survivor chain uses.
+    *
+    * Scale: cluster labels are the cached pointer-doubling artifact;
+    * everything after is two keyed aggregations (cluster, then band).
+    */
+  def clusterLengthSpread(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val labels = dedupClusters(spark, dir)
+      .filter(col("cluster_size") >= 2)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val perCluster = labels
+      .join(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(col("cluster_size")).as("sz"),
+        count(lit(1)).as("n_docs"),
+        (max(col("n_chars")) - min(col("n_chars"))).as("spread")
+      )
+    perCluster
+      .select(
+        when(col("sz") === 2, "2_pair")
+          .when(col("sz") <= 4, "3_4_small")
+          .otherwise("5_plus_template").as("size_band"),
+        col("n_docs"), col("spread")
+      )
+      .groupBy(col("size_band"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("spread")).as("sum_spread_chars"),
+        max(col("spread")).as("max_spread_chars"),
+        sum(when(col("spread") === 0, 1L).otherwise(0L))
+          .as("n_exact_length")
+      )
+      .select(
+        col("size_band"), col("n_clusters"), col("n_docs"),
+        col("sum_spread_chars"), col("max_spread_chars"),
+        col("n_exact_length"),
+        microRatio(col("n_exact_length"), col("n_clusters"))
+          .as("exact_length_ppm")
+      )
+  }
+
+  /** q387: cross-source cluster census — per cluster-size band, how
+    * many near-dup clusters span MULTIPLE sources. Single-source
+    * clusters are boilerplate (one site repeating itself — strip
+    * with q364/q383); multi-source clusters are syndication/mirror
+    * mass (the q225 flow, resolved to closures) where provenance-
+    * aware survivor policies matter because dropping "the dup" picks
+    * WHICH SOURCE survives. Pure integer counts over the same q72
+    * label seam.
+    */
+  def crossSourceClusters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val labels = dedupClusters(spark, dir)
+      .filter(col("cluster_size") >= 2)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val perCluster = labels
+      .join(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(col("cluster_size")).as("sz"),
+        countDistinct(col("source")).as("n_sources")
+      )
+    perCluster
+      .select(
+        when(col("sz") === 2, "2_pair")
+          .when(col("sz") <= 4, "3_4_small")
+          .otherwise("5_plus_template").as("size_band"),
+        col("n_sources")
+      )
+      .groupBy(col("size_band"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("n_sources") >= 2, 1L).otherwise(0L))
+          .as("n_multi_source"),
+        max(col("n_sources")).as("max_sources")
+      )
+      .select(
+        col("size_band"), col("n_clusters"), col("n_multi_source"),
+        col("max_sources"),
+        microRatio(col("n_multi_source"), col("n_clusters"))
+          .as("multi_source_ppm")
+      )
+  }
+
   /** q380: near-duplicate rate per length decile — WHERE in the
     * length distribution duplication lives. Short docs (navigation
     * strings, error pages) usually duplicate far more than long ones;

@@ -117,6 +117,80 @@ object StreamNearDup {
       )(suppressFn)
   }
 
+  /** TTL for [[ttlSuppressFn]] in arrival-id units: a band bucket
+    * only suppresses a new document if its PREVIOUS occupant arrived
+    * within this many doc_ids. The logical form of state expiry: a
+    * production deployment additionally DELETES buckets idle past
+    * the TTL (transformWithState ttlConfig / state timeouts) so
+    * state stays bounded by the active window, not corpus novelty —
+    * the admission decisions are identical because an expired bucket
+    * can never suppress.
+    */
+  private[streaming] val TtlIds = 100L
+
+  /** Per-band fold with TTL semantics: the bucket remembers the LAST
+    * doc that hit it (suppressed or not — a fresh copy refreshes the
+    * template's recency); a new doc is suppressed iff the previous
+    * occupant is within [[TtlIds]]. Sorted within the group so the
+    * drained result equals the batch lag() oracle exactly.
+    */
+  private[streaming] def ttlSuppressFn(
+      bkey: String,
+      hits: Iterator[BandHit],
+      state: GroupState[BandMin]
+  ): Iterator[BandVerdict] = {
+    var last: Long = state.getOption.map(_.minDoc).getOrElse(Long.MinValue)
+    val out = hits.toSeq.sortBy(_.doc_id).map { h =>
+      val hit = last != Long.MinValue && h.doc_id - last <= TtlIds
+      last = h.doc_id
+      BandVerdict(h.doc_id, hit)
+    }
+    state.update(BandMin(last))
+    out.iterator
+  }
+
+  /** The TTL'd verdict stream: one row per (doc, band). */
+  def ttlSuppressionStream(docs: DataFrame): Dataset[BandVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandHits(docs)
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      )(ttlSuppressFn)
+  }
+
+  /** q385: TTL'd streaming near-dup admission — suppress a document
+    * only when a band bucket was hit RECENTLY (within [[TtlIds]]
+    * arrivals). The production middle ground between q181's forever-
+    * state (suppresses re-crawls of year-old pages, state grows with
+    * corpus novelty) and no dedup at all: templates that burst
+    * (stuck crawlers, mirror storms — the q369 signal) are caught
+    * while the long tail ages out and state stays bounded by the
+    * active window. Deterministic batch twin: suppressed iff ANY
+    * band's immediately-previous occupant is within the TTL — the
+    * lag() form the oracle replays.
+    */
+  def streamTtlNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val verdicts = EventStreams.runAvailableNow(
+      ttlSuppressionStream(readDocuments(spark, dir)).toDF(),
+      "q385_stream_ttl_dedup_out",
+      "append"
+    )
+    val perDoc = verdicts
+      .groupBy(col("doc_id"))
+      .agg(max(col("hit_earlier")).as("suppressed"))
+    graft.Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("suppressed"), lit(false)).as("suppressed")
+      )
+  }
+
   /** q181: drain the suppression stream, fold band verdicts to one
     * row per document, and re-attach band-less documents (always
     * kept): (doc_id, suppressed).
