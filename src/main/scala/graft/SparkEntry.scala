@@ -991,6 +991,12 @@ object SparkEntry {
     "q386_cluster_spread_bands" -> (Dedup.clusterLengthSpread _),
     // Multi-source cluster share per cluster-size band.
     "q387_cross_source_clusters" -> (Dedup.crossSourceClusters _),
+    // Token savings at 4 Jaccard cutoffs, integer cross-multiplied.
+    "q388_savings_sweep" -> (Dedup.savingsSweep _),
+    // Arrival span of template 8-grams: burst vs perennial.
+    "q389_template_span" -> (TextAnalysis.templateSpan _),
+    // Min/max daily traffic share per event type, exact ppm.
+    "q390_share_stability" -> (Events.dailyShareStability _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10750,6 +10756,105 @@ object SparkEntry {
            ${sqlMicroRatio("n_multi_source", "n_clusters")}
              AS multi_source_ppm
          FROM a""",
+    // q388: the q21 pair CTE x a 4-row threshold lattice; the
+    // qualification is the same integer cross-multiplication.
+    "q388_savings_sweep" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*)::BIGINT AS inter,
+                 any_value(a.n_sh)::BIGINT AS n_a,
+                 any_value(b.n_sh)::BIGINT AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         th AS (SELECT unnest([300, 500, 700, 900])::BIGINT
+                  AS t_milli),
+         q AS (SELECT th.t_milli, p.doc_a, p.doc_b
+               FROM p CROSS JOIN th
+               WHERE p.inter * 1000
+                 >= th.t_milli * (p.n_a + p.n_b - p.inter)),
+         tok AS (SELECT doc_id,
+                  CAST(len(CASE WHEN length(trim(text)) = 0
+                       THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END) AS BIGINT) AS tk
+                 FROM documents),
+         ct AS (SELECT sum(tk)::BIGINT AS corpus_tokens FROM tok),
+         np AS (SELECT t_milli, count(*)::BIGINT AS n_pairs FROM q
+                GROUP BY 1),
+         fd AS (SELECT DISTINCT t_milli, doc_b FROM q),
+         fl AS (SELECT fd.t_milli, count(*)::BIGINT AS n_flagged_docs,
+                  sum(tok.tk)::BIGINT AS flagged_tokens
+                FROM fd JOIN tok ON fd.doc_b = tok.doc_id GROUP BY 1)
+         SELECT th.t_milli,
+           coalesce(np.n_pairs, 0)::BIGINT AS n_pairs,
+           coalesce(fl.n_flagged_docs, 0)::BIGINT AS n_flagged_docs,
+           coalesce(fl.flagged_tokens, 0)::BIGINT AS flagged_tokens,
+           ct.corpus_tokens,
+           ${sqlMicroRatio("coalesce(fl.flagged_tokens, 0)",
+        "ct.corpus_tokens")} AS savings_ppm
+         FROM th
+         LEFT JOIN np USING (t_milli)
+         LEFT JOIN fl USING (t_milli), ct""",
+    // q389: the q383 8-gram CTE carrying min/max doc_id; spans band
+    // on exact integer id differences.
+    "q389_template_span" ->
+      """WITH d8 AS (SELECT source, doc_id,
+             list_distinct(list_transform(range(len(toks) - 7),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+                 || toks[i+6] || ' ' || toks[i+7] || ' ' || toks[i+8]))
+               AS sh
+           FROM (SELECT source, doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\s+')
+                   END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 8),
+         inc AS (SELECT source, doc_id, unnest(sh) AS g FROM d8
+                 WHERE len(sh) > 0),
+         pg AS (SELECT source, g, count(*)::BIGINT AS c,
+                  (max(doc_id) - min(doc_id))::BIGINT AS span
+                FROM inc GROUP BY 1, 2
+                HAVING count(*) >= 2),
+         b AS (SELECT source,
+                 CASE WHEN span < 100 THEN 'tight_burst'
+                      WHEN span < 1000 THEN 'medium'
+                      ELSE 'perennial' END AS span_band,
+                 c, span
+               FROM pg)
+         SELECT source, span_band, count(*)::BIGINT AS n_grams,
+           sum(c)::BIGINT AS n_incidences,
+           min(span)::BIGINT AS min_span,
+           max(span)::BIGINT AS max_span
+         FROM b GROUP BY 1, 2""",
+    // q390: exact day offsets from the corpus min; a day x type
+    // lattice so absent types score share 0; shares are half-up ppm.
+    "q390_share_stability" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts)::BIGINT AS us
+           FROM events),
+         o AS (SELECT min(us)::BIGINT AS us0 FROM e),
+         bd AS (SELECT (e.us - o.us0) // 86400000000 AS day,
+                  e.event_type, count(*)::BIGINT AS n
+                FROM e, o GROUP BY 1, 2),
+         days AS (SELECT DISTINCT day FROM bd),
+         types AS (SELECT DISTINCT event_type FROM bd),
+         lat AS (SELECT days.day, types.event_type
+                 FROM days CROSS JOIN types),
+         dt AS (SELECT day, sum(n)::BIGINT AS day_total FROM bd
+                GROUP BY 1),
+         sh AS (SELECT lat.event_type,
+                  ${sqlMicroRatio("coalesce(bd.n, 0)", "dt.day_total")}
+                    AS share_ppm
+                FROM lat
+                LEFT JOIN bd USING (day, event_type)
+                JOIN dt USING (day))
+         SELECT event_type, count(*)::BIGINT AS n_days,
+           min(share_ppm)::BIGINT AS min_share_ppm,
+           max(share_ppm)::BIGINT AS max_share_ppm,
+           (max(share_ppm) - min(share_ppm))::BIGINT AS swing_ppm
+         FROM sh GROUP BY 1""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -3131,6 +3131,63 @@ object Dedup {
       )
   }
 
+  /** q388: dedup savings sweep — for each candidate Jaccard cutoff
+    * t ∈ {0.3, 0.5, 0.7, 0.9}: surviving pairs, flagged docs (the
+    * larger-id end — q187's keep-first upper bound, no closure), the
+    * token mass those docs carry, and the corpus-relative savings.
+    * The TOKEN-denominated companion of q187's pair/doc sweep — the
+    * number a capacity plan actually wants — computed over the same
+    * single pair artifact (one cross join against a 4-row lattice,
+    * never a per-threshold re-pairing).
+    *
+    * Determinism: qualification is the PURE-INTEGER cross-
+    * multiplication inter·1000 ≥ t_milli·union — no double ever
+    * compared, the round-9 ideal.
+    */
+  def savingsSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val raw = shinglePairIntersections(docShingles(spark, dir))
+    val th = spark
+      .range(0, 4)
+      .select(
+        element_at(
+          array(lit(300L), lit(500L), lit(700L), lit(900L)),
+          (col("id") + 1).cast("int")).as("t_milli"))
+    val qual = raw
+      .crossJoin(th)
+      .filter(col("inter") * lit(1000L) >=
+        col("t_milli") * (col("n_a") + col("n_b") - col("inter")))
+    val toks = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("tk")
+      )
+    val corpus = toks.agg(sum(col("tk")).as("corpus_tokens"))
+    val nPairs = qual
+      .groupBy(col("t_milli"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val flagged = qual
+      .select(col("t_milli"), col("doc_b").as("doc_id"))
+      .distinct()
+      .join(toks, "doc_id")
+      .groupBy(col("t_milli"))
+      .agg(count(lit(1)).as("n_flagged_docs"),
+        sum(col("tk")).as("flagged_tokens"))
+    th.join(nPairs, Seq("t_milli"), "left")
+      .join(flagged, Seq("t_milli"), "left")
+      .na
+      .fill(0L, Seq("n_pairs", "n_flagged_docs", "flagged_tokens"))
+      .crossJoin(broadcast(corpus))
+      .select(
+        col("t_milli"), col("n_pairs"), col("n_flagged_docs"),
+        col("flagged_tokens"), col("corpus_tokens"),
+        microRatio(col("flagged_tokens"), col("corpus_tokens"))
+          .as("savings_ppm")
+      )
+  }
+
   /** q380: near-duplicate rate per length decile — WHERE in the
     * length distribution duplication lives. Short docs (navigation
     * strings, error pages) usually duplicate far more than long ones;

@@ -1722,6 +1722,54 @@ object Events {
       )
   }
 
+  /** q390: event-type daily-share stability — for every event type,
+    * the lowest and highest share of a single day's traffic it took
+    * across the corpus window (exact ppm per day; a day×type lattice
+    * so absence counts as 0, not a gap), and the swing between them.
+    * The composition-stability gauge under every daily mix/rate plan
+    * (q104/q332): a type whose share swings 3× between days makes
+    * yesterday's per-type thresholds wrong tomorrow. Days are exact
+    * integer microsecond div 86400e6 from the corpus min — no
+    * calendar arithmetic.
+    *
+    * Scale: one (day, type) partial agg over the scan; the lattice
+    * is |days|·|types| (time-span × vocabulary, not data-sized).
+    */
+  def dailyShareStability(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idiv, microRatio}
+    val e = Tables
+      .events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val origin = e.agg(min(col("us")).as("us0"))
+    val byDay = e
+      .crossJoin(broadcast(origin))
+      .select(idiv(col("us") - col("us0"), lit(86400000000L)).as("day"),
+        col("event_type"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val days = byDay.select(col("day")).distinct()
+    val types = byDay.select(col("event_type")).distinct()
+    val lattice = days.crossJoin(types)
+    val dayTotals = byDay
+      .groupBy(col("day"))
+      .agg(sum(col("n")).as("day_total"))
+    lattice
+      .join(byDay, Seq("day", "event_type"), "left")
+      .na
+      .fill(0L, Seq("n"))
+      .join(dayTotals, "day")
+      .select(col("event_type"),
+        microRatio(col("n"), col("day_total")).as("share_ppm"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        min(col("share_ppm")).as("min_share_ppm"),
+        max(col("share_ppm")).as("max_share_ppm")
+      )
+      .withColumn("swing_ppm",
+        col("max_share_ppm") - col("min_share_ppm"))
+  }
+
   /** q378: discrete life table for time-to-first-purchase — per whole
     * day since each user's FIRST event: how many users are still at
     * risk (no purchase yet, still observable), how many convert that

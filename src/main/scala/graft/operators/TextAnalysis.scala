@@ -5149,6 +5149,47 @@ object TextAnalysis {
       )
   }
 
+  /** q389: template-gram arrival span — for every cross-doc repeated
+    * 8-gram (the q383 template set), HOW FAR APART its occurrences
+    * sit in arrival (doc_id) order, banded tight (< 100 ids — a
+    * crawl burst / stuck paginator, the q369 shape at phrase
+    * granularity), medium (< 1000) and perennial (≥ 1000 — standing
+    * boilerplate). Bursts are cheap to fix (dedup the window);
+    * perennial templates need the q364/q383 strip list. Spans are
+    * exact integer id differences.
+    *
+    * Scale: the q383 (source, gram) partial agg carrying min/max
+    * doc_id alongside the count — same shuffle, two more mergeable
+    * aggregates.
+    */
+  def templateSpan(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode(shingles(col("text"), 8)).as("g"))
+      .groupBy(col("source"), col("g"))
+      .agg(
+        count(lit(1)).as("c"),
+        (max(col("doc_id")) - min(col("doc_id"))).as("span")
+      )
+      .filter(col("c") >= 2L)
+    grams
+      .select(
+        col("source"),
+        when(col("span") < 100L, "tight_burst")
+          .when(col("span") < 1000L, "medium")
+          .otherwise("perennial").as("span_band"),
+        col("c"), col("span")
+      )
+      .groupBy(col("source"), col("span_band"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("c")).as("n_incidences"),
+        min(col("span")).as("min_span"),
+        max(col("span")).as("max_span")
+      )
+  }
+
   /** q384: borderline-band census — how many docs sit within ±w of
     * each language's median micro-quality, for w ∈ {10k, 50k, 100k}
     * micro. The FRAGILITY complement of the q381 transfer audit: a
