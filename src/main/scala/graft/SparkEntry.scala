@@ -997,6 +997,12 @@ object SparkEntry {
     "q389_template_span" -> (TextAnalysis.templateSpan _),
     // Min/max daily traffic share per event type, exact ppm.
     "q390_share_stability" -> (Events.dailyShareStability _),
+    // Edge milli-Jaccard stats per cluster-size band.
+    "q391_cluster_tightness" -> (Dedup.clusterTightness _),
+    // Arrival gap structure per source: max vs mean, exact milli.
+    "q392_source_spacing" -> (Sampling.sourceSpacing _),
+    // P10/P50/P90 quality envelope: dup members vs clean docs.
+    "q393_dup_quality" -> (TextAnalysis.dupQualityProfile _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10855,6 +10861,93 @@ object SparkEntry {
            max(share_ppm)::BIGINT AS max_share_ppm,
            (max(share_ppm) - min(share_ppm))::BIGINT AS swing_ppm
          FROM sh GROUP BY 1""",
+    // q391: the shared closure's pr CTE carries inter/n_a/n_b, so
+    // edge milli-Jaccard is the exact cross-multiplication; band on
+    // the edge's cluster via doc_a.
+    "q391_cluster_tightness" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         edges AS (SELECT doc_a,
+                  ${sqlIdivHalfUp("inter * 1000",
+        "n_a + n_b - inter")} AS jacc_milli
+                FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.05),
+         j AS (SELECT CASE WHEN sz.cluster_size = 2 THEN '2_pair'
+                           WHEN sz.cluster_size <= 4 THEN '3_4_small'
+                           ELSE '5_plus_template' END AS size_band,
+                 eg.jacc_milli
+               FROM edges eg
+               JOIN lab ON eg.doc_a = lab.doc_id
+               JOIN sz USING (cluster_id)),
+         a AS (SELECT size_band, count(*)::BIGINT AS n_edges,
+                 min(jacc_milli)::BIGINT AS min_jacc_milli,
+                 max(jacc_milli)::BIGINT AS max_jacc_milli,
+                 sum(jacc_milli)::BIGINT AS sum_jacc_milli
+               FROM j GROUP BY 1)
+         SELECT size_band, n_edges, min_jacc_milli, max_jacc_milli,
+           ${sqlIdivHalfUp("sum_jacc_milli", "n_edges")}
+             AS mean_jacc_milli
+         FROM a""",
+    // q392: one lag window per source; gap stats are exact integer
+    // id differences, ratios are half-up milli.
+    "q392_source_spacing" ->
+      s"""WITH g AS (SELECT source, doc_id,
+                 doc_id - lag(doc_id) OVER (PARTITION BY source
+                   ORDER BY doc_id ASC) AS gap
+               FROM documents),
+         a AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 min(doc_id)::BIGINT AS first_id,
+                 max(doc_id)::BIGINT AS last_id,
+                 max(gap)::BIGINT AS max_gap,
+                 min(gap)::BIGINT AS min_gap
+               FROM g GROUP BY 1
+               HAVING count(*) >= 2)
+         SELECT source, n_docs, first_id, last_id, max_gap, min_gap,
+           ${sqlIdivHalfUp("(last_id - first_id) * 1000",
+        "n_docs - 1")} AS mean_gap_milli,
+           ${sqlIdivHalfUp("max_gap * (n_docs - 1) * 1000",
+        "last_id - first_id")} AS max_vs_mean_milli
+         FROM a""",
+    // q393: the q380 dup membership + the q370 rank-pick idiom
+    // partitioned by class.
+    "q393_dup_quality" ->
+      s"""WITH $qMicroCte,
+         $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.5),
+         du AS (SELECT DISTINCT doc_id FROM (
+                 SELECT doc_a AS doc_id FROM pr
+                 UNION ALL SELECT doc_b FROM pr) x),
+         cl AS (SELECT dd.doc_id,
+                  CASE WHEN dd.doc_id IN (SELECT doc_id FROM du)
+                    THEN 'dup_member' ELSE 'clean' END AS class,
+                  q2.q_micro
+                FROM documents dd JOIN qm q2 USING (doc_id)),
+         r AS (SELECT class, q_micro, doc_id,
+                 row_number() OVER (PARTITION BY class
+                   ORDER BY q_micro ASC, doc_id ASC) AS lrn,
+                 count(*) OVER (PARTITION BY class) AS cnt
+               FROM cl)
+         SELECT class, max(cnt)::BIGINT AS n_docs,
+           max(CASE WHEN lrn = ceil(cnt * 10 / 100) THEN q_micro END)
+             ::BIGINT AS p10_micro,
+           max(CASE WHEN lrn = ceil(cnt * 50 / 100) THEN q_micro END)
+             ::BIGINT AS p50_micro,
+           max(CASE WHEN lrn = ceil(cnt * 90 / 100) THEN q_micro END)
+             ::BIGINT AS p90_micro,
+           max(CASE WHEN lrn = ceil(cnt * 90 / 100) THEN q_micro END)
+             ::BIGINT
+             - max(CASE WHEN lrn = ceil(cnt * 10 / 100) THEN q_micro
+                 END)::BIGINT AS spread_micro
+         FROM r GROUP BY 1""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

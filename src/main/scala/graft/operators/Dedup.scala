@@ -3188,6 +3188,62 @@ object Dedup {
       )
   }
 
+  /** q391: cluster tightness by size band — per cluster-size band,
+    * the exact integer milli-Jaccard statistics of the EDGES inside
+    * those clusters (count, min, mean, max). Answers "are the big
+    * clusters tight template copies or loose chains?": a 5+ band
+    * whose mean edge score is near the 0.05 admission floor is a
+    * transitive-closure chain (q208's warning shape — dedup by
+    * cluster would over-delete), while a high-mean band is true
+    * template mass. Edge membership uses the pair artifact's own
+    * float spelling (round(j,6) ≥ 0.05 — proven green) but every
+    * EMITTED number is a pure integer: jacc_milli is the half-up
+    * cross-multiplication, never round(double·1000).
+    *
+    * Scale: pair artifact ⋈ cluster labels on doc_a (collision-
+    * linear), one band rollup.
+    */
+  def clusterTightness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val pairs = shinglePairIntersections(docShingles(spark, dir))
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .filter(col("jaccard") >= 0.05)
+      .withColumn("jacc_milli",
+        idivHalfUp(col("inter") * lit(1000L),
+          col("n_a") + col("n_b") - col("inter")))
+      .select(col("doc_a").as("doc_id"), col("jacc_milli"))
+    val labels = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_size"))
+    pairs
+      .join(labels, "doc_id")
+      .select(
+        when(col("cluster_size") === 2, "2_pair")
+          .when(col("cluster_size") <= 4, "3_4_small")
+          .otherwise("5_plus_template").as("size_band"),
+        col("jacc_milli")
+      )
+      .groupBy(col("size_band"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        min(col("jacc_milli")).as("min_jacc_milli"),
+        max(col("jacc_milli")).as("max_jacc_milli"),
+        sum(col("jacc_milli")).as("sum_jacc_milli")
+      )
+      .select(
+        col("size_band"), col("n_edges"),
+        col("min_jacc_milli"), col("max_jacc_milli"),
+        idivHalfUp(col("sum_jacc_milli"), col("n_edges"))
+          .as("mean_jacc_milli")
+      )
+  }
+
   /** q380: near-duplicate rate per length decile — WHERE in the
     * length distribution duplication lives. Short docs (navigation
     * strings, error pages) usually duplicate far more than long ones;

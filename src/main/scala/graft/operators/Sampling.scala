@@ -4193,6 +4193,48 @@ object Sampling {
       )
   }
 
+  /** q392: source arrival-spacing audit — per source, the gap
+    * structure of its positions in global arrival (doc_id) order:
+    * worst gap, mean gap (exact milli over the source's own span),
+    * and the max:mean ratio. A source whose max gap dwarfs its mean
+    * arrives in bursts separated by silence (crawler scheduling, a
+    * dead feed that resumed) — the BETWEEN-source complement of
+    * q352's within-run lengths, and the upstream explanation when
+    * q375 flags quality clumping. Everything hashed is an exact
+    * integer id difference.
+    *
+    * Scale: one lag window partitioned by source (hash-partitioned,
+    * linear) and a per-source rollup.
+    */
+  def sourceSpacing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    val gaps = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("gap", col("doc_id") - lag(col("doc_id"), 1).over(w))
+    gaps
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"),
+        max(col("gap")).as("max_gap"),
+        min(col("gap")).as("min_gap")
+      )
+      .filter(col("n_docs") >= 2)
+      .select(
+        col("source"), col("n_docs"), col("first_id"), col("last_id"),
+        col("max_gap"), col("min_gap"),
+        idivHalfUp((col("last_id") - col("first_id")) * lit(1000L),
+          col("n_docs") - 1).as("mean_gap_milli"),
+        // max gap vs the mean gap, exact milli:
+        // max_gap·(n−1)·1000 / span, half-up
+        idivHalfUp(col("max_gap") * (col("n_docs") - 1) * lit(1000L),
+          col("last_id") - col("first_id")).as("max_vs_mean_milli")
+      )
+  }
+
   /** q382: shard-assignment policy comparison — token skew per shard
     * under the two assignment families a training job actually
     * chooses between: content-blind HASH (hash60(doc_id) mod W, the

@@ -5190,6 +5190,64 @@ object TextAnalysis {
       )
   }
 
+  /** q393: dup-vs-clean quality profile — the exact P10/P50/P90
+    * micro-quality envelope of near-dup pair members vs untouched
+    * docs. THE number behind every "dedup improves quality" claim:
+    * if the dup class's envelope sits below the clean class's,
+    * deduplication is also a quality filter and survivor budgets can
+    * lean on it; if the envelopes coincide, dedup decisions and
+    * quality decisions are independent axes. Rank picks are computed
+    * on the distributed total order over (class, q_micro, doc_id)
+    * with per-class offsets — ONE range shuffle, no per-class
+    * single-partition window.
+    */
+  def dupQualityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup
+      .ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+    val dupIds = pairs
+      .select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    val docs = Tables.documents(spark, dir)
+    val classed = docs
+      .select(col("doc_id"))
+      .join(qualityMicroScoresFrom(docs), "doc_id")
+      .join(dupIds, Seq("doc_id"), "left")
+      .select(
+        when(col("is_dup").isNotNull, "dup_member")
+          .otherwise("clean").as("class"),
+        col("doc_id"), col("q_micro")
+      )
+    val ranked = Ranking.withGlobalRank(
+      classed,
+      Seq(col("class").asc, col("q_micro").asc, col("doc_id").asc),
+      "rn", 8)
+    val offsets = classed
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off",
+        coalesce(
+          sum(col("cnt")).over(
+            Window.orderBy(col("class").asc)
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+    def pick(p: Int): Column =
+      max(when(col("lrn") === ceil(col("cnt") * p / 100), col("q_micro")))
+    ranked
+      .join(broadcast(offsets), "class")
+      .withColumn("lrn", col("rn") - col("off"))
+      .groupBy(col("class"))
+      .agg(
+        max(col("cnt")).as("n_docs"),
+        pick(10).as("p10_micro"),
+        pick(50).as("p50_micro"),
+        pick(90).as("p90_micro")
+      )
+      .withColumn("spread_micro", col("p90_micro") - col("p10_micro"))
+  }
+
   /** q384: borderline-band census — how many docs sit within ±w of
     * each language's median micro-quality, for w ∈ {10k, 50k, 100k}
     * micro. The FRAGILITY complement of the q381 transfer audit: a
