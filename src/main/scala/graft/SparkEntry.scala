@@ -1003,6 +1003,13 @@ object SparkEntry {
     "q392_source_spacing" -> (Sampling.sourceSpacing _),
     // P10/P50/P90 quality envelope: dup members vs clean docs.
     "q393_dup_quality" -> (TextAnalysis.dupQualityProfile _),
+    // Five-point envelope of per-batch mean quality, batch = 32.
+    "q394_batch_dispersion" ->
+      ((s, d) => Sampling.batchQualityDispersion(s, d)),
+    // Within vs cross-source near-dup edges, milli-Jaccard stats.
+    "q395_edge_provenance" -> (Dedup.edgeProvenance _),
+    // Exact P50 order->first-ship delay days per priority.
+    "q396_ship_latency" -> (Relational.shipLatencyProfile _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -10947,6 +10954,93 @@ object SparkEntry {
              ::BIGINT
              - max(CASE WHEN lrn = ceil(cnt * 10 / 100) THEN q_micro
                  END)::BIGINT AS spread_micro
+         FROM r GROUP BY 1""",
+    // q394: the q191/q362 md5 order cut into 32-doc batches; batch
+    // means are exact half-up integers, envelope picks type-1 ranks.
+    "q394_batch_dispersion" ->
+      s"""WITH $qMicroCte,
+         dd AS (SELECT doc_id, md5(doc_id::VARCHAR) AS h
+               FROM documents),
+         o AS (SELECT dd.doc_id, q2.q_micro,
+                 row_number() OVER (ORDER BY dd.h, dd.doc_id) AS pos
+               FROM dd JOIN qm q2 USING (doc_id)),
+         m AS (SELECT (pos - 1) // 32 AS batch,
+                 count(*)::BIGINT AS n, sum(q_micro)::BIGINT AS s
+               FROM o GROUP BY 1),
+         mm AS (SELECT batch, ${sqlIdivHalfUp("s", "n")} AS mean_micro
+                FROM m),
+         r AS (SELECT batch, mean_micro,
+                 row_number() OVER (ORDER BY mean_micro, batch) AS rn,
+                 count(*) OVER () AS cnt
+               FROM mm)
+         SELECT max(cnt)::BIGINT AS n_batches,
+           min(mean_micro)::BIGINT AS min_mean_micro,
+           max(CASE WHEN rn = ceil(cnt * 10 / 100) THEN mean_micro
+             END)::BIGINT AS p10_mean_micro,
+           max(CASE WHEN rn = ceil(cnt * 50 / 100) THEN mean_micro
+             END)::BIGINT AS p50_mean_micro,
+           max(CASE WHEN rn = ceil(cnt * 90 / 100) THEN mean_micro
+             END)::BIGINT AS p90_mean_micro,
+           max(mean_micro)::BIGINT AS max_mean_micro,
+           max(CASE WHEN rn = ceil(cnt * 90 / 100) THEN mean_micro
+             END)::BIGINT
+             - max(CASE WHEN rn = ceil(cnt * 10 / 100) THEN mean_micro
+               END)::BIGINT AS envelope_micro
+         FROM r""",
+    // q395: the q21 pair CTE with the artifact's float admission and
+    // integer milli emission; provenance via two source lookups.
+    "q395_edge_provenance" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*)::BIGINT AS inter,
+                 any_value(a.n_sh)::BIGINT AS n_a,
+                 any_value(b.n_sh)::BIGINT AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pe AS (SELECT doc_a, doc_b,
+                  ${sqlIdivHalfUp("inter * 1000",
+        "n_a + n_b - inter")} AS jacc_milli
+                FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.05),
+         j AS (SELECT CASE WHEN da.source = db.source
+                    THEN 'within_source' ELSE 'cross_source' END
+                   AS provenance,
+                 pe.jacc_milli
+               FROM pe
+               JOIN documents da ON pe.doc_a = da.doc_id
+               JOIN documents db ON pe.doc_b = db.doc_id),
+         a AS (SELECT provenance, count(*)::BIGINT AS n_edges,
+                 min(jacc_milli)::BIGINT AS min_jacc_milli,
+                 max(jacc_milli)::BIGINT AS max_jacc_milli,
+                 sum(jacc_milli)::BIGINT AS sum_milli
+               FROM j GROUP BY 1)
+         SELECT provenance, n_edges, min_jacc_milli, max_jacc_milli,
+           ${sqlIdivHalfUp("sum_milli", "n_edges")} AS mean_jacc_milli
+         FROM a""",
+    // q396: floor-division day offsets (delays CAN be negative in
+    // this generator — DuckDB // floors, so the engine floors too).
+    "q396_ship_latency" ->
+      """WITH fs AS (SELECT l_orderkey,
+                 min(epoch_us(l_shipdate))::BIGINT AS first_ship
+               FROM lineitem GROUP BY 1),
+         dl AS (SELECT o.o_orderpriority, o.o_orderkey,
+                  (fs.first_ship - epoch_us(o.o_orderdate)::BIGINT)
+                    // 86400000000 AS delay_days
+                FROM orders o
+                JOIN fs ON o.o_orderkey = fs.l_orderkey),
+         r AS (SELECT o_orderpriority, delay_days, o_orderkey,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY delay_days, o_orderkey) AS rn,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+               FROM dl)
+         SELECT o_orderpriority, max(cnt)::BIGINT AS n_orders,
+           min(delay_days)::BIGINT AS min_delay_days,
+           max(CASE WHEN rn = ceil(cnt * 50 / 100) THEN delay_days
+             END)::BIGINT AS p50_delay_days,
+           max(delay_days)::BIGINT AS max_delay_days
          FROM r GROUP BY 1""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")

@@ -64,4 +64,16 @@ object IntMath {
     val al = a.cast("long")
     when(al < 0L, -idivHalfUp(-al, b)).otherwise(idivHalfUp(al, b))
   }
+
+  /** FLOOR division for signed numerators (b > 0) — DuckDB's integer
+    * `//` floors while Catalyst's IntegralDivide truncates toward
+    * zero, so the two disagree on every negative quotient. Subtract
+    * the positive modulus first (pmod) and the truncating divide
+    * becomes exact floor on both engines.
+    */
+  def floorDiv(a: Column, b: Column): Column = {
+    val al = a.cast("long")
+    val bl = b.cast("long")
+    idiv(al - pmod(al, bl), bl)
+  }
 }

@@ -3244,6 +3244,62 @@ object Dedup {
       )
   }
 
+  /** q395: edge provenance census — the near-dup pair artifact split
+    * into WITHIN-source and CROSS-source edges, with exact integer
+    * milli-Jaccard stats for each. The edge-level complement of
+    * q387's cluster census and the calibration input for provenance-
+    * aware dedup: if cross-source edges score systematically lower
+    * (syndicated-then-edited copies) than within-source edges
+    * (verbatim templates), ONE Jaccard threshold cannot serve both
+    * and the pipeline should split the cutoff by provenance class.
+    *
+    * Scale: pair artifact ⋈ two source lookups on doc ids —
+    * collision-linear; one 2-row rollup.
+    */
+  def edgeProvenance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val pairs = shinglePairIntersections(docShingles(spark, dir))
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .filter(col("jaccard") >= 0.05)
+      .withColumn("jacc_milli",
+        idivHalfUp(col("inter") * lit(1000L),
+          col("n_a") + col("n_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("jacc_milli"))
+    val src = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), Seq("doc_b"))
+      .select(
+        when(col("src_a") === col("src_b"), "within_source")
+          .otherwise("cross_source").as("provenance"),
+        col("jacc_milli")
+      )
+      .groupBy(col("provenance"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        min(col("jacc_milli")).as("min_jacc_milli"),
+        max(col("jacc_milli")).as("max_jacc_milli"),
+        sum(col("jacc_milli")).as("sum_milli")
+      )
+      .select(
+        col("provenance"), col("n_edges"),
+        col("min_jacc_milli"), col("max_jacc_milli"),
+        idivHalfUp(col("sum_milli"), col("n_edges"))
+          .as("mean_jacc_milli")
+      )
+  }
+
   /** q380: near-duplicate rate per length decile — WHERE in the
     * length distribution duplication lives. Short docs (navigation
     * strings, error pages) usually duplicate far more than long ones;

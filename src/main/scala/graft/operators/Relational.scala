@@ -514,6 +514,57 @@ object Relational {
       )
   }
 
+  /** q396: order-to-first-ship latency profile per priority — per
+    * order priority class: order count, exact P50 whole-day delay
+    * from order date to the order's FIRST lineitem ship date (type-1
+    * rank pick), and the min/max delays. The SLA audit the priority
+    * column exists for: if URGENT's median delay matches LOW's, the
+    * priority field carries no operational signal. Day offsets are
+    * exact integer microsecond differences under FLOOR division
+    * (IntMath.floorDiv — this generator emits ship-before-order
+    * rows, and truncating division would disagree with DuckDB's
+    * flooring `//` on every negative delay).
+    *
+    * Scale: one per-order min over lineitem (map-side combinable,
+    * keyed on l_orderkey — the natural co-partitioning), a fact-to-
+    * fact join on the same key, and rank picks windowed by the
+    * 5-value priority class.
+    */
+  def shipLatencyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.floorDiv
+    val firstShip = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate").cast("timestamp")).as("su"))
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("su")).as("first_ship"))
+    val delays = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ou"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderpriority"),
+        col("o_orderkey"),
+        floorDiv(col("first_ship") - col("ou"), lit(86400000000L))
+          .as("delay_days")
+      )
+    val w = Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("delay_days").asc, col("o_orderkey").asc)
+    delays
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max(col("cnt")).as("n_orders"),
+        min(col("delay_days")).as("min_delay_days"),
+        max(when(col("rn") === ceil(col("cnt") * 50 / 100),
+          col("delay_days"))).as("p50_delay_days"),
+        max(col("delay_days")).as("max_delay_days")
+      )
+  }
+
   /** Benford's-law expected first-digit shares log10(1 + 1/d) in ppm.
     * These are CONSTANTS, so the transcendental log10 never touches a
     * runtime column — the nine literals are pinned here (they sum to

@@ -4235,6 +4235,56 @@ object Sampling {
       )
   }
 
+  /** q394: batch quality dispersion — the q191/q362 training order
+    * cut into batches of 32, each batch's mean micro-quality taken
+    * exactly (half-up over the batch's own size), and the five-point
+    * envelope of those batch means. THE check that the epoch shuffle
+    * actually homogenized quality across batches: a tight envelope
+    * means every optimizer step sees the same quality mix; a fat one
+    * means quality-correlated gradient noise survived the shuffle
+    * (and q375's clumping made it into training). Batch means are
+    * integers; the envelope picks are exact type-1 ranks on the
+    * distributed total order over the batch-means frame (corpus/32
+    * rows — never a single-partition window).
+    */
+  def batchQualityDispersion(
+      spark: SparkSession,
+      dir: String,
+      batchSize: Int = 32
+  ): DataFrame = {
+    import graft.functions.IntMath.{idiv, idivHalfUp}
+    val docs = Tables.documents(spark, dir)
+    val d = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .join(TextAnalysis.qualityMicroScoresFrom(docs), "doc_id")
+    val ordered = Ranking
+      .withGlobalRank(d, Seq(col("h").asc, col("doc_id").asc), "pos", 8)
+      .withColumn("batch", idiv(col("pos") - 1, lit(batchSize.toLong)))
+    val means = ordered
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n"), sum(col("q_micro")).as("s"))
+      .select(col("batch"),
+        idivHalfUp(col("s"), col("n")).as("mean_micro"))
+    val ranked = Ranking.withGlobalRank(
+      means, Seq(col("mean_micro").asc, col("batch").asc), "rn", 8)
+    val tot = means.agg(count(lit(1)).as("cnt"))
+    def pick(p: Int): Column =
+      max(when(col("rn") === ceil(col("cnt") * p / 100),
+        col("mean_micro")))
+    ranked
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("cnt")).as("n_batches"),
+        min(col("mean_micro")).as("min_mean_micro"),
+        pick(10).as("p10_mean_micro"),
+        pick(50).as("p50_mean_micro"),
+        pick(90).as("p90_mean_micro"),
+        max(col("mean_micro")).as("max_mean_micro")
+      )
+      .withColumn("envelope_micro",
+        col("p90_mean_micro") - col("p10_mean_micro"))
+  }
+
   /** q382: shard-assignment policy comparison — token skew per shard
     * under the two assignment families a training job actually
     * chooses between: content-blind HASH (hash60(doc_id) mod W, the
