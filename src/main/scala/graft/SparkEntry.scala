@@ -1010,6 +1010,12 @@ object SparkEntry {
     "q395_edge_provenance" -> (Dedup.edgeProvenance _),
     // Exact P50 order->first-ship delay days per priority.
     "q396_ship_latency" -> (Relational.shipLatencyProfile _),
+    // IVF cell occupancy census over the shared assignment seam.
+    "q397_ivf_balance" -> (Similarity.ivfCellBalance _),
+    // Parts by distinct-supplier band; single-source fragility.
+    "q398_part_sourcing" -> (Relational.partSourcingCensus _),
+    // Orders by lineitem-count band incl. 0-line orphans.
+    "q399_order_fanout" -> (Relational.orderFanoutCensus _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -11042,6 +11048,70 @@ object SparkEntry {
              END)::BIGINT AS p50_delay_days,
            max(delay_days)::BIGINT AS max_delay_days
          FROM r GROUP BY 1""",
+    // q397: the proven q25 assignment CTE; census is pure integers.
+    "q397_ivf_balance" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS c_vec
+                FROM embeddings WHERE vec_id < 8),
+         sims AS (SELECT e.vec_id, c.cid,
+                    ${cosSql("c_vec", "embedding")} AS csim
+                  FROM embeddings e, c),
+         asg AS (SELECT vec_id, cid
+                 FROM (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cid ASC) AS rk
+                       FROM sims) t WHERE rk = 1),
+         cells AS (SELECT cid, count(*)::BIGINT AS n_vecs FROM asg
+                   GROUP BY 1),
+         tot AS (SELECT sum(n_vecs)::BIGINT AS n_total,
+                   count(*)::BIGINT AS n_cells_used
+                 FROM cells)
+         SELECT cells.cid, cells.n_vecs, tot.n_total,
+           tot.n_cells_used,
+           ${sqlMicroRatio("cells.n_vecs", "tot.n_total")}
+             AS share_ppm,
+           ${sqlMicroRatio("cells.n_vecs",
+        sqlIdivHalfUp("tot.n_total", "8"))} AS vs_even_ppm
+         FROM cells, tot""",
+    // q398: exact distinct-supplier counts per part, 3-band rollup.
+    "q398_part_sourcing" ->
+      s"""WITH pp AS (SELECT l_partkey,
+                 count(DISTINCT l_suppkey)::BIGINT AS ns,
+                 count(*)::BIGINT AS nl
+               FROM lineitem GROUP BY 1),
+         b AS (SELECT CASE WHEN ns = 1 THEN '1_single'
+                           WHEN ns <= 3 THEN '2_3_dual'
+                           ELSE '4_plus_multi' END AS supplier_band,
+                 nl
+               FROM pp),
+         a AS (SELECT supplier_band, count(*)::BIGINT AS n_parts,
+                 sum(nl)::BIGINT AS n_lines
+               FROM b GROUP BY 1),
+         t AS (SELECT sum(n_parts)::BIGINT AS total_parts FROM a)
+         SELECT a.supplier_band, a.n_parts, a.n_lines,
+           ${sqlMicroRatio("a.n_parts", "t.total_parts")} AS part_ppm
+         FROM a, t""",
+    // q399: per-order line counts with 0-line orphans kept via the
+    // left join, fixed-band rollup.
+    "q399_order_fanout" ->
+      s"""WITH po AS (SELECT l_orderkey, count(*)::BIGINT AS nl
+               FROM lineitem GROUP BY 1),
+         j AS (SELECT o.o_orderkey, coalesce(po.nl, 0)::BIGINT AS nl
+               FROM orders o
+               LEFT JOIN po ON o.o_orderkey = po.l_orderkey),
+         b AS (SELECT CASE WHEN nl = 0 THEN '0_lines'
+                           WHEN nl <= 3 THEN '1_3_lines'
+                           WHEN nl <= 6 THEN '4_6_lines'
+                           ELSE '7_plus_lines' END AS fanout_band,
+                 nl
+               FROM j),
+         a AS (SELECT fanout_band, count(*)::BIGINT AS n_orders,
+                 sum(nl)::BIGINT AS n_lines
+               FROM b GROUP BY 1),
+         t AS (SELECT sum(n_orders)::BIGINT AS total_orders FROM a)
+         SELECT a.fanout_band, a.n_orders, a.n_lines,
+           ${sqlMicroRatio("a.n_orders", "t.total_orders")}
+             AS order_ppm
+         FROM a, t""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -565,6 +565,86 @@ object Relational {
       )
   }
 
+  /** q398: part sourcing census — parts bucketed by how many distinct
+    * suppliers ship them (single-sourced / dual / 4+), with line
+    * volumes per band. The supply-concentration audit: single-source
+    * parts are the fragile tail of the catalog, and at 100 TB this is
+    * the one-pass distinct-count rollup you run before any
+    * supplier-failure what-if join.
+    *
+    * Scale: one (partkey → distinct suppkey) aggregation — map-side
+    * partial on (part, supp) then exact distinct per part — and a
+    * 3-row band rollup.
+    */
+  def partSourcingCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val perPart = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("ns"),
+        count(lit(1)).as("nl")
+      )
+    val banded = perPart
+      .select(
+        when(col("ns") === 1, "1_single")
+          .when(col("ns") <= 3, "2_3_dual")
+          .otherwise("4_plus_multi").as("supplier_band"),
+        col("nl")
+      )
+      .groupBy(col("supplier_band"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("nl")).as("n_lines"))
+    val tot = banded.agg(sum(col("n_parts")).as("total_parts"))
+    banded
+      .crossJoin(broadcast(tot))
+      .select(
+        col("supplier_band"), col("n_parts"), col("n_lines"),
+        microRatio(col("n_parts"), col("total_parts")).as("part_ppm")
+      )
+  }
+
+  /** q399: order fanout census — orders bucketed by lineitem count
+    * (including the 0-line orphans q372 flags), with order and line
+    * mass per band. The fact-to-fact join cardinality profile: the
+    * 7+ band drives shuffle skew in every orderkey join, and the
+    * 0-line band measures how much of the orders scan is dead weight
+    * for lineitem-side queries.
+    *
+    * Scale: one per-order count over lineitem (map-side combinable) +
+    * a left join from orders (same orderkey partitioning) + a
+    * fixed-band rollup.
+    */
+  def orderFanoutCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val perOrder = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("nl"))
+    val banded = Tables
+      .orders(spark, dir)
+      .select(col("o_orderkey"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"), "left")
+      .na
+      .fill(0L, Seq("nl"))
+      .select(
+        when(col("nl") === 0, "0_lines")
+          .when(col("nl") <= 3, "1_3_lines")
+          .when(col("nl") <= 6, "4_6_lines")
+          .otherwise("7_plus_lines").as("fanout_band"),
+        col("nl")
+      )
+      .groupBy(col("fanout_band"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("nl")).as("n_lines"))
+    val tot = banded.agg(sum(col("n_orders")).as("total_orders"))
+    banded
+      .crossJoin(broadcast(tot))
+      .select(
+        col("fanout_band"), col("n_orders"), col("n_lines"),
+        microRatio(col("n_orders"), col("total_orders"))
+          .as("order_ppm")
+      )
+  }
+
   /** Benford's-law expected first-digit shares log10(1 + 1/d) in ppm.
     * These are CONSTANTS, so the transcendental log10 never touches a
     * runtime column — the nine literals are pinned here (they sum to

@@ -1924,4 +1924,37 @@ object Similarity {
           .microRatio(col("n_vectors"), col("n_corpus")).as("share_ppm")
       )
   }
+
+  /** q397: IVF cell balance — occupancy census of the shared
+    * centroid assignment (the q25/q106/q240 seam): per cell, vector
+    * count, corpus share and the q232 even-share gauge. The ANN
+    * index-health audit: a hot cell turns every probe that touches
+    * it into a near-linear scan (probe cost ∝ cell size), and a
+    * starved cell wastes a probe budget slot — rebalance (re-train
+    * centroids, or split the hot cell) BEFORE tuning nprobe (q265).
+    * Assignment reuses the proven float argmax; every emitted column
+    * is an exact integer.
+    *
+    * Scale: assignment is the cached N·K cosine pass; the census is
+    * one K-row aggregation.
+    */
+  def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idivHalfUp, microRatio}
+    val cells = ivfAssign(spark, dir, 8)
+      .select(col("vec_id"), col("cid"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(
+      sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells_used"))
+    cells
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cid"), col("n_vecs"), col("n_total"),
+        col("n_cells_used"),
+        microRatio(col("n_vecs"), col("n_total")).as("share_ppm"),
+        microRatio(col("n_vecs"), idivHalfUp(col("n_total"), lit(8L)))
+          .as("vs_even_ppm")
+      )
+  }
 }
