@@ -1016,6 +1016,12 @@ object SparkEntry {
     "q398_part_sourcing" -> (Relational.partSourcingCensus _),
     // Orders by lineitem-count band incl. 0-line orphans.
     "q399_order_fanout" -> (Relational.orderFanoutCensus _),
+    // Round-9 composite: quarantine -> per-lang cut -> retention.
+    "q400_round9_manifest" -> (Sampling.round9Manifest _),
+    // Near-dup pair pressure per 100-id arrival bucket.
+    "q401_dup_bursts" -> (Dedup.dupBurstTimeline _),
+    // Lang-ID argmax margin census per detected language.
+    "q402_langid_margin" -> (TextAnalysis.langIdMargin _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -11112,6 +11118,149 @@ object SparkEntry {
            ${sqlMicroRatio("a.n_orders", "t.total_orders")}
              AS order_ppm
          FROM a, t""",
+    // q400: the q379 contamination chain + the q381 per-lang median
+    // (over the TRAIN population) -> per-source retention ledger.
+    "q400_round9_manifest" ->
+      s"""WITH $qMicroCte,
+         $shinglesCte,
+         d5 AS (SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 4),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5])) AS sh
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 5),
+         e5 AS (SELECT doc_id, unnest(sh) AS s FROM d5
+                WHERE len(sh) > 0),
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         cont AS (SELECT DISTINCT a.doc_id FROM e5 a JOIN e5 b
+                 ON a.s = b.s
+               WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.5),
+         nb AS (SELECT DISTINCT nbr AS doc_id FROM (
+                 SELECT doc_b AS nbr FROM pr
+                 WHERE doc_a IN (SELECT doc_id FROM cont)
+                 UNION ALL
+                 SELECT doc_a AS nbr FROM pr
+                 WHERE doc_b IN (SELECT doc_id FROM cont)) x
+                WHERE nbr % 50 <> 0
+                  AND nbr NOT IN (SELECT doc_id FROM cont)),
+         base AS (SELECT dd.doc_id, dd.source, dd.lang,
+                  CAST(len(CASE WHEN length(trim(dd.text)) = 0
+                       THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(dd.text),
+                         '\\s+') END) AS BIGINT) AS tk
+                 FROM documents dd WHERE dd.doc_id % 50 <> 0),
+         sc AS (SELECT base.doc_id, base.lang, base.source, base.tk,
+                  qm.q_micro
+                FROM base JOIN qm USING (doc_id)),
+         l AS (SELECT lang, q_micro AS lang_med FROM
+                (SELECT lang, q_micro, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY q_micro, doc_id) AS lrn,
+                   count(*) OVER (PARTITION BY lang) AS lcnt
+                 FROM sc) t
+               WHERE lrn = ceil(lcnt * 50 / 100)),
+         cls AS (SELECT sc.source, sc.tk,
+                  CASE WHEN sc.doc_id IN (SELECT doc_id FROM cont)
+                        OR sc.doc_id IN (SELECT doc_id FROM nb)
+                    THEN 1 ELSE 0 END AS quarantined,
+                  CASE WHEN sc.doc_id NOT IN (SELECT doc_id FROM cont)
+                        AND sc.doc_id NOT IN (SELECT doc_id FROM nb)
+                        AND sc.q_micro > l.lang_med
+                    THEN 1 ELSE 0 END AS admitted
+                 FROM sc JOIN l USING (lang)),
+         a AS (SELECT source, count(*)::BIGINT AS n_train_docs,
+                 sum(tk)::BIGINT AS train_tokens,
+                 sum(quarantined)::BIGINT AS n_quarantined,
+                 sum(admitted)::BIGINT AS n_admitted,
+                 sum(admitted * tk)::BIGINT AS admitted_tokens
+               FROM cls GROUP BY 1)
+         SELECT source, n_train_docs, train_tokens, n_quarantined,
+           n_admitted, admitted_tokens,
+           ${sqlMicroRatio("n_admitted", "n_train_docs")}
+             AS doc_retention_ppm,
+           ${sqlMicroRatio("admitted_tokens",
+        "greatest(train_tokens, 1)")} AS token_retention_ppm
+         FROM a""",
+    // q401: pair CTE at 0.5; bucket and gap are integer id math.
+    "q401_dup_bursts" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.5),
+         g AS (SELECT doc_b // 100 AS bucket,
+                 (doc_b - doc_a)::BIGINT AS gap
+               FROM pr),
+         a AS (SELECT bucket, count(*)::BIGINT AS n_pairs,
+                 sum(CASE WHEN gap <= 100 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_close_pairs,
+                 max(gap)::BIGINT AS max_gap
+               FROM g GROUP BY 1)
+         SELECT bucket, n_pairs, n_close_pairs, max_gap,
+           ${sqlMicroRatio("n_close_pairs", "n_pairs")} AS close_ppm
+         FROM a""",
+    // q402: the q16 marker counts replayed per language; the argmax
+    // CASE follows the same tie-break order (en, de, fr, es, zh).
+    "q402_langid_margin" ->
+      s"""WITH tk AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
+             END AS toks
+           FROM documents),
+         sc AS (SELECT doc_id,
+             len(list_filter(toks, w -> w IN
+               ('the','and','of','to','is')))::BIGINT AS s_en,
+             len(list_filter(toks, w -> w IN
+               ('der','die','das','und','ist')))::BIGINT AS s_de,
+             len(list_filter(toks, w -> w IN
+               ('le','la','et','les','est')))::BIGINT AS s_fr,
+             len(list_filter(toks, w -> w IN
+               ('el','la','y','los','es')))::BIGINT AS s_es,
+             len(list_filter(toks, w -> w IN
+               ('的','是','了','在','我')))::BIGINT AS s_zh
+           FROM tk),
+         m AS (SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+                 list_reverse_sort([s_en, s_de, s_fr, s_es, s_zh])
+                   AS so
+               FROM sc),
+         c AS (SELECT CASE WHEN so[1] <= 0 THEN 'und'
+                           WHEN s_en = so[1] THEN 'en'
+                           WHEN s_de = so[1] THEN 'de'
+                           WHEN s_fr = so[1] THEN 'fr'
+                           WHEN s_es = so[1] THEN 'es'
+                           ELSE 'zh' END AS detected,
+                 (so[1] - so[2])::BIGINT AS mg,
+                 so[1]::BIGINT AS best
+               FROM m),
+         a AS (SELECT detected, count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN mg = 0 OR best <= 0 THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_ambiguous,
+                 max(mg)::BIGINT AS max_margin,
+                 sum(mg)::BIGINT AS sum_margin
+               FROM c GROUP BY 1)
+         SELECT detected, n_docs, n_ambiguous, max_margin,
+           ${sqlIdivHalfUp("sum_margin * 1000", "n_docs")}
+             AS mean_margin_milli
+         FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

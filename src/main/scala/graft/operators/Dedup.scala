@@ -2992,30 +2992,7 @@ object Dedup {
       dir: String
   ): DataFrame = {
     import graft.functions.IntMath.microRatio
-    val cont = decontaminate(spark, dir).select(col("doc_id"))
-    val pairs = ngramJaccardPairs(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val nbr = pairs
-      .join(cont.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
-      .select(col("doc_b").as("doc_id"))
-      .union(
-        pairs
-          .join(cont.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
-          .select(col("doc_a").as("doc_id"))
-      )
-      .distinct()
-      .filter(col("doc_id") % 50 =!= 0)
-      .join(cont, Seq("doc_id"), "left_anti")
-    val base = Tables
-      .documents(spark, dir)
-      .filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), col("source"), col("n_chars"))
-    base
-      .join(cont.withColumn("direct", lit(1L)), Seq("doc_id"), "left")
-      .join(nbr.withColumn("collateral", lit(1L)), Seq("doc_id"), "left")
-      .na
-      .fill(0L, Seq("direct", "collateral"))
+    contaminationSets(spark, dir)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_train_docs"),
@@ -3188,6 +3165,40 @@ object Dedup {
       )
   }
 
+  /** Doc-level contamination classification for the TRAIN population
+    * (doc_id % 50 ≠ 0): one row per train doc with its source, char
+    * mass and the direct (q73 5-gram eval overlap) / collateral
+    * (J ≥ 0.5 neighbor of a direct doc, not itself direct) flags.
+    * The shared seam under the q379 blast radius and the q400
+    * composite manifest — both read ONE classification instead of
+    * re-deriving the contamination topology.
+    */
+  def contaminationSets(spark: SparkSession, dir: String): DataFrame = {
+    val cont = decontaminate(spark, dir).select(col("doc_id"))
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val nbr = pairs
+      .join(cont.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .select(col("doc_b").as("doc_id"))
+      .union(
+        pairs
+          .join(cont.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+          .select(col("doc_a").as("doc_id"))
+      )
+      .distinct()
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(cont, Seq("doc_id"), "left_anti")
+    Tables
+      .documents(spark, dir)
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(cont.withColumn("direct", lit(1L)), Seq("doc_id"), "left")
+      .join(nbr.withColumn("collateral", lit(1L)), Seq("doc_id"), "left")
+      .na
+      .fill(0L, Seq("direct", "collateral"))
+  }
+
   /** q391: cluster tightness by size band — per cluster-size band,
     * the exact integer milli-Jaccard statistics of the EDGES inside
     * those clusters (count, min, mean, max). Answers "are the big
@@ -3297,6 +3308,38 @@ object Dedup {
         col("min_jacc_milli"), col("max_jacc_milli"),
         idivHalfUp(col("sum_milli"), col("n_edges"))
           .as("mean_jacc_milli")
+      )
+  }
+
+  /** q401: dup-burst timeline — the near-dup pair pressure over
+    * arrival order: pairs bucketed by the LATER end's 100-id arrival
+    * window, with the share whose partner is CLOSE (gap ≤ 100 ids).
+    * A bucket where close pairs dominate is a crawl-time dup storm
+    * (the q385 TTL gate's target); one dominated by far partners is
+    * re-crawl of old content (only the forever-state gate catches
+    * it). The timeline that says WHICH streaming dedup policy the
+    * feed needs. Pure integer id arithmetic over the pair artifact.
+    */
+  def dupBurstTimeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idiv, microRatio}
+    ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(
+        idiv(col("doc_b"), lit(100L)).as("bucket"),
+        (col("doc_b") - col("doc_a")).as("gap")
+      )
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("gap") <= 100L, 1L).otherwise(0L))
+          .as("n_close_pairs"),
+        max(col("gap")).as("max_gap")
+      )
+      .select(
+        col("bucket"), col("n_pairs"), col("n_close_pairs"),
+        col("max_gap"),
+        microRatio(col("n_close_pairs"), col("n_pairs"))
+          .as("close_ppm")
       )
   }
 

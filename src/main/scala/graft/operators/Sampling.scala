@@ -4235,6 +4235,65 @@ object Sampling {
       )
   }
 
+  /** q400: the round-9 composite admission manifest — per source, the
+    * train population pushed through this round's audited gates in
+    * sequence: decontamination quarantine (the q379 direct+collateral
+    * set) then the per-language median quality cut (the q381 per-lang
+    * threshold, computed over the train population). Emits what a
+    * capacity plan consumes: surviving docs and token mass with exact
+    * retention ppm. Every stage reads a seam that is independently
+    * oracle-gated (q73/q379's contamination sets, q370/q381's rank-
+    * pick medians, the q15/qualityMicro integer seam), so a red row
+    * here localizes to exactly one audited stage.
+    */
+  def round9Manifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val classed = graft.operators.Dedup
+      .contaminationSets(spark, dir)
+      .withColumn("quarantined",
+        when(col("direct") + col("collateral") > 0L, 1L).otherwise(0L))
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("tk"))
+      .join(TextAnalysis.qualityMicroScoresFrom(docs), "doc_id")
+    val wOrd = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("q_micro").asc, col("doc_id").asc)
+    val lmed = scored
+      .withColumn("lrn", row_number().over(wOrd))
+      .withColumn("lcnt",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("lrn") === ceil(col("lcnt") * 50 / 100))
+      .select(col("lang"), col("q_micro").as("lang_med"))
+    scored
+      .join(lmed, "lang")
+      .join(classed.select(col("doc_id"), col("source"),
+        col("quarantined")), "doc_id")
+      .withColumn("admitted",
+        when(col("quarantined") === 0L &&
+          col("q_micro") > col("lang_med"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(col("tk")).as("train_tokens"),
+        sum(col("quarantined")).as("n_quarantined"),
+        sum(col("admitted")).as("n_admitted"),
+        sum(col("admitted") * col("tk")).as("admitted_tokens")
+      )
+      .select(
+        col("source"), col("n_train_docs"), col("train_tokens"),
+        col("n_quarantined"), col("n_admitted"), col("admitted_tokens"),
+        microRatio(col("n_admitted"), col("n_train_docs"))
+          .as("doc_retention_ppm"),
+        microRatio(col("admitted_tokens"),
+          greatest(col("train_tokens"), lit(1L)))
+          .as("token_retention_ppm")
+      )
+  }
+
   /** q394: batch quality dispersion — the q191/q362 training order
     * cut into batches of 32, each batch's mean micro-quality taken
     * exactly (half-up over the batch's own size), and the five-point

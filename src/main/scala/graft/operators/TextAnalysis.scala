@@ -5248,6 +5248,50 @@ object TextAnalysis {
       .withColumn("spread_micro", col("p90_micro") - col("p10_micro"))
   }
 
+  /** q402: language-ID margin census — per DETECTED language, how
+    * decisively the q16 marker-count argmax won: the margin between
+    * the best and runner-up marker hit counts. Zero-margin docs are
+    * coin flips the tie-break order decided (they inflate whichever
+    * language sorts first in the marker table — exactly the bias
+    * q294's confusion audit sees from outside); the mean margin says
+    * how much headroom the classifier has before a marker-list edit
+    * reshuffles assignments. Margins are integer count differences;
+    * the mean is exact half-up milli.
+    *
+    * Scale: one scan computing 5 marker counts + a sort of a 5-long
+    * array per doc, one |langs|-row rollup.
+    */
+  def langIdMargin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val t = tokens(col("text"))
+    val scores = langMarkers.map { case (_, words) =>
+      size(filter(t, w => w.isin(words: _*))).cast("long")
+    }
+    val sorted = sort_array(array(scores: _*), asc = false)
+    val margin = element_at(sorted, 1) - element_at(sorted, 2)
+    Tables
+      .documents(spark, dir)
+      .select(
+        langId(col("text")).as("detected"),
+        margin.as("m"),
+        element_at(sorted, 1).as("best")
+      )
+      .groupBy(col("detected"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("m") === 0L || col("best") <= 0L, 1L)
+          .otherwise(0L)).as("n_ambiguous"),
+        max(col("m")).as("max_margin"),
+        sum(col("m")).as("sum_margin")
+      )
+      .select(
+        col("detected"), col("n_docs"), col("n_ambiguous"),
+        col("max_margin"),
+        idivHalfUp(col("sum_margin") * lit(1000L), col("n_docs"))
+          .as("mean_margin_milli")
+      )
+  }
+
   /** q384: borderline-band census — how many docs sit within ±w of
     * each language's median micro-quality, for w ∈ {10k, 50k, 100k}
     * micro. The FRAGILITY complement of the q381 transfer audit: a
