@@ -1022,6 +1022,13 @@ object SparkEntry {
     "q401_dup_bursts" -> (Dedup.dupBurstTimeline _),
     // Lang-ID argmax margin census per detected language.
     "q402_langid_margin" -> (TextAnalysis.langIdMargin _),
+    // Top-20 co-purchased part pairs by exact support.
+    "q403_copurchase" -> (Relational.coPurchasePairs _),
+    // Decontamination flagged mass at shingle widths 3/5/8.
+    "q404_decon_widths" -> (Dedup.deconWidthSweep _),
+    // Simpson predictability of each type's next-event distribution.
+    "q405_transition_predictability" ->
+      (Events.transitionPredictability _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -1825,6 +1832,33 @@ object SparkEntry {
     * may come from `round()` of a float that can land on a .5
     * boundary; this is the replacement everywhere a ratio is emitted.
     */
+  /** One width of the q404 decontamination sweep: flagged train-doc
+    * count + token mass under `w`-token shingles, as a 1-row CTE body
+    * (the tk CTE with per-doc `toks` must be in scope).
+    */
+  private def sqlDeconWidth(w: Int): String = {
+    val gram = (1 to w).map(i => s"toks[i+$i]").mkString(" || ' ' || ")
+    s"""(SELECT count(*)::BIGINT AS n_flagged,
+          coalesce(sum(len(t2.toks)), 0)::BIGINT AS flagged_tokens
+        FROM (SELECT DISTINCT tr.doc_id
+              FROM (SELECT doc_id, unnest(sh) AS s
+                    FROM (SELECT doc_id,
+                            list_distinct(list_transform(
+                              range(len(toks) - ${w - 1}),
+                              i -> $gram)) AS sh
+                          FROM tk WHERE len(toks) >= $w) dd
+                    WHERE doc_id % 50 <> 0 AND len(sh) > 0) tr
+              JOIN (SELECT DISTINCT unnest(sh) AS s
+                    FROM (SELECT doc_id,
+                            list_distinct(list_transform(
+                              range(len(toks) - ${w - 1}),
+                              i -> $gram)) AS sh
+                          FROM tk WHERE len(toks) >= $w) de
+                    WHERE doc_id % 50 = 0 AND len(sh) > 0) ev
+                USING (s)) fl
+        JOIN tk t2 ON fl.doc_id = t2.doc_id)"""
+  }
+
   private def sqlIdivHalfUp(a: String, b: String): String =
     s"((2*($a) + ($b)) // (2*($b)))"
 
@@ -11261,6 +11295,66 @@ object SparkEntry {
            ${sqlIdivHalfUp("sum_margin * 1000", "n_docs")}
              AS mean_margin_milli
          FROM a""",
+    // q403: within-order pair self-join on distinct (order, part);
+    // deterministic top-20 by (support DESC, part_a, part_b).
+    "q403_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM lineitem),
+         pp AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  count(*)::BIGINT AS support
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2)
+         SELECT part_a, part_b, support FROM pp
+         ORDER BY support DESC, part_a ASC, part_b ASC LIMIT 20""",
+    // q404: one flagged-mass subquery per width over the shared tk
+    // CTE; totals and ppm exactly as the engine computes them.
+    "q404_decon_widths" ->
+      s"""WITH tk AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
+             END AS toks
+           FROM documents),
+         tt AS (SELECT count(*)::BIGINT AS n_train,
+                  sum(len(toks))::BIGINT AS train_tokens
+                FROM tk WHERE doc_id % 50 <> 0),
+         f3 AS ${sqlDeconWidth(3)},
+         f5 AS ${sqlDeconWidth(5)},
+         f8 AS ${sqlDeconWidth(8)},
+         u AS (SELECT 3::BIGINT AS width, n_flagged, flagged_tokens
+                 FROM f3
+               UNION ALL SELECT 5::BIGINT, n_flagged, flagged_tokens
+                 FROM f5
+               UNION ALL SELECT 8::BIGINT, n_flagged, flagged_tokens
+                 FROM f8)
+         SELECT u.width, u.n_flagged, u.flagged_tokens, tt.n_train,
+           ${sqlMicroRatio("u.n_flagged", "tt.n_train")}
+             AS flagged_ppm
+         FROM u, tt""",
+    // q405: the q262 lag chain; predictability is the same exact
+    // coincidence ratio as q371, over next-type counts.
+    "q405_transition_predictability" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts)::BIGINT AS us FROM events),
+         t AS (SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS prev
+               FROM e),
+         c AS (SELECT prev AS from_type, event_type AS to_type,
+                 count(*)::BIGINT AS c
+               FROM t WHERE prev IS NOT NULL GROUP BY 1, 2),
+         a AS (SELECT from_type,
+                 sum(c)::BIGINT AS n_transitions,
+                 count(*)::BIGINT AS n_next_types,
+                 sum(c * (c - 1))::BIGINT AS coincidence_pairs
+               FROM c GROUP BY 1)
+         SELECT from_type, n_transitions, n_next_types,
+           coincidence_pairs,
+           ${sqlMicroRatio("coincidence_pairs",
+        "n_transitions * (n_transitions - 1)")}
+             AS predictability_ppm
+         FROM a WHERE n_transitions >= 2""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -3199,6 +3199,60 @@ object Dedup {
       .fill(0L, Seq("direct", "collateral"))
   }
 
+  /** q404: decontamination width sensitivity — flagged-doc and
+    * flagged-token counts at shingle widths {3, 5, 8}. The report an
+    * operator reads BEFORE pinning the q73 width: width 3 flags
+    * aggressively (any shared trigram — high recall, collateral
+    * over-removal), width 8 only verbatim runs. The difference
+    * between adjacent widths is exactly the mass whose eval overlap
+    * is real-but-short — the gray zone a human audits. One scan per
+    * width (widths change the shingle set, so they cannot share one
+    * inversion), each collision-bounded by the eval side's shingle
+    * set.
+    */
+  def deconWidthSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("tk"))
+    val train = toks.filter(col("doc_id") % 50 =!= 0)
+    val trainTotals = train.agg(
+      count(lit(1)).as("n_train"),
+      sum(col("tk")).as("train_tokens"))
+    val perWidth = Seq(3, 5, 8).map { w =>
+      val sh = toks
+        .select(col("doc_id"), shingles(col("text"), w).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val evalSh = sh
+        .filter(col("doc_id") % 50 === 0)
+        .select(explode(col("sh")).as("s"))
+        .distinct()
+      val flagged = sh
+        .filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(evalSh), Seq("s"))
+        .select(col("doc_id"))
+        .distinct()
+      flagged
+        .join(train.select(col("doc_id"), col("tk")), "doc_id")
+        .agg(
+          count(lit(1)).as("n_flagged"),
+          coalesce(sum(col("tk")), lit(0L)).as("flagged_tokens"))
+        .select(lit(w.toLong).as("width"), col("n_flagged"),
+          col("flagged_tokens"))
+    }.reduce(_ unionByName _)
+    perWidth
+      .crossJoin(broadcast(trainTotals))
+      .select(
+        col("width"), col("n_flagged"), col("flagged_tokens"),
+        col("n_train"),
+        microRatio(col("n_flagged"), col("n_train"))
+          .as("flagged_ppm")
+      )
+  }
+
   /** q391: cluster tightness by size band — per cluster-size band,
     * the exact integer milli-Jaccard statistics of the EDGES inside
     * those clusters (count, min, mean, max). Answers "are the big

@@ -1770,6 +1770,48 @@ object Events {
         col("max_share_ppm") - col("min_share_ppm"))
   }
 
+  /** q405: transition predictability — per FROM-type, the Simpson
+    * coincidence probability of its next-event distribution: the
+    * exact chance two transitions drawn from the same source type go
+    * to the SAME next type, in ppm. The logarithm-free predictability
+    * score on top of q262's transition matrix (entropy would need ln;
+    * coincidence is a pure integer ratio, mergeable across shards by
+    * summing the per-pair numerators): 1e6 = deterministic next step
+    * (a funnel), ~1/|types| = anything can follow.
+    *
+    * Scale: the q262 lag pass (one user-keyed window), a (from, to)
+    * partial agg, and a |types|-row rollup.
+    */
+  def transitionPredictability(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val trans = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("c"))
+    trans
+      .groupBy(col("from_type"))
+      .agg(
+        sum(col("c")).as("n_transitions"),
+        count(lit(1)).as("n_next_types"),
+        sum(col("c") * (col("c") - 1)).as("coincidence_pairs")
+      )
+      .filter(col("n_transitions") >= 2)
+      .select(
+        col("from_type"), col("n_transitions"), col("n_next_types"),
+        col("coincidence_pairs"),
+        microRatio(col("coincidence_pairs"),
+          col("n_transitions") * (col("n_transitions") - 1))
+          .as("predictability_ppm")
+      )
+  }
+
   /** q378: discrete life table for time-to-first-purchase — per whole
     * day since each user's FIRST event: how many users are still at
     * risk (no purchase yet, still observable), how many convert that

@@ -645,6 +645,34 @@ object Relational {
       )
   }
 
+  /** q403: co-purchase affinity — the top-20 part pairs by support
+    * (orders containing BOTH parts), the market-basket primitive
+    * (Agrawal & Srikant, "Fast algorithms for mining association
+    * rules", VLDB 1994 — support counting only; confidence/lift are
+    * single divisions the spec checks). Deterministic top-k via
+    * (support DESC, part_a, part_b) → TakeOrderedAndProject.
+    *
+    * Scale: the pair join is WITHIN-order (self-join keyed on
+    * l_orderkey), so cost is Σ fanout² over orders — bounded by the
+    * q399 fanout profile (7-line orders → ≤21 pairs), never
+    * parts². Distinct parts per order first, so multi-line same-part
+    * orders don't inflate support.
+    */
+  def coPurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
   /** Benford's-law expected first-digit shares log10(1 + 1/d) in ppm.
     * These are CONSTANTS, so the transcendental log10 never touches a
     * runtime column — the nine literals are pinned here (they sum to
