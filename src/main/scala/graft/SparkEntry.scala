@@ -1029,6 +1029,13 @@ object SparkEntry {
     // Simpson predictability of each type's next-event distribution.
     "q405_transition_predictability" ->
       (Events.transitionPredictability _),
+    // Confidence/lift in exact milli over support >= 2 pairs.
+    "q406_association_rules" -> (Relational.associationRules _),
+    // Eval vs train composition shares per (lang, source) cell.
+    "q407_eval_representativeness" ->
+      (Sampling.evalRepresentativeness _),
+    // Kendall concordance between hourly volume and errors.
+    "q408_load_error_concordance" -> (Events.loadErrorConcordance _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -11355,6 +11362,84 @@ object SparkEntry {
         "n_transitions * (n_transitions - 1)")}
              AS predictability_ppm
          FROM a WHERE n_transitions >= 2""",
+    // q406: the q403 pair base + per-part supports; conf and lift
+    // are exact half-up milli of pure-integer products.
+    "q406_association_rules" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM lineitem),
+         ps AS (SELECT l_partkey, count(*)::BIGINT AS s FROM op
+                GROUP BY 1),
+         no AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders
+                FROM op),
+         pp AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  count(*)::BIGINT AS support
+                FROM op a JOIN op b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= 2),
+         j AS (SELECT pp.part_a, pp.part_b, pp.support,
+                 sa.s AS s_a, sb.s AS s_b, no.n_orders
+               FROM pp
+               JOIN ps sa ON pp.part_a = sa.l_partkey
+               JOIN ps sb ON pp.part_b = sb.l_partkey
+               CROSS JOIN no)
+         SELECT part_a, part_b, support, s_a, s_b,
+           ${sqlIdivHalfUp("support * 1000", "s_a")} AS conf_ab_milli,
+           ${sqlIdivHalfUp("support * 1000", "s_b")} AS conf_ba_milli,
+           ${sqlIdivHalfUp("support * n_orders * 1000", "s_a * s_b")}
+             AS lift_milli
+         FROM j
+         ORDER BY lift_milli DESC, part_a ASC, part_b ASC
+         LIMIT 20""",
+    // q407: one (lang, source) census with eval/train splits and
+    // half-up ppm shares of each population.
+    "q407_eval_representativeness" ->
+      s"""WITH c AS (SELECT lang, source,
+                 sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_eval,
+                 sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_train
+               FROM documents GROUP BY 1, 2),
+         t AS (SELECT sum(n_eval)::BIGINT AS tot_eval,
+                 sum(n_train)::BIGINT AS tot_train
+               FROM c)
+         SELECT c.lang, c.source, c.n_eval, c.n_train,
+           ${sqlMicroRatio("c.n_eval", "greatest(t.tot_eval, 1)")}
+             AS eval_share_ppm,
+           ${sqlMicroRatio("c.n_train", "greatest(t.tot_train, 1)")}
+             AS train_share_ppm,
+           ${sqlMicroRatio("c.n_eval", "greatest(t.tot_eval, 1)")}
+             - ${sqlMicroRatio("c.n_train",
+        "greatest(t.tot_train, 1)")} AS gap_ppm
+         FROM c, t""",
+    // q408: hourly buckets (epoch micros div 3600e6), then the q374
+    // integer concordance over hour pairs.
+    "q408_load_error_concordance" ->
+      """WITH h AS (SELECT epoch_us(ts)::BIGINT // 3600000000 AS hour,
+                 count(*)::BIGINT AS volume,
+                 sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                   ::BIGINT AS errors
+               FROM events GROUP BY 1),
+         p AS (SELECT a.volume - b.volume AS dv,
+                 a.errors - b.errors AS de
+               FROM h a JOIN h b ON a.hour < b.hour)
+         SELECT count(*)::BIGINT AS n_pairs,
+           sum(CASE WHEN dv <> 0 AND de <> 0
+                 AND ((dv > 0) = (de > 0))
+               THEN 1 ELSE 0 END)::BIGINT AS concordant,
+           sum(CASE WHEN dv <> 0 AND de <> 0
+                 AND ((dv > 0) <> (de > 0))
+               THEN 1 ELSE 0 END)::BIGINT AS discordant,
+           sum(CASE WHEN dv = 0 OR de = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS ties,
+           sum(CASE WHEN dv <> 0 AND de <> 0
+                 AND ((dv > 0) = (de > 0))
+               THEN 1 ELSE 0 END)::BIGINT
+             - sum(CASE WHEN dv <> 0 AND de <> 0
+                 AND ((dv > 0) <> (de > 0))
+               THEN 1 ELSE 0 END)::BIGINT AS tau_num
+         FROM p""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

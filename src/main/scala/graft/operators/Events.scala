@@ -1812,6 +1812,49 @@ object Events {
       )
   }
 
+  /** q408: load-error concordance — Kendall-style concordant /
+    * discordant pair counts between hourly traffic volume and hourly
+    * error count across the corpus's hour buckets. C >> D means
+    * errors scale WITH load (capacity problem); C ≈ D means errors
+    * are load-independent (bugs, not pressure). The q374 integer
+    * concordance machinery pointed at an ops question; the pair set
+    * is bounded by the time SPAN squared (hours², not events²), and
+    * the z-statistic lives in the spec.
+    */
+  def loadErrorConcordance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idiv
+    val hourly = Tables
+      .events(spark, dir)
+      .select(
+        idiv(unix_micros(col("ts")), lit(3600000000L)).as("hour"),
+        when(col("event_type") === "error", 1L).otherwise(0L)
+          .as("is_err")
+      )
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("volume"), sum(col("is_err")).as("errors"))
+    val a = hourly.select(col("hour").as("h_a"),
+      col("volume").as("v_a"), col("errors").as("e_a"))
+    val b = hourly.select(col("hour").as("h_b"),
+      col("volume").as("v_b"), col("errors").as("e_b"))
+    a.join(b, col("h_a") < col("h_b"))
+      .select(
+        (col("v_a") - col("v_b")).as("dv"),
+        (col("e_a") - col("e_b")).as("de")
+      )
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("dv") =!= 0 && col("de") =!= 0 &&
+          (col("dv") > 0) === (col("de") > 0), 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("dv") =!= 0 && col("de") =!= 0 &&
+          (col("dv") > 0) =!= (col("de") > 0), 1L).otherwise(0L))
+          .as("discordant"),
+        sum(when(col("dv") === 0 || col("de") === 0, 1L).otherwise(0L))
+          .as("ties")
+      )
+      .withColumn("tau_num", col("concordant") - col("discordant"))
+  }
+
   /** q378: discrete life table for time-to-first-purchase — per whole
     * day since each user's FIRST event: how many users are still at
     * risk (no purchase yet, still observable), how many convert that

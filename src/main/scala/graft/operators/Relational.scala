@@ -673,6 +673,58 @@ object Relational {
       .limit(20)
   }
 
+  /** q406: association-rule metrics over the q403 top pairs —
+    * confidence(a→b) and (b→a) in exact milli, and lift in exact
+    * milli via the pure-integer form support·N·1000 / (s_a·s_b).
+    * Support alone (q403) ranks popular-with-popular pairs first;
+    * lift > 1000 is what actually says "these attach to each other",
+    * and confidence asymmetry says in WHICH direction the
+    * recommendation runs.
+    *
+    * Scale: the q403 pair aggregate + a broadcast-joinable per-part
+    * support table + one scalar order count. Top-20 kept AFTER lift
+    * is computed (ranked by lift desc) — still TakeOrdered.
+    */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val op = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val partSupport = op
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("s"))
+    val nOrders = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    val pairs = a
+      .join(b, Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    pairs
+      .join(partSupport.select(col("l_partkey").as("part_a"),
+        col("s").as("s_a")), Seq("part_a"))
+      .join(partSupport.select(col("l_partkey").as("part_b"),
+        col("s").as("s_b")), Seq("part_b"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("part_a"), col("part_b"), col("support"),
+        col("s_a"), col("s_b"),
+        idivHalfUp(col("support") * lit(1000L), col("s_a"))
+          .as("conf_ab_milli"),
+        idivHalfUp(col("support") * lit(1000L), col("s_b"))
+          .as("conf_ba_milli"),
+        idivHalfUp(col("support") * col("n_orders") * lit(1000L),
+          col("s_a") * col("s_b")).as("lift_milli")
+      )
+      .orderBy(col("lift_milli").desc, col("part_a").asc,
+        col("part_b").asc)
+      .limit(20)
+  }
+
   /** Benford's-law expected first-digit shares log10(1 + 1/d) in ppm.
     * These are CONSTANTS, so the transcendental log10 never touches a
     * runtime column — the nine literals are pinned here (they sum to

@@ -4294,6 +4294,45 @@ object Sampling {
       )
   }
 
+  /** q407: eval-set representativeness — per (lang, source) cell,
+    * the eval population's share vs the train population's share in
+    * exact ppm, plus the signed gap. The audit of the modulo-50 eval
+    * split every decontamination and held-out metric in this engine
+    * leans on: a cell where eval share is far from train share means
+    * eval metrics over/under-weight that slice, and the |gap| sum
+    * (spec-side L1) is the overall representativeness distance. Pure
+    * integer counts and half-up ppm shares.
+    *
+    * Scale: one groupBy(lang, source, is_eval) partial agg; shares
+    * via two scalar totals.
+    */
+  def evalRepresentativeness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val cells = Tables
+      .documents(spark, dir)
+      .select(col("lang"), col("source"),
+        when(col("doc_id") % 50 === 0, 1L).otherwise(0L).as("is_eval"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        sum(col("is_eval")).as("n_eval"),
+        sum(lit(1L) - col("is_eval")).as("n_train")
+      )
+    val tot = cells.agg(
+      sum(col("n_eval")).as("tot_eval"),
+      sum(col("n_train")).as("tot_train"))
+    cells
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("source"), col("n_eval"), col("n_train"),
+        microRatio(col("n_eval"), greatest(col("tot_eval"), lit(1L)))
+          .as("eval_share_ppm"),
+        microRatio(col("n_train"), greatest(col("tot_train"), lit(1L)))
+          .as("train_share_ppm")
+      )
+      .withColumn("gap_ppm",
+        col("eval_share_ppm") - col("train_share_ppm"))
+  }
+
   /** q394: batch quality dispersion — the q191/q362 training order
     * cut into batches of 32, each batch's mean micro-quality taken
     * exactly (half-up over the batch's own size), and the five-point
