@@ -1036,6 +1036,12 @@ object SparkEntry {
       (Sampling.evalRepresentativeness _),
     // Kendall concordance between hourly volume and errors.
     "q408_load_error_concordance" -> (Events.loadErrorConcordance _),
+    // Lateness bands vs the running event-time max (prefix-max).
+    "q409_late_events" -> (Events.lateEventCensus _),
+    // Exact five-point of RAW value doubles per event type.
+    "q410_value_five_point" -> (Events.valueFivePoint _),
+    // Frequency x recency customer cross-tab, exact ppm shares.
+    "q411_rf_banding" -> (Relational.rfBanding _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -11440,6 +11446,72 @@ object SparkEntry {
                  AND ((dv > 0) <> (de > 0))
                THEN 1 ELSE 0 END)::BIGINT AS tau_num
          FROM p""",
+    // q409: the oracle states the semantic directly — running max of
+    // event time over arrival order (the engine's distributed
+    // prefix-max computes the identical quantity).
+    "q409_late_events" ->
+      s"""WITH e AS (SELECT event_id, event_type,
+                 epoch_us(ts)::BIGINT AS us FROM events),
+         l AS (SELECT event_type,
+                 coalesce(max(us) OVER (ORDER BY event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   us) - us AS late_us
+               FROM e),
+         b AS (SELECT event_type,
+                 CASE WHEN late_us <= 0 THEN 'on_time'
+                      WHEN late_us <= 60000000 THEN 'lt_1min'
+                      WHEN late_us <= 600000000 THEN 'lt_10min'
+                      ELSE 'dropped_at_10min' END AS band
+               FROM l),
+         a AS (SELECT event_type, band, count(*)::BIGINT AS n_events
+               FROM b GROUP BY 1, 2)
+         SELECT event_type, band, n_events,
+           sum(n_events) OVER (PARTITION BY event_type)::BIGINT
+             AS type_total,
+           ${sqlMicroRatio("n_events",
+        "sum(n_events) OVER (PARTITION BY event_type)")} AS band_ppm
+         FROM a""",
+    // q410: rank picks of RAW doubles — selected, never computed.
+    "q410_value_five_point" ->
+      """WITH r AS (SELECT event_type, value, event_id,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value ASC, event_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+               FROM events)
+         SELECT event_type, max(cnt)::BIGINT AS n_events,
+           min(value) AS min_value,
+           max(CASE WHEN rn = ceil(cnt * 25 / 100) THEN value END)
+             AS p25_value,
+           max(CASE WHEN rn = ceil(cnt * 50 / 100) THEN value END)
+             AS p50_value,
+           max(CASE WHEN rn = ceil(cnt * 75 / 100) THEN value END)
+             AS p75_value,
+           max(value) AS max_value
+         FROM r GROUP BY 1""",
+    // q411: per-customer freq + last order date; non-negative day
+    // offsets so plain integer division is floor on both engines.
+    "q411_rf_banding" ->
+      s"""WITH pc AS (SELECT o_custkey, count(*)::BIGINT AS freq,
+                 max(epoch_us(o_orderdate))::BIGINT AS last_ou
+               FROM orders GROUP BY 1),
+         mx AS (SELECT max(last_ou)::BIGINT AS corpus_max FROM pc),
+         b AS (SELECT
+                 CASE WHEN freq = 1 THEN 'f1'
+                      WHEN freq <= 3 THEN 'f2_3'
+                      ELSE 'f4_plus' END AS freq_band,
+                 CASE WHEN (mx.corpus_max - pc.last_ou) // 86400000000
+                        <= 30 THEN 'r_30d'
+                      WHEN (mx.corpus_max - pc.last_ou) // 86400000000
+                        <= 90 THEN 'r_90d'
+                      ELSE 'r_older' END AS recency_band
+               FROM pc, mx),
+         a AS (SELECT freq_band, recency_band,
+                 count(*)::BIGINT AS n_customers
+               FROM b GROUP BY 1, 2),
+         t AS (SELECT sum(n_customers)::BIGINT AS total FROM a)
+         SELECT a.freq_band, a.recency_band, a.n_customers,
+           ${sqlMicroRatio("a.n_customers", "t.total")} AS share_ppm
+         FROM a, t""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.util.Caches._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1853,6 +1854,102 @@ object Events {
           .as("ties")
       )
       .withColumn("tau_num", col("concordant") - col("discordant"))
+  }
+
+  /** q409: late-event census — how much of the stream arrives with
+    * an event time BEHIND the maximum event time already seen in
+    * arrival (event_id) order, banded by lateness. THE number that
+    * sets a Structured Streaming watermark: the "≥ 10 min late" band
+    * is exactly what `withWatermark("10 minutes")` would drop, and
+    * on-time share says whether event time ≈ arrival order at all.
+    *
+    * Scale: the running maximum over arrival order is computed as a
+    * DISTRIBUTED PREFIX MAX — range-shuffle on event_id, one
+    * within-partition running max, then each partition's incoming
+    * prefix (the max over all earlier partitions, P-row frame,
+    * broadcast) — the q258 cumulative-sum topology with max as the
+    * monoid, never a single-partition window.
+    */
+  def lateEventCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val e = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val parts = e
+      .repartitionByRange(8, col("event_id").asc)
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window
+      .partitionBy(col("pid"))
+      .orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = parts
+      .withColumn("prev_max_in", max(col("us")).over(wIn))
+      .cacheTracked()
+    val offsets = withLocal
+      .groupBy(col("pid"))
+      .agg(max(col("us")).as("pmax"))
+      .withColumn("prefix_max",
+        max(col("pmax")).over(
+          Window.orderBy(col("pid").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid"), col("prefix_max"))
+    val lateness = withLocal
+      .join(broadcast(offsets), Seq("pid"))
+      .select(
+        col("event_type"),
+        // the event's own time floors the running max so the first
+        // event scores exactly 0 (no Long.MinValue sentinel — the
+        // subtraction would overflow)
+        (greatest(
+          coalesce(col("prev_max_in"), col("us")),
+          coalesce(col("prefix_max"), col("us"))
+        ) - col("us")).as("late_us")
+      )
+    lateness
+      .select(
+        col("event_type"),
+        when(col("late_us") <= 0L, "on_time")
+          .when(col("late_us") <= 60000000L, "lt_1min")
+          .when(col("late_us") <= 600000000L, "lt_10min")
+          .otherwise("dropped_at_10min").as("band")
+      )
+      .groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("type_total",
+        sum(col("n_events")).over(
+          Window.partitionBy(col("event_type"))))
+      .withColumn("band_ppm",
+        microRatio(col("n_events"), col("type_total")))
+  }
+
+  /** q410: purchase-value five-point summary per event type — exact
+    * min/P25/P50/P75/max rank picks of the RAW value doubles (picked,
+    * never computed: a selected double read from the same parquet is
+    * bit-identical in every engine, so the float never breaks the
+    * hash). The distribution shape behind q355/q358's aggregates.
+    */
+  def valueFivePoint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    def pick(p: Int) =
+      max(when(col("rn") === ceil(col("cnt") * p / 100), col("value")))
+    Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("cnt")).as("n_events"),
+        min(col("value")).as("min_value"),
+        pick(25).as("p25_value"),
+        pick(50).as("p50_value"),
+        pick(75).as("p75_value"),
+        max(col("value")).as("max_value")
+      )
   }
 
   /** q378: discrete life table for time-to-first-purchase — per whole

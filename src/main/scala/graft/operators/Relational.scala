@@ -725,6 +725,49 @@ object Relational {
       .limit(20)
   }
 
+  /** q411: RF banding — customers cross-tabulated by order FREQUENCY
+    * band (1 / 2-3 / 4+) and RECENCY band (days from last order to
+    * the corpus's max order date: ≤ 30 / ≤ 90 / older), the classic
+    * RFM segmentation minus the float-laden monetary axis. Counts
+    * per cell plus each cell's share of the customer base in exact
+    * ppm; recency uses the q378 floor-free day convention (both
+    * operands are order dates, so the difference is non-negative).
+    *
+    * Scale: one per-customer aggregate over orders + one scalar max
+    * date; the cross-tab is a 9-cell rollup.
+    */
+  def rfBanding(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idiv, microRatio}
+    val perCust = Tables
+      .orders(spark, dir)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ou"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("freq"), max(col("ou")).as("last_ou"))
+    val maxDate = perCust.agg(max(col("last_ou")).as("corpus_max"))
+    val banded = perCust
+      .crossJoin(broadcast(maxDate))
+      .select(
+        when(col("freq") === 1, "f1")
+          .when(col("freq") <= 3, "f2_3")
+          .otherwise("f4_plus").as("freq_band"),
+        when(idiv(col("corpus_max") - col("last_ou"),
+          lit(86400000000L)) <= 30L, "r_30d")
+          .when(idiv(col("corpus_max") - col("last_ou"),
+            lit(86400000000L)) <= 90L, "r_90d")
+          .otherwise("r_older").as("recency_band")
+      )
+      .groupBy(col("freq_band"), col("recency_band"))
+      .agg(count(lit(1)).as("n_customers"))
+    val tot = banded.agg(sum(col("n_customers")).as("total"))
+    banded
+      .crossJoin(broadcast(tot))
+      .select(
+        col("freq_band"), col("recency_band"), col("n_customers"),
+        microRatio(col("n_customers"), col("total")).as("share_ppm")
+      )
+  }
+
   /** Benford's-law expected first-digit shares log10(1 + 1/d) in ppm.
     * These are CONSTANTS, so the transcendental log10 never touches a
     * runtime column — the nine literals are pinned here (they sum to
