@@ -1042,6 +1042,13 @@ object SparkEntry {
     "q410_value_five_point" -> (Events.valueFivePoint _),
     // Frequency x recency customer cross-tab, exact ppm shares.
     "q411_rf_banding" -> (Relational.rfBanding _),
+    // Session counts/shape at 5/30/120-minute gaps in one pass.
+    "q412_session_gap_sweep" -> (Events.sessionGapSweep _),
+    // q235's machinery on reversed tokens: common-SUFFIX pairs.
+    "q413_suffix_neighbors" ->
+      ((s, d) => Dedup.suffixNeighborPairs(s, d)),
+    // Identical event-type profiles: twin-group census.
+    "q414_behavioral_twins" -> (Events.behavioralTwins _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -11511,6 +11518,96 @@ object SparkEntry {
          t AS (SELECT sum(n_customers)::BIGINT AS total FROM a)
          SELECT a.freq_band, a.recency_band, a.n_customers,
            ${sqlMicroRatio("a.n_customers", "t.total")} AS share_ppm
+         FROM a, t""",
+    // q412: threshold lattice x the q29 prefix-sum session chain.
+    "q412_session_gap_sweep" ->
+      s"""WITH g AS (SELECT unnest([5, 30, 120])::BIGINT
+                 AS gap_minutes),
+         e AS (SELECT g.gap_minutes, ev.event_id, ev.user_id,
+                 epoch_us(ev.ts)::BIGINT AS us
+               FROM events ev CROSS JOIN g),
+         l AS (SELECT gap_minutes, user_id, us, event_id,
+                 lag(us) OVER (PARTITION BY gap_minutes, user_id
+                   ORDER BY us, event_id) AS prev_us
+               FROM e),
+         n AS (SELECT gap_minutes, user_id,
+                 CASE WHEN prev_us IS NULL
+                       OR us - prev_us > gap_minutes * 60 * 1000000
+                   THEN 1 ELSE 0 END AS is_new, us, event_id
+               FROM l),
+         s AS (SELECT gap_minutes, user_id,
+                 sum(is_new) OVER (PARTITION BY gap_minutes, user_id
+                   ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+               FROM n),
+         c AS (SELECT gap_minutes, user_id, session_seq,
+                 count(*)::BIGINT AS n_ev
+               FROM s GROUP BY 1, 2, 3),
+         a AS (SELECT gap_minutes, count(*)::BIGINT AS n_sessions,
+                 sum(n_ev)::BIGINT AS n_events,
+                 max(n_ev)::BIGINT AS max_session_events
+               FROM c GROUP BY 1)
+         SELECT gap_minutes, n_sessions, n_events, max_session_events,
+           ${sqlIdivHalfUp("n_events * 1000", "n_sessions")}
+             AS mean_events_milli
+         FROM a""",
+    // q413: the q235 oracle with list_reverse — common suffix as the
+    // reversed prefix; same block/lag/zip machinery.
+    "q413_suffix_neighbors" ->
+      """WITH d AS (
+           SELECT doc_id, t,
+             array_to_string(t[1:3], ' ') AS block
+           FROM (SELECT doc_id,
+                   list_reverse(
+                     CASE WHEN length(trim(text)) = 0
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text),
+                            '\s+') END) AS t
+                 FROM documents) x
+           WHERE len(t) >= 3),
+         w AS (SELECT doc_id, t,
+                 lag(doc_id) OVER
+                   (PARTITION BY block ORDER BY t, doc_id) AS prev_id,
+                 lag(t) OVER
+                   (PARTITION BY block ORDER BY t, doc_id) AS prev_t
+               FROM d),
+         p AS (SELECT doc_id, prev_id,
+                 coalesce(
+                   nullif(list_position(list_transform(list_zip(t, prev_t),
+                     z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0) - 1,
+                   least(len(t), len(prev_t))) AS lcs
+               FROM w WHERE prev_id IS NOT NULL)
+         SELECT least(prev_id, doc_id) AS doc_a,
+           greatest(prev_id, doc_id) AS doc_b,
+           CAST(lcs AS BIGINT) AS lcs
+         FROM p WHERE lcs >= 3""",
+    // q414: deterministic profile fingerprint via an ordered
+    // string_agg over the per-user type counts.
+    "q414_behavioral_twins" ->
+      s"""WITH tc AS (SELECT user_id, event_type,
+                 count(*)::BIGINT AS c
+               FROM events GROUP BY 1, 2),
+         pr AS (SELECT user_id,
+                 string_agg(event_type || ':' || c, ','
+                   ORDER BY event_type, c) AS fp
+               FROM tc GROUP BY 1),
+         gr AS (SELECT fp, count(*)::BIGINT AS group_size FROM pr
+                GROUP BY 1),
+         t AS (SELECT count(*)::BIGINT AS n_users FROM pr),
+         b AS (SELECT CASE WHEN group_size = 1 THEN 'unique'
+                           WHEN group_size <= 3 THEN 'twins_2_3'
+                           ELSE 'herd_4_plus' END AS band,
+                 group_size
+               FROM gr),
+         a AS (SELECT band, count(*)::BIGINT AS n_groups,
+                 sum(group_size)::BIGINT AS n_users_in_band,
+                 max(group_size)::BIGINT AS largest_group
+               FROM b GROUP BY 1)
+         SELECT a.band, a.n_groups, a.n_users_in_band,
+           a.largest_group,
+           ${sqlMicroRatio("a.n_users_in_band", "t.n_users")}
+             AS user_ppm
          FROM a, t""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")

@@ -3253,6 +3253,46 @@ object Dedup {
       )
   }
 
+  /** q413: suffix-neighborhood near-dup pairs — the q235 sorted-
+    * neighborhood machinery run on REVERSED token arrays, so the
+    * longest common prefix of the reversed docs is the longest common
+    * SUFFIX of the originals. Catches the shape q235 structurally
+    * cannot: shared footers, signatures and legal boilerplate under
+    * different heads (prepend duplicates). Blocked for scale exactly
+    * like q235 — any qualifying pair shares its LAST minLcs tokens,
+    * so partitioning by that exact suffix loses no pair.
+    */
+  def suffixNeighborPairs(
+      spark: SparkSession,
+      dir: String,
+      minLcs: Int = 3
+  ): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), reverse(tokens(col("text"))).as("t"))
+      .filter(size(col("t")) >= minLcs)
+      .withColumn("block", array_join(slice(col("t"), 1, minLcs), " "))
+    val w = Window.partitionBy(col("block")).orderBy(col("t"), col("doc_id"))
+    val withPrev = d
+      .withColumn("prev_id", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_t", lag(col("t"), 1).over(w))
+      .filter(col("prev_id").isNotNull)
+    val eqs = zip_with(col("t"), col("prev_t"), (x, y) => x <=> y)
+    val pos = array_position(eqs, false)
+    withPrev
+      .withColumn(
+        "lcs",
+        when(pos === 0, least(size(col("t")), size(col("prev_t"))).cast("long"))
+          .otherwise(pos - 1)
+      )
+      .filter(col("lcs") >= minLcs)
+      .select(
+        least(col("prev_id"), col("doc_id")).as("doc_a"),
+        greatest(col("prev_id"), col("doc_id")).as("doc_b"),
+        col("lcs")
+      )
+  }
+
   /** q391: cluster tightness by size band — per cluster-size band,
     * the exact integer milli-Jaccard statistics of the EDGES inside
     * those clusters (count, min, mean, max). Answers "are the big

@@ -1952,6 +1952,106 @@ object Events {
       )
   }
 
+  /** q412: session-gap sensitivity sweep — session counts and shape
+    * at inactivity thresholds {5, 30, 120} minutes, in one pass. The
+    * report an operator reads BEFORE pinning q29's 30-minute gap: a
+    * threshold on the flat part of the n_sessions curve is robust; on
+    * a steep part, session metrics are artifacts of the constant.
+    * Mean events/session is the exact half-up milli ratio.
+    *
+    * Scale: events explode ×3 (the threshold lattice), then ONE
+    * (threshold, user) windowed prefix-sum — same topology as q29,
+    * three logical copies.
+    */
+  def sessionGapSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val e = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .crossJoin(
+        spark.range(0, 3).select(
+          element_at(array(lit(5L), lit(30L), lit(120L)),
+            (col("id") + 1).cast("int")).as("gap_minutes")))
+    val byUser = Window
+      .partitionBy(col("gap_minutes"), col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val sessions = e
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") >
+            col("gap_minutes") * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("gap_minutes"), col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_ev"))
+    sessions
+      .groupBy(col("gap_minutes"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("max_session_events")
+      )
+      .select(
+        col("gap_minutes"), col("n_sessions"), col("n_events"),
+        col("max_session_events"),
+        idivHalfUp(col("n_events") * lit(1000L), col("n_sessions"))
+          .as("mean_events_milli")
+      )
+  }
+
+  /** q414: behavioral twins — users whose event-type count profiles
+    * are IDENTICAL (same types, same counts), grouped by a canonical
+    * profile fingerprint. Twin groups flag scripted/bot traffic (one
+    * automation behind many accounts) and duplicate instrumentation;
+    * per group-size band: groups, users, and the largest group. The
+    * fingerprint is a deterministic string of the sorted (type,
+    * count) list — entity resolution on behavior, no floats anywhere.
+    *
+    * Scale: one (user, type) partial agg → per-user sorted-profile
+    * fingerprint (bounded by |types|) → fingerprint-keyed counts.
+    */
+  def behavioralTwins(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val profiles = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("event_type"), col("c")))),
+            s => concat(s("event_type"), lit(":"), s("c"))))
+          .as("fp"))
+    val groups = profiles
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("group_size"))
+    val tot = profiles.agg(count(lit(1)).as("n_users"))
+    groups
+      .select(
+        when(col("group_size") === 1, "unique")
+          .when(col("group_size") <= 3, "twins_2_3")
+          .otherwise("herd_4_plus").as("band"),
+        col("group_size")
+      )
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("group_size")).as("n_users_in_band"),
+        max(col("group_size")).as("largest_group")
+      )
+      .crossJoin(broadcast(tot))
+      .select(
+        col("band"), col("n_groups"), col("n_users_in_band"),
+        col("largest_group"),
+        microRatio(col("n_users_in_band"), col("n_users"))
+          .as("user_ppm")
+      )
+  }
+
   /** q378: discrete life table for time-to-first-purchase — per whole
     * day since each user's FIRST event: how many users are still at
     * risk (no purchase yet, still observable), how many convert that
