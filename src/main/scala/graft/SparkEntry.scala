@@ -1049,6 +1049,12 @@ object SparkEntry {
       ((s, d) => Dedup.suffixNeighborPairs(s, d)),
     // Identical event-type profiles: twin-group census.
     "q414_behavioral_twins" -> (Events.behavioralTwins _),
+    // Ordering-invariant violations: purchase<signup, click<view.
+    "q415_sequence_violations" -> (Events.sequenceViolations _),
+    // Five-point of lines per supplier + hot-supplier share.
+    "q416_supplier_load" -> (Relational.supplierLoadProfile _),
+    // Surviving near-dup edges among q72 survivors (must be 0).
+    "q417_dedup_idempotence" -> (Dedup.dedupIdempotence _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -11609,6 +11615,76 @@ object SparkEntry {
            ${sqlMicroRatio("a.n_users_in_band", "t.n_users")}
              AS user_ppm
          FROM a, t""",
+    // q415: per-(user, type) min timestamps feed both ordering rules.
+    "q415_sequence_violations" ->
+      s"""WITH f AS (SELECT user_id, event_type,
+                 min(epoch_us(ts))::BIGINT AS first_us
+               FROM events GROUP BY 1, 2),
+         r1 AS (SELECT 'purchase_before_signup' AS rule,
+                  count(*)::BIGINT AS n_users_with_both,
+                  sum(CASE WHEN l.first_us < e.first_us
+                    THEN 1 ELSE 0 END)::BIGINT AS n_violations
+                FROM f e JOIN f l ON e.user_id = l.user_id
+                WHERE e.event_type = 'signup'
+                  AND l.event_type = 'purchase'),
+         r2 AS (SELECT 'click_before_view' AS rule,
+                  count(*)::BIGINT AS n_users_with_both,
+                  sum(CASE WHEN l.first_us < e.first_us
+                    THEN 1 ELSE 0 END)::BIGINT AS n_violations
+                FROM f e JOIN f l ON e.user_id = l.user_id
+                WHERE e.event_type = 'view'
+                  AND l.event_type = 'click'),
+         u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+         SELECT rule, n_users_with_both, n_violations,
+           ${sqlMicroRatio("n_violations",
+        "greatest(n_users_with_both, 1)")} AS violation_ppm
+         FROM u""",
+    // q416: per-supplier line counts; rank picks over the dimension-
+    // sized frame; top share is the exact hot-key gauge.
+    "q416_supplier_load" ->
+      s"""WITH ps AS (SELECT l_suppkey, count(*)::BIGINT AS nl
+               FROM lineitem GROUP BY 1),
+         r AS (SELECT nl,
+                 row_number() OVER (ORDER BY nl ASC, l_suppkey ASC)
+                   AS rn,
+                 count(*) OVER () AS cnt,
+                 sum(nl) OVER ()::BIGINT AS total_lines
+               FROM ps)
+         SELECT max(cnt)::BIGINT AS n_suppliers,
+           max(total_lines)::BIGINT AS n_lines,
+           min(nl)::BIGINT AS min_lines,
+           max(CASE WHEN rn = ceil(cnt * 50 / 100) THEN nl END)
+             ::BIGINT AS p50_lines,
+           max(CASE WHEN rn = ceil(cnt * 90 / 100) THEN nl END)
+             ::BIGINT AS p90_lines,
+           max(nl)::BIGINT AS max_lines,
+           ${sqlMicroRatio("max(nl)", "max(total_lines)")}
+             AS top_share_ppm
+         FROM r""",
+    // q417: the shared closure; surviving edges counted at both the
+    // closure (0.05) and dedup (0.5) thresholds — both must be 0.
+    "q417_dedup_idempotence" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         sv AS (SELECT doc_id FROM lab WHERE doc_id = cluster_id),
+         c AS (SELECT count(*)::BIGINT AS n_docs FROM lab),
+         s AS (SELECT count(*)::BIGINT AS n_survivors FROM sv),
+         e05 AS (SELECT count(*)::BIGINT AS surviving_edges_closure
+                 FROM pr
+                 WHERE round(pr.inter::DOUBLE
+                     / (pr.n_a + pr.n_b - pr.inter), 6) >= 0.05
+                   AND pr.doc_a IN (SELECT doc_id FROM sv)
+                   AND pr.doc_b IN (SELECT doc_id FROM sv)),
+         e50 AS (SELECT count(*)::BIGINT AS surviving_edges_dedup
+                 FROM pr
+                 WHERE round(pr.inter::DOUBLE
+                     / (pr.n_a + pr.n_b - pr.inter), 6) >= 0.5
+                   AND pr.doc_a IN (SELECT doc_id FROM sv)
+                   AND pr.doc_b IN (SELECT doc_id FROM sv))
+         SELECT c.n_docs, s.n_survivors,
+           e05.surviving_edges_closure, e50.surviving_edges_dedup,
+           ${sqlMicroRatio("s.n_survivors", "c.n_docs")}
+             AS survivor_ppm
+         FROM c, s, e05, e50""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

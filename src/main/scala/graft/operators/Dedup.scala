@@ -3293,6 +3293,45 @@ object Dedup {
       )
   }
 
+  /** q417: dedup idempotence audit — proof-by-counting that one
+    * closure pass reaches the fixed point: among the q72 min-id
+    * survivors, how many near-dup edges remain at the closure
+    * threshold (0.05) and at the dedup threshold (0.5). Both MUST be
+    * zero — every edge connects two docs of one cluster, and a
+    * cluster keeps exactly one doc — so a non-zero row means the
+    * clustering broke (a lost edge, a wrong label) and a second
+    * dedup pass would keep removing. The invariant a pipeline
+    * operator asserts after every dedup run, emitted as data.
+    *
+    * Scale: the cached labels + pair artifact, two semi-joins.
+    */
+  def dedupIdempotence(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val labels = dedupClusters(spark, dir)
+    val survivors = labels
+      .filter(col("survivor") === 1)
+      .select(col("doc_id"))
+    val counts = labels.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("survivor").cast("long")).as("n_survivors"))
+    val pairs = ngramJaccardPairs(spark, dir)
+    def survEdges(thr: Double, name: String): DataFrame =
+      pairs
+        .filter(col("jaccard") >= thr)
+        .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .agg(count(lit(1)).as(name))
+    counts
+      .crossJoin(survEdges(0.05, "surviving_edges_closure"))
+      .crossJoin(survEdges(0.5, "surviving_edges_dedup"))
+      .select(
+        col("n_docs"), col("n_survivors"),
+        col("surviving_edges_closure"), col("surviving_edges_dedup"),
+        microRatio(col("n_survivors"), col("n_docs"))
+          .as("survivor_ppm")
+      )
+  }
+
   /** q391: cluster tightness by size band — per cluster-size band,
     * the exact integer milli-Jaccard statistics of the EDGES inside
     * those clusters (count, min, mean, max). Answers "are the big

@@ -2052,6 +2052,51 @@ object Events {
       )
   }
 
+  /** q415: sequence-violation audit — users whose event ordering
+    * breaks domain invariants: a purchase BEFORE any signup, and a
+    * click BEFORE any view. On instrumented product data these should
+    * be ~0; a synthetic or corrupted feed lights them up, which makes
+    * this the semantic-sanity twin of q372's referential audit
+    * (foreign keys can be perfectly clean while the event ORDER is
+    * nonsense). Per rule: users carrying both event types, violators
+    * (the earlier-bound event's min time precedes the later-bound
+    * one's), exact ppm.
+    *
+    * Scale: one per-(user, type) min-timestamp aggregate feeds both
+    * rules — map-side combinable, |users|·|types| state, no windows.
+    */
+  def sequenceViolations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val firstByType = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"))
+    def rule(name: String, earlier: String, later: String): DataFrame = {
+      val e = firstByType
+        .filter(col("event_type") === earlier)
+        .select(col("user_id"), col("first_us").as("e_us"))
+      val l = firstByType
+        .filter(col("event_type") === later)
+        .select(col("user_id"), col("first_us").as("l_us"))
+      e.join(l, "user_id")
+        .agg(
+          count(lit(1)).as("n_users_with_both"),
+          sum(when(col("l_us") < col("e_us"), 1L).otherwise(0L))
+            .as("n_violations")
+        )
+        .select(lit(name).as("rule"), col("n_users_with_both"),
+          col("n_violations"))
+    }
+    rule("purchase_before_signup", "signup", "purchase")
+      .unionByName(rule("click_before_view", "view", "click"))
+      .select(
+        col("rule"), col("n_users_with_both"), col("n_violations"),
+        microRatio(col("n_violations"),
+          greatest(col("n_users_with_both"), lit(1L)))
+          .as("violation_ppm")
+      )
+  }
+
   /** q378: discrete life table for time-to-first-purchase — per whole
     * day since each user's FIRST event: how many users are still at
     * risk (no purchase yet, still observable), how many convert that

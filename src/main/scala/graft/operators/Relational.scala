@@ -768,6 +768,42 @@ object Relational {
       )
   }
 
+  /** q416: supplier load profile — the exact five-point of lineitems
+    * per supplier plus the busiest supplier's share of all lines in
+    * ppm. The skew profile of every suppkey-keyed shuffle (the
+    * supplier-side twin of q399's orderkey fanout), and the capacity
+    * question in operational terms: if P90 is near max, load is flat;
+    * if max dwarfs P90, one supplier is the hot key.
+    *
+    * Scale: one per-supplier count (map-side combinable); rank picks
+    * window over the |suppliers|-row frame (dimension-sized).
+    */
+  def supplierLoadProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val perSupp = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("nl"))
+    val w = Window.orderBy(col("nl").asc, col("l_suppkey").asc)
+    def pick(p: Int) =
+      max(when(col("rn") === ceil(col("cnt") * p / 100), col("nl")))
+    perSupp
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total_lines",
+        sum(col("nl")).over(Window.partitionBy()))
+      .agg(
+        max(col("cnt")).as("n_suppliers"),
+        max(col("total_lines")).as("n_lines"),
+        min(col("nl")).as("min_lines"),
+        pick(50).as("p50_lines"),
+        pick(90).as("p90_lines"),
+        max(col("nl")).as("max_lines"),
+        microRatio(max(col("nl")), max(col("total_lines")))
+          .as("top_share_ppm")
+      )
+  }
+
   /** Benford's-law expected first-digit shares log10(1 + 1/d) in ppm.
     * These are CONSTANTS, so the transcendental log10 never touches a
     * runtime column — the nine literals are pinned here (they sum to
