@@ -1055,6 +1055,13 @@ object SparkEntry {
     "q416_supplier_load" -> (Relational.supplierLoadProfile _),
     // Surviving near-dup edges among q72 survivors (must be 0).
     "q417_dedup_idempotence" -> (Dedup.dedupIdempotence _),
+    // KMV register algebra: union/intersection estimates vs exact.
+    "q418_kmv_set_algebra" -> (Sketches.kmvSetAlgebra _),
+    // Kendall counts between the three quality components.
+    "q419_component_concordance" ->
+      (TextAnalysis.componentConcordance _),
+    // Mergeable modular hash-sum receipt of the admitted set.
+    "q420_admission_receipt" -> (Sampling.admissionReceipt _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -11685,6 +11692,206 @@ object SparkEntry {
            ${sqlMicroRatio("s.n_survivors", "c.n_docs")}
              AS survivor_ppm
          FROM c, s, e05, e50""",
+    // q418: bottom-64 registers per source; union estimate from the
+    // re-bottomed merged registers; 63·2^60 scaled in DOUBLE (the
+    // q58 spelling — the long product would overflow).
+    "q418_kmv_set_algebra" ->
+      """WITH t AS (SELECT source, doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks
+           FROM documents),
+         shx AS (SELECT DISTINCT source, s FROM
+                (SELECT source, unnest(list_distinct(
+                   list_transform(range(len(toks) - 2),
+                     i -> toks[i+1] || ' ' || toks[i+2] || ' '
+                       || toks[i+3]))) AS s
+                 FROM t WHERE len(toks) >= 3) x),
+         hx AS (SELECT DISTINCT source,
+                  ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+                FROM shx),
+         nd AS (SELECT source, count(*)::BIGINT AS nd FROM hx
+                GROUP BY 1),
+         rk AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY h ASC) AS rk
+                FROM hx),
+         regs AS (SELECT source, h FROM rk WHERE rk <= 64),
+         kth AS (SELECT source, h AS kth FROM rk WHERE rk = 64),
+         est AS (SELECT nd.source,
+                  CASE WHEN nd.nd < 64 THEN nd.nd::DOUBLE
+                       ELSE 63.0 * 1152921504606846976 / kth.kth
+                  END AS est
+                 FROM nd LEFT JOIN kth USING (source)),
+         pairs AS (SELECT a.source AS src_a, a.nd AS nd_a,
+                     b.source AS src_b, b.nd AS nd_b
+                   FROM nd a JOIN nd b ON a.source < b.source),
+         pregs AS (SELECT DISTINCT p.src_a, p.src_b, r.h
+                   FROM pairs p JOIN regs r
+                     ON r.source = p.src_a OR r.source = p.src_b),
+         pu AS (SELECT src_a, src_b, h,
+                  row_number() OVER (PARTITION BY src_a, src_b
+                    ORDER BY h ASC) AS rk,
+                  count(*) OVER (PARTITION BY src_a, src_b) AS ndu
+                FROM pregs),
+         ue AS (SELECT src_a, src_b,
+                  CASE WHEN max(ndu) < 64 THEN max(ndu)::DOUBLE
+                       ELSE 63.0 * 1152921504606846976
+                         / max(CASE WHEN rk = 64 THEN h END)
+                  END AS est_union
+                FROM pu GROUP BY 1, 2),
+         itx AS (SELECT a.source AS src_a, b.source AS src_b,
+                   count(*)::BIGINT AS exact_inter
+                 FROM hx a JOIN hx b
+                   ON a.h = b.h AND a.source < b.source
+                 GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, p.nd_a, p.nd_b,
+           coalesce(itx.exact_inter, 0)::BIGINT AS exact_inter,
+           (p.nd_a + p.nd_b - coalesce(itx.exact_inter, 0))::BIGINT
+             AS exact_union,
+           ea.est AS est_a, eb.est AS est_b, ue.est_union,
+           ea.est + eb.est - ue.est_union AS est_inter
+         FROM pairs p
+         JOIN est ea ON p.src_a = ea.source
+         JOIN est eb ON p.src_b = eb.source
+         JOIN ue USING (src_a, src_b)
+         LEFT JOIN itx USING (src_a, src_b)""",
+    // q419: the qualityMicro component terms as their own CTE; the
+    // bottom-64 sample and Kendall counts exactly as the engine.
+    "q419_component_concordance" ->
+      s"""WITH cm AS (SELECT doc_id,
+                least(n_toks * 5000, 1000000) AS len_m,
+                CASE WHEN n_toks = 0 THEN 0
+                     ELSE least(${sqlIdivHalfUp("5000000 * n_stop",
+        "n_toks")}, 1000000) END AS stop_m,
+                1000000 - (CASE WHEN n_chars = 0 THEN 0
+                     ELSE least(${sqlIdivHalfUp("10000000 * n_punct",
+        "n_chars")}, 1000000) END) AS punct_ok_m
+              FROM (SELECT doc_id,
+                      len(toks) AS n_toks,
+                      len(list_filter(toks, w -> w IN
+                        ('the','a','an','and','or','of','to','in',
+                         'is','it'))) AS n_stop,
+                      length(text)
+                        - length(translate(text, '.,!?;:', ''))
+                        AS n_punct,
+                      length(text) AS n_chars
+                    FROM (SELECT doc_id, text,
+                            CASE WHEN length(trim(text)) = 0
+                                 THEN []::VARCHAR[]
+                                 ELSE regexp_split_to_array(
+                                        trim(text), '\\s+')
+                            END AS toks
+                          FROM documents) a) b),
+         sp AS (SELECT doc_id FROM documents
+                ORDER BY md5(text) ASC, doc_id ASC LIMIT 64),
+         k AS (SELECT cm.* FROM cm JOIN sp USING (doc_id)),
+         p AS (SELECT a.len_m - b.len_m AS dl,
+                 a.stop_m - b.stop_m AS ds,
+                 a.punct_ok_m - b.punct_ok_m AS dp
+               FROM k a JOIN k b ON a.doc_id < b.doc_id),
+         u AS (
+           SELECT 'len_vs_stop' AS component_pair,
+             count(*)::BIGINT AS n_pairs,
+             sum(CASE WHEN dl <> 0 AND ds <> 0
+                   AND ((dl > 0) = (ds > 0))
+               THEN 1 ELSE 0 END)::BIGINT AS concordant,
+             sum(CASE WHEN dl <> 0 AND ds <> 0
+                   AND ((dl > 0) <> (ds > 0))
+               THEN 1 ELSE 0 END)::BIGINT AS discordant,
+             sum(CASE WHEN dl = 0 OR ds = 0 THEN 1 ELSE 0 END)
+               ::BIGINT AS ties
+           FROM p
+           UNION ALL
+           SELECT 'len_vs_punct',
+             count(*)::BIGINT,
+             sum(CASE WHEN dl <> 0 AND dp <> 0
+                   AND ((dl > 0) = (dp > 0))
+               THEN 1 ELSE 0 END)::BIGINT,
+             sum(CASE WHEN dl <> 0 AND dp <> 0
+                   AND ((dl > 0) <> (dp > 0))
+               THEN 1 ELSE 0 END)::BIGINT,
+             sum(CASE WHEN dl = 0 OR dp = 0 THEN 1 ELSE 0 END)::BIGINT
+           FROM p
+           UNION ALL
+           SELECT 'stop_vs_punct',
+             count(*)::BIGINT,
+             sum(CASE WHEN ds <> 0 AND dp <> 0
+                   AND ((ds > 0) = (dp > 0))
+               THEN 1 ELSE 0 END)::BIGINT,
+             sum(CASE WHEN ds <> 0 AND dp <> 0
+                   AND ((ds > 0) <> (dp > 0))
+               THEN 1 ELSE 0 END)::BIGINT,
+             sum(CASE WHEN ds = 0 OR dp = 0 THEN 1 ELSE 0 END)::BIGINT
+           FROM p)
+         SELECT component_pair, n_pairs, concordant, discordant,
+           ties, concordant - discordant AS tau_num
+         FROM u""",
+    // q420: the full q400 admission chain, receipted as the modular
+    // hash-sum over admitted doc ids.
+    "q420_admission_receipt" ->
+      s"""WITH $qMicroCte,
+         $shinglesCte,
+         d5 AS (SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 4),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5])) AS sh
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 5),
+         e5 AS (SELECT doc_id, unnest(sh) AS s FROM d5
+                WHERE len(sh) > 0),
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         cont AS (SELECT DISTINCT a.doc_id FROM e5 a JOIN e5 b
+                 ON a.s = b.s
+               WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS inter,
+                 any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pr AS (SELECT doc_a, doc_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.5),
+         nb AS (SELECT DISTINCT nbr AS doc_id FROM (
+                 SELECT doc_b AS nbr FROM pr
+                 WHERE doc_a IN (SELECT doc_id FROM cont)
+                 UNION ALL
+                 SELECT doc_a AS nbr FROM pr
+                 WHERE doc_b IN (SELECT doc_id FROM cont)) x
+                WHERE nbr % 50 <> 0
+                  AND nbr NOT IN (SELECT doc_id FROM cont)),
+         base AS (SELECT dd.doc_id, dd.lang,
+                  CAST(len(CASE WHEN length(trim(dd.text)) = 0
+                       THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(dd.text),
+                         '\\s+') END) AS BIGINT) AS tk
+                 FROM documents dd WHERE dd.doc_id % 50 <> 0),
+         sc AS (SELECT base.doc_id, base.lang, base.tk, qm.q_micro
+                FROM base JOIN qm USING (doc_id)),
+         l AS (SELECT lang, q_micro AS lang_med FROM
+                (SELECT lang, q_micro, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY q_micro, doc_id) AS lrn,
+                   count(*) OVER (PARTITION BY lang) AS lcnt
+                 FROM sc) t
+               WHERE lrn = ceil(lcnt * 50 / 100)),
+         adm AS (SELECT sc.doc_id, sc.tk
+                 FROM sc JOIN l USING (lang)
+                 WHERE sc.doc_id NOT IN (SELECT doc_id FROM cont)
+                   AND sc.doc_id NOT IN (SELECT doc_id FROM nb)
+                   AND sc.q_micro > l.lang_med)
+         SELECT count(*)::BIGINT AS n_admitted,
+           sum(tk)::BIGINT AS admitted_tokens,
+           min(doc_id)::BIGINT AS min_doc_id,
+           max(doc_id)::BIGINT AS max_doc_id,
+           sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             % 1000000)::BIGINT AS receipt_mod
+         FROM adm""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

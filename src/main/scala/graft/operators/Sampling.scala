@@ -4246,8 +4246,11 @@ object Sampling {
     * pick medians, the q15/qualityMicro integer seam), so a red row
     * here localizes to exactly one audited stage.
     */
-  def round9Manifest(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.IntMath.microRatio
+  /** The q400 admission classification at doc grain: one row per
+    * TRAIN doc with source, token count, quarantined and admitted
+    * flags. Shared by the q400 manifest rollup and the q420 receipt.
+    */
+  def round9AdmittedDocs(spark: SparkSession, dir: String): DataFrame = {
     val classed = graft.operators.Dedup
       .contaminationSets(spark, dir)
       .withColumn("quarantined",
@@ -4275,6 +4278,11 @@ object Sampling {
       .withColumn("admitted",
         when(col("quarantined") === 0L &&
           col("q_micro") > col("lang_med"), 1L).otherwise(0L))
+  }
+
+  def round9Manifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    round9AdmittedDocs(spark, dir)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_train_docs"),
@@ -4331,6 +4339,31 @@ object Sampling {
       )
       .withColumn("gap_ppm",
         col("eval_share_ppm") - col("train_share_ppm"))
+  }
+
+  /** q420: the admission receipt — a mergeable, order-independent
+    * fingerprint of the EXACT admitted set the q400 manifest
+    * implies: count, token mass, id range, and a modular hash-sum
+    * receipt Σ (hash60(doc_id) mod 10⁶). Two runs (or two engines,
+    * or the same plan on different cluster layouts) admitting the
+    * same documents produce the same receipt; ANY membership change
+    * moves it with probability ~1 − 10⁻⁶. This is the line a
+    * training job logs so "trained on the same data" is checkable —
+    * and unlike an ordered concat-hash it's a pure SUM: mergeable
+    * across shards, no global sort, no driver collect. Overflow
+    * headroom: 10⁶ per doc → 2^63 lasts past 9·10¹² docs.
+    */
+  def admissionReceipt(spark: SparkSession, dir: String): DataFrame = {
+    round9AdmittedDocs(spark, dir)
+      .filter(col("admitted") === 1L)
+      .agg(
+        count(lit(1)).as("n_admitted"),
+        sum(col("tk")).as("admitted_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        sum(pmod(graft.functions.TextFunctions.hash60(col("doc_id")),
+          lit(1000000L))).as("receipt_mod")
+      )
   }
 
   /** q394: batch quality dispersion — the q191/q362 training order

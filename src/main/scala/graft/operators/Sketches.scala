@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions.{hash60, tokens}
+import graft.util.Caches._
 
 /** Count-min sketch over the corpus token stream — approximate heavy-
   * hitter counting in fixed memory (Cormode & Muthukrishnan, "An
@@ -315,6 +316,108 @@ object Sketches {
         graft.functions.IntMath
           .idivHalfUp(col("bits") * lit(1000L), lit(8192L))
           .as("kib_milli")
+      )
+  }
+
+  /** q418: KMV set algebra — per source pair: exact distinct-shingle
+    * counts (|A|, |B|, |A∪B|, |A∩B|) next to the KMV k=64 estimates
+    * of the same quantities, where the UNION estimate comes from
+    * merging the two bottom-64 register sets and re-taking the
+    * bottom 64 (the mergeability that makes KMV a distributed
+    * counter: registers union across shards/sources with no raw
+    * data), and the intersection estimate is inclusion–exclusion
+    * est(A)+est(B)−est(A∪B). Estimates are single divisions of exact
+    * integer registers (the proven q58 spelling — deterministic, k−1
+    * scaled in DOUBLE because 63·2^60 overflows a long); everything
+    * exact is BIGINT.
+    *
+    * Scale: registers are 64 longs per source (the per-source bottom
+    * k via WindowGroupLimit); pair frames are |sources|²·k rows —
+    * dimension-sized. The EXACT columns cost one shingle inversion
+    * (collision-linear) and exist as the audit; at 100 TB you ship
+    * only the registers.
+    */
+  def kmvSetAlgebra(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val twoPow60 = 1152921504606846976L
+    val hashed = Tables
+      .documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 3))
+          .as("s"))
+      .distinct()
+      .select(col("source"), hash60(col("s")).as("h"))
+      .distinct()
+      .cacheTracked()
+    val nd = hashed.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h").asc)
+    val regs = hashed
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("h"))
+    val srcs = nd.select(col("source"), col("nd"))
+    val pairs = srcs
+      .select(col("source").as("src_a"), col("nd").as("nd_a"))
+      .join(srcs.select(col("source").as("src_b"), col("nd").as("nd_b")),
+        col("src_a") < col("src_b"))
+    // merged registers per pair -> bottom-k of the union
+    val pregs = pairs
+      .select(col("src_a"), col("src_b"))
+      .join(regs,
+        col("source") === col("src_a") || col("source") === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"))
+      .distinct()
+    val wp = Window
+      .partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("h").asc)
+    val unionEst = pregs
+      .withColumn("rk", row_number().over(wp))
+      .withColumn("ndu",
+        count(lit(1)).over(Window.partitionBy(col("src_a"), col("src_b"))))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(
+        max(col("ndu")).as("ndu"),
+        max(when(col("rk") === k, col("h"))).as("kth")
+      )
+      .select(col("src_a"), col("src_b"),
+        when(col("ndu") < k, col("ndu").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(twoPow60.toDouble) /
+            col("kth").cast("double")).as("est_union"))
+    // exact intersections via the shingle inversion
+    val inter = hashed
+      .select(col("source").as("src_a"), col("h"))
+      .join(hashed.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val perSrcEst = regs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === k)
+      .select(col("source"), col("h").as("kth"))
+    val est = srcs
+      .join(perSrcEst, Seq("source"), "left")
+      .select(col("source"),
+        when(col("nd") < k, col("nd").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(twoPow60.toDouble) /
+            col("kth").cast("double")).as("est"))
+    pairs
+      .join(est.select(col("source").as("src_a"), col("est").as("est_a")),
+        Seq("src_a"))
+      .join(est.select(col("source").as("src_b"), col("est").as("est_b")),
+        Seq("src_b"))
+      .join(unionEst, Seq("src_a", "src_b"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na
+      .fill(0L, Seq("exact_inter"))
+      .select(
+        col("src_a"), col("src_b"), col("nd_a"), col("nd_b"),
+        col("exact_inter"),
+        (col("nd_a") + col("nd_b") - col("exact_inter"))
+          .as("exact_union"),
+        col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union"))
+          .as("est_inter")
       )
   }
 }

@@ -5292,6 +5292,57 @@ object TextAnalysis {
       )
   }
 
+  /** q419: quality-component concordance — Kendall pair counts
+    * between the three exact integer terms the q15/qualityMicro gate
+    * is built from (length, stopword, 1−punctuation), on the
+    * deterministic bottom-64-by-md5 sample. High concordance between
+    * two components means they gate the SAME documents and one is
+    * redundant weight; discordance means they pull apart and the
+    * composite's weights actually arbitrate. Sampling is a global
+    * TakeOrdered (per-partition heaps — no global sort, no window);
+    * the pair set is 64²/2 at ANY corpus size.
+    */
+  def componentConcordance(spark: SparkSession, dir: String): DataFrame = {
+    val (lenM, stopM, punctM) =
+      graft.functions.TextFunctions.qualityMicroTerms(col("text"))
+    val sampled = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h"),
+        lenM.as("len_m"),
+        stopM.as("stop_m"),
+        (lit(1000000L) - punctM).as("punct_ok_m")
+      )
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(64)
+      .select(col("doc_id"), col("len_m"), col("stop_m"),
+        col("punct_ok_m"))
+    val a = sampled.as("a")
+    val b = sampled.as("b")
+    val pairs = a
+      .join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(
+        (col("a.len_m") - col("b.len_m")).as("dl"),
+        (col("a.stop_m") - col("b.stop_m")).as("ds"),
+        (col("a.punct_ok_m") - col("b.punct_ok_m")).as("dp")
+      )
+    def ruleAgg(name: String, x: Column, y: Column): DataFrame =
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(x =!= 0 && y =!= 0 && (x > 0) === (y > 0), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when(x =!= 0 && y =!= 0 && (x > 0) =!= (y > 0), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(x === 0 || y === 0, 1L).otherwise(0L)).as("ties")
+      ).select(lit(name).as("component_pair"), col("n_pairs"),
+        col("concordant"), col("discordant"), col("ties"))
+    ruleAgg("len_vs_stop", col("dl"), col("ds"))
+      .unionByName(ruleAgg("len_vs_punct", col("dl"), col("dp")))
+      .unionByName(ruleAgg("stop_vs_punct", col("ds"), col("dp")))
+      .withColumn("tau_num", col("concordant") - col("discordant"))
+  }
+
   /** q384: borderline-band census — how many docs sit within ±w of
     * each language's median micro-quality, for w ∈ {10k, 50k, 100k}
     * micro. The FRAGILITY complement of the q381 transfer audit: a
