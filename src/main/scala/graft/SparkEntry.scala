@@ -1062,6 +1062,12 @@ object SparkEntry {
       (TextAnalysis.componentConcordance _),
     // Mergeable modular hash-sum receipt of the admitted set.
     "q420_admission_receipt" -> (Sampling.admissionReceipt _),
+    // First-25 vs steady-state mean quality per source.
+    "q421_early_sample_bias" -> (Sampling.earlySampleBias _),
+    // Five-point of |rank_seed1 - rank_seed2| displacement.
+    "q422_shuffle_displacement" -> (Sampling.shuffleDisplacement _),
+    // Simpson probe-cost of the IVF occupancy vs the 1/k ideal.
+    "q423_ivf_probe_cost" -> (Similarity.ivfProbeCost _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -11892,6 +11898,85 @@ object SparkEntry {
            sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
              % 1000000)::BIGINT AS receipt_mod
          FROM adm""",
+    // q421: per-source arrival rank; first 10 vs rest, exact means.
+    "q421_early_sample_bias" ->
+      s"""WITH $qMicroCte,
+         r AS (SELECT dd.source, q2.q_micro,
+                 row_number() OVER (PARTITION BY dd.source
+                   ORDER BY dd.doc_id ASC) AS rn
+               FROM documents dd JOIN qm q2 USING (doc_id)),
+         a AS (SELECT source,
+                 sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_early,
+                 sum(CASE WHEN rn > 10 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_rest,
+                 sum(CASE WHEN rn <= 10 THEN q_micro ELSE 0 END)
+                   ::BIGINT AS s_early,
+                 sum(CASE WHEN rn > 10 THEN q_micro ELSE 0 END)
+                   ::BIGINT AS s_rest
+               FROM r GROUP BY 1
+               HAVING sum(CASE WHEN rn > 10 THEN 1 ELSE 0 END) >= 1)
+         SELECT source, n_early, n_rest,
+           ${sqlIdivHalfUp("s_early", "n_early")} AS early_mean_micro,
+           ${sqlIdivHalfUp("s_rest", "n_rest")} AS rest_mean_micro,
+           ${sqlIdivHalfUp("s_early", "n_early")}
+             - ${sqlIdivHalfUp("s_rest", "n_rest")} AS bias_micro
+         FROM a""",
+    // q422: two independent md5 orders; displacement five-point via
+    // type-1 rank picks.
+    "q422_shuffle_displacement" ->
+      """WITH d AS (SELECT doc_id,
+                 md5(doc_id::VARCHAR) AS h1,
+                 md5('alt:' || doc_id::VARCHAR) AS h2
+               FROM documents),
+         r1 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY h1, doc_id) AS p1
+                FROM d),
+         r2 AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY h2, doc_id) AS p2
+                FROM d),
+         dis AS (SELECT r1.doc_id, abs(r1.p1 - r2.p2)::BIGINT AS dd
+                 FROM r1 JOIN r2 USING (doc_id)),
+         rk AS (SELECT dd, doc_id,
+                  row_number() OVER (ORDER BY dd, doc_id) AS rn,
+                  count(*) OVER () AS cnt
+                FROM dis)
+         SELECT max(cnt)::BIGINT AS n_docs,
+           min(dd)::BIGINT AS min_disp,
+           max(CASE WHEN rn = ceil(cnt * 10 / 100) THEN dd END)
+             ::BIGINT AS p10_disp,
+           max(CASE WHEN rn = ceil(cnt * 50 / 100) THEN dd END)
+             ::BIGINT AS p50_disp,
+           max(CASE WHEN rn = ceil(cnt * 90 / 100) THEN dd END)
+             ::BIGINT AS p90_disp,
+           max(dd)::BIGINT AS max_disp
+         FROM rk""",
+    // q423: the q397 occupancy -> Simpson probe cost; the vs-even
+    // ratio uses the same two-step half-up spelling as the engine.
+    "q423_ivf_probe_cost" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS c_vec
+                FROM embeddings WHERE vec_id < 8),
+         sims AS (SELECT e.vec_id, c.cid,
+                    ${cosSql("c_vec", "embedding")} AS csim
+                  FROM embeddings e, c),
+         asg AS (SELECT vec_id, cid
+                 FROM (SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY csim DESC, cid ASC) AS rk
+                       FROM sims) t WHERE rk = 1),
+         cells AS (SELECT cid, count(*)::BIGINT AS n FROM asg
+                   GROUP BY 1),
+         a AS (SELECT count(*)::BIGINT AS n_cells_used,
+                 sum(n)::BIGINT AS n_vecs,
+                 sum(n * n)::BIGINT AS sum_sq
+               FROM cells)
+         SELECT 8::BIGINT AS k, n_cells_used, n_vecs,
+           ${sqlMicroRatio("sum_sq", "n_vecs * n_vecs")}
+             AS probe_cost_ppm,
+           ${sqlIdivHalfUp(
+        sqlIdivHalfUp("sum_sq * 8000", "n_vecs"),
+        "n_vecs")} AS vs_even_milli
+         FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -4366,6 +4366,84 @@ object Sampling {
       )
   }
 
+  /** q421: early-sample bias — per source, the mean micro-quality of
+    * its FIRST 10 docs (arrival order) vs everything after, with the
+    * signed gap. Source onboarding decisions (include? cap? weight?)
+    * are made on early samples; a source whose opening docs run hot
+    * or cold against its steady state gets mis-weighted by exactly
+    * this gap. Means are exact half-up micro; the early window is a
+    * per-source top-k (WindowGroupLimit — heaps, no full sort).
+    */
+  def earlySampleBias(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idivHalfUp, idivHalfUpSigned}
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"))
+      .join(TextAnalysis.qualityMicroScoresFrom(docs), "doc_id")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("is_early", when(col("rn") <= 10, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("is_early")).as("n_early"),
+        sum(lit(1L) - col("is_early")).as("n_rest"),
+        sum(col("is_early") * col("q_micro")).as("s_early"),
+        sum((lit(1L) - col("is_early")) * col("q_micro")).as("s_rest")
+      )
+      .filter(col("n_rest") >= 1)
+      .select(
+        col("source"), col("n_early"), col("n_rest"),
+        idivHalfUp(col("s_early"), col("n_early"))
+          .as("early_mean_micro"),
+        idivHalfUp(col("s_rest"), col("n_rest")).as("rest_mean_micro")
+      )
+      .withColumn("bias_micro",
+        col("early_mean_micro") - col("rest_mean_micro"))
+  }
+
+  /** q422: shuffle-seed displacement — rank every doc under TWO
+    * deterministic shuffle orders (md5 of doc_id vs md5 of
+    * "alt:"+doc_id) and take the five-point of the absolute position
+    * displacement. If the epoch shuffle is healthy, displacement is
+    * uniform-ish (median ≈ N/3); a doc pinned near the same position
+    * under independent seeds means the order leaks id structure —
+    * exactly what q191's consumers assume away. Ranks come from two
+    * distributed total orders; the displacement stats are exact
+    * rank picks over the N-row frame.
+    */
+  def shuffleDisplacement(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h1"),
+        md5(concat(lit("alt:"), col("doc_id").cast("string"))).as("h2"))
+    val r1 = Ranking
+      .withGlobalRank(d, Seq(col("h1").asc, col("doc_id").asc), "p1", 8)
+      .select(col("doc_id"), col("p1"))
+    val r2 = Ranking
+      .withGlobalRank(d, Seq(col("h2").asc, col("doc_id").asc), "p2", 8)
+      .select(col("doc_id"), col("p2"))
+    val disp = r1
+      .join(r2, "doc_id")
+      .select(col("doc_id"), abs(col("p1") - col("p2")).as("d"))
+    val ranked = Ranking
+      .withGlobalRank(disp, Seq(col("d").asc, col("doc_id").asc), "rn", 8)
+    val tot = disp.agg(count(lit(1)).as("cnt"))
+    def pick(p: Int): Column =
+      max(when(col("rn") === ceil(col("cnt") * p / 100), col("d")))
+    ranked
+      .crossJoin(broadcast(tot))
+      .agg(
+        max(col("cnt")).as("n_docs"),
+        min(col("d")).as("min_disp"),
+        pick(10).as("p10_disp"),
+        pick(50).as("p50_disp"),
+        pick(90).as("p90_disp"),
+        max(col("d")).as("max_disp")
+      )
+  }
+
   /** q394: batch quality dispersion — the q191/q362 training order
     * cut into batches of 32, each batch's mean micro-quality taken
     * exactly (half-up over the batch's own size), and the five-point

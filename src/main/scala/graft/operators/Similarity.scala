@@ -1938,6 +1938,38 @@ object Similarity {
     * Scale: assignment is the cached N·K cosine pass; the census is
     * one K-row aggregation.
     */
+  /** q423: IVF probe-1 cost model — the exact probability that a
+    * query and a random candidate land in the SAME cell (Simpson
+    * coincidence over the q397 occupancy), i.e. the expected fraction
+    * of the corpus a probe-1 search scans. 1/k (125,000 ppm at k=8)
+    * is the balanced ideal; the vs-even ratio says how much the
+    * observed skew inflates probe cost before any nprobe tuning
+    * (q265) can help. Pure integers over the shared assignment seam.
+    */
+  def ivfProbeCost(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idivHalfUp, microRatio}
+    val cells = ivfAssign(spark, dir, 8)
+      .select(col("vec_id"), col("cid"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .agg(
+        count(lit(1)).as("n_cells_used"),
+        sum(col("n")).as("n_vecs"),
+        sum(col("n") * col("n")).as("sum_sq")
+      )
+      .select(
+        lit(8L).as("k"),
+        col("n_cells_used"), col("n_vecs"),
+        microRatio(col("sum_sq"), col("n_vecs") * col("n_vecs"))
+          .as("probe_cost_ppm"),
+        // observed cost vs the balanced 1/8 ideal, exact milli
+        idivHalfUp(
+          idivHalfUp(col("sum_sq") * lit(8000L), col("n_vecs")),
+          col("n_vecs")).as("vs_even_milli")
+      )
+  }
+
   def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.IntMath.{idivHalfUp, microRatio}
     val cells = ivfAssign(spark, dir, 8)
