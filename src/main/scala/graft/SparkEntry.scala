@@ -1068,6 +1068,13 @@ object SparkEntry {
     "q422_shuffle_displacement" -> (Sampling.shuffleDisplacement _),
     // Simpson probe-cost of the IVF occupancy vs the 1/k ideal.
     "q423_ivf_probe_cost" -> (Similarity.ivfProbeCost _),
+    // The q420 receipt as a streaming aggregation, drained.
+    "q424_stream_receipt" ->
+      ((s, d) => streaming.StreamReceipt.streamIngestReceipt(s, d)),
+    // l_linenumber must be exactly 1..n per order: status census.
+    "q425_lineno_completeness" -> (Relational.linenoCompleteness _),
+    // Parts never ordered / suppliers never shipping, exact ppm.
+    "q426_dead_catalog" -> (Relational.deadCatalog _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -11977,6 +11984,56 @@ object SparkEntry {
         sqlIdivHalfUp("sum_sq * 8000", "n_vecs"),
         "n_vecs")} AS vs_even_milli
          FROM a""",
+    // q424: the drained streaming receipt equals the batch sums over
+    // the whole table — the commutative-sum drain equivalence.
+    "q424_stream_receipt" ->
+      """SELECT count(*)::BIGINT AS n_ingested,
+           sum(CAST(len(CASE WHEN length(trim(text)) = 0
+                THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END)
+             AS BIGINT))::BIGINT AS ingested_tokens,
+           sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+             % 1000000)::BIGINT AS receipt_mod
+         FROM documents""",
+    // q425: the 1..n run test in pure integers per order.
+    "q425_lineno_completeness" ->
+      s"""WITH po AS (SELECT l_orderkey, count(*)::BIGINT AS n,
+                 count(DISTINCT l_linenumber)::BIGINT AS ndn,
+                 min(l_linenumber)::BIGINT AS mn,
+                 max(l_linenumber)::BIGINT AS mx
+               FROM lineitem GROUP BY 1),
+         st AS (SELECT n,
+                 CASE WHEN ndn <> n THEN 'duplicate_lineno'
+                      WHEN mn <> 1 THEN 'wrong_start'
+                      WHEN mx <> n THEN 'internal_gap'
+                      ELSE 'complete' END AS status
+               FROM po),
+         a AS (SELECT status, count(*)::BIGINT AS n_orders,
+                 sum(n)::BIGINT AS n_lines
+               FROM st GROUP BY 1),
+         t AS (SELECT sum(n_orders)::BIGINT AS total_orders FROM a)
+         SELECT a.status, a.n_orders, a.n_lines,
+           ${sqlMicroRatio("a.n_orders", "t.total_orders")}
+             AS order_ppm
+         FROM a, t""",
+    // q426: two anti-join audits over the part/supplier dimensions.
+    "q426_dead_catalog" ->
+      s"""WITH dp AS (SELECT count(*)::BIGINT AS bad FROM part
+             WHERE p_partkey NOT IN
+               (SELECT DISTINCT l_partkey FROM lineitem)),
+         np AS (SELECT count(*)::BIGINT AS n FROM part),
+         ds AS (SELECT count(*)::BIGINT AS bad FROM supplier
+             WHERE s_suppkey NOT IN
+               (SELECT DISTINCT l_suppkey FROM lineitem)),
+         ns AS (SELECT count(*)::BIGINT AS n FROM supplier),
+         u AS (SELECT 'parts_never_ordered' AS check, dp.bad, np.n
+                 FROM dp, np
+               UNION ALL
+               SELECT 'suppliers_never_shipping', ds.bad, ns.n
+                 FROM ds, ns)
+         SELECT u.check, u.bad AS n_dead, u.n AS n_total,
+           ${sqlMicroRatio("u.bad", "u.n")} AS dead_ppm
+         FROM u""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

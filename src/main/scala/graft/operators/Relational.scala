@@ -804,6 +804,84 @@ object Relational {
       )
   }
 
+  /** q425: lineitem sequence-completeness audit — per order,
+    * l_linenumber should be exactly 1..n (the TPC-H contract): this
+    * emits how many orders have duplicate line numbers, a wrong
+    * start, or internal gaps, with the affected line mass. The third
+    * leg of the integrity tripod: q372 checks KEYS, q415 checks
+    * ORDER, this checks SEQUENCE COMPLETENESS — the property CDC
+    * replays and partial loads silently break. The per-order test is
+    * pure integers: n lines, distinct linenos, min/max lineno — a
+    * gap-free 1..n run iff distinct = n AND min = 1 AND max = n.
+    *
+    * Scale: one orderkey-keyed aggregate (map-side combinable), one
+    * 4-row rollup.
+    */
+  def linenoCompleteness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val perOrder = Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_linenumber")).as("nd"),
+        min(col("l_linenumber")).as("mn"),
+        max(col("l_linenumber")).as("mx")
+      )
+      .select(
+        col("n"),
+        when(col("nd") =!= col("n"), "duplicate_lineno")
+          .when(col("mn") =!= 1, "wrong_start")
+          .when(col("mx") =!= col("n"), "internal_gap")
+          .otherwise("complete").as("status")
+      )
+    val agg = perOrder
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("n")).as("n_lines"))
+    val tot = agg.agg(sum(col("n_orders")).as("total_orders"))
+    agg
+      .crossJoin(broadcast(tot))
+      .select(
+        col("status"), col("n_orders"), col("n_lines"),
+        microRatio(col("n_orders"), col("total_orders"))
+          .as("order_ppm")
+      )
+  }
+
+  /** q426: dead-catalog census — parts never ordered and suppliers
+    * never shipping, as two anti-join audit rows. The storage-
+    * planning number behind dimension pruning: a fact-side filter
+    * can never select these rows, so scans/broadcasts that carry the
+    * full dimension waste exactly this share.
+    */
+  def deadCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val li = Tables.lineitem(spark, dir)
+    val deadParts = Tables
+      .part(spark, dir)
+      .select(col("p_partkey"))
+      .join(li.select(col("l_partkey")).distinct(),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .count()
+    val nParts = Tables.part(spark, dir).count()
+    val deadSupp = Tables
+      .supplier(spark, dir)
+      .select(col("s_suppkey"))
+      .join(li.select(col("l_suppkey")).distinct(),
+        col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .count()
+    val nSupp = Tables.supplier(spark, dir).count()
+    import spark.implicits._
+    Seq(
+      ("parts_never_ordered", deadParts, nParts),
+      ("suppliers_never_shipping", deadSupp, nSupp)
+    ).toDF("check", "n_dead", "n_total")
+      .select(
+        col("check"), col("n_dead"), col("n_total"),
+        microRatio(col("n_dead"), col("n_total")).as("dead_ppm")
+      )
+  }
+
   /** Benford's-law expected first-digit shares log10(1 + 1/d) in ppm.
     * These are CONSTANTS, so the transcendental log10 never touches a
     * runtime column — the nine literals are pinned here (they sum to
