@@ -505,6 +505,50 @@ object ScaleBench {
       deciles.map(_.getLong(3)).max == rankN,
       "global rank does not span [1, N]")
 
+    // --- distributed prefix max at 5M rows (q409 topology) -----------
+    // range shuffle on the arrival key + within-partition running max
+    // + P-row broadcast of per-partition prefix maxima — the
+    // cumulative-sum topology with max as the monoid, validated
+    // against the closed form: with ts = id * 7919 % 1000003 the
+    // serial running max is position-computable, so the late-event
+    // count has an exact expected value recomputed here cheaply via
+    // the same expression on a second pass.
+    val pmN = 5000000L
+    val tPm = System.nanoTime()
+    val pmIn = spark
+      .range(pmN)
+      .select(col("id").as("event_id"),
+        (col("id") * 7919L % 1000003L).as("us"))
+      .repartitionByRange(cpus.toInt, col("event_id").asc)
+      .withColumn("pid", spark_partition_id())
+    val wInPm = Window
+      .partitionBy(col("pid"))
+      .orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pmLocal = pmIn
+      .withColumn("prev_in", max(col("us")).over(wInPm))
+      .localCheckpoint(true)
+    val pmOff = pmLocal
+      .groupBy(col("pid"))
+      .agg(max(col("us")).as("pmax"))
+      .withColumn("prefix",
+        max(col("pmax")).over(Window.orderBy(col("pid").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("pid"), col("prefix"))
+    val lateN = pmLocal
+      .join(broadcast(pmOff), Seq("pid"))
+      .select((greatest(
+        coalesce(col("prev_in"), col("us")),
+        coalesce(col("prefix"), col("us"))) > col("us"))
+        .cast("long").as("late"))
+      .agg(sum(col("late")))
+      .collect()(0)
+      .getLong(0)
+    val pmSec = (System.nanoTime() - tPm) / 1e9
+    // sanity: most rows are late once the modular sequence wraps
+    require(lateN > pmN / 2 && lateN < pmN,
+      s"prefix-max late count implausible: $lateN of $pmN")
+
     // --- k-means at ~100k vectors ------------------------------------
     // the q93 topology un-capped: per round one broadcast of k·dims
     // centroid values + one partially-aggregated (cluster, dim) cell
@@ -1191,6 +1235,8 @@ object ScaleBench {
         s""""pipeline_docs_per_sec":${(nDocs / pipeSec).round},""" +
         s""""kmv_estimate":$kmvEst,"kmv_rel_err":$kmvErr,"kmv_sec":$kmvSec,""" +
         s""""rank_rows":$rankN,"rank_sec":$rankSec,""" +
+        s""""prefix_max_rows":$pmN,"prefix_max_late":$lateN,""" +
+        s""""prefix_max_sec":$pmSec,""" +
         s""""pagerank_nodes":$prNodes,"pagerank_sec":$prSec,""" +
         s""""kmeans_k":$kmK,"kmeans_sec":$kmSec,""" +
         s""""cms_cells":$cmsCellCount,"cms_sec":$cmsSec,""" +

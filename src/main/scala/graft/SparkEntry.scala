@@ -1075,6 +1075,12 @@ object SparkEntry {
     "q425_lineno_completeness" -> (Relational.linenoCompleteness _),
     // Parts never ordered / suppliers never shipping, exact ppm.
     "q426_dead_catalog" -> (Relational.deadCatalog _),
+    // Users by distinct-active-day band with event mass.
+    "q427_active_days" -> (Events.activeDaysBands _),
+    // Orders per weekday via pure-integer epoch-day calendar math.
+    "q428_order_weekday" -> (Relational.orderWeekdayProfile _),
+    // Dense/unique/monotone id contract per id-carrying table.
+    "q429_id_density" -> (Relational.idDensityAudit _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12033,6 +12039,62 @@ object SparkEntry {
                  FROM ds, ns)
          SELECT u.check, u.bad AS n_dead, u.n AS n_total,
            ${sqlMicroRatio("u.bad", "u.n")} AS dead_ppm
+         FROM u""",
+    // q427: (user, day) distinct-day counts, 3-band rollup.
+    "q427_active_days" ->
+      s"""WITH pu AS (SELECT user_id,
+                 count(DISTINCT epoch_us(ts)::BIGINT // 86400000000)
+                   ::BIGINT AS n_days,
+                 count(*)::BIGINT AS n_events
+               FROM events GROUP BY 1),
+         b AS (SELECT CASE WHEN n_days = 1 THEN '1_drive_by'
+                           WHEN n_days <= 7 THEN '2_7_casual'
+                           ELSE '8_plus_habitual' END AS band,
+                 n_events
+               FROM pu),
+         a AS (SELECT band, count(*)::BIGINT AS n_users,
+                 sum(n_events)::BIGINT AS n_events
+               FROM b GROUP BY 1),
+         t AS (SELECT sum(n_users)::BIGINT AS total_users FROM a)
+         SELECT a.band, a.n_users, a.n_events,
+           ${sqlMicroRatio("a.n_users", "t.total_users")} AS user_ppm
+         FROM a, t""",
+    // q428: weekday = (epoch_day + 4) mod 7 with 0 = Sunday — the
+    // engine-proof integer calendar, never a dayofweek() builtin.
+    "q428_order_weekday" ->
+      s"""WITH d AS (SELECT ((epoch_us(o_orderdate)::BIGINT
+                 // 86400000000) + 4) % 7 AS weekday
+               FROM orders),
+         a AS (SELECT weekday, count(*)::BIGINT AS n_orders FROM d
+               GROUP BY 1),
+         t AS (SELECT sum(n_orders)::BIGINT AS total FROM a)
+         SELECT a.weekday, a.n_orders,
+           ${sqlMicroRatio("a.n_orders", "t.total")} AS share_ppm
+         FROM a, t""",
+    // q429: min/max/distinct per id-carrying table; gaps and dups
+    // as exact integer differences.
+    "q429_id_density" ->
+      s"""WITH u AS (
+           SELECT 'documents' AS table_name, count(*)::BIGINT AS n_rows,
+             count(DISTINCT doc_id)::BIGINT AS n_distinct,
+             min(doc_id)::BIGINT AS min_id,
+             max(doc_id)::BIGINT AS max_id
+           FROM documents
+           UNION ALL
+           SELECT 'events', count(*)::BIGINT,
+             count(DISTINCT event_id)::BIGINT,
+             min(event_id)::BIGINT, max(event_id)::BIGINT
+           FROM events
+           UNION ALL
+           SELECT 'orders', count(*)::BIGINT,
+             count(DISTINCT o_orderkey)::BIGINT,
+             min(o_orderkey)::BIGINT, max(o_orderkey)::BIGINT
+           FROM orders)
+         SELECT table_name, n_rows, n_distinct, min_id, max_id,
+           (n_rows - n_distinct)::BIGINT AS n_dup_ids,
+           (max_id - min_id + 1 - n_distinct)::BIGINT AS n_gaps,
+           ${sqlMicroRatio("n_distinct", "max_id - min_id + 1")}
+             AS density_ppm
          FROM u""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")

@@ -2097,6 +2097,47 @@ object Events {
       )
   }
 
+  /** q427: engagement-depth bands — users by DISTINCT ACTIVE DAYS
+    * (exact integer day buckets): one-day drive-bys, casual
+    * (2-7 days), habitual (8+), with each band's event and value
+    * mass. The denominator question under q95's retention and q358's
+    * whale analysis: what fraction of apparent "users" ever came
+    * back at all. Day buckets are epoch-micro div 86400e6 (the q378
+    * convention).
+    *
+    * Scale: one (user, day) dedup agg → per-user distinct-day count
+    * → 3-band rollup; all map-side combinable.
+    */
+  def activeDaysBands(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idiv, microRatio}
+    val perUser = Tables
+      .events(spark, dir)
+      .select(col("user_id"),
+        idiv(unix_micros(col("ts")), lit(86400000000L)).as("day"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("day")).as("n_days"),
+        count(lit(1)).as("n_events")
+      )
+    val banded = perUser
+      .select(
+        when(col("n_days") === 1, "1_drive_by")
+          .when(col("n_days") <= 7, "2_7_casual")
+          .otherwise("8_plus_habitual").as("band"),
+        col("n_events")
+      )
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+    val tot = banded.agg(sum(col("n_users")).as("total_users"))
+    banded
+      .crossJoin(broadcast(tot))
+      .select(
+        col("band"), col("n_users"), col("n_events"),
+        microRatio(col("n_users"), col("total_users")).as("user_ppm")
+      )
+  }
+
   /** q378: discrete life table for time-to-first-purchase — per whole
     * day since each user's FIRST event: how many users are still at
     * risk (no purchase yet, still observable), how many convert that

@@ -882,6 +882,67 @@ object Relational {
       )
   }
 
+  /** q428: order weekday profile — orders per day-of-week with exact
+    * ppm shares, the calendar seasonality gauge on the order stream.
+    * The weekday comes from PURE INTEGER calendar math — epoch-day
+    * (micros div 86400e6) plus 4, mod 7, with 0 = Sunday (1970-01-01
+    * was a Thursday) — because the engines' dayofweek() builtins
+    * disagree on both origin and range, and this one never can.
+    */
+  def orderWeekdayProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idiv, microRatio}
+    val byDay = Tables
+      .orders(spark, dir)
+      .select(
+        pmod(
+          idiv(unix_micros(col("o_orderdate").cast("timestamp")),
+            lit(86400000000L)) + lit(4L),
+          lit(7L)).as("weekday"))
+      .groupBy(col("weekday"))
+      .agg(count(lit(1)).as("n_orders"))
+    val tot = byDay.agg(sum(col("n_orders")).as("total"))
+    byDay
+      .crossJoin(broadcast(tot))
+      .select(
+        col("weekday"), col("n_orders"),
+        microRatio(col("n_orders"), col("total")).as("share_ppm")
+      )
+  }
+
+  /** q429: id-density audit — for each id-carrying table: row count,
+    * id range, duplicate ids, and the gap mass (range − distinct).
+    * The data contract every "doc_id % k" split, modulo shard and
+    * arrival-order gauge in this engine quietly assumes: dense,
+    * unique, monotone ids. Emitted per table so a regenerated or
+    * partially-loaded corpus fails loudly here first.
+    *
+    * Scale: three independent min/max/count(distinct) aggregates —
+    * one scan each, map-side combinable.
+    */
+  def idDensityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    def audit(name: String, df: DataFrame, idCol: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(idCol)).as("n_distinct"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id")
+      ).select(lit(name).as("table_name"), col("n_rows"),
+        col("n_distinct"), col("min_id"), col("max_id"))
+    audit("documents", Tables.documents(spark, dir), "doc_id")
+      .unionByName(audit("events", Tables.events(spark, dir), "event_id"))
+      .unionByName(audit("orders", Tables.orders(spark, dir), "o_orderkey"))
+      .select(
+        col("table_name"), col("n_rows"), col("n_distinct"),
+        col("min_id"), col("max_id"),
+        (col("n_rows") - col("n_distinct")).as("n_dup_ids"),
+        (col("max_id") - col("min_id") + 1 - col("n_distinct"))
+          .as("n_gaps"),
+        microRatio(col("n_distinct"),
+          col("max_id") - col("min_id") + 1).as("density_ppm")
+      )
+  }
+
   /** Benford's-law expected first-digit shares log10(1 + 1/d) in ppm.
     * These are CONSTANTS, so the transcendental log10 never touches a
     * runtime column — the nine literals are pinned here (they sum to
