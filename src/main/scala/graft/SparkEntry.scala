@@ -1081,6 +1081,12 @@ object SparkEntry {
     "q428_order_weekday" -> (Relational.orderWeekdayProfile _),
     // Dense/unique/monotone id contract per id-carrying table.
     "q429_id_density" -> (Relational.idDensityAudit _),
+    // Per-source corpus share: first vs second arrival half.
+    "q430_arrival_drift" -> (Sampling.arrivalCompositionDrift _),
+    // Jaccard band x length-ratio class pair cross-tab.
+    "q431_pair_shapes" -> (Dedup.pairShapeCensus _),
+    // Conversion ppm per first-event-type cohort.
+    "q432_first_touch" -> (Events.firstTouchConversion _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12096,6 +12102,105 @@ object SparkEntry {
            ${sqlMicroRatio("n_distinct", "max_id - min_id + 1")}
              AS density_ppm
          FROM u""",
+    // q430: first half = rank*2 <= N (exact median split), per-source
+    // shares of each half in half-up ppm.
+    "q430_arrival_drift" ->
+      s"""WITH r AS (SELECT source,
+                 row_number() OVER (ORDER BY doc_id ASC) AS rn,
+                 count(*) OVER () AS cnt
+               FROM documents),
+         h AS (SELECT source,
+                 CASE WHEN rn * 2 <= cnt THEN 1 ELSE 0 END AS fh
+               FROM r),
+         c AS (SELECT source, sum(fh)::BIGINT AS n_first,
+                 sum(1 - fh)::BIGINT AS n_second
+               FROM h GROUP BY 1),
+         t AS (SELECT sum(n_first)::BIGINT AS tf,
+                 sum(n_second)::BIGINT AS ts
+               FROM c)
+         SELECT c.source, c.n_first, c.n_second,
+           ${sqlMicroRatio("c.n_first", "greatest(t.tf, 1)")}
+             AS first_share_ppm,
+           ${sqlMicroRatio("c.n_second", "greatest(t.ts, 1)")}
+             AS second_share_ppm,
+           ${sqlMicroRatio("c.n_second", "greatest(t.ts, 1)")}
+             - ${sqlMicroRatio("c.n_first", "greatest(t.tf, 1)")}
+             AS drift_ppm
+         FROM c, t""",
+    // q431: the artifact's float admission; the BANDS are integer
+    // cross-multiplications on (inter, union) and (longer, shorter).
+    "q431_pair_shapes" ->
+      s"""WITH $shinglesCte,
+         e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+               WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*)::BIGINT AS inter,
+                 any_value(a.n_sh)::BIGINT AS n_a,
+                 any_value(b.n_sh)::BIGINT AS n_b
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         pq AS (SELECT doc_a, doc_b, inter, n_a, n_b FROM p
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                  >= 0.5),
+         tok AS (SELECT doc_id,
+                  CAST(len(CASE WHEN length(trim(text)) = 0
+                       THEN []::VARCHAR[]
+                       ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END) AS BIGINT) AS tk
+                 FROM documents),
+         s AS (SELECT
+                 CASE WHEN pq.inter * 10
+                        >= (pq.n_a + pq.n_b - pq.inter) * 9
+                      THEN 'j_090_plus'
+                      WHEN pq.inter * 10
+                        >= (pq.n_a + pq.n_b - pq.inter) * 7
+                      THEN 'j_070_090'
+                      ELSE 'j_050_070' END AS jacc_band,
+                 greatest(ta.tk, tb.tk) AS lng,
+                 least(ta.tk, tb.tk) AS shrt
+               FROM pq
+               JOIN tok ta ON pq.doc_a = ta.doc_id
+               JOIN tok tb ON pq.doc_b = tb.doc_id),
+         s2 AS (SELECT jacc_band,
+                 CASE WHEN lng * 4 <= shrt * 5 THEN 'similar'
+                      WHEN lng <= shrt * 2 THEN 'moderate'
+                      ELSE 'extreme' END AS ratio_class
+               FROM s),
+         cells AS (SELECT jacc_band, ratio_class,
+                     count(*)::BIGINT AS n_pairs
+                   FROM s2 GROUP BY 1, 2),
+         t AS (SELECT sum(n_pairs)::BIGINT AS total FROM cells)
+         SELECT cells.jacc_band, cells.ratio_class, cells.n_pairs,
+           ${sqlMicroRatio("cells.n_pairs", "t.total")} AS pair_ppm
+         FROM cells, t""",
+    // q432: first event via the same (us, event_id) min; conversion
+    // = any strictly-later purchase.
+    "q432_first_touch" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_us(ts)::BIGINT AS us FROM events),
+         f AS (SELECT user_id, first_type, first_us, first_id FROM
+                (SELECT user_id, event_type AS first_type,
+                   us AS first_us, event_id AS first_id,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) AS rn
+                 FROM e) t
+               WHERE rn = 1),
+         pu AS (SELECT user_id, us, event_id FROM e
+                WHERE event_type = 'purchase'),
+         c AS (SELECT f.user_id, f.first_type,
+                 max(CASE WHEN pu.us > f.first_us
+                       OR (pu.us = f.first_us
+                           AND pu.event_id > f.first_id)
+                   THEN 1 ELSE 0 END) AS converted
+               FROM f LEFT JOIN pu ON f.user_id = pu.user_id
+               GROUP BY 1, 2),
+         a AS (SELECT first_type, count(*)::BIGINT AS n_users,
+                 sum(converted)::BIGINT AS n_converted
+               FROM c GROUP BY 1)
+         SELECT first_type, n_users, n_converted,
+           ${sqlMicroRatio("n_converted", "n_users")}
+             AS conversion_ppm
+         FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -3332,6 +3332,67 @@ object Dedup {
       )
   }
 
+  /** q431: near-dup pair shape census — pairs cross-tabulated by
+    * Jaccard band (0.5-0.7 / 0.7-0.9 / 0.9+) × token-length-ratio
+    * class (similar ≤ 1.25× / moderate ≤ 2× / extreme). The joint
+    * view q274's per-pair anatomy and q386's cluster spread only
+    * show marginally: high-J + extreme-ratio pairs are containment
+    * (q143's treatment — keep the long one), high-J + similar-length
+    * are true copies (keep either), low-J + similar-length are edits
+    * (survivor policy must read quality). Band tests are pure
+    * integer cross-multiplications on (inter, union) and
+    * (longer, shorter) — no float ever compared.
+    */
+  def pairShapeCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val pairs = shinglePairIntersections(docShingles(spark, dir))
+      // admission mirrors the artifact (float spelling, proven), the
+      // BANDS are integer cross-multiplications
+      .withColumn(
+        "jaccard",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .filter(col("jaccard") >= 0.5)
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("tk"))
+    val u = col("n_a") + col("n_b") - col("inter")
+    val shaped = pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("tk").as("tk_a")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tk").as("tk_b")),
+        Seq("doc_b"))
+      .select(
+        when(col("inter") * 10L >= u * 9L, "j_090_plus")
+          .when(col("inter") * 10L >= u * 7L, "j_070_090")
+          .otherwise("j_050_070").as("jacc_band"),
+        greatest(col("tk_a"), col("tk_b")).as("lng"),
+        least(col("tk_a"), col("tk_b")).as("shrt")
+      )
+      .select(
+        col("jacc_band"),
+        when(col("lng") * 4L <= col("shrt") * 5L, "similar")
+          .when(col("lng") <= col("shrt") * 2L, "moderate")
+          .otherwise("extreme").as("ratio_class")
+      )
+    val cells = shaped
+      .groupBy(col("jacc_band"), col("ratio_class"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val tot = cells.agg(sum(col("n_pairs")).as("total"))
+    cells
+      .crossJoin(broadcast(tot))
+      .select(
+        col("jacc_band"), col("ratio_class"), col("n_pairs"),
+        microRatio(col("n_pairs"), col("total")).as("pair_ppm")
+      )
+  }
+
   /** q391: cluster tightness by size band — per cluster-size band,
     * the exact integer milli-Jaccard statistics of the EDGES inside
     * those clusters (count, min, mean, max). Answers "are the big

@@ -2138,6 +2138,54 @@ object Events {
       )
   }
 
+  /** q432: first-touch conversion — users cohorted by their FIRST
+    * event's type (ties at the same microsecond break by event_id),
+    * with each cohort's later-purchase conversion rate in exact ppm.
+    * The acquisition-channel census: if signup-first users convert
+    * at 3× view-first users, the funnel's entry point carries
+    * predictive signal and rate plans (q332) should weight it.
+    * "Later purchase" = any purchase event strictly after the first
+    * event (a purchase-first user converts only if a SECOND purchase
+    * follows — the standard repeat-conversion reading).
+    *
+    * Scale: one per-user min-struct aggregate (map-side combinable)
+    * + one purchase-side min — both user-keyed, no windows.
+    */
+  def firstTouchConversion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val e = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val first = e
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+        .as("f"))
+      .select(col("user_id"), col("f.event_type").as("first_type"),
+        col("f.us").as("first_us"), col("f.event_id").as("first_id"))
+    val purch = e
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us").as("p_us"),
+        col("event_id").as("p_id"))
+    val converted = first
+      .join(purch, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("first_type"))
+      .agg(
+        max(when(col("p_us") > col("first_us") ||
+          (col("p_us") === col("first_us") &&
+            col("p_id") > col("first_id")), 1L).otherwise(0L))
+          .as("converted"))
+    val cohorts = converted
+      .groupBy(col("first_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+    cohorts.select(
+      col("first_type"), col("n_users"), col("n_converted"),
+      microRatio(col("n_converted"), col("n_users"))
+        .as("conversion_ppm")
+    )
+  }
+
   /** q378: discrete life table for time-to-first-purchase — per whole
     * day since each user's FIRST event: how many users are still at
     * risk (no purchase yet, still observable), how many convert that

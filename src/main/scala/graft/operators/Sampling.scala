@@ -4444,6 +4444,48 @@ object Sampling {
       )
   }
 
+  /** q430: arrival-composition drift — each source's share of the
+    * corpus in the FIRST half of arrival order vs the SECOND half
+    * (halves split at the median doc_id — an exact global rank pick),
+    * with the signed ppm gap. The crawl-mix stability gauge: a
+    * source whose share doubles between halves means the mix any
+    * temporally-split model sees is not the mix the corpus card
+    * (q109) reports. Pure integer counts and half-up ppm.
+    */
+  def arrivalCompositionDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val ranked = Ranking
+      .withGlobalRank(d, Seq(col("doc_id").asc), "rn", 8)
+    val tot = d.agg(count(lit(1)).as("cnt"))
+    val halves = ranked
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        when(col("rn") * 2 <= col("cnt"), 1L).otherwise(0L)
+          .as("first_half"))
+    val cells = halves
+      .groupBy(col("source"))
+      .agg(
+        sum(col("first_half")).as("n_first"),
+        sum(lit(1L) - col("first_half")).as("n_second")
+      )
+    val totals = cells.agg(
+      sum(col("n_first")).as("tot_first"),
+      sum(col("n_second")).as("tot_second"))
+    cells
+      .crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_first"), col("n_second"),
+        microRatio(col("n_first"), greatest(col("tot_first"), lit(1L)))
+          .as("first_share_ppm"),
+        microRatio(col("n_second"),
+          greatest(col("tot_second"), lit(1L)))
+          .as("second_share_ppm")
+      )
+      .withColumn("drift_ppm",
+        col("second_share_ppm") - col("first_share_ppm"))
+  }
+
   /** q394: batch quality dispersion — the q191/q362 training order
     * cut into batches of 32, each batch's mean micro-quality taken
     * exactly (half-up over the batch's own size), and the five-point
