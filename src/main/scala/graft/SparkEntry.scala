@@ -1087,6 +1087,13 @@ object SparkEntry {
     "q431_pair_shapes" -> (Dedup.pairShapeCensus _),
     // Conversion ppm per first-event-type cohort.
     "q432_first_touch" -> (Events.firstTouchConversion _),
+    // TTL vs forever admission: rescued re-crawl mass per source.
+    "q433_policy_delta" ->
+      ((s, d) => streaming.StreamNearDup.admissionPolicyDelta(s, d)),
+    // Token degree bands in the distinct-bigram adjacency graph.
+    "q434_bigram_degrees" -> (TextAnalysis.bigramDegreeCensus _),
+    // Source mean-quality quartile churn between arrival halves.
+    "q435_source_rank_churn" -> (TextAnalysis.sourceRankChurn _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12201,6 +12208,103 @@ object SparkEntry {
            ${sqlMicroRatio("n_converted", "n_users")}
              AS conversion_ppm
          FROM a""",
+    // q433: both gates' batch twins (min() vs lag()) over one band
+    // chain; n_impossible is structurally zero.
+    "q433_policy_delta" ->
+      s"""WITH $shinglesCte,
+         m AS (SELECT doc_id,
+                 list_transform(range(8), i -> list_min(list_transform(sh,
+                   s -> ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT)))
+                 AS mh
+               FROM d WHERE len(sh) > 0),
+         bd AS (SELECT doc_id, t.j AS j,
+                  mh[t.j*2+1] || '_' || mh[t.j*2+2] AS bval
+                FROM m, range(4) t(j)),
+         mins AS (SELECT j, bval, min(doc_id) AS mn
+                  FROM bd GROUP BY 1, 2),
+         supf AS (SELECT bd.doc_id, bool_or(bd.doc_id > mins.mn) AS s
+                 FROM bd JOIN mins USING (j, bval) GROUP BY 1),
+         lg AS (SELECT doc_id,
+                  lag(doc_id) OVER (PARTITION BY j, bval
+                    ORDER BY doc_id ASC) AS prev
+                FROM bd),
+         supt AS (SELECT doc_id,
+                  bool_or(prev IS NOT NULL AND doc_id - prev <= 100)
+                    AS s
+                 FROM lg GROUP BY 1),
+         cl AS (SELECT d0.doc_id, d0.source,
+                  coalesce(supt.s, false) AS ttl_sup,
+                  coalesce(supf.s, false) AS fv_sup
+                FROM documents d0
+                LEFT JOIN supt ON d0.doc_id = supt.doc_id
+                LEFT JOIN supf ON d0.doc_id = supf.doc_id),
+         a AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(CASE WHEN fv_sup AND NOT ttl_sup
+                   THEN 1 ELSE 0 END)::BIGINT AS n_rescued,
+                 sum(CASE WHEN ttl_sup AND NOT fv_sup
+                   THEN 1 ELSE 0 END)::BIGINT AS n_impossible,
+                 sum(CASE WHEN ttl_sup AND fv_sup
+                   THEN 1 ELSE 0 END)::BIGINT AS n_both_suppress
+               FROM cl GROUP BY 1)
+         SELECT source, n_docs, n_rescued, n_impossible,
+           n_both_suppress,
+           ${sqlMicroRatio("n_rescued", "n_docs")} AS rescued_ppm
+         FROM a""",
+    // q434: distinct bigrams via a lateral range; degrees over the
+    // symmetric distinct edge list.
+    "q434_bigram_degrees" ->
+      s"""WITH tk AS (SELECT
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
+             END AS toks
+           FROM documents),
+         bg AS (SELECT DISTINCT w1, w2 FROM
+                (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                        unnest(toks[2:len(toks)]) AS w2
+                 FROM tk WHERE len(toks) >= 2) z),
+         deg AS (SELECT w, count(*)::BIGINT AS degree FROM
+                  (SELECT DISTINCT w, nbr FROM (
+                    SELECT w1 AS w, w2 AS nbr FROM bg
+                    UNION ALL SELECT w2, w1 FROM bg) x) y
+                 GROUP BY 1),
+         b AS (SELECT CASE WHEN degree <= 2 THEN '1_2_leaf'
+                           WHEN degree <= 10 THEN '3_10_content'
+                           ELSE '11_plus_hub' END AS band,
+                 degree
+               FROM deg),
+         a AS (SELECT band, count(*)::BIGINT AS n_tokens,
+                 max(degree)::BIGINT AS max_degree
+               FROM b GROUP BY 1),
+         t AS (SELECT sum(n_tokens)::BIGINT AS total FROM a)
+         SELECT a.band, a.n_tokens, a.max_degree,
+           ${sqlMicroRatio("a.n_tokens", "t.total")} AS token_ppm
+         FROM a, t""",
+    // q435: exact half-up half means; SQL ntile(4) is the pinned
+    // bit-twin of Ranking.ntileFromRank.
+    "q435_source_rank_churn" ->
+      s"""WITH $qMicroCte,
+         r AS (SELECT dd.source, q2.q_micro,
+                 row_number() OVER (ORDER BY dd.doc_id ASC) AS rn,
+                 count(*) OVER () AS cnt
+               FROM documents dd JOIN qm q2 USING (doc_id)),
+         m AS (SELECT source,
+                 CASE WHEN rn * 2 <= cnt THEN 'first'
+                      ELSE 'second' END AS half,
+                 ${sqlIdivHalfUp("sum(q_micro)", "count(*)")}
+                   AS mean_micro
+               FROM r GROUP BY 1, 2),
+         qf AS (SELECT source, mean_micro AS mean_first,
+                  ntile(4) OVER (ORDER BY mean_micro, source)
+                    ::BIGINT AS q_first
+                FROM m WHERE half = 'first'),
+         qs AS (SELECT source, mean_micro AS mean_second,
+                  ntile(4) OVER (ORDER BY mean_micro, source)
+                    ::BIGINT AS q_second
+                FROM m WHERE half = 'second')
+         SELECT qf.source, qf.mean_first, qs.mean_second,
+           qf.q_first, qs.q_second,
+           qf.q_first <> qs.q_second AS moved
+         FROM qf JOIN qs USING (source)""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

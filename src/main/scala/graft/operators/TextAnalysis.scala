@@ -5343,6 +5343,102 @@ object TextAnalysis {
       .withColumn("tau_num", col("concordant") - col("discordant"))
   }
 
+  /** q434: bigram-graph degree census — each vocabulary token's
+    * distinct-neighbor count in the adjacency (bigram) graph, rolled
+    * into degree bands, plus the max degree. Hub tokens (function
+    * words, template connectors) have degree ≈ vocabulary size;
+    * content words sit in thin bands. The graph-shape audit under
+    * the bigram LM (q84) and PMI (q99): a lexicon whose mass sits in
+    * the hub band carries little sequence information. Neighbors
+    * count both directions (left ∪ right), exactly.
+    *
+    * Scale: one distinct-bigram pass → symmetric explode → per-token
+    * distinct count → a bounded band rollup.
+    */
+  def bigramDegreeCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val toks = Tables
+      .documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks
+      .select(explode(
+        zip_with(
+          slice(col("t"), 1, 1000000),
+          slice(col("t"), 2, 1000000),
+          (a, b) => struct(a.as("w1"), b.as("w2"))
+        )).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w2").isNotNull)
+      .distinct()
+    val degrees = bigrams
+      .select(col("w1").as("w"), col("w2").as("nbr"))
+      .union(bigrams.select(col("w2").as("w"), col("w1").as("nbr")))
+      .distinct()
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("degree"))
+    val banded = degrees
+      .select(
+        when(col("degree") <= 2, "1_2_leaf")
+          .when(col("degree") <= 10, "3_10_content")
+          .otherwise("11_plus_hub").as("band"),
+        col("degree")
+      )
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_tokens"), max(col("degree")).as("max_degree"))
+    val tot = banded.agg(sum(col("n_tokens")).as("total"))
+    banded
+      .crossJoin(broadcast(tot))
+      .select(
+        col("band"), col("n_tokens"), col("max_degree"),
+        microRatio(col("n_tokens"), col("total")).as("token_ppm")
+      )
+  }
+
+  /** q435: source quality-rank churn — each source's mean-quality
+    * quartile in the FIRST arrival half vs the SECOND (exact half-up
+    * mean micro per half, ntile(4) over the |sources|-row frame),
+    * and whether it moved. Source weights tuned on last month's
+    * quality ranking silently misallocate if sources churn quartiles
+    * — this emits the churn directly. All windows run over the
+    * bounded source frame.
+    */
+  def sourceRankChurn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val docs = Tables.documents(spark, dir)
+    val d = docs
+      .select(col("doc_id"), col("source"))
+      .join(qualityMicroScoresFrom(docs), "doc_id")
+    val ranked = Ranking
+      .withGlobalRank(d, Seq(col("doc_id").asc), "rn", 8)
+    val tot = d.agg(count(lit(1)).as("cnt"))
+    val means = ranked
+      .crossJoin(broadcast(tot))
+      .select(col("source"),
+        when(col("rn") * 2 <= col("cnt"), lit("first"))
+          .otherwise(lit("second")).as("half"),
+        col("q_micro"))
+      .groupBy(col("source"), col("half"))
+      .agg(idivHalfUp(sum(col("q_micro")), count(lit(1)))
+        .as("mean_micro"))
+    val wq = Window.orderBy(col("mean_micro").asc, col("source").asc)
+    def quartiles(half: String) = means
+      .filter(col("half") === half)
+      .withColumn("rnk", row_number().over(wq))
+      .withColumn("nsrc", count(lit(1)).over(Window.partitionBy()))
+      .select(col("source"),
+        Ranking.ntileFromRank(col("rnk"), col("nsrc"), 4).cast("long")
+          .as(s"q_$half"),
+        col("mean_micro").as(s"mean_$half"))
+    quartiles("first")
+      .join(quartiles("second"), "source")
+      .select(
+        col("source"), col("mean_first"), col("mean_second"),
+        col("q_first"), col("q_second"),
+        (col("q_first") =!= col("q_second")).as("moved")
+      )
+  }
+
   /** q384: borderline-band census — how many docs sit within ±w of
     * each language's median micro-quality, for w ∈ {10k, 50k, 100k}
     * micro. The FRAGILITY complement of the q381 transfer audit: a

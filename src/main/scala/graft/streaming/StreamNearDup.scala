@@ -191,6 +191,46 @@ object StreamNearDup {
       )
   }
 
+  /** q433: admission-policy delta — per source, how the TTL gate
+    * (q385) and the forever-state gate (q181) disagree: documents
+    * the TTL gate RESCUES (suppressed forever, admitted under TTL —
+    * re-crawls of content older than the window) and the agreement
+    * counts. The TTL gate can never suppress a doc the forever gate
+    * admits (its previous-occupant test is strictly weaker), so the
+    * delta is one-sided — asserted by the spec and visible here as a
+    * structurally-zero column the oracle also derives. This is the
+    * table an operator reads to pick the gate: rescued mass is
+    * exactly what forever-state dedup would cost in fresh-again
+    * content.
+    */
+  def admissionPolicyDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val ttl = streamTtlNearDup(spark, dir)
+      .select(col("doc_id"), col("suppressed").as("ttl_sup"))
+    val forever = streamNearDupSuppress(spark, dir)
+      .select(col("doc_id"), col("suppressed").as("fv_sup"))
+    graft.Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(ttl, "doc_id")
+      .join(forever, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("fv_sup") && !col("ttl_sup"), 1L).otherwise(0L))
+          .as("n_rescued"),
+        sum(when(col("ttl_sup") && !col("fv_sup"), 1L).otherwise(0L))
+          .as("n_impossible"),
+        sum(when(col("ttl_sup") && col("fv_sup"), 1L).otherwise(0L))
+          .as("n_both_suppress")
+      )
+      .select(
+        col("source"), col("n_docs"), col("n_rescued"),
+        col("n_impossible"), col("n_both_suppress"),
+        microRatio(col("n_rescued"), col("n_docs")).as("rescued_ppm")
+      )
+  }
+
   /** q181: drain the suppression stream, fold band verdicts to one
     * row per document, and re-attach band-less documents (always
     * kept): (doc_id, suppressed).
