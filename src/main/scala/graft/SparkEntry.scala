@@ -1094,6 +1094,14 @@ object SparkEntry {
     "q434_bigram_degrees" -> (TextAnalysis.bigramDegreeCensus _),
     // Source mean-quality quartile churn between arrival halves.
     "q435_source_rank_churn" -> (TextAnalysis.sourceRankChurn _),
+    // Exact five-point of q29 session counts per user.
+    "q436_sessions_five_point" ->
+      (Events.sessionsPerUserFivePoint _),
+    // Token yield per source at the global P50/P75 quality cuts.
+    "q437_source_yield" -> (TextAnalysis.sourceYieldMatrix _),
+    // CV^2 of doc lengths per source as an exact integer milli.
+    "q438_length_dispersion" ->
+      (TextAnalysis.sourceLengthDispersion _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12305,6 +12313,93 @@ object SparkEntry {
            qf.q_first, qs.q_second,
            qf.q_first <> qs.q_second AS moved
          FROM qf JOIN qs USING (source)""",
+    // q436: the q29 session chain -> sessions per user -> rank picks.
+    "q436_sessions_five_point" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP)
+                 AS ts FROM events),
+         l AS (SELECT e.*, lag(ts) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+               FROM e),
+         f AS (SELECT l.*, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                 THEN 1 ELSE 0 END AS is_new FROM l),
+         s AS (SELECT user_id, sum(is_new)::BIGINT AS n_sessions
+               FROM f GROUP BY 1),
+         r AS (SELECT user_id, n_sessions,
+                 row_number() OVER (ORDER BY n_sessions, user_id)
+                   AS rn,
+                 count(*) OVER () AS cnt
+               FROM s)
+         SELECT max(cnt)::BIGINT AS n_users,
+           min(n_sessions)::BIGINT AS min_sessions,
+           max(CASE WHEN rn = ceil(cnt * 25 / 100) THEN n_sessions
+             END)::BIGINT AS p25_sessions,
+           max(CASE WHEN rn = ceil(cnt * 50 / 100) THEN n_sessions
+             END)::BIGINT AS p50_sessions,
+           max(CASE WHEN rn = ceil(cnt * 75 / 100) THEN n_sessions
+             END)::BIGINT AS p75_sessions,
+           max(n_sessions)::BIGINT AS max_sessions
+         FROM r""",
+    // q437: global P50/P75 quality picks feed per-source token
+    // yields; ppm half-up.
+    "q437_source_yield" ->
+      s"""WITH $qMicroCte,
+         sc AS (SELECT dd.doc_id, dd.source,
+                 CAST(len(CASE WHEN length(trim(dd.text)) = 0
+                      THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(dd.text),
+                        '\\s+') END) AS BIGINT) AS tk,
+                 q2.q_micro
+               FROM documents dd JOIN qm q2 USING (doc_id)),
+         r AS (SELECT q_micro,
+                 row_number() OVER (ORDER BY q_micro, doc_id) AS rn,
+                 count(*) OVER () AS cnt
+               FROM sc),
+         c50 AS (SELECT q_micro AS cut_50 FROM r
+                 WHERE rn = ceil(cnt * 50 / 100)),
+         c75 AS (SELECT q_micro AS cut_75 FROM r
+                 WHERE rn = ceil(cnt * 75 / 100)),
+         a AS (SELECT sc.source, count(*)::BIGINT AS n_docs,
+                 sum(sc.tk)::BIGINT AS n_tokens,
+                 sum(CASE WHEN sc.q_micro > c50.cut_50 THEN sc.tk
+                   ELSE 0 END)::BIGINT AS tokens_above_p50,
+                 sum(CASE WHEN sc.q_micro > c75.cut_75 THEN sc.tk
+                   ELSE 0 END)::BIGINT AS tokens_above_p75
+               FROM sc, c50, c75 GROUP BY 1)
+         SELECT source, n_docs, n_tokens, tokens_above_p50,
+           tokens_above_p75,
+           ${sqlMicroRatio("tokens_above_p50",
+        "greatest(n_tokens, 1)")} AS yield_p50_ppm,
+           ${sqlMicroRatio("tokens_above_p75",
+        "greatest(n_tokens, 1)")} AS yield_p75_ppm
+         FROM a""",
+    // q438: the mergeable (n, Σx, Σx²) integer moments; cv² milli
+    // half-up.
+    "q438_length_dispersion" ->
+      s"""WITH a AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(CAST(len(CASE WHEN length(trim(text)) = 0
+                      THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                      END) AS BIGINT))::BIGINT AS sum_x,
+                 sum(CAST(len(CASE WHEN length(trim(text)) = 0
+                      THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                      END) AS BIGINT)
+                   * CAST(len(CASE WHEN length(trim(text)) = 0
+                      THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                      END) AS BIGINT))::BIGINT AS sum_x2
+               FROM documents GROUP BY 1
+               HAVING sum(CAST(len(CASE WHEN length(trim(text)) = 0
+                    THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(text), '\\s+')
+                    END) AS BIGINT)) > 0)
+         SELECT source, n_docs, sum_x, sum_x2,
+           ${sqlIdivHalfUp(
+        "(n_docs * sum_x2 - sum_x * sum_x) * 1000",
+        "sum_x * sum_x")} AS cv2_milli
+         FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -2186,6 +2186,34 @@ object Events {
     )
   }
 
+  /** q436: sessions-per-user five-point — the exact distribution of
+    * q29 session counts per user (min/P25/P50/P75/max rank picks).
+    * Completes the session family: q29 builds sessions, q412 sweeps
+    * the gap, q123/q124 size them dynamically — this says how many
+    * a USER accumulates, the visit-frequency shape retention models
+    * consume. Rank picks run over the |users|-row frame.
+    */
+  def sessionsPerUserFivePoint(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = sessionize(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val w = Window.orderBy(col("n_sessions").asc, col("user_id").asc)
+    def pick(p: Int) =
+      max(when(col("rn") === ceil(col("cnt") * p / 100),
+        col("n_sessions")))
+    perUser
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .agg(
+        max(col("cnt")).as("n_users"),
+        min(col("n_sessions")).as("min_sessions"),
+        pick(25).as("p25_sessions"),
+        pick(50).as("p50_sessions"),
+        pick(75).as("p75_sessions"),
+        max(col("n_sessions")).as("max_sessions")
+      )
+  }
+
   /** q378: discrete life table for time-to-first-purchase — per whole
     * day since each user's FIRST event: how many users are still at
     * risk (no purchase yet, still observable), how many convert that

@@ -5439,6 +5439,82 @@ object TextAnalysis {
       )
   }
 
+  /** q437: source yield matrix — per source, the token mass that
+    * survives the GLOBAL P50 and P75 quality cuts, in exact ppm of
+    * the source's tokens. The source-weighting input under a single
+    * global gate: q381 counts per-lang flips at the median; this
+    * prices each SOURCE at two cut depths in the unit budgets are
+    * written in (tokens). Both cuts are exact type-1 rank picks on
+    * the distributed total order.
+    */
+  def sourceYieldMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("tk"))
+      .join(qualityMicroScoresFrom(docs), "doc_id")
+    val ranked = Ranking.withGlobalRank(
+      scored, Seq(col("q_micro").asc, col("doc_id").asc), "rn", 8)
+    val tot = scored.agg(count(lit(1)).as("cnt"))
+    def cutAt(p: Int): DataFrame = ranked
+      .crossJoin(broadcast(tot))
+      .filter(col("rn") === ceil(col("cnt") * p / 100))
+      .select(col("q_micro").as(s"cut_$p"))
+    scored
+      .crossJoin(broadcast(cutAt(50)))
+      .crossJoin(broadcast(cutAt(75)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tk")).as("n_tokens"),
+        sum(when(col("q_micro") > col("cut_50"), col("tk"))
+          .otherwise(0L)).as("tokens_above_p50"),
+        sum(when(col("q_micro") > col("cut_75"), col("tk"))
+          .otherwise(0L)).as("tokens_above_p75")
+      )
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        col("tokens_above_p50"), col("tokens_above_p75"),
+        microRatio(col("tokens_above_p50"),
+          greatest(col("n_tokens"), lit(1L))).as("yield_p50_ppm"),
+        microRatio(col("tokens_above_p75"),
+          greatest(col("n_tokens"), lit(1L))).as("yield_p75_ppm")
+      )
+  }
+
+  /** q438: source length dispersion — per source, the squared
+    * coefficient of variation of doc token counts as the exact
+    * integer ratio (n·Σx² − (Σx)²)·1000 / (Σx)², half-up. CV² ≈ 0
+    * means uniform templated lengths (pagination mills); large CV²
+    * means mixed content — and because every term is an exact
+    * integer, the number is mergeable across shards by summing
+    * (n, Σx, Σx²). Overflow headroom: Σx² needs the longest doc's
+    * token count² × docs under 2^63 — per-shard merge past ~10⁹
+    * docs·len², the q371 treatment.
+    */
+  def sourceLengthDispersion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    Tables
+      .documents(spark, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_x2")
+      )
+      .filter(col("sum_x") > 0)
+      .select(
+        col("source"), col("n_docs"), col("sum_x"), col("sum_x2"),
+        idivHalfUp(
+          (col("n_docs") * col("sum_x2") - col("sum_x") * col("sum_x"))
+            * lit(1000L),
+          col("sum_x") * col("sum_x")).as("cv2_milli")
+      )
+  }
+
   /** q384: borderline-band census — how many docs sit within ±w of
     * each language's median micro-quality, for w ∈ {10k, 50k, 100k}
     * micro. The FRAGILITY complement of the q381 transfer audit: a
