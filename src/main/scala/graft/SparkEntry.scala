@@ -1102,6 +1102,12 @@ object SparkEntry {
     // CV^2 of doc lengths per source as an exact integer milli.
     "q438_length_dispersion" ->
       (TextAnalysis.sourceLengthDispersion _),
+    // Top-10 tokens by bigram-graph degree (function-word discovery).
+    "q439_hub_tokens" -> (TextAnalysis.hubTokens _),
+    // Exact gap quantiles per type (picked integer micros).
+    "q440_gap_five_point" -> (Events.interArrivalFivePoint _),
+    // Head/torso/tail token mass via integer cross-multiplication.
+    "q441_frequency_bands" -> (TextAnalysis.frequencyBandMass _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12399,6 +12405,73 @@ object SparkEntry {
            ${sqlIdivHalfUp(
         "(n_docs * sum_x2 - sum_x * sum_x) * 1000",
         "sum_x * sum_x")} AS cv2_milli
+         FROM a""",
+    // q439: the q434 degree chain, top-10 by (degree DESC, token).
+    "q439_hub_tokens" ->
+      """WITH tk AS (SELECT
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+')
+             END AS toks
+           FROM documents),
+         bg AS (SELECT DISTINCT w1, w2 FROM
+                (SELECT unnest(toks[1:len(toks)-1]) AS w1,
+                        unnest(toks[2:len(toks)]) AS w2
+                 FROM tk WHERE len(toks) >= 2) z),
+         deg AS (SELECT w, count(*)::BIGINT AS degree FROM
+                  (SELECT DISTINCT w, nbr FROM (
+                    SELECT w1 AS w, w2 AS nbr FROM bg
+                    UNION ALL SELECT w2, w1 FROM bg) x) y
+                 GROUP BY 1)
+         SELECT w, degree FROM deg
+         ORDER BY degree DESC, w ASC LIMIT 10""",
+    // q440: the q261 gap chain; quantiles are picked raw integers.
+    "q440_gap_five_point" ->
+      """WITH e AS (SELECT event_id, event_type,
+                 epoch_us(ts)::BIGINT AS us FROM events),
+         g AS (SELECT event_type, event_id,
+                 us - lag(us) OVER (PARTITION BY event_type
+                   ORDER BY us, event_id) AS gap
+               FROM e),
+         f AS (SELECT event_type, event_id, gap FROM g
+               WHERE gap IS NOT NULL),
+         r AS (SELECT event_type, gap,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY gap ASC, event_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS cnt
+               FROM f)
+         SELECT event_type, max(cnt)::BIGINT AS n_gaps,
+           min(gap)::BIGINT AS min_gap_us,
+           max(CASE WHEN rn = ceil(cnt * 25 / 100) THEN gap END)
+             ::BIGINT AS p25_gap_us,
+           max(CASE WHEN rn = ceil(cnt * 50 / 100) THEN gap END)
+             ::BIGINT AS p50_gap_us,
+           max(CASE WHEN rn = ceil(cnt * 75 / 100) THEN gap END)
+             ::BIGINT AS p75_gap_us,
+           max(gap)::BIGINT AS max_gap_us
+         FROM r GROUP BY 1""",
+    // q441: head iff count*1000 > N (integer cross-multiplication);
+    // occurrence shares half-up ppm.
+    "q441_frequency_bands" ->
+      s"""WITH c AS (SELECT w, count(*)::BIGINT AS c FROM
+                (SELECT unnest(
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+')
+                   END) AS w
+                 FROM documents) x
+               GROUP BY 1),
+         t AS (SELECT sum(c)::BIGINT AS n_tokens FROM c),
+         b AS (SELECT CASE WHEN c.c * 1000 > t.n_tokens THEN 'head'
+                           WHEN c.c = 1 THEN 'tail_singleton'
+                           ELSE 'torso' END AS band,
+                 c.c, t.n_tokens
+               FROM c, t),
+         a AS (SELECT band, count(*)::BIGINT AS n_types,
+                 sum(c)::BIGINT AS n_occurrences,
+                 max(n_tokens)::BIGINT AS n_tokens
+               FROM b GROUP BY 1)
+         SELECT band, n_types, n_occurrences,
+           ${sqlMicroRatio("n_occurrences", "n_tokens")}
+             AS occurrence_ppm
          FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")

@@ -2214,6 +2214,44 @@ object Events {
       )
   }
 
+  /** q440: inter-arrival gap five-point per event type — the exact
+    * min/P25/P50/P75/max of the q261 gap stream (microsecond
+    * integers, picked not computed). q261's mean and CV² say HOW
+    * bursty; the quantiles say WHERE the mass sits (a tight P25-P75
+    * with a huge max is a scheduled feed with outages; a wide body
+    * is organic traffic). Rank picks window per type over the gap
+    * frame.
+    */
+  def interArrivalFivePoint(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val gaps = Tables
+      .events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val wOrd = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("gap").asc, col("event_id").asc)
+    def pick(p: Int) =
+      max(when(col("rn") === ceil(col("cnt") * p / 100), col("gap")))
+    gaps
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("cnt")).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        pick(25).as("p25_gap_us"),
+        pick(50).as("p50_gap_us"),
+        pick(75).as("p75_gap_us"),
+        max(col("gap")).as("max_gap_us")
+      )
+  }
+
   /** q378: discrete life table for time-to-first-purchase — per whole
     * day since each user's FIRST event: how many users are still at
     * risk (no purchase yet, still observable), how many convert that

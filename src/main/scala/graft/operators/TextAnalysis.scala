@@ -5515,6 +5515,80 @@ object TextAnalysis {
       )
   }
 
+  /** q439: hub tokens — the top-10 vocabulary tokens by bigram-graph
+    * degree (q434's census, resolved to names). Degree-based hub
+    * discovery is the robust twin of q160's frequency-based stopword
+    * discovery: a burst token (one template repeated verbatim) is
+    * frequency-heavy but degree-light, while a true function word
+    * connects to everything. Deterministic top-k by
+    * (degree DESC, token ASC) → TakeOrderedAndProject.
+    */
+  def hubTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bigrams = toks
+      .select(explode(
+        zip_with(
+          slice(col("t"), 1, 1000000),
+          slice(col("t"), 2, 1000000),
+          (a, b) => struct(a.as("w1"), b.as("w2"))
+        )).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w2").isNotNull)
+      .distinct()
+    bigrams
+      .select(col("w1").as("w"), col("w2").as("nbr"))
+      .union(bigrams.select(col("w2").as("w"), col("w1").as("nbr")))
+      .distinct()
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy(col("degree").desc, col("w").asc)
+      .limit(10)
+  }
+
+  /** q441: token frequency-band mass census — the corpus's token
+    * occurrences split into head (the types whose count exceeds
+    * N/1000), torso, and tail (singleton types), with type and
+    * occurrence mass per band. The Zipf planning card: the head band
+    * is what a tiny stopword list already covers, the tail is what
+    * embedding vocabularies truncate away — and the split is a pure
+    * integer cross-multiplication (count·1000 > N), never a float
+    * threshold.
+    *
+    * Scale: one token count pass + a 3-row rollup; the corpus total
+    * joins as one broadcast row.
+    */
+  def frequencyBandMass(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val counts = Tables
+      .documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("n_tokens"))
+    val banded = counts
+      .crossJoin(broadcast(tot))
+      .select(
+        when(col("c") * 1000L > col("n_tokens"), "head")
+          .when(col("c") === 1L, "tail_singleton")
+          .otherwise("torso").as("band"),
+        col("c"), col("n_tokens")
+      )
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_occurrences"),
+        max(col("n_tokens")).as("n_tokens")
+      )
+    banded.select(
+      col("band"), col("n_types"), col("n_occurrences"),
+      microRatio(col("n_occurrences"), col("n_tokens"))
+        .as("occurrence_ppm")
+    )
+  }
+
   /** q384: borderline-band census — how many docs sit within ±w of
     * each language's median micro-quality, for w ∈ {10k, 50k, 100k}
     * micro. The FRAGILITY complement of the q381 transfer audit: a
