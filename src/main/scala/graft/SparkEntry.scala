@@ -1108,6 +1108,12 @@ object SparkEntry {
     "q440_gap_five_point" -> (Events.interArrivalFivePoint _),
     // Head/torso/tail token mass via integer cross-multiplication.
     "q441_frequency_bands" -> (TextAnalysis.frequencyBandMass _),
+    // Share of each source's occurrences that are global head types.
+    "q442_head_dependence" -> (TextAnalysis.headTokenDependence _),
+    // Mean quality at raw -> survivors -> gated stages.
+    "q443_quality_funnel" -> (TextAnalysis.qualityFunnel _),
+    // Survivorship win rate per source among contested docs.
+    "q444_survivor_wins" -> (Dedup.survivorWinRate _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12472,6 +12478,79 @@ object SparkEntry {
          SELECT band, n_types, n_occurrences,
            ${sqlMicroRatio("n_occurrences", "n_tokens")}
              AS occurrence_ppm
+         FROM a""",
+    // q442: the q441 head test decides a (≤1000-type) head set; per-
+    // source shares half-up ppm.
+    "q442_head_dependence" ->
+      s"""WITH occ AS (SELECT source, unnest(
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END)
+               AS w
+           FROM documents),
+         g AS (SELECT w, count(*)::BIGINT AS c FROM occ GROUP BY 1),
+         t AS (SELECT sum(c)::BIGINT AS n_tokens FROM g),
+         h AS (SELECT g.w FROM g, t WHERE g.c * 1000 > t.n_tokens),
+         a AS (SELECT source, count(*)::BIGINT AS n_occurrences,
+                 sum(CASE WHEN w IN (SELECT w FROM h)
+                   THEN 1 ELSE 0 END)::BIGINT AS head_occurrences
+               FROM occ GROUP BY 1)
+         SELECT source, n_occurrences, head_occurrences,
+           ${sqlMicroRatio("head_occurrences",
+        "greatest(n_occurrences, 1)")} AS head_ppm
+         FROM a""",
+    // q443: the shared closure's surv CTE IS the q78 keep-best
+    // policy; unlabeled (shingle-less) docs survive by default; the
+    // per-lang median gate runs on the surviving population.
+    "q443_quality_funnel" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         sv AS (SELECT doc_id FROM surv WHERE rn = 1
+                UNION ALL
+                SELECT d2.doc_id FROM documents d2
+                WHERE d2.doc_id NOT IN (SELECT doc_id FROM nodes)),
+         sc AS (SELECT dd.doc_id, dd.lang, q2.q_micro
+               FROM documents dd JOIN qm q2 USING (doc_id)),
+         s2 AS (SELECT sc.* FROM sc JOIN sv USING (doc_id)),
+         l AS (SELECT lang, q_micro AS lang_med FROM
+                (SELECT lang, q_micro, doc_id,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY q_micro, doc_id) AS lrn,
+                   count(*) OVER (PARTITION BY lang) AS lcnt
+                 FROM s2) t
+               WHERE lrn = ceil(lcnt * 50 / 100)),
+         g3 AS (SELECT s2.doc_id, s2.q_micro
+                FROM s2 JOIN l USING (lang)
+                WHERE s2.q_micro > l.lang_med),
+         u AS (SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs,
+                 ${sqlIdivHalfUp("sum(q_micro)",
+        "greatest(count(*), 1)")} AS mean_micro
+               FROM sc
+               UNION ALL
+               SELECT '2_survivors', count(*)::BIGINT,
+                 ${sqlIdivHalfUp("sum(q_micro)",
+        "greatest(count(*), 1)")}
+               FROM s2
+               UNION ALL
+               SELECT '3_gated', count(*)::BIGINT,
+                 ${sqlIdivHalfUp("sum(q_micro)",
+        "greatest(count(*), 1)")}
+               FROM g3)
+         SELECT stage, n_docs, mean_micro FROM u""",
+    // q444: contested members (size >= 2) left-joined to the surv
+    // winners; win rate half-up ppm.
+    "q444_survivor_wins" ->
+      s"""WITH RECURSIVE $canonicalChainCtes,
+         m AS (SELECT lab.doc_id, dd.source
+               FROM lab
+               JOIN sz USING (cluster_id)
+               JOIN documents dd USING (doc_id)
+               WHERE sz.cluster_size >= 2),
+         w AS (SELECT doc_id FROM surv WHERE rn = 1),
+         a AS (SELECT m.source, count(*)::BIGINT AS n_contested,
+                 sum(CASE WHEN m.doc_id IN (SELECT doc_id FROM w)
+                   THEN 1 ELSE 0 END)::BIGINT AS n_won
+               FROM m GROUP BY 1)
+         SELECT source, n_contested, n_won,
+           ${sqlMicroRatio("n_won", "n_contested")} AS win_ppm
          FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")

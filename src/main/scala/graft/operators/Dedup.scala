@@ -3393,6 +3393,44 @@ object Dedup {
       )
   }
 
+  /** q444: survivor win rate by source — among docs that entered a
+    * multi-doc near-dup cluster, how often each source's doc WINS the
+    * q78 keep-best-quality survivorship, vs its membership. A source
+    * that loses most contests is systematically the lower-quality
+    * copy of shared content (an aggregator) — its raw doc counts
+    * overstate its unique contribution by exactly the losing mass.
+    * Pure integer counts over the shared label seam.
+    */
+  def survivorWinRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val labels = dedupClusters(spark, dir)
+      .filter(col("cluster_size") >= 2)
+      .select(col("doc_id"), col("cluster_id"))
+    val scored = labels
+      .join(TextAnalysis.qualityMicroScores(spark, dir), "doc_id")
+    val winners = scored
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("q_micro"), (-col("doc_id")).as("nid")))
+        .as("b"))
+      .select((-col("b.nid")).as("doc_id"), lit(1L).as("won"))
+    labels
+      .join(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .join(winners, Seq("doc_id"), "left")
+      .na
+      .fill(0L, Seq("won"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_contested"),
+        sum(col("won")).as("n_won")
+      )
+      .select(
+        col("source"), col("n_contested"), col("n_won"),
+        microRatio(col("n_won"), col("n_contested")).as("win_ppm")
+      )
+  }
+
   /** q391: cluster tightness by size band — per cluster-size band,
     * the exact integer milli-Jaccard statistics of the EDGES inside
     * those clusters (count, min, mean, max). Answers "are the big

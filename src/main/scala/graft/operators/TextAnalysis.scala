@@ -5589,6 +5589,100 @@ object TextAnalysis {
     )
   }
 
+  /** q442: head-token dependence per source — the share of each
+    * source's token occurrences that are GLOBAL head types (the q441
+    * band: count·1000 > N corpus-wide). A source far above the
+    * corpus's head share is function-word padding / template glue; far
+    * below is keyword-stuffed or tabular content. Pure integers: the
+    * head set is decided by one global cross-multiplication, shares
+    * are half-up ppm.
+    *
+    * Scale: one global token count (head set ≤ 1000 types by
+    * construction — broadcastable ALWAYS, since at most 1000 types
+    * can each exceed N/1000), one per-source occurrence rollup.
+    */
+  def headTokenDependence(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val occ = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val global = occ.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = global.agg(sum(col("c")).as("n_tokens"))
+    val headSet = global
+      .crossJoin(broadcast(tot))
+      .filter(col("c") * 1000L > col("n_tokens"))
+      .select(col("w"), lit(1L).as("is_head"))
+    occ
+      .join(broadcast(headSet), Seq("w"), "left")
+      .na
+      .fill(0L, Seq("is_head"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        sum(col("is_head")).as("head_occurrences")
+      )
+      .select(
+        col("source"), col("n_occurrences"), col("head_occurrences"),
+        microRatio(col("head_occurrences"),
+          greatest(col("n_occurrences"), lit(1L)))
+          .as("head_ppm")
+      )
+  }
+
+  /** q443: staged quality funnel — the corpus's exact mean micro-
+    * quality at three pipeline stages: raw, after near-dup survivor
+    * selection (the q78 keep-best policy on the q72 closure), and
+    * after the per-lang median gate on those survivors. The
+    * quality-axis companion of q200's doc/token funnel: retention
+    * says how much is left, this says how much BETTER what's left
+    * is, stage by stage, in the same exact integer units.
+    */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val docs = Tables.documents(spark, dir)
+    val scored = docs
+      .select(col("doc_id"), col("lang"))
+      .join(qualityMicroScoresFrom(docs), "doc_id")
+      .cacheTracked()
+    // stage 2: q72 labels, q78 keep-best-quality survivor per cluster
+    val labels = graft.operators.Dedup
+      .dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val best = labels
+      .join(scored.select(col("doc_id"), col("q_micro")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("q_micro"), (-col("doc_id")).as("nid")))
+        .as("b"))
+      .select((-col("b.nid")).as("doc_id"))
+    // docs outside the label set (no shingles) survive by default
+    val survivors = scored
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .union(best)
+    val surviving = scored.join(survivors, "doc_id")
+    val wOrd = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("q_micro").asc, col("doc_id").asc)
+    val lmed = surviving
+      .withColumn("lrn", row_number().over(wOrd))
+      .withColumn("lcnt",
+        count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .filter(col("lrn") === ceil(col("lcnt") * 50 / 100))
+      .select(col("lang"), col("q_micro").as("lang_med"))
+    val gated = surviving
+      .join(lmed, "lang")
+      .filter(col("q_micro") > col("lang_med"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("q_micro")).as("s"))
+        .select(lit(name).as("stage"), col("n_docs"),
+          idivHalfUp(col("s"), greatest(col("n_docs"), lit(1L)))
+            .as("mean_micro"))
+    stage("1_raw", scored)
+      .unionByName(stage("2_survivors", surviving))
+      .unionByName(stage("3_gated", gated.select(col("doc_id"),
+        col("q_micro"))))
+  }
+
   /** q384: borderline-band census — how many docs sit within ±w of
     * each language's median micro-quality, for w ∈ {10k, 50k, 100k}
     * micro. The FRAGILITY complement of the q381 transfer audit: a
