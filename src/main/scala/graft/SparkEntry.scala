@@ -1062,7 +1062,7 @@ object SparkEntry {
       (TextAnalysis.componentConcordance _),
     // Mergeable modular hash-sum receipt of the admitted set.
     "q420_admission_receipt" -> (Sampling.admissionReceipt _),
-    // First-25 vs steady-state mean quality per source.
+    // First-10 vs steady-state mean quality per source.
     "q421_early_sample_bias" -> (Sampling.earlySampleBias _),
     // Five-point of |rank_seed1 - rank_seed2| displacement.
     "q422_shuffle_displacement" -> (Sampling.shuffleDisplacement _),
@@ -1944,8 +1944,16 @@ object SparkEntry {
         JOIN tk t2 ON fl.doc_id = t2.doc_id)"""
   }
 
+  /** DuckDB twin of IntMath.idivHalfUp. The `::BIGINT` on the result
+    * is load-bearing: when `a`/`b` contain aggregates, DuckDB types
+    * `sum(BIGINT)` as HUGEINT and the quotient column inherits it —
+    * values match Spark's BIGINT bit-exactly, but the driver's hash
+    * is dtype-sensitive (HUGEINT→pandas ≠ int64), which is exactly
+    * the round-9 48-query regression. The cast is always safe: the
+    * quotient equals a value Spark already represents as LongType.
+    */
   private def sqlIdivHalfUp(a: String, b: String): String =
-    s"((2*($a) + ($b)) // (2*($b)))"
+    s"(((2*($a) + ($b)) // (2*($b)))::BIGINT)"
 
   /** DuckDB twin of IntMath.microRatio: round-half-up(a*1e6/b). */
   private def sqlMicroRatio(a: String, b: String): String =
@@ -4507,7 +4515,7 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN tr.gk IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_seen,
-           ((2*(count(*) - sum(CASE WHEN tr.gk IS NOT NULL THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS novelty_ppm
+           (((2*(count(*) - sum(CASE WHEN tr.gk IS NOT NULL THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT) AS novelty_ppm
          FROM te LEFT JOIN tr ON te.gk = tr.gk
          GROUP BY doc_id""",
     // q156: identical double widening; mean/stddev_pop per dim
@@ -4631,7 +4639,7 @@ object SparkEntry {
          c AS (SELECT qm.doc_id, qm.q_micro, nt.n_tokens,
                  sum(nt.n_tokens) OVER (ORDER BY qm.q_micro DESC,
                    qm.doc_id ASC
-                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
                FROM qm JOIN nt USING (doc_id))
          SELECT doc_id, q_micro, n_tokens, cum_tokens
          FROM c WHERE cum_tokens - n_tokens < 100000""",
@@ -5228,8 +5236,10 @@ object SparkEntry {
              AS retention_frac
          FROM g, tot""",
     // q188: identical global positions (per-doc offsets + in-doc
-    // index), decile bounds in the same double floor arithmetic, and
-    // the closed-form log-log least squares, rounded at the edge.
+    // index) and pure-integer decile bounds (N·d // 10) — the hashed
+    // surface is the exact BIGINT growth curve; the ln-based OLS fit
+    // lives in the spec (TextAnalysis.heapsOls), never in a hashed
+    // column.
     "q188_heaps_law" ->
       """WITH t AS (SELECT doc_id, source,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -5254,29 +5264,16 @@ object SparkEntry {
                    FROM tg GROUP BY 1, 2),
          tot AS (SELECT source, count(*) AS n_tokens
                  FROM tg GROUP BY 1),
-         voc AS (SELECT source, count(*) AS vocab
-                 FROM first GROUP BY 1),
-         b AS (SELECT source, t2.d AS d,
-                 CAST(floor(n_tokens * t2.d / 10.0) AS BIGINT) AS bound
+         b AS (SELECT source, t2.d::BIGINT AS d,
+                 ((n_tokens * t2.d) // 10)::BIGINT AS bound
                FROM tot, range(1, 11) t2(d)
-               WHERE floor(n_tokens * t2.d / 10.0) >= 1),
-         pt AS (SELECT f.source, ln(min(b.bound)::DOUBLE) AS x,
-                  ln(count(*)::DOUBLE) AS y
-                FROM first f JOIN b
-                  ON f.source = b.source AND f.fp <= b.bound
-                GROUP BY f.source, b.d),
-         ft AS (SELECT source, count(*)::DOUBLE AS np,
-                  sum(x) AS sx, sum(y) AS sy,
-                  sum(x * y) AS sxy, sum(x * x) AS sxx
-                FROM pt GROUP BY 1),
-         fit AS (SELECT source,
-                   (sxy - sx * sy / np) / (sxx - sx * sx / np) AS beta,
-                   sx, sy, np
-                 FROM ft)
-         SELECT tot.source, tot.n_tokens, voc.vocab,
-           round(fit.beta, 6) AS beta,
-           round(exp((fit.sy - fit.beta * fit.sx) / fit.np), 6) AS k
-         FROM tot JOIN voc USING (source) JOIN fit USING (source)""",
+               WHERE (n_tokens * t2.d) // 10 >= 1)
+         SELECT f.source, b.d,
+           min(b.bound)::BIGINT AS n_tokens_at,
+           count(*)::BIGINT AS vocab_at
+         FROM first f JOIN b
+           ON f.source = b.source AND f.fp <= b.bound
+         GROUP BY f.source, b.d""",
     // q189: identical normalization chain (lower → strip non-alnum →
     // collapse ws → trim) and md5 keys; dup flags via group counts.
     "q189_normalized_dedup" ->
@@ -5711,7 +5708,7 @@ object SparkEntry {
          bt AS (SELECT bucket, sum(n_docs) AS g_cnt FROM c GROUP BY 1),
          gt AS (SELECT sum(n_docs) AS g_tot FROM c),
          r AS (SELECT c.source, c.bucket,
-                 least(1000000, ((2*(bt.g_cnt * st.s_tot) * 1000000 + (gt.g_tot * c.n_docs)) // (2*(gt.g_tot * c.n_docs)))) AS ratio_ppm
+                 least(1000000, (((2*(bt.g_cnt * st.s_tot) * 1000000 + (gt.g_tot * c.n_docs)) // (2*(gt.g_tot * c.n_docs)))::BIGINT)) AS ratio_ppm
                FROM c JOIN st USING (source)
                JOIN bt USING (bucket), gt)
          SELECT d.source, d.bucket, count(*) AS n_docs,
@@ -5783,7 +5780,7 @@ object SparkEntry {
                FROM tr JOIN ev ON tr.s = ev.s
                GROUP BY 1, 2)
          SELECT eval_id, count(*) AS n_train_hits,
-           max(((2*(inter) * 1000000 + (n_eval)) // (2*(n_eval))))
+           max((((2*(inter) * 1000000 + (n_eval)) // (2*(n_eval)))::BIGINT))
              AS max_containment_micro
          FROM p GROUP BY 1""",
     // q215: a3 already ranks every (vec, centroid) distance; rn=1 is
@@ -5815,7 +5812,8 @@ object SparkEntry {
                  AS cum_before
                FROM g),
          a AS (SELECT sum(n_pos_s * (2 * cum_before + cnt + 1)) AS trs,
-                 sum(n_pos_s) AS n_pos, sum(cnt) AS n_all
+                 sum(n_pos_s)::BIGINT AS n_pos,
+                 sum(cnt)::BIGINT AS n_all
                FROM r)
          SELECT n_pos, n_all - n_pos AS n_neg,
            CASE WHEN n_pos = 0 OR n_pos = n_all THEN NULL
@@ -5859,7 +5857,7 @@ object SparkEntry {
          nv AS (SELECT source, count(*) AS n_novel FROM o GROUP BY 1)
          SELECT t.source, t.n_shingles,
            coalesce(nv.n_novel, 0) AS n_novel,
-           ((2*(coalesce(nv.n_novel, 0)) * 1000000 + (t.n_shingles)) // (2*(t.n_shingles))) AS novelty_ppm
+           (((2*(coalesce(nv.n_novel, 0)) * 1000000 + (t.n_shingles)) // (2*(t.n_shingles)))::BIGINT) AS novelty_ppm
          FROM t LEFT JOIN nv USING (source)""",
     // q220: per-(term, doc) counts → per-term cf/df; identical
     // expected-df expression 1 - exp(-cf/D) on both engines.
@@ -5869,7 +5867,7 @@ object SparkEntry {
                   ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
            FROM documents),
          pd AS (SELECT w, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2),
-         pt AS (SELECT w, sum(tf) AS cf, count(*) AS df FROM pd
+         pt AS (SELECT w, sum(tf)::BIGINT AS cf, count(*) AS df FROM pd
                 GROUP BY 1 HAVING count(*) >= 3),
          n AS (SELECT count(*) AS n_docs FROM documents)
          SELECT w, cf, df, n_docs,
@@ -5892,9 +5890,9 @@ object SparkEntry {
                LEFT JOIN nodes n USING (doc_id)
                LEFT JOIN kp USING (doc_id))
          SELECT source, count(*) AS n_docs,
-           sum(n_tokens) AS n_tokens,
+           sum(n_tokens)::BIGINT AS n_tokens,
            CAST(sum(kept) AS BIGINT) AS n_docs_kept,
-           sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)
+           sum(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END)::BIGINT
              AS n_tokens_kept,
            ${sqlMicroRatio("sum(kept)", "count(*)")} AS doc_retention_ppm,
            CASE WHEN sum(n_tokens) = 0 THEN 1000000
@@ -5929,7 +5927,7 @@ object SparkEntry {
          dd AS (SELECT f.doc_id, count(*) AS n_dup
                 FROM frames f JOIN dup USING (fp) GROUP BY 1)
          SELECT pd.doc_id, pd.n_sampled, dd.n_dup,
-           ((2*(dd.n_dup) * 1000000 + (pd.n_sampled)) // (2*(pd.n_sampled)))
+           (((2*(dd.n_dup) * 1000000 + (pd.n_sampled)) // (2*(pd.n_sampled)))::BIGINT)
              AS dup_frac_ppm
          FROM pd JOIN dd USING (doc_id)""",
     // q223: the q211 shrinkage chain ranks; one tiny-frame window
@@ -5950,7 +5948,7 @@ object SparkEntry {
                    sum(CAST(len(CASE WHEN length(trim(text)) = 0
                          THEN []::VARCHAR[]
                          ELSE regexp_split_to_array(trim(text), '\\s+')
-                       END) AS BIGINT)) AS n_tokens
+                       END) AS BIGINT))::BIGINT AS n_tokens
                  FROM documents GROUP BY 1),
          r AS (SELECT rep.source, rep.shrunk_q_micro, tok.n_tokens,
                  CAST(row_number() OVER
@@ -5959,7 +5957,7 @@ object SparkEntry {
                  coalesce(sum(tok.n_tokens) OVER
                    (ORDER BY rep.shrunk_q_micro DESC, rep.source ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS cum_before
+                   0)::BIGINT AS cum_before
                FROM rep JOIN tok USING (source))
          SELECT source, rank, shrunk_q_micro, n_tokens, cum_before,
            greatest(0, least(n_tokens, 50000 - cum_before))
@@ -6133,12 +6131,12 @@ object SparkEntry {
              ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
                % 1000000 < r.rate_lo_ppm THEN 1 ELSE 0 END) AS BIGINT))
              AS churn,
-           ((2*(abs(CAST(sum(CASE WHEN
+           (((2*(abs(CAST(sum(CASE WHEN
              ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
                % 1000000 < r.rate_hi_ppm THEN 1 ELSE 0 END) AS BIGINT)
              - CAST(sum(CASE WHEN
              ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
-               % 1000000 < r.rate_lo_ppm THEN 1 ELSE 0 END) AS BIGINT))) * 1000000 + (max(r.n_docs))) // (2*(max(r.n_docs)))) AS churn_ppm
+               % 1000000 < r.rate_lo_ppm THEN 1 ELSE 0 END) AS BIGINT))) * 1000000 + (max(r.n_docs))) // (2*(max(r.n_docs))))::BIGINT) AS churn_ppm
          FROM documents d JOIN r USING (lang)
          GROUP BY 1""",
     // q231: the drained online packer must equal the q53 batch
@@ -6167,7 +6165,8 @@ object SparkEntry {
                   ELSE regexp_split_to_array(trim(text), '\\s+') END)
                AS BIGINT) AS t
            FROM documents),
-         s AS (SELECT shard, count(*) AS n_docs, sum(t) AS n_tokens
+         s AS (SELECT shard, count(*) AS n_docs,
+                 sum(t)::BIGINT AS n_tokens
                FROM d GROUP BY 1),
          g AS (SELECT sum(n_tokens) AS g_tokens FROM s)
          SELECT shard, n_docs, n_tokens,
@@ -6186,7 +6185,8 @@ object SparkEntry {
            FROM documents),
          b AS (SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket, n
                FROM d WHERE n >= 1),
-         r AS (SELECT bucket, count(*) AS n_docs, sum(n) AS sum_tokens
+         r AS (SELECT bucket, count(*) AS n_docs,
+                 sum(n)::BIGINT AS sum_tokens
                FROM b GROUP BY 1)
          SELECT bucket, n_docs, sum_tokens,
            CAST(1 << CAST(bucket + 1 AS INTEGER) AS BIGINT) AS cap,
@@ -6531,7 +6531,7 @@ object SparkEntry {
                FROM d)
          SELECT source, count(*)::BIGINT AS n_docs,
            sum(x)::BIGINT AS total_tokens,
-           (CASE WHEN ((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000) < 0 THEN -((2*(-((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)) + (count(*) * nullif(sum(x), 0))) // (2*(count(*) * nullif(sum(x), 0)))) ELSE ((2*((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000) + (count(*) * nullif(sum(x), 0))) // (2*(count(*) * nullif(sum(x), 0)))) END)
+           (CASE WHEN ((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000) < 0 THEN -(((2*(-((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000)) + (count(*) * nullif(sum(x), 0))) // (2*(count(*) * nullif(sum(x), 0))))::BIGINT) ELSE (((2*((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000000) + (count(*) * nullif(sum(x), 0))) // (2*(count(*) * nullif(sum(x), 0))))::BIGINT) END)
              AS gini_micro
          FROM r GROUP BY 1""",
     // q248: the q93 CTEs + contingency table; majority via the same
@@ -6550,8 +6550,8 @@ object SparkEntry {
          SELECT cluster, max(size)::BIGINT AS size,
            max(CASE WHEN rk = 1 THEN label END) AS majority_label,
            max(CASE WHEN rk = 1 THEN n_ij END)::BIGINT AS n_majority,
-           ((2*(max(CASE WHEN rk = 1 THEN n_ij END)) * 1000000
-             + (max(size))) // (2*(max(size)))) AS purity_micro,
+           (((2*(max(CASE WHEN rk = 1 THEN n_ij END)) * 1000000
+             + (max(size))) // (2*(max(size))))::BIGINT) AS purity_micro,
            CAST(round(sum(-(n_ij::DOUBLE / size)
              * ln(n_ij::DOUBLE / size)) * 1e6) AS BIGINT)
              AS entropy_micro
@@ -6612,7 +6612,7 @@ object SparkEntry {
            sum(n)::BIGINT AS total_tokens,
            sum(nw)::BIGINT AS n_windows,
            sum(nw * len - n)::BIGINT AS padded_tokens,
-           ((2*(sum(nw * len - n)) * 1000000 + (sum(nw) * len)) // (2*(sum(nw) * len))) AS waste_ppm
+           (((2*(sum(nw * len - n)) * 1000000 + (sum(nw) * len)) // (2*(sum(nw) * len)))::BIGINT) AS waste_ppm
          FROM w GROUP BY len""",
     // q251: identical translate() alphabets and threshold order.
     "q251_content_type" ->
@@ -6623,9 +6623,9 @@ object SparkEntry {
               ELSE 'prose' END AS content_class
          FROM (SELECT doc_id, length(text)::BIGINT AS n_chars,
                  CASE WHEN length(text) = 0 THEN 0
-                      ELSE ((2*(length(text) - length(translate(text, '{}();=<>[]', ''))) * 1000000 + (length(text))) // (2*(length(text)))) END AS sym_ppm,
+                      ELSE (((2*(length(text) - length(translate(text, '{}();=<>[]', ''))) * 1000000 + (length(text))) // (2*(length(text))))::BIGINT) END AS sym_ppm,
                  CASE WHEN length(text) = 0 THEN 0
-                      ELSE ((2*(length(text) - length(translate(text, '0123456789', ''))) * 1000000 + (length(text))) // (2*(length(text)))) END AS digit_ppm
+                      ELSE (((2*(length(text) - length(translate(text, '0123456789', ''))) * 1000000 + (length(text))) // (2*(length(text))))::BIGINT) END AS digit_ppm
                FROM documents) t""",
     // q252: same tokenizer, same [.!?]+ / [aeiouy]+ run counts, the
     // vowel-less word floor via the same list filter.
@@ -6645,7 +6645,7 @@ object SparkEntry {
                    AS n_syllables
                FROM t)
          SELECT doc_id, n_words, n_sentences, n_syllables,
-           (206835000 - ((2*(1015000 * n_words) + (n_sentences)) // (2*(n_sentences))) - ((2*(84600000 * n_syllables) + (n_words)) // (2*(n_words))))
+           (206835000 - (((2*(1015000 * n_words) + (n_sentences)) // (2*(n_sentences)))::BIGINT) - (((2*(84600000 * n_syllables) + (n_words)) // (2*(n_words)))::BIGINT))
              AS flesch_micro
          FROM m WHERE n_words > 0""",
     // q253: the shared shingle CTE; buckets via the same floor
@@ -6657,7 +6657,7 @@ object SparkEntry {
          f AS (SELECT sh, min(b) AS first_b FROM p GROUP BY 1)
          SELECT b, count(*)::BIGINT AS n_distinct,
            sum(CASE WHEN first_b = b THEN 1 ELSE 0 END)::BIGINT AS n_new,
-           ((2*(sum(CASE WHEN first_b = b THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS novelty_ppm
+           (((2*(sum(CASE WHEN first_b = b THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT) AS novelty_ppm
          FROM p JOIN f USING (sh) GROUP BY 1""",
     // q254: identical trailing-24-rows frame; mean/variance from the
     // same integer window sums; NULL guards via the same k/s2 nulls.
@@ -6826,7 +6826,7 @@ object SparkEntry {
                     AS n_nonfinite,
                   min(CAST(round(nrm * 1e6) AS BIGINT))
                     AS min_norm_micro,
-                  ((2*(sum(CAST(round(nrm * 1e6) AS BIGINT))) + (count(*))) // (2*(count(*))))
+                  (((2*(sum(CAST(round(nrm * 1e6) AS BIGINT))) + (count(*))) // (2*(count(*))))::BIGINT)
                     AS mean_norm_micro,
                   max(CAST(round(nrm * 1e6) AS BIGINT))
                     AS max_norm_micro
@@ -6869,7 +6869,7 @@ object SparkEntry {
                  sum(n) OVER (PARTITION BY from_type)::BIGINT AS rt
                FROM c)
          SELECT from_type, to_type, n,
-           ((2*(n) * 1000000 + (rt)) // (2*(rt))) AS p_micro
+           (((2*(n) * 1000000 + (rt)) // (2*(rt)))::BIGINT) AS p_micro
          FROM w""",
     // q263: exact-integer label counts; the same least(cap, ...)
     // weight, expected-count and share formulas.
@@ -6879,13 +6879,13 @@ object SparkEntry {
          t AS (SELECT sum(n)::BIGINT AS bign, count(*)::BIGINT AS k
                FROM c),
          w AS (SELECT label, n,
-                 least(10000000, ((2*(bign) * 1000000 + (k * n)) // (2*(k * n)))) AS w_micro
+                 least(10000000, (((2*(bign) * 1000000 + (k * n)) // (2*(k * n)))::BIGINT)) AS w_micro
                FROM c, t),
          e AS (SELECT label, n, w_micro, n * w_micro AS e_micro FROM w),
          et AS (SELECT sum(e_micro)::BIGINT AS etot_micro FROM e)
          SELECT label, n, w_micro AS weight_micro,
-           ((2*(e_micro) + (1000000)) // (2*(1000000))) AS expected_n,
-           ((2*(e_micro) * 1000000 + (etot_micro)) // (2*(etot_micro))) AS share_micro
+           (((2*(e_micro) + (1000000)) // (2*(1000000)))::BIGINT) AS expected_n,
+           (((2*(e_micro) * 1000000 + (etot_micro)) // (2*(etot_micro)))::BIGINT) AS share_micro
          FROM e, et""",
     // q264: q94's affine scheme at three widths — identical code
     // rounding, reconstruction order, and moment formulas.
@@ -6956,7 +6956,7 @@ object SparkEntry {
                           ORDER BY sim DESC, vec_id ASC) AS rk
                       FROM cnp) t WHERE rk <= 5)
          SELECT np::BIGINT AS nprobe, count(*)::BIGINT AS n_matches,
-           ((2*(count(*)) * 1000000 + ((SELECT count(*) FROM q) * 5)) // (2*((SELECT count(*) FROM q) * 5)))
+           (((2*(count(*)) * 1000000 + ((SELECT count(*) FROM q) * 5)) // (2*((SELECT count(*) FROM q) * 5)))::BIGINT)
              AS recall_ppm
          FROM ap JOIN ex USING (q_id, vec_id) GROUP BY np"""
     },
@@ -7001,7 +7001,7 @@ object SparkEntry {
                WHERE (cum - n) + s.i < 1000)
          SELECT source, count(*)::BIGINT AS n_sample,
            count(DISTINCT tok)::BIGINT AS n_types,
-           ((2*(count(DISTINCT tok)) * 1000000 + (count(*))) // (2*(count(*)))) AS ttr_micro
+           (((2*(count(DISTINCT tok)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT) AS ttr_micro
          FROM f GROUP BY 1""",
     // q268: pure integer arithmetic — same remainder, same
     // (rem DESC, source, lang) seat order.
@@ -7108,7 +7108,7 @@ object SparkEntry {
                FROM r, t)
          SELECT stratum, count(*)::BIGINT AS n_terms,
            sum(cnt)::BIGINT AS token_mass,
-           ((2*(sum(cnt)) * 1000000 + (SELECT tot FROM t)) // (2*(SELECT tot FROM t))) AS coverage_ppm
+           (((2*(sum(cnt)) * 1000000 + (SELECT tot FROM t)) // (2*(SELECT tot FROM t)))::BIGINT) AS coverage_ppm
          FROM s GROUP BY 1""",
     // q272: the q251 tagger inline + GROUP BY CUBE; GROUPING() uses
     // the same first-arg-MSB bit order as Spark's grouping_id().
@@ -7120,10 +7120,10 @@ object SparkEntry {
                   ELSE 'prose' END AS content_class
            FROM (SELECT doc_id, length(text)::BIGINT AS n_chars,
                    CASE WHEN length(text) = 0 THEN 0
-                        ELSE ((2*(length(text) - length(translate(text, '{}();=<>[]', ''))) * 1000000 + (length(text))) // (2*(length(text))))
+                        ELSE (((2*(length(text) - length(translate(text, '{}();=<>[]', ''))) * 1000000 + (length(text))) // (2*(length(text))))::BIGINT)
                    END AS sym_ppm,
                    CASE WHEN length(text) = 0 THEN 0
-                        ELSE ((2*(length(text) - length(translate(text, '0123456789', ''))) * 1000000 + (length(text))) // (2*(length(text))))
+                        ELSE (((2*(length(text) - length(translate(text, '0123456789', ''))) * 1000000 + (length(text))) // (2*(length(text))))::BIGINT)
                    END AS digit_ppm
                  FROM documents) t),
          base AS (SELECT d.source, d.lang, tg.content_class,
@@ -7278,7 +7278,7 @@ object SparkEntry {
          SELECT doc_id, count(*)::BIGINT AS n_shingles,
            sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
                END)::BIGINT AS n_novel,
-           ((2*(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS novelty_ppm
+           (((2*(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT) AS novelty_ppm
          FROM p JOIN f USING (s) GROUP BY 1""",
     // q277: the batch q262 oracle verbatim — the stream must land on
     // the identical transition multiset.
@@ -7296,7 +7296,7 @@ object SparkEntry {
                  sum(n) OVER (PARTITION BY from_type)::BIGINT AS rt
                FROM c)
          SELECT from_type, to_type, n,
-           ((2*(n) * 1000000 + (rt)) // (2*(rt))) AS p_micro
+           (((2*(n) * 1000000 + (rt)) // (2*(rt)))::BIGINT) AS p_micro
          FROM w""",
     // q278: same lattice pairs, same cosine fold, same floor binning.
     "q278_cosine_histogram" -> {
@@ -7312,7 +7312,7 @@ object SparkEntry {
                GROUP BY 1),
          t AS (SELECT sum(n_pairs)::BIGINT AS tot FROM h)
          SELECT bin, round(-1.0 + bin * 0.1, 1) AS bin_lo, n_pairs,
-           ((2*(n_pairs) * 1000000 + (t.tot)) // (2*(t.tot)))
+           (((2*(n_pairs) * 1000000 + (t.tot)) // (2*(t.tot)))::BIGINT)
              AS share_ppm
          FROM h, t"""
     },
@@ -7360,7 +7360,7 @@ object SparkEntry {
          t AS (SELECT sum(n)::BIGINT AS tot, count(*)::BIGINT AS n_cells
                FROM c)
          SELECT dow, hod, n,
-           ((2*(n) * 1000000 + (t.tot)) // (2*(t.tot))) AS share_ppm,
+           (((2*(n) * 1000000 + (t.tot)) // (2*(t.tot)))::BIGINT) AS share_ppm,
            n * t.n_cells > t.tot * 2 AS peak
          FROM c, t""",
     // q281: same micro integerization, exact-integer mean pivot,
@@ -7371,7 +7371,7 @@ object SparkEntry {
                   q2.q_micro AS qm
                 FROM documents d JOIN qm q2 USING (doc_id)),
          mn AS (SELECT source,
-                  (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END) AS mean_micro
+                  (CASE WHEN (sum(qm)) < 0 THEN -(((2*(-(sum(qm))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(qm)) + (count(*))) // (2*(count(*))))::BIGINT) END) AS mean_micro
                 FROM sc GROUP BY 1),
          dv AS (SELECT sc.source,
                   (sc.qm - mn.mean_micro)::DOUBLE / 1e6 AS d
@@ -7536,14 +7536,14 @@ object SparkEntry {
                 FROM d JOIN src USING (source)
                 WHERE d.x > 0 GROUP BY 1)
          SELECT src.source, src.n_s AS n_docs, src.n_zero,
-           ((2*(src.sum_s) * 1000000 + (tot.tot)) // (2*(tot.tot)))
+           (((2*(src.sum_s) * 1000000 + (tot.tot)) // (2*(tot.tot)))::BIGINT)
              AS tok_share_ppm,
-           (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s * 1000000)) // (2*(src.n_s * 1000000))) ELSE ((2*(wi.t_sum) + (src.n_s * 1000000)) // (2*(src.n_s * 1000000))) END) AS within_milli,
+           (CASE WHEN (wi.t_sum) < 0 THEN -(((2*(-(wi.t_sum)) + (src.n_s * 1000000)) // (2*(src.n_s * 1000000)))::BIGINT) ELSE (((2*(wi.t_sum) + (src.n_s * 1000000)) // (2*(src.n_s * 1000000)))::BIGINT) END) AS within_milli,
            CAST(round(src.sum_s::DOUBLE / tot.tot
              * ln((src.sum_s * tot.bign)::DOUBLE
                   / (src.n_s * tot.tot)::DOUBLE) * 1e3) AS BIGINT)
              AS between_milli,
-           (CASE WHEN (src.sum_s * (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s)) // (2*(src.n_s))) ELSE ((2*(wi.t_sum) + (src.n_s)) // (2*(src.n_s))) END)) < 0 THEN -((2*(-(src.sum_s * (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s)) // (2*(src.n_s))) ELSE ((2*(wi.t_sum) + (src.n_s)) // (2*(src.n_s))) END))) + (tot.tot * 1000000)) // (2*(tot.tot * 1000000))) ELSE ((2*(src.sum_s * (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s)) // (2*(src.n_s))) ELSE ((2*(wi.t_sum) + (src.n_s)) // (2*(src.n_s))) END)) + (tot.tot * 1000000)) // (2*(tot.tot * 1000000))) END) AS contrib_milli
+           (CASE WHEN (src.sum_s * (CASE WHEN (wi.t_sum) < 0 THEN -(((2*(-(wi.t_sum)) + (src.n_s)) // (2*(src.n_s)))::BIGINT) ELSE (((2*(wi.t_sum) + (src.n_s)) // (2*(src.n_s)))::BIGINT) END)) < 0 THEN -(((2*(-(src.sum_s * (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s)) // (2*(src.n_s))) ELSE ((2*(wi.t_sum) + (src.n_s)) // (2*(src.n_s))) END))) + (tot.tot * 1000000)) // (2*(tot.tot * 1000000)))::BIGINT) ELSE (((2*(src.sum_s * (CASE WHEN (wi.t_sum) < 0 THEN -((2*(-(wi.t_sum)) + (src.n_s)) // (2*(src.n_s))) ELSE ((2*(wi.t_sum) + (src.n_s)) // (2*(src.n_s))) END)) + (tot.tot * 1000000)) // (2*(tot.tot * 1000000)))::BIGINT) END) AS contrib_milli
          FROM src JOIN wi USING (source), tot""",
     // q286: list slices + list_distinct; the intersection via
     // list_filter/list_contains (exact distinct-term set algebra).
@@ -7565,7 +7565,7 @@ object SparkEntry {
            sum(nh - nb)::BIGINT AS head_only,
            sum(nt - nb)::BIGINT AS tail_only,
            sum(nb)::BIGINT AS both_terms,
-           ((2*(sum(nh - nb)) * 1000000 + (sum(nh - nb) + sum(nt - nb) + sum(nb))) // (2*(sum(nh - nb) + sum(nt - nb) + sum(nb)))) AS lead_ppm
+           (((2*(sum(nh - nb)) * 1000000 + (sum(nh - nb) + sum(nt - nb) + sum(nb))) // (2*(sum(nh - nb) + sum(nt - nb) + sum(nb))))::BIGINT) AS lead_ppm
          FROM c GROUP BY 1""",
     // q287: same micro bucket clamp, 10x10 threshold join, exact
     // integer sums; empty cuts surface as zero rows via LEFT JOIN.
@@ -7592,10 +7592,10 @@ object SparkEntry {
                   coalesce(sum(bk.qm_sum), 0)::BIGINT AS qm_kept
                 FROM th LEFT JOIN bk ON bk.b >= th.k GROUP BY 1)
          SELECT k AS thr_decile, docs_kept, toks_kept,
-           ((2*(toks_kept) * 1000000 + (tt.tot_toks)) // (2*(tt.tot_toks)))
+           (((2*(toks_kept) * 1000000 + (tt.tot_toks)) // (2*(tt.tot_toks)))::BIGINT)
              AS tok_share_ppm,
            CASE WHEN docs_kept = 0 THEN 0
-                ELSE ((2*(qm_kept) + (docs_kept)) // (2*(docs_kept)))
+                ELSE (((2*(qm_kept) + (docs_kept)) // (2*(docs_kept)))::BIGINT)
            END AS mean_q_micro
          FROM cu, tt""",
     // q288: the shared gate-flag CTEs, a 3-way feature unpivot, and
@@ -7637,9 +7637,9 @@ object SparkEntry {
                     AS BIGINT))::BIGINT AS h_nano
                 FROM mk JOIN tot USING (gate, feature) GROUP BY 1, 2)
          SELECT mi.gate, mi.feature, hk.n,
-           (CASE WHEN (mi.mi_nano) < 0 THEN -((2*(-(mi.mi_nano)) + (1000)) // (2*(1000))) ELSE ((2*(mi.mi_nano) + (1000)) // (2*(1000))) END) AS mi_micro,
+           (CASE WHEN (mi.mi_nano) < 0 THEN -(((2*(-(mi.mi_nano)) + (1000)) // (2*(1000)))::BIGINT) ELSE (((2*(mi.mi_nano) + (1000)) // (2*(1000)))::BIGINT) END) AS mi_micro,
            CASE WHEN hk.h_nano = 0 THEN 0
-                ELSE (CASE WHEN (mi.mi_nano * 1000000) < 0 THEN -((2*(-(mi.mi_nano * 1000000)) + (hk.h_nano)) // (2*(hk.h_nano))) ELSE ((2*(mi.mi_nano * 1000000) + (hk.h_nano)) // (2*(hk.h_nano))) END)
+                ELSE (CASE WHEN (mi.mi_nano * 1000000) < 0 THEN -(((2*(-(mi.mi_nano * 1000000)) + (hk.h_nano)) // (2*(hk.h_nano)))::BIGINT) ELSE (((2*(mi.mi_nano * 1000000) + (hk.h_nano)) // (2*(hk.h_nano)))::BIGINT) END)
            END AS nmi_micro
          FROM mi JOIN hk USING (gate, feature)""",
     // q289: the q132 weight chain verbatim; femto-quantized ESS terms
@@ -7662,8 +7662,8 @@ object SparkEntry {
            CAST(round(q * 1e6) AS BIGINT) AS q_ppm,
            CAST(round(0.5 * tot * q / n_docs * 1e6) AS BIGINT)
              AS rep_micro,
-           ((2*(1000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) AS ess_docs,
-           ((2*(((2*(1000000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) * 1000) + (ti.toti)) // (2*(ti.toti)))
+           (((2*(1000000000000000) + (fs.f_sum)) // (2*(fs.f_sum)))::BIGINT) AS ess_docs,
+           (((2*(((2*(1000000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) * 1000) + (ti.toti)) // (2*(ti.toti)))::BIGINT)
              AS ess_ppm
          FROM t, fs, ti""",
     // q290: same exploded length lattice, exact integer clip sums.
@@ -7681,7 +7681,7 @@ object SparkEntry {
              AS docs_truncated,
            sum(n)::BIGINT AS total_tokens,
            sum(least(n, len))::BIGINT AS kept_tokens,
-           ((2*(sum(n) - sum(least(n, len))) * 1000000 + (sum(n))) // (2*(sum(n)))) AS lost_ppm
+           (((2*(sum(n) - sum(least(n, len))) * 1000000 + (sum(n))) // (2*(sum(n))))::BIGINT) AS lost_ppm
          FROM x GROUP BY 1""",
     // q291: 12-perm portable signature, four band lattices off one
     // CTE, truth from the exact q21 pair chain at J >= 0.5; the
@@ -7732,10 +7732,10 @@ object SparkEntry {
          raw AS (${perConfig.mkString("\n           UNION ALL\n           ")})
          SELECT bands, rows_per_band, n_candidates, n_true, n_hit,
            CASE WHEN n_true = 0 THEN 0
-                ELSE ((2*(n_hit) * 1000000 + (n_true)) // (2*(n_true)))
+                ELSE (((2*(n_hit) * 1000000 + (n_true)) // (2*(n_true)))::BIGINT)
            END AS recall_ppm,
            CASE WHEN n_candidates = 0 THEN 0
-                ELSE ((2*(n_hit) * 1000000 + (n_candidates)) // (2*(n_candidates)))
+                ELSE (((2*(n_hit) * 1000000 + (n_candidates)) // (2*(n_candidates)))::BIGINT)
            END AS precision_ppm,
            expected_p50_ppm
          FROM raw"""
@@ -7815,7 +7815,7 @@ object SparkEntry {
                      AS low_margin_n
                  FROM nb GROUP BY 1, 2)
          SELECT cell.lang, cell.pred_lang, cell.n,
-           ((2*(cell.n) * 1000000 + (tr.n_true)) // (2*(tr.n_true)))
+           (((2*(cell.n) * 1000000 + (tr.n_true)) // (2*(tr.n_true)))::BIGINT)
              AS row_share_ppm,
            CAST(round(cell.mm_sum::DOUBLE / cell.n) AS BIGINT)
              AS mean_margin_micro,
@@ -7877,7 +7877,7 @@ object SparkEntry {
            sum(CASE WHEN abs(rdiff) >= abs(ob.obs) THEN 1 ELSE 0
              END)::BIGINT AS n_extreme,
            count(*)::BIGINT AS b,
-           ((2*(sum(CASE WHEN abs(rdiff) >= abs(ob.obs) THEN 1 ELSE 0 END) + 1) * 1000000 + (count(*) + 1)) // (2*(count(*) + 1))) AS p_micro,
+           (((2*(sum(CASE WHEN abs(rdiff) >= abs(ob.obs) THEN 1 ELSE 0 END) + 1) * 1000000 + (count(*) + 1)) // (2*(count(*) + 1)))::BIGINT) AS p_micro,
            (sum(CASE WHEN abs(rdiff) >= abs(ob.obs) THEN 1 ELSE 0
              END) + 1) * 20 < (count(*) + 1) AS significant
          FROM rd, ob, nm GROUP BY 1, 2, 3, 4, 5""",
@@ -7896,7 +7896,7 @@ object SparkEntry {
                   coalesce(c.x, 0)::BIGINT AS x
                 FROM g LEFT JOIN c USING (event_type, h)),
          m AS (SELECT event_type,
-                 ((2*(sum(x) * 1000) + (count(*))) // (2*(count(*)))) AS m_milli
+                 (((2*(sum(x) * 1000) + (count(*))) // (2*(count(*))))::BIGINT) AS m_milli
                FROM dn GROUP BY 1),
          dv AS (SELECT dn.event_type, dn.h,
                   1000 * dn.x - m.m_milli AS d
@@ -7921,7 +7921,7 @@ object SparkEntry {
          l AS (SELECT unnest([1, 24, 168])::BIGINT AS lag)
          SELECT event_type, l.lag, n_hours,
            CASE WHEN den = 0 THEN 0
-                ELSE (CASE WHEN ((CASE l.lag WHEN 1 THEN num1 WHEN 24 THEN num24 ELSE num168 END) * 1000000) < 0 THEN -((2*(-((CASE l.lag WHEN 1 THEN num1 WHEN 24 THEN num24 ELSE num168 END) * 1000000)) + (den)) // (2*(den))) ELSE ((2*((CASE l.lag WHEN 1 THEN num1 WHEN 24 THEN num24 ELSE num168 END) * 1000000) + (den)) // (2*(den))) END)
+                ELSE (CASE WHEN ((CASE l.lag WHEN 1 THEN num1 WHEN 24 THEN num24 ELSE num168 END) * 1000000) < 0 THEN -(((2*(-((CASE l.lag WHEN 1 THEN num1 WHEN 24 THEN num24 ELSE num168 END) * 1000000)) + (den)) // (2*(den)))::BIGINT) ELSE (((2*((CASE l.lag WHEN 1 THEN num1 WHEN 24 THEN num24 ELSE num168 END) * 1000000) + (den)) // (2*(den)))::BIGINT) END)
            END AS acf_micro,
            den <> 0 AND (CASE l.lag WHEN 1 THEN num1
              WHEN 24 THEN num24 ELSE num168 END) * 5 > den
@@ -7958,8 +7958,8 @@ object SparkEntry {
                         ORDER BY rep_micro DESC, lang ASC) AS rn
                       FROM t2) WHERE rn = 1)
          SELECT tp.alpha_centi,
-           ((2*(1000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) AS ess_docs,
-           ((2*(((2*(1000000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) * 1000) + (CAST(tp.tot AS BIGINT))) // (2*(CAST(tp.tot AS BIGINT))))
+           (((2*(1000000000000000) + (fs.f_sum)) // (2*(fs.f_sum)))::BIGINT) AS ess_docs,
+           (((2*(((2*(1000000000000000000) + (fs.f_sum)) // (2*(fs.f_sum))) * 1000) + (CAST(tp.tot AS BIGINT))) // (2*(CAST(tp.tot AS BIGINT))))::BIGINT)
              AS ess_ppm,
            tp.max_rep_micro, tp.max_rep_lang
          FROM tp JOIN fs USING (alpha_centi)""",
@@ -7970,7 +7970,7 @@ object SparkEntry {
          s AS (SELECT d.doc_id, d.source,
                  q2.q_micro AS qm
                FROM documents d JOIN qm q2 USING (doc_id)),
-         mn AS (SELECT source, (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END)
+         mn AS (SELECT source, (CASE WHEN (sum(qm)) < 0 THEN -(((2*(-(sum(qm))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(qm)) + (count(*))) // (2*(count(*))))::BIGINT) END)
                   AS mean_micro
                 FROM s GROUP BY 1),
          ag AS (SELECT s.source, count(*)::BIGINT AS n,
@@ -7998,10 +7998,10 @@ object SparkEntry {
          s AS (SELECT x.source, x.stratum,
                  q2.q_micro AS qm
                FROM x JOIN qm q2 USING (doc_id)),
-         cs AS (SELECT stratum, (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END)
+         cs AS (SELECT stratum, (CASE WHEN (sum(qm)) < 0 THEN -(((2*(-(sum(qm))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(qm)) + (count(*))) // (2*(count(*))))::BIGINT) END)
                   AS cm_micro
                 FROM s GROUP BY 1),
-         cm AS (SELECT (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END) AS corpus_micro
+         cm AS (SELECT (CASE WHEN (sum(qm)) < 0 THEN -(((2*(-(sum(qm))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(qm)) + (count(*))) // (2*(count(*))))::BIGINT) END) AS corpus_micro
                 FROM s),
          ag AS (SELECT source, stratum, count(*)::BIGINT AS n_ss,
                   sum(qm)::BIGINT AS q_ss
@@ -8058,7 +8058,7 @@ object SparkEntry {
                     AS shapley_24ths
                 FROM pat CROSS JOIN lat GROUP BY 1)
          SELECT sh.gate, tot.n, tot.killed_total, sh.shapley_24ths,
-           (CASE WHEN (sh.shapley_24ths * 1000000) < 0 THEN -((2*(-(sh.shapley_24ths * 1000000)) + (tot.n * 24)) // (2*(tot.n * 24))) ELSE ((2*(sh.shapley_24ths * 1000000) + (tot.n * 24)) // (2*(tot.n * 24))) END) AS shapley_ppm
+           (CASE WHEN (sh.shapley_24ths * 1000000) < 0 THEN -(((2*(-(sh.shapley_24ths * 1000000)) + (tot.n * 24)) // (2*(tot.n * 24)))::BIGINT) ELSE (((2*(sh.shapley_24ths * 1000000) + (tot.n * 24)) // (2*(tot.n * 24)))::BIGINT) END) AS shapley_ppm
          FROM sh, tot"""
     },
     // q301: the batch q254 chain restricted to CLOSED hours (every
@@ -8113,7 +8113,7 @@ object SparkEntry {
                SELECT 0::BIGINT, (t.n_corpus - ap.n_app)::BIGINT
                FROM t, ap)
          SELECT occurrences, n_vectors,
-           ((2*(n_vectors) * 1000000 + (t.n_corpus)) // (2*(t.n_corpus)))
+           (((2*(n_vectors) * 1000000 + (t.n_corpus)) // (2*(t.n_corpus)))::BIGINT)
              AS share_ppm
          FROM u, t"""
     },
@@ -8168,9 +8168,9 @@ object SparkEntry {
                FROM c, t)
          SELECT source, count(*)::BIGINT AS n_docs,
            sum(sel)::BIGINT AS n_sel,
-           ((2*(sum(n_tokens) * 1000000) + (t.t)) // (2*(t.t))) AS expected_milli,
+           (((2*(sum(n_tokens) * 1000000) + (t.t)) // (2*(t.t)))::BIGINT) AS expected_milli,
            sum(sel)::BIGINT * 1000
-             - ((2*(sum(n_tokens) * 1000000) + (t.t)) // (2*(t.t))) AS dev_milli
+             - (((2*(sum(n_tokens) * 1000000) + (t.t)) // (2*(t.t)))::BIGINT) AS dev_milli
          FROM s, t GROUP BY source, t.t""",
     // q305: exact integer-pivot sd, micro-quantized quotas, the q268
     // Hamilton base/remainder split run twice.
@@ -8179,7 +8179,7 @@ object SparkEntry {
          s AS (SELECT d.doc_id, d.source,
                  q2.q_micro AS qm
                FROM documents d JOIN qm q2 USING (doc_id)),
-         mn AS (SELECT source, (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END)
+         mn AS (SELECT source, (CASE WHEN (sum(qm)) < 0 THEN -(((2*(-(sum(qm))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(qm)) + (count(*))) // (2*(count(*))))::BIGINT) END)
                   AS mean_micro
                 FROM s GROUP BY 1),
          mom AS (SELECT s.source, count(*)::BIGINT AS n_docs,
@@ -8195,7 +8195,7 @@ object SparkEntry {
          q AS (SELECT m2.source, m2.n_docs, m2.sd,
                  CAST(round(m2.n_docs::DOUBLE * m2.sd / tt.w_ney
                    * 1000 * 1e6) AS BIGINT) AS q_ney,
-                 ((2*(m2.n_docs * 1000000000) + (tt.w_prop)) // (2*(tt.w_prop))) AS q_prop
+                 (((2*(m2.n_docs * 1000000000) + (tt.w_prop)) // (2*(tt.w_prop)))::BIGINT) AS q_prop
                FROM m2, tt),
          b1 AS (SELECT q.*,
                  (q_ney - q_ney % 1000000) // 1000000 AS base_n,
@@ -8281,7 +8281,7 @@ object SparkEntry {
          SELECT doc_id, min(w)::BIGINT AS seg_start,
            max(w)::BIGINT AS seg_end,
            count(*)::BIGINT AS n_windows,
-           (CASE WHEN (sum(energy)) < 0 THEN -((2*(-(sum(energy))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(energy)) + (count(*))) // (2*(count(*)))) END) AS mean_energy_milli
+           (CASE WHEN (sum(energy)) < 0 THEN -(((2*(-(sum(energy))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(energy)) + (count(*))) // (2*(count(*))))::BIGINT) END) AS mean_energy_milli
          FROM k GROUP BY doc_id, grp""",
     // q308: the q296 dense-series CTEs, prefix-sum/prefix-min closed
     // form, same 8-sigma alarm and last-peak tiebreak.
@@ -8298,7 +8298,7 @@ object SparkEntry {
                   coalesce(c.x, 0)::BIGINT AS x
                 FROM g LEFT JOIN c USING (event_type, h)),
          m AS (SELECT event_type,
-                 ((2*(sum(x) * 1000) + (count(*))) // (2*(count(*)))) AS m_milli
+                 (((2*(sum(x) * 1000) + (count(*))) // (2*(count(*))))::BIGINT) AS m_milli
                FROM dn GROUP BY 1),
          dv AS (SELECT dn.event_type, dn.h,
                   1000 * dn.x - m.m_milli AS d
@@ -8356,7 +8356,7 @@ object SparkEntry {
              AS docs_affected,
            sum(n_matches)::BIGINT AS n_matches,
            sum(n_chars)::BIGINT AS chars_matched,
-           ((2*(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS affected_ppm
+           (((2*(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT) AS affected_ppm
          FROM p GROUP BY 1, 2"""
     },
     // q310: same hash order, same floor/cap arithmetic, rank-based
@@ -8405,9 +8405,9 @@ object SparkEntry {
                  sb2 / n_b - (sb1 / n_b) * (sb1 / n_b) AS vb
                FROM a JOIN b USING (dim))
          SELECT dim::INTEGER AS dim, n_a, n_b,
-           (CASE WHEN (sma) < 0 THEN -((2*(-(sma)) + (n_a)) // (2*(n_a))) ELSE ((2*(sma) + (n_a)) // (2*(n_a))) END) AS mean_a_micro,
-           (CASE WHEN (smb) < 0 THEN -((2*(-(smb)) + (n_b)) // (2*(n_b))) ELSE ((2*(smb) + (n_b)) // (2*(n_b))) END) AS mean_b_micro,
-           (CASE WHEN (smb) < 0 THEN -((2*(-(smb)) + (n_b)) // (2*(n_b))) ELSE ((2*(smb) + (n_b)) // (2*(n_b))) END) - (CASE WHEN (sma) < 0 THEN -((2*(-(sma)) + (n_a)) // (2*(n_a))) ELSE ((2*(sma) + (n_a)) // (2*(n_a))) END) AS delta_micro,
+           (CASE WHEN (sma) < 0 THEN -(((2*(-(sma)) + (n_a)) // (2*(n_a)))::BIGINT) ELSE (((2*(sma) + (n_a)) // (2*(n_a)))::BIGINT) END) AS mean_a_micro,
+           (CASE WHEN (smb) < 0 THEN -(((2*(-(smb)) + (n_b)) // (2*(n_b)))::BIGINT) ELSE (((2*(smb) + (n_b)) // (2*(n_b)))::BIGINT) END) AS mean_b_micro,
+           (CASE WHEN (smb) < 0 THEN -(((2*(-(smb)) + (n_b)) // (2*(n_b)))::BIGINT) ELSE (((2*(smb) + (n_b)) // (2*(n_b)))::BIGINT) END) - (CASE WHEN (sma) < 0 THEN -(((2*(-(sma)) + (n_a)) // (2*(n_a)))::BIGINT) ELSE (((2*(sma) + (n_a)) // (2*(n_a)))::BIGINT) END) AS delta_micro,
            CASE WHEN sqrt(va / n_a + vb / n_b) = 0 THEN 0
                 ELSE CAST(round((mb - ma)
                   / sqrt(va / n_a + vb / n_b) * 1e3) AS BIGINT)
@@ -8439,7 +8439,7 @@ object SparkEntry {
          SELECT source, n_keys, fpp_ppm, bits,
            CAST(round(bits::DOUBLE / n_keys * ln(2.0)) AS BIGINT)
              AS k_hashes,
-           ((2*(bits * 1000) + (8192)) // (2*(8192)))
+           (((2*(bits * 1000) + (8192)) // (2*(8192)))::BIGINT)
              AS kib_milli
          FROM y""",
     // q313: generated from the same class seq (RE2 escape column);
@@ -8462,7 +8462,7 @@ object SparkEntry {
            SELECT source, total, 'other', total - ($sumAll) FROM p)
          SELECT source, script, sum(n_chars)::BIGINT AS n_chars,
            (CASE WHEN sum(total) = 0 THEN NULL
-             ELSE ((2*(sum(n_chars)) * 1000000 + (sum(total))) // (2*(sum(total)))) END) AS share_ppm
+             ELSE (((2*(sum(n_chars)) * 1000000 + (sum(total))) // (2*(sum(total))))::BIGINT) END) AS share_ppm
          FROM u GROUP BY 1, 2"""
     },
     // q314: same length lattice; window-min argmin flags over the
@@ -8488,9 +8488,9 @@ object SparkEntry {
                   min(lost_tokens) AS min_lost
                 FROM ag)
          SELECT len, n_docs, total_tokens, padded_tokens,
-           ((2*(padded_tokens) * 1000000 + (padded_capacity)) // (2*(padded_capacity))) AS pad_waste_ppm,
+           (((2*(padded_tokens) * 1000000 + (padded_capacity)) // (2*(padded_capacity)))::BIGINT) AS pad_waste_ppm,
            lost_tokens,
-           ((2*(lost_tokens) * 1000000 + (total_tokens)) // (2*(total_tokens))) AS lost_ppm,
+           (((2*(lost_tokens) * 1000000 + (total_tokens)) // (2*(total_tokens)))::BIGINT) AS lost_ppm,
            CASE WHEN padded_tokens < lost_tokens THEN 'pack'
                 ELSE 'truncate' END AS cheaper_design,
            padded_tokens = mm.min_pad AS best_pack_l,
@@ -8575,7 +8575,7 @@ object SparkEntry {
          sc AS (SELECT ib.event_type, ib.hour_us, ib.user_id,
                   ib.n_in_hour, us.user_n,
                   ib.n_in_hour * 1000000
-                    - ((2*(us.user_n * ib.hour_n) * 1000000 + (tt.type_n)) // (2*(tt.type_n))) AS excess_micro
+                    - (((2*(us.user_n * ib.hour_n) * 1000000 + (tt.type_n)) // (2*(tt.type_n)))::BIGINT) AS excess_micro
                 FROM ib JOIN us USING (event_type, user_id)
                 JOIN tt USING (event_type)),
          rk AS (SELECT sc.*, row_number() OVER
@@ -8608,7 +8608,7 @@ object SparkEntry {
                     AS f2_est
                 FROM pj GROUP BY 1)
          SELECT ex.source, ex.f2_exact, es.f2_est,
-           ((2*(abs(es.f2_est - ex.f2_exact)) * 1000000 + (ex.f2_exact)) // (2*(ex.f2_exact))) AS err_ppm
+           (((2*(abs(es.f2_est - ex.f2_exact)) * 1000000 + (ex.f2_exact)) // (2*(ex.f2_exact)))::BIGINT) AS err_ppm
          FROM ex JOIN es USING (source)""",
     // q318: the q283 rank frames; H assembled from exact rank sums,
     // tie-corrected, Wilson-Hilferty z on both engines.
@@ -8651,7 +8651,7 @@ object SparkEntry {
                    / sqrt(2.0 / (9.0 * df)) AS z
                FROM h2)
          SELECT ag.source, ag.n_s AS n,
-           ((2*(ag.r2 * 1000) + (2 * ag.n_s)) // (2*(2 * ag.n_s)))
+           (((2*(ag.r2 * 1000) + (2 * ag.n_s)) // (2*(2 * ag.n_s)))::BIGINT)
              AS mean_rank_milli,
            CAST(round(h3.h * 1e3) AS BIGINT) AS h_milli,
            CAST(round(h3.hc * 1e3) AS BIGINT) AS hc_milli,
@@ -8699,9 +8699,9 @@ object SparkEntry {
                UNION ALL SELECT 'ml', n, cm, q, q_num, q_den FROM qq2
                UNION ALL SELECT 'ppl', n, cp, q, q_num, q_den FROM qq2)
          SELECT gate, n, n_pass,
-           ((2*(n_pass) * 1000000 + (n)) // (2*(n))) AS pass_ppm,
+           (((2*(n_pass) * 1000000 + (n)) // (2*(n)))::BIGINT) AS pass_ppm,
            CASE WHEN q_den = 0 THEN 0
-                ELSE (CASE WHEN (q_num * 1000) < 0 THEN -((2*(-(q_num * 1000)) + (q_den)) // (2*(q_den))) ELSE ((2*(q_num * 1000) + (q_den)) // (2*(q_den))) END) END AS q_milli,
+                ELSE (CASE WHEN (q_num * 1000) < 0 THEN -(((2*(-(q_num * 1000)) + (q_den)) // (2*(q_den)))::BIGINT) ELSE (((2*(q_num * 1000) + (q_den)) // (2*(q_den)))::BIGINT) END) END AS q_milli,
            q > 7.815 AS gates_differ
          FROM u""",
     // q320: q280's ISO dow cells as the seasonal profile, exact
@@ -8715,7 +8715,7 @@ object SparkEntry {
                   hour(hour)::BIGINT AS hod
                 FROM h),
          cells AS (SELECT event_type, dow, hod,
-                    ((2*(sum(n) * 1000) + (count(*))) // (2*(count(*)))) AS m_milli
+                    (((2*(sum(n) * 1000) + (count(*))) // (2*(count(*))))::BIGINT) AS m_milli
                   FROM hh GROUP BY 1, 2, 3),
          wr AS (SELECT hh.event_type, hh.hour, hh.n,
                   1000 * hh.n - cells.m_milli AS r
@@ -8802,7 +8802,7 @@ object SparkEntry {
                   sum(c_nano)::BIGINT AS chi2_nano
                 FROM cc GROUP BY 1)
          SELECT from_type, n_first_half, n_second_half,
-           ((2*(chi2_nano) + (1000000)) // (2*(1000000)))
+           (((2*(chi2_nano) + (1000000)) // (2*(1000000)))::BIGINT)
              AS chi2_milli,
            (n_cells - 1)::BIGINT AS df,
            CAST(round((pow((chi2_nano::DOUBLE / 1e9)
@@ -8850,9 +8850,9 @@ object SparkEntry {
                    * exp(-az * az)) AS p
                 FROM pb),
          wp2 AS (SELECT gate, source, n_s, k_s,
-                  ((2*(k_s) * 1000000 + (n_s)) // (2*(n_s)))
+                  (((2*(k_s) * 1000000 + (n_s)) // (2*(n_s)))::BIGINT)
                     AS rate_ppm,
-                  ((2*(k_g - k_s) * 1000000 + (n_g - n_s)) // (2*(n_g - n_s))) AS rest_ppm,
+                  (((2*(k_g - k_s) * 1000000 + (n_g - n_s)) // (2*(n_g - n_s)))::BIGINT) AS rest_ppm,
                   CAST(round(z * 1e3) AS BIGINT) AS z_milli,
                   CAST(round(p * 1e6) AS BIGINT) AS p_micro
                 FROM pc),
@@ -8912,10 +8912,10 @@ object SparkEntry {
                       SELECT doc_a, doc_b FROM cb))::BIGINT AS n_union,
                   (SELECT count(*) FROM truth)::BIGINT AS n_true)
          SELECT n_a, n_b, n_both, n_union, n_true,
-           (CASE WHEN (((n_a + 1) * (n_b + 1) - (n_both + 1)) * 1000) < 0 THEN -((2*(-(((n_a + 1) * (n_b + 1) - (n_both + 1)) * 1000)) + (n_both + 1)) // (2*(n_both + 1))) ELSE ((2*(((n_a + 1) * (n_b + 1) - (n_both + 1)) * 1000) + (n_both + 1)) // (2*(n_both + 1))) END) AS chapman_milli,
-           ((2*(n_union * (n_both + 1)) * 1000000 + ((n_a + 1) * (n_b + 1) - (n_both + 1))) // (2*((n_a + 1) * (n_b + 1) - (n_both + 1)))) AS caught_ppm,
+           (CASE WHEN (((n_a + 1) * (n_b + 1) - (n_both + 1)) * 1000) < 0 THEN -(((2*(-(((n_a + 1) * (n_b + 1) - (n_both + 1)) * 1000)) + (n_both + 1)) // (2*(n_both + 1)))::BIGINT) ELSE (((2*(((n_a + 1) * (n_b + 1) - (n_both + 1)) * 1000) + (n_both + 1)) // (2*(n_both + 1)))::BIGINT) END) AS chapman_milli,
+           (((2*(n_union * (n_both + 1)) * 1000000 + ((n_a + 1) * (n_b + 1) - (n_both + 1))) // (2*((n_a + 1) * (n_b + 1) - (n_both + 1))))::BIGINT) AS caught_ppm,
            CASE WHEN n_true = 0 THEN 0
-                ELSE ((2*(abs((n_a + 1) * (n_b + 1) - (n_both + 1) - n_true * (n_both + 1))) * 1000000 + ((n_both + 1) * n_true)) // (2*((n_both + 1) * n_true)))
+                ELSE (((2*(abs((n_a + 1) * (n_b + 1) - (n_both + 1) - n_true * (n_both + 1))) * 1000000 + ((n_both + 1) * n_true)) // (2*((n_both + 1) * n_true)))::BIGINT)
            END AS est_err_ppm
          FROM st""",
     // q324: same wrapped positive pick, same 8-id negative window,
@@ -8943,7 +8943,7 @@ object SparkEntry {
          SELECT label, count(*)::BIGINT AS n_triplets,
            sum(CASE WHEN c_pos < c_neg + 0.05 THEN 1 ELSE 0
              END)::BIGINT AS n_violated,
-           ((2*(sum(CASE WHEN c_pos < c_neg + 0.05 THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))
+           (((2*(sum(CASE WHEN c_pos < c_neg + 0.05 THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT)
              AS violation_ppm
          FROM tri GROUP BY 1"""
     },
@@ -9008,22 +9008,22 @@ object SparkEntry {
          t1 AS (SELECT source,
              least(n_toks * 5000, 1000000) AS len_m,
              CASE WHEN n_toks = 0 THEN 0
-                  ELSE least(((2*(5000000 * n_stop) + (n_toks)) // (2*(n_toks))), 1000000)
+                  ELSE least((((2*(5000000 * n_stop) + (n_toks)) // (2*(n_toks)))::BIGINT), 1000000)
              END AS stop_m,
              CASE WHEN n_chars = 0 THEN 0
-                  ELSE least(((2*(10000000 * n_punct) + (n_chars)) // (2*(n_chars))),
+                  ELSE least((((2*(10000000 * n_punct) + (n_chars)) // (2*(n_chars)))::BIGINT),
                     1000000)
              END AS punct_m
            FROM t0),
          c AS (SELECT source,
-             ((2*(len_m) + (2)) // (2*(2))) AS lm,
-             ((2*(2 * stop_m) + (5)) // (2*(5))) AS sm,
-             ((2*(1000000 - punct_m) + (10)) // (2*(10))) AS pm
+             (((2*(len_m) + (2)) // (2*(2)))::BIGINT) AS lm,
+             (((2*(2 * stop_m) + (5)) // (2*(5)))::BIGINT) AS sm,
+             (((2*(1000000 - punct_m) + (10)) // (2*(10)))::BIGINT) AS pm
            FROM t1),
          ag AS (SELECT source, count(*)::BIGINT AS n,
-                  (CASE WHEN (sum(lm)) < 0 THEN -((2*(-(sum(lm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(lm)) + (count(*))) // (2*(count(*)))) END) AS len_micro,
-                  (CASE WHEN (sum(sm)) < 0 THEN -((2*(-(sum(sm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(sm)) + (count(*))) // (2*(count(*)))) END) AS stop_micro,
-                  (CASE WHEN (sum(pm)) < 0 THEN -((2*(-(sum(pm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(pm)) + (count(*))) // (2*(count(*)))) END) AS punct_micro
+                  (CASE WHEN (sum(lm)) < 0 THEN -(((2*(-(sum(lm))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(lm)) + (count(*))) // (2*(count(*))))::BIGINT) END) AS len_micro,
+                  (CASE WHEN (sum(sm)) < 0 THEN -(((2*(-(sum(sm))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(sm)) + (count(*))) // (2*(count(*))))::BIGINT) END) AS stop_micro,
+                  (CASE WHEN (sum(pm)) < 0 THEN -(((2*(-(sum(pm))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(pm)) + (count(*))) // (2*(count(*))))::BIGINT) END) AS punct_micro
                 FROM c GROUP BY 1)
          SELECT source, n, len_micro, stop_micro, punct_micro,
            len_micro + stop_micro + punct_micro AS mean_q_micro,
@@ -9051,8 +9051,8 @@ object SparkEntry {
                 FROM sv GROUP BY 1),
          tt AS (SELECT sum(var_nano)::BIGINT AS tot_nano FROM ps)
          SELECT subspace, var_nano,
-           ((2*(var_nano) * 1000000 + (tt.tot_nano)) // (2*(tt.tot_nano))) AS share_ppm,
-           ((2*(var_nano * 8000) + (tt.tot_nano)) // (2*(tt.tot_nano))) AS imbalance_milli
+           (((2*(var_nano) * 1000000 + (tt.tot_nano)) // (2*(tt.tot_nano)))::BIGINT) AS share_ppm,
+           (((2*(var_nano * 8000) + (tt.tot_nano)) // (2*(tt.tot_nano)))::BIGINT) AS imbalance_milli
          FROM ps, tt""",
     // q328: the q115 stage CTEs with token sums instead of doc
     // counts; shares in ppm of the stage-0 token mass.
@@ -9111,7 +9111,7 @@ object SparkEntry {
            UNION ALL SELECT '4_pii_free', t4, t0 FROM a
            UNION ALL SELECT '5_unique', t5, t0 FROM a)
          SELECT stage, n_tokens,
-           ((2*(n_tokens) * 1000000 + (t0)) // (2*(t0)))
+           (((2*(n_tokens) * 1000000 + (t0)) // (2*(t0)))::BIGINT)
              AS token_share_ppm
          FROM u""",
     // q329: low-bit signature, zip-compare collision count, the
@@ -9147,13 +9147,13 @@ object SparkEntry {
          er AS (SELECT
                   least(CAST(round(jaccard * 1e6) AS BIGINT) // 100000,
                     9) AS j_band,
-                  greatest(0, (CASE WHEN ((c - 6) * 1000) < 0 THEN -((2*(-((c - 6) * 1000)) + (6)) // (2*(6))) ELSE ((2*((c - 6) * 1000) + (6)) // (2*(6))) END))
-                    - ((2*(CAST(round(jaccard * 1e6) AS BIGINT)) + (1000)) // (2*(1000)))
+                  greatest(0, (CASE WHEN ((c - 6) * 1000) < 0 THEN -(((2*(-((c - 6) * 1000)) + (6)) // (2*(6)))::BIGINT) ELSE (((2*((c - 6) * 1000) + (6)) // (2*(6)))::BIGINT) END))
+                    - (((2*(CAST(round(jaccard * 1e6) AS BIGINT)) + (1000)) // (2*(1000)))::BIGINT)
                     AS err
                 FROM wb)
          SELECT j_band, count(*)::BIGINT AS n_pairs,
            CAST(round(avg(abs(err))) AS BIGINT) AS mean_abs_err_milli,
-           (CASE WHEN (sum(err)) < 0 THEN -((2*(-(sum(err))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(err)) + (count(*))) // (2*(count(*)))) END) AS mean_bias_milli
+           (CASE WHEN (sum(err)) < 0 THEN -(((2*(-(sum(err))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(err)) + (count(*))) // (2*(count(*))))::BIGINT) END) AS mean_bias_milli
          FROM er GROUP BY 1""",
     // q330: same quasi-identifier cells, k=5 cut, exact rollup.
     "q330_k_anonymity" ->
@@ -9169,7 +9169,7 @@ object SparkEntry {
            sum(n_cell)::BIGINT AS n_docs,
            sum(CASE WHEN n_cell < 5 THEN n_cell ELSE 0 END)::BIGINT
              AS docs_at_risk,
-           ((2*(sum(CASE WHEN n_cell < 5 THEN n_cell ELSE 0 END)) * 1000000 + (sum(n_cell))) // (2*(sum(n_cell)))) AS risk_ppm
+           (((2*(sum(CASE WHEN n_cell < 5 THEN n_cell ELSE 0 END)) * 1000000 + (sum(n_cell))) // (2*(sum(n_cell))))::BIGINT) AS risk_ppm
          FROM c GROUP BY 1""",
     // q331: the q262 lag pairs, nano-quantized entropy summands,
     // pi-weighted rate assembled from the same integers.
@@ -9204,9 +9204,9 @@ object SparkEntry {
          rr AS (SELECT sum(rate_term_nano)::BIGINT AS rate_nano
                 FROM wp)
          SELECT from_type, n_out,
-           ((2*(n_out) * 1000000 + (n_total)) // (2*(n_total))) AS pi_ppm,
-           ((2*(h_sum) + (1000000)) // (2*(1000000))) AS h_milli,
-           ((2*(rr.rate_nano) + (1000000)) // (2*(1000000)))
+           (((2*(n_out) * 1000000 + (n_total)) // (2*(n_total)))::BIGINT) AS pi_ppm,
+           (((2*(h_sum) + (1000000)) // (2*(1000000)))::BIGINT) AS h_milli,
+           (((2*(rr.rate_nano) + (1000000)) // (2*(1000000)))::BIGINT)
              AS rate_milli
          FROM wp, rr""",
     // q332: value-domain cumsums per language, exact-integer drop
@@ -9233,7 +9233,7 @@ object SparkEntry {
          th AS (SELECT lang, min(qm) AS thr_micro FROM wd
                 WHERE scum >= d_l + 1 GROUP BY 1)
          SELECT ns.lang, ns.n_l AS n,
-           ((2*(g.kept) * 1000000 + (g.bign)) // (2*(g.bign))) AS global_rate_ppm,
+           (((2*(g.kept) * 1000000 + (g.bign)) // (2*(g.bign)))::BIGINT) AS global_rate_ppm,
            th.thr_micro,
            th.thr_micro - 300000 AS delta_micro
          FROM ns JOIN th USING (lang), g""",
@@ -9244,7 +9244,7 @@ object SparkEntry {
          s AS (SELECT d.doc_id,
                  q2.q_micro AS qm
                FROM documents d JOIN qm q2 USING (doc_id)),
-         m AS (SELECT (CASE WHEN (sum(qm)) < 0 THEN -((2*(-(sum(qm))) + (count(*))) // (2*(count(*)))) ELSE ((2*(sum(qm)) + (count(*))) // (2*(count(*)))) END) AS m FROM s),
+         m AS (SELECT (CASE WHEN (sum(qm)) < 0 THEN -(((2*(-(sum(qm))) + (count(*))) // (2*(count(*))))::BIGINT) ELSE (((2*(sum(qm)) + (count(*))) // (2*(count(*))))::BIGINT) END) AS m FROM s),
          dv AS (SELECT doc_id, qm - m.m AS d FROM s, m),
          dn AS (SELECT sum(d * d)::BIGINT AS den FROM dv),
          l AS (SELECT unnest([1, 10, 100])::BIGINT AS lag),
@@ -9255,7 +9255,7 @@ object SparkEntry {
                 GROUP BY 1)
          SELECT pr.lag, pr.n_pairs,
            CASE WHEN dn.den = 0 THEN 0
-                ELSE (CASE WHEN (pr.num * 1000000) < 0 THEN -((2*(-(pr.num * 1000000)) + (dn.den)) // (2*(dn.den))) ELSE ((2*(pr.num * 1000000) + (dn.den)) // (2*(dn.den))) END)
+                ELSE (CASE WHEN (pr.num * 1000000) < 0 THEN -(((2*(-(pr.num * 1000000)) + (dn.den)) // (2*(dn.den)))::BIGINT) ELSE (((2*(pr.num * 1000000) + (dn.den)) // (2*(dn.den)))::BIGINT) END)
            END AS acf_micro,
            dn.den <> 0
              AND 20 * abs(pr.num) < dn.den AS order_safe
@@ -9290,10 +9290,10 @@ object SparkEntry {
          SELECT source_a, source_b, count(*)::BIGINT AS n_candidates,
            sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)::BIGINT
              AS n_true,
-           ((2*(count(*)) * 1000000 + (tt.n_total)) // (2*(tt.n_total)))
+           (((2*(count(*)) * 1000000 + (tt.n_total)) // (2*(tt.n_total)))::BIGINT)
              AS cost_share_ppm,
-           ((2*(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END))
-             * 1000000 + (count(*))) // (2*(count(*)))) AS yield_ppm
+           (((2*(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END))
+             * 1000000 + (count(*))) // (2*(count(*))))::BIGINT) AS yield_ppm
          FROM ws, tt GROUP BY source_a, source_b, tt.n_total""",
     // q335: the q116 hash/frames derivation, 4-dim stub features,
     // lead pairs, zero-norm-guarded cosine, micro means.
@@ -9332,8 +9332,8 @@ object SparkEntry {
            sum(CASE WHEN c_micro < 500000 THEN 1 ELSE 0 END)::BIGINT
              AS n_cuts,
            (CASE WHEN sum(c_micro) < 0
-              THEN -((2*(-sum(c_micro)) + (count(*) * 1000)) // (2*(count(*) * 1000)))
-              ELSE ((2*(sum(c_micro)) + (count(*) * 1000)) // (2*(count(*) * 1000))) END)
+              THEN -(((2*(-sum(c_micro)) + (count(*) * 1000)) // (2*(count(*) * 1000)))::BIGINT)
+              ELSE (((2*(sum(c_micro)) + (count(*) * 1000)) // (2*(count(*) * 1000)))::BIGINT) END)
              AS mean_adj_cos_milli
          FROM cm GROUP BY 1""",
     // q336: exact lower medians, integer deviations, the q281 pivot
@@ -9431,9 +9431,9 @@ object SparkEntry {
                    / (n::DOUBLE - 2) / (sxx / n::DOUBLE))) AS se
                FROM bb)
          SELECT zz.source, zz.n,
-           (CASE WHEN (zz.num_i) < 0 THEN -((2*(-(zz.num_i)) + (greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1)))) ELSE ((2*(zz.num_i) + (greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1)))) END)
+           (CASE WHEN (zz.num_i) < 0 THEN -(((2*(-(zz.num_i)) + (greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1))))::BIGINT) ELSE (((2*(zz.num_i) + (greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(zz.den_i) + (1000000)) // (2*(1000000))), 1))))::BIGINT) END)
              AS slope_micro_per_tok,
-           (CASE WHEN (pl.p_num) < 0 THEN -((2*(-(pl.p_num)) + (greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1)))) ELSE ((2*(pl.p_num) + (greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1)))) END)
+           (CASE WHEN (pl.p_num) < 0 THEN -(((2*(-(pl.p_num)) + (greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1))))::BIGINT) ELSE (((2*(pl.p_num) + (greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1))) // (2*(greatest(((2*(pl.p_den) + (1000000)) // (2*(1000000))), 1))))::BIGINT) END)
              AS pooled_micro,
            CAST(round(zz.se * 1e6) AS BIGINT) AS se_micro,
            CAST(round(CASE WHEN zz.se = 0 THEN 0.0
@@ -9455,11 +9455,11 @@ object SparkEntry {
            sum(bytes)::BIGINT AS n_bytes,
            sum(chars)::BIGINT AS n_chars,
            sum(toks)::BIGINT AS n_tokens,
-           ((2*(sum(bytes) * 1000) + (sum(toks))) // (2*(sum(toks))))
+           (((2*(sum(bytes) * 1000) + (sum(toks))) // (2*(sum(toks))))::BIGINT)
              AS bytes_per_token_milli,
-           ((2*(sum(chars) * 1000) + (sum(toks))) // (2*(sum(toks))))
+           (((2*(sum(chars) * 1000) + (sum(toks))) // (2*(sum(toks))))::BIGINT)
              AS chars_per_token_milli,
-           ((2*(sum(bytes) * 1000) + (sum(chars))) // (2*(sum(chars))))
+           (((2*(sum(bytes) * 1000) + (sum(chars))) // (2*(sum(chars))))::BIGINT)
              AS bytes_per_char_milli
          FROM b GROUP BY 1""",
     // q339: the q259 bucket means, pairwise micro slopes, the exact
@@ -9513,8 +9513,8 @@ object SparkEntry {
                  END AS z
                FROM ag)
          SELECT gate, n1, k1, n2, k2,
-           ((2*(k1) * 1000000 + (n1)) // (2*(n1))) AS rate1_ppm,
-           ((2*(k2) * 1000000 + (n2)) // (2*(n2))) AS rate2_ppm,
+           (((2*(k1) * 1000000 + (n1)) // (2*(n1)))::BIGINT) AS rate1_ppm,
+           (((2*(k2) * 1000000 + (n2)) // (2*(n2)))::BIGINT) AS rate2_ppm,
            CAST(round(z * 1e3) AS BIGINT) AS z_milli,
            coalesce(abs(z) > 3.0, false) AS drifted
          FROM zz""",
@@ -9574,7 +9574,7 @@ object SparkEntry {
                    )::BIGINT AS cum
                FROM bd)
          SELECT cm.gap_digits, cm.n_pairs,
-           ((2*(cm.cum) * 1000000 + (tt.n_total)) // (2*(tt.n_total)))
+           (((2*(cm.cum) * 1000000 + (tt.n_total)) // (2*(tt.n_total)))::BIGINT)
              AS coverage_ppm
          FROM cm, tt""",
     // q343: the q310 selection replayed, two-sample z on raw-moment
@@ -9645,7 +9645,7 @@ object SparkEntry {
                FROM documents)
          SELECT fl.gate, st.len_bucket, count(*)::BIGINT AS n,
            sum(CASE WHEN fl.f THEN 1 ELSE 0 END)::BIGINT AS n_pass,
-           ((2*(sum(CASE WHEN fl.f THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS pass_ppm
+           (((2*(sum(CASE WHEN fl.f THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT) AS pass_ppm
          FROM fl JOIN st USING (doc_id)
          GROUP BY 1, 2""",
     // q345: distinct (type, hour, user) pass, bounded rank windows,
@@ -9671,7 +9671,7 @@ object SparkEntry {
                 FROM hc GROUP BY 1)
          SELECT mx.event_type, mx.n_hours, p50.p50_users,
            p95.p95_users, mx.max_users,
-           ((2*(p95.p95_users * 1000) + (p50.p50_users)) // (2*(p50.p50_users))) AS burst_ratio_milli
+           (((2*(p95.p95_users * 1000) + (p50.p50_users)) // (2*(p50.p50_users)))::BIGINT) AS burst_ratio_milli
          FROM mx JOIN p50 USING (event_type)
          JOIN p95 USING (event_type)""",
     // q346: nano-quantized ln(N/df) weights, weighted inversion
@@ -9769,10 +9769,10 @@ object SparkEntry {
              (SELECT count(*) FROM lbp JOIN truth
                 USING (doc_a, doc_b))::BIGINT)
          SELECT scheme, n_candidates, nt.n_true, n_covered,
-           ((2*(nd.nd * (nd.nd - 1) - 2 * n_candidates) * 1000000 + (nd.nd * (nd.nd - 1))) // (2*(nd.nd * (nd.nd - 1))))
+           (((2*(nd.nd * (nd.nd - 1) - 2 * n_candidates) * 1000000 + (nd.nd * (nd.nd - 1))) // (2*(nd.nd * (nd.nd - 1))))::BIGINT)
              AS reduction_ppm,
            CASE WHEN nt.n_true = 0 THEN 0
-                ELSE ((2*(n_covered) * 1000000 + (nt.n_true)) // (2*(nt.n_true)))
+                ELSE (((2*(n_covered) * 1000000 + (nt.n_true)) // (2*(nt.n_true)))::BIGINT)
            END AS completeness_ppm
          FROM raw, nt, nd""",
     // q348: four cumulative hash projections, exact distinct/dup
@@ -9809,7 +9809,7 @@ object SparkEntry {
          u AS (SELECT * FROM a0 UNION ALL SELECT * FROM a1
                UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
          SELECT stage, n_distinct, docs_in_dups,
-           ((2*(docs_in_dups) * 1000000 + (n_docs)) // (2*(n_docs)))
+           (((2*(docs_in_dups) * 1000000 + (n_docs)) // (2*(n_docs)))::BIGINT)
              AS dup_ppm
          FROM u""",
     // q349: the canonical chain's survivor rank; removed = rn > 1;
@@ -9857,7 +9857,7 @@ object SparkEntry {
                   AS rk
                 FROM tri)
          SELECT rk.step1, rk.rk, rk.step2, rk.step3, rk.n,
-           ((2*(rk.n) * 1000000 + (tt.start_total)) // (2*(tt.start_total)))
+           (((2*(rk.n) * 1000000 + (tt.start_total)) // (2*(tt.start_total)))::BIGINT)
              AS share_ppm
          FROM rk JOIN tt USING (step1) WHERE rk.rk <= 5""",
     // q351: the q313 length-difference counts, the zh->CJK rule,
@@ -9879,7 +9879,7 @@ object SparkEntry {
          SELECT lang, count(*)::BIGINT AS n_docs,
            sum(CASE WHEN inconsistent THEN 1 ELSE 0 END)::BIGINT
              AS n_inconsistent,
-           ((2*(sum(CASE WHEN inconsistent THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))
+           (((2*(sum(CASE WHEN inconsistent THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT)
              AS inconsistent_ppm
          FROM f GROUP BY 1""",
     // q352: the shifted doc_id-1 self-join, run-start predicate,
@@ -9892,7 +9892,7 @@ object SparkEntry {
            sum(CASE WHEN prev_source IS NULL
                  OR prev_source <> source THEN 1 ELSE 0 END)::BIGINT
              AS n_runs,
-           ((2*(count(*) * 1000) + (sum(CASE WHEN prev_source IS NULL OR prev_source <> source THEN 1 ELSE 0 END))) // (2*(sum(CASE WHEN prev_source IS NULL OR prev_source <> source THEN 1 ELSE 0 END)))) AS mean_run_milli
+           (((2*(count(*) * 1000) + (sum(CASE WHEN prev_source IS NULL OR prev_source <> source THEN 1 ELSE 0 END))) // (2*(sum(CASE WHEN prev_source IS NULL OR prev_source <> source THEN 1 ELSE 0 END))))::BIGINT) AS mean_run_milli
          FROM wp GROUP BY 1""",
     // q353: second-quantized gaps, value-domain cumsums per pair,
     // the exact integer percentile predicates.
@@ -10085,7 +10085,7 @@ object SparkEntry {
                 FROM rk GROUP BY 1)
          SELECT event_type, n_users, k_top, v_total, v_top,
            (CASE WHEN v_total = 0 THEN NULL
-             ELSE ((2*(v_top) * 1000000 + (v_total)) // (2*(v_total))) END) AS top_share_ppm
+             ELSE (((2*(v_top) * 1000000 + (v_total)) // (2*(v_total)))::BIGINT) END) AS top_share_ppm
          FROM ag""",
     // q359: date_trunc('week') buckets (Monday on both engines),
     // bounded lag window, one growth division.
@@ -10100,7 +10100,7 @@ object SparkEntry {
                FROM wk)
          SELECT event_type, week_us, n, prev_n,
            CASE WHEN prev_n IS NULL THEN NULL
-                ELSE (CASE WHEN ((n - prev_n) * 1000000) < 0 THEN -((2*(-((n - prev_n) * 1000000)) + (prev_n)) // (2*(prev_n))) ELSE ((2*((n - prev_n) * 1000000) + (prev_n)) // (2*(prev_n))) END)
+                ELSE (CASE WHEN ((n - prev_n) * 1000000) < 0 THEN -(((2*(-((n - prev_n) * 1000000)) + (prev_n)) // (2*(prev_n)))::BIGINT) ELSE (((2*((n - prev_n) * 1000000) + (prev_n)) // (2*(prev_n)))::BIGINT) END)
            END AS growth_ppm
          FROM lg""",
     // q360: the canonical closure + the gate flags + exact-dup
@@ -10137,7 +10137,7 @@ object SparkEntry {
              AS after_near_dedup,
            sum(CASE WHEN ek AND nk2 AND gk2 THEN tk ELSE 0
              END)::BIGINT AS trainable_tokens,
-           ((2*(sum(CASE WHEN ek AND nk2 AND gk2 THEN tk ELSE 0 END)) * 1000000 + (sum(tk))) // (2*(sum(tk))))
+           (((2*(sum(CASE WHEN ek AND nk2 AND gk2 THEN tk ELSE 0 END)) * 1000000 + (sum(tk))) // (2*(sum(tk))))::BIGINT)
              AS trainable_ppm
          FROM a""",
     // q240: same eval slice, same cosine fold, the argmax replayed as
@@ -10159,14 +10159,14 @@ object SparkEntry {
                   sum(bytes)::BIGINT AS n_bytes
                 FROM b GROUP BY 1),
          p2 AS (SELECT *,
-                  ((2*(bpe_tokens * 1000) + (ws_tokens)) // (2*(ws_tokens))) AS fertility_milli,
-                  ((2*(n_bytes * 1000) + (bpe_tokens)) // (2*(bpe_tokens)))
+                  (((2*(bpe_tokens * 1000) + (ws_tokens)) // (2*(ws_tokens)))::BIGINT) AS fertility_milli,
+                  (((2*(n_bytes * 1000) + (bpe_tokens)) // (2*(bpe_tokens)))::BIGINT)
                     AS bytes_per_bpe_milli
                 FROM pl),
          en AS (SELECT fertility_milli AS ef FROM p2 WHERE lang = 'en')
          SELECT lang, n_docs, ws_tokens, bpe_tokens, fertility_milli,
            bytes_per_bpe_milli,
-           ((2*(fertility_milli * 1000) + (en.ef)) // (2*(en.ef))) AS fertility_tax_milli
+           (((2*(fertility_milli * 1000) + (en.ef)) // (2*(en.ef)))::BIGINT) AS fertility_tax_milli
          FROM p2, en""",
     // q362: the q191 md5 order cut into batches of 32; majority via
     // the (count, source) lexicographic max — struct-max twin.
@@ -10185,7 +10185,7 @@ object SparkEntry {
                 FROM o GROUP BY 1)
          SELECT ba.batch, ba.n_docs, tp.n_sources, ba.n_langs,
            tp.top.source AS majority_source,
-           ((2*(tp.top.c) * 1000000 + (ba.n_docs)) // (2*(ba.n_docs)))
+           (((2*(tp.top.c) * 1000000 + (ba.n_docs)) // (2*(ba.n_docs)))::BIGINT)
              AS majority_share_ppm
          FROM ba JOIN tp USING (batch)""",
     // q363: fixed 10-word profile cells, broadcast corpus ppm, exact
@@ -10209,21 +10209,21 @@ object SparkEntry {
                    GROUP BY 1, 2),
          gn AS (SELECT count(*)::BIGINT AS gn FROM tok),
          corpus AS (SELECT cells.w,
-                      ((2*(sum(c)) * 1000000 + (gn.gn))
-                        // (2*(gn.gn))) AS g_ppm
+                      (((2*(sum(c)) * 1000000 + (gn.gn))
+                        // (2*(gn.gn)))::BIGINT) AS g_ppm
                     FROM cells, gn GROUP BY cells.w, gn.gn),
          dr AS (SELECT ps.source,
                   sum(abs(
-                    ((2*(coalesce(cells.c, 0)) * 1000000
-                      + (ps.n_tokens)) // (2*(ps.n_tokens)))
+                    (((2*(coalesce(cells.c, 0)) * 1000000
+                      + (ps.n_tokens)) // (2*(ps.n_tokens)))::BIGINT)
                     - corpus.g_ppm))::BIGINT AS l1_drift_ppm
                 FROM ps CROSS JOIN corpus
                 LEFT JOIN cells ON cells.source = ps.source
                   AND cells.w = corpus.w
                 GROUP BY 1)
          SELECT ps.source, ps.n_tokens,
-           ((2*(ps.n_stop) * 1000000 + (ps.n_tokens))
-             // (2*(ps.n_tokens))) AS stop_mass_ppm,
+           (((2*(ps.n_stop) * 1000000 + (ps.n_tokens))
+             // (2*(ps.n_tokens)))::BIGINT) AS stop_mass_ppm,
            dr.l1_drift_ppm
          FROM ps JOIN dr USING (source)""",
     // q364: same prefix derivation; per-source top-3 via
@@ -10246,7 +10246,7 @@ object SparkEntry {
                  AS rank
                FROM c)
          SELECT r.source, r.rank, r.prefix, r.n_prefix,
-           ((2*(r.n_prefix) * 1000000 + (tt.n_docs)) // (2*(tt.n_docs))) AS share_ppm
+           (((2*(r.n_prefix) * 1000000 + (tt.n_docs)) // (2*(tt.n_docs)))::BIGINT) AS share_ppm
          FROM r JOIN tt USING (source) WHERE r.rank <= 3""",
     // q365: the recursive closure's cluster sizes, removable = size-1,
     // rank desc, 4-point k lattice.
@@ -10268,7 +10268,7 @@ object SparkEntry {
            count(*)::BIGINT AS clusters_in_topk,
            sum(rk.removable)::BIGINT AS removable_in_topk,
            tt.total_removable,
-           ((2*(sum(rk.removable)) * 1000000 + (tt.total_removable)) // (2*(tt.total_removable))) AS share_ppm
+           (((2*(sum(rk.removable)) * 1000000 + (tt.total_removable)) // (2*(tt.total_removable)))::BIGINT) AS share_ppm
          FROM kk JOIN rk ON rk.rk <= kk.k
          CROSS JOIN tt
          GROUP BY kk.k, tt.n_clusters, tt.total_removable""",
@@ -10290,8 +10290,8 @@ object SparkEntry {
                GROUP BY 1, 2)
          SELECT p.type_a, p.type_b, sa.n_t AS n_a, sb.n_t AS n_b,
            p.n_ab,
-           ((2*(p.n_ab * n.n_ctx * 1000) + (sa.n_t * sb.n_t))
-             // (2*(sa.n_t * sb.n_t))) AS lift_milli
+           (((2*(p.n_ab * n.n_ctx * 1000) + (sa.n_t * sb.n_t))
+             // (2*(sa.n_t * sb.n_t)))::BIGINT) AS lift_milli
          FROM p
          JOIN s sa ON sa.event_type = p.type_a
          JOIN s sb ON sb.event_type = p.type_b
@@ -10338,10 +10338,10 @@ object SparkEntry {
                FROM c)
          SELECT 256::BIGINT AS n_buckets, buckets_hit, n_docs,
            (CASE WHEN (256 * sum_o2 - n_docs * n_docs) < 0
-             THEN -((2*(-((256 * sum_o2 - n_docs * n_docs) * 1000))
-               + (n_docs)) // (2*(n_docs)))
-             ELSE ((2*((256 * sum_o2 - n_docs * n_docs) * 1000)
-               + (n_docs)) // (2*(n_docs))) END) AS chi2_milli
+             THEN -(((2*(-((256 * sum_o2 - n_docs * n_docs) * 1000))
+               + (n_docs)) // (2*(n_docs)))::BIGINT)
+             ELSE (((2*((256 * sum_o2 - n_docs * n_docs) * 1000)
+               + (n_docs)) // (2*(n_docs)))::BIGINT) END) AS chi2_milli
          FROM a""",
     // q369: lag-equality runs via prefix-sum run ids.
     "q369_adjacent_dup_runs" ->
@@ -10401,9 +10401,9 @@ object SparkEntry {
                  sum(c * (c - 1))::BIGINT AS coincidence_pairs
                FROM c GROUP BY 1)
          SELECT source, n_tokens, n_types, coincidence_pairs,
-           ((2*(coincidence_pairs) * 1000000
+           (((2*(coincidence_pairs) * 1000000
              + (n_tokens * (n_tokens - 1)))
-             // (2*(n_tokens * (n_tokens - 1)))) AS simpson_ppm
+             // (2*(n_tokens * (n_tokens - 1))))::BIGINT) AS simpson_ppm
          FROM a""",
     // q372: three anti-join audits, 4 fixed rows.
     "q372_referential_integrity" ->
@@ -10430,7 +10430,7 @@ object SparkEntry {
            UNION ALL SELECT 'dangling_orders', dor.bad, nor.n
              FROM dor, nor)
          SELECT u.check, u.bad AS n_bad, u.n AS n_total,
-           ((2*(u.bad) * 1000000 + (u.n)) // (2*(u.n))) AS bad_ppm
+           (((2*(u.bad) * 1000000 + (u.n)) // (2*(u.n)))::BIGINT) AS bad_ppm
          FROM u""",
     // q373: digit from the decimal string of an exact BIGINT; the
     // Benford expectation is the same pinned literal list as
@@ -12579,7 +12579,7 @@ object SparkEntry {
          SELECT q_label AS label, count(*)::BIGINT AS n_eval,
            sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0 END)::BIGINT
              AS n_correct,
-           ((2*(sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*)))) AS acc_micro
+           (((2*(sum(CASE WHEN nn_label = q_label THEN 1 ELSE 0 END)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT) AS acc_micro
          FROM r WHERE rk = 1 GROUP BY 1"""
     },
     // q206: the shared gate-flag CTEs, discordant-cell counts, and
@@ -12630,7 +12630,7 @@ object SparkEntry {
          SELECT count(*) AS n_wedges,
            CAST(coalesce(sum(closed), 0) AS BIGINT) AS n_closed,
            CASE WHEN count(*) = 0 THEN 0
-                ELSE ((2*(coalesce(sum(closed), 0)) * 1000000 + (count(*))) // (2*(count(*))))
+                ELSE (((2*(coalesce(sum(closed), 0)) * 1000000 + (count(*))) // (2*(count(*))))::BIGINT)
            END AS closure_micro
          FROM j""",
     // q94: identical double widening, nearest-integer coding, and

@@ -65,11 +65,17 @@ object IntMath {
     when(al < 0L, -idivHalfUp(-al, b)).otherwise(idivHalfUp(al, b))
   }
 
-  /** FLOOR division for signed numerators (b > 0) — DuckDB's integer
-    * `//` floors while Catalyst's IntegralDivide truncates toward
-    * zero, so the two disagree on every negative quotient. Subtract
-    * the positive modulus first (pmod) and the truncating divide
-    * becomes exact floor on both engines.
+  /** FLOOR division for signed numerators (b > 0). Measured DuckDB
+    * 1.0.0 behavior: integer `//` TRUNCATES toward zero exactly like
+    * Catalyst's IntegralDivide ((-7)//2 = -3 on both) — but DuckDB
+    * versions have differed here (newer docs describe `//` as
+    * rounding down), so the convention never emits a raw signed
+    * integer division in an oracle: subtract the positive modulus
+    * first (pmod) and the truncating divide becomes exact floor on
+    * ANY engine, whichever signed-division rule it ships.
+    * (The earlier note claiming 1.0.0 floors was wrong — the
+    * convention was right for the wrong reason; IntMathSpec pins
+    * both conventions.)
     */
   def floorDiv(a: Column, b: Column): Column = {
     val al = a.cast("long")

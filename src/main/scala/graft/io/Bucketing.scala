@@ -56,9 +56,15 @@ object Bucketing {
     * once per process and is idempotent across invocations.
     */
   def bucketedRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
-    val h = math.abs(dir.hashCode.toLong)
+    // the memo key carries the applicationId: saveAsTable metadata
+    // lives in the session catalog, which dies with the
+    // SparkContext — a suite that stop()s and recreates the context
+    // (the extension specs) would otherwise leave LayoutOnce
+    // believing tables exist that the fresh catalog cannot resolve
+    val appKey = s"$dir#${spark.sparkContext.applicationId}"
+    val h = math.abs(appKey.hashCode.toLong)
     val (ot, lt) = (s"graft_orders_b$h", s"graft_lineitem_b$h")
-    LayoutOnce.ensure("graft-buckets", dir) { base =>
+    LayoutOnce.ensure("graft-buckets", appKey) { base =>
       // repartition(8, okey) uses the same hash spec as the bucket
       // layout, so every bucket lands in exactly ONE file — which is
       // what lets the scan report itself sorted and drop the SMJ's

@@ -1928,28 +1928,51 @@ object Events {
     * never computed: a selected double read from the same parquet is
     * bit-identical in every engine, so the float never breaks the
     * hash). The distribution shape behind q355/q358's aggregates.
+    *
+    * Scale (round 10, was a per-type row-level sort): value-domain
+    * cumsum — the q356 `lengthFivePoint` form. One groupBy collapses
+    * the stream to the DISTINCT (type, value) frame (values are
+    * quantized, so the frame is bounded by the value domain, not the
+    * event count); the rank pick `value at rank ceil(n·p/100)` is
+    * equivalently `min value whose cumulative count · 100 ≥ n · p`,
+    * a filter + min over the bounded frame. No N-row window task.
     */
   def valueFivePoint(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window
-      .partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
-    def pick(p: Int) =
-      max(when(col("rn") === ceil(col("cnt") * p / 100), col("value")))
-    Tables
+    val vals = Tables
       .events(spark, dir)
-      .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("value"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("value").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cumc", sum(col("c")).over(wc))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .cacheTracked()
+    def pick(p: Int, name: String): DataFrame =
+      cum
+        .filter(col("cumc") * 100 >= col("n") * p)
+        .groupBy(col("event_type"))
+        .agg(min(col("value")).as(name))
+    val out = cum
       .groupBy(col("event_type"))
       .agg(
-        max(col("cnt")).as("n_events"),
+        max(col("n")).as("n_events"),
         min(col("value")).as("min_value"),
-        pick(25).as("p25_value"),
-        pick(50).as("p50_value"),
-        pick(75).as("p75_value"),
         max(col("value")).as("max_value")
       )
+      .join(broadcast(pick(25, "p25_value")), "event_type")
+      .join(broadcast(pick(50, "p50_value")), "event_type")
+      .join(broadcast(pick(75, "p75_value")), "event_type")
+      .select(
+        col("event_type"), col("n_events"), col("min_value"),
+        col("p25_value"), col("p50_value"), col("p75_value"),
+        col("max_value")
+      )
+    out
   }
 
   /** q412: session-gap sensitivity sweep — session counts and shape
@@ -2191,19 +2214,33 @@ object Events {
     * Completes the session family: q29 builds sessions, q412 sweeps
     * the gap, q123/q124 size them dynamically — this says how many
     * a USER accumulates, the visit-frequency shape retention models
-    * consume. Rank picks run over the |users|-row frame.
+    * consume.
+    *
+    * Scale (round 10, was row_number over an UNPARTITIONED window —
+    * the whole |users| frame in one task): the rank is now
+    * [[Ranking.withGlobalRank]] (range shuffle + zipWithIndex, the
+    * q422 machinery), so no single-partition stage exists anywhere
+    * in the plan; n_users is max(global rank), and the five picks
+    * stay the exact `rank = ceil(n·p/100)` elements.
     */
   def sessionsPerUserFivePoint(spark: SparkSession, dir: String): DataFrame = {
     val perUser = sessionize(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"))
-    val w = Window.orderBy(col("n_sessions").asc, col("user_id").asc)
+    val ranked = Ranking
+      .withGlobalRank(
+        perUser,
+        Seq(col("n_sessions").asc, col("user_id").asc),
+        "rn",
+        32
+      )
+      .cacheTracked()
+    val cnt = ranked.agg(max(col("rn")).as("cnt"))
     def pick(p: Int) =
       max(when(col("rn") === ceil(col("cnt") * p / 100),
         col("n_sessions")))
-    perUser
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    ranked
+      .crossJoin(broadcast(cnt))
       .agg(
         max(col("cnt")).as("n_users"),
         min(col("n_sessions")).as("min_sessions"),
@@ -2219,8 +2256,16 @@ object Events {
     * integers, picked not computed). q261's mean and CV² say HOW
     * bursty; the quantiles say WHERE the mass sits (a tight P25-P75
     * with a huge max is a scheduled feed with outages; a wide body
-    * is organic traffic). Rank picks window per type over the gap
-    * frame.
+    * is organic traffic).
+    *
+    * Scale (round 10, was a second per-type row-level sort for the
+    * rank picks): the gap stream is the q261 lag (per-type event-time
+    * order; at 100 TB, per (type, day) shards exactly as q261
+    * documents), and the five-point is the q356 value-domain cumsum —
+    * gaps are quantized integer microseconds, so the DISTINCT
+    * (type, gap) frame is bounded by the gap domain, and the rank
+    * pick `gap at rank ceil(n·p/100)` is `min gap whose cumulative
+    * count · 100 ≥ n · p`. No N-row window task in the pick stage.
     */
   def interArrivalFivePoint(spark: SparkSession, dir: String): DataFrame = {
     val w = Window
@@ -2232,23 +2277,37 @@ object Events {
         unix_micros(col("ts")).as("us"))
       .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
       .filter(col("gap").isNotNull)
-    val wOrd = Window
+    val vals = gaps
+      .groupBy(col("event_type"), col("gap"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window
       .partitionBy(col("event_type"))
-      .orderBy(col("gap").asc, col("event_id").asc)
-    def pick(p: Int) =
-      max(when(col("rn") === ceil(col("cnt") * p / 100), col("gap")))
-    gaps
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .orderBy(col("gap").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals
+      .withColumn("cumc", sum(col("c")).over(wc))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .cacheTracked()
+    def pick(p: Int, name: String): DataFrame =
+      cum
+        .filter(col("cumc") * 100 >= col("n") * p)
+        .groupBy(col("event_type"))
+        .agg(min(col("gap")).as(name))
+    cum
       .groupBy(col("event_type"))
       .agg(
-        max(col("cnt")).as("n_gaps"),
+        max(col("n")).as("n_gaps"),
         min(col("gap")).as("min_gap_us"),
-        pick(25).as("p25_gap_us"),
-        pick(50).as("p50_gap_us"),
-        pick(75).as("p75_gap_us"),
         max(col("gap")).as("max_gap_us")
+      )
+      .join(broadcast(pick(25, "p25_gap_us")), "event_type")
+      .join(broadcast(pick(50, "p50_gap_us")), "event_type")
+      .join(broadcast(pick(75, "p75_gap_us")), "event_type")
+      .select(
+        col("event_type"), col("n_gaps"), col("min_gap_us"),
+        col("p25_gap_us"), col("p50_gap_us"), col("p75_gap_us"),
+        col("max_gap_us")
       )
   }
 

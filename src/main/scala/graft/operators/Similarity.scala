@@ -1925,19 +1925,6 @@ object Similarity {
       )
   }
 
-  /** q397: IVF cell balance — occupancy census of the shared
-    * centroid assignment (the q25/q106/q240 seam): per cell, vector
-    * count, corpus share and the q232 even-share gauge. The ANN
-    * index-health audit: a hot cell turns every probe that touches
-    * it into a near-linear scan (probe cost ∝ cell size), and a
-    * starved cell wastes a probe budget slot — rebalance (re-train
-    * centroids, or split the hot cell) BEFORE tuning nprobe (q265).
-    * Assignment reuses the proven float argmax; every emitted column
-    * is an exact integer.
-    *
-    * Scale: assignment is the cached N·K cosine pass; the census is
-    * one K-row aggregation.
-    */
   /** q423: IVF probe-1 cost model — the exact probability that a
     * query and a random candidate land in the SAME cell (Simpson
     * coincidence over the q397 occupancy), i.e. the expected fraction
@@ -1970,6 +1957,19 @@ object Similarity {
       )
   }
 
+  /** q397: IVF cell balance — occupancy census of the shared
+    * centroid assignment (the q25/q106/q240 seam): per cell, vector
+    * count, corpus share and the q232 even-share gauge. The ANN
+    * index-health audit: a hot cell turns every probe that touches
+    * it into a near-linear scan (probe cost ∝ cell size), and a
+    * starved cell wastes a probe budget slot — rebalance (re-train
+    * centroids, or split the hot cell) BEFORE tuning nprobe (q265).
+    * Assignment reuses the proven float argmax; every emitted column
+    * is an exact integer.
+    *
+    * Scale: assignment is the cached N·K cosine pass; the census is
+    * one K-row aggregation.
+    */
   def ivfCellBalance(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.IntMath.{idivHalfUp, microRatio}
     val cells = ivfAssign(spark, dir, 8)

@@ -3092,12 +3092,17 @@ object TextAnalysis {
     * stream); first occurrence = min global position per (source,
     * word); V sampled at the 10 decile checkpoints of the stream via
     * a broadcast non-equi join of the vocab-sized first-occurrence
-    * frame against 10 bounds per source; the log-log least-squares
-    * fit is a closed-form aggregate over ≤ 10 points per source.
+    * frame against 10 bounds per source.
     *
-    * Determinism: positions are exact integers; checkpoint bounds are
-    * floor(N·d/10) in double (exact below 2^53); the LS fit sums ≤ 10
-    * doubles and rounds to 6.
+    * Emission (round 10): the per-decile EXACT-INTEGER growth curve
+    * `(source, d, n_tokens_at, vocab_at)` — positions, checkpoint
+    * bounds (floor via pure integer division N·d DIV 10), and vocab
+    * counts are all BIGINT, so the hashed surface is engine- and
+    * version-independent. The ln-based log-log OLS fit (β, k) is a
+    * libm-transcendental — exactly the float class the oracle
+    * convention bans from hashed columns — so it lives in
+    * [[heapsOls]] and is asserted in Round7bOpsSpec, the same split
+    * q367 uses for its Mann-Kendall z.
     */
   def heapsLawFit(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables
@@ -3119,72 +3124,50 @@ object TextAnalysis {
     val first = tokG
       .groupBy(col("source"), col("w"))
       .agg(min(col("posg")).as("fp"))
-      // feeds the 10-bound join AND the vocab total — materialize once
-      .cacheTracked()
     val totals = tokG
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_tokens"))
-    val vocab = first
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("vocab"))
     val bounds = totals
       .select(
         col("source"),
         col("n_tokens"),
-        explode(sequence(lit(1), lit(10))).as("d")
+        explode(sequence(lit(1), lit(10))).as("d0")
       )
       .select(
         col("source"),
-        col("n_tokens"),
-        col("d"),
-        floor(col("n_tokens") * col("d") / lit(10.0)).cast("long").as("bound")
+        col("d0").cast("long").as("d"),
+        expr("(n_tokens * CAST(d0 AS BIGINT)) DIV 10").as("bound")
       )
       .filter(col("bound") >= 1)
-    val points = first
+    first
       .join(broadcast(bounds), Seq("source"))
       .filter(col("fp") <= col("bound"))
       .groupBy(col("source"), col("d"))
       .agg(
-        min(col("bound")).as("bound"),
-        count(lit(1)).as("v")
+        min(col("bound")).as("n_tokens_at"),
+        count(lit(1)).as("vocab_at")
       )
-      .select(
-        col("source"),
-        log(col("bound").cast("double")).as("x"),
-        log(col("v").cast("double")).as("y")
-      )
-    val fit = points
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).cast("double").as("np"),
-        sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx")
-      )
-      .select(
-        col("source"),
-        ((col("sxy") - col("sx") * col("sy") / col("np")) /
-          (col("sxx") - col("sx") * col("sx") / col("np"))).as("beta"),
-        col("sx"),
-        col("sy"),
-        col("np")
-      )
-      .select(
-        col("source"),
-        col("beta"),
-        exp((col("sy") - col("beta") * col("sx")) / col("np")).as("k")
-      )
-    totals
-      .join(vocab, Seq("source"))
-      .join(fit, Seq("source"))
-      .select(
-        col("source"),
-        col("n_tokens"),
-        col("vocab"),
-        round(col("beta"), 6).as("beta"),
-        round(col("k"), 6).as("k")
-      )
+      .select(col("source"), col("d"), col("n_tokens_at"), col("vocab_at"))
+  }
+
+  /** The Heaps-law log-log OLS fit over [[heapsLawFit]]'s decile
+    * curve: V(N) ≈ k·N^β via least squares on (ln N, ln V). ≤ 10
+    * points per source, so this runs driver-side in the spec — it is
+    * deliberately NOT part of the hashed q188 surface (ln/exp are
+    * libm transcendentals whose last ulp differs across engines).
+    */
+  def heapsOls(points: Seq[(Long, Long)]): (Double, Double) = {
+    val xs = points.map { case (n, _) => math.log(n.toDouble) }
+    val ys = points.map { case (_, v) => math.log(v.toDouble) }
+    val np = points.size.toDouble
+    val sx = xs.sum
+    val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val denom = sxx - sx * sx / np
+    val beta = if (denom == 0.0) 0.0 else (sxy - sx * sy / np) / denom
+    val k = math.exp((sy - beta * sx) / np)
+    (beta, k)
   }
 
   /** q201: corpus composition independence audit — the (lang, source)
@@ -3517,6 +3500,11 @@ object TextAnalysis {
       .join(ft, "doc_id")
       .groupBy(col("gate"), col("feature"), col("fval"), col("f"))
       .agg(count(lit(1)).as("n_c"))
+      // bounded (|gates|·|features|·|values|·2 rows), but its lineage
+      // is the gate-flag join + the ft tokenize scan; tot/mf/mk and
+      // the MI join all read it — uncached, that lineage runs 4x
+      // (the q354 seam trick, commit 138a225)
+      .cacheTracked()
     val tot = cells
       .groupBy(col("gate"), col("feature"))
       .agg(sum(col("n_c")).as("n"))
@@ -4091,6 +4079,10 @@ object TextAnalysis {
         count(lit(1)).as("n_s"),
         sum(when(col("f"), 1L).otherwise(0L)).as("k_s")
       )
+      // 4·|sources| rows over the gate-flag join lineage; gateTot,
+      // the battery join, the m count, and the BH chain all read it —
+      // the q354 seam trick (commit 138a225)
+      .cacheTracked()
     val gateTot = cells
       .groupBy(col("gate"))
       .agg(sum(col("n_s")).as("n_g"), sum(col("k_s")).as("k_g"))
@@ -4969,9 +4961,14 @@ object TextAnalysis {
     *
     * Scale: one groupBy(lang, source) partial agg; the windows run
     * over the provably bounded |langs|×|sources| cell frame.
-    * Overflow headroom: N·o must stay under 2^63 — past ~3e9 docs
-    * per cell, compute the exact integer numerators per shard and
-    * merge (the q371 treatment).
+    * Overflow headroom: the binding term is dev²·10⁶ where
+    * dev = N·observed − row_total·col_total — it exceeds 2^63 once
+    * |dev| > ~3.0e6, which a single skewed cell reaches well below
+    * giant-corpus scale (e.g. N ≈ 6e6 with a cell far from
+    * independence). Spark wraps silently while DuckDB raises on
+    * BIGINT overflow, so past that bound compute the exact integer
+    * numerators per shard and merge (the q371 treatment), or drop
+    * the micro scale factor.
     */
   def langSourceContingency(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.IntMath.idivHalfUp
@@ -5343,20 +5340,13 @@ object TextAnalysis {
       .withColumn("tau_num", col("concordant") - col("discordant"))
   }
 
-  /** q434: bigram-graph degree census — each vocabulary token's
-    * distinct-neighbor count in the adjacency (bigram) graph, rolled
-    * into degree bands, plus the max degree. Hub tokens (function
-    * words, template connectors) have degree ≈ vocabulary size;
-    * content words sit in thin bands. The graph-shape audit under
-    * the bigram LM (q84) and PMI (q99): a lexicon whose mass sits in
-    * the hub band carries little sequence information. Neighbors
-    * count both directions (left ∪ right), exactly.
-    *
-    * Scale: one distinct-bigram pass → symmetric explode → per-token
-    * distinct count → a bounded band rollup.
+  /** The (token, distinct-neighbor degree) frame of the adjacency
+    * (bigram) graph — one distinct-bigram pass, symmetric explode
+    * (left ∪ right neighbors), per-token distinct count. The shared
+    * seam under q434's band census and q439's named top-k so the two
+    * degree definitions can never diverge.
     */
-  def bigramDegreeCensus(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.IntMath.microRatio
+  private def bigramDegrees(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables
       .documents(spark, dir)
       .select(tokens(col("text")).as("t"))
@@ -5371,13 +5361,29 @@ object TextAnalysis {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .filter(col("w2").isNotNull)
       .distinct()
-    val degrees = bigrams
+    bigrams
       .select(col("w1").as("w"), col("w2").as("nbr"))
       .union(bigrams.select(col("w2").as("w"), col("w1").as("nbr")))
       .distinct()
       .groupBy(col("w"))
       .agg(count(lit(1)).as("degree"))
-    val banded = degrees
+  }
+
+  /** q434: bigram-graph degree census — each vocabulary token's
+    * distinct-neighbor count in the adjacency (bigram) graph, rolled
+    * into degree bands, plus the max degree. Hub tokens (function
+    * words, template connectors) have degree ≈ vocabulary size;
+    * content words sit in thin bands. The graph-shape audit under
+    * the bigram LM (q84) and PMI (q99): a lexicon whose mass sits in
+    * the hub band carries little sequence information. Neighbors
+    * count both directions (left ∪ right), exactly.
+    *
+    * Scale: one distinct-bigram pass → symmetric explode → per-token
+    * distinct count → a bounded band rollup.
+    */
+  def bigramDegreeCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val banded = bigramDegrees(spark, dir)
       .select(
         when(col("degree") <= 2, "1_2_leaf")
           .when(col("degree") <= 10, "3_10_content")
@@ -5523,30 +5529,10 @@ object TextAnalysis {
     * connects to everything. Deterministic top-k by
     * (degree DESC, token ASC) → TakeOrderedAndProject.
     */
-  def hubTokens(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables
-      .documents(spark, dir)
-      .select(tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-    val bigrams = toks
-      .select(explode(
-        zip_with(
-          slice(col("t"), 1, 1000000),
-          slice(col("t"), 2, 1000000),
-          (a, b) => struct(a.as("w1"), b.as("w2"))
-        )).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .filter(col("w2").isNotNull)
-      .distinct()
-    bigrams
-      .select(col("w1").as("w"), col("w2").as("nbr"))
-      .union(bigrams.select(col("w2").as("w"), col("w1").as("nbr")))
-      .distinct()
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("degree"))
+  def hubTokens(spark: SparkSession, dir: String): DataFrame =
+    bigramDegrees(spark, dir)
       .orderBy(col("degree").desc, col("w").asc)
       .limit(10)
-  }
 
   /** q441: token frequency-band mass census — the corpus's token
     * occurrences split into head (the types whose count exceeds

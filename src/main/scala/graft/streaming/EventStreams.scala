@@ -55,12 +55,20 @@ object EventStreams {
       "SPARK_GRAFT_STREAM_CKPT_ROOT",
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ckpt"
       else sys.props("java.io.tmpdir") + "/graft-ckpt")
+    // the ACTIVE queryName must be unique per invocation: two
+    // concurrent drains of the same logical stream (parallel test
+    // suites in one JVM — sbt runs ScalaTest suites in parallel
+    // threads under Test/fork) would otherwise race on "query with
+    // that name is already active". Nothing external reads the
+    // memory-sink view by name; callers consume the returned frame.
+    val qname =
+      s"${name}_${java.util.UUID.randomUUID().toString.take(8)}"
     val ckpt = new java.io.File(
-      s"$ckptRoot/$name-${java.util.UUID.randomUUID()}")
+      s"$ckptRoot/$qname-${java.util.UUID.randomUUID()}")
     try {
       val q = df.writeStream
         .format("memory")
-        .queryName(name)
+        .queryName(qname)
         .outputMode(mode)
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -75,7 +83,7 @@ object EventStreams {
       spark.conf.set("spark.sql.shuffle.partitions", batchShuffle)
       deleteRecursively(ckpt)
     }
-    spark.table(name)
+    spark.table(qname)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -216,19 +217,23 @@ class Round7bOpsSpec extends AnyFunSuite {
     assert(rep(2L) > 0.5, s"dup_token_frac was ${rep(2L)}")
   }
 
-  test("q188 Heaps fit: sane exponent, exact vocab, positive scale") {
+  test("q188 Heaps curve: 10 deciles/source, exact vocab, sane fit") {
     val out = TextAnalysis.heapsLawFit(spark, dir).cache()
     val docs = Tables.documents(spark, dir)
     val nSrc = docs.select("source").distinct().count()
-    assert(out.count() === nSrc)
-    // sublinear vocabulary growth: 0 ≤ β < 1 (the synthetic corpus's
-    // ~31-token vocab saturates in the first decile, so β = 0 exactly
-    // for sources whose checkpoints all see the full vocabulary —
-    // the depressed-β signature of a saturated/duplicated source)
-    val badBeta = out.filter(col("beta") < 0 || col("beta") >= 1).count()
-    assert(badBeta === 0L)
-    assert(out.filter(col("k") <= 0).count() === 0L)
-    // the reported vocab is the exact per-source distinct token count
+    // every source gets the full 10-point decile curve, monotone in
+    // both token count and vocabulary
+    assert(out.count() === nSrc * 10)
+    val badMono = out
+      .withColumn(
+        "pv",
+        lag(col("vocab_at"), 1)
+          .over(Window.partitionBy("source").orderBy("d"))
+      )
+      .filter(col("pv").isNotNull && col("vocab_at") < col("pv"))
+      .count()
+    assert(badMono === 0L)
+    // the d=10 point is the exact per-source distinct token count
     val exact = docs
       .select(
         col("source"),
@@ -237,10 +242,26 @@ class Round7bOpsSpec extends AnyFunSuite {
       .groupBy(col("source"))
       .agg(countDistinct(col("w")).as("v"))
     val mism = out
+      .filter(col("d") === 10)
       .join(exact, Seq("source"))
-      .filter(col("vocab") =!= col("v"))
+      .filter(col("vocab_at") =!= col("v"))
       .count()
     assert(mism === 0L)
+    // the OLS fit over the integer curve (driver-side, spec-only —
+    // ln/exp are banned from the hashed surface): 0 ≤ β < 1 sublinear
+    // growth, positive scale k. The synthetic corpus's ~31-token
+    // vocab saturates in the first decile, so β = 0 exactly for
+    // sources whose checkpoints all see the full vocabulary — the
+    // depressed-β signature of a saturated/duplicated source.
+    out
+      .collect()
+      .groupBy(_.getString(0))
+      .foreach { case (src, rows) =>
+        val pts = rows.map(r => (r.getLong(2), r.getLong(3))).toSeq
+        val (beta, k) = TextAnalysis.heapsOls(pts)
+        assert(beta >= 0 && beta < 1, s"$src beta=$beta")
+        assert(k > 0, s"$src k=$k")
+      }
   }
 
   test("q190 gate agreement: all 6 pairs, κ bounded, constant gate ⇒ κ = 0") {

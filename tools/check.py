@@ -116,7 +116,16 @@ def main():
         [sys.executable,
          os.path.join(os.path.dirname(__file__), "lint_oracles.py"),
          outdir])
-    if lint.returncode != 0:
+    # output-type lint: DESCRIBE every oracle and fail on HUGEINT
+    # (always the un-cast aggregate bug — dtype-sensitive driver hash)
+    # and on non-grandfathered DECIMAL/DOUBLE columns. This is the
+    # structural kill for the round-9 48-query regression class,
+    # which the round()-regex lint above cannot see.
+    tlint = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "lint_types.py"),
+         outdir, sfdir])
+    if lint.returncode != 0 or tlint.returncode != 0:
         sys.exit(1)
 
 if __name__ == "__main__":
