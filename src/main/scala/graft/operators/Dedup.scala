@@ -399,11 +399,17 @@ object Dedup {
     */
   def dedupFunnel(spark: SparkSession, dir: String): DataFrame = {
     val all = Tables.documents(spark, dir).select(col("doc_id"))
+    // s1/s2 are |docs|-row doc_id frames whose lineages are the md5
+    // dedup and the shingle-closure survivor chains; the four stage
+    // aggregates below read s1 3x and s2 2x — cache so each chain
+    // derives once (the q354 seam trick)
     val s1 = exactDedup(spark, dir)
       .select(col("survivor_id").as("doc_id"))
+      .cacheTracked()
     val s2 = s1.join(
       canonicalDocs(spark, dir).select(col("keep_doc").as("doc_id")),
       Seq("doc_id"))
+      .cacheTracked()
     val s3 = s2.join(
       semanticDedup(spark, dir)
         .filter(col("kept"))

@@ -2497,10 +2497,14 @@ object Sampling {
       )
       .withColumn("exact_keep", min(col("doc_id")).over(wH) === col("doc_id"))
       .select(col("doc_id"), col("tk"), col("exact_keep"))
-    // near-dup survivors: the q78 keep-best rule over the closure
+    // near-dup survivors: the q78 keep-best rule over the closure.
+    // |closure|-row frame whose lineage is the pair join + pointer-
+    // doubling CC; the keep-best aggregate AND the closure-membership
+    // join both read it — cache so the chain derives once
     val labels = Dedup
       .dedupClusters(spark, dir)
       .select(col("doc_id"), col("cluster_id"))
+      .cacheTracked()
     val nearKeep = labels
       .join(
         TextAnalysis.qualityMicroScores(spark, dir)
