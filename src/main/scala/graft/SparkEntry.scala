@@ -1114,6 +1114,19 @@ object SparkEntry {
     "q443_quality_funnel" -> (TextAnalysis.qualityFunnel _),
     // Survivorship win rate per source among contested docs.
     "q444_survivor_wins" -> (Dedup.survivorWinRate _),
+    // Triangle census of the co-purchase graph (degree-oriented).
+    "q445_copurchase_triangles" ->
+      (Relational.coPurchaseTriangles _),
+    // Spearman rho between length and quality per source.
+    "q446_spearman_rho" -> (TextAnalysis.spearmanLengthQuality _),
+    // Pettitt rank changepoint on the daily event-count series.
+    "q447_pettitt_changepoint" -> (Events.pettittChangepoint _),
+    // Blocked Levenshtein near-dup pair census by distance band.
+    "q448_edit_distance_bands" -> (Dedup.editDistanceBands _),
+    // l-diversity of lang within (source, length-band) QI cells.
+    "q449_l_diversity" -> (Sampling.lDiversityCensus _),
+    // Newman degree assortativity of the near-dup pair graph.
+    "q450_degree_assortativity" -> (Dedup.degreeAssortativity _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12551,6 +12564,162 @@ object SparkEntry {
                FROM m GROUP BY 1)
          SELECT source, n_contested, n_won,
            ${sqlMicroRatio("n_won", "n_contested")} AS win_ppm
+         FROM a""",
+    // q445: same degree-ordered orientation as the Spark plan — the
+    // wedge join runs on oriented out-edges, closure via the
+    // canonical (u < v) edge set.
+    "q445_copurchase_triangles" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM op a JOIN op b USING (l_orderkey)
+               WHERE a.l_partkey < b.l_partkey),
+         d AS (SELECT n, count(*)::BIGINT AS deg FROM
+                 (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+               GROUP BY 1),
+         o AS (SELECT CASE WHEN du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.u ELSE e.v END AS src,
+                      CASE WHEN du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.v ELSE e.u END AS dst
+               FROM e JOIN d du ON e.u = du.n
+                      JOIN d dv ON e.v = dv.n),
+         w AS (SELECT o1.dst AS x, o2.dst AS y
+               FROM o o1 JOIN o o2
+                 ON o1.src = o2.src AND o1.dst < o2.dst),
+         t AS (SELECT count(*)::BIGINT AS n_triangles
+               FROM w WHERE EXISTS (SELECT 1 FROM e
+                 WHERE e.u = w.x AND e.v = w.y)),
+         c AS (SELECT count(*)::BIGINT AS n_edges FROM e),
+         nn AS (SELECT count(*)::BIGINT AS n_nodes,
+                  sum((deg * (deg - 1)) // 2)::BIGINT AS n_wedges
+                FROM d)
+         SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           ${sqlMicroRatio("3 * n_triangles",
+        "greatest(n_wedges, 1)")} AS closure_ppm
+         FROM nn, c, t""",
+    // q446: tie-averaged double-ranks (2·cum_before + tie + 1) over
+    // the distinct value domains per source; rho in signed half-up
+    // milli from the d-squared form.
+    "q446_spearman_rho" ->
+      s"""WITH $qMicroCte,
+         base AS (SELECT d.source, d.n_chars AS lv, q.q_micro AS qv
+                  FROM documents d JOIN qm q USING (doc_id)),
+         lg AS (SELECT source, lv, count(*)::BIGINT AS c
+                FROM base GROUP BY 1, 2),
+         lr AS (SELECT source, lv,
+                  2 * (sum(c) OVER (PARTITION BY source
+                    ORDER BY lv) - c) + c + 1 AS rl2
+                FROM lg),
+         qg AS (SELECT source, qv, count(*)::BIGINT AS c
+                FROM base GROUP BY 1, 2),
+         qr AS (SELECT source, qv,
+                  2 * (sum(c) OVER (PARTITION BY source
+                    ORDER BY qv) - c) + c + 1 AS rq2
+                FROM qg),
+         j AS (SELECT b.source,
+                 (lr.rl2 - qr.rq2) * (lr.rl2 - qr.rq2) AS d2
+               FROM base b
+               JOIN lr ON b.source = lr.source AND b.lv = lr.lv
+               JOIN qr ON b.source = qr.source AND b.qv = qr.qv),
+         a AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 sum(d2)::BIGINT AS sum_d2_x4
+               FROM j GROUP BY 1)
+         SELECT source, n_docs, sum_d2_x4,
+           ${sqlIdivHalfUpSigned(
+          "1000 * n_docs * (n_docs * n_docs - 1) - 1500 * sum_d2_x4",
+          "greatest(n_docs * (n_docs * n_docs - 1), 1)"
+        )} AS rho_milli
+         FROM a""",
+    // q447: double-rank the daily counts over the distinct-count
+    // value domain, then U_t = prefix(2r) - t(n+1); argmax |U_t|
+    // with earliest-day tiebreak.
+    "q447_pettitt_changepoint" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                 count(*)::BIGINT AS cnt
+               FROM events GROUP BY 1),
+         g AS (SELECT cnt, count(*)::BIGINT AS c
+               FROM daily GROUP BY 1),
+         r AS (SELECT cnt,
+                 2 * (sum(c) OVER (ORDER BY cnt) - c) + c + 1 AS r2
+               FROM g),
+         n AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+         u AS (SELECT daily.d,
+                 row_number() OVER (ORDER BY daily.d) AS t,
+                 sum(r.r2) OVER (ORDER BY daily.d) AS s2
+               FROM daily JOIN r USING (cnt)),
+         ut AS (SELECT u.d, (u.s2 - u.t * (n.n_days + 1)) AS u_t,
+                  n.n_days
+                FROM u, n WHERE u.t < n.n_days)
+         SELECT n_days, d AS t_star_day,
+           abs(u_t)::BIGINT AS k_stat, u_t::BIGINT AS u_at_tstar
+         FROM ut ORDER BY abs(u_t) DESC, d ASC LIMIT 1""",
+    // q448: same (lang, 8-char prefix) blocks, 60-char Levenshtein
+    // operands, identical band edges.
+    "q448_edit_distance_bands" ->
+      """WITH b AS (SELECT doc_id, lang, substr(text, 1, 8) AS pfx,
+                 substr(text, 1, 60) AS t60
+               FROM documents),
+         p AS (SELECT levenshtein(a.t60, bb.t60)::BIGINT AS d
+               FROM b a JOIN b bb
+                 ON a.lang = bb.lang AND a.pfx = bb.pfx
+                   AND a.doc_id < bb.doc_id)
+         SELECT CASE WHEN d <= 2 THEN '0_2'
+                     WHEN d <= 5 THEN '3_5'
+                     WHEN d <= 10 THEN '6_10'
+                     ELSE 'far' END AS band,
+           count(*)::BIGINT AS n_pairs,
+           min(d)::BIGINT AS min_dist,
+           max(d)::BIGINT AS max_dist
+         FROM p GROUP BY 1""",
+    // q449: (source, n_chars DIV 100) QI cells; l = distinct langs
+    // per cell; distribution over l.
+    "q449_l_diversity" ->
+      """WITH c AS (SELECT source, n_chars // 100 AS len_band, lang,
+                 count(*)::BIGINT AS n
+               FROM documents GROUP BY 1, 2, 3),
+         q AS (SELECT source, len_band, count(*)::BIGINT AS l,
+                 sum(n)::BIGINT AS k
+               FROM c GROUP BY 1, 2)
+         SELECT l, count(*)::BIGINT AS n_cells,
+           sum(k)::BIGINT AS n_docs,
+           min(k)::BIGINT AS min_cell,
+           max(k)::BIGINT AS max_cell
+         FROM q GROUP BY 1""",
+    // q450: the q208 J >= 0.5 pair derivation, endpoint degrees via
+    // symmetric expansion, Newman's r from integer sums.
+    "q450_degree_assortativity" ->
+      s"""WITH $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                FROM d WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         p AS (SELECT doc_a, doc_b FROM pr
+               WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                 >= 0.5),
+         dg AS (SELECT n, count(*)::BIGINT AS deg FROM
+                  (SELECT doc_a AS n FROM p
+                   UNION ALL SELECT doc_b FROM p)
+                GROUP BY 1),
+         w AS (SELECT da.deg AS ja, db.deg AS jb
+               FROM p JOIN dg da ON p.doc_a = da.n
+                      JOIN dg db ON p.doc_b = db.n),
+         a AS (SELECT count(*)::BIGINT AS m,
+                 coalesce(sum(ja * jb), 0)::BIGINT AS s_jk,
+                 coalesce(sum(ja + jb), 0)::BIGINT AS s1,
+                 coalesce(sum(ja * ja + jb * jb), 0)::BIGINT AS s2
+               FROM w)
+         SELECT m, s_jk, s1, s2,
+           CASE WHEN m = 0 THEN 0::BIGINT
+                ELSE ${sqlIdivHalfUpSigned(
+          "1000 * (4 * m * s_jk - s1 * s1)",
+          "greatest(2 * m * s2 - s1 * s1, 1)"
+        )} END AS r_milli
          FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")

@@ -3629,4 +3629,116 @@ object Dedup {
         microRatio(col("n_dup_docs"), col("n_docs")).as("dup_ppm")
       )
   }
+
+  /** q448: blocked edit-distance near-dup census — the classic
+    * entity-resolution topology (blocking + in-block comparison;
+    * Christen, "Data Matching", 2012): documents block on
+    * (lang, first-8-chars), candidate pairs form only WITHIN a
+    * block, and each pair is scored with exact Levenshtein distance
+    * on the 60-char prefixes. Output: per distance band (0-2 / 3-5 /
+    * 6-10 / far), pair count and the distance envelope. Shingle
+    * Jaccard (q21) misses single-character edits spread through a
+    * doc; edit distance is the complementary signal for
+    * OCR-noise/typo-level duplication, and the band table is what
+    * calibrates a distance threshold against the q22 LSH verdicts.
+    *
+    * Scale: cost is Σ block_size², never corpus² — the prefix key is
+    * high-cardinality by construction and AQE skew-split handles hot
+    * boilerplate blocks; the Levenshtein operand is capped at 60
+    * chars so per-pair cost is O(60²) constant. At 100 TB the block
+    * key would widen to (lang, prefix, length band) — same plan.
+    */
+  def editDistanceBands(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        substring(col("text"), 1, 8).as("pfx"),
+        substring(col("text"), 1, 60).as("t60")
+      )
+    val l = b.select(
+      col("lang"), col("pfx"),
+      col("doc_id").as("doc_a"), col("t60").as("ta"))
+    val r = b.select(
+      col("lang"), col("pfx"),
+      col("doc_id").as("doc_b"), col("t60").as("tb"))
+    l.join(r, Seq("lang", "pfx"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(levenshtein(col("ta"), col("tb")).cast("long").as("d"))
+      .select(
+        when(col("d") <= 2, "0_2")
+          .when(col("d") <= 5, "3_5")
+          .when(col("d") <= 10, "6_10")
+          .otherwise("far").as("band"),
+        col("d")
+      )
+      .groupBy(col("band"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("d")).as("min_dist"),
+        max(col("d")).as("max_dist")
+      )
+  }
+
+  /** q450: degree assortativity of the near-dup pair graph at
+    * J ≥ 0.5 — Newman's edge-wise degree correlation
+    * ("Assortative mixing in networks", PRL 2002) emitted as the
+    * exact integer sufficient statistics (m edges, Σjk, Σ(j+k),
+    * Σ(j²+k²) over edge-endpoint degrees) plus
+    * r = (4m·Σjk − S1²)/(2m·S2 − S1²) in signed half-up milli.
+    * Positive r means duplicate-heavy docs link to each other
+    * (template families — transitive closure is safe); negative r
+    * means hub-and-spoke (one canonical doc linked by many
+    * singletons — closure chains dissimilar docs through the hub,
+    * the q208 failure mode, and the survivor policy needs the q159
+    * verified-pair topology instead).
+    *
+    * Scale: the pair artifact is collision-linear; degrees come from
+    * one symmetric-expansion aggregate and join back by endpoint.
+    * Milli emission headroom: 4m·Σjk < 2⁶³ holds past m ≈ 10⁶ edges
+    * with degrees in the thousands; the statistics are exact
+    * regardless.
+    */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUpSigned
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .cacheTracked()
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("n"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("deg"))
+    val withDegs = pairs
+      .join(deg.select(col("n").as("doc_a"), col("deg").as("ja")),
+        Seq("doc_a"))
+      .join(deg.select(col("n").as("doc_b"), col("deg").as("jb")),
+        Seq("doc_b"))
+    val agg = withDegs.agg(
+      count(lit(1)).as("m"),
+      coalesce(sum(col("ja") * col("jb")), lit(0L)).as("s_jk"),
+      coalesce(sum(col("ja") + col("jb")), lit(0L)).as("s1"),
+      coalesce(sum(col("ja") * col("ja") + col("jb") * col("jb")),
+        lit(0L)).as("s2")
+    )
+    agg.select(
+      col("m"),
+      col("s_jk"),
+      col("s1"),
+      col("s2"),
+      when(col("m") === 0L, 0L)
+        .otherwise(
+          idivHalfUpSigned(
+            lit(1000L) *
+              (lit(4L) * col("m") * col("s_jk") - col("s1") * col("s1")),
+            greatest(
+              lit(2L) * col("m") * col("s2") - col("s1") * col("s1"),
+              lit(1L)
+            )
+          )
+        )
+        .as("r_milli")
+    )
+  }
 }

@@ -2370,4 +2370,69 @@ object Events {
         col("n_censored")
       )
   }
+
+  /** q447: Pettitt changepoint test on the daily event-count series —
+    * the rank-based single-changepoint locator (Pettitt, "A
+    * non-parametric approach to the change-point problem", JRSS-C
+    * 1979). With tie-averaged double-ranks r̄ (2·r̄ integer, the q446
+    * convention) the statistic U_t = Σ_{i≤t} 2·r̄_i − t(n+1) is exact
+    * BIGINT at every prefix; the output row is (n_days, t_star_day,
+    * k_stat = max|U_t|, u_at_tstar), argmax broken to the earliest
+    * day. The CUSUM (q308) asks "did the level drift?" under a
+    * mean/σ model; Pettitt asks the distribution-free version — the
+    * day the traffic regime most plausibly changed, robust to the
+    * heavy-tailed bursts q254/q301 prove this stream has. The
+    * significance transform p ≈ 2·exp(−6K²/(n³+n²)) is float-only
+    * and lives in the spec (the q367 Mann-Kendall split).
+    *
+    * Scale: one groupBy to daily counts, then every window runs on
+    * the daily frame — calendar-bounded (≤366 rows/year), never
+    * event-scale. The rank frame is the distinct-count value domain.
+    */
+  def pettittChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idiv
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        idiv(unix_micros(col("ts")), lit(86400000000L)).as("d")
+      )
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .cacheTracked()
+    // tie-averaged double-ranks over the distinct-count value domain
+    val g = daily.groupBy(col("cnt")).agg(count(lit(1)).as("c"))
+    val wv = Window
+      .orderBy(col("cnt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = g
+      .withColumn("cum", sum(col("c")).over(wv))
+      .select(
+        col("cnt"),
+        (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+          .as("r2")
+      )
+    val wd = Window
+      .orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    daily
+      .join(broadcast(r2), Seq("cnt"))
+      .withColumn("t", row_number().over(Window.orderBy(col("d").asc)))
+      .withColumn("s2", sum(col("r2")).over(wd))
+      .crossJoin(broadcast(nDays))
+      .filter(col("t") < col("n_days"))
+      .select(
+        col("n_days"),
+        col("d"),
+        (col("s2") - col("t") * (col("n_days") + lit(1L))).as("u_t")
+      )
+      .orderBy(abs(col("u_t")).desc, col("d").asc)
+      .limit(1)
+      .select(
+        col("n_days"),
+        col("d").as("t_star_day"),
+        abs(col("u_t")).as("k_stat"),
+        col("u_t").as("u_at_tstar")
+      )
+  }
 }

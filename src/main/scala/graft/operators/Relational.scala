@@ -999,4 +999,88 @@ object Relational {
         (obsPpm - expected).as("dev_ppm")
       )
   }
+
+  /** q445: triangle census of the co-purchase graph — parts are
+    * nodes, an edge joins two parts that co-occur in at least one
+    * order (the q403 pair derivation), output is the one-row global
+    * summary: nodes, edges, wedges (open two-paths, Σ C(deg,2)),
+    * triangles, and the global clustering coefficient
+    * 3·triangles/wedges in exact ppm. Closure is the difference
+    * between "popular parts co-occur with everything" (low) and
+    * "parts cluster into kits" (high) — the graph-shape fact a
+    * basket pipeline reads before trusting q406's pairwise lift,
+    * and the same census a near-dup pair graph gets from q208.
+    *
+    * Scale: degree-ordered orientation (Cohen, "Graph twiddling in
+    * a MapReduce world", CiSE 2009; Suri & Vassilvitskii, WWW 2011):
+    * each undirected edge points to its (degree, id)-larger
+    * endpoint, so out-degrees are O(√m) and the wedge self-join
+    * generates Σ d_out² = O(m^1.5) candidates worst-case — a hub
+    * node cannot go quadratic. Wedges close via ONE hash join
+    * against the canonical (u<v) edge set. Pair generation is
+    * within-order (Σ fanout², bounded by the q399 profile), never
+    * parts². No window, no collect.
+    */
+  def coPurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idiv, microRatio}
+    import graft.util.Caches._
+    val op = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("v"))
+    // canonical undirected edge set, read three times (degrees,
+    // wedge closure, edge count)
+    val edges = a
+      .join(b, Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
+      .distinct()
+      .cacheTracked()
+    val deg = edges
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("deg"))
+      .cacheTracked()
+    val toV = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(toV, col("u")).otherwise(col("v")).as("src"),
+        when(toV, col("v")).otherwise(col("u")).as("dst")
+      )
+    val w1 = oriented.select(col("src"), col("dst").as("x"))
+    val w2 = oriented.select(col("src"), col("dst").as("y"))
+    val triangles = w1
+      .join(w2, Seq("src"))
+      .filter(col("x") < col("y"))
+      .join(
+        edges,
+        col("x") === edges("u") && col("y") === edges("v"),
+        "left_semi"
+      )
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val nodesWedges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(idiv(col("deg") * (col("deg") - lit(1L)), lit(2L)))
+        .as("n_wedges")
+    )
+    nodesWedges
+      .crossJoin(broadcast(nEdges))
+      .crossJoin(broadcast(triangles))
+      .select(
+        col("n_nodes"),
+        col("n_edges"),
+        col("n_wedges"),
+        col("n_triangles"),
+        microRatio(
+          lit(3L) * col("n_triangles"),
+          greatest(col("n_wedges"), lit(1L))
+        ).as("closure_ppm")
+      )
+  }
 }

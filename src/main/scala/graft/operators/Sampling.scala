@@ -2711,6 +2711,47 @@ object Sampling {
       )
   }
 
+  /** q449: l-diversity census — the sensitive-attribute companion to
+    * q330's k-anonymity: group documents by the quasi-identifier
+    * (source, n_chars DIV 100 length band) and, per distinct
+    * diversity level l = |distinct langs in the cell|, report how
+    * many QI cells and documents sit at that level plus the cell-size
+    * envelope (Machanavajjhala et al., "l-diversity: privacy beyond
+    * k-anonymity", ICDE 2006). k-anonymity says "the cell is big
+    * enough to hide in"; l-diversity says "knowing the cell doesn't
+    * reveal the sensitive value" — a 100-doc cell that is 100% one
+    * language still leaks lang. Cells at l = 1 are the release
+    * blockers.
+    *
+    * Scale: one (source, band, lang) aggregate → one (source, band)
+    * rollup → a ≤|distinct-l|-row distribution. All counts exact
+    * BIGINT; no window, no collect.
+    */
+  def lDiversityCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idiv
+    val cells = Tables
+      .documents(spark, dir)
+      .groupBy(
+        col("source"),
+        idiv(col("n_chars"), lit(100L)).as("len_band"),
+        col("lang")
+      )
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"), col("len_band"))
+      .agg(
+        count(lit(1)).as("l"),
+        sum(col("n")).as("k")
+      )
+    cells
+      .groupBy(col("l"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        sum(col("k")).as("n_docs"),
+        min(col("k")).as("min_cell"),
+        max(col("k")).as("max_cell")
+      )
+  }
+
   /** q310: coverage-guaranteed eval holdout — a 5% hash split
     * (q49's construction) with a floor: every (source, lang) cell
     * contributes at least `minK` = 5 docs (or all of them, if the

@@ -5770,4 +5770,92 @@ object TextAnalysis {
         max(col("run_len")).as("longest_run")
       )
   }
+
+  /** Value-domain double-ranks: for each (source, value) the integer
+    * `2·r̄` where r̄ is the tie-averaged rank of that value within its
+    * source — `2·cum_before + tie_count + 1`, always an exact BIGINT
+    * (half-ranks never materialize). The rank frame is the DISTINCT
+    * (source, value) set, so the cumsum window is value-domain
+    * bounded, never corpus-scale (the q356/q410 convention).
+    */
+  private def doubleRanks(
+      df: DataFrame,
+      vcol: String,
+      out: String
+  ): DataFrame = {
+    val g = df
+      .groupBy(col("source"), col(vcol))
+      .agg(count(lit(1)).as("c"))
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col(vcol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum", sum(col("c")).over(w))
+      .select(
+        col("source"),
+        col(vcol),
+        (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+          .as(out)
+      )
+  }
+
+  /** q446: Spearman rank correlation between document length
+    * (n_chars) and the integer micro-quality score, per source — the
+    * monotone-association companion to q249's Pearson-style
+    * length/quality correlation and q374's Kendall τ. Hashed surface
+    * is pure BIGINT: n_docs, the tie-averaged squared rank-difference
+    * sum Σ(2·r̄_len − 2·r̄_q)² (quarter-units ×4), and the classic
+    * ρ = 1 − 6Σd²/(n(n²−1)) in signed half-up milli (the d²-form is
+    * exact under tie-broken ranks and the standard approximation
+    * under tie-averaged ranks — documented, identical on both
+    * engines). A source where quality is just length in disguise
+    * (|ρ|→1000) tells the gate designer q15's signals collapsed.
+    *
+    * Scale: two value-domain rank frames (bounded by distinct
+    * lengths / distinct micro-scores, never N) + two hash joins back
+    * to the docs + one per-source aggregate. No per-row window over
+    * the corpus. Milli emission headroom: 6000·n³ < 2⁶³ holds to
+    * n ≈ 1.1e5 docs/source; the Σd² and n components are exact far
+    * beyond that.
+    */
+  def spearmanLengthQuality(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    import graft.functions.IntMath.idivHalfUpSigned
+    val base = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        col("n_chars").as("lv"),
+        qualityMicro(col("text")).as("qv")
+      )
+      .cacheTracked()
+    val lr = doubleRanks(base, "lv", "rl2")
+    val qr = doubleRanks(base, "qv", "rq2")
+    val d = base
+      .join(lr, Seq("source", "lv"))
+      .join(qr, Seq("source", "qv"))
+      .select(
+        col("source"),
+        ((col("rl2") - col("rq2")) * (col("rl2") - col("rq2")))
+          .as("d2")
+      )
+    val agg = d
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("d2")).as("sum_d2_x4")
+      )
+    val den = col("n_docs") * (col("n_docs") * col("n_docs") - lit(1L))
+    agg.select(
+      col("source"),
+      col("n_docs"),
+      col("sum_d2_x4"),
+      idivHalfUpSigned(
+        lit(1000L) * den - lit(1500L) * col("sum_d2_x4"),
+        greatest(den, lit(1L))
+      ).as("rho_milli")
+    )
+  }
 }

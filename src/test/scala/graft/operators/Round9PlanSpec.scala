@@ -88,7 +88,9 @@ class Round9PlanSpec extends AnyFunSuite {
     "q393_dup_quality" -> "bounded dup-band frame",
     "q409_late_events" -> "P-row range-partition offsets frame",
     "q416_supplier_load" -> "|suppliers| load frame (dim-bounded)",
-    "q435_source_rank_churn" -> "|sources| quartile frames"
+    "q435_source_rank_churn" -> "|sources| quartile frames",
+    "q447_pettitt_changepoint" ->
+      "daily-count frame (calendar-bounded) + its value-domain ranks"
   )
 
   test("registry sweep: no unpartitioned row-level window over an " +
