@@ -1127,6 +1127,12 @@ object SparkEntry {
     "q449_l_diversity" -> (Sampling.lDiversityCensus _),
     // Newman degree assortativity of the near-dup pair graph.
     "q450_degree_assortativity" -> (Dedup.degreeAssortativity _),
+    // dHash banding over the stubbed image decode: near-dup census.
+    "q451_image_dhash" -> (Multimodal.imageDHashPairs _),
+    // Hilbert vs Z-order vs lexicographic: blocks touched per region.
+    "q452_curve_locality" -> (Layout.curveLocality _),
+    // Haar wavelet energy spectrum of hourly event counts.
+    "q453_haar_energy" -> (Events.haarEnergy _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12721,6 +12727,137 @@ object SparkEntry {
           "greatest(2 * m * s2 - s1 * s1, 1)"
         )} END AS r_milli
          FROM a""",
+    // q451: the q222 rolling-hash payload stub, 65 pseudo-pixels,
+    // 4×16-bit dHash bands, band-bucket candidates, popcount verify.
+    "q451_image_dhash" -> {
+      def pixSql(k: Int): String = {
+        val t0 = s"((h + ${k.toLong * 2654435761L}) % 1000000007)"
+        val t1 = s"(($t0 * $t0) % 1000000007)"
+        val t2 = s"(($t1 * 1103515245 + $t0) % 1000000007)"
+        s"((($t2 * $t2) % 1000000007) % 256)"
+      }
+      def bandSql(b: Int): String =
+        (0 until 16)
+          .map { i =>
+            val k = 16 * b + i
+            s"(CASE WHEN ${pixSql(k)} > ${pixSql(k + 1)} " +
+              s"THEN ${1L << i} ELSE 0 END)"
+          }
+          .mkString(" + ")
+      s"""WITH base AS (SELECT doc_id,
+             list_reduce(list_prepend(0::BIGINT,
+               list_transform(range(length(text)),
+                 i -> ord(substr(text, (i+1)::INT, 1))::BIGINT)),
+               (a, c) -> (a * 31 + c) % 1000000007) AS h
+           FROM documents),
+         bands AS (SELECT doc_id,
+             (${bandSql(0)})::BIGINT AS b0,
+             (${bandSql(1)})::BIGINT AS b1,
+             (${bandSql(2)})::BIGINT AS b2,
+             (${bandSql(3)})::BIGINT AS b3
+           FROM base),
+         k AS (SELECT doc_id, 0 AS bi, b0 AS bv FROM bands
+               UNION ALL SELECT doc_id, 1, b1 FROM bands
+               UNION ALL SELECT doc_id, 2, b2 FROM bands
+               UNION ALL SELECT doc_id, 3, b3 FROM bands),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a,
+                    b.doc_id AS doc_b
+                  FROM k a JOIN k b
+                    ON a.bi = b.bi AND a.bv = b.bv
+                      AND a.doc_id < b.doc_id),
+         dd AS (SELECT bit_count(xor(x.b0, y.b0))
+                  + bit_count(xor(x.b1, y.b1))
+                  + bit_count(xor(x.b2, y.b2))
+                  + bit_count(xor(x.b3, y.b3)) AS hamming
+                FROM cand JOIN bands x ON cand.doc_a = x.doc_id
+                          JOIN bands y ON cand.doc_b = y.doc_id),
+         agg AS (SELECT count(*)::BIGINT AS n_candidate_pairs,
+                   coalesce(sum(CASE WHEN hamming <= 6
+                     THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS n_near_dup_pairs,
+                   coalesce(sum(CASE WHEN hamming = 0
+                     THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS n_exact_pairs
+                 FROM dd),
+         n AS (SELECT count(*)::BIGINT AS n_images FROM bands)
+         SELECT n_images, n_candidate_pairs, n_near_dup_pairs,
+           n_exact_pairs
+         FROM n, agg"""
+    },
+    // q452: the same iterative Hilbert xy→d (full-grid complement,
+    // per-level quadrant code), literal-generated Morton interleave,
+    // 4096-cell blocks, three scan regions.
+    "q452_curve_locality" -> {
+      val zSql = (0 until 10)
+        .map(i =>
+          s"(((x0 >> $i) & 1) << ${2 * i}) + " +
+            s"(((y0 >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      val iters = (9 to 0 by -1).zipWithIndex
+        .map { case (bit, step) =>
+          val s = 1L << bit
+          s"""i${step + 1} AS (SELECT x0, y0,
+             CASE WHEN ry = 0 THEN
+               (CASE WHEN rx = 1 THEN 1023 - hy ELSE hy END)
+             ELSE hx END AS hx,
+             CASE WHEN ry = 0 THEN
+               (CASE WHEN rx = 1 THEN 1023 - hx ELSE hx END)
+             ELSE hy END AS hy,
+             d + ${s * s} * xor(3 * rx, ry) AS d
+           FROM (SELECT *,
+               CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+             FROM i$step) t)"""
+        }
+        .mkString(",\n         ")
+      s"""WITH st AS (SELECT min(l_partkey) AS pk_mn,
+             max(l_partkey) AS pk_mx, min(l_orderkey) AS ok_mn,
+             max(l_orderkey) AS ok_mx FROM lineitem),
+         p0 AS (SELECT
+             ((l_partkey - pk_mn) * 1024) // (pk_mx - pk_mn + 1)
+               AS x0,
+             ((l_orderkey - ok_mn) * 1024) // (ok_mx - ok_mn + 1)
+               AS y0
+           FROM lineitem, st),
+         i0 AS (SELECT x0, y0, x0 AS hx, y0 AS hy, 0::BIGINT AS d
+                FROM p0),
+         $iters,
+         f AS (SELECT x0, y0, d,
+                 ($zSql)::BIGINT AS z,
+                 ((x0 << 10) + y0)::BIGINT AS lx
+               FROM i10),
+         m AS (SELECT x0, y0, 'hilbert' AS layout, d AS idx FROM f
+               UNION ALL SELECT x0, y0, 'zorder', z FROM f
+               UNION ALL SELECT x0, y0, 'lex', lx FROM f),
+         reg AS (SELECT layout, idx, 'r_square' AS region FROM m
+                   WHERE x0 < 128 AND y0 < 128
+                 UNION ALL SELECT layout, idx, 'r_slab_x' FROM m
+                   WHERE x0 BETWEEN 200 AND 215
+                 UNION ALL SELECT layout, idx, 'r_slab_y' FROM m
+                   WHERE y0 BETWEEN 600 AND 615)
+         SELECT layout, region, count(*)::BIGINT AS n_rows,
+           count(DISTINCT idx // 4096)::BIGINT AS n_blocks_touched
+         FROM reg GROUP BY 1, 2"""
+    },
+    // q453: hourly counts, 9 dyadic levels over the first 512 hours,
+    // signed-sum Haar details, integer energy per level.
+    "q453_haar_energy" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                 count(*)::BIGINT AS cnt
+               FROM events GROUP BY 1),
+         h0 AS (SELECT hr - (SELECT min(hr) FROM hourly) AS h, cnt
+                FROM hourly),
+         hh AS (SELECT h, cnt FROM h0 WHERE h < 512),
+         lv AS (SELECT unnest(range(1, 10)) AS level),
+         t AS (SELECT lv.level, hh.h // (1 << lv.level) AS block,
+                 CASE WHEN (hh.h // (1 << (lv.level - 1))) % 2 = 0
+                   THEN cnt ELSE -cnt END AS signed
+               FROM hh, lv),
+         d AS (SELECT level, block, sum(signed) AS dcoef
+               FROM t GROUP BY 1, 2)
+         SELECT level, count(*)::BIGINT AS n_blocks,
+           sum(dcoef * dcoef)::BIGINT AS energy
+         FROM d GROUP BY 1""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -2435,4 +2435,60 @@ object Events {
         col("u_t").as("u_at_tstar")
       )
   }
+
+  /** q453: Haar wavelet energy spectrum of the hourly event-count
+    * series — for each dyadic level l = 1..9 over the first 512
+    * hours, the unnormalized Haar detail coefficient of each
+    * 2^l-hour block is (first-half sum − second-half sum), and the
+    * level's energy is Σ d² — all exact BIGINT (unnormalized Haar
+    * needs no division). The spectrum says WHICH TIMESCALE carries
+    * the traffic variance: bursty minutes-scale noise loads the low
+    * levels, diurnal structure loads l ≈ 4-5 (16-32 h), regime
+    * drift loads the top. The q296 hourly ACF measures periodicity
+    * at one lag per row; the Haar spectrum is the scale-domain
+    * summary a capacity planner reads first (Mallat, "A theory for
+    * multiresolution signal decomposition", PAMI 1989).
+    *
+    * Scale: one event→hour aggregate (calendar-bounded frame), then
+    * a 9-level explode over the ≤512-row hourly frame and one
+    * (level, block) signed-sum aggregate — the signed sum folds the
+    * pairwise differencing into a single groupBy, so no level ever
+    * sees more than the hourly frame. No window at all.
+    */
+  def haarEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idiv
+    val hourly = Tables
+      .events(spark, dir)
+      .select(idiv(unix_micros(col("ts")), lit(3600000000L)).as("hr"))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val h0 = hourly
+      .crossJoin(broadcast(hourly.agg(min(col("hr")).as("hr0"))))
+      .select((col("hr") - col("hr0")).as("h"), col("cnt"))
+      .filter(col("h") < 512L)
+    val leveled = h0.select(
+      col("h"),
+      col("cnt"),
+      explode(sequence(lit(1L), lit(9L))).as("level")
+    )
+    // block = h >> level; sign flips on bit (level-1) of h — the
+    // column-amount shift form of the pairwise Haar differencing
+    val terms = leveled.select(
+      col("level"),
+      expr("shiftright(h, cast(level AS INT))").as("block"),
+      when(
+        expr("shiftright(h, cast(level AS INT) - 1)")
+          .bitwiseAND(lit(1L)) === 0L,
+        col("cnt")
+      ).otherwise(-col("cnt")).as("signed")
+    )
+    terms
+      .groupBy(col("level"), col("block"))
+      .agg(sum(col("signed")).as("dcoef"))
+      .groupBy(col("level"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("dcoef") * col("dcoef")).as("energy")
+      )
+  }
 }

@@ -406,4 +406,132 @@ object Multimodal {
         col("mean_energy_milli")
       )
   }
+
+  /** The per-image "pixel" stub: a deterministic pseudo-luminance in
+    * [0, 256) derived from the payload's rolling hash and a pixel
+    * index — the seam where a real decoder's downscaled 9×8
+    * grayscale grid plugs in (the q116/q222 stub convention). Three
+    * modular-arithmetic mixing rounds (square, affine, square — all
+    * below 2⁶³, overflow-free on every engine): any scheme AFFINE in
+    * the pixel index makes the pixel sequence an arithmetic
+    * progression mod M whose comparison pattern collapses to a few
+    * hundred classes — the squaring rounds give every bit of h
+    * influence over every output byte (~498/500 distinct 16-bit
+    * bands on 500 random hashes, the random-hash expectation).
+    */
+  private def pix(h: Column, k: Int): Column = {
+    val m = 1000000007L
+    val t0 = (h + lit(k.toLong * 2654435761L)) % lit(m)
+    val t1 = (t0 * t0) % lit(m)
+    val t2 = (t1 * lit(1103515245L) + t0) % lit(m)
+    ((t2 * t2) % lit(m)) % lit(256L)
+  }
+
+  /** q451: perceptual-hash (dHash) image near-dup candidates — each
+    * document's "image" payload is reduced to a 64-bit difference
+    * hash (bit k = pixel k brighter than pixel k+1 on the stubbed
+    * 65-pixel luminance scan; Krawetz's dHash), the hash splits into
+    * four 16-bit bands, band-equality buckets generate candidate
+    * pairs (the q23 SimHash banding topology applied to the
+    * multimodal column), and candidates verify by full Hamming
+    * distance ≤ 6. Output is the one-row audit: images hashed,
+    * candidate pairs, verified near-dups, exact (distance-0) dups.
+    * Frame-level dedup (q222) finds shared FOOTAGE; dHash finds
+    * re-encodes/resizes of the SAME image, which hash-identity
+    * misses the moment one byte of container metadata changes.
+    *
+    * Scale: one narrow scan → 4 band keys/doc → band-bucket
+    * self-join (cost ∝ colliding pairs, never images²) → popcount
+    * verification on the collided pairs only. With the stub
+    * luminance, distinct payloads collide on a band with p ≈ 2⁻¹⁶ —
+    * the real-decoder distribution is skewed (flat images), which
+    * the q37 band-size audit pattern would monitor.
+    */
+  def imageDHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.RollingHash.rollingHash(col("text"))
+    def band(b: Int): Column =
+      (0 until 16)
+        .map { i =>
+          val k = 16 * b + i
+          when(pix(col("h"), k) > pix(col("h"), k + 1),
+            lit(1L << i)).otherwise(lit(0L))
+        }
+        .reduce(_ + _)
+    val imgs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), h.as("h"))
+      .select(
+        col("doc_id"),
+        band(0).as("b0"),
+        band(1).as("b1"),
+        band(2).as("b2"),
+        band(3).as("b3")
+      )
+      // read by four band buckets + two pair-side joins
+      .cacheTracked()
+    val bands = imgs.select(
+      col("doc_id"),
+      explode(
+        array(
+          struct(lit(0).as("bi"), col("b0").as("bv")),
+          struct(lit(1).as("bi"), col("b1").as("bv")),
+          struct(lit(2).as("bi"), col("b2").as("bv")),
+          struct(lit(3).as("bi"), col("b3").as("bv"))
+        )
+      ).as("e")
+    )
+    val keyed = bands.select(
+      col("e.bi").as("bi"),
+      col("e.bv").as("bv"),
+      col("doc_id")
+    )
+    val cands = keyed
+      .join(
+        keyed.select(
+          col("bi"),
+          col("bv"),
+          col("doc_id").as("doc_b")
+        ),
+        Seq("bi", "bv")
+      )
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+      .cacheTracked()
+    val la = imgs.select(
+      col("doc_id").as("doc_a"),
+      col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val lb = imgs.select(
+      col("doc_id").as("doc_b"),
+      col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    val dist = cands
+      .join(la, Seq("doc_a"))
+      .join(lb, Seq("doc_b"))
+      .select(
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3"))))
+          .cast("long")
+          .as("hamming")
+      )
+    val nImages = imgs.agg(count(lit(1)).as("n_images"))
+    dist
+      .agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        coalesce(sum(when(col("hamming") <= 6L, 1L).otherwise(0L)),
+          lit(0L)).as("n_near_dup_pairs"),
+        coalesce(sum(when(col("hamming") === 0L, 1L).otherwise(0L)),
+          lit(0L)).as("n_exact_pairs")
+      )
+      .crossJoin(broadcast(nImages))
+      .select(
+        col("n_images"),
+        col("n_candidate_pairs"),
+        col("n_near_dup_pairs"),
+        col("n_exact_pairs")
+      )
+  }
 }
