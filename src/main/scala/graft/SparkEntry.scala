@@ -1133,6 +1133,12 @@ object SparkEntry {
     "q452_curve_locality" -> (Layout.curveLocality _),
     // Haar wavelet energy spectrum of hourly event counts.
     "q453_haar_energy" -> (Events.haarEnergy _),
+    // Cliff's delta of each source's quality vs the rest.
+    "q454_cliff_delta" -> (TextAnalysis.cliffDeltaBySource _),
+    // Wilcoxon signed-rank: per-user first-half vs second-half value.
+    "q455_wilcoxon_drift" -> (Events.wilcoxonValueDrift _),
+    // Page's L ordered-trend test over (week, weekday) blocks.
+    "q456_page_trend" -> (Events.pageTrendWeekday _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12858,6 +12864,97 @@ object SparkEntry {
          SELECT level, count(*)::BIGINT AS n_blocks,
            sum(dcoef * dcoef)::BIGINT AS energy
          FROM d GROUP BY 1""",
+    // q454: value-domain pair counting — gt/lt from global and
+    // per-source strictly-below cumsums, no pairwise work.
+    "q454_cliff_delta" ->
+      s"""WITH $qMicroCte,
+         base AS (SELECT d.source, q.q_micro AS v
+                  FROM documents d JOIN qm q USING (doc_id)),
+         g AS (SELECT source, v, count(*)::BIGINT AS c
+               FROM base GROUP BY 1, 2),
+         gv AS (SELECT v, sum(c)::BIGINT AS ct FROM g GROUP BY 1),
+         gc AS (SELECT v, ct,
+                  (sum(ct) OVER (ORDER BY v) - ct)::BIGINT AS gb
+                FROM gv),
+         sc AS (SELECT source, v, c,
+                  (sum(c) OVER (PARTITION BY source ORDER BY v)
+                    - c)::BIGINT AS sb
+                FROM g),
+         ns AS (SELECT source, sum(c)::BIGINT AS n_s
+                FROM g GROUP BY 1),
+         nt AS (SELECT count(*)::BIGINT AS n_total FROM base),
+         t AS (SELECT sc.source, ns.n_s,
+                 (nt.n_total - ns.n_s) AS n_rest,
+                 sc.c * (gc.gb - sc.sb) AS gt_term,
+                 sc.c * ((nt.n_total - gc.gb - gc.ct)
+                   - (ns.n_s - sc.sb - sc.c)) AS lt_term
+               FROM sc JOIN gc USING (v) JOIN ns USING (source), nt),
+         a AS (SELECT source, max(n_s)::BIGINT AS n_s,
+                 max(n_rest)::BIGINT AS n_rest,
+                 sum(gt_term)::BIGINT AS n_gt,
+                 sum(lt_term)::BIGINT AS n_lt
+               FROM t GROUP BY 1)
+         SELECT source, n_s, n_rest, n_gt, n_lt,
+           ${sqlIdivHalfUpSigned("1000 * (n_gt - n_lt)",
+          "greatest(n_s * n_rest, 1)")} AS delta_milli
+         FROM a""",
+    // q455: per-user halves by event order, exact micro means,
+    // milli-quantized nonzero diffs, |d| double-ranks, signed sums.
+    "q455_wilcoxon_drift" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+                 CAST(round(value * 1e6) AS BIGINT) AS vm
+               FROM events),
+         h AS (SELECT user_id, vm,
+                 CASE WHEN row_number() OVER (PARTITION BY user_id
+                     ORDER BY us, event_id) * 2
+                   <= count(*) OVER (PARTITION BY user_id)
+                   THEN 1 ELSE 2 END AS half,
+                 count(*) OVER (PARTITION BY user_id) AS n
+               FROM ev),
+         m AS (SELECT user_id, half,
+                 ${sqlIdivHalfUp("sum(vm)", "count(*)")} AS mean_vm
+               FROM h WHERE n >= 2 GROUP BY 1, 2),
+         p0 AS (SELECT user_id,
+                  max(CASE WHEN half = 1 THEN mean_vm END) AS m1,
+                  max(CASE WHEN half = 2 THEN mean_vm END) AS m2
+                FROM m GROUP BY 1),
+         p AS (SELECT ${sqlIdivHalfUpSigned("m2 - m1", "1000")} AS dm
+               FROM p0),
+         pn AS (SELECT abs(dm)::BIGINT AS ad,
+                  CASE WHEN dm > 0 THEN 1 ELSE -1 END AS sgn
+                FROM p WHERE dm <> 0),
+         g AS (SELECT ad, count(*)::BIGINT AS c FROM pn GROUP BY 1),
+         r AS (SELECT ad,
+                 2 * (sum(c) OVER (ORDER BY ad) - c) + c + 1 AS r2
+               FROM g)
+         SELECT count(*)::BIGINT AS n_pairs,
+           coalesce(sum(CASE WHEN sgn > 0 THEN r2 ELSE 0 END),
+             0)::BIGINT AS w_plus_x2,
+           coalesce(sum(CASE WHEN sgn < 0 THEN r2 ELSE 0 END),
+             0)::BIGINT AS w_minus_x2
+         FROM pn JOIN r USING (ad)""",
+    // q456: (epoch_day+4) calendar weeks, complete-week filter,
+    // in-block count-of-smaller double-ranks, L in double units.
+    "q456_page_trend" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS ed,
+                 count(*)::BIGINT AS cnt
+               FROM events GROUP BY 1),
+         d2 AS (SELECT (ed + 4) // 7 AS week, (ed + 4) % 7 AS wd, cnt
+                FROM daily),
+         cw AS (SELECT week FROM d2 GROUP BY 1 HAVING count(*) = 7),
+         b AS (SELECT d2.* FROM d2 JOIN cw USING (week)),
+         r AS (SELECT x.week, x.wd,
+                 2 * sum(CASE WHEN y.cnt < x.cnt THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN y.cnt = x.cnt THEN 1 ELSE 0 END)
+                   + 1 AS r2
+               FROM b x JOIN b y USING (week)
+               GROUP BY x.week, x.wd, x.cnt),
+         a AS (SELECT count(DISTINCT week)::BIGINT AS n_weeks,
+                 sum((wd + 1) * r2)::BIGINT AS l_x2
+               FROM r)
+         SELECT n_weeks, l_x2, (n_weeks * 224)::BIGINT AS e_l_x2,
+           (l_x2 - n_weeks * 224)::BIGINT AS dev_x2
+         FROM a""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

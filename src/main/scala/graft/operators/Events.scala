@@ -2491,4 +2491,157 @@ object Events {
         sum(col("dcoef") * col("dcoef")).as("energy")
       )
   }
+
+  /** q455: Wilcoxon signed-rank test on per-user value drift — each
+    * user's mean event value (exact micro) over the FIRST half of
+    * their event sequence is paired with the SECOND half, the
+    * nonzero milli-quantized differences get tie-averaged
+    * double-ranks of |d|, and W⁺/W⁻ are the signed rank sums
+    * (Wilcoxon, Biometrics 1945). The paired complement to q283's
+    * unpaired Mann-Whitney: the user is their own control, so
+    * population mix can't fake a drift. Hashed surface is exact
+    * BIGINT (n_pairs, w_plus_x2, w_minus_x2 in double-rank units,
+    * their sum pinned to n(n+1) by construction); the normal
+    * approximation z lives in the spec.
+    *
+    * Scale: per-user windows partition on user_id (millions of
+    * partitions — the safe kind); the only unpartitioned window is
+    * the |d| rank cumsum over the DISTINCT quantized-milli domain
+    * (value-domain bounded, the q410 convention).
+    */
+  def wilcoxonValueDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idivHalfUp, idivHalfUpSigned}
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        round(col("value") * 1e6).cast("long").as("vm")
+      )
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val halves = ev
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn(
+        "n",
+        count(lit(1)).over(Window.partitionBy(col("user_id")))
+      )
+      .filter(col("n") >= 2L)
+      .select(
+        col("user_id"),
+        col("vm"),
+        when(col("rn") * 2 <= col("n"), lit(1L)).otherwise(lit(2L))
+          .as("half")
+      )
+    val means = halves
+      .groupBy(col("user_id"), col("half"))
+      .agg(idivHalfUp(sum(col("vm")), count(lit(1))).as("mean_vm"))
+    val paired = means
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("half") === 1L, col("mean_vm"))).as("m1"),
+        max(when(col("half") === 2L, col("mean_vm"))).as("m2")
+      )
+      .select(
+        idivHalfUpSigned(col("m2") - col("m1"), lit(1000L)).as("dm")
+      )
+      .filter(col("dm") =!= 0L)
+      .select(
+        abs(col("dm")).as("ad"),
+        when(col("dm") > 0L, lit(1L)).otherwise(lit(-1L)).as("sgn")
+      )
+      .cacheTracked()
+    // tie-averaged double-ranks over the distinct |d| milli domain
+    val g = paired.groupBy(col("ad")).agg(count(lit(1)).as("c"))
+    val wv = Window
+      .orderBy(col("ad").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r2 = g
+      .withColumn("cum", sum(col("c")).over(wv))
+      .select(
+        col("ad"),
+        (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L))
+          .as("r2")
+      )
+    paired
+      .join(broadcast(r2), Seq("ad"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("sgn") > 0, col("r2"))
+          .otherwise(lit(0L))), lit(0L)).as("w_plus_x2"),
+        coalesce(sum(when(col("sgn") < 0, col("r2"))
+          .otherwise(lit(0L))), lit(0L)).as("w_minus_x2")
+      )
+  }
+
+  /** q456: Page's L trend test for ordered weekday alternatives —
+    * daily event counts in complete (week, weekday) blocks, within-
+    * week tie-averaged double-ranks of the 7 daily counts, and
+    * L = Σ_weeks Σ_j j·R_j with j the weekday position (Page,
+    * "Ordered hypotheses for multiple treatments", JASA 1963). The
+    * q428 weekday profile shows the SHAPE; Page's L is the TEST for
+    * a monotone weekday trend with the week as its own block, so
+    * week-to-week volume drift can't masquerade as a weekday
+    * effect. Emitted in exact double-rank units (l_x2) with the
+    * null expectation e_l_x2 = n·k(k+1)²/2 and the signed
+    * deviation; the variance/z transform lives in the spec.
+    *
+    * Scale: one day aggregate (calendar-bounded), per-week rank
+    * windows partition on the week key (grows with the data — the
+    * safe kind), and the complete-week filter is a 7-distinct test
+    * per week. Weekday convention: (epoch_day + 4) mod 7 (q428 —
+    * never a locale-dependent builtin).
+    */
+  def pageTrendWeekday(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idiv
+    val daily = Tables
+      .events(spark, dir)
+      .select(
+        idiv(unix_micros(col("ts")), lit(86400000000L)).as("ed")
+      )
+      .groupBy(col("ed"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        idiv(col("ed") + lit(4L), lit(7L)).as("week"),
+        pmod(col("ed") + lit(4L), lit(7L)).as("wd"),
+        col("cnt")
+      )
+    val complete = daily
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"))
+      .filter(col("n_days") === 7L)
+      .select(col("week"))
+    val blocks = daily.join(broadcast(complete), Seq("week"))
+    // within-week tie-averaged double-ranks via the count-of-smaller
+    // identity over the 7-row block (value-domain form is overkill
+    // at k = 7; the self-join stays inside the week key)
+    val lhs = blocks.select(col("week"), col("wd"), col("cnt"))
+    val rhs = blocks.select(
+      col("week"),
+      col("cnt").as("cnt2")
+    )
+    val ranked = lhs
+      .join(rhs, Seq("week"))
+      .groupBy(col("week"), col("wd"), col("cnt"))
+      .agg(
+        (lit(2L) * sum(when(col("cnt2") < col("cnt"), 1L)
+          .otherwise(0L)) +
+          sum(when(col("cnt2") === col("cnt"), 1L).otherwise(0L)) +
+          lit(1L)).as("r2")
+      )
+    val agg = ranked
+      .agg(
+        (countDistinct(col("week"))).as("n_weeks"),
+        sum((col("wd") + lit(1L)) * col("r2")).as("l_x2")
+      )
+    // E[L] = n·k(k+1)²/4 = 112·n at k = 7; double-rank units double it
+    agg.select(
+      col("n_weeks"),
+      col("l_x2"),
+      (col("n_weeks") * lit(224L)).as("e_l_x2"),
+      (col("l_x2") - col("n_weeks") * lit(224L)).as("dev_x2")
+    )
+  }
 }

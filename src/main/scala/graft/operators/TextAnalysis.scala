@@ -5858,4 +5858,88 @@ object TextAnalysis {
       ).as("rho_milli")
     )
   }
+
+  /** q454: Cliff's delta of each source's quality distribution
+    * against the rest of the corpus — the ordinal effect size
+    * δ = (#{x>y} − #{x<y}) / (n_s·n_rest) over all cross pairs
+    * (Cliff, "Dominance statistics", Psych. Bull. 1993), exact
+    * integer pair counts and a signed half-up milli. The q322
+    * fairness battery says WHETHER a source's gate rates differ;
+    * δ says HOW MUCH the quality distribution itself dominates —
+    * |δ| < 147 is Romano's "negligible" band, and a source at
+    * δ ≤ −500 is pulling the corpus down across most of its mass,
+    * whatever its mean says (robust to the heavy tails that make
+    * mean gaps lie).
+    *
+    * Scale: NO pairwise work — the greater/less pair counts come
+    * from the value-domain identity gt_s = Σ_v c_s(v)·rest_below(v)
+    * over the distinct (source, q_micro) frame, with rest-cumsums
+    * derived from one global and one per-source value-domain cumsum
+    * (both bounded by the quantized micro-score domain, never N).
+    * Milli emission headroom: 1000·n_s·n_rest < 2⁶³ to ~3e7 docs; the
+    * counts themselves are exact far beyond.
+    */
+  def cliffDeltaBySource(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUpSigned
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("source"), qualityMicro(col("text")).as("v"))
+    val g = base
+      .groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .cacheTracked()
+    val gv = g.groupBy(col("v")).agg(sum(col("c")).as("ct"))
+    val wg = Window
+      .orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = gv
+      .withColumn("gle", sum(col("ct")).over(wg))
+      .select(col("v"), col("ct"), (col("gle") - col("ct")).as("gb"))
+    val ws = Window
+      .partitionBy(col("source"))
+      .orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scum = g
+      .withColumn("sle", sum(col("c")).over(ws))
+      .select(
+        col("source"),
+        col("v"),
+        col("c"),
+        (col("sle") - col("c")).as("sb")
+      )
+    val nTot = base.agg(count(lit(1)).as("n_total"))
+    val nSrc = g.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val terms = scum
+      .join(gcum, Seq("v"))
+      .join(broadcast(nSrc), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .select(
+        col("source"),
+        col("n_s"),
+        (col("n_total") - col("n_s")).as("n_rest"),
+        (col("c") * (col("gb") - col("sb"))).as("gt_term"),
+        (col("c") *
+          ((col("n_total") - col("gb") - col("ct")) -
+            (col("n_s") - col("sb") - col("c")))).as("lt_term")
+      )
+    terms
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_s"),
+        max(col("n_rest")).as("n_rest"),
+        sum(col("gt_term")).as("n_gt"),
+        sum(col("lt_term")).as("n_lt")
+      )
+      .select(
+        col("source"),
+        col("n_s"),
+        col("n_rest"),
+        col("n_gt"),
+        col("n_lt"),
+        idivHalfUpSigned(
+          lit(1000L) * (col("n_gt") - col("n_lt")),
+          greatest(col("n_s") * col("n_rest"), lit(1L))
+        ).as("delta_milli")
+      )
+  }
 }

@@ -90,7 +90,11 @@ class Round9PlanSpec extends AnyFunSuite {
     "q416_supplier_load" -> "|suppliers| load frame (dim-bounded)",
     "q435_source_rank_churn" -> "|sources| quartile frames",
     "q447_pettitt_changepoint" ->
-      "daily-count frame (calendar-bounded) + its value-domain ranks"
+      "daily-count frame (calendar-bounded) + its value-domain ranks",
+    "q454_cliff_delta" ->
+      "distinct quantized q_micro value-domain cumsum",
+    "q455_wilcoxon_drift" ->
+      "distinct |d| milli value-domain rank frame"
   )
 
   test("registry sweep: no unpartitioned row-level window over an " +
