@@ -1139,6 +1139,12 @@ object SparkEntry {
     "q455_wilcoxon_drift" -> (Events.wilcoxonValueDrift _),
     // Page's L ordered-trend test over (week, weekday) blocks.
     "q456_page_trend" -> (Events.pageTrendWeekday _),
+    // Hodges-Lehmann length shift per lang vs rest (value-domain).
+    "q457_hodges_lehmann" -> (TextAnalysis.hodgesLehmannShift _),
+    // Median absolute deviation of length per lang (two picks).
+    "q458_length_mad" -> (TextAnalysis.lengthMad _),
+    // Near-dup graph CC census at J >= 0.3/0.5/0.7.
+    "q459_percolation" -> (Dedup.percolationCurve _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -12955,6 +12961,106 @@ object SparkEntry {
          SELECT n_weeks, l_x2, (n_weeks * 224)::BIGINT AS e_l_x2,
            (l_x2 - n_weeks * 224)::BIGINT AS dev_x2
          FROM a""",
+    // q457: rest counts from global-minus-own on the lang × value
+    // product frame; weighted lower-median pick over distinct diffs.
+    "q457_hodges_lehmann" ->
+      """WITH l0 AS (SELECT lang, n_chars AS v FROM documents),
+         g1 AS (SELECT lang, v, count(*)::BIGINT AS c1
+                FROM l0 GROUP BY 1, 2),
+         gv AS (SELECT v, count(*)::BIGINT AS ct FROM l0 GROUP BY 1),
+         lg AS (SELECT DISTINCT lang FROM l0),
+         g2 AS (SELECT lg.lang, gv.v AS w,
+                  gv.ct - coalesce(o.c1, 0) AS c2
+                FROM lg CROSS JOIN gv
+                LEFT JOIN g1 o
+                  ON o.lang = lg.lang AND o.v = gv.v),
+         g2f AS (SELECT * FROM g2 WHERE c2 > 0),
+         df AS (SELECT g1.lang, g1.v - g2f.w AS diff,
+                  sum(g1.c1 * g2f.c2)::BIGINT AS wt
+                FROM g1 JOIN g2f ON g1.lang = g2f.lang
+                GROUP BY 1, 2),
+         cum AS (SELECT lang, diff, wt,
+                   sum(wt) OVER (PARTITION BY lang
+                     ORDER BY diff) AS cw,
+                   sum(wt) OVER (PARTITION BY lang) AS tot
+                 FROM df),
+         hl AS (SELECT lang, min(diff)::BIGINT AS hl_shift
+                FROM cum WHERE cw * 2 >= tot GROUP BY 1),
+         a AS (SELECT lang, max(tot)::BIGINT AS n_pairs,
+                 min(diff)::BIGINT AS min_diff,
+                 max(diff)::BIGINT AS max_diff
+               FROM cum GROUP BY 1)
+         SELECT a.lang, n_pairs, hl_shift, min_diff, max_diff
+         FROM a JOIN hl USING (lang)""",
+    // q458: two chained weighted lower-median picks (median, then
+    // deviation) over per-lang value-domain cumsums.
+    "q458_length_mad" ->
+      """WITH g AS (SELECT lang, n_chars AS v, count(*)::BIGINT AS c
+               FROM documents GROUP BY 1, 2),
+         cum AS (SELECT lang, v, c,
+                   sum(c) OVER (PARTITION BY lang ORDER BY v) AS cw,
+                   sum(c) OVER (PARTITION BY lang) AS n
+                 FROM g),
+         med AS (SELECT lang, min(v)::BIGINT AS med,
+                   max(n)::BIGINT AS n_docs
+                 FROM cum WHERE cw * 2 >= n GROUP BY 1),
+         dev AS (SELECT g.lang, abs(g.v - med.med) AS d,
+                   sum(g.c)::BIGINT AS c
+                 FROM g JOIN med USING (lang) GROUP BY 1, 2),
+         dc AS (SELECT lang, d, c,
+                  sum(c) OVER (PARTITION BY lang ORDER BY d) AS cw,
+                  sum(c) OVER (PARTITION BY lang) AS n
+                FROM dev),
+         mad AS (SELECT lang, min(d)::BIGINT AS mad
+                 FROM dc WHERE cw * 2 >= n GROUP BY 1)
+         SELECT med.lang, med.n_docs, med.med AS median_len,
+           mad.mad AS mad_len
+         FROM med JOIN mad USING (lang)""",
+    // q459: one shared pair derivation, three recursive-CTE
+    // component censuses, unioned.
+    "q459_percolation" -> {
+      def tier(tag: String, t: String, permille: Int): String =
+        s"""ed$tag AS (SELECT doc_a, doc_b FROM pr
+               WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                 >= $t),
+         n$tag AS (SELECT doc_a AS id FROM ed$tag
+                   UNION SELECT doc_b FROM ed$tag),
+         s$tag AS (SELECT doc_a AS a, doc_b AS b FROM ed$tag
+                   UNION SELECT doc_b, doc_a FROM ed$tag),
+         r$tag(a, b) AS (SELECT id, id FROM n$tag
+                   UNION SELECT r.a, s.b
+                   FROM r$tag r JOIN s$tag s ON r.b = s.a),
+         l$tag AS (SELECT a AS id, min(b) AS label
+                   FROM r$tag GROUP BY 1),
+         z$tag AS (SELECT label, count(*)::BIGINT AS sz
+                   FROM l$tag GROUP BY 1),
+         row$tag AS (SELECT $permille::BIGINT AS threshold_permille,
+                   coalesce(sum(sz), 0)::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM ed$tag)::BIGINT AS n_edges,
+                   count(*)::BIGINT AS n_components,
+                   coalesce(max(sz), 0)::BIGINT AS max_component
+                 FROM z$tag)"""
+      s"""WITH RECURSIVE $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                FROM d WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         ${tier("3", "0.3", 300)},
+         ${tier("5", "0.5", 500)},
+         ${tier("7", "0.7", 700)},
+         u AS (SELECT * FROM row3
+               UNION ALL SELECT * FROM row5
+               UNION ALL SELECT * FROM row7)
+         SELECT threshold_permille, n_nodes, n_edges, n_components,
+           max_component,
+           ${sqlMicroRatio("max_component", "greatest(n_nodes, 1)")}
+             AS giant_ppm
+         FROM u"""
+    },
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

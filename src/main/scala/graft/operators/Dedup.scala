@@ -3741,4 +3741,60 @@ object Dedup {
         .as("r_milli")
     )
   }
+
+  /** q459: percolation curve of the near-dup graph — for Jaccard
+    * thresholds 0.3 / 0.5 / 0.7, the connected-component census of
+    * the pair graph: participating nodes, edges, components, the
+    * largest component, and its share of participating nodes in ppm.
+    * This is the dedup CHAINING-RISK dial: as the threshold drops,
+    * components merge, and the moment a giant component appears
+    * (giant_ppm jumping toward 10⁶ — the percolation transition),
+    * transitive-closure dedup (q72/q78) starts deleting documents
+    * that are pairwise UNRELATED through long chains — the q208
+    * wedge audit's macro-scale counterpart, and the evidence for
+    * picking the operating threshold.
+    *
+    * Scale: the pair artifact is collision-linear and shared across
+    * thresholds (one shingle inversion, three filters); each census
+    * is the pointer-doubling CC (O(log diameter) rounds, the q72
+    * machinery with its 1M-node ScaleBench row) over an
+    * edges-participating node set.
+    */
+  def percolationCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val pairs = ngramJaccardPairs(spark, dir)
+    val perT = Seq(300L -> 0.3, 500L -> 0.5, 700L -> 0.7).map {
+      case (permille, t) =>
+        val ed = pairs
+          .filter(col("jaccard") >= t)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val nodes = ed
+          .select(col("src").as("id"))
+          .unionByName(ed.select(col("dst").as("id")))
+          .distinct()
+        val sizes = ConnectedComponents
+          .run(nodes, ed)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("sz"))
+        sizes
+          .agg(
+            coalesce(sum(col("sz")), lit(0L)).as("n_nodes"),
+            count(lit(1)).as("n_components"),
+            coalesce(max(col("sz")), lit(0L)).as("max_component")
+          )
+          .crossJoin(broadcast(ed.agg(count(lit(1)).as("n_edges"))))
+          .select(
+            lit(permille).as("threshold_permille"),
+            col("n_nodes"),
+            col("n_edges"),
+            col("n_components"),
+            col("max_component"),
+            microRatio(
+              col("max_component"),
+              greatest(col("n_nodes"), lit(1L))
+            ).as("giant_ppm")
+          )
+    }
+    perT.reduce(_.unionByName(_))
+  }
 }

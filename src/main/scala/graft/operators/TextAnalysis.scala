@@ -5942,4 +5942,138 @@ object TextAnalysis {
         ).as("delta_milli")
       )
   }
+
+  /** q457: Hodges-Lehmann shift estimator of document length, each
+    * language vs the rest of the corpus — the weighted lower median
+    * of ALL n₁·n₂ pairwise differences (Hodges & Lehmann, AMS 1963),
+    * the location shift the Mann-Whitney machinery (q283) implicitly
+    * tests. Means shift with one long document; the HL estimator
+    * moves only when the BULK of the mass moves, which is what a
+    * per-language packing budget (q53/q314) should key on.
+    *
+    * Scale: never materializes n₁·n₂ pairs — the difference
+    * distribution lives on the |V_lang| × |V_rest| DISTINCT-value
+    * product frame with integer weights c₁·c₂, and the median is a
+    * weighted value-domain pick over the distinct-diff frame (both
+    * bounded by the length value domain squared, never N²).
+    */
+  def hodgesLehmannShift(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables
+      .documents(spark, dir)
+      .select(col("lang"), col("n_chars").as("v"))
+    val g1 = lens
+      .groupBy(col("lang"), col("v"))
+      .agg(count(lit(1)).as("c1"))
+      .cacheTracked()
+    val gv = lens.groupBy(col("v")).agg(count(lit(1)).as("ct"))
+    val langs = lens.select(col("lang")).distinct()
+    val g2 = langs
+      .crossJoin(gv.withColumnRenamed("v", "w"))
+      .join(
+        g1.select(col("lang"), col("v").as("w"), col("c1").as("own")),
+        Seq("lang", "w"),
+        "left"
+      )
+      .select(
+        col("lang"),
+        col("w"),
+        (col("ct") - coalesce(col("own"), lit(0L))).as("c2")
+      )
+      .filter(col("c2") > 0L)
+    val diffs = g1
+      .join(g2, Seq("lang"))
+      .groupBy(col("lang"), (col("v") - col("w")).as("diff"))
+      .agg(sum(col("c1") * col("c2")).as("wt"))
+    val wl = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("diff").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = diffs
+      .withColumn("cw", sum(col("wt")).over(wl))
+      .withColumn(
+        "tot",
+        sum(col("wt")).over(Window.partitionBy(col("lang")))
+      )
+    val hl = cum
+      .filter(col("cw") * 2 >= col("tot"))
+      .groupBy(col("lang"))
+      .agg(min(col("diff")).as("hl_shift"))
+    cum
+      .groupBy(col("lang"))
+      .agg(
+        max(col("tot")).as("n_pairs"),
+        min(col("diff")).as("min_diff"),
+        max(col("diff")).as("max_diff")
+      )
+      .join(broadcast(hl), Seq("lang"))
+      .select(
+        col("lang"),
+        col("n_pairs"),
+        col("hl_shift"),
+        col("min_diff"),
+        col("max_diff")
+      )
+  }
+
+  /** q458: median absolute deviation of document length per
+    * language — the robust scale twin of q356's five-point: the
+    * lower-median length, then the lower-median of |length − median|,
+    * both exact weighted value-domain picks (Hampel's MAD; the
+    * scale estimate with a 50% breakdown point, vs 0% for the
+    * q438 CV² and ~25% for the q197 IQR). The number that sizes a
+    * robust z-gate (|x − med| > k·MAD) that one pathological crawl
+    * batch cannot widen.
+    *
+    * Scale: two chained value-domain picks over the distinct
+    * (lang, length) and (lang, deviation) frames — both bounded by
+    * the length domain; no corpus-scale window, no collect.
+    */
+  def lengthMad(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables
+      .documents(spark, dir)
+      .select(col("lang"), col("n_chars").as("v"))
+    val g = lens
+      .groupBy(col("lang"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .cacheTracked()
+    val wl = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("cw", sum(col("c")).over(wl))
+      .withColumn(
+        "n",
+        sum(col("c")).over(Window.partitionBy(col("lang")))
+      )
+    val med = cum
+      .filter(col("cw") * 2 >= col("n"))
+      .groupBy(col("lang"))
+      .agg(min(col("v")).as("med"), max(col("n")).as("n_docs"))
+    val dev = g
+      .join(broadcast(med), Seq("lang"))
+      .groupBy(col("lang"), abs(col("v") - col("med")).as("d"))
+      .agg(sum(col("c")).as("c"))
+    val wd = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev
+      .withColumn("cw", sum(col("c")).over(wd))
+      .withColumn(
+        "n",
+        sum(col("c")).over(Window.partitionBy(col("lang")))
+      )
+      .filter(col("cw") * 2 >= col("n"))
+      .groupBy(col("lang"))
+      .agg(min(col("d")).as("mad"))
+    med
+      .join(broadcast(mad), Seq("lang"))
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("med").as("median_len"),
+        col("mad").as("mad_len")
+      )
+  }
 }
