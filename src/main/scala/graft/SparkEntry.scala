@@ -1145,6 +1145,13 @@ object SparkEntry {
     "q458_length_mad" -> (TextAnalysis.lengthMad _),
     // Near-dup graph CC census at J >= 0.3/0.5/0.7.
     "q459_percolation" -> (Dedup.percolationCurve _),
+    // Edge-support (triangles per edge) distribution, k-truss input.
+    "q460_edge_support" -> (Relational.coPurchaseEdgeSupport _),
+    // Median quality per global length decile (rank-exact picks).
+    "q461_conditional_medians" ->
+      (TextAnalysis.conditionalMedianQuality _),
+    // SAX 3-gram motif census of the hourly count series.
+    "q462_sax_motifs" -> (Events.saxMotifs _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -13061,6 +13068,109 @@ object SparkEntry {
              AS giant_ppm
          FROM u"""
     },
+    // q460: q445's oriented wedge machinery; each closed wedge
+    // emits its three canonical edges; support-0 kept via left join.
+    "q460_edge_support" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM op a JOIN op b USING (l_orderkey)
+               WHERE a.l_partkey < b.l_partkey),
+         d AS (SELECT n, count(*)::BIGINT AS deg FROM
+                 (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+               GROUP BY 1),
+         o AS (SELECT CASE WHEN du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.u ELSE e.v END AS src,
+                      CASE WHEN du.deg < dv.deg
+                        OR (du.deg = dv.deg AND e.u < e.v)
+                      THEN e.v ELSE e.u END AS dst
+               FROM e JOIN d du ON e.u = du.n
+                      JOIN d dv ON e.v = dv.n),
+         w AS (SELECT o1.src AS src, o1.dst AS x, o2.dst AS y
+               FROM o o1 JOIN o o2
+                 ON o1.src = o2.src AND o1.dst < o2.dst),
+         t AS (SELECT src, x, y FROM w
+               WHERE EXISTS (SELECT 1 FROM e
+                 WHERE e.u = w.x AND e.v = w.y)),
+         te AS (SELECT least(src, x) AS u, greatest(src, x) AS v
+                FROM t
+                UNION ALL SELECT least(src, y), greatest(src, y)
+                FROM t
+                UNION ALL SELECT x, y FROM t),
+         sup AS (SELECT u, v, count(*)::BIGINT AS support
+                 FROM te GROUP BY 1, 2)
+         SELECT coalesce(sup.support, 0)::BIGINT AS support,
+           count(*)::BIGINT AS n_edges
+         FROM e LEFT JOIN sup USING (u, v) GROUP BY 1""",
+    // q461: decile bounds via scalar value-domain picks, per-decile
+    // lower-median q_micro.
+    "q461_conditional_medians" -> {
+      val bSel = (1 to 9)
+        .map(dd =>
+          s"(SELECT min(len) FROM cum WHERE cw * 10 >= n * $dd) " +
+            s"AS b$dd")
+        .mkString(", ")
+      val caseSql = (1 to 9)
+        .map(dd => s"WHEN len <= b$dd THEN $dd")
+        .mkString(" ")
+      s"""WITH $qMicroCte,
+         base AS (SELECT d.n_chars AS len, q.q_micro AS q
+                  FROM documents d JOIN qm q USING (doc_id)),
+         g AS (SELECT len, count(*)::BIGINT AS c
+               FROM base GROUP BY 1),
+         cum AS (SELECT len, sum(c) OVER (ORDER BY len) AS cw,
+                   (SELECT count(*) FROM base) AS n
+                 FROM g),
+         b AS (SELECT $bSel),
+         wd AS (SELECT (CASE $caseSql ELSE 10 END)::BIGINT AS decile,
+                  len, q
+                FROM base, b),
+         qg AS (SELECT decile, q, count(*)::BIGINT AS c
+                FROM wd GROUP BY 1, 2),
+         qc AS (SELECT decile, q,
+                  sum(c) OVER (PARTITION BY decile ORDER BY q) AS cw,
+                  sum(c) OVER (PARTITION BY decile) AS n
+                FROM qg),
+         mq AS (SELECT decile, min(q)::BIGINT AS med_q_micro
+                FROM qc WHERE cw * 2 >= n GROUP BY 1),
+         ls AS (SELECT decile, count(*)::BIGINT AS n_docs,
+                  min(len)::BIGINT AS len_lo,
+                  max(len)::BIGINT AS len_hi
+                FROM wd GROUP BY 1)
+         SELECT ls.decile, n_docs, len_lo, len_hi, med_q_micro
+         FROM ls JOIN mq USING (decile)"""
+    },
+    // q462: 8-hour PAA sums, own-quartile symbols, 3-gram census.
+    "q462_sax_motifs" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+                 count(*)::BIGINT AS cnt
+               FROM events GROUP BY 1),
+         hh AS (SELECT hr - (SELECT min(hr) FROM hourly) AS h, cnt
+                FROM hourly),
+         seg AS (SELECT h // 8 AS w, sum(cnt)::BIGINT AS s
+                 FROM hh WHERE h < 512 GROUP BY 1),
+         g AS (SELECT s, count(*)::BIGINT AS c FROM seg GROUP BY 1),
+         cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cw,
+                   (SELECT count(*) FROM seg) AS n
+                 FROM g),
+         b AS (SELECT
+             (SELECT min(s) FROM cum WHERE cw * 4 >= n * 1) AS q1,
+             (SELECT min(s) FROM cum WHERE cw * 4 >= n * 2) AS q2,
+             (SELECT min(s) FROM cum WHERE cw * 4 >= n * 3) AS q3),
+         sym AS (SELECT w,
+                   CASE WHEN s <= q1 THEN 0
+                        WHEN s <= q2 THEN 1
+                        WHEN s <= q3 THEN 2
+                        ELSE 3 END AS sym
+                 FROM seg, b),
+         tri AS (SELECT sym::VARCHAR
+                   || lead(sym) OVER (ORDER BY w)::VARCHAR
+                   || lead(sym, 2) OVER (ORDER BY w)::VARCHAR
+                   AS motif
+                 FROM sym)
+         SELECT motif, count(*)::BIGINT AS n_occurrences
+         FROM tri WHERE motif IS NOT NULL GROUP BY 1""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -2644,4 +2644,71 @@ object Events {
       (col("l_x2") - col("n_weeks") * lit(224L)).as("dev_x2")
     )
   }
+
+  /** q462: SAX motif census of the hourly event-count series —
+    * Symbolic Aggregate approXimation (Lin/Keogh et al., DMKD
+    * 2007), integer-exact end to end: the first 512 hours aggregate
+    * into 64 eight-hour PAA segments (the segment SUM is the
+    * statistic — same ordering as the mean, no division), segments
+    * quantize into 4 symbols by their own value-domain quartile
+    * breakpoints (lower-quartile picks, house convention), and
+    * every 3-gram of consecutive symbols is counted. Recurring
+    * motifs are the series' vocabulary — "ramp-up" (012), "spike"
+    * (030) — and motif frequency is what separates periodic
+    * structure from noise at a glance; the Haar spectrum (q453)
+    * gives scale energies, SAX gives the SHAPES carrying them.
+    *
+    * Scale: everything after the hour aggregate runs on the 64-row
+    * segment frame (calendar-bounded); the only unpartitioned
+    * windows are its quartile cumsum and the 3-gram leads.
+    */
+  def saxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idiv
+    val hourly = Tables
+      .events(spark, dir)
+      .select(idiv(unix_micros(col("ts")), lit(3600000000L)).as("hr"))
+      .groupBy(col("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val seg = hourly
+      .crossJoin(broadcast(hourly.agg(min(col("hr")).as("hr0"))))
+      .select((col("hr") - col("hr0")).as("h"), col("cnt"))
+      .filter(col("h") < 512L)
+      .groupBy(idiv(col("h"), lit(8L)).as("w"))
+      .agg(sum(col("cnt")).as("s"))
+      .cacheTracked()
+    val g = seg.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val wv = Window
+      .orderBy(col("s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("cw", sum(col("c")).over(wv))
+      .crossJoin(broadcast(seg.agg(count(lit(1)).as("n"))))
+    def pick(p: Int, name: String) =
+      cum
+        .filter(col("cw") * 4 >= col("n") * p)
+        .agg(min(col("s")).as(name))
+    val bounds = pick(1, "q1")
+      .crossJoin(pick(2, "q2"))
+      .crossJoin(pick(3, "q3"))
+    val sym = seg
+      .crossJoin(broadcast(bounds))
+      .select(
+        col("w"),
+        when(col("s") <= col("q1"), lit(0L))
+          .when(col("s") <= col("q2"), lit(1L))
+          .when(col("s") <= col("q3"), lit(2L))
+          .otherwise(lit(3L)).as("sym")
+      )
+    val ww = Window.orderBy(col("w").asc)
+    sym
+      .withColumn("s1", lead(col("sym"), 1).over(ww))
+      .withColumn("s2", lead(col("sym"), 2).over(ww))
+      .filter(col("s1").isNotNull && col("s2").isNotNull)
+      .select(
+        concat(col("sym").cast("string"), col("s1").cast("string"),
+          col("s2").cast("string")).as("motif")
+      )
+      .groupBy(col("motif"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
 }

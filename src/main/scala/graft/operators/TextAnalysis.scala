@@ -6076,4 +6076,92 @@ object TextAnalysis {
         col("mad").as("mad_len")
       )
   }
+
+  /** q461: conditional median quality per length decile — the
+    * rank-exact median micro-quality within each global length
+    * decile (decile bounds from the q89 value-domain pick, medians
+    * from per-decile value-domain picks). q446's Spearman ρ reports
+    * ONE number for the length/quality association; this is the
+    * curve behind it — where the association lives, whether it
+    * saturates, and whether a gate keyed on quality silently becomes
+    * a length gate in some band. The gate designer reads this table
+    * before trusting q249/q446.
+    *
+    * Scale: decile assignment via a broadcast 10-row bound table
+    * (no per-row window); per-decile medians over the distinct
+    * (decile, q_micro) frame — value-domain bounded, partitioned on
+    * the decile key.
+    */
+  def conditionalMedianQuality(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(
+        col("n_chars").as("len"),
+        qualityMicro(col("text")).as("q")
+      )
+      .cacheTracked()
+    val g = base.groupBy(col("len")).agg(count(lit(1)).as("c"))
+    val wg = Window
+      .orderBy(col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("cw", sum(col("c")).over(wg))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+    // upper bound of decile d = min len with cw*10 >= n*d
+    val bounds = (1 to 10)
+      .map { dd =>
+        cum
+          .filter(col("cw") * 10 >= col("n") * dd)
+          .agg(min(col("len")).as(s"b$dd"))
+      }
+      .reduce(_.crossJoin(_))
+    val withDecile = base
+      .crossJoin(broadcast(bounds))
+      .select(
+        (1 to 9)
+          .foldRight(lit(10L): Column) { case (dd, acc) =>
+            when(col("len") <= col(s"b$dd"), lit(dd.toLong))
+              .otherwise(acc)
+          }
+          .as("decile"),
+        col("len"),
+        col("q")
+      )
+    val qg = withDecile
+      .groupBy(col("decile"), col("q"))
+      .agg(count(lit(1)).as("c"))
+    val wq = Window
+      .partitionBy(col("decile"))
+      .orderBy(col("q").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qcum = qg
+      .withColumn("cw", sum(col("c")).over(wq))
+      .withColumn(
+        "n",
+        sum(col("c")).over(Window.partitionBy(col("decile")))
+      )
+    val medq = qcum
+      .filter(col("cw") * 2 >= col("n"))
+      .groupBy(col("decile"))
+      .agg(min(col("q")).as("med_q_micro"))
+    val lens = withDecile
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("len")).as("len_lo"),
+        max(col("len")).as("len_hi")
+      )
+    lens
+      .join(broadcast(medq), Seq("decile"))
+      .select(
+        col("decile"),
+        col("n_docs"),
+        col("len_lo"),
+        col("len_hi"),
+        col("med_q_micro")
+      )
+  }
 }

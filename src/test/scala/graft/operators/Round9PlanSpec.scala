@@ -94,7 +94,11 @@ class Round9PlanSpec extends AnyFunSuite {
     "q454_cliff_delta" ->
       "distinct quantized q_micro value-domain cumsum",
     "q455_wilcoxon_drift" ->
-      "distinct |d| milli value-domain rank frame"
+      "distinct |d| milli value-domain rank frame",
+    "q461_conditional_medians" ->
+      "distinct length value-domain cumsum (decile bounds)",
+    "q462_sax_motifs" ->
+      "64-row PAA segment frame (calendar-bounded) + its quartiles"
   )
 
   test("registry sweep: no unpartitioned row-level window over an " +
