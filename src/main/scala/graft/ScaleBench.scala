@@ -1194,6 +1194,89 @@ object ScaleBench {
       require(ledNorm == ledN0 * 6, s"normalized survivors $ledNorm")
     require(ledGated <= ledNorm && ledNorm <= ledExact, "monotone funnel")
 
+    // --- degree-oriented triangle census at ~1M edges (q445/q460) -----
+    // known structure: T disjoint triangles (3T edges, T triangles)
+    // plus one hub with S spokes (S edges, 0 triangles). The hub is
+    // the adversarial case: un-oriented wedge generation would emit
+    // C(S,2) ≈ 5·10⁹ candidates from it alone; degree orientation
+    // points every spoke edge AT the hub (deg 1 → deg S), so hub
+    // out-degree is 0 and the wedge count collapses to exactly T.
+    val triT = 300000L
+    val spokeS = 100000L
+    val triEdges = spark
+      .range(triT)
+      .select(
+        explode(
+          array(
+            struct((col("id") * 3).as("u"), (col("id") * 3 + 1).as("v")),
+            struct((col("id") * 3).as("u"), (col("id") * 3 + 2).as("v")),
+            struct((col("id") * 3 + 1).as("u"), (col("id") * 3 + 2).as("v"))
+          )
+        ).as("e")
+      )
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val hubId = triT * 3
+    val spokeEdges = spark
+      .range(spokeS)
+      .select(lit(hubId).as("u"), (col("id") + hubId + 1).as("v"))
+    val graphEdges = triEdges
+      .unionByName(spokeEdges)
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val tTri = System.nanoTime()
+    val gDeg = graphEdges
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("deg"))
+    val gToV = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val gOriented = graphEdges
+      .join(gDeg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(gDeg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(gToV, col("u")).otherwise(col("v")).as("src"),
+        when(gToV, col("v")).otherwise(col("u")).as("dst")
+      )
+    val gW1 = gOriented.select(col("src"), col("dst").as("x"))
+    val gW2 = gOriented.select(col("src"), col("dst").as("y"))
+    val triCount = gW1
+      .join(gW2, Seq("src"))
+      .filter(col("x") < col("y"))
+      .join(
+        graphEdges,
+        col("x") === graphEdges("u") && col("y") === graphEdges("v"),
+        "left_semi"
+      )
+      .count()
+    val triSec = (System.nanoTime() - tTri) / 1e9
+    require(triCount == triT,
+      s"triangle census: got $triCount want $triT")
+
+    // --- Hilbert curve index at 10M points (q452 topology) ------------
+    // full-coverage pass over the 1024×1024 grid ~9.5×; the index is
+    // a bijection on each full cover, so min/max pin the range and
+    // the count pins row preservation. Narrow map, no shuffle.
+    val hilN = 10000000L
+    val hilPts = spark
+      .range(hilN)
+      .select(
+        (col("id") % 1024L).as("x"),
+        ((col("id") / 1024L) % 1024L).as("y")
+      )
+    val tHil = System.nanoTime()
+    val hilRow = graft.operators.Layout
+      .hilbertIndex(hilPts, 10, "x", "y", "hd")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("hd")).as("mn"),
+        max(col("hd")).as("mx")
+      )
+      .collect()(0)
+    val hilSec = (System.nanoTime() - tHil) / 1e9
+    require(hilRow.getLong(0) == hilN, "hilbert lost rows")
+    require(hilRow.getLong(1) == 0L && hilRow.getLong(2) == 1048575L,
+      s"hilbert range: ${hilRow.getLong(1)}..${hilRow.getLong(2)}")
+
     println(
       s"""{"metric":"scale_validation","docs":$nDocs,""" +
         s""""ppjoin_docs":$ppN,"ppjoin_candidates":$ppCandN,""" +
@@ -1251,7 +1334,11 @@ object ScaleBench {
         s""""session_sec":$sessSec,""" +
         s""""ledger_docs":$ledDocs,"ledger_exact":$ledExact,""" +
         s""""ledger_norm":$ledNorm,"ledger_gated":$ledGated,""" +
-        s""""ledger_sec":$ledSec}"""
+        s""""ledger_sec":$ledSec,""" +
+        s""""triangle_edges":${triT * 3 + spokeS},""" +
+        s""""triangles":$triCount,"triangle_sec":$triSec,""" +
+        s""""hilbert_points":$hilN,"hilbert_sec":$hilSec,""" +
+        s""""hilbert_points_per_sec":${(hilN / hilSec).round}}"""
     )
     spark.stop()
   }

@@ -1152,6 +1152,14 @@ object SparkEntry {
       (TextAnalysis.conditionalMedianQuality _),
     // SAX 3-gram motif census of the hourly count series.
     "q462_sax_motifs" -> (Events.saxMotifs _),
+    // Shingle width 2/3/4 sensitivity: docs, shingles, pair counts.
+    "q463_shingle_sweep" -> (Dedup.shingleWidthSweep _),
+    // 5%-winsorized vs raw mean length per source (exact milli).
+    "q464_winsorized_mean" -> (TextAnalysis.winsorizedMeanLength _),
+    // BFS level census of the co-purchase graph (20-hop cap).
+    "q465_bfs_levels" -> (Relational.bfsLevels _),
+    // CC census of the repeated-bigram (>= 3) lexicon graph.
+    "q466_lexicon_islands" -> (TextAnalysis.lexiconIslands _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -13171,6 +13179,125 @@ object SparkEntry {
                  FROM sym)
          SELECT motif, count(*)::BIGINT AS n_occurrences
          FROM tri WHERE motif IS NOT NULL GROUP BY 1""",
+    // q463: per-width shingle CTEs over one shared tokenize, pair
+    // inversions, scalar census rows unioned.
+    "q463_shingle_sweep" -> {
+      def gram(w: Int): String =
+        (1 to w).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      def tier(w: Int): String =
+        s"""d$w AS (SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - ${w - 1}),
+               i -> ${gram(w)})) AS sh
+           FROM t WHERE len(toks) >= $w),
+         e$w AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                 FROM d$w WHERE len(sh) > 0),
+         p$w AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                   count(*) AS inter,
+                   any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+                 FROM e$w a JOIN e$w b
+                   ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+         r$w AS (SELECT $w::BIGINT AS shingle_w,
+             (SELECT count(*) FROM d$w
+                WHERE len(sh) > 0)::BIGINT AS n_docs,
+             (SELECT count(DISTINCT s) FROM e$w)::BIGINT
+               AS n_shingles,
+             (SELECT count(*) FROM p$w)::BIGINT AS n_pairs_any,
+             (SELECT count(*) FROM p$w
+                WHERE round(inter::DOUBLE / (na + nb - inter), 6)
+                  >= 0.5)::BIGINT AS n_pairs_j05)"""
+      s"""WITH t AS (SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
+             END AS toks
+           FROM documents),
+         ${tier(2)},
+         ${tier(3)},
+         ${tier(4)}
+         SELECT * FROM r2
+         UNION ALL SELECT * FROM r3
+         UNION ALL SELECT * FROM r4"""
+    },
+    // q464: per-source P5/P95 picks, clip, exact half-up milli means.
+    "q464_winsorized_mean" ->
+      s"""WITH lens AS (SELECT source, n_chars AS v FROM documents),
+         g AS (SELECT source, v, count(*)::BIGINT AS c
+               FROM lens GROUP BY 1, 2),
+         cum AS (SELECT source, v,
+                   sum(c) OVER (PARTITION BY source ORDER BY v) AS cw,
+                   sum(c) OVER (PARTITION BY source) AS n
+                 FROM g),
+         p5 AS (SELECT source, min(v)::BIGINT AS p5 FROM cum
+                WHERE cw * 20 >= n * 1 GROUP BY 1),
+         p95 AS (SELECT source, min(v)::BIGINT AS p95 FROM cum
+                 WHERE cw * 20 >= n * 19 GROUP BY 1),
+         cl AS (SELECT l.source, l.v,
+                  greatest(p5.p5, least(p95.p95, l.v)) AS cv,
+                  p5.p5 AS p5, p95.p95 AS p95
+                FROM lens l JOIN p5 USING (source)
+                            JOIN p95 USING (source))
+         SELECT source, count(*)::BIGINT AS n_docs,
+           max(p5)::BIGINT AS p5_len,
+           max(p95)::BIGINT AS p95_len,
+           ${sqlIdivHalfUp("1000 * sum(v)", "count(*)")}
+             AS raw_mean_milli,
+           ${sqlIdivHalfUp("1000 * sum(cv)", "count(*)")}
+             AS wins_mean_milli
+         FROM cl GROUP BY 1""",
+    // q465: recursive BFS from min(id), lvl-capped at 20, UNION
+    // dedup on (id, lvl), min level per node, unreached at -1.
+    "q465_bfs_levels" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM op a JOIN op b USING (l_orderkey)
+               WHERE a.l_partkey < b.l_partkey),
+         sym AS (SELECT u AS src, v AS dst FROM e
+                 UNION ALL SELECT v, u FROM e),
+         nodes AS (SELECT DISTINCT src AS id FROM sym),
+         seed AS (SELECT min(id) AS s FROM nodes),
+         walk(id, lvl) AS (
+           SELECT s, 0::BIGINT FROM seed
+           UNION
+           SELECT sym.dst, w.lvl + 1 FROM walk w
+           JOIN sym ON w.id = sym.src WHERE w.lvl < 20),
+         lv AS (SELECT id, min(lvl) AS lvl FROM walk GROUP BY 1)
+         SELECT coalesce(lv.lvl, -1)::BIGINT AS lvl,
+           count(*)::BIGINT AS n_nodes
+         FROM nodes LEFT JOIN lv USING (id) GROUP BY 1""",
+    // q466: occurrence-counted canonical bigram pairs >= 3,
+    // string-label transitive closure, island census.
+    "q466_lexicon_islands" ->
+      s"""WITH RECURSIVE t AS (SELECT
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
+             END AS toks
+           FROM documents),
+         bg AS (SELECT unnest(list_transform(range(len(toks) - 1),
+                  i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS g
+                FROM t WHERE len(toks) >= 2),
+         p AS (SELECT least(g.w1, g.w2) AS a,
+                 greatest(g.w1, g.w2) AS b
+               FROM bg WHERE g.w1 <> g.w2
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+         n AS (SELECT a AS w FROM p UNION SELECT b FROM p),
+         sym AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+         reach(a, b) AS (
+           SELECT w, w FROM n
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lab AS (SELECT a, min(b) AS label FROM reach GROUP BY 1),
+         sz AS (SELECT label, count(*)::BIGINT AS sz
+                FROM lab GROUP BY 1),
+         agg AS (SELECT coalesce(sum(sz), 0)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_islands,
+                   coalesce(max(sz), 0)::BIGINT AS max_island
+                 FROM sz),
+         ne AS (SELECT count(*)::BIGINT AS n_edges FROM p)
+         SELECT n_tokens, n_edges, n_islands, max_island,
+           ${sqlMicroRatio("max_island", "greatest(n_tokens, 1)")}
+             AS giant_ppm
+         FROM agg, ne""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -3742,6 +3742,82 @@ object Dedup {
     )
   }
 
+  /** q463: shingle-width sensitivity sweep — the q21 pair machinery
+    * run at w = 2, 3, 4 word shingles, reporting per width: docs
+    * carrying ≥1 shingle, distinct shingles, colliding pairs
+    * (≥1 shared shingle), and pairs at J ≥ 0.5. Shingle width is the
+    * single biggest knob in every dedup family built on this seam
+    * (q21/q22/q72/q78/q130): w = 2 over-collides (stopword bigrams
+    * chain unrelated docs), w = 4 under-recalls (one edit kills four
+    * shingles), and this table is the measured trade-off at the
+    * corpus's own length distribution — read it before trusting the
+    * w = 3 default anywhere downstream.
+    *
+    * Scale: three independent shingle inversions, each
+    * collision-linear (cost ∝ colliding pairs); output is 3 rows.
+    * The sweep shares one tokenize via the cached per-width shingle
+    * frames.
+    */
+  def shingleWidthSweep(spark: SparkSession, dir: String): DataFrame = {
+    val perW = Seq(2, 3, 4).map { w =>
+      val d = Tables
+        .documents(spark, dir)
+        .select(col("doc_id"), shingles(col("text"), w).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .cacheTracked()
+      val e = d.select(
+        col("doc_id"),
+        size(col("sh")).as("n_sh"),
+        explode(col("sh")).as("s")
+      )
+      val a = e.select(
+        col("doc_id").as("doc_a"),
+        col("n_sh").as("n_a"),
+        col("s")
+      )
+      val b = e.select(
+        col("doc_id").as("doc_b"),
+        col("n_sh").as("n_b"),
+        col("s")
+      )
+      val pairs = a
+        .join(b, Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(
+          count(lit(1)).as("inter"),
+          first(col("n_a")).as("na"),
+          first(col("n_b")).as("nb")
+        )
+        .cacheTracked()
+      val j05 = pairs
+        .filter(
+          round(
+            col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")),
+            6
+          ) >= 0.5
+        )
+        .agg(count(lit(1)).as("n_pairs_j05"))
+      val nPairs = pairs.agg(count(lit(1)).as("n_pairs_any"))
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val nSh = e.select(col("s")).distinct()
+        .agg(count(lit(1)).as("n_shingles"))
+      nDocs
+        .crossJoin(broadcast(nSh))
+        .crossJoin(broadcast(nPairs))
+        .crossJoin(broadcast(j05))
+        .select(
+          lit(w.toLong).as("shingle_w"),
+          col("n_docs"),
+          col("n_shingles"),
+          col("n_pairs_any"),
+          col("n_pairs_j05")
+        )
+    }
+    perW.reduce(_.unionByName(_))
+  }
+
   /** q459: percolation curve of the near-dup graph — for Jaccard
     * thresholds 0.3 / 0.5 / 0.7, the connected-component census of
     * the pair graph: participating nodes, edges, components, the

@@ -1160,4 +1160,69 @@ object Relational {
       .groupBy(col("support"))
       .agg(count(lit(1)).as("n_edges"))
   }
+
+  /** q465: BFS level census of the co-purchase graph from its
+    * minimum part id — unweighted single-source shortest paths by
+    * frontier expansion (the Pregel BFS; Malewicz et al., SIGMOD
+    * 2010), levels capped at 20 hops, unreached nodes reported at
+    * level −1. The level histogram is the graph's reachability
+    * profile: how many hops of "customers also bought" it takes to
+    * cover the catalog, and how much of it is simply unreachable
+    * from the seed — the prerequisite fact for any graph-walk
+    * feature (q86's PageRank mass, recommendation horizons).
+    *
+    * Scale: each round is one frontier-keyed hash join + an
+    * anti-join against the visited set (frontier-sized, not
+    * graph-sized), with `localCheckpoint` truncating lineage — the
+    * standard distributed BFS; rounds are bounded by the 20-hop cap
+    * and per-round emptiness is one scalar count.
+    */
+  def bfsLevels(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Caches._
+    val op = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("v"))
+    val edges = a
+      .join(b, Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
+      .distinct()
+      .cacheTracked()
+    val sym = edges
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+      .cacheTracked()
+    val nodes = sym.select(col("src").as("id")).distinct().cacheTracked()
+    val seed = nodes.agg(min(col("id"))).head().getLong(0)
+    var levels = spark
+      .range(1)
+      .select(lit(seed).as("id"), lit(0L).as("lvl"))
+      .localCheckpoint(true)
+    var frontier = levels
+    var lvl = 1L
+    var done = false
+    while (lvl <= 20L && !done) {
+      val next = frontier
+        .join(sym, frontier("id") === sym("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(levels, Seq("id"), "left_anti")
+        .select(col("id"), lit(lvl).as("lvl"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        levels = levels.unionByName(next).localCheckpoint(true)
+        frontier = next
+        lvl += 1
+      }
+    }
+    nodes
+      .join(levels, Seq("id"), "left")
+      .select(coalesce(col("lvl"), lit(-1L)).as("lvl"))
+      .groupBy(col("lvl"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
 }

@@ -6164,4 +6164,145 @@ object TextAnalysis {
         col("med_q_micro")
       )
   }
+
+  /** q464: 5%-winsorized mean document length per source — the P5
+    * and P95 length picks (value-domain, rank-exact), every length
+    * clipped into [p5, p95], and both the raw and winsorized means
+    * in exact half-up milli (Tukey/Dixon winsorization; the robust
+    * mean that keeps the sample size, unlike trimming — q292 is the
+    * TRIMMED twin). The gap between raw_mean and wins_mean is a
+    * one-number tail-contamination alarm per source: a big gap
+    * with a stable median (q458) means a few monster documents are
+    * steering every mean-based dashboard.
+    *
+    * Scale: one (source, length) value-domain frame drives the
+    * picks; clipping is a broadcast join of the 2-column bound
+    * table; means are one aggregate. No corpus-scale window.
+    */
+  def winsorizedMeanLength(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val lens = Tables
+      .documents(spark, dir)
+      .select(col("source"), col("n_chars").as("v"))
+      .cacheTracked()
+    val g = lens
+      .groupBy(col("source"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window
+      .partitionBy(col("source"))
+      .orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g
+      .withColumn("cw", sum(col("c")).over(w))
+      .withColumn(
+        "n",
+        sum(col("c")).over(Window.partitionBy(col("source")))
+      )
+      .cacheTracked()
+    def pick(num: Int, den: Int, name: String): DataFrame =
+      cum
+        .filter(col("cw") * den >= col("n") * num)
+        .groupBy(col("source"))
+        .agg(min(col("v")).as(name))
+    val bounds = pick(1, 20, "p5").join(pick(19, 20, "p95"), "source")
+    lens
+      .join(broadcast(bounds), Seq("source"))
+      .select(
+        col("source"),
+        col("v"),
+        greatest(col("p5"), least(col("p95"), col("v"))).as("cv"),
+        col("p5"),
+        col("p95")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("p5")).as("p5_len"),
+        max(col("p95")).as("p95_len"),
+        idivHalfUp(lit(1000L) * sum(col("v")), count(lit(1)))
+          .as("raw_mean_milli"),
+        idivHalfUp(lit(1000L) * sum(col("cv")), count(lit(1)))
+          .as("wins_mean_milli")
+      )
+  }
+
+  /** q466: lexical islands — connected components of the bigram
+    * co-occurrence graph restricted to pairs seen ≥ 3 times
+    * (occurrence-counted, unlike q434's distinct adjacency), as the
+    * one-row census (tokens, edges, components, largest island and
+    * its ppm share). The repeated-bigram backbone is the corpus's
+    * function-word/template skeleton: one giant island means a
+    * connected phrasal core (normal prose); many islands mean
+    * disjoint boilerplate families — the lexical mirror of q459's
+    * document-level percolation.
+    *
+    * Scale: bigram counting is one map-side-combinable aggregate;
+    * token ids come from `Ranking.withGlobalRank` over the
+    * qualifying vocabulary (range shuffle + zipWithIndex — no
+    * single-partition window, and the component census is invariant
+    * to the id assignment); components via the q72 pointer-doubling
+    * CC.
+    */
+  def lexiconIslands(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val toks = Tables
+      .documents(spark, dir)
+      .select(tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks
+      .select(
+        explode(
+          zip_with(
+            slice(col("t"), 1, 1000000),
+            slice(col("t"), 2, 1000000),
+            (a, b) => struct(a.as("w1"), b.as("w2"))
+          )
+        ).as("bg")
+      )
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w2").isNotNull && col("w1") =!= col("w2"))
+      .select(
+        least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b")
+      )
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3L)
+      .cacheTracked()
+    val vocab = pairs
+      .select(col("a").as("w"))
+      .unionByName(pairs.select(col("b").as("w")))
+      .distinct()
+    val ids = Ranking
+      .withGlobalRank(vocab, Seq(col("w").asc), "id", 32)
+      .cacheTracked()
+    val edges = pairs
+      .join(ids.select(col("w").as("a"), col("id").as("src")),
+        Seq("a"))
+      .join(ids.select(col("w").as("b"), col("id").as("dst")),
+        Seq("b"))
+      .select(col("src"), col("dst"))
+    val sizes = ConnectedComponents
+      .run(ids.select(col("id")), edges)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("sz"))
+    sizes
+      .agg(
+        coalesce(sum(col("sz")), lit(0L)).as("n_tokens"),
+        count(lit(1)).as("n_islands"),
+        coalesce(max(col("sz")), lit(0L)).as("max_island")
+      )
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_edges"))))
+      .select(
+        col("n_tokens"),
+        col("n_edges"),
+        col("n_islands"),
+        col("max_island"),
+        microRatio(col("max_island"), greatest(col("n_tokens"),
+          lit(1L))).as("giant_ppm")
+      )
+  }
 }
