@@ -1160,6 +1160,10 @@ object SparkEntry {
     "q465_bfs_levels" -> (Relational.bfsLevels _),
     // CC census of the repeated-bigram (>= 3) lexicon graph.
     "q466_lexicon_islands" -> (TextAnalysis.lexiconIslands _),
+    // MinHash k = 4/8/16 estimator error on one fixed pair set.
+    "q467_minhash_k_sweep" -> (Dedup.minhashKSweep _),
+    // Per-(source, lang) fold-size balance of the md5 5-fold split.
+    "q468_kfold_balance" -> (Sampling.kfoldBalance _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -13298,6 +13302,65 @@ object SparkEntry {
            ${sqlMicroRatio("max_island", "greatest(n_tokens, 1)")}
              AS giant_ppm
          FROM agg, ne""",
+    // q467: one 16-hash signature; k = 4/8 read its prefixes; errors
+    // vs the exact integer-micro Jaccard on the J >= 0.3 pair set.
+    "q467_minhash_k_sweep" -> {
+      def agreeSql(k: Int): String =
+        s"len(list_filter(range($k), i -> mh_a[i+1] = mh_b[i+1]))" +
+          "::BIGINT"
+      s"""WITH $shinglesCte,
+         m AS (SELECT doc_id, sh,
+                 list_transform(range(16), i ->
+                   list_min(list_transform(sh, s ->
+                     ('0x' || substr(md5(i || ':' || s), 1, 15))
+                       ::BIGINT))) AS mh
+               FROM d WHERE len(sh) > 0),
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                FROM d WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         pe AS (SELECT doc_a, doc_b,
+                  ${sqlIdivHalfUp("1000000 * inter",
+          "(n_a + n_b - inter)")} AS exact_micro
+                FROM pr),
+         pf AS (SELECT pe.exact_micro, a.mh AS mh_a, b.mh AS mh_b
+                FROM pe JOIN m a ON pe.doc_a = a.doc_id
+                        JOIN m b ON pe.doc_b = b.doc_id
+                WHERE pe.exact_micro >= 300000),
+         ek AS (SELECT 4::BIGINT AS k, ${agreeSql(4)} AS agree,
+                  exact_micro FROM pf
+                UNION ALL SELECT 8, ${agreeSql(8)}, exact_micro
+                FROM pf
+                UNION ALL SELECT 16, ${agreeSql(16)}, exact_micro
+                FROM pf),
+         er AS (SELECT k,
+                  abs(${sqlIdivHalfUp("1000000 * agree", "k")}
+                    - exact_micro) AS err
+                FROM ek)
+         SELECT k, count(*)::BIGINT AS n_pairs,
+           ${sqlIdivHalfUp("sum(err)", "count(*)")}
+             AS mean_abs_err_micro,
+           max(err)::BIGINT AS max_abs_err_micro
+         FROM er GROUP BY 1"""
+    },
+    // q468: the q49 md5 bucket mod 5; per-stratum fold envelope.
+    "q468_kfold_balance" ->
+      """WITH f AS (SELECT source, lang,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+                   ::BIGINT % 5 AS fold
+               FROM documents),
+         g AS (SELECT source, lang, fold, count(*)::BIGINT AS n
+               FROM f GROUP BY 1, 2, 3)
+         SELECT source, lang, sum(n)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_folds_hit,
+           min(n)::BIGINT AS min_fold_n,
+           max(n)::BIGINT AS max_fold_n,
+           (max(n) - min(n))::BIGINT AS spread
+         FROM g GROUP BY 1, 2""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

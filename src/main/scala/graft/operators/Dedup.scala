@@ -3818,6 +3818,94 @@ object Dedup {
     perW.reduce(_.unionByName(_))
   }
 
+  /** q467: MinHash signature-length sweep — estimator error vs the
+    * exact shingle Jaccard at k = 4 / 8 / 16 hashes, on ONE fixed
+    * pair population (exact J ≥ 0.3, integer-micro threshold) so the
+    * three rows differ only in k. Because seeds are 0..k−1, the
+    * k = 4 and k = 8 estimators are PREFIXES of the single k = 16
+    * signature — one signature pass serves the whole sweep. The
+    * q198 audit fixes k = 8 and varies the estimate level; this
+    * fixes the pairs and varies k — together they are the
+    * (bands, rows, k) capacity curve a dedup team reads before
+    * committing signature bytes at 100 TB (expected |err| ∝ 1/√k:
+    * halving storage costs √2 in threshold margin).
+    *
+    * Scale: one shingle inversion for the exact pairs
+    * (collision-linear), one fused Md5MinHashSig pass, one
+    * pair-side join; the sweep explodes 3 rows per pair. All error
+    * arithmetic in exact half-up micro.
+    */
+  def minhashKSweep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUp
+    val d = docShingles(spark, dir)
+      .withColumn(
+        "mh",
+        graft.functions.Md5MinHashSig.md5MinhashSig(col("sh"), 16)
+      )
+      .cacheTracked()
+    val e = d.select(
+      col("doc_id"),
+      size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s")
+    )
+    val a = e.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a"),
+      col("s"))
+    val b = e.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b"),
+      col("s"))
+    val pairs = a
+      .join(b, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        count(lit(1)).as("inter"),
+        first(col("n_a")).as("na"),
+        first(col("n_b")).as("nb")
+      )
+      .withColumn(
+        "exact_micro",
+        idivHalfUp(
+          lit(1000000L) * col("inter"),
+          col("na") + col("nb") - col("inter")
+        )
+      )
+      .filter(col("exact_micro") >= 300000L)
+    val withSigs = pairs
+      .join(d.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")),
+        Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")),
+        Seq("doc_b"))
+    def agree(k: Int): Column =
+      (1 to k)
+        .map(i =>
+          when(element_at(col("mh_a"), i) ===
+            element_at(col("mh_b"), i), 1L).otherwise(0L))
+        .reduce(_ + _)
+    val leveled = withSigs.select(
+      col("exact_micro"),
+      explode(
+        array(
+          Seq(4, 8, 16).map(k =>
+            struct(lit(k.toLong).as("k"), agree(k).as("agree"))): _*
+        )
+      ).as("e")
+    )
+    leveled
+      .select(
+        col("e.k").as("k"),
+        abs(
+          idivHalfUp(lit(1000000L) * col("e.agree"), col("e.k")) -
+            col("exact_micro")
+        ).as("err")
+      )
+      .groupBy(col("k"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        idivHalfUp(sum(col("err")), count(lit(1)))
+          .as("mean_abs_err_micro"),
+        max(col("err")).as("max_abs_err_micro")
+      )
+  }
+
   /** q459: percolation curve of the near-dup graph — for Jaccard
     * thresholds 0.3 / 0.5 / 0.7, the connected-component census of
     * the pair graph: participating nodes, edges, components, the

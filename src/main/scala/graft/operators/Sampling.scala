@@ -2752,6 +2752,49 @@ object Sampling {
       )
   }
 
+  /** q468: k-fold assignment balance audit — documents fall into 5
+    * folds by the deterministic md5 bucket (the q49 split
+    * convention), and each (source, lang) stratum reports its
+    * smallest and largest fold plus the spread. Cross-validation
+    * assumes folds are interchangeable WITHIN every stratum; a cell
+    * whose spread rivals its per-fold mean makes fold-to-fold metric
+    * variance look like model variance. This is the table read
+    * before trusting any k-fold eval on the corpus — the k-fold
+    * companion to q49 (fixed split) and q310 (coverage floor).
+    *
+    * Scale: one (source, lang, fold) aggregate → one (source, lang)
+    * rollup. Bounded cells, no window.
+    */
+  def kfoldBalance(spark: SparkSession, dir: String): DataFrame = {
+    val byFold = Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        col("lang"),
+        (graft.functions.TextFunctions.hash60(col("doc_id")) % 5)
+          .as("fold")
+      )
+      .groupBy(col("source"), col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n"))
+    byFold
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_folds_hit"),
+        min(col("n")).as("min_fold_n"),
+        max(col("n")).as("max_fold_n")
+      )
+      .select(
+        col("source"),
+        col("lang"),
+        col("n_docs"),
+        col("n_folds_hit"),
+        col("min_fold_n"),
+        col("max_fold_n"),
+        (col("max_fold_n") - col("min_fold_n")).as("spread")
+      )
+  }
+
   /** q310: coverage-guaranteed eval holdout — a 5% hash split
     * (q49's construction) with a floor: every (source, lang) cell
     * contributes at least `minK` = 5 docs (or all of them, if the
