@@ -1164,6 +1164,10 @@ object SparkEntry {
     "q467_minhash_k_sweep" -> (Dedup.minhashKSweep _),
     // Per-(source, lang) fold-size balance of the md5 5-fold split.
     "q468_kfold_balance" -> (Sampling.kfoldBalance _),
+    // Pareto frontier of parts on (price min, size max), no n².
+    "q469_skyline" -> (Relational.partSkyline _),
+    // Weekend-vs-weekday difference-in-differences on event value.
+    "q470_weekend_did" -> (Events.weekendDid _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -13361,6 +13365,56 @@ object SparkEntry {
            max(n)::BIGINT AS max_fold_n,
            (max(n) - min(n))::BIGINT AS spread
          FROM g GROUP BY 1, 2""",
+    // q469: per-price best size, cumulative max over the price
+    // domain; frontier = strict increases of the cummax.
+    "q469_skyline" ->
+      """WITH pts AS (SELECT
+             CAST(round(p_retailprice * 100) AS BIGINT)
+               AS price_cents,
+             p_size::BIGINT AS size, count(*)::BIGINT AS n_parts
+           FROM part GROUP BY 1, 2),
+         best AS (SELECT price_cents, max(size)::BIGINT AS size
+                  FROM pts GROUP BY 1),
+         fr AS (SELECT price_cents, size,
+                  max(size) OVER (ORDER BY price_cents) AS m,
+                  max(size) OVER (ORDER BY price_cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING) AS mprev
+                FROM best)
+         SELECT fr.price_cents, fr.size, pts.n_parts
+         FROM fr JOIN pts ON fr.price_cents = pts.price_cents
+           AND fr.size = pts.size
+         WHERE fr.size = fr.m
+           AND (fr.mprev IS NULL OR fr.size > fr.mprev)""",
+    // q470: (epoch_day+4) mod 7 weekend cells, span split at
+    // min_day + 15, exact micro means, DiD from the wide row.
+    "q470_weekend_did" -> {
+      def cellSql(we: String, h2: String, n: String, m: String) = {
+        val p = s"($we is_weekend AND $h2 is_h2)"
+        s"""sum(CASE WHEN $p THEN 1 ELSE 0 END)::BIGINT AS $n,
+           ${sqlIdivHalfUp(
+            s"sum(CASE WHEN $p THEN vm ELSE 0 END)",
+            s"greatest(sum(CASE WHEN $p THEN 1 ELSE 0 END), 1)"
+          )} AS $m"""
+      }
+      s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS ed,
+                 CAST(round(value * 1e6) AS BIGINT) AS vm
+               FROM events),
+         t AS (SELECT ((ed + 4) % 7) IN (0, 6) AS is_weekend,
+                 ed >= (SELECT min(ed) FROM ev) + 15 AS is_h2, vm
+               FROM ev),
+         a AS (SELECT
+             ${cellSql("NOT", "NOT", "n_wd_h1", "m_wd_h1")},
+             ${cellSql("NOT", "", "n_wd_h2", "m_wd_h2")},
+             ${cellSql("", "NOT", "n_we_h1", "m_we_h1")},
+             ${cellSql("", "", "n_we_h2", "m_we_h2")}
+           FROM t)
+         SELECT n_wd_h1, m_wd_h1, n_wd_h2, m_wd_h2,
+           n_we_h1, m_we_h1, n_we_h2, m_we_h2,
+           ((m_we_h2 - m_we_h1) - (m_wd_h2 - m_wd_h1))::BIGINT
+             AS did_micro
+         FROM a"""
+    },
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -2711,4 +2711,65 @@ object Events {
       .groupBy(col("motif"))
       .agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** q470: weekend difference-in-differences on event value — mean
+    * value (exact micro) in the 2×2 of {weekday, weekend} ×
+    * {first, second half of the span}, and the DiD estimate
+    * (Δweekend − Δweekday) in signed micro. The causal-inference
+    * primitive in its simplest form: if "value drifted" (q283/q455
+    * say it did), DiD asks whether weekends drifted MORE than the
+    * weekday baseline — a calendar-mix shift masquerading as a
+    * trend is the classic false alarm this design subtracts out.
+    * Weekend uses the (epoch_day + 4) mod 7 house calendar (0 =
+    * Sunday, 6 = Saturday — q428's convention, never a locale
+    * builtin); the span splits at min_day + 15.
+    *
+    * Scale: one scan → one 4-cell aggregate → one wide row. The
+    * span minimum is a broadcast scalar.
+    */
+  def weekendDid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idiv, idivHalfUp}
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        idiv(unix_micros(col("ts")), lit(86400000000L)).as("ed"),
+        round(col("value") * 1e6).cast("long").as("vm")
+      )
+    val tagged = ev
+      .crossJoin(broadcast(ev.agg(min(col("ed")).as("ed0"))))
+      .select(
+        pmod(col("ed") + lit(4L), lit(7L)).isin(0L, 6L)
+          .as("is_weekend"),
+        (col("ed") >= col("ed0") + lit(15L)).as("is_h2"),
+        col("vm")
+      )
+    def cell(we: Boolean, h2: Boolean, n: String, m: String) = Seq(
+      sum(when(col("is_weekend") === we && col("is_h2") === h2, 1L)
+        .otherwise(0L)).as(n),
+      idivHalfUp(
+        sum(when(col("is_weekend") === we && col("is_h2") === h2,
+          col("vm")).otherwise(0L)),
+        greatest(
+          sum(when(col("is_weekend") === we && col("is_h2") === h2,
+            1L).otherwise(0L)),
+          lit(1L)
+        )
+      ).as(m)
+    )
+    val cells =
+      cell(false, false, "n_wd_h1", "m_wd_h1") ++
+        cell(false, true, "n_wd_h2", "m_wd_h2") ++
+        cell(true, false, "n_we_h1", "m_we_h1") ++
+        cell(true, true, "n_we_h2", "m_we_h2")
+    tagged
+      .agg(cells.head, cells.tail: _*)
+      .select(
+        col("n_wd_h1"), col("m_wd_h1"),
+        col("n_wd_h2"), col("m_wd_h2"),
+        col("n_we_h1"), col("m_we_h1"),
+        col("n_we_h2"), col("m_we_h2"),
+        ((col("m_we_h2") - col("m_we_h1")) -
+          (col("m_wd_h2") - col("m_wd_h1"))).as("did_micro")
+      )
+  }
 }

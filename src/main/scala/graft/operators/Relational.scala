@@ -1161,6 +1161,52 @@ object Relational {
       .agg(count(lit(1)).as("n_edges"))
   }
 
+  /** q469: part skyline — the Pareto frontier on (price minimized,
+    * size maximized), the classic skyline operator (Börzsönyi/
+    * Kossmann/Stocker, "The Skyline Operator", ICDE 2001) that
+    * relational engines lack as a builtin. A (price, size) point
+    * survives iff nothing is cheaper-or-equal with a larger size and
+    * nothing strictly cheaper ties its size. Output is the frontier
+    * as exact-integer points (price in cents) with the part count
+    * riding each point — the "best value at every budget" table.
+    *
+    * Scale: the naive formulation is an n² dominance anti-join; in
+    * 2-D it collapses to a cumulative max over the DISTINCT price
+    * value domain: M(c) = max size at price ≤ c, and the frontier
+    * is exactly the prices where M strictly increases. One
+    * (price, size) aggregate + one value-domain window — never a
+    * pairwise comparison, the same cumsum discipline as q410/q454.
+    */
+  def partSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables
+      .part(spark, dir)
+      .select(
+        round(col("p_retailprice") * 100).cast("long")
+          .as("price_cents"),
+        col("p_size").cast("long").as("size")
+      )
+      .groupBy(col("price_cents"), col("size"))
+      .agg(count(lit(1)).as("n_parts"))
+    val best = pts
+      .groupBy(col("price_cents"))
+      .agg(max(col("size")).as("size"))
+    val wc = Window
+      .orderBy(col("price_cents").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window
+      .orderBy(col("price_cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = best
+      .withColumn("m", max(col("size")).over(wc))
+      .withColumn("mPrev", max(col("size")).over(wPrev))
+      .filter(
+        col("size") === col("m") &&
+          (col("mPrev").isNull || col("size") > col("mPrev"))
+      )
+      .select(col("price_cents"), col("size"))
+    frontier.join(pts, Seq("price_cents", "size"))
+  }
+
   /** q465: BFS level census of the co-purchase graph from its
     * minimum part id — unweighted single-source shortest paths by
     * frontier expansion (the Pregel BFS; Malewicz et al., SIGMOD

@@ -6110,6 +6110,8 @@ object TextAnalysis {
     val cum = g
       .withColumn("cw", sum(col("c")).over(wg))
       .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+      // ten decile-bound picks read this frame — derive once
+      .cacheTracked()
     // upper bound of decile d = min len with cw*10 >= n*d
     val bounds = (1 to 10)
       .map { dd =>

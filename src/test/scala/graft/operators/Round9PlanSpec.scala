@@ -98,7 +98,9 @@ class Round9PlanSpec extends AnyFunSuite {
     "q461_conditional_medians" ->
       "distinct length value-domain cumsum (decile bounds)",
     "q462_sax_motifs" ->
-      "64-row PAA segment frame (calendar-bounded) + its quartiles"
+      "64-row PAA segment frame (calendar-bounded) + its quartiles",
+    "q469_skyline" ->
+      "distinct price_cents value-domain cummax frame"
   )
 
   test("registry sweep: no unpartitioned row-level window over an " +
