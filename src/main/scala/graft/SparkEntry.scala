@@ -1168,6 +1168,9 @@ object SparkEntry {
     "q469_skyline" -> (Relational.partSkyline _),
     // Weekend-vs-weekday difference-in-differences on event value.
     "q470_weekend_did" -> (Events.weekendDid _),
+    // Streaming 8h tumbling counts, drained then SAX-symbolized.
+    "q471_stream_sax" ->
+      ((s, d) => streaming.StreamSax.streamSaxSymbols(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -13415,6 +13418,28 @@ object SparkEntry {
              AS did_micro
          FROM a"""
     },
+    // q471: epoch-aligned 8h window counts (the stream's state),
+    // own-quartile symbols, per-symbol window and event mass.
+    "q471_stream_sax" ->
+      """WITH w AS (SELECT epoch_us(ts) // 28800000000 AS ws,
+                 count(*)::BIGINT AS s
+               FROM events GROUP BY 1),
+         g AS (SELECT s, count(*)::BIGINT AS c FROM w GROUP BY 1),
+         cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cw,
+                   (SELECT count(*) FROM w) AS n
+                 FROM g),
+         b AS (SELECT
+             (SELECT min(s) FROM cum WHERE cw * 4 >= n * 1) AS q1,
+             (SELECT min(s) FROM cum WHERE cw * 4 >= n * 2) AS q2,
+             (SELECT min(s) FROM cum WHERE cw * 4 >= n * 3) AS q3),
+         sy AS (SELECT CASE WHEN s <= q1 THEN 0
+                            WHEN s <= q2 THEN 1
+                            WHEN s <= q3 THEN 2
+                            ELSE 3 END AS sym, s
+                FROM w, b)
+         SELECT sym::BIGINT AS sym, count(*)::BIGINT AS n_windows,
+           sum(s)::BIGINT AS n_events
+         FROM sy GROUP BY 1""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

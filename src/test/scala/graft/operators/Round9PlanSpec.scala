@@ -100,7 +100,9 @@ class Round9PlanSpec extends AnyFunSuite {
     "q462_sax_motifs" ->
       "64-row PAA segment frame (calendar-bounded) + its quartiles",
     "q469_skyline" ->
-      "distinct price_cents value-domain cummax frame"
+      "distinct price_cents value-domain cummax frame",
+    "q471_stream_sax" ->
+      "drained 8h-window frame (calendar-bounded) + its quartiles"
   )
 
   test("registry sweep: no unpartitioned row-level window over an " +
