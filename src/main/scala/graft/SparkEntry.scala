@@ -1171,6 +1171,10 @@ object SparkEntry {
     // Streaming 8h tumbling counts, drained then SAX-symbolized.
     "q471_stream_sax" ->
       ((s, d) => streaming.StreamSax.streamSaxSymbols(s, d)),
+    // Position-decile skew of the top-20 tokens (chi2 vs uniform).
+    "q472_positional_skew" -> (TextAnalysis.positionalSkew _),
+    // Multi-source BFS radius per near-dup cluster (hop census).
+    "q473_cluster_radius" -> (Dedup.clusterRadiusCensus _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -13440,6 +13444,83 @@ object SparkEntry {
          SELECT sym::BIGINT AS sym, count(*)::BIGINT AS n_windows,
            sum(s)::BIGINT AS n_events
          FROM sy GROUP BY 1""",
+    // q472: 0-based positions via the list_transform index pattern;
+    // heaviest decile via (o DESC, d ASC); absent cells add n².
+    "q472_positional_skew" ->
+      s"""WITH t AS (SELECT
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
+             END AS toks
+           FROM documents),
+         occ AS (SELECT u.w AS w, (u.i * 10) // x.len AS d
+                 FROM (SELECT len(toks) AS len,
+                         unnest(list_transform(range(len(toks)),
+                           i -> {'w': toks[i+1], 'i': i})) AS u
+                       FROM t) x),
+         top AS (SELECT w, count(*)::BIGINT AS n_occ
+                 FROM occ GROUP BY 1
+                 ORDER BY n_occ DESC, w ASC LIMIT 20),
+         cells AS (SELECT occ.w, occ.d, count(*)::BIGINT AS o,
+                     any_value(top.n_occ) AS n_occ
+                   FROM occ JOIN top ON occ.w = top.w
+                   GROUP BY 1, 2),
+         hv AS (SELECT w, n_occ, d AS top_decile, o
+                FROM (SELECT *, row_number() OVER (PARTITION BY w
+                        ORDER BY o DESC, d ASC) AS rn
+                      FROM cells) x
+                WHERE rn = 1),
+         dv AS (SELECT w, max(n_occ)::BIGINT AS n_occ,
+                  sum((o * 10 - n_occ) * (o * 10 - n_occ))::BIGINT
+                    AS s_present,
+                  count(*)::BIGINT AS n_cells
+                FROM cells GROUP BY 1)
+         SELECT hv.w AS token, hv.n_occ,
+           hv.top_decile::BIGINT AS top_decile,
+           ${sqlMicroRatio("hv.o", "hv.n_occ")} AS top_decile_ppm,
+           ${sqlIdivHalfUp(
+          "100 * (dv.s_present + (10 - dv.n_cells) " +
+            "* dv.n_occ * dv.n_occ)",
+          "dv.n_occ"
+        )} AS uniform_dev_milli
+         FROM hv JOIN dv USING (w)""",
+    // q473: min-label closure gives (id, label); BFS walk seeded at
+    // the labels; per-cluster max hop; radius census.
+    "q473_cluster_radius" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                FROM d WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b
+                  ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         p AS (SELECT doc_a, doc_b FROM pr
+               WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+                 >= 0.5),
+         sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+                 UNION SELECT doc_b, doc_a FROM p),
+         nd AS (SELECT DISTINCT a AS id FROM sym),
+         reach(a, b) AS (
+           SELECT id, id FROM nd
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         lab AS (SELECT a AS id, min(b) AS label
+                 FROM reach GROUP BY 1),
+         seeds AS (SELECT DISTINCT label AS id FROM lab),
+         walk(id, lvl) AS (
+           SELECT id, 0::BIGINT FROM seeds
+           UNION
+           SELECT s.b, w.lvl + 1 FROM walk w
+           JOIN sym s ON w.id = s.a WHERE w.lvl < 20),
+         lv AS (SELECT id, min(lvl) AS lvl FROM walk GROUP BY 1),
+         r AS (SELECT lab.label, max(lv.lvl) AS radius,
+                 count(*)::BIGINT AS n_docs
+               FROM lab JOIN lv USING (id) GROUP BY 1)
+         SELECT radius::BIGINT AS radius,
+           count(*)::BIGINT AS n_clusters,
+           sum(n_docs)::BIGINT AS n_docs
+         FROM r GROUP BY 1""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -3906,6 +3906,73 @@ object Dedup {
       )
   }
 
+  /** q473: near-dup cluster radius census — multi-source BFS over
+    * the J ≥ 0.5 pair graph seeded at every cluster's canonical
+    * survivor (its minimum doc id, the q72/q78 convention), then per
+    * cluster the RADIUS = max hop distance from the survivor, rolled
+    * into (radius → clusters, docs). Radius 1 means every member
+    * touches the canonical directly (safe closure); radius ≥ 3 means
+    * members that survive only through CHAINS of middlemen — the
+    * per-cluster hop-resolved version of what q208 (wedge closure)
+    * and q459 (percolation) measure globally, and the direct
+    * evidence for capping closure depth at 100 TB.
+    *
+    * Scale: one multi-source BFS — ALL clusters expand in the same
+    * frontier joins (rounds bounded by the max radius, capped at
+    * 20), against the collision-linear pair artifact. No per-cluster
+    * work, no collect beyond the per-round emptiness scalar.
+    */
+  def clusterRadiusCensus(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .cacheTracked()
+    val sym = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cacheTracked()
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val labels = ConnectedComponents
+      .run(nodes, pairs.select(col("doc_a").as("src"),
+        col("doc_b").as("dst")))
+      .cacheTracked()
+    // seeds: each cluster's min id IS its label (min-label CC)
+    var levels = labels
+      .select(col("label").as("id"))
+      .distinct()
+      .select(col("id"), lit(0L).as("lvl"))
+      .localCheckpoint(true)
+    var frontier = levels
+    var lvl = 1L
+    var done = false
+    while (lvl <= 20L && !done) {
+      val next = frontier
+        .join(sym, frontier("id") === sym("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(levels, Seq("id"), "left_anti")
+        .select(col("id"), lit(lvl).as("lvl"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        levels = levels.unionByName(next).localCheckpoint(true)
+        frontier = next
+        lvl += 1
+      }
+    }
+    val radii = labels
+      .join(levels, Seq("id"))
+      .groupBy(col("label"))
+      .agg(max(col("lvl")).as("radius"), count(lit(1)).as("n_docs"))
+    radii
+      .groupBy(col("radius"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("n_docs")).as("n_docs")
+      )
+  }
+
   /** q459: percolation curve of the near-dup graph — for Jaccard
     * thresholds 0.3 / 0.5 / 0.7, the connected-component census of
     * the pair graph: participating nodes, edges, components, the

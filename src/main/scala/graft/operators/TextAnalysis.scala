@@ -6231,6 +6231,91 @@ object TextAnalysis {
       )
   }
 
+  /** q472: positional skew of head tokens — for the top-20 tokens by
+    * occurrence count, how their occurrences distribute across the
+    * ten WITHIN-DOCUMENT position deciles (decile = 10·idx DIV len),
+    * emitted as the occurrence count, the heaviest decile and its
+    * share, and the exact integer chi-square statistic vs uniform in
+    * half-up milli (Σ(10·o_d − n)²/(10n), absent cells contributing
+    * n² to the sum — overflow-safe past 10⁶ occurrences per token).
+    * Function words spread flat;
+    * template/boilerplate tokens pile into the first or last decile
+    * — this is the positional evidence behind the q364
+    * boilerplate-prefix and q389 template-span findings, per token.
+    *
+    * Scale: one tokenize scan with `posexplode` (narrow), one
+    * (token, decile) aggregate; the top-20 head set comes from a
+    * TakeOrdered (per-partition heaps) and broadcasts. The decile
+    * frame per token is 10 cells — bounded.
+    */
+  def positionalSkew(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idivHalfUp, microRatio}
+    val withLen = Tables
+      .documents(spark, dir)
+      .select(
+        posexplode(tokens(col("text"))).as(Seq("i", "w")),
+        size(tokens(col("text"))).as("len")
+      )
+      .select(
+        col("w"),
+        (col("i").cast("long") * 10L / col("len")).cast("long")
+          .as("d")
+      )
+      .cacheTracked()
+    val top = withLen
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("w").asc)
+      .limit(20)
+    val cells = withLen
+      .join(broadcast(top), Seq("w"))
+      .groupBy(col("w"), col("d"))
+      .agg(count(lit(1)).as("o"), max(col("n_occ")).as("n_occ"))
+      .cacheTracked()
+    val heaviest = cells
+      .groupBy(col("w"))
+      .agg(
+        max(col("n_occ")).as("n_occ"),
+        max(struct(col("o").as("o"), (-col("d")).as("nd"))).as("hv")
+      )
+      .select(
+        col("w"),
+        col("n_occ"),
+        (-col("hv.nd")).as("top_decile"),
+        microRatio(col("hv.o"), col("n_occ")).as("top_decile_ppm")
+      )
+    // chi-square vs uniform: S = sum over the 10 deciles of
+    // (10*o_d - n)^2, absent cells contributing n^2; the statistic
+    // is S / (10n), emitted in exact half-up milli = 100*S / n
+    val dev = cells
+      .groupBy(col("w"))
+      .agg(
+        max(col("n_occ")).as("n_occ"),
+        sum((col("o") * 10L - col("n_occ")) *
+          (col("o") * 10L - col("n_occ"))).as("s_present"),
+        count(lit(1)).as("n_cells")
+      )
+      .select(
+        col("w"),
+        idivHalfUp(
+          lit(100L) *
+            (col("s_present") +
+              (lit(10L) - col("n_cells")) * col("n_occ") *
+              col("n_occ")),
+          col("n_occ")
+        ).as("uniform_dev_milli")
+      )
+    heaviest
+      .join(dev, Seq("w"))
+      .select(
+        col("w").as("token"),
+        col("n_occ"),
+        col("top_decile"),
+        col("top_decile_ppm"),
+        col("uniform_dev_milli")
+      )
+  }
+
   /** q466: lexical islands — connected components of the bigram
     * co-occurrence graph restricted to pairs seen ≥ 3 times
     * (occurrence-counted, unlike q434's distinct adjacency), as the
