@@ -1224,33 +1224,109 @@ object ScaleBench {
       .repartition(cpus.toInt)
       .localCheckpoint(true)
     val tTri = System.nanoTime()
-    val gDeg = graphEdges
-      .select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy(col("n"))
-      .agg(count(lit(1)).as("deg"))
-    val gToV = (col("du") < col("dv")) ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val gOriented = graphEdges
-      .join(gDeg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
-      .join(gDeg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
-      .select(
-        when(gToV, col("u")).otherwise(col("v")).as("src"),
-        when(gToV, col("v")).otherwise(col("u")).as("dst")
-      )
-    val gW1 = gOriented.select(col("src"), col("dst").as("x"))
-    val gW2 = gOriented.select(col("src"), col("dst").as("y"))
-    val triCount = gW1
-      .join(gW2, Seq("src"))
-      .filter(col("x") < col("y"))
-      .join(
-        graphEdges,
-        col("x") === graphEdges("u") && col("y") === graphEdges("v"),
-        "left_semi"
-      )
+    // the seam engine itself (q445/q460/q474 all ride it) — the
+    // degree orientation + one-hash-join closure live in
+    // CoPurchaseGraph.triangles
+    val triCount = graft.operators.CoPurchaseGraph
+      .triangles(graphEdges)
       .count()
     val triSec = (System.nanoTime() - tTri) / 1e9
     require(triCount == triT,
       s"triangle census: got $triCount want $triT")
+
+    // --- bounded truss peel at ~1.2M edges (q474) ----------------------
+    // the triangle row's hub-adversarial graph (T disjoint triangles →
+    // every edge support 1, peeled in round 1 as one 900k-edge
+    // frontier; S hub spokes → support 0, class 2) plus Q disjoint
+    // 4-cliques (every edge support 2 → the surviving bounded
+    // 4-truss). Exercises both peel mechanisms at width: the
+    // support-aggregate over 300k live triangles and the
+    // frontier-kill anti-joins at 900k frontier rows.
+    val clique4Q = 50000L
+    val c4Base = hubId + spokeS + 1
+    val clique4Edges = spark
+      .range(clique4Q)
+      .select(
+        explode(
+          array(
+            (for {
+              i <- 0 to 3
+              j <- (i + 1) to 3
+            } yield struct(
+              (col("id") * 4 + c4Base + i).as("u"),
+              (col("id") * 4 + c4Base + j).as("v")
+            )): _*
+          )
+        ).as("e")
+      )
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val trussEdges = graphEdges
+      .unionByName(clique4Edges)
+      .localCheckpoint(true)
+    val tTruss = System.nanoTime()
+    val trussHist = graft.operators.CoPurchaseGraph
+      .boundedTrussClasses(spark, trussEdges, peelRounds = 4)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val trussSec = (System.nanoTime() - tTruss) / 1e9
+    require(
+      trussHist == Map(
+        2L -> spokeS,
+        3L -> triT * 3,
+        4L -> clique4Q * 6
+      ),
+      s"truss census: got $trussHist"
+    )
+
+    // --- BFS levels on a 1M-spoke hub + 4096-chain (q465) --------------
+    // seed 0 — hub 1 (1M spokes at level 2, the hub-adversarial
+    // frontier: ONE round emits a million-node frontier) — plus a
+    // 4096-node chain hanging off the seed, far past the 20-hop cap,
+    // so the cap must exit with the chain tail unreached at −1. The
+    // per-round cost after the hub round is one frontier join (2
+    // rows) + one anti-join against the ~1M-row visited set — the
+    // visited-set probe, not the frontier, is the per-round floor;
+    // measured as (t20 − t8)/12 over the 12 extra chain rounds.
+    val bfsSpokes = 1000000L
+    val bfsChainN = 4096L
+    val chainBase = 2L + bfsSpokes
+    val bfsEdges = spark
+      .range(1)
+      .select(lit(0L).as("u"), lit(1L).as("v"))
+      .unionByName(
+        spark.range(bfsSpokes).select(lit(1L).as("u"), (col("id") + 2L).as("v")))
+      .unionByName(
+        spark.range(1).select(lit(0L).as("u"), lit(chainBase).as("v")))
+      .unionByName(
+        spark
+          .range(chainBase, chainBase + bfsChainN - 1)
+          .select(col("id").as("u"), (col("id") + 1L).as("v")))
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val bfsSym = graft.operators.CoPurchaseGraph
+      .symmetric(bfsEdges)
+      .localCheckpoint(true)
+    val tBfs8 = System.nanoTime()
+    graft.operators.CoPurchaseGraph
+      .bfsLevelHistogram(spark, bfsSym, seed = 0L, maxHops = 8)
+      .count()
+    val bfs8Sec = (System.nanoTime() - tBfs8) / 1e9
+    val tBfs = System.nanoTime()
+    val bfsHist = graft.operators.CoPurchaseGraph
+      .bfsLevelHistogram(spark, bfsSym, seed = 0L, maxHops = 20)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val bfsSec = (System.nanoTime() - tBfs) / 1e9
+    val bfsRoundSec = (bfsSec - bfs8Sec) / 12.0
+    require(
+      bfsHist(0L) == 1L && bfsHist(1L) == 2L &&
+        bfsHist(2L) == bfsSpokes + 1L &&
+        (3L to 20L).forall(bfsHist(_) == 1L) &&
+        bfsHist(-1L) == bfsChainN - 20L,
+      s"bfs levels: got $bfsHist"
+    )
 
     // --- Hilbert curve index at 10M points (q452 topology) ------------
     // full-coverage pass over the 1024×1024 grid ~9.5×; the index is
@@ -1337,6 +1413,12 @@ object ScaleBench {
         s""""ledger_sec":$ledSec,""" +
         s""""triangle_edges":${triT * 3 + spokeS},""" +
         s""""triangles":$triCount,"triangle_sec":$triSec,""" +
+        s""""truss_edges":${triT * 3 + spokeS + clique4Q * 6},""" +
+        s""""truss_c2":${trussHist(2L)},"truss_c3":${trussHist(3L)},""" +
+        s""""truss_c4":${trussHist(4L)},"truss_sec":$trussSec,""" +
+        s""""bfs_nodes":${2L + bfsSpokes + bfsChainN},""" +
+        s""""bfs_unreached":${bfsHist(-1L)},"bfs_sec":$bfsSec,""" +
+        s""""bfs_round_sec":$bfsRoundSec,""" +
         s""""hilbert_points":$hilN,"hilbert_sec":$hilSec,""" +
         s""""hilbert_points_per_sec":${(hilN / hilSec).round}}"""
     )

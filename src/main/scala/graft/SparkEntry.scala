@@ -1175,6 +1175,16 @@ object SparkEntry {
     "q472_positional_skew" -> (TextAnalysis.positionalSkew _),
     // Multi-source BFS radius per near-dup cluster (hop census).
     "q473_cluster_radius" -> (Dedup.clusterRadiusCensus _),
+    // Bounded k-truss peel classes over the co-purchase graph.
+    "q474_truss_classes" -> (Relational.trussClassCensus _),
+    // Label-propagation communities (3 sync rounds, min tie-break).
+    "q475_lp_communities" -> (Communities.lpCommunities _),
+    // Grid-bucketed DBSCAN on embedding dims 1-2 (eps 2^-6, minPts 4).
+    "q476_dbscan_grid" -> (Communities.dbscanGrid _),
+    // Integer HITS (4 rounds) over the directed copy-flow graph.
+    "q477_hits_copyflow" -> (Communities.hitsCopyFlow _),
+    // Newman modularity of the q475 LP partition, exact micro units.
+    "q478_lp_modularity" -> (Communities.lpModularity _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -1590,6 +1600,112 @@ object SparkEntry {
          FROM $prev LEFT JOIN b$r b ON true)""")
     }
     sb.toString
+  }
+
+  /** Chained CTEs for q474's bounded truss peel: e0 = the canonical
+    * co-purchase edge set, e1 = the 3-truss (one exact round — a
+    * support-0 edge is in no triangle, so its removal cascades
+    * nothing), then `rounds` peel-below-2 rounds e2..e{rounds+1},
+    * each recomputing support on the previous round's survivors —
+    * the same rounds Spark's boundedTrussClasses runs, so the capped
+    * results agree even where the cap binds. AS MATERIALIZED is
+    * load-bearing (the bpeCtes lesson): each round references its
+    * predecessor three times in the triangle join and the final
+    * census reads three edge sets via scalar subqueries — inlined,
+    * the prefix would re-evaluate exponentially.
+    */
+  private def trussPeelCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+         FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         FROM op a JOIN op b USING (l_orderkey)
+         WHERE a.l_partkey < b.l_partkey)""")
+    for (r <- 0 to rounds) {
+      val thr = if (r == 0) 1 else 2
+      sb.append(s""",
+       t$r AS MATERIALIZED (
+         SELECT x1.u AS a, x1.v AS b, x2.v AS c
+         FROM e$r x1 JOIN e$r x2 ON x1.v = x2.u
+         JOIN e$r x3 ON x3.u = x1.u AND x3.v = x2.v),
+       e${r + 1} AS MATERIALIZED (
+         SELECT u, v FROM
+           (SELECT u, v, count(*) AS s FROM
+             (SELECT a AS u, b AS v FROM t$r
+              UNION ALL SELECT a, c FROM t$r
+              UNION ALL SELECT b, c FROM t$r) z
+            GROUP BY 1, 2) g
+         WHERE s >= $thr)""")
+    }
+    sb.toString
+  }
+
+  /** The J ≥ 0.5 near-dup pair graph as `p (doc_a, doc_b)` — the
+    * shared oracle prefix of the q475/q477/q478 community family
+    * (same derivation as the q473 oracle). MATERIALIZED because the
+    * LP/HITS round CTEs reference it repeatedly.
+    */
+  private def nearDupPairCtes: String =
+    s"""$shinglesCte,
+       e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+              FROM d WHERE len(sh) > 0),
+       pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                count(*) AS inter,
+                any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+              FROM e0 a JOIN e0 b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+       p AS MATERIALIZED (SELECT doc_a, doc_b FROM pr
+            WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
+              >= 0.5)"""
+
+  /** q475/q478's LP chain: l0 = own labels over the symmetrized pair
+    * graph, then three synchronous rounds, each node adopting its
+    * neighbors' most frequent label with (count DESC, label ASC)
+    * tie-break — the identical rounds Communities.lpLabelsFrom runs.
+    */
+  private def lpChainCtes: String = {
+    val rounds = (1 to 3)
+      .map { r =>
+        s"""r$r AS (SELECT s.a, l.lab, count(*) AS c
+         FROM sym s JOIN l${r - 1} l ON s.b = l.id GROUP BY 1, 2),
+       l$r AS MATERIALIZED (SELECT a AS id, lab FROM
+         (SELECT a, lab, row_number() OVER (PARTITION BY a
+            ORDER BY c DESC, lab ASC) AS rn FROM r$r) t
+         WHERE rn = 1)"""
+      }
+      .mkString(",\n       ")
+    s"""$nearDupPairCtes,
+       sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+       l0 AS (SELECT DISTINCT a AS id, a AS lab FROM sym),
+       $rounds"""
+  }
+
+  /** q477's integer HITS rounds: h0 = 1, then four alternating
+    * a ← Aᵀh / h ← A·a exact-integer half-rounds over the directed
+    * pair graph, zero-filled via the node left joins — the identical
+    * recurrence Communities.hitsCopyFlow runs.
+    */
+  private def hitsCtes: String = {
+    val rounds = (1 to 4)
+      .map { r =>
+        s"""a$r AS MATERIALIZED (SELECT n.id, coalesce(t.s, 0)::BIGINT AS s
+         FROM n LEFT JOIN (SELECT p.doc_b AS id, sum(h.s)::BIGINT AS s
+           FROM p JOIN h${r - 1} h ON p.doc_a = h.id GROUP BY 1) t
+         ON n.id = t.id),
+       h$r AS MATERIALIZED (SELECT n.id, coalesce(t.s, 0)::BIGINT AS s
+         FROM n LEFT JOIN (SELECT p.doc_a AS id, sum(a.s)::BIGINT AS s
+           FROM p JOIN a$r a ON p.doc_b = a.id GROUP BY 1) t
+         ON n.id = t.id)"""
+      }
+      .mkString(",\n       ")
+    s"""$nearDupPairCtes,
+       n AS MATERIALIZED (SELECT DISTINCT id FROM
+         (SELECT doc_a AS id FROM p UNION ALL SELECT doc_b FROM p) t),
+       h0 AS (SELECT id, 1::BIGINT AS s FROM n),
+       $rounds"""
   }
 
   private def cosSql(a: String, b: String): String =
@@ -2304,8 +2420,9 @@ object SparkEntry {
          count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY 1""",
     "q12_mktsegment_share" ->
-      """SELECT c_mktsegment, n, round(n * 100.0 / sum(n) OVER (), 1) AS pct
-         FROM (SELECT c_mktsegment, count(*) AS n
+      s"""SELECT c_mktsegment, n,
+         ${sqlMicroRatio("n", "sum(n) OVER ()")} AS share_ppm
+         FROM (SELECT c_mktsegment, count(*)::BIGINT AS n
                FROM customer GROUP BY c_mktsegment) t""",
     "q13_clean_text" ->
       """SELECT doc_id, clean,
@@ -2315,17 +2432,18 @@ object SparkEntry {
                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean
                FROM documents) t""",
     "q14_token_stats" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(len(regexp_extract_all(lower(text),
-           '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens_bpe,
+           '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
          CAST(length(text) AS BIGINT) AS n_chars_raw,
-         round(CASE WHEN len(toks) = 0 THEN 0.0
-               ELSE list_sum(list_transform(toks, w -> length(w)))::DOUBLE
-                    / len(toks) END, 4) AS avg_token_len
+         CASE WHEN len(toks) = 0 THEN 0::BIGINT
+              ELSE ${sqlIdivHalfUp(
+          "list_sum(list_transform(toks, w -> length(w))) * 1000",
+          "len(toks)")} END AS avg_token_len_milli
          FROM (SELECT doc_id, text,
                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
                FROM documents) t""",
     "q15_quality_score" ->
       """SELECT doc_id,
@@ -2402,28 +2520,17 @@ object SparkEntry {
            lang AS output
          FROM base WHERE lang <> 'en'""",
     "q19_lang_stats" ->
-      """WITH per_doc AS (
-           SELECT lang,
-             CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_toks,
-             round(0.5 * least(n_toks / 200.0, 1.0)
-                 + 0.4 * least(CASE WHEN n_toks = 0 THEN 0.0
-                     ELSE len(list_filter(
-                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                            ELSE regexp_split_to_array(trim(text), '\s+') END,
-                       w -> w IN ('the','a','an','and','or','of','to','in','is','it')
-                       ))::DOUBLE / n_toks END * 5.0, 1.0)
-                 + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-                     ELSE (length(text) - length(translate(text, '.,!?;:', '')))::DOUBLE
-                          / length(text) END * 10.0, 1.0)), 6) AS quality
-           FROM documents),
+      s"""WITH $qMicroCte,
          per_lang AS (
-           SELECT lang, count(*) AS n_docs,
-             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-             round(avg(quality), 6) AS avg_quality
-           FROM per_doc GROUP BY lang)
-         SELECT lang, n_docs, n_tokens, avg_quality,
-           round(n_docs * 100.0 / sum(n_docs) OVER (), 1) AS pct
+           SELECT d.lang, count(*)::BIGINT AS n_docs,
+             CAST(sum(CASE WHEN length(trim(d.text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END)
+               AS BIGINT) AS n_tokens,
+             ${sqlIdivHalfUp("sum(qm.q_micro)", "count(*)")}
+               AS avg_quality_micro
+           FROM documents d JOIN qm USING (doc_id) GROUP BY 1)
+         SELECT lang, n_docs, n_tokens, avg_quality_micro,
+           ${sqlMicroRatio("n_docs", "sum(n_docs) OVER ()")} AS share_ppm
          FROM per_lang""",
     "q20_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS survivor_id,
@@ -2510,11 +2617,11 @@ object SparkEntry {
          SELECT doc_id, $bits AS simhash FROM v"""
     },
     "q39_pipeline_e2e" ->
-      """WITH per_doc AS (
+      s"""WITH per_doc AS (
            SELECT doc_id, text, lang, n_chars,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
-             trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+             trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean
            FROM documents),
          scored AS (
            SELECT doc_id, text, lang, n_chars, toks, clean,
@@ -2539,9 +2646,11 @@ object SparkEntry {
            SELECT doc_id, quality, 'summarize' FROM deduped WHERE n_chars > 250
            UNION ALL
            SELECT doc_id, quality, 'lang_verify' FROM deduped WHERE lang <> 'en')
-         SELECT task_type, count(*) AS n_examples,
-           count(DISTINCT doc_id) AS n_docs,
-           round(avg(quality), 6) AS avg_quality
+         SELECT task_type, count(*)::BIGINT AS n_examples,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           ${sqlIdivHalfUp(
+          "sum(CAST(round(quality * 1000000) AS BIGINT))",
+          "count(*)")} AS avg_quality_micro
          FROM tasks GROUP BY task_type""",
     "q40_range_join" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -3095,17 +3204,17 @@ object SparkEntry {
          FROM dims"""
     },
     "q66_bpe_tokens" ->
-      """SELECT doc_id, n_bpe_tokens,
+      s"""SELECT doc_id, n_bpe_tokens,
          CAST(len(toks) AS BIGINT) AS n_ws_tokens,
-         round(CASE WHEN len(toks) = 0 THEN 0.0
-                    ELSE n_bpe_tokens::DOUBLE / len(toks) END, 6)
-           AS bpe_per_ws
+         CASE WHEN len(toks) = 0 THEN 0::BIGINT
+              ELSE ${sqlIdivHalfUp("n_bpe_tokens * 1000", "len(toks)")}
+              END AS bpe_per_ws_milli
          FROM (SELECT doc_id,
                  CAST(len(regexp_extract_all(text,
-                   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                   '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
                    AS BIGINT) AS n_bpe_tokens,
                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                      ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
                FROM documents) a""",
     "q67_lag_lead" ->
       """SELECT event_id, user_id,
@@ -3342,10 +3451,10 @@ object SparkEntry {
            '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS BIGINT) AS n_phones
          FROM documents""",
     "q60_repetition" ->
-      """WITH t AS (
+      s"""WITH t AS (
            SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
            FROM documents),
          b AS (
            SELECT doc_id, toks,
@@ -3355,15 +3464,17 @@ object SparkEntry {
          fr AS (
            SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_tokens,
-             round(CASE WHEN len(toks) = 0 THEN 0.0
-                   ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
-                   END, 6) AS dup_token_frac,
-             round(CASE WHEN len(bg) = 0 THEN 0.0
-                   ELSE 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
-                   END, 6) AS dup_bigram_frac
+             CASE WHEN len(toks) = 0 THEN 0::BIGINT
+               ELSE ${sqlMicroRatio(
+          "len(toks) - len(list_distinct(toks))", "len(toks)")}
+               END AS dup_token_ppm,
+             CASE WHEN len(bg) = 0 THEN 0::BIGINT
+               ELSE ${sqlMicroRatio(
+          "len(bg) - len(list_distinct(bg))", "len(bg)")}
+               END AS dup_bigram_ppm
            FROM b)
          SELECT fr.*,
-           dup_token_frac <= 0.7 AND dup_bigram_frac <= 0.5 AS keep
+           dup_token_ppm <= 700000 AND dup_bigram_ppm <= 500000 AS keep
          FROM fr""",
     "q58_kmv_distinct" ->
       """WITH h AS (
@@ -3766,10 +3877,11 @@ object SparkEntry {
              ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
            FROM documents)
        SELECT cw.doc_id,
-         count(*) AS n_words,
+         count(*)::BIGINT AS n_words,
          CAST(sum(vocab.n_pieces) AS BIGINT) AS n_subwords,
-         round(sum(length(cw.w))::DOUBLE / sum(vocab.n_pieces), 6)
-           AS chars_per_subword
+         (((2*(sum(length(cw.w)) * 1000) + (sum(vocab.n_pieces)))
+           // (2*(sum(vocab.n_pieces))))::BIGINT)
+           AS chars_per_subword_milli
        FROM cw JOIN vocab USING (w)
        GROUP BY 1"""),
     // q128: the four per-subspace codebooks replayed exactly like
@@ -3893,7 +4005,7 @@ object SparkEntry {
          GROUP BY lang""",
     // q81: bucket arithmetic on the 6-rounded quality score.
     "q81_quality_histogram" ->
-      """WITH qq AS (SELECT
+      s"""WITH qq AS (SELECT
                   round(0.5 * least(n_toks / 200.0, 1.0)
                       + 0.4 * least(stop_raw * 5.0, 1.0)
                       + 0.1 * (1.0 - least(punct_frac * 10.0, 1.0)), 6) AS q
@@ -3909,12 +4021,12 @@ object SparkEntry {
                                   / length(text) END AS punct_frac
                       FROM (SELECT doc_id, text,
                               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                                   ELSE regexp_split_to_array(trim(text), '\s+')
+                                   ELSE regexp_split_to_array(trim(text), '\\s+')
                               END AS toks
                             FROM documents) a) b)
-         SELECT bucket, count(*) AS n_docs,
-           round(bucket / 20.0, 2) AS bucket_lo,
-           round((bucket + 1) / 20.0, 2) AS bucket_hi
+         SELECT bucket, count(*)::BIGINT AS n_docs,
+           (bucket * 5)::BIGINT AS bucket_lo_centi,
+           ((bucket + 1) * 5)::BIGINT AS bucket_hi_centi
          FROM (SELECT least(greatest(CAST(floor(q * 20) AS INTEGER), 0), 19)
                  AS bucket FROM qq) x
          GROUP BY bucket""",
@@ -4259,8 +4371,8 @@ object SparkEntry {
     // q136: identical non-overlapping 10-token segmentation, md5-
     // prefix hash60 segment key, keep-first = min (doc_id, seg_idx).
     "q136_segment_dedup" ->
-      """WITH d AS (SELECT doc_id,
-             regexp_split_to_array(trim(text), '\s+') AS toks
+      s"""WITH d AS (SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
            FROM documents WHERE length(trim(text)) > 0),
          x AS (SELECT doc_id, toks,
                  unnest(range(CAST(ceil(len(toks) / 10.0) AS INT)))
@@ -4275,10 +4387,10 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY seg_key
                    ORDER BY doc_id, seg_idx) AS rn
                FROM segs)
-         SELECT doc_id, count(*) AS n_segs,
+         SELECT doc_id, count(*)::BIGINT AS n_segs,
            CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
-           round(count(*) FILTER (rn = 1)::DOUBLE / count(*), 6)
-             AS frac_kept
+           ${sqlMicroRatio("count(*) FILTER (rn = 1)", "count(*)")}
+             AS kept_ppm
          FROM f GROUP BY doc_id""",
     // q140: identical positional 3-gram hash60, w=4 window minima
     // over valid starts, distinct per-doc fingerprints, pair overlap.
@@ -4403,19 +4515,21 @@ object SparkEntry {
              ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
            FROM documents)
        SELECT cw.lang,
-         count(*) AS n_words,
+         count(*)::BIGINT AS n_words,
          CAST(sum(vocab.n_pieces) AS BIGINT) AS n_subwords,
-         round(sum(vocab.n_pieces)::DOUBLE / count(*), 6) AS fertility,
-         round(sum(length(cw.w))::DOUBLE / sum(vocab.n_pieces), 6)
-           AS chars_per_subword
+         (((2*(sum(vocab.n_pieces) * 1000) + (count(*)))
+           // (2*(count(*))))::BIGINT) AS fertility_milli,
+         (((2*(sum(length(cw.w)) * 1000) + (sum(vocab.n_pieces)))
+           // (2*(sum(vocab.n_pieces))))::BIGINT)
+           AS chars_per_subword_milli
        FROM cw JOIN vocab USING (w)
        GROUP BY 1"""),
     // q147: same n-gram construction per n; counts are exact ints,
     // only the ratio is rounded.
     "q147_corpus_diversity" ->
-      """WITH t AS (SELECT
+      s"""WITH t AS (SELECT
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
            FROM documents),
          g1 AS (SELECT unnest(toks) AS g FROM t),
          g2 AS (SELECT unnest(list_transform(range(len(toks) - 1),
@@ -4425,16 +4539,17 @@ object SparkEntry {
                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
                   AS g
                 FROM t WHERE len(toks) >= 3)
-         SELECT 1 AS n, count(*) AS n_grams,
-           count(DISTINCT g) AS n_distinct,
-           round(count(DISTINCT g)::DOUBLE / count(*), 6) AS distinct_ratio
+         SELECT 1 AS n, count(*)::BIGINT AS n_grams,
+           count(DISTINCT g)::BIGINT AS n_distinct,
+           ${sqlMicroRatio("count(DISTINCT g)", "count(*)")}
+             AS distinct_ppm
          FROM g1
          UNION ALL
-         SELECT 2, count(*), count(DISTINCT g),
-           round(count(DISTINCT g)::DOUBLE / count(*), 6) FROM g2
+         SELECT 2, count(*)::BIGINT, count(DISTINCT g)::BIGINT,
+           ${sqlMicroRatio("count(DISTINCT g)", "count(*)")} FROM g2
          UNION ALL
-         SELECT 3, count(*), count(DISTINCT g),
-           round(count(DISTINCT g)::DOUBLE / count(*), 6) FROM g3""",
+         SELECT 3, count(*)::BIGINT, count(DISTINCT g)::BIGINT,
+           ${sqlMicroRatio("count(DISTINCT g)", "count(*)")} FROM g3""",
     // q148: identical top-k vocab, rank order, and the SAME
     // closed-form sum formula (no engine regr_* implementation).
     "q148_zipf_fit" ->
@@ -4596,17 +4711,18 @@ object SparkEntry {
     // q157: the q148 (freq DESC, word ASC) top-V rank convention;
     // occurrence-weighted coverage per language.
     "q157_vocab_coverage" ->
-      """WITH toks AS (SELECT lang, unnest(
+      s"""WITH toks AS (SELECT lang, unnest(
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
            FROM documents),
          v AS (SELECT w FROM (SELECT w, count(*) AS freq FROM toks
                  GROUP BY 1 ORDER BY freq DESC, w ASC LIMIT 1000) x)
          SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
              AS BIGINT) AS n_covered,
-           round(1.0 - sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
-             ::DOUBLE / count(*), 6) AS oov_rate
+           ${sqlMicroRatio(
+          "count(*) - sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)",
+          "count(*)")} AS oov_ppm
          FROM toks LEFT JOIN v ON toks.w = v.w
          GROUP BY lang""",
     // q158: three lag() calls over the (user, ts, event_id) window;
@@ -4773,7 +4889,9 @@ object SparkEntry {
                FROM p WHERE inter::DOUBLE / n_src >= 0.5)
          SELECT da.source AS source_a, db.source AS source_b,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(avg(containment), 6) AS avg_containment,
+           ${sqlIdivHalfUp(
+          "sum(CAST(round(containment * 1000000) AS BIGINT))",
+          "count(*)")} AS avg_containment_micro,
            CAST(sum(CASE WHEN contained THEN 1 ELSE 0 END) AS BIGINT)
              AS n_contained
          FROM c JOIN documents da ON c.doc_a = da.doc_id
@@ -4826,10 +4944,10 @@ object SparkEntry {
     // rarest terms (df ASC, term ASC — the same rank both engines),
     // self included; rr = 1/rank within the top-10, else 0.
     "q170_self_retrieval" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
            SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
                THEN []::VARCHAR[]
-               ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
+               ELSE regexp_split_to_array(trim(text), '\\s+') END) AS term
            FROM documents),
          tf AS MATERIALIZED (
            SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -4839,7 +4957,7 @@ object SparkEntry {
          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          qall AS (SELECT doc_id AS q_id, unnest(list_distinct(
                  CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                      ELSE regexp_split_to_array(trim(text), '\s+')
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
                  END)) AS term
                FROM documents WHERE doc_id % 250 = 0),
          q AS (SELECT q_id, term FROM (
@@ -4868,19 +4986,22 @@ object SparkEntry {
          qd AS (SELECT DISTINCT q_id FROM q)
          SELECT qd.q_id,
            CAST(coalesce(self.rank, 0) AS INTEGER) AS self_rank,
-           round(CASE WHEN self.rank IS NOT NULL
-                      THEN 1.0 / self.rank ELSE 0.0 END, 6) AS rr
+           CASE WHEN self.rank IS NOT NULL
+                THEN ${sqlIdivHalfUp("1000000", "self.rank")}
+                ELSE 0::BIGINT END AS rr_micro
          FROM qd LEFT JOIN self USING (q_id)""",
     // q171: per-key count profile of the join column; the self-join
     // cardinality is the exact sum of squared counts.
     "q171_join_profile" ->
-      """WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem
+      s"""WITH c AS (SELECT l_partkey, count(*) AS c FROM lineitem
                     GROUP BY 1)
          SELECT CAST(count(*) AS BIGINT) AS n_keys,
            CAST(sum(c) AS BIGINT) AS n_rows,
            CAST(max(c) AS BIGINT) AS max_per_key,
-           round(avg(c), 6) AS avg_per_key,
-           round(max(c) / avg(c), 6) AS skew_factor,
+           ${sqlIdivHalfUp("sum(c) * 1000", "count(*)")}
+             AS avg_per_key_milli,
+           ${sqlIdivHalfUp("max(c) * count(*) * 1000", "sum(c)")}
+             AS skew_factor_milli,
            CAST(sum(c * c) AS BIGINT) AS est_selfjoin_rows
          FROM c""",
     // q172: the q72 closure labels hashed by cluster_id with the q49
@@ -5004,8 +5125,9 @@ object SparkEntry {
          SELECT d2.source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN lab.doc_id = lab.cluster_id
              THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
-           round(1.0 - sum(CASE WHEN lab.doc_id = lab.cluster_id
-             THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS redundancy
+           ${sqlMicroRatio(
+          "count(*) - sum(CASE WHEN lab.doc_id = lab.cluster_id THEN 1 ELSE 0 END)",
+          "count(*)")} AS redundancy_ppm
          FROM lab JOIN documents d2 USING (doc_id)
          GROUP BY 1""",
     // q180: the full 6-round GD replay as chained CTEs — identical
@@ -5238,10 +5360,10 @@ object SparkEntry {
     // q186: same hash-cut boundary rule, running-count chunk ids,
     // md5 chunk keys; keep-first = row_number on (doc_id, start).
     "q186_cdc_chunks" ->
-      """WITH tk AS (SELECT doc_id, toks FROM (
+      s"""WITH tk AS (SELECT doc_id, toks FROM (
              SELECT doc_id,
                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
              FROM documents) t WHERE len(toks) >= 1),
          p AS (SELECT doc_id, CAST(s.i AS INTEGER) AS pos,
                  toks[s.i + 1] AS w,
@@ -5261,12 +5383,13 @@ object SparkEntry {
                FROM ch GROUP BY 1, 2),
          wn AS (SELECT c.*, row_number() OVER (PARTITION BY ckey
                   ORDER BY doc_id, chunk_start) AS rn FROM c)
-         SELECT doc_id, count(*) AS n_chunks,
+         SELECT doc_id, count(*)::BIGINT AS n_chunks,
            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dup_chunks,
            CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-           round(sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END)::DOUBLE
-             / sum(n_toks), 6) AS dup_token_frac
+           ${sqlMicroRatio(
+          "sum(CASE WHEN rn > 1 THEN n_toks ELSE 0 END)",
+          "sum(n_toks)")} AS dup_token_ppm
          FROM wn GROUP BY 1""",
     // q187: q21's pair chain + a range fan-out on the same
     // floor(jaccard/0.05) arithmetic; dup docs = distinct larger ids.
@@ -5291,10 +5414,10 @@ object SparkEntry {
                  count(DISTINCT doc_b) AS n_dup_docs
                FROM sw GROUP BY 1),
          tot AS (SELECT count(*) AS n_docs FROM documents)
-         SELECT round(k * 0.05::DOUBLE, 2) AS threshold, n_pairs,
-           n_dup_docs,
-           round(1.0 - n_dup_docs::DOUBLE / tot.n_docs, 6)
-             AS retention_frac
+         SELECT (k * 5)::BIGINT AS threshold_pct, n_pairs::BIGINT AS n_pairs,
+           n_dup_docs::BIGINT AS n_dup_docs,
+           ${sqlMicroRatio("tot.n_docs - n_dup_docs", "tot.n_docs")}
+             AS retention_ppm
          FROM g, tot""",
     // q188: identical global positions (per-doc offsets + in-doc
     // index) and pure-integer decile bounds (N·d // 10) — the hashed
@@ -5480,9 +5603,9 @@ object SparkEntry {
     // q195: per-doc n-gram repetition battery — the keep predicate
     // compares the SAME 6-rounded values both engines emit.
     "q195_repetition_stats" ->
-      """WITH d AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
            FROM documents),
          base AS (SELECT doc_id, len(t) AS n_tokens,
                     len(list_distinct(t)) AS n_distinct FROM d),
@@ -5499,28 +5622,31 @@ object SparkEntry {
                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS tri_dup
                   FROM tri GROUP BY 1),
          r AS (SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
-                 round(CASE WHEN b.n_tokens = 0 THEN 0.0
-                   ELSE 1.0 - b.n_distinct::DOUBLE / b.n_tokens END, 6)
-                   AS dup_token_frac,
-                 round(CASE WHEN b.n_tokens = 0 THEN 0.0
-                   ELSE 2.0 * COALESCE(bt.top_bi, 0) / b.n_tokens END, 6)
-                   AS top_bigram_frac,
-                 round(COALESCE(ta.tri_dup::DOUBLE / ta.tri_tot, 0.0), 6)
-                   AS dup_trigram_frac
+                 CASE WHEN b.n_tokens = 0 THEN 0::BIGINT
+                   ELSE ${sqlMicroRatio(
+          "b.n_tokens - b.n_distinct", "b.n_tokens")} END
+                   AS dup_token_ppm,
+                 CASE WHEN b.n_tokens = 0 THEN 0::BIGINT
+                   ELSE ${sqlIdivHalfUp(
+          "2000000 * COALESCE(bt.top_bi, 0)", "b.n_tokens")} END
+                   AS top_bigram_ppm,
+                 CASE WHEN ta.tri_tot IS NULL THEN 0::BIGINT
+                   ELSE ${sqlMicroRatio("ta.tri_dup", "ta.tri_tot")} END
+                   AS dup_trigram_ppm
                FROM base b
                LEFT JOIN bitop bt USING (doc_id)
                LEFT JOIN tria ta USING (doc_id))
-         SELECT doc_id, n_tokens, dup_token_frac, top_bigram_frac,
-           dup_trigram_frac,
-           CAST(dup_token_frac <= 0.7 AND top_bigram_frac <= 0.2
-             AND dup_trigram_frac <= 0.3 AS INTEGER) AS keep
+         SELECT doc_id, n_tokens, dup_token_ppm, top_bigram_ppm,
+           dup_trigram_ppm,
+           CAST(dup_token_ppm <= 700000 AND top_bigram_ppm <= 200000
+             AND dup_trigram_ppm <= 300000 AS INTEGER) AS keep
          FROM r""",
     // q196: 10-token windows at stride 5; duplicated = exact window
     // text in ≥ 2 distinct docs.
     "q196_dup_windows" ->
-      """WITH d AS (SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
            FROM documents),
          win AS (SELECT doc_id,
                    unnest(list_transform(range((len(t) - 10) // 5 + 1),
@@ -5535,8 +5661,9 @@ object SparkEntry {
          SELECT doc_id,
            CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
            CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
-           round(COALESCE(n_dup_windows::DOUBLE / n_windows, 0.0), 6)
-             AS dup_window_frac
+           CASE WHEN n_windows IS NULL THEN 0::BIGINT
+             ELSE ${sqlMicroRatio("n_dup_windows", "n_windows")} END
+             AS dup_window_ppm
          FROM documents LEFT JOIN per USING (doc_id)""",
     // q197: exact rank-statistic quartiles per language (value at
     // rank ⌈0.25n⌉ / ⌈0.75n⌉ in (n_tokens, doc_id) order).
@@ -5629,10 +5756,10 @@ object SparkEntry {
     // and end offsets coincide) and keeps cum−1 non-negative, where
     // DuckDB's floor `//` and Spark's truncating cast would differ.
     "q202_packing_audit" ->
-      """WITH d AS (
+      s"""WITH d AS (
            SELECT doc_id, lang,
              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
                AS BIGINT) AS n_tokens
            FROM documents),
          c AS (SELECT d.*, CAST(sum(n_tokens) OVER
@@ -5648,12 +5775,13 @@ object SparkEntry {
                 WHERE n_tokens > 0
                   AND (cum_tokens - 1) // 2048 <> window_id
                 GROUP BY 1),
-         agg AS (SELECT lang, count(*) AS n_windows,
-                   round(avg(win_tokens::DOUBLE) / 2048, 6) AS mean_fill,
+         agg AS (SELECT lang, count(*)::BIGINT AS n_windows,
+                   ${sqlMicroRatio(
+          "sum(win_tokens)", "count(*) * 2048")} AS mean_fill_ppm,
                    sum(CASE WHEN win_tokens > 2048 THEN 1 ELSE 0 END)
                      AS overflow_windows
                  FROM wa GROUP BY 1)
-         SELECT agg.lang, agg.n_windows, agg.mean_fill,
+         SELECT agg.lang, agg.n_windows, agg.mean_fill_ppm,
            CAST(agg.overflow_windows AS BIGINT) AS overflow_windows,
            CAST(COALESCE(sp.spanning_docs, 0) AS BIGINT) AS spanning_docs
          FROM agg LEFT JOIN sp USING (lang)""",
@@ -13521,6 +13649,102 @@ object SparkEntry {
            count(*)::BIGINT AS n_clusters,
            sum(n_docs)::BIGINT AS n_docs
          FROM r GROUP BY 1""",
+    // q474: the identical bounded peel — e1 = 3-truss (one exact
+    // round), e2..e5 = four peel-below-2 rounds; classes read the
+    // same three edge-set counts as Spark's boundedTrussClasses.
+    "q474_truss_classes" ->
+      s"""${trussPeelCtes(4)}
+         SELECT 2::BIGINT AS truss_k,
+           ((SELECT count(*) FROM e0)
+             - (SELECT count(*) FROM e1))::BIGINT AS n_edges
+         UNION ALL
+         SELECT 3::BIGINT,
+           ((SELECT count(*) FROM e1)
+             - (SELECT count(*) FROM e5))::BIGINT
+         UNION ALL
+         SELECT 4::BIGINT, (SELECT count(*) FROM e5)::BIGINT""",
+    // q475: the LP chain's final labels rolled to the size histogram.
+    "q475_lp_communities" ->
+      s"""WITH $lpChainCtes,
+         sz AS (SELECT lab, count(*)::BIGINT AS community_size
+                FROM l3 GROUP BY 1)
+         SELECT community_size, count(*)::BIGINT AS n_communities
+         FROM sz GROUP BY 1""",
+    // q476: naive O(n²) eps-join (oracle-scale only; Spark prunes by
+    // grid cell), deg→core, recursive min-label reach over core-core
+    // edges, border = min core-neighbor label, noise remainder row.
+    "q476_dbscan_grid" ->
+      s"""WITH RECURSIVE
+         pts AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y FROM embeddings),
+         pr AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j
+              FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+                AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                  <= 0.000244140625),
+         deg AS (SELECT id, count(*) AS n FROM
+                  (SELECT i AS id FROM pr UNION ALL SELECT j FROM pr) t
+                 GROUP BY 1),
+         core AS MATERIALIZED (SELECT id FROM deg WHERE n >= 4),
+         ce AS MATERIALIZED (SELECT i, j FROM pr
+              WHERE i IN (SELECT id FROM core)
+                AND j IN (SELECT id FROM core)),
+         csym AS (SELECT i AS a, j AS b FROM ce
+                  UNION ALL SELECT j, i FROM ce),
+         reach(a, b) AS (
+           SELECT id, id FROM core
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN csym s ON r.b = s.a),
+         clab AS MATERIALIZED (SELECT a AS id, min(b) AS label
+                FROM reach GROUP BY 1),
+         sym AS (SELECT i AS a, j AS b FROM pr
+                 UNION ALL SELECT j, i FROM pr),
+         bl AS (SELECT s.a, min(c.label) AS label
+                FROM sym s JOIN clab c ON s.b = c.id
+                WHERE s.a NOT IN (SELECT id FROM core) GROUP BY 1),
+         cl AS (SELECT label AS cluster, count(*)::BIGINT AS n_core
+                FROM clab GROUP BY 1),
+         bc AS (SELECT label AS cluster, count(*)::BIGINT AS n_border
+                FROM bl GROUP BY 1),
+         rws AS MATERIALIZED (
+           SELECT cl.cluster, cl.n_core,
+             coalesce(bc.n_border, 0)::BIGINT AS n_border
+           FROM cl LEFT JOIN bc USING (cluster))
+         SELECT cluster::BIGINT AS cluster, n_core, n_border FROM rws
+         UNION ALL
+         SELECT -1::BIGINT, 0::BIGINT,
+           ((SELECT count(*) FROM pts)
+             - (SELECT coalesce(sum(n_core + n_border), 0)
+                FROM rws))::BIGINT""",
+    // q477: the integer HITS rounds; final scores per node.
+    "q477_hits_copyflow" ->
+      s"""WITH $hitsCtes
+         SELECT n.id AS doc_id, a4.s AS auth_score, h4.s AS hub_score
+         FROM n JOIN a4 ON n.id = a4.id JOIN h4 ON n.id = h4.id""",
+    // q478: LP labels onto both edge endpoints; per-community e_in /
+    // deg_sum / members and the exact-integer Newman contribution.
+    "q478_lp_modularity" ->
+      s"""WITH $lpChainCtes,
+         el AS MATERIALIZED (SELECT la.lab AS la, lb.lab AS lb
+              FROM p JOIN l3 la ON p.doc_a = la.id
+                     JOIN l3 lb ON p.doc_b = lb.id),
+         mm AS (SELECT count(*)::BIGINT AS m FROM el),
+         ein AS (SELECT la AS community, count(*)::BIGINT AS e_in
+                 FROM el WHERE la = lb GROUP BY 1),
+         ds AS (SELECT community, count(*)::BIGINT AS deg_sum FROM
+                 (SELECT la AS community FROM el
+                  UNION ALL SELECT lb FROM el) t
+                GROUP BY 1),
+         mem AS (SELECT lab AS community, count(*)::BIGINT AS n_members
+                 FROM l3 GROUP BY 1)
+         SELECT community, n_members,
+           coalesce(e_in, 0)::BIGINT AS e_in,
+           coalesce(deg_sum, 0)::BIGINT AS deg_sum,
+           ${sqlIdivHalfUpSigned(
+          "(4*mm.m*coalesce(e_in, 0) - coalesce(deg_sum, 0)*coalesce(deg_sum, 0))*1000000",
+          "4*mm.m*mm.m")} AS q_contrib_micro
+         FROM mem
+         LEFT JOIN ds USING (community)
+         LEFT JOIN ein USING (community), mm""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")
@@ -13832,38 +14056,31 @@ object SparkEntry {
                          1.0 / n_chars) AS r
                      FROM documents WHERE n_chars > 0) t) x
          WHERE rk <= 20""",
-    // q109: the summary card from the same quality formula as q15/q89.
+    // q109: the summary card — exact ppm shares + the q_micro mean
+    // (same integer quality seam as q19).
     "q109_corpus_card" ->
-      """WITH per_doc AS (
-           SELECT doc_id, lang, text,
-             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+')
-             END AS toks
-           FROM documents),
-         scored AS (SELECT doc_id, lang, text, len(toks) AS nt,
-             round(0.5 * least(len(toks) / 200.0, 1.0)
-                 + 0.4 * least(CASE WHEN len(toks) = 0 THEN 0.0
-                     ELSE len(list_filter(toks, w -> w IN
-                       ('the','a','an','and','or','of','to','in','is','it')
-                       ))::DOUBLE / len(toks) END * 5.0, 1.0)
-                 + 0.1 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-                     ELSE (length(text)
-                           - length(translate(text, '.,!?;:', '')))::DOUBLE
-                          / length(text) END * 10.0, 1.0)), 6) AS q
-           FROM per_doc),
-         base AS (SELECT count(*) AS n_docs,
+      s"""WITH $qMicroCte,
+         per_doc AS (
+           SELECT d.doc_id, d.lang, d.text, qm.q_micro,
+             CASE WHEN length(trim(d.text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+             END AS nt
+           FROM documents d JOIN qm USING (doc_id)),
+         base AS (SELECT count(*)::BIGINT AS n_docs,
              CAST(sum(nt) AS BIGINT) AS n_tokens,
-             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT lang)::BIGINT AS n_langs,
              count(DISTINCT md5(text)) AS n_unique,
-             round(avg(q), 6) AS mean_quality
-           FROM scored),
+             ${sqlIdivHalfUp("sum(q_micro)", "count(*)")}
+               AS mean_quality_micro
+           FROM per_doc),
          top AS (SELECT lang AS top_lang, count(*) AS tn
                  FROM per_doc GROUP BY 1
                  ORDER BY tn DESC, top_lang ASC LIMIT 1)
          SELECT n_docs, n_tokens, n_langs, top_lang,
-           round(tn::DOUBLE / n_docs, 6) AS top_lang_share,
-           round(1.0 - n_unique::DOUBLE / n_docs, 6) AS exact_dup_rate,
-           mean_quality
+           ${sqlMicroRatio("tn", "n_docs")} AS top_lang_ppm,
+           ${sqlMicroRatio("n_docs - n_unique", "n_docs")}
+             AS exact_dup_ppm,
+           mean_quality_micro
          FROM base CROSS JOIN top""",
     // q116: same frame derivation as q48, same rolling hash as q17,
     // feature arithmetic in plain BIGINT, mean rounded to 6.
@@ -13906,9 +14123,9 @@ object SparkEntry {
     // formula, repetition from q60's, PII regexes from q59's,
     // survivor via min-per-md5), aggregated then unpivoted.
     "q115_filter_funnel" ->
-      """WITH d AS (SELECT doc_id, text,
+      s"""WITH d AS (SELECT doc_id, text,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+')
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
              END AS toks
            FROM documents),
          f AS (SELECT doc_id, text, toks,
@@ -13932,9 +14149,9 @@ object SparkEntry {
                      / (len(toks) - 1)
                    END, 6) AS dbf,
              len(regexp_extract_all(text,
-               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
                + len(regexp_extract_all(text,
-                   '\b\d{3}[- .]\d{3}[- .]\d{4}\b')) AS pii,
+                   '\\b\\d{3}[- .]\\d{3}[- .]\\d{4}\\b')) AS pii,
              min(doc_id) OVER (PARTITION BY md5(text)) AS survivor
            FROM d),
          s AS (SELECT
@@ -13953,26 +14170,28 @@ object SparkEntry {
              CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
              CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n5
            FROM s)
-         SELECT '0_all' AS stage, n0 AS n_docs,
-           round(n0::DOUBLE / n0 * 100.0, 2) AS pct FROM a
+         SELECT '0_all' AS stage, n0::BIGINT AS n_docs,
+           ${sqlMicroRatio("n0", "n0")} AS yield_ppm FROM a
          UNION ALL SELECT '1_minlen', n1,
-           round(n1::DOUBLE / n0 * 100.0, 2) FROM a
+           ${sqlMicroRatio("n1", "n0")} FROM a
          UNION ALL SELECT '2_quality', n2,
-           round(n2::DOUBLE / n0 * 100.0, 2) FROM a
+           ${sqlMicroRatio("n2", "n0")} FROM a
          UNION ALL SELECT '3_repetition', n3,
-           round(n3::DOUBLE / n0 * 100.0, 2) FROM a
+           ${sqlMicroRatio("n3", "n0")} FROM a
          UNION ALL SELECT '4_pii_free', n4,
-           round(n4::DOUBLE / n0 * 100.0, 2) FROM a
+           ${sqlMicroRatio("n4", "n0")} FROM a
          UNION ALL SELECT '5_unique', n5,
-           round(n5::DOUBLE / n0 * 100.0, 2) FROM a""",
+           ${sqlMicroRatio("n5", "n0")} FROM a""",
     // q120: the same typed extraction through DuckDB's JSON path.
     "q120_variant_props" ->
-      """SELECT event_type, count(*) AS n_events,
-           CAST(sum(json_extract(props, '$.k')::INTEGER) AS BIGINT)
+      s"""SELECT event_type, count(*)::BIGINT AS n_events,
+           CAST(sum(json_extract(props, '$$.k')::INTEGER) AS BIGINT)
              AS sum_k,
-           round(avg(json_extract(props, '$.k')::INTEGER), 6) AS avg_k,
-           min(json_extract(props, '$.k')::INTEGER) AS min_k,
-           max(json_extract(props, '$.k')::INTEGER) AS max_k
+           ${sqlIdivHalfUp(
+          "sum(json_extract(props, '$.k')::INTEGER) * 1000",
+          "count(json_extract(props, '$.k'))")} AS avg_k_milli,
+           min(json_extract(props, '$$.k')::INTEGER) AS min_k,
+           max(json_extract(props, '$$.k')::INTEGER) AS max_k
          FROM events GROUP BY 1""",
     // q123: variable-gap session merge — an event joins the session
     // while its ts is under the running MAX of prior member ends;

@@ -171,8 +171,9 @@ object BpeTrain {
         col("doc_id"),
         col("n_words"),
         col("n_subwords"),
-        round(col("n_chars").cast("double") / col("n_subwords"), 6)
-          .as("chars_per_subword")
+        graft.functions.IntMath
+          .idivHalfUp(col("n_chars") * 1000L, col("n_subwords"))
+          .as("chars_per_subword_milli")
       )
   }
 
@@ -241,10 +242,12 @@ object BpeTrain {
         col("lang"),
         col("n_words"),
         col("n_subwords"),
-        round(col("n_subwords").cast("double") / col("n_words"), 6)
-          .as("fertility"),
-        round(col("n_chars").cast("double") / col("n_subwords"), 6)
-          .as("chars_per_subword")
+        graft.functions.IntMath
+          .idivHalfUp(col("n_subwords") * 1000L, col("n_words"))
+          .as("fertility_milli"),
+        graft.functions.IntMath
+          .idivHalfUp(col("n_chars") * 1000L, col("n_subwords"))
+          .as("chars_per_subword_milli")
       )
   }
 }

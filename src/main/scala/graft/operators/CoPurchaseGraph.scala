@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared co-purchase graph seam consumed by every graph query
+  * over the part-coöccurrence network (q445 triangle census, q460
+  * edge support, q465 BFS levels, q474 truss peel): parts are nodes,
+  * an edge joins two parts that co-occur in at least one order.
+  * Extracted because the edge derivation + degree-ordered wedge
+  * machinery was pasted per-query (round-10 verdict item 1) — one
+  * definition means one place for the orientation invariants, and a
+  * plan-identity spec pins that the consumers actually read it.
+  *
+  * Scale notes (the 100 TB stance, shared by all consumers):
+  *  - Pair generation is within-order (Σ fanout² over orders, bounded
+  *    by the q399 basket profile), never parts².
+  *  - Triangle enumeration uses degree-ordered orientation (Cohen,
+  *    "Graph twiddling in a MapReduce world", CiSE 2009; Suri &
+  *    Vassilvitskii, WWW 2011): each undirected edge points to its
+  *    (degree, id)-larger endpoint, so out-degrees are O(√m) and the
+  *    wedge self-join generates O(m^1.5) candidates worst-case — a
+  *    hub node cannot go quadratic. Wedges close via ONE hash join
+  *    against the canonical edge set.
+  *  - Every helper below takes the edge frame as an argument (not
+  *    (spark, dir)) so iterative algorithms (truss peel) can re-run
+  *    support on a SHRINKING edge set without re-deriving the graph.
+  */
+object CoPurchaseGraph {
+  import graft.util.Caches._
+
+  /** Canonical undirected edge set (u < v), distinct, cacheTracked —
+    * every consumer reads it at least twice (wedge closure + counts).
+    */
+  def edges(spark: SparkSession, dir: String): DataFrame = {
+    val op = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("v"))
+    a
+      .join(b, Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"))
+      .distinct()
+      .cacheTracked()
+  }
+
+  /** Per-node degree (n, deg) of a canonical (u, v) edge frame. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("deg"))
+
+  /** Degree-ordered orientation (src, dst): each edge points to its
+    * (degree, id)-larger endpoint — out-degree O(√m).
+    */
+  def oriented(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val toV = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(toV, col("u")).otherwise(col("v")).as("src"),
+        when(toV, col("v")).otherwise(col("u")).as("dst")
+      )
+  }
+
+  /** Closed wedges = triangles as (src, x, y) with x < y and src the
+    * orientation apex: the O(m^1.5) candidate join closed by one
+    * left-semi probe into the canonical edge set.
+    */
+  def triangles(edges: DataFrame): DataFrame =
+    triangles(edges, degrees(edges))
+
+  /** As [[triangles]] with a caller-prepared (possibly cached) degree
+    * frame — q445 reads degrees twice (orientation + wedge count) and
+    * passes its cacheTracked copy.
+    */
+  def triangles(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val or = oriented(edges, deg)
+    val w1 = or.select(col("src"), col("dst").as("x"))
+    val w2 = or.select(col("src"), col("dst").as("y"))
+    w1
+      .join(w2, Seq("src"))
+      .filter(col("x") < col("y"))
+      .join(
+        edges,
+        col("x") === edges("u") && col("y") === edges("v"),
+        "left_semi"
+      )
+  }
+
+  /** Per-edge triangle support over ANY canonical edge frame —
+    * support-0 edges kept via the left join (they are the bridges).
+    * Output (u, v, support); this is the frame k-truss peels on, so
+    * it recomputes degrees/orientation from the argument, never from
+    * the full graph.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    // each triangle (src, x, y) supports its three canonical edges
+    val triEdges = triangles(edges).select(
+      explode(
+        array(
+          struct(least(col("src"), col("x")).as("u"),
+            greatest(col("src"), col("x")).as("v")),
+          struct(least(col("src"), col("y")).as("u"),
+            greatest(col("src"), col("y")).as("v")),
+          struct(col("x").as("u"), col("y").as("v"))
+        )
+      ).as("e")
+    )
+    val support = triEdges
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+    edges
+      .join(support, Seq("u", "v"), "left")
+      .select(
+        col("u"),
+        col("v"),
+        coalesce(col("support"), lit(0L)).as("support")
+      )
+  }
+
+  /** Both-direction (src, dst) frame for frontier walks (BFS). */
+  def symmetric(edges: DataFrame): DataFrame =
+    edges
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
+
+  /** Bounded truss-class census — the k-truss decomposition peel
+    * (Cohen, "Trusses: cohesive subgraphs for social network
+    * analysis", NSA 2008) run on [[edgeSupport]]'s seam, capped the
+    * way q465 caps BFS hops. Classes:
+    *
+    *   - truss_k = 2: edges in no triangle (outside the 3-truss).
+    *     EXACT in one round — a support-0 edge belongs to no
+    *     triangle, so removing it changes no other edge's support
+    *     and the peel cannot cascade.
+    *   - truss_k = 3: edges peeled during the 4-truss phase
+    *     (support < 2 within the current subgraph), at most
+    *     `peelRounds` recompute-support-and-peel rounds.
+    *   - truss_k = 4: survivors — the bounded 4-truss.
+    *
+    * The full decomposition is unbounded in rounds (measured 63–98
+    * fixpoint rounds on the sf co-purchase graphs); a production
+    * engine caps peel rounds exactly like BFS hops, and the cap is
+    * part of the operator's contract so the DuckDB oracle can unroll
+    * the identical rounds. Early exit on a fixpoint round is a pure
+    * optimization: once no edge peels, further rounds are no-ops, so
+    * the capped result is unchanged.
+    *
+    * Scale: each round is one [[edgeSupport]] pass over the CURRENT
+    * (shrinking) edge set — O(m^1.5) wedge candidates, hub-safe —
+    * with `localCheckpoint` truncating lineage per round (the CC/BFS
+    * discipline); per-round driver state is one scalar count.
+    */
+  def boundedTrussClasses(
+      spark: SparkSession,
+      edges: DataFrame,
+      peelRounds: Int
+  ): DataFrame = {
+    val nAll = edges.count()
+    // Enumerate triangles ONCE (the only wedge join in the whole
+    // peel) as their three canonical (u < v) edges. The peel only
+    // ever REMOVES edges, so every round's live triangles are
+    // exactly the initial triangles whose three edges all survive —
+    // support is MAINTAINED by killing triangles that lost an edge,
+    // never recomputed by re-wedging (the standard truss-peel
+    // optimization; at 100 TB the re-wedge would dominate every
+    // round, the kill join is bounded by the peeled set).
+    var tri = triangles(edges)
+      .select(
+        least(col("src"), col("x")).as("u1"),
+        greatest(col("src"), col("x")).as("v1"),
+        least(col("src"), col("y")).as("u2"),
+        greatest(col("src"), col("y")).as("v2"),
+        col("x").as("u3"),
+        col("y").as("v3")
+      )
+      .localCheckpoint(true)
+    def support(t: DataFrame): DataFrame = t
+      .select(
+        explode(
+          array(
+            struct(col("u1").as("u"), col("v1").as("v")),
+            struct(col("u2").as("u"), col("v2").as("v")),
+            struct(col("u3").as("u"), col("v3").as("v"))
+          )
+        ).as("e")
+      )
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+    // 3-truss in one exact round: the support frame contains exactly
+    // the triangle edges, and no triangle dies (its own edges are by
+    // definition in a triangle). Invariant from here on: every live
+    // triangle has all three edges alive, so the support frame is
+    // always a SUBSET of the live edge set — each round's survivors
+    // come straight off the aggregate, no edge-set join at all, and
+    // only peeled edges that sat in a live triangle (support 1, the
+    // peel frontier — small, AQE broadcasts it) can kill a triangle;
+    // support-0 edges leave silently.
+    var sup = support(tri).localCheckpoint(true)
+    val n3 = sup.count()
+    var nCur = n3
+    var r = 0
+    var done = nCur == 0L
+    while (r < peelRounds && !done) {
+      r += 1
+      val nNext = sup.filter(col("support") >= 2L).count()
+      if (nNext == nCur) done = true
+      else {
+        nCur = nNext
+        if (r < peelRounds) {
+          val frontier = sup
+            .filter(col("support") === 1L)
+            .select(col("u"), col("v"))
+          tri = tri
+            .join(
+              frontier.select(col("u").as("u1"), col("v").as("v1")),
+              Seq("u1", "v1"), "left_anti")
+            .join(
+              frontier.select(col("u").as("u2"), col("v").as("v2")),
+              Seq("u2", "v2"), "left_anti")
+            .join(
+              frontier.select(col("u").as("u3"), col("v").as("v3")),
+              Seq("u3", "v3"), "left_anti")
+            .localCheckpoint(true)
+          sup = support(tri).localCheckpoint(true)
+        }
+      }
+    }
+    import spark.implicits._
+    Seq((2L, nAll - n3), (3L, n3 - nCur), (4L, nCur))
+      .toDF("truss_k", "n_edges")
+  }
+
+  /** BFS level histogram over a caller-prepared symmetric (src, dst)
+    * frame — frontier expansion from `seed`, `maxHops`-capped,
+    * unreached nodes at level −1; the engine behind q465 and the
+    * ScaleBench diameter row. Each round is one frontier-keyed hash
+    * join + an anti-join against the visited set (frontier-sized,
+    * not graph-sized) with `localCheckpoint` truncating lineage.
+    */
+  def bfsLevelHistogram(
+      spark: SparkSession,
+      sym: DataFrame,
+      seed: Long,
+      maxHops: Int
+  ): DataFrame = {
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var levels = spark
+      .range(1)
+      .select(lit(seed).as("id"), lit(0L).as("lvl"))
+      .localCheckpoint(true)
+    var frontier = levels
+    var lvl = 1L
+    var done = false
+    while (lvl <= maxHops && !done) {
+      val next = frontier
+        .join(sym, frontier("id") === sym("src"))
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(levels, Seq("id"), "left_anti")
+        .select(col("id"), lit(lvl).as("lvl"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        levels = levels.unionByName(next).localCheckpoint(true)
+        frontier = next
+        lvl += 1
+      }
+    }
+    nodes
+      .join(levels, Seq("id"), "left")
+      .select(coalesce(col("lvl"), lit(-1L)).as("lvl"))
+      .groupBy(col("lvl"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+}

@@ -1,0 +1,314 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Community structure over the near-dup graphs — the cluster-GRANULAR
+  * complements of the membership-granular connected components (q72):
+  * label propagation (communities), modularity (how good the
+  * partition is), HITS (who anchors the copy flow), and grid-DBSCAN
+  * (density clusters in embedding space). All iterative pieces follow
+  * the CC/BFS discipline: per-round localCheckpoint lineage
+  * truncation, key-shuffles only, never an all-pairs join.
+  */
+object Communities {
+  import graft.util.Caches._
+
+  /** The J ≥ 0.5 near-dup pair graph both directions, checkpointed —
+    * every round of LP reads it, and upstream is the full shingle
+    * inversion join.
+    */
+  private def nearDupSym(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup
+      .ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint(true)
+  }
+
+  /** Synchronous label propagation (Raghavan/Albert/Kumara, Phys.
+    * Rev. E 2007) over a symmetric (a, b) edge frame: every node
+    * starts as its own label; each round every node adopts the most
+    * frequent label among its NEIGHBORS (ties → smallest label,
+    * making the sweep deterministic — the paper breaks ties
+    * randomly), all nodes updating simultaneously. A fixed round
+    * count is part of the contract (synchronous LP can oscillate on
+    * bipartite shapes, so "until stable" is not well-defined): the
+    * DuckDB oracle unrolls the identical rounds.
+    *
+    * Scale: each round is one edge⋈label hash join + two aggregates,
+    * all keyed shuffles; state is one row per node, lineage truncated
+    * per round.
+    */
+  def lpLabelsFrom(sym: DataFrame, rounds: Int): DataFrame = {
+    var labels = sym
+      .select(col("a").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = sym
+        .join(labels, sym("b") === labels("id"))
+        .groupBy(col("a"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("c").as("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("a").as("id"), (-col("m.nl")).as("lab"))
+        .localCheckpoint(false)
+      labels.count(): Unit // the round's one materializing action
+    }
+    labels
+  }
+
+  /** q475: label-propagation communities of the near-dup graph —
+    * 3 synchronous min-tie-break rounds (see [[lpLabelsFrom]]),
+    * rolled up to the (community_size → n_communities) histogram.
+    * The cluster-granular complement of q72's connected components:
+    * CC says what is REACHABLE, LP says what is DENSELY attached —
+    * a chain of borderline matches is one CC component but dissolves
+    * into singleton-ish LP communities, and the histogram gap
+    * between the two is the transitive-closure overreach a dedup
+    * policy should know before deleting whole components.
+    */
+  def lpCommunities(spark: SparkSession, dir: String): DataFrame =
+    lpLabelsFrom(nearDupSym(spark, dir), rounds = 3)
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("community_size"))
+      .groupBy(col("community_size"))
+      .agg(count(lit(1)).as("n_communities"))
+
+  /** q478: Newman modularity of the q475 LP partition, per community
+    * and in exact integers — for community c with e_c internal edges
+    * and total member degree d_c over a graph of m edges, the
+    * contribution is e_c/m − (d_c/2m)² = (4·m·e_c − d_c²) / (4m²),
+    * emitted half-up in micro units (Newman & Girvan 2004). The
+    * quality score that turns q475 from "a partition" into "a
+    * partition worth acting on": Σ contributions ≈ 0 means the
+    * communities are no better than random edge placement.
+    *
+    * Exactness: numerator and denominator are products of edge
+    * counts — BIGINT-exact for m up to ~10⁶ edges in micro units
+    * (4·m·e_c·10⁶ ≤ 4·10¹⁸); no float division anywhere.
+    *
+    * Scale: the LP labels (one row per node) broadcast-join onto the
+    * edge list twice (both endpoints); everything after is a
+    * |communities|-row aggregate.
+    */
+  def lpModularity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.idivHalfUpSigned
+    val sym = nearDupSym(spark, dir)
+    val labels = lpLabelsFrom(sym, rounds = 3).localCheckpoint(true)
+    // one direction only: m and e_c count undirected edges once
+    val edges = sym.filter(col("a") < col("b"))
+    val lab = labels.select(col("id"), col("lab"))
+    val withLabs = edges
+      .join(lab.select(col("id").as("a"), col("lab").as("la")), Seq("a"))
+      .join(lab.select(col("id").as("b"), col("lab").as("lb")), Seq("b"))
+      .localCheckpoint(true)
+    val m = withLabs.count()
+    val eIn = withLabs
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    // degree sum per community = both-direction endpoint census
+    val dSum = withLabs
+      .select(explode(array(col("la"), col("lb"))).as("community"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("deg_sum"))
+    val members = labels
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    members
+      .join(dSum, Seq("community"), "left")
+      .join(eIn, Seq("community"), "left")
+      .select(
+        col("community"),
+        col("n_members"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        idivHalfUpSigned(
+          (lit(4L) * lit(m) * coalesce(col("e_in"), lit(0L)) -
+            coalesce(col("deg_sum"), lit(0L)) *
+            coalesce(col("deg_sum"), lit(0L))) * lit(1000000L),
+          lit(4L) * lit(m) * lit(m)
+        ).as("q_contrib_micro")
+      )
+  }
+
+  /** q477: HITS hubs/authorities (Kleinberg, JACM 1999) over the
+    * DIRECTED copy-flow graph (q225's edges: near-dup pairs J ≥ 0.5
+    * oriented doc_a → doc_b, the lower id treated as the upstream
+    * copy): authorities are the documents duplication flows INTO,
+    * hubs the documents it flows out of. Four alternating rounds of
+    * the UN-normalized integer recurrence a ← Aᵀh, h ← A·a from
+    * h₀ = 1 — integer HITS is the house exact twin of the usual
+    * L1-normalized float iteration: identical ranking (normalization
+    * is a per-round global scalar), zero float-summation drift, and
+    * the DuckDB oracle replays it bit-for-bit. Score magnitudes are
+    * bounded by deg⁸ after 4 rounds — BIGINT-safe for max degree
+    * ≤ ~200 (near-dup families are far smaller); the normalized
+    * double form is the 100 TB fallback if a graph ever exceeds it.
+    *
+    * Scale: each half-round is one edge⋈score join + one aggregate
+    * (keyed shuffles); scores are one row per node, checkpointed.
+    */
+  def hitsCopyFlow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup
+      .ngramJaccardPairs(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint(true)
+    val nodes = e
+      .select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var hub = nodes.select(col("id"), lit(1L).as("s"))
+    var auth = hub
+    for (_ <- 1 to 4) {
+      auth = nodes
+        .join(
+          e.join(hub, e("src") === hub("id"))
+            .groupBy(col("dst"))
+            .agg(sum(col("s")).as("t")),
+          nodes("id") === col("dst"),
+          "left"
+        )
+        .select(nodes("id"), coalesce(col("t"), lit(0L)).as("s"))
+        .localCheckpoint(true)
+      hub = nodes
+        .join(
+          e.join(auth, e("dst") === auth("id"))
+            .groupBy(col("src"))
+            .agg(sum(col("s")).as("t")),
+          nodes("id") === col("src"),
+          "left"
+        )
+        .select(nodes("id"), coalesce(col("t"), lit(0L)).as("s"))
+        .localCheckpoint(true)
+    }
+    nodes
+      .join(auth.select(col("id"), col("s").as("auth_score")), Seq("id"))
+      .join(hub.select(col("id"), col("s").as("hub_score")), Seq("id"))
+      .select(col("id").as("doc_id"), col("auth_score"), col("hub_score"))
+  }
+
+  /** q476: grid-bucketed DBSCAN (Ester et al., KDD 1996) on the
+    * first two embedding coordinates — eps = 2⁻⁶ (exactly
+    * representable, so cell = floor(x·64) is drift-free on both
+    * engines), minPts = 4 neighbors (self excluded). Neighbor
+    * candidates come from the 3×3 grid-cell neighborhood (each point
+    * joins only its own cell against the 9-cell replication of the
+    * probe side — the standard grid trick: candidates ∝ local
+    * density, NEVER points²), exact squared distance filters them.
+    * Core points (≥ minPts in-eps neighbors) cluster via connected
+    * components over core-core in-eps edges; border points attach to
+    * their minimum core cluster; the rest is noise. Output: one row
+    * per cluster (labelled by its minimum core id) with core/border
+    * counts, plus the (-1, 0, n_noise) noise row.
+    *
+    * Scale: the grid join bounds candidate generation by occupancy
+    * (9 cells of radius-eps population per point); CC is the
+    * pointer-doubling operator; every join is keyed. At 100 TB the
+    * grid key is ALSO the partitioner — neighborhood queries never
+    * leave the executor holding the cell.
+    */
+  def dbscanGrid(spark: SparkSession, dir: String): DataFrame = {
+    val eps = 0.015625
+    val minPts = 4L
+    val p = Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y")
+      )
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+      .cacheTracked()
+    val offsets = array(
+      (for { dx <- -1 to 1; dy <- -1 to 1 } yield struct(
+        lit(dx.toLong).as("dx"),
+        lit(dy.toLong).as("dy")
+      )): _*
+    )
+    val probe = p
+      .select(
+        col("vec_id").as("j"),
+        col("x").as("xj"),
+        col("y").as("yj"),
+        col("cx").as("cxj"),
+        col("cy").as("cyj")
+      )
+      .withColumn("o", explode(offsets))
+      .select(
+        col("j"),
+        col("xj"),
+        col("yj"),
+        (col("cxj") + col("o.dx")).as("cx"),
+        (col("cyj") + col("o.dy")).as("cy")
+      )
+    val d2 = (col("x") - col("xj")) * (col("x") - col("xj")) +
+      (col("y") - col("yj")) * (col("y") - col("yj"))
+    val pairs = p
+      .join(probe, Seq("cx", "cy"))
+      .filter(col("vec_id") < col("j") && d2 <= lit(eps * eps))
+      .select(col("vec_id").as("i"), col("j"))
+      .localCheckpoint(true)
+    val deg = pairs
+      .select(explode(array(col("i"), col("j"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_nb"))
+      .localCheckpoint(true)
+    val core = deg.filter(col("n_nb") >= minPts).select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("i")), Seq("i"), "left_semi")
+      .join(core.select(col("id").as("j")), Seq("j"), "left_semi")
+      .select(col("i").as("src"), col("j").as("dst"))
+    val coreLab = ConnectedComponents
+      .run(core, coreEdges)
+      .localCheckpoint(true)
+    // border: non-core with ≥1 in-eps core neighbor → min core label
+    val sym = pairs
+      .select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+    val borderLab = sym
+      .join(coreLab.select(col("id").as("b"), col("label")), Seq("b"))
+      .join(coreLab.select(col("id").as("a")), Seq("a"), "left_anti")
+      .groupBy(col("a"))
+      .agg(min(col("label")).as("label"))
+    val nTotal = p.count()
+    val clusters = coreLab
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_core"))
+      .join(
+        borderLab
+          .groupBy(col("label").as("cluster"))
+          .agg(count(lit(1)).as("n_border")),
+        Seq("cluster"),
+        "left"
+      )
+      .select(
+        col("cluster"),
+        col("n_core"),
+        coalesce(col("n_border"), lit(0L)).as("n_border")
+      )
+      .localCheckpoint(true)
+    val assigned = clusters
+      .agg(
+        coalesce(sum(col("n_core")), lit(0L)).as("nc"),
+        coalesce(sum(col("n_border")), lit(0L)).as("nb")
+      )
+      .select((col("nc") + col("nb")).as("n_assigned"))
+      .head()
+      .getLong(0)
+    import spark.implicits._
+    clusters.unionByName(
+      Seq((-1L, 0L, nTotal - assigned)).toDF("cluster", "n_core", "n_border")
+    )
+  }
+}

@@ -1277,8 +1277,8 @@ object Dedup {
         sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept")
       )
       .withColumn(
-        "frac_kept",
-        round(col("n_kept").cast("double") / col("n_segs"), 6)
+        "kept_ppm",
+        graft.functions.IntMath.microRatio(col("n_kept"), col("n_segs"))
       )
   }
 
@@ -1736,7 +1736,14 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(avg(col("containment")), 6).as("avg_containment"),
+        // per-pair containment is the driver-proven 6-rounded double;
+        // round(c·10⁶) recovers its exact micro integer (the q167
+        // trick), so the mean is a pure-BIGINT half-up division
+        graft.functions.IntMath
+          .idivHalfUp(
+            sum(round(col("containment") * 1e6).cast("long")),
+            count(lit(1)))
+          .as("avg_containment_micro"),
         sum(col("contained").cast("long")).as("n_contained")
       )
   }
@@ -1877,10 +1884,9 @@ object Dedup {
         col("source"),
         col("n_docs"),
         col("n_survivors"),
-        round(
-          lit(1.0) - col("n_survivors").cast("double") / col("n_docs"),
-          6
-        ).as("redundancy")
+        graft.functions.IntMath
+          .microRatio(col("n_docs") - col("n_survivors"), col("n_docs"))
+          .as("redundancy_ppm")
       )
   }
 
@@ -2074,13 +2080,12 @@ object Dedup {
       )
       .crossJoin(broadcast(total))
       .select(
-        round(col("k") * 0.05, 2).as("threshold"),
+        (col("k").cast("long") * 5L).as("threshold_pct"),
         col("n_pairs"),
         col("n_dup_docs"),
-        round(
-          lit(1.0) - col("n_dup_docs").cast("double") / col("n_docs"),
-          6
-        ).as("retention_frac")
+        graft.functions.IntMath
+          .microRatio(col("n_docs") - col("n_dup_docs"), col("n_docs"))
+          .as("retention_ppm")
       )
   }
 
@@ -2132,11 +2137,9 @@ object Dedup {
         count(lit(1)).as("n_chunks"),
         sum(col("dup")).as("n_dup_chunks"),
         sum(col("n_toks")).as("n_tokens"),
-        round(
-          sum(col("dup") * col("n_toks")).cast("double") /
-            sum(col("n_toks")),
-          6
-        ).as("dup_token_frac")
+        graft.functions.IntMath
+          .microRatio(sum(col("dup") * col("n_toks")), sum(col("n_toks")))
+          .as("dup_token_ppm")
       )
   }
 

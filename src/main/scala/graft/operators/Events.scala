@@ -374,7 +374,9 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("k")).as("sum_k"),
-        round(avg(col("k")), 6).as("avg_k"),
+        graft.functions.IntMath
+          .idivHalfUp(sum(col("k")) * 1000L, count(col("k")))
+          .as("avg_k_milli"),
         min(col("k")).as("min_k"),
         max(col("k")).as("max_k")
       )

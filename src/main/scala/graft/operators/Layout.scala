@@ -90,8 +90,10 @@ object Layout {
     * codegen stage) — NOT a nested expression tree, whose size would
     * double per level.
     *
-    * Expects `xName`/`yName` in [0, 2^bits); appends `outName` and
-    * leaves every other column untouched.
+    * Expects `xName`/`yName` in [0, 2^bits); appends `outName`.
+    * RESERVED temp columns: `_hx`, `_hy`, `_rx`, `_ry`, `_fx`, `_fy`
+    * are overwritten and dropped — input columns with those names
+    * are clobbered. Every other column passes through untouched.
     */
   def hilbertIndex(
       df: DataFrame,

@@ -71,7 +71,13 @@ object PipelineE2E {
       .agg(
         count(lit(1)).as("n_examples"),
         countDistinct(col("doc_id")).as("n_docs"),
-        round(avg(col("quality")), 6).as("avg_quality")
+        // mean of the driver-proven 6-rounded quality recovered as an
+        // exact micro integer (the q166/q167 trick)
+        graft.functions.IntMath
+          .idivHalfUp(
+            sum(round(round(col("quality"), 6) * 1e6).cast("long")),
+            count(lit(1)))
+          .as("avg_quality_micro")
       )
   }
 }

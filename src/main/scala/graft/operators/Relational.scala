@@ -279,8 +279,9 @@ object Relational {
       .agg(count(lit(1)).as("n"))
     counts
       .withColumn(
-        "pct",
-        round(col("n") * 100.0 / sum(col("n")).over(Window.partitionBy()), 1)
+        "share_ppm",
+        graft.functions.IntMath
+          .microRatio(col("n"), sum(col("n")).over(Window.partitionBy()))
       )
   }
 
@@ -445,12 +446,18 @@ object Relational {
       .lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("c"))
+    // avg rows/key and the skew factor max/avg = max·keys/rows in
+    // exact half-up milli — no float division (round-11 float purge)
     counts.agg(
       count(lit(1)).as("n_keys"),
       sum(col("c")).as("n_rows"),
       max(col("c")).as("max_per_key"),
-      round(avg(col("c")), 6).as("avg_per_key"),
-      round(max(col("c")) / avg(col("c")), 6).as("skew_factor"),
+      graft.functions.IntMath
+        .idivHalfUp(sum(col("c")) * 1000L, count(lit(1)))
+        .as("avg_per_key_milli"),
+      graft.functions.IntMath
+        .idivHalfUp(max(col("c")) * count(lit(1)) * 1000L, sum(col("c")))
+        .as("skew_factor_milli"),
       sum(col("c") * col("c")).as("est_selfjoin_rows")
     )
   }
@@ -1011,57 +1018,20 @@ object Relational {
     * basket pipeline reads before trusting q406's pairwise lift,
     * and the same census a near-dup pair graph gets from q208.
     *
-    * Scale: degree-ordered orientation (Cohen, "Graph twiddling in
-    * a MapReduce world", CiSE 2009; Suri & Vassilvitskii, WWW 2011):
-    * each undirected edge points to its (degree, id)-larger
-    * endpoint, so out-degrees are O(√m) and the wedge self-join
-    * generates Σ d_out² = O(m^1.5) candidates worst-case — a hub
-    * node cannot go quadratic. Wedges close via ONE hash join
-    * against the canonical (u<v) edge set. Pair generation is
+    * Scale: [[CoPurchaseGraph]]'s degree-ordered orientation (O(m^1.5)
+    * wedge candidates, hub-safe; references there). Pair generation is
     * within-order (Σ fanout², bounded by the q399 profile), never
     * parts². No window, no collect.
     */
   def coPurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.IntMath.{idiv, microRatio}
     import graft.util.Caches._
-    val op = Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("v"))
-    // canonical undirected edge set, read three times (degrees,
-    // wedge closure, edge count)
-    val edges = a
-      .join(b, Seq("l_orderkey"))
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v"))
-      .distinct()
-      .cacheTracked()
-    val deg = edges
-      .select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy(col("n"))
-      .agg(count(lit(1)).as("deg"))
-      .cacheTracked()
-    val toV = (col("du") < col("dv")) ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = edges
-      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
-      .select(
-        when(toV, col("u")).otherwise(col("v")).as("src"),
-        when(toV, col("v")).otherwise(col("u")).as("dst")
-      )
-    val w1 = oriented.select(col("src"), col("dst").as("x"))
-    val w2 = oriented.select(col("src"), col("dst").as("y"))
-    val triangles = w1
-      .join(w2, Seq("src"))
-      .filter(col("x") < col("y"))
-      .join(
-        edges,
-        col("x") === edges("u") && col("y") === edges("v"),
-        "left_semi"
-      )
+    val edges = CoPurchaseGraph.edges(spark, dir)
+    // degrees read twice (orientation inside triangles + the wedge
+    // count below) — cache the |nodes|-row frame
+    val deg = CoPurchaseGraph.degrees(edges).cacheTracked()
+    val triangles = CoPurchaseGraph
+      .triangles(edges, deg)
       .agg(count(lit(1)).as("n_triangles"))
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val nodesWedges = deg.agg(
@@ -1096,70 +1066,18 @@ object Relational {
     * says co-purchase is star-shaped and pair mining (q406) is all
     * there is.
     *
-    * Scale: same degree-ordered wedge machinery as q445 (O(m^1.5)
-    * candidates); each closed wedge emits its three canonical edges
-    * through one explode, then two aggregates. Output is bounded by
-    * the max support, never the edge count.
+    * Scale: [[CoPurchaseGraph.edgeSupport]] — the same degree-ordered
+    * wedge machinery as q445 (O(m^1.5) candidates); each closed wedge
+    * emits its three canonical edges through one explode, then two
+    * aggregates. Output is bounded by the max support, never the edge
+    * count.
     */
-  def coPurchaseEdgeSupport(spark: SparkSession, dir: String): DataFrame = {
-    import graft.util.Caches._
-    val op = Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("v"))
-    val edges = a
-      .join(b, Seq("l_orderkey"))
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v"))
-      .distinct()
-      .cacheTracked()
-    val deg = edges
-      .select(explode(array(col("u"), col("v"))).as("n"))
-      .groupBy(col("n"))
-      .agg(count(lit(1)).as("deg"))
-    val toV = (col("du") < col("dv")) ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = edges
-      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
-      .select(
-        when(toV, col("u")).otherwise(col("v")).as("src"),
-        when(toV, col("v")).otherwise(col("u")).as("dst")
-      )
-    val w1 = oriented.select(col("src"), col("dst").as("x"))
-    val w2 = oriented.select(col("src"), col("dst").as("y"))
-    val triangles = w1
-      .join(w2, Seq("src"))
-      .filter(col("x") < col("y"))
-      .join(
-        edges,
-        col("x") === edges("u") && col("y") === edges("v"),
-        "left_semi"
-      )
-    // each triangle (src, x, y) contributes support to its three
-    // canonical (min, max) edges
-    val triEdges = triangles.select(
-      explode(
-        array(
-          struct(least(col("src"), col("x")).as("u"),
-            greatest(col("src"), col("x")).as("v")),
-          struct(least(col("src"), col("y")).as("u"),
-            greatest(col("src"), col("y")).as("v")),
-          struct(col("x").as("u"), col("y").as("v"))
-        )
-      ).as("e")
-    )
-    val support = triEdges
-      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
-      .agg(count(lit(1)).as("support"))
-    edges
-      .join(support, Seq("u", "v"), "left")
-      .select(coalesce(col("support"), lit(0L)).as("support"))
+  def coPurchaseEdgeSupport(spark: SparkSession, dir: String): DataFrame =
+    CoPurchaseGraph
+      .edgeSupport(CoPurchaseGraph.edges(spark, dir))
+      .select(col("support"))
       .groupBy(col("support"))
       .agg(count(lit(1)).as("n_edges"))
-  }
 
   /** q469: part skyline — the Pareto frontier on (price minimized,
     * size maximized), the classic skyline operator (Börzsönyi/
@@ -1225,50 +1143,35 @@ object Relational {
     */
   def bfsLevels(spark: SparkSession, dir: String): DataFrame = {
     import graft.util.Caches._
-    val op = Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-    val a = op.select(col("l_orderkey"), col("l_partkey").as("u"))
-    val b = op.select(col("l_orderkey"), col("l_partkey").as("v"))
-    val edges = a
-      .join(b, Seq("l_orderkey"))
-      .filter(col("u") < col("v"))
-      .select(col("u"), col("v"))
-      .distinct()
-      .cacheTracked()
-    val sym = edges
-      .select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
-      .cacheTracked()
-    val nodes = sym.select(col("src").as("id")).distinct().cacheTracked()
-    val seed = nodes.agg(min(col("id"))).head().getLong(0)
-    var levels = spark
-      .range(1)
-      .select(lit(seed).as("id"), lit(0L).as("lvl"))
-      .localCheckpoint(true)
-    var frontier = levels
-    var lvl = 1L
-    var done = false
-    while (lvl <= 20L && !done) {
-      val next = frontier
-        .join(sym, frontier("id") === sym("src"))
-        .select(col("dst").as("id"))
-        .distinct()
-        .join(levels, Seq("id"), "left_anti")
-        .select(col("id"), lit(lvl).as("lvl"))
-        .localCheckpoint(true)
-      if (next.isEmpty) done = true
-      else {
-        levels = levels.unionByName(next).localCheckpoint(true)
-        frontier = next
-        lvl += 1
-      }
-    }
-    nodes
-      .join(levels, Seq("id"), "left")
-      .select(coalesce(col("lvl"), lit(-1L)).as("lvl"))
-      .groupBy(col("lvl"))
-      .agg(count(lit(1)).as("n_nodes"))
+    val edges = CoPurchaseGraph.edges(spark, dir)
+    // read every round by the frontier join + once for the node set
+    val sym = CoPurchaseGraph.symmetric(edges).cacheTracked()
+    val seed = sym.agg(min(col("src"))).head().getLong(0)
+    CoPurchaseGraph.bfsLevelHistogram(spark, sym, seed, 20)
   }
+
+  /** q474: bounded truss-class census of the co-purchase graph — the
+    * k-truss decomposition peel run on q460's support seam, emitting
+    * (truss_k → edge count) for classes 2 (no triangle), 3 (peeled
+    * during the capped 4-truss phase) and 4 (the bounded 4-truss).
+    * Completes the cohesion family q445 (triangles) → q460 (support)
+    * → trusses, next to the node-side 2-core audit (q315): support
+    * says how reinforced each edge is, the truss class says which
+    * edges survive MUTUAL reinforcement — the kit cores a basket
+    * miner trusts most, with class-2 the bridges q460 counts at
+    * support 0.
+    *
+    * Semantics + scale: [[CoPurchaseGraph.boundedTrussClasses]] with
+    * peelRounds = 4 — the round cap is part of the contract (the
+    * q465 hop-cap pattern; the unbounded fixpoint measured 63–98
+    * rounds on these graphs), and the DuckDB oracle unrolls the
+    * identical four rounds. Fixpoint-converged at sf0.001 (0 peel
+    * rounds bind) and sf0.01 (2); at sf0.1 the cap binds by design.
+    */
+  def trussClassCensus(spark: SparkSession, dir: String): DataFrame =
+    CoPurchaseGraph.boundedTrussClasses(
+      spark,
+      CoPurchaseGraph.edges(spark, dir),
+      peelRounds = 4
+    )
 }

@@ -74,24 +74,29 @@ object Repetition {
         sum(col("c")).as("tri_tot"),
         sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("tri_dup")
       )
-    val dupTok = when(col("n_tokens") === 0, 0.0).otherwise(
-      lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
-    val topBi = when(col("n_tokens") === 0, 0.0).otherwise(
-      lit(2.0) * coalesce(col("top_bi"), lit(0L)) / col("n_tokens"))
-    val dupTri = coalesce(
-      col("tri_dup").cast("double") / col("tri_tot"), lit(0.0))
+    // exact-integer ppm twins of the float fractions (round-11 float
+    // purge); the keep cuts are restated on the ppm scale
+    import graft.functions.IntMath.{idivHalfUp, microRatio}
+    val dupTok = when(col("n_tokens") === 0, lit(0L)).otherwise(
+      microRatio(col("n_tokens") - col("n_distinct"), col("n_tokens")))
+    val topBi = when(col("n_tokens") === 0, lit(0L)).otherwise(
+      idivHalfUp(
+        lit(2000000L) * coalesce(col("top_bi"), lit(0L)),
+        col("n_tokens")))
+    val dupTri = when(col("tri_tot").isNull, lit(0L))
+      .otherwise(microRatio(col("tri_dup"), col("tri_tot")))
     base
       .join(biTop, Seq("doc_id"), "left")
       .join(triAgg, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_tokens"),
-        round(dupTok, 6).as("dup_token_frac"),
-        round(topBi, 6).as("top_bigram_frac"),
-        round(dupTri, 6).as("dup_trigram_frac"),
-        (round(dupTok, 6) <= 0.7 &&
-          round(topBi, 6) <= 0.2 &&
-          round(dupTri, 6) <= 0.3).cast("int").as("keep")
+        dupTok.as("dup_token_ppm"),
+        topBi.as("top_bigram_ppm"),
+        dupTri.as("dup_trigram_ppm"),
+        (dupTok <= 700000L &&
+          topBi <= 200000L &&
+          dupTri <= 300000L).cast("int").as("keep")
       )
   }
 
@@ -151,12 +156,10 @@ object Repetition {
         col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        round(
-          coalesce(
-            col("n_dup_windows").cast("double") / col("n_windows"),
-            lit(0.0)),
-          6
-        ).as("dup_window_frac")
+        when(col("n_windows").isNull, lit(0L))
+          .otherwise(graft.functions.IntMath
+            .microRatio(col("n_dup_windows"), col("n_windows")))
+          .as("dup_window_ppm")
       )
   }
 }

@@ -532,6 +532,10 @@ object Sampling {
     val lrScored = QualityLR
       .lrQualityGate(spark, dir)
       .select(col("doc_id"), col("z_pico"))
+      // |docs|-row frame over the LR train+score chain; the mean
+      // aggregate AND the keep filter both read it — cache so the
+      // chain derives once (the q354 seam trick)
+      .cacheTracked()
     val lrMean = lrScored
       .agg(sum(col("z_pico")).as("sz"), count(lit(1)).as("nz"))
     val lrKeep = lrScored

@@ -44,7 +44,18 @@ object TextAnalysis {
           .cast("long")
           .as("n_tokens_bpe"),
         length(col("text")).cast("long").as("n_chars_raw"),
-        round(avgTokenLength(col("text")), 4).as("avg_token_len")
+        when(size(tokens(col("text"))) === 0, lit(0L))
+          .otherwise(
+            graft.functions.IntMath.idivHalfUp(
+              aggregate(
+                tokens(col("text")),
+                lit(0L),
+                (acc, w) => acc + length(w).cast("long")
+              ) * 1000L,
+              size(tokens(col("text"))).cast("long")
+            )
+          )
+          .as("avg_token_len_milli")
       )
 
   /** q15: quality scoring — stopword/punctuation/length signals. */
@@ -639,17 +650,25 @@ object TextAnalysis {
     * distribution with share-of-total, the per-project stats analogue.
     */
   def langStats(spark: SparkSession, dir: String): DataFrame = {
+    // per-lang mean of the exact-integer micro quality + ppm share —
+    // the round-9 integer seam applied to the emission (round-11
+    // float purge)
     val perLang = Tables
       .documents(spark, dir)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
-        round(avg(qualityScore(col("text"))), 6).as("avg_quality")
+        graft.functions.IntMath
+          .idivHalfUp(
+            sum(graft.functions.TextFunctions.qualityMicro(col("text"))),
+            count(lit(1)))
+          .as("avg_quality_micro")
       )
     perLang.withColumn(
-      "pct",
-      round(col("n_docs") * 100.0 / sum(col("n_docs")).over(Window.partitionBy()), 1)
+      "share_ppm",
+      graft.functions.IntMath
+        .microRatio(col("n_docs"), sum(col("n_docs")).over(Window.partitionBy()))
     )
   }
 
@@ -889,11 +908,10 @@ object TextAnalysis {
       .select(
         col("q_id"),
         coalesce(col("rank"), lit(0)).cast("int").as("self_rank"),
-        round(
-          when(col("rank").isNotNull, lit(1.0) / col("rank"))
-            .otherwise(lit(0.0)),
-          6
-        ).as("rr")
+        when(col("rank").isNotNull,
+          graft.functions.IntMath.idivHalfUp(lit(1000000L), col("rank")))
+          .otherwise(lit(0L))
+          .as("rr_micro")
       )
   }
 
@@ -1121,25 +1139,36 @@ object TextAnalysis {
     * RepetitionCountsSpec pins the two forms bit-identical; float
     * math stays in Catalyst via `repetitionFromCounts`.
     */
-  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    // exact-integer ppm twins of the float fractions (round-11 float
+    // purge): dup_x_ppm = halfUp((n − n_distinct)·10⁶ / n), 0 on
+    // empty; the keep thresholds are restated on the ppm scale so
+    // the flag derives from the hashed columns themselves
     Tables
       .documents(spark, dir)
       .withColumn(
         "rc",
         graft.functions.RepetitionCounts.repetitionCounts(col("text")))
-      .withColumn(
-        "fr",
-        graft.functions.RepetitionCounts.repetitionFromCounts(col("rc")))
       .select(
         col("doc_id"),
         col("rc.n_tokens").as("n_tokens"),
-        col("fr.dup_token_frac").as("dup_token_frac"),
-        col("fr.dup_bigram_frac").as("dup_bigram_frac")
+        when(col("rc.n_tokens") === 0L, lit(0L))
+          .otherwise(microRatio(
+            col("rc.n_tokens") - col("rc.n_distinct_tokens"),
+            col("rc.n_tokens")))
+          .as("dup_token_ppm"),
+        when(col("rc.n_bigrams") === 0L, lit(0L))
+          .otherwise(microRatio(
+            col("rc.n_bigrams") - col("rc.n_distinct_bigrams"),
+            col("rc.n_bigrams")))
+          .as("dup_bigram_ppm")
       )
       .withColumn(
         "keep",
-        col("dup_token_frac") <= 0.7 && col("dup_bigram_frac") <= 0.5
+        col("dup_token_ppm") <= 700000L && col("dup_bigram_ppm") <= 500000L
       )
+  }
 
   /** The higher-order-function formulation q60 shipped with, kept as
     * the differential-testing twin for the fused expression.
@@ -1326,8 +1355,11 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_windows"),
-        round(avg(col("win_tokens").cast("double")) / budget, 6)
-          .as("mean_fill"),
+        graft.functions.IntMath
+          .microRatio(
+            sum(col("win_tokens")),
+            count(lit(1)) * budget.toLong)
+          .as("mean_fill_ppm"),
         sum(when(col("win_tokens") > budget, 1L).otherwise(0L))
           .as("overflow_windows")
       )
@@ -1335,7 +1367,7 @@ object TextAnalysis {
       .select(
         col("lang"),
         col("n_windows"),
-        col("mean_fill"),
+        col("mean_fill_ppm"),
         col("overflow_windows"),
         coalesce(col("spanning_docs"), lit(0L)).as("spanning_docs")
       )
@@ -1751,13 +1783,11 @@ object TextAnalysis {
         tokenCount(col("text")).cast("long").as("n_ws_tokens")
       )
       .withColumn(
-        "bpe_per_ws",
-        round(
-          when(col("n_ws_tokens") === 0, 0.0)
-            .otherwise(
-              col("n_bpe_tokens").cast("double") / col("n_ws_tokens")),
-          6
-        )
+        "bpe_per_ws_milli",
+        when(col("n_ws_tokens") === 0, lit(0L))
+          .otherwise(
+            graft.functions.IntMath
+              .idivHalfUp(col("n_bpe_tokens") * 1000L, col("n_ws_tokens")))
       )
 
   /** q80: per-language token-count percentiles — exact
@@ -1809,8 +1839,10 @@ object TextAnalysis {
       )
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("bucket_lo", round(col("bucket") / 20.0, 2))
-      .withColumn("bucket_hi", round((col("bucket") + 1) / 20.0, 2))
+      // bucket width is exactly 0.05 = 5 centi — emit the bounds as
+      // exact centi integers (round-11 float purge)
+      .withColumn("bucket_lo_centi", col("bucket").cast("long") * 5L)
+      .withColumn("bucket_hi_centi", (col("bucket") + 1).cast("long") * 5L)
 
   /** q84: corpus bigram language model — for every token, the top-3
     * next tokens by conditional probability (count ratio within the
@@ -2040,10 +2072,11 @@ object TextAnalysis {
       .select(
         explode(array(stages.map { case (name, c) =>
           struct(lit(name).as("stage"), col(c).as("n_docs"),
-            round(col(c).cast("double") / col("n0") * 100.0, 2).as("pct"))
+            graft.functions.IntMath.microRatio(col(c), col("n0"))
+              .as("yield_ppm"))
         }: _*)).as("s")
       )
-      .select(col("s.stage"), col("s.n_docs"), col("s.pct"))
+      .select(col("s.stage"), col("s.n_docs"), col("s.yield_ppm"))
   }
 
   /** q328: token-weighted filter funnel — q115's five stages
@@ -2108,12 +2141,18 @@ object TextAnalysis {
     */
   def corpusCard(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // shares/rate in exact ppm, mean quality as the exact-integer
+    // micro mean (round-11 float purge)
     val base = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(tokenCount(col("text")).cast("long")).as("n_tokens"),
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(md5(col("text"))).as("n_unique_texts"),
-      round(avg(qualityScore(col("text"))), 6).as("mean_quality")
+      graft.functions.IntMath
+        .idivHalfUp(
+          sum(graft.functions.TextFunctions.qualityMicro(col("text"))),
+          count(lit(1)))
+        .as("mean_quality_micro")
     )
     val topLang = docs
       .groupBy(col("lang"))
@@ -2128,11 +2167,13 @@ object TextAnalysis {
         col("n_tokens"),
         col("n_langs"),
         col("top_lang"),
-        round(col("top_lang_docs").cast("double") / col("n_docs"), 6)
-          .as("top_lang_share"),
-        round(lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 6)
-          .as("exact_dup_rate"),
-        col("mean_quality")
+        graft.functions.IntMath
+          .microRatio(col("top_lang_docs"), col("n_docs"))
+          .as("top_lang_ppm"),
+        graft.functions.IntMath
+          .microRatio(col("n_docs") - col("n_unique_texts"), col("n_docs"))
+          .as("exact_dup_ppm"),
+        col("mean_quality_micro")
       )
   }
 
@@ -2663,8 +2704,9 @@ object TextAnalysis {
           lit(n).as("n"),
           col("n_grams"),
           col("n_distinct"),
-          round(col("n_distinct").cast("double") / col("n_grams"), 6)
-            .as("distinct_ratio")
+          graft.functions.IntMath
+            .microRatio(col("n_distinct"), col("n_grams"))
+            .as("distinct_ppm")
         )
     gramsOfN(1).unionByName(gramsOfN(2)).unionByName(gramsOfN(3))
   }
@@ -2827,10 +2869,9 @@ object TextAnalysis {
         col("lang"),
         col("n_tokens"),
         col("n_covered"),
-        round(
-          lit(1.0) - col("n_covered").cast("double") / col("n_tokens"),
-          6
-        ).as("oov_rate")
+        graft.functions.IntMath
+          .microRatio(col("n_tokens") - col("n_covered"), col("n_tokens"))
+          .as("oov_ppm")
       )
   }
 
@@ -3295,6 +3336,37 @@ object TextAnalysis {
       .cacheTracked()
   }
 
+  /** The 16-row (fg, fl, fm, fp) → count pattern frame over the four
+    * gate verdicts — the shared seam q300 (Shapley), q319 (Cochran Q)
+    * and q354 (ordering plan) all peel their statistics from, each
+    * formerly inlining this identical chain (round-10 verdict item 2).
+    * Docs missing any verdict are dropped (paired tests need complete
+    * rows). Bounded at 16 rows but its lineage is the full four-gate
+    * LM chain, so it is cacheTracked: q354's three ordering joins and
+    * q300's lattice crossJoin replay it several times, and uncached
+    * the chain ran 4x (q354 measured 10s vs ~2.5s before the r9 fix).
+    */
+  private def gatePatternCounts(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
+    gateFlags(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("gate") === "gopher", col("f"))).as("fg"),
+        max(when(col("gate") === "lr", col("f"))).as("fl"),
+        max(when(col("gate") === "ml", col("f"))).as("fm"),
+        max(when(col("gate") === "ppl", col("f"))).as("fp")
+      )
+      .filter(
+        col("fg").isNotNull && col("fl").isNotNull &&
+          col("fm").isNotNull && col("fp").isNotNull
+      )
+      .groupBy(col("fg"), col("fl"), col("fm"), col("fp"))
+      .agg(count(lit(1)).as("c"))
+      .cacheTracked()
+  }
+
   /** q206: McNemar's paired test over every gate pair — where q190's
     * Cohen's κ measures chance-corrected AGREEMENT, McNemar asks the
     * sharper production question: do two gates disagree
@@ -3673,21 +3745,7 @@ object TextAnalysis {
     * agg as q300; everything after is 16-row arithmetic.
     */
   def cochranQ(spark: SparkSession, dir: String): DataFrame = {
-    val wide = gateFlags(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("gate") === "gopher", col("f"))).as("fg"),
-        max(when(col("gate") === "lr", col("f"))).as("fl"),
-        max(when(col("gate") === "ml", col("f"))).as("fm"),
-        max(when(col("gate") === "ppl", col("f"))).as("fp")
-      )
-      .filter(
-        col("fg").isNotNull && col("fl").isNotNull &&
-          col("fm").isNotNull && col("fp").isNotNull
-      )
-    val pat = wide
-      .groupBy(col("fg"), col("fl"), col("fm"), col("fp"))
-      .agg(count(lit(1)).as("c"))
+    val pat = gatePatternCounts(spark, dir)
     val ri = col("fg").cast("long") + col("fl").cast("long") +
       col("fm").cast("long") + col("fp").cast("long")
     val tot = broadcast(
@@ -4120,6 +4178,8 @@ object TextAnalysis {
       round(z * 1e3).cast("long").as("z_milli"),
       round(p * 1e6).cast("long").as("p_micro")
     )
+      // 4·|sources| rows; the m count and the BH chain both read it
+      .cacheTracked()
     val m = broadcast(withP.agg(count(lit(1)).as("m")))
     val wr = Window.orderBy(col("p_micro").asc, col("gate").asc,
       col("source").asc)
@@ -4427,24 +4487,7 @@ object TextAnalysis {
     * lattice joins.
     */
   def gateOrderingPlan(spark: SparkSession, dir: String): DataFrame = {
-    val pat = gateFlags(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("gate") === "gopher", col("f"))).as("fg"),
-        max(when(col("gate") === "lr", col("f"))).as("fl"),
-        max(when(col("gate") === "ml", col("f"))).as("fm"),
-        max(when(col("gate") === "ppl", col("f"))).as("fp")
-      )
-      .filter(
-        col("fg").isNotNull && col("fl").isNotNull &&
-          col("fm").isNotNull && col("fp").isNotNull
-      )
-      .groupBy(col("fg"), col("fl"), col("fm"), col("fp"))
-      .agg(count(lit(1)).as("c"))
-      // 16 rows, but its lineage is the full four-gate LM chain;
-      // subCounts, nTot, and the three ordering joins all read it —
-      // uncached, the chain runs 4x (measured 10s vs ~2.5s)
-      .cacheTracked()
+    val pat = gatePatternCounts(spark, dir)
     val subsetsDf = broadcast(
       spark
         .range(1)
@@ -4558,21 +4601,7 @@ object TextAnalysis {
     * a 16×32 constant-lattice join — corpus cost is one pass.
     */
   def gateShapley(spark: SparkSession, dir: String): DataFrame = {
-    val wide = gateFlags(spark, dir)
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("gate") === "gopher", col("f"))).as("fg"),
-        max(when(col("gate") === "lr", col("f"))).as("fl"),
-        max(when(col("gate") === "ml", col("f"))).as("fm"),
-        max(when(col("gate") === "ppl", col("f"))).as("fp")
-      )
-      .filter(
-        col("fg").isNotNull && col("fl").isNotNull &&
-          col("fm").isNotNull && col("fp").isNotNull
-      )
-    val pat = wide
-      .groupBy(col("fg"), col("fl"), col("fm"), col("fp"))
-      .agg(count(lit(1)).as("c"))
+    val pat = gatePatternCounts(spark, dir)
     val tot = broadcast(
       pat.agg(
         sum(col("c")).as("n"),
@@ -6112,8 +6141,10 @@ object TextAnalysis {
       .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
       // ten decile-bound picks read this frame — derive once
       .cacheTracked()
-    // upper bound of decile d = min len with cw*10 >= n*d
-    val bounds = (1 to 10)
+    // upper bound of decile d = min len with cw*10 >= n*d; only
+    // b1..b9 are read (the decile CASE falls through to 10), so the
+    // tenth scalar pass is never built
+    val bounds = (1 to 9)
       .map { dd =>
         cum
           .filter(col("cw") * 10 >= col("n") * dd)
@@ -6249,7 +6280,7 @@ object TextAnalysis {
     * frame per token is 10 cells — bounded.
     */
   def positionalSkew(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.IntMath.{idivHalfUp, microRatio}
+    import graft.functions.IntMath.{idiv, idivHalfUp, microRatio}
     val withLen = Tables
       .documents(spark, dir)
       .select(
@@ -6258,7 +6289,7 @@ object TextAnalysis {
       )
       .select(
         col("w"),
-        (col("i").cast("long") * 10L / col("len")).cast("long")
+        idiv(col("i").cast("long") * 10L, col("len").cast("long"))
           .as("d")
       )
       .cacheTracked()

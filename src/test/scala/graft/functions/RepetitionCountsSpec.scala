@@ -66,13 +66,30 @@ class RepetitionCountsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
     assert(fused == column)
-    // and the operator itself agrees on the real table
+    // and the operator itself agrees on the real table — it emits the
+    // exact-integer ppm twins of the same counts (round-11 purge)
+    import graft.functions.IntMath.microRatio
+    val columnPpm = docs
+      .select(
+        col("doc_id"),
+        when(size(t) === 0, 0L)
+          .otherwise(
+            microRatio(size(t) - size(array_distinct(t)), size(t)))
+          .as("dt"),
+        when(size(bigrams) === 0, 0L)
+          .otherwise(microRatio(
+            size(bigrams) - size(array_distinct(bigrams)), size(bigrams)))
+          .as("db")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
     val op = TextAnalysis
       .repetitionStats(spark, dir)
-      .select(col("doc_id"), col("dup_token_frac"), col("dup_bigram_frac"))
+      .select(col("doc_id"), col("dup_token_ppm"), col("dup_bigram_ppm"))
       .collect()
-      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    op.foreach { case (id, v) => assert(fused(id) == v, s"doc $id") }
+    op.foreach { case (id, v) => assert(columnPpm(id) == v, s"doc $id") }
   }
 }

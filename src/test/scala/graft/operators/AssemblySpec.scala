@@ -114,13 +114,13 @@ class AssemblySpec extends AnyFunSuite {
         assert(row.getAs[String]("redacted") == docs(row.getAs[Long]("doc_id"))))
   }
 
-  test("repetition flags: fractions in [0,1], keep consistent with thresholds") {
+  test("repetition flags: ppm in [0,1e6], keep consistent with thresholds") {
     val rows = TextAnalysis.repetitionStats(spark, dir).collect()
     rows.foreach { r =>
-      val dt = r.getAs[Double]("dup_token_frac")
-      val db = r.getAs[Double]("dup_bigram_frac")
-      assert(dt >= 0.0 && dt <= 1.0 && db >= 0.0 && db <= 1.0)
-      assert(r.getAs[Boolean]("keep") == (dt <= 0.7 && db <= 0.5))
+      val dt = r.getAs[Long]("dup_token_ppm")
+      val db = r.getAs[Long]("dup_bigram_ppm")
+      assert(dt >= 0L && dt <= 1000000L && db >= 0L && db <= 1000000L)
+      assert(r.getAs[Boolean]("keep") == (dt <= 700000L && db <= 500000L))
     }
   }
 }

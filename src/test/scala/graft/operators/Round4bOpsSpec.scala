@@ -370,9 +370,9 @@ class Round4bOpsSpec extends AnyFunSuite {
     val r = TextAnalysis.corpusCard(spark, dir).collect()(0)
     val nDocs = Tables.documents(spark, dir).count()
     assert(r.getLong(0) == nDocs)
-    assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1) // top_lang_share
-    assert(r.getDouble(5) >= 0 && r.getDouble(5) < 1) // exact_dup_rate
-    assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1) // mean_quality
+    assert(r.getLong(4) > 0L && r.getLong(4) <= 1000000L) // top_lang_ppm
+    assert(r.getLong(5) >= 0L && r.getLong(5) < 1000000L) // exact_dup_ppm
+    assert(r.getLong(6) > 0L && r.getLong(6) <= 1000000L) // mean_quality_micro
     assert(r.getLong(2) >= 1 && r.getLong(2) <= 5) // n_langs
   }
 
@@ -383,7 +383,7 @@ class Round4bOpsSpec extends AnyFunSuite {
       .collect()
     assert(rows.length == 6)
     assert(rows(0).getLong(1) == Tables.documents(spark, dir).count())
-    assert(rows(0).getDouble(2) == 100.0)
+    assert(rows(0).getLong(2) == 1000000L)
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b.getLong(1) <= a.getLong(1),
         s"${b.getString(0)} > ${a.getString(0)}")

@@ -72,18 +72,20 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(out.count() == n, "every tokenizable doc appears")
     val bad = out.filter(
       col("n_subwords") < col("n_words") ||
-        col("chars_per_subword") < 1.0 - 1e-9
+        col("chars_per_subword_milli") < 1000L
     )
     assert(bad.count() == 0,
       "each word is >= 1 piece and each piece is >= 1 char")
     // the trained merges actually compress somewhere: total subwords
-    // < total chars (equality would mean zero effective merges)
+    // < total chars (equality would mean zero effective merges) —
+    // reconstruct char mass from the milli ratio (half-up exact
+    // enough for a strict < at corpus scale)
     val agg = out
       .agg(sum(col("n_subwords")).as("s"),
-        sum((col("chars_per_subword") * col("n_subwords")))
-          .as("c"))
+        sum(col("chars_per_subword_milli") * col("n_subwords"))
+          .as("c_milli"))
       .collect()(0)
-    assert(agg.getLong(0) < math.round(agg.getDouble(1)))
+    assert(agg.getLong(0) * 1000L < agg.getLong(1))
   }
 
   test("q134 agrees with the per-word segmentation it derives from") {

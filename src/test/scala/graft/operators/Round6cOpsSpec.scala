@@ -27,9 +27,9 @@ class Round6cOpsSpec extends AnyFunSuite {
       .select("lang").distinct().count()
     assert(out.length == langs, "one row per language")
     out.foreach { r =>
-      assert(r.getAs[Double]("fertility") >= 1.0 - 1e-9,
+      assert(r.getAs[Long]("fertility_milli") >= 1000L,
         "every word is at least one piece")
-      assert(r.getAs[Double]("chars_per_subword") >= 1.0 - 1e-9)
+      assert(r.getAs[Long]("chars_per_subword_milli") >= 1000L)
     }
     // the per-lang totals are a regrouping of the per-doc apply
     val perDoc = BpeTrain.corpusApply(spark, dir)

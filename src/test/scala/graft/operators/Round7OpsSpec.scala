@@ -129,8 +129,8 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_tokens")).sum == totalToks)
     out.foreach { r =>
       assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_tokens"))
-      val oov = r.getAs[Double]("oov_rate")
-      assert(oov >= 0.0 && oov <= 1.0)
+      val oov = r.getAs[Long]("oov_ppm")
+      assert(oov >= 0L && oov <= 1000000L)
     }
   }
 
@@ -256,8 +256,8 @@ class Round7OpsSpec extends AnyFunSuite {
     val matrix = Dedup.sourceOverlapMatrix(spark, dir).collect()
     matrix.foreach { r =>
       assert(r.getAs[Long]("n_contained") <= r.getAs[Long]("n_pairs"))
-      val avg = r.getAs[Double]("avg_containment")
-      assert(avg >= 0.5 && avg <= 1.0, s"avg containment $avg")
+      val avg = r.getAs[Long]("avg_containment_micro")
+      assert(avg >= 500000L && avg <= 1000000L, s"avg containment $avg")
     }
     val nPairs = Dedup.shingleContainment(spark, dir).count()
     assert(matrix.map(_.getAs[Long]("n_pairs")).sum == nPairs,
@@ -306,10 +306,10 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     out.foreach { r =>
       val rank = r.getAs[Int]("self_rank")
-      val rr = r.getAs[Double]("rr")
+      val rr = r.getAs[Long]("rr_micro")
       assert(rank >= 0 && rank <= 10)
-      if (rank == 0) assert(rr == 0.0)
-      else assert(math.abs(rr - 1.0 / rank) < 1e-6)
+      if (rank == 0) assert(rr == 0L)
+      else assert(rr == (2 * 1000000L + rank) / (2L * rank))
     }
   }
 
@@ -322,7 +322,7 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("est_selfjoin_rows") == actual,
       "sum of squared counts == real self-join output")
     assert(row.getAs[Long]("n_rows") == Tables.lineitem(spark, dir).count())
-    assert(row.getAs[Double]("skew_factor") >= 1.0)
+    assert(row.getAs[Long]("skew_factor_milli") >= 1000L)
   }
 
   test("q172 split never separates near-duplicates") {
@@ -431,8 +431,8 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_survivors")).sum ==
       cl.count(_.getAs[Int]("survivor") == 1))
     out.foreach { r =>
-      val red = r.getAs[Double]("redundancy")
-      assert(red >= 0.0 && red < 1.0, s"redundancy $red out of range")
+      val red = r.getAs[Long]("redundancy_ppm")
+      assert(red >= 0L && red < 1000000L, s"redundancy $red out of range")
     }
   }
 

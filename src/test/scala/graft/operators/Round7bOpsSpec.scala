@@ -207,14 +207,14 @@ class Round7bOpsSpec extends AnyFunSuite {
     val rep = Dedup
       .cdcChunkDedupFrom(docs)
       .collect()
-      .map(r => r.getLong(0) -> r.getDouble(4))
+      .map(r => r.getLong(0) -> r.getLong(4))
       .toMap
     // doc 1 is the keep-first original: zero duplicated tokens
-    assert(rep(1L) === 0.0)
+    assert(rep(1L) === 0L)
     // doc 2 differs only in one leading token; every chunk after the
     // first content-defined cut point is byte-identical to doc 1's
     // and must dedup — the bulk of its tokens are flagged duplicate
-    assert(rep(2L) > 0.5, s"dup_token_frac was ${rep(2L)}")
+    assert(rep(2L) > 500000L, s"dup_token_ppm was ${rep(2L)}")
   }
 
   test("q188 Heaps curve: 10 deciles/source, exact vocab, sane fit") {

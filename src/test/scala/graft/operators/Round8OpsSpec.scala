@@ -38,25 +38,30 @@ class Round8OpsSpec extends AnyFunSuite {
         else text.trim.split("\\s+")
       val r = rows(id)
       assert(r.getAs[Long]("n_tokens") == t.length.toLong, s"doc $id tokens")
+      def ppm(a: Long, b: Long): Long = (2 * a * 1000000L + b) / (2 * b)
       val dupTok =
-        if (t.isEmpty) 0.0 else 1.0 - t.distinct.length.toDouble / t.length
-      assert(math.abs(r.getAs[Double]("dup_token_frac") - dupTok) < 1e-6)
+        if (t.isEmpty) 0L
+        else ppm(t.length.toLong - t.distinct.length, t.length.toLong)
+      assert(r.getAs[Long]("dup_token_ppm") == dupTok, s"doc $id dup token")
       val bi = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
       val topBi =
-        if (bi.isEmpty) 0.0
-        else 2.0 * bi.groupBy(identity).values.map(_.size).max / t.length
+        if (t.isEmpty) 0L
+        else (2 * 2000000L *
+          (if (bi.isEmpty) 0L
+           else bi.groupBy(identity).values.map(_.size).max.toLong) +
+          t.length) / (2 * t.length.toLong)
       assert(
-        math.abs(r.getAs[Double]("top_bigram_frac") - topBi) < 1e-6,
+        r.getAs[Long]("top_bigram_ppm") == topBi,
         s"doc $id top bigram")
       val tri = t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq
       val dupTri =
-        if (tri.isEmpty) 0.0
+        if (tri.isEmpty) 0L
         else {
           val c = tri.groupBy(identity).values.map(_.size).toSeq
-          c.filter(_ >= 2).sum.toDouble / c.sum
+          ppm(c.filter(_ >= 2).sum.toLong, c.sum.toLong)
         }
       assert(
-        math.abs(r.getAs[Double]("dup_trigram_frac") - dupTri) < 1e-6,
+        r.getAs[Long]("dup_trigram_ppm") == dupTri,
         s"doc $id dup trigram")
     }
   }

@@ -61,8 +61,9 @@ class Round8bOpsSpec extends AnyFunSuite {
         r.getAs[Long]("overflow_windows") ==
           winTokens.values.count(_ > 2048).toLong,
         s"$lang overflow")
-      val fill = winTokens.values.sum.toDouble / winTokens.size / 2048
-      assert(math.abs(r.getAs[Double]("mean_fill") - fill) < 1e-5, s"$lang fill")
+      val denom = winTokens.size.toLong * 2048L
+      val fillPpm = (2 * winTokens.values.sum * 1000000L + denom) / (2 * denom)
+      assert(r.getAs[Long]("mean_fill_ppm") == fillPpm, s"$lang fill")
     }
   }
 

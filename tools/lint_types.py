@@ -35,145 +35,141 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # fails the lint until it is either re-expressed in exact BIGINT
 # units (the house convention) or added here with a written
 # exactness argument.
+# Per-entry exactness tags (every line carries one):
+#   money2  round(sum, 2) of TPC-H money doubles — the 2-decimal round
+#           is orders of magnitude coarser than double accumulation
+#           error at any tested SF, so summation order cannot flip it.
+#   raw     a parquet float column (or its min/max/lag/rank-statistic
+#           pick) passed through with NO arithmetic — bit-identical.
+#   sum6    round(sum(value), 6) of bounded event values — same
+#           coarser-than-error argument as money2 at 6 decimals.
+#   r6same  round(expr, 6) where BOTH engines evaluate the textually
+#           identical expression tree in the same operand order —
+#           deterministic IEEE, driver-proven green since it landed.
+#   ieee    exact IEEE arithmetic on exactly-representable inputs
+#           (integer-derived doubles, power-of-two scales, single
+#           divisions of small ints) — no rounding step needed.
+# Round-11 purge: 24 ratio/mean-shaped queries were re-expressed in
+# exact BIGINT micro/milli/ppm units and REMOVED from this map (q12,
+# q14, q19, q39, q60, q66, q81, q109, q115, q120, q134, q136, q146,
+# q147, q157, q166, q170, q171, q179, q186, q187, q195, q196, q202).
+# TPC-H-shaped money aggregates stay permanently: decimal money is the
+# domain's own unit and the round-2 contract is part of the query.
 GRANDFATHERED = {
-    "q01_pricing_summary": {"sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"},
-    "q02_revenue_filter": {"revenue"},
-    "q03_revenue_by_nation": {"revenue"},
-    "q04_top_orders": {"o_totalprice"},
-    "q05_window_rank": {"o_totalprice"},
-    "q07_union_merge": {"o_totalprice"},
-    "q09_status_pivot": {"value_f"},
-    "q100_entropy": {"entropy"},
-    "q103_histogram_median": {"exact_median", "approx_median", "abs_err"},
-    "q104_mix_reweight": {"share", "target", "weight", "expected_tokens"},
-    "q105_asof_native": {"value", "prior_error_value"},
-    "q106_ivf_probe2": {"sim"},
-    "q107_stream_lake": {"sum_value"},
-    "q108_stratified_weighted": {"priority"},
-    "q109_corpus_card": {"top_lang_share", "exact_dup_rate", "mean_quality"},
-    "q10_rollup_revenue": {"sum_bal"},
-    "q111_top_rev_supplier": {"total_rev"},
-    "q113_idle_rich_customers": {"totacctbal"},
-    "q115_filter_funnel": {"pct"},
-    "q116_frame_embedding": {"pooled"},
-    "q118_cheapest_supplier": {"best_price"},
-    "q119_window_family": {"prnk", "cdist"},
-    "q11_orders_by_month": {"sum_price"},
-    "q120_variant_props": {"avg_k"},
-    "q121_transform_state": {"max_value"},
-    "q122_unpivot": {"price"},
-    "q123_dynamic_session": {"sum_value"},
-    "q124_stream_dynamic_session": {"sum_value"},
-    "q127_trigram_ppl": {"xent", "ppl"},
-    "q128_pq_adc": {"adc", "exact_dist"},
-    "q129_nb_langid": {"margin"},
-    "q12_mktsegment_share": {"pct"},
-    "q130_training_manifest": {"ppl"},
-    "q131_dsir_weights": {"logw", "logw_per_ngram"},
-    "q132_temperature_mix": {"p", "q"},
-    "q133_bm25_topk": {"score"},
-    "q134_bpe_corpus_apply": {"chars_per_subword"},
-    "q135_semantic_dedup": {"max_sim_lower"},
-    "q136_segment_dedup": {"frac_kept"},
-    "q139_hard_negatives": {"sim"},
-    "q140_winnow_fingerprints": {"overlap"},
-    "q141_jl_projection": {"d2_orig", "d2_proj", "distortion"},
-    "q142_gopher_rules": {"mean_word_len", "alpha_frac", "symbol_frac"},
-    "q143_shingle_containment": {"containment"},
-    "q145_embedding_outliers": {"dist", "z"},
-    "q146_lang_fertility": {"fertility", "chars_per_subword"},
-    "q147_corpus_diversity": {"distinct_ratio"},
-    "q148_zipf_fit": {"slope", "intercept", "r2"},
-    "q149_kn_bigram": {"p_kn", "p_cont"},
-    "q14_token_stats": {"avg_token_len"},
-    "q150_unimax_mix": {"epochs"},
-    "q151_hybrid_rrf": {"rrf"},
-    "q152_bucketed_join": {"revenue"},
-    "q153_partition_prune": {"total_value"},
-    "q156_embedding_whiten": {"z"},
-    "q157_vocab_coverage": {"oov_rate"},
-    "q159_prefix_filter_join": {"jaccard"},
-    "q15_quality_score": {"stop_ratio", "quality"},
-    "q160_stopword_discovery": {"idf"},
-    "q161_ppl_buckets": {"ppl"},
-    "q162_dup_weights": {"weight", "w_norm"},
-    "q163_compaction": {"total_value"},
-    "q166_source_overlap": {"avg_containment"},
-    "q168_source_kl": {"kl"},
-    "q169_epoch_expansion": {"epochs"},
-    "q170_self_retrieval": {"rr"},
-    "q171_join_profile": {"avg_per_key", "skew_factor"},
-    "q174_mergeable_stats": {"mean_chars", "var_chars"},
-    "q177_retrieve_rerank": {"cos_score"},
-    "q179_source_dup_report": {"redundancy"},
-    "q182_source_minhash": {"est_jaccard", "jaccard"},
-    "q183_ivfpq": {"adc", "exact_dist"},
-    "q184_moore_lewis": {"xent_in", "xent_gen", "ml_score"},
-    "q185_stream_monitor": {"p50_est", "p95_est", "p50_exact", "p95_exact"},
-    "q186_cdc_chunks": {"dup_token_frac"},
-    "q187_threshold_sweep": {"threshold", "retention_frac"},
-    "q190_gate_agreement": {"agree_frac", "kappa"},
-    "q192_embedding_decon": {"best_sim"},
-    "q193_bootstrap_ci": {"mean_nchars", "boot_se", "ci_lo", "ci_hi"},
-    "q195_repetition_stats": {"dup_token_frac", "top_bigram_frac", "dup_trigram_frac"},
-    "q196_dup_windows": {"dup_window_frac"},
-    "q198_minhash_error": {"est_jaccard", "mean_abs_err", "max_abs_err"},
-    "q19_lang_stats": {"avg_quality", "pct"},
-    "q201_composition_chi2": {"expected", "chi2_cell"},
-    "q202_packing_audit": {"mean_fill"},
-    "q204_good_turing": {"r_star", "prob_mass", "p0"},
-    "q206_mcnemar_gates": {"mcnemar_chi2"},
-    "q21_ngram_jaccard": {"jaccard"},
-    "q22_minhash_lsh": {"est_jaccard", "jaccard"},
-    "q237_decay_counts": {"decayed_count"},
-    "q241_pc1_power": {"pc1"},
-    "q24_cosine_topk": {"sim"},
-    "q25_ivf_topk": {"sim"},
-    "q261_interarrival": {"mean_gap_s"},
-    "q26_embedding_neardup": {"sim"},
-    "q274_neardup_anatomy": {"jaccard"},
-    "q278_cosine_histogram": {"bin_lo"},
-    "q27_tumbling_window": {"sum_value"},
-    "q282_review_batch": {"jaccard"},
-    "q28_sliding_window": {"sum_value"},
-    "q29_sessionize": {"sum_value"},
-    "q303_kmv_error": {"kmv_estimate"},
-    "q30_asof_join": {"value", "prior_error_value"},
-    "q32_stream_tumbling": {"sum_value"},
-    "q33_multimodal_decode": {"f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"},
-    "q346_weighted_jaccard": {"jaccard", "wjaccard"},
-    "q36_salted_join": {"sum_price"},
-    "q39_pipeline_e2e": {"avg_quality"},
-    "q410_value_five_point": {"min_value", "p25_value", "p50_value", "p75_value", "max_value"},
-    "q418_kmv_set_algebra": {"est_a", "est_b", "est_union", "est_inter"},
-    "q42_distribution_stats": {"qty_p25", "qty_p50", "qty_p75", "price_stddev", "price_disc_corr"},
-    "q43_cube": {"sum_qty"},
-    "q47_stream_sessionize": {"sum_value"},
-    "q58_kmv_distinct": {"kmv_estimate"},
-    "q60_repetition": {"dup_token_frac", "dup_bigram_frac"},
-    "q61_full_outer": {"sum_price"},
-    "q62_pivot_api": {"price_f", "price_o", "price_p"},
-    "q64_fused_text_stats": {"quality"},
-    "q66_bpe_tokens": {"bpe_per_ws"},
-    "q67_lag_lead": {"prev_value", "next_value", "secs_since_prev", "moving_avg3"},
-    "q68_grouping_sets": {"sum_qty"},
-    "q69_label_centroids": {"centroid_val"},
-    "q70_lsh_neardup": {"sim"},
-    "q74_tfidf_terms": {"tfidf"},
-    "q76_bloom_semi_join": {"revenue"},
-    "q77_stream_static_join": {"sum_value"},
-    "q79_rolling_hour": {"sum_1h"},
-    "q80_lang_percentiles": {"p25", "p50", "p75"},
-    "q81_quality_histogram": {"bucket_lo", "bucket_hi"},
-    "q84_bigram_lm": {"p"},
-    "q86_pagerank": {"rank"},
-    "q87_session_window": {"sum_value"},
-    "q90_cdc_apply": {"balance"},
-    "q91_bigram_xent": {"xent"},
-    "q93_kmeans": {"dist"},
-    "q94_int8_quant": {"rmse", "max_abs_err"},
-    "q97_weighted_sample": {"priority"},
-    "q99_pmi": {"pmi"},
+    "q01_pricing_summary": {"sum_qty", "sum_base_price", "sum_disc_price", "avg_qty", "avg_disc"},  # money2
+    "q02_revenue_filter": {"revenue"},  # money2
+    "q03_revenue_by_nation": {"revenue"},  # money2
+    "q04_top_orders": {"o_totalprice"},  # raw
+    "q05_window_rank": {"o_totalprice"},  # raw
+    "q07_union_merge": {"o_totalprice"},  # raw
+    "q09_status_pivot": {"value_f"},  # money2 (pivoted money sums)
+    "q100_entropy": {"entropy"},  # r6same (−Σp·ln p, same term order)
+    "q103_histogram_median": {"exact_median", "approx_median", "abs_err"},  # raw (rank-statistic picks + one subtraction)
+    "q104_mix_reweight": {"share", "target", "weight", "expected_tokens"},  # r6same
+    "q105_asof_native": {"value", "prior_error_value"},  # raw
+    "q106_ivf_probe2": {"sim"},  # r6same (cosine, same fold order)
+    "q107_stream_lake": {"sum_value"},  # sum6
+    "q108_stratified_weighted": {"priority"},  # r6same (pow of hash/2^60)
+    "q10_rollup_revenue": {"sum_bal"},  # money2
+    "q111_top_rev_supplier": {"total_rev"},  # money2
+    "q113_idle_rich_customers": {"totacctbal"},  # money2
+    "q116_frame_embedding": {"pooled"},  # ieee (integer-derived cells /1000, mean r6same)
+    "q118_cheapest_supplier": {"best_price"},  # raw (min pick)
+    "q119_window_family": {"prnk", "cdist"},  # ieee (exact rationals k/n)
+    "q11_orders_by_month": {"sum_price"},  # money2
+    "q121_transform_state": {"max_value"},  # raw (max pick)
+    "q122_unpivot": {"price"},  # raw
+    "q123_dynamic_session": {"sum_value"},  # sum6
+    "q124_stream_dynamic_session": {"sum_value"},  # sum6
+    "q127_trigram_ppl": {"xent", "ppl"},  # r6same (LM chain, same order)
+    "q128_pq_adc": {"adc", "exact_dist"},  # r6same (4-term LUT sum, same order)
+    "q129_nb_langid": {"margin"},  # r6same (NB log-odds, same order)
+    "q130_training_manifest": {"ppl"},  # r6same (q127's column)
+    "q131_dsir_weights": {"logw", "logw_per_ngram"},  # r6same
+    "q132_temperature_mix": {"p", "q"},  # r6same
+    "q133_bm25_topk": {"score"},  # r6same (BM25, same term order)
+    "q135_semantic_dedup": {"max_sim_lower"},  # r6same
+    "q139_hard_negatives": {"sim"},  # r6same
+    "q140_winnow_fingerprints": {"overlap"},  # r6same
+    "q141_jl_projection": {"d2_orig", "d2_proj", "distortion"},  # r6same
+    "q142_gopher_rules": {"mean_word_len", "alpha_frac", "symbol_frac"},  # r6same
+    "q143_shingle_containment": {"containment"},  # r6same (inter/n_src)
+    "q145_embedding_outliers": {"dist", "z"},  # r6same
+    "q148_zipf_fit": {"slope", "intercept", "r2"},  # r6same (closed-form OLS, same sums)
+    "q149_kn_bigram": {"p_kn", "p_cont"},  # r6same
+    "q150_unimax_mix": {"epochs"},  # r6same
+    "q151_hybrid_rrf": {"rrf"},  # r6same (Σ 1/(60+rank), same order)
+    "q152_bucketed_join": {"revenue"},  # money2
+    "q153_partition_prune": {"total_value"},  # money2
+    "q156_embedding_whiten": {"z"},  # r6same
+    "q159_prefix_filter_join": {"jaccard"},  # r6same (inter/union of ints)
+    "q15_quality_score": {"stop_ratio", "quality"},  # r6same (the q15 formula)
+    "q160_stopword_discovery": {"idf"},  # r6same (ln(N/df))
+    "q161_ppl_buckets": {"ppl"},  # r6same
+    "q162_dup_weights": {"weight", "w_norm"},  # r6same (1/size, /Σ)
+    "q163_compaction": {"total_value"},  # money2
+    "q168_source_kl": {"kl"},  # r6same (count-ratio KL, same term order)
+    "q169_epoch_expansion": {"epochs"},  # r6same (q150's column)
+    "q174_mergeable_stats": {"mean_chars", "var_chars"},  # r6same (closed-form moments of exact int sums)
+    "q177_retrieve_rerank": {"cos_score"},  # r6same
+    "q182_source_minhash": {"est_jaccard", "jaccard"},  # r6same (matches/k of ints)
+    "q183_ivfpq": {"adc", "exact_dist"},  # r6same
+    "q184_moore_lewis": {"xent_in", "xent_gen", "ml_score"},  # r6same
+    "q185_stream_monitor": {"p50_est", "p95_est", "p50_exact", "p95_exact"},  # raw (rank/sketch picks of stored values)
+    "q190_gate_agreement": {"agree_frac", "kappa"},  # ieee (small-int rationals, single divisions)
+    "q192_embedding_decon": {"best_sim"},  # r6same
+    "q193_bootstrap_ci": {"mean_nchars", "boot_se", "ci_lo", "ci_hi"},  # r6same (same resample arithmetic)
+    "q198_minhash_error": {"est_jaccard", "mean_abs_err", "max_abs_err"},  # r6same
+    "q201_composition_chi2": {"expected", "chi2_cell"},  # ieee (int-ratio expected, one square/divide)
+    "q204_good_turing": {"r_star", "prob_mass", "p0"},  # ieee (single divisions of exact int counts)
+    "q206_mcnemar_gates": {"mcnemar_chi2"},  # ieee ((b−c)²/(b+c) on small ints)
+    "q21_ngram_jaccard": {"jaccard"},  # r6same
+    "q22_minhash_lsh": {"est_jaccard", "jaccard"},  # r6same
+    "q237_decay_counts": {"decayed_count"},  # r6same (count·2^(−age/hl), same order)
+    "q241_pc1_power": {"pc1"},  # r6same (per-round r6 absorbs order drift)
+    "q24_cosine_topk": {"sim"},  # r6same
+    "q25_ivf_topk": {"sim"},  # r6same
+    "q261_interarrival": {"mean_gap_s"},  # ieee (int µs sum / count, one divide)
+    "q26_embedding_neardup": {"sim"},  # r6same
+    "q274_neardup_anatomy": {"jaccard"},  # r6same
+    "q278_cosine_histogram": {"bin_lo"},  # ieee (fixed bin edge from the int bin index)
+    "q27_tumbling_window": {"sum_value"},  # sum6
+    "q282_review_batch": {"jaccard"},  # r6same
+    "q28_sliding_window": {"sum_value"},  # sum6
+    "q29_sessionize": {"sum_value"},  # sum6
+    "q303_kmv_error": {"kmv_estimate"},  # ieee ((k−1)·2^60/h_k, exact int inputs)
+    "q30_asof_join": {"value", "prior_error_value"},  # raw
+    "q32_stream_tumbling": {"sum_value"},  # sum6
+    "q33_multimodal_decode": {"f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"},  # ieee (integer-hash-derived /1000)
+    "q346_weighted_jaccard": {"jaccard", "wjaccard"},  # r6same (Σmin/Σmax of ints)
+    "q36_salted_join": {"sum_price"},  # money2
+    "q410_value_five_point": {"min_value", "p25_value", "p50_value", "p75_value", "max_value"},  # raw (rank-statistic picks)
+    "q418_kmv_set_algebra": {"est_a", "est_b", "est_union", "est_inter"},  # ieee (KMV closed form on exact ints)
+    "q42_distribution_stats": {"qty_p25", "qty_p50", "qty_p75", "price_stddev", "price_disc_corr"},  # r6same (percentile_cont interpolation + r6 moments)
+    "q43_cube": {"sum_qty"},  # money2
+    "q47_stream_sessionize": {"sum_value"},  # sum6
+    "q58_kmv_distinct": {"kmv_estimate"},  # ieee
+    "q61_full_outer": {"sum_price"},  # money2
+    "q62_pivot_api": {"price_f", "price_o", "price_p"},  # money2
+    "q64_fused_text_stats": {"quality"},  # r6same (fused expr pinned ≡ column form by spec)
+    "q67_lag_lead": {"prev_value", "next_value", "secs_since_prev", "moving_avg3"},  # raw + ieee (lag picks; 3-term window mean r6)
+    "q68_grouping_sets": {"sum_qty"},  # money2
+    "q69_label_centroids": {"centroid_val"},  # r6same
+    "q70_lsh_neardup": {"sim"},  # r6same
+    "q74_tfidf_terms": {"tfidf"},  # r6same
+    "q76_bloom_semi_join": {"revenue"},  # money2
+    "q77_stream_static_join": {"sum_value"},  # sum6
+    "q79_rolling_hour": {"sum_1h"},  # sum6
+    "q80_lang_percentiles": {"p25", "p50", "p75"},  # ieee (percentile_cont, same interpolation formula)
+    "q84_bigram_lm": {"p"},  # ieee (count ratio, one divide)
+    "q86_pagerank": {"rank"},  # r6same (final r6 absorbs 8-round drift)
+    "q87_session_window": {"sum_value"},  # sum6
+    "q90_cdc_apply": {"balance"},  # sum6 (applied-delta sum)
+    "q91_bigram_xent": {"xent"},  # r6same
+    "q93_kmeans": {"dist"},  # r6same
+    "q94_int8_quant": {"rmse", "max_abs_err"},  # r6same
+    "q97_weighted_sample": {"priority"},  # r6same (same pow formula as q108)
+    "q99_pmi": {"pmi"},  # r6same
 }
 
 
