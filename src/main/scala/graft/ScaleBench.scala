@@ -331,7 +331,7 @@ object ScaleBench {
       .cdcChunkDedupFrom(docs)
       .agg(
         count(lit(1)).as("n"),
-        avg(col("dup_token_frac")).as("mean_dup"))
+        avg(col("dup_token_ppm").cast("double") / 1e6).as("mean_dup"))
       .collect()(0)
     val cdcSec = (System.nanoTime() - tCdc) / 1e9
     require(cdcAgg.getLong(0) == nDocs, s"CDC rows: ${cdcAgg.getLong(0)}")

@@ -1185,6 +1185,13 @@ object SparkEntry {
     "q477_hits_copyflow" -> (Communities.hitsCopyFlow _),
     // Newman modularity of the q475 LP partition, exact micro units.
     "q478_lp_modularity" -> (Communities.lpModularity _),
+    // Ordered view→click→purchase funnel with step-over-step ppm.
+    "q479_ordered_funnel" -> (Events.orderedFunnel _),
+    // CC component → # LP communities fragmentation histogram.
+    "q480_partition_fragmentation" ->
+      (Communities.partitionFragmentation _),
+    // Greedy 3-source max-coverage over distinct shingles.
+    "q481_greedy_source_cover" -> (Communities.greedySourceCover _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -13745,6 +13752,92 @@ object SparkEntry {
          FROM mem
          LEFT JOIN ds USING (community)
          LEFT JOIN ein USING (community), mm""",
+    // q479: the identical strictly-after min chain; step-over-step
+    // conversion ppm with the greatest(·,1) zero-denominator guard.
+    "q479_ordered_funnel" ->
+      s"""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN t1 ON e.user_id = t1.user_id
+                AND e.ts > t1.t1
+              WHERE e.event_type = 'click' GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN t2 ON e.user_id = t2.user_id
+                AND e.ts > t2.t2
+              WHERE e.event_type = 'purchase' GROUP BY 1),
+         c AS (SELECT
+             (SELECT count(DISTINCT user_id) FROM events) AS n0,
+             (SELECT count(*) FROM t1) AS n1,
+             (SELECT count(*) FROM t2) AS n2,
+             (SELECT count(*) FROM t3) AS n3)
+         SELECT '0_users' AS step, n0::BIGINT AS n_users,
+           1000000::BIGINT AS conv_ppm FROM c
+         UNION ALL SELECT '1_view', n1::BIGINT,
+           ${sqlMicroRatio("n1", "greatest(n0, 1)")} FROM c
+         UNION ALL SELECT '2_click', n2::BIGINT,
+           ${sqlMicroRatio("n2", "greatest(n1, 1)")} FROM c
+         UNION ALL SELECT '3_purchase', n3::BIGINT,
+           ${sqlMicroRatio("n3", "greatest(n2, 1)")} FROM c""",
+    // q480: min-label reach over the same sym graph = the CC labels;
+    // LP labels from the shared chain; two rollups.
+    "q480_partition_fragmentation" ->
+      s"""WITH RECURSIVE $lpChainCtes,
+         nd AS (SELECT DISTINCT a AS id FROM sym),
+         reach(a, b) AS (
+           SELECT id, id FROM nd
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         cc AS (SELECT a AS id, min(b) AS component
+                FROM reach GROUP BY 1),
+         f AS (SELECT cc.component,
+                 count(DISTINCT l3.lab)::BIGINT AS n_lp_communities,
+                 count(*)::BIGINT AS n_members
+               FROM cc JOIN l3 ON cc.id = l3.id
+               GROUP BY 1)
+         SELECT n_lp_communities,
+           count(*)::BIGINT AS n_components,
+           sum(n_members)::BIGINT AS n_docs
+         FROM f GROUP BY 1""",
+    // q481: three unrolled greedy rounds over the DISTINCT
+    // (source, shingle) frame, (gain DESC, source ASC) argmax.
+    "q481_greedy_source_cover" ->
+      s"""WITH $shinglesCte,
+         sp AS MATERIALIZED (
+           SELECT DISTINCT d2.source, x.s
+           FROM (SELECT doc_id, unnest(sh) AS s FROM d) x
+           JOIN documents d2 USING (doc_id)),
+         g1 AS (SELECT source, count(*) AS g FROM sp GROUP BY 1),
+         p1 AS MATERIALIZED (SELECT source, g FROM g1
+               ORDER BY g DESC, source ASC LIMIT 1),
+         c1 AS MATERIALIZED (SELECT DISTINCT s FROM sp
+               WHERE source IN (SELECT source FROM p1)),
+         g2 AS (SELECT source, count(*) AS g FROM sp
+               WHERE source NOT IN (SELECT source FROM p1)
+                 AND s NOT IN (SELECT s FROM c1)
+               GROUP BY 1),
+         p2 AS MATERIALIZED (SELECT source, g FROM g2
+               ORDER BY g DESC, source ASC LIMIT 1),
+         c2 AS MATERIALIZED (
+           SELECT s FROM c1
+           UNION
+           SELECT s FROM sp WHERE source IN (SELECT source FROM p2)),
+         g3 AS (SELECT source, count(*) AS g FROM sp
+               WHERE source NOT IN (SELECT source FROM p1)
+                 AND source NOT IN (SELECT source FROM p2)
+                 AND s NOT IN (SELECT s FROM c2)
+               GROUP BY 1),
+         p3 AS MATERIALIZED (SELECT source, g FROM g3
+               ORDER BY g DESC, source ASC LIMIT 1),
+         c3 AS MATERIALIZED (
+           SELECT s FROM c2
+           UNION
+           SELECT s FROM sp WHERE source IN (SELECT source FROM p3))
+         SELECT 1::BIGINT AS round, source, g::BIGINT AS gain,
+           (SELECT count(*) FROM c1)::BIGINT AS cum_covered FROM p1
+         UNION ALL SELECT 2::BIGINT, source, g::BIGINT,
+           (SELECT count(*) FROM c2)::BIGINT FROM p2
+         UNION ALL SELECT 3::BIGINT, source, g::BIGINT,
+           (SELECT count(*) FROM c3)::BIGINT FROM p3""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -311,4 +311,106 @@ object Communities {
       Seq((-1L, 0L, nTotal - assigned)).toDF("cluster", "n_core", "n_border")
     )
   }
+
+  /** q480: partition fragmentation census — for every connected
+    * component of the J ≥ 0.5 near-dup graph, how many q475 LP
+    * communities it splits into, rolled up as (n_lp_communities →
+    * component count, doc mass). The head-to-head between the two
+    * cluster notions on the SAME graph: a histogram massed at 1 says
+    * reachability ≡ density and CC dedup is safe; mass at ≥ 2 is
+    * exactly the chain-of-borderline-matches population where
+    * transitive closure over-merges and a dedup policy should drop to
+    * community granularity before deleting whole components.
+    *
+    * Scale: CC is the pointer-doubling operator, LP the bounded-round
+    * engine — both one row per node; the census is two aggregates on
+    * the label join.
+    */
+  def partitionFragmentation(spark: SparkSession, dir: String): DataFrame = {
+    val sym = nearDupSym(spark, dir)
+    val lp = lpLabelsFrom(sym, rounds = 3)
+    val nodes = sym.select(col("a").as("id")).distinct()
+    val edges = sym
+      .filter(col("a") < col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val cc = ConnectedComponents.run(nodes, edges)
+    cc.join(lp, Seq("id"))
+      .groupBy(col("label").as("component"))
+      .agg(
+        countDistinct(col("lab")).as("n_lp_communities"),
+        count(lit(1)).as("n_members")
+      )
+      .groupBy(col("n_lp_communities"))
+      .agg(
+        count(lit(1)).as("n_components"),
+        sum(col("n_members")).as("n_docs")
+      )
+  }
+
+  /** q481: greedy maximum-coverage source selection — pick 3 sources
+    * that greedily maximize the union of distinct 3-gram shingles
+    * covered, emitting per round the chosen source, its marginal gain
+    * and the cumulative coverage. The classic (1 − 1/e) greedy for
+    * submodular coverage (Nemhauser/Wolsey/Fisher 1978) — the
+    * acquisition-budget question "which three dumps buy the most
+    * distinct content" that per-source totals (q219's first-owner
+    * attribution answers arrival order, not OPTIMIZED order) cannot:
+    * the second pick must discount everything the first already
+    * covers. Ties break (gain DESC, source ASC) so the sweep is
+    * deterministic and the DuckDB oracle unrolls the same 3 rounds.
+    *
+    * Scale: the (source, shingle) DISTINCT frame is derived once and
+    * cached; each round is one anti-join against the covered set +
+    * one |sources|-row aggregate + a 1-row argmax to the driver —
+    * round count is the budget k, never data-dependent.
+    */
+  def greedySourceCover(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val sp = Tables
+      .documents(spark, dir)
+      .select(col("source"), explode(shingles(col("text"), 3)).as("s"))
+      .distinct()
+      .cacheTracked()
+    var covered: DataFrame = null
+    var picked = List.empty[String]
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= 3 && !exhausted) {
+      val fresh =
+        if (covered == null) sp
+        else sp.join(covered, Seq("s"), "left_anti")
+      val cand =
+        if (picked.isEmpty) fresh
+        else fresh.filter(!col("source").isin(picked: _*))
+      // a source with zero fresh shingles never appears in the gain
+      // frame, so an empty argmax means NO remaining source adds
+      // coverage — stop, emitting no row (the oracle's round CTE is
+      // empty in exactly this case)
+      val top = cand
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val src = top(0).getString(0)
+        val gain = top(0).getLong(1)
+        picked = src :: picked
+        val ownShingles = sp
+          .filter(col("source") === src)
+          .select(col("s"))
+        covered =
+          (if (covered == null) ownShingles
+           else covered.unionByName(ownShingles).distinct())
+            .localCheckpoint(true)
+        rows += ((r.toLong, src, gain, covered.count()))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("round", "source", "gain", "cum_covered")
+  }
 }

@@ -1219,7 +1219,7 @@ object Dedup {
     * corpus-wide FIRST occurrence (min (doc_id, seg_idx)) of its
     * segment hash — boilerplate (headers, templated chrome) survives
     * once and is stripped everywhere else. Output is per-doc
-    * retention: (doc_id, n_segs, n_kept, frac_kept).
+    * retention: (doc_id, n_segs, n_kept, kept_ppm).
     *
     * Unlike q96 (overlapping 8-token span FAMILIES, a detector), this
     * is the remover: a partition of each doc into disjoint segments

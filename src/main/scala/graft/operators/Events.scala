@@ -2774,4 +2774,55 @@ object Events {
           (col("m_wd_h2") - col("m_wd_h1"))).as("did_micro")
       )
   }
+
+  /** q479: ordered conversion funnel view → click → purchase — the
+    * sequential-pattern census the flat per-type counts (q01-family)
+    * and first-touch cohorts (q432) cannot express: a user counts at
+    * step 2 only with a click STRICTLY AFTER their first view, and at
+    * step 3 only with a purchase strictly after that click. Emits one
+    * row per step with the user count and the step-over-step
+    * conversion in exact ppm — the product funnel every growth
+    * dashboard opens with, defined so reordering events can only
+    * reduce it (a purchase before any view is window shopping
+    * attribution, not conversion).
+    *
+    * Scale: three (user-keyed aggregate + join) rounds over one
+    * cached narrow projection — each step's frame is one row per
+    * surviving user, never the event log; counts are scalar actions.
+    */
+  def orderedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .cacheTracked()
+    val t1 = ev
+      .filter(col("event_type") === "view")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t1"))
+    val t2 = ev
+      .filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t2"))
+    val t3 = ev
+      .filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t3"))
+    val n0 = ev.select(col("user_id")).distinct().count()
+    val n1 = t1.count()
+    val n2 = t2.count()
+    val n3 = t3.count()
+    def ppm(a: Long, b: Long): Long =
+      (2 * a * 1000000L + math.max(b, 1L)) / (2 * math.max(b, 1L))
+    import spark.implicits._
+    Seq(
+      ("0_users", n0, 1000000L),
+      ("1_view", n1, ppm(n1, n0)),
+      ("2_click", n2, ppm(n2, n1)),
+      ("3_purchase", n3, ppm(n3, n2))
+    ).toDF("step", "n_users", "conv_ppm")
+  }
 }

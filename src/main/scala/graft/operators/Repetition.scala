@@ -24,14 +24,14 @@ object Repetition {
 
   /** q195: per-document n-gram repetition stats — the within-doc
     * duplication signals a quality battery cuts on:
-    *   - dup_token_frac: 1 − distinct/total tokens (token-level
-    *     duplication; 0 for empty docs),
-    *   - top_bigram_frac: tokens covered by the most frequent word
+    *   - dup_token_ppm: 1 − distinct/total tokens (token-level
+    *     duplication; 0 for empty docs), exact half-up ppm,
+    *   - top_bigram_ppm: tokens covered by the most frequent word
     *     bigram (2·max-count/total — only the max matters, so ties
-    *     need no ordering),
-    *   - dup_trigram_frac: fraction of trigram OCCURRENCES whose
-    *     trigram appears ≥ 2 times in the doc.
-    * keep = all three under the (0.7, 0.2, 0.3) cuts.
+    *     need no ordering), exact ppm,
+    *   - dup_trigram_ppm: share of trigram OCCURRENCES whose
+    *     trigram appears ≥ 2 times in the doc, exact ppm.
+    * keep = all three under the (700000, 200000, 300000) ppm cuts.
     *
     * Scale: the token stats are in-row expressions; the bigram and
     * trigram passes are per-doc hash aggregates over exploded grams —
