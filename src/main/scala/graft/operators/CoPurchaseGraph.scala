@@ -173,6 +173,11 @@ object CoPurchaseGraph {
     // never recomputed by re-wedging (the standard truss-peel
     // optimization; at 100 TB the re-wedge would dominate every
     // round, the kill join is bounded by the peeled set).
+    // cacheTracked, not an eager checkpoint: the first support pass
+    // materializes the wedge join AND aggregates it in one action
+    // (an eager checkpoint would run the join once extra just to
+    // store it); each round's kill result is cached the same way, so
+    // the effective lineage depth stays one round
     var tri = triangles(edges)
       .select(
         least(col("src"), col("x")).as("u1"),
@@ -182,7 +187,7 @@ object CoPurchaseGraph {
         col("x").as("u3"),
         col("y").as("v3")
       )
-      .localCheckpoint(true)
+      .cacheTracked()
     def support(t: DataFrame): DataFrame = t
       .select(
         explode(
@@ -229,7 +234,7 @@ object CoPurchaseGraph {
             .join(
               frontier.select(col("u").as("u3"), col("v").as("v3")),
               Seq("u3", "v3"), "left_anti")
-            .localCheckpoint(true)
+            .cacheTracked()
           sup = support(tri).localCheckpoint(true)
         }
       }
