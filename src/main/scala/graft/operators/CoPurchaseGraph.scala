@@ -224,6 +224,7 @@ object CoPurchaseGraph {
           val frontier = sup
             .filter(col("support") === 1L)
             .select(col("u"), col("v"))
+          val prevTri = tri
           tri = tri
             .join(
               frontier.select(col("u").as("u1"), col("v").as("v1")),
@@ -236,6 +237,12 @@ object CoPurchaseGraph {
               Seq("u3", "v3"), "left_anti")
             .cacheTracked()
           sup = support(tri).localCheckpoint(true)
+          // the eager checkpoint above is the action that materializes
+          // the new round's tri cache; the superseded triangle frame
+          // is never read again — release it now instead of holding
+          // peelRounds+1 copies of the (large) triangle set for the
+          // query's lifetime
+          prevTri.unpersist(blocking = false)
         }
       }
     }

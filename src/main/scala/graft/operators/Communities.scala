@@ -110,6 +110,18 @@ object Communities {
       .join(lab.select(col("id").as("b"), col("lab").as("lb")), Seq("b"))
       .localCheckpoint(true)
     val m = withLabs.count()
+    // The micro-unit numerator is bounded by 4·m·e_c·10⁶ ≤ 4·m²·10⁶
+    // (e_c ≤ m, and deg_sum² ≤ 4m² is smaller): signed-64 safe only
+    // while m ≤ 1.5·10⁶ edges. Fail loudly at the cliff instead of
+    // silently wrapping — the 100 TB escape hatch is the normalized
+    // double form (rank-identical, documented above), switched
+    // deliberately, not by overflow.
+    require(
+      m <= 1500000L,
+      s"lpModularity: $m edges exceeds the 1.5M-edge BIGINT-exact " +
+        "bound for micro-unit contributions (4·m²·10⁶ would overflow " +
+        "signed 64-bit); use the normalized double form at this scale"
+    )
     val eIn = withLabs
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("community"))
@@ -156,12 +168,39 @@ object Communities {
     * Scale: each half-round is one edge⋈score join + one aggregate
     * (keyed shuffles); scores are one row per node, checkpointed.
     */
-  def hitsCopyFlow(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup
-      .ngramJaccardPairs(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint(true)
+  def hitsCopyFlow(spark: SparkSession, dir: String): DataFrame =
+    hitsFrom(
+      Dedup
+        .ngramJaccardPairs(spark, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    )
+
+  /** The integer HITS engine behind [[hitsCopyFlow]], seamed on the
+    * directed (src, dst) edge frame so ScaleBench can drive it on
+    * adversarial synthetic graphs. Guards the documented BIGINT
+    * bound: after 4 un-normalized rounds scores are bounded by
+    * (max degree)⁸, so max in/out degree must stay ≤ 200 (200⁸ =
+    * 2.56·10¹⁸ < 2⁶³) — one cheap aggregate on the checkpointed edge
+    * frame enforces it, turning the documented fallback decision
+    * (switch to the L1-normalized double form, rank-identical) from
+    * a silent wrap into a loud error.
+    */
+  def hitsFrom(edges: DataFrame): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    val maxDeg = e
+      .select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("d"))
+      .agg(max(col("d")))
+      .head()
+      .getLong(0)
+    require(
+      maxDeg <= 200L,
+      s"hitsFrom: max degree $maxDeg exceeds the 200-degree bound " +
+        "for 4 un-normalized BIGINT rounds (scores grow as deg⁸); " +
+        "use the L1-normalized double form at this density"
+    )
     val nodes = e
       .select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
