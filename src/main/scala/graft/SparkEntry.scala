@@ -1192,6 +1192,8 @@ object SparkEntry {
       (Communities.partitionFragmentation _),
     // Greedy 3-source max-coverage over distinct shingles.
     "q481_greedy_source_cover" -> (Communities.greedySourceCover _),
+    // Bounded densest-subgraph peel (deg·n <= 3·m, 6 rounds, best flag).
+    "q482_densest_subgraph" -> (Relational.densestSubgraphCensus _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -1645,6 +1647,53 @@ object SparkEntry {
             GROUP BY 1, 2) g
          WHERE s >= $thr)""")
     }
+    sb.toString
+  }
+
+  /** Chained CTEs for q482's bounded densest-subgraph peel: e0/s0 =
+    * the canonical co-purchase edge set with its (n, m) stats, then
+    * `rounds` batch-peel rounds — round r keeps exactly the nodes
+    * with deg·n_r > 3·m_r (the ε = 1/2 Bahmani threshold, exact
+    * integers) and re-induces the edge set — the identical rounds
+    * Spark's densestSubgraphPeel runs. AS MATERIALIZED is
+    * load-bearing: every round reads its predecessor's edge set
+    * three times (degree census + both IN probes) and the final
+    * union reads every round's stats.
+    */
+  private def densestPeelCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+         FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         FROM op a JOIN op b USING (l_orderkey)
+         WHERE a.l_partkey < b.l_partkey),
+       s0 AS MATERIALIZED (SELECT
+         (SELECT count(*) FROM (SELECT u AS id FROM e0
+            UNION SELECT v FROM e0) t) AS n,
+         (SELECT count(*) FROM e0) AS m)""")
+    for (r <- 0 until rounds) {
+      sb.append(s""",
+       d$r AS (SELECT id, count(*) AS dg FROM
+           (SELECT u AS id FROM e$r UNION ALL SELECT v FROM e$r) t
+         GROUP BY 1),
+       k$r AS MATERIALIZED (SELECT id FROM d$r, s$r
+         WHERE dg * s$r.n > 3 * s$r.m),
+       e${r + 1} AS MATERIALIZED (SELECT u, v FROM e$r
+         WHERE u IN (SELECT id FROM k$r)
+           AND v IN (SELECT id FROM k$r)),
+       s${r + 1} AS MATERIALIZED (SELECT
+         (SELECT count(*) FROM k$r) AS n,
+         (SELECT count(*) FROM e${r + 1}) AS m)""")
+    }
+    sb.append(s""",
+       peel_rows AS (
+         ${(0 to rounds)
+        .map(r => s"SELECT $r AS round, n, m FROM s$r WHERE n > 0")
+        .mkString("\n         UNION ALL ")}),
+       peel_scored AS (SELECT round::BIGINT AS round, n::BIGINT AS n_nodes,
+         m::BIGINT AS n_edges, ${sqlMicroRatio("m", "n")} AS density_micro
+         FROM peel_rows)""")
     sb.toString
   }
 
@@ -13838,6 +13887,16 @@ object SparkEntry {
            (SELECT count(*) FROM c2)::BIGINT FROM p2
          UNION ALL SELECT 3::BIGINT, source, g::BIGINT,
            (SELECT count(*) FROM c3)::BIGINT FROM p3""",
+    // q482: the identical 6 unrolled batch-peel rounds; is_best
+    // decided on the emitted micro value (density DESC, round ASC)
+    // exactly as the Spark driver does.
+    "q482_densest_subgraph" ->
+      s"""${densestPeelCtes(6)}
+         SELECT round, n_nodes, n_edges, density_micro,
+           (CASE WHEN row_number() OVER
+              (ORDER BY density_micro DESC, round ASC) = 1
+            THEN 1 ELSE 0 END)::BIGINT AS is_best
+         FROM peel_scored""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

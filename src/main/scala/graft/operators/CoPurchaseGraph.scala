@@ -251,6 +251,90 @@ object CoPurchaseGraph {
       .toDF("truss_k", "n_edges")
   }
 
+  /** Bounded densest-subgraph peel — Charikar's greedy 2-approximation
+    * (Charikar, APPROX 2000) in its MapReduce batch form (Bahmani,
+    * Kumar & Vassilvitskii, "Densest subgraph in streaming and
+    * MapReduce", VLDB 2012): instead of removing ONE minimum-degree
+    * node per step (O(n) sequential rounds), each round removes EVERY
+    * node whose degree is ≤ 2(1+ε) times the current average density
+    * — with ε = 1/2 the threshold is deg ≤ 3·m/n, checked in exact
+    * integers as deg·n ≤ 3·m, and the round count drops to
+    * O(log n / ε) for a 2(1+ε)-approximation of the maximum-density
+    * subgraph. The canonical "find the spam/template farm" operator:
+    * the best-density prefix of the peel is the near-clique core the
+    * pairwise operators (triangles → support → truss) circle but
+    * never rank.
+    *
+    * Contract mirrors [[boundedTrussClasses]]: the round cap is part
+    * of the operator (the DuckDB oracle unrolls identical rounds);
+    * one row per surviving round r = 0..rounds with the state BEFORE
+    * that round's peel — n_nodes, n_edges, density_micro =
+    * half-up(m·10⁶/n) — and is_best = 1 on the densest emitted round
+    * (ties → earliest round), decided on the EMITTED micro value so
+    * both engines agree mechanically. Rounds after the graph empties
+    * emit nothing.
+    *
+    * Scale: each round is one degree aggregate + two semi-joins of
+    * the edge frame against the survivor set — keyed shuffles only,
+    * never a wedge join; driver state is two scalars per round; the
+    * superseded edge cache is released as soon as the next round's
+    * (eagerly checkpointed) edge set materializes. Every graph has a
+    * node of degree ≤ 2m/n < 3m/n, so each round peels a constant
+    * fraction — the hub-adversarial ScaleBench row pins that a
+    * planted clique survives a 1M-spoke star in these few rounds.
+    */
+  def densestSubgraphPeel(
+      spark: SparkSession,
+      edges: DataFrame,
+      rounds: Int
+  ): DataFrame = {
+    var e = edges.localCheckpoint(true)
+    var n = e
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct()
+      .count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var r = 0L
+    var done = n == 0L
+    while (r <= rounds && !done) {
+      val m = e.count()
+      // half-up(m·10⁶/n): the Scala twin of sqlMicroRatio, n > 0
+      out += ((r, n, m, (2L * m * 1000000L + n) / (2L * n)))
+      if (r < rounds) {
+        val deg = e
+          .select(explode(array(col("u"), col("v"))).as("id"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("deg"))
+        // survivors: deg·n > 3·m (isolated and below-average-ish
+        // nodes peel; a deg-0 node never reaches the deg frame and
+        // is peeled implicitly)
+        val keep = deg
+          .filter(col("deg") * lit(n) > lit(3L) * lit(m))
+          .select(col("id"))
+          .localCheckpoint(true)
+        val nNext = keep.count()
+        if (nNext == 0L) done = true
+        else {
+          val prevE = e
+          e = e
+            .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+            .localCheckpoint(true)
+          prevE.unpersist(blocking = false)
+          n = nNext
+        }
+      }
+      r += 1
+    }
+    val best = out.maxBy { case (rr, _, _, micro) => (micro, -rr) }._1
+    import spark.implicits._
+    out.toSeq
+      .map { case (rr, nn, mm, micro) =>
+        (rr, nn, mm, micro, if (rr == best) 1L else 0L)
+      }
+      .toDF("round", "n_nodes", "n_edges", "density_micro", "is_best")
+  }
+
   /** BFS level histogram over a caller-prepared symmetric (src, dst)
     * frame — frontier expansion from `seed`, `maxHops`-capped,
     * unreached nodes at level −1; the engine behind q465 and the

@@ -1174,4 +1174,22 @@ object Relational {
       CoPurchaseGraph.edges(spark, dir),
       peelRounds = 4
     )
+
+  /** q482: bounded densest-subgraph peel over the co-purchase graph —
+    * the greedy 2(1+ε)-approximation (ε = 1/2, threshold deg·n ≤ 3·m)
+    * of [[CoPurchaseGraph.densestSubgraphPeel]] with 6 peel rounds,
+    * emitting each surviving round's (n_nodes, n_edges,
+    * density_micro) and flagging the densest prefix. Completes the
+    * cohesion ladder q445 (triangles) → q460 (support) → q474 (truss
+    * classes) → densest core: the truss answers "which edges survive
+    * mutual reinforcement", the peel answers "which NODE SET is the
+    * densest farm" — and its best prefix is what a dedup/spam policy
+    * actually quarantines.
+    */
+  def densestSubgraphCensus(spark: SparkSession, dir: String): DataFrame =
+    CoPurchaseGraph.densestSubgraphPeel(
+      spark,
+      CoPurchaseGraph.edges(spark, dir),
+      rounds = 6
+    )
 }

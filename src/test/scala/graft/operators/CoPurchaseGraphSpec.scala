@@ -95,6 +95,43 @@ class CoPurchaseGraphSpec extends AnyFunSuite {
     assert(a.sortBy(_.getLong(0)) == b.sortBy(_.getLong(0)))
   }
 
+  test("densestSubgraphPeel: star peels away, clique core survives") {
+    import spark.implicits._
+    // hub 0 with spokes 1..20 (deg 1) plus a disjoint K5 on 100..104
+    val star = (1L to 20L).map(i => (0L, i))
+    val k5 = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)
+    val got = CoPurchaseGraph
+      .densestSubgraphPeel(spark, (star ++ k5).toDF("u", "v"), rounds = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+      .toSeq
+    // round 0: n=26, m=30, micro=floor((60e6+26)/52); threshold
+    // deg·26 > 90 keeps hub (20) and K5 (4), drops the spokes.
+    // round 1: hub is isolated but peels only NEXT round — n=6,
+    // m=10; threshold deg·6 > 30 keeps nobody → loop ends, and the
+    // best density is the round-1 core.
+    assert(got == Seq(
+      (0L, 26L, 30L, 1153846L, 0L),
+      (1L, 6L, 10L, 1666667L, 1L)
+    ))
+  }
+
+  test("densestSubgraphPeel: single round, is_best on the only row") {
+    import spark.implicits._
+    // K4: every deg 3, 3·4 = 12 <= 3·6 = 18 → everything peels in
+    // round 0's peel, so only the round-0 row is emitted and flagged
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val got = CoPurchaseGraph
+      .densestSubgraphPeel(spark, k4.toDF("u", "v"), rounds = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == Seq((0L, 4L, 6L, 1500000L, 1L)))
+  }
+
   test("bfsLevelHistogram: chain levels, disconnected at -1, hop cap") {
     import spark.implicits._
     // path 0-1-2-3 plus disconnected pair 10-11
