@@ -1194,6 +1194,8 @@ object SparkEntry {
     "q481_greedy_source_cover" -> (Communities.greedySourceCover _),
     // Bounded densest-subgraph peel (deg·n <= 3·m, 6 rounds, best flag).
     "q482_densest_subgraph" -> (Relational.densestSubgraphCensus _),
+    // Personalized PageRank from the q73 contamination seeds (8 rounds).
+    "q483_contamination_ppr" -> (PageRank.contaminationPpr _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -13887,6 +13889,63 @@ object SparkEntry {
            (SELECT count(*) FROM c2)::BIGINT FROM p2
          UNION ALL SELECT 3::BIGINT, source, g::BIGINT,
            (SELECT count(*) FROM c3)::BIGINT FROM p3""",
+    // q483: the identical 8 personalized power-iteration rounds —
+    // teleport (1.0-0.85)/k over the q73 seed set (5-gram eval
+    // overlap, restricted to graph nodes), ranks carried sparsely
+    // (only reached nodes, stitched by FULL JOIN with the teleport).
+    "q483_contamination_ppr" -> {
+      val pprCtes = (1 to 8)
+        .map(i => s"""c$i AS (
+           SELECT s.b AS node, 0.85 * sum(p.r / dg.d) AS cs
+           FROM sym s
+           JOIN p${i - 1} p ON s.a = p.node
+           JOIN deg dg ON s.a = dg.a
+           GROUP BY s.b),
+         p$i AS MATERIALIZED (
+           SELECT coalesce(c.node, t.node) AS node,
+             coalesce(c.cs, 0) + coalesce(t.t, 0) AS r
+           FROM c$i c
+           FULL JOIN (SELECT id AS node,
+               (1.0 - 0.85) / (SELECT k FROM ns) AS t FROM seeds) t
+             ON c.node = t.node)""")
+        .mkString(",\n         ")
+      s"""WITH $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
+                WHERE len(sh) > 0),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  count(*) AS inter,
+                  any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+                FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         ed AS (SELECT doc_a, doc_b FROM pr
+                WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.05),
+         sym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ed
+                 UNION ALL SELECT doc_b, doc_a FROM ed),
+         deg AS MATERIALIZED (SELECT a, count(*) AS d FROM sym GROUP BY a),
+         d5 AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(len(toks) - 4),
+               i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                 || ' ' || toks[i+4] || ' ' || toks[i+5])) AS sh
+           FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+                 FROM documents) t
+           WHERE len(toks) >= 5),
+         ev5 AS (SELECT unnest(sh) AS s, doc_id AS eval_id FROM d5
+                WHERE doc_id % 50 = 0),
+         tr5 AS (SELECT doc_id, unnest(sh) AS s FROM d5
+                WHERE doc_id % 50 <> 0),
+         cont AS (SELECT DISTINCT tr5.doc_id FROM tr5
+                JOIN ev5 ON tr5.s = ev5.s),
+         seeds AS MATERIALIZED (SELECT doc_id AS id FROM cont
+                WHERE doc_id IN (SELECT a FROM deg)),
+         ns AS (SELECT count(*) AS k FROM seeds),
+         p0 AS (SELECT id AS node, 1.0 / (SELECT k FROM ns) AS r
+                FROM seeds),
+         $pprCtes
+         SELECT node AS doc_id, round(r, 6) AS rank FROM p8"""
+    },
     // q482: the identical 6 unrolled batch-peel rounds; is_best
     // decided on the emitted micro value (density DESC, round ASC)
     // exactly as the Spark driver does.
