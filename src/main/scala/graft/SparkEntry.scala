@@ -1196,6 +1196,8 @@ object SparkEntry {
     "q482_densest_subgraph" -> (Relational.densestSubgraphCensus _),
     // Personalized PageRank from the q73 contamination seeds (8 rounds).
     "q483_contamination_ppr" -> (PageRank.contaminationPpr _),
+    // Bottom-k (k=256) mergeable quantile sketch vs exact five-point.
+    "q484_quantile_sketch" -> (Sketches.quantileSketchAudit _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -13889,6 +13891,40 @@ object SparkEntry {
            (SELECT count(*) FROM c2)::BIGINT FROM p2
          UNION ALL SELECT 3::BIGINT, source, g::BIGINT,
            (SELECT count(*) FROM c3)::BIGINT FROM p3""",
+    // q484: the identical bottom-k sample — ORDER BY (hash60 key,
+    // value) LIMIT 256 per group replays the sketch's kept multiset
+    // exactly — next to the exact rank-window five-point; quantile
+    // rank is ceil(q·n) = (q-scaled + adjust) // denom in BIGINTs.
+    "q484_quantile_sketch" ->
+      """WITH h AS (SELECT l_returnflag AS grp,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+         sel AS (SELECT grp, v, row_number() OVER
+               (PARTITION BY grp ORDER BY h, v) AS rn FROM h),
+         samp AS (SELECT grp, list_sort(list(v)) AS vals,
+               count(*)::BIGINT AS j
+             FROM sel WHERE rn <= 256 GROUP BY grp),
+         ex AS (SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v) AS rv,
+             count(*) OVER (PARTITION BY grp) AS n FROM h),
+         exact AS (SELECT grp, any_value(n)::BIGINT AS n,
+             max(CASE WHEN rv = 1 THEN v END) AS exact_min,
+             max(CASE WHEN rv = (n+3)//4 THEN v END) AS exact_p25,
+             max(CASE WHEN rv = (n+1)//2 THEN v END) AS exact_p50,
+             max(CASE WHEN rv = (3*n+3)//4 THEN v END) AS exact_p75,
+             max(CASE WHEN rv = n THEN v END) AS exact_max
+           FROM ex GROUP BY grp)
+         SELECT e.grp AS l_returnflag, e.n, s.j,
+           e.exact_min, e.exact_p25, e.exact_p50, e.exact_p75,
+           e.exact_max,
+           s.vals[1] AS est_min,
+           s.vals[((s.j+3)//4)::INT] AS est_p25,
+           s.vals[((s.j+1)//2)::INT] AS est_p50,
+           s.vals[((3*s.j+3)//4)::INT] AS est_p75,
+           s.vals[s.j::INT] AS est_max
+         FROM samp s JOIN exact e ON s.grp = e.grp""",
     // q483: the identical 8 personalized power-iteration rounds —
     // teleport (1.0-0.85)/k over the q73 seed set (5-gram eval
     // overlap, restricted to graph nodes), ranks carried sparsely

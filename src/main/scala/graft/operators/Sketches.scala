@@ -420,4 +420,89 @@ object Sketches {
           .as("est_inter")
       )
   }
+
+  /** q484: bottom-k quantile sketch audit — the mergeable quantile
+    * entry the sketch shelf was missing: per l_returnflag, the exact
+    * five-point summary of l_extendedprice (cents) next to the
+    * [[graft.functions.QuantileSketch]] estimate from a k = 256
+    * bottom-k row sample, plus the population and sample sizes. The
+    * evidence table for replacing the exact per-group sort (the q356/
+    * q410/q436/q440 form — a full shuffle + sort of every group
+    * member, the 100-TB-expensive shape) with O(k) mergeable state:
+    * groups under k are exact by construction, and the audit shows
+    * the ±n/√k-rank sampling error where the sample binds.
+    *
+    * Scale: the sketch side is one scan with map-side partial
+    * aggregation into ≤ k pairs per group — no sort, no wide
+    * shuffle. The exact side is the expensive baseline being
+    * audited (per-group rank window, partitioned by group — never a
+    * global single-partition window). Quantile rank is ⌈q·n⌉
+    * (1-based), identical arithmetic on both engines via
+    * power-of-two-exact double division.
+    */
+  def quantileSketchAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = Tables
+      .lineitem(spark, dir)
+      .select(
+        col("l_returnflag").as("grp"),
+        hash60(
+          concat(
+            col("l_orderkey").cast("string"),
+            lit("_"),
+            col("l_linenumber").cast("string")
+          )
+        ).as("h"),
+        round(col("l_extendedprice") * 100).cast("long").as("v")
+      )
+      .cacheTracked()
+    val sk = rows
+      .groupBy(col("grp"))
+      .agg(
+        graft.functions.QuantileSketch
+          .bottomKValues(col("h"), col("v")).as("vals")
+      )
+      .select(col("grp"), col("vals"), size(col("vals")).cast("long").as("j"))
+    def at(idx: org.apache.spark.sql.Column) =
+      element_at(col("vals"), idx.cast("int"))
+    val j = col("j")
+    val est = sk.select(
+      col("grp"),
+      col("j"),
+      at(lit(1)).as("est_min"),
+      at(((j + 3) / 4).cast("long")).as("est_p25"),
+      at(((j + 1) / 2).cast("long")).as("est_p50"),
+      at(((j * 3 + 3) / 4).cast("long")).as("est_p75"),
+      at(j).as("est_max")
+    )
+    val wr = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+    val wn = Window.partitionBy(col("grp"))
+    val n = col("n")
+    val exact = rows
+      .select(col("grp"), col("v"))
+      .withColumn("rv", row_number().over(wr).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy(col("grp"))
+      .agg(
+        first(col("n")).as("n"),
+        max(when(col("rv") === 1L, col("v"))).as("exact_min"),
+        max(when(col("rv") === ((n + 3) / 4).cast("long"), col("v")))
+          .as("exact_p25"),
+        max(when(col("rv") === ((n + 1) / 2).cast("long"), col("v")))
+          .as("exact_p50"),
+        max(when(col("rv") === ((n * 3 + 3) / 4).cast("long"), col("v")))
+          .as("exact_p75"),
+        max(when(col("rv") === n, col("v"))).as("exact_max")
+      )
+    exact
+      .join(est, Seq("grp"))
+      .select(
+        col("grp").as("l_returnflag"),
+        col("n"), col("j"),
+        col("exact_min"), col("exact_p25"), col("exact_p50"),
+        col("exact_p75"), col("exact_max"),
+        col("est_min"), col("est_p25"), col("est_p50"),
+        col("est_p75"), col("est_max")
+      )
+  }
 }
