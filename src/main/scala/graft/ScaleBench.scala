@@ -1328,6 +1328,173 @@ object ScaleBench {
       s"bfs levels: got $bfsHist"
     )
 
+    // --- densest-subgraph peel: 1M-spoke star + planted K24 (q482) ----
+    // hub-adversarial: the million deg-1 spokes must peel in ONE
+    // round (deg·n ≤ 3·m), leaving the hub (one round from isolation)
+    // and the planted 24-clique — whose density 11.04 the best-prefix
+    // flag must pick over the full graph's ≈1.0. Two rounds total;
+    // per-round cost is one degree aggregate + two semi-joins, no
+    // wedge join anywhere.
+    val dsSpokes = 1000000L
+    val dsClique = 24L
+    val dsBase = 2000000L
+    val dsEdges = spark
+      .range(dsSpokes)
+      .select(lit(0L).as("u"), (col("id") + 1L).as("v"))
+      .unionByName(
+        spark
+          // id < 23 only: sequence(start, stop) with start > stop
+          // counts DOWN in Spark, which would emit a self-loop
+          .range(dsClique - 1)
+          .select(
+            explode(
+              transform(
+                sequence(col("id") + 1L, lit(dsClique - 1L)),
+                j => struct((col("id") + dsBase).as("u"),
+                  (j + dsBase).as("v"))
+              )
+            ).as("e")
+          )
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+      )
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val tDs = System.nanoTime()
+    val dsRows = graft.operators.CoPurchaseGraph
+      .densestSubgraphPeel(spark, dsEdges, rounds = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+      .toSeq
+    val dsSec = (System.nanoTime() - tDs) / 1e9
+    val dsN0 = dsSpokes + 1L + dsClique
+    val dsM0 = dsSpokes + dsClique * (dsClique - 1) / 2
+    val dsMicro0 = (2L * dsM0 * 1000000L + dsN0) / (2L * dsN0)
+    val dsM1 = dsClique * (dsClique - 1) / 2
+    val dsMicro1 = (2L * dsM1 * 1000000L + dsClique + 1L) /
+      (2L * (dsClique + 1L))
+    require(
+      dsRows == Seq(
+        (0L, dsN0, dsM0, dsMicro0, 0L),
+        (1L, dsClique + 1L, dsM1, dsMicro1, 1L)
+      ),
+      s"densest peel: got $dsRows"
+    )
+
+    // --- synchronous LP on a 100k-spoke star (q475 topology) ----------
+    // the known oscillation shape that justifies the bounded-round
+    // contract: round 1 → hub adopts the min spoke label (1), spokes
+    // adopt the hub's (0); every later round swaps them. After the
+    // capped 3 rounds: hub = 1, spokes = 0 — asserted exactly. Each
+    // round is one 200k-edge join + two aggregates.
+    val lpSpokes = 100000L
+    val lpStarEdges = spark
+      .range(lpSpokes)
+      .select(lit(0L).as("u"), (col("id") + 1L).as("v"))
+    val lpSym = lpStarEdges
+      .select(col("u").as("a"), col("v").as("b"))
+      .unionByName(lpStarEdges.select(col("v").as("a"), col("u").as("b")))
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val tLp = System.nanoTime()
+    val lpHist = graft.operators.Communities
+      .lpLabelsFrom(lpSym, rounds = 3)
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val lpSec = (System.nanoTime() - tLp) / 1e9
+    require(lpHist == Map(0L -> lpSpokes, 1L -> 1L),
+      s"lp star labels: got $lpHist")
+
+    // --- integer HITS at the 200-degree BIGINT bound (q477) -----------
+    // a 200-spoke directed star sits exactly ON the documented bound:
+    // after 4 un-normalized rounds auth(spoke) = 200³ and
+    // hub(hub) = 200⁴ — exact BIGINTs, asserted. One more spoke and
+    // the guard must refuse (the documented fallback decision made
+    // loud), asserted by the trip below.
+    val hitsStar = spark
+      .range(200L)
+      .select(lit(0L).as("src"), (col("id") + 1L).as("dst"))
+      .localCheckpoint(true)
+    val tHits = System.nanoTime()
+    val hitsRows = graft.operators.Communities
+      .hitsFrom(hitsStar)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val hitsSec = (System.nanoTime() - tHits) / 1e9
+    require(hitsRows(0L) == ((0L, 1600000000L)),
+      s"hits hub: got ${hitsRows(0L)}")
+    require(hitsRows(1L) == ((8000000L, 0L)),
+      s"hits spoke: got ${hitsRows(1L)}")
+    val hitsGuardTripped =
+      try {
+        graft.operators.Communities
+          .hitsFrom(
+            spark
+              .range(250L)
+              .select(lit(0L).as("src"), (col("id") + 1L).as("dst")))
+          .count()
+        false
+      } catch { case _: IllegalArgumentException => true }
+    require(hitsGuardTripped, "hits degree guard must refuse deg 250")
+
+    // --- DBSCAN dense-cell adversary + bounded spread corpus (q476) ---
+    // 100k points inside ONE eps-cell: the grid trick's candidate
+    // bound is occupancy-bounded, so this corpus would generate
+    // ~4.5·10⁹ pairs — the occupancy pre-flight must refuse it for
+    // the cost of one aggregate, BEFORE any pair exists.
+    val denseN = 100000L
+    val densePts = spark
+      .range(denseN)
+      .select(
+        col("id").as("vec_id"),
+        (col("id").cast("double") / (denseN * 100000.0)).as("x"),
+        lit(0.001).as("y")
+      )
+    val tDg = System.nanoTime()
+    val dbscanGuardTripped =
+      try {
+        graft.operators.Communities.dbscanGridPoints(spark, densePts)
+          .count()
+        false
+      } catch { case _: IllegalArgumentException => true }
+    val dbscanGuardSec = (System.nanoTime() - tDg) / 1e9
+    require(dbscanGuardTripped, "dbscan occupancy guard must refuse")
+    // and the bounded shape at 200k points: 25k anchors of 8 points
+    // each (within eps/2 of their anchor → every point is core with
+    // 7 neighbors; anchors 0.1 apart → separate clusters). The
+    // candidate join stays occupancy-bounded (≤ 8-ish per cell).
+    val dbN = 200000L
+    val dbPts = spark
+      .range(dbN)
+      .select(
+        col("id").as("vec_id"),
+        (((col("id") / 8L) % 500L).cast("double") * 0.1 +
+          (col("id") % 8L).cast("double") * 0.0008).as("x"),
+        ((col("id") / 4000L).cast("double") * 0.1).as("y")
+      )
+      .repartition(cpus.toInt)
+    val tDb = System.nanoTime()
+    val dbAgg = graft.operators.Communities
+      .dbscanGridPoints(spark, dbPts)
+      .agg(
+        count(when(col("cluster") >= 0L && col("n_core") === 8L, 1)).as("c8"),
+        count(when(col("cluster") >= 0L, 1)).as("nc"),
+        max(when(col("cluster") === -1L, col("n_border"))).as("noise")
+      )
+      .collect()(0)
+    val dbSec = (System.nanoTime() - tDb) / 1e9
+    require(
+      dbAgg.getLong(0) == dbN / 8 && dbAgg.getLong(1) == dbN / 8 &&
+        dbAgg.getLong(2) == 0L,
+      s"dbscan spread: got $dbAgg"
+    )
+    graft.util.Caches.releaseAll()
+
     // --- Hilbert curve index at 10M points (q452 topology) ------------
     // full-coverage pass over the 1024×1024 grid ~9.5×; the index is
     // a bijection on each full cover, so min/max pin the range and
@@ -1419,6 +1586,17 @@ object ScaleBench {
         s""""bfs_nodes":${2L + bfsSpokes + bfsChainN},""" +
         s""""bfs_unreached":${bfsHist(-1L)},"bfs_sec":$bfsSec,""" +
         s""""bfs_round_sec":$bfsRoundSec,""" +
+        s""""densest_edges":$dsM0,"densest_best_micro":$dsMicro1,""" +
+        s""""densest_sec":$dsSec,""" +
+        s""""lp_star_nodes":${lpSpokes + 1},"lp_star_sec":$lpSec,""" +
+        s""""hits_star_auth":${hitsRows(1L)._1},""" +
+        s""""hits_star_hub":${hitsRows(0L)._2},"hits_star_sec":$hitsSec,""" +
+        s""""hits_guard_tripped":$hitsGuardTripped,""" +
+        s""""dbscan_guard_pts":$denseN,""" +
+        s""""dbscan_guard_tripped":$dbscanGuardTripped,""" +
+        s""""dbscan_guard_sec":$dbscanGuardSec,""" +
+        s""""dbscan_pts":$dbN,"dbscan_clusters":${dbAgg.getLong(1)},""" +
+        s""""dbscan_sec":$dbSec,""" +
         s""""hilbert_points":$hilN,"hilbert_sec":$hilSec,""" +
         s""""hilbert_points_per_sec":${(hilN / hilSec).round}}"""
     )

@@ -256,19 +256,51 @@ object Communities {
     * grid key is ALSO the partitioner — neighborhood queries never
     * leave the executor holding the cell.
     */
-  def dbscanGrid(spark: SparkSession, dir: String): DataFrame = {
+  def dbscanGrid(spark: SparkSession, dir: String): DataFrame =
+    dbscanGridPoints(
+      spark,
+      Tables
+        .embeddings(spark, dir)
+        .select(
+          col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("x"),
+          element_at(col("embedding"), 2).cast("double").as("y")
+        )
+    )
+
+  /** [[dbscanGrid]]'s engine, seamed on a (vec_id, x, y) points frame
+    * so ScaleBench can drive it on adversarial synthetic corpora.
+    *
+    * Occupancy pre-flight (the q171 join-blowup treatment): the grid
+    * trick bounds candidates by CELL OCCUPANCY, not by n — which is a
+    * bound only while occupancy is bounded. A corpus concentrated in
+    * one eps-cell makes the within-cell join quadratic (occupancy c →
+    * ~4.5·c² candidate pairs in that cell). One cheap aggregate over
+    * the cached cell keys measures max occupancy BEFORE any pair is
+    * generated and fails fast past 4096 (≤ ~75M pairs from the worst
+    * cell — bounded); the mitigation is the message's contract:
+    * shrink eps (denser grid) or pre-cluster the dense region.
+    */
+  def dbscanGridPoints(spark: SparkSession, pts: DataFrame): DataFrame = {
     val eps = 0.015625
     val minPts = 4L
-    val p = Tables
-      .embeddings(spark, dir)
-      .select(
-        col("vec_id"),
-        element_at(col("embedding"), 1).cast("double").as("x"),
-        element_at(col("embedding"), 2).cast("double").as("y")
-      )
+    val p = pts
       .withColumn("cx", floor(col("x") / eps).cast("long"))
       .withColumn("cy", floor(col("y") / eps).cast("long"))
       .cacheTracked()
+    val maxOcc = p
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("c"))
+      .agg(max(col("c")))
+      .head()
+      .getLong(0)
+    require(
+      maxOcc <= 4096L,
+      s"dbscanGrid: max eps-cell occupancy $maxOcc exceeds 4096 — " +
+        "the 3x3 grid candidate join would degenerate toward points² " +
+        "inside the dense cell; shrink eps or pre-partition the dense " +
+        "region before clustering"
+    )
     val offsets = array(
       (for { dx <- -1 to 1; dy <- -1 to 1 } yield struct(
         lit(dx.toLong).as("dx"),
