@@ -63,8 +63,8 @@ object SparkEntry {
     "q18_task_fanout" -> (TextAnalysis.taskFanout _),
     "q19_lang_stats" -> (TextAnalysis.langStats _),
     "q20_dedup_exact" -> (Dedup.exactDedup _),
-    "q21_ngram_jaccard" -> (Dedup.ngramJaccardPairs _),
-    "q22_minhash_lsh" -> (Dedup.minhashLshPairs _),
+    "q21_ngram_jaccard" -> (Dedup.ngramJaccardPairsPpm _),
+    "q22_minhash_lsh" -> (Dedup.minhashLshPairsPpm _),
     "q23_simhash" -> (Dedup.simhashDocs _),
     "q24_cosine_topk" -> (Similarity.cosineTopK _),
     "q25_ivf_topk" -> (Similarity.ivfTopK _),
@@ -2606,7 +2606,7 @@ object SparkEntry {
                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
          SELECT doc_a, doc_b,
-           round(inter::DOUBLE / (n_a + n_b - inter), 6) AS jaccard
+           ${sqlMicroRatio("inter", "n_a + n_b - inter")} AS jaccard_ppm
          FROM p
          WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.05""",
     "q22_minhash_lsh" ->
@@ -2623,11 +2623,12 @@ object SparkEntry {
                FROM bd a JOIN bd b
                  ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id)
          SELECT doc_a, doc_b,
-           round(len(list_filter(list_zip(mh_a, mh_b),
-             z -> z[1] = z[2]))::DOUBLE / 8, 6) AS est_jaccard,
-           round(len(list_intersect(sh_a, sh_b))::DOUBLE /
-             (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))), 6)
-             AS jaccard
+           ${sqlMicroRatio(
+          "len(list_filter(list_zip(mh_a, mh_b), z -> z[1] = z[2]))",
+          "8")} AS est_jaccard_ppm,
+           ${sqlMicroRatio("len(list_intersect(sh_a, sh_b))",
+          "len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))")}
+             AS jaccard_ppm
          FROM p""",
     // q198: the q22 candidate chain aggregated per estimate level —
     // pair count, mean and max |est − exact|.
@@ -2645,17 +2646,20 @@ object SparkEntry {
                FROM bd a JOIN bd b
                  ON a.j = b.j AND a.bval = b.bval AND a.doc_id < b.doc_id),
          pe AS (SELECT
-                  round(len(list_filter(list_zip(mh_a, mh_b),
-                    z -> z[1] = z[2]))::DOUBLE / 8, 6) AS est_jaccard,
-                  abs(round(len(list_filter(list_zip(mh_a, mh_b),
-                      z -> z[1] = z[2]))::DOUBLE / 8, 6)
-                    - round(len(list_intersect(sh_a, sh_b))::DOUBLE /
-                      (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))),
-                      6)) AS err
+                  ${sqlMicroRatio(
+          "len(list_filter(list_zip(mh_a, mh_b), z -> z[1] = z[2]))",
+          "8")} AS est_jaccard_ppm,
+                  abs(${sqlMicroRatio(
+          "len(list_filter(list_zip(mh_a, mh_b), z -> z[1] = z[2]))",
+          "8")}
+                    - ${sqlMicroRatio("len(list_intersect(sh_a, sh_b))",
+          "len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))")})
+                    AS err
                 FROM p)
-         SELECT est_jaccard, count(*) AS n_pairs,
-           round(avg(err), 6) AS mean_abs_err,
-           round(max(err), 6) AS max_abs_err
+         SELECT est_jaccard_ppm, count(*) AS n_pairs,
+           ${sqlIdivHalfUp("sum(err) * 1000", "count(*)")}
+             AS mean_abs_err_ppm_milli,
+           max(err)::BIGINT AS max_abs_err_ppm
          FROM pe GROUP BY 1""",
     "q23_simhash" -> {
       val votes = (0 until 16)
@@ -3277,16 +3281,21 @@ object SparkEntry {
                       ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
                FROM documents) a""",
     "q67_lag_lead" ->
-      """SELECT event_id, user_id,
-         round(lag(value, 1) OVER w, 6) AS prev_value,
-         round(lead(value, 1) OVER w, 6) AS next_value,
-         round((epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)) / 1000000.0, 6)
-           AS secs_since_prev,
+      s"""WITH e AS (SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS vc FROM events)
+         SELECT event_id, user_id,
+         lag(vc, 1) OVER w AS prev_value_cents,
+         lead(vc, 1) OVER w AS next_value_cents,
+         (epoch_us(ts) - epoch_us(lag(ts, 1) OVER w))::BIGINT
+           AS us_since_prev,
          CAST(row_number() OVER w AS INTEGER) AS event_rank,
-         round(avg(value) OVER (PARTITION BY user_id
-           ORDER BY ts, event_id
-           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
-         FROM events
+         ${sqlIdivHalfUp(
+          "sum(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 1000",
+          "count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")}
+           AS moving_avg3_cents_milli
+         FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "q68_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4108,18 +4117,19 @@ object SparkEntry {
     // an explicit double division (DuckDB integer '/' semantics
     // differ across versions).
     "q84_bigram_lm" ->
-      """WITH t AS (SELECT CASE WHEN length(trim(text)) = 0
+      s"""WITH t AS (SELECT CASE WHEN length(trim(text)) = 0
                   THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+')
+                  ELSE regexp_split_to_array(trim(text), '\\s+')
              END AS toks FROM documents),
          b AS (SELECT unnest(list_transform(range(len(toks) - 1),
                  i -> {'w1': toks[i+1], 'w2': toks[i+2]})) AS s
                FROM t WHERE len(toks) >= 2),
          c AS (SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n
                FROM b GROUP BY 1, 2)
-         SELECT w1, w2, n, p, CAST(rank AS INTEGER) AS rank FROM (
+         SELECT w1, w2, n, p_ppm, CAST(rank AS INTEGER) AS rank FROM (
            SELECT w1, w2, n,
-             round(n::DOUBLE / sum(n) OVER (PARTITION BY w1), 6) AS p,
+             ${sqlMicroRatio("n", "sum(n) OVER (PARTITION BY w1)")}
+               AS p_ppm,
              row_number() OVER (PARTITION BY w1
                ORDER BY n DESC, w2 ASC) AS rank
            FROM c) x
@@ -4526,7 +4536,7 @@ object SparkEntry {
                FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
                GROUP BY 1, 2)
          SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
-           round(inter::DOUBLE / n_src, 6) AS containment,
+           ${sqlMicroRatio("inter", "n_src")} AS containment_ppm,
            inter::DOUBLE / n_src >= 0.8 AS contained
          FROM p WHERE inter::DOUBLE / n_src >= 0.5""",
     // q144: identical md5(doc_id) rank order and cap; small sources
@@ -4810,7 +4820,7 @@ object SparkEntry {
                FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
                GROUP BY 1, 2)
          SELECT doc_a, doc_b,
-           round(inter::DOUBLE / (na + nb - inter), 6) AS jaccard
+           ${sqlMicroRatio("inter", "na + nb - inter")} AS jaccard_ppm
          FROM p
          WHERE inter::DOUBLE / (na + nb - inter) >= 0.5""",
     // q160: per-doc distinct terms, df count, (df DESC, term ASC)
@@ -4944,13 +4954,12 @@ object SparkEntry {
                FROM e a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id
                GROUP BY 1, 2),
          c AS (SELECT doc_a, doc_b,
-                 round(inter::DOUBLE / n_src, 6) AS containment,
+                 ${sqlMicroRatio("inter", "n_src")} AS containment_ppm,
                  inter::DOUBLE / n_src >= 0.8 AS contained
                FROM p WHERE inter::DOUBLE / n_src >= 0.5)
          SELECT da.source AS source_a, db.source AS source_b,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           ${sqlIdivHalfUp(
-          "sum(CAST(round(containment * 1000000) AS BIGINT))",
+           ${sqlIdivHalfUp("sum(containment_ppm)",
           "count(*)")} AS avg_containment_micro,
            CAST(sum(CASE WHEN contained THEN 1 ELSE 0 END) AS BIGINT)
              AS n_contained
@@ -5094,14 +5103,15 @@ object SparkEntry {
     // must be lossless to hash-match; moments via the same closed
     // form over exact integer sums.
     "q174_mergeable_stats" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
-           round(sum(n_chars)::DOUBLE / count(*), 6) AS mean_chars,
-           round(sum(n_chars * n_chars)::DOUBLE / count(*) -
-             (sum(n_chars)::DOUBLE / count(*)) *
-             (sum(n_chars)::DOUBLE / count(*)), 6) AS var_chars
+           ${sqlIdivHalfUp("sum(n_chars) * 1000", "count(*)")}
+             AS mean_chars_milli,
+           ${sqlIdivHalfUp(
+          "(count(*) * sum(n_chars * n_chars) - sum(n_chars) * sum(n_chars)) * 1000",
+          "count(*) * count(*)")} AS var_chars_milli
          FROM documents""",
     // q175: identical parity sides, distinct (source, md5) pairs,
     // full-outer presence flags.
@@ -5218,9 +5228,9 @@ object SparkEntry {
     // min; agreement fraction vs the exact distinct-shingle union
     // Jaccard through the same inverted join.
     "q182_source_minhash" ->
-      """WITH t AS (SELECT source,
+      s"""WITH t AS (SELECT source,
              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                  ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
            FROM documents),
          sh AS (SELECT source,
              unnest(list_distinct(list_transform(range(len(toks) - 2),
@@ -5232,8 +5242,9 @@ object SparkEntry {
                AS h
            FROM sh, range(8) i(i) GROUP BY 1, 2),
          est AS (SELECT a.source AS src_a, b.source AS src_b,
-             round(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)::DOUBLE / 8,
-               6) AS est_jaccard
+             ${sqlMicroRatio(
+          "sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END)", "8")}
+               AS est_jaccard_ppm
            FROM sig a JOIN sig b
              ON a.i = b.i AND a.source < b.source
            GROUP BY 1, 2),
@@ -5243,9 +5254,9 @@ object SparkEntry {
              count(*) AS inter
            FROM su x JOIN su y ON x.s = y.s AND x.source < y.source
            GROUP BY 1, 2)
-         SELECT e.src_a, e.src_b, e.est_jaccard,
-           round(coalesce(i.inter, 0)::DOUBLE /
-             (na.n + nb.n - coalesce(i.inter, 0)), 6) AS jaccard
+         SELECT e.src_a, e.src_b, e.est_jaccard_ppm,
+           ${sqlMicroRatio("coalesce(i.inter, 0)",
+          "na.n + nb.n - coalesce(i.inter, 0)")} AS jaccard_ppm
          FROM est e
          LEFT JOIN inter i USING (src_a, src_b)
          JOIN sizes na ON na.source = e.src_a
@@ -5555,15 +5566,13 @@ object SparkEntry {
                   ON a.doc_id = b.doc_id AND a.gate < b.gate
                 GROUP BY 1, 2)
          SELECT gate_a, gate_b, n,
-           round((s11 + s00)::DOUBLE / n, 6) AS agree_frac,
-           CASE WHEN (sa * sb + (n - sa) * (n - sb))::DOUBLE
-                  / (n * n) = 1
-                THEN 0.0
-                ELSE round(((s11 + s00)::DOUBLE / n
-                  - (sa * sb + (n - sa) * (n - sb))::DOUBLE / (n * n))
-                  / (1 - (sa * sb + (n - sa) * (n - sb))::DOUBLE
-                     / (n * n)), 6)
-           END AS kappa
+           ${sqlMicroRatio("s11 + s00", "n")} AS agree_ppm,
+           CASE WHEN n * n - (sa * sb + (n - sa) * (n - sb)) = 0
+                THEN 0::BIGINT
+                ELSE ${sqlIdivHalfUpSigned(
+          "((s11 + s00) * n - (sa * sb + (n - sa) * (n - sb))) * 1000000",
+          "n * n - (sa * sb + (n - sa) * (n - sb))")}
+           END AS kappa_ppm
          FROM pr""",
     // q191: same epoch-seeded md5 order key; the per-epoch position
     // is a window row_number (tiny per-epoch partitions in DuckDB;
@@ -5877,11 +5886,11 @@ object SparkEntry {
     // lookup is a self-join on the spectrum (NULL at gaps), totals
     // one aggregated row.
     "q204_good_turing" ->
-      """WITH wc AS (
+      s"""WITH wc AS (
            SELECT w, count(*) AS r FROM (
              SELECT unnest(
                CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-                    ELSE regexp_split_to_array(trim(text), '\s+') END) AS w
+                    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
              FROM documents) x
            GROUP BY w),
          spec AS (SELECT r, count(*) AS n_types FROM wc GROUP BY r),
@@ -5892,9 +5901,11 @@ object SparkEntry {
                   row_number() OVER (ORDER BY r) AS rk
                 FROM spec)
          SELECT s.r, s.n_types,
-           round((s.r + 1) * nx.n_types::DOUBLE / s.n_types, 6) AS r_star,
-           round(s.r * s.n_types::DOUBLE / t.n_total, 6) AS prob_mass,
-           round(coalesce(t.n1, 0)::DOUBLE / t.n_total, 6) AS p0
+           ${sqlMicroRatio("(s.r + 1) * nx.n_types", "s.n_types")}
+             AS r_star_micro,
+           ${sqlMicroRatio("s.r * s.n_types", "t.n_total")}
+             AS prob_mass_ppm,
+           ${sqlMicroRatio("coalesce(t.n1, 0)", "t.n_total")} AS p0_ppm
          FROM lo s LEFT JOIN spec nx ON nx.r = s.r + 1, t
          WHERE s.rk <= 10""",
     // q205: the q93 Lloyd chain for the assignment, the shared q15
@@ -7087,7 +7098,7 @@ object SparkEntry {
     // q261: same (us, event_id) lag order; gap moments as integer
     // sums (squares cast per-term to double); identical CV² order.
     "q261_interarrival" ->
-      """WITH e AS (SELECT event_id, event_type,
+      s"""WITH e AS (SELECT event_id, event_type,
                  epoch_us(ts)::BIGINT AS us FROM events),
          g AS (SELECT event_type,
                  us - lag(us) OVER (PARTITION BY event_type
@@ -7095,7 +7106,8 @@ object SparkEntry {
                FROM e),
          f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
          SELECT event_type, count(*)::BIGINT AS n_gaps,
-           round(sum(gap)::DOUBLE / count(*) / 1e6, 3) AS mean_gap_s,
+           ${sqlIdivHalfUp("sum(gap) * 1000", "count(*)")}
+             AS mean_gap_us_milli,
            CAST(round(((sum(gap::DOUBLE * gap)
                - sum(gap)::DOUBLE * sum(gap) / count(*)) / count(*))
              / ((sum(gap)::DOUBLE / count(*))
@@ -9947,17 +9959,23 @@ object SparkEntry {
                   ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2),
          j AS (SELECT pr.doc_a, pr.doc_b,
+                 pr.inter, (da.n_sh + db.n_sh - pr.inter) AS union_n,
+                 pr.inter_w,
+                 (da.w_doc + db.w_doc - pr.inter_w) AS union_w,
                  round(pr.inter::DOUBLE
-                   / (da.n_sh + db.n_sh - pr.inter), 6) AS jaccard,
+                   / (da.n_sh + db.n_sh - pr.inter), 6) AS j_sel,
                  round(pr.inter_w::DOUBLE
                    / (da.w_doc + db.w_doc - pr.inter_w), 6)
-                   AS wjaccard
+                   AS w_sel
                FROM pr
                JOIN dw da ON pr.doc_a = da.doc_id
                JOIN dw db ON pr.doc_b = db.doc_id)
-         SELECT doc_a, doc_b, jaccard, wjaccard,
-           (jaccard >= 0.5) <> (wjaccard >= 0.5) AS flipped
-         FROM j WHERE jaccard >= 0.05 OR wjaccard >= 0.05""",
+         SELECT doc_a, doc_b,
+           ${sqlMicroRatio("inter", "union_n")} AS jaccard_ppm,
+           ${sqlIdivHalfUp("inter_w * 1000", "union_w")}
+             AS wjaccard_milli,
+           (j_sel >= 0.5) <> (w_sel >= 0.5) AS flipped
+         FROM j WHERE j_sel >= 0.05 OR w_sel >= 0.05""",
     // q347: three candidate generators vs the exact truth; analytic
     // n(n-1)/2 pair space; q22's band chain reused for the second.
     "q347_blocking_quality" ->
@@ -14270,25 +14288,26 @@ object SparkEntry {
          FROM ap JOIN exq ON ap.lang = exq.lang""",
     // q104: identical share/weight arithmetic; targets as doubles.
     "q104_mix_reweight" ->
-      """WITH pl AS (SELECT lang, count(*) AS n_docs,
+      s"""WITH pl AS (SELECT lang, count(*) AS n_docs,
              CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM
            (SELECT lang, CASE WHEN length(trim(text)) = 0
                    THEN []::VARCHAR[]
-                   ELSE regexp_split_to_array(trim(text), '\s+')
+                   ELSE regexp_split_to_array(trim(text), '\\s+')
               END AS toks FROM documents) t
            GROUP BY 1),
          tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM pl),
-         m AS (SELECT 'en' AS lang, 0.5::DOUBLE AS target
-               UNION ALL SELECT 'de', 0.2::DOUBLE
-               UNION ALL SELECT 'fr', 0.15::DOUBLE
-               UNION ALL SELECT 'es', 0.1::DOUBLE
-               UNION ALL SELECT 'zh', 0.05::DOUBLE)
+         m AS (SELECT 'en' AS lang, 500::BIGINT AS target_pm
+               UNION ALL SELECT 'de', 200::BIGINT
+               UNION ALL SELECT 'fr', 150::BIGINT
+               UNION ALL SELECT 'es', 100::BIGINT
+               UNION ALL SELECT 'zh', 50::BIGINT)
          SELECT pl.lang AS lang, n_docs, n_tokens,
-           round(n_tokens::DOUBLE / t_tokens, 6) AS share,
-           m.target AS target,
-           round(m.target / (n_tokens::DOUBLE / t_tokens), 6) AS weight,
-           round(n_tokens * (m.target / (n_tokens::DOUBLE / t_tokens)), 2)
-             AS expected_tokens
+           ${sqlMicroRatio("n_tokens", "t_tokens")} AS share_ppm,
+           m.target_pm AS target_pm,
+           ${sqlIdivHalfUp("m.target_pm * t_tokens * 1000", "n_tokens")}
+             AS weight_micro,
+           ${sqlIdivHalfUp("m.target_pm * t_tokens", "10")}
+             AS expected_tokens_centi
          FROM pl JOIN m ON pl.lang = m.lang CROSS JOIN tt""",
     // q108: identical A-Res priority, ranked per language.
     "q108_stratified_weighted" ->
@@ -14524,16 +14543,21 @@ object SparkEntry {
                                WHERE x.l_partkey = p.p_partkey)""",
     // q119: identical window; ranks cast to Spark's INTEGER outputs.
     "q119_window_family" ->
-      """SELECT o_orderkey, o_custkey,
+      s"""SELECT o_orderkey, o_custkey,
            CAST(rank() OVER w AS INTEGER) AS rnk,
            CAST(dense_rank() OVER w AS INTEGER) AS drnk,
-           round(percent_rank() OVER w, 6) AS prnk,
-           round(cume_dist() OVER w, 6) AS cdist,
+           CASE WHEN count(*) OVER wp = 1 THEN 0::BIGINT
+                ELSE ${sqlMicroRatio("rank() OVER w - 1",
+          "count(*) OVER wp - 1")}
+           END AS prnk_ppm,
+           ${sqlMicroRatio("rank() OVER w", "count(*) OVER wp")}
+             AS cdist_ppm,
            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
            first_value(o_orderkey) OVER w AS top_order
          FROM orders WHERE o_custkey < 100
          WINDOW w AS (PARTITION BY o_custkey
-                      ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+                      ORDER BY o_totalprice DESC, o_orderkey ASC),
+                wp AS (PARTITION BY o_custkey)""",
     // q110-q113: near-verbatim replays of the same subquery SQL.
     "q110_cust_order_dist" ->
       """SELECT c_count, count(*) AS custdist

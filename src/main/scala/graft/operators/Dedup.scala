@@ -75,6 +75,34 @@ object Dedup {
       // persists to parquet; same topology.
       .cacheTracked()
 
+  /** q21's registered emission: the same pair table with the Jaccard
+    * in exact ppm — idivHalfUp(inter·10⁶, union) on the intersection
+    * integers, engine-identical by construction (round-12 float
+    * purge). The selection threshold stays the proven round(·,6) ≥
+    * 0.05 double INTERNALLY (identical on both engines since r1);
+    * only the emitted column becomes an exact integer. The seam form
+    * [[ngramJaccardPairs]] keeps its double `jaccard` for the
+    * downstream ≥ 0.5 consumers.
+    */
+  def ngramJaccardPairsPpm(spark: SparkSession, dir: String): DataFrame =
+    shinglePairIntersections(docShingles(spark, dir))
+      .withColumn(
+        "j_sel",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .filter(col("j_sel") >= 0.05)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        graft.functions.IntMath
+          .microRatio(col("inter"), col("n_a") + col("n_b") - col("inter"))
+          .as("jaccard_ppm")
+      )
+
   /** The pair generation over a prepared (doc_id, sh) shingle frame —
     * the seam a composed curation DAG (q130) uses to feed one
     * materialized shingle pass into every downstream stage instead of
@@ -174,7 +202,46 @@ object Dedup {
     * Jaccard. The band join is the only pairwise step — this is the
     * shape that scales to 100 TB (pairs ∝ collisions, not n²).
     */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsBase(spark, dir)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("matches").cast("double") / NumHashes, 6)
+          .as("est_jaccard"),
+        round(
+          col("inter").cast("double") / col("union_n"),
+          6
+        ).as("jaccard")
+      )
+
+  /** q22's registered emission: both Jaccards in exact ppm from the
+    * integer (matches, inter, union) columns (round-12 float purge).
+    * The seam form [[minhashLshPairs]] keeps its doubles for the
+    * threshold consumers (q258 cost attribution's ≥ 0.5).
+    */
+  def minhashLshPairsPpm(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsBase(spark, dir)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        graft.functions.IntMath
+          .microRatio(col("matches"), lit(NumHashes.toLong))
+          .as("est_jaccard_ppm"),
+        graft.functions.IntMath
+          .microRatio(col("inter"), col("union_n"))
+          .as("jaccard_ppm")
+      )
+
+  /** The integer-valued candidate table behind q22/q198: distinct
+    * LSH candidate pairs with signature agreement count and the
+    * exact shingle intersection/union sizes — every emission
+    * (double or ppm) derives from these.
+    */
+  private def minhashLshPairsBase(
+      spark: SparkSession,
+      dir: String
+  ): DataFrame = {
     val d = docShingles(spark, dir)
       .withColumn("mh", minhashSignature(col("sh")))
       // signature (8 seeded md5s per shingle) feeds both sides of the
@@ -216,21 +283,15 @@ object Dedup {
       .select(
         col("doc_a"),
         col("doc_b"),
-        round(
-          size(
-            filter(
-              zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y),
-              m => m
-            )
-          ).cast("double") / NumHashes,
-          6
-        ).as("est_jaccard"),
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) -
-              size(array_intersect(col("sh_a"), col("sh_b")))),
-          6
-        ).as("jaccard")
+        size(
+          filter(
+            zip_with(col("mh_a"), col("mh_b"), (x, y) => x === y),
+            m => m
+          )
+        ).as("matches"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        (size(col("sh_a")) + size(col("sh_b")) -
+          size(array_intersect(col("sh_a"), col("sh_b")))).as("union_n")
       )
       .distinct()
   }
@@ -370,18 +431,28 @@ object Dedup {
     * Scale: one aggregate over the q22 candidate table (collision-
     * linear, never corpus²); output is ≤ k+1 rows at any corpus size.
     */
-  def minhashErrorAudit(spark: SparkSession, dir: String): DataFrame =
-    minhashLshPairs(spark, dir)
+  def minhashErrorAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.{idivHalfUp, microRatio}
+    // exact ppm twins of both Jaccards (round-12 float purge): the
+    // error is an integer difference, the mean an exact milli-ppm
+    // half-up division — no float anywhere in the emission chain
+    minhashLshPairsBase(spark, dir)
       .select(
-        col("est_jaccard"),
-        abs(col("est_jaccard") - col("jaccard")).as("err")
+        microRatio(col("matches"), lit(NumHashes.toLong))
+          .as("est_jaccard_ppm"),
+        abs(
+          microRatio(col("matches"), lit(NumHashes.toLong)) -
+            microRatio(col("inter"), col("union_n"))
+        ).as("err")
       )
-      .groupBy(col("est_jaccard"))
+      .groupBy(col("est_jaccard_ppm"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(avg(col("err")), 6).as("mean_abs_err"),
-        round(max(col("err")), 6).as("max_abs_err")
+        idivHalfUp(sum(col("err")) * lit(1000L), count(lit(1)))
+          .as("mean_abs_err_ppm_milli"),
+        max(col("err")).as("max_abs_err_ppm")
       )
+  }
 
   /** q200: dedup funnel — the three dedup stages a production corpus
     * passes through, applied CUMULATIVELY with per-stage attribution:
@@ -1701,6 +1772,7 @@ object Dedup {
         col("r.src").as("doc_a"),
         col("r.dst").as("doc_b"),
         col("r.inter").as("inter"),
+        col("r.n_src").as("n_src"),
         (col("r.inter").cast("double") / col("r.n_src")).as("c_raw")
       )
       .filter(col("c_raw") >= minContainment)
@@ -1708,7 +1780,12 @@ object Dedup {
         col("doc_a"),
         col("doc_b"),
         col("inter"),
-        round(col("c_raw"), 6).as("containment"),
+        // exact ppm from the intersection integers (round-12 float
+        // purge); selection and the 0.8 flag stay on the proven
+        // internal double
+        graft.functions.IntMath
+          .microRatio(col("inter"), col("n_src"))
+          .as("containment_ppm"),
         (col("c_raw") >= 0.8).as("contained")
       )
   }
@@ -1736,13 +1813,11 @@ object Dedup {
       .groupBy(col("source_a"), col("source_b"))
       .agg(
         count(lit(1)).as("n_pairs"),
-        // per-pair containment is the driver-proven 6-rounded double;
-        // round(c·10⁶) recovers its exact micro integer (the q167
-        // trick), so the mean is a pure-BIGINT half-up division
+        // per-pair containment arrives as the exact ppm integer
+        // (q143's round-12 emission), so the mean is a pure-BIGINT
+        // half-up division with no double anywhere
         graft.functions.IntMath
-          .idivHalfUp(
-            sum(round(col("containment") * 1e6).cast("long")),
-            count(lit(1)))
+          .idivHalfUp(sum(col("containment_ppm")), count(lit(1)))
           .as("avg_containment_micro"),
         sum(col("contained").cast("long")).as("n_contained")
       )
@@ -1956,7 +2031,18 @@ object Dedup {
         full.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
         Seq("doc_b"))
       .filter(j >= t)
-      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        // exact ppm from the intersection integers (round-12 float
+        // purge); the ≥ t selection stays on the internal double
+        graft.functions.IntMath
+          .microRatio(
+            inter,
+            size(col("sh_a")) + size(col("sh_b")) - inter
+          )
+          .as("jaccard_ppm")
+      )
   }
 
   /** q186: content-defined chunking (CDC) dedup — variable-length
@@ -2442,21 +2528,38 @@ object Dedup {
       .select(
         col("doc_a"),
         col("doc_b"),
+        col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_n"),
+        col("inter_w"),
+        (col("wa") + col("wb") - col("inter_w")).as("union_w"),
         round(
           col("inter").cast("double") /
             (col("n_a") + col("n_b") - col("inter")),
           6
-        ).as("jaccard"),
+        ).as("j_sel"),
         round(
           col("inter_w").cast("double") /
             (col("wa") + col("wb") - col("inter_w")),
           6
-        ).as("wjaccard")
+        ).as("w_sel")
       )
-      .filter(col("jaccard") >= 0.05 || col("wjaccard") >= 0.05)
-      .withColumn(
-        "flipped",
-        (col("jaccard") >= 0.5) =!= (col("wjaccard") >= 0.5)
+      .filter(col("j_sel") >= 0.05 || col("w_sel") >= 0.05)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        // exact integer emissions (round-12 float purge): the
+        // unweighted Jaccard in ppm; the WEIGHTED one in milli — its
+        // nano-unit weight sums are ~10¹² at sf0.1, and ×10⁶ would
+        // overflow signed 64-bit where ×10³ stays 10³ clear of it.
+        // Selection thresholds and the flip flag stay on the proven
+        // internal doubles.
+        graft.functions.IntMath
+          .microRatio(col("inter"), col("union_n"))
+          .as("jaccard_ppm"),
+        graft.functions.IntMath
+          .idivHalfUp(col("inter_w") * lit(1000L), col("union_w"))
+          .as("wjaccard_milli"),
+        ((col("j_sel") >= 0.5) =!= (col("w_sel") >= 0.5)).as("flipped")
       )
   }
 

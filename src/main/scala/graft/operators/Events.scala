@@ -155,26 +155,36 @@ object Events {
       .partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     val movingFrame = byUser.rowsBetween(-2, Window.currentRow)
+    // exact integer emissions (round-12 float purge): event values
+    // are 2-decimal money, so cents are exact BIGINTs; the time delta
+    // is native microseconds; the 3-row mean is an exact half-up
+    // milli-cent division of the frame sum by the frame count.
     Tables
       .events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-      .withColumn("prev_value", lag(col("value"), 1).over(byUser))
-      .withColumn("next_value", lead(col("value"), 1).over(byUser))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .withColumn("prev_value_cents", lag(col("vc"), 1).over(byUser))
+      .withColumn("next_value_cents", lead(col("vc"), 1).over(byUser))
       .withColumn(
-        "secs_since_prev",
-        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
-          .cast("double") / 1e6
+        "us_since_prev",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
       )
       .withColumn("event_rank", row_number().over(byUser))
-      .withColumn("moving_avg3", round(avg(col("value")).over(movingFrame), 6))
+      .withColumn(
+        "moving_avg3_cents_milli",
+        graft.functions.IntMath.idivHalfUp(
+          sum(col("vc")).over(movingFrame) * lit(1000L),
+          count(col("vc")).over(movingFrame)
+        )
+      )
       .select(
         col("event_id"),
         col("user_id"),
-        round(col("prev_value"), 6).as("prev_value"),
-        round(col("next_value"), 6).as("next_value"),
-        round(col("secs_since_prev"), 6).as("secs_since_prev"),
+        col("prev_value_cents"),
+        col("next_value_cents"),
+        col("us_since_prev"),
         col("event_rank"),
-        col("moving_avg3")
+        col("moving_avg3_cents_milli")
       )
   }
 
@@ -685,7 +695,11 @@ object Events {
       .select(
         col("event_type"),
         col("n").as("n_gaps"),
-        round(mean / 1e6, 3).as("mean_gap_s"),
+        // exact milli-µs mean (round-12 float purge): the gap sum and
+        // count are exact integers, so the mean needs no doubles
+        graft.functions.IntMath
+          .idivHalfUp(col("s") * lit(1000L), col("n"))
+          .as("mean_gap_us_milli"),
         round(varr / (mean * mean) * 1e6).cast("long").as("cv2_micro")
       )
   }

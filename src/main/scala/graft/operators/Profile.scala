@@ -205,14 +205,21 @@ object Profile {
         col("sum_chars"),
         col("min_chars"),
         col("max_chars"),
-        round(col("sum_chars").cast("double") / col("n_docs"), 6)
-          .as("mean_chars"),
-        round(
-          col("sumsq_chars").cast("double") / col("n_docs") -
-            (col("sum_chars").cast("double") / col("n_docs")) *
-            (col("sum_chars").cast("double") / col("n_docs")),
-          6
-        ).as("var_chars")
+        // exact milli-unit moments (round-12 float purge): mean =
+        // sum/n, var = (n·Σx² − (Σx)²)/n² — both BIGINT ratios of the
+        // mergeable partials. n·Σx²·10³ ≈ 3.6·10¹⁸ at sf0.1 stays
+        // inside signed 64-bit; past that the milli scale is the
+        // first thing to drop.
+        graft.functions.IntMath
+          .idivHalfUp(col("sum_chars") * lit(1000L), col("n_docs"))
+          .as("mean_chars_milli"),
+        graft.functions.IntMath
+          .idivHalfUp(
+            (col("n_docs") * col("sumsq_chars") -
+              col("sum_chars") * col("sum_chars")) * lit(1000L),
+            col("n_docs") * col("n_docs")
+          )
+          .as("var_chars_milli")
       )
   }
 }

@@ -417,6 +417,7 @@ object Relational {
     val w = Window
       .partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val wp = Window.partitionBy(col("o_custkey"))
     Tables
       .orders(spark, dir)
       .filter(col("o_custkey") < 100)
@@ -425,8 +426,25 @@ object Relational {
         col("o_custkey"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
-        round(percent_rank().over(w), 6).as("prnk"),
-        round(cume_dist().over(w), 6).as("cdist"),
+        // exact ppm twins of percent_rank/cume_dist (round-12 float
+        // purge): the (price DESC, orderkey ASC) order is unique per
+        // partition, so rank = row_number and cume_dist = rank/n;
+        // percent_rank's n = 1 degenerate emits 0 as the SQL spec
+        // does.
+        when(count(lit(1)).over(wp) === 1L, 0L)
+          .otherwise(
+            graft.functions.IntMath.microRatio(
+              rank().over(w).cast("long") - 1L,
+              count(lit(1)).over(wp).cast("long") - 1L
+            )
+          )
+          .as("prnk_ppm"),
+        graft.functions.IntMath
+          .microRatio(
+            rank().over(w).cast("long"),
+            count(lit(1)).over(wp).cast("long")
+          )
+          .as("cdist_ppm"),
         ntile(4).over(w).as("quartile"),
         first_value(col("o_orderkey")).over(w).as("top_order")
       )

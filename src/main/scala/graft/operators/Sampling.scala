@@ -904,8 +904,13 @@ object Sampling {
     * any corpus size.
     */
   def mixReweight(spark: SparkSession, dir: String): DataFrame = {
-    val target = typedLit(
-      Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+    // targets as exact per-mille integers (round-12 float purge):
+    // every emission below is a BIGINT ratio of these and the token
+    // counts — share in ppm, weight = target/share in micro, and
+    // expected = target·total exactly, emitted in centi-tokens.
+    val targetPm = typedLit(
+      Map("en" -> 500L, "de" -> 200L, "fr" -> 150L, "es" -> 100L,
+        "zh" -> 50L)
     )
     val perLang = Tables
       .documents(spark, dir)
@@ -922,19 +927,25 @@ object Sampling {
         col("lang"),
         col("n_docs"),
         col("n_tokens"),
-        round(col("n_tokens").cast("double") / col("t_tokens"), 6)
-          .as("share"),
-        element_at(target, col("lang")).as("target"),
-        round(
-          element_at(target, col("lang")) /
-            (col("n_tokens").cast("double") / col("t_tokens")),
-          6
-        ).as("weight"),
-        round(
-          col("n_tokens") * (element_at(target, col("lang")) /
-            (col("n_tokens").cast("double") / col("t_tokens"))),
-          2
-        ).as("expected_tokens")
+        graft.functions.IntMath
+          .microRatio(col("n_tokens"), col("t_tokens"))
+          .as("share_ppm"),
+        element_at(targetPm, col("lang")).as("target_pm"),
+        // weight = (target_pm/1000)·t/n → half-up micro
+        graft.functions.IntMath
+          .idivHalfUp(
+            element_at(targetPm, col("lang")) * col("t_tokens") *
+              lit(1000L),
+            col("n_tokens")
+          )
+          .as("weight_micro"),
+        // expected tokens = n·weight = target·t exactly → centi
+        graft.functions.IntMath
+          .idivHalfUp(
+            element_at(targetPm, col("lang")) * col("t_tokens"),
+            lit(10L)
+          )
+          .as("expected_tokens_centi")
       )
   }
 

@@ -137,15 +137,19 @@ object Sketches {
       .select(
         col("a.source").as("src_a"),
         col("b.source").as("src_b"),
-        round(
-          size(
-            filter(
-              zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
-              v => v
-            )
-          ).cast("double") / Dedup.NumHashes,
-          6
-        ).as("est_jaccard")
+        // exact ppm: matches·10⁶/8 on the agreement count itself
+        // (round-12 float purge)
+        graft.functions.IntMath
+          .microRatio(
+            size(
+              filter(
+                zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+                v => v
+              )
+            ),
+            lit(Dedup.NumHashes.toLong)
+          )
+          .as("est_jaccard_ppm")
       )
     // exact union Jaccard audit: distinct shingle sets per source,
     // intersections via the inverted join (rows ∝ shared shingles).
@@ -164,12 +168,13 @@ object Sketches {
       .select(
         col("src_a"),
         col("src_b"),
-        col("est_jaccard"),
-        round(
-          coalesce(col("inter"), lit(0L)).cast("double") /
-            (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))),
-          6
-        ).as("jaccard")
+        col("est_jaccard_ppm"),
+        graft.functions.IntMath
+          .microRatio(
+            coalesce(col("inter"), lit(0L)),
+            col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L))
+          )
+          .as("jaccard_ppm")
       )
   }
 

@@ -1435,14 +1435,19 @@ object TextAnalysis {
       .select(
         col("r"),
         col("n_types"),
-        round(
-          (col("r") + 1) * col("n_next").cast("double") / col("n_types"),
-          6
-        ).as("r_star"),
-        round(col("r") * col("n_types").cast("double") / col("n_total"), 6)
-          .as("prob_mass"),
-        round(coalesce(col("n1"), lit(0L)).cast("double") / col("n_total"), 6)
-          .as("p0")
+        // exact micro/ppm integer emissions (round-12 float purge):
+        // every Good-Turing statistic is a ratio of exact counts.
+        // r_star is NULL when no (r+1) class exists, matching the
+        // double form's NULL propagation on both engines.
+        graft.functions.IntMath
+          .microRatio((col("r") + 1) * col("n_next"), col("n_types"))
+          .as("r_star_micro"),
+        graft.functions.IntMath
+          .microRatio(col("r") * col("n_types"), col("n_total"))
+          .as("prob_mass_ppm"),
+        graft.functions.IntMath
+          .microRatio(coalesce(col("n1"), lit(0L)), col("n_total"))
+          .as("p0_ppm")
       )
   }
 
@@ -1876,7 +1881,11 @@ object TextAnalysis {
     val rankW = byW1.orderBy(col("n").desc, col("w2").asc)
     bi.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("p", round(col("n") / sum(col("n")).over(byW1), 6))
+      // exact ppm of the count ratio (round-12 float purge)
+      .withColumn(
+        "p_ppm",
+        graft.functions.IntMath.microRatio(col("n"), sum(col("n")).over(byW1))
+      )
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 3)
   }
@@ -3284,17 +3293,29 @@ object TextAnalysis {
         sum(when(col("fa"), 1).otherwise(0)).as("sa"),
         sum(when(col("fb"), 1).otherwise(0)).as("sb")
       )
-    val po = (col("s11") + col("s00")).cast("double") / col("n")
-    val pe = (col("sa") * col("sb") + (col("n") - col("sa")) *
-      (col("n") - col("sb"))).cast("double") / (col("n") * col("n"))
+    // exact integer emissions (round-12 float purge): po and pe are
+    // rationals over n and n², so kappa = (po−pe)/(1−pe) reduces to
+    // the BIGINT ratio ((s11+s00)·n − peNum) / (n² − peNum) with
+    // peNum = sa·sb + (n−sa)(n−sb); the pe = 1 degenerate (both
+    // gates constant) emits 0 as before. |numerator| ≤ n² ≈ 4·10⁸ at
+    // sf0.1, ×10⁶ well inside signed 64-bit.
+    val peNum = col("sa") * col("sb") +
+      (col("n") - col("sa")) * (col("n") - col("sb"))
+    val kNum = (col("s11") + col("s00")) * col("n") - peNum
+    val kDen = col("n") * col("n") - peNum
     pr.select(
       col("gate_a"),
       col("gate_b"),
       col("n"),
-      round(po, 6).as("agree_frac"),
-      when(pe === 1, 0.0)
-        .otherwise(round((po - pe) / (lit(1) - pe), 6))
-        .as("kappa")
+      graft.functions.IntMath
+        .microRatio(col("s11") + col("s00"), col("n"))
+        .as("agree_ppm"),
+      when(kDen === 0L, 0L)
+        .otherwise(
+          graft.functions.IntMath
+            .idivHalfUpSigned(kNum * lit(1000000L), kDen)
+        )
+        .as("kappa_ppm")
     )
   }
 

@@ -149,16 +149,16 @@ class Round3OpsSpec extends AnyFunSuite {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val d = r.getAs[java.lang.Double]("secs_since_prev")
-      if (d != null) assert(d >= 0.0, "events ordered by ts within user")
+      val d = r.getAs[java.lang.Long]("us_since_prev")
+      if (d != null) assert(d >= 0L, "events ordered by ts within user")
     }
     val perUser = rows.groupBy(_.getAs[Long]("user_id"))
     perUser.foreach { case (_, rs) =>
       val ranks = rs.map(_.getAs[Int]("event_rank")).sorted
       assert(ranks.toSeq == (1 to rs.length))
       // exactly one head per user (no prev), one tail (no next)
-      assert(rs.count(_.getAs[java.lang.Double]("prev_value") == null) == 1)
-      assert(rs.count(_.getAs[java.lang.Double]("next_value") == null) == 1)
+      assert(rs.count(_.getAs[java.lang.Long]("prev_value_cents") == null) == 1)
+      assert(rs.count(_.getAs[java.lang.Long]("next_value_cents") == null) == 1)
     }
   }
 

@@ -292,12 +292,16 @@ class Round4bOpsSpec extends AnyFunSuite {
     val out = Sampling.mixReweight(spark, dir).collect()
     assert(out.length == 5)
     val totalTokens = out.map(_.getLong(2)).sum
-    val expected = out.map(_.getDouble(6)).sum
-    // Σ expected = Σ total · target_l = total (targets sum to 1)
-    assert(math.abs(expected - totalTokens) / totalTokens < 1e-6)
+    // Σ expected = Σ total · target_l = total (targets sum to 1);
+    // centi-token units, each row half-up-rounded → within 5 centi
+    val expectedCenti = out.map(_.getLong(6)).sum
+    assert(math.abs(expectedCenti - totalTokens * 100L) <= 5L)
     out.foreach { r =>
-      assert(math.abs(
-        r.getDouble(5) * r.getDouble(3) - r.getDouble(4)) < 1e-5)
+      // weight_micro · share_ppm ≈ target_pm (micro·ppm = 10⁻¹², the
+      // product is target in 10⁻¹² units; both factors half-up)
+      val prod = r.getLong(5).toDouble * r.getLong(3) / 1e9
+      assert(math.abs(prod - r.getLong(4)) < 0.01,
+        s"weight·share != target: $prod vs ${r.getLong(4)}")
     }
   }
 

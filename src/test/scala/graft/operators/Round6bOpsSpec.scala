@@ -82,7 +82,7 @@ class Round6bOpsSpec extends AnyFunSuite {
     val fwd = out.find(r =>
       r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
     assert(fwd.isDefined, "short-in-long direction must surface")
-    assert(fwd.get.getAs[Double]("containment") == 1.0)
+    assert(fwd.get.getAs[Long]("containment_ppm") == 1000000L)
     assert(fwd.get.getAs[Boolean]("contained"))
     // host direction: only |inner| shingles of its much larger set
     // are shared -> below the 0.5 floor, so the row is absent

@@ -137,7 +137,7 @@ class Round7OpsSpec extends AnyFunSuite {
   test("q159 prefix filtering loses no pair vs the naive exact join") {
     import spark.implicits._
     val pruned = Dedup.prefixFilterJoin(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     // naive: every pair sharing >=1 shingle, exact Jaccard >= 0.5
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -150,16 +150,14 @@ class Round7OpsSpec extends AnyFunSuite {
       .join(docs.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
       .join(docs.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
       .select($"doc_a", $"doc_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          (size($"sh_a") + size($"sh_b") -
-            size(array_intersect($"sh_a", $"sh_b")))).as("j"))
-      .filter($"j" >= 0.5)
-      // HALF_UP like Spark's round(); math.rint is half-even and
-      // diverges on exact .5-ulp Jaccard values
+        size(array_intersect($"sh_a", $"sh_b")).cast("long").as("i"),
+        (size($"sh_a") + size($"sh_b") -
+          size(array_intersect($"sh_a", $"sh_b"))).cast("long").as("u"))
+      .filter($"i".cast("double") / $"u" >= 0.5)
+      // exact half-up ppm, the operator's round-12 emission unit
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        BigDecimal(r.getDouble(2))
-          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
-          .toDouble).toMap
+        ((2L * r.getLong(2) * 1000000L + r.getLong(3)) /
+          (2L * r.getLong(3)))).toMap
     assert(pruned == naive, "prefix-filtered result == naive exact result")
   }
 
@@ -355,7 +353,7 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(merged.getAs[Long]("sum_chars") == direct.getLong(1))
     assert(merged.getAs[Long]("min_chars") == direct.getLong(2))
     assert(merged.getAs[Long]("max_chars") == direct.getLong(3))
-    assert(merged.getAs[Double]("var_chars") >= 0.0)
+    assert(merged.getAs[Long]("var_chars_milli") >= 0L)
   }
 
   test("q175 diff conserves each side's distinct hash count") {

@@ -267,8 +267,9 @@ class Round7bOpsSpec extends AnyFunSuite {
   test("q190 gate agreement: all 6 pairs, κ bounded, constant gate ⇒ κ = 0") {
     val out = TextAnalysis.gateAgreement(spark, dir).cache()
     assert(out.count() === 6)
-    assert(out.filter(col("kappa") < -1 || col("kappa") > 1).count() === 0L)
-    assert(out.filter(col("agree_frac") < 0 || col("agree_frac") > 1)
+    assert(out.filter(col("kappa_ppm") < -1000000L ||
+      col("kappa_ppm") > 1000000L).count() === 0L)
+    assert(out.filter(col("agree_ppm") < 0L || col("agree_ppm") > 1000000L)
       .count() === 0L)
     assert(out.filter(col("n") <= 0).count() === 0L)
   }
@@ -368,9 +369,9 @@ class Round7bOpsSpec extends AnyFunSuite {
     val nSrc = Tables.documents(spark, dir)
       .select("source").distinct().count()
     assert(out.count() === nSrc * (nSrc - 1) / 2)
-    assert(out.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1)
-      .count() === 0L)
-    assert(out.filter(col("jaccard") < 0 || col("jaccard") > 1)
-      .count() === 0L)
+    assert(out.filter(col("est_jaccard_ppm") < 0L ||
+      col("est_jaccard_ppm") > 1000000L).count() === 0L)
+    assert(out.filter(col("jaccard_ppm") < 0L ||
+      col("jaccard_ppm") > 1000000L).count() === 0L)
   }
 }

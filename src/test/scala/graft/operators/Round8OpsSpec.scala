@@ -161,10 +161,12 @@ class Round8OpsSpec extends AnyFunSuite {
   test("q198 error audit: estimates quantized to eighths, pairs conserved") {
     val audit = Dedup.minhashErrorAudit(spark, dir).collect()
     audit.foreach { r =>
-      val est = r.getAs[Double]("est_jaccard")
-      assert(math.abs(est * 8 - math.round(est * 8)) < 1e-6,
-        s"estimate $est not a multiple of 1/8")
-      assert(r.getAs[Double]("mean_abs_err") <= r.getAs[Double]("max_abs_err"))
+      val est = r.getAs[Long]("est_jaccard_ppm")
+      assert(est % 125000L == 0L,
+        s"estimate $est ppm not a multiple of 1/8")
+      // mean is in milli-ppm, max in ppm
+      assert(r.getAs[Long]("mean_abs_err_ppm_milli") <=
+        r.getAs[Long]("max_abs_err_ppm") * 1000L)
     }
     val totalPairs = audit.map(_.getAs[Long]("n_pairs")).sum
     val q22Pairs = Dedup.minhashLshPairs(spark, dir).count()

@@ -26,11 +26,15 @@ class Round8arOpsSpec extends AnyFunSuite {
         r.getAs[Double]("jaccard")).toMap
     wj.foreach { r =>
       val k = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
-      val j = r.getAs[Double]("jaccard")
-      val w = r.getAs[Double]("wjaccard")
-      plain.get(k).foreach(pj => assert(math.abs(pj - j) < 1e-9))
-      assert(w >= 0.0 && w <= 1.0 + 1e-9)
-      assert(r.getAs[Boolean]("flipped") == ((j >= 0.5) != (w >= 0.5)))
+      val j = r.getAs[Long]("jaccard_ppm")
+      val w = r.getAs[Long]("wjaccard_milli")
+      // the seam's rounded double and the exact half-up ppm agree to
+      // within one micro on every pair
+      plain.get(k).foreach(pj =>
+        assert(math.abs(pj * 1e6 - j) <= 1.0 + 1e-6))
+      assert(w >= 0L && w <= 1000L)
+      assert(r.getAs[Boolean]("flipped") ==
+        ((j >= 500000L) != (w >= 500L)))
     }
   }
 

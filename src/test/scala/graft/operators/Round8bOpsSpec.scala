@@ -102,15 +102,18 @@ class Round8bOpsSpec extends AnyFunSuite {
     out.foreach { row =>
       val r = row.getAs[Long]("r")
       assert(row.getAs[Long]("n_types") == spec(r), s"N_$r")
-      val pm = r.toDouble * spec(r) / nTotal
-      assert(math.abs(row.getAs[Double]("prob_mass") - pm) < 1e-5)
-      assert(math.abs(row.getAs[Double]("p0") - n1.toDouble / nTotal) < 1e-5)
+      def halfUpMicro(a: Long, b: Long): Long =
+        (2L * a * 1000000L + b) / (2L * b)
+      assert(row.getAs[Long]("prob_mass_ppm") ==
+        halfUpMicro(r * spec(r), nTotal))
+      assert(row.getAs[Long]("p0_ppm") == halfUpMicro(n1, nTotal))
       spec.get(r + 1) match {
         case Some(nNext) =>
-          val rStar = (r + 1).toDouble * nNext / spec(r)
-          assert(math.abs(row.getAs[Double]("r_star") - rStar) < 1e-4, s"r*_$r")
+          assert(row.getAs[Long]("r_star_micro") ==
+            halfUpMicro((r + 1) * nNext, spec(r)), s"r*_$r")
         case None =>
-          assert(row.isNullAt(row.fieldIndex("r_star")), s"gap at r=$r")
+          assert(row.isNullAt(row.fieldIndex("r_star_micro")),
+            s"gap at r=$r")
       }
     }
   }

@@ -93,7 +93,8 @@ class Round8pOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_gaps") == gaps.length.toLong)
       val n = gaps.length
       val mean = gaps.sum.toDouble / n
-      assert(math.abs(r.getAs[Double]("mean_gap_s") - mean / 1e6) < 0.001)
+      assert(r.getAs[Long]("mean_gap_us_milli") ==
+        (2L * gaps.sum * 1000L + n) / (2L * n))
       val varr = (gaps.map(g => g.toDouble * g).sum - gaps.sum.toDouble *
         gaps.sum / n) / n
       val cv2 = varr / (mean * mean)

@@ -49,6 +49,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 #   ieee    exact IEEE arithmetic on exactly-representable inputs
 #           (integer-derived doubles, power-of-two scales, single
 #           divisions of small ints) — no rounding step needed.
+# Round-12 purge: 14 more ratio/mean emissions converted to exact
+# BIGINT ppm/milli/micro units and REMOVED (q21, q22, q67, q84, q104, q119,
+# q143, q159, q174, q182, q190, q198, q204, q261, q346) — selection
+# thresholds stay on the proven internal doubles; only emissions
+# changed.
 # Round-11 purge: 24 ratio/mean-shaped queries were re-expressed in
 # exact BIGINT micro/milli/ppm units and REMOVED from this map (q12,
 # q14, q19, q39, q60, q66, q81, q109, q115, q120, q134, q136, q146,
@@ -65,7 +70,6 @@ GRANDFATHERED = {
     "q09_status_pivot": {"value_f"},  # money2 (pivoted money sums)
     "q100_entropy": {"entropy"},  # r6same (−Σp·ln p, same term order)
     "q103_histogram_median": {"exact_median", "approx_median", "abs_err"},  # raw (rank-statistic picks + one subtraction)
-    "q104_mix_reweight": {"share", "target", "weight", "expected_tokens"},  # r6same
     "q105_asof_native": {"value", "prior_error_value"},  # raw
     "q106_ivf_probe2": {"sim"},  # r6same (cosine, same fold order)
     "q107_stream_lake": {"sum_value"},  # sum6
@@ -75,7 +79,6 @@ GRANDFATHERED = {
     "q113_idle_rich_customers": {"totacctbal"},  # money2
     "q116_frame_embedding": {"pooled"},  # ieee (integer-derived cells /1000, mean r6same)
     "q118_cheapest_supplier": {"best_price"},  # raw (min pick)
-    "q119_window_family": {"prnk", "cdist"},  # ieee (exact rationals k/n)
     "q11_orders_by_month": {"sum_price"},  # money2
     "q121_transform_state": {"max_value"},  # raw (max pick)
     "q122_unpivot": {"price"},  # raw
@@ -93,7 +96,6 @@ GRANDFATHERED = {
     "q140_winnow_fingerprints": {"overlap"},  # r6same
     "q141_jl_projection": {"d2_orig", "d2_proj", "distortion"},  # r6same
     "q142_gopher_rules": {"mean_word_len", "alpha_frac", "symbol_frac"},  # r6same
-    "q143_shingle_containment": {"containment"},  # r6same (inter/n_src)
     "q145_embedding_outliers": {"dist", "z"},  # r6same
     "q148_zipf_fit": {"slope", "intercept", "r2"},  # r6same (closed-form OLS, same sums)
     "q149_kn_bigram": {"p_kn", "p_cont"},  # r6same
@@ -102,7 +104,6 @@ GRANDFATHERED = {
     "q152_bucketed_join": {"revenue"},  # money2
     "q153_partition_prune": {"total_value"},  # money2
     "q156_embedding_whiten": {"z"},  # r6same
-    "q159_prefix_filter_join": {"jaccard"},  # r6same (inter/union of ints)
     "q15_quality_score": {"stop_ratio", "quality"},  # r6same (the q15 formula)
     "q160_stopword_discovery": {"idf"},  # r6same (ln(N/df))
     "q161_ppl_buckets": {"ppl"},  # r6same
@@ -110,26 +111,18 @@ GRANDFATHERED = {
     "q163_compaction": {"total_value"},  # money2
     "q168_source_kl": {"kl"},  # r6same (count-ratio KL, same term order)
     "q169_epoch_expansion": {"epochs"},  # r6same (q150's column)
-    "q174_mergeable_stats": {"mean_chars", "var_chars"},  # r6same (closed-form moments of exact int sums)
     "q177_retrieve_rerank": {"cos_score"},  # r6same
-    "q182_source_minhash": {"est_jaccard", "jaccard"},  # r6same (matches/k of ints)
     "q183_ivfpq": {"adc", "exact_dist"},  # r6same
     "q184_moore_lewis": {"xent_in", "xent_gen", "ml_score"},  # r6same
     "q185_stream_monitor": {"p50_est", "p95_est", "p50_exact", "p95_exact"},  # raw (rank/sketch picks of stored values)
-    "q190_gate_agreement": {"agree_frac", "kappa"},  # ieee (small-int rationals, single divisions)
     "q192_embedding_decon": {"best_sim"},  # r6same
     "q193_bootstrap_ci": {"mean_nchars", "boot_se", "ci_lo", "ci_hi"},  # r6same (same resample arithmetic)
-    "q198_minhash_error": {"est_jaccard", "mean_abs_err", "max_abs_err"},  # r6same
     "q201_composition_chi2": {"expected", "chi2_cell"},  # ieee (int-ratio expected, one square/divide)
-    "q204_good_turing": {"r_star", "prob_mass", "p0"},  # ieee (single divisions of exact int counts)
     "q206_mcnemar_gates": {"mcnemar_chi2"},  # ieee ((b−c)²/(b+c) on small ints)
-    "q21_ngram_jaccard": {"jaccard"},  # r6same
-    "q22_minhash_lsh": {"est_jaccard", "jaccard"},  # r6same
     "q237_decay_counts": {"decayed_count"},  # r6same (count·2^(−age/hl), same order)
     "q241_pc1_power": {"pc1"},  # r6same (per-round r6 absorbs order drift)
     "q24_cosine_topk": {"sim"},  # r6same
     "q25_ivf_topk": {"sim"},  # r6same
-    "q261_interarrival": {"mean_gap_s"},  # ieee (int µs sum / count, one divide)
     "q26_embedding_neardup": {"sim"},  # r6same
     "q274_neardup_anatomy": {"jaccard"},  # r6same
     "q278_cosine_histogram": {"bin_lo"},  # ieee (fixed bin edge from the int bin index)
@@ -141,7 +134,6 @@ GRANDFATHERED = {
     "q30_asof_join": {"value", "prior_error_value"},  # raw
     "q32_stream_tumbling": {"sum_value"},  # sum6
     "q33_multimodal_decode": {"f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7"},  # ieee (integer-hash-derived /1000)
-    "q346_weighted_jaccard": {"jaccard", "wjaccard"},  # r6same (Σmin/Σmax of ints)
     "q36_salted_join": {"sum_price"},  # money2
     "q410_value_five_point": {"min_value", "p25_value", "p50_value", "p75_value", "max_value"},  # raw (rank-statistic picks)
     "q418_kmv_set_algebra": {"est_a", "est_b", "est_union", "est_inter"},  # ieee (KMV closed form on exact ints)
@@ -152,7 +144,6 @@ GRANDFATHERED = {
     "q61_full_outer": {"sum_price"},  # money2
     "q62_pivot_api": {"price_f", "price_o", "price_p"},  # money2
     "q64_fused_text_stats": {"quality"},  # r6same (fused expr pinned ≡ column form by spec)
-    "q67_lag_lead": {"prev_value", "next_value", "secs_since_prev", "moving_avg3"},  # raw + ieee (lag picks; 3-term window mean r6)
     "q68_grouping_sets": {"sum_qty"},  # money2
     "q69_label_centroids": {"centroid_val"},  # r6same
     "q70_lsh_neardup": {"sim"},  # r6same
@@ -161,8 +152,8 @@ GRANDFATHERED = {
     "q77_stream_static_join": {"sum_value"},  # sum6
     "q79_rolling_hour": {"sum_1h"},  # sum6
     "q80_lang_percentiles": {"p25", "p50", "p75"},  # ieee (percentile_cont, same interpolation formula)
-    "q84_bigram_lm": {"p"},  # ieee (count ratio, one divide)
     "q86_pagerank": {"rank"},  # r6same (final r6 absorbs 8-round drift)
+    "q483_contamination_ppr": {"rank"},  # r6same (q86's argument: identical 8-round chain, final r6)
     "q87_session_window": {"sum_value"},  # sum6
     "q90_cdc_apply": {"balance"},  # sum6 (applied-delta sum)
     "q91_bigram_xent": {"xent"},  # r6same
