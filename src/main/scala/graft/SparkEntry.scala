@@ -1198,6 +1198,8 @@ object SparkEntry {
     "q483_contamination_ppr" -> (PageRank.contaminationPpr _),
     // Bottom-k (k=256) mergeable quantile sketch vs exact five-point.
     "q484_quantile_sketch" -> (Sketches.quantileSketchAudit _),
+    // Bounded coreness census (k-core peel, 3 rounds/level, maxK=4).
+    "q485_coreness_census" -> (Relational.corenessCensus _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -1698,6 +1700,57 @@ object SparkEntry {
        peel_scored AS (SELECT round::BIGINT AS round, n::BIGINT AS n_nodes,
          m::BIGINT AS n_edges, ${sqlMicroRatio("m", "n")} AS density_micro
          FROM peel_rows)""")
+    sb.toString
+  }
+
+  /** Chained CTEs for q485's bounded coreness census: e0/n0 = the
+    * canonical co-purchase graph, then for each level k = 2..maxK,
+    * `roundsPerLevel` unconditional peel rounds (keep nodes with
+    * current degree ≥ k, re-induce the edge set) — a fixpoint round
+    * is a no-op, so the unconditional unroll equals Spark's
+    * early-exiting loop. Emits per-class node counts as differences
+    * of consecutive level boundaries.
+    */
+  private def corenessCtes(maxK: Int, roundsPerLevel: Int): String = {
+    val sb = new StringBuilder
+    sb.append("""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+         FROM lineitem),
+       ek0 AS MATERIALIZED (
+         SELECT a.l_partkey AS u, b.l_partkey AS v
+         FROM op a JOIN op b USING (l_orderkey)
+         WHERE a.l_partkey < b.l_partkey
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       nk0 AS MATERIALIZED (SELECT u AS id FROM ek0
+         UNION SELECT v FROM ek0)""")
+    var en = "ek0"
+    var nn = "nk0"
+    val bounds = scala.collection.mutable.ArrayBuffer("nk0")
+    for (k <- 2 to maxK; r <- 1 to roundsPerLevel) {
+      val tag = s"k${k}r$r"
+      sb.append(s""",
+       d$tag AS (SELECT id, count(*) AS dg FROM
+           (SELECT u AS id FROM $en UNION ALL SELECT v FROM $en) t
+         GROUP BY 1),
+       n$tag AS MATERIALIZED (SELECT id FROM $nn
+         WHERE id IN (SELECT id FROM d$tag WHERE dg >= $k)),
+       e$tag AS MATERIALIZED (SELECT u, v FROM $en
+         WHERE u IN (SELECT id FROM n$tag)
+           AND v IN (SELECT id FROM n$tag))""")
+      en = s"e$tag"
+      nn = s"n$tag"
+      if (r == roundsPerLevel) bounds += nn
+    }
+    sb.append(s""",
+       core_rows AS (
+         ${(0 until maxK - 1)
+        .map(i =>
+          s"""SELECT ${i + 1}::BIGINT AS core_k,
+           ((SELECT count(*) FROM ${bounds(i)})
+             - (SELECT count(*) FROM ${bounds(i + 1)}))::BIGINT
+             AS n_nodes""")
+        .mkString("\n         UNION ALL ")}
+         UNION ALL SELECT $maxK::BIGINT,
+           (SELECT count(*) FROM ${bounds(maxK - 1)})::BIGINT)""")
     sb.toString
   }
 
@@ -14000,6 +14053,11 @@ object SparkEntry {
          $pprCtes
          SELECT node AS doc_id, round(r, 6) AS rank FROM p8"""
     },
+    // q485: the identical 3 levels × 3 unconditional peel rounds;
+    // class counts as level-boundary differences.
+    "q485_coreness_census" ->
+      s"""${corenessCtes(4, 3)}
+         SELECT core_k, n_nodes FROM core_rows""",
     // q482: the identical 6 unrolled batch-peel rounds; is_best
     // decided on the emitted micro value (density DESC, round ASC)
     // exactly as the Spark driver does.

@@ -48,6 +48,33 @@ object CoPurchaseGraph {
       .cacheTracked()
   }
 
+  /** Repeat co-purchase edges: canonical (u, v) pairs that co-occur
+    * in at least `minOrders` DISTINCT orders — the signal subgraph
+    * (one shared basket is noise; repetition is affinity). Same
+    * within-order pair generation as [[edges]], with the distinct
+    * replaced by a count-filter aggregate (identical shuffle shape).
+    */
+  def repeatEdges(
+      spark: SparkSession,
+      dir: String,
+      minOrders: Int
+  ): DataFrame = {
+    val op = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val a = op.select(col("l_orderkey"), col("l_partkey").as("u"))
+    val b = op.select(col("l_orderkey"), col("l_partkey").as("v"))
+    a
+      .join(b, Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minOrders)
+      .select(col("u"), col("v"))
+      .cacheTracked()
+  }
+
   /** Per-node degree (n, deg) of a canonical (u, v) edge frame. */
   def degrees(edges: DataFrame): DataFrame =
     edges
@@ -333,6 +360,81 @@ object CoPurchaseGraph {
         (rr, nn, mm, micro, if (rr == best) 1L else 0L)
       }
       .toDF("round", "n_nodes", "n_edges", "density_micro", "is_best")
+  }
+
+  /** Bounded coreness census — the k-core decomposition (Seidman,
+    * "Network structure and minimum degree", Social Networks 1983;
+    * distributed peel: Montresor/De Pellegrini/Miorandi, TPDS 2013)
+    * run level-by-level with a bounded round cap, the NODE-side
+    * completion of the cohesion ladder: triangles/support/truss
+    * classify EDGES by mutual reinforcement, the densest peel finds
+    * one extremal subgraph — coreness assigns every node its depth
+    * in the nested k-core hierarchy (q315's 2-core audit is the
+    * k = 2 slice of this census).
+    *
+    * Contract (the q474/q482 pattern): for level k = 2..maxK, peel
+    * nodes with degree < k for at most `roundsPerLevel` rounds (the
+    * full cascade is unbounded; the cap is part of the operator and
+    * the DuckDB oracle unrolls the identical rounds — early exit on
+    * a fixpoint round changes nothing). Nodes removed during level
+    * k's peel have bounded coreness k−1; level-maxK survivors are
+    * the bounded maxK-core. Output: (core_k, n_nodes) for k =
+    * 1..maxK.
+    *
+    * Scale: each round is one degree aggregate + two semi-joins on
+    * the shrinking edge set — keyed shuffles only, lineage truncated
+    * per round, driver state one scalar per round.
+    */
+  def boundedCorenessCensus(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxK: Int,
+      roundsPerLevel: Int
+  ): DataFrame = {
+    var e = edges.localCheckpoint(true)
+    var nodes = e
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .distinct()
+      .localCheckpoint(true)
+    var nCur = nodes.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (k <- 2 to maxK) {
+      val levelStart = nCur
+      var r = 0
+      var done = nCur == 0L
+      while (r < roundsPerLevel && !done) {
+        r += 1
+        val deg = e
+          .select(explode(array(col("u"), col("v"))).as("id"))
+          .groupBy(col("id"))
+          .agg(count(lit(1)).as("deg"))
+        // isolated survivors have no deg row → removed by the semi-
+        // join exactly as deg-0 nodes must be at any k ≥ 1
+        val keep = nodes
+          .join(
+            deg.filter(col("deg") >= k).select(col("id")),
+            Seq("id"),
+            "left_semi"
+          )
+          .localCheckpoint(true)
+        val nNext = keep.count()
+        if (nNext == nCur) done = true
+        else {
+          val prevE = e
+          e = e
+            .join(keep.select(col("id").as("u")), Seq("u"), "left_semi")
+            .join(keep.select(col("id").as("v")), Seq("v"), "left_semi")
+            .localCheckpoint(true)
+          prevE.unpersist(blocking = false)
+          nodes = keep
+          nCur = nNext
+        }
+      }
+      out += ((k - 1L, levelStart - nCur))
+    }
+    out += ((maxK.toLong, nCur))
+    import spark.implicits._
+    out.toSeq.toDF("core_k", "n_nodes")
   }
 
   /** BFS level histogram over a caller-prepared symmetric (src, dst)

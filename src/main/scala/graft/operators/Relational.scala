@@ -1210,4 +1210,24 @@ object Relational {
       CoPurchaseGraph.edges(spark, dir),
       rounds = 6
     )
+
+  /** q485: bounded coreness census over the REPEAT co-purchase graph
+    * (pairs sharing ≥ 2 distinct orders — the full graph's ≈90+
+    * minimum degree makes every node a trivial 4-core member;
+    * repetition is where the hierarchy lives) —
+    * [[CoPurchaseGraph.boundedCorenessCensus]] with maxK = 4 and 3
+    * peel rounds per level, emitting (core_k → node count) for
+    * coreness classes 1..3 and the bounded 4-core. The node-side
+    * completion of the cohesion ladder (q445 triangles → q460
+    * support → q474 truss classes → q482 densest core): q315's
+    * 2-core audit is the k = 2 slice; this census assigns every
+    * node its depth in the full nested hierarchy.
+    */
+  def corenessCensus(spark: SparkSession, dir: String): DataFrame =
+    CoPurchaseGraph.boundedCorenessCensus(
+      spark,
+      CoPurchaseGraph.repeatEdges(spark, dir, minOrders = 2),
+      maxK = 4,
+      roundsPerLevel = 3
+    )
 }

@@ -132,6 +132,36 @@ class CoPurchaseGraphSpec extends AnyFunSuite {
     assert(got == Seq((0L, 4L, 6L, 1500000L, 1L)))
   }
 
+  test("boundedCorenessCensus: path=1, triangle=2, K5=4") {
+    import spark.implicits._
+    val path = Seq((0L, 1L), (1L, 2L))
+    val tri = Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val k5 = for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)
+    val got = CoPurchaseGraph
+      .boundedCorenessCensus(
+        spark, (path ++ tri ++ k5).toDF("u", "v"),
+        maxK = 4, roundsPerLevel = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 0L, 4L -> 5L))
+  }
+
+  test("boundedCorenessCensus: the round cap binds on a long path") {
+    import spark.implicits._
+    // path of 20 nodes: level-2 peel strips one node per end per
+    // round; with 3 rounds only 6 leave as class 1, then the whole
+    // 14-node remnant (deg ≤ 2 < 3) falls in level 3's first round
+    val chain = (0L until 19L).map(i => (i, i + 1))
+    val got = CoPurchaseGraph
+      .boundedCorenessCensus(spark, chain.toDF("u", "v"),
+        maxK = 4, roundsPerLevel = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 6L, 2L -> 14L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("bfsLevelHistogram: chain levels, disconnected at -1, hop cap") {
     import spark.implicits._
     // path 0-1-2-3 plus disconnected pair 10-11
