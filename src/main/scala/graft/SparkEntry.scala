@@ -1200,6 +1200,9 @@ object SparkEntry {
     "q484_quantile_sketch" -> (Sketches.quantileSketchAudit _),
     // Bounded coreness census (k-core peel, 3 rounds/level, maxK=4).
     "q485_coreness_census" -> (Relational.corenessCensus _),
+    // Streaming complete-mode bottom-k quantile sketch (q484 twin).
+    "q486_stream_quantile" ->
+      ((s, d) => streaming.StreamQuantile.streamQuantileSketch(s, d)),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -14053,6 +14056,26 @@ object SparkEntry {
          $pprCtes
          SELECT node AS doc_id, round(r, 6) AS rank FROM p8"""
     },
+    // q486: the q484 sample side — the terminal streaming state IS
+    // the batch sketch (merge law), so the oracle is identical.
+    "q486_stream_quantile" ->
+      """WITH h AS (SELECT l_returnflag AS grp,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT AS h,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+           FROM lineitem),
+         sel AS (SELECT grp, v, row_number() OVER
+               (PARTITION BY grp ORDER BY h, v) AS rn FROM h),
+         samp AS (SELECT grp, list_sort(list(v)) AS vals,
+               count(*)::BIGINT AS j
+             FROM sel WHERE rn <= 256 GROUP BY grp)
+         SELECT grp AS l_returnflag, j,
+           vals[1] AS est_min,
+           vals[((j+3)//4)::INT] AS est_p25,
+           vals[((j+1)//2)::INT] AS est_p50,
+           vals[((3*j+3)//4)::INT] AS est_p75,
+           vals[j::INT] AS est_max
+         FROM samp""",
     // q485: the identical 3 levels × 3 unconditional peel rounds;
     // class counts as level-boundary differences.
     "q485_coreness_census" ->
