@@ -1442,6 +1442,55 @@ object ScaleBench {
       } catch { case _: IllegalArgumentException => true }
     require(hitsGuardTripped, "hits degree guard must refuse deg 250")
 
+    // --- personalized PageRank locality at 1M nodes (q483) -------------
+    // symmetric 1M-spoke star seeded at the hub, plus a disjoint
+    // triangle: the ranks frame must NEVER touch the unreachable
+    // component (PPR's locality is the 100 TB story — frames are
+    // seed-neighborhood-sized, not graph-sized), mass must stay
+    // exactly 1 on the reachable side, and hub/spoke values must
+    // match the driver-side 2-state closed-form recurrence.
+    val pprSpokes = 1000000L
+    val pprStar = spark
+      .range(pprSpokes)
+      .select(lit(0L).as("u"), (col("id") + 1L).as("v"))
+      .unionByName(
+        spark.range(1).select(lit(5000000L).as("u"), lit(5000001L).as("v")))
+      .unionByName(
+        spark.range(1).select(lit(5000001L).as("u"), lit(5000002L).as("v")))
+      .unionByName(
+        spark.range(1).select(lit(5000000L).as("u"), lit(5000002L).as("v")))
+    val pprSym = pprStar
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(pprStar.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    import spark.implicits._
+    val tPpr = System.nanoTime()
+    val pprRanks = graft.operators.PageRank
+      .personalized(pprSym, Seq(0L).toDF("id"), iterations = 6)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val pprSec = (System.nanoTime() - tPpr) / 1e9
+    require(pprRanks.length == pprSpokes + 1,
+      s"ppr locality: ${pprRanks.length} ranked nodes (frame leaked " +
+        "into the unreachable component or dropped spokes)")
+    require(pprRanks.forall(_._1 < 5000000L), "ppr reached the triangle")
+    val pprMass = pprRanks.map(_._2).sum
+    require(math.abs(pprMass - 1.0) < 1e-6, s"ppr mass $pprMass")
+    // 2-state closed form: hub h, total spoke mass s (spokes split
+    // the hub's mass evenly; every spoke returns its whole mass)
+    var hm = 1.0
+    var sm = 0.0
+    for (_ <- 1 to 6) {
+      val nh = 0.15 + 0.85 * sm
+      val ns = 0.85 * hm
+      hm = nh
+      sm = ns
+    }
+    val hubRank = pprRanks.find(_._1 == 0L).get._2
+    require(math.abs(hubRank - hm) < 1e-9,
+      s"ppr hub rank $hubRank vs closed form $hm")
+
     // --- DBSCAN dense-cell adversary + bounded spread corpus (q476) ---
     // 100k points inside ONE eps-cell: the grid trick's candidate
     // bound is occupancy-bounded, so this corpus would generate
@@ -1469,13 +1518,17 @@ object ScaleBench {
     // 7 neighbors; anchors 0.1 apart → separate clusters). The
     // candidate join stays occupancy-bounded (≤ 8-ish per cell).
     val dbN = 200000L
+    // NB: `/` on long columns is DOUBLE division in Spark — the
+    // anchor index needs explicit floor division or every point gets
+    // its own fractional "anchor" and the corpus degenerates to noise
+    val anchor = floor(col("id") / 8L).cast("long")
     val dbPts = spark
       .range(dbN)
       .select(
         col("id").as("vec_id"),
-        (((col("id") / 8L) % 500L).cast("double") * 0.1 +
+        ((anchor % 500L).cast("double") * 0.1 +
           (col("id") % 8L).cast("double") * 0.0008).as("x"),
-        ((col("id") / 4000L).cast("double") * 0.1).as("y")
+        (floor(col("id") / 4000L).cast("double") * 0.1).as("y")
       )
       .repartition(cpus.toInt)
     val tDb = System.nanoTime()
@@ -1494,6 +1547,43 @@ object ScaleBench {
       s"dbscan spread: got $dbAgg"
     )
     graft.util.Caches.releaseAll()
+
+    // --- bottom-k quantile sketch at 12M rows (q484 topology) ----------
+    // 8 groups × 1.5M rows, uniform value domain: one scan with
+    // map-side partial aggregation into ≤ 256 pairs per group — the
+    // O(k)-state claim measured at width. The uniform domain pins
+    // the estimates: each group's sample is 256 uniform draws, so
+    // the p50 estimate must sit within the Hoeffding band of the
+    // true median (±4/√k of the rank ≈ ±25% of the domain at k=256;
+    // observed ~2%).
+    val qsN = 12000000L
+    val qsDomain = 1000000L
+    val qsRows = spark
+      .range(qsN)
+      .select(
+        (col("id") % 8L).as("grp"),
+        xxhash64(col("id")).as("h"),
+        (col("id") % qsDomain).as("v")
+      )
+    val tQs = System.nanoTime()
+    val qsOut = qsRows
+      .groupBy(col("grp"))
+      .agg(graft.functions.QuantileSketch
+        .bottomKValues(col("h"), col("v")).as("vals"))
+      .select(
+        col("grp"),
+        size(col("vals")).as("j"),
+        element_at(col("vals"), 128).as("p50")
+      )
+      .collect()
+    val qsSec = (System.nanoTime() - tQs) / 1e9
+    require(qsOut.length == 8, s"quantile sketch groups: ${qsOut.length}")
+    qsOut.foreach { r =>
+      require(r.getInt(1) == 256, s"sample size ${r.getInt(1)}")
+      val p50 = r.getLong(2)
+      require(math.abs(p50 - qsDomain / 2) < qsDomain / 4,
+        s"p50 estimate $p50 outside the Hoeffding band")
+    }
 
     // --- Hilbert curve index at 10M points (q452 topology) ------------
     // full-coverage pass over the 1024×1024 grid ~9.5×; the index is
@@ -1588,6 +1678,7 @@ object ScaleBench {
         s""""bfs_round_sec":$bfsRoundSec,""" +
         s""""densest_edges":$dsM0,"densest_best_micro":$dsMicro1,""" +
         s""""densest_sec":$dsSec,""" +
+        s""""ppr_nodes":${pprSpokes + 1},"ppr_sec":$pprSec,""" +
         s""""lp_star_nodes":${lpSpokes + 1},"lp_star_sec":$lpSec,""" +
         s""""hits_star_auth":${hitsRows(1L)._1},""" +
         s""""hits_star_hub":${hitsRows(0L)._2},"hits_star_sec":$hitsSec,""" +
@@ -1597,6 +1688,8 @@ object ScaleBench {
         s""""dbscan_guard_sec":$dbscanGuardSec,""" +
         s""""dbscan_pts":$dbN,"dbscan_clusters":${dbAgg.getLong(1)},""" +
         s""""dbscan_sec":$dbSec,""" +
+        s""""qsketch_rows":$qsN,"qsketch_sec":$qsSec,""" +
+        s""""qsketch_rows_per_sec":${(qsN / qsSec).round},""" +
         s""""hilbert_points":$hilN,"hilbert_sec":$hilSec,""" +
         s""""hilbert_points_per_sec":${(hilN / hilSec).round}}"""
     )
