@@ -1203,6 +1203,12 @@ object SparkEntry {
     // Streaming complete-mode bottom-k quantile sketch (q484 twin).
     "q486_stream_quantile" ->
       ((s, d) => streaming.StreamQuantile.streamQuantileSketch(s, d)),
+    // Local clustering coefficient census (percent-wide ppm buckets).
+    "q487_clustering_census" -> (Relational.clusteringCensus _),
+    // CN/RA link-prediction top-20 over the weak-overlap pair graph.
+    "q488_linkpred_candidates" -> (Dedup.linkPredictionAudit _),
+    // Rich-club connectivity curve at degree-decile thresholds.
+    "q489_rich_club" -> (Relational.richClubCurve _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -14091,6 +14097,113 @@ object SparkEntry {
               (ORDER BY density_micro DESC, round ASC) = 1
             THEN 1 ELSE 0 END)::BIGINT AS is_best
          FROM peel_scored""",
+    // q487: the identical canonical edge set and a<b<c triangle
+    // enumeration (the q474 oracle's t0), credited to all three
+    // corners; lcc in half-up micro units, bucket = lcc div 1e4.
+    "q487_clustering_census" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM lineitem),
+         e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM op a JOIN op b USING (l_orderkey)
+           WHERE a.l_partkey < b.l_partkey),
+         t0 AS (SELECT x1.u AS a, x1.v AS b, x2.v AS c
+           FROM e0 x1 JOIN e0 x2 ON x1.v = x2.u
+           JOIN e0 x3 ON x3.u = x1.u AND x3.v = x2.v),
+         tn AS (SELECT id, count(*) AS tri FROM
+             (SELECT a AS id FROM t0 UNION ALL SELECT b FROM t0
+              UNION ALL SELECT c FROM t0) z
+           GROUP BY 1),
+         dd AS (SELECT id, count(*) AS dg FROM
+             (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) z
+           GROUP BY 1),
+         l AS (SELECT dd.dg AS dg, coalesce(tn.tri, 0) AS tri,
+             CASE WHEN dd.dg < 2 THEN 0
+                  ELSE ${sqlMicroRatio(
+          "2 * coalesce(tn.tri, 0)",
+          "dd.dg * (dd.dg - 1)")}
+             END AS lcc
+           FROM dd LEFT JOIN tn ON dd.id = tn.id)
+         SELECT (lcc // 10000)::BIGINT AS bucket,
+           count(*)::BIGINT AS n_nodes,
+           coalesce(sum(tri), 0)::BIGINT AS tri_total
+         FROM l GROUP BY 1""",
+    // q488: the q208 pair-graph prefix at the 0.02 weak threshold;
+    // wedge arms joined through the center with its degree, RA terms
+    // summed as exact half-up integer divisions, non-edges kept by
+    // the null-probe left join, the identical total order + LIMIT.
+    "q488_linkpred_candidates" ->
+      s"""WITH $shinglesCte,
+         e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+           FROM d WHERE len(sh) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+           FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pr AS MATERIALIZED (SELECT doc_a, doc_b FROM p
+           WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6) >= 0.02),
+         sym AS MATERIALIZED (SELECT doc_a AS ctr, doc_b AS nbr FROM pr
+           UNION ALL SELECT doc_b, doc_a FROM pr),
+         dg AS MATERIALIZED (SELECT ctr AS id, count(*) AS dg
+           FROM sym GROUP BY 1),
+         w AS (SELECT x.nbr AS doc_a, y.nbr AS doc_b, dc.dg AS dgc
+           FROM sym x JOIN sym y ON x.ctr = y.ctr AND x.nbr < y.nbr
+           JOIN dg dc ON dc.id = x.ctr),
+         cn AS (SELECT doc_a, doc_b, count(*) AS cn,
+             sum(${sqlIdivHalfUp("1000000", "dgc")}) AS ra
+           FROM w GROUP BY 1, 2),
+         opn AS (SELECT cn.doc_a, cn.doc_b, cn.cn, cn.ra FROM cn
+           LEFT JOIN pr ON cn.doc_a = pr.doc_a AND cn.doc_b = pr.doc_b
+           WHERE pr.doc_a IS NULL)
+         SELECT o.doc_a, o.doc_b, o.cn::BIGINT AS cn,
+           o.ra::BIGINT AS ra_micro,
+           ${sqlMicroRatio("o.cn", "da.dg + db.dg - o.cn")}
+             AS nbr_jaccard_ppm
+         FROM opn o JOIN dg da ON da.id = o.doc_a
+           JOIN dg db ON db.id = o.doc_b
+         ORDER BY cn DESC, ra_micro DESC, doc_a ASC, doc_b ASC
+         LIMIT 20""",
+    // q489: degree value-domain cumsum decile picks (the q461 bound
+    // rule), then per-threshold strict-majority counts from the two
+    // bounded histograms; phi in half-up micro units.
+    "q489_rich_club" ->
+      s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+           FROM lineitem),
+         e0 AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM op a JOIN op b USING (l_orderkey)
+           WHERE a.l_partkey < b.l_partkey),
+         dd AS MATERIALIZED (SELECT id, count(*) AS dg FROM
+             (SELECT u AS id FROM e0 UNION ALL SELECT v FROM e0) z
+           GROUP BY 1),
+         g AS (SELECT dg, count(*) AS c FROM dd GROUP BY 1),
+         cum AS MATERIALIZED (SELECT dg, c,
+             sum(c) OVER (ORDER BY dg ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+           FROM g),
+         n_tot AS (SELECT count(*) AS n FROM dd),
+         ks AS MATERIALIZED (SELECT dec,
+             (SELECT min(dg) FROM cum, n_tot
+              WHERE cw * 10 >= n * dec) AS k
+           FROM (SELECT unnest(range(1, 10)) AS dec) z),
+         edh AS MATERIALIZED (
+           SELECT least(du.dg, dv.dg) AS dmin, count(*) AS ec
+           FROM e0 JOIN dd du ON e0.u = du.id
+             JOIN dd dv ON e0.v = dv.id
+           GROUP BY 1),
+         base AS (SELECT dec, k,
+             (SELECT coalesce(sum(c), 0) FROM g WHERE dg > k)
+               AS n_nodes,
+             (SELECT coalesce(sum(ec), 0) FROM edh WHERE dmin > k)
+               AS e_k
+           FROM ks)
+         SELECT dec::BIGINT AS decile, k::BIGINT AS k_deg,
+           n_nodes::BIGINT AS n_nodes, e_k::BIGINT AS n_edges,
+           (CASE WHEN n_nodes < 2 THEN 0
+                 ELSE ${sqlMicroRatio("2 * e_k", "n_nodes * (n_nodes - 1)")}
+            END)::BIGINT AS phi_micro
+         FROM base""",
     "q240_nn_label_eval" -> {
       val centCos = cosSql("c_vec", "embedding")
       val pairCos = cosSql("q_vec", "e.embedding")

@@ -122,6 +122,22 @@ object CoPurchaseGraph {
       )
   }
 
+  /** Per-node incident-triangle counts (n, tri) over a triangle
+    * frame from [[triangles]] — each closed wedge (src, x, y) is one
+    * distinct triangle and credits all three corners. The node-side
+    * companion of [[edgeSupport]]: support says how reinforced each
+    * EDGE is, this says how closed each NODE's neighborhood is (the
+    * local-clustering numerator). Nodes in no triangle are absent;
+    * consumers left-join and coalesce to 0.
+    */
+  def nodeTriangleCounts(tri: DataFrame): DataFrame =
+    tri
+      .select(
+        explode(array(col("src"), col("x"), col("y"))).as("n")
+      )
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("tri"))
+
   /** Per-edge triangle support over ANY canonical edge frame —
     * support-0 edges kept via the left join (they are the bridges).
     * Output (u, v, support); this is the frame k-truss peels on, so

@@ -419,6 +419,103 @@ object Dedup {
       )
   }
 
+  /** q488: link-prediction candidate miner over the weak-overlap
+    * pair graph — the constructive twin of q208's transitivity
+    * audit. Over the shingle-pair graph at the LOW threshold
+    * J ≥ 0.02 (the q21 inversion seam before its 0.05 selection
+    * floor), every non-adjacent pair reachable through shared
+    * neighbors is scored by common-neighbor count, the
+    * resource-allocation index Σ 1/deg(z) over shared neighbors z
+    * (Zhou, Lü & Zhang, EPJ B 2009) in exact summed-half-up micro
+    * units, and neighborhood Jaccard in exact ppm; the top 20 by
+    * (cn, ra, pair id) are emitted. These are exactly the pairs a
+    * thresholded pair-miner MISSED but the graph structure vouches
+    * for — the recall-repair worklist a dedup operator re-verifies
+    * with exact Jaccard before the next q72 closure run.
+    *
+    * Exactness: ra_micro sums per-neighbor idivHalfUp(10⁶, deg) —
+    * each term is one exact integer division, so the sum is
+    * engine-identical regardless of order; cn and the degree
+    * Jaccard are pure counts + one microRatio.
+    *
+    * Scale: wedges are Σ_z deg(z)² over the PAIR graph (collision-
+    * linear edges, so wedge volume is bounded by the same pair
+    * budget q208 documents); the non-edge check is one anti-join
+    * back into the cached pair artifact, and top-20 is
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    */
+  def linkPredictionAudit(spark: SparkSession, dir: String): DataFrame =
+    linkPredictionFrom(
+      shinglePairIntersections(docShingles(spark, dir))
+        .withColumn(
+          "j_sel",
+          round(
+            col("inter").cast("double") /
+              (col("n_a") + col("n_b") - col("inter")),
+            6
+          )
+        )
+        .filter(col("j_sel") >= 0.02)
+        .select(col("doc_a"), col("doc_b"))
+        // read three times: two wedge arms (via sym) + the anti-join
+        .cacheTracked()
+    )
+
+  /** [[linkPredictionAudit]]'s scoring engine over ANY canonical
+    * (doc_a < doc_b) pair frame — the spec seam (hand-built graphs
+    * with known CN/RA scores). The caller owns materialization.
+    */
+  def linkPredictionFrom(pairs: DataFrame): DataFrame = {
+    import graft.functions.IntMath.{idivHalfUp, microRatio}
+    val sym = pairs
+      .select(col("doc_a").as("ctr"), col("doc_b").as("nbr"))
+      .unionByName(
+        pairs.select(col("doc_b").as("ctr"), col("doc_a").as("nbr"))
+      )
+      .cacheTracked()
+    val deg = sym
+      .groupBy(col("ctr").as("id"))
+      .agg(count(lit(1)).as("dg"))
+      .cacheTracked()
+    val symd = sym
+      .join(deg.withColumnRenamed("id", "ctr"), Seq("ctr"))
+    val scored = symd
+      .as("x")
+      .join(symd.as("y"), col("x.ctr") === col("y.ctr"))
+      .filter(col("x.nbr") < col("y.nbr"))
+      .select(
+        col("x.nbr").as("doc_a"),
+        col("y.nbr").as("doc_b"),
+        idivHalfUp(lit(1000000L), col("x.dg")).as("ra_term")
+      )
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        count(lit(1)).as("cn"),
+        sum(col("ra_term")).as("ra_micro")
+      )
+      .join(pairs, Seq("doc_a", "doc_b"), "left_anti")
+    scored
+      .join(deg.select(col("id").as("doc_a"), col("dg").as("da")),
+        Seq("doc_a"))
+      .join(deg.select(col("id").as("doc_b"), col("dg").as("db")),
+        Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("cn"),
+        col("ra_micro"),
+        microRatio(col("cn"), col("da") + col("db") - col("cn"))
+          .as("nbr_jaccard_ppm")
+      )
+      .orderBy(
+        col("cn").desc,
+        col("ra_micro").desc,
+        col("doc_a").asc,
+        col("doc_b").asc
+      )
+      .limit(20)
+  }
+
   /** q198: MinHash estimator-error audit — for every q22 LSH
     * candidate pair, the signature-estimated Jaccard vs the exact
     * shingle Jaccard, aggregated per estimate level (k=8 signatures

@@ -1230,4 +1230,166 @@ object Relational {
       maxK = 4,
       roundsPerLevel = 3
     )
+
+  /** q487: local-clustering-coefficient census of the co-purchase
+    * graph (Watts & Strogatz, Nature 1998) — per node, lcc =
+    * 2·tri(v) / (deg(v)·(deg(v)−1)) in exact ppm (half-up), censused
+    * into percent-wide buckets (bucket = lcc_micro div 10000; an
+    * exact-1.0 node lands in bucket 100). The node-local
+    * completion of the cohesion ladder: q445 counts the graph's
+    * triangles, q460 attributes them to edges, this attributes them
+    * to nodes — the "is this part's neighborhood a kit or a
+    * coincidence" profile, and the standard small-world diagnostic
+    * read next to q450's assortativity.
+    *
+    * Exactness: deg ≤ |V| and tri(v) ≤ deg², so 2·tri·10⁶ stays far
+    * inside BIGINT for any graph whose triangle frame is
+    * enumerable; the division is one [[graft.functions.IntMath
+    * .microRatio]] — engine-identical by construction. Isolated-pair
+    * nodes (deg < 2) report lcc 0 by contract.
+    *
+    * Scale: triangle enumeration is the seam's O(m^1.5)
+    * degree-ordered wedge join (never re-derived — same subtree as
+    * q445); the census adds one explode + two keyed aggregates, all
+    * collision-linear. No window, no driver loop.
+    */
+  def clusteringCensus(spark: SparkSession, dir: String): DataFrame =
+    lccBuckets(CoPurchaseGraph.edges(spark, dir))
+
+  /** [[clusteringCensus]] over ANY canonical (u < v) edge frame —
+    * the spec seam (hand-built graphs with known coefficients).
+    */
+  def lccBuckets(edges: DataFrame): DataFrame = {
+    import graft.util.Caches._
+    import graft.functions.IntMath.{idiv, microRatio}
+    // read twice: orientation inside triangles + the lcc join
+    val deg = CoPurchaseGraph.degrees(edges).cacheTracked()
+    val triN =
+      CoPurchaseGraph.nodeTriangleCounts(
+        CoPurchaseGraph.triangles(edges, deg)
+      )
+    deg
+      .join(triN, Seq("n"), "left")
+      .select(
+        col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri")
+      )
+      .select(
+        idiv(
+          when(col("deg") < 2, lit(0L)).otherwise(
+            microRatio(
+              lit(2L) * col("tri"),
+              col("deg") * (col("deg") - lit(1L))
+            )
+          ),
+          lit(10000L)
+        ).as("bucket"),
+        col("tri")
+      )
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("tri")).as("tri_total")
+      )
+  }
+
+  /** q489: rich-club connectivity curve of the co-purchase graph
+    * (Colizza, Flammini, Serrano & Vespignani, Nature Physics 2006)
+    * — at each degree-decile boundary k (the q461 value-domain
+    * pick: k_d = min degree whose cumulative node count reaches
+    * d/10 of the graph), the subgraph induced on nodes with
+    * deg > k is measured: node count, edge count, and density
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) in exact ppm. A rising φ toward
+    * the high deciles is the "rich club" — the hub parts that
+    * co-occur with EACH OTHER, the catalog's de-facto staples
+    * shelf; flat or falling φ means hubs reach disjoint audiences.
+    *
+    * Exactness: decile bounds are rank-exact picks from the degree
+    * value-domain cumsum (a window over distinct degree VALUES —
+    * bounded, whitelisted in the plan sweep); φ is one microRatio
+    * on exact counts (2·E_k·10⁶ overflows only past ~4.6e12 edges,
+    * documented at IntMath.microRatio).
+    *
+    * Scale: the degree histogram is value-domain-bounded (≤ max
+    * degree rows); the nine thresholds join it and the per-edge
+    * min-endpoint-degree histogram as 9-row broadcasts — the only
+    * graph-sized passes are the two degree joins the seam's
+    * orientation already does. Emits exactly 9 rows at any scale.
+    */
+  def richClubCurve(spark: SparkSession, dir: String): DataFrame =
+    richClubFrom(CoPurchaseGraph.edges(spark, dir))
+
+  /** [[richClubCurve]] over ANY canonical (u < v) edge frame — the
+    * spec seam (hand-built graphs with known densities).
+    */
+  def richClubFrom(edges: DataFrame): DataFrame = {
+    import graft.util.Caches._
+    import graft.functions.IntMath.microRatio
+    // read three times: histogram, decile total, per-edge min degree
+    val deg = CoPurchaseGraph.degrees(edges).cacheTracked()
+    val g = deg.groupBy(col("deg")).agg(count(lit(1)).as("c"))
+    val wg = Window
+      .orderBy(col("deg").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // value-domain cumsum (bounded: distinct degree values) — read
+    // by all nine decile-bound picks
+    val cum = g
+      .withColumn("cw", sum(col("c")).over(wg))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n"))))
+      .cacheTracked()
+    val bounds = (1 to 9)
+      .map { dd =>
+        cum
+          .filter(col("cw") * 10 >= col("n") * dd)
+          .agg(min(col("deg")).as(s"k$dd"))
+      }
+      .reduce(_.crossJoin(_))
+    val ks = bounds
+      .select(
+        explode(
+          array(
+            (1 to 9).map(dd =>
+              struct(
+                lit(dd.toLong).as("decile"),
+                col(s"k$dd").as("k_deg")
+              )): _*
+          )
+        ).as("x")
+      )
+      .select(col("x.decile").as("decile"), col("x.k_deg").as("k_deg"))
+    // per-edge min endpoint degree, then its bounded histogram —
+    // the threshold sweep never rescans the edge set
+    val edh = edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(least(col("du"), col("dv")).as("dmin"))
+      .groupBy(col("dmin"))
+      .agg(count(lit(1)).as("ec"))
+    // left-outer non-equi joins broadcast their RIGHT side (the
+    // bounded histograms, <= max-degree rows); ks is 9 rows
+    val nK = ks
+      .join(broadcast(g), col("deg") > col("k_deg"), "left")
+      .groupBy(col("decile"), col("k_deg"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_nodes"))
+    val eK = ks
+      .join(broadcast(edh), col("dmin") > col("k_deg"), "left")
+      .groupBy(col("decile"), col("k_deg"))
+      .agg(coalesce(sum(col("ec")), lit(0L)).as("n_edges"))
+    nK
+      .join(eK, Seq("decile", "k_deg"))
+      .select(
+        col("decile"),
+        col("k_deg"),
+        col("n_nodes"),
+        col("n_edges"),
+        when(col("n_nodes") < 2, lit(0L))
+          .otherwise(
+            microRatio(
+              lit(2L) * col("n_edges"),
+              col("n_nodes") * (col("n_nodes") - lit(1L))
+            )
+          )
+          .as("phi_micro")
+      )
+  }
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 graph additions on hand-built graphs with pencil-checked
+  * answers: the node-side triangle credit (q487's numerator), the
+  * lcc bucket census, the rich-club curve at degree-decile
+  * thresholds, and the CN/RA link-prediction miner — plus the
+  * plan-identity pins that q487/q489 read the shared co-purchase
+  * edge seam rather than re-deriving it.
+  */
+class Round12GraphSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // K4 on {0,1,2,3} + pendant triangle {4,5,6} + bridge 3-4
+  private def kitGraph: DataFrame = {
+    import spark.implicits._
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val tri = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    (k4 ++ tri :+ ((3L, 4L))).toDF("u", "v")
+  }
+
+  test("nodeTriangleCounts: K4 corners 3, pendant corners 1") {
+    val got = CoPurchaseGraph
+      .nodeTriangleCounts(CoPurchaseGraph.triangles(kitGraph))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    (0L to 3L).foreach(n => assert(got(n) == 3L, s"K4 node $n"))
+    (4L to 6L).foreach(n => assert(got(n) == 1L, s"pendant node $n"))
+  }
+
+  test("lccBuckets: closed neighborhoods 100, bridge ends 50 and 33") {
+    // lcc: K4 interior nodes 0,1,2 -> 1.0 (bucket 100); node 3
+    // (deg 4, tri 3) -> 0.5 (bucket 50); node 4 (deg 3, tri 1) ->
+    // 1/3 = 333333 ppm (bucket 33); nodes 5,6 (deg 2, tri 1) -> 1.0
+    val got = Relational
+      .lccBuckets(kitGraph)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(100L) == ((5L, 11L)), "bucket 100: nodes 0,1,2,5,6")
+    assert(got(50L) == ((1L, 3L)), "bucket 50: node 3")
+    assert(got(33L) == ((1L, 1L)), "bucket 33: node 4")
+    assert(got.size == 3)
+  }
+
+  test("richClubFrom: star + one spoke edge, phi 1.0 then empty club") {
+    import spark.implicits._
+    // hub 0 - spokes 1..10, plus (1,2): degrees 0->10, 1,2->2,
+    // 3..10->1; decile bounds k(1..7)=1, k(8,9)=2; club at k=1 is
+    // the triangle {0,1,2} (phi=1.0), at k=2 only the hub (n<2 -> 0)
+    val edges = ((1L to 10L).map(s => (0L, s)) :+ ((1L, 2L)))
+      .toDF("u", "v")
+    val got = Relational
+      .richClubFrom(edges)
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.size == 9)
+    (1L to 7L).foreach { d =>
+      assert(got(d) == ((1L, 3L, 3L, 1000000L)), s"decile $d")
+    }
+    (8L to 9L).foreach { d =>
+      assert(got(d) == ((2L, 1L, 0L, 0L)), s"decile $d")
+    }
+  }
+
+  test("linkPredictionFrom: C4 diagonals scored, edges anti-joined") {
+    import spark.implicits._
+    // cycle 1-2-3-4: both diagonals are open wedges with cn=2 and
+    // ra = 2 * halfUp(1e6/2); neighborhoods coincide (jaccard 1.0)
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val got = Dedup
+      .linkPredictionFrom(
+        c4.select(
+          c4("u").as("doc_a"),
+          c4("v").as("doc_b")
+        )
+      )
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    assert(
+      got.toSeq == Seq(
+        (1L, 3L, 2L, 1000000L, 1000000L),
+        (2L, 4L, 2L, 1000000L, 1000000L)
+      )
+    )
+  }
+
+  test("linkPredictionFrom: closing a diagonal removes it from output") {
+    import spark.implicits._
+    // add edge (1,3): the only open pair left is (2,4) through the
+    // two deg-3 centers 1 and 3 -> ra = 2 * halfUp(1e6/3) = 666666
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup
+      .linkPredictionFrom(edges)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    assert(got.toSeq == Seq((2L, 4L, 2L, 666666L, 1000000L)))
+  }
+
+  test("q487/q489 plans contain the shared co-purchase edge seam") {
+    val seam = CoPurchaseGraph.edges(spark, sf).queryExecution.analyzed
+    def pinned(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.exists(_.sameResult(seam))
+    assert(pinned(Relational.clusteringCensus(spark, sf)))
+    assert(pinned(Relational.richClubCurve(spark, sf)))
+    graft.util.Caches.releaseAll()
+  }
+}

@@ -101,6 +101,8 @@ class Round9PlanSpec extends AnyFunSuite {
       "64-row PAA segment frame (calendar-bounded) + its quartiles",
     "q469_skyline" ->
       "distinct price_cents value-domain cummax frame",
+    "q489_rich_club" ->
+      "distinct degree value-domain cumsum (decile bounds)",
     "q471_stream_sax" ->
       "drained 8h-window frame (calendar-bounded) + its quartiles"
   )
