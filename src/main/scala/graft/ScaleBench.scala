@@ -1548,6 +1548,94 @@ object ScaleBench {
     )
     graft.util.Caches.releaseAll()
 
+    // --- LCC census on the 1M-spoke star + planted K24 (q487) ----------
+    // hub-adversarial: the orientation points every spoke AT the
+    // hub, so the million deg-1 spokes contribute ZERO wedges and
+    // the hub's out-degree is 0 — the wedge join touches only the
+    // clique. Expected census: bucket 0 = spokes + hub (deg-1 nodes
+    // report 0 by contract; the hub closes no wedge), bucket 100 =
+    // the 24 clique nodes at lcc exactly 1 (tri 253 = C(23,2),
+    // deg 23), 24 · 253 = 6072 triangle credits.
+    val tLcc = System.nanoTime()
+    val lccRows = graft.operators.Relational
+      .lccBuckets(dsEdges)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val lccSec = (System.nanoTime() - tLcc) / 1e9
+    require(
+      lccRows == Map(
+        0L -> ((dsSpokes + 1L, 0L)),
+        100L -> ((24L, 6072L))
+      ),
+      s"lcc census: got $lccRows"
+    )
+    graft.util.Caches.releaseAll()
+
+    // --- rich-club curve on the same adversarial graph (q489) ----------
+    // degree domain {1, 23, 1000000}: every decile bound resolves to
+    // k = 1 (the million spokes dominate the cumsum), and the club
+    // above degree 1 is the hub + clique with only the 276 clique
+    // edges — phi = halfUp(2·276·10⁶ / (25·24)) = 920000 on all nine
+    // rows. The sweep reads two bounded histograms (3 rows each),
+    // never rescanning the 1M-edge set.
+    val tRc = System.nanoTime()
+    val rcRows = graft.operators.Relational
+      .richClubFrom(dsEdges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+      .toSeq
+    val rcSec = (System.nanoTime() - tRc) / 1e9
+    require(
+      rcRows == (1L to 9L).map(d => (d, 1L, 25L, 276L, 920000L)),
+      s"rich club: got $rcRows"
+    )
+    graft.util.Caches.releaseAll()
+
+    // --- link-prediction wedge fan-out + degree guard (q488) -----------
+    // a 2000-spoke star pair graph (one template doc weakly
+    // overlapping 2000 others, just under the 4096 cap): the wedge
+    // join fans out C(2000,2) ≈ 2M candidate pairs through the hub —
+    // the documented worst center at the cap's scale. Every open
+    // pair scores cn 1, ra = halfUp(10⁶/2000) = 500, neighborhood
+    // Jaccard 10⁶; the top-20 tie-break must pick (1,2)..(1,21).
+    val lpkSpokes = 2000L
+    val lpkPairs = spark
+      .range(lpkSpokes)
+      .select(lit(0L).as("doc_a"), (col("id") + 1L).as("doc_b"))
+      .repartition(cpus.toInt)
+      .localCheckpoint(true)
+    val tLpk = System.nanoTime()
+    val lpkRows = graft.operators.Dedup
+      .linkPredictionFrom(lpkPairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    val lpkSec = (System.nanoTime() - tLpk) / 1e9
+    require(
+      lpkRows == (2L to 21L).map(b => (1L, b, 1L, 500L, 1000000L)),
+      s"linkpred top-20: got ${lpkRows.take(3)}..."
+    )
+    // and past the cap: a 5000-degree hub must be refused by the
+    // degree pre-flight for the cost of one aggregate, BEFORE any
+    // wedge is generated
+    val lpkGuardTripped =
+      try {
+        graft.operators.Dedup
+          .linkPredictionFrom(
+            spark
+              .range(5000L)
+              .select(lit(0L).as("doc_a"), (col("id") + 1L).as("doc_b"))
+          )
+          .count()
+        false
+      } catch { case _: IllegalArgumentException => true }
+    require(lpkGuardTripped, "linkpred degree guard must refuse deg 5000")
+    graft.util.Caches.releaseAll()
+
     // --- bottom-k quantile sketch at 12M rows (q484 topology) ----------
     // 8 groups × 1.5M rows, uniform value domain: one scan with
     // map-side partial aggregation into ≤ 256 pairs per group — the
@@ -1688,6 +1776,11 @@ object ScaleBench {
         s""""dbscan_guard_sec":$dbscanGuardSec,""" +
         s""""dbscan_pts":$dbN,"dbscan_clusters":${dbAgg.getLong(1)},""" +
         s""""dbscan_sec":$dbSec,""" +
+        s""""lcc_nodes":${dsSpokes + 25L},"lcc_sec":$lccSec,""" +
+        s""""richclub_phi_micro":920000,"richclub_sec":$rcSec,""" +
+        s""""linkpred_wedges":${lpkSpokes * (lpkSpokes - 1) / 2},""" +
+        s""""linkpred_sec":$lpkSec,""" +
+        s""""linkpred_guard_tripped":$lpkGuardTripped,""" +
         s""""qsketch_rows":$qsN,"qsketch_sec":$qsSec,""" +
         s""""qsketch_rows_per_sec":${(qsN / qsSec).round},""" +
         s""""hilbert_points":$hilN,"hilbert_sec":$hilSec,""" +

@@ -1209,6 +1209,10 @@ object SparkEntry {
     "q488_linkpred_candidates" -> (Dedup.linkPredictionAudit _),
     // Rich-club connectivity curve at degree-decile thresholds.
     "q489_rich_club" -> (Relational.richClubCurve _),
+    // Double-sweep BFS eccentricity (diameter lower bound), 2 rows.
+    "q490_double_sweep" -> (Relational.doubleSweepEcc _),
+    // Prefix-dim truncation recall@10 vs full-width ground truth.
+    "q491_dim_trunc_recall" -> (Similarity.dimTruncationRecall _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -14164,6 +14168,75 @@ object SparkEntry {
            JOIN dg db ON db.id = o.doc_b
          ORDER BY cn DESC, ra_micro DESC, doc_a ASC, doc_b ASC
          LIMIT 20""",
+    // q490: the q465 recursive-walk oracle run twice — sweep 0 from
+    // min(id), sweep 1 from sweep 0's farthest (max lvl, min id)
+    // node; identical 20-hop cap and total-order far pick.
+    "q490_double_sweep" ->
+      """WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey
+               FROM lineitem),
+         e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM op a JOIN op b USING (l_orderkey)
+               WHERE a.l_partkey < b.l_partkey),
+         sym AS (SELECT u AS src, v AS dst FROM e
+                 UNION ALL SELECT v, u FROM e),
+         seed0 AS (SELECT min(src) AS s FROM sym),
+         w0(id, lvl) AS (
+           SELECT s, 0::BIGINT FROM seed0
+           UNION
+           SELECT sym.dst, w.lvl + 1 FROM w0 w
+           JOIN sym ON w.id = sym.src WHERE w.lvl < 20),
+         l0 AS (SELECT id, min(lvl) AS lvl FROM w0 GROUP BY 1),
+         f0 AS (SELECT id, lvl FROM l0
+                ORDER BY lvl DESC, id ASC LIMIT 1),
+         w1(id, lvl) AS (
+           SELECT id, 0::BIGINT FROM f0
+           UNION
+           SELECT sym.dst, w.lvl + 1 FROM w1 w
+           JOIN sym ON w.id = sym.src WHERE w.lvl < 20),
+         l1 AS (SELECT id, min(lvl) AS lvl FROM w1 GROUP BY 1),
+         f1 AS (SELECT id, lvl FROM l1
+                ORDER BY lvl DESC, id ASC LIMIT 1)
+         SELECT 0::BIGINT AS sweep, (SELECT s FROM seed0)::BIGINT AS seed,
+           (SELECT id FROM f0)::BIGINT AS far_node,
+           (SELECT lvl FROM f0)::BIGINT AS ecc,
+           (SELECT count(*) FROM l0)::BIGINT AS n_reached
+         UNION ALL
+         SELECT 1::BIGINT, (SELECT id FROM f0)::BIGINT,
+           (SELECT id FROM f1)::BIGINT, (SELECT lvl FROM f1)::BIGINT,
+           (SELECT count(*) FROM l1)::BIGINT""",
+    // q491: the four prefix widths unrolled (list slice 1..d), the
+    // q24 raw-double rank convention per (width, query), overlap
+    // counted against the width-64 ground truth by null probe.
+    "q491_dim_trunc_recall" -> {
+      val widths = Seq(8, 16, 32, 64)
+      val prs = widths
+        .map { d =>
+          s"""SELECT $d::BIGINT AS trunc_dim, q.q_id, e.vec_id,
+             ${cosSql(s"q.q_vec[1:$d]", s"e.embedding[1:$d]")} AS sim
+           FROM e, q WHERE e.vec_id <> q.q_id"""
+        }
+        .mkString("\n         UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM e
+               WHERE vec_id % 25 = 0),
+         pr AS ($prs),
+         top AS MATERIALIZED (
+           SELECT trunc_dim, q_id, vec_id FROM
+             (SELECT trunc_dim, q_id, vec_id,
+                row_number() OVER (PARTITION BY trunc_dim, q_id
+                  ORDER BY sim DESC, vec_id ASC) AS rk
+              FROM pr) t
+           WHERE rk <= 10),
+         gt AS (SELECT q_id, vec_id FROM top WHERE trunc_dim = 64),
+         hits AS (SELECT t.trunc_dim, t.q_id,
+             CASE WHEN g.vec_id IS NULL THEN 0 ELSE 1 END AS hit
+           FROM top t LEFT JOIN gt g
+             ON t.q_id = g.q_id AND t.vec_id = g.vec_id)
+         SELECT trunc_dim, count(DISTINCT q_id)::BIGINT AS n_queries,
+           CAST(sum(hit) AS BIGINT) AS n_overlap,
+           ${sqlMicroRatio("sum(hit)", "count(*)")} AS recall_ppm
+         FROM hits GROUP BY 1"""
+    },
     // q489: degree value-domain cumsum decile picks (the q461 bound
     // rule), then per-threshold strict-majority counts from the two
     // bounded histograms; phi in half-up micro units.

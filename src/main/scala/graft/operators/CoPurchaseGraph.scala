@@ -467,6 +467,27 @@ object CoPurchaseGraph {
       maxHops: Int
   ): DataFrame = {
     val nodes = sym.select(col("src").as("id")).distinct()
+    nodes
+      .join(bfsLevelsFrom(spark, sym, seed, maxHops), Seq("id"), "left")
+      .select(coalesce(col("lvl"), lit(-1L)).as("lvl"))
+      .groupBy(col("lvl"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** The frontier-expansion core of [[bfsLevelHistogram]]: per-node
+    * minimum hop distance (id, lvl) for every node REACHED from
+    * `seed` within `maxHops` (the seed itself at lvl 0). Unreached
+    * nodes are absent — the histogram's -1 class is its caller's
+    * left-join, and eccentricity consumers (double sweep) read the
+    * frame's max directly. Per round: one frontier-keyed join + an
+    * anti-join against the visited set, lineage truncated.
+    */
+  def bfsLevelsFrom(
+      spark: SparkSession,
+      sym: DataFrame,
+      seed: Long,
+      maxHops: Int
+  ): DataFrame = {
     var levels = spark
       .range(1)
       .select(lit(seed).as("id"), lit(0L).as("lvl"))
@@ -489,10 +510,6 @@ object CoPurchaseGraph {
         lvl += 1
       }
     }
-    nodes
-      .join(levels, Seq("id"), "left")
-      .select(coalesce(col("lvl"), lit(-1L)).as("lvl"))
-      .groupBy(col("lvl"))
-      .agg(count(lit(1)).as("n_nodes"))
+    levels
   }
 }

@@ -464,6 +464,16 @@ object Dedup {
   /** [[linkPredictionAudit]]'s scoring engine over ANY canonical
     * (doc_a < doc_b) pair frame — the spec seam (hand-built graphs
     * with known CN/RA scores). The caller owns materialization.
+    *
+    * Degree pre-flight (the q171 join-blowup treatment, as at
+    * dbscanGridPoints): the wedge join fans out C(deg,2) per center,
+    * so its volume is bounded only while center degrees are — a
+    * template doc weakly overlapping a million others would make its
+    * wedge set quadratic. One cheap aggregate over the cached degree
+    * frame fails fast past 4096 (≤ ~8.4M wedges from the worst
+    * center — bounded); the mitigation is the standard link-
+    * prediction hub exclusion: drop stop-documents above the degree
+    * cap before scoring (hubs carry no CN signal anyway).
     */
   def linkPredictionFrom(pairs: DataFrame): DataFrame = {
     import graft.functions.IntMath.{idivHalfUp, microRatio}
@@ -477,6 +487,14 @@ object Dedup {
       .groupBy(col("ctr").as("id"))
       .agg(count(lit(1)).as("dg"))
       .cacheTracked()
+    val maxDeg =
+      deg.agg(coalesce(max(col("dg")), lit(0L))).head().getLong(0)
+    require(
+      maxDeg <= 4096L,
+      s"linkPredictionFrom: max pair-graph degree $maxDeg exceeds " +
+        "4096 — the wedge join would fan out C(deg,2) per center; " +
+        "exclude hub stop-documents above the cap before scoring"
+    )
     val symd = sym
       .join(deg.withColumnRenamed("id", "ctr"), Seq("ctr"))
     val scored = symd

@@ -1231,6 +1231,43 @@ object Relational {
       roundsPerLevel = 3
     )
 
+  /** q490: double-sweep eccentricity — the standard two-BFS diameter
+    * lower bound (Magnien, Latapy & Habib, JEA 2009): sweep 0 runs
+    * BFS from the minimum node id and reports its eccentricity and
+    * farthest node u (max level, min id tie-break); sweep 1 re-runs
+    * BFS from u, whose eccentricity is the double-sweep diameter
+    * estimate — empirically tight on real graphs, and exactly the
+    * number a graph-walk feature budget (q465's horizon question)
+    * should be sized against instead of a single arbitrary-seed BFS.
+    * Two rows: (sweep, seed, far_node, ecc, n_reached), hop-capped
+    * at 20 like q465.
+    *
+    * Scale: two runs of the shared frontier-expansion BFS engine
+    * ([[CoPurchaseGraph.bfsLevelsFrom]] — per round one
+    * frontier-keyed join + an anti-join, lineage truncated); the
+    * driver reads one TakeOrdered row and one count per sweep —
+    * four bounded round-trips, the q481 greedy-argmax pattern.
+    */
+  def doubleSweepEcc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Caches._
+    val edges = CoPurchaseGraph.edges(spark, dir)
+    // read by every BFS round of both sweeps + the seed pick
+    val sym = CoPurchaseGraph.symmetric(edges).cacheTracked()
+    val seed0 = sym.agg(min(col("src"))).head().getLong(0)
+    val l0 = CoPurchaseGraph.bfsLevelsFrom(spark, sym, seed0, 20)
+    val f0 = l0.orderBy(col("lvl").desc, col("id").asc).limit(1).head()
+    val (far0, ecc0) = (f0.getLong(0), f0.getLong(1))
+    val n0 = l0.count()
+    val l1 = CoPurchaseGraph.bfsLevelsFrom(spark, sym, far0, 20)
+    val f1 = l1.orderBy(col("lvl").desc, col("id").asc).limit(1).head()
+    val n1 = l1.count()
+    import spark.implicits._
+    Seq(
+      (0L, seed0, far0, ecc0, n0),
+      (1L, far0, f1.getLong(0), f1.getLong(1), n1)
+    ).toDF("sweep", "seed", "far_node", "ecc", "n_reached")
+  }
+
   /** q487: local-clustering-coefficient census of the co-purchase
     * graph (Watts & Strogatz, Nature 1998) — per node, lcc =
     * 2·tri(v) / (deg(v)·(deg(v)−1)) in exact ppm (half-up), censused

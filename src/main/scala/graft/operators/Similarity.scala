@@ -446,6 +446,89 @@ object Similarity {
         col("rk"))
   }
 
+  /** q491: dimension-truncation recall audit (the Matryoshka
+    * question — Kusupati et al., NeurIPS 2022): for prefix widths
+    * d ∈ {8, 16, 32, 64}, the brute-force cosine top-10 of every
+    * 25th vector over the FIRST d dimensions is compared to the
+    * full-width ground truth, emitting per width (n_queries,
+    * n_overlap, recall_ppm). This is the evidence table for the
+    * single biggest ANN cost lever at 100 TB — a 4× prefix
+    * truncation cuts scan bytes, cache pressure and dot-product
+    * FLOPs 4× — read BEFORE committing an index width; the d = 64
+    * row is the identity sanity check (recall exactly 10⁶).
+    *
+    * Determinism: ranking is (sim DESC, vec_id ASC) per (width,
+    * query) — the q24/q240 proven raw-double ranking convention;
+    * the emission is pure counts + one microRatio.
+    *
+    * Scale: ONE corpus scan computes all four prefix cosines per
+    * (query, vector) pair (a 4-struct explode, queries broadcast),
+    * instead of four scans; the rank window is partitioned by
+    * (width, query) — never global. Self-pairs are excluded so the
+    * trivial sim-1.0 hit can't pad recall.
+    */
+  def dimTruncationRecall(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.IntMath.microRatio
+    val dims = Seq(8, 16, 32, 64)
+    val e = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val q = e
+      .filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val scored = e
+      .join(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        explode(
+          array(
+            dims.map(d =>
+              struct(
+                lit(d.toLong).as("trunc_dim"),
+                cosine(
+                  slice(col("q_vec"), 1, d),
+                  slice(col("embedding"), 1, d)
+                ).as("sim")
+              )): _*
+          )
+        ).as("c")
+      )
+      .select(
+        col("q_id"),
+        col("vec_id"),
+        col("c.trunc_dim").as("trunc_dim"),
+        col("c.sim").as("sim")
+      )
+    val w = Window
+      .partitionBy(col("trunc_dim"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    // read once per width for the overlap probe + once as ground truth
+    val top = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("trunc_dim"), col("q_id"), col("vec_id"))
+      .cacheTracked()
+    val gt = top
+      .filter(col("trunc_dim") === 64L)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    top
+      .join(gt, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("trunc_dim"))
+      .agg(
+        countDistinct(col("q_id")).as("n_queries"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"),
+        count(lit(1)).as("n_ranked")
+      )
+      .select(
+        col("trunc_dim"),
+        col("n_queries"),
+        col("n_overlap"),
+        microRatio(col("n_overlap"), col("n_ranked")).as("recall_ppm")
+      )
+  }
+
   /** Cluster assignment: nearest of the K centroid vectors (vec_id<k,
     * a deterministic stand-in for trained k-means centroids).
     */

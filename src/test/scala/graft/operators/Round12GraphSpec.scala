@@ -116,6 +116,57 @@ class Round12GraphSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((2L, 4L, 2L, 666666L, 1000000L)))
   }
 
+  test("bfsLevelsFrom: chain levels, hop cap, unreachable absent") {
+    import spark.implicits._
+    // chain 0-1-2-3 + disjoint pair 10-11; seed 0, cap 2 hops
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("u", "v")
+    val got = CoPurchaseGraph
+      .bfsLevelsFrom(
+        spark,
+        CoPurchaseGraph.symmetric(edges),
+        seed = 0L,
+        maxHops = 2
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L),
+      s"node 3 past the cap and the 10-11 island must be absent: $got")
+  }
+
+  test("doubleSweepEcc: two rows, sweep 1 seeded at sweep 0's far node") {
+    val rows = Relational
+      .doubleSweepEcc(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length == 2)
+    val (s0, s1) = (rows(0), rows(1))
+    assert(s1._2 == s0._3, "sweep 1 seed must be sweep 0's far node")
+    assert(s1._4 >= s0._4, "double sweep can only sharpen the bound")
+    assert(s0._5 == s1._5, "both sweeps cover the same component")
+    graft.util.Caches.releaseAll()
+  }
+
+  test("dimTruncationRecall: 4 widths, full width is the identity") {
+    val rows = Similarity
+      .dimTruncationRecall(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == Set(8L, 16L, 32L, 64L))
+    // 500 vectors at sf0.001 -> 20 queries; width 64 IS the ground
+    // truth, so overlap is exactly 10 per query and recall 10^6
+    assert(rows(64L) == ((20L, 200L, 1000000L)), s"got ${rows(64L)}")
+    rows.foreach { case (d, (nq, ov, ppm)) =>
+      assert(nq == 20L && ov <= 200L && ppm <= 1000000L, s"width $d")
+    }
+    graft.util.Caches.releaseAll()
+  }
+
   test("q487/q489 plans contain the shared co-purchase edge seam") {
     val seam = CoPurchaseGraph.edges(spark, sf).queryExecution.analyzed
     def pinned(df: DataFrame): Boolean =
