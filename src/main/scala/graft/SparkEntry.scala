@@ -4555,8 +4555,9 @@ object SparkEntry {
                   ON a.mh = b.mh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2)
          SELECT doc_a, doc_b, n_shared,
-           round(CAST(n_shared AS DOUBLE) /
-             (ca.n_fp + cb.n_fp - n_shared), 6) AS overlap
+           (((2*((n_shared) * 1000000) + (ca.n_fp + cb.n_fp - n_shared))
+             // (2*(ca.n_fp + cb.n_fp - n_shared)))::BIGINT)
+             AS overlap_ppm
          FROM pr
          JOIN c ca ON pr.doc_a = ca.doc_id
          JOIN c cb ON pr.doc_b = cb.doc_id
@@ -4921,14 +4922,18 @@ object SparkEntry {
          FROM b""",
     // q162: the q72 closure through (doc, cluster_size); the window
     // sum normalizes unrounded 1/size weights per language.
+    // q162: exact integer units (round-12 float purge) — the
+    // discount is halfUp(10⁶/size); the per-lang normalization
+    // divides by the sum of those micro integers.
     "q162_dup_weights" ->
       s"""WITH RECURSIVE $canonicalChainCtes
          SELECT l.doc_id, d2.lang,
            CAST(s.cluster_size AS BIGINT) AS cluster_size,
-           round(1.0 / s.cluster_size, 6) AS weight,
-           round((1.0 / s.cluster_size) /
-             sum(1.0 / s.cluster_size) OVER (PARTITION BY d2.lang), 6)
-             AS w_norm
+           ${sqlIdivHalfUp("1000000", "s.cluster_size")} AS weight_micro,
+           ${sqlIdivHalfUp(
+          s"(${sqlIdivHalfUp("1000000", "s.cluster_size")}) * 1000000",
+          s"sum(${sqlIdivHalfUp("1000000", "s.cluster_size")}) " +
+            "OVER (PARTITION BY d2.lang)")} AS w_norm_ppm
          FROM lab l JOIN sz s USING (cluster_id)
          JOIN documents d2 USING (doc_id)""",
     // q163: the layout is the operator — the oracle is the plain
@@ -5870,20 +5875,25 @@ object SparkEntry {
          FROM counts"""
     },
     // q201: contingency cells vs independence expectation.
+    // q201: exact integer emissions (round-12 float purge) —
+    // expected = rt·ct/N in half-up micro; the cell statistic
+    // reduces to (n·N − rt·ct)²/(N·rt·ct) in half-up milli.
     "q201_composition_chi2" ->
-      """WITH c AS (SELECT lang, source, count(*) AS n
+      s"""WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
              FROM documents GROUP BY 1, 2),
-         lt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
-         st AS (SELECT source, count(*) AS n_source
+         lt AS (SELECT lang, count(*)::BIGINT AS n_lang
                 FROM documents GROUP BY 1),
-         t AS (SELECT count(*) AS n_total FROM documents)
+         st AS (SELECT source, count(*)::BIGINT AS n_source
+                FROM documents GROUP BY 1),
+         t AS (SELECT count(*)::BIGINT AS n_total FROM documents)
          SELECT c.lang, c.source, c.n,
-           round(lt.n_lang::DOUBLE * st.n_source / t.n_total, 6)
-             AS expected,
-           round((c.n - lt.n_lang::DOUBLE * st.n_source / t.n_total)
-             * (c.n - lt.n_lang::DOUBLE * st.n_source / t.n_total)
-             / (lt.n_lang::DOUBLE * st.n_source / t.n_total), 6)
-             AS chi2_cell
+           ${sqlIdivHalfUp(
+          "lt.n_lang * st.n_source * 1000000",
+          "t.n_total")} AS expected_micro,
+           ${sqlIdivHalfUp(
+          "(c.n * t.n_total - lt.n_lang * st.n_source) * " +
+            "(c.n * t.n_total - lt.n_lang * st.n_source) * 1000",
+          "t.n_total * lt.n_lang * st.n_source")} AS chi2_cell_milli
          FROM c JOIN lt USING (lang) JOIN st USING (source), t""",
     // q202: the q53 layout replayed, then per-(lang, window) token
     // sums, per-lang fill/overflow/spanning rollup. The n_tokens > 0
@@ -7527,8 +7537,8 @@ object SparkEntry {
                 FROM e0 a JOIN e0 b ON a.s = b.s AND a.doc_id < b.doc_id
                 GROUP BY 1, 2),
          pj AS (SELECT doc_a, doc_b,
-                  round(inter::DOUBLE / (n_a + n_b - inter), 6)
-                    AS jaccard
+                  ${sqlMicroRatio("inter", "n_a + n_b - inter")}
+                    AS jaccard_ppm
                 FROM pr
                 WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
                   >= 0.3),
@@ -7537,12 +7547,12 @@ object SparkEntry {
                        ELSE regexp_split_to_array(trim(text), '\\s+')
                   END AS toks
                 FROM documents),
-         j0 AS (SELECT pj.doc_a, pj.doc_b, pj.jaccard,
+         j0 AS (SELECT pj.doc_a, pj.doc_b, pj.jaccard_ppm,
                   a.toks AS ta, b.toks AS tb
                 FROM pj
                 JOIN tk a ON pj.doc_a = a.doc_id
                 JOIN tk b ON pj.doc_b = b.doc_id),
-         m AS (SELECT doc_a, doc_b, jaccard,
+         m AS (SELECT doc_a, doc_b, jaccard_ppm,
                  len(ta)::BIGINT AS na, len(tb)::BIGINT AS nb,
                  coalesce(nullif(list_position(list_transform(
                      list_zip(ta, tb),
@@ -7553,10 +7563,10 @@ object SparkEntry {
                      z -> z[1] IS NOT DISTINCT FROM z[2]), false), 0)
                    - 1, least(len(ta), len(tb)))::BIGINT AS lcs_raw
                FROM j0),
-         f AS (SELECT doc_a, doc_b, jaccard, lcp,
+         f AS (SELECT doc_a, doc_b, jaccard_ppm, lcp,
                  least(lcs_raw, least(na, nb) - lcp) AS lcs, na, nb
                FROM m)
-         SELECT doc_a, doc_b, jaccard, lcp, lcs,
+         SELECT doc_a, doc_b, jaccard_ppm, lcp, lcs,
            na - lcp - lcs AS edit_a, nb - lcp - lcs AS edit_b,
            CASE WHEN na - lcp - lcs = 0 AND nb - lcp - lcs = 0
                   THEN 'identical'
@@ -7723,8 +7733,9 @@ object SparkEntry {
                 * ((s4 / n) / ((s2 / n) * (s2 / n)) - 3.0)) / 4.0)
              > 5.991 AS non_normal
          FROM ag""",
-    // q282: the q21 pair CTE, 0.1 bands on the rounded jaccard, the
-    // same md5(doc_a:doc_b) pick order.
+    // q282: the q21 pair CTE, 0.1 bands on the rounded internal
+    // jaccard, the same md5(doc_a:doc_b) pick order; emitted
+    // similarity is the exact ppm twin (round-12 float purge).
     "q282_review_batch" ->
       s"""WITH $shinglesCte,
          e0 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d
@@ -7736,20 +7747,22 @@ object SparkEntry {
                 GROUP BY 1, 2),
          pj AS (SELECT doc_a, doc_b,
                   round(inter::DOUBLE / (n_a + n_b - inter), 6)
-                    AS jaccard
+                    AS j_sel,
+                  ${sqlMicroRatio("inter", "n_a + n_b - inter")}
+                    AS jaccard_ppm
                 FROM pr
                 WHERE round(inter::DOUBLE / (n_a + n_b - inter), 6)
                   >= 0.05),
-         bd AS (SELECT doc_a, doc_b, jaccard,
-                  least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS band
+         bd AS (SELECT doc_a, doc_b, jaccard_ppm,
+                  least(CAST(floor(j_sel * 10) AS BIGINT), 9) AS band
                 FROM pj),
-         rk AS (SELECT band, doc_a, doc_b, jaccard,
+         rk AS (SELECT band, doc_a, doc_b, jaccard_ppm,
                   CAST(row_number() OVER (PARTITION BY band
                     ORDER BY md5(doc_a::VARCHAR || ':' ||
                       doc_b::VARCHAR) ASC, doc_a ASC, doc_b ASC)
                     AS INTEGER) AS pick
                 FROM bd)
-         SELECT band, pick, doc_a, doc_b, jaccard
+         SELECT band, pick, doc_a, doc_b, jaccard_ppm
          FROM rk WHERE pick <= 3""",
     // q283: same micro quantization; doubled average ranks keep every
     // rank exact-integer; tie term and u2 are BIGINT on both engines;

@@ -1547,11 +1547,14 @@ object Dedup {
         col("doc_a"),
         col("doc_b"),
         col("n_shared"),
-        round(
-          col("n_shared").cast("double") /
-            (col("nfa") + col("nfb") - col("n_shared")),
-          6
-        ).as("overlap")
+        // exact ppm on the fingerprint-count integers (round-12
+        // float purge)
+        graft.functions.IntMath
+          .microRatio(
+            col("n_shared"),
+            col("nfa") + col("nfb") - col("n_shared")
+          )
+          .as("overlap_ppm")
       )
   }
 
@@ -1733,7 +1736,26 @@ object Dedup {
       dir: String,
       minJ: Double = 0.3
   ): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir).filter(col("jaccard") >= minJ)
+    // exact ppm emission (round-12 float purge): selection keeps the
+    // proven round(·,6) ≥ minJ internal double; only the emitted
+    // column becomes idivHalfUp on the intersection integers
+    val pairs = shinglePairIntersections(docShingles(spark, dir))
+      .withColumn(
+        "j_sel",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .filter(col("j_sel") >= minJ)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        graft.functions.IntMath
+          .microRatio(col("inter"), col("n_a") + col("n_b") - col("inter"))
+          .as("jaccard_ppm")
+      )
     val toks = Tables
       .documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
@@ -1761,7 +1783,7 @@ object Dedup {
       .select(
         col("doc_a"),
         col("doc_b"),
-        col("jaccard"),
+        col("jaccard_ppm"),
         col("lcp"),
         col("lcs"),
         (col("na") - col("lcp") - col("lcs")).as("edit_a"),
@@ -1830,10 +1852,30 @@ object Dedup {
       dir: String,
       perBand: Int = 3
   ): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, dir)
+    // banding stays on the proven internal round(·,6) double (the
+    // q21 selection convention); the emitted similarity becomes the
+    // exact ppm twin (round-12 float purge)
+    val pairs = shinglePairIntersections(docShingles(spark, dir))
+      .withColumn(
+        "j_sel",
+        round(
+          col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")),
+          6
+        )
+      )
+      .filter(col("j_sel") >= 0.05)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("j_sel"),
+        graft.functions.IntMath
+          .microRatio(col("inter"), col("n_a") + col("n_b") - col("inter"))
+          .as("jaccard_ppm")
+      )
       .withColumn(
         "band",
-        least(floor(col("jaccard") * 10).cast("long"), lit(9L))
+        least(floor(col("j_sel") * 10).cast("long"), lit(9L))
       )
     val key = md5(concat_ws(":", col("doc_a"), col("doc_b")))
     val w = Window
@@ -1843,7 +1885,7 @@ object Dedup {
       .withColumn("pick", row_number().over(w))
       .filter(col("pick") <= perBand)
       .select(col("band"), col("pick"), col("doc_a"), col("doc_b"),
-        col("jaccard"))
+        col("jaccard_ppm"))
   }
 
   /** q143: asymmetric shingle containment C(A,B) = |A∩B| / |A| — the

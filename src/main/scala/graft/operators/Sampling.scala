@@ -1200,17 +1200,26 @@ object Sampling {
       .select(col("doc_id"), col("cluster_size"))
     val lang = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
     val wLang = Window.partitionBy(col("lang"))
+    // exact integer units (round-12 float purge): the duplication
+    // discount is halfUp(10⁶/size) — one exact division per row —
+    // and the per-lang normalization divides by the SUM OF THOSE
+    // MICROS (order-independent integer addition), so both columns
+    // are engine-identical with no float anywhere
+    import graft.functions.IntMath.idivHalfUp
     cl.join(lang, "doc_id")
-      .withColumn("weight_raw", lit(1.0) / col("cluster_size"))
+      .withColumn(
+        "weight_micro",
+        idivHalfUp(lit(1000000L), col("cluster_size"))
+      )
       .select(
         col("doc_id"),
         col("lang"),
         col("cluster_size"),
-        round(col("weight_raw"), 6).as("weight"),
-        round(
-          col("weight_raw") / sum(col("weight_raw")).over(wLang),
-          6
-        ).as("w_norm")
+        col("weight_micro"),
+        idivHalfUp(
+          col("weight_micro") * lit(1000000L),
+          sum(col("weight_micro")).over(wLang)
+        ).as("w_norm_ppm")
       )
   }
 

@@ -3243,7 +3243,12 @@ object TextAnalysis {
     val srcTot = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_source"))
     val tot = docs.agg(count(lit(1)).as("n_total"))
-    val e = col("n_lang").cast("double") * col("n_source") / col("n_total")
+    // exact integer units (round-12 float purge): expected = rt·ct/N
+    // in half-up micro; the cell contribution (n−e)²/e reduces over
+    // the integers to (n·N − rt·ct)²/(N·rt·ct), one half-up milli
+    // division — (n·N)² ≤ ~6·10¹⁴ at sf0.1, far inside BIGINT
+    import graft.functions.IntMath.idivHalfUp
+    val dev = col("n") * col("n_total") - col("n_lang") * col("n_source")
     cells
       .join(broadcast(langTot), Seq("lang"))
       .join(broadcast(srcTot), Seq("source"))
@@ -3252,8 +3257,14 @@ object TextAnalysis {
         col("lang"),
         col("source"),
         col("n"),
-        round(e, 6).as("expected"),
-        round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_cell")
+        idivHalfUp(
+          col("n_lang") * col("n_source") * lit(1000000L),
+          col("n_total")
+        ).as("expected_micro"),
+        idivHalfUp(
+          dev * dev * lit(1000L),
+          col("n_total") * col("n_lang") * col("n_source")
+        ).as("chi2_cell_milli")
       )
   }
 

@@ -191,11 +191,14 @@ class Round7OpsSpec extends AnyFunSuite {
     val rows = Sampling.dupWeightedSampling(spark, dir).collect()
     rows.foreach { r =>
       val k = r.getAs[Long]("cluster_size")
-      assert(math.abs(r.getAs[Double]("weight") - 1.0 / k) < 1e-6)
+      // exact half-up integer division, checked exactly
+      assert(r.getAs[Long]("weight_micro") == (2000000L + k) / (2 * k))
     }
     rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
-      val mass = rs.map(_.getAs[Double]("w_norm")).sum
-      assert(math.abs(mass - 1.0) < 1e-3, s"$lang w_norm mass $mass")
+      // each ppm is half-up rounded: mass within |rows|/2 ulps of 10^6
+      val mass = rs.map(_.getAs[Long]("w_norm_ppm")).sum
+      assert(math.abs(mass - 1000000L) <= rs.length,
+        s"$lang w_norm_ppm mass $mass")
     }
   }
 

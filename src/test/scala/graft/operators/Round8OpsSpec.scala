@@ -152,10 +152,11 @@ class Round8OpsSpec extends AnyFunSuite {
     val rows = TextAnalysis.compositionChiSquare(spark, dir).collect()
     val n = rows.map(_.getAs[Long]("n")).sum
     assert(n == Tables.documents(spark, dir).count())
-    val expSum = rows.map(_.getAs[Double]("expected")).sum
+    val expSum = rows.map(_.getAs[Long]("expected_micro")).sum / 1e6
     // cells absent from the corpus carry no row, so Σ expected ≤ N
-    assert(expSum <= n + 1e-3)
-    rows.foreach(r => assert(r.getAs[Double]("chi2_cell") >= 0.0))
+    // (each micro is half-up rounded: allow one ulp per row)
+    assert(expSum <= n + rows.length * 1e-6 + 1e-3)
+    rows.foreach(r => assert(r.getAs[Long]("chi2_cell_milli") >= 0L))
   }
 
   test("q198 error audit: estimates quantized to eighths, pairs conserved") {

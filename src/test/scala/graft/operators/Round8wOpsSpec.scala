@@ -84,13 +84,19 @@ class Round8wOpsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Double]("jaccard")))
+    val jByPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
     val byBand = pairs.groupBy(p => math.min(math.floor(p._3 * 10).toLong, 9L))
     rows.groupBy(_.getAs[Long]("band")).foreach { case (b, rs) =>
       val expected = math.min(3, byBand(b).size)
       assert(rs.length == expected, s"band $b")
       rs.foreach { r =>
-        val j = r.getAs[Double]("jaccard")
+        // the band derives from the internal rounded double; the
+        // emitted similarity is the exact ppm twin (within 1 ulp of
+        // the seam's round-6 double)
+        val j = jByPair((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
         assert(math.min(math.floor(j * 10).toLong, 9L) == b)
+        assert(math.abs(r.getAs[Long]("jaccard_ppm") -
+          math.round(j * 1e6)) <= 1L)
       }
       // picks dense from 1
       assert(rs.map(_.getAs[Int]("pick")).sorted.toSeq == (1 to rs.length))

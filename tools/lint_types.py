@@ -49,11 +49,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 #   ieee    exact IEEE arithmetic on exactly-representable inputs
 #           (integer-derived doubles, power-of-two scales, single
 #           divisions of small ints) — no rounding step needed.
-# Round-12 purge: 14 more ratio/mean emissions converted to exact
+# Round-12 purge: 20 more ratio/mean emissions converted to exact
 # BIGINT ppm/milli/micro units and REMOVED (q21, q22, q67, q84, q104, q119,
-# q143, q159, q174, q182, q190, q198, q204, q261, q346) — selection
-# thresholds stay on the proven internal doubles; only emissions
-# changed.
+# q140, q143, q159, q162, q174, q182, q190, q198, q201, q204, q261,
+# q274, q282, q346) — selection thresholds stay on the proven
+# internal doubles; only emissions changed.
 # Round-11 purge: 24 ratio/mean-shaped queries were re-expressed in
 # exact BIGINT micro/milli/ppm units and REMOVED from this map (q12,
 # q14, q19, q39, q60, q66, q81, q109, q115, q120, q134, q136, q146,
@@ -93,7 +93,6 @@ GRANDFATHERED = {
     "q133_bm25_topk": {"score"},  # r6same (BM25, same term order)
     "q135_semantic_dedup": {"max_sim_lower"},  # r6same
     "q139_hard_negatives": {"sim"},  # r6same
-    "q140_winnow_fingerprints": {"overlap"},  # r6same
     "q141_jl_projection": {"d2_orig", "d2_proj", "distortion"},  # r6same
     "q142_gopher_rules": {"mean_word_len", "alpha_frac", "symbol_frac"},  # r6same
     "q145_embedding_outliers": {"dist", "z"},  # r6same
@@ -107,7 +106,6 @@ GRANDFATHERED = {
     "q15_quality_score": {"stop_ratio", "quality"},  # r6same (the q15 formula)
     "q160_stopword_discovery": {"idf"},  # r6same (ln(N/df))
     "q161_ppl_buckets": {"ppl"},  # r6same
-    "q162_dup_weights": {"weight", "w_norm"},  # r6same (1/size, /Σ)
     "q163_compaction": {"total_value"},  # money2
     "q168_source_kl": {"kl"},  # r6same (count-ratio KL, same term order)
     "q169_epoch_expansion": {"epochs"},  # r6same (q150's column)
@@ -117,17 +115,14 @@ GRANDFATHERED = {
     "q185_stream_monitor": {"p50_est", "p95_est", "p50_exact", "p95_exact"},  # raw (rank/sketch picks of stored values)
     "q192_embedding_decon": {"best_sim"},  # r6same
     "q193_bootstrap_ci": {"mean_nchars", "boot_se", "ci_lo", "ci_hi"},  # r6same (same resample arithmetic)
-    "q201_composition_chi2": {"expected", "chi2_cell"},  # ieee (int-ratio expected, one square/divide)
     "q206_mcnemar_gates": {"mcnemar_chi2"},  # ieee ((b−c)²/(b+c) on small ints)
     "q237_decay_counts": {"decayed_count"},  # r6same (count·2^(−age/hl), same order)
     "q241_pc1_power": {"pc1"},  # r6same (per-round r6 absorbs order drift)
     "q24_cosine_topk": {"sim"},  # r6same
     "q25_ivf_topk": {"sim"},  # r6same
     "q26_embedding_neardup": {"sim"},  # r6same
-    "q274_neardup_anatomy": {"jaccard"},  # r6same
     "q278_cosine_histogram": {"bin_lo"},  # ieee (fixed bin edge from the int bin index)
     "q27_tumbling_window": {"sum_value"},  # sum6
-    "q282_review_batch": {"jaccard"},  # r6same
     "q28_sliding_window": {"sum_value"},  # sum6
     "q29_sessionize": {"sum_value"},  # sum6
     "q303_kmv_error": {"kmv_estimate"},  # ieee ((k−1)·2^60/h_k, exact int inputs)
