@@ -1213,6 +1213,8 @@ object SparkEntry {
     "q490_double_sweep" -> (Relational.doubleSweepEcc _),
     // Prefix-dim truncation recall@10 vs full-width ground truth.
     "q491_dim_trunc_recall" -> (Similarity.dimTruncationRecall _),
+    // Hub-removal vs random-removal CC census (attack robustness).
+    "q492_attack_robustness" -> (Relational.attackRobustness _),
     // McNemar paired discordance test over every gate pair.
     "q206_mcnemar_gates" -> (TextAnalysis.mcnemarGates _),
     // Wedge-closure rate of the near-dup pair graph at J >= 0.5.
@@ -14249,6 +14251,67 @@ object SparkEntry {
            CAST(sum(hit) AS BIGINT) AS n_overlap,
            ${sqlMicroRatio("sum(hit)", "count(*)")} AS recall_ppm
          FROM hits GROUP BY 1"""
+    },
+    // q492: the q459 closure machinery on the repeat co-purchase
+    // graph — three scenarios (intact / md5-draw removal / top-1%-
+    // degree removal), identical pick orders and census emission.
+    "q492_attack_robustness" -> {
+      def closure(tag: String, edgesSel: String): String =
+        s"""e$tag AS MATERIALIZED ($edgesSel),
+         n$tag AS (SELECT u AS id FROM e$tag
+                   UNION SELECT v FROM e$tag),
+         s$tag AS (SELECT u AS a, v AS b FROM e$tag
+                   UNION SELECT v, u FROM e$tag),
+         r$tag(a, b) AS (SELECT id, id FROM n$tag
+                   UNION SELECT r.a, s.b
+                   FROM r$tag r JOIN s$tag s ON r.b = s.a),
+         l$tag AS (SELECT a AS id, min(b) AS label
+                   FROM r$tag GROUP BY 1),
+         z$tag AS (SELECT label, count(*)::BIGINT AS sz
+                   FROM l$tag GROUP BY 1),
+         row$tag AS (SELECT coalesce(sum(sz), 0)::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM e$tag)::BIGINT AS n_edges,
+                   count(*)::BIGINT AS n_components,
+                   coalesce(max(sz), 0)::BIGINT AS max_component
+                 FROM z$tag)"""
+      def outRow(scenario: String, removed: String, tag: String): String =
+        s"""SELECT '$scenario' AS scenario, ($removed)::BIGINT AS n_removed,
+           n_nodes, n_edges, n_components, max_component,
+           ${sqlMicroRatio("max_component", "greatest(n_nodes, 1)")}
+             AS giant_ppm
+         FROM row$tag"""
+      s"""WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey
+             FROM lineitem),
+         ek AS MATERIALIZED (
+           SELECT a.l_partkey AS u, b.l_partkey AS v
+           FROM op a JOIN op b USING (l_orderkey)
+           WHERE a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         dd AS MATERIALIZED (SELECT id, count(*) AS dg FROM
+             (SELECT u AS id FROM ek UNION ALL SELECT v FROM ek) z
+           GROUP BY 1),
+         kk AS (SELECT ((count(*) + 99) // 100)::BIGINT AS k FROM dd),
+         tg AS MATERIALIZED (SELECT id FROM
+             (SELECT id, row_number() OVER
+                (ORDER BY dg DESC, id ASC) AS rk FROM dd) z, kk
+           WHERE rk <= kk.k),
+         rd AS MATERIALIZED (SELECT id FROM
+             (SELECT id, row_number() OVER
+                (ORDER BY md5(id::VARCHAR) ASC, id ASC) AS rk
+              FROM dd) z, kk
+           WHERE rk <= kk.k),
+         ${closure("i", "SELECT u, v FROM ek")},
+         ${closure(
+          "t",
+          "SELECT u, v FROM ek WHERE u NOT IN (SELECT id FROM tg) " +
+            "AND v NOT IN (SELECT id FROM tg)")},
+         ${closure(
+          "r",
+          "SELECT u, v FROM ek WHERE u NOT IN (SELECT id FROM rd) " +
+            "AND v NOT IN (SELECT id FROM rd)")}
+         ${outRow("intact", "0", "i")}
+         UNION ALL ${outRow("random_1pct", "SELECT k FROM kk", "r")}
+         UNION ALL ${outRow("targeted_1pct", "SELECT k FROM kk", "t")}"""
     },
     // q489: degree value-domain cumsum decile picks (the q461 bound
     // rule), then per-threshold strict-majority counts from the two

@@ -1231,6 +1231,94 @@ object Relational {
       roundsPerLevel = 3
     )
 
+  /** q492: targeted-attack robustness census (Albert, Jeong &
+    * Barabási, Nature 2000) — the connected-component census of the
+    * repeat co-purchase graph intact, after removing the top 1% of
+    * nodes by degree (the targeted attack: ceil(n/100) picks, ties
+    * by id), and after removing the SAME NUMBER of md5-hash-ordered
+    * nodes (the deterministic uniform draw, q144 convention — the
+    * random-failure control). The gap between the two giant_ppm
+    * drops is the scale-free signature: hub removal shatters what
+    * random failure barely dents — and operationally, it is the
+    * blast-radius estimate for quarantining the template/spam hubs
+    * q482's densest core flags. Node universe per census: nodes
+    * incident to a surviving edge (the q459 convention).
+    *
+    * Scale: the degree frame is derived once; each census is the
+    * pointer-doubling CC (O(log diameter) rounds, the q72 machinery
+    * with its 1M-node ScaleBench row) over an anti-joined induced
+    * edge set; the removal sets are TakeOrdered top-k (per-partition
+    * heaps, no global sort), broadcast into the anti-joins.
+    */
+  def attackRobustness(spark: SparkSession, dir: String): DataFrame =
+    attackRobustnessFrom(
+      CoPurchaseGraph.repeatEdges(spark, dir, minOrders = 2)
+    )
+
+  /** [[attackRobustness]] over ANY canonical (u < v) edge frame —
+    * the spec seam (hand-built graphs with union-find ground truth).
+    */
+  def attackRobustnessFrom(edges: DataFrame): DataFrame = {
+    import graft.util.Caches._
+    import graft.functions.IntMath.microRatio
+    // read by the degree census and all three induced edge sets
+    val deg = CoPurchaseGraph.degrees(edges).cacheTracked()
+    val nTot = deg.count()
+    val k = ((nTot + 99L) / 100L).toInt
+    val targeted = deg
+      .orderBy(col("deg").desc, col("n").asc)
+      .limit(k)
+      .select(col("n").as("rid"))
+    val random = deg
+      .orderBy(md5(col("n").cast("string")).asc, col("n").asc)
+      .limit(k)
+      .select(col("n").as("rid"))
+    def census(
+        scenario: String,
+        nRemoved: Long,
+        removed: Option[DataFrame]
+    ): DataFrame = {
+      val e2 = removed match {
+        case None => edges
+        case Some(r) =>
+          edges
+            .join(broadcast(r.select(col("rid").as("u"))), Seq("u"),
+              "left_anti")
+            .join(broadcast(r.select(col("rid").as("v"))), Seq("v"),
+              "left_anti")
+      }
+      val ed = e2.select(col("u").as("src"), col("v").as("dst"))
+      val nodes = ed
+        .select(col("src").as("id"))
+        .unionByName(ed.select(col("dst").as("id")))
+        .distinct()
+      val sizes = ConnectedComponents
+        .run(nodes, ed)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("sz"))
+      sizes
+        .agg(
+          coalesce(sum(col("sz")), lit(0L)).as("n_nodes"),
+          count(lit(1)).as("n_components"),
+          coalesce(max(col("sz")), lit(0L)).as("max_component")
+        )
+        .crossJoin(broadcast(ed.agg(count(lit(1)).as("n_edges"))))
+        .select(
+          lit(scenario).as("scenario"),
+          lit(nRemoved).as("n_removed"),
+          col("n_nodes"),
+          col("n_edges"),
+          col("n_components"),
+          col("max_component"),
+          microRatio(col("max_component"), greatest(col("n_nodes"), lit(1L)))
+            .as("giant_ppm")
+        )
+    }
+    census("intact", 0L, None)
+      .unionByName(census("random_1pct", k.toLong, Some(random)))
+      .unionByName(census("targeted_1pct", k.toLong, Some(targeted)))
+  }
+
   /** q490: double-sweep eccentricity — the standard two-BFS diameter
     * lower bound (Magnien, Latapy & Habib, JEA 2009): sweep 0 runs
     * BFS from the minimum node id and reports its eccentricity and

@@ -167,6 +167,60 @@ class Round12GraphSpec extends AnyFunSuite {
     graft.util.Caches.releaseAll()
   }
 
+  test("attackRobustnessFrom: star + triangle vs union-find truth") {
+    import spark.implicits._
+    // hub 0 - spokes 1..100, disjoint triangle {200,201,202}:
+    // 104 participating nodes -> k = ceil(104/100) = 2 removals
+    val star = (1L to 100L).map(s => (0L, s))
+    val tri = Seq((200L, 201L), (200L, 202L), (201L, 202L))
+    val all = star ++ tri
+    val got = Relational
+      .attackRobustnessFrom(all.toDF("u", "v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))))
+      .toMap
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = all.flatMap(e => Seq(e._1, e._2)).distinct
+    val degOf = all.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    def censusAfter(removed: Set[Long]): (Long, Long, Long, Long, Long) = {
+      val es = all.filterNot(e => removed(e._1) || removed(e._2))
+      val ns = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val parent = scala.collection.mutable.Map(ns.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val sizes = ns.groupBy(find).map(_._2.size.toLong)
+      val nNodes = ns.size.toLong
+      val giant = if (nNodes == 0) 0L
+        else (2L * sizes.max * 1000000L + nNodes) / (2L * nNodes)
+      (nNodes, es.size.toLong, sizes.size.toLong,
+        if (sizes.isEmpty) 0L else sizes.max, giant)
+    }
+    val targeted = ids
+      .sortBy(n => (-degOf(n), n)).take(2).toSet
+    val random = ids
+      .sortBy(n => (md5hex(n.toString), n)).take(2).toSet
+    assert(targeted == Set(0L, 200L), s"targeted picks $targeted")
+    for ((scn, rem, nRem) <- Seq(
+        ("intact", Set.empty[Long], 0L),
+        ("random_1pct", random, 2L),
+        ("targeted_1pct", targeted, 2L))) {
+      val (nn, ne, nc, mx, g) = censusAfter(rem)
+      assert(got(scn) == ((nRem, nn, ne, nc, mx, g)), s"$scn: ${got(scn)}")
+    }
+    graft.util.Caches.releaseAll()
+  }
+
   test("q487/q489 plans contain the shared co-purchase edge seam") {
     val seam = CoPurchaseGraph.edges(spark, sf).queryExecution.analyzed
     def pinned(df: DataFrame): Boolean =
