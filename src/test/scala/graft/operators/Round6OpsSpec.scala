@@ -331,16 +331,19 @@ class Round6OpsSpec extends AnyFunSuite {
     val expected = (for {
       (a, sa) <- byDoc; (b, sb) <- byDoc if a < b
       shared = (sa & sb).size if shared >= 2
-    } yield (a, b) ->
-      ((shared.toLong, shared.toDouble / (sa.size + sb.size - shared)))).toMap
+    } yield (a, b) -> {
+      // exact half-up ppm, the operator's round-12 integer emission
+      val union = (sa.size + sb.size - shared).toLong
+      ((shared.toLong, (shared.toLong * 1000000L * 2 + union) / (2 * union)))
+    }).toMap
     val got = Dedup.winnowFingerprints(spark, dir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
-        ((r.getAs[Long]("n_shared"), r.getAs[Double]("overlap")))).toMap
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("overlap_ppm")))).toMap
     assert(got.nonEmpty)
     assert(got.keySet == expected.keySet, "pair sets differ")
     expected.foreach { case (k, (ns, ov)) =>
       assert(got(k)._1 == ns, s"pair $k shared count differs")
-      assert(math.abs(got(k)._2 - ov) < 1e-6, s"pair $k overlap differs")
+      assert(got(k)._2 == ov, s"pair $k overlap_ppm differs")
     }
   }
 
