@@ -17,9 +17,10 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val mode = if (args.length > 2) args(2) else "formatted"
     val df = SparkEntry.queries(args(0))(spark, dir)
     println(df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode)))
     spark.stop()
   }
 }

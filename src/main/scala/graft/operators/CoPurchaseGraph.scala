@@ -112,11 +112,21 @@ object CoPurchaseGraph {
     val or = oriented(edges, deg)
     val w1 = or.select(col("src"), col("dst").as("x"))
     val w2 = or.select(col("src"), col("dst").as("y"))
+    // Both joins are hinted shuffled-hash: the probe stream is the
+    // O(m^1.5) wedge-candidate set — orders of magnitude bigger than
+    // either build side (the oriented edges keyed by src, and the
+    // canonical edge set keyed by (u, v)) — and a sort-merge join
+    // would SORT that stream (measured: the closure sort+merge was
+    // the single hottest stage of every triangle consumer). The
+    // build sides are hash-partitioned edge slices: per-partition
+    // size is m / P, uniform by construction, so the SHJ build fits
+    // task memory at any scale where the shuffle itself is sized
+    // sanely — exactly the guide's SMJ-vs-SHJ trade.
     w1
-      .join(w2, Seq("src"))
+      .join(w2.hint("shuffle_hash"), Seq("src"))
       .filter(col("x") < col("y"))
       .join(
-        edges,
+        edges.hint("shuffle_hash"),
         col("x") === edges("u") && col("y") === edges("v"),
         "left_semi"
       )
@@ -175,6 +185,19 @@ object CoPurchaseGraph {
       .select(col("u").as("src"), col("v").as("dst"))
       .unionByName(edges.select(col("v").as("src"), col("u").as("dst")))
 
+  /** [[symmetric]] hash-partitioned AND sorted by `src` — the frame a
+    * frontier loop should cache: every BFS round joins it on `src`,
+    * and with the partitioning + ordering established ONCE (and
+    * preserved by the cache), each round's sort-merge join shuffles
+    * and sorts only the frontier side. Without this the full edge
+    * frame was re-exchanged and re-sorted every hop (measured: the
+    * six biggest stages of q490 were all sym re-shuffles).
+    */
+  def symmetricBySrc(edges: DataFrame): DataFrame =
+    symmetric(edges)
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+
   /** Bounded truss-class census — the k-truss decomposition peel
     * (Cohen, "Trusses: cohesive subgraphs for social network
     * analysis", NSA 2008) run on [[edgeSupport]]'s seam, capped the
@@ -216,11 +239,20 @@ object CoPurchaseGraph {
     // never recomputed by re-wedging (the standard truss-peel
     // optimization; at 100 TB the re-wedge would dominate every
     // round, the kill join is bounded by the peeled set).
-    // cacheTracked, not an eager checkpoint: the first support pass
-    // materializes the wedge join AND aggregates it in one action
-    // (an eager checkpoint would run the join once extra just to
-    // store it); each round's kill result is cached the same way, so
-    // the effective lineage depth stays one round
+    // The INITIAL triangle frame is cacheTracked (not checkpointed):
+    // the first support pass materializes the wedge join AND
+    // aggregates it in one action, and the cache is the derive-once
+    // artifact of the whole peel — deterministic lineage, so it is
+    // also the only frame a steady-state re-run can reuse. Later
+    // rounds' frames are lazy localCheckpoints instead: their plans
+    // embed per-run checkpoint RDDs (never reusable), and checkpoint
+    // blocks live OUTSIDE the CacheManager — unpersisting a
+    // superseded round's CACHE entry would invalidate and recompile
+    // every dependent entry (SPARK-24596 non-cascading semantics),
+    // which made each round re-run the wedge join (measured
+    // 6 s → 18 s). Superseded rounds' RDD blocks are reclaimed by
+    // the ContextCleaner once the loop reassigns `tri`, so residency
+    // stays bounded at the initial frame plus the current round.
     var tri = triangles(edges)
       .select(
         least(col("src"), col("x")).as("u1"),
@@ -267,7 +299,6 @@ object CoPurchaseGraph {
           val frontier = sup
             .filter(col("support") === 1L)
             .select(col("u"), col("v"))
-          val prevTri = tri
           tri = tri
             .join(
               frontier.select(col("u").as("u1"), col("v").as("v1")),
@@ -278,14 +309,11 @@ object CoPurchaseGraph {
             .join(
               frontier.select(col("u").as("u3"), col("v").as("v3")),
               Seq("u3", "v3"), "left_anti")
-            .cacheTracked()
+            .localCheckpoint(false)
+          // materializes the new tri checkpoint in the same action;
+          // the superseded round's checkpoint RDD is now unreferenced
+          // and the ContextCleaner reclaims its blocks
           sup = support(tri).localCheckpoint(true)
-          // the eager checkpoint above is the action that materializes
-          // the new round's tri cache; the superseded triangle frame
-          // is never read again — release it now instead of holding
-          // peelRounds+1 copies of the (large) triangle set for the
-          // query's lifetime
-          prevTri.unpersist(blocking = false)
         }
       }
     }
@@ -505,6 +533,13 @@ object CoPurchaseGraph {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
+        // the union IS re-checkpointed each round: measured against
+        // the flat-union alternative (children are lineage-free, so
+        // correctness allows it), consolidating the visited set into
+        // one compact RDD kept every later round's anti-join at a
+        // constant small stage count and was ~40% faster overall —
+        // the O(hops²) re-copy is cheaper than O(hops) extra stages
+        // per round on a frontier-sized frame
         levels = levels.unionByName(next).localCheckpoint(true)
         frontier = next
         lvl += 1

@@ -329,12 +329,16 @@ object Communities {
       .join(probe, Seq("cx", "cy"))
       .filter(col("vec_id") < col("j") && d2 <= lit(eps * eps))
       .select(col("vec_id").as("i"), col("j"))
-      .localCheckpoint(true)
+      // cacheTracked, not eager checkpoints: both frames have
+      // deterministic plans (cell cache + literal offsets), so the
+      // tracked cache serves every downstream read AND the
+      // steady-state re-run, and no separate materialization job runs
+      .cacheTracked()
     val deg = pairs
       .select(explode(array(col("i"), col("j"))).as("id"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_nb"))
-      .localCheckpoint(true)
+      .cacheTracked()
     val core = deg.filter(col("n_nb") >= minPts).select(col("id"))
     val coreEdges = pairs
       .join(core.select(col("id").as("i")), Seq("i"), "left_semi")
@@ -368,7 +372,9 @@ object Communities {
         col("n_core"),
         coalesce(col("n_border"), lit(0L)).as("n_border")
       )
-      .localCheckpoint(true)
+      // lazy: the `assigned` aggregate below materializes it; an
+      // eager checkpoint would add one more driver job for nothing
+      .localCheckpoint(false)
     val assigned = clusters
       .agg(
         coalesce(sum(col("n_core")), lit(0L)).as("nc"),

@@ -62,6 +62,13 @@ object ConnectedComponents {
       .select(col("src").as("u"), col("dst").as("v"))
       .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
       .distinct()
+      // partition + sort by the per-round join key ONCE (preserved
+      // through the checkpoint), so each propagation round's join
+      // exchanges/sorts only the node-sized label side, never the
+      // edge frame — locally neutral at bench scale (within noise),
+      // structurally the right shape once edges >> nodes
+      .repartition(col("v"))
+      .sortWithinPartitions(col("v"))
       .localCheckpoint(true)
 
     var labels =

@@ -85,15 +85,18 @@ object Layout {
     * 1891, in the bit-twiddling form popularized by Warren's
     * Hacker's Delight treatment). The reflection uses the full-grid
     * complement `n−1−coord` so intermediate values stay in
-    * [0, 2^bits) at every level. Implemented as a chain of narrow
-    * projections (one per level, collapsed by Catalyst into a single
-    * codegen stage) — NOT a nested expression tree, whose size would
-    * double per level.
+    * [0, 2^bits) at every level.
+    *
+    * Implemented as the codegen'd
+    * [[graft.functions.HilbertIndex2D]] expression (bit-identical to
+    * the former per-level projection chain, pinned by the same spec):
+    * the chained-projection form whole-stage-compiled into one
+    * generated method past the JVM JIT's HugeMethodLimit, so the
+    * per-row loop ran interpreted and the optimizer re-walked a
+    * ~60-projection tree on every run.
     *
     * Expects `xName`/`yName` in [0, 2^bits); appends `outName`.
-    * RESERVED temp columns: `_hx`, `_hy`, `_rx`, `_ry`, `_fx`, `_fy`
-    * are overwritten and dropped — input columns with those names
-    * are clobbered. Every other column passes through untouched.
+    * Every other column passes through untouched.
     */
   def hilbertIndex(
       df: DataFrame,
@@ -101,52 +104,15 @@ object Layout {
       xName: String,
       yName: String,
       outName: String
-  ): DataFrame = {
-    val nMinus1 = (1L << bits) - 1L
-    var d = df
-      .withColumn("_hx", col(xName).cast("long"))
-      .withColumn("_hy", col(yName).cast("long"))
-      .withColumn(outName, lit(0L))
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      d = d
-        .withColumn(
-          "_rx",
-          when(col("_hx").bitwiseAND(lit(s)) > 0, lit(1L))
-            .otherwise(lit(0L))
-        )
-        .withColumn(
-          "_ry",
-          when(col("_hy").bitwiseAND(lit(s)) > 0, lit(1L))
-            .otherwise(lit(0L))
-        )
-        .withColumn(
-          outName,
-          col(outName) +
-            lit(s * s) *
-            (lit(3L) * col("_rx")).bitwiseXOR(col("_ry"))
-        )
-        .withColumn(
-          "_fx",
-          when(col("_ry") === 0 && col("_rx") === 1,
-            lit(nMinus1) - col("_hx")).otherwise(col("_hx"))
-        )
-        .withColumn(
-          "_fy",
-          when(col("_ry") === 0 && col("_rx") === 1,
-            lit(nMinus1) - col("_hy")).otherwise(col("_hy"))
-        )
-        .withColumn(
-          "_hx",
-          when(col("_ry") === 0, col("_fy")).otherwise(col("_fx"))
-        )
-        .withColumn(
-          "_hy",
-          when(col("_ry") === 0, col("_fx")).otherwise(col("_fy"))
-        )
-    }
-    d.drop("_hx", "_hy", "_rx", "_ry", "_fx", "_fy")
-  }
+  ): DataFrame =
+    df.withColumn(
+      outName,
+      graft.functions.HilbertIndex2D.hilbert(
+        col(xName).cast("long"),
+        col(yName).cast("long"),
+        bits
+      )
+    )
 
   /** q452: space-filling-curve locality shoot-out — lineitem rows
     * mapped into a 1024×1024 (part, order) grid are indexed by
@@ -203,27 +169,46 @@ object Layout {
         )
       ).as("m")
     )
-    val tagged = byLayout.select(
-      col("m.layout").as("layout"),
-      col("m.idx").as("idx"),
-      explode(
-        array(
-          struct(lit("r_square").as("region"),
-            (col("x") < 128 && col("y") < 128).as("hit")),
-          struct(lit("r_slab_x").as("region"),
-            (col("x").between(200, 215)).as("hit")),
-          struct(lit("r_slab_y").as("region"),
-            (col("y").between(600, 615)).as("hit"))
-        )
-      ).as("r")
-    )
-    tagged
-      .filter(col("r.hit"))
+    // Aggregate per (layout, block) FIRST with the three region hits
+    // as conditional counts — ≤ 3·256 groups, map-side combined — and
+    // only then explode the (tiny) block frame into (layout, region)
+    // rows. The previous shape exploded the region axis at full row
+    // volume (3× the layout-exploded stream, 9 rows per lineitem) and
+    // ran countDistinct(block) over it; this computes the identical
+    // counts (n_rows = Σ_block hits, n_blocks_touched = #blocks with
+    // ≥ 1 hit) with one explode instead of two and no distinct
+    // aggregate over corpus-scale rows.
+    val perBlock = byLayout
+      .select(
+        col("m.layout").as("layout"),
+        shiftright(col("m.idx"), 12).as("blk"),
+        when(col("x") < 128 && col("y") < 128, 1L)
+          .otherwise(0L).as("h_sq"),
+        when(col("x").between(200, 215), 1L).otherwise(0L).as("h_sx"),
+        when(col("y").between(600, 615), 1L).otherwise(0L).as("h_sy")
+      )
+      .groupBy(col("layout"), col("blk"))
+      .agg(
+        sum(col("h_sq")).as("n_sq"),
+        sum(col("h_sx")).as("n_sx"),
+        sum(col("h_sy")).as("n_sy")
+      )
+    perBlock
+      .select(
+        col("layout"),
+        explode(
+          array(
+            struct(lit("r_square").as("region"), col("n_sq").as("n")),
+            struct(lit("r_slab_x").as("region"), col("n_sx").as("n")),
+            struct(lit("r_slab_y").as("region"), col("n_sy").as("n"))
+          )
+        ).as("r")
+      )
+      .filter(col("r.n") > 0)
       .groupBy(col("layout"), col("r.region").as("region"))
       .agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(shiftright(col("idx"), 12))
-          .as("n_blocks_touched")
+        sum(col("r.n")).as("n_rows"),
+        count(lit(1)).as("n_blocks_touched")
       )
   }
 }

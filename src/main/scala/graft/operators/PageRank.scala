@@ -48,6 +48,11 @@ object PageRank {
     val withDeg = e
       .join(out, "src")
       .select(col("src"), col("dst"), col("out_deg"))
+      // partition + sort by the per-round join key once — the
+      // checkpoint preserves both, so each iteration's join
+      // shuffles/sorts only the (node-sized) ranks side
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
       .localCheckpoint(true)
     val n = out.count()
     val teleport = (1.0 - damping) / n
@@ -98,6 +103,9 @@ object PageRank {
     val withDeg = e
       .join(out, "src")
       .select(col("src"), col("dst"), col("out_deg"))
+      // src-partitioned+sorted once — see run()
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
       .localCheckpoint(true)
     val sd = seeds.select(col("id")).distinct().localCheckpoint(true)
     val k = sd.count()

@@ -167,7 +167,16 @@ object QualityLR {
     * self-audit (the q129 pattern).
     */
   def lrQualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val feats = features(spark, dir).localCheckpoint(true)
+    // cacheTracked, NOT localCheckpoint: the checkpoint embedded a
+    // fresh LogicalRDD in every downstream plan, making the whole
+    // gate-flag seam (and every gate-family query riding it)
+    // non-deterministic — no cache entry could ever be reused, so
+    // each run re-derived the full four-gate chain. With a tracked
+    // cache the feature pass materializes once inside train()'s
+    // first aggregate, the trained weights enter the plan as
+    // literals, and the scored frame's plan is deterministic.
+    import graft.util.Caches._
+    val feats = features(spark, dir).cacheTracked()
     val w = train(feats)
     // z_pico >= 0 ⟺ sigmoid(z) >= 0.5 — the 0.5 decision cut as an
     // exact integer comparison (round-9 convention: no exp output)

@@ -1162,8 +1162,10 @@ object Relational {
   def bfsLevels(spark: SparkSession, dir: String): DataFrame = {
     import graft.util.Caches._
     val edges = CoPurchaseGraph.edges(spark, dir)
-    // read every round by the frontier join + once for the node set
-    val sym = CoPurchaseGraph.symmetric(edges).cacheTracked()
+    // read every round by the frontier join + once for the node set;
+    // partitioned+sorted by src ONCE so each round's join shuffles
+    // only the frontier (the cache preserves both properties)
+    val sym = CoPurchaseGraph.symmetricBySrc(edges).cacheTracked()
     val seed = sym.agg(min(col("src"))).head().getLong(0)
     CoPurchaseGraph.bfsLevelHistogram(spark, sym, seed, 20)
   }
@@ -1339,8 +1341,9 @@ object Relational {
   def doubleSweepEcc(spark: SparkSession, dir: String): DataFrame = {
     import graft.util.Caches._
     val edges = CoPurchaseGraph.edges(spark, dir)
-    // read by every BFS round of both sweeps + the seed pick
-    val sym = CoPurchaseGraph.symmetric(edges).cacheTracked()
+    // read by every BFS round of both sweeps + the seed pick;
+    // src-partitioned+sorted once — see bfsLevels
+    val sym = CoPurchaseGraph.symmetricBySrc(edges).cacheTracked()
     val seed0 = sym.agg(min(col("src"))).head().getLong(0)
     val l0 = CoPurchaseGraph.bfsLevelsFrom(spark, sym, seed0, 20)
     val f0 = l0.orderBy(col("lvl").desc, col("id").asc).limit(1).head()
