@@ -142,7 +142,10 @@ object Clustering {
       val a = assign(e, centroids)
       centroids = update(e, a).localCheckpoint(true)
     }
-    centroids
+    // k bounded rows -> literal LocalRelation: consumer plans become
+    // deterministic (operator caches over the model are reusable) and
+    // the assignment broadcast ships literals, not a checkpoint scan
+    graft.util.SmallModel.toLocal(centroids, "cluster")
   }
 
   /** q248: per-cluster label purity and entropy of the q93 k-means

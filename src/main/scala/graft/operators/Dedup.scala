@@ -1278,7 +1278,10 @@ object Dedup {
         Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         "vec_id"
       )
-      .localCheckpoint(true)
+      // cacheTracked, not a checkpoint: with the centroid model a
+      // literal (SmallModel), this plan is deterministic — the cache
+      // serves both self-join sides AND the steady-state re-run
+      .cacheTracked()
     val lower = clustered.select(
       col("vec_id").as("lo_id"),
       col("cluster"),

@@ -1194,17 +1194,19 @@ object Similarity {
           s => s.getField("v")
         ).as("c_vec")
       )
-      .localCheckpoint(true)
+    // m*k bounded codebook rows -> literal (deterministic consumers,
+    // literal broadcasts; see graft.util.SmallModel)
+    val centLocal = graft.util.SmallModel.toLocal(cent, "b", "cluster")
     // encode: final assignment, pivoted to one code column per
     // subspace in a single aggregation (no m-way self-join)
     val codeCols = (0 until m).map(b =>
       max(when(col("b") === b, col("cluster"))).as(s"c$b"))
-    val packed = assign(cent)
+    val packed = assign(centLocal)
       .groupBy(col("vec_id"))
       .agg(codeCols.head, codeCols.tail: _*)
     val lutAll = subs
       .filter(col("vec_id") < nQueries)
-      .join(broadcast(cent), Seq("b"))
+      .join(broadcast(centLocal), Seq("b"))
       .select(
         col("b"),
         col("vec_id").as("query_id"),
@@ -1552,9 +1554,10 @@ object Similarity {
         col("cluster"),
         transform(col("embedding"), x => x.cast("double")).as("c_vec")
       )
-    val cent = Clustering
-      .update(e, Clustering.assign(e, cInit))
-      .localCheckpoint(true)
+    // coarseK bounded rows -> literal (see graft.util.SmallModel)
+    val cent = graft.util.SmallModel.toLocal(
+      Clustering.update(e, Clustering.assign(e, cInit)),
+      "cluster")
     val lists = Clustering
       .assign(e, cent)
       .select(col("vec_id"), col("cluster").as("list_id"))
@@ -1608,7 +1611,8 @@ object Similarity {
         .groupBy(col("b"), col("vec_id"))
         .agg(min(struct(col("dist"), col("cluster"))).as("best"))
         .select(col("b"), col("vec_id"), col("best.cluster").as("cluster"))
-    val book = subs
+    // m*pqK bounded codebook rows -> literal (see graft.util.SmallModel)
+    val bookAgg = subs
       .join(pqAssign(pInit), Seq("b", "vec_id"))
       .select(
         col("b"),
@@ -1624,7 +1628,7 @@ object Similarity {
           s => s.getField("v")
         ).as("c_vec")
       )
-      .localCheckpoint(true)
+    val book = graft.util.SmallModel.toLocal(bookAgg, "b", "cluster")
     val codeCols = (0 until m).map(b =>
       max(when(col("b") === b, col("cluster"))).as(s"c$b"))
     val codes = pqAssign(book)
